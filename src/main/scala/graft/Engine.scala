@@ -1,0 +1,159 @@
+package graft
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.api.{Col, GraftFrame}
+import graft.api.Col._
+import graft.sql.{GroupByError, JoinClause, SqlParser, SqlQuery}
+import graft.sources.Tables
+
+/** Engine facade: `sql / collect / show / explain`
+  * (reference: src/mini_spark/execution.py:57-62 ExecutionEngine.sql).
+  *
+  * Planning a parsed query follows the reference's clause-assembly order
+  * (reference: src/mini_spark/parser.py:124-162 visit_query):
+  * table → joins → where-filter → groupBy().agg(+hidden HAVING aggs) →
+  * having-filter → final select. The HAVING rewrite appends each aggregate
+  * referenced in HAVING as a hidden `_having_<n>` column, filters on it
+  * post-aggregation and drops it in the final projection
+  * (reference: parser.py:153-161). With GROUP BY, every selected
+  * non-aggregate column must be a grouping key, else [[GroupByError]]
+  * (reference: parser.py:143-151).
+  */
+final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) {
+
+  def table(ref: String): GraftFrame =
+    GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
+
+  def sql(query: String): GraftFrame = plan(SqlParser.parse(query))
+
+  def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
+    if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)
+
+  def plan(q: SqlQuery): GraftFrame = {
+    // FROM + table alias
+    var frame = table(q.from.path)
+    q.from.alias.foreach(a => frame = frame.alias(a))
+
+    // JOINs in declaration order
+    q.joins.foreach { case JoinClause(t, on, how) =>
+      var right = table(t.path)
+      t.alias.foreach(a => right = right.alias(a))
+      frame = frame.join(right, on, how)
+    }
+
+    // WHERE
+    q.where.foreach(c => frame = frame.filter(c))
+
+    val selectAggs = q.select.flatMap(i => collectAggs(i.expr))
+    val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
+
+    var out: GraftFrame =
+      if (!hasGrouping) {
+        if (q.select.forall(_.star)) frame.select(Star)
+        else frame.select(q.select.map(_.expr): _*)
+      } else {
+        // GROUP BY validity (reference: parser.py:143-151); compare the
+        // expression under any alias against the grouping keys
+        val keyNames = q.groupBy.map(_.name).toSet
+        q.select.filterNot(_.star).foreach { item =>
+          val underlying = item.expr match {
+            case Alias(c, _) => c
+            case c           => c
+          }
+          if (collectAggs(item.expr).isEmpty && !keyNames.contains(underlying.name))
+            throw new GroupByError(
+              s"Column '${underlying.name}' must appear in GROUP BY or an aggregate")
+        }
+
+        // name every select aggregate so the final projection can refer to it
+        val named = ListBuffer.empty[Col] // aggregates to compute
+        val finalCols = q.select.map { item =>
+          stripQualifiers(nameAggs(item.expr, named))
+        }
+        // hidden HAVING aggregates (reference: parser.py:153-161)
+        val havingRewritten = q.having.map { h =>
+          rewriteHaving(h, named)
+        }
+
+        var g = frame.groupBy(q.groupBy: _*).agg(named.toSeq: _*)
+        havingRewritten.foreach(h => g = g.filter(h))
+        // final projection: grouping keys + visible select outputs, hidden
+        // columns dropped (reference: parser.py:161); the aggregated frame
+        // exposes group keys by their bare name, so qualifiers are gone
+        // (analog of the reference's alias-prefix cleanup, plan.py:206-222)
+        g.select(finalCols: _*)
+      }
+
+    if (q.distinct) out = out.distinct()
+    if (q.orderBy.nonEmpty) out = out.sort(q.orderBy)
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  private def collectAggs(c: Col): Seq[AggCol] = c match {
+    case a: AggCol      => Seq(a)
+    case BinOp(_, l, r) => collectAggs(l) ++ collectAggs(r)
+    case Alias(ch, _)   => collectAggs(ch)
+    case Not(ch)        => collectAggs(ch)
+    case Like(ch, _)    => collectAggs(ch)
+    case Cast(ch, _)    => collectAggs(ch)
+    case _              => Seq.empty
+  }
+
+  /** Give every aggregate a stable output name, collect it into `acc`, and
+    * return the select item rewritten to refer to computed columns. */
+  private def nameAggs(c: Col, acc: ListBuffer[Col]): Col = c match {
+    case a @ AggCol(_, _, Some(n)) => acc += a; ColRef(n)
+    case a @ AggCol(_, _, None) =>
+      val n = a.name
+      acc += a.aliased(n); ColRef(n)
+    case Alias(a: AggCol, n) => acc += a.aliased(n); ColRef(n)
+    case Alias(ch, n)        => Alias(nameAggs(ch, acc), n)
+    case BinOp(op, l, r)     => BinOp(op, nameAggs(l, acc), nameAggs(r, acc))
+    case other               => other
+  }
+
+  /** Post-aggregation, table-alias qualifiers no longer resolve
+    * (`u.country` → `country`); rewrite dotted refs to their bare name
+    * (reference: plan.py:206-222 final de-aliasing projection). */
+  private def stripQualifiers(c: Col): Col = c match {
+    case ColRef(r) if r.contains('.') => ColRef(r.split('.').last)
+    case Alias(ch, n)    => Alias(stripQualifiers(ch), n)
+    case BinOp(op, l, r) => BinOp(op, stripQualifiers(l), stripQualifiers(r))
+    case Not(ch)         => Not(stripQualifiers(ch))
+    case Like(ch, p)     => Like(stripQualifiers(ch), p)
+    case Cast(ch, d)     => Cast(stripQualifiers(ch), d)
+    case other           => other
+  }
+
+  /** Replace aggregates inside a HAVING predicate with hidden columns
+    * named `_having_<agg-name>` (reference: parser.py:153-157), reusing an
+    * already-computed aggregate when the same expression appears in the
+    * select list (reference: sql.py:433-434 normalize_agg_columns). */
+  private def rewriteHaving(c: Col, acc: ListBuffer[Col]): Col = c match {
+    case a: AggCol =>
+      val existing = acc.collectFirst {
+        case e @ AggCol(f, ch, Some(n)) if f == a.fn && ch == a.child => n
+      }
+      existing match {
+        case Some(n) => ColRef(n)
+        case None =>
+          val n = s"_having_${a.name}"
+          acc += a.aliased(n)
+          ColRef(n)
+      }
+    case BinOp(op, l, r) => BinOp(op, rewriteHaving(l, acc), rewriteHaving(r, acc))
+    case Not(ch)         => Not(rewriteHaving(ch, acc))
+    case Alias(ch, n)    => Alias(rewriteHaving(ch, acc), n)
+    case other           => other
+  }
+}
+
+object Engine {
+  def apply(spark: SparkSession, baseDir: String): Engine =
+    new Engine(spark, Some(baseDir))
+  def apply(spark: SparkSession): Engine = new Engine(spark, None)
+}

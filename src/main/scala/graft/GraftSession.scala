@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference engine's global execution config
+  * (reference: src/mini_spark/constants.py:7-9 — ROWS_PER_BLOCK,
+  * SHUFFLE_PARTITIONS, WORKER_POOL_PROCESSES) but expressed as Spark
+  * session conf. All sizing is cluster-oriented: the same settings that
+  * run local[32] here scale to a 1000-executor cluster because nothing
+  * below depends on local mode.
+  */
+object GraftSession {
+
+  /** Default shuffle parallelism for local test runs. On a real cluster
+    * AQE coalesces this upward/downward from runtime statistics, so the
+    * static value only seeds the initial plan.
+    */
+  val DefaultShufflePartitions = 32
+
+  def builder(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = DefaultShufflePartitions,
+      appName: String = "graft"
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE: runtime re-planning (partition coalescing, skew-join split,
+      // dynamic broadcast) — essential at 100 TB where static stats lie.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Keep file splits bounded so one task never owns an unbounded
+      // byte range (analog of the reference's one-job-per-2M-row-block
+      // scan granularity, reference: src/mini_spark/plan.py:90-93).
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // test data's events table stores nanosecond timestamps
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

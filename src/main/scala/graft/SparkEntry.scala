@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Driver contract — one queries-map entry per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal). Each entry that is
+  * ANSI-SQL-expressible carries a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL output column names.
+  *
+  * Determinism policy for hash-matching against the oracle:
+  *   - per-row arithmetic is left exact (IEEE ops are order-free per row);
+  *   - sums/avgs of non-integral doubles are `round(..., 4)` on BOTH
+  *     sides (aggregation order differs between engines in the low bits);
+  *   - sums of integral-valued doubles (e.g. l_quantity) stay exact;
+  *   - every timestamp output is formatted to a string.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, name, Some(dir))
+
+  /** The events table carries a nanosecond parquet timestamp, which
+    * Spark's reader rejects by default; read it as long nanos and convert
+    * to a microsecond timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
+
+  /** Flagship query on sf=0.001 — the reference's benchmark Q1 variant
+    * (reference: examples/benchmark.py:51-68) routed through the SQL
+    * dialect front-end. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val engine = Engine(spark, "/root/testdata/sf0.001")
+    engine.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  AVG(l_quantity) AS avg_qty,
+        |  COUNT() AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin).df
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scan / project / filter (SURVEY §2.1 #1,#3,#4; §2.2) ----
+    "q01_scan" -> ((s, dir) => t(s, dir, "region").select("r_regionkey", "r_name")),
+
+    "q02_project_arith" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        (F.col("l_quantity") * (F.lit(1) - F.col("l_discount"))).as("net_qty"),
+        (F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax"))).as("gross_price"),
+        (F.col("l_orderkey") % 10).as("ok_mod"),
+        F.floor(F.col("l_orderkey") / 7).cast("long").as("ok_div"))),
+
+    "q03_concat_like" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(F.col("c_name").like("%1%") && !F.col("c_mktsegment").like("A%"))
+        .select(F.col("c_custkey"),
+          F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).as("tag"))),
+
+    "q04_filter_bool" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter((F.col("l_quantity") > 30 && F.col("l_discount") < 0.05) ||
+                (F.col("l_returnflag") === "R" && F.col("l_tax") > 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q05_between_ts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.date_format(F.col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))),
+
+    // ---- aggregation (SURVEY §2.1 #6, §2.3) ----
+    "q06_q1_flagship" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum("l_quantity").as("sum_qty_raw"),
+          F.round(F.sum("l_extendedprice"), 4).as("sum_base_price"),
+          F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("sum_disc_price"),
+          F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))), 4).as("sum_charge"),
+          F.round(F.avg("l_quantity"), 4).as("avg_qty"),
+          F.round(F.avg("l_extendedprice"), 4).as("avg_price"),
+          F.round(F.avg("l_discount"), 4).as("avg_disc"),
+          F.count(F.lit(1)).as("count_order"))
+        .withColumnRenamed("sum_qty_raw", "sum_qty")),
+
+    "q07_group_minmax" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(F.min("o_totalprice").as("min_price"),
+             F.max("o_totalprice").as("max_price"),
+             F.count(F.lit(1)).as("n"))),
+
+    "q08_having_sql" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_partkey, SUM(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY l_partkey
+          |HAVING SUM(l_quantity) > 900""".stripMargin).df),
+
+    "q09_group_avg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          F.round(F.avg(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("avg_net"),
+          F.round(F.avg("l_quantity"), 4).as("avg_qty"))),
+
+    "q10_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").as("n_cust"),
+             F.count(F.lit(1)).as("n"))),
+
+    // ---- joins (SURVEY §2.1 #5; semi/anti/outer per §7.1.1) ----
+    "q11_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(F.broadcast(t(s, dir, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 4).as("revenue"),
+             F.count(F.lit(1)).as("n_orders"))),
+
+    "q12_join3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+        .join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("revenue"),
+             F.count(F.lit(1)).as("n"))
+    }),
+
+    "q13_join_left" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(F.col("o_totalprice") > 300000),
+          F.col("c_custkey") === F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").as("n_big_orders"))),
+
+    "q14_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(F.col("o_totalprice") > 400000),
+          F.col("c_custkey") === F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "q15_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(F.col("o_totalprice") > 400000),
+          F.col("c_custkey") === F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey")),
+
+    // ---- set ops / distinct / sort / limit / window ----
+    "q16_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(F.col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    "q17_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")),
+
+    "q18_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(F.col("o_orderstatus"), F.col("o_orderkey"), F.col("o_totalprice"),
+          F.row_number().over(w).as("rk"))
+        .filter(F.col("rk") <= 5)
+    }),
+
+    // ---- events / streaming batch-twin (graft.streaming) ----
+    "q19_events_hourly" -> ((s, dir) =>
+      Streams.windowedCounts(events(s, dir), "1 hour")
+        .select(
+          F.date_format(F.col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          F.col("event_type"), F.col("n_events"), F.col("sum_value"))),
+
+    // ---- SQL dialect front-end (graft.sql, reference parser.py) ----
+    "q20_sql_q1" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT() AS count
+          |FROM lineitem GROUP BY l_returnflag
+          |HAVING SUM(l_quantity) > 100""".stripMargin).df),
+
+    "q21_sql_join" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c.c_mktsegment AS seg, COUNT() AS n
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE o.o_totalprice > 1000
+          |GROUP BY c.c_mktsegment""".stripMargin).df),
+
+    "q22_sql_events" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT event_type, COUNT() AS n, MIN(value) AS min_v, MAX(value) AS max_v
+          |FROM events GROUP BY event_type""".stripMargin).df),
+
+    // ---- text analysis (graft.operators.TextAnalysis) ----
+    "q23_token_stats" -> ((s, dir) => {
+      val txt = F.col("text")
+      t(s, dir, "documents").select(
+        F.col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.subwordCount(txt).as("n_subwords"),
+        TextAnalysis.punctCount(txt).as("n_punct"),
+        TextAnalysis.stopwordCount(txt).as("n_stopwords"))
+    }),
+
+    "q24_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.qualityScore(F.col("text")).as("quality"))),
+
+    "q25_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.langId(F.col("text")).as("lang_guess"))),
+
+    "q26_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        F.col("doc_id"), TextAnalysis.fingerprint(F.col("text")).as("fp"))),
+
+    // ---- deduplication (graft.operators.Dedup) ----
+    "q27_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    "q28_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        F.concat(F.col("lang"), F.lit("|"), F.col("source")),
+        shingleN = 1, threshold = 0.5)),
+
+    "q29_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8)),
+
+    "q30_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
+
+    "q31_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        numPlanes = 4, threshold = 0.3)
+        .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))),
+
+    // ---- similarity search (graft.operators.Similarity) ----
+    "q32_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.topKByCosine(emb, "embedding", "vec_id", q, 10)
+        .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
+    }),
+
+    "q33_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val centroids = (0 until 8).map(i =>
+        (0 until 64).map(j => ((i * 73856093 + j * 19349663) % 1000) / 1000.0 - 0.5).toSeq)
+      Similarity.topKIvf(emb, "embedding", "vec_id", q, centroids, k = 10, nprobe = 2)
+        .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
+    }),
+
+    // ---- multimodal plumbing (graft.operators.Multimodal) ----
+    "q34_media_meta" -> ((s, dir) =>
+      Multimodal.decode(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text"))),
+
+    "q35_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decode(
+          Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")),
+        stride = 10))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q02_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity * (1 - l_discount) AS net_qty,
+        | l_extendedprice * (1 + l_tax) AS gross_price,
+        | l_orderkey % 10 AS ok_mod,
+        | CAST(floor(l_orderkey / 7) AS BIGINT) AS ok_div
+        |FROM lineitem""".stripMargin,
+
+    "q03_concat_like" ->
+      """SELECT c_custkey, c_name || '-' || c_mktsegment AS tag
+        |FROM customer
+        |WHERE c_name LIKE '%1%' AND c_mktsegment NOT LIKE 'A%'""".stripMargin,
+
+    "q04_filter_bool" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE (l_quantity > 30 AND l_discount < 0.05)
+        |   OR (l_returnflag = 'R' AND l_tax > 0.07)""".stripMargin,
+
+    "q05_between_ts" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'""".stripMargin,
+
+    "q06_q1_flagship" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q07_group_minmax" ->
+      """SELECT o_orderstatus, min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q08_having_sql" ->
+      """SELECT l_partkey, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(l_quantity) > 900""".stripMargin,
+
+    "q09_group_avg" ->
+      """SELECT l_returnflag,
+        | round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net,
+        | round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q10_count_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q11_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q12_join3" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q13_join_left" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q16_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q18_window_rank" ->
+      """SELECT * FROM (
+        | SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        | FROM orders) WHERE rk <= 5""".stripMargin,
+
+    "q19_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q20_sql_q1" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS count
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING sum(l_quantity) > 100""".stripMargin,
+
+    "q21_sql_join" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 1000
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q22_sql_events" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |     x -> len(x) > 0)) AS n_subwords,
+        | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_stopwords
+        |FROM documents""".stripMargin,
+
+    "q24_quality" ->
+      """SELECT doc_id, round((
+        |  least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |  + least(5.0 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with')))
+        |      / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 1.0)
+        | ) / 3.0, 6) AS quality
+        |FROM documents""".stripMargin,
+
+    "q25_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
+        | FROM s)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_de > s_en THEN 'de'
+        |  ELSE 'en' END AS lang_guess
+        |FROM c""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q27_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q28_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b
+        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5""".stripMargin,
+
+    "q32_knn_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS raw
+        | FROM embeddings)
+        |SELECT vec_id, round(raw, 6) AS score
+        |FROM scored ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q34_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(64 + length(text) % 1024 AS INTEGER) AS width,
+        | CAST(64 + (length(text) * 7) % 1024 AS INTEGER) AS height,
+        | (length(text) % 6000) / 100.0 AS duration_s
+        |FROM documents""".stripMargin,
+
+    "q35_media_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  CAST(64 + length(text) % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (length(text) * 7) % 1024 AS INTEGER) AS height,
+        |  (length(text) % 6000) / 100.0 AS duration_s
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, unnest(range(0,
+        |  greatest(CAST(1 AS BIGINT), CAST(floor(duration_s * 30) AS BIGINT)), 10)) AS frame_idx,
+        | width, height
+        |FROM d""".stripMargin
+  )
 }

@@ -1,0 +1,239 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.types._
+
+/** Expression algebra of the graft engine.
+  *
+  * Mirrors the reference's `Col` operator surface
+  * (reference: src/mini_spark/sql.py:16-112 — operator overloads;
+  * sql.py:241-355 — binary-op typing rules) but compiles to Catalyst
+  * [[org.apache.spark.sql.Column]]s instead of interpreting rows, so every
+  * expression lands inside whole-stage codegen.
+  *
+  * Reference typing quirks preserved (reference: src/mini_spark/sql.py):
+  *   - `+` on two strings is concatenation (sql.py:331-334)
+  *   - `/` always yields a floating-point result (sql.py:280-285)
+  *   - `//` is floor division returning an integral type
+  *   - a string literal compared against a timestamp column is parsed as an
+  *     ISO timestamp (sql.py:291-298)
+  *   - BETWEEN is inclusive on both ends (sql.py:71-72)
+  *
+  * Compilation is schema-directed: [[Col.compile]] resolves each node's
+  * Spark type bottom-up from the input schema, so the quirks above can be
+  * decided statically (the reference does the same in `infer_type`,
+  * sql.py:65-69).
+  */
+sealed trait Col {
+  import Col._
+
+  // ---- operator surface (reference: sql.py:20-63) ----
+  def +(other: Col): Col = BinOp("+", this, other)
+  def -(other: Col): Col = BinOp("-", this, other)
+  def *(other: Col): Col = BinOp("*", this, other)
+  def /(other: Col): Col = BinOp("/", this, other)
+  def floorDiv(other: Col): Col = BinOp("//", this, other)
+  def %(other: Col): Col = BinOp("%", this, other)
+  def ===(other: Col): Col = BinOp("==", this, other)
+  def =!=(other: Col): Col = BinOp("!=", this, other)
+  def <(other: Col): Col = BinOp("<", this, other)
+  def <=(other: Col): Col = BinOp("<=", this, other)
+  def >(other: Col): Col = BinOp(">", this, other)
+  def >=(other: Col): Col = BinOp(">=", this, other)
+  def &&(other: Col): Col = BinOp("&", this, other)
+  def ||(other: Col): Col = BinOp("|", this, other)
+  /** Logical NOT — declared-but-unimplemented in the reference
+    * (sql.py:44-45); implemented here with standard semantics. */
+  def unary_! : Col = Not(this)
+  def like(pattern: String): Col = Like(this, pattern)
+  /** Inclusive on both ends (reference: sql.py:71-72). */
+  def between(lo: Col, hi: Col): Col = (lo <= this) && (this <= hi)
+  def alias(name: String): Col = Alias(this, name)
+  def as(name: String): Col = alias(name)
+  def cast(dt: DataType): Col = Cast(this, dt)
+
+  /** Compile against an input schema to a Catalyst Column. */
+  def compile(schema: StructType): Column = Col.compileNode(this, schema)._1
+
+  /** The Spark type this expression produces under `schema`. */
+  def dataType(schema: StructType): DataType = Col.compileNode(this, schema)._2
+
+  def name: String = this match {
+    case ColRef(n)      => n.split('.').last
+    case Alias(_, n)    => n
+    case AggCol(f, c, None) => s"${f}_${c.name}"
+    case AggCol(_, _, Some(n)) => n
+    case _              => toString
+  }
+}
+
+object Col {
+  final case class ColRef(ref: String) extends Col
+  final case class Lit(value: Any) extends Col
+  final case class Alias(child: Col, aliasName: String) extends Col
+  final case class BinOp(op: String, left: Col, right: Col) extends Col
+  final case class Like(child: Col, pattern: String) extends Col
+  final case class Not(child: Col) extends Col
+  final case class Cast(child: Col, dt: DataType) extends Col
+  /** Star projection — expands to the full input schema
+    * (reference: tasks.py:88-93). */
+  case object Star extends Col
+  /** Aggregate wrapper (reference: sql.py:397-446).
+    * fn ∈ {sum, min, max, avg, count, count_distinct}. */
+  final case class AggCol(fn: String, child: Col, aliasOpt: Option[String]) extends Col {
+    def aliased(n: String): AggCol = copy(aliasOpt = Some(n))
+  }
+
+  def col(name: String): Col = ColRef(name)
+  def lit(v: Any): Col = Lit(v)
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Numeric promotion: INTEGER ⋄ FLOAT → FLOAT
+    * (reference: sql.py:235-238 COMPATIBLE_TYPE_CONVERSION), generalized
+    * over Spark's numeric lattice. */
+  private def promote(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (DoubleType, _) | (_, DoubleType) => DoubleType
+    case (FloatType, _) | (_, FloatType)   => FloatType
+    case (LongType, _) | (_, LongType)     => LongType
+    case (IntegerType, _) | (_, IntegerType) => IntegerType
+    case (ShortType, _) | (_, ShortType)   => ShortType
+    case _                                 => DoubleType
+  }
+
+  private def resolveRef(ref: String, schema: StructType): (Column, DataType) = {
+    // Dotted names refer to aliased tables (`u.user_id`,
+    // reference: tasks.py:127-132). Spark resolves those natively when the
+    // underlying DataFrame carries the alias, so pass the name through;
+    // for typing, fall back on the last path segment.
+    val fieldName = ref.split('.').last
+    val dt = schema.fields
+      .find(f => f.name == ref || f.name.equalsIgnoreCase(fieldName))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Column '$ref' not found in schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    (F.col(ref), dt)
+  }
+
+  private def litNode(v: Any): (Column, DataType) = v match {
+    case i: Int        => (F.lit(i), IntegerType)
+    case l: Long       => (F.lit(l), LongType)
+    case f: Float      => (F.lit(f), FloatType)
+    case d: Double     => (F.lit(d), DoubleType)
+    case s: String     => (F.lit(s), StringType)
+    case b: Boolean    => (F.lit(b), BooleanType)
+    case t: Timestamp  => (F.lit(t), TimestampType)
+    case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
+  }
+
+  /** A string literal compared against a TIMESTAMP column parses as an ISO
+    * timestamp (reference: sql.py:291-298). */
+  private def coerceTs(c: (Column, DataType), other: DataType): (Column, DataType) =
+    if (other == TimestampType && c._2 == StringType)
+      (c._1.cast(TimestampType), TimestampType)
+    else c
+
+  private[api] def compileNode(node: Col, schema: StructType): (Column, DataType) = node match {
+    case ColRef(r)  => resolveRef(r, schema)
+    case Lit(v)     => litNode(v)
+    case Star       => (F.col("*"), schema) // callers expand Star before compiling
+    case Alias(c, n) =>
+      val (cc, dt) = compileNode(c, schema)
+      (cc.as(n), dt)
+    case Cast(c, dt) =>
+      val (cc, _) = compileNode(c, schema)
+      (cc.cast(dt), dt)
+    case Not(c) =>
+      val (cc, _) = compileNode(c, schema)
+      (!cc, BooleanType)
+    case Like(c, pattern) =>
+      // SQL LIKE with %/_ wildcards (reference: sql.py:166-212). Spark's
+      // native LIKE has identical anchored semantics — no regex translation
+      // needed, and it stays inside codegen.
+      val (cc, _) = compileNode(c, schema)
+      (cc.like(pattern), BooleanType)
+    case AggCol(fn, child, aliasOpt) =>
+      val (c, dt) = fn match {
+        case "count" =>
+          // COUNT() is zero-arg, desugared to SUM(1) yielding an integer
+          // (reference: sql.py:462-464).
+          (F.count(F.lit(1)), LongType)
+        case "count_col" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.count(cc), LongType)
+        case "count_distinct" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.countDistinct(cc), LongType)
+        case "sum" =>
+          val (cc, cdt) = compileNode(child, schema)
+          val out = cdt match {
+            case IntegerType | ShortType | ByteType => LongType
+            case FloatType                          => DoubleType
+            case other                              => other
+          }
+          (F.sum(cc), out)
+        case "min" =>
+          val (cc, cdt) = compileNode(child, schema); (F.min(cc), cdt)
+        case "max" =>
+          val (cc, cdt) = compileNode(child, schema); (F.max(cc), cdt)
+        case "avg" =>
+          // AVG always yields floating point (reference: sql.py:412-415).
+          val (cc, _) = compileNode(child, schema); (F.avg(cc), DoubleType)
+        case other => throw new IllegalArgumentException(s"Unsupported aggregate: $other")
+      }
+      (aliasOpt.fold(c)(c.as(_)), dt)
+    case BinOp(op, l, r) =>
+      val l0 = compileNode(l, schema)
+      val r0 = compileNode(r, schema)
+      // timestamp-vs-string-literal coercion, both directions
+      val (lc, rc) = (coerceTs(l0, r0._2), coerceTs(r0, l0._2))
+      op match {
+        case "+" if lc._2 == StringType && rc._2 == StringType =>
+          // string + string is concatenation (reference: sql.py:331-334)
+          (F.concat(lc._1, rc._1), StringType)
+        case "+" => (lc._1 + rc._1, promote(lc._2, rc._2))
+        case "-" => (lc._1 - rc._1, promote(lc._2, rc._2))
+        case "*" => (lc._1 * rc._1, promote(lc._2, rc._2))
+        case "/" =>
+          // true division always floating (reference: sql.py:280-285)
+          (lc._1 / rc._1, DoubleType)
+        case "//" =>
+          val out = promote(lc._2, rc._2)
+          val fractional = out == DoubleType || out == FloatType || out.isInstanceOf[DecimalType]
+          if (isNumeric(out) && !fractional)
+            (F.floor(lc._1.cast(DoubleType) / rc._1.cast(DoubleType)).cast(out), out)
+          else (F.floor(lc._1 / rc._1), LongType)
+        case "%"  => (lc._1 % rc._1, promote(lc._2, rc._2))
+        case "==" => (lc._1 === rc._1, BooleanType)
+        case "!=" => (lc._1 =!= rc._1, BooleanType)
+        case "<"  => (lc._1 < rc._1, BooleanType)
+        case "<=" => (lc._1 <= rc._1, BooleanType)
+        case ">"  => (lc._1 > rc._1, BooleanType)
+        case ">=" => (lc._1 >= rc._1, BooleanType)
+        case "&"  => (lc._1 && rc._1, BooleanType)
+        case "|"  => (lc._1 || rc._1, BooleanType)
+        case other => throw new IllegalArgumentException(s"Unsupported operator: $other")
+      }
+  }
+}
+
+/** Aggregate constructors (reference: src/mini_spark/sql.py:449-468). */
+object functions {
+  import Col._
+  def col(name: String): Col = Col.col(name)
+  def lit(v: Any): Col = Col.lit(v)
+  def sumCol(c: Col): Col = AggCol("sum", c, None)
+  def minCol(c: Col): Col = AggCol("min", c, None)
+  def maxCol(c: Col): Col = AggCol("max", c, None)
+  def avgCol(c: Col): Col = AggCol("avg", c, None)
+  /** Zero-arg COUNT aliased `count` (reference: sql.py:462-464). */
+  def countAll(): Col = AggCol("count", Lit(1), Some("count"))
+  def countCol(c: Col): Col = AggCol("count_col", c, None)
+  def countDistinct(c: Col): Col = AggCol("count_distinct", c, None)
+}

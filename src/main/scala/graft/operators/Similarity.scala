@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Scale design: the brute-force path is a single narrow map + top-k
+  * (`TakeOrderedAndProject` — partial top-k per partition, k rows to the
+  * driver-side merge, never a full sort). The scale path prunes with an
+  * IVF-style bucket assignment so each query probes a fraction of the
+  * corpus; both paths are pure column expressions inside codegen.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays via zip_with + aggregate —
+    * codegen'd, no UDF. Inputs are cast to double so accumulation is
+    * double-precision regardless of storage type (float32 embeddings). */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x: Column, y: Column) => x.cast("double") * y.cast("double")),
+      F.lit(0.0),
+      (acc: Column, x: Column) => acc + x)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    F.when(d === 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine against one literal query vector.
+    *
+    * Ties broken by id ascending so results are deterministic. The plan
+    * is scan → project(score) → TakeOrderedAndProject: per-partition
+    * heap top-k then a k-row merge — the right shape at any corpus size
+    * (no global sort, no shuffle of non-candidates).
+    */
+  def topKByCosine(df: DataFrame, vecCol: String, idCol: String,
+                   query: Seq[Double], k: Int): DataFrame = {
+    val q = F.array(query.map(F.lit): _*)
+    df.select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-k per probe vector for a (small) probe set: broadcast the probes,
+    * score the cross product, keep k per probe with a ranked window over
+    * the probe key. Probe side must be broadcastable (typical: a query
+    * batch); corpus side streams. */
+  def topKPerProbe(corpus: DataFrame, vecCol: String, idCol: String,
+                   probes: DataFrame, probeVecCol: String, probeIdCol: String,
+                   k: Int): DataFrame = {
+    val scored = corpus.crossJoin(F.broadcast(probes))
+      .select(
+        F.col(probeIdCol).as("probe_id"),
+        F.col(idCol).as("id"),
+        cosine(F.col(vecCol), F.col(probeVecCol)).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** IVF-style bucket id: nearest of `centroids` by dot product.
+    * Centroids are literal arrays (trained offline / sampled), so
+    * assignment is a per-row expression — no shuffle, no broadcast state.
+    */
+  def ivfBucket(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      F.struct(dot(vec, F.array(c.map(F.lit): _*)).as("s"), F.lit(i).as("i"))
+    }
+    // argmax by (score, -index): greatest on structs compares fields in order
+    F.greatest(scored: _*).getField("i")
+  }
+
+  /** ANN top-k with IVF pruning: score only the corpus rows whose bucket
+    * matches one of the query's `nprobe` best buckets. At 100 TB, write
+    * the corpus partitioned by `bucket` so this becomes partition pruning
+    * at the parquet-scan level (the filter below pushes down to the
+    * scan). Falls back to exact within the probed buckets.
+    */
+  def topKIvf(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], centroids: Seq[Seq[Double]],
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val queryBuckets = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (x, y) => x * y }.sum, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    val q = F.array(query.map(F.lit): _*)
+    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .filter(F.col("bucket").isin(queryBuckets: _*))
+      .select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure column expressions
+  * (`org.apache.spark.sql.functions` + higher-order array functions), so
+  * the whole stage stays inside whole-stage codegen, partitions trivially
+  * (no shuffle — per-row narrow transforms), and scales linearly with
+  * input splits: at 100 TB each executor maps its own parquet splits with
+  * zero coordination.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    F.when(F.length(F.trim(text)) === 0, F.array().cast("array<string>"))
+      .otherwise(F.split(F.trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces plus punctuation tokens,
+    * approximated as regex splits on non-alphanumerics — a cheap,
+    * deterministic proxy for tokenizer cost estimation at corpus scale. */
+  def subwordCount(text: Column): Column =
+    F.size(F.filter(F.split(F.lower(text), "[^a-z0-9]+"), (t: Column) => F.length(t) > 0))
+
+  /** Characters that count as punctuation for quality scoring. */
+  val PunctClass = "[.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    F.length(text) - F.length(F.regexp_replace(text, PunctClass, ""))
+
+  /** Default English-ish stopword list used by the quality scorer. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val sw = F.array(stopwords.map(F.lit): _*)
+    F.size(F.filter(tokens(F.lower(text)), (t: Column) => F.array_contains(sw, t)))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, low
+    * punctuation density, and a natural-language stopword ratio. All
+    * arithmetic is double-precision and order-free, so results are
+    * bit-identical across any partitioning. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val chars = F.length(text).cast("double")
+    val lenScore = F.least(n / F.lit(100.0), F.lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / F.greatest(chars, F.lit(1.0))
+    val swRatio = stopwordCount(text).cast("double") / F.greatest(n, F.lit(1.0))
+    val punctScore = F.lit(1.0) - F.least(punctRatio * F.lit(10.0), F.lit(1.0))
+    val swScore = F.least(swRatio * F.lit(5.0), F.lit(1.0))
+    F.round((lenScore + punctScore + swScore) / F.lit(3.0), 6)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed tie-break order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "fr" -> Seq("le", "les", "et", "est")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(F.lower(text))
+    LangMarkers.map { case (lang, markers) =>
+      val m = F.array(markers.map(F.lit): _*)
+      lang -> F.size(F.filter(toks, (t: Column) => F.array_contains(m, t)))
+    }
+  }
+
+  /** Heuristic language ID: argmax of marker-word counts, 'und'
+    * (undetermined) when no marker hits. Ties break by [[LangMarkers]]
+    * declaration order, so the result is deterministic. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft[(Column, Column)]((F.lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (F.when(score > bestScore, F.lit(lang)).otherwise(bestLang),
+         F.greatest(score, bestScore))
+    }
+    F.when(best._2 <= 0, F.lit("und")).otherwise(best._1)
+  }
+
+  /** Content fingerprint: MD5 of case-folded, whitespace-collapsed text.
+    * Stable across partitionings; the standard first pass of exact dedup
+    * at corpus scale (hash first, compare full text only within hash
+    * buckets). */
+  def fingerprint(text: Column): Column =
+    F.md5(F.encode(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), "UTF-8"))
+
+  /** Rolling polynomial hash over character codepoints (base 257, mod
+    * 2^31-1; the intermediate `acc*257 + ch` stays < 2^40, so Long
+    * arithmetic never overflows even under ANSI mode) — a seed for
+    * winnowing-style shingle fingerprints. Expressed with `aggregate`
+    * over the char array so it remains a codegen'd expression. */
+  def rollingHash(text: Column): Column =
+    F.aggregate(
+      F.split(text, ""),
+      F.lit(0L),
+      (acc: Column, ch: Column) =>
+        F.pmod(acc * F.lit(257L) + F.coalesce(F.ascii(ch).cast("long"), F.lit(0L)),
+               F.lit(2147483647L))
+    )
+
+  /** All text statistics as one projection — single pass over the corpus. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_stopwords", stopwordCount(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("fp_md5", fingerprint(t))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table/IO layer.
+  *
+  * The reference's storage is a custom columnar "BlockFile" with a schema
+  * header, column-major blocks and a block-offset footer
+  * (reference: src/mini_spark/io.py:47-170) — design-point-for-design-point
+  * the same layout as Parquet (row groups, column chunks, footer), so
+  * Parquet is the storage engine here: columnar pruning and predicate
+  * pushdown come from Spark's vectorized reader instead of hand-written
+  * block skipping (which the reference format supported but never used,
+  * reference: io.py:112-124, SURVEY §1.2).
+  */
+object Tables {
+
+  /** Resolve a table reference to a DataFrame.
+    *
+    * The reference addresses tables as quoted file paths
+    * (`SELECT * FROM 'tmp/lineitem.bin'`, reference: parser.py:60). We
+    * accept: an absolute/relative parquet path, or a bare table name
+    * resolved against `baseDir` as `<baseDir>/<name>.parquet`.
+    */
+  def load(spark: SparkSession, ref: String, baseDir: Option[String] = None): DataFrame = {
+    val path =
+      if (ref.endsWith(".parquet") || ref.contains("/")) ref
+      else baseDir.map(d => s"$d/$ref.parquet").getOrElse(ref)
+    spark.read.parquet(path)
+  }
+
+  /** CSV ingestion with a declared schema
+    * (reference: src/mini_spark/utils.py:179-203 csv→BlockFile). ISO
+    * timestamp strings parse natively via Spark's CSV timestamp handling.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd['T'HH:mm:ss]")
+      .schema(schema)
+      .csv(path)
+
+  /** CSV → parquet conversion (the reference's ingestion path,
+    * utils.py:179-203). Writes partitioned parquet sized for large scans.
+    */
+  def csvToParquet(spark: SparkSession, csvPath: String, schema: StructType,
+                   outPath: String): Unit =
+    readCsv(spark, csvPath, schema).write.mode("overwrite").parquet(outPath)
+
+  /** Concatenate same-schema tables
+    * (reference: io.py:297-305 merge_files) — free with a multi-path read. */
+  def merge(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Inspect a table: row count + first rows
+    * (reference: examples/read_block_file.py:8-24). */
+  def inspect(spark: SparkSession, path: String, n: Int = 100): Long = {
+    val df = spark.read.parquet(path)
+    df.show(n, truncate = false)
+    df.count()
+  }
+}

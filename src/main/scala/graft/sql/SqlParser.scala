@@ -1,0 +1,309 @@
+package graft.sql
+
+import scala.collection.mutable.ListBuffer
+
+import graft.api.Col
+import graft.api.Col._
+
+/** Errors mirroring the reference's parser error taxonomy
+  * (reference: src/mini_spark/parser.py:102-109). */
+final class ParseError(msg: String) extends RuntimeException(msg)
+final class SemanticError(msg: String) extends RuntimeException(msg)
+final class GroupByError(msg: String) extends RuntimeException(msg)
+
+/** Parsed query AST. The reference folds its parse tree directly into a
+  * DataFrame (reference: src/mini_spark/parser.py:124-162 visit_query); we
+  * keep a small AST so planning (HAVING rewrite, GROUP BY validation) is
+  * separate from parsing. */
+final case class SqlQuery(
+    select: Seq[SelectItem],
+    from: TableRef,
+    joins: Seq[JoinClause],
+    where: Option[Col],
+    groupBy: Seq[Col],
+    having: Option[Col],
+    orderBy: Seq[(Col, Boolean)], // (expr, ascending) — extension, absent in reference
+    limit: Option[Int],           // extension
+    distinct: Boolean             // extension
+)
+final case class SelectItem(expr: Col, star: Boolean)
+final case class TableRef(path: String, alias: Option[String])
+final case class JoinClause(table: TableRef, on: Col, how: String)
+
+/** Hand-rolled recursive-descent parser for the reference's SQL dialect.
+  *
+  * Grammar from reference: src/mini_spark/parser.py:14-69 (PEG), with the
+  * precedence ladder OR < AND < NOT < comparison < add < mul
+  * (parser.py:33-56). Dialect quirks preserved: `=` equality, zero-arg
+  * `COUNT()`, quoted-path FROM targets, BETWEEN (inclusive), LIKE.
+  * Extensions per SURVEY §7.1: float literals (the reference grammar
+  * intends them, parser.py:63), multi-column GROUP BY, honored join types,
+  * NOT, ORDER BY / LIMIT / DISTINCT / COUNT(expr) / COUNT(DISTINCT).
+  */
+object SqlParser {
+
+  // ---------- lexer ----------
+  sealed trait Tok { def text: String }
+  final case class TIdent(text: String) extends Tok
+  final case class TNum(text: String) extends Tok
+  final case class TStr(text: String) extends Tok // content, quotes stripped
+  final case class TOp(text: String) extends Tok
+  final case class TKw(text: String) extends Tok // uppercased keyword
+  case object TEOF extends Tok { val text = "<eof>" }
+
+  private val keywords = Set(
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "JOIN", "ON", "AS",
+    "AND", "OR", "NOT", "LIKE", "BETWEEN", "INNER", "LEFT", "RIGHT", "FULL",
+    "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
+    "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG")
+
+  def tokenize(input: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val end = input.indexOf('\'', i + 1)
+        if (end < 0) throw new ParseError(s"Unterminated string at offset $i")
+        toks += TStr(input.substring(i + 1, end)); i = end + 1
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (input(i).isDigit || input(i) == '.')) i += 1
+        toks += TNum(input.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        // dotted identifiers for table aliases (u.user_id, parser.py:60)
+        while (i < n && (input(i).isLetterOrDigit || input(i) == '_' || input(i) == '.')) i += 1
+        val text = input.substring(start, i)
+        if (keywords.contains(text.toUpperCase)) toks += TKw(text.toUpperCase)
+        else toks += TIdent(text)
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        if (Set("!=", "<=", ">=", "<>", "//").contains(two)) { toks += TOp(two); i += 2 }
+        else if ("=<>+-*/%(),;&|".indexOf(c) >= 0) { toks += TOp(c.toString); i += 1 }
+        else throw new ParseError(s"Unexpected character '$c' at offset $i")
+      }
+    }
+    toks += TEOF
+    toks.result()
+  }
+
+  // ---------- parser ----------
+  final private class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def accept(kw: String): Boolean = peek match {
+      case TKw(`kw`) => pos += 1; true
+      case TOp(`kw`) => pos += 1; true
+      case _         => false
+    }
+    def expectKw(kw: String): Unit =
+      if (!accept(kw)) throw new ParseError(s"Expected $kw, got ${peek.text}")
+    def expectOp(op: String): Unit = peek match {
+      case TOp(`op`) => pos += 1
+      case t         => throw new ParseError(s"Expected '$op', got ${t.text}")
+    }
+
+    def parseQuery(): SqlQuery = {
+      expectKw("SELECT")
+      val distinct = accept("DISTINCT")
+      val items = ListBuffer(parseSelectItem())
+      while (accept(",")) items += parseSelectItem()
+      expectKw("FROM")
+      val from = parseTableRef()
+      val joins = ListBuffer.empty[JoinClause]
+      var joinHow = peekJoinHow()
+      while (joinHow.isDefined) {
+        expectKw("JOIN")
+        val t = parseTableRef()
+        expectKw("ON")
+        val on = parseOr()
+        joins += JoinClause(t, on, joinHow.get)
+        joinHow = peekJoinHow()
+      }
+      val where = if (accept("WHERE")) Some(parseOr()) else None
+      val groupBy =
+        if (accept("GROUP")) {
+          expectKw("BY")
+          val gs = ListBuffer(parseAdd())
+          while (accept(",")) gs += parseAdd()
+          gs.toSeq
+        } else Seq.empty
+      val having = if (accept("HAVING")) Some(parseOr()) else None
+      val orderBy =
+        if (accept("ORDER")) {
+          expectKw("BY")
+          val os = ListBuffer(parseOrderItem())
+          while (accept(",")) os += parseOrderItem()
+          os.toSeq
+        } else Seq.empty
+      val limit =
+        if (accept("LIMIT")) Some(next() match {
+          case TNum(t) => t.toInt
+          case t       => throw new ParseError(s"Expected number after LIMIT, got ${t.text}")
+        })
+        else None
+      accept(";")
+      peek match {
+        case TEOF => ()
+        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
+      }
+      SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having, orderBy, limit, distinct)
+    }
+
+    private def peekJoinHow(): Option[String] = peek match {
+      case TKw("JOIN") => Some("inner")
+      case TKw("INNER") => next(); Some("inner")
+      case TKw("CROSS") => next(); Some("cross")
+      case TKw(k @ ("LEFT" | "RIGHT" | "FULL")) =>
+        next(); accept("OUTER")
+        Some(k.toLowerCase match { case "full" => "full_outer"; case o => s"${o}_outer" })
+      case TKw("SEMI") => next(); Some("left_semi")
+      case TKw("ANTI") => next(); Some("left_anti")
+      case _ => None
+    }
+
+    private def parseOrderItem(): (Col, Boolean) = {
+      val e = parseAdd()
+      val asc = if (accept("DESC")) false else { accept("ASC"); true }
+      (e, asc)
+    }
+
+    private def parseSelectItem(): SelectItem = peek match {
+      case TOp("*") => next(); SelectItem(Star, star = true)
+      case _ =>
+        val e = parseAdd()
+        val aliased = if (accept("AS")) {
+          next() match {
+            case TIdent(n) => e.alias(n)
+            // keyword-named aliases are legal (`COUNT() AS count`) and
+            // normalize to lowercase
+            case TKw(k)    => e.alias(k.toLowerCase)
+            case t         => throw new ParseError(s"Expected alias name, got ${t.text}")
+          }
+        } else e
+        SelectItem(aliased, star = false)
+    }
+
+    private def parseTableRef(): TableRef = {
+      val path = next() match {
+        case TStr(p)   => p // quoted path: FROM 'tmp/lineitem.bin' (parser.py:60)
+        case TIdent(p) => p // extension: bare name resolved against base dir
+        case t         => throw new ParseError(s"Expected table, got ${t.text}")
+      }
+      val alias = peek match {
+        case TKw("AS")   => next(); next() match {
+          case TIdent(a) => Some(a)
+          case t         => throw new ParseError(s"Expected alias, got ${t.text}")
+        }
+        case TIdent(a) => next(); Some(a)
+        case _         => None
+      }
+      TableRef(path, alias)
+    }
+
+    // precedence: OR < AND < NOT < cmp < add < mul < unary < primary
+    private def parseOr(): Col = {
+      var l = parseAnd()
+      while (accept("OR")) l = l || parseAnd()
+      l
+    }
+    private def parseAnd(): Col = {
+      var l = parseNot()
+      while (accept("AND")) l = l && parseNot()
+      l
+    }
+    private def parseNot(): Col =
+      if (accept("NOT")) !parseNot() else parseCmp()
+
+    private def parseCmp(): Col = {
+      val l = parseAdd()
+      peek match {
+        case TOp("=")          => next(); l === parseAdd()
+        case TOp("==")         => next(); l === parseAdd()
+        case TOp("!=") | TOp("<>") => next(); l =!= parseAdd()
+        case TOp("<=")         => next(); l <= parseAdd()
+        case TOp(">=")         => next(); l >= parseAdd()
+        case TOp("<")          => next(); l < parseAdd()
+        case TOp(">")          => next(); l > parseAdd()
+        case TKw("LIKE") =>
+          next()
+          next() match {
+            case TStr(p) => l.like(p)
+            case t       => throw new ParseError(s"LIKE expects a string pattern, got ${t.text}")
+          }
+        case TKw("NOT") =>
+          next()
+          if (accept("LIKE")) next() match {
+            case TStr(p) => !l.like(p)
+            case t       => throw new ParseError(s"LIKE expects a string pattern, got ${t.text}")
+          } else if (accept("BETWEEN")) {
+            val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
+            !l.between(lo, hi)
+          } else throw new ParseError("Expected LIKE or BETWEEN after NOT")
+        case TKw("BETWEEN") =>
+          next()
+          val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
+          l.between(lo, hi) // inclusive both ends (reference: sql.py:71-72)
+        case _ => l
+      }
+    }
+
+    private def parseAdd(): Col = {
+      var l = parseMul()
+      var done = false
+      while (!done) peek match {
+        case TOp("+") => next(); l = l + parseMul()
+        case TOp("-") => next(); l = l - parseMul()
+        case _        => done = true
+      }
+      l
+    }
+    private def parseMul(): Col = {
+      var l = parseUnary()
+      var done = false
+      while (!done) peek match {
+        case TOp("*")  => next(); l = l * parseUnary()
+        case TOp("/")  => next(); l = l / parseUnary()
+        case TOp("//") => next(); l = l.floorDiv(parseUnary())
+        case TOp("%")  => next(); l = l % parseUnary()
+        case _         => done = true
+      }
+      l
+    }
+    private def parseUnary(): Col = peek match {
+      case TOp("-") => next(); Lit(0) - parsePrimary()
+      case _        => parsePrimary()
+    }
+
+    private def parsePrimary(): Col = next() match {
+      case TNum(t) =>
+        // int-only in the reference visitor (parser.py:352-353); floats
+        // extended per the grammar's intent (parser.py:63, SURVEY §7.1.4)
+        if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
+      case TStr(s)   => Lit(s)
+      case TIdent(n) => ColRef(n)
+      case TOp("(") =>
+        val e = parseOr(); expectOp(")"); e
+      case TKw("COUNT") =>
+        expectOp("(")
+        peek match {
+          case TOp(")") => next(); AggCol("count", Lit(1), Some("count")) // COUNT() → sum of ones (sql.py:462-464)
+          case TKw("DISTINCT") => next(); val e = parseAdd(); expectOp(")"); AggCol("count_distinct", e, None)
+          case TOp("*") => next(); expectOp(")"); AggCol("count", Lit(1), Some("count"))
+          case _        => val e = parseAdd(); expectOp(")"); AggCol("count_col", e, None)
+        }
+      case TKw(fn @ ("SUM" | "MIN" | "MAX" | "AVG")) =>
+        expectOp("(")
+        val e = parseAdd()
+        expectOp(")")
+        AggCol(fn.toLowerCase, e, None)
+      case t => throw new ParseError(s"Unexpected token '${t.text}'")
+    }
+  }
+
+  def parse(sql: String): SqlQuery = new P(tokenize(sql)).parseQuery()
+}

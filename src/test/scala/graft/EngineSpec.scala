@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sql.GroupByError
+
+/** End-to-end SQL corpus over the reference's fixtures — the analog of
+  * tests/test_e2e.py's golden-output queries (reference: FIXTURES.md §1-3).
+  * Comparison is order-insensitive, like the reference's
+  * (tests/conftest.py:44-48). */
+class EngineSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-e2e").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    import spark.implicits._
+    Seq(
+      (1, "Alice", 25, "USA"), (2, "Bob", 30, "Canada"), (3, "Cara", 35, "UK"),
+      (4, "Dan", 28, "USA"), (5, "Eve", 22, "Canada")
+    ).toDF("user_id", "name", "age", "country")
+      .write.mode("overwrite").parquet(s"$d/users.parquet")
+    Seq(
+      (1, 1, "Laptop", 1, 1200.0), (2, 2, "Mouse", 2, 25.0),
+      (3, 1, "Keyboard", 1, 80.0), (4, 3, "Monitor", 2, 300.0),
+      (5, 9, "Cable", 3, 10.0)
+    ).toDF("order_id", "user_id", "product", "quantity", "price")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+  private lazy val engine = Engine(spark, dir)
+
+  test("flagship: GROUP BY + SUM of expression (reference README.md:117-129)") {
+    val out = engine.sql(
+      "SELECT fruit, SUM(quantity * 2) AS total FROM fruits GROUP BY fruit")
+    assert(rows(out.df) == Set(
+      Seq("apple", 14L), Seq("banana", 24L), Seq("orange", 4L)))
+  }
+
+  test("SELECT * round-trips the table") {
+    assert(engine.sql("SELECT * FROM fruits").count() == 5)
+  }
+
+  test("WHERE with LIKE and arithmetic") {
+    val out = engine.sql(
+      "SELECT fruit, quantity + 1 AS q FROM fruits WHERE color LIKE '%llow'")
+    assert(rows(out.df) == Set(Seq("banana", 6), Seq("banana", 8)))
+  }
+
+  test("JOIN with aliases and dotted refs (reference test_e2e.py join cases)") {
+    val out = engine.sql(
+      """SELECT u.name, o.product FROM users u
+        |JOIN orders o ON u.user_id = o.user_id WHERE o.price > 100""".stripMargin)
+    assert(rows(out.df) == Set(Seq("Alice", "Laptop"), Seq("Cara", "Monitor")))
+  }
+
+  test("JOIN + GROUP BY + HAVING with hidden agg column (reference parser.py:153-161)") {
+    val out = engine.sql(
+      """SELECT u.country AS country, COUNT() AS n FROM users u
+        |JOIN orders o ON u.user_id = o.user_id
+        |GROUP BY u.country HAVING COUNT() > 1""".stripMargin)
+    assert(rows(out.df) == Set(Seq("USA", 2L)))
+  }
+
+  test("HAVING on aggregate not in select") {
+    val out = engine.sql(
+      """SELECT fruit FROM fruits GROUP BY fruit HAVING SUM(quantity) > 6""".stripMargin)
+    assert(rows(out.df) == Set(Seq("apple"), Seq("banana")))
+  }
+
+  test("non-grouped select column raises GroupByError (reference parser.py:143-151)") {
+    assertThrows[GroupByError] {
+      engine.sql("SELECT color, SUM(quantity) AS s FROM fruits GROUP BY fruit")
+    }
+  }
+
+  test("AVG decomposes to float result (reference sql.py:412-415)") {
+    val out = engine.sql(
+      "SELECT fruit, AVG(quantity) AS a FROM fruits GROUP BY fruit")
+    assert(rows(out.df) == Set(
+      Seq("apple", 3.5), Seq("banana", 6.0), Seq("orange", 2.0)))
+  }
+
+  test("ORDER BY / LIMIT / DISTINCT extensions") {
+    val out = engine.sql(
+      "SELECT DISTINCT color FROM fruits ORDER BY color LIMIT 2")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("green", "orange"))
+  }
+
+  test("LEFT JOIN keeps unmatched left rows (standard semantics, SURVEY §7.1.1)") {
+    val out = engine.sql(
+      """SELECT o.order_id, u.name FROM orders o
+        |LEFT JOIN users u ON o.user_id = u.user_id""".stripMargin)
+    assert(out.count() == 5)
+    assert(out.df.filter("name IS NULL").count() == 1)
+  }
+
+  test("fluent API mirrors the SQL path (reference dataframe.py:38-86)") {
+    import graft.api.functions._
+    val out = engine.table("fruits")
+      .filter(col("quantity") > lit(2))
+      .groupBy(col("fruit"))
+      .agg(sumCol(col("quantity")).as("s"))
+    assert(rows(out.df) == Set(Seq("apple", 7L), Seq("banana", 12L)))
+  }
+}

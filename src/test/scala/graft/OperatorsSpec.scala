@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators._
+import graft.streaming.Streams
+
+/** Specs for the training-data-pipeline operators. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"), // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "THE  Quick   Brown Fox jumps over the lazy dog") // normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    val byFp = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byFp(0L) == 3L) // docs 0,1,4 share a fingerprint; keeper is min id
+    assert(byFp(2L) == 1L)
+    assert(byFp(3L) == 1L)
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d")))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      Dedup.jaccard(F.col("x"), F.col("y")),
+      Dedup.jaccard(F.col("x"), F.col("z"))).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhash LSH finds near-duplicates without cross join") {
+    val out = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleN = 1, threshold = 0.5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("simhash of identical docs is identical; near dups are close") {
+    val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 16)
+  }
+
+  test("ngram jaccard pairs within a block") {
+    val blocked = docs.withColumn("b", F.lit(1))
+    val out = Dedup.ngramJaccardPairs(blocked, "text", "doc_id",
+      F.col("b"), shingleN = 1, threshold = 0.7)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("cosine topK is exact and deterministically ordered") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.topKByCosine(emb, "embedding", "vec_id", Seq(1.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 3L, 1L)) // ties (0,3) broken by id
+  }
+
+  test("IVF pruning keeps the true neighbor when it shares the probed bucket") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val out = Similarity.topKIvf(emb, "embedding", "vec_id",
+      Seq(1.0, 0.0), centroids, k = 2, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L)) // opposite-bucket vec 2 pruned
+  }
+
+  test("text analysis: tokens, stopwords, language, fingerprint") {
+    val r = docs.filter("doc_id = 0").select(
+      TextAnalysis.tokenCount(F.col("text")),
+      TextAnalysis.stopwordCount(F.col("text")),
+      TextAnalysis.langId(F.col("text")),
+      TextAnalysis.fingerprint(F.col("text"))).head()
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 2) // 'the' twice; 'over' is not in the stopword list
+    assert(r.getString(2) == "en")
+    assert(r.getString(3).length == 32)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val fps = docs.select(TextAnalysis.fingerprint(F.col("text")))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(4))
+    assert(fps(0) != fps(3))
+  }
+
+  test("rolling hash is deterministic and content-sensitive") {
+    val r = docs.select(TextAnalysis.rollingHash(F.col("text"))).collect()
+      .map(_.getLong(0))
+    assert(r(0) == r(1) && r(0) != r(3))
+  }
+
+  test("multimodal: synthesize → decode → frames plumbing") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(media)
+    val r = decoded.filter("media_id = 0").head()
+    val n = "the quick brown fox jumps over the lazy dog".length
+    assert(r.getAs[Long]("n_bytes") == n.toLong)
+    assert(r.getAs[Int]("width") == 64 + n % 1024)
+    val frames = Multimodal.sampleFrames(decoded, stride = 1)
+    assert(frames.filter("media_id = 2").count() >= 1) // doc 2 is 'video'
+  }
+
+  test("windowed event counts (streaming batch twin)") {
+    val events = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "click", 4.0)
+    ).toDF("s", "event_type", "value")
+      .select(F.col("s").cast("timestamp").as("ts"), F.col("event_type"), F.col("value"))
+    val out = Streams.windowedCounts(events, "1 hour").collect()
+    assert(out.length == 2)
+    val h0 = out.find(_.getAs[Long]("n_events") == 2).get
+    assert(h0.getAs[Double]("sum_value") == 3.0)
+  }
+}
