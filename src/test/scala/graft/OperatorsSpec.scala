@@ -35,8 +35,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds near-duplicates without cross join") {
+    // r=2 keeps band-collision probability high at the 0.5 threshold
+    // (the sharper r=8 default is tuned for >=0.8 near-dups)
     val out = Dedup.minhashLsh(docs, "text", "doc_id",
-      shingleN = 1, threshold = 0.5).collect()
+      numBands = 8, rowsPerBand = 2, shingleN = 1, threshold = 0.5).collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // identical docs always collide
     assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
