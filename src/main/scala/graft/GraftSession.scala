@@ -28,6 +28,7 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -32,7 +32,9 @@ object SparkEntry {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        // integer division: ts is ~1.7e18 ns, beyond double's 2^53 exact
+        // range, so `/ 1000` + cast would be off by ±1 µs
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -260,7 +262,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-      Similarity.topKByCosine(emb, "embedding", "vec_id", q, 10)
+      Similarity.topKByCosine(emb, "embedding", "vec_id", q, 10, native = true)
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
 
@@ -283,7 +285,25 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decode(
           Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")),
-        stride = 10))
+        stride = 10)),
+
+    // ---- sessionization (graft.streaming, batch twin of the
+    //      flatMapGroupsWithState path) ----
+    "q36_sessionize" -> ((s, dir) =>
+      Streams.sessionizeBatch(events(s, dir))),
+
+    // ---- rollup (multi-level aggregation) ----
+    "q37_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").as("sum_qty"), F.count(F.lit(1)).as("n"))),
+
+    // ---- SQL dialect: BETWEEN / NOT / LIKE through the parser ----
+    "q38_sql_dialect" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
+          |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,6 +524,31 @@ object SparkEntry {
         | CAST(64 + (length(text) * 7) % 1024 AS INTEGER) AS height,
         | (length(text) % 6000) / 100.0 AS duration_s
         |FROM documents""".stripMargin,
+
+    "q36_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (SELECT user_id, event_id, ts_us, value,
+        |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |       > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |sessions AS (SELECT user_id, ts_us, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q38_sql_dialect" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+        |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin,
 
     "q35_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id,

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for embedding arithmetic.
+  *
+  * The composable route (`zip_with` + `aggregate`, see
+  * [[graft.operators.Similarity.dot]]) allocates an intermediate array
+  * and evaluates two lambda closures per element. These expressions
+  * generate a tight primitive loop inside whole-stage codegen instead —
+  * no allocation, no virtual calls — which is what a 100 TB ANN scan
+  * wants. Accumulation is double-precision in element order, bit-for-bit
+  * identical to the composable route, so either implementation satisfies
+  * the same oracle.
+  *
+  * The reference has no extension mechanism at all (its `Col` class
+  * hierarchy is closed, reference: src/mini_spark/sql.py:16-112); this is
+  * the Spark-idiomatic equivalent of its hand-specialized Zig codegen for
+  * expressions (reference: src/mini_spark/templates/plan.zig:79-104).
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over array<float> — codegen'd primitive loop. */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot_f32"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** cosine(a, b) over array<float>: dot/(|a||b|), 0 for zero vectors —
+    * same semantics as [[graft.operators.Similarity.cosine]], one fused
+    * loop computing all three accumulators. */
+  case class FloatVecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine_f32"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val d = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xi = (double)$a.getFloat($i);
+           |  double yi = (double)$b.getFloat($i);
+           |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+           |}
+           |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+}
+
+/** Session extension registering the native vector functions — enable
+  * with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import VectorExpressions._
+
+  /** Coerce any numeric-array argument to array<float> (the builder-side
+    * analog of implicit input casting; `AbstractDataType` is private to
+    * Spark in 4.x, so the trait route is unavailable to extensions). */
+  private def asFloatArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(FloatType, _) => e
+    case _                       => Cast(e, ArrayType(FloatType))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_f32"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot_f32"),
+      (children: Seq[Expression]) =>
+        FloatVecDot(asFloatArray(children(0)), asFloatArray(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine_f32"),
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine_f32"),
+      (children: Seq[Expression]) =>
+        FloatVecCosine(asFloatArray(children(0)), asFloatArray(children(1)))))
+  }
+}

@@ -31,6 +31,17 @@ object Similarity {
     F.when(d === 0, F.lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Native fused-loop cosine ([[graft.functions.VectorExpressions]]) —
+    * bit-identical to [[cosine]] but a single codegen'd primitive loop
+    * with no array allocation. Requires the session to be built with
+    * [[graft.functions.GraftExtensions]]. */
+  def cosineNative(a: Column, b: Column): Column =
+    F.call_function("vec_cosine_f32", a, b)
+
+  /** Native dot product; see [[cosineNative]]. */
+  def dotNative(a: Column, b: Column): Column =
+    F.call_function("vec_dot_f32", a, b)
+
   /** Exact top-k by cosine against one literal query vector.
     *
     * Ties broken by id ascending so results are deterministic. The plan
@@ -39,9 +50,12 @@ object Similarity {
     * (no global sort, no shuffle of non-candidates).
     */
   def topKByCosine(df: DataFrame, vecCol: String, idCol: String,
-                   query: Seq[Double], k: Int): DataFrame = {
+                   query: Seq[Double], k: Int,
+                   native: Boolean = false): DataFrame = {
     val q = F.array(query.map(F.lit): _*)
-    df.select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
+    val score =
+      if (native) cosineNative(F.col(vecCol), q) else cosine(F.col(vecCol), q)
+    df.select(F.col(idCol), score.as("score"))
       .orderBy(F.col("score").desc, F.col(idCol).asc)
       .limit(k)
   }

@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
+
+/** A user event for stateful sessionization. */
+case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+/** Open-session state carried across micro-batches. */
+case class SessionState(sessionId: Long, startUs: Long, lastTsUs: Long,
+                        nEvents: Long, sumValue: Double)
+/** A closed (or batch-final) session. */
+case class UserSession(user_id: Long, session_id: Long, n_events: Long,
+                       sum_value: Double, start_us: Long, end_us: Long)
 
 /** Structured-streaming surface of the engine.
   *
@@ -29,6 +39,66 @@ object Streams {
       .select(
         F.col("window.start").as("window_start"),
         F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+
+  /** Gap-based sessionization, batch flavor: exact, set-oriented, fully
+    * expressible with window functions (a new session starts when the gap
+    * to the previous event exceeds `gapUs`). One shuffle on user_id; the
+    * per-user sort is bounded by a user's event count, so this scales to
+    * arbitrarily many users (skewed single users are the limit — cap or
+    * salt those upstream). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
+      .withColumn("new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us", 1).over(byUser) > gapUs, 1)
+          .otherwise(F.lit(0)))
+      .withColumn("session_id", F.sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum("value"), 4).as("sum_value"),
+        F.min("ts_us").as("start_us"),
+        F.max("ts_us").as("end_us"))
+  }
+
+  /** Gap-based sessionization, streaming flavor: per-user state via
+    * flatMapGroupsWithState. Sessions close when the event-time gap is
+    * exceeded (or at state timeout in a real deployment). The batch twin
+    * is [[sessionizeBatch]]; this one is incremental — state is one
+    * (sessionId, lastTs, counters) record per active user, so memory is
+    * O(active users), not O(events). */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(
+            SessionState(0L, Long.MinValue, Long.MinValue, 0L, 0.0))
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            if (st.nEvents > 0 && e.ts_us - st.lastTsUs > gapUs) {
+              closed += UserSession(userId, st.sessionId, st.nEvents,
+                st.sumValue, st.startUs, st.lastTsUs)
+              st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L, e.value)
+            } else if (st.nEvents == 0) {
+              st = SessionState(st.sessionId, e.ts_us, e.ts_us, 1L, e.value)
+            } else {
+              st = st.copy(lastTsUs = e.ts_us,
+                nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+            }
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
 
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */

@@ -83,6 +83,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(0L, 1L)) // opposite-bucket vec 2 pruned
   }
 
+  test("native vec_cosine_f32 expression matches the composable route bit-for-bit") {
+    val emb = Seq(
+      (0L, Seq(0.3f, -0.7f, 0.64f), Seq(0.1f, 0.2f, -0.9f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 2.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val r = emb.select(
+      Similarity.cosine(F.col("a"), F.col("b")).as("composable"),
+      Similarity.cosineNative(F.col("a"), F.col("b")).as("native"),
+      Similarity.dot(F.col("a"), F.col("b")).as("dc"),
+      Similarity.dotNative(F.col("a"), F.col("b")).as("dn")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1)) // exact, not approx
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+    // zero vector → 0, both routes
+    assert(r(1).getDouble(0) == 0.0 && r(1).getDouble(1) == 0.0)
+    // also callable from SQL via the injected function
+    emb.createOrReplaceTempView("vt")
+    val viaSql = spark.sql("SELECT vec_cosine_f32(a, b) FROM vt WHERE id = 0").head()
+    assert(viaSql.getDouble(0) == r(0).getDouble(0))
+  }
+
   test("text analysis: tokens, stopwords, language, fingerprint") {
     val r = docs.filter("doc_id = 0").select(
       TextAnalysis.tokenCount(F.col("text")),

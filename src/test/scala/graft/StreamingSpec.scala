@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+import graft.sources.Tables
+import graft.streaming._
+
+/** Structured-streaming behavior: real micro-batched execution through
+  * MemoryStream, plus the batch/stream equivalence of sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts run incrementally over a real stream") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Double)]
+    val events = stream.toDF()
+      .select(F.col("_1").cast("timestamp").as("ts"),
+        F.col("_2").as("event_type"), F.col("_3").as("value"))
+    val q = Streams.windowedCounts(events, "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      stream.addData(("2024-01-01 00:10:00", "click", 1.0),
+                     ("2024-01-01 00:40:00", "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(("2024-01-01 01:05:00", "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val h0 = rows.filter(_.getAs[String]("event_type") == "click")
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(h0.getAs[Long]("n_events") == 2)
+      assert(h0.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization carries open sessions across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val q = Streams.sessionizeStream(stream.toDS(), gapUs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 500us apart -> same open session
+      stream.addData(SessionEvent(7L, 1000L, 1.0), SessionEvent(7L, 1500L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // batch 2: gap > 1000us closes session 0 (2 events, sum 3.0)
+      stream.addData(SessionEvent(7L, 10000L, 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[UserSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head == UserSession(7L, 0L, 2L, 3.0, 1000L, 1500L))
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    val events = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 1.0),
+      (1L, 11L, "2024-01-01 00:10:00", 2.0),
+      (1L, 12L, "2024-01-01 01:00:00", 4.0), // 50 min gap -> new session
+      (2L, 13L, "2024-01-01 00:00:00", 8.0)
+    ).toDF("user_id", "event_id", "s", "value")
+      .withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    val out = Streams.sessionizeBatch(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 0L)) == ((2L, 3.0)))
+    assert(out((1L, 1L)) == ((1L, 4.0)))
+    assert(out((2L, 0L)) == ((1L, 8.0)))
+  }
+
+  test("CSV ingestion with declared schema (reference utils.py:179-203)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,price,created\n1,widget,9.5,2025-01-01T00:00:00\n2,gadget,3.25,2025-06-15T12:30:00\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("price", FloatType), StructField("created", TimestampType)))
+    Tables.csvToParquet(spark, s"$dir/in.csv", schema, s"$dir/out.parquet")
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.schema == schema)
+    assert(back.count() == 2)
+    assert(back.filter("name = 'widget'").head().getFloat(2) == 9.5f)
+  }
+}
