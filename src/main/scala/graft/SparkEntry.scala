@@ -303,7 +303,24 @@ object SparkEntry {
       Engine(s, dir).sql(
         """SELECT l_orderkey, l_linenumber FROM lineitem
           |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
-          |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df)
+          |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df),
+
+    // ---- ANSI SQL passthrough over the registered catalog ----
+    "q39_ansi_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- exact percentiles ----
+    "q40_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).as("p50"),
+          F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.95)), 4).as("p95")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -549,6 +566,18 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
         |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin,
+
+    "q39_ansi_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q40_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q35_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id,

@@ -54,6 +54,22 @@ object Tables {
   def merge(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** Register every parquet table under `dir` as a temp view, enabling
+    * full ANSI Spark SQL (CTEs, subqueries, window functions) over the
+    * same tables the dialect front-end sees. The reference has no catalog
+    * at all (tables are file paths, reference: parser.py:60); this is the
+    * engine's upgrade path to one. */
+  def registerAll(spark: SparkSession, dir: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val name = f.getName.stripSuffix(".parquet")
+        spark.read.parquet(f.getPath).createOrReplaceTempView(name)
+        name
+      }
+  }
+
   /** Inspect a table: row count + first rows
     * (reference: examples/read_block_file.py:8-24). */
   def inspect(spark: SparkSession, path: String, n: Int = 100): Long = {
