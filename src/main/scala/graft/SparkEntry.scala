@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Streams
 
@@ -320,7 +320,37 @@ object SparkEntry {
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(
           F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).as("p50"),
-          F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.95)), 4).as("p95")))
+          F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.95)), 4).as("p95"))),
+
+    // ---- batched ANN: top-k per probe vector ----
+    "q41_topk_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(F.col("vec_id").isin(0L, 1L, 2L))
+        .select(F.col("vec_id").as("probe_id"), F.col("embedding").as("probe_vec"))
+      Similarity.topKPerProbe(emb, "embedding", "vec_id", probes,
+          "probe_vec", "probe_id", k = 5)
+        .select(F.col("probe_id"), F.col("id"), F.round(F.col("score"), 6).as("score"))
+    }),
+
+    // ---- as-of join (graft.operators.AsofJoin) ----
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", F.expr("unix_micros(ts)"))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"),
+          F.col("event_id").as("p_event_id"), F.col("value"))
+      AsofJoin.backward(clicks, purchases, "user_id", "ts_us", "ts_us",
+          rightPrefix = "p_", tieBreak = "p_event_id")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          (F.col("ts_us") - F.col("p_ts_us")).as("gap_us"),
+          F.col("p_value"))
+    }),
+
+    // ---- HLL sketch distinct (approximate; no exact oracle) ----
+    "q43_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").as("n_cust_approx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -578,6 +608,27 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q41_topk_probe" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT probe_id, id,
+        |  list_dot_product(cv, pv)
+        |    / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(pv, pv))) AS raw
+        | FROM c, p)
+        |SELECT probe_id, id, round(raw, 6) AS score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, id) <= 5""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       c.ts_us - p.ts_us AS gap_us, p.value AS p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
 
     "q35_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id,

@@ -142,6 +142,25 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.filter("media_id = 2").count() >= 1) // doc 2 is 'video'
   }
 
+  test("as-of join picks the latest right row at or before the left timestamp") {
+    val clicks = Seq((100L, 1L, 50L), (101L, 1L, 5L), (102L, 2L, 70L))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 10L, 1.0), (1L, 50L, 2.0), (1L, 60L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.backward(clicks, purchases, "user_id", "ts", "ts",
+        rightPrefix = "p_").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(100L).contains(2.0)) // ts 50 matches purchase at 50 (inclusive)
+    assert(out(101L).isEmpty)       // ts 5 predates all purchases -> null
+    assert(out(102L).isEmpty)       // user 2 has no purchases -> null
+  }
+
+  test("approx_count_distinct is within tolerance of exact") {
+    val df = (1 to 1000).map(i => i % 137).toDF("v")
+    val approx = df.agg(F.approx_count_distinct("v")).head().getLong(0)
+    assert(math.abs(approx - 137) <= 14) // default rsd 5%
+  }
+
   test("windowed event counts (streaming batch twin)") {
     val events = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
