@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Streams
 
@@ -350,7 +350,16 @@ object SparkEntry {
     // ---- HLL sketch distinct (approximate; no exact oracle) ----
     "q43_approx_distinct" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").as("n_cust_approx")))
+        .agg(F.approx_count_distinct("o_custkey").as("n_cust_approx"))),
+
+    // ---- skew-safe salted aggregation (graft.operators.Scale);
+    //      the oracle is the UNSALTED aggregation — salting must be
+    //      semantically transparent ----
+    "q44_salted_agg" -> ((s, dir) =>
+      Scale.saltedAgg(
+        t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"),
+        Seq("l_quantity" -> "sum", "l_quantity" -> "count"), salts = 16))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -607,6 +616,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q44_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+        | CAST(count(*) AS BIGINT) AS count_l_quantity
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q41_topk_probe" ->

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Skew-handling primitives for 100 TB-scale aggregation.
+  *
+  * A single hot key (one boilerplate document, one mega-customer) turns a
+  * hash-partitioned aggregation into a one-task straggler. Salting splits
+  * each key into `salts` sub-keys for a partial aggregate, then merges
+  * the partials — two shuffles, but each balanced. Spark's AQE skew
+  * handling covers joins; aggregation salting is still manual, hence this
+  * helper.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for associative aggregates.
+    *
+    * The salt is derived deterministically from the value columns (not
+    * `rand()`), so results are reproducible run-to-run — required by the
+    * differential oracle and generally good hygiene.
+    *
+    * @param aggs (valueCol → "sum" | "count" | "min" | "max")
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String],
+                aggs: Seq[(String, String)], salts: Int = 16): DataFrame = {
+    val saltCol = F.pmod(F.hash(df.columns.map(F.col): _*), F.lit(salts))
+    val partialExprs = aggs.map { case (c, how) => expr(how, c).as(s"_p_${how}_$c") }
+    val finalExprs = aggs.map { case (c, how) =>
+      val mergeHow = if (how == "count") "sum" else how
+      expr(mergeHow, s"_p_${how}_$c").as(s"${how}_$c")
+    }
+    df.withColumn("_salt", saltCol)
+      .groupBy((keyCols :+ "_salt").map(F.col): _*)
+      .agg(partialExprs.head, partialExprs.tail: _*)
+      .groupBy(keyCols.map(F.col): _*)
+      .agg(finalExprs.head, finalExprs.tail: _*)
+  }
+
+  private def expr(how: String, c: String): Column = how match {
+    case "sum"   => F.sum(c)
+    case "count" => F.count(F.lit(1))
+    case "min"   => F.min(c)
+    case "max"   => F.max(c)
+    case other   => throw new IllegalArgumentException(s"Unsupported agg: $other")
+  }
+}

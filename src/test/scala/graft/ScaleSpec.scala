@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Scale}
+
+/** Scale-behavior specs: partition invariance, salting equivalence,
+  * bucketed-join shuffle elimination, and scalacheck properties over the
+  * operator algebra (the property-test layer SURVEY §5 plans; seeded
+  * generators, no forAll bridge — scalatestplus is not in the offline
+  * dependency set). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("aggregation results are partition-invariant (integral sums)") {
+    val base = (1 to 5000).map(i => (i % 7, (i % 50).toDouble)).toDF("k", "v")
+    def run(parts: Int) =
+      base.repartition(parts).groupBy("k").agg(F.sum("v").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(32))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val skewed = ((1 to 9000).map(_ => ("hot", 1.0)) ++
+      (1 to 1000).map(i => (s"k${i % 13}", 2.0))).toDF("k", "v")
+    val direct = skewed.groupBy("k")
+      .agg(F.sum("v").as("sum_v"), F.count(F.lit(1)).as("count_v"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Scale.saltedAgg(skewed, Seq("k"), Seq("v" -> "sum", "v" -> "count"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import org.apache.spark.sql.SaveMode
+    // clear stale managed-table locations from previous runs
+    Seq("b_left", "b_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .write.mode(SaveMode.Overwrite).bucketBy(8, "id").sortBy("id")
+      .saveAsTable("b_left")
+    (1 to 1000).filter(_ % 3 == 0).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+      .write.mode(SaveMode.Overwrite).bucketBy(8, "id").sortBy("id")
+      .saveAsTable("b_right")
+    // small tables would broadcast, bypassing buckets; disable to show the
+    // co-located sort-merge path a 100 TB fact-fact join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_left").join(spark.table("b_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 333)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("property: filter output is a subset of input") {
+    samples(Gen.listOfN(50, Gen.chooseNum(-100, 100)), 5).foreach { xs =>
+      val df = xs.toDF("x")
+      val out = df.filter(F.col("x") > 0).collect().map(_.getInt(0))
+      assert(out.forall(_ > 0))
+      assert(out.length <= xs.length)
+    }
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    samples(Gen.zip(gen, gen), 5).foreach { case (xs, ys) =>
+      val df = Seq((xs.distinct, ys.distinct)).toDF("x", "y")
+      val r = df.select(
+        Dedup.jaccard(F.col("x"), F.col("y")),
+        Dedup.jaccard(F.col("y"), F.col("x")),
+        Dedup.jaccard(F.col("x"), F.col("x"))).head()
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
+    samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
+      val df = ks.toDF("k")
+      val viaCount = df.groupBy("k").agg(F.count(F.lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val viaSum = df.groupBy("k").agg(F.sum(F.lit(1L)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(viaCount == viaSum)
+    }
+  }
+}
