@@ -359,7 +359,13 @@ object SparkEntry {
       Scale.saltedAgg(
         t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
         Seq("l_returnflag"),
-        Seq("l_quantity" -> "sum", "l_quantity" -> "count"), salts = 16))
+        Seq("l_quantity" -> "sum", "l_quantity" -> "count"), salts = 16)),
+
+    // ---- winnowing fingerprints (rows-only: xxhash64 not in DuckDB) ----
+    "q45_winnow_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        F.col("doc_id"),
+        F.size(TextAnalysis.winnowingFingerprint(F.col("text"))).as("n_fp")))
   )
 
   def oracleSql: Map[String, String] = Map(

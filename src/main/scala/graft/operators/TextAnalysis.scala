@@ -107,6 +107,23 @@ object TextAnalysis {
                F.lit(2147483647L))
     )
 
+  /** Winnowing fingerprints (Schleimer et al.): token k-gram rolling
+    * hashes, sliding window of `w`, keep the minimum hash per window —
+    * the standard local-sampling fingerprint for plagiarism/overlap
+    * detection. Guarantees any shared run of >= w+k-1 tokens yields at
+    * least one shared fingerprint. Pure array expressions, per-row. */
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(F.lower(text))
+    val n = F.size(toks)
+    val grams = F.transform(
+      F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+      (i: Column) => F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")))
+    val m = F.size(grams)
+    F.array_distinct(F.transform(
+      F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+      (i: Column) => F.array_min(F.slice(grams, i + 1, F.lit(w)))))
+  }
+
   /** All text statistics as one projection — single pass over the corpus. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = F.col(textCol)

@@ -94,6 +94,12 @@ class EngineSpec extends SparkSpec {
     assert(out.df.filter("name IS NULL").count() == 1)
   }
 
+  test("driver entry() flagship runs on sf0.001 with rows") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.contains("sum_qty") && out.columns.contains("count_order"))
+  }
+
   test("fluent API mirrors the SQL path (reference dataframe.py:38-86)") {
     import graft.api.functions._
     val out = engine.table("fruits")

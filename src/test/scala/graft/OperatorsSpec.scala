@@ -124,6 +124,21 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(0) != fps(3))
   }
 
+  test("winnowing fingerprints detect shared token runs") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (2L, "prefix words alpha beta gamma delta epsilon zeta eta theta"), // contains 0
+      (3L, "totally unrelated content with different words entirely here")
+    ).toDF("id", "text")
+    val fps = df.select(F.col("id"),
+        TextAnalysis.winnowingFingerprint(F.col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L) == fps(1L))
+    assert((fps(0L) & fps(2L)).nonEmpty) // shared run -> shared fingerprint
+    assert((fps(0L) & fps(3L)).isEmpty)
+  }
+
   test("rolling hash is deterministic and content-sensitive") {
     val r = docs.select(TextAnalysis.rollingHash(F.col("text"))).collect()
       .map(_.getLong(0))

@@ -71,6 +71,26 @@ class SqlParserSpec extends SparkSpec {
     assert(q.where.contains(BinOp(">", ColRef("a"), Lit(1.5))))
   }
 
+  test("floor division, modulo and unary minus parse at mul precedence") {
+    val q = SqlParser.parse("SELECT a // 2 + b % 3, -c FROM 't'")
+    assert(q.select(0).expr == BinOp("+",
+      BinOp("//", ColRef("a"), Lit(2L)),
+      BinOp("%", ColRef("b"), Lit(3L))))
+    assert(q.select(1).expr == BinOp("-", Lit(0L), ColRef("c")))
+  }
+
+  test("parentheses override precedence") {
+    val q = SqlParser.parse("SELECT (a + b) * c FROM 't'")
+    assert(q.select.head.expr ==
+      BinOp("*", BinOp("+", ColRef("a"), ColRef("b")), ColRef("c")))
+  }
+
+  test("COUNT(col) and COUNT(DISTINCT col) extensions") {
+    val q = SqlParser.parse("SELECT COUNT(a), COUNT(DISTINCT b) FROM 't' GROUP BY g")
+    assert(q.select(0).expr == AggCol("count_col", ColRef("a"), None))
+    assert(q.select(1).expr == AggCol("count_distinct", ColRef("b"), None))
+  }
+
   test("parse errors raise ParseError (reference parser.py:102-109)") {
     assertThrows[ParseError](SqlParser.parse("SELECT FROM 't'"))
     assertThrows[ParseError](SqlParser.parse("SELECT a 't'"))
