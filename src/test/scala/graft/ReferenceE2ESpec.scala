@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, functions => SF}
+
+/** The reference's own end-to-end SQL corpus, run against our engine:
+  * all 20 golden queries of reference tests/test_e2e.py:88-419 over its
+  * users(15)/orders(15) fixtures (test_e2e.py:21-55), compared
+  * order-insensitively like the reference does (tests/conftest.py:44-48).
+  *
+  * The two LEFT JOIN queries carry WHERE clauses on right-side columns,
+  * so their results are identical under the reference's inner-only
+  * execution and our standard left-outer semantics (SURVEY §7.1.1) —
+  * the corpus stays green across the documented divergence.
+  */
+class ReferenceE2ESpec extends SparkSpec {
+
+  private def ts(d: String): Timestamp = Timestamp.valueOf(s"$d 00:00:00")
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-ref-e2e").toString
+    val users = Seq(
+      (1, "Alice", "Smith", 25, "USA"), (2, "Bob", "Johnson", 30, "Canada"),
+      (3, "Charlie", "Brown", 22, "USA"), (4, "David", "Wilson", 35, "UK"),
+      (5, "Eva", "Davis", 28, "Canada"), (6, "Frank", "Miller", 40, "USA"),
+      (7, "Grace", "Taylor", 27, "UK"), (8, "Hank", "Anderson", 32, "USA"),
+      (9, "Ivy", "Thomas", 26, "Canada"), (10, "Jack", "Jackson", 24, "USA"),
+      (11, "Kate", "White", 29, "UK"), (12, "Leo", "Harris", 33, "USA"),
+      (13, "Mia", "Martin", 31, "Canada"), (14, "Nick", "Thompson", 23, "UK"),
+      (15, "Olivia", "Garcia", 36, "USA"))
+    val orders = Seq(
+      (1, 1, "Laptop", 1, 1200.0f, "2025-01-01"), (2, 2, "Mouse", 2, 25.0f, "2025-01-05"),
+      (3, 3, "Keyboard", 1, 45.0f, "2025-02-10"), (4, 1, "Monitor", 2, 300.0f, "2025-03-15"),
+      (5, 4, "Laptop", 1, 1100.0f, "2025-03-20"), (6, 5, "Mouse", 1, 30.0f, "2025-04-01"),
+      (7, 6, "Keyboard", 2, 50.0f, "2025-04-10"), (8, 7, "Monitor", 1, 280.0f, "2025-05-05"),
+      (9, 8, "Laptop", 1, 1300.0f, "2025-05-10"), (10, 9, "Mouse", 3, 27.0f, "2025-06-01"),
+      (11, 10, "Keyboard", 1, 40.0f, "2025-06-15"), (12, 11, "Monitor", 2, 290.0f, "2025-07-01"),
+      (13, 12, "Laptop", 1, 1250.0f, "2025-07-10"), (14, 13, "Mouse", 2, 26.0f, "2025-07-15"),
+      (15, 14, "Keyboard", 1, 42.0f, "2025-08-01"))
+    import spark.implicits._
+    users.toDF("user_id", "first_name", "last_name", "age", "country")
+      .write.mode("overwrite").parquet(s"$d/users.parquet")
+    orders.toDF("order_id", "user_id", "product", "quantity", "price", "date_s")
+      .select(SF.col("order_id"), SF.col("user_id"), SF.col("product"),
+        SF.col("quantity"), SF.col("price"),
+        SF.col("date_s").cast(TimestampType).as("order_date"))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  private lazy val engine = Engine(spark)
+  private def U = s"$dir/users.parquet"
+  private def O = s"$dir/orders.parquet"
+
+  /** Order-insensitive multiset compare with numeric normalization
+    * (reference compares through float32 rounding, conftest.py:37-41;
+    * our values are exact in double for this corpus). */
+  private def check(sql: String, expected: Seq[Seq[Any]]): Unit = {
+    def norm(v: Any): Any = v match {
+      case n: Int    => n.toLong
+      case n: Long   => n
+      case n: Float  => n.toDouble
+      case n: Double => n
+      case t: Timestamp => t.toString
+      case other     => other
+    }
+    val got = engine.sql(sql).collect()
+      .map((r: Row) => r.toSeq.map(norm)).groupBy(identity).view.mapValues(_.length).toMap
+    val want = expected.map(_.map(norm)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want, s"\nquery: $sql\ngot:  $got\nwant: $want")
+  }
+
+  private val allUsers = Seq(
+    Seq(1, "Alice", "Smith", 25, "USA"), Seq(2, "Bob", "Johnson", 30, "Canada"),
+    Seq(3, "Charlie", "Brown", 22, "USA"), Seq(4, "David", "Wilson", 35, "UK"),
+    Seq(5, "Eva", "Davis", 28, "Canada"), Seq(6, "Frank", "Miller", 40, "USA"),
+    Seq(7, "Grace", "Taylor", 27, "UK"), Seq(8, "Hank", "Anderson", 32, "USA"),
+    Seq(9, "Ivy", "Thomas", 26, "Canada"), Seq(10, "Jack", "Jackson", 24, "USA"),
+    Seq(11, "Kate", "White", 29, "UK"), Seq(12, "Leo", "Harris", 33, "USA"),
+    Seq(13, "Mia", "Martin", 31, "Canada"), Seq(14, "Nick", "Thompson", 23, "UK"),
+    Seq(15, "Olivia", "Garcia", 36, "USA"))
+
+  test("e2e 1: SELECT * (test_e2e.py:88-111)") {
+    check(s"SELECT * FROM '$U';", allUsers)
+  }
+
+  test("e2e 2: projection with WHERE equality") {
+    check(s"SELECT first_name, last_name FROM '$U' WHERE country='USA';",
+      Seq(Seq("Alice", "Smith"), Seq("Charlie", "Brown"), Seq("Frank", "Miller"),
+        Seq("Hank", "Anderson"), Seq("Jack", "Jackson"), Seq("Leo", "Harris"),
+        Seq("Olivia", "Garcia")))
+  }
+
+  test("e2e 3: string + concatenation with alias") {
+    check(s"SELECT first_name + ' ' + last_name AS full_name FROM '$U';",
+      allUsers.map(u => Seq(s"${u(1)} ${u(2)}")))
+  }
+
+  test("e2e 4: integer arithmetic in projection") {
+    check(s"SELECT user_id, age, age+5 AS age_in_5_years FROM '$U';",
+      allUsers.map(u => Seq(u(0), u(3), u(3).asInstanceOf[Int] + 5)))
+  }
+
+  test("e2e 5: float comparison filter") {
+    check(s"SELECT * FROM '$O' WHERE price > 100;",
+      Seq(
+        Seq(1, 1, "Laptop", 1, 1200.0, ts("2025-01-01")),
+        Seq(4, 1, "Monitor", 2, 300.0, ts("2025-03-15")),
+        Seq(5, 4, "Laptop", 1, 1100.0, ts("2025-03-20")),
+        Seq(8, 7, "Monitor", 1, 280.0, ts("2025-05-05")),
+        Seq(9, 8, "Laptop", 1, 1300.0, ts("2025-05-10")),
+        Seq(12, 11, "Monitor", 2, 290.0, ts("2025-07-01")),
+        Seq(13, 12, "Laptop", 1, 1250.0, ts("2025-07-10"))))
+  }
+
+  test("e2e 6: int*float arithmetic projection") {
+    check(s"SELECT product, quantity*price AS total_value FROM '$O';",
+      Seq(Seq("Laptop", 1200.0), Seq("Mouse", 50.0), Seq("Keyboard", 45.0),
+        Seq("Monitor", 600.0), Seq("Laptop", 1100.0), Seq("Mouse", 30.0),
+        Seq("Keyboard", 100.0), Seq("Monitor", 280.0), Seq("Laptop", 1300.0),
+        Seq("Mouse", 81.0), Seq("Keyboard", 40.0), Seq("Monitor", 580.0),
+        Seq("Laptop", 1250.0), Seq("Mouse", 52.0), Seq("Keyboard", 42.0)))
+  }
+
+  test("e2e 7: timestamp BETWEEN (inclusive)") {
+    check(s"SELECT * FROM '$O' WHERE order_date BETWEEN '2025-03-01' AND '2025-06-01';",
+      Seq(
+        Seq(4, 1, "Monitor", 2, 300.0, ts("2025-03-15")),
+        Seq(5, 4, "Laptop", 1, 1100.0, ts("2025-03-20")),
+        Seq(6, 5, "Mouse", 1, 30.0, ts("2025-04-01")),
+        Seq(7, 6, "Keyboard", 2, 50.0, ts("2025-04-10")),
+        Seq(8, 7, "Monitor", 1, 280.0, ts("2025-05-05")),
+        Seq(9, 8, "Laptop", 1, 1300.0, ts("2025-05-10")),
+        Seq(10, 9, "Mouse", 3, 27.0, ts("2025-06-01"))))
+  }
+
+  test("e2e 8: LIKE with wildcards") {
+    check(s"SELECT * FROM '$O' WHERE product LIKE '%top%';",
+      Seq(
+        Seq(1, 1, "Laptop", 1, 1200.0, ts("2025-01-01")),
+        Seq(5, 4, "Laptop", 1, 1100.0, ts("2025-03-20")),
+        Seq(9, 8, "Laptop", 1, 1300.0, ts("2025-05-10")),
+        Seq(13, 12, "Laptop", 1, 1250.0, ts("2025-07-10"))))
+  }
+
+  test("e2e 9: GROUP BY with COUNT()") {
+    check(s"SELECT country, COUNT() AS user_count FROM '$U' GROUP BY country;",
+      Seq(Seq("USA", 7), Seq("Canada", 4), Seq("UK", 4)))
+  }
+
+  test("e2e 10: GROUP BY with SUM of expression") {
+    check(s"SELECT user_id, SUM(quantity*price) AS total_spent FROM '$O' GROUP BY user_id;",
+      Seq(Seq(1, 1800.0), Seq(2, 50.0), Seq(3, 45.0), Seq(4, 1100.0),
+        Seq(5, 30.0), Seq(6, 100.0), Seq(7, 280.0), Seq(8, 1300.0),
+        Seq(9, 81.0), Seq(10, 40.0), Seq(11, 580.0), Seq(12, 1250.0),
+        Seq(13, 52.0), Seq(14, 42.0)))
+  }
+
+  test("e2e 11: AVG over floats") {
+    check(s"SELECT product, AVG(price) AS avg_price FROM '$O' GROUP BY product;",
+      Seq(Seq("Laptop", (1200 + 1100 + 1300 + 1250) / 4.0),
+        Seq("Mouse", (25 + 30 + 27 + 26) / 4.0),
+        Seq("Keyboard", (45 + 50 + 40 + 42) / 4.0),
+        Seq("Monitor", (300 + 280 + 290) / 3.0)))
+  }
+
+  test("e2e 12: AVG over ints yields float") {
+    check(s"SELECT country, AVG(age) AS avg_age FROM '$U' GROUP BY country;",
+      Seq(Seq("USA", (25 + 22 + 40 + 32 + 24 + 33 + 36) / 7.0),
+        Seq("Canada", (30 + 28 + 26 + 31) / 4.0),
+        Seq("UK", (35 + 27 + 29 + 23) / 4.0)))
+  }
+
+  test("e2e 13: HAVING on COUNT()") {
+    check(s"SELECT user_id, COUNT() AS order_count FROM '$O' GROUP BY user_id HAVING COUNT() > 1;",
+      Seq(Seq(1, 2)))
+  }
+
+  test("e2e 14: JOIN with aliases") {
+    check(s"SELECT u.first_name, o.product FROM '$U' AS u JOIN '$O' AS o ON u.user_id=o.user_id;",
+      Seq(Seq("Alice", "Laptop"), Seq("Alice", "Monitor"), Seq("Bob", "Mouse"),
+        Seq("Charlie", "Keyboard"), Seq("David", "Laptop"), Seq("Eva", "Mouse"),
+        Seq("Frank", "Keyboard"), Seq("Grace", "Monitor"), Seq("Hank", "Laptop"),
+        Seq("Ivy", "Mouse"), Seq("Jack", "Keyboard"), Seq("Kate", "Monitor"),
+        Seq("Leo", "Laptop"), Seq("Mia", "Mouse"), Seq("Nick", "Keyboard")))
+  }
+
+  test("e2e 15: JOIN + GROUP BY on dotted column") {
+    check(s"SELECT u.country, COUNT() AS orders_count FROM '$U' AS u JOIN '$O' AS o ON u.user_id=o.user_id GROUP BY u.country;",
+      Seq(Seq("USA", 7), Seq("Canada", 4), Seq("UK", 4)))
+  }
+
+  test("e2e 16: JOIN + GROUP BY + SUM of join expression") {
+    check(s"SELECT u.first_name, SUM(o.quantity*o.price) AS spent FROM '$U' AS u JOIN '$O' AS o ON u.user_id=o.user_id GROUP BY u.first_name;",
+      Seq(Seq("Alice", 1800.0), Seq("Bob", 50.0), Seq("Charlie", 45.0),
+        Seq("David", 1100.0), Seq("Eva", 30.0), Seq("Frank", 100.0),
+        Seq("Grace", 280.0), Seq("Hank", 1300.0), Seq("Ivy", 81.0),
+        Seq("Jack", 40.0), Seq("Kate", 580.0), Seq("Leo", 1250.0),
+        Seq("Mia", 52.0), Seq("Nick", 42.0)))
+  }
+
+  test("e2e 17: LEFT JOIN + WHERE on right column (divergence-neutral)") {
+    check(s"SELECT u.first_name, o.product, o.price FROM '$U' AS u LEFT JOIN '$O' AS o ON u.user_id=o.user_id WHERE o.price > 100;",
+      Seq(Seq("Alice", "Laptop", 1200.0), Seq("Alice", "Monitor", 300.0),
+        Seq("David", "Laptop", 1100.0), Seq("Grace", "Monitor", 280.0),
+        Seq("Hank", "Laptop", 1300.0), Seq("Kate", "Monitor", 290.0),
+        Seq("Leo", "Laptop", 1250.0)))
+  }
+
+  test("e2e 18: LEFT JOIN + timestamp filter") {
+    check(s"SELECT u.first_name, o.product, o.order_date FROM '$O' AS o LEFT JOIN '$U' AS u ON u.user_id=o.user_id WHERE o.order_date > '2025-05-01';",
+      Seq(Seq("Hank", "Laptop", ts("2025-05-10")), Seq("Grace", "Monitor", ts("2025-05-05")),
+        Seq("Ivy", "Mouse", ts("2025-06-01")), Seq("Jack", "Keyboard", ts("2025-06-15")),
+        Seq("Kate", "Monitor", ts("2025-07-01")), Seq("Leo", "Laptop", ts("2025-07-10")),
+        Seq("Mia", "Mouse", ts("2025-07-15")), Seq("Nick", "Keyboard", ts("2025-08-01"))))
+  }
+
+  test("e2e 19: multiple aggregates per group") {
+    check(s"SELECT product, SUM(quantity) AS total_quantity, MAX(price) AS max_price FROM '$O' GROUP BY product;",
+      Seq(Seq("Laptop", 4, 1300.0), Seq("Mouse", 8, 30.0),
+        Seq("Keyboard", 5, 50.0), Seq("Monitor", 5, 300.0)))
+  }
+
+  test("e2e 20: JOIN + GROUP BY + HAVING on aggregate") {
+    check(s"SELECT u.country, COUNT() AS orders_count, SUM(o.quantity*o.price) AS total_sales FROM '$U' AS u JOIN '$O' AS o ON u.user_id=o.user_id GROUP BY u.country HAVING SUM(o.quantity*o.price) > 500;",
+      Seq(Seq("USA", 7, 4535.0), Seq("UK", 4, 2002.0)))
+  }
+}
