@@ -213,15 +213,17 @@ object SparkEntry {
         """SELECT event_type, COUNT() AS n, MIN(value) AS min_v, MAX(value) AS max_v
           |FROM events GROUP BY event_type""".stripMargin).df),
 
-    // ---- text analysis (graft.operators.TextAnalysis) ----
+    // ---- text analysis (graft.operators.TextAnalysis; the stats run
+    //      through the single-pass native text_stats expression,
+    //      graft.functions.TextStatsExpr — same semantics, same oracle) ----
     "q23_token_stats" -> ((s, dir) => {
-      val txt = F.col("text")
+      val st = F.call_function("text_stats", F.col("text"))
       t(s, dir, "documents").select(
         F.col("doc_id"),
-        TextAnalysis.tokenCount(txt).as("n_tokens"),
-        TextAnalysis.subwordCount(txt).as("n_subwords"),
-        TextAnalysis.punctCount(txt).as("n_punct"),
-        TextAnalysis.stopwordCount(txt).as("n_stopwords"))
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_subwords").as("n_subwords"),
+        st.getField("n_punct").as("n_punct"),
+        st.getField("n_stopwords").as("n_stopwords"))
     }),
 
     "q24_quality" -> ((s, dir) =>

@@ -144,5 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine_f32"),
       (children: Seq[Expression]) =>
         FloatVecCosine(asFloatArray(children(0)), asFloatArray(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (children: Seq[Expression]) => TextStatsExpr(children.head)))
   }
 }

@@ -105,6 +105,29 @@ class OperatorsSpec extends SparkSpec {
     assert(viaSql.getDouble(0) == r(0).getDouble(0))
   }
 
+  test("native text_stats matches the composable text analysis exactly") {
+    val cases = docs.union(Seq(
+      (10L, ""), (11L, "   "), (12L, "one"), (13L, "a.b,c!d?e;f:g"),
+      (14L, "  The  AND of IS  mixed Case\twith\ttabs\nand newlines  ")
+    ).toDF("doc_id", "text"))
+    val st = F.call_function("text_stats", F.col("text"))
+    val both = cases.select(
+      TextAnalysis.tokenCount(F.col("text")).as("t1"),
+      st.getField("n_tokens").as("t2"),
+      TextAnalysis.subwordCount(F.col("text")).as("s1"),
+      st.getField("n_subwords").as("s2"),
+      TextAnalysis.punctCount(F.col("text")).as("p1"),
+      st.getField("n_punct").as("p2"),
+      TextAnalysis.stopwordCount(F.col("text")).as("w1"),
+      st.getField("n_stopwords").as("w2")).collect()
+    both.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"tokens: $r")
+      assert(r.getInt(2) == r.getInt(3), s"subwords: $r")
+      assert(r.getInt(4) == r.getInt(5), s"punct: $r")
+      assert(r.getInt(6) == r.getInt(7), s"stopwords: $r")
+    }
+  }
+
   test("text analysis: tokens, stopwords, language, fingerprint") {
     val r = docs.filter("doc_id = 0").select(
       TextAnalysis.tokenCount(F.col("text")),
