@@ -148,5 +148,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       (children: Seq[Expression]) => TextStatsExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => JaccardSortedExpr(children(0), children(1))))
   }
 }
