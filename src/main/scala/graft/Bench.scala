@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — driver contract.
@@ -8,9 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialization through the `noop` sink (a bare `count()` would let
   * Catalyst prune the plan down to a scan-count). Timing mirrors the
   * reference: wall-clock around query execution only, session startup
-  * excluded (reference: src/mini_spark/shell.py:91-93); the flagship gets
-  * one warmup + 3 timed runs, averaged, to match the reference's
+  * excluded (reference: src/mini_spark/shell.py:91-93); every query gets
+  * one warmup run (JIT + code cache + parquet footers) and the flagship
+  * additionally averages 3 timed runs, matching the reference's
   * avg-of-runs methodology (README.md:163-165).
+  *
+  * Output contract: ONE JSON line on stdout, and — because build-tool
+  * log decoration can swallow stdout — the same JSON is also written to
+  * `bench.json` in the working directory, to `$SPARK_GRAFT_OUT/bench.json`
+  * when that env var is set, and echoed to stderr with a unique
+  * `GRAFT_BENCH_JSON ` prefix. A per-stage timing artifact (the tracing
+  * analog of the reference's merged perfetto traces) goes to
+  * `bench_stages.json` alongside each `bench.json`.
   */
 object Bench {
   private def execTime(df: DataFrame): Double = {
@@ -27,38 +38,58 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val tracer = new graft.trace.StageTraceListener
+    spark.sparkContext.addSparkListener(tracer)
 
     val qs = SparkEntry.queries
     val headline = Seq(
       "q06_q1_flagship", // the BASELINE workload (TPC-H Q1 variant)
       "q02_project_arith", "q05_between_ts", "q11_join_agg", "q12_join3",
       "q17_topk", "q19_events_hourly", "q23_token_stats", "q27_dedup_exact",
-      "q28_jaccard_pairs", "q29_minhash_pairs", "q32_knn_brute")
+      "q28_jaccard_pairs", "q29_minhash_pairs", "q32_knn_brute",
+      "q41_topk_probe")
 
-    // warmup: JIT + code cache + parquet footer caches (excluded, like the
-    // reference's compile step)
-    execTime(qs("q06_q1_flagship")(spark, sfDir))
-
-    val results = headline.map { name =>
+    val stageJson = new StringBuilder("{")
+    val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
+      execTime(fn(spark, sfDir)) // warmup (not reported)
+      tracer.drain()             // attribute stages to the timed run only
       val secs =
         if (name == "q06_q1_flagship")
           (1 to 3).map(_ => execTime(fn(spark, sfDir))).sum / 3.0
         else execTime(fn(spark, sfDir))
+      val stages = tracer.drain()
+      if (i > 0) stageJson.append(",")
+      stageJson.append(s""""$name":[${stages.map(_.toJson).mkString(",")}]""")
       name -> secs
     }
+    stageJson.append("}")
 
     val flagship = results.head._2
     val qjson = results.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+
+    val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
+    outDirs.foreach { d =>
+      try {
+        Files.createDirectories(Paths.get(d))
+        Files.writeString(Paths.get(d, "bench.json"), json + "\n")
+        Files.writeString(Paths.get(d, "bench_stages.json"), stageJson.toString + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $d: ${e.getMessage}")
+      }
+    }
+    println(json)
+    System.err.println(s"GRAFT_BENCH_JSON $json")
     spark.stop()
   }
 }

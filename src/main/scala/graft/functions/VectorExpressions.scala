@@ -152,5 +152,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => JaccardSortedExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs k must be a literal, got: $other")
+        }
+        TopKPairsAgg(
+          Cast(children(0), DoubleType), Cast(children(1), LongType), k)
+      }))
   }
 }

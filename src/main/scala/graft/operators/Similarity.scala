@@ -61,9 +61,15 @@ object Similarity {
   }
 
   /** Top-k per probe vector for a (small) probe set: broadcast the probes,
-    * score the cross product, keep k per probe with a ranked window over
-    * the probe key. Probe side must be broadcastable (typical: a query
-    * batch); corpus side streams. */
+    * score the cross product, keep k per probe with the native bounded-heap
+    * aggregate `topk_pairs` ([[graft.functions.TopKPairsAgg]]). Partial
+    * aggregation keeps an O(k) heap per probe per task, so only k rows per
+    * probe per partition reach the shuffle — the scored corpus is never
+    * globally sorted (a `row_number` window here would sort every scored
+    * row inside one partition per probe: a straggler at 100 TB). Probe
+    * side must be broadcastable (typical: a query batch); corpus streams.
+    * Falls back to the window formulation when the session lacks
+    * [[graft.functions.GraftExtensions]]. */
   def topKPerProbe(corpus: DataFrame, vecCol: String, idCol: String,
                    probes: DataFrame, probeVecCol: String, probeIdCol: String,
                    k: Int): DataFrame = {
@@ -72,11 +78,20 @@ object Similarity {
         F.col(probeIdCol).as("probe_id"),
         F.col(idCol).as("id"),
         cosine(F.col(vecCol), F.col(probeVecCol)).as("score"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(F.col("score").desc, F.col("id").asc)
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .drop("rank")
+    if (corpus.sparkSession.catalog.functionExists("topk_pairs")) {
+      scored.groupBy("probe_id")
+        .agg(F.call_function("topk_pairs",
+          F.col("score"), F.col("id"), F.lit(k)).as("top"))
+        .select(F.col("probe_id"), F.explode(F.col("top")).as("t"))
+        .select(F.col("probe_id"), F.col("t.id").as("id"),
+                F.col("t.score").as("score"))
+    } else {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(F.col("score").desc, F.col("id").asc)
+      scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    }
   }
 
   /** IVF-style bucket id: nearest of `centroids` by dot product.

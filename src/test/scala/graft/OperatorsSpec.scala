@@ -211,4 +211,33 @@ class OperatorsSpec extends SparkSpec {
     val h0 = out.find(_.getAs[Long]("n_events") == 2).get
     assert(h0.getAs[Double]("sum_value") == 3.0)
   }
+
+  test("topKPerProbe bounded heap matches a full sort and never windows the corpus") {
+    val emb = (0L until 60L)
+      .map(i => (i, Seq((i % 7).toFloat + 0.1f, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter(F.col("vec_id") < 2L)
+      .select(F.col("vec_id").as("probe_id"), F.col("embedding").as("probe_vec"))
+    val out = Similarity.topKPerProbe(emb, "embedding", "vec_id",
+      probes, "probe_vec", "probe_id", k = 5)
+
+    // expected: exact top-5 per probe by (score desc, id asc), computed
+    // from a brute-force driver-side sort of all scores
+    val all = emb.crossJoin(F.broadcast(probes))
+      .select(F.col("probe_id"), F.col("vec_id").as("id"),
+        Similarity.cosine(F.col("embedding"), F.col("probe_vec")).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy { case (_, id, s) => (-s, id) }.take(5).toSeq
+    }.toSet
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+
+    // scale shape: partial ObjectHashAggregate heap, no window/sort over
+    // the scored corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(!plan.contains("Window"))
+  }
 }
