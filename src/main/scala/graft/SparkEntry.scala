@@ -39,6 +39,21 @@ object SparkEntry {
     }
   }
 
+  /** IVF centroids for q33 — literal constants shared by the Spark query
+    * and the DuckDB oracle so both assign identical buckets. */
+  private val ivfCentroids: Seq[Seq[Double]] =
+    (0 until 8).map(i =>
+      (0 until 64).map(j =>
+        ((i * 73856093 + j * 19349663) % 1000) / 1000.0 - 0.5).toSeq)
+
+  /** Random hyperplanes for q31 — deterministic literals (seeded LCG),
+    * replayed verbatim by the DuckDB oracle. */
+  private val q31Planes: Seq[Seq[Double]] = Dedup.hyperplanes(numPlanes = 8, dim = 64)
+
+  /** A double literal rendered for SQL: java's shortest round-trip
+    * representation, which DuckDB parses back to the identical double. */
+  private def sqlArray(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
   /** Flagship query on sf=0.001 — the reference's benchmark Q1 variant
     * (reference: examples/benchmark.py:51-68) routed through the SQL
     * dialect front-end. Driver smoke-checks rows>0. */
@@ -242,21 +257,34 @@ object SparkEntry {
     "q27_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // blocking includes a token-length bucket: near-dups have similar
+    // length, and the extra term keeps blocks bounded where lang|source
+    // alone would be a mega-block at corpus scale (open corpora should
+    // use minhashLsh instead — see Dedup scaladoc)
     "q28_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        F.concat(F.col("lang"), F.lit("|"), F.col("source")),
+        F.concat(F.col("lang"), F.lit("|"), F.col("source"), F.lit("|"),
+          F.floor(TextAnalysis.tokenCount(F.col("text")) / F.lit(32)).cast("string")),
         shingleN = 1, threshold = 0.5)),
 
+    // the oracle replays the ENTIRE md5+affine minhash/LSH pipeline in
+    // DuckDB (same base hashes, same band keys, same bucket cap), so the
+    // gate checks the algorithm end-to-end, not just row counts
     "q29_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
-        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8)),
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+        maxBucket = 64)),
 
+    // maxHamming=3 on 4 chunks: pigeonhole guarantees 100% recall, and the
+    // engine-portable md5 token hash lets DuckDB replay the signature
     "q30_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)),
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3, maxBucket = 4096,
+        tokenHash = Dedup.md5Hash60)),
 
     "q31_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        numPlanes = 4, threshold = 0.3)
+        planes = q31Planes, threshold = 0.3, maxBucket = 4096)
         .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))),
 
     // ---- similarity search (graft.operators.Similarity) ----
@@ -272,9 +300,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-      val centroids = (0 until 8).map(i =>
-        (0 until 64).map(j => ((i * 73856093 + j * 19349663) % 1000) / 1000.0 - 0.5).toSeq)
-      Similarity.topKIvf(emb, "embedding", "vec_id", q, centroids, k = 10, nprobe = 2)
+      Similarity.topKIvf(emb, "embedding", "vec_id", q, ivfCentroids,
+          k = 10, nprobe = 2)
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
 
@@ -361,13 +388,29 @@ object SparkEntry {
       Scale.saltedAgg(
         t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
         Seq("l_returnflag"),
-        Seq("l_quantity" -> "sum", "l_quantity" -> "count"), salts = 16)),
+        Seq("l_quantity" -> "sum", "l_quantity" -> "count",
+            "l_quantity" -> "avg"), salts = 16)
+        .withColumn("avg_l_quantity", F.round(F.col("avg_l_quantity"), 4))),
 
     // ---- winnowing fingerprints (rows-only: xxhash64 not in DuckDB) ----
     "q45_winnow_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(
         F.col("doc_id"),
-        F.size(TextAnalysis.winnowingFingerprint(F.col("text"))).as("n_fp")))
+        F.size(TextAnalysis.winnowingFingerprint(F.col("text"))).as("n_fp"))),
+
+    // ---- RIGHT JOIN through the SQL dialect front-end (customers with
+    //      no orders produce null o_orderkey rows) ----
+    "q46_join_right" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey
+          |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin).df),
+
+    // ---- FULL OUTER JOIN with null-producing rows on BOTH sides ----
+    "q47_join_full" -> ((s, dir) =>
+      t(s, dir, "customer").filter(F.col("c_custkey") < 500)
+        .join(t(s, dir, "orders").filter(F.col("o_totalprice") > 400000),
+          F.col("c_custkey") === F.col("o_custkey"), "full")
+        .select("c_custkey", "o_orderkey", "o_totalprice"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,25 +550,38 @@ object SparkEntry {
         | min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // trim-empty guard: Spark-side tokens('') is the empty array, but a
+    // bare regexp_split of '' yields [''] in DuckDB (1 token) — the CASE
+    // keeps both sides at 0 for empty/whitespace-only documents
     "q23_token_stats" ->
-      """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      """WITH d AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) END AS n_sw
+        | FROM documents)
+        |SELECT doc_id, n_tok AS n_tokens,
         | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |     x -> len(x) > 0)) AS n_subwords,
         | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-        | len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |     x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_stopwords
-        |FROM documents""".stripMargin,
+        | n_sw AS n_stopwords
+        |FROM d""".stripMargin,
 
     "q24_quality" ->
-      """SELECT doc_id, round((
-        |  least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+      """WITH d AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) END AS n_sw
+        | FROM documents)
+        |SELECT doc_id, round((
+        |  least(n_tok / 100.0, 1.0)
         |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |  + least(5.0 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with')))
-        |      / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 1.0)
+        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
         | ) / 3.0, 6) AS quality
-        |FROM documents""".stripMargin,
+        |FROM d""".stripMargin,
 
     "q25_langid" ->
       """WITH s AS (SELECT doc_id,
@@ -557,15 +613,45 @@ object SparkEntry {
 
     "q28_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
-        |  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-        | FROM documents)
+        |  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks,
+        |  len(regexp_split_to_array(trim(text), '\s+')) // 32 AS len_bucket
+        | FROM documents WHERE trim(text) <> '')
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
         |FROM t a JOIN t b
-        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        | ON a.lang = b.lang AND a.source = b.source
+        |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5""".stripMargin,
+
+    "q29_minhash_pairs" -> minhashOracleSql(
+      numBands = 4, rowsPerBand = 8, threshold = 0.8, maxBucket = 64),
+
+    "q30_simhash_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |tok AS (SELECT id, unnest(toks) AS t FROM d),
+        |th AS (SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |votes AS (SELECT id, bits.b AS bit,
+        |    sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bits GROUP BY id, bits.b),
+        |sig AS (SELECT id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS s
+        |  FROM votes GROUP BY id),
+        |chunked AS (SELECT id, s, cs.c AS chunk, (s >> (cs.c * 16)) & 65535 AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |  FROM chunked a JOIN chunked b
+        |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
+    "q31_embed_neardup" -> embedLshOracleSql(
+      planes = q31Planes, threshold = 0.3, maxBucket = 4096),
+
+    "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
 
     "q32_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
@@ -578,15 +664,19 @@ object SparkEntry {
         |SELECT vec_id, round(raw, 6) AS score
         |FROM scored ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    // octet_length(encode(..)): the Spark side derives fake dimensions
+    // from the UTF-8 BYTE length of the payload, so the oracle must
+    // measure bytes too (length() counts characters and diverges on any
+    // non-ASCII document)
     "q34_media_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio'
         |      ELSE 'video' END AS kind,
-        | CAST(length(text) AS BIGINT) AS n_bytes,
-        | CAST(64 + length(text) % 1024 AS INTEGER) AS width,
-        | CAST(64 + (length(text) * 7) % 1024 AS INTEGER) AS height,
-        | (length(text) % 6000) / 100.0 AS duration_s
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INTEGER) AS height,
+        | (octet_length(encode(text)) % 6000) / 100.0 AS duration_s
         |FROM documents""".stripMargin,
 
     "q36_sessionize" ->
@@ -628,7 +718,8 @@ object SparkEntry {
 
     "q44_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
-        | CAST(count(*) AS BIGINT) AS count_l_quantity
+        | CAST(count(*) AS BIGINT) AS count_l_quantity,
+        | round(sum(l_quantity) / count(*), 4) AS avg_l_quantity
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q41_topk_probe" ->
@@ -654,13 +745,135 @@ object SparkEntry {
 
     "q35_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id,
-        |  CAST(64 + length(text) % 1024 AS INTEGER) AS width,
-        |  CAST(64 + (length(text) * 7) % 1024 AS INTEGER) AS height,
-        |  (length(text) % 6000) / 100.0 AS duration_s
+        |  CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INTEGER) AS height,
+        |  (octet_length(encode(text)) % 6000) / 100.0 AS duration_s
         | FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, unnest(range(0,
         |  greatest(CAST(1 AS BIGINT), CAST(floor(duration_s * 30) AS BIGINT)), 10)) AS frame_idx,
         | width, height
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q46_join_right" ->
+      """SELECT o_orderkey, c_custkey
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q47_join_full" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin
   )
+
+  // ---- differential-oracle SQL builders (DuckDB replays of the LSH
+  //      pipelines; constants interpolated from the same Scala values the
+  //      Spark queries use, so both engines run the identical algorithm) --
+
+  /** DuckDB replay of [[graft.operators.Dedup.minhashLsh]] (shingleN=1):
+    * md5 base hashes → affine minhash minima → band keys → capped buckets
+    * → candidate pairs → exact-Jaccard filter. */
+  private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
+                               threshold: Double, maxBucket: Int): String = {
+    val n = numBands * rowsPerBand
+    val params = Dedup.minhashAffineParams(n)
+    val P = Dedup.MinhashP
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
+    }.mkString(",\n    ")
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"m$i").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws(',', $cols) AS key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents WHERE trim(text) <> ''),
+       |h AS (
+       |  SELECT id,
+       |    list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P) AS hs
+       |  FROM d),
+       |m AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM h),
+       |banded AS (
+       |  $bands),
+       |buckets AS (
+       |  SELECT band, key FROM banded GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a
+       |  JOIN buckets k ON a.band = k.band AND a.key = k.key
+       |  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+       |  FROM cand
+       |  JOIN d ta ON ta.id = cand.id_a
+       |  JOIN d tb ON tb.id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Dedup.embeddingNearDup]]: same
+    * literal hyperplanes, same sign-bit bucket, same cap, exact cosine. */
+  private def embedLshOracleSql(planes: Seq[Seq[Double]], threshold: Double,
+                                maxBucket: Int): String = {
+    val bucketExpr = planes.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_dot_product(v, ${sqlArray(pl)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |k AS (SELECT bucket FROM b GROUP BY bucket
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (
+       |  SELECT a.id AS id_a, b2.id AS id_b, a.v AS va, b2.v AS vb
+       |  FROM b a
+       |  JOIN k ON a.bucket = k.bucket
+       |  JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(va, vb)
+       |      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS raw
+       |  FROM cand)
+       |SELECT id_a, id_b, round(raw, 6) AS cosine FROM scored
+       |WHERE raw >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.topKIvf]]: same literal
+    * centroids, same argmax bucket assignment (ties to the higher index,
+    * matching `greatest` over (score, index) structs), same nprobe probe
+    * selection (ties to the lower index, matching a stable sort). */
+  private def ivfOracleSql(centroids: Seq[Seq[Double]], k: Int, nprobe: Int): String = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      s"list_dot_product(v, ${sqlArray(c)}) AS s$i"
+    }.mkString(",\n    ")
+    val n = centroids.length
+    val argmax = "CASE " + (n - 1 to 1 by -1).map { i =>
+      val others = (0 until i).map(j => s"s$j").mkString(", ")
+      s"WHEN s$i >= greatest($others) THEN $i"
+    }.mkString(" ") + " ELSE 0 END"
+    val centVals = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlArray(c)})" }.mkString(", ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cd AS (SELECT * FROM (VALUES $centVals) t(i, c)),
+       |qb AS (SELECT i FROM cd, q ORDER BY list_dot_product(c, qv) DESC, i LIMIT $nprobe),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |es AS (SELECT vec_id, v,
+       |    $scores
+       |  FROM e),
+       |eb AS (SELECT vec_id, v, $argmax AS bucket FROM es),
+       |scored AS (
+       |  SELECT vec_id,
+       |    list_dot_product(v, (SELECT qv FROM q))
+       |      / (sqrt(list_dot_product(v, v))
+       |         * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS raw
+       |  FROM eb WHERE bucket IN (SELECT i FROM qb))
+       |SELECT vec_id, round(raw, 6) AS score FROM scored
+       |ORDER BY raw DESC, vec_id LIMIT $k""".stripMargin
+  }
 }

@@ -2,17 +2,29 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
+import graft.functions.ExprUtils.let
+
 /** Deduplication operators for training-data pipelines.
   *
   * Scale design: every variant is a shuffle-on-key pipeline — no
-  * driver-side state, no O(n²) stage. Candidate generation always goes
-  * through a bucketing key (hash, LSH band, SimHash prefix) so the only
-  * pairwise work happens inside small buckets; at 100 TB the shuffle is
-  * the cost, and it is one hash-partitioned exchange per stage. AQE's
-  * skew-join splitting handles pathological buckets (e.g. boilerplate
-  * documents that collide massively).
+  * driver-side state, no O(n²) stage, no cached/persisted intermediates.
+  * Candidate generation always goes through a bucketing key (minhash band,
+  * SimHash chunk, hyperplane sign bucket); buckets are aggregated with a
+  * document-frequency cap (`maxBucket`), and candidate pairs are exploded
+  * from the capped member list — so pairwise work is bounded per bucket by
+  * construction and the only wide operations are hash-partitioned
+  * exchanges of narrow (id, key) rows. Verification (exact Jaccard /
+  * Hamming / cosine) runs only on candidates, pruned by a semi-join before
+  * the expensive per-document recompute.
+  *
+  * The minhash scheme is deliberately engine-portable (md5-based base hash
+  * + affine rehashes mod 2^31-1) so an independent SQL engine can replay
+  * the exact pipeline as a differential oracle.
   */
 object Dedup {
+
+  /** Modulus for the affine minhash family: 2^31-1 (Mersenne prime). */
+  val MinhashP: Long = 2147483647L
 
   /** Exact dedup by content hash: keep the smallest id per distinct key.
     * One map-side-combinable groupBy — the cheapest possible full-corpus
@@ -23,108 +35,131 @@ object Dedup {
       .groupBy("fp")
       .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
 
-  /** Token n-gram shingles of a document, distinct. */
+  /** Token n-gram shingles of a document, distinct. The token array is
+    * let-bound so the per-gram slice never re-tokenizes the text
+    * (a lambda body that closes over a non-lambda subtree re-evaluates
+    * it per element). */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(F.lower(text))
     if (n == 1) F.array_distinct(toks)
-    else {
-      val size = F.size(toks)
-      F.when(size < n, F.array(F.array_join(toks, " ")))
-        .otherwise(
-          F.array_distinct(
-            F.transform(
-              F.sequence(F.lit(0), size - n),
-              (i: Column) => F.array_join(F.slice(toks, i + 1, F.lit(n)), " ")
-            )))
+    else let(toks) { tk =>
+      F.when(F.size(tk) < n, F.array(F.array_join(tk, " ")))
+        .otherwise(F.array_distinct(F.transform(
+          F.sequence(F.lit(0), F.size(tk) - n),
+          (i: Column) => F.array_join(F.slice(tk, i + 1, F.lit(n)), " "))))
     }
   }
 
-  /** MinHash signature: for seed s, min over shingles of murmur3(shingle,
-    * s). Pure array expressions — computed per-row inside codegen, no
-    * UDF, no shuffle. */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    F.array((0 until numHashes).map { seed =>
-      F.array_min(F.transform(sh, (s: Column) => F.hash(s, F.lit(seed))))
+  /** Shingles hashed to sorted distinct 64-bit ints: set intersection on
+    * primitives, 8 bytes/element through any shuffle. Jaccard on hashed
+    * shingles equals Jaccard on raw shingles absent 64-bit collisions
+    * (~n²/2⁶⁵ per document pair — negligible). */
+  def sortedHashedShingles(text: Column, n: Int): Column =
+    F.array_sort(F.array_distinct(
+      F.transform(shingles(text, n), (s: Column) => F.xxhash64(s))))
+
+  /** Engine-portable 60-bit hash: the first 15 hex digits of md5. Any SQL
+    * engine with md5 can replay it (`('0x'||substr(md5(s),1,15))::BIGINT`),
+    * which is what makes the minhash pipeline differentially testable. */
+  def md5Hash60(s: Column): Column =
+    F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+  /** Base hash for the affine minhash family, in [0, 2^31-1). */
+  def md5BaseHash(s: Column): Column = md5Hash60(s) % MinhashP
+
+  /** Deterministic affine rehash parameters (a_i, b_i): seed hash i is
+    * `(a_i * base + b_i) mod P`. One md5 per shingle + numHashes cheap
+    * integer transforms replaces numHashes independent string hashes. */
+  def minhashAffineParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (2654435761L * (i + 1) + 104729L * i) % (MinhashP - 1) + 1
+      val b = (104729L * (i + 1) + 7919L) % MinhashP
+      (a, b)
+    }
+
+  /** LSH band keys of a document: minhash signature (numBands*rowsPerBand
+    * affine hashes, all folded in ONE pass over the shingle array) sliced
+    * into per-band keys. The whole thing is a single expression: shingle
+    * hashes and the signature are lambda-bound, so nothing is recomputed
+    * however many times the bands reference it — the structural fix for
+    * Catalyst's CollapseProject recompute hazard (no persist needed). */
+  def minhashBandKeys(text: Column, numBands: Int, rowsPerBand: Int,
+                      shingleN: Int): Column = {
+    val numHashes = numBands * rowsPerBand
+    val params = minhashAffineParams(numHashes)
+    val paramArr = F.array(params.map { case (a, b) =>
+      F.struct(F.lit(a).as("a"), F.lit(b).as("b"))
     }: _*)
+    let(F.transform(shingles(text, shingleN), (s: Column) => md5BaseHash(s))) { hs =>
+      F.aggregate(
+        hs,
+        F.array_repeat(F.lit(MinhashP), numHashes),
+        (acc: Column, h: Column) =>
+          F.zip_with(acc, paramArr, (m: Column, pr: Column) =>
+            F.least(m, (pr.getField("a") * h + pr.getField("b")) % MinhashP)),
+        (sig: Column) => F.array((0 until numBands).map { b =>
+          F.concat_ws(",",
+            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+              F.element_at(sig, i + 1).cast("string")): _*)
+        }: _*))
+    }
   }
+
+  /** All i<j pairs of an array's elements as `struct<a, b>`, preserving
+    * array order (sort the array first for id_a < id_b). Bounded by the
+    * caller's bucket cap, so the explode is at most maxBucket²/2 rows. */
+  private def elementPairs(arr: Column): Column =
+    let(arr) { v =>
+      F.flatten(F.transform(v, (a: Column, i: Column) =>
+        F.transform(F.slice(v, i + 2, F.size(v)), (b: Column) =>
+          F.struct(a.as("a"), b.as("b")))))
+    }
+
+  /** Candidate pairs from bucketed rows (`keyCols...`, `id`): ONE
+    * map-side-combinable aggregation collects each bucket's members,
+    * buckets outside [2, maxBucket] are dropped (a mega-bucket means
+    * near-identical boilerplate where pairwise output would be quadratic;
+    * at corpus scale you cap it, you don't join it), and pairs explode
+    * from the bounded member list — no self-join, no window. */
+  private[graft] def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+                                       maxBucket: Int): DataFrame =
+    banded.groupBy(keyCols.map(F.col): _*)
+      .agg(F.collect_list(F.col("id")).as("ids"))
+      .filter(F.size(F.col("ids")).between(2, maxBucket))
+      .select(F.explode(elementPairs(F.array_sort(F.col("ids")))).as("p"))
+      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle → minhash (numBands*rowsPerBand hashes) → band buckets →
-    * self-join per bucket → verify with exact Jaccard. The band
-    * explode+groupBy is the standard LSH bucket join: candidates are
-    * generated by a hash-partitioned shuffle on (band, bandHash), never by
-    * a cross join, so cost is O(n · bands) shuffle rows at any corpus
-    * size. Returns pairs (id_a < id_b) with their exact shingle Jaccard,
-    * filtered to >= threshold.
+    * shingle → md5 base hash → affine minhash signature → band keys →
+    * capped bucket aggregation → candidate pairs → exact-Jaccard verify.
+    * Cost at any corpus size: one narrow (id, band, key) shuffle for
+    * candidates, one bounded explode, and a verify join whose left side is
+    * semi-join-pruned to candidate documents before shingle sets are
+    * recomputed. Documents with no tokens are skipped (they have no
+    * shingles to hash). Returns (id_a < id_b, jaccard >= threshold).
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numBands: Int = 4, rowsPerBand: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.8,
                  maxBucket: Int = 64): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    // Shingles are hashed to 64-bit ints ONCE up front: minhash seeds,
-    // the shuffle, and the verification intersect all work on long
-    // arrays (8 bytes/element, primitive equality) instead of strings.
-    // Jaccard on hashed shingles equals Jaccard on raw shingles absent
-    // 64-bit collisions (~n²/2⁶⁵ per document pair — negligible).
-    //
-    // persist() cuts the lineage: without it Catalyst's CollapseProject
-    // inlines the tokenize+distinct expression into every minhash seed
-    // and again into the explode, recomputing it ~numHashes× per row
-    // (measured 100×+ blowup). The cached sets are also reused by the
-    // verification joins below.
-    val withSh = df.select(
+    val nonEmpty = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+    val banded = nonEmpty.select(
       F.col(idCol).as("id"),
-      F.array_sort(F.array_distinct(F.transform(shingles(F.col(textCol), shingleN),
-        (s: Column) => F.xxhash64(s)))).as("sh"))
-      .persist()
-    // All minhash seeds in ONE pass over the shingle array: fold with a
-    // numHashes-wide accumulator of running minima.
-    val seeds = F.array((0 until numHashes).map(F.lit): _*)
-    val sigs = withSh.select(
-      F.col("id"),
-      F.aggregate(F.col("sh"),
-        F.array_repeat(F.lit(Int.MaxValue), numHashes),
-        (acc: Column, s: Column) =>
-          F.zip_with(acc, seeds, (a: Column, seed: Column) =>
-            F.least(a, F.hash(s, seed)))).as("sig"))
-    val withSig = sigs.select(
-      F.col("id"),
-      F.array((0 until numBands).map { b =>
-        F.hash((b * rowsPerBand until (b + 1) * rowsPerBand).map { i =>
-          F.element_at(F.col("sig"), i + 1): Column
-        }: _*)
-      }: _*).as("bands"))
+      F.posexplode(minhashBandKeys(F.col(textCol), numBands, rowsPerBand, shingleN))
+        .as(Seq("band", "bucket")))
+    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
 
-    // Candidate generation is NARROW on purpose: only (id, band, bucket)
-    // is shuffled — shingle arrays never travel with the fan-out. Buckets
-    // larger than `maxBucket` are dropped (document-frequency cap): a
-    // mega-bucket means near-identical boilerplate where pairwise output
-    // would be quadratic; at corpus scale you cap it, you don't join it.
-    val banded = withSig.select(F.col("id"),
-        F.posexplode(F.col("bands")).as(Seq("band", "bucket")))
-    val capped = banded
-      .withColumn("n", F.count(F.lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(F.col("n") <= maxBucket)
-      .drop("n")
-
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b,
-        F.col("a.band") === F.col("b.band") &&
-        F.col("a.bucket") === F.col("b.bucket") &&
-        F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    // verify: fetch each side's shingle set once, via two joins on the
-    // (small) candidate set
-    val shA = withSh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
-    val shB = withSh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
+    val candIds = pairs.select(F.col("id_a").as("id"))
+      .union(pairs.select(F.col("id_b").as("id"))).distinct()
+    val candSh = nonEmpty
+      .join(candIds, nonEmpty(idCol) === candIds("id"), "left_semi")
+      .select(F.col(idCol).as("id"),
+        sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
+    pairs
+      .join(candSh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardSortedLongs(df)(F.col("sh_a"), F.col("sh_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -151,19 +186,15 @@ object Dedup {
   /** Brute-force n-gram Jaccard near-dup pairs within a blocking key.
     * The blocking column bounds the quadratic term: pairwise comparison
     * happens only inside one shuffle partition's bucket. Use when buckets
-    * are known-small (e.g. same source + similar length); for open-ended
-    * corpora prefer [[minhashLsh]]. */
+    * are known-small (e.g. same source + a length bucket); for open-ended
+    * corpora prefer [[minhashLsh]]. Documents with no tokens are skipped. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    // shingles hashed to longs: set intersection on primitives, and the
-    // pair join shuffles 8-byte elements instead of strings (Jaccard
-    // value unchanged absent 64-bit collisions)
-    val prepared = df.select(
+    val prepared = df.filter(F.length(F.trim(F.col(textCol))) > 0).select(
       F.col(idCol).as("id"),
       blockCol.as("block"),
-      F.array_sort(F.array_distinct(F.transform(shingles(F.col(textCol), shingleN),
-        (s: Column) => F.xxhash64(s)))).as("sh"))
+      sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
     val a = prepared.alias("a")
     val b = prepared.alias("b")
     a.join(b, F.col("a.block") === F.col("b.block") && F.col("a.id") < F.col("b.id"))
@@ -172,14 +203,18 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of a document: per-token 64-bit hashes vote ±1 on
-    * each bit; the sign of each bit's vote total forms the signature.
-    * Expressed as one `aggregate` over the token array accumulating a
-    * 64-slot vote vector — per-row, codegen'd, shuffle-free. */
-  def simhash64(text: Column): Column = {
+  /** 64-bit SimHash of a document: per-token hashes vote ±1 on each bit;
+    * the sign of each bit's vote total forms the signature. Expressed as
+    * one `aggregate` over the token array accumulating a 64-slot vote
+    * vector — per-row, shuffle-free. `tokenHash` defaults to the native
+    * xxhash64; pass [[md5Hash60]] for an engine-portable signature that a
+    * differential SQL oracle can replay bit-for-bit (its top 4 bits are
+    * then constant-zero — harmless to Hamming distances). */
+  def simhash64(text: Column,
+                tokenHash: Column => Column = (t: Column) => F.xxhash64(t)): Column = {
     val powers = F.array((0 until 64).map(i => F.lit(1L << i)): _*)
     val tokenHashes = F.transform(TextAnalysis.tokens(F.lower(text)),
-      (t: Column) => F.xxhash64(t))
+      (t: Column) => tokenHash(t))
     val votes = F.aggregate(
       tokenHashes,
       F.array_repeat(F.lit(0), 64),
@@ -195,53 +230,71 @@ object Dedup {
       (acc: Column, x: Column) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup candidates: documents sharing any 16-bit chunk of
-    * their SimHash (4 chunks → Hamming distance <= 3 guaranteed recall
-    * within chunks). Verified by exact Hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs: documents sharing any 16-bit chunk of their
+    * SimHash are candidates (4 chunks: by pigeonhole, every pair within
+    * Hamming distance 3 shares at least one untouched chunk — 100% recall
+    * at maxHamming <= 3), then exact Hamming distance <= maxHamming
+    * verifies. Buckets are capped like every LSH variant here; sigs ride
+    * along in the bucket member list (8 bytes), so no join-back is needed.
+    * Documents with no tokens are skipped. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(F.col(idCol).as("id"), simhash64(F.col(textCol)).as("sig"))
-    val chunked = withSig.select(
-      F.col("id"), F.col("sig"),
-      F.explode(F.array((0 until 4).map { c =>
-        F.struct(F.lit(c).as("chunk"),
-          F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFFL)).as("key"))
-      }: _*)).as("ck"))
-      .select(F.col("id"), F.col("sig"), F.col("ck.chunk"), F.col("ck.key"))
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    a.join(b, F.col("a.chunk") === F.col("b.chunk") &&
-              F.col("a.key") === F.col("b.key") && F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-              F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).as("hamming"))
+                   maxHamming: Int = 3, maxBucket: Int = 4096,
+                   tokenHash: Column => Column = (t: Column) => F.xxhash64(t)): DataFrame = {
+    val withSig = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+      .select(F.col(idCol).as("id"), simhash64(F.col(textCol), tokenHash).as("sig"))
+    val chunked = withSig.select(F.col("id"), F.col("sig"),
+      F.posexplode(F.array((0 until 4).map { c =>
+        F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFFL))
+      }: _*)).as(Seq("chunk", "key")))
+    chunked.groupBy("chunk", "key")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("sig"))).as("ms"))
+      .filter(F.size(F.col("ms")).between(2, maxBucket))
+      .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
+      .select(F.col("p.a.id").as("id_a"), F.col("p.b.id").as("id_b"),
+        F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(F.col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    * sign-bit bucket join, then exact cosine verify. Hyperplanes are
-    * derived deterministically from murmur3 so every executor computes
-    * identical buckets with no broadcast state. */
-  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       numPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val v = F.col(vecCol)
-    // plane p's component j = (murmur3(p, j) scaled to [-1, 1])
-    def planeComponent(p: Int): Column => Column =
-      (j: Column) => (F.hash(F.lit(p), j).cast("double") / F.lit(Int.MaxValue.toDouble))
-    val bucketBits = (0 until numPlanes).map { p =>
-      val dot = F.aggregate(
-        F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
-          (x: Column, j: Column) => x.cast("double") * planeComponent(p)(j)),
-        F.lit(0.0), (acc: Column, x: Column) => acc + x)
-      F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
-    }.reduce(_ + _)
+  /** Deterministic random hyperplanes in [-1,1]^dim (PCG-style LCG on a
+    * fixed seed). Generated driver-side as literals so (a) every executor
+    * computes identical buckets with zero broadcast state and (b) a
+    * differential SQL oracle can replay the exact bucketing. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
 
-    val bucketed = df.select(F.col(idCol).as("id"), v.as("vec"), bucketBits.as("bucket"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-              Similarity.cosine(F.col("a.vec"), F.col("b.vec")).as("cosine"))
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * sign-bit bucket (one bit per plane), capped bucket aggregation,
+    * exact-cosine verify on semi-join-pruned candidate vectors. More
+    * planes → smaller buckets and fewer-but-higher-precision candidates;
+    * pair recall at similarity s is (1 - acos(s)/π)^numPlanes per table,
+    * so run multiple plane sets (different seeds) and union for recall. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       planes: Seq[Seq[Double]], threshold: Double,
+                       maxBucket: Int = 4096): DataFrame = {
+    val v = F.col(vecCol)
+    val bucketBits = planes.zipWithIndex.map { case (pl, i) =>
+      F.when(Similarity.dot(v, F.array(pl.map(F.lit): _*)) >= 0, F.lit(1L << i))
+        .otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    val banded = df.select(F.col(idCol).as("id"), bucketBits.as("bucket"))
+    val pairs = cappedBucketPairs(banded, Seq("bucket"), maxBucket)
+
+    val candIds = pairs.select(F.col("id_a").as("id"))
+      .union(pairs.select(F.col("id_b").as("id"))).distinct()
+    val vecs = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(F.col(idCol).as("id"), v.as("vec"))
+    pairs
+      .join(vecs.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(F.col("id").as("id_b"), F.col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", Similarity.cosine(F.col("vec_a"), F.col("vec_b")))
       .filter(F.col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -19,15 +19,27 @@ object Scale {
     * `rand()`), so results are reproducible run-to-run — required by the
     * differential oracle and generally good hygiene.
     *
-    * @param aggs (valueCol → "sum" | "count" | "min" | "max")
+    * `avg` decomposes into (sum, count) partials and divides at the merge
+    * — the only way an average survives two-stage aggregation.
+    *
+    * @param aggs (valueCol → "sum" | "count" | "min" | "max" | "avg")
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String],
                 aggs: Seq[(String, String)], salts: Int = 16): DataFrame = {
     val saltCol = F.pmod(F.hash(df.columns.map(F.col): _*), F.lit(salts))
-    val partialExprs = aggs.map { case (c, how) => expr(how, c).as(s"_p_${how}_$c") }
-    val finalExprs = aggs.map { case (c, how) =>
-      val mergeHow = if (how == "count") "sum" else how
-      expr(mergeHow, s"_p_${how}_$c").as(s"${how}_$c")
+    val partialExprs = aggs.flatMap {
+      case (c, "avg") => Seq(
+        F.sum(c).as(s"_p_avgsum_$c"),
+        F.count(F.lit(1)).as(s"_p_avgcnt_$c"))
+      case (c, how) => Seq(expr(how, c).as(s"_p_${how}_$c"))
+    }
+    val finalExprs = aggs.map {
+      case (c, "avg") =>
+        (F.sum(s"_p_avgsum_$c").cast("double") / F.sum(s"_p_avgcnt_$c"))
+          .as(s"avg_$c")
+      case (c, how) =>
+        val mergeHow = if (how == "count") "sum" else how
+        expr(mergeHow, s"_p_${how}_$c").as(s"${how}_$c")
     }
     df.withColumn("_salt", saltCol)
       .groupBy((keyCols :+ "_salt").map(F.col): _*)
