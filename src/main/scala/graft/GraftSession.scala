@@ -32,6 +32,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Arithmetic overflow WRAPS (two's complement) instead of throwing:
+      // pinned to match the reference's i32 semantics (reference:
+      // tests/test_native_execution.py:13-26 asserts MAX_INT+MAX_INT==-2);
+      // Spark 4 defaults ANSI on, which would throw — SURVEY §7.1.3.
+      .config("spark.sql.ansi.enabled", "false")
       // AQE: runtime re-planning (partition coalescing, skew-join split,
       // dynamic broadcast) — essential at 100 TB where static stats lie.
       .config("spark.sql.adaptive.enabled", "true")

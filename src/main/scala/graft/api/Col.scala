@@ -109,16 +109,28 @@ object Col {
 
   private def resolveRef(ref: String, schema: StructType): (Column, DataType) = {
     // Dotted names refer to aliased tables (`u.user_id`,
-    // reference: tasks.py:127-132). Spark resolves those natively when the
-    // underlying DataFrame carries the alias, so pass the name through;
-    // for typing, fall back on the last path segment.
+    // reference: tasks.py:127-132). Spark resolves the VALUE natively via
+    // the DataFrame alias; only the inferred TYPE (used for coercion
+    // decisions) comes from this lookup. Prefer an exact-name match, then
+    // last-segment matches; if several joined tables share the segment
+    // with DIFFERING types the coercion choice would be a guess, so fail
+    // loudly instead of silently picking the first table's type.
     val fieldName = ref.split('.').last
-    val dt = schema.fields
-      .find(f => f.name == ref || f.name.equalsIgnoreCase(fieldName))
-      .map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"Column '$ref' not found in schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
-    (F.col(ref), dt)
+    val exact = schema.fields.filter(_.name == ref)
+    val candidates =
+      if (exact.nonEmpty) exact
+      else {
+        val cs = schema.fields.filter(_.name == fieldName)
+        if (cs.nonEmpty) cs else schema.fields.filter(_.name.equalsIgnoreCase(fieldName))
+      }
+    val types = candidates.map(_.dataType).distinct
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"Column '$ref' not found in schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    if (types.length > 1)
+      throw new IllegalArgumentException(
+        s"Column '$ref' is ambiguous: matches fields of types ${types.mkString(", ")}; qualify it")
+    (F.col(ref), types.head)
   }
 
   private def litNode(v: Any): (Column, DataType) = v match {

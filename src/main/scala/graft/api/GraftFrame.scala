@@ -74,7 +74,18 @@ final class GraftFrame(val df: DataFrame) {
   /** Driver-side limit while streaming results
     * (reference: execution.py:47-55). */
   def collect(limit: Int): Seq[Row] = df.take(limit).toSeq
-  def show(n: Int = 10): Unit = df.show(n, truncate = false)
+  /** Prints up to `n` rows and returns how many were printed
+    * (reference: dataframe.py:75-79 returns the row count). One job: the
+    * printed rows ARE the counted rows. */
+  def show(n: Int = 10): Int = {
+    val rows = df.take(n)
+    println(df.columns.mkString("[", " | ", "]"))
+    rows.foreach(r => println(r.toSeq.map {
+      case null => "null"
+      case v    => v.toString
+    }.mkString("[", " | ", "]")))
+    rows.length
+  }
   def count(): Long = df.count()
 
   /** Prints logical + physical plans (reference: dataframe.py:81-86). */

@@ -191,10 +191,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val prepared = df.filter(F.length(F.trim(F.col(textCol))) > 0).select(
-      F.col(idCol).as("id"),
-      blockCol.as("block"),
-      sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
+    // Repartition by block BEFORE the shingle hashing: the self-join needs
+    // a block-hashed distribution anyway, so moving the exchange first
+    // (shuffling raw text instead of shingle arrays — same order of bytes)
+    // makes the expensive per-row prep run with full cluster parallelism
+    // even when the input has few splits, and both join sides read the
+    // same exchange (computed once, not once per side).
+    val prepared = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+      .select(F.col(idCol).as("id"), blockCol.as("block"), F.col(textCol).as("_text"))
+      .repartition(F.col("block"))
+      .select(F.col("id"), F.col("block"),
+        sortedHashedShingles(F.col("_text"), shingleN).as("sh"))
     val a = prepared.alias("a")
     val b = prepared.alias("b")
     a.join(b, F.col("a.block") === F.col("b.block") && F.col("a.id") < F.col("b.id"))

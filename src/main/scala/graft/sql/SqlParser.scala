@@ -71,7 +71,10 @@ object SqlParser {
       } else if (c.isDigit) {
         val start = i
         while (i < n && (input(i).isDigit || input(i) == '.')) i += 1
-        toks += TNum(input.substring(start, i))
+        val text = input.substring(start, i)
+        if (text.count(_ == '.') > 1)
+          throw new ParseError(s"Malformed number '$text' at offset $start")
+        toks += TNum(text)
       } else if (c.isLetter || c == '_') {
         val start = i
         // dotted identifiers for table aliases (u.user_id, parser.py:60)
@@ -81,7 +84,7 @@ object SqlParser {
         else toks += TIdent(text)
       } else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
-        if (Set("!=", "<=", ">=", "<>", "//").contains(two)) { toks += TOp(two); i += 2 }
+        if (Set("==", "!=", "<=", ">=", "<>", "//").contains(two)) { toks += TOp(two); i += 2 }
         else if ("=<>+-*/%(),;&|".indexOf(c) >= 0) { toks += TOp(c.toString); i += 1 }
         else throw new ParseError(s"Unexpected character '$c' at offset $i")
       }
@@ -132,7 +135,14 @@ object SqlParser {
           while (accept(",")) gs += parseAdd()
           gs.toSeq
         } else Seq.empty
-      val having = if (accept("HAVING")) Some(parseOr()) else None
+      // HAVING is part of the group_by clause in the reference grammar
+      // (parser.py visit_query): without GROUP BY it cannot parse, so a
+      // dangling HAVING is a parse error here too (not silently dropped)
+      val having = if (accept("HAVING")) {
+        if (groupBy.isEmpty)
+          throw new ParseError("HAVING requires GROUP BY")
+        Some(parseOr())
+      } else None
       val orderBy =
         if (accept("ORDER")) {
           expectKw("BY")
@@ -282,8 +292,16 @@ object SqlParser {
     private def parsePrimary(): Col = next() match {
       case TNum(t) =>
         // int-only in the reference visitor (parser.py:352-353); floats
-        // extended per the grammar's intent (parser.py:63, SURVEY §7.1.4)
-        if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
+        // extended per the grammar's intent (parser.py:63, SURVEY §7.1.4).
+        // Integer literals in i32 range stay 32-bit so arithmetic matches
+        // the reference's wrapping i32 semantics (§7.1.3; see
+        // tests/test_native_execution.py:13-26); wider literals extend to
+        // 64-bit.
+        if (t.contains('.')) Lit(t.toDouble)
+        else t.toLong match {
+          case l if l >= Int.MinValue && l <= Int.MaxValue => Lit(l.toInt)
+          case l => Lit(l)
+        }
       case TStr(s)   => Lit(s)
       case TIdent(n) => ColRef(n)
       case TOp("(") =>

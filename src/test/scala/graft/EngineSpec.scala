@@ -108,4 +108,41 @@ class EngineSpec extends SparkSpec {
       .agg(sumCol(col("quantity")).as("s"))
     assert(rows(out.df) == Set(Seq("apple", 7L), Seq("banana", 12L)))
   }
+
+  test("i32 overflow wraps like the reference (tests/test_native_execution.py:13-26)") {
+    // (2^31-1) + (2^31-1) == -2 in wrapping 32-bit arithmetic; Spark's
+    // ANSI mode would throw, so GraftSession pins ansi.enabled=false and
+    // the dialect keeps i32-range literals 32-bit (SURVEY §7.1.3)
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+    val out = engine.sql(
+      "SELECT quantity, 2147483647 + 2147483647 AS x FROM fruits LIMIT 1")
+    assert(out.collect().head.getInt(1) == -2)
+  }
+
+  test("division by zero yields null, not an error (non-ANSI dialect semantics)") {
+    val out = engine.sql("SELECT quantity / 0 AS x FROM fruits LIMIT 1")
+    assert(out.collect().head.isNullAt(0))
+  }
+
+  test("show(n) returns the printed row count (reference dataframe.py:75-79)") {
+    assert(engine.sql("SELECT * FROM fruits").show(3) == 3)
+    assert(engine.sql("SELECT * FROM fruits").show(100) == 5)
+  }
+
+  test("RIGHT and FULL OUTER joins execute through the dialect") {
+    val right = engine.sql(
+      """SELECT o.order_id, u.name FROM orders o
+        |RIGHT JOIN users u ON o.user_id = u.user_id""".stripMargin).collect()
+    // users 4 (Dan) and 5 (Eve) have no orders -> null order_id rows
+    assert(right.length == 6)
+    assert(right.count(_.isNullAt(0)) == 2)
+
+    val full = engine.sql(
+      """SELECT u.name, o.order_id FROM users u
+        |FULL OUTER JOIN orders o ON u.user_id = o.user_id""".stripMargin).collect()
+    // order 5 references user 9 (absent) -> null name; Dan/Eve -> null order
+    assert(full.length == 7)
+    assert(full.count(_.isNullAt(0)) == 1)
+    assert(full.count(_.isNullAt(1)) == 2)
+  }
 }

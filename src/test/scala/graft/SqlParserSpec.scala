@@ -4,41 +4,139 @@ import graft.api.Col._
 import graft.sql._
 
 /** Parser unit tests by AST equality — the analog of the reference's
-  * plan-equality tests (reference: tests/test_parser.py). */
+  * plan-equality tests, construct-for-construct (reference:
+  * tests/test_parser.py, 414 LoC: select/alias/expression/where/compare/
+  * groupby/join/between coverage). */
 class SqlParserSpec extends SparkSpec {
 
-  test("select list with alias and star") {
+  // ---- select list (reference test_parser.py:18-117) ----
+
+  test("select list with alias and star (test_parser.py:18-30, 46-68)") {
     val q = SqlParser.parse("SELECT *, a AS b, x + 1 FROM 't'")
     assert(q.select(0) == SelectItem(Star, star = true))
     assert(q.select(1) == SelectItem(Alias(ColRef("a"), "b"), star = false))
-    assert(q.select(2) == SelectItem(BinOp("+", ColRef("x"), Lit(1L)), star = false))
+    assert(q.select(2) == SelectItem(BinOp("+", ColRef("x"), Lit(1)), star = false))
     assert(q.from == TableRef("t", None))
+  }
+
+  test("FROM alias with and without AS (test_parser.py:32-44)") {
+    assert(SqlParser.parse("SELECT a FROM 'users' AS u").from == TableRef("users", Some("u")))
+    assert(SqlParser.parse("SELECT a FROM 'users' u").from == TableRef("users", Some("u")))
+  }
+
+  test("dotted refs from aliased table in select list (test_parser.py:70-89)") {
+    val q = SqlParser.parse("SELECT u.name, u.age FROM 'users' u")
+    assert(q.select.map(_.expr) == Seq(ColRef("u.name"), ColRef("u.age")))
+  }
+
+  test("complex select expression nests at the right precedence (test_parser.py:105-117)") {
+    val q = SqlParser.parse("SELECT a * (b + 2) - c / 4 FROM 't'")
+    assert(q.select.head.expr ==
+      BinOp("-",
+        BinOp("*", ColRef("a"), BinOp("+", ColRef("b"), Lit(2))),
+        BinOp("/", ColRef("c"), Lit(4))))
+  }
+
+  test("keyword alias normalizes (`AS count`)") {
+    val q = SqlParser.parse("SELECT COUNT() AS count FROM 't' GROUP BY g")
+    assert(q.select.head.expr == Alias(AggCol("count", Lit(1), Some("count")), "count"))
+  }
+
+  // ---- where comparisons (reference test_parser.py:119-227) ----
+
+  test("col-value, col-col and value-col compares (test_parser.py:119-160)") {
+    assert(SqlParser.parse("SELECT a FROM 't' WHERE a > 5").where
+      .contains(BinOp(">", ColRef("a"), Lit(5))))
+    assert(SqlParser.parse("SELECT a FROM 't' WHERE a = b").where
+      .contains(BinOp("==", ColRef("a"), ColRef("b"))))
+    assert(SqlParser.parse("SELECT a FROM 't' WHERE 5 < a").where
+      .contains(BinOp("<", Lit(5), ColRef("a"))))
+  }
+
+  test("`=` and `==` both mean equality (test_parser.py:196-213)") {
+    val a = SqlParser.parse("SELECT a FROM 't' WHERE a = 1").where
+    val b = SqlParser.parse("SELECT a FROM 't' WHERE a == 1").where
+    assert(a == b && a.contains(BinOp("==", ColRef("a"), Lit(1))))
+  }
+
+  test("all six comparison operators (test_parser.py:215-227)") {
+    val cases = Seq(
+      "=" -> "==", "!=" -> "!=", "<" -> "<", "<=" -> "<=", ">" -> ">", ">=" -> ">=")
+    cases.foreach { case (src, op) =>
+      val q = SqlParser.parse(s"SELECT a FROM 't' WHERE a $src 1")
+      assert(q.where.contains(BinOp(op, ColRef("a"), Lit(1))), s"op $src")
+    }
+    // <> is an alias for !=
+    assert(SqlParser.parse("SELECT a FROM 't' WHERE a <> 1").where
+      .contains(BinOp("!=", ColRef("a"), Lit(1))))
   }
 
   test("operator precedence: OR < AND < NOT < cmp < add < mul (reference parser.py:33-56)") {
     val q = SqlParser.parse("SELECT a FROM 't' WHERE a = 1 OR b = 2 AND c < 3 + 4 * 5")
     val expected =
       BinOp("|",
-        BinOp("==", ColRef("a"), Lit(1L)),
+        BinOp("==", ColRef("a"), Lit(1)),
         BinOp("&",
-          BinOp("==", ColRef("b"), Lit(2L)),
+          BinOp("==", ColRef("b"), Lit(2)),
           BinOp("<", ColRef("c"),
-            BinOp("+", Lit(3L), BinOp("*", Lit(4L), Lit(5L))))))
+            BinOp("+", Lit(3), BinOp("*", Lit(4), Lit(5))))))
     assert(q.where.contains(expected))
+  }
+
+  test("arithmetic inside WHERE (test_parser.py:180-194)") {
+    val q = SqlParser.parse("SELECT a FROM 't' WHERE a + 1 > b * 2")
+    assert(q.where.contains(
+      BinOp(">", BinOp("+", ColRef("a"), Lit(1)), BinOp("*", ColRef("b"), Lit(2)))))
   }
 
   test("BETWEEN desugars to two inclusive comparisons (reference test_parser.py:396-414)") {
     val q = SqlParser.parse("SELECT a FROM 't' WHERE a BETWEEN 1 AND 5")
     val expected = BinOp("&",
-      BinOp("<=", Lit(1L), ColRef("a")),
-      BinOp("<=", ColRef("a"), Lit(5L)))
+      BinOp("<=", Lit(1), ColRef("a")),
+      BinOp("<=", ColRef("a"), Lit(5)))
     assert(q.where.contains(expected))
   }
 
+  // ---- grouping (reference test_parser.py:229-350) ----
+
   test("COUNT() desugars to count aliased 'count' (reference sql.py:462-464)") {
     val q = SqlParser.parse("SELECT COUNT() FROM 't' GROUP BY g")
-    assert(q.select.head.expr == AggCol("count", Lit(1L), Some("count")))
+    assert(q.select.head.expr == AggCol("count", Lit(1), Some("count")))
   }
+
+  test("aggregate of an expression (test_parser.py:282-302)") {
+    val q = SqlParser.parse("SELECT SUM(price * quantity) FROM 't' GROUP BY g")
+    assert(q.select.head.expr ==
+      AggCol("sum", BinOp("*", ColRef("price"), ColRef("quantity")), None))
+  }
+
+  test("aggregate alias (test_parser.py:304-327)") {
+    val q = SqlParser.parse("SELECT SUM(x) AS total FROM 't' GROUP BY g")
+    assert(q.select.head.expr == Alias(AggCol("sum", ColRef("x"), None), "total"))
+  }
+
+  test("GROUP BY combines with WHERE (test_parser.py:329-350)") {
+    val q = SqlParser.parse("SELECT g, SUM(x) FROM 't' WHERE x > 0 GROUP BY g")
+    assert(q.where.contains(BinOp(">", ColRef("x"), Lit(0))))
+    assert(q.groupBy == Seq(ColRef("g")))
+  }
+
+  test("HAVING and GROUP BY parse") {
+    val q = SqlParser.parse(
+      "SELECT g, SUM(x) AS s FROM 't' GROUP BY g HAVING SUM(x) > 10")
+    assert(q.groupBy == Seq(ColRef("g")))
+    assert(q.having.contains(
+      BinOp(">", AggCol("sum", ColRef("x"), None), Lit(10))))
+  }
+
+  test("HAVING without GROUP BY is a parse error (reference grammar ties HAVING to group_by)") {
+    assertThrows[ParseError](
+      SqlParser.parse("SELECT x FROM 't' HAVING SUM(y) > 10"))
+    assertThrows[ParseError](
+      SqlParser.parse("SELECT SUM(y) FROM 't' HAVING SUM(y) > 10"))
+  }
+
+  // ---- joins (reference test_parser.py:352-393) ----
 
   test("join with aliases and dotted columns (reference test_parser.py:352-393)") {
     val q = SqlParser.parse(
@@ -49,21 +147,24 @@ class SqlParserSpec extends SparkSpec {
     assert(q.joins.head.on == BinOp("==", ColRef("u.id"), ColRef("o.user_id")))
   }
 
-  test("LEFT/SEMI/ANTI join types honored (SURVEY §7.1.1 divergence)") {
+  test("LEFT/RIGHT/FULL/SEMI/ANTI join types honored (SURVEY §7.1.1 divergence)") {
     assert(SqlParser.parse("SELECT a FROM 't' LEFT JOIN 's' ON a = b")
       .joins.head.how == "left_outer")
+    assert(SqlParser.parse("SELECT a FROM 't' RIGHT JOIN 's' ON a = b")
+      .joins.head.how == "right_outer")
+    assert(SqlParser.parse("SELECT a FROM 't' FULL OUTER JOIN 's' ON a = b")
+      .joins.head.how == "full_outer")
     assert(SqlParser.parse("SELECT a FROM 't' SEMI JOIN 's' ON a = b")
       .joins.head.how == "left_semi")
     assert(SqlParser.parse("SELECT a FROM 't' ANTI JOIN 's' ON a = b")
       .joins.head.how == "left_anti")
   }
 
-  test("HAVING and GROUP BY parse") {
-    val q = SqlParser.parse(
-      "SELECT g, SUM(x) AS s FROM 't' GROUP BY g HAVING SUM(x) > 10")
-    assert(q.groupBy == Seq(ColRef("g")))
-    assert(q.having.contains(
-      BinOp(">", AggCol("sum", ColRef("x"), None), Lit(10L))))
+  // ---- literals & errors ----
+
+  test("int literals are 32-bit in i32 range, 64-bit beyond (reference i32 semantics)") {
+    assert(SqlParser.parse("SELECT 2147483647 FROM 't'").select.head.expr == Lit(2147483647))
+    assert(SqlParser.parse("SELECT 2147483648 FROM 't'").select.head.expr == Lit(2147483648L))
   }
 
   test("float literals extend the reference grammar (SURVEY §7.1.4)") {
@@ -74,9 +175,9 @@ class SqlParserSpec extends SparkSpec {
   test("floor division, modulo and unary minus parse at mul precedence") {
     val q = SqlParser.parse("SELECT a // 2 + b % 3, -c FROM 't'")
     assert(q.select(0).expr == BinOp("+",
-      BinOp("//", ColRef("a"), Lit(2L)),
-      BinOp("%", ColRef("b"), Lit(3L))))
-    assert(q.select(1).expr == BinOp("-", Lit(0L), ColRef("c")))
+      BinOp("//", ColRef("a"), Lit(2)),
+      BinOp("%", ColRef("b"), Lit(3))))
+    assert(q.select(1).expr == BinOp("-", Lit(0), ColRef("c")))
   }
 
   test("parentheses override precedence") {
@@ -95,10 +196,12 @@ class SqlParserSpec extends SparkSpec {
     assertThrows[ParseError](SqlParser.parse("SELECT FROM 't'"))
     assertThrows[ParseError](SqlParser.parse("SELECT a 't'"))
     assertThrows[ParseError](SqlParser.parse("SELECT a FROM 't' WHERE a LIKE 5"))
+    // malformed number is a ParseError, not a NumberFormatException
+    assertThrows[ParseError](SqlParser.parse("SELECT a FROM 't' WHERE a = 1.2.3"))
   }
 
   test("NOT is implemented (reference declares-but-raises, sql.py:44-45)") {
     val q = SqlParser.parse("SELECT a FROM 't' WHERE NOT a = 1")
-    assert(q.where.contains(Not(BinOp("==", ColRef("a"), Lit(1L)))))
+    assert(q.where.contains(Not(BinOp("==", ColRef("a"), Lit(1)))))
   }
 }
