@@ -9,17 +9,19 @@ import scala.io.StdIn
   * Run: `sbt "runMain graft.Shell [baseDir]"`.
   */
 object Shell {
-  def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.orElse(Some("/root/testdata/sf0.001"))
-    val spark = GraftSession.getOrCreate()
-    val engine = new Engine(spark, baseDir)
-    println(s"graft shell — tables resolve against ${baseDir.get}; end queries with ';', exit with 'exit;'")
+
+  /** The REPL loop, decoupled from stdin/stdout so it is testable: reads
+    * lines from `in`, emits output through `out`. Returns the number of
+    * queries executed (errors included — they print, like the reference's
+    * shell which never dies on a bad query, shell.py:95-99). */
+  def repl(engine: Engine, in: Iterator[String], out: String => Unit,
+           prompt: Boolean => Unit = _ => ()): Int = {
+    var executed = 0
     var running = true
     val buf = new StringBuilder
-    while (running) {
-      print(if (buf.isEmpty) "graft> " else "    -> ")
-      Console.flush()
-      val line = Option(StdIn.readLine()).getOrElse("exit;")
+    while (running && (in.hasNext || buf.nonEmpty)) {
+      prompt(buf.isEmpty)
+      val line = if (in.hasNext) in.next() else "exit;"
       buf.append(line).append('\n')
       if (line.trim.endsWith(";")) {
         val q = buf.toString().trim.stripSuffix(";").trim
@@ -30,14 +32,26 @@ object Shell {
             val frame = engine.sql(q)
             frame.explain()
             val t0 = System.nanoTime()
-            frame.show(1000)
-            println(f"(${(System.nanoTime() - t0) / 1e9}%.3f s)")
+            val n = frame.show(1000)
+            out(f"($n rows, ${(System.nanoTime() - t0) / 1e9}%.3f s)")
+            executed += 1
           } catch {
-            case e: Exception => println(s"error: ${e.getMessage}")
+            case e: Exception => out(s"error: ${e.getMessage}"); executed += 1
           }
         }
       }
     }
+    executed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.orElse(Some("/root/testdata/sf0.001"))
+    val spark = GraftSession.getOrCreate()
+    val engine = new Engine(spark, baseDir)
+    println(s"graft shell — tables resolve against ${baseDir.get}; end queries with ';', exit with 'exit;'")
+    val stdin = Iterator.continually(Option(StdIn.readLine()).getOrElse("exit;"))
+    repl(engine, stdin, println,
+      prompt = fresh => { print(if (fresh) "graft> " else "    -> "); Console.flush() })
     spark.stop()
   }
 }

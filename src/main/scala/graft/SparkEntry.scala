@@ -392,11 +392,13 @@ object SparkEntry {
             "l_quantity" -> "avg"), salts = 16)
         .withColumn("avg_l_quantity", F.round(F.col("avg_l_quantity"), 4))),
 
-    // ---- winnowing fingerprints (rows-only: xxhash64 not in DuckDB) ----
+    // ---- winnowing fingerprints (md5 gram hash → DuckDB replays the
+    //      whole winnow: grams, sliding minima, distinct count) ----
     "q45_winnow_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(
         F.col("doc_id"),
-        F.size(TextAnalysis.winnowingFingerprint(F.col("text"))).as("n_fp"))),
+        F.size(TextAnalysis.winnowingFingerprint(F.col("text"),
+          gramHash = Dedup.md5Hash60)).as("n_fp"))),
 
     // ---- RIGHT JOIN through the SQL dialect front-end (customers with
     //      no orders produce null o_orderkey rows) ----
@@ -753,6 +755,23 @@ object SparkEntry {
         |  greatest(CAST(1 AS BIGINT), CAST(floor(duration_s * 30) AS BIGINT)), 10)) AS frame_idx,
         | width, height
         |FROM d""".stripMargin,
+
+    // replays winnowingFingerprint(k=3, w=4, md5 gram hash) exactly:
+    // token 3-grams → 60-bit md5 hashes → min per 4-window → distinct
+    "q45_winnow_fp" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT) AS gr
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_transform(range(0, greatest(len(gr) - 4, 0) + 1),
+        |    i -> list_min(gr[i+1:i+4])))) AS INTEGER) AS n_fp
+        |FROM grams""".stripMargin,
 
     "q46_join_right" ->
       """SELECT o_orderkey, c_custkey

@@ -55,37 +55,56 @@ object TextStatsExpr {
   private def isPunct(c: Char): Boolean =
     c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':'
 
-  /** One pass over the string; called from generated code (static
-    * forwarder of this companion). */
+  /** Two allocation-free walks (raw string for tokens/punct, lowered
+    * string for subwords/stopwords); called from generated code (static
+    * forwarder of this companion).
+    *
+    * Lowering happens ONCE via `String.toLowerCase(Locale.ROOT)`: the
+    * locale-independent full-string lowering `F.lower` uses. Per-char
+    * `Character.toLowerCase` or default-locale lowering would diverge
+    * (Turkish dotless-ı, İ → i+combining-dot) from the composable twin
+    * and the oracle. Subword/stopword boundaries are found on the lowered
+    * string itself, exactly like `split(lower(text), ...)`. */
   def compute(input: UTF8String): InternalRow = {
     val s = input.toString
-    val n = s.length
-    var i = 0
     var nTokens = 0
-    var nSub = 0
     var nPunct = 0
-    var nStop = 0
-    var inToken = false
-    var inSub = false
-    var tokenStart = -1
-    while (i < n) {
-      val c = s.charAt(i)
-      val lc = Character.toLowerCase(c)
-      if (isPunct(c)) nPunct += 1
-      // whitespace tokens over the raw (trimmed-equivalent) string
-      if (!isWs(c)) {
-        if (!inToken) { inToken = true; nTokens += 1; tokenStart = i }
-      } else if (inToken) {
-        inToken = false
-        if (stopwords.contains(s.substring(tokenStart, i).toLowerCase)) nStop += 1
+    locally {
+      val n = s.length
+      var i = 0
+      var inToken = false
+      while (i < n) {
+        val c = s.charAt(i)
+        if (isPunct(c)) nPunct += 1
+        if (!isWs(c)) { if (!inToken) { inToken = true; nTokens += 1 } }
+        else inToken = false
+        i += 1
       }
-      // [a-z0-9] runs over the lowered text
-      val isAl = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
-      if (isAl && !inSub) { inSub = true; nSub += 1 }
-      else if (!isAl) inSub = false
-      i += 1
     }
-    if (inToken && stopwords.contains(s.substring(tokenStart, n).toLowerCase)) nStop += 1
+    val ls = s.toLowerCase(java.util.Locale.ROOT)
+    var nSub = 0
+    var nStop = 0
+    locally {
+      val n = ls.length
+      var i = 0
+      var inToken = false
+      var inSub = false
+      var tokenStart = -1
+      while (i < n) {
+        val c = ls.charAt(i)
+        if (!isWs(c)) {
+          if (!inToken) { inToken = true; tokenStart = i }
+        } else if (inToken) {
+          inToken = false
+          if (stopwords.contains(ls.substring(tokenStart, i))) nStop += 1
+        }
+        val isAl = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (isAl && !inSub) { inSub = true; nSub += 1 }
+        else if (!isAl) inSub = false
+        i += 1
+      }
+      if (inToken && stopwords.contains(ls.substring(tokenStart, n))) nStop += 1
+    }
     new GenericInternalRow(Array[Any](nTokens, nSub, nPunct, nStop))
   }
 }

@@ -112,16 +112,23 @@ object TextAnalysis {
     * the standard local-sampling fingerprint for plagiarism/overlap
     * detection. Guarantees any shared run of >= w+k-1 tokens yields at
     * least one shared fingerprint. Pure array expressions, per-row. */
-  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val toks = tokens(F.lower(text))
-    val n = F.size(toks)
-    val grams = F.transform(
-      F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-      (i: Column) => F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")))
-    val m = F.size(grams)
-    F.array_distinct(F.transform(
-      F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
-      (i: Column) => F.array_min(F.slice(grams, i + 1, F.lit(w)))))
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4,
+                           gramHash: Column => Column = (g: Column) => F.xxhash64(g)): Column = {
+    import graft.functions.ExprUtils.let
+    // let-bind the token and gram arrays: a lambda body that closes over a
+    // non-lambda subtree re-evaluates it per element, which would make
+    // this O(tokens²) in tokenizations. `gramHash` defaults to the native
+    // xxhash64; pass [[Dedup.md5Hash60]] for an engine-portable variant a
+    // differential SQL oracle can replay.
+    let(tokens(F.lower(text))) { toks =>
+      let(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        (i: Column) => gramHash(F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")))) { grams =>
+        F.array_distinct(F.transform(
+          F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
+          (i: Column) => F.array_min(F.slice(grams, i + 1, F.lit(w)))))
+      }
+    }
   }
 
   /** All text statistics as one projection — single pass over the corpus. */

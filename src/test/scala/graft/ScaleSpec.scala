@@ -92,6 +92,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LSH bucket cap bounds candidate generation under a mega-bucket corpus") {
+    // 120 copies of the same boilerplate form one mega-bucket in every
+    // band; with maxBucket=16 the cap drops it (quadratic candidate
+    // explosion capped by design), while a small 2-doc near-dup cluster
+    // still surfaces. This is the behavior that keeps LSH dedup from
+    // going O(n²) on boilerplate at corpus scale.
+    val boiler = (0 until 120).map(i =>
+      (i.toLong, "terms of service apply to all users of this site"))
+    val pair = Seq(
+      (500L, "a genuinely unique document about spark shuffles"),
+      (501L, "a genuinely unique document about spark shuffles"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    val minhash = Dedup.minhashLsh(docs, "text", "doc_id",
+      numBands = 4, rowsPerBand = 4, shingleN = 1, threshold = 0.8,
+      maxBucket = 16).collect()
+    val mhPairs = minhash.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhPairs == Set((500L, 501L))) // mega-bucket capped away, pair kept
+
+    val simhash = Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucket = 16).collect()
+    val shPairs = simhash.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs == Set((500L, 501L)))
+
+    // uncapped, the boilerplate cluster alone would emit C(120,2) = 7140
+    // pairs; the capped runs emitted exactly one
+    assert(minhash.length + simhash.length == 2)
+  }
+
+  test("embedding LSH cap drops a mega-bucket of identical vectors") {
+    val mega = (0 until 60).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f)))
+    val pair = Seq((500L, Seq(-1.0f, 0.05f, 0.0f)), (501L, Seq(-1.0f, 0.06f, 0.0f)))
+    val vecs = (mega ++ pair).toDF("vec_id", "embedding")
+    val planes = Dedup.hyperplanes(numPlanes = 6, dim = 3)
+    val out = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
+      planes, threshold = 0.9, maxBucket = 16).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((500L, 501L)))
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")

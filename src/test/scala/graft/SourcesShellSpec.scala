@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Tables
+
+/** Coverage for the IO surfaces and the shell loop that previously had no
+  * gate of any kind: merge (reference io.py:297-305 merge_files), inspect
+  * (reference examples/read_block_file.py:8-24), and the `;`-terminated
+  * REPL (reference shell.py:73-101). */
+class SourcesShellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-sources").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$d/part1.parquet")
+    Seq((3, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$d/part2.parquet")
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    d
+  }
+
+  test("merge concatenates same-schema tables (reference io.py:297-305)") {
+    val merged = Tables.merge(spark, Seq(s"$dir/part1.parquet", s"$dir/part2.parquet"))
+    assert(merged.count() == 3)
+    assert(rows(merged) == Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("inspect returns the row count (reference read_block_file.py:8-24)") {
+    assert(Tables.inspect(spark, s"$dir/part1.parquet", n = 1) == 2L)
+  }
+
+  test("shell repl: multiline ';'-terminated queries, errors don't kill the loop, exit stops it") {
+    val engine = Engine(spark, dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = Iterator(
+      "SELECT fruit, quantity FROM fruits", // multiline: no terminator yet
+      "WHERE quantity > 4;",
+      "SELECT nope FROM missing_table;",    // errors print, loop survives
+      "exit;",
+      "SELECT never_reached FROM fruits;")
+    val executed = Shell.repl(engine, input, out.append(_))
+    assert(executed == 2)
+    assert(out.exists(_.startsWith("(2 rows")))    // banana 5, banana 7
+    assert(out.exists(_.startsWith("error:")))
+    assert(!out.exists(_.contains("never_reached")))
+  }
+
+  test("shell repl with no input executes nothing and terminates") {
+    val engine = Engine(spark, dir)
+    assert(Shell.repl(engine, Iterator.empty, _ => ()) == 0)
+  }
+}
