@@ -7,6 +7,9 @@ import org.apache.spark.sql.Row
 
 /** A user event for stateful sessionization. */
 case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+/** A user event carrying a real event-time column, for watermark-driven
+  * (EventTimeTimeout) sessionization. */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 /** Open-session state carried across micro-batches. */
 case class SessionState(sessionId: Long, startUs: Long, lastTsUs: Long,
                         nEvents: Long, sumValue: Double)
@@ -97,6 +100,57 @@ object Streams {
           }
           state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** Gap-based sessionization with WATERMARK-DRIVEN session closing:
+    * unlike [[sessionizeStream]] (which closes a session only when the
+    * same user's next event arrives), an idle user's open session closes
+    * when the event-time watermark passes `lastEvent + gap` — via
+    * `GroupStateTimeout.EventTimeTimeout`, the mechanism a production
+    * pipeline needs so abandoned sessions drain instead of pinning state
+    * forever. State stays O(active users); timed-out state is removed. */
+  def sessionizeStreamEventTime(events: Dataset[TimedEvent],
+                                gap: String = "30 minutes",
+                                gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.toDF()
+      .withWatermark("ts", gap)
+      .as[TimedEvent](Encoders.product[TimedEvent])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evts: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs+gap with no new events: close + drop
+            val st = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, st.sessionId, st.nEvents,
+              st.sumValue, st.startUs, st.lastTsUs))
+          } else {
+            val sorted = evts.map(e => (e.ts.getTime * 1000L, e.value))
+              .toSeq.sortBy(_._1)
+            var st = state.getOption.getOrElse(
+              SessionState(0L, Long.MinValue, Long.MinValue, 0L, 0.0))
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { case (tsUs, value) =>
+              if (st.nEvents > 0 && tsUs - st.lastTsUs > gapUs) {
+                closed += UserSession(userId, st.sessionId, st.nEvents,
+                  st.sumValue, st.startUs, st.lastTsUs)
+                st = SessionState(st.sessionId + 1, tsUs, tsUs, 1L, value)
+              } else if (st.nEvents == 0) {
+                st = SessionState(st.sessionId, tsUs, tsUs, 1L, value)
+              } else {
+                st = st.copy(lastTsUs = tsUs,
+                  nEvents = st.nEvents + 1, sumValue = st.sumValue + value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsUs / 1000L + gapUs / 1000L)
+            closed.result().iterator
+          }
       }
   }
 

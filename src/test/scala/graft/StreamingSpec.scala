@@ -72,6 +72,63 @@ class StreamingSpec extends SparkSpec {
     assert(out((2L, 0L)) == ((1L, 8.0)))
   }
 
+  test("event-time timeout closes idle sessions when the watermark passes (EventTimeTimeout)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[TimedEvent]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Streams.sessionizeStreamEventTime(stream.toDS(),
+        gap = "1 second", gapUs = 1000000L)
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7's session: two events, then the user goes idle forever
+      stream.addData(TimedEvent(7L, t("2024-01-01 00:00:00"), 1.0),
+                     TimedEvent(7L, t("2024-01-01 00:00:00.5"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("et_sessions").count() == 0) // open, watermark at 0
+      // another USER's events advance the watermark far past 7's gap...
+      stream.addData(TimedEvent(8L, t("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      // ...and the next micro-batch fires 7's event-time timeout
+      stream.addData(TimedEvent(8L, t("2024-01-01 00:10:01"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("et_sessions").as[UserSession].collect()
+      assert(closed.exists(s =>
+        s.user_id == 7L && s.n_events == 2L && s.sum_value == 3.0))
+    } finally q.stop()
+  }
+
+  test("file-source stream through windowed agg into a parquet sink (end to end)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-fstream").toString
+    def write(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("s", "event_type", "value")
+        .select(F.col("s").cast("timestamp").as("ts"),
+          F.col("event_type"), F.col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    write(Seq(("2024-01-01 00:10:00", "click", 1.0),
+              ("2024-01-01 00:40:00", "click", 2.0)))
+    val q = Streams.toParquetSink(
+        Streams.windowedCounts(Streams.readParquetStream(spark, s"$dir/in"), "1 hour"),
+        s"$dir/out", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // sentinel files advance the watermark (1h lag) past hour 0, and the
+      // following micro-batch emits the closed window into the sink
+      write(Seq(("2024-01-01 03:00:00", "view", 4.0)))
+      q.processAllAvailable()
+      write(Seq(("2024-01-01 04:00:00", "view", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .filter(F.col("event_type") === "click").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_events") == 2L)
+    assert(out.head.getAs[Double]("sum_value") == 3.0)
+  }
+
   test("CSV ingestion with declared schema (reference utils.py:179-203)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
