@@ -279,8 +279,7 @@ object SparkEntry {
     // engine-portable md5 token hash lets DuckDB replay the signature
     "q30_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 3, maxBucket = 4096,
-        tokenHash = Dedup.md5Hash60)),
+        maxHamming = 3, maxBucket = 4096, portableHash = true)),
 
     "q31_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",

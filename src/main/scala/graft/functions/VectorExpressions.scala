@@ -65,6 +65,101 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** dot(a, b) over array<double> — the double-input twin of
+    * [[FloatVecDot]]. Inputs keep double precision end to end, so results
+    * are bit-identical to the composable `aggregate`/`zip_with` fold (and
+    * to a SQL oracle's list_dot_product over DOUBLE[]): float inputs
+    * widen exactly, double literals (e.g. LSH hyperplanes) are untouched. */
+  case class DoubleVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot_f64"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** cosine(a, b) over array<double>; see [[DoubleVecDot]]. */
+  case class DoubleVecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine_f64"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val d = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xi = $a.getDouble($i);
+           |  double yi = $b.getDouble($i);
+           |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+           |}
+           |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** cosine(a, b) over array<float>: dot/(|a||b|), 0 for zero vectors —
     * same semantics as [[graft.operators.Similarity.cosine]], one fused
     * loop computing all three accumulators. */
@@ -133,6 +228,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case _                       => Cast(e, ArrayType(FloatType))
   }
 
+  private def asDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case _                        => Cast(e, ArrayType(DoubleType))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot_f32"),
@@ -145,6 +245,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         FloatVecCosine(asFloatArray(children(0)), asFloatArray(children(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_dot_f64"),
+      new ExpressionInfo(classOf[DoubleVecDot].getName, "vec_dot_f64"),
+      (children: Seq[Expression]) =>
+        DoubleVecDot(asDoubleArray(children(0)), asDoubleArray(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine_f64"),
+      new ExpressionInfo(classOf[DoubleVecCosine].getName, "vec_cosine_f64"),
+      (children: Seq[Expression]) =>
+        DoubleVecCosine(asDoubleArray(children(0)), asDoubleArray(children(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       (children: Seq[Expression]) => TextStatsExpr(children.head)))
@@ -152,6 +262,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => JaccardSortedExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        val portable = children.lift(1) match {
+          case None => false
+          case Some(e) if e.foldable => e.eval().asInstanceOf[Boolean]
+          case Some(other) => throw new IllegalArgumentException(
+            s"simhash64 portable flag must be a literal, got: $other")
+        }
+        SimHashExpr(Cast(children.head, StringType), portable)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),

@@ -243,12 +243,22 @@ object Dedup {
     * at maxHamming <= 3), then exact Hamming distance <= maxHamming
     * verifies. Buckets are capped like every LSH variant here; sigs ride
     * along in the bucket member list (8 bytes), so no join-back is needed.
-    * Documents with no tokens are skipped. */
+    * Documents with no tokens are skipped.
+    *
+    * Signatures come from the native one-pass [[graft.functions.SimHashExpr]]
+    * when the session carries the extensions (composable fallback is
+    * bit-identical). `portableHash = true` uses the md5-based token hash a
+    * differential SQL oracle can replay. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 4096,
-                   tokenHash: Column => Column = (t: Column) => F.xxhash64(t)): DataFrame = {
+                   portableHash: Boolean = false): DataFrame = {
+    val sigExpr =
+      if (df.sparkSession.catalog.functionExists("simhash64"))
+        F.call_function("simhash64", F.col(textCol), F.lit(portableHash))
+      else if (portableHash) simhash64(F.col(textCol), (t: Column) => md5Hash60(t))
+      else simhash64(F.col(textCol))
     val withSig = df.filter(F.length(F.trim(F.col(textCol))) > 0)
-      .select(F.col(idCol).as("id"), simhash64(F.col(textCol), tokenHash).as("sig"))
+      .select(F.col(idCol).as("id"), sigExpr.as("sig"))
     val chunked = withSig.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until 4).map { c =>
         F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFFL))
@@ -286,8 +296,16 @@ object Dedup {
                        planes: Seq[Seq[Double]], threshold: Double,
                        maxBucket: Int = 4096): DataFrame = {
     val v = F.col(vecCol)
+    // native fused-loop f64 dot/cosine when available — double precision
+    // end to end, bit-identical to the composable fold (and so to the
+    // DuckDB replay oracle); float embeddings widen exactly
+    val native = df.sparkSession.catalog.functionExists("vec_dot_f64")
+    def dotD(a: Column, b: Column): Column =
+      if (native) F.call_function("vec_dot_f64", a, b) else Similarity.dot(a, b)
+    def cosD(a: Column, b: Column): Column =
+      if (native) F.call_function("vec_cosine_f64", a, b) else Similarity.cosine(a, b)
     val bucketBits = planes.zipWithIndex.map { case (pl, i) =>
-      F.when(Similarity.dot(v, F.array(pl.map(F.lit): _*)) >= 0, F.lit(1L << i))
+      F.when(dotD(v, F.array(pl.map(F.lit): _*)) >= 0, F.lit(1L << i))
         .otherwise(F.lit(0L))
     }.reduce(_ + _)
     val banded = df.select(F.col(idCol).as("id"), bucketBits.as("bucket"))
@@ -300,7 +318,7 @@ object Dedup {
     pairs
       .join(vecs.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), "id_a")
       .join(vecs.select(F.col("id").as("id_b"), F.col("vec").as("vec_b")), "id_b")
-      .withColumn("cosine", Similarity.cosine(F.col("vec_a"), F.col("vec_b")))
+      .withColumn("cosine", cosD(F.col("vec_a"), F.col("vec_b")))
       .filter(F.col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

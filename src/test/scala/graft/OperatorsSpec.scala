@@ -105,6 +105,24 @@ class OperatorsSpec extends SparkSpec {
     assert(viaSql.getDouble(0) == r(0).getDouble(0))
   }
 
+  test("native f64 dot/cosine match the composable double-precision fold bit-for-bit") {
+    // float column against a double literal array — the embedding-LSH
+    // shape, where keeping double precision end to end is what makes the
+    // native route oracle-equivalent
+    val emb = Seq((0L, Seq(0.3f, -0.7f, 0.64f)), (1L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a")
+    val plane = F.array(F.lit(0.123456789012345), F.lit(-0.987654321098765), F.lit(0.5))
+    val r = emb.select(
+      Similarity.dot(F.col("a"), plane).as("dc"),
+      F.call_function("vec_dot_f64", F.col("a"), plane).as("dn"),
+      Similarity.cosine(F.col("a"), plane).as("cc"),
+      F.call_function("vec_cosine_f64", F.col("a"), plane).as("cn")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+  }
+
   test("native text_stats matches the composable text analysis exactly") {
     val cases = docs.union(Seq(
       (10L, ""), (11L, "   "), (12L, "one"), (13L, "a.b,c!d?e;f:g"),
@@ -210,6 +228,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length == 2)
     val h0 = out.find(_.getAs[Long]("n_events") == 2).get
     assert(h0.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("native simhash64 matches the composable route bit-for-bit (both hash modes)") {
+    val tricky = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "  leading and trailing spaces  "),
+      (2L, "\tleading tab makes an empty first token"),
+      (3L, "MiXeD Case TEXT, with. punctuation!"),
+      (4L, "single"),
+      (5L, "multi   internal    runs"),
+      (6L, "")
+    ).toDF("id", "text")
+    // the declarative twin only tokenizes non-empty text the same way the
+    // native walk does; compare on all rows (empty text -> sig 0 native,
+    // and the aggregate over an empty token array -> 0 declaratively)
+    val cmp = tricky.select(
+      F.col("id"),
+      F.call_function("simhash64", F.col("text"), F.lit(false)).as("native_xx"),
+      Dedup.simhash64(F.col("text")).as("decl_xx"),
+      F.call_function("simhash64", F.col("text"), F.lit(true)).as("native_md5"),
+      Dedup.simhash64(F.col("text"),
+        (t: org.apache.spark.sql.Column) => Dedup.md5Hash60(t)).as("decl_md5"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"xxhash mode diverged for id ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"md5 mode diverged for id ${r.getLong(0)}")
+    }
   }
 
   test("topKPerProbe bounded heap matches a full sort and never windows the corpus") {
