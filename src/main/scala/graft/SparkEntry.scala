@@ -551,16 +551,16 @@ object SparkEntry {
         | min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // trim-empty guard: Spark-side tokens('') is the empty array, but a
-    // bare regexp_split of '' yields [''] in DuckDB (1 token) — the CASE
-    // keeps both sides at 0 for empty/whitespace-only documents
+    // tokens are NON-EMPTY whitespace runs on both sides: a bare
+    // regexp_split yields empty strings for empty/tab-led/trailing-ws
+    // text in DuckDB, so token counts filter them exactly like
+    // TextAnalysis.tokens does
     "q23_token_stats" ->
       """WITH d AS (SELECT doc_id, text,
-        |  CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-        |  CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |         x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) END AS n_sw
+        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
         | FROM documents)
         |SELECT doc_id, n_tok AS n_tokens,
         | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -571,11 +571,10 @@ object SparkEntry {
 
     "q24_quality" ->
       """WITH d AS (SELECT doc_id, text,
-        |  CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-        |  CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |         x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) END AS n_sw
+        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
         | FROM documents)
         |SELECT doc_id, round((
         |  least(n_tok / 100.0, 1.0)
@@ -614,13 +613,16 @@ object SparkEntry {
 
     "q28_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
-        |  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks,
-        |  len(regexp_split_to_array(trim(text), '\s+')) // 32 AS len_bucket
-        | FROM documents WHERE trim(text) <> '')
+        |  list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |    x -> len(x) > 0) AS toks,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) // 32 AS len_bucket
+        | FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(toks) > 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM t a JOIN t b
+        |FROM t2 a JOIN t2 b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -630,9 +632,11 @@ object SparkEntry {
       numBands = 4, rowsPerBand = 8, threshold = 0.8, maxBucket = 64),
 
     "q30_simhash_pairs" ->
-      """WITH d AS (SELECT doc_id AS id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents WHERE trim(text) <> ''),
+      """WITH d0 AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT * FROM d0 WHERE len(toks) > 0),
         |tok AS (SELECT id, unnest(toks) AS t FROM d),
         |th AS (SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
         |votes AS (SELECT id, bits.b AS bit,
@@ -759,8 +763,8 @@ object SparkEntry {
     // token 3-grams → 60-bit md5 hashes → min per 4-window → distinct
     "q45_winnow_fp" ->
       """WITH t AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
         |grams AS (SELECT doc_id,
@@ -803,10 +807,12 @@ object SparkEntry {
         .map(i => s"m$i").mkString(", ")
       s"SELECT id, $b AS band, concat_ws(',', $cols) AS key FROM m"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (
+    s"""WITH d0 AS (
        |  SELECT doc_id AS id,
-       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
-       |  FROM documents WHERE trim(text) <> ''),
+       |    list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+       |      x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |d AS (SELECT * FROM d0 WHERE len(toks) > 0),
        |h AS (
        |  SELECT id,
        |    list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P) AS hs

@@ -45,18 +45,14 @@ object SimHashExpr {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** Replicates `split(trim(lower(text)), "\\s+")` exactly: trim strips
-    * SPACES only (like `F.trim`), a leading non-space whitespace run
-    * yields one empty first token (Java split semantics), non-ws runs are
-    * the tokens. Each token hash votes ±1 per bit; sign of the totals is
-    * the signature. Called from generated code. */
+  /** Replicates `TextAnalysis.tokens(lower(text))` exactly: tokens are
+    * maximal non-whitespace runs (never empty). Each token hash votes ±1
+    * per bit; sign of the totals is the signature. Called from generated
+    * code. */
   def compute(input: UTF8String, portable: Boolean): Long = {
     val bytes = input.toLowerCase.getBytes
-    var start = 0
-    var end = bytes.length
-    while (start < end && bytes(start) == ' ') start += 1
-    while (end > start && bytes(end - 1) == ' ') end -= 1
-    if (start == end) return 0L // no tokens at all (empty after trim)
+    val start = 0
+    val end = bytes.length
 
     val votes = new Array[Int](64)
     def vote(h: Long): Unit = {
@@ -81,7 +77,6 @@ object SimHashExpr {
       }
 
     var i = start
-    if (isWs(bytes(i))) vote(hashSlice(i, 0)) // leading ws run -> "" token
     while (i < end) {
       while (i < end && isWs(bytes(i))) i += 1
       if (i < end) {

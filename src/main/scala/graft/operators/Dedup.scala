@@ -144,15 +144,16 @@ object Dedup {
                  numBands: Int = 4, rowsPerBand: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.8,
                  maxBucket: Int = 64): DataFrame = {
-    val nonEmpty = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+    val nonEmpty = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
     val banded = nonEmpty.select(
       F.col(idCol).as("id"),
       F.posexplode(minhashBandKeys(F.col(textCol), numBands, rowsPerBand, shingleN))
         .as(Seq("band", "bucket")))
     val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
 
-    val candIds = pairs.select(F.col("id_a").as("id"))
-      .union(pairs.select(F.col("id_b").as("id"))).distinct()
+    val candIds = pairs
+      .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
+      .distinct() // one reference to the pairs subplan, not a two-branch union
     val candSh = nonEmpty
       .join(candIds, nonEmpty(idCol) === candIds("id"), "left_semi")
       .select(F.col(idCol).as("id"),
@@ -197,7 +198,7 @@ object Dedup {
     // makes the expensive per-row prep run with full cluster parallelism
     // even when the input has few splits, and both join sides read the
     // same exchange (computed once, not once per side).
-    val prepared = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+    val prepared = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
       .select(F.col(idCol).as("id"), blockCol.as("block"), F.col(textCol).as("_text"))
       .repartition(F.col("block"))
       .select(F.col("id"), F.col("block"),
@@ -257,7 +258,7 @@ object Dedup {
         F.call_function("simhash64", F.col(textCol), F.lit(portableHash))
       else if (portableHash) simhash64(F.col(textCol), (t: Column) => md5Hash60(t))
       else simhash64(F.col(textCol))
-    val withSig = df.filter(F.length(F.trim(F.col(textCol))) > 0)
+    val withSig = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
       .select(F.col(idCol).as("id"), sigExpr.as("sig"))
     val chunked = withSig.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until 4).map { c =>
@@ -311,8 +312,9 @@ object Dedup {
     val banded = df.select(F.col(idCol).as("id"), bucketBits.as("bucket"))
     val pairs = cappedBucketPairs(banded, Seq("bucket"), maxBucket)
 
-    val candIds = pairs.select(F.col("id_a").as("id"))
-      .union(pairs.select(F.col("id_b").as("id"))).distinct()
+    val candIds = pairs
+      .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
+      .distinct() // one reference to the pairs subplan, not a two-branch union
     val vecs = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(F.col(idCol).as("id"), v.as("vec"))
     pairs

@@ -13,10 +13,13 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text; empty string → empty array. */
+  /** Whitespace tokens: maximal non-whitespace runs — never an empty
+    * token. The filter (not just trim) matters: `F.trim` strips SPACES
+    * only, so tab/newline-led text would otherwise yield an empty first
+    * token from the regex split (and an empty array for empty text falls
+    * out naturally: split('') = [''] → filtered away). */
   def tokens(text: Column): Column =
-    F.when(F.length(F.trim(text)) === 0, F.array().cast("array<string>"))
-      .otherwise(F.split(F.trim(text), "\\s+"))
+    F.filter(F.split(F.trim(text), "\\s+"), (t: Column) => F.length(t) > 0)
 
   def tokenCount(text: Column): Column = F.size(tokens(text))
 
