@@ -60,15 +60,21 @@ object Bench {
     val stageJson = new StringBuilder("{")
     val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
+      // isolate queries from each other's garbage: ~60 query executions
+      // accumulate heap pressure that taxes whichever query runs last
+      System.gc()
       execTime(fn(spark, sfDir)) // warmup (not reported)
       tracer.drain()             // attribute stages to the timed run only
+      // medians, not single runs: JVM/scheduler noise at sub-second scale
+      // is ±0.15s and single samples of fixed queries vary up to 5x
       val secs =
         if (name == "q06_q1_flagship") {
-          // median of 5: single-run JVM noise at this scale is ±0.15s,
-          // which would dominate the number of record
           val runs = (1 to 5).map(_ => execTime(fn(spark, sfDir))).sorted
           runs(2)
-        } else execTime(fn(spark, sfDir))
+        } else {
+          val runs = (1 to 3).map(_ => execTime(fn(spark, sfDir))).sorted
+          runs(1)
+        }
       val stages = tracer.drain()
       if (i > 0) stageJson.append(",")
       stageJson.append(s""""$name":[${stages.map(_.toJson).mkString(",")}]""")

@@ -1,0 +1,62 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared engine-portable hashing: the first 60 bits (15 hex digits) of
+  * md5, the hash any SQL engine can replay
+  * (`('0x'||substr(md5(s),1,15))::BIGINT`).
+  *
+  * The digest instance is THREAD-LOCAL: `MessageDigest.getInstance` per
+  * value costs ~10µs of provider lookup and serializes under many-core
+  * contention (measured: a 32-task stage spent 24s of cpu where the
+  * hashing itself was worth ~1s). One instance per executor thread,
+  * reset by `digest()` itself, removes both costs.
+  */
+object PortableHash {
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes[off, off+len)): 7 full bytes + the high
+    * nibble of byte 7, matching the hex-prefix parse exactly. */
+  def md5Hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val digest = md.get()
+    digest.update(bytes, off, len)
+    val d = digest.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  def md5Hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    md5Hash60(b, 0, b.length)
+  }
+}
+
+/** `md5_hash60(str)` — native form of
+  * [[graft.operators.Dedup.md5Hash60]]: same value as
+  * `conv(substr(md5(s),1,15),16,10)` without the hex-string round-trip or
+  * the per-call digest lookup (thread-local digest, one codegen'd static
+  * call). The minhash pipeline's base hash runs through this when the
+  * session carries [[GraftExtensions]]. */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.md5Hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash.md5Hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

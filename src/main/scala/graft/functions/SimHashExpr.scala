@@ -63,18 +63,8 @@ object SimHashExpr {
       }
     }
     def hashSlice(off: Int, len: Int): Long =
-      if (portable) {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.update(bytes, off, len)
-        val d = md.digest()
-        // first 15 hex digits = 7 full bytes + the high nibble of byte 7
-        var v = 0L
-        var i = 0
-        while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-        (v << 4) | ((d(7) >> 4) & 0xFL)
-      } else {
-        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, 42L)
-      }
+      if (portable) PortableHash.md5Hash60(bytes, off, len)
+      else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, 42L)
 
     var i = start
     while (i < end) {

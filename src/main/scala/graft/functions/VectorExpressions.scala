@@ -263,6 +263,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => JaccardSortedExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBandsExpr].getName, "minhash_bands"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_bands $what must be a literal, got: $other")
+        }
+        MinhashBandsExpr(Cast(children(0), StringType),
+          lit(children(1), "numBands"), lit(children(2), "rowsPerBand"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5_hash60"),
+      (children: Seq[Expression]) =>
+        Md5Hash60Expr(Cast(children.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (children: Seq[Expression]) => {

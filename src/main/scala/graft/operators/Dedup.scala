@@ -84,13 +84,14 @@ object Dedup {
     * however many times the bands reference it — the structural fix for
     * Catalyst's CollapseProject recompute hazard (no persist needed). */
   def minhashBandKeys(text: Column, numBands: Int, rowsPerBand: Int,
-                      shingleN: Int): Column = {
+                      shingleN: Int,
+                      baseHash: Column => Column = md5BaseHash): Column = {
     val numHashes = numBands * rowsPerBand
     val params = minhashAffineParams(numHashes)
     val paramArr = F.array(params.map { case (a, b) =>
       F.struct(F.lit(a).as("a"), F.lit(b).as("b"))
     }: _*)
-    let(F.transform(shingles(text, shingleN), (s: Column) => md5BaseHash(s))) { hs =>
+    let(F.transform(shingles(text, shingleN), (s: Column) => baseHash(s))) { hs =>
       F.aggregate(
         hs,
         F.array_repeat(F.lit(MinhashP), numHashes),
@@ -103,6 +104,18 @@ object Dedup {
               F.element_at(sig, i + 1).cast("string")): _*)
         }: _*))
     }
+  }
+
+  /** Round-robin repartition to full parallelism, but ONLY when the input
+    * has markedly fewer splits than the session's shuffle width (e.g. one
+    * unsplittable row group, a handful of gzip'd shards — common for raw
+    * corpus drops). The expensive per-document signature work downstream
+    * then uses every core. At scale a parquet corpus already has more
+    * splits than cores, the condition is false, and no exchange is added
+    * — the narrow (id, key) explode stays the only shuffle. */
+  private def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** All i<j pairs of an array's elements as `struct<a, b>`, preserving
@@ -144,11 +157,25 @@ object Dedup {
                  numBands: Int = 4, rowsPerBand: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.8,
                  maxBucket: Int = 64): DataFrame = {
-    val nonEmpty = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
-    val banded = nonEmpty.select(
+    val nonEmpty = df.filter(F.col(textCol).rlike("\\S"))
+    // native one-pass banding for unigram shingles; otherwise the
+    // composable fold with the thread-local-digest base hash when
+    // available (same values in every combination — parity-spec'd)
+    val catalog = df.sparkSession.catalog
+    val bandKeysExpr =
+      if (shingleN == 1 && catalog.functionExists("minhash_bands"))
+        F.call_function("minhash_bands", F.col(textCol),
+          F.lit(numBands), F.lit(rowsPerBand))
+      else {
+        val baseHash: Column => Column =
+          if (catalog.functionExists("md5_hash60"))
+            (c: Column) => F.call_function("md5_hash60", c) % MinhashP
+          else md5BaseHash
+        minhashBandKeys(F.col(textCol), numBands, rowsPerBand, shingleN, baseHash)
+      }
+    val banded = spreadForCompute(nonEmpty).select(
       F.col(idCol).as("id"),
-      F.posexplode(minhashBandKeys(F.col(textCol), numBands, rowsPerBand, shingleN))
-        .as(Seq("band", "bucket")))
+      F.posexplode(bandKeysExpr).as(Seq("band", "bucket")))
     val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
 
     val candIds = pairs
@@ -198,7 +225,7 @@ object Dedup {
     // makes the expensive per-row prep run with full cluster parallelism
     // even when the input has few splits, and both join sides read the
     // same exchange (computed once, not once per side).
-    val prepared = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
+    val prepared = df.filter(F.col(textCol).rlike("\\S"))
       .select(F.col(idCol).as("id"), blockCol.as("block"), F.col(textCol).as("_text"))
       .repartition(F.col("block"))
       .select(F.col("id"), F.col("block"),
@@ -258,12 +285,21 @@ object Dedup {
         F.call_function("simhash64", F.col(textCol), F.lit(portableHash))
       else if (portableHash) simhash64(F.col(textCol), (t: Column) => md5Hash60(t))
       else simhash64(F.col(textCol))
-    val withSig = df.filter(F.size(TextAnalysis.tokens(F.col(textCol))) > 0)
-      .select(F.col(idCol).as("id"), sigExpr.as("sig"))
-    val chunked = withSig.select(F.col("id"), F.col("sig"),
-      F.posexplode(F.array((0 until 4).map { c =>
-        F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFFL))
-      }: _*)).as(Seq("chunk", "key")))
+    // sig is let-bound and feeds the generator ONCE: a naive
+    // select(sig, posexplode(array(chunks-of-sig))) lets CollapseProject
+    // inline the whole signature computation 5x per row (sig + 4 chunks)
+    val chunked = spreadForCompute(
+        df.filter(F.col(textCol).rlike("\\S")))
+      .select(F.col(idCol).as("id"),
+        F.posexplode(let(sigExpr) { sg =>
+          F.array((0 until 4).map { c =>
+            F.struct(
+              F.shiftrightunsigned(sg, c * 16).bitwiseAND(F.lit(0xFFFFL)).as("key"),
+              sg.as("sig"))
+          }: _*)
+        }).as(Seq("chunk", "ck")))
+      .select(F.col("id"), F.col("ck.sig").as("sig"),
+        F.col("chunk"), F.col("ck.key").as("key"))
     chunked.groupBy("chunk", "key")
       .agg(F.collect_list(F.struct(F.col("id"), F.col("sig"))).as("ms"))
       .filter(F.size(F.col("ms")).between(2, maxBucket))

@@ -257,6 +257,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native minhash_bands matches the composable band keys exactly") {
+    val tricky = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the the the repeated tokens collapse in the minima"),
+      (2L, "  spaced   out   tokens  "),
+      (3L, "MiXeD Case normalizes"),
+      (4L, "single")
+    ).toDF("id", "text")
+    val cmp = tricky.select(
+      F.col("id"),
+      F.call_function("minhash_bands", F.col("text"), F.lit(4), F.lit(8)).as("native"),
+      Dedup.minhashBandKeys(F.col("text"), 4, 8, shingleN = 1).as("composable"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"band keys diverged for id ${r.getLong(0)}")
+    }
+    // and the md5_hash60 native base hash equals the conv-route value
+    val h = tricky.select(
+      F.call_function("md5_hash60", F.col("text")).as("n"),
+      Dedup.md5Hash60(F.col("text")).as("c")).collect()
+    h.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("topKPerProbe bounded heap matches a full sort and never windows the corpus") {
     val emb = (0L until 60L)
       .map(i => (i, Seq((i % 7).toFloat + 0.1f, (i % 3).toFloat, 1.0f)))
