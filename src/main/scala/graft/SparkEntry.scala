@@ -411,7 +411,22 @@ object SparkEntry {
       t(s, dir, "customer").filter(F.col("c_custkey") < 500)
         .join(t(s, dir, "orders").filter(F.col("o_totalprice") > 400000),
           F.col("c_custkey") === F.col("o_custkey"), "full")
-        .select("c_custkey", "o_orderkey", "o_totalprice"))
+        .select("c_custkey", "o_orderkey", "o_totalprice")),
+
+    // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
+    //      hive-partitioned by IVF bucket, probe reads only its buckets'
+    //      files (PartitionFilters, not a runtime filter) ----
+    "q48_knn_ivf_part" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.abs}"
+      Similarity.writeIvfBucketed(emb, "embedding", ivfCentroids, path)
+      Similarity.topKIvfBucketed(s, path, "embedding", "vec_id", q,
+          ivfCentroids, k = 10, nprobe = 2)
+        .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,6 +672,10 @@ object SparkEntry {
       planes = q31Planes, threshold = 0.3, maxBucket = 4096),
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    // same algorithm as q33, different execution path (partition-pruned
+    // scan over the bucketed layout) — same oracle by construction
+    "q48_knn_ivf_part" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
 
     "q32_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

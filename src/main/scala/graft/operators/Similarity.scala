@@ -106,20 +106,54 @@ object Similarity {
     F.greatest(scored: _*).getField("i")
   }
 
+  /** The query's `nprobe` closest centroids by dot product (driver-side
+    * over literal centroids; ties keep the lower index — stable sort). */
+  def probeBuckets(query: Seq[Double], centroids: Seq[Seq[Double]],
+                   nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (x, y) => x * y }.sum, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+
   /** ANN top-k with IVF pruning: score only the corpus rows whose bucket
     * matches one of the query's `nprobe` best buckets. At 100 TB, write
-    * the corpus partitioned by `bucket` so this becomes partition pruning
-    * at the parquet-scan level (the filter below pushes down to the
-    * scan). Falls back to exact within the probed buckets.
+    * the corpus partitioned by `bucket` ([[writeIvfBucketed]]) so this
+    * becomes partition pruning at the parquet-scan level
+    * ([[topKIvfBucketed]]). Falls back to exact within the probed buckets.
     */
   def topKIvf(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], centroids: Seq[Seq[Double]],
               k: Int, nprobe: Int = 2): DataFrame = {
-    val queryBuckets = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(query).map { case (x, y) => x * y }.sum, i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
     val q = F.array(query.map(F.lit): _*)
     df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .filter(F.col("bucket").isin(queryBuckets: _*))
+      .select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Stage a corpus hive-partitioned by IVF bucket: the one-time layout
+    * investment that turns every subsequent ANN query's bucket filter
+    * into partition PRUNING — probed buckets' files are the only files
+    * listed, opened or read. This is the 100 TB serving path: nprobe/n of
+    * the corpus touched per query, enforced by the storage layout rather
+    * than a runtime filter. */
+  def writeIvfBucketed(df: DataFrame, vecCol: String,
+                       centroids: Seq[Seq[Double]], path: String): Unit =
+    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Exact top-k within the probed buckets of a [[writeIvfBucketed]]
+    * corpus. The `bucket` predicate matches only partition directories
+    * (check the scan's `PartitionFilters` — non-probed buckets are never
+    * read), and the scan itself prunes to (id, vec) columns. */
+  def topKIvfBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      vecCol: String, idCol: String,
+                      query: Seq[Double], centroids: Seq[Seq[Double]],
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
+    val q = F.array(query.map(F.lit): _*)
+    spark.read.parquet(path)
       .filter(F.col("bucket").isin(queryBuckets: _*))
       .select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
       .orderBy(F.col("score").desc, F.col(idCol).asc)

@@ -230,6 +230,29 @@ class OperatorsSpec extends SparkSpec {
     assert(h0.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("bucketed IVF layout prunes partitions and matches the in-flight variant") {
+    val emb = (0L until 40L)
+      .map(i => (i, Seq((i % 5).toFloat - 2f, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0), Seq(0.0, -1.0, 0.0))
+    val query = Seq(1.0, 0.5, 0.5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
+    Similarity.writeIvfBucketed(emb, "embedding", centroids, path)
+
+    val bucketed = Similarity.topKIvfBucketed(spark, path, "embedding", "vec_id",
+      query, centroids, k = 5, nprobe = 2)
+    val inflight = Similarity.topKIvf(emb, "embedding", "vec_id",
+      query, centroids, k = 5, nprobe = 2)
+    assert(bucketed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inflight.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // the bucket predicate must prune at the PARTITION level — directory
+    // listing, not a post-scan filter
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("native simhash64 matches the composable route bit-for-bit (both hash modes)") {
     val tricky = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
