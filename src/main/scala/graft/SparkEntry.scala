@@ -413,6 +413,34 @@ object SparkEntry {
           F.col("c_custkey") === F.col("o_custkey"), "full")
         .select("c_custkey", "o_orderkey", "o_totalprice")),
 
+    // ---- TPC-H Q3 shape (shipping priority) through the SQL dialect:
+    //      3-way join + multi-key grouping + alias ORDER BY + LIMIT ----
+    "q49_sql_tpch_q3" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l.l_orderkey AS l_orderkey,
+          |  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue_raw,
+          |  o.o_orderpriority AS o_orderpriority
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |  AND o.o_orderdate < '1996-06-01'
+          |  AND l.l_shipdate > '1996-06-01'
+          |GROUP BY l.l_orderkey, o.o_orderpriority
+          |ORDER BY revenue_raw DESC, l_orderkey LIMIT 10""".stripMargin).df
+        .withColumn("revenue", F.round(F.col("revenue_raw"), 4))
+        .drop("revenue_raw")),
+
+    // ---- TPC-H Q6 shape (forecast revenue) through the SQL dialect:
+    //      global aggregate, BETWEEN on doubles, timestamp compares ----
+    "q50_sql_tpch_q6" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT SUM(l_extendedprice * l_discount) AS revenue_raw
+          |FROM lineitem
+          |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin).df
+        .select(F.round(F.col("revenue_raw"), 4).as("revenue"))),
+
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
     //      hive-partitioned by IVF bucket, probe reads only its buckets'
     //      files (PartitionFilters, not a runtime filter) ----
@@ -676,6 +704,27 @@ object SparkEntry {
     // same algorithm as q33, different execution path (partition-pruned
     // scan over the bucketed layout) — same oracle by construction
     "q48_knn_ivf_part" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    "q49_sql_tpch_q3" ->
+      """WITH g AS (
+        |  SELECT l.l_orderkey, o.o_orderpriority,
+        |    sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue_raw
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1996-06-01'
+        |    AND l.l_shipdate > TIMESTAMP '1996-06-01'
+        |  GROUP BY l.l_orderkey, o.o_orderpriority)
+        |SELECT l_orderkey, o_orderpriority, round(revenue_raw, 4) AS revenue
+        |FROM g ORDER BY revenue_raw DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q50_sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q32_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
