@@ -154,6 +154,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: match each left event with right events
+    * for the same key whose event time falls in
+    * `[leftTs - lookback, leftTs]` — the streaming twin of a bounded as-of
+    * window (attribution: click ← purchases within the last N minutes).
+    * Both sides are watermarked, so Spark bounds the join state buffers:
+    * a right row is dropped once the left watermark passes its timestamp
+    * plus the lookback, and vice versa — state is O(events in the
+    * lookback window), not O(stream). Columns are prefixed `l_`/`r_`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => F.col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => F.col(c).as(s"r_$c")): _*)
+    l.join(r,
+      F.col(s"l_$keyCol") === F.col(s"r_$keyCol") &&
+        F.col(s"r_$tsCol") <= F.col(s"l_$tsCol") &&
+        F.col(s"r_$tsCol") >= F.col(s"l_$tsCol") - F.expr(s"INTERVAL $lookback"))
+  }
+
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
   def readParquetStream(spark: SparkSession, path: String): DataFrame = {

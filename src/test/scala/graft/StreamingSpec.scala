@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("stream-stream interval join matches within the lookback window only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, Double)]
+    val views = MemoryStream[(Long, String, Double)]
+    def df(m: MemoryStream[(Long, String, Double)]) = m.toDF()
+      .select(F.col("_1").as("user_id"),
+        F.col("_2").cast("timestamp").as("ts"), F.col("_3").as("value"))
+    val joined = Streams.intervalJoin(df(clicks), df(views), "user_id", "ts",
+      lookback = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      views.addData((7L, "2024-01-01 00:00:00", 1.0),   // 5 min before click: match
+                    (7L, "2024-01-01 00:20:00", 2.0),   // after click: no match
+                    (8L, "2024-01-01 00:04:00", 3.0))   // other user: no match
+      clicks.addData((7L, "2024-01-01 00:05:00", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("l_user_id") == 7L)
+      assert(rows.head.getAs[Double]("r_value") == 1.0)
+    } finally q.stop()
+  }
+
   test("CSV ingestion with declared schema (reference utils.py:179-203)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
