@@ -441,6 +441,16 @@ object SparkEntry {
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin).df
         .select(F.round(F.col("revenue_raw"), 4).as("revenue"))),
 
+    // ---- near-dup CLUSTERS: minhash pairs → connected components, the
+    //      keep/drop deliverable of a dedup pipeline; oracle recomputes
+    //      the closure with a recursive CTE over the replayed pair set ----
+    "q51_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+          numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+          maxBucket = 64))
+        .select(F.col("id").as("doc_id"), F.col("cluster"))),
+
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
     //      hive-partitioned by IVF bucket, probe reads only its buckets'
     //      files (PartitionFilters, not a runtime filter) ----
@@ -705,6 +715,20 @@ object SparkEntry {
     // scan over the bucketed layout) — same oracle by construction
     "q48_knn_ivf_part" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
 
+    // transitive closure over the SAME replayed pair set as q29: cluster
+    // of a doc = the smallest doc id reachable through >= 0.8 pairs
+    "q51_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
+
     "q49_sql_tpch_q3" ->
       """WITH g AS (
         |  SELECT l.l_orderkey, o.o_orderpriority,
@@ -863,7 +887,14 @@ object SparkEntry {
     * md5 base hashes → affine minhash minima → band keys → capped buckets
     * → candidate pairs → exact-Jaccard filter. */
   private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
-                               threshold: Double, maxBucket: Int): String = {
+                               threshold: Double, maxBucket: Int): String =
+    s"""WITH ${minhashOracleCtes(numBands, rowsPerBand, maxBucket)}
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  /** The CTE block of [[minhashOracleSql]] (ending at `j`), reusable by
+    * oracles that post-process the pair set (e.g. q51's clustering). */
+  private def minhashOracleCtes(numBands: Int, rowsPerBand: Int,
+                                maxBucket: Int): String = {
     val n = numBands * rowsPerBand
     val params = Dedup.minhashAffineParams(n)
     val P = Dedup.MinhashP
@@ -875,7 +906,7 @@ object SparkEntry {
         .map(i => s"m$i").mkString(", ")
       s"SELECT id, $b AS band, concat_ws(',', $cols) AS key FROM m"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d0 AS (
+    s"""d0 AS (
        |  SELECT doc_id AS id,
        |    list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
        |      x -> len(x) > 0) AS toks
@@ -905,8 +936,7 @@ object SparkEntry {
        |      / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
        |  FROM cand
        |  JOIN d ta ON ta.id = cand.id_a
-       |  JOIN d tb ON tb.id = cand.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+       |  JOIN d tb ON tb.id = cand.id_b)""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Dedup.embeddingNearDup]]: same

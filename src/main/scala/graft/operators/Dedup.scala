@@ -310,6 +310,49 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
   }
 
+  /** Connected-component clustering of near-duplicate pairs: the step
+    * that turns pairwise matches into the deliverable a dedup pipeline
+    * actually needs — a cluster id per document (keep `id == cluster`,
+    * drop the rest). Label = smallest id reachable through the pair
+    * graph.
+    *
+    * Iterative min-label propagation (the standard distributed CC
+    * approach, cf. large-star/small-star): each round joins labels across
+    * edges and takes the per-vertex min. Rounds needed = graph diameter —
+    * near-dup clusters are shallow (near-cliques), so a handful. Labels
+    * decrease monotonically, so the sum of labels is a cheap convergence
+    * signal; each round localCheckpoints to keep lineage flat. Only ids
+    * appearing in `pairs` are returned (everything else is its own
+    * trivial cluster).
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.groupBy("src")
+      .agg(F.least(F.min("dst"), F.first("src")).as("label"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(F.col("dst").as("id"), F.col("label"))
+      val next = labels.select("id", "label").union(viaEdges)
+        .groupBy("id").agg(F.min("label").as("label"))
+        .localCheckpoint(true)
+      val sum = next.agg(F.sum("label")).head().getLong(0)
+      labels = next
+      converged = sum == prevSum
+      prevSum = sum
+      iter += 1
+    }
+    labels.select(F.col("id"), F.col("label").as("cluster"))
+  }
+
   /** Deterministic random hyperplanes in [-1,1]^dim (PCG-style LCG on a
     * fixed seed). Generated driver-side as literals so (a) every executor
     * computes identical buckets with zero broadcast state and (b) a

@@ -230,6 +230,20 @@ class OperatorsSpec extends SparkSpec {
     assert(h0.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("cluster labels propagate transitively to the smallest reachable id") {
+    val pairs = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), // a chain: all should label 2
+      (10L, 11L),                   // separate cluster
+      (7L, 20L), (7L, 21L)          // a star: 20/21 connect through 7
+    ).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L).forall(out(_) == 2L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(Seq(7L, 20L, 21L).forall(out(_) == 7L))
+    assert(out.size == 9) // only ids appearing in pairs
+  }
+
   test("bucketed IVF layout prunes partitions and matches the in-flight variant") {
     val emb = (0L until 40L)
       .map(i => (i, Seq((i % 5).toFloat - 2f, (i % 3).toFloat, 1.0f)))
