@@ -441,6 +441,17 @@ object SparkEntry {
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin).df
         .select(F.round(F.col("revenue_raw"), 4).as("revenue"))),
 
+    // ---- Gopher-style repetition/shape quality signals ----
+    "q52_gopher_quality" -> ((s, dir) => {
+      val g = TextAnalysis.gopherStats(F.col("text"))
+      t(s, dir, "documents").select(
+        F.col("doc_id"),
+        g.getField("frac_dup_lines").as("frac_dup_lines"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("bullet_ratio").as("bullet_ratio"))
+    }),
+
     // ---- near-dup CLUSTERS: minhash pairs → connected components, the
     //      keep/drop deliverable of a dedup pipeline; oracle recomputes
     //      the closure with a recursive CTE over the replayed pair set ----
@@ -714,6 +725,25 @@ object SparkEntry {
     // same algorithm as q33, different execution path (partition-pruned
     // scan over the bucketed layout) — same oracle by construction
     "q48_knn_ivf_part" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    "q52_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS lines,
+        |  list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END
+        |   AS frac_dup_lines,
+        | CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END
+        |   AS mean_word_len,
+        | CAST(length(text) - length(regexp_replace(text, '[#@*&%+=~|]', '', 'g')) AS DOUBLE)
+        |   / greatest(CAST(length(text) AS DOUBLE), 1.0) AS symbol_ratio,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |        / len(lines) END AS bullet_ratio
+        |FROM d""".stripMargin,
 
     // transitive closure over the SAME replayed pair set as q29: cluster
     // of a doc = the smallest doc id reachable through >= 0.8 pairs

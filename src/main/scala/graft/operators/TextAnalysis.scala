@@ -134,6 +134,39 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition and shape signals (Rae et al. 2021 §A1.1 —
+    * the standard pre-training quality filters): fraction of duplicate
+    * lines, mean word length, symbol-to-char ratio, bullet-line ratio.
+    * Pure per-row expressions (let-bound line/token arrays), so the whole
+    * filter pass is a narrow map at any corpus size. All four are ratios
+    * of integers computed identically by any engine — no rounding needed
+    * for differential testing. */
+  def gopherStats(text: Column): Column = {
+    import graft.functions.ExprUtils.let
+    let(F.filter(F.split(text, "\n"), (l: Column) => F.length(F.trim(l)) > 0)) { lines =>
+      let(tokens(text)) { toks =>
+        val nLines = F.size(lines).cast("double")
+        val nToks = F.size(toks).cast("double")
+        val dupLines = F.when(nLines === 0, 0.0).otherwise(
+          F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / nLines)
+        val meanWordLen = F.when(nToks === 0, 0.0).otherwise(
+          F.aggregate(toks, F.lit(0L), (a: Column, t: Column) => a + F.length(t))
+            .cast("double") / nToks)
+        val symbolRatio =
+          (F.length(text) - F.length(F.regexp_replace(text, "[#@*&%+=~|]", "")))
+            .cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+        val bulletRatio = F.when(nLines === 0, 0.0).otherwise(
+          F.size(F.filter(lines, (l: Column) =>
+            F.trim(l).rlike("^[-*•]"))).cast("double") / nLines)
+        F.struct(
+          dupLines.as("frac_dup_lines"),
+          meanWordLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"),
+          bulletRatio.as("bullet_ratio"))
+      }
+    }
+  }
+
   /** All text statistics as one projection — single pass over the corpus. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = F.col(textCol)

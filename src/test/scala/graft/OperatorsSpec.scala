@@ -230,6 +230,23 @@ class OperatorsSpec extends SparkSpec {
     assert(h0.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("gopher stats: duplicate lines, word length, symbols, bullets") {
+    val doc = Seq((0L, "same line\nsame line\nother line\n- bullet one\n* bullet two"))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.gopherStats(F.col("text"))
+    val r = doc.select(
+      g.getField("frac_dup_lines"), g.getField("mean_word_len"),
+      g.getField("symbol_ratio"), g.getField("bullet_ratio")).head()
+    assert(r.getDouble(0) == 1.0 - 4.0 / 5.0) // 5 lines, 4 distinct
+    assert(r.getDouble(1) == 45.0 / 12.0)     // 12 tokens, 45 non-ws chars
+    assert(r.getDouble(2) == 1.0 / 56.0)      // one '*' symbol char, 56 chars
+    assert(r.getDouble(3) == 2.0 / 5.0)
+    // empty text: all ratios zero, no division blowups
+    val e = Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.gopherStats(F.col("text")).as("g")).head()
+    assert(e.getStruct(0).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("cluster labels propagate transitively to the smallest reachable id") {
     val pairs = Seq(
       (2L, 3L), (3L, 4L), (4L, 5L), // a chain: all should label 2
