@@ -30,3 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked-JVM stdout passes through UNDECORATED: the bench/verify contract
+// is one bare JSON line on stdout, and sbt's default LoggedOutput prefixes
+// every line with "[info] ", which breaks machine parsing of the output
+// (BENCH "parsed": null two rounds running). Unscoped so run/runMain/test
+// all inherit it.
+outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -462,6 +462,38 @@ object SparkEntry {
           maxBucket = 64))
         .select(F.col("id").as("doc_id"), F.col("cluster"))),
 
+    // ---- TPC-H Q5 shape (local-supplier revenue) through the SQL
+    //      dialect: 6-way join incl. a two-condition ON (l_suppkey =
+    //      s_suppkey AND c_nationkey = s_nationkey) ----
+    "q53_sql_tpch_q5" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT n.n_name AS n_name,
+          |  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue_raw
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+          |GROUP BY n.n_name""".stripMargin).df
+        .withColumn("revenue", F.round(F.col("revenue_raw"), 4))
+        .drop("revenue_raw")),
+
+    // ---- TPC-H Q4 shape (order-priority check) via the ANSI catalog
+    //      passthrough: correlated EXISTS referencing an OUTER column
+    //      (l_shipdate > o_orderdate) inside a date-windowed aggregate ----
+    "q54_sql_tpch_q4" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count FROM orders
+          |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
     //      hive-partitioned by IVF bucket, probe reads only its buckets'
     //      files (PartitionFilters, not a runtime filter) ----
@@ -621,9 +653,9 @@ object SparkEntry {
     // TextAnalysis.tokens does
     "q23_token_stats" ->
       """WITH d AS (SELECT doc_id, text,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
         |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
         | FROM documents)
         |SELECT doc_id, n_tok AS n_tokens,
@@ -635,9 +667,9 @@ object SparkEntry {
 
     "q24_quality" ->
       """WITH d AS (SELECT doc_id, text,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
         |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
         | FROM documents)
         |SELECT doc_id, round((
@@ -649,7 +681,7 @@ object SparkEntry {
 
     "q25_langid" ->
       """WITH s AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
         |c AS (SELECT doc_id,
         |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
         |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
@@ -666,27 +698,35 @@ object SparkEntry {
 
     "q26_fingerprint" ->
       """SELECT doc_id,
-        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
     "q27_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // the ok CTE replays ngramJaccardPairs' block cap: blocks outside
+    // [2, 1024] members emit no pairs
     "q28_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
-        |  list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |  list_filter(list_distinct(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')),
         |    x -> len(x) > 0) AS toks,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
         |    x -> len(x) > 0)) // 32 AS len_bucket
         | FROM documents),
-        |t2 AS (SELECT * FROM t WHERE len(toks) > 0)
+        |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+        |ok AS (SELECT lang, source, len_bucket FROM t2
+        | GROUP BY lang, source, len_bucket
+        | HAVING count(*) BETWEEN 2 AND 1024)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM t2 a JOIN t2 b
+        |FROM t2 a
+        |JOIN ok ON a.lang = ok.lang AND a.source = ok.source
+        |  AND a.len_bucket = ok.len_bucket
+        |JOIN t2 b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -697,7 +737,7 @@ object SparkEntry {
 
     "q30_simhash_pairs" ->
       """WITH d0 AS (SELECT doc_id AS id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |d AS (SELECT * FROM d0 WHERE len(toks) > 0),
@@ -711,9 +751,13 @@ object SparkEntry {
         |  FROM votes GROUP BY id),
         |chunked AS (SELECT id, s, cs.c AS chunk, (s >> (cs.c * 16)) & 65535 AS key
         |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |buckets AS (SELECT chunk, key FROM chunked GROUP BY chunk, key
+        |  HAVING count(*) BETWEEN 2 AND 4096),
         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |    CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-        |  FROM chunked a JOIN chunked b
+        |  FROM chunked a
+        |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
+        |  JOIN chunked b
         |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
 
@@ -729,7 +773,7 @@ object SparkEntry {
     "q52_gopher_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS lines,
-        |  list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS toks
         | FROM documents)
         |SELECT doc_id,
         | CASE WHEN len(lines) = 0 THEN 0.0
@@ -779,6 +823,27 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q53_sql_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q54_sql_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q32_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
@@ -885,7 +950,7 @@ object SparkEntry {
     // token 3-grams → 60-bit md5 hashes → min per 4-window → distinct
     "q45_winnow_fp" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -938,7 +1003,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
     s"""d0 AS (
        |  SELECT doc_id AS id,
-       |    list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+       |    list_filter(list_distinct(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+')),
        |      x -> len(x) > 0) AS toks
        |  FROM documents),
        |d AS (SELECT * FROM d0 WHERE len(toks) > 0),

@@ -59,12 +59,14 @@ object TextStatsExpr {
     * string for subwords/stopwords); called from generated code (static
     * forwarder of this companion).
     *
-    * Lowering happens ONCE via `String.toLowerCase(Locale.ROOT)`: the
-    * locale-independent full-string lowering `F.lower` uses. Per-char
-    * `Character.toLowerCase` or default-locale lowering would diverge
-    * (Turkish dotless-ı, İ → i+combining-dot) from the composable twin
-    * and the oracle. Subword/stopword boundaries are found on the lowered
-    * string itself, exactly like `split(lower(text), ...)`. */
+    * Lowering happens ONCE via `UTF8String.toLowerCase`: the EXACT
+    * routine `F.lower` executes (ASCII fast path, same slow path for
+    * non-ASCII), so this expression and the composable twin can never
+    * diverge on any input or JVM locale — per-char `Character.toLowerCase`
+    * or a `String.toLowerCase` with a different locale choice would
+    * (Turkish dotless-ı, İ → i+combining-dot). Subword/stopword
+    * boundaries are found on the lowered string itself, exactly like
+    * `split(lower(text), ...)`. */
   def compute(input: UTF8String): InternalRow = {
     val s = input.toString
     var nTokens = 0
@@ -81,7 +83,7 @@ object TextStatsExpr {
         i += 1
       }
     }
-    val ls = s.toLowerCase(java.util.Locale.ROOT)
+    val ls = input.toLowerCase.toString
     var nSub = 0
     var nStop = 0
     locally {

@@ -176,15 +176,26 @@ object Dedup {
     val banded = spreadForCompute(nonEmpty).select(
       F.col(idCol).as("id"),
       F.posexplode(bandKeysExpr).as(Seq("band", "bucket")))
+    // Stage the candidate pairs ONCE: the pair set feeds the output spine
+    // plus both verify-side joins, and Catalyst does not dedupe common
+    // subplans — without staging, the full scan→banding→bucket pipeline
+    // executes three times (the round-2 plan audit's finding). The pair
+    // set is tiny relative to the corpus (bounded by the bucket cap), so
+    // an eager localCheckpoint is cheap at any scale.
     val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
+      .localCheckpoint(true)
 
     val candIds = pairs
       .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
       .distinct() // one reference to the pairs subplan, not a two-branch union
+    // candSh is referenced twice (id_a and id_b join sides); staging it
+    // keeps the semi-join-pruned shingle recompute — and its full corpus
+    // scan — to ONE pass. Candidates-only, so it is small by construction.
     val candSh = nonEmpty
       .join(candIds, nonEmpty(idCol) === candIds("id"), "left_semi")
       .select(F.col(idCol).as("id"),
         sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
     pairs
       .join(candSh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
       .join(candSh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
@@ -212,29 +223,36 @@ object Dedup {
     else jaccard(a, b)
 
   /** Brute-force n-gram Jaccard near-dup pairs within a blocking key.
-    * The blocking column bounds the quadratic term: pairwise comparison
-    * happens only inside one shuffle partition's bucket. Use when buckets
-    * are known-small (e.g. same source + a length bucket); for open-ended
-    * corpora prefer [[minhashLsh]]. Documents with no tokens are skipped. */
+    * The blocking column bounds the quadratic term — and `maxBlock` caps
+    * it by construction: like every LSH variant here, blocks are
+    * aggregated into a member list, blocks outside [2, maxBlock] are
+    * dropped (a mega-block is near-identical boilerplate whose pairwise
+    * output would be quadratic; at corpus scale you cap it, you don't
+    * join it), and pairs explode from the bounded list — no self-join.
+    * Memory per group is bounded: maxBlock (id, shingle-hash-array)
+    * structs. Use when blocks are expected small (e.g. same source + a
+    * length bucket); for open-ended corpora prefer [[minhashLsh]].
+    * Documents with no tokens are skipped. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, shingleN: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    // Repartition by block BEFORE the shingle hashing: the self-join needs
-    // a block-hashed distribution anyway, so moving the exchange first
-    // (shuffling raw text instead of shingle arrays — same order of bytes)
-    // makes the expensive per-row prep run with full cluster parallelism
-    // even when the input has few splits, and both join sides read the
-    // same exchange (computed once, not once per side).
+                        threshold: Double = 0.5,
+                        maxBlock: Int = 1024): DataFrame = {
+    // Repartition by block BEFORE the shingle hashing: the aggregation
+    // needs a block-hashed distribution anyway, so moving the exchange
+    // first (shuffling raw text instead of shingle arrays — same order of
+    // bytes) makes the expensive per-row prep run with full cluster
+    // parallelism even when the input has few splits.
     val prepared = df.filter(F.col(textCol).rlike("\\S"))
       .select(F.col(idCol).as("id"), blockCol.as("block"), F.col(textCol).as("_text"))
       .repartition(F.col("block"))
       .select(F.col("id"), F.col("block"),
         sortedHashedShingles(F.col("_text"), shingleN).as("sh"))
-    val a = prepared.alias("a")
-    val b = prepared.alias("b")
-    a.join(b, F.col("a.block") === F.col("b.block") && F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-              jaccardSortedLongs(df)(F.col("a.sh"), F.col("b.sh")).as("jaccard"))
+    prepared.groupBy("block")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("sh"))).as("ms"))
+      .filter(F.size(F.col("ms")).between(2, maxBlock))
+      .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
+      .select(F.col("p.a.id").as("id_a"), F.col("p.b.id").as("id_b"),
+              jaccardSortedLongs(df)(F.col("p.a.sh"), F.col("p.b.sh")).as("jaccard"))
       .filter(F.col("jaccard") >= threshold)
   }
 
@@ -316,17 +334,21 @@ object Dedup {
     * drop the rest). Label = smallest id reachable through the pair
     * graph.
     *
-    * Iterative min-label propagation (the standard distributed CC
-    * approach, cf. large-star/small-star): each round joins labels across
-    * edges and takes the per-vertex min. Rounds needed = graph diameter —
-    * near-dup clusters are shallow (near-cliques), so a handful. Labels
-    * decrease monotonically, so the sum of labels is a cheap convergence
-    * signal; each round localCheckpoints to keep lineage flat. Only ids
-    * appearing in `pairs` are returned (everything else is its own
-    * trivial cluster).
+    * Iterative min-label propagation with pointer jumping (the standard
+    * distributed CC approach, cf. large-star/small-star): each round a
+    * vertex takes the min of its own label, its neighbors' labels, AND
+    * its label's label (`label(label(v))` — the pointer-doubling term
+    * that collapses long chains in O(log diameter) rounds instead of
+    * O(diameter), so even a pathological path graph converges in a
+    * handful of rounds). Labels decrease monotonically, so the sum of
+    * labels is a cheap convergence signal; each round localCheckpoints to
+    * keep lineage flat. Runs to the fixpoint; if `maxIter` cuts it off
+    * first the result would be silently wrong, so that raises instead.
+    * Only ids appearing in `pairs` are returned (everything else is its
+    * own trivial cluster).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
       .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
       .localCheckpoint(true)
@@ -341,7 +363,11 @@ object Dedup {
       val viaEdges = edges
         .join(labels, edges("src") === labels("id"))
         .select(F.col("dst").as("id"), F.col("label"))
-      val next = labels.select("id", "label").union(viaEdges)
+      val l2 = labels.select(F.col("id").as("lid"), F.col("label").as("llabel"))
+      val viaLabels = labels
+        .join(l2, labels("label") === F.col("lid"))
+        .select(F.col("id"), F.col("llabel").as("label"))
+      val next = labels.select("id", "label").union(viaEdges).union(viaLabels)
         .groupBy("id").agg(F.min("label").as("label"))
         .localCheckpoint(true)
       val sum = next.agg(F.sum("label")).head().getLong(0)
@@ -350,6 +376,11 @@ object Dedup {
       prevSum = sum
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge after $maxIter rounds — " +
+        "labels are partially propagated and cluster ids would be wrong. " +
+        "With pointer jumping rounds grow as log(diameter); raise maxIter.")
     labels.select(F.col("id"), F.col("label").as("cluster"))
   }
 
@@ -389,13 +420,20 @@ object Dedup {
         .otherwise(F.lit(0L))
     }.reduce(_ + _)
     val banded = df.select(F.col(idCol).as("id"), bucketBits.as("bucket"))
+    // Staged once for the same reason as minhashLsh: the pair set feeds
+    // the spine plus both verify joins, and without staging the full
+    // scan→bucket-assignment pipeline would execute three times.
     val pairs = cappedBucketPairs(banded, Seq("bucket"), maxBucket)
+      .localCheckpoint(true)
 
     val candIds = pairs
       .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
       .distinct() // one reference to the pairs subplan, not a two-branch union
+    // referenced twice (vec_a / vec_b sides) — stage the pruned candidate
+    // vectors so the corpus is scanned once, not once per side
     val vecs = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(F.col(idCol).as("id"), v.as("vec"))
+      .localCheckpoint(true)
     pairs
       .join(vecs.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), "id_a")
       .join(vecs.select(F.col("id").as("id_b"), F.col("vec").as("vec_b")), "id_b")

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   * real decoder (JNI image lib, ffmpeg pipe) drops in per-executor with
   * bounded memory: one partition's batch at a time, no driver involvement.
   *
-  * NOTE: no media codecs exist in this container, so [[fakeDecode]] is a
-  * clearly-marked deterministic STUB — it derives "dimensions" from the
-  * payload hash. The Spark-side plumbing (schema, binary handling,
-  * partition-batched transform signature) is real and tested.
+  * Image decode is REAL for the JDK's native raster formats
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external codecs needed):
+  * [[decode]] sniffs the payload's magic bytes and reads true
+  * width/height when the bytes are an actual image. Audio/video decode
+  * has no JDK-native codec, so [[fakeDecode]] remains the clearly-marked
+  * deterministic STUB for those (and for non-image payloads, e.g. the
+  * synthetic UTF-8 test corpus): "dimensions" derived from byte length.
   */
 object Multimodal {
 
@@ -54,6 +57,36 @@ object Multimodal {
     (width, height, duration)
   }
 
+  /** True iff the payload starts with a raster-image signature the JDK
+    * can decode (PNG / JPEG / GIF / BMP). Cheap guard so the partition
+    * loop never pays ImageIO reader lookup on non-image bytes. */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||             // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))                               // BMP
+
+  /** REAL image decode via `javax.imageio` (JDK-native, executor-local,
+    * no external libs): true pixel dimensions for PNG/JPEG/GIF/BMP bytes,
+    * None when the payload is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case _: java.io.IOException => None }
+
+  /** Per-row decode dispatch: real `javax.imageio` dimensions when the
+    * payload is an actual image, the deterministic [[fakeDecode]] stub
+    * otherwise (audio/video and synthetic payloads). */
+  def decodePayload(kind: String, payload: Array[Byte]): (Int, Int, Double) =
+    (if (kind == "image") decodeImage(payload) else None) match {
+      case Some((w, h)) => (w, h, 0.0)
+      case None         => fakeDecode(payload)
+    }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -72,9 +105,9 @@ object Multimodal {
     media.select("media_id", "kind", "payload", "n_bytes")
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, d) = fakeDecode(r.getAs[Array[Byte]]("payload"))
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-              r.getAs[Long]("n_bytes"), w, h, d)
+          val kind = r.getAs[String]("kind")
+          val (w, h, d) = decodePayload(kind, r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("media_id"), kind, r.getAs[Long]("n_bytes"), w, h, d)
         }
       }(enc)
   }

@@ -73,11 +73,18 @@ object Similarity {
   def topKPerProbe(corpus: DataFrame, vecCol: String, idCol: String,
                    probes: DataFrame, probeVecCol: String, probeIdCol: String,
                    k: Int): DataFrame = {
+    // fused one-loop native cosine when the session carries the
+    // extensions (bit-identical to the composable fold); the fold
+    // otherwise — the same fallback pattern as jaccardSortedLongs
+    val cos: (Column, Column) => Column =
+      if (corpus.sparkSession.catalog.functionExists("vec_cosine_f32"))
+        (a, b) => F.call_function("vec_cosine_f32", a, b)
+      else cosine
     val scored = corpus.crossJoin(F.broadcast(probes))
       .select(
         F.col(probeIdCol).as("probe_id"),
         F.col(idCol).as("id"),
-        cosine(F.col(vecCol), F.col(probeVecCol)).as("score"))
+        cos(F.col(vecCol), F.col(probeVecCol)).as("score"))
     if (corpus.sparkSession.catalog.functionExists("topk_pairs")) {
       scored.groupBy("probe_id")
         .agg(F.call_function("topk_pairs",

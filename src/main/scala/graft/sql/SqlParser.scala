@@ -297,10 +297,15 @@ object SqlParser {
         // the reference's wrapping i32 semantics (§7.1.3; see
         // tests/test_native_execution.py:13-26); wider literals extend to
         // 64-bit.
-        if (t.contains('.')) Lit(t.toDouble)
-        else t.toLong match {
-          case l if l >= Int.MinValue && l <= Int.MaxValue => Lit(l.toInt)
-          case l => Lit(l)
+        try {
+          if (t.contains('.')) Lit(t.toDouble)
+          else t.toLong match {
+            case l if l >= Int.MinValue && l <= Int.MaxValue => Lit(l.toInt)
+            case l => Lit(l)
+          }
+        } catch { // e.g. a 20+-digit integer overflowing Long
+          case _: NumberFormatException =>
+            throw new ParseError(s"Malformed number '$t'")
         }
       case TStr(s)   => Lit(s)
       case TIdent(n) => ColRef(n)

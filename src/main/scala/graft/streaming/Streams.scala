@@ -111,8 +111,11 @@ object Streams {
     * pipeline needs so abandoned sessions drain instead of pinning state
     * forever. State stays O(active users); timed-out state is removed. */
   def sessionizeStreamEventTime(events: Dataset[TimedEvent],
-                                gap: String = "30 minutes",
                                 gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
+    // ONE duration drives both the watermark delay and the split/timeout
+    // arithmetic — two independently-overridable forms would let a caller
+    // silently desynchronize session-closing semantics
+    val gap = s"${gapUs / 1000} milliseconds"
     implicit val outEnc = Encoders.product[UserSession]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val keyEnc = Encoders.scalaLong

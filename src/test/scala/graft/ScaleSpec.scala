@@ -121,6 +121,33 @@ class ScaleSpec extends SparkSpec {
     assert(minhash.length + simhash.length == 2)
   }
 
+  test("ngram Jaccard block cap drops a mega-block (quadratic bounded by design)") {
+    // 120 copies of the same boilerplate share one block; with
+    // maxBlock=16 the cap drops it (C(120,2)=7140 comparisons avoided),
+    // while the 2-doc block still pairs — the same by-construction bound
+    // every LSH variant has, now on the brute-force blocked path too
+    val boiler = (0 until 120).map(i =>
+      (i.toLong, "terms of service apply to all users of this site"))
+    val pair = Seq(
+      (500L, "a genuinely unique document about spark shuffles"),
+      (501L, "a genuinely unique document about spark shuffles"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      graft.operators.TextAnalysis.tokenCount(F.col("text")).cast("string"),
+      shingleN = 1, threshold = 0.5, maxBlock = 16).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((500L, 501L)))
+  }
+
+  test("clusters converge on a 100-vertex path graph (pointer jumping)") {
+    // worst-case diameter for label propagation: a pure chain. Plain
+    // one-hop propagation needs ~99 rounds; the label(label(v)) term
+    // collapses it in O(log n) — well under maxIter, no silent cutoff
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+    assert(out.length == 100)
+    assert(out.forall(_.getLong(1) == 0L), "every vertex labels to the chain minimum")
+  }
+
   test("embedding LSH cap drops a mega-bucket of identical vectors") {
     val mega = (0 until 60).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f)))
     val pair = Seq((500L, Seq(-1.0f, 0.05f, 0.0f)), (501L, Seq(-1.0f, 0.06f, 0.0f)))

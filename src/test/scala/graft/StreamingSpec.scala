@@ -76,8 +76,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[TimedEvent]
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    val q = Streams.sessionizeStreamEventTime(stream.toDS(),
-        gap = "1 second", gapUs = 1000000L)
+    val q = Streams.sessionizeStreamEventTime(stream.toDS(), gapUs = 1000000L)
       .writeStream.format("memory").queryName("et_sessions")
       .outputMode("append").start()
     try {
