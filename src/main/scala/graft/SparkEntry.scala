@@ -494,6 +494,61 @@ object SparkEntry {
           |GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    // ---- window-function breadth: lag + bounded-frame moving average +
+    //      running sum over event streams (frames are where Spark's
+    //      window exec differs most from plain aggregation) ----
+    "q55_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+      events(s, dir)
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
+        .select(F.col("user_id"), F.col("event_id"), F.col("ts_us"),
+          F.lag("value", 1).over(w).as("prev_value"),
+          F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).as("mov_avg"),
+          F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("run_sum"))
+    }),
+
+    // ---- TPC-H Q18 shape (large-volume customer) via the ANSI catalog
+    //      passthrough: IN over a grouped-HAVING subquery + 3-way join ----
+    "q56_sql_tpch_q18" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_name, o_orderkey, o_totalprice, sum(l_quantity) AS sum_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+          |GROUP BY c_name, o_orderkey, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+
+    // ---- TPC-H Q10 shape (returned-item revenue) through the SQL
+    //      dialect: 4-way join, date window, alias ORDER BY + LIMIT ----
+    "q57_sql_tpch_q10" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+          |  n.n_name AS n_name,
+          |  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue_raw
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+          |  AND l.l_returnflag = 'R'
+          |GROUP BY c.c_custkey, c.c_name, n.n_name
+          |ORDER BY revenue_raw DESC, c_custkey LIMIT 20""".stripMargin).df
+        .withColumn("revenue", F.round(F.col("revenue_raw"), 4))
+        .drop("revenue_raw")),
+
+    // ---- CUBE (all grouping-set combinations; q37 covers ROLLUP) ----
+    "q58_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").as("sum_qty"), F.count(F.lit(1)).as("n"))),
+
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
     //      hive-partitioned by IVF bucket, probe reads only its buckets'
     //      files (PartitionFilters, not a runtime filter) ----
@@ -844,6 +899,49 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // per-row sequential frames: lag is exact; the bounded/prefix frames
+    // accumulate in the same (ts, id) order in both engines, and round(4)
+    // absorbs any sub-ulp tail
+    "q55_window_funcs" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |   AS prev_value,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+        |FROM events""".stripMargin,
+
+    "q56_sql_tpch_q18" ->
+      """SELECT c_name, o_orderkey, o_totalprice, sum(l_quantity) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q57_sql_tpch_q10" ->
+      """WITH g AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    sum(l_extendedprice * (1 - l_discount)) AS revenue_raw
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, n_name)
+        |SELECT c_custkey, c_name, n_name, round(revenue_raw, 4) AS revenue
+        |FROM g ORDER BY revenue_raw DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q58_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q32_knn_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -139,6 +139,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** In-engine k-means training for IVF centroids — replaces the "trained
+    * offline" assumption with a distributed Lloyd's iteration:
+    * assignment is the same per-row [[ivfBucket]] expression the serving
+    * path uses (centroids as literals — zero broadcast state), and the
+    * per-bucket mean is ONE map-side-combinable aggregation over
+    * (bucket, position) after posexplode — shuffle rows are (bucket, pos,
+    * partial sum), k·dim per partition, regardless of corpus size. Only
+    * k·dim aggregated rows ever reach the driver per iteration, so the
+    * same loop runs unchanged against 100 TB.
+    *
+    * Deterministic: init is the k lowest-`idCol` vectors, iteration count
+    * is fixed, empty buckets keep their previous centroid. */
+  def trainCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                     iters: Int = 5): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = df.orderBy(F.col(idCol)).limit(k)
+      .select(F.col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val means = df
+        .withColumn("bucket", ivfBucket(F.col(vecCol), cents))
+        .select(F.col("bucket"),
+          F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos")
+        .agg(F.avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, b) => means.getOrElse(b, old) }
+    }
+    cents
+  }
+
   /** Stage a corpus hive-partitioned by IVF bucket: the one-time layout
     * investment that turns every subsequent ANN query's bucket filter
     * into partition PRUNING — probed buckets' files are the only files

@@ -178,6 +178,18 @@ object Streams {
         F.col(s"r_$tsCol") >= F.col(s"l_$tsCol") - F.expr(s"INTERVAL $lookback"))
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — the continuous-ingestion twin of
+    * [[graft.operators.Dedup.exact]] (dedup a document/event feed as it
+    * lands instead of re-scanning the corpus). State is one entry per
+    * distinct key inside the horizon and is EVICTED once the event-time
+    * watermark passes (`dropDuplicatesWithinWatermark`), so memory is
+    * bounded by key arrival rate × horizon, not by stream length. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
   def readParquetStream(spark: SparkSession, path: String): DataFrame = {

@@ -315,6 +315,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 9) // only ids appearing in pairs
   }
 
+  test("trainCentroids learns separated cluster means in-engine (distributed Lloyd's)") {
+    val a = (0L until 20L).map(i => (i, Seq(1.0f, 0.01f * (i % 5))))
+    val b = (100L until 120L).map(i => (i, Seq(-1.0f - 0.01f * (i % 5), 0.2f)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, "embedding", "vec_id", k = 2, iters = 4)
+    assert(cents.length == 2)
+    // one centroid converges to each cluster's mean
+    assert(cents.exists(c => math.abs(c(0) - 1.0) < 0.02 && math.abs(c(1) - 0.02) < 0.02))
+    assert(cents.exists(c => math.abs(c(0) + 1.02) < 0.02 && math.abs(c(1) - 0.2) < 0.02))
+    // and the trained centroids drive IVF to the brute-force answer
+    val q = Seq(1.0, 0.0)
+    val ivf = Similarity.topKIvf(emb, "embedding", "vec_id", q, cents,
+      k = 5, nprobe = 1).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topKByCosine(emb, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
   test("bucketed IVF layout prunes partitions and matches the in-flight variant") {
     val emb = (0L until 40L)
       .map(i => (i, Seq((i % 5).toFloat - 2f, (i % 3).toFloat, 1.0f)))

@@ -152,6 +152,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val events = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").cast("timestamp").as("ts"))
+    val q = Streams.dedupStream(events, "ts", Seq("doc_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:01:00"),
+                     (2L, "2024-01-01 00:00:30"))
+      q.processAllAvailable()
+      // duplicate key arriving in a LATER micro-batch, still in horizon
+      stream.addData((1L, "2024-01-01 00:02:00"), (3L, "2024-01-01 00:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("CSV ingestion with declared schema (reference utils.py:179-203)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
