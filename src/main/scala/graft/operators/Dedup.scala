@@ -334,21 +334,67 @@ object Dedup {
     * drop the rest). Label = smallest id reachable through the pair
     * graph.
     *
-    * Iterative min-label propagation with pointer jumping (the standard
-    * distributed CC approach, cf. large-star/small-star): each round a
-    * vertex takes the min of its own label, its neighbors' labels, AND
-    * its label's label (`label(label(v))` — the pointer-doubling term
-    * that collapses long chains in O(log diameter) rounds instead of
-    * O(diameter), so even a pathological path graph converges in a
-    * handful of rounds). Labels decrease monotonically, so the sum of
-    * labels is a cheap convergence signal; each round localCheckpoints to
-    * keep lineage flat. Runs to the fixpoint; if `maxIter` cuts it off
-    * first the result would be silently wrong, so that raises instead.
-    * Only ids appearing in `pairs` are returned (everything else is its
-    * own trivial cluster).
+    * Size-adaptive execution. The pair set is the dedup pipeline's
+    * OUTPUT — orders of magnitude smaller than the corpus it came from —
+    * so it usually fits on the driver even when the corpus never could:
+    * a size-capped `take(localThreshold + 1)` either proves that (→ one
+    * local union-find pass, exact, zero distributed rounds) or overflows
+    * the cap (→ distributed min-label propagation below). The collect is
+    * bounded by construction; this is the standard small-side adaptive
+    * switch, not a driver-side corpus scan.
+    *
+    * Distributed path: iterative min-label propagation with pointer
+    * jumping (cf. large-star/small-star): each round a vertex takes the
+    * min of its own label, its neighbors' labels, AND its label's label
+    * (`label(label(v))` — the pointer-doubling term that collapses long
+    * chains in O(log diameter) rounds instead of O(diameter)). Labels
+    * decrease monotonically, so the sum of labels is a cheap convergence
+    * signal; each round localCheckpoints to keep lineage flat. Runs to
+    * the fixpoint; if `maxIter` cuts it off first the result would be
+    * silently wrong, so that raises instead. Only ids appearing in
+    * `pairs` are returned (everything else is its own trivial cluster).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50, localThreshold: Int = 2000000): DataFrame = {
+    if (localThreshold > 0) {
+      val capped = pairs
+        .select(F.col(idA).cast("long"), F.col(idB).cast("long"))
+        .take(localThreshold + 1)
+      if (capped.length <= localThreshold)
+        return clustersLocal(pairs.sparkSession,
+          capped.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    clustersDistributed(pairs, idA, idB, maxIter)
+  }
+
+  /** Union-find with path compression and union-by-min: attaching the
+    * larger root under the smaller keeps every root the minimum id of
+    * its component, so `find` IS the cluster label. O(E α(E)). */
+  private def clustersLocal(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+    import spark.implicits._
+    out.toDF("id", "cluster")
+  }
+
+  private def clustersDistributed(pairs: DataFrame, idA: String, idB: String,
+                                  maxIter: Int): DataFrame = {
     val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
       .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
       .localCheckpoint(true)

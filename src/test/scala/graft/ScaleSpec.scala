@@ -138,14 +138,20 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((500L, 501L)))
   }
 
-  test("clusters converge on a 100-vertex path graph (pointer jumping)") {
+  test("clusters converge on a 100-vertex path graph (both execution paths)") {
     // worst-case diameter for label propagation: a pure chain. Plain
     // one-hop propagation needs ~99 rounds; the label(label(v)) term
-    // collapses it in O(log n) — well under maxIter, no silent cutoff
+    // collapses it in O(log n) — well under maxIter, no silent cutoff.
+    // localThreshold = 0 forces the DISTRIBUTED propagation; the default
+    // takes the size-capped union-find path — both must agree exactly
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs).collect()
-    assert(out.length == 100)
-    assert(out.forall(_.getLong(1) == 0L), "every vertex labels to the chain minimum")
+    val dist = Dedup.clusters(pairs, localThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size == 100)
+    assert(dist.values.forall(_ == 0L), "every vertex labels to the chain minimum")
+    assert(local == dist)
   }
 
   test("embedding LSH cap drops a mega-bucket of identical vectors") {
