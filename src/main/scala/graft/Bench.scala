@@ -60,8 +60,10 @@ object Bench {
       "q31_embed_neardup", "q32_knn_brute", "q33_knn_ivf",
       "q36_sessionize", "q41_topk_probe", "q42_asof_join", "q44_salted_agg",
       // the 100 TB serving/deliverable paths (partition-pruned ANN includes
-      // its layout write each run; clusters include the minhash pair pass)
-      "q48_knn_ivf_part", "q51_dedup_clusters", "q52_gopher_quality")
+      // its layout write each run; clusters/pipeline include the minhash
+      // pair pass)
+      "q48_knn_ivf_part", "q51_dedup_clusters", "q52_gopher_quality",
+      "q55_window_funcs", "q59_pipeline_keep")
 
     val stageJson = new StringBuilder("{")
     val results = headline.zipWithIndex.map { case (name, i) =>

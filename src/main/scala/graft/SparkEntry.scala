@@ -549,6 +549,28 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").as("sum_qty"), F.count(F.lit(1)).as("n"))),
 
+    // ---- the END-TO-END training-data deliverable: one query composing
+    //      language ID → quality filter → near-dup cluster dedup into the
+    //      final keep-list a pre-training pipeline actually ships. Every
+    //      stage is a narrow map or the already-bounded LSH pipeline; the
+    //      oracle replays the WHOLE composition (langid + quality +
+    //      recursive-CTE closure over the replayed pair set) ----
+    "q59_pipeline_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = TextAnalysis.docSignals(F.col("text"),
+        native = s.catalog.functionExists("text_stats"))
+      val scored = docs.select(F.col("doc_id"), sig.as("sig"))
+      val clusterLosers = Dedup.clusters(
+          Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+            rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+        .filter(F.col("id") =!= F.col("cluster"))
+        .select(F.col("id").as("doc_id"))
+      scored
+        .filter(F.col("sig.lang_guess") === "en" && F.col("sig.quality") >= 0.4)
+        .join(clusterLosers, Seq("doc_id"), "left_anti")
+        .select(F.col("doc_id"), F.col("sig.quality").as("quality"))
+    }),
+
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged
     //      hive-partitioned by IVF bucket, probe reads only its buckets'
     //      files (PartitionFilters, not a runtime filter) ----
@@ -857,6 +879,54 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    // full replay of the composed pipeline: langid + quality (q24/q25
+    // expressions) + the recursive transitive closure over the replayed
+    // minhash pair set; keep = en AND quality >= 0.4 AND not a cluster
+    // loser (doc_id != its cluster's min id)
+    "q59_pipeline_keep" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |         FROM reach GROUP BY a),
+         |losers AS (SELECT doc_id FROM clus WHERE doc_id <> cluster),
+         |qd AS (SELECT doc_id, text,
+         |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> len(x) > 0)) AS n_tok,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+         | FROM documents),
+         |quality AS (SELECT doc_id, round((
+         |  least(n_tok / 100.0, 1.0)
+         |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+         | ) / 3.0, 6) AS quality
+         |FROM qd),
+         |ls AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents),
+         |lc AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+         |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+         |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
+         |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
+         | FROM ls),
+         |langid AS (SELECT doc_id, CASE
+         |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+         |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+         |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+         |  WHEN s_de > s_en THEN 'de'
+         |  ELSE 'en' END AS lang_guess
+         |FROM lc)
+         |SELECT q.doc_id, q.quality
+         |FROM quality q JOIN langid l ON q.doc_id = l.doc_id
+         |WHERE l.lang_guess = 'en' AND q.quality >= 0.4
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "q49_sql_tpch_q3" ->
       """WITH g AS (

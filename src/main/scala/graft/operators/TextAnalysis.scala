@@ -167,6 +167,53 @@ object TextAnalysis {
     }
   }
 
+  /** Fused per-document (quality, lang_guess) signals for composed
+    * pipelines: ONE let-bound tokenization feeds the stopword, marker and
+    * length counts — the separate [[qualityScore]] + [[langId]] columns
+    * would inline ~10 independent tokenizations per row once
+    * CollapseProject merges them into a consumer (the round-1 recompute
+    * hazard, see ExprUtils.let). With `native = true` the counting side
+    * uses the single-pass `text_stats` expression instead (no regex at
+    * all). Semantics — and therefore oracles — are identical to the
+    * stand-alone columns: same formula order, same rounding, same
+    * tie-break CASE. */
+  def docSignals(text: Column, native: Boolean = false): Column = {
+    import graft.functions.ExprUtils.let
+    let(tokens(F.lower(text))) { toks =>
+      val (nTok, nPunct, nStop): (Column, Column, Column) =
+        if (native) {
+          val st = F.call_function("text_stats", text)
+          (st.getField("n_tokens"), st.getField("n_punct"),
+           st.getField("n_stopwords"))
+        } else {
+          val sw = F.array(Stopwords.map(F.lit): _*)
+          (F.size(toks), punctCount(text),
+           F.size(F.filter(toks, (t: Column) => F.array_contains(sw, t))))
+        }
+      let(F.array(LangMarkers.map { case (_, ms) =>
+        val m = F.array(ms.map(F.lit): _*)
+        F.size(F.filter(toks, (t: Column) => F.array_contains(m, t)))
+      }: _*)) { sc =>
+        val n = nTok.cast("double")
+        val chars = F.length(text).cast("double")
+        val lenScore = F.least(n / F.lit(100.0), F.lit(1.0))
+        val punctRatio = nPunct.cast("double") / F.greatest(chars, F.lit(1.0))
+        val swRatio = nStop.cast("double") / F.greatest(n, F.lit(1.0))
+        val punctScore = F.lit(1.0) - F.least(punctRatio * F.lit(10.0), F.lit(1.0))
+        val swScore = F.least(swRatio * F.lit(5.0), F.lit(1.0))
+        val quality = F.round((lenScore + punctScore + swScore) / F.lit(3.0), 6)
+        val Seq(sEn, sDe, sEs, sFr) =
+          (1 to 4).map(i => F.element_at(sc, i))
+        val lang = F.when(F.greatest(sEn, sDe, sEs, sFr) <= 0, "und")
+          .when(sFr > F.greatest(sEn, sDe, sEs), "fr")
+          .when(sEs > F.greatest(sEn, sDe), "es")
+          .when(sDe > sEn, "de")
+          .otherwise("en")
+        F.struct(quality.as("quality"), lang.as("lang_guess"))
+      }
+    }
+  }
+
   /** All text statistics as one projection — single pass over the corpus. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = F.col(textCol)

@@ -158,6 +158,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(3).length == 32)
   }
 
+  test("docSignals (fused, both modes) matches stand-alone qualityScore + langId exactly") {
+    val cases = docs.union(Seq(
+      (10L, ""), (11L, "   "), (12L, "der der und ist die"),
+      (13L, "le le les et est"), (14L, "el la los es es"),
+      (15L, "a.b,c!d?e;f:g punctuation! heavy,,,")
+    ).toDF("doc_id", "text"))
+    Seq(false, true).foreach { native =>
+      val sig = TextAnalysis.docSignals(F.col("text"), native = native)
+      val cmp = cases.select(
+        TextAnalysis.qualityScore(F.col("text")).as("q1"),
+        sig.getField("quality").as("q2"),
+        TextAnalysis.langId(F.col("text")).as("l1"),
+        sig.getField("lang_guess").as("l2")).collect()
+      cmp.foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), s"quality (native=$native): $r")
+        assert(r.getString(2) == r.getString(3), s"lang (native=$native): $r")
+      }
+    }
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val fps = docs.select(TextAnalysis.fingerprint(F.col("text")))
       .collect().map(_.getString(0))
