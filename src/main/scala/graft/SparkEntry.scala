@@ -549,6 +549,36 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").as("sum_qty"), F.count(F.lit(1)).as("n"))),
 
+    // ---- salted equi-join for skewed keys (neither side broadcastable
+    //      at scale); the oracle is the UNSALTED join — salting must be
+    //      semantically transparent, like q44's salted aggregation ----
+    "q60_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Scale.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+          F.hash(F.col("l_orderkey"), F.col("l_linenumber")), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4)
+               .as("revenue"),
+             F.count(F.lit(1)).as("n"))
+    }),
+
+    // ---- hive-partitioned corpus layout: lang filter = directory
+    //      pruning (PartitionFilters), the text-corpus analog of q48's
+    //      bucketed ANN layout — a lang='en' pass over a multilingual
+    //      100 TB corpus reads only the en partition's files ----
+    "q61_part_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_corpus_${dir.hashCode.abs}"
+      Tables.writePartitioned(docs, Seq("lang"), path)
+      val st = F.call_function("text_stats", F.col("text"))
+      s.read.parquet(path)
+        .filter(F.col("lang") === "en")
+        .select(F.col("doc_id"), st.getField("n_tokens").as("n_tokens"))
+    }),
+
     // ---- the END-TO-END training-data deliverable: one query composing
     //      language ID → quality filter → near-dup cluster dedup into the
     //      final keep-list a pre-training pipeline actually ships. Every
@@ -879,6 +909,19 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    "q60_salted_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q61_part_corpus" ->
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |     x -> len(x) > 0)) AS n_tokens
+        |FROM documents WHERE lang = 'en'""".stripMargin,
 
     // full replay of the composed pipeline: langid + quality (q24/q25
     // expressions) + the recursive transitive closure over the replayed

@@ -48,6 +48,31 @@ object Scale {
       .agg(finalExprs.head, finalExprs.tail: _*)
   }
 
+  /** Salted equi-join for skewed keys when NEITHER side broadcasts (two
+    * fact tables): the skewed left keeps one row per record with a
+    * deterministic salt in [0, salts); the right is replicated `salts`×
+    * with every salt value, and the join key becomes (key, salt) — a hot
+    * key's rows now land on `salts` different reducers instead of one
+    * straggler task. Cost: `salts`× the right side's shuffle volume, so
+    * pick the SMALLER side as `right`. Semantically transparent (every
+    * left row still meets every matching right row exactly once), which
+    * is what the differential oracle checks — the oracle is the UNSALTED
+    * join. AQE's runtime skew-join split is the first tool; this is the
+    * deterministic fallback when stats mislead AQE or a single key
+    * exceeds what task-splitting can fix.
+    *
+    * `saltCol` must be a deterministic function of the LEFT row (e.g.
+    * `F.hash` of a unique id) — `rand()` would break reproducibility. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 saltCol: Column, salts: Int = 16): DataFrame = {
+    val l = left.withColumn("_salt_l", F.pmod(saltCol, F.lit(salts)))
+    val r = right.withColumn("_salt_r",
+      F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("_salt_l") === r("_salt_r"))
+      .drop("_salt_l", "_salt_r")
+  }
+
   private def expr(how: String, c: String): Column = how match {
     case "sum"   => F.sum(c)
     case "count" => F.count(F.lit(1))

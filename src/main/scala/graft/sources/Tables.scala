@@ -70,6 +70,18 @@ object Tables {
       }
   }
 
+  /** Stage a corpus hive-partitioned by low-cardinality columns (lang,
+    * source, date): the layout investment that turns every filter on a
+    * partition column into directory PRUNING — a `lang = 'en'` pass over
+    * a 100 TB multilingual corpus lists and reads only the English
+    * partition's files, enforced by storage layout rather than a runtime
+    * filter (the text-corpus analog of the IVF-bucketed ANN layout,
+    * [[graft.operators.Similarity.writeIvfBucketed]]). Check the scan's
+    * `PartitionFilters` to confirm. Keep partition columns at modest
+    * cardinality (thousands, not millions) or the file count explodes. */
+  def writePartitioned(df: DataFrame, partCols: Seq[String], path: String): Unit =
+    df.write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+
   /** Inspect a table: row count + first rows
     * (reference: examples/read_block_file.py:8-24). */
   def inspect(spark: SparkSession, path: String, n: Int = 100): Long = {

@@ -69,6 +69,35 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join equals the plain join on skewed keys") {
+    val left = ((1 to 5000).map(i => (1L, i)) ++           // hot key 1
+      (1 to 500).map(i => ((i % 7 + 2).toLong, i))).toDF("k", "payload")
+    val right = (1L to 8L).map(k => (k, s"r$k")).toDF("rk", "name")
+    val plain = left.join(right, left("k") === right("rk"))
+      .groupBy("name").agg(F.count(F.lit(1)).as("n"), F.sum("payload").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val salted = Scale.saltedJoin(left, right, "k", "rk",
+        F.hash(F.col("k"), F.col("payload")), salts = 8)
+      .groupBy("name").agg(F.count(F.lit(1)).as("n"), F.sum("payload").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("partitioned corpus layout prunes non-matching lang directories") {
+    val docs = Seq(
+      (0L, "the quick brown fox", "en"), (1L, "der schnelle fuchs", "de"),
+      (2L, "another english doc", "en"), (3L, "le renard rapide", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-corpus").toString + "/docs"
+    graft.sources.Tables.writePartitioned(docs, Seq("lang"), path)
+    val en = spark.read.parquet(path).filter(F.col("lang") === "en")
+      .select("doc_id")
+    assert(en.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter should prune at the partition level:\n$plan")
+  }
+
   test("property: filter output is a subset of input") {
     samples(Gen.listOfN(50, Gen.chooseNum(-100, 100)), 5).foreach { xs =>
       val df = xs.toDF("x")
