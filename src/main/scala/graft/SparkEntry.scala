@@ -50,6 +50,11 @@ object SparkEntry {
     * replayed verbatim by the DuckDB oracle. */
   private val q31Planes: Seq[Seq[Double]] = Dedup.hyperplanes(numPlanes = 8, dim = 64)
 
+  /** Two independent plane sets for q62's multi-table LSH (recall
+    * amplification) — the q31 set plus a second seed. */
+  private val q62PlaneSets: Seq[Seq[Seq[Double]]] =
+    Seq(q31Planes, Dedup.hyperplanes(numPlanes = 8, dim = 64, seed = 1337L))
+
   /** A double literal rendered for SQL: java's shortest round-trip
     * representation, which DuckDB parses back to the identical double. */
   private def sqlArray(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
@@ -286,6 +291,14 @@ object SparkEntry {
         planes = q31Planes, threshold = 0.3, maxBucket = 4096)
         .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))),
 
+    // multi-table LSH: union of candidates over TWO independent plane
+    // sets — the recall path (q31 is single-table precision); the oracle
+    // replays both bucketings and the union
+    "q62_embed_multi" -> ((s, dir) =>
+      Dedup.embeddingNearDupMulti(t(s, dir, "embeddings"), "embedding", "vec_id",
+        planeSets = q62PlaneSets, threshold = 0.3, maxBucket = 4096)
+        .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))),
+
     // ---- similarity search (graft.operators.Similarity) ----
     "q32_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -373,6 +386,22 @@ object SparkEntry {
         .select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
           (F.col("ts_us") - F.col("p_ts_us")).as("gap_us"),
           F.col("p_value"))
+    }),
+
+    // ---- forward as-of join (next-event attribution: click → first
+    //      subsequent purchase); gap-only output so equal-timestamp
+    //      right-row tie-breaks cannot differ between engines ----
+    "q63_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", F.expr("unix_micros(ts)"))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"),
+          F.col("event_id").as("p_event_id"))
+      AsofJoin.forward(clicks, purchases, "user_id", "ts_us", "ts_us",
+          rightPrefix = "p_", tieBreak = "p_event_id")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          (F.col("p_ts_us") - F.col("ts_us")).as("gap_us"))
     }),
 
     // ---- HLL sketch distinct (approximate; no exact oracle) ----
@@ -871,6 +900,19 @@ object SparkEntry {
     "q31_embed_neardup" -> embedLshOracleSql(
       planes = q31Planes, threshold = 0.3, maxBucket = 4096),
 
+    "q62_embed_multi" -> embedLshMultiOracleSql(
+      planeSets = q62PlaneSets, threshold = 0.3, maxBucket = 4096),
+
+    "q63_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       p.ts_us - c.ts_us AS gap_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
+
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
 
     // same algorithm as q33, different execution path (partition-pruned
@@ -1268,6 +1310,44 @@ object SparkEntry {
        |    list_dot_product(va, vb)
        |      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS raw
        |  FROM cand)
+       |SELECT id_a, id_b, round(raw, 6) AS cosine FROM scored
+       |WHERE raw >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Dedup.embeddingNearDupMulti]]:
+    * one bucket expression per plane set, candidates unioned over
+    * (set, bucket) with the same cap, exact cosine on the deduplicated
+    * union — structurally the minhash-band oracle with plane sets as
+    * bands. */
+  private def embedLshMultiOracleSql(planeSets: Seq[Seq[Seq[Double]]],
+                                     threshold: Double, maxBucket: Int): String = {
+    val bucketCols = planeSets.zipWithIndex.map { case (planes, s) =>
+      val expr = planes.zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN list_dot_product(v, ${sqlArray(pl)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"$expr AS b$s"
+    }.mkString(",\n    ")
+    val bands = planeSets.indices.map { s =>
+      s"SELECT id, $s AS ps, b$s AS bucket FROM b"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT id, v,
+       |    $bucketCols
+       |  FROM e),
+       |banded AS (
+       |  $bands),
+       |k AS (SELECT ps, bucket FROM banded GROUP BY ps, bucket
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a
+       |  JOIN k ON a.ps = k.ps AND a.bucket = k.bucket
+       |  JOIN banded b2 ON a.ps = b2.ps AND a.bucket = b2.bucket AND a.id < b2.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS raw
+       |  FROM cand JOIN e ea ON ea.id = cand.id_a JOIN e eb ON eb.id = cand.id_b)
        |SELECT id_a, id_b, round(raw, 6) AS cosine FROM scored
        |WHERE raw >= $threshold""".stripMargin
   }

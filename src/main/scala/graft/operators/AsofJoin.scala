@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
-/** Backward as-of join: for every left row, the latest right row (per
-  * key) whose timestamp is <= the left timestamp. The reference has no
+/** As-of joins (backward and forward): for every left row, the latest
+  * right row (per key) whose timestamp is <= the left timestamp —
+  * or, forward, the earliest with ts >=. The reference has no
   * such operator (equi-join only, SURVEY §2.5); this is the composed-
   * from-existing-ops construction (preference (a) over a custom
   * physical operator):
@@ -31,7 +32,23 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightPrefix: String = "r_", tieBreak: String = ""): DataFrame = {
+               rightPrefix: String = "r_", tieBreak: String = ""): DataFrame =
+    join(left, right, key, leftTs, rightTs, rightPrefix, tieBreak, fwd = false)
+
+  /** Forward as-of join: for every left row, the EARLIEST right row (per
+    * key) whose timestamp is >= the left timestamp — the mirror of
+    * [[backward]] (next-event attribution: click → first subsequent
+    * purchase). Same single-shuffle construction, scanned in descending
+    * time order. Equal-timestamp right rows resolve to the smallest
+    * `tieBreak`. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightPrefix: String = "r_", tieBreak: String = ""): DataFrame =
+    join(left, right, key, leftTs, rightTs, rightPrefix, tieBreak, fwd = true)
+
+  private def join(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightPrefix: String, tieBreak: String, fwd: Boolean): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => c == key || c == rightTs)
     val rStruct = F.struct(
       (F.col(rightTs).as(rightTs) +: rightPayloadCols.map(c => F.col(c).as(c))): _*)
@@ -48,11 +65,16 @@ object AsofJoin {
       F.lit(null).cast(lStructType(left)).as("_l"),
       rStruct.as("_r"))
 
-    // at equal timestamps the right row sorts FIRST (inclusive <=);
+    // at equal timestamps the right row sorts FIRST (inclusive bound);
     // equal right timestamps order by the tie-break so `last` is
-    // deterministic
-    val w = Window.partitionBy("_k")
-      .orderBy(F.col("_t").asc, F.col("_isR").desc, F.col("_tb").asc)
+    // deterministic. Forward is the time-mirrored scan: descending ts,
+    // so the running `last` is the SMALLEST right ts >= the left ts
+    val w = (if (fwd)
+        Window.partitionBy("_k")
+          .orderBy(F.col("_t").desc, F.col("_isR").desc, F.col("_tb").desc)
+      else
+        Window.partitionBy("_k")
+          .orderBy(F.col("_t").asc, F.col("_isR").desc, F.col("_tb").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = taggedLeft.unionByName(taggedRight)

@@ -452,33 +452,64 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        planes: Seq[Seq[Double]], threshold: Double,
                        maxBucket: Int = 4096): DataFrame = {
-    val v = F.col(vecCol)
-    // native fused-loop f64 dot/cosine when available — double precision
-    // end to end, bit-identical to the composable fold (and so to the
-    // DuckDB replay oracle); float embeddings widen exactly
-    val native = df.sparkSession.catalog.functionExists("vec_dot_f64")
-    def dotD(a: Column, b: Column): Column =
-      if (native) F.call_function("vec_dot_f64", a, b) else Similarity.dot(a, b)
-    def cosD(a: Column, b: Column): Column =
-      if (native) F.call_function("vec_cosine_f64", a, b) else Similarity.cosine(a, b)
-    val bucketBits = planes.zipWithIndex.map { case (pl, i) =>
-      F.when(dotD(v, F.array(pl.map(F.lit): _*)) >= 0, F.lit(1L << i))
-        .otherwise(F.lit(0L))
-    }.reduce(_ + _)
-    val banded = df.select(F.col(idCol).as("id"), bucketBits.as("bucket"))
+    val banded = df.select(F.col(idCol).as("id"),
+      planeBucket(df, vecCol, planes).as("bucket"))
     // Staged once for the same reason as minhashLsh: the pair set feeds
     // the spine plus both verify joins, and without staging the full
     // scan→bucket-assignment pipeline would execute three times.
     val pairs = cappedBucketPairs(banded, Seq("bucket"), maxBucket)
       .localCheckpoint(true)
+    cosineVerify(df, vecCol, idCol, pairs, threshold)
+  }
 
+  /** Multi-table random-hyperplane LSH: candidates are the UNION over
+    * several independent plane sets (different seeds), the standard
+    * recall amplifier — per-pair recall at similarity s rises from
+    * (1 - acos(s)/π)^p to 1 - (1 - (1 - acos(s)/π)^p)^tables. Exactly
+    * the minhash banding structure: the set index is the band, so ONE
+    * (set, bucket) aggregation with the same document-frequency cap
+    * bounds candidate generation; verification runs once over the
+    * deduplicated union. */
+  def embeddingNearDupMulti(df: DataFrame, vecCol: String, idCol: String,
+                            planeSets: Seq[Seq[Seq[Double]]], threshold: Double,
+                            maxBucket: Int = 4096): DataFrame = {
+    val buckets = F.array(planeSets.map(planeBucket(df, vecCol, _)): _*)
+    val banded = df.select(F.col(idCol).as("id"),
+      F.posexplode(buckets).as(Seq("pset", "bucket")))
+    val pairs = cappedBucketPairs(banded, Seq("pset", "bucket"), maxBucket)
+      .localCheckpoint(true)
+    cosineVerify(df, vecCol, idCol, pairs, threshold)
+  }
+
+  /** Sign-bit bucket of a vector against one hyperplane set (bit i =
+    * sign of dot with plane i), via the native fused-loop f64 dot when
+    * the session carries the extensions — double precision end to end,
+    * bit-identical to the composable fold (and so to the DuckDB replay
+    * oracle); float embeddings widen exactly. */
+  private def planeBucket(df: DataFrame, vecCol: String,
+                          planes: Seq[Seq[Double]]): Column = {
+    val native = df.sparkSession.catalog.functionExists("vec_dot_f64")
+    def dotD(a: Column, b: Column): Column =
+      if (native) F.call_function("vec_dot_f64", a, b) else Similarity.dot(a, b)
+    planes.zipWithIndex.map { case (pl, i) =>
+      F.when(dotD(F.col(vecCol), F.array(pl.map(F.lit): _*)) >= 0, F.lit(1L << i))
+        .otherwise(F.lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact-cosine verification over a staged candidate pair set: prune
+    * the corpus to candidate ids with ONE semi-join, stage the candidate
+    * vectors (referenced by both join sides), score, filter. */
+  private def cosineVerify(df: DataFrame, vecCol: String, idCol: String,
+                           pairs: DataFrame, threshold: Double): DataFrame = {
+    val native = df.sparkSession.catalog.functionExists("vec_cosine_f64")
+    def cosD(a: Column, b: Column): Column =
+      if (native) F.call_function("vec_cosine_f64", a, b) else Similarity.cosine(a, b)
     val candIds = pairs
       .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
       .distinct() // one reference to the pairs subplan, not a two-branch union
-    // referenced twice (vec_a / vec_b sides) — stage the pruned candidate
-    // vectors so the corpus is scanned once, not once per side
     val vecs = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
-      .select(F.col(idCol).as("id"), v.as("vec"))
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("vec"))
       .localCheckpoint(true)
     pairs
       .join(vecs.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), "id_a")

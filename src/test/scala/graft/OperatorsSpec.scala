@@ -285,6 +285,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L).isEmpty)       // user 2 has no purchases -> null
   }
 
+  test("forward as-of join picks the earliest right row at or after the left timestamp") {
+    val clicks = Seq((100L, 1L, 50L), (101L, 1L, 65L), (102L, 2L, 70L))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 10L, 1.0), (1L, 50L, 2.0), (1L, 60L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.forward(clicks, purchases, "user_id", "ts", "ts",
+        rightPrefix = "p_").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(100L).contains(2.0)) // ts 50 matches purchase at 50 (inclusive)
+    assert(out(101L).isEmpty)       // ts 65 is after the last purchase -> null
+    assert(out(102L).isEmpty)       // user 2 has no purchases -> null
+  }
+
+  test("multi-table embedding LSH equals the union of its single-table runs") {
+    // deterministic pseudo-random vectors; two plane sets catch different
+    // pair subsets, the multi run must be exactly their union
+    val vecs = (0L until 60L).map { i =>
+      val x = ((i * 2654435761L) % 997).toFloat / 997f - 0.5f
+      val y = ((i * 40503L) % 991).toFloat / 991f - 0.5f
+      val z = ((i * 69069L) % 983).toFloat / 983f - 0.5f
+      (i, Seq(x, y, z))
+    }.toDF("vec_id", "embedding")
+    val sets = Seq(Dedup.hyperplanes(4, 3, seed = 7L), Dedup.hyperplanes(4, 3, seed = 8L))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = sets.map(pl => pairSet(
+      Dedup.embeddingNearDup(vecs, "embedding", "vec_id", pl, threshold = 0.8)))
+    val multi = pairSet(Dedup.embeddingNearDupMulti(
+      vecs, "embedding", "vec_id", sets, threshold = 0.8))
+    assert(multi == single(0).union(single(1)))
+    assert(single(0) != single(1), "fixture should differentiate the two tables")
+  }
+
   test("approx_count_distinct is within tolerance of exact") {
     val df = (1 to 1000).map(i => i % 137).toDF("v")
     val approx = df.agg(F.approx_count_distinct("v")).head().getLong(0)
