@@ -608,6 +608,42 @@ object SparkEntry {
         .select(F.col("doc_id"), st.getField("n_tokens").as("n_tokens"))
     }),
 
+    // ---- corpus mixing: deterministic hash-based stratified sampling
+    //      (keep 50% of en, 30% of de, 10% of the rest) — reproducible,
+    //      partition-invariant, and exactly replayable by the oracle
+    //      because the sampling key is the portable md5 hash ----
+    "q64_stratified_sample" -> ((s, dir) =>
+      Scale.stratifiedSampleByHash(
+        t(s, dir, "documents"),
+        F.col("doc_id"),
+        F.when(F.col("lang") === "en", 50)
+          .when(F.col("lang") === "de", 30)
+          .otherwise(10))
+        .select("doc_id", "lang")),
+
+    // ---- curriculum selection: top-10 documents by quality per lang via
+    //      the bounded-heap topk_pairs aggregate (k rows per stratum per
+    //      partition reach the shuffle — no global or per-group sort) ----
+    "q65_topk_per_lang" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        F.col("lang"), F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      if (s.catalog.functionExists("topk_pairs"))
+        scored.groupBy("lang")
+          .agg(F.call_function("topk_pairs",
+            F.col("quality"), F.col("doc_id"), F.lit(10)).as("top"))
+          .select(F.col("lang"), F.explode(F.col("top")).as("t"))
+          .select(F.col("lang"), F.col("t.id").as("doc_id"),
+                  F.col("t.score").as("quality"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(F.col("quality").desc, F.col("doc_id").asc)
+        scored.withColumn("rk", F.row_number().over(w))
+          .filter(F.col("rk") <= 10).select("lang", "doc_id", "quality")
+      }
+    }),
+
     // ---- the END-TO-END training-data deliverable: one query composing
     //      language ID → quality filter → near-dup cluster dedup into the
     //      final keep-list a pre-training pipeline actually ships. Every
@@ -951,6 +987,27 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END""".stripMargin,
+
+    "q65_topk_per_lang" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+        | FROM documents),
+        |q AS (SELECT doc_id, lang, round((
+        |  least(n_tok / 100.0, 1.0)
+        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+        | ) / 3.0, 6) AS quality
+        |FROM d)
+        |SELECT lang, doc_id, quality FROM q
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 10""".stripMargin,
 
     "q60_salted_join" ->
       """SELECT o_orderpriority,

@@ -48,6 +48,20 @@ object Scale {
       .agg(finalExprs.head, finalExprs.tail: _*)
   }
 
+  /** Deterministic hash-based stratified sampling — the corpus-mixing
+    * primitive of a training-data pipeline (downsample boilerplate
+    * sources, upweight high-quality strata). The sampling key is the
+    * engine-portable md5 hash of the row id (NOT `rand()`), so (a) the
+    * sample is reproducible run-to-run and partition-invariant, (b) it is
+    * consistent across reruns/backfills — a row's fate never changes —
+    * and (c) a differential SQL oracle can replay the exact selection.
+    * Pure narrow filter: no shuffle, scales with input splits.
+    *
+    * @param ratePct per-row keep percentage in [0,100], usually a CASE
+    *                over the stratum column */
+  def stratifiedSampleByHash(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
+    df.filter(Dedup.md5Hash60(idCol.cast("string")) % 100 < ratePct)
+
   /** Salted equi-join for skewed keys when NEITHER side broadcasts (two
     * fact tables): the skewed left keeps one row per record with a
     * deterministic salt in [0, salts); the right is replicated `salts`×

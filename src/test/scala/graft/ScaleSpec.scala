@@ -69,6 +69,20 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hash-based stratified sample is deterministic and partition-invariant") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rate = F.when(F.col("lang") === "en", 50).otherwise(10)
+    def run(parts: Int) =
+      Scale.stratifiedSampleByHash(docs.repartition(parts), F.col("id"), rate)
+        .collect().map(_.getLong(0)).toSet
+    val a = run(1)
+    assert(a == run(32)) // a row's fate never depends on partitioning
+    // rates are approximately honored per stratum
+    val en = a.count(_ % 3 == 0).toDouble / (1000 / 3)
+    assert(en > 0.35 && en < 0.65, s"en keep-rate ~0.5, got $en")
+  }
+
   test("salted join equals the plain join on skewed keys") {
     val left = ((1 to 5000).map(i => (1L, i)) ++           // hot key 1
       (1 to 500).map(i => ((i % 7 + 2).toLong, i))).toDF("k", "payload")
