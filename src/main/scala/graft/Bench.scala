@@ -46,6 +46,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see GraftSession: lets small-file splits track bytes-per-core so
+      // a 10 MB sf0.1 scan fans out to all cores instead of 3
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tracer = new graft.trace.StageTraceListener

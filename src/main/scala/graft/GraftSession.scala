@@ -46,6 +46,13 @@ object GraftSession {
       // byte range (analog of the reference's one-job-per-2M-row-block
       // scan granularity, reference: src/mini_spark/plan.py:90-93).
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // openCost floors the split size at max(openCost, bytes/cores): the
+      // 4 MB default leaves a 10 MB table on 3 of 32 cores. Footer opens
+      // on local/NVMe storage are cheap, so floor at 256 KB — split size
+      // then tracks bytes-per-core for small inputs while the 128 MB
+      // maxPartitionBytes cap still governs at cluster scale (where
+      // bytes-per-core is huge), so this ONLY widens small-scan fan-out.
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // test data's events table stores nanosecond timestamps
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
