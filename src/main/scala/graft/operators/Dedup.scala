@@ -359,10 +359,10 @@ object Dedup {
     if (localThreshold > 0) {
       val capped = pairs
         .select(F.col(idA).cast("long"), F.col(idB).cast("long"))
-        .take(localThreshold + 1)
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .take(localThreshold + 1) // tuples, not Rows: ~32 B/edge on the driver
       if (capped.length <= localThreshold)
-        return clustersLocal(pairs.sparkSession,
-          capped.map(r => (r.getLong(0), r.getLong(1))))
+        return clustersLocal(pairs.sparkSession, capped)
     }
     clustersDistributed(pairs, idA, idB, maxIter)
   }
