@@ -196,6 +196,14 @@ object SparkEntry {
         .union(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))
         .distinct()),
 
+    "q66_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(F.col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))),
+
+    "q67_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(F.col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))),
+
     "q17_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
@@ -788,6 +796,16 @@ object SparkEntry {
     "q16_union_distinct" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q66_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q67_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
     "q17_topk" ->
