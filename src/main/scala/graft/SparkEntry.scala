@@ -621,6 +621,28 @@ object SparkEntry {
         .select(F.col("doc_id"), st.getField("n_tokens").as("n_tokens"))
     }),
 
+    // ---- corpus-wide duplicated-line fraction per doc (boilerplate
+    //      detection across documents — what per-doc gopher can't see);
+    //      lines shuffle as 16-byte digests ----
+    "q68_corpus_dup_lines" -> ((s, dir) =>
+      Dedup.corpusDupLines(t(s, dir, "documents"), "text", "doc_id")
+        .select(F.col("id").as("doc_id"), F.col("frac_dup_corpus"),
+                F.col("n_lines"))),
+
+    // ---- data-card corpus statistics: token-length histogram with
+    //      per-bucket quality — the summary a dataset release ships ----
+    "q69_corpus_stats" -> ((s, dir) => {
+      val st = F.call_function("text_stats", F.col("text"))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          st.getField("n_tokens").as("n_tokens"),
+          TextAnalysis.qualityScore(F.col("text")).as("quality"))
+        .groupBy(F.floor(F.col("n_tokens") / 64).cast("long").as("len_bucket"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+             F.round(F.avg("n_tokens"), 4).as("avg_tokens"),
+             F.round(F.avg("quality"), 4).as("avg_quality"))
+    }),
+
     // ---- corpus mixing: deterministic hash-based stratified sampling
     //      (keep 50% of en, 30% of de, 10% of the rest) — reproducible,
     //      partition-invariant, and exactly replayable by the oracle
@@ -1010,6 +1032,39 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    "q68_corpus_dup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\n'),
+        |      x -> trim(x) <> '')) AS line
+        |  FROM documents),
+        |lh AS (SELECT doc_id, md5(line) AS h FROM l),
+        |c AS (SELECT h, count(*) AS cnt FROM lh GROUP BY h)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS frac_dup_corpus,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lh JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+
+    "q69_corpus_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw,
+        |  text
+        | FROM documents),
+        |q AS (SELECT doc_id, n_tok, round((
+        |  least(n_tok / 100.0, 1.0)
+        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+        | ) / 3.0, 6) AS quality
+        |FROM d)
+        |SELECT CAST(floor(n_tok / 64) AS BIGINT) AS len_bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_tok), 4) AS avg_tokens,
+        | round(avg(quality), 4) AS avg_quality
+        |FROM q GROUP BY 1""".stripMargin,
 
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -481,6 +481,29 @@ object Dedup {
     cosineVerify(df, vecCol, idCol, pairs, threshold)
   }
 
+  /** CORPUS-WIDE duplicated-line statistics (cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * each document, the fraction of its non-blank lines that occur more
+    * than once ACROSS THE WHOLE CORPUS — the repetition signal that
+    * catches boilerplate (headers, footers, license blocks) which per-doc
+    * stats ([[TextAnalysis.gopherStats]]) cannot see. Lines travel as
+    * 16-byte md5 digests, so the corpus-wide count is one narrow
+    * map-side-combinable groupBy plus a digest-keyed join back — no
+    * document bodies ever shuffle. */
+  def corpusDupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = df.select(F.col(idCol).as("id"),
+        F.explode(F.filter(F.split(F.col(textCol), "\n"),
+          (l: Column) => F.length(F.trim(l)) > 0)).as("line"))
+      .select(F.col("id"), F.md5(F.encode(F.col("line"), "UTF-8")).as("lh"))
+    val counts = lines.groupBy("lh").agg(F.count(F.lit(1)).as("cnt"))
+    lines.join(counts, "lh")
+      .groupBy("id")
+      .agg(
+        (F.sum(F.when(F.col("cnt") > 1, 1L).otherwise(0L)).cast("double")
+          / F.count(F.lit(1))).as("frac_dup_corpus"),
+        F.count(F.lit(1)).as("n_lines"))
+  }
+
   /** Sign-bit bucket of a vector against one hyperplane set (bit i =
     * sign of dot with plane i), via the native fused-loop f64 dot when
     * the session carries the extensions — double precision end to end,
