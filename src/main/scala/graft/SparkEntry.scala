@@ -621,6 +621,13 @@ object SparkEntry {
         .select(F.col("doc_id"), st.getField("n_tokens").as("n_tokens"))
     }),
 
+    // ---- partial-overlap pairs: docs sharing >= 3 winnowing
+    //      fingerprints (shared token runs — quotes/plagiarism/
+    //      boilerplate blocks whole-doc similarity dilutes away) ----
+    "q70_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxBucket = 4096)),
+
     // ---- corpus-wide duplicated-line fraction per doc (boilerplate
     //      detection across documents — what per-doc gopher can't see);
     //      lines shuffle as 16-byte digests ----
@@ -1032,6 +1039,32 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    // replays the q45 winnow pipeline, then buckets by fingerprint
+    // (capped), explodes pairs and counts shared fingerprints per pair
+    "q70_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT) AS gr
+        |  FROM g),
+        |fps AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(len(gr) - 4, 0) + 1),
+        |      i -> list_min(gr[i+1:i+4])))) AS fp
+        |  FROM grams),
+        |b AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 4096),
+        |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM fps a
+        |  JOIN b ON a.fp = b.fp
+        |  JOIN fps c ON a.fp = c.fp AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM pairs WHERE n_shared >= 3""".stripMargin,
 
     "q68_corpus_dup_lines" ->
       """WITH l AS (SELECT doc_id,

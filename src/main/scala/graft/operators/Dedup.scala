@@ -481,6 +481,32 @@ object Dedup {
     cosineVerify(df, vecCol, idCol, pairs, threshold)
   }
 
+  /** Local-overlap pairs via shared winnowing fingerprints (Schleimer et
+    * al.): documents sharing at least `minShared` winnow fingerprints —
+    * which, by the winnowing guarantee, means shared token runs — are
+    * paired with their overlap count. Catches PARTIAL overlap (quoted
+    * paragraphs, plagiarized sections, shared boilerplate blocks) that
+    * whole-document similarity ([[minhashLsh]]) dilutes away. Same
+    * scale shape as every LSH variant: fingerprints are the buckets, one
+    * capped aggregation, pairs explode from bounded member lists, then a
+    * per-pair count — no self-join. */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 3,
+                         maxBucket: Int = 4096): DataFrame = {
+    val fps = spreadForCompute(df).select(F.col(idCol).as("id"),
+      F.explode(TextAnalysis.winnowingFingerprint(F.col(textCol), k, w,
+        gramHash = md5Hash60)).as("fp"))
+    fps.groupBy("fp")
+      .agg(F.collect_list(F.col("id")).as("ids"))
+      .filter(F.size(F.col("ids")).between(2, maxBucket))
+      .select(F.explode(elementPairs(F.array_sort(F.col("ids")))).as("p"))
+      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      // fingerprints are distinct per doc, so each contributes once
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** CORPUS-WIDE duplicated-line statistics (cf. Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): for
     * each document, the fraction of its non-blank lines that occur more
