@@ -27,7 +27,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def table(ref: String): GraftFrame =
     GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
 
-  def sql(query: String): GraftFrame = plan(SqlParser.parse(query))
+  def sql(query: String): GraftFrame = {
+    val cq = SqlParser.parseCompound(query)
+    cq.tail.foldLeft(plan(cq.head)) { case (acc, (op, all, q)) =>
+      val r = plan(q)
+      val combined = (op, all) match {
+        case ("union", true)      => acc.df.union(r.df)
+        case ("union", false)     => acc.df.union(r.df).distinct()
+        case ("intersect", true)  => acc.df.intersectAll(r.df)
+        case ("intersect", false) => acc.df.intersect(r.df)
+        case ("except", true)     => acc.df.exceptAll(r.df)
+        case ("except", false)    => acc.df.except(r.df)
+        case other => throw new IllegalStateException(s"set op $other")
+      }
+      GraftFrame.fromDF(combined)
+    }
+  }
 
   def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
     if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)

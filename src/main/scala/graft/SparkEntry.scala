@@ -196,6 +196,14 @@ object SparkEntry {
         .union(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))
         .distinct()),
 
+    // set ops THROUGH the SQL dialect front-end (parser extension) —
+    // q66/q67 gate the DataFrame API route
+    "q71_sql_union" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c_nationkey AS nationkey FROM customer
+          |UNION
+          |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin).df),
+
     "q66_intersect" -> ((s, dir) =>
       t(s, dir, "customer").select(F.col("c_nationkey").as("nationkey"))
         .intersect(t(s, dir, "supplier").select(F.col("s_nationkey").as("nationkey")))),
@@ -823,6 +831,11 @@ object SparkEntry {
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
 
     "q16_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q71_sql_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,

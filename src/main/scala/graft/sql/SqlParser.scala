@@ -30,6 +30,12 @@ final case class SelectItem(expr: Col, star: Boolean)
 final case class TableRef(path: String, alias: Option[String])
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
+/** A chain of query blocks combined with set operations (extension —
+  * absent in the reference, SURVEY §2.5). Left-associative with equal
+  * precedence; `all` = the ALL keyword (bag instead of set semantics). */
+final case class CompoundQuery(head: SqlQuery,
+                               tail: Seq[(String, Boolean, SqlQuery)])
+
 /** Hand-rolled recursive-descent parser for the reference's SQL dialect.
   *
   * Grammar from reference: src/mini_spark/parser.py:14-69 (PEG), with the
@@ -55,7 +61,8 @@ object SqlParser {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "JOIN", "ON", "AS",
     "AND", "OR", "NOT", "LIKE", "BETWEEN", "INNER", "LEFT", "RIGHT", "FULL",
     "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
-    "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG")
+    "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
+    "UNION", "INTERSECT", "EXCEPT", "ALL")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -110,7 +117,30 @@ object SqlParser {
       case t         => throw new ParseError(s"Expected '$op', got ${t.text}")
     }
 
-    def parseQuery(): SqlQuery = {
+    def parseCompound(): CompoundQuery = {
+      val head = parseBlock()
+      val tail = ListBuffer.empty[(String, Boolean, SqlQuery)]
+      var op = peekSetOp()
+      while (op.isDefined) {
+        next()
+        val all = accept("ALL")
+        tail += ((op.get, all, parseBlock()))
+        op = peekSetOp()
+      }
+      accept(";")
+      peek match {
+        case TEOF => ()
+        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
+      }
+      CompoundQuery(head, tail.toSeq)
+    }
+
+    private def peekSetOp(): Option[String] = peek match {
+      case TKw(k @ ("UNION" | "INTERSECT" | "EXCEPT")) => Some(k.toLowerCase)
+      case _ => None
+    }
+
+    private def parseBlock(): SqlQuery = {
       expectKw("SELECT")
       val distinct = accept("DISTINCT")
       val items = ListBuffer(parseSelectItem())
@@ -156,11 +186,6 @@ object SqlParser {
           case t       => throw new ParseError(s"Expected number after LIMIT, got ${t.text}")
         })
         else None
-      accept(";")
-      peek match {
-        case TEOF => ()
-        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
-      }
       SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having, orderBy, limit, distinct)
     }
 
@@ -328,5 +353,14 @@ object SqlParser {
     }
   }
 
-  def parse(sql: String): SqlQuery = new P(tokenize(sql)).parseQuery()
+  /** Parse a (possibly set-op-combined) query. */
+  def parseCompound(sql: String): CompoundQuery =
+    new P(tokenize(sql)).parseCompound()
+
+  /** Parse a single query block; a compound query is a parse error here
+    * (legacy single-block entry point — the engine uses [[parseCompound]]). */
+  def parse(sql: String): SqlQuery = parseCompound(sql) match {
+    case CompoundQuery(head, Seq()) => head
+    case _ => throw new ParseError("Set operations require parseCompound")
+  }
 }

@@ -129,6 +129,31 @@ class EngineSpec extends SparkSpec {
     assert(engine.sql("SELECT * FROM fruits").show(100) == 5)
   }
 
+  test("set operations through the dialect: UNION / UNION ALL / INTERSECT / EXCEPT") {
+    val union = engine.sql(
+      "SELECT country FROM users UNION SELECT country FROM users")
+    assert(rows(union.df) == Set(Seq("USA"), Seq("Canada"), Seq("UK")))
+    val unionAll = engine.sql(
+      "SELECT country FROM users UNION ALL SELECT country FROM users")
+    assert(unionAll.count() == 10) // bag semantics
+    val intersect = engine.sql(
+      """SELECT user_id FROM users
+        |INTERSECT
+        |SELECT user_id FROM orders""".stripMargin)
+    assert(rows(intersect.df) == Set(Seq(1), Seq(2), Seq(3)))
+    val except = engine.sql(
+      """SELECT user_id FROM users
+        |EXCEPT
+        |SELECT user_id FROM orders""".stripMargin)
+    assert(rows(except.df) == Set(Seq(4), Seq(5)))
+    // three-block chain folds left-associatively
+    val chained = engine.sql(
+      """SELECT user_id FROM users
+        |EXCEPT SELECT user_id FROM orders
+        |UNION SELECT user_id FROM orders WHERE user_id = 9""".stripMargin)
+    assert(rows(chained.df) == Set(Seq(4), Seq(5), Seq(9)))
+  }
+
   test("RIGHT and FULL OUTER joins execute through the dialect") {
     val right = engine.sql(
       """SELECT o.order_id, u.name FROM orders o
