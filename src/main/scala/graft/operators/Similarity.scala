@@ -184,6 +184,15 @@ object Similarity {
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Exact top-k within the probed buckets of a [[writeIvfBucketed]]
+    * corpus, on the active session — the signature-consistent sibling of
+    * the other ANN entry points (none takes an explicit session). */
+  def topKIvfBucketed(path: String, vecCol: String, idCol: String,
+                      query: Seq[Double], centroids: Seq[Seq[Double]],
+                      k: Int, nprobe: Int): DataFrame =
+    topKIvfBucketed(org.apache.spark.sql.SparkSession.active, path,
+      vecCol, idCol, query, centroids, k, nprobe)
+
+  /** Exact top-k within the probed buckets of a [[writeIvfBucketed]]
     * corpus. The `bucket` predicate matches only partition directories
     * (check the scan's `PartitionFilters` — non-probed buckets are never
     * read), and the scan itself prunes to (id, vec) columns. */
