@@ -629,6 +629,14 @@ object SparkEntry {
         .select(F.col("doc_id"), st.getField("n_tokens").as("n_tokens"))
     }),
 
+    // ---- the whole text-profiling surface in ONE projection (the API a
+    //      corpus-profiling job calls); gates TextAnalysis.profile
+    //      end-to-end against the union of the q23–q26 oracles ----
+    "q72_profile" -> ((s, dir) =>
+      TextAnalysis.profile(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_subwords", "n_punct", "n_stopwords",
+                "quality", "lang_guess", "fp_md5")),
+
     // ---- partial-overlap pairs: docs sharing >= 3 winnowing
     //      fingerprints (shared token runs — quotes/plagiarism/
     //      boilerplate blocks whole-doc similarity dilutes away) ----
@@ -1052,6 +1060,43 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    // the q23 + q24 + q25 + q26 oracles joined into one row per doc
+    "q72_profile" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+        | FROM documents),
+        |ls AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
+        |lc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
+        | FROM ls),
+        |langid AS (SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_de > s_en THEN 'de'
+        |  ELSE 'en' END AS lang_guess
+        |FROM lc)
+        |SELECT d.doc_id, n_tok AS n_tokens,
+        | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |     x -> len(x) > 0)) AS n_subwords,
+        | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        | n_sw AS n_stopwords,
+        | round((
+        |  least(n_tok / 100.0, 1.0)
+        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+        | ) / 3.0, 6) AS quality,
+        | l.lang_guess,
+        | md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp_md5
+        |FROM d JOIN langid l ON d.doc_id = l.doc_id""".stripMargin,
 
     // replays the q45 winnow pipeline, then buckets by fingerprint
     // (capped), explodes pairs and counts shared fingerprints per pair

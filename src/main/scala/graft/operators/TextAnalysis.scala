@@ -214,15 +214,31 @@ object TextAnalysis {
     }
   }
 
-  /** All text statistics as one projection — single pass over the corpus. */
+  /** All text statistics as one projection — single pass over the
+    * corpus. With the session extensions registered, the counting side is
+    * the native `text_stats` walk and quality/lang come from the fused
+    * [[docSignals]]; the composable twins otherwise (identical values —
+    * the same oracles gate both). */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = F.col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_subwords", subwordCount(t))
-      .withColumn("n_punct", punctCount(t))
-      .withColumn("n_stopwords", stopwordCount(t))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_guess", langId(t))
-      .withColumn("fp_md5", fingerprint(t))
+    if (df.sparkSession.catalog.functionExists("text_stats")) {
+      val st = F.call_function("text_stats", t)
+      val sig = docSignals(t, native = true)
+      df.withColumn("n_tokens", st.getField("n_tokens"))
+        .withColumn("n_subwords", st.getField("n_subwords"))
+        .withColumn("n_punct", st.getField("n_punct"))
+        .withColumn("n_stopwords", st.getField("n_stopwords"))
+        .withColumn("quality", sig.getField("quality"))
+        .withColumn("lang_guess", sig.getField("lang_guess"))
+        .withColumn("fp_md5", fingerprint(t))
+    } else {
+      df.withColumn("n_tokens", tokenCount(t))
+        .withColumn("n_subwords", subwordCount(t))
+        .withColumn("n_punct", punctCount(t))
+        .withColumn("n_stopwords", stopwordCount(t))
+        .withColumn("quality", qualityScore(t))
+        .withColumn("lang_guess", langId(t))
+        .withColumn("fp_md5", fingerprint(t))
+    }
   }
 }
