@@ -593,6 +593,34 @@ object SparkEntry {
         .withColumn("revenue", F.round(F.col("revenue_raw"), 4))
         .drop("revenue_raw")),
 
+    // ---- TPC-H Q14 shape (promo revenue): conditional aggregation over
+    //      a broadcast part join, ratio of two global sums ----
+    "q73_tpch_q14" -> ((s, dir) => {
+      val net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp") &&
+                F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        .join(F.broadcast(t(s, dir, "part")),
+          F.col("l_partkey") === F.col("p_partkey"))
+        .agg(F.round(
+          F.lit(100.0) * F.sum(F.when(F.col("p_type").like("PROMO%"), net)
+            .otherwise(F.lit(0.0))) / F.sum(net), 4).as("promo_revenue"))
+    }),
+
+    // ---- TPC-H Q17 shape (small-quantity order revenue): CORRELATED
+    //      SCALAR subquery in the filter (per-part average); l_quantity
+    //      is integral so the correlated avg is order-exact on both
+    //      engines ----
+    "q74_sql_tpch_q17" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#4'
+          |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
     // ---- CUBE (all grouping-set combinations; q37 covers ROLLUP) ----
     "q58_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1318,6 +1346,21 @@ object SparkEntry {
         |  GROUP BY c_custkey, c_name, n_name)
         |SELECT c_custkey, c_name, n_name, round(revenue_raw, 4) AS revenue
         |FROM g ORDER BY revenue_raw DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q73_tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q74_sql_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "q58_cube" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
