@@ -621,6 +621,25 @@ object SparkEntry {
           |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
 
+    // ---- TPC-H Q7 shape (volume shipping): the nation table joined
+    //      TWICE under different aliases (customer's vs supplier's
+    //      nation) — the self-join-under-alias construct ----
+    "q75_sql_tpch_q7" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |WHERE n1.n_name <> n2.n_name
+          |GROUP BY n1.n_name, n2.n_name""".stripMargin)
+    }),
+
     // ---- CUBE (all grouping-set combinations; q37 covers ROLLUP) ----
     "q58_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1346,6 +1365,19 @@ object SparkEntry {
         |  GROUP BY c_custkey, c_name, n_name)
         |SELECT c_custkey, c_name, n_name, round(revenue_raw, 4) AS revenue
         |FROM g ORDER BY revenue_raw DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q75_sql_tpch_q7" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name""".stripMargin,
 
     "q73_tpch_q14" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
