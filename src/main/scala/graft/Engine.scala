@@ -29,20 +29,35 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
   def sql(query: String): GraftFrame = {
     val cq = SqlParser.parseCompound(query)
-    cq.tail.foldLeft(plan(cq.head)) { case (acc, (op, all, q)) =>
-      val r = plan(q)
-      val combined = (op, all) match {
-        case ("union", true)      => acc.df.union(r.df)
-        case ("union", false)     => acc.df.union(r.df).distinct()
-        case ("intersect", true)  => acc.df.intersectAll(r.df)
-        case ("intersect", false) => acc.df.intersect(r.df)
-        case ("except", true)     => acc.df.exceptAll(r.df)
-        case ("except", false)    => acc.df.except(r.df)
-        case other => throw new IllegalStateException(s"set op $other")
+    // standard precedence: fold INTERSECT runs into their left term
+    // first, then fold UNION/EXCEPT left-associatively
+    var acc: GraftFrame = null
+    var accOp: (String, Boolean) = null
+    var term = plan(cq.head)
+    cq.tail.foreach { case (op, all, q) =>
+      if (op == "intersect") term = setOp(term, op, all, plan(q))
+      else {
+        acc = if (acc == null) term else setOp(acc, accOp._1, accOp._2, term)
+        accOp = (op, all)
+        term = plan(q)
       }
-      GraftFrame.fromDF(combined)
     }
+    var out = if (acc == null) term else setOp(acc, accOp._1, accOp._2, term)
+    if (cq.orderBy.nonEmpty) out = out.sort(cq.orderBy)
+    cq.limit.foreach(n => out = out.limit(n))
+    out
   }
+
+  private def setOp(l: GraftFrame, op: String, all: Boolean, r: GraftFrame): GraftFrame =
+    GraftFrame.fromDF((op, all) match {
+      case ("union", true)      => l.df.union(r.df)
+      case ("union", false)     => l.df.union(r.df).distinct()
+      case ("intersect", true)  => l.df.intersectAll(r.df)
+      case ("intersect", false) => l.df.intersect(r.df)
+      case ("except", true)     => l.df.exceptAll(r.df)
+      case ("except", false)    => l.df.except(r.df)
+      case other => throw new IllegalStateException(s"set op $other")
+    })
 
   def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
     if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)

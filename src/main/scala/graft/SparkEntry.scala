@@ -667,8 +667,9 @@ object SparkEntry {
     //      100 TB corpus reads only the en partition's files ----
     "q61_part_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // unique per invocation — see q48
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_corpus_${dir.hashCode.abs}"
+        java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/docs"
       Tables.writePartitioned(docs, Seq("lang"), path)
       val st = F.call_function("text_stats", F.col("text"))
       s.read.parquet(path)
@@ -778,8 +779,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      // unique per invocation: a fixed hash-keyed path would race between
+      // concurrent verify/bench processes on the same data dir
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.abs}"
+        java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
       Similarity.writeIvfBucketed(emb, "embedding", ivfCentroids, path)
       Similarity.topKIvfBucketed(s, path, "embedding", "vec_id", q,
           ivfCentroids, k = 10, nprobe = 2)
@@ -944,49 +947,22 @@ object SparkEntry {
     // text in DuckDB, so token counts filter them exactly like
     // TextAnalysis.tokens does
     "q23_token_stats" ->
-      """WITH d AS (SELECT doc_id, text,
-        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-        | FROM documents)
-        |SELECT doc_id, n_tok AS n_tokens,
-        | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |     x -> len(x) > 0)) AS n_subwords,
-        | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-        | n_sw AS n_stopwords
-        |FROM d""".stripMargin,
+      s"""WITH ${docStatsCte()}
+         |SELECT doc_id, n_tok AS n_tokens,
+         | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |     x -> len(x) > 0)) AS n_subwords,
+         | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         | n_sw AS n_stopwords
+         |FROM d""".stripMargin,
 
     "q24_quality" ->
-      """WITH d AS (SELECT doc_id, text,
-        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-        | FROM documents)
-        |SELECT doc_id, round((
-        |  least(n_tok / 100.0, 1.0)
-        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
-        | ) / 3.0, 6) AS quality
-        |FROM d""".stripMargin,
+      s"""WITH ${docStatsCte()}
+         |SELECT doc_id, $qualityExprSql AS quality
+         |FROM d""".stripMargin,
 
     "q25_langid" ->
-      """WITH s AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
-        |c AS (SELECT doc_id,
-        |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
-        |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
-        |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
-        |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
-        | FROM s)
-        |SELECT doc_id, CASE
-        |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
-        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
-        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
-        |  WHEN s_de > s_en THEN 'de'
-        |  ELSE 'en' END AS lang_guess
-        |FROM c""".stripMargin,
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang_guess FROM langid""".stripMargin,
 
     "q26_fingerprint" ->
       """SELECT doc_id,
@@ -1110,40 +1086,17 @@ object SparkEntry {
 
     // the q23 + q24 + q25 + q26 oracles joined into one row per doc
     "q72_profile" ->
-      """WITH d AS (SELECT doc_id, text,
-        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-        | FROM documents),
-        |ls AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
-        |lc AS (SELECT doc_id,
-        |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
-        |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
-        |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
-        |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
-        | FROM ls),
-        |langid AS (SELECT doc_id, CASE
-        |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
-        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
-        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
-        |  WHEN s_de > s_en THEN 'de'
-        |  ELSE 'en' END AS lang_guess
-        |FROM lc)
-        |SELECT d.doc_id, n_tok AS n_tokens,
-        | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |     x -> len(x) > 0)) AS n_subwords,
-        | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-        | n_sw AS n_stopwords,
-        | round((
-        |  least(n_tok / 100.0, 1.0)
-        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
-        | ) / 3.0, 6) AS quality,
-        | l.lang_guess,
-        | md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp_md5
-        |FROM d JOIN langid l ON d.doc_id = l.doc_id""".stripMargin,
+      s"""WITH ${docStatsCte()},
+         |$langidCtes
+         |SELECT d.doc_id, n_tok AS n_tokens,
+         | len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |     x -> len(x) > 0)) AS n_subwords,
+         | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         | n_sw AS n_stopwords,
+         | $qualityExprSql AS quality,
+         | l.lang_guess,
+         | md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp_md5
+         |FROM d JOIN langid l ON d.doc_id = l.doc_id""".stripMargin,
 
     // replays the q45 winnow pipeline, then buckets by fingerprint
     // (capped), explodes pairs and counts shared fingerprints per pair
@@ -1185,24 +1138,14 @@ object SparkEntry {
         |FROM lh JOIN c USING (h) GROUP BY doc_id""".stripMargin,
 
     "q69_corpus_stats" ->
-      """WITH d AS (SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw,
-        |  text
-        | FROM documents),
-        |q AS (SELECT doc_id, n_tok, round((
-        |  least(n_tok / 100.0, 1.0)
-        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
-        | ) / 3.0, 6) AS quality
-        |FROM d)
-        |SELECT CAST(floor(n_tok / 64) AS BIGINT) AS len_bucket,
-        | CAST(count(*) AS BIGINT) AS n_docs,
-        | round(avg(n_tok), 4) AS avg_tokens,
-        | round(avg(quality), 4) AS avg_quality
-        |FROM q GROUP BY 1""".stripMargin,
+      s"""WITH ${docStatsCte()},
+         |q AS (SELECT doc_id, n_tok, $qualityExprSql AS quality
+         |FROM d)
+         |SELECT CAST(floor(n_tok / 64) AS BIGINT) AS len_bucket,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | round(avg(n_tok), 4) AS avg_tokens,
+         | round(avg(quality), 4) AS avg_quality
+         |FROM q GROUP BY 1""".stripMargin,
 
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -1210,20 +1153,11 @@ object SparkEntry {
         |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END""".stripMargin,
 
     "q65_topk_per_lang" ->
-      """WITH d AS (SELECT doc_id, lang, text,
-        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0)) AS n_tok,
-        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-        | FROM documents),
-        |q AS (SELECT doc_id, lang, round((
-        |  least(n_tok / 100.0, 1.0)
-        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
-        | ) / 3.0, 6) AS quality
-        |FROM d)
-        |SELECT lang, doc_id, quality FROM q
-        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 10""".stripMargin,
+      s"""WITH ${docStatsCte()},
+         |q AS (SELECT doc_id, lang, $qualityExprSql AS quality
+         |FROM d)
+         |SELECT lang, doc_id, quality FROM q
+         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 10""".stripMargin,
 
     "q60_salted_join" ->
       """SELECT o_orderpriority,
@@ -1254,33 +1188,10 @@ object SparkEntry {
          |clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
          |         FROM reach GROUP BY a),
          |losers AS (SELECT doc_id FROM clus WHERE doc_id <> cluster),
-         |qd AS (SELECT doc_id, text,
-         |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
-         |      x -> len(x) > 0)) AS n_tok,
-         |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-         | FROM documents),
-         |quality AS (SELECT doc_id, round((
-         |  least(n_tok / 100.0, 1.0)
-         |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-         |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
-         | ) / 3.0, 6) AS quality
+         |${docStatsCte("qd")},
+         |quality AS (SELECT doc_id, $qualityExprSql AS quality
          |FROM qd),
-         |ls AS (SELECT doc_id,
-         |  regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents),
-         |lc AS (SELECT doc_id,
-         |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
-         |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
-         |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
-         |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
-         | FROM ls),
-         |langid AS (SELECT doc_id, CASE
-         |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
-         |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
-         |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
-         |  WHEN s_de > s_en THEN 'de'
-         |  ELSE 'en' END AS lang_guess
-         |FROM lc)
+         |$langidCtes
          |SELECT q.doc_id, q.quality
          |FROM quality q JOIN langid l ON q.doc_id = l.doc_id
          |WHERE l.lang_guess = 'en' AND q.quality >= 0.4
@@ -1531,6 +1442,49 @@ object SparkEntry {
   // ---- differential-oracle SQL builders (DuckDB replays of the LSH
   //      pipelines; constants interpolated from the same Scala values the
   //      Spark queries use, so both engines run the identical algorithm) --
+
+  // ---- shared text-oracle fragments: ONE definition of the token/
+  //      stopword stats CTE, the quality formula and the langid CTEs,
+  //      reused by every oracle that scores documents (q23/q24/q25/q59/
+  //      q65/q69/q72) — a formula tweak lands everywhere or nowhere ----
+
+  /** The per-document token/stopword stats CTE (parameterized name so
+    * callers whose CTE namespace already uses `d` can rename). Built by
+    * concatenation, not interpolation, so the regex backslashes stay
+    * literal. */
+  private def docStatsCte(name: String = "d"): String =
+    name + """ AS (SELECT doc_id, lang, text,
+      |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+      |      x -> len(x) > 0)) AS n_tok,
+      |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+      | FROM documents)""".stripMargin
+
+  /** The quality formula over a docStatsCte row (n_tok, n_sw, text). */
+  private val qualityExprSql: String =
+    """round((
+      |  least(n_tok / 100.0, 1.0)
+      |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+      |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+      | ) / 3.0, 6)""".stripMargin
+
+  /** The language-ID CTE chain ending at `langid(doc_id, lang_guess)`. */
+  private val langidCtes: String =
+    """ls AS (SELECT doc_id,
+      |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
+      |lc AS (SELECT doc_id,
+      |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+      |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+      |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
+      |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
+      | FROM ls),
+      |langid AS (SELECT doc_id, CASE
+      |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+      |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+      |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+      |  WHEN s_de > s_en THEN 'de'
+      |  ELSE 'en' END AS lang_guess
+      |FROM lc)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Dedup.minhashLsh]] (shingleN=1):
     * md5 base hashes → affine minhash minima → band keys → capped buckets

@@ -356,15 +356,24 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 50, localThreshold: Int = 2000000): DataFrame = {
-    if (localThreshold > 0) {
-      val capped = pairs
+    import org.apache.spark.sql.types._
+    val integralIds = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false // fractional/string ids: casting would merge vertices
+    })
+    if (localThreshold > 0 && integralIds) {
+      // Stage the pair set ONCE: the size probe executes the (possibly
+      // expensive) pair pipeline, and without staging an over-threshold
+      // corpus would pay it a second time in the distributed fallback.
+      val staged = pairs.localCheckpoint(true)
+      val capped = staged
         .select(F.col(idA).cast("long"), F.col(idB).cast("long"))
         .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
         .take(localThreshold + 1) // tuples, not Rows: ~32 B/edge on the driver
       if (capped.length <= localThreshold)
-        return clustersLocal(pairs.sparkSession, capped)
-    }
-    clustersDistributed(pairs, idA, idB, maxIter)
+        clustersLocal(pairs.sparkSession, capped)
+      else clustersDistributed(staged, idA, idB, maxIter)
+    } else clustersDistributed(pairs, idA, idB, maxIter)
   }
 
   /** Union-find with path compression and union-by-min: attaching the

@@ -80,7 +80,10 @@ object Scale {
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  saltCol: Column, salts: Int = 16): DataFrame = {
-    val l = left.withColumn("_salt_l", F.pmod(saltCol, F.lit(salts)))
+    // null salt coalesces to bucket 0: a null hash input must not make
+    // the row vanish from the join (the contract is the UNSALTED join)
+    val l = left.withColumn("_salt_l",
+      F.pmod(F.coalesce(saltCol.cast("long"), F.lit(0L)), F.lit(salts.toLong)))
     val r = right.withColumn("_salt_r",
       F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("_salt_l") === r("_salt_r"))

@@ -31,10 +31,16 @@ final case class TableRef(path: String, alias: Option[String])
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
-  * absent in the reference, SURVEY §2.5). Left-associative with equal
-  * precedence; `all` = the ALL keyword (bag instead of set semantics). */
+  * absent in the reference, SURVEY §2.5). Standard-SQL semantics:
+  * INTERSECT binds tighter than UNION/EXCEPT (applied by the engine's
+  * evaluator), UNION/EXCEPT associate left, a trailing ORDER BY/LIMIT
+  * applies to the WHOLE compound result (`orderBy`/`limit` here), and an
+  * ORDER BY/LIMIT on a non-final block is a parse error. `all` = the ALL
+  * keyword (bag instead of set semantics). */
 final case class CompoundQuery(head: SqlQuery,
-                               tail: Seq[(String, Boolean, SqlQuery)])
+                               tail: Seq[(String, Boolean, SqlQuery)],
+                               orderBy: Seq[(Col, Boolean)],
+                               limit: Option[Int])
 
 /** Hand-rolled recursive-descent parser for the reference's SQL dialect.
   *
@@ -132,7 +138,22 @@ object SqlParser {
         case TEOF => ()
         case t    => throw new ParseError(s"Trailing input at '${t.text}'")
       }
-      CompoundQuery(head, tail.toSeq)
+      if (tail.isEmpty) CompoundQuery(head, Nil, Nil, None)
+      else {
+        // standard SQL: ORDER BY/LIMIT may only close the WHOLE compound
+        // (the grammar attaches them to the final block; lift them), and
+        // are illegal on earlier blocks
+        (head +: tail.init.map(_._3)).foreach { b =>
+          if (b.orderBy.nonEmpty || b.limit.isDefined)
+            throw new ParseError(
+              "ORDER BY/LIMIT must follow the last block of a set-op chain " +
+              "(it applies to the whole compound result)")
+        }
+        val (lastOp, lastAll, last) = tail.last
+        val stripped = tail.init :+
+          ((lastOp, lastAll, last.copy(orderBy = Nil, limit = None)))
+        CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit)
+      }
     }
 
     private def peekSetOp(): Option[String] = peek match {
@@ -360,7 +381,7 @@ object SqlParser {
   /** Parse a single query block; a compound query is a parse error here
     * (legacy single-block entry point — the engine uses [[parseCompound]]). */
   def parse(sql: String): SqlQuery = parseCompound(sql) match {
-    case CompoundQuery(head, Seq()) => head
+    case CompoundQuery(head, Seq(), _, _) => head
     case _ => throw new ParseError("Set operations require parseCompound")
   }
 }

@@ -114,8 +114,10 @@ object Streams {
                                 gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
     // ONE duration drives both the watermark delay and the split/timeout
     // arithmetic — two independently-overridable forms would let a caller
-    // silently desynchronize session-closing semantics
-    val gap = s"${gapUs / 1000} milliseconds"
+    // silently desynchronize session-closing semantics. Microsecond units
+    // so no truncation at any gap (gapUs/1000 ms would floor a 500µs gap
+    // to a zero-delay watermark).
+    val gap = s"$gapUs microseconds"
     implicit val outEnc = Encoders.product[UserSession]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val keyEnc = Encoders.scalaLong

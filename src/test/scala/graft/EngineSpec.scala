@@ -146,12 +146,30 @@ class EngineSpec extends SparkSpec {
         |EXCEPT
         |SELECT user_id FROM orders""".stripMargin)
     assert(rows(except.df) == Set(Seq(4), Seq(5)))
-    // three-block chain folds left-associatively
+    // three-block UNION/EXCEPT chain folds left-associatively
     val chained = engine.sql(
       """SELECT user_id FROM users
         |EXCEPT SELECT user_id FROM orders
         |UNION SELECT user_id FROM orders WHERE user_id = 9""".stripMargin)
     assert(rows(chained.df) == Set(Seq(4), Seq(5), Seq(9)))
+    // standard precedence: INTERSECT binds tighter than UNION —
+    // users ∪ (orders ∩ {1}) = {1..5}, NOT (users ∪ orders) ∩ {1}
+    val prec = engine.sql(
+      """SELECT user_id FROM users
+        |UNION
+        |SELECT user_id FROM orders
+        |INTERSECT SELECT user_id FROM orders WHERE user_id = 1""".stripMargin)
+    assert(rows(prec.df) == Set(Seq(1), Seq(2), Seq(3), Seq(4), Seq(5)))
+    // a trailing ORDER BY/LIMIT closes the WHOLE compound result
+    val topped = engine.sql(
+      """SELECT user_id FROM users UNION ALL SELECT user_id FROM orders
+        |ORDER BY user_id DESC LIMIT 3""".stripMargin)
+    assert(topped.collect().map(_.getInt(0)).toSeq == Seq(9, 5, 4))
+    // ...and is illegal on a non-final block
+    intercept[graft.sql.ParseError] {
+      engine.sql(
+        "SELECT user_id FROM users LIMIT 1 UNION SELECT user_id FROM orders")
+    }
   }
 
   test("RIGHT and FULL OUTER joins execute through the dialect") {
