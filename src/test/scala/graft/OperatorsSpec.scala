@@ -252,6 +252,13 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == ((64 + n % 1024, 64 + (n * 7) % 1024))) // audio: stub
   }
 
+  test("driver smoke: SparkEntry.entry returns rows on sf0.001") {
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.contains("sum_qty") && out.columns.contains("count_order"))
+  }
+
   test("q43 HLL sketch stays within its documented error bound of exact (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/orders.parquet").exists())
