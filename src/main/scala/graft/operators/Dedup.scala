@@ -524,7 +524,11 @@ object Dedup {
     * stats ([[TextAnalysis.gopherStats]]) cannot see. Lines travel as
     * 16-byte md5 digests, so the corpus-wide count is one narrow
     * map-side-combinable groupBy plus a digest-keyed join back — no
-    * document bodies ever shuffle. */
+    * document bodies ever shuffle. The line-explode subplan feeds both
+    * the count and the join side, so the corpus is deliberately scanned
+    * TWICE (cheap narrow passes) rather than materializing the exploded
+    * line set, which at corpus scale would cost more than the second
+    * scan. */
   def corpusDupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val lines = df.select(F.col(idCol).as("id"),
         F.explode(F.filter(F.split(F.col(textCol), "\n"),
