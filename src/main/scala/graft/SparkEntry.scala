@@ -235,6 +235,18 @@ object SparkEntry {
           F.date_format(F.col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           F.col("event_type"), F.col("n_events"), F.col("sum_value"))),
 
+    // ---- SLIDING windows (1h length, 30min slide): each event lands in
+    //      len/slide windows; the oracle replays Spark's epoch-aligned
+    //      window assignment with an explicit range() unnest ----
+    "q76_sliding_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+             F.round(F.sum("value"), 4).as("sum_value"))
+        .select(
+          F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          F.col("event_type"), F.col("n_events"), F.col("sum_value"))),
+
     // ---- SQL dialect front-end (graft.sql, reference parser.py) ----
     "q20_sql_q1" -> ((s, dir) =>
       Engine(s, dir).sql(
@@ -924,6 +936,20 @@ object SparkEntry {
         | event_type, CAST(count(*) AS BIGINT) AS n_events,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // an event at tu lands in windows starting at n*slide for
+    // n in (floor((tu-len)/slide), floor(tu/slide)] — the epoch-aligned
+    // [start, start+len) assignment Spark's window() uses
+    "q76_sliding_windows" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tu FROM events),
+        |w AS (SELECT event_type, value,
+        |  unnest(range(CAST(floor((tu - 3600000000) / 1800000000.0) AS BIGINT) + 1,
+        |               CAST(floor(tu / 1800000000.0) AS BIGINT) + 1)) AS n
+        | FROM e)
+        |SELECT strftime(make_timestamp(n * 1800000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q20_sql_q1" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
