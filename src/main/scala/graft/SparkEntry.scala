@@ -59,6 +59,20 @@ object SparkEntry {
     * representation, which DuckDB parses back to the identical double. */
   private def sqlArray(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
 
+  /** A per-invocation staging directory (no cross-process races), removed
+    * recursively at JVM exit so repeated verify/bench runs don't grow
+    * /tmp without bound. */
+  private def stagingDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** The flagship TPC-H Q1-variant aggregation over a lineitem frame
     * (reference: examples/benchmark.py:51-68) — shared by the q06 gate
     * and Bench's replicated-input throughput probe. */
@@ -239,12 +253,9 @@ object SparkEntry {
     //      len/slide windows; the oracle replays Spark's epoch-aligned
     //      window assignment with an explicit range() unnest ----
     "q76_sliding_windows" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).as("n_events"),
-             F.round(F.sum("value"), 4).as("sum_value"))
+      Streams.windowedCounts(events(s, dir), "1 hour", slide = Some("30 minutes"))
         .select(
-          F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          F.date_format(F.col("window_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           F.col("event_type"), F.col("n_events"), F.col("sum_value"))),
 
     // ---- SQL dialect front-end (graft.sql, reference parser.py) ----
@@ -679,9 +690,8 @@ object SparkEntry {
     //      100 TB corpus reads only the en partition's files ----
     "q61_part_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // unique per invocation — see q48
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/docs"
+      // unique per invocation, exit-cleaned — see q48
+      val path = stagingDir("graft_corpus") + "/docs"
       Tables.writePartitioned(docs, Seq("lang"), path)
       val st = F.call_function("text_stats", F.col("text"))
       s.read.parquet(path)
@@ -791,10 +801,9 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-      // unique per invocation: a fixed hash-keyed path would race between
-      // concurrent verify/bench processes on the same data dir
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+      // unique per invocation (a fixed hash-keyed path would race between
+      // concurrent verify/bench processes), cleaned up at JVM exit
+      val path = stagingDir("graft_ivf") + "/corpus"
       Similarity.writeIvfBucketed(emb, "embedding", ivfCentroids, path)
       Similarity.topKIvfBucketed(s, path, "embedding", "vec_id", q,
           ivfCentroids, k = 10, nprobe = 2)

@@ -357,11 +357,25 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 50, localThreshold: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.types._
-    val integralIds = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false // fractional/string ids: casting would merge vertices
-    })
-    if (localThreshold > 0 && integralIds) {
+    // integral ids only, checked loudly up front: casting fractional or
+    // string ids to long would silently merge distinct vertices on the
+    // local path, and the distributed convergence probe (sum of labels)
+    // is numeric-only — both paths need genuine integer identifiers
+    // (hash string ids to int64 upstream)
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema
+        .find(_.name.equalsIgnoreCase(c)) // analyzer-style lookup
+        .getOrElse(throw new IllegalArgumentException(
+          s"clusters(): no column '$c' in ${pairs.columns.mkString(", ")}"))
+        .dataType
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"clusters() requires integral id columns; '$c' is $other " +
+          "(hash non-integer ids to int64 upstream)")
+      }
+    }
+    if (localThreshold > 0) {
       // Stage the pair set ONCE: the size probe executes the (possibly
       // expensive) pair pipeline, and without staging an over-threshold
       // corpus would pay it a second time in the distributed fallback.
@@ -370,9 +384,15 @@ object Dedup {
         .select(F.col(idA).cast("long"), F.col(idB).cast("long"))
         .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
         .take(localThreshold + 1) // tuples, not Rows: ~32 B/edge on the driver
-      if (capped.length <= localThreshold)
-        clustersLocal(pairs.sparkSession, capped)
-      else clustersDistributed(staged, idA, idB, maxIter)
+      if (capped.length <= localThreshold) {
+        val out = clustersLocal(pairs.sparkSession, capped)
+        staged.unpersist(false) // edges live on the driver now
+        out
+      } else {
+        val out = clustersDistributed(staged, idA, idB, maxIter)
+        staged.unpersist(false) // the result reads its own checkpoints
+        out
+      }
     } else clustersDistributed(pairs, idA, idB, maxIter)
   }
 
@@ -426,11 +446,13 @@ object Dedup {
         .groupBy("id").agg(F.min("label").as("label"))
         .localCheckpoint(true)
       val sum = next.agg(F.sum("label")).head().getLong(0)
+      labels.unpersist(false) // next is materialized; the old round is dead
       labels = next
       converged = sum == prevSum
       prevSum = sum
       iter += 1
     }
+    edges.unpersist(false) // the final labels frame reads its own checkpoint
     if (!converged)
       throw new IllegalStateException(
         s"Dedup.clusters did not converge after $maxIter rounds — " +

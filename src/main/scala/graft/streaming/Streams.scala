@@ -29,13 +29,18 @@ case class UserSession(user_id: Long, session_id: Long, n_events: Long,
   */
 object Streams {
 
-  /** Tumbling-window event aggregation — the transform, usable on either
-    * a batch or a streaming DataFrame (identical semantics; Spark plans
-    * stateful windows when the input is streaming). */
-  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+  /** Windowed event aggregation (tumbling, or SLIDING when `slide` is
+    * set) — the transform, usable on either a batch or a streaming
+    * DataFrame (identical semantics; Spark plans stateful windows when
+    * the input is streaming). */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(F.window(F.col("ts"), windowLength), F.col("event_type"))
+      .groupBy(
+        slide.fold(F.window(F.col("ts"), windowLength))(s =>
+          F.window(F.col("ts"), windowLength, s)),
+        F.col("event_type"))
       .agg(
         F.count(F.lit(1)).as("n_events"),
         F.round(F.sum("value"), 4).as("sum_value"))
@@ -135,7 +140,11 @@ object Streams {
             Iterator.single(UserSession(userId, st.sessionId, st.nEvents,
               st.sumValue, st.startUs, st.lastTsUs))
           } else {
-            val sorted = evts.map(e => (e.ts.getTime * 1000L, e.value))
+            // exact microseconds: getTime floors to ms, the nanos field
+            // carries the sub-ms part
+            val sorted = evts
+              .map(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+                e.value))
               .toSeq.sortBy(_._1)
             var st = state.getOption.getOrElse(
               SessionState(0L, Long.MinValue, Long.MinValue, 0L, 0.0))
@@ -153,7 +162,11 @@ object Streams {
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastTsUs / 1000L + gapUs / 1000L)
+            // the timeout API is ms-resolution: CEIL so a session can
+            // only close at-or-after lastTs+gap, never early (flooring
+            // would fire up to 1ms before the gap elapses and diverge
+            // from the batch twin on sub-ms gaps)
+            state.setTimeoutTimestamp((st.lastTsUs + gapUs + 999L) / 1000L)
             closed.result().iterator
           }
       }
