@@ -714,6 +714,18 @@ object SparkEntry {
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 3, w = 4, minShared = 3, maxBucket = 4096)),
 
+    // ---- benchmark decontamination: training docs (id >= 20) sharing
+    //      >= 2 token 3-grams with the "eval set" (id < 20) are flagged;
+    //      eval grams broadcast, corpus streams ----
+    "q77_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= 20), "text", "doc_id",
+        docs.filter(F.col("doc_id") < 20), "text",
+        k = 3, minShared = 2)
+        .select(F.col("id").as("doc_id"), F.col("n_shared"))
+    }),
+
     // ---- corpus-wide duplicated-line fraction per doc (boilerplate
     //      detection across documents — what per-doc gopher can't see);
     //      lines shuffle as 16-byte digests ----
@@ -1132,6 +1144,25 @@ object SparkEntry {
          | l.lang_guess,
          | md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp_md5
          |FROM d JOIN langid l ON d.doc_id = l.doc_id""".stripMargin,
+
+    // same gram pipeline as q70, split into eval (id < 20, distinct
+    // grams) and corpus (id >= 20) sides, joined and counted
+    "q77_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, count(*) AS n_shared
+        |  FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 2""".stripMargin,
 
     // replays the q45 winnow pipeline, then buckets by fingerprint
     // (capped), explodes pairs and counts shared fingerprints per pair

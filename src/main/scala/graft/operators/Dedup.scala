@@ -538,6 +538,43 @@ object Dedup {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** Distinct engine-portable hashes of a document's token k-grams (the
+    * gram stage of [[TextAnalysis.winnowingFingerprint]], un-winnowed) —
+    * md5-based so a SQL oracle replays them. */
+  private def gramHashes(text: Column, k: Int): Column = {
+    import graft.functions.ExprUtils.let
+    let(TextAnalysis.tokens(F.lower(text))) { toks =>
+      F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        (i: Column) => md5Hash60(F.array_join(F.slice(toks, i + 1, F.lit(k)), " "))))
+    }
+  }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
+    * `minShared` token k-grams with an evaluation set — the standard
+    * pre-training hygiene pass that keeps test data out of the training
+    * corpus (n-gram overlap, cf. GPT-3/PaLM appendix methodology).
+    * The eval side's distinct gram set is small by nature (benchmarks,
+    * not corpora), so it BROADCASTS; the corpus streams through a narrow
+    * gram-explode → broadcast-hash-join → per-doc count — no shuffle of
+    * corpus text, cost linear in corpus grams at any scale. Returns
+    * (id, n_shared) for flagged documents only. */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+                    evalSet: DataFrame, evalTextCol: String,
+                    k: Int = 3, minShared: Int = 2): DataFrame = {
+    val evalGrams = evalSet
+      .filter(F.col(evalTextCol).rlike("\\S"))
+      .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
+      .distinct()
+    spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
+      .select(F.col(idCol).as("id"),
+        F.explode(gramHashes(F.col(textCol), k)).as("g"))
+      .join(F.broadcast(evalGrams), "g")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_shared")) // grams distinct per doc
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** CORPUS-WIDE duplicated-line statistics (cf. Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): for
     * each document, the fraction of its non-blank lines that occur more
