@@ -33,6 +33,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Drop every persisted RDD (the LSH pipelines' staged intermediates).
+    * Each by-name construction checkpoints fresh blocks; across ~100
+    * query executions in one JVM the dead blocks accumulate until the
+    * memory manager taxes whichever query runs last — the round-3 bench
+    * measured the LSH family 2.4× slower in the full sweep than in
+    * isolation from exactly this. Runs OUTSIDE the timed window: a real
+    * deployment runs one query per job and never pays it. */
+  private def sweepPersisted(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,17 +100,22 @@ object Bench {
       val fn = qs(name)
       // isolate queries from each other's garbage: ~60 query executions
       // accumulate heap pressure that taxes whichever query runs last
+      sweepPersisted(spark)
       System.gc()
       execTime(fn(spark, sfDir)) // warmup (not reported)
       tracer.drain()             // attribute stages to the timed run only
       // medians, not single runs: JVM/scheduler noise at sub-second scale
       // is ±0.15s and single samples of fixed queries vary up to 5x
+      def timed(): Double = {
+        sweepPersisted(spark) // previous run's staged blocks, untimed
+        execTime(fn(spark, sfDir))
+      }
       val secs =
         if (name == "q06_q1_flagship") {
-          val runs = (1 to 5).map(_ => execTime(fn(spark, sfDir))).sorted
+          val runs = (1 to 5).map(_ => timed()).sorted
           runs(2)
         } else {
-          val runs = (1 to 3).map(_ => execTime(fn(spark, sfDir))).sorted
+          val runs = (1 to 3).map(_ => timed()).sorted
           runs(1)
         }
       val stages = tracer.drain()

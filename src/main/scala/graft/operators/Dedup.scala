@@ -107,16 +107,36 @@ object Dedup {
   }
 
   /** Round-robin repartition to full parallelism, but ONLY when the input
-    * has markedly fewer splits than the session's shuffle width (e.g. one
-    * unsplittable row group, a handful of gzip'd shards — common for raw
-    * corpus drops). The expensive per-document signature work downstream
-    * then uses every core. At scale a parquet corpus already has more
-    * splits than cores, the condition is false, and no exchange is added
-    * — the narrow (id, key) explode stays the only shuffle. */
+    * is markedly smaller than what fills the session's shuffle width
+    * (e.g. one unsplittable row group, a handful of gzip'd shards —
+    * common for raw corpus drops). The expensive per-document signature
+    * work downstream then uses every core. The width probe reads the
+    * optimizer's SIZE ESTIMATE (file-length based for scans) against the
+    * split size — pure driver-side metadata; touching `df.rdd` instead
+    * would force physical planning and, under AQE, materialize upstream
+    * query stages. At scale a parquet corpus is far wider than
+    * splitSize×cores, the condition is false, and no exchange is added —
+    * the narrow (id, key) explode stays the only shuffle. */
   private def spreadForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val estSplits =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes /
+        math.max(conf.filesMaxPartitionBytes, 1L) + 1
+    if (estSplits * 2 < target) df.repartition(target) else df
   }
+
+  /** Stage an intermediate frame: cut it loose from its subplan so
+    * multiple consumers read materialized blocks instead of re-executing
+    * the pipeline (Catalyst does not dedupe common subplans).
+    * `reliable = false` → executor-local checkpoint blocks: fastest, but
+    * an executor loss mid-query fails the job (acceptable for batch
+    * pipelines with orchestrator-level retries). `reliable = true` →
+    * a real checkpoint to `SparkContext.setCheckpointDir` (HDFS/object
+    * store on a cluster): survives executor loss — the right trade for
+    * long multi-hour jobs at corpus scale. */
+  private def stage(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
 
   /** All i<j pairs of an array's elements as `struct<a, b>`, preserving
     * array order (sort the array first for id_a < id_b). Bounded by the
@@ -156,7 +176,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numBands: Int = 4, rowsPerBand: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.8,
-                 maxBucket: Int = 64): DataFrame = {
+                 maxBucket: Int = 64, reliable: Boolean = false): DataFrame = {
     val nonEmpty = df.filter(F.col(textCol).rlike("\\S"))
     // native one-pass banding for unigram shingles; otherwise the
     // composable fold with the thread-local-digest base hash when
@@ -180,22 +200,28 @@ object Dedup {
     // plus both verify-side joins, and Catalyst does not dedupe common
     // subplans — without staging, the full scan→banding→bucket pipeline
     // executes three times (the round-2 plan audit's finding). The pair
-    // set is tiny relative to the corpus (bounded by the bucket cap), so
-    // an eager localCheckpoint is cheap at any scale.
-    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
-      .localCheckpoint(true)
+    // set is tiny relative to the corpus (bounded by the bucket cap).
+    // LAZY, not eager: candSh's eager materialization below computes and
+    // persists these blocks as a side effect (checkpointing cascades
+    // through the RDD lineage), so both staged frames cost ONE job
+    // barrier instead of two — the round-3 plan audit found the time at
+    // toy scale was going to sequential job scheduling, not compute.
+    val pairs = stage(
+      cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket),
+      eager = false, reliable)
 
+    // No pre-distinct: the semi-join's build side dedupes inherently, so
+    // a distinct here would only add an exchange.
     val candIds = pairs
       .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
-      .distinct() // one reference to the pairs subplan, not a two-branch union
     // candSh is referenced twice (id_a and id_b join sides); staging it
     // keeps the semi-join-pruned shingle recompute — and its full corpus
     // scan — to ONE pass. Candidates-only, so it is small by construction.
-    val candSh = nonEmpty
+    val candSh = stage(nonEmpty
       .join(candIds, nonEmpty(idCol) === candIds("id"), "left_semi")
       .select(F.col(idCol).as("id"),
-        sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
-      .localCheckpoint(true)
+        sortedHashedShingles(F.col(textCol), shingleN).as("sh")),
+      eager = true, reliable)
     pairs
       .join(candSh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
       .join(candSh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
@@ -355,7 +381,8 @@ object Dedup {
     * `pairs` are returned (everything else is its own trivial cluster).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 50, localThreshold: Int = 2000000): DataFrame = {
+               maxIter: Int = 50, localThreshold: Int = 2000000,
+               reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     // integral ids only, checked loudly up front: casting fractional or
     // string ids to long would silently merge distinct vertices on the
@@ -379,7 +406,7 @@ object Dedup {
       // Stage the pair set ONCE: the size probe executes the (possibly
       // expensive) pair pipeline, and without staging an over-threshold
       // corpus would pay it a second time in the distributed fallback.
-      val staged = pairs.localCheckpoint(true)
+      val staged = stage(pairs, eager = true, reliable)
       val capped = staged
         .select(F.col(idA).cast("long"), F.col(idB).cast("long"))
         .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
@@ -389,11 +416,11 @@ object Dedup {
         staged.unpersist(false) // edges live on the driver now
         out
       } else {
-        val out = clustersDistributed(staged, idA, idB, maxIter)
+        val out = clustersDistributed(staged, idA, idB, maxIter, reliable)
         staged.unpersist(false) // the result reads its own checkpoints
         out
       }
-    } else clustersDistributed(pairs, idA, idB, maxIter)
+    } else clustersDistributed(pairs, idA, idB, maxIter, reliable)
   }
 
   /** Union-find with path compression and union-by-min: attaching the
@@ -423,14 +450,16 @@ object Dedup {
   }
 
   private def clustersDistributed(pairs: DataFrame, idA: String, idB: String,
-                                  maxIter: Int): DataFrame = {
-    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.groupBy("src")
-      .agg(F.least(F.min("dst"), F.first("src")).as("label"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint(true)
+                                  maxIter: Int, reliable: Boolean = false): DataFrame = {
+    val edges = stage(
+      pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst"))),
+      eager = true, reliable)
+    var labels = stage(
+      edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).as("label"))
+        .withColumnRenamed("src", "id"),
+      eager = true, reliable)
     var prevSum = Long.MaxValue
     var iter = 0
     var converged = false
@@ -442,9 +471,10 @@ object Dedup {
       val viaLabels = labels
         .join(l2, labels("label") === F.col("lid"))
         .select(F.col("id"), F.col("llabel").as("label"))
-      val next = labels.select("id", "label").union(viaEdges).union(viaLabels)
-        .groupBy("id").agg(F.min("label").as("label"))
-        .localCheckpoint(true)
+      val next = stage(
+        labels.select("id", "label").union(viaEdges).union(viaLabels)
+          .groupBy("id").agg(F.min("label").as("label")),
+        eager = true, reliable)
       val sum = next.agg(F.sum("label")).head().getLong(0)
       labels.unpersist(false) // next is materialized; the old round is dead
       labels = next
@@ -482,15 +512,16 @@ object Dedup {
     * so run multiple plane sets (different seeds) and union for recall. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        planes: Seq[Seq[Double]], threshold: Double,
-                       maxBucket: Int = 4096): DataFrame = {
+                       maxBucket: Int = 4096, reliable: Boolean = false): DataFrame = {
     val banded = df.select(F.col(idCol).as("id"),
       planeBucket(df, vecCol, planes).as("bucket"))
     // Staged once for the same reason as minhashLsh: the pair set feeds
     // the spine plus both verify joins, and without staging the full
-    // scan→bucket-assignment pipeline would execute three times.
-    val pairs = cappedBucketPairs(banded, Seq("bucket"), maxBucket)
-      .localCheckpoint(true)
-    cosineVerify(df, vecCol, idCol, pairs, threshold)
+    // scan→bucket-assignment pipeline would execute three times. Lazy —
+    // cosineVerify's eager vector staging materializes it in the same job.
+    val pairs = stage(cappedBucketPairs(banded, Seq("bucket"), maxBucket),
+      eager = false, reliable)
+    cosineVerify(df, vecCol, idCol, pairs, threshold, reliable)
   }
 
   /** Multi-table random-hyperplane LSH: candidates are the UNION over
@@ -503,13 +534,13 @@ object Dedup {
     * deduplicated union. */
   def embeddingNearDupMulti(df: DataFrame, vecCol: String, idCol: String,
                             planeSets: Seq[Seq[Seq[Double]]], threshold: Double,
-                            maxBucket: Int = 4096): DataFrame = {
+                            maxBucket: Int = 4096, reliable: Boolean = false): DataFrame = {
     val buckets = F.array(planeSets.map(planeBucket(df, vecCol, _)): _*)
     val banded = df.select(F.col(idCol).as("id"),
       F.posexplode(buckets).as(Seq("pset", "bucket")))
-    val pairs = cappedBucketPairs(banded, Seq("pset", "bucket"), maxBucket)
-      .localCheckpoint(true)
-    cosineVerify(df, vecCol, idCol, pairs, threshold)
+    val pairs = stage(cappedBucketPairs(banded, Seq("pset", "bucket"), maxBucket),
+      eager = false, reliable)
+    cosineVerify(df, vecCol, idCol, pairs, threshold, reliable)
   }
 
   /** Local-overlap pairs via shared winnowing fingerprints (Schleimer et
@@ -622,16 +653,17 @@ object Dedup {
     * the corpus to candidate ids with ONE semi-join, stage the candidate
     * vectors (referenced by both join sides), score, filter. */
   private def cosineVerify(df: DataFrame, vecCol: String, idCol: String,
-                           pairs: DataFrame, threshold: Double): DataFrame = {
+                           pairs: DataFrame, threshold: Double,
+                           reliable: Boolean = false): DataFrame = {
     val native = df.sparkSession.catalog.functionExists("vec_cosine_f64")
     def cosD(a: Column, b: Column): Column =
       if (native) F.call_function("vec_cosine_f64", a, b) else Similarity.cosine(a, b)
+    // no pre-distinct: the semi-join's build side dedupes inherently
     val candIds = pairs
       .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
-      .distinct() // one reference to the pairs subplan, not a two-branch union
-    val vecs = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
-      .select(F.col(idCol).as("id"), F.col(vecCol).as("vec"))
-      .localCheckpoint(true)
+    val vecs = stage(df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("vec")),
+      eager = true, reliable)
     pairs
       .join(vecs.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), "id_a")
       .join(vecs.select(F.col("id").as("id_b"), F.col("vec").as("vec_b")), "id_b")

@@ -45,6 +45,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("reliable checkpointing yields identical LSH pairs and clusters") {
+    // reliable = true swaps executor-local checkpoint blocks for real
+    // checkpoint files under SparkContext.setCheckpointDir — the
+    // fault-tolerant staging a multi-hour 100 TB job wants. Results must
+    // be bit-identical to the local-checkpoint default on every path
+    // (minhashLsh staging, clusters probe, distributed propagation).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      def pairSet(reliable: Boolean) =
+        Dedup.minhashLsh(docs, "text", "doc_id", numBands = 8,
+            rowsPerBand = 2, shingleN = 1, threshold = 0.5, reliable = reliable)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet(reliable = true) == pairSet(reliable = false))
+
+      val chain = {
+        import spark.implicits._
+        (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      }
+      def labels(reliable: Boolean, localThreshold: Int) =
+        Dedup.clusters(chain, localThreshold = localThreshold, reliable = reliable)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(reliable = true, localThreshold = 0) ==
+        labels(reliable = false, localThreshold = 0))
+      assert(labels(reliable = true, localThreshold = 2000000)
+        .values.forall(_ == 0L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
