@@ -448,10 +448,22 @@ object SparkEntry {
           (F.col("p_ts_us") - F.col("ts_us")).as("gap_us"))
     }),
 
-    // ---- HLL sketch distinct (approximate; no exact oracle) ----
+    // ---- HLL sketch distinct, gated: the exact distinct rides beside
+    //      the sketch and the sketch is validated IN-QUERY against its
+    //      3-sigma bound (default rsd 0.05 is one sigma; HLL is
+    //      deterministic for fixed data). The oracle replays the exact
+    //      column plus constant TRUE — if the estimate ever drifts out of
+    //      bound the boolean flips and the hash gate fails, so the one
+    //      approximate operator is no longer the one operator nothing
+    //      checks. The numeric error is additionally spec-asserted. ----
     "q43_approx_distinct" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").as("n_cust_approx"))),
+        .agg(
+          F.approx_count_distinct("o_custkey").as("apx"),
+          F.countDistinct("o_custkey").as("n_cust_exact"))
+        .select(F.col("o_orderstatus"), F.col("n_cust_exact"),
+          (F.abs(F.col("apx") - F.col("n_cust_exact")) <=
+            F.col("n_cust_exact") * (3 * 0.05)).as("approx_ok"))),
 
     // ---- skew-safe salted aggregation (graft.operators.Scale);
     //      the oracle is the UNSALTED aggregation — salting must be
@@ -820,6 +832,88 @@ object SparkEntry {
       Similarity.topKIvfBucketed(s, path, "embedding", "vec_id", q,
           ivfCentroids, k = 10, nprobe = 2)
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
+    }),
+
+    // ---- TPC-H Q13 shape (customer order-count distribution): LEFT
+    //      OUTER join preserving order-less customers + GROUP BY on an
+    //      aggregate's result (count-of-counts). The o_orderpriority
+    //      filter stands in for Q13's o_comment NOT LIKE (no comment
+    //      column in the test schema). ----
+    "q78_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(F.col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").as("c_count")) // count(col): nulls excluded
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).as("custdist"))
+    }),
+
+    // ---- TPC-H Q16 shape (supplier-part relationship): NOT IN
+    //      subquery (→ broadcast anti-join; suppliers in deficit stand
+    //      in for Q16's complaint comments) + count(DISTINCT) over a
+    //      3-key grouping. lineitem is the part↔supplier bridge (no
+    //      partsupp table in the test schema). ----
+    "q79_tpch_q16" -> ((s, dir) => {
+      val badSupp = t(s, dir, "supplier")
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+      val l = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(badSupp, F.col("l_suppkey") === F.col("s_suppkey"), "left_anti")
+      val p = t(s, dir, "part")
+        .filter(F.col("p_brand") =!= "Brand#45" &&
+          !F.col("p_type").like("MEDIUM%") &&
+          F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      p.join(l, p("p_partkey") === l("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+
+    // ---- TPC-H Q19 shape (discounted revenue): one disjunction of
+    //      three conjunction blocks spanning BOTH join sides — the
+    //      OR-of-AND pushdown stressor. Catalyst's pushdown keeps the
+    //      per-side OR residuals on each scan. ----
+    "q80_tpch_q19" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(
+          (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+            l("l_quantity").between(1, 11)) ||
+          (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+            l("l_quantity").between(10, 20)) ||
+          (p("p_brand") === "Brand#34" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(20, 30)))
+        .agg(F.round(F.sum(l("l_extendedprice") * (F.lit(1) - l("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    // ---- TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS
+    //      and NOT EXISTS over the SAME table with inequality correlation
+    //      (semi + anti join against lineitem): suppliers whose item
+    //      shipped >= 90 days after the order date on a multi-supplier
+    //      finished order where NO other supplier's item was late. ----
+    "q81_tpch_q21" -> ((s, dir) => {
+      val lateCutoff = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+      val o = t(s, dir, "orders").filter(F.col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l1 = li.join(o, F.col("l_orderkey") === F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= lateCutoff)
+      val l2 = li.select(F.col("l_orderkey").as("l2_ok"), F.col("l_suppkey").as("l2_sk"))
+      val l3 = li.select(F.col("l_orderkey").as("l3_ok"),
+        F.col("l_suppkey").as("l3_sk"), F.col("l_shipdate").as("l3_sd"))
+      l1
+        .join(l2, F.col("l_orderkey") === F.col("l2_ok") &&
+          F.col("l_suppkey") =!= F.col("l2_sk"), "left_semi")
+        .join(l3, F.col("l_orderkey") === F.col("l3_ok") &&
+          F.col("l_suppkey") =!= F.col("l3_sk") && F.col("l3_sd") >= lateCutoff,
+          "left_anti")
+        .join(t(s, dir, "supplier"), F.col("l_suppkey") === F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).as("numwait"))
     })
   )
 
@@ -1502,7 +1596,60 @@ object SparkEntry {
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
         |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
-        |  ON c.c_custkey = o.o_custkey""".stripMargin
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    // exact distinct beside the sketch; TRUE mirrors the in-query
+    // 3-sigma validation of the HLL estimate (see the queries entry)
+    "q43_approx_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+        | TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q78_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer
+        |      LEFT JOIN (SELECT * FROM orders
+        |                 WHERE o_orderpriority <> '1-URGENT') o
+        |        ON c_custkey = o.o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q79_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q80_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q81_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin
   )
 
   // ---- differential-oracle SQL builders (DuckDB replays of the LSH

@@ -297,16 +297,25 @@ class OperatorsSpec extends SparkSpec {
     val exact = orders.groupBy("o_orderstatus")
       .agg(F.countDistinct("o_custkey").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q43_approx_distinct")(spark, dir).collect()
+    val approx = orders.groupBy("o_orderstatus")
+      .agg(F.approx_count_distinct("o_custkey").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     // default rsd = 0.05 is a STANDARD DEVIATION, not a hard bound (the
     // sf0.01 'O' group sits at 1.13σ), so gate at 3σ; HLL is
     // deterministic for fixed data, so this is a stable (non-flaky)
-    // accuracy gate for the one oracle-less query
+    // accuracy gate
     exact.foreach { case (k, ex) =>
       val err = math.abs(approx(k) - ex).toDouble / ex
       assert(err <= 3 * 0.05, s"group $k: approx=${approx(k)} exact=$ex err=$err")
+    }
+    // the gated q43 output: exact distinct + the in-query 3σ validation
+    // of the sketch (what the DuckDB oracle replays as TRUE)
+    val gated = SparkEntry.queries("q43_approx_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gated.keySet == exact.keySet)
+    gated.foreach { case (k, (ex, ok)) =>
+      assert(ex == exact(k) && ok, s"group $k: exact=$ex approx_ok=$ok")
     }
   }
 
