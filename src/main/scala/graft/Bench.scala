@@ -95,6 +95,35 @@ object Bench {
     }
     tracer.drain()
 
+    // LSH scale probe: the q29 minhash pipeline over a 10×-replicated
+    // documents corpus (distinct ids per copy, identical text — i.e. a
+    // corpus that is 90% duplicates, the workload a dedup pass exists
+    // for). This is the data behind the claim that the eager staging +
+    // bucket caps amortize with volume: the signature/banding work grows
+    // linearly in rows while mega-buckets of boilerplate hit the
+    // [2, maxBucket] cap instead of exploding quadratically — so the
+    // probe should scale SUB-linearly vs q29_minhash_pairs × 10.
+    val q29x10 = {
+      import org.apache.spark.sql.{functions => F}
+      def docs10 = {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        (0 until 10).map(i => d.select(
+          (F.col("doc_id") + F.lit(i.toLong * 1000000000L)).as("doc_id"),
+          F.col("text")))
+          .reduce(_.union(_))
+      }
+      def q = graft.operators.Dedup.minhashLsh(docs10, "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+        maxBucket = 64)
+      sweepPersisted(spark)
+      System.gc()
+      execTime(q) // warmup
+      val runs = (1 to 3).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+      runs(1)
+    }
+    tracer.drain()
+
     val stageJson = new StringBuilder("{")
     val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
@@ -126,7 +155,7 @@ object Bench {
     stageJson.append("}")
 
     val flagship = results.head._2
-    val qjson = (results :+ ("q06_x10_6Mrows" -> x10))
+    val qjson = (results :+ ("q06_x10_6Mrows" -> x10) :+ ("q29_x10_50kdocs" -> q29x10))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
     val json =

@@ -130,6 +130,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Not(ch)        => collectAggs(ch)
     case Like(ch, _)    => collectAggs(ch)
     case Cast(ch, _)    => collectAggs(ch)
+    case IsNull(ch)     => collectAggs(ch)
+    case CaseWhen(bs, e) =>
+      bs.flatMap { case (w, v) => collectAggs(w) ++ collectAggs(v) } ++
+        e.toSeq.flatMap(collectAggs)
     case _              => Seq.empty
   }
 
@@ -143,6 +147,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Alias(a: AggCol, n) => acc += a.aliased(n); ColRef(n)
     case Alias(ch, n)        => Alias(nameAggs(ch, acc), n)
     case BinOp(op, l, r)     => BinOp(op, nameAggs(l, acc), nameAggs(r, acc))
+    case IsNull(ch)          => IsNull(nameAggs(ch, acc))
+    case CaseWhen(bs, e) =>
+      CaseWhen(bs.map { case (w, v) => (nameAggs(w, acc), nameAggs(v, acc)) },
+        e.map(nameAggs(_, acc)))
     case other               => other
   }
 
@@ -156,6 +164,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Not(ch)         => Not(stripQualifiers(ch))
     case Like(ch, p)     => Like(stripQualifiers(ch), p)
     case Cast(ch, d)     => Cast(stripQualifiers(ch), d)
+    case IsNull(ch)      => IsNull(stripQualifiers(ch))
+    case CaseWhen(bs, e) =>
+      CaseWhen(bs.map { case (w, v) => (stripQualifiers(w), stripQualifiers(v)) },
+        e.map(stripQualifiers))
     case other           => other
   }
 
@@ -178,6 +190,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case BinOp(op, l, r) => BinOp(op, rewriteHaving(l, acc), rewriteHaving(r, acc))
     case Not(ch)         => Not(rewriteHaving(ch, acc))
     case Alias(ch, n)    => Alias(rewriteHaving(ch, acc), n)
+    case IsNull(ch)      => IsNull(rewriteHaving(ch, acc))
+    case CaseWhen(bs, e) =>
+      CaseWhen(bs.map { case (w, v) => (rewriteHaving(w, acc), rewriteHaving(v, acc)) },
+        e.map(rewriteHaving(_, acc)))
     case other           => other
   }
 }

@@ -30,7 +30,9 @@ object Shell {
         else if (q.nonEmpty) {
           try {
             val frame = engine.sql(q)
-            frame.explain()
+            // logical + physical, matching the reference shell which
+            // prints both plans before executing (shell.py:61-69)
+            frame.explain(full = true)
             val t0 = System.nanoTime()
             val n = frame.show(1000)
             out(f"($n rows, ${(System.nanoTime() - t0) / 1e9}%.3f s)")

@@ -914,7 +914,73 @@ object SparkEntry {
         .join(t(s, dir, "supplier"), F.col("l_suppkey") === F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).as("numwait"))
-    })
+    }),
+
+    // ---- streaming END-TO-END under the oracle gate: a real file-source
+    //      stream (readStream over the events parquet) through
+    //      Streams.dedupStream into the checkpointed parquet sink, one
+    //      AvailableNow pass, then the sink is read back as the result.
+    //      The watermark horizon exceeds the data's time span so each key
+    //      emits exactly once and the output equals SELECT DISTINCT —
+    //      putting the stream path under the same hash gate as the batch
+    //      operators (its batch twins are q19/q36/q76). Key columns only:
+    //      which ROW survives first-seen dedup is partition-race-
+    //      dependent, the key SET is not. ----
+    "q83_stream_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // file stream sources ingest a DIRECTORY (the production shape: a
+      // drop folder files land in); stage the events file into one
+      val staging0 = stagingDir("graft_stream")
+      val inDir = java.nio.file.Paths.get(staging0, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.createSymbolicLink(
+        inDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = Streams.readParquetStream(s, inDir.toString)
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        case _ => raw
+      }
+      val deduped = Streams
+        .dedupStream(stream, "ts", Seq("user_id", "event_type"),
+          watermark = "3650 days")
+        .select("user_id", "event_type")
+      val q = Streams.toParquetSink(deduped, s"$staging0/out", s"$staging0/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging0/out")
+    }),
+
+    // ---- CASE WHEN through the SQL dialect front-end (extension §7.1):
+    //      searched form inside aggregates (conditional counting — the
+    //      corpus-mixing idiom) and the simple form `CASE x WHEN v` ----
+    "q82_sql_casewhen" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag,
+          |  SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS n_small,
+          |  SUM(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS n_mid,
+          |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
+
+    // ---- IN lists and IS [NOT] NULL through the SQL dialect (extension
+    //      §7.1): null tests against LEFT-JOIN-produced nulls — the
+    //      construct outer-join consumers need ----
+    "q84_sql_in_null" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey
+          |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          |WHERE o.o_orderkey IS NULL
+          |   OR o.o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin).df),
+
+    // ---- audio feature extraction plumbing: the synthetic corpus takes
+    //      the deterministic stub path (decoded = false → oracle is pure
+    //      arithmetic); REAL javax.sound WAV decode + RMS is spec-covered
+    //      with generated PCM bytes (OperatorsSpec) ----
+    "q85_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1649,7 +1715,35 @@ object SparkEntry {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY s_name""".stripMargin
+        |GROUP BY s_name""".stripMargin,
+
+    "q83_stream_e2e" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q84_sql_in_null" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL
+        |   OR o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+
+    // synthesize() maps doc_id % 3 = 1 to kind 'audio'; UTF-8 text bytes
+    // are not a decodable audio container, so every row takes the stub
+    // path (16 kHz mono, fakeDecode duration, rms 0, decoded = false)
+    "q85_audio_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | (octet_length(encode(text)) % 6000) / 100.0 AS duration_s,
+        | 0.0 AS rms, FALSE AS decoded
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+
+    "q82_sql_casewhen" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        | CAST(sum(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        | sum(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 
   // ---- differential-oracle SQL builders (DuckDB replays of the LSH

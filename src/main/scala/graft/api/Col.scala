@@ -80,6 +80,16 @@ object Col {
   /** Star projection — expands to the full input schema
     * (reference: tasks.py:88-93). */
   case object Star extends Col
+  /** SQL CASE expression, searched form (the parser desugars the simple
+    * form `CASE x WHEN v THEN ...` into `WHEN x = v THEN ...`).
+    * Extension — the reference dialect has no conditional expression
+    * (SURVEY §7.1); semantics are standard: first true branch wins,
+    * missing ELSE yields null. */
+  final case class CaseWhen(branches: Seq[(Col, Col)], elseValue: Option[Col]) extends Col
+  /** SQL `IS NULL` test (`IS NOT NULL` wraps it in [[Not]]). Extension —
+    * the reference dialect has no null test (its engine never produces
+    * nulls: joins are inner-only there, SURVEY §7.1.1). */
+  final case class IsNull(child: Col) extends Col
   /** Aggregate wrapper (reference: sql.py:397-446).
     * fn ∈ {sum, min, max, avg, count, count_distinct}. */
   final case class AggCol(fn: String, child: Col, aliasOpt: Option[String]) extends Col {
@@ -164,12 +174,31 @@ object Col {
     case Not(c) =>
       val (cc, _) = compileNode(c, schema)
       (!cc, BooleanType)
+    case IsNull(c) =>
+      val (cc, _) = compileNode(c, schema)
+      (cc.isNull, BooleanType)
     case Like(c, pattern) =>
       // SQL LIKE with %/_ wildcards (reference: sql.py:166-212). Spark's
       // native LIKE has identical anchored semantics — no regex translation
       // needed, and it stays inside codegen.
       val (cc, _) = compileNode(c, schema)
       (cc.like(pattern), BooleanType)
+    case CaseWhen(branches, elseValue) =>
+      val conds = branches.map { case (c, _) => compileNode(c, schema)._1 }
+      val vals = branches.map { case (_, v) => compileNode(v, schema) }
+      val elseC = elseValue.map(compileNode(_, schema))
+      // result type: equal types pass through, numerics promote along the
+      // lattice, anything else is a loud error (the schema-directed analog
+      // of the reference's COMPATIBLE_TYPE_CONVERSION strictness)
+      val dt = (vals.map(_._2) ++ elseC.map(_._2)).reduce { (a, b) =>
+        if (a == b) a
+        else if (isNumeric(a) && isNumeric(b)) promote(a, b)
+        else throw new IllegalArgumentException(
+          s"CASE branches have incompatible types: $a vs $b")
+      }
+      val chain = conds.zip(vals.map(_._1)).tail.foldLeft(
+        F.when(conds.head, vals.head._1)) { case (acc, (c, v)) => acc.when(c, v) }
+      (elseC.fold(chain)(e => chain.otherwise(e._1)), dt)
     case AggCol(fn, child, aliasOpt) =>
       val (c, dt) = fn match {
         case "count" =>

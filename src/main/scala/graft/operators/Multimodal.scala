@@ -87,6 +87,86 @@ object Multimodal {
       case None         => fakeDecode(payload)
     }
 
+  /** REAL audio decode via `javax.sound.sampled` (JDK-native, executor-
+    * local — WAV/AIFF/AU PCM need no external codecs): container-level
+    * format plus an actual signal feature (RMS amplitude over the PCM
+    * samples, normalized to [0, 1]). None when the payload is not a
+    * decodable audio container. Only video remains fully stubbed (the
+    * JDK has no video codec — an ffmpeg pipe plugs into the same
+    * partition loop). */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Double, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val duration =
+          if (frames >= 0 && fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble
+          else 0.0
+        (fmt.getSampleSizeInBits, fmt.getEncoding) match {
+          case (16, javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) =>
+            val pcm = in.readAllBytes()
+            var sumSq = 0.0
+            var n = 0
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s =
+                if (fmt.isBigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xFF)).toShort
+                else ((pcm(i + 1) << 8) | (pcm(i) & 0xFF)).toShort
+              val x = s / 32768.0
+              sumSq += x * x
+              n += 1
+              i += 2
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, duration, rms))
+          case _ => // container decoded but samples not 16-bit PCM: no RMS
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, duration, 0.0))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)
+  ))
+
+  /** Audio feature extraction over the `kind = 'audio'` rows: REAL
+    * javax.sound decode (sample rate / channels / duration / RMS,
+    * `decoded = true`) when the payload is an actual audio container,
+    * deterministic stub values (16 kHz mono, [[fakeDecode]] duration,
+    * rms 0, `decoded = false`) otherwise — so synthetic corpora stay
+    * oracle-replayable while real WAV bytes get real features. Same
+    * batched partition-loop shape as [[decode]]. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioSchema)
+    media.filter(F.col("kind") === "audio")
+      .select("media_id", "payload", "n_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          decodeAudio(payload) match {
+            case Some((rate, ch, dur, rms)) =>
+              Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+                rate, ch, dur, rms, true)
+            case None =>
+              val (_, _, dur) = fakeDecode(payload)
+              Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+                16000, 1, dur, 0.0, false)
+          }
+        }
+      }(enc)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),

@@ -68,7 +68,8 @@ object SqlParser {
     "AND", "OR", "NOT", "LIKE", "BETWEEN", "INNER", "LEFT", "RIGHT", "FULL",
     "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
-    "UNION", "INTERSECT", "EXCEPT", "ALL")
+    "UNION", "INTERSECT", "EXCEPT", "ALL",
+    "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -299,13 +300,31 @@ object SqlParser {
           } else if (accept("BETWEEN")) {
             val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
             !l.between(lo, hi)
-          } else throw new ParseError("Expected LIKE or BETWEEN after NOT")
+          } else if (accept("IN")) !parseInList(l)
+          else throw new ParseError("Expected LIKE, BETWEEN or IN after NOT")
         case TKw("BETWEEN") =>
           next()
           val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
           l.between(lo, hi) // inclusive both ends (reference: sql.py:71-72)
+        case TKw("IN") => next(); parseInList(l)
+        case TKw("IS") =>
+          next()
+          val negated = accept("NOT")
+          expectKw("NULL")
+          if (negated) !IsNull(l) else IsNull(l)
         case _ => l
       }
+    }
+
+    /** `IN (v1, v2, ...)` desugared to an OR chain of equalities — the
+      * schema-directed `==` coercions (timestamp-vs-string etc.) then
+      * apply per element for free. Extension; absent in the reference. */
+    private def parseInList(l: Col): Col = {
+      expectOp("(")
+      val vs = ListBuffer(parseAdd())
+      while (accept(",")) vs += parseAdd()
+      expectOp(")")
+      vs.map(v => l === v).reduce(_ || _)
     }
 
     private def parseAdd(): Col = {
@@ -370,6 +389,26 @@ object SqlParser {
         val e = parseAdd()
         expectOp(")")
         AggCol(fn.toLowerCase, e, None)
+      case TKw("CASE") =>
+        // searched form `CASE WHEN cond THEN v ...` and simple form
+        // `CASE x WHEN v THEN ...` (desugared to `WHEN x = v`); extension
+        // — the reference dialect has no conditional expression
+        val operand = peek match {
+          case TKw("WHEN") => None
+          case _           => Some(parseOr())
+        }
+        val branches = ListBuffer.empty[(Col, Col)]
+        while (accept("WHEN")) {
+          val w0 = parseOr()
+          val cond = operand.fold(w0)(op => op === w0)
+          expectKw("THEN")
+          branches += ((cond, parseOr()))
+        }
+        if (branches.isEmpty)
+          throw new ParseError("CASE requires at least one WHEN branch")
+        val elseValue = if (accept("ELSE")) Some(parseOr()) else None
+        expectKw("END")
+        CaseWhen(branches.toSeq, elseValue)
       case t => throw new ParseError(s"Unexpected token '${t.text}'")
     }
   }

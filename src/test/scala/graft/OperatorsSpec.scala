@@ -76,6 +76,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("audio decode is REAL for WAV bytes (javax.sound): rate/channels/duration/RMS") {
+    import javax.sound.sampled._
+    // 1 second of a 440 Hz sine at half amplitude, 8 kHz mono 16-bit PCM
+    val rate = 8000
+    val samples = Array.tabulate(rate) { i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort
+    }
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm.array()),
+        fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, wav)
+
+    val Some((sr, ch, dur, rms)) = Multimodal.decodeAudio(wav.toByteArray)
+    assert(sr == 8000 && ch == 1)
+    assert(math.abs(dur - 1.0) < 1e-9)
+    // RMS of a half-amplitude sine is 0.5/sqrt(2) ≈ 0.35355 of full scale
+    assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 1e-3, s"rms=$rms")
+
+    // non-audio bytes are not decodable → stub path in audioFeatures
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+
+    // end-to-end through the partition loop: a real WAV row decodes,
+    // a text-bytes row falls back to the stub, both flagged correctly
+    val media = Seq(
+      (1L, "audio", wav.toByteArray, wav.size().toLong),
+      (2L, "audio", "plain text".getBytes("UTF-8"), 10L),
+      (3L, "image", "not audio either".getBytes("UTF-8"), 16L)
+    ).toDF("media_id", "kind", "payload", "n_bytes")
+    val out = Multimodal.audioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // audio rows only
+    assert(out(1L).getBoolean(6) && out(1L).getInt(2) == 8000)
+    assert(!out(2L).getBoolean(6) && out(2L).getInt(2) == 16000)
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

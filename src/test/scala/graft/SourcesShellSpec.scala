@@ -40,11 +40,19 @@ class SourcesShellSpec extends SparkSpec {
       "SELECT nope FROM missing_table;",    // errors print, loop survives
       "exit;",
       "SELECT never_reached FROM fruits;")
-    val executed = Shell.repl(engine, input, out.append(_))
+    val planOut = new java.io.ByteArrayOutputStream()
+    val executed = Console.withOut(new java.io.PrintStream(planOut, true, "UTF-8")) {
+      Shell.repl(engine, input, out.append(_))
+    }
     assert(executed == 2)
     assert(out.exists(_.startsWith("(2 rows")))    // banana 5, banana 7
     assert(out.exists(_.startsWith("error:")))
     assert(!out.exists(_.contains("never_reached")))
+    // the shell prints logical AND physical plans before executing,
+    // matching the reference (shell.py:61-69)
+    val plans = planOut.toString("UTF-8")
+    assert(plans.contains("== Parsed Logical Plan =="))
+    assert(plans.contains("== Physical Plan =="))
   }
 
   test("shell repl with no input executes nothing and terminates") {

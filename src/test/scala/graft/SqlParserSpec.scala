@@ -204,4 +204,58 @@ class SqlParserSpec extends SparkSpec {
     val q = SqlParser.parse("SELECT a FROM 't' WHERE NOT a = 1")
     assert(q.where.contains(Not(BinOp("==", ColRef("a"), Lit(1)))))
   }
+
+  test("CASE WHEN: searched form, simple form desugars, ELSE optional (extension)") {
+    val q = SqlParser.parse(
+      "SELECT CASE WHEN a < 1 THEN 'lo' WHEN a < 2 THEN 'mid' ELSE 'hi' END AS b FROM 't'")
+    assert(q.select.head.expr == Alias(CaseWhen(Seq(
+      (BinOp("<", ColRef("a"), Lit(1)), Lit("lo")),
+      (BinOp("<", ColRef("a"), Lit(2)), Lit("mid"))), Some(Lit("hi"))), "b"))
+
+    val simple = SqlParser.parse("SELECT CASE a WHEN 1 THEN x ELSE y END FROM 't'")
+    assert(simple.select.head.expr == CaseWhen(
+      Seq((BinOp("==", ColRef("a"), Lit(1)), ColRef("x"))), Some(ColRef("y"))))
+
+    val noElse = SqlParser.parse("SELECT CASE WHEN a = 1 THEN 2 END FROM 't'")
+    assert(noElse.select.head.expr ==
+      CaseWhen(Seq((BinOp("==", ColRef("a"), Lit(1)), Lit(2))), None))
+
+    // inside an aggregate (the conditional-count idiom)
+    val agg = SqlParser.parse(
+      "SELECT SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) FROM 't' GROUP BY g")
+    assert(agg.select.head.expr == AggCol("sum",
+      CaseWhen(Seq((BinOp("==", ColRef("a"), Lit(1)), Lit(1))), Some(Lit(0))), None))
+
+    assertThrows[ParseError](SqlParser.parse("SELECT CASE END FROM 't'"))
+    assertThrows[ParseError](SqlParser.parse("SELECT CASE WHEN a THEN 1 FROM 't'"))
+  }
+
+  test("IN lists desugar to OR-of-equals; IS [NOT] NULL parses (extension)") {
+    val q = SqlParser.parse("SELECT a FROM 't' WHERE a IN (1, 2)")
+    assert(q.where.contains(
+      BinOp("|", BinOp("==", ColRef("a"), Lit(1)), BinOp("==", ColRef("a"), Lit(2)))))
+
+    val notIn = SqlParser.parse("SELECT a FROM 't' WHERE a NOT IN (1, 2)")
+    assert(notIn.where.contains(Not(
+      BinOp("|", BinOp("==", ColRef("a"), Lit(1)), BinOp("==", ColRef("a"), Lit(2))))))
+
+    val isNull = SqlParser.parse("SELECT a FROM 't' WHERE b IS NULL")
+    assert(isNull.where.contains(IsNull(ColRef("b"))))
+    val isNotNull = SqlParser.parse("SELECT a FROM 't' WHERE b IS NOT NULL")
+    assert(isNotNull.where.contains(Not(IsNull(ColRef("b")))))
+
+    assertThrows[ParseError](SqlParser.parse("SELECT a FROM 't' WHERE a IN ()"))
+    assertThrows[ParseError](SqlParser.parse("SELECT a FROM 't' WHERE a IS 1"))
+  }
+
+  test("CASE WHEN evaluates through the engine (branch select + null on no match)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-case").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val out = Engine(spark, d).sql(
+      """SELECT fruit, CASE WHEN quantity < 3 THEN 'small'
+        |  WHEN quantity < 5 THEN 'medium' END AS bucket
+        |FROM fruits""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("apple", "medium"), ("banana", null), ("orange", "small")))
+  }
 }
