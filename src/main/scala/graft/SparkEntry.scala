@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Scale, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Streams
 
@@ -974,6 +974,36 @@ object SparkEntry {
           |WHERE o.o_orderkey IS NULL
           |   OR o.o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin).df),
 
+    // ---- sequence packing (concat-and-chunk): absolute packed-stream
+    //      positions + chunk ranges per document via the two-level
+    //      parallel prefix sum (shardSpan 64 → the sharded path really
+    //      runs at sf0.01); oracle is the equivalent single global
+    //      running-total window ----
+    "q86_pack_chunks" -> ((s, dir) =>
+      Pack.concatChunk(
+        t(s, dir, "documents").select(F.col("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).as("n_tok")),
+        "doc_id", "n_tok", capacity = 1024, shardSpan = 64)),
+
+    // ---- PII redaction: deterministic synthetic PII appended per doc
+    //      (the corpus has none), then the redaction pass; the oracle
+    //      replays both the construction and the scrub ----
+    "q87_pii_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.lit(" contact user"), F.col("doc_id").cast("string"),
+          F.lit("@example.com or 555-123-4567 at 10.0.0."),
+          F.pmod(F.col("doc_id"), F.lit(256)).cast("string")).as("text"))
+      TextAnalysis.redactPii(withPii, "text", "doc_id")
+    }),
+
+    // ---- deterministic train/validation/test split (hash-based,
+    //      rerun/backfill-stable, partition-invariant) ----
+    "q88_hash_split" -> ((s, dir) =>
+      Scale.hashSplit(t(s, dir, "documents"), F.col("doc_id"))
+        .select("doc_id", "split")),
+
     // ---- audio feature extraction plumbing: the synthetic corpus takes
     //      the deterministic stub path (decoded = false → oracle is pure
     //      arithmetic); REAL javax.sound WAV decode + RMS is spec-covered
@@ -1725,6 +1755,50 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE o_orderkey IS NULL
         |   OR o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+
+    // replays concat-and-chunk with ONE global running-total window (the
+    // semantic spec the sharded two-level prefix sum must match exactly);
+    // DuckDB SUM(BIGINT) is HUGEINT, so positions re-cast to BIGINT
+    "q86_pack_chunks" ->
+      s"""WITH ${docStatsCte()},
+         |c AS (SELECT doc_id, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS start_pos
+         | FROM d)
+         |SELECT doc_id, start_pos,
+         | start_pos // 1024 AS chunk_first,
+         | greatest(start_pos + n_tok - 1, start_pos) // 1024 AS chunk_last,
+         | start_pos % 1024 AS offset_in_chunk
+         |FROM c""".stripMargin,
+
+    "q87_pii_redact" -> {
+      val e = TextAnalysis.EmailRe
+      val p = TextAnalysis.PhoneRe
+      val ip = TextAnalysis.Ipv4Re
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 555-123-4567 at 10.0.0.'
+         |    || CAST(doc_id % 256 AS VARCHAR) AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+         |   AS redacted,
+         | CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips
+         |FROM t""".stripMargin
+    },
+
+    "q88_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 80 THEN 'train'
+        |      WHEN b < 90 THEN 'validation'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        | FROM documents)""".stripMargin,
 
     // synthesize() maps doc_id % 3 = 1 to kind 'audio'; UTF-8 text bytes
     // are not a decodable audio container, so every row takes the stub

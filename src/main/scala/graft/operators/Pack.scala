@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing for pre-training: concatenate documents in a
+  * deterministic order and chunk the token stream into fixed-capacity
+  * context windows (the GPT-style concat-and-chunk batching step). Each
+  * document gets its absolute token position in the packed stream plus
+  * the chunk range it lands in — everything a loader needs to emit
+  * packed windows.
+  *
+  * Scale design: the global running token total is a prefix sum, which
+  * would naively be ONE window over a total order — a single-task
+  * straggler on a corpus. Instead, a two-level prefix sum: (1) per-shard
+  * cumulative sums run in parallel (shards are ranges of the order key,
+  * so shard order IS global order); (2) shard TOTALS — `rows / span`
+  * rows, millions of times smaller than the corpus — get their own tiny
+  * ordered window and broadcast back as per-shard offsets. The only
+  * single-partition step touches one narrow row per shard, bounded by
+  * construction (pick `shardSpan` so `maxOrderKey / shardSpan` stays in
+  * the low millions at any corpus size).
+  */
+object Pack {
+
+  /** Assign packed-stream positions and chunk ranges.
+    *
+    * @param orderCol  integral, unique, and the packing order (doc id)
+    * @param tokensCol per-document token count
+    * @param capacity  context-window length in tokens
+    * @param shardSpan width of each order-key range that forms a
+    *                  parallel prefix-sum shard
+    * @return (orderCol, start_pos, chunk_first, chunk_last,
+    *         offset_in_chunk) — `chunk_last` spans multi-chunk documents;
+    *         empty documents collapse to their start chunk
+    */
+  def concatChunk(df: DataFrame, orderCol: String, tokensCol: String,
+                  capacity: Long, shardSpan: Long = 1L << 20): DataFrame = {
+    require(capacity > 0 && shardSpan > 0)
+    val wDoc = Window.partitionBy("_shard").orderBy(F.col(orderCol))
+    val local = df
+      .select(F.col(orderCol), F.col(tokensCol).cast("long").as("_tok"))
+      .withColumn("_shard", F.expr(s"CAST($orderCol AS BIGINT) div $shardSpan"))
+      .withColumn("_local_end", F.sum("_tok").over(wDoc))
+    val totals = local.groupBy("_shard").agg(F.sum("_tok").as("_total"))
+    // one narrow row per shard: this window is the bounded sequential step
+    val wShard = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_offset", F.coalesce(F.sum("_total").over(wShard), F.lit(0L)))
+      .select("_shard", "_offset")
+    local.join(F.broadcast(offsets), "_shard")
+      .withColumn("_end", F.col("_local_end") + F.col("_offset"))
+      .withColumn("_start", F.col("_end") - F.col("_tok"))
+      .select(F.col(orderCol),
+        F.col("_start").as("start_pos"),
+        F.expr(s"_start div $capacity").as("chunk_first"),
+        F.expr(s"greatest(_end - 1, _start) div $capacity").as("chunk_last"),
+        F.pmod(F.col("_start"), F.lit(capacity)).as("offset_in_chunk"))
+  }
+}

@@ -62,6 +62,22 @@ object Scale {
   def stratifiedSampleByHash(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
     df.filter(Dedup.md5Hash60(idCol.cast("string")) % 100 < ratePct)
 
+  /** Deterministic train/validation/test split assignment — same
+    * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's
+    * split never changes across reruns, backfills or repartitioning, and
+    * the md5-based bucket lets a differential oracle replay the exact
+    * assignment. Disjoint and exhaustive by construction. Pure narrow
+    * projection — no shuffle. */
+  def hashSplit(df: DataFrame, idCol: Column,
+                trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100)
+    val bucket = Dedup.md5Hash60(idCol.cast("string")) % 100
+    df.withColumn("split",
+      F.when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "validation")
+        .otherwise("test"))
+  }
+
   /** Salted equi-join for skewed keys when NEITHER side broadcasts (two
     * fact tables): the skewed left keeps one row per record with a
     * deterministic salt in [0, salts); the right is replicated `salts`×

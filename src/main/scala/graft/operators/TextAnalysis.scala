@@ -39,6 +39,34 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
 
+  // ---- PII redaction (the pre-release scrub pass of a training-data
+  //      pipeline). Patterns are deliberately conservative constructs
+  //      (classes, bounded repeats, \b) that behave identically in
+  //      Java regex and RE2, so a differential SQL oracle replays the
+  //      redaction byte-for-byte. ----
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redacted text plus per-category hit counts. Replacement order is
+    * fixed (email → phone → IPv4) so overlapping matches resolve the
+    * same way everywhere. Pure narrow projection — codegen'd
+    * `regexp_replace`/`regexp_extract_all`, no shuffle, linear in
+    * corpus bytes. */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = F.col(textCol)
+    df.select(
+      F.col(idCol),
+      F.regexp_replace(
+        F.regexp_replace(
+          F.regexp_replace(t, F.lit(EmailRe), F.lit("<EMAIL>")),
+          F.lit(PhoneRe), F.lit("<PHONE>")),
+        F.lit(Ipv4Re), F.lit("<IP>")).as("redacted"),
+      F.size(F.regexp_extract_all(t, F.lit(EmailRe), F.lit(0))).cast("long").as("n_emails"),
+      F.size(F.regexp_extract_all(t, F.lit(PhoneRe), F.lit(0))).cast("long").as("n_phones"),
+      F.size(F.regexp_extract_all(t, F.lit(Ipv4Re), F.lit(0))).cast("long").as("n_ips"))
+  }
+
   def stopwordCount(text: Column, stopwords: Seq[String] = Stopwords): Column = {
     val sw = F.array(stopwords.map(F.lit): _*)
     F.size(F.filter(tokens(F.lower(text)), (t: Column) => F.array_contains(sw, t)))

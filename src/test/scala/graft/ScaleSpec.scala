@@ -4,7 +4,7 @@ import org.apache.spark.sql.{functions => F}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, Scale}
+import graft.operators.{Dedup, Pack, Scale}
 
 /** Scale-behavior specs: partition invariance, salting equivalence,
   * bucketed-join shuffle elimination, and scalacheck properties over the
@@ -206,6 +206,58 @@ class ScaleSpec extends SparkSpec {
       planes, threshold = 0.9, maxBucket = 16).collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((500L, 501L)))
+  }
+
+  test("pack concat-and-chunk: sharded prefix sum equals the naive global cumsum") {
+    // non-contiguous, non-zero-based ids with an empty doc in the middle;
+    // tiny shardSpan forces many shards so the two-level path really runs
+    val docs = Seq((3L, 100L), (7L, 2000L), (8L, 0L), (21L, 500L),
+      (22L, 1024L), (40L, 1L), (99L, 3000L))
+      .toDF("doc_id", "n_tok")
+    val out = Pack.concatChunk(docs, "doc_id", "n_tok",
+        capacity = 1024, shardSpan = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // naive single-pass expectation
+    var pos = 0L
+    val want = Seq((3L, 100L), (7L, 2000L), (8L, 0L), (21L, 500L),
+      (22L, 1024L), (40L, 1L), (99L, 3000L)).map { case (id, tok) =>
+      val start = pos
+      pos += tok
+      val last = math.max(pos - 1, start) / 1024
+      id -> ((start, start / 1024, last, start % 1024))
+    }.toMap
+    assert(out == want)
+    // a 2000-token doc starting at 100 spans chunks 0..2
+    assert(out(7L) == ((100L, 0L, 2L, 100L)))
+  }
+
+  test("hash split is disjoint, exhaustive, and rerun-stable") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = Scale.hashSplit(ids, F.col("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Scale.hashSplit(ids.repartition(7), F.col("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // partition-invariant
+    assert(a.size == 1000 && a.values.toSet == Set("train", "validation", "test"))
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // md5 buckets are near-uniform: 80/10/10 ± a loose tolerance
+    assert(math.abs(n("train") - 800) < 80, n.toString)
+    assert(math.abs(n("validation") - 100) < 50, n.toString)
+  }
+
+  test("PII redaction scrubs emails/phones/IPs and counts hits") {
+    val df = Seq(
+      (1L, "write bob.smith+x@corp.example.org or call 555-123-4567"),
+      (2L, "server at 192.168.1.100 responded"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("write <EMAIL> or call <PHONE>", 1L, 1L, 0L)))
+    assert(out(2L) == (("server at <IP> responded", 0L, 0L, 1L)))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
