@@ -76,7 +76,10 @@ object Bench {
       // its layout write each run; clusters/pipeline include the minhash
       // pair pass)
       "q48_knn_ivf_part", "q51_dedup_clusters", "q52_gopher_quality",
-      "q55_window_funcs", "q59_pipeline_keep")
+      "q55_window_funcs", "q59_pipeline_keep",
+      // round-4 additions: TPC-H join stressors + the new pipeline ops
+      "q78_tpch_q13", "q79_tpch_q16", "q80_tpch_q19", "q81_tpch_q21",
+      "q86_pack_chunks", "q87_pii_redact", "q88_hash_split")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's
