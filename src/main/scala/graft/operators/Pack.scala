@@ -37,6 +37,15 @@ object Pack {
   def concatChunk(df: DataFrame, orderCol: String, tokensCol: String,
                   capacity: Long, shardSpan: Long = 1L << 20): DataFrame = {
     require(capacity > 0 && shardSpan > 0)
+    // integral order key, checked loudly up front: a fractional or string
+    // key would silently range-shard in cast order and misorder the pack
+    df.schema.find(_.name.equalsIgnoreCase(orderCol)).map(_.dataType).foreach {
+      // IntegralType is private[sql] (Spark 4) — enumerate the widths
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"concatChunk() requires an integral order column; '$orderCol' is $other")
+    }
     val wDoc = Window.partitionBy("_shard").orderBy(F.col(orderCol))
     val local = df
       .select(F.col(orderCol), F.col(tokensCol).cast("long").as("_tok"))

@@ -230,6 +230,11 @@ class ScaleSpec extends SparkSpec {
     assert(out == want)
     // a 2000-token doc starting at 100 spans chunks 0..2
     assert(out(7L) == ((100L, 0L, 2L, 100L)))
+    // non-integral order keys fail loudly instead of mis-sharding
+    assertThrows[IllegalArgumentException] {
+      Pack.concatChunk(Seq(("a", 1L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", capacity = 16)
+    }
   }
 
   test("hash split is disjoint, exhaustive, and rerun-stable") {
