@@ -131,6 +131,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Like(ch, _)    => collectAggs(ch)
     case Cast(ch, _)    => collectAggs(ch)
     case IsNull(ch)     => collectAggs(ch)
+    case FuncCall(_, as) => as.flatMap(collectAggs)
     case CaseWhen(bs, e) =>
       bs.flatMap { case (w, v) => collectAggs(w) ++ collectAggs(v) } ++
         e.toSeq.flatMap(collectAggs)
@@ -148,6 +149,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Alias(ch, n)        => Alias(nameAggs(ch, acc), n)
     case BinOp(op, l, r)     => BinOp(op, nameAggs(l, acc), nameAggs(r, acc))
     case IsNull(ch)          => IsNull(nameAggs(ch, acc))
+    case FuncCall(f, as)     => FuncCall(f, as.map(nameAggs(_, acc)))
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (nameAggs(w, acc), nameAggs(v, acc)) },
         e.map(nameAggs(_, acc)))
@@ -165,6 +167,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Like(ch, p)     => Like(stripQualifiers(ch), p)
     case Cast(ch, d)     => Cast(stripQualifiers(ch), d)
     case IsNull(ch)      => IsNull(stripQualifiers(ch))
+    case FuncCall(f, as) => FuncCall(f, as.map(stripQualifiers))
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (stripQualifiers(w), stripQualifiers(v)) },
         e.map(stripQualifiers))
@@ -191,6 +194,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Not(ch)         => Not(rewriteHaving(ch, acc))
     case Alias(ch, n)    => Alias(rewriteHaving(ch, acc), n)
     case IsNull(ch)      => IsNull(rewriteHaving(ch, acc))
+    case FuncCall(f, as) => FuncCall(f, as.map(rewriteHaving(_, acc)))
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (rewriteHaving(w, acc), rewriteHaving(v, acc)) },
         e.map(rewriteHaving(_, acc)))

@@ -1004,6 +1004,19 @@ object SparkEntry {
       Scale.hashSplit(t(s, dir, "documents"), F.col("doc_id"))
         .select("doc_id", "split")),
 
+    // ---- scalar functions through the SQL dialect (extension §7.1):
+    //      lower/upper/length/substr/round/coalesce, incl. coalesce over
+    //      LEFT-JOIN-produced nulls and nested calls ----
+    "q89_sql_scalar_fns" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c.c_custkey AS c_custkey,
+          |  coalesce(upper(o.o_orderpriority), 'NONE') AS prio,
+          |  lower(c.c_mktsegment) AS seg,
+          |  length(c.c_name) AS name_len,
+          |  substr(c.c_name, 1, 8) AS name8,
+          |  round(c.c_acctbal / 3, 4) AS third_bal
+          |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin).df),
+
     // ---- audio feature extraction plumbing: the synthetic corpus takes
     //      the deterministic stub path (decoded = false → oracle is pure
     //      arithmetic); REAL javax.sound WAV decode + RMS is spec-covered
@@ -1799,6 +1812,16 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
         | FROM documents)""".stripMargin,
+
+    // DuckDB length() is BIGINT, Spark's is INTEGER — cast to match
+    "q89_sql_scalar_fns" ->
+      """SELECT c_custkey,
+        | coalesce(upper(o_orderpriority), 'NONE') AS prio,
+        | lower(c_mktsegment) AS seg,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | substr(c_name, 1, 8) AS name8,
+        | round(c_acctbal / 3, 4) AS third_bal
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
 
     // synthesize() maps doc_id % 3 = 1 to kind 'audio'; UTF-8 text bytes
     // are not a decodable audio container, so every row takes the stub

@@ -90,6 +90,10 @@ object Col {
     * the reference dialect has no null test (its engine never produces
     * nulls: joins are inner-only there, SURVEY §7.1.1). */
   final case class IsNull(child: Col) extends Col
+  /** Whitelisted scalar function call (extension — the reference dialect
+    * has no scalar functions). Arity and typing are checked at compile
+    * time against the table in [[compileNode]]; unknown names raise. */
+  final case class FuncCall(fn: String, args: Seq[Col]) extends Col
   /** Aggregate wrapper (reference: sql.py:397-446).
     * fn ∈ {sum, min, max, avg, count, count_distinct}. */
   final case class AggCol(fn: String, child: Col, aliasOpt: Option[String]) extends Col {
@@ -177,6 +181,42 @@ object Col {
     case IsNull(c) =>
       val (cc, _) = compileNode(c, schema)
       (cc.isNull, BooleanType)
+    case FuncCall(fn, args) =>
+      val compiled = args.map(compileNode(_, schema))
+      val cs = compiled.map(_._1)
+      def arity(n: Int): Unit =
+        if (args.length != n) throw new IllegalArgumentException(
+          s"$fn() takes $n argument(s), got ${args.length}")
+      fn match {
+        case "lower"  => arity(1); (F.lower(cs(0)), StringType)
+        case "upper"  => arity(1); (F.upper(cs(0)), StringType)
+        case "length" => arity(1); (F.length(cs(0)), IntegerType)
+        case "abs"    => arity(1); (F.abs(cs(0)), compiled(0)._2)
+        case "substr" | "substring" =>
+          // 1-based start like standard SQL; 2-arg form runs to the end
+          if (args.length == 2) (cs(0).substr(cs(1), F.lit(Int.MaxValue)), StringType)
+          else { arity(3); (cs(0).substr(cs(1), cs(2)), StringType) }
+        case "round" =>
+          arity(2)
+          val scale = args(1) match {
+            case Lit(i: Int) => i
+            case other => throw new IllegalArgumentException(
+              s"round() scale must be an integer literal, got $other")
+          }
+          (F.round(cs(0), scale), DoubleType)
+        case "coalesce" =>
+          if (args.isEmpty) throw new IllegalArgumentException(
+            "coalesce() needs at least one argument")
+          val dt = compiled.map(_._2).reduce { (a, b) =>
+            if (a == b) a
+            else if (isNumeric(a) && isNumeric(b)) promote(a, b)
+            else throw new IllegalArgumentException(
+              s"coalesce() arguments have incompatible types: $a vs $b")
+          }
+          (F.coalesce(cs: _*), dt)
+        case other =>
+          throw new IllegalArgumentException(s"Unknown function: $other")
+      }
     case Like(c, pattern) =>
       // SQL LIKE with %/_ wildcards (reference: sql.py:166-212). Spark's
       // native LIKE has identical anchored semantics — no regex translation

@@ -373,7 +373,21 @@ object SqlParser {
             throw new ParseError(s"Malformed number '$t'")
         }
       case TStr(s)   => Lit(s)
-      case TIdent(n) => ColRef(n)
+      case TIdent(n) =>
+        // bare identifier = column ref; identifier + '(' = scalar
+        // function call (whitelist enforced at compile time; extension)
+        peek match {
+          case TOp("(") =>
+            next()
+            val fnArgs = ListBuffer.empty[Col]
+            if (!accept(")")) {
+              fnArgs += parseAdd()
+              while (accept(",")) fnArgs += parseAdd()
+              expectOp(")")
+            }
+            FuncCall(n.toLowerCase, fnArgs.toSeq)
+          case _ => ColRef(n)
+        }
       case TOp("(") =>
         val e = parseOr(); expectOp(")"); e
       case TKw("COUNT") =>

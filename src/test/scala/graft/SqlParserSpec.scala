@@ -248,6 +248,31 @@ class SqlParserSpec extends SparkSpec {
     assertThrows[ParseError](SqlParser.parse("SELECT a FROM 't' WHERE a IS 1"))
   }
 
+  test("scalar functions: parse to FuncCall, evaluate, unknown names raise (extension)") {
+    val q = SqlParser.parse("SELECT lower(a), substr(b, 1, 3), coalesce(a, b, 'x') FROM 't'")
+    assert(q.select(0).expr == FuncCall("lower", Seq(ColRef("a"))))
+    assert(q.select(1).expr == FuncCall("substr", Seq(ColRef("b"), Lit(1), Lit(3))))
+    assert(q.select(2).expr == FuncCall("coalesce", Seq(ColRef("a"), ColRef("b"), Lit("x"))))
+
+    val d = java.nio.file.Files.createTempDirectory("graft-fn").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val e = Engine(spark, d)
+    val out = e.sql(
+      """SELECT upper(fruit) AS f, length(fruit) AS n, substr(fruit, 1, 3) AS pre,
+        |  round(quantity / 2, 1) AS h FROM fruits WHERE fruit = 'orange'""".stripMargin)
+      .df.collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "ORANGE" && r.getInt(1) == 6 &&
+      r.getString(2) == "ora" && r.getDouble(3) == 1.0)
+
+    // unknown function / bad arity fail loudly at compile time
+    assertThrows[IllegalArgumentException](
+      e.sql("SELECT nope(fruit) FROM fruits").df)
+    assertThrows[IllegalArgumentException](
+      e.sql("SELECT lower(fruit, fruit) FROM fruits").df)
+  }
+
   test("CASE WHEN evaluates through the engine (branch select + null on no match)") {
     val d = java.nio.file.Files.createTempDirectory("graft-case").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
