@@ -953,6 +953,28 @@ object SparkEntry {
       s.read.parquet(s"$staging0/out")
     }),
 
+    // ---- dedup-at-ingest: streaming minhash candidate pairs (bucket
+    //      state across micro-batches, flatMapGroupsWithState) over a
+    //      real file-source stream; cap set above the largest bucket so
+    //      the emitted set equals the batch pipeline's uncapped
+    //      candidates and the DuckDB banding replay gates it ----
+    "q90_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_nd")
+      val inDir = java.nio.file.Paths.get(staging, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.createSymbolicLink(
+        inDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val raw = Streams.readParquetStream(s, inDir.toString)
+      val cands = Streams.minhashCandidatesStream(raw, "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, maxBucket = 100000)
+      val q = Streams.toParquetSink(cands, s"$staging/out", s"$staging/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging/out")
+    }),
+
     // ---- CASE WHEN through the SQL dialect front-end (extension §7.1):
     //      searched form inside aggregates (conditional counting — the
     //      corpus-mixing idiom) and the simple form `CASE x WHEN v` ----
@@ -1762,6 +1784,10 @@ object SparkEntry {
 
     "q83_stream_e2e" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q90_stream_neardup" ->
+      s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 100000)}
+         |SELECT id_a, id_b FROM cand""".stripMargin,
 
     "q84_sql_in_null" ->
       """SELECT c_custkey, o_orderkey

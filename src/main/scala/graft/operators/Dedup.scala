@@ -163,6 +163,27 @@ object Dedup {
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+  /** Band-keys expression with the fastest available implementation:
+    * native one-pass banding for unigram shingles; otherwise the
+    * composable fold with the thread-local-digest base hash when
+    * available (same values in every combination — parity-spec'd).
+    * Shared by [[minhashLsh]] and the streaming candidate stage
+    * ([[graft.streaming.Streams.minhashCandidatesStream]]). */
+  private[graft] def bandKeysDispatch(spark: org.apache.spark.sql.SparkSession,
+                                      text: Column, numBands: Int,
+                                      rowsPerBand: Int, shingleN: Int): Column = {
+    val catalog = spark.catalog
+    if (shingleN == 1 && catalog.functionExists("minhash_bands"))
+      F.call_function("minhash_bands", text, F.lit(numBands), F.lit(rowsPerBand))
+    else {
+      val baseHash: Column => Column =
+        if (catalog.functionExists("md5_hash60"))
+          (c: Column) => F.call_function("md5_hash60", c) % MinhashP
+        else md5BaseHash
+      minhashBandKeys(text, numBands, rowsPerBand, shingleN, baseHash)
+    }
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → md5 base hash → affine minhash signature → band keys →
@@ -178,21 +199,8 @@ object Dedup {
                  shingleN: Int = 3, threshold: Double = 0.8,
                  maxBucket: Int = 64, reliable: Boolean = false): DataFrame = {
     val nonEmpty = df.filter(F.col(textCol).rlike("\\S"))
-    // native one-pass banding for unigram shingles; otherwise the
-    // composable fold with the thread-local-digest base hash when
-    // available (same values in every combination — parity-spec'd)
-    val catalog = df.sparkSession.catalog
-    val bandKeysExpr =
-      if (shingleN == 1 && catalog.functionExists("minhash_bands"))
-        F.call_function("minhash_bands", F.col(textCol),
-          F.lit(numBands), F.lit(rowsPerBand))
-      else {
-        val baseHash: Column => Column =
-          if (catalog.functionExists("md5_hash60"))
-            (c: Column) => F.call_function("md5_hash60", c) % MinhashP
-          else md5BaseHash
-        minhashBandKeys(F.col(textCol), numBands, rowsPerBand, shingleN, baseHash)
-      }
+    val bandKeysExpr = bandKeysDispatch(df.sparkSession, F.col(textCol),
+      numBands, rowsPerBand, shingleN)
     val banded = spreadForCompute(nonEmpty).select(
       F.col(idCol).as("id"),
       F.posexplode(bandKeysExpr).as(Seq("band", "bucket")))

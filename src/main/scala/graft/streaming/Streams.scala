@@ -205,6 +205,71 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-duplicate CANDIDATE pairs — dedup-at-ingest, the
+    * continuous twin of [[graft.operators.Dedup.minhashLsh]]'s candidate
+    * stage. Each arriving document's minhash band keys (same banding
+    * expression, same hashes) key into per-bucket state holding the
+    * bucket's member ids; every (existing, new) pair in a bucket emits
+    * exactly once, when the later document arrives — so the emitted pair
+    * SET equals the batch pipeline's uncapped candidate set however the
+    * stream is micro-batched (spec-pinned). State per bucket is the
+    * member list, capped at `maxBucket`: a mega-bucket of boilerplate
+    * stops emitting and stops growing (the streaming analog of the batch
+    * [2, maxBucket] cap — streaming cannot retract already-emitted
+    * pairs, so the cap truncates instead of dropping; at the default cap
+    * the two diverge only on mega-buckets, which batch drops entirely).
+    * `stateTtl` (processing-time) evicts idle buckets so state is
+    * bounded by active-bucket arrival rate, not stream length. Pairs
+    * shared by several buckets are deduplicated downstream with
+    * streaming `dropDuplicates`. Works identically on a batch frame
+    * (state starts empty, one "batch"), which is how the spec pins it to
+    * the batch pipeline. */
+  def minhashCandidatesStream(docs: DataFrame, textCol: String, idCol: String,
+                              numBands: Int = 4, rowsPerBand: Int = 8,
+                              shingleN: Int = 1, maxBucket: Int = 64,
+                              stateTtl: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandKeys = graft.operators.Dedup.bandKeysDispatch(
+      spark, F.col(textCol), numBands, rowsPerBand, shingleN)
+    val banded = docs.filter(F.col(textCol).rlike("\\S"))
+      .select(F.col(idCol).cast("long").as("id"),
+        F.posexplode(bandKeys).as(Seq("band", "bucket")))
+      .select(F.concat_ws("|", F.col("band"), F.col("bucket")).as("bkey"),
+        F.col("id"))
+      .as[(String, Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val pairs = banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, timeoutConf) { (_, rows, state: GroupState[Seq[Long]]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var members = state.getOption.getOrElse(Seq.empty)
+          // sorted + deduped: the emitted pair set must not depend on
+          // how the micro-batcher split the stream
+          val fresh = rows.map(_._2).toSeq.distinct.sorted
+            .filterNot(members.contains)
+          val out = Seq.newBuilder[(Long, Long)]
+          fresh.foreach { id =>
+            if (members.size < maxBucket) {
+              members.foreach { m =>
+                out += (if (m < id) (m, id) else (id, m))
+              }
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          stateTtl.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+      }
+      .toDF("id_a", "id_b")
+    pairs.dropDuplicates("id_a", "id_b")
+  }
+
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
   def readParquetStream(spark: SparkSession, path: String): DataFrame = {

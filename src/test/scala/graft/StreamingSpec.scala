@@ -37,6 +37,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates carry bucket state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").as("text"))
+    val out = Streams.minhashCandidatesStream(docs, "text", "doc_id",
+      numBands = 8, rowsPerBand = 2, shingleN = 1, maxBucket = 1000)
+    val q = out.writeStream.format("memory").queryName("nd_cands")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(spark.table("nd_cands").count() == 0) // nothing to pair with yet
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      q.processAllAvailable()
+      val streamed = spark.table("nd_cands").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the pair emits when the LATER twin arrives — batch 2, against
+      // batch 1's bucket state
+      assert(streamed.contains((0L, 1L)))
+      assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L))
+
+      // micro-batching must not change the emitted SET: the same
+      // operator over the same rows as ONE static frame agrees exactly
+      val static = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+        .toDF("doc_id", "text")
+      val batch = Streams.minhashCandidatesStream(static, "text", "doc_id",
+        numBands = 8, rowsPerBand = 2, shingleN = 1, maxBucket = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
