@@ -953,6 +953,34 @@ object SparkEntry {
       s.read.parquet(s"$staging0/out")
     }),
 
+    // ---- corpus vocabulary stats (data-card material): top-20 tokens
+    //      by frequency; TakeOrderedAndProject, deterministic tie-break ----
+    "q91_top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(F.explode(TextAnalysis.tokens(F.lower(F.col("text")))).as("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("token"))
+        .limit(20)),
+
+    // ---- keep BEST-QUALITY doc per near-dup cluster (vs q59's keep-min-
+    //      id): struct-max argmax with (quality, doc_id) tie-break; the
+    //      oracle replays pairs → recursive closure → windowed argmax ----
+    "q92_cluster_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(
+        Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+          rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+      val scored = docs.select(F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      cl.join(scored, cl("id") === scored("doc_id"))
+        .groupBy(F.col("cluster"))
+        .agg(F.max(F.struct(F.col("quality"), F.col("doc_id"))).as("best"),
+          F.count(F.lit(1)).as("n_members"))
+        .select(F.col("cluster"), F.col("best.doc_id").as("keep_id"),
+          F.col("best.quality").as("best_quality"), F.col("n_members"))
+    }),
+
     // ---- dedup-at-ingest: streaming minhash candidate pairs (bucket
     //      state across micro-batches, flatMapGroupsWithState) over a
     //      real file-source stream; cap set above the largest bucket so
@@ -1788,6 +1816,40 @@ object SparkEntry {
     "q90_stream_neardup" ->
       s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 100000)}
          |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    "q91_top_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(
+        |        regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |        x -> len(x) > 0)) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // same replayed pair set + recursive closure as q51, then quality
+    // join and per-cluster argmax with the (quality, doc_id) tie-break;
+    // docStatsCte renamed to 'q' (the minhash CTEs already use 'd')
+    "q92_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |       FROM reach GROUP BY a),
+         |${docStatsCte("q")},
+         |scored AS (SELECT doc_id, $qualityExprSql AS quality FROM q),
+         |ranked AS (
+         |  SELECT cl.cluster, cl.doc_id, scored.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY scored.quality DESC, cl.doc_id DESC) AS rk,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS nm
+         |  FROM cl JOIN scored ON scored.doc_id = cl.doc_id)
+         |SELECT cluster, doc_id AS keep_id, quality AS best_quality,
+         |  CAST(nm AS BIGINT) AS n_members
+         |FROM ranked WHERE rk = 1""".stripMargin,
 
     "q84_sql_in_null" ->
       """SELECT c_custkey, o_orderkey
