@@ -142,8 +142,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * return the select item rewritten to refer to computed columns. */
   private def nameAggs(c: Col, acc: ListBuffer[Col]): Col = c match {
     case a @ AggCol(_, _, Some(n)) => acc += a; ColRef(n)
-    case a @ AggCol(_, _, None) =>
-      val n = a.name
+    case a @ AggCol(_, child, None) =>
+      // simple children keep the readable derived name (sum_x); complex
+      // children (CASE, function calls, arithmetic) get a stable
+      // synthetic name — their toString-derived fallback can embed
+      // qualified refs whose dots stripQualifiers would then mangle into
+      // an unresolvable final projection
+      val n = child match {
+        case ColRef(_) | Lit(_) => a.name
+        case _                  => s"_agg_${acc.length}"
+      }
       acc += a.aliased(n); ColRef(n)
     case Alias(a: AggCol, n) => acc += a.aliased(n); ColRef(n)
     case Alias(ch, n)        => Alias(nameAggs(ch, acc), n)

@@ -107,23 +107,26 @@ object Dedup {
   }
 
   /** Round-robin repartition to full parallelism, but ONLY when the input
-    * is markedly smaller than what fills the session's shuffle width
-    * (e.g. one unsplittable row group, a handful of gzip'd shards —
-    * common for raw corpus drops). The expensive per-document signature
-    * work downstream then uses every core. The width probe reads the
-    * optimizer's SIZE ESTIMATE (file-length based for scans) against the
-    * split size — pure driver-side metadata; touching `df.rdd` instead
-    * would force physical planning and, under AQE, materialize upstream
-    * query stages. At scale a parquet corpus is far wider than
-    * splitSize×cores, the condition is false, and no exchange is added —
+    * has markedly fewer splits than the session's shuffle width (e.g. one
+    * unsplittable gzip shard, a single large row group — common for raw
+    * corpus drops). The expensive per-document signature work downstream
+    * then uses every core. The width probe reads the ACTUAL partition
+    * counts off the scan leaves of the pre-AQE physical plan — driver-only
+    * file listing, honoring splittability and the real split-size formula;
+    * touching `df.rdd` instead would, under AQE, eagerly materialize
+    * upstream query stages. At scale a parquet corpus is far wider than
+    * the core count, the condition is false, and no exchange is added —
     * the narrow (id, key) explode stays the only shuffle. */
   private def spreadForCompute(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
-    val estSplits =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes /
-        math.max(conf.filesMaxPartitionBytes, 1L) + 1
-    if (estSplits * 2 < target) df.repartition(target) else df
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().map(_.getNumPartitions).sum
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        r.inputRDDs().map(_.getNumPartitions).sum
+      case _ => target // unknown leaf: assume wide enough, add no exchange
+    }.sum
+    if (parts * 2 < target) df.repartition(target) else df
   }
 
   /** Stage an intermediate frame: cut it loose from its subplan so
@@ -134,9 +137,31 @@ object Dedup {
     * pipelines with orchestrator-level retries). `reliable = true` →
     * a real checkpoint to `SparkContext.setCheckpointDir` (HDFS/object
     * store on a cluster): survives executor loss — the right trade for
-    * long multi-hour jobs at corpus scale. */
+    * long multi-hour jobs at corpus scale. The reliable path is always
+    * eager and persists around the checkpoint: an unpersisted reliable
+    * checkpoint would RE-EXECUTE the whole lineage in the file-writing
+    * job (Spark's documented behavior), doubling the most expensive
+    * stage — the cache makes the write a second pass over blocks, and is
+    * dropped as soon as the files exist. */
   private def stage(df: DataFrame, eager: Boolean, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (reliable) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(false) // checkpoint files are the source of truth now
+      out
+    } else df.localCheckpoint(eager)
+
+  /** Free the blocks behind a [[stage]]d frame NOW. `Dataset.unpersist`
+    * only touches the CacheManager and is a silent no-op on checkpointed
+    * frames, whose persistence lives at the RDD level behind a
+    * `LogicalRDD` leaf — without this, every label-propagation round's
+    * blocks would survive for the query's lifetime (the intra-query
+    * analog of the cross-query block accumulation that slowed the
+    * round-3 bench 2.4×). Reliable-checkpoint files are untouched. */
+  private def unstage(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** All i<j pairs of an array's elements as `struct<a, b>`, preserving
     * array order (sort the array first for id_a < id_b). Bounded by the
@@ -421,11 +446,11 @@ object Dedup {
         .take(localThreshold + 1) // tuples, not Rows: ~32 B/edge on the driver
       if (capped.length <= localThreshold) {
         val out = clustersLocal(pairs.sparkSession, capped)
-        staged.unpersist(false) // edges live on the driver now
+        unstage(staged) // edges live on the driver now
         out
       } else {
         val out = clustersDistributed(staged, idA, idB, maxIter, reliable)
-        staged.unpersist(false) // the result reads its own checkpoints
+        unstage(staged) // the result reads its own checkpoints
         out
       }
     } else clustersDistributed(pairs, idA, idB, maxIter, reliable)
@@ -484,13 +509,13 @@ object Dedup {
           .groupBy("id").agg(F.min("label").as("label")),
         eager = true, reliable)
       val sum = next.agg(F.sum("label")).head().getLong(0)
-      labels.unpersist(false) // next is materialized; the old round is dead
+      unstage(labels) // next is materialized; the old round is dead
       labels = next
       converged = sum == prevSum
       prevSum = sum
       iter += 1
     }
-    edges.unpersist(false) // the final labels frame reads its own checkpoint
+    unstage(edges) // the final labels frame reads its own checkpoint
     if (!converged)
       throw new IllegalStateException(
         s"Dedup.clusters did not converge after $maxIter rounds — " +

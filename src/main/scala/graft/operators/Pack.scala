@@ -47,10 +47,22 @@ object Pack {
         s"concatChunk() requires an integral order column; '$orderCol' is $other")
     }
     val wDoc = Window.partitionBy("_shard").orderBy(F.col(orderCol))
+    // duplicate order keys would silently overlap packed positions (the
+    // cumulative RANGE frame includes peer rows); a lag over the SAME
+    // window spec detects them at execution time for free (duplicates
+    // always share a shard), and assert_true raises instead of
+    // corrupting the stream — folded into the sum so pruning can't drop it
+    val dup = F.coalesce(
+      F.lag(F.col(orderCol), 1).over(wDoc) === F.col(orderCol), F.lit(false))
     val local = df
       .select(F.col(orderCol), F.col(tokensCol).cast("long").as("_tok"))
       .withColumn("_shard", F.expr(s"CAST($orderCol AS BIGINT) div $shardSpan"))
-      .withColumn("_local_end", F.sum("_tok").over(wDoc))
+      .withColumn("_local_end",
+        F.sum("_tok").over(wDoc) + F.coalesce(
+          F.assert_true(!dup,
+            F.lit(s"concatChunk: duplicate '$orderCol' order key — " +
+              "packed positions would overlap")).cast("long"),
+          F.lit(0L)))
     val totals = local.groupBy("_shard").agg(F.sum("_tok").as("_total"))
     // one narrow row per shard: this window is the bounded sequential step
     val wShard = Window.orderBy("_shard")

@@ -82,6 +82,13 @@ object SqlParser {
         val end = input.indexOf('\'', i + 1)
         if (end < 0) throw new ParseError(s"Unterminated string at offset $i")
         toks += TStr(input.substring(i + 1, end)); i = end + 1
+      } else if (c == '"') {
+        // double-quoted identifier (standard SQL): the escape hatch for
+        // columns whose names collide with reserved words (end, in, is,
+        // null, case, ...) — never keyword-classified
+        val end = input.indexOf('"', i + 1)
+        if (end < 0) throw new ParseError(s"Unterminated quoted identifier at offset $i")
+        toks += TIdent(input.substring(i + 1, end)); i = end + 1
       } else if (c.isDigit) {
         val start = i
         while (i < n && (input(i).isDigit || input(i) == '.')) i += 1

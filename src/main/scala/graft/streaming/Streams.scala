@@ -218,18 +218,38 @@ object Streams {
     * [2, maxBucket] cap — streaming cannot retract already-emitted
     * pairs, so the cap truncates instead of dropping; at the default cap
     * the two diverge only on mega-buckets, which batch drops entirely).
-    * `stateTtl` (processing-time) evicts idle buckets so state is
-    * bounded by active-bucket arrival rate, not stream length. Pairs
-    * shared by several buckets are deduplicated downstream with
-    * streaming `dropDuplicates`. Works identically on a batch frame
+    * `stateTtl` (processing-time) evicts idle buckets so BUCKET state is
+    * bounded by active-bucket arrival rate, not stream length.
+    *
+    * Pairs shared by several buckets are deduplicated downstream with
+    * streaming `dropDuplicates` when `dedupPairs = true` — whose dedup
+    * state grows with every pair ever emitted and is therefore only for
+    * BOUNDED runs (backfills, Trigger.AvailableNow, the oracle gate).
+    * For an unbounded ingest stream set `dedupPairs = false` and treat
+    * pair emissions as idempotent upserts at the sink (a pair repeats
+    * only when it shares several buckets, or when `stateTtl` evicted a
+    * bucket a member later re-enters) — one of the two states must be
+    * unbounded to guarantee global exactly-once pairs, so the choice is
+    * explicit rather than hidden. Works identically on a batch frame
     * (state starts empty, one "batch"), which is how the spec pins it to
     * the batch pipeline. */
   def minhashCandidatesStream(docs: DataFrame, textCol: String, idCol: String,
                               numBands: Int = 4, rowsPerBand: Int = 8,
                               shingleN: Int = 1, maxBucket: Int = 64,
-                              stateTtl: Option[String] = None): DataFrame = {
+                              stateTtl: Option[String] = None,
+                              dedupPairs: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // integral ids only, checked loudly up front: the silent cast below
+    // would null out string ids and drop every pair (same fail-fast
+    // contract as Dedup.clusters and Pack.concatChunk)
+    docs.schema.find(_.name.equalsIgnoreCase(idCol)).map(_.dataType).foreach {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"minhashCandidatesStream() requires an integral id column; '$idCol' is $other " +
+        "(hash string ids to int64 upstream)")
+    }
     val bandKeys = graft.operators.Dedup.bandKeysDispatch(
       spark, F.col(textCol), numBands, rowsPerBand, shingleN)
     val banded = docs.filter(F.col(textCol).rlike("\\S"))
@@ -267,7 +287,7 @@ object Streams {
         }
       }
       .toDF("id_a", "id_b")
-    pairs.dropDuplicates("id_a", "id_b")
+    if (dedupPairs) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 
   /** Open a file-source stream over a parquet directory (schema must be

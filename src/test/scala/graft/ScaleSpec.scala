@@ -235,6 +235,13 @@ class ScaleSpec extends SparkSpec {
       Pack.concatChunk(Seq(("a", 1L)).toDF("doc_id", "n_tok"),
         "doc_id", "n_tok", capacity = 16)
     }
+    // duplicate order keys raise at execution instead of silently
+    // overlapping packed positions
+    val ex = intercept[Exception] {
+      Pack.concatChunk(Seq((1L, 5L), (1L, 7L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", capacity = 16).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
   }
 
   test("hash split is disjoint, exhaustive, and rerun-stable") {

@@ -273,6 +273,27 @@ class SqlParserSpec extends SparkSpec {
       e.sql("SELECT lower(fruit, fruit) FROM fruits").df)
   }
 
+  test("quoted identifiers reach reserved-word column names") {
+    val q = SqlParser.parse("""SELECT "end", "in" AS x FROM 't' WHERE "null" = 1""")
+    assert(q.select(0).expr == ColRef("end"))
+    assert(q.select(1).expr == Alias(ColRef("in"), "x"))
+    assert(q.where.contains(BinOp("==", ColRef("null"), Lit(1))))
+    // unquoted reserved words still refuse to be columns
+    assertThrows[ParseError](SqlParser.parse("SELECT end FROM 't'"))
+  }
+
+  test("unaliased aggregates over complex children get safe synthetic names") {
+    val d = java.nio.file.Files.createTempDirectory("graft-agg").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // qualified ref INSIDE an unaliased CASE aggregate: the derived name
+    // must not leak a dotted toString that the de-qualifier would mangle
+    val out = Engine(spark, d).sql(
+      """SELECT f.fruit, SUM(CASE WHEN f.quantity > 4 THEN 1 ELSE 0 END)
+        |FROM fruits f GROUP BY f.fruit""".stripMargin).df.collect()
+    val m = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("apple" -> 0L, "banana" -> 2L, "orange" -> 0L))
+  }
+
   test("CASE WHEN evaluates through the engine (branch select + null on no match)") {
     val d = java.nio.file.Files.createTempDirectory("graft-case").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
