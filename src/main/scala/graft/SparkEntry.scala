@@ -953,6 +953,13 @@ object SparkEntry {
       s.read.parquet(s"$staging0/out")
     }),
 
+    // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
+    //      pure bit arithmetic, replayed by the oracle with shifts ----
+    "q93_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        Scale.zOrderKey(F.col("l_partkey"), F.col("l_suppkey"), 16).as("z"))),
+
     // ---- corpus vocabulary stats (data-card material): top-20 tokens
     //      by frequency; TakeOrderedAndProject, deterministic tie-break ----
     "q91_top_tokens" -> ((s, dir) =>
@@ -1816,6 +1823,19 @@ object SparkEntry {
     "q90_stream_neardup" ->
       s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 100000)}
          |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    // same bit-interleave, term by term, in DuckDB operator arithmetic
+    "q93_zorder_key" -> {
+      // the OR joins at end-of-line: a leading '|' would be eaten by
+      // stripMargin as a margin character
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"(((l_partkey >> $i) & 1) << ${2 * i})",
+            s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" |\n  ")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  $terms AS z
+         |FROM lineitem""".stripMargin
+    },
 
     "q91_top_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -106,6 +106,39 @@ object Scale {
       .drop("_salt_l", "_salt_r")
   }
 
+  /** Z-order (Morton) key: bit-interleave two non-negative integral
+    * columns (x bits at even positions, y at odd). Sorting by this key
+    * clusters rows that are close in BOTH dimensions, so parquet
+    * row-group min/max statistics prune 2-D range scans — the standard
+    * multi-dimensional layout trick where a single-column sort only ever
+    * prunes one dimension. Pure bit arithmetic (codegen'd, engine-
+    * portable: a SQL oracle replays it with shifts and masks). */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val xb = F.shiftrightunsigned(x.cast("long"), i).bitwiseAND(F.lit(1L))
+      val yb = F.shiftrightunsigned(y.cast("long"), i).bitwiseAND(F.lit(1L))
+      F.shiftleft(xb, 2 * i).bitwiseOR(F.shiftleft(yb, 2 * i + 1))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Rewrite a table Z-ordered on two dimensions: range-partition by the
+    * Morton key (the sampling exchange balances output files), sort
+    * within partitions, drop the key, write parquet. Each output file
+    * then covers a tight rectangle in (x, y), which is what row-group
+    * pruning needs; the spec measures per-file spans shrinking vs the
+    * unsorted layout. The compaction-job shape at any corpus size:
+    * one range exchange + local sorts, no driver involvement. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    bits: Int = 16, partitions: Int = 0): Unit = {
+    val keyed = df.withColumn("_z", zOrderKey(F.col(xCol), F.col(yCol), bits))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, F.col("_z"))
+      else keyed.repartitionByRange(F.col("_z"))
+    ranged.sortWithinPartitions("_z").drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   private def expr(how: String, c: String): Column = how match {
     case "sum"   => F.sum(c)
     case "count" => F.count(F.lit(1))

@@ -272,6 +272,30 @@ class ScaleSpec extends SparkSpec {
     assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
+  test("z-order key interleaves bits; z-ordered layout tightens per-file 2-D spans") {
+    // known value: x=3 (011), y=5 (101) -> bits 0,1,2,5 -> 39
+    val k = Seq((3L, 5L)).toDF("x", "y")
+      .select(Scale.zOrderKey(F.col("x"), F.col("y"), 8)).head().getLong(0)
+    assert(k == 39L)
+
+    // 32x32 grid shuffled: after writeZOrdered each file should cover a
+    // small rectangle of the grid, not the full range in each dimension
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y))))
+      .toDF("x", "y").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Scale.writeZOrdered(pts, "x", "y", s"$dir/z", bits = 8, partitions = 16)
+    val spans = spark.read.parquet(s"$dir/z")
+      .groupBy(F.input_file_name().as("f"))
+      .agg((F.max("x") - F.min("x")).as("dx"), (F.max("y") - F.min("y")).as("dy"))
+      .collect()
+    val avgSpan = spans.map(r => (r.getLong(1) + r.getLong(2)) / 2.0).sum / spans.length
+    // random layout would average ~31 per dimension; z-order files sit in
+    // tight quadrants (a 16-file split of a 32x32 grid covers 8x16 boxes)
+    assert(spans.length >= 8, s"expected multiple files, got ${spans.length}")
+    assert(avgSpan <= 16.0, s"z-ordered files span too much: $avgSpan")
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
