@@ -79,7 +79,11 @@ object Bench {
       "q55_window_funcs", "q59_pipeline_keep",
       // round-4 additions: TPC-H join stressors + the new pipeline ops
       "q78_tpch_q13", "q79_tpch_q16", "q80_tpch_q19", "q81_tpch_q21",
-      "q86_pack_chunks", "q87_pii_redact", "q88_hash_split")
+      "q86_pack_chunks", "q87_pii_redact", "q88_hash_split",
+      // corpus statistics + serving artifacts (tf-idf is two keyed aggs
+      // + a token join; the index is one bounded-heap agg; chunking is a
+      // pure narrow explode)
+      "q94_tfidf_terms", "q96_chunks", "q98_inverted_index")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

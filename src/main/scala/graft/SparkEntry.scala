@@ -916,6 +916,87 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("numwait"))
     }),
 
+    // ---- TPC-H Q8 shape (national market share): the 7-table join —
+    //      nation twice under different roles, region-pruned customer
+    //      side, conditional volume share per year. Sums round(4) per
+    //      the float-agg convention; the share ratio divides the two
+    //      ROUNDED sums (deterministic on both engines), round(6) ----
+    "q99_tpch_q8" -> ((s, dir) => {
+      val vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+      val n1 = t(s, dir, "nation")
+        .select(F.col("n_nationkey").as("c_nkey"), F.col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(F.col("n_nationkey").as("s_nkey"), F.col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(F.col("p_type") === "PROMO")
+          .select("p_partkey"), F.col("l_partkey") === F.col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp") &&
+                  F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(t(s, dir, "customer"), F.col("o_custkey") === F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") === F.col("c_nkey"))
+        .join(t(s, dir, "region").filter(F.col("r_name") === "ASIA")
+          .select("r_regionkey"), F.col("n_regionkey") === F.col("r_regionkey"))
+        .join(t(s, dir, "supplier"), F.col("l_suppkey") === F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") === F.col("s_nkey"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          F.round(F.sum(F.when(F.col("supp_nation") === "NATION_3", vol)
+            .otherwise(F.lit(0.0))), 4).as("nation_vol"),
+          F.round(F.sum(vol), 4).as("total_vol"))
+        .select(F.col("o_year"),
+          F.round(F.col("nation_vol") / F.col("total_vol"), 6).as("mkt_share"),
+          F.col("nation_vol"), F.col("total_vol"))
+    }),
+
+    // ---- TPC-H Q12 shape (late shipments by priority class): the
+    //      conditional-aggregation query — CASE-sums over a join, with
+    //      the late predicate (shipped after order date + 60 days)
+    //      pushed into the join's filter ----
+    "q100_tpch_q12" -> ((s, dir) => {
+      val high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), F.col("l_orderkey") === F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          F.sum(F.when(high, 1L).otherwise(0L)).as("high_line_count"),
+          F.sum(F.when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // ---- TPC-H Q15 shape (top supplier): aggregate-then-argmax via a
+    //      scalar-subquery max over the derived revenue view; equality
+    //      compares the ROUNDED revenue on both engines ----
+    "q101_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp") &&
+                F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        .groupBy(F.col("l_suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4)
+          .as("total_revenue"))
+      val top = rev.agg(F.max("total_revenue").as("max_rev"))
+      rev.join(F.broadcast(top), F.col("total_revenue") === F.col("max_rev"))
+        .join(t(s, dir, "supplier"), F.col("l_suppkey") === F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
+    // ---- TPC-H Q22 shape (sales opportunity): uncorrelated avg scalar
+    //      subquery as a filter bound + NOT EXISTS anti-join, grouped
+    //      by market segment (stands in for Q22's phone country code) ----
+    "q102_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 4).as("avg_bal")) // rounded bound:
+      // identical threshold on both engines regardless of sum order
+      c.join(F.broadcast(avgBal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(t(s, dir, "orders").select("o_custkey"),
+          F.col("c_custkey") === F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("numcust"),
+             F.round(F.sum("c_acctbal"), 4).as("totacctbal"))
+    }),
+
     // ---- streaming END-TO-END under the oracle gate: a real file-source
     //      stream (readStream over the events parquet) through
     //      Streams.dedupStream into the checkpointed parquet sink, one
@@ -969,6 +1050,39 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"))
         .orderBy(F.col("n").desc, F.col("token"))
         .limit(20)),
+
+    // ---- per-doc top-3 terms by tf-idf: two keyed aggregations + a
+    //      token join + per-doc window; ranking uses the ROUNDED score
+    //      so the oracle replays the exact ordering ----
+    "q94_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)),
+
+    // ---- Gopher repetition signal: share of token n-grams taken by the
+    //      single most frequent n-gram (n=2,3) — a pure narrow map; the
+    //      value is a ratio of ints so the oracle replays it exactly ----
+    "q95_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+        TextAnalysis.topNgramFrac(F.col("text"), 2).as("top2_frac"),
+        TextAnalysis.topNgramFrac(F.col("text"), 3).as("top3_frac"))),
+
+    // ---- sliding context-window chunking (32-token windows, stride 24):
+    //      per-document narrow explode, chunks never cross documents ----
+    "q96_chunks" -> ((s, dir) =>
+      Pack.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
+                         window = 32, stride = 24)),
+
+    // ---- temperature mixing (α=0.5): keep-rate ∝ 1/sqrt(stratum size),
+    //      broadcast per-source thresholds, md5 keep decision ----
+    "q97_temperature_sample" -> ((s, dir) =>
+      Scale.temperatureSample(t(s, dir, "documents"), "source",
+                              F.col("doc_id"), k = 4.0)
+        .select("doc_id", "source")),
+
+    // ---- inverted index: token → (df, first-50 posting list) via the
+    //      bounded-heap topk_pairs aggregate (capped per-group state) ----
+    "q98_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
+                                 maxPostings = 50)),
 
     // ---- keep BEST-QUALITY doc per near-dup cluster (vs q59's keep-min-
     //      id): struct-max argmax with (quality, doc_id) tie-break; the
@@ -1870,6 +1984,139 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keep_id, quality AS best_quality,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q99_tpch_q8" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |a AS (SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 4)
+        |    AS nation_vol,
+        |  round(sum(vol), 4) AS total_vol
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year, round(nation_vol / total_vol, 6) AS mkt_share,
+        |  nation_vol, total_vol FROM a""".stripMargin,
+
+    "q100_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q101_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q102_tpch_q22" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // full tf-idf replay: same tokenization, same ln(N/df) scoring,
+    // QUALIFY row_number on the ROUNDED score with token tie-break
+    "q94_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, token) <= 3""".stripMargin,
+
+    // top n-gram fraction: int-ratio values replay exactly, no rounding
+    "q95_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(0, greatest(len(toks) - 2, 0)),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) AS g2,
+        |  list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(g2),
+        |              x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+        |            / len(g2) END AS top2_frac,
+        |  CASE WHEN len(toks) < 3 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(g3),
+        |              x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE)
+        |            / len(g3) END AS top3_frac
+        |FROM g""".stripMargin,
+
+    // sliding chunks: generate_series(0, n-1, stride) == Spark's
+    // sequence(0, size-1, stride); list_slice end-inclusive == slice+len
+    "q96_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) - 1, 24)) AS "start"
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST("start" AS BIGINT) AS "start",
+        |  array_to_string(list_slice(toks, "start" + 1, "start" + 32), ' ')
+        |    AS chunk_text,
+        |  CAST(least(32, len(toks) - "start") AS BIGINT) AS n_tokens
+        |FROM s""".stripMargin,
+
+    // temperature mixing: identical IEEE threshold (sqrt/least/floor are
+    // exactly rounded), identical md5 keep decision
+    "q97_temperature_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, source FROM documents JOIN c USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000
+        |  < floor(1000000 * least(1.0, 4.0 / sqrt(CAST(c.c AS DOUBLE))))""".stripMargin,
+
+    // inverted index: per-doc list_distinct mirrors the pre-explode
+    // array_distinct; sorted postings capped at 50 (smallest ids kept)
+    "q98_inverted_index" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+        |  list_slice(list_sort(list(doc_id)), 1, 50) AS postings
+        |FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+        |        regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |        x -> len(x) > 0))) AS token
+        |      FROM documents)
+        |GROUP BY token""".stripMargin,
 
     "q84_sql_in_null" ->
       """SELECT c_custkey, o_orderkey

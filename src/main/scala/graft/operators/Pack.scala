@@ -79,4 +79,33 @@ object Pack {
         F.expr(s"greatest(_end - 1, _start) div $capacity").as("chunk_last"),
         F.pmod(F.col("_start"), F.lit(capacity)).as("offset_in_chunk"))
   }
+
+  /** Sliding-window chunking WITHIN each document: split the token
+    * stream into windows of `window` tokens every `stride` tokens
+    * (overlap = `window - stride`) — the per-document context-window
+    * prep for embedding models and RAG ingest, where chunks must not
+    * cross document boundaries (vs [[concatChunk]]'s cross-document
+    * packed stream). Tokenization preserves case — chunks are payload
+    * text, not analysis keys.
+    *
+    * Pure narrow explode: each row expands to ceil(tokens/stride)
+    * chunk rows with no shuffle, so it scales with input splits. The
+    * expansion factor is bounded by `window/stride` ≈ the overlap
+    * ratio, not by document size. */
+  def slidingChunks(df: DataFrame, textCol: String, idCol: String,
+                    window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window and stride must be positive, got window=$window stride=$stride")
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    df.select(F.col(idCol), toks.as("_toks"))
+      .filter(F.size(F.col("_toks")) > 0)
+      .select(F.col(idCol), F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), F.size(F.col("_toks")) - 1,
+                             F.lit(stride))).as("start"))
+      .select(F.col(idCol), F.col("start").cast("long").as("start"),
+        F.array_join(F.slice(F.col("_toks"), F.col("start") + 1, F.lit(window)),
+                     " ").as("chunk_text"),
+        F.least(F.lit(window), F.size(F.col("_toks")) - F.col("start"))
+          .cast("long").as("n_tokens"))
+  }
 }

@@ -139,6 +139,36 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Temperature-flattened source mixing: keep each row of stratum `s`
+    * with probability `min(1, k / sqrt(c_s))` where `c_s` is the stratum
+    * row count — so the expected kept volume per stratum is
+    * `∝ sqrt(c_s)`, i.e. temperature sampling with α = 0.5 (the standard
+    * multilingual/multi-source rebalance: boilerplate mega-sources get
+    * downsampled, small sources kept whole) up to the global normalizer,
+    * which `k` sets directly in expected-rows units.
+    *
+    * Scale shape: stratum counts come from a groupBy (map-side partial
+    * combine — NOT a window over the stratum, which would shuffle every
+    * row of a mega-source into one partition); the counts frame is one
+    * row per stratum and broadcasts back. The keep decision is the same
+    * engine-portable md5 threshold as [[stratifiedSampleByHash]]
+    * (reproducible, partition-invariant, oracle-replayable; `sqrt`,
+    * `least`, `floor` are all exactly-rounded IEEE ops, so another
+    * engine computes the identical threshold). Cost: one extra
+    * aggregation pass over the stratum column only. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: Column,
+                        k: Double = 4.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("_c"))
+    val thresh = counts.select(F.col(groupCol),
+      F.floor(F.lit(1000000.0) *
+        F.least(F.lit(1.0), F.lit(k) / F.sqrt(F.col("_c").cast("double"))))
+        .as("_thresh"))
+    df.join(F.broadcast(thresh), Seq(groupCol))
+      .filter(Dedup.md5Hash60(idCol.cast("string")) % 1000000 < F.col("_thresh"))
+      .drop("_thresh")
+  }
+
   private def expr(how: String, c: String): Column = how match {
     case "sum"   => F.sum(c)
     case "count" => F.count(F.lit(1))

@@ -242,6 +242,112 @@ object TextAnalysis {
     }
   }
 
+  /** Top n-gram fraction (Rae et al. 2021 §A1.1): the share of a
+    * document's token n-grams accounted for by its single most frequent
+    * n-gram — the standard in-document repetition signal (boilerplate,
+    * keyword stuffing, generation loops). Pure per-row array
+    * expressions, so the whole repetition filter is a narrow codegen'd
+    * map at any corpus size; cost is O(distinct-grams × grams) per row,
+    * bounded by document length, never a shuffle. Returns 0.0 for
+    * documents shorter than `n` tokens. The value is a ratio of two
+    * integers (IEEE division — deterministic), so a differential oracle
+    * replays it exactly with no rounding. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    import graft.functions.ExprUtils.let
+    let(tokens(F.lower(text))) { toks =>
+      let(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        (i: Column) => F.array_join(F.slice(toks, i + 1, F.lit(n)), " "))) { grams =>
+        F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+          F.array_max(F.transform(F.array_distinct(grams),
+            (g: Column) => F.size(F.filter(grams, (x: Column) => x === g))))
+            .cast("double") / F.size(grams).cast("double"))
+      }
+    }
+  }
+
+  /** Per-document top-k terms by tf-idf — the classic two-pass corpus
+    * statistic (keyword extraction, topic tagging for data cards).
+    *
+    * Scale shape: term frequency is one keyed aggregation over exploded
+    * tokens (map-side partial combine — the explode never reaches the
+    * shuffle at full width); document frequency re-aggregates the tf
+    * frame (one row per (doc, token), far smaller than raw tokens); the
+    * tf⋈df join is token-keyed — AQE broadcasts the df side when the
+    * vocabulary is small, shuffles both when it isn't. The final top-k
+    * is a per-document window — keyed by doc id, so it partitions
+    * evenly. N comes from `df.count()`, which parquet answers from
+    * row-group metadata (no data scan), and is the only driver-side
+    * value (one long — bounded).
+    *
+    * Both the emitted score and the RANKING use the rounded
+    * `round(tf·ln(N/df), 6)` so a differential oracle in another engine
+    * reproduces the exact ordering (tie-break: token ascending). */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = df.count()
+    val tf = df
+      .select(F.col(idCol), F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+      // staged LAZILY: document frequency AND the scoring join both
+      // consume tf, and without staging Catalyst re-derives the second
+      // consumer from the scan — a full re-tokenize + re-shuffle of the
+      // corpus (ReuseExchange can't match the two branches because the
+      // df branch optimizes down to a distinct). The lazy local
+      // checkpoint materializes tf as a side effect of whichever
+      // consumer runs first; the other reads blocks — one corpus pass,
+      // no extra job barrier.
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("score",
+        F.round(F.col("tf") * F.log(F.lit(nDocs.toDouble) / F.col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(F.col("score").desc, F.col("token").asc)
+    scored.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= k)
+      .select(F.col(idCol), F.col("token"), F.col("tf"), F.col("df"), F.col("score"))
+  }
+
+  /** Inverted index build: token → (document frequency, sorted posting
+    * list capped at `maxPostings`). The serving-side artifact of a corpus
+    * (search, decontamination lookups, vocabulary audits).
+    *
+    * Scale shape: `array_distinct` BEFORE the explode dedupes within the
+    * document as a narrow map, so each (doc, token) reaches the shuffle
+    * once; the groupBy is one token-keyed aggregation with map-side
+    * combine. The posting-list cap bounds per-group state: with the
+    * native `topk_pairs` bounded-heap aggregate (constant score, so its
+    * lower-id tie-break keeps exactly the smallest `maxPostings` ids,
+    * already ascending), a stopword's bucket carries at most
+    * `maxPostings` ids plus a count at EVERY stage — partial, shuffle,
+    * and merge — never the full corpus. The `collect_list`+`slice`
+    * fallback (extensions not registered) is semantically identical but
+    * gathers the full list on the reducer before capping — fine on a
+    * laptop, the heap path is the 100 TB one. Kept ids are the smallest
+    * `maxPostings` — deterministic and replayable by an oracle. */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+                    maxPostings: Int = 50): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val pairs = df.select(F.col(idCol),
+      F.explode(F.array_distinct(tokens(F.lower(F.col(textCol))))).as("token"))
+    if (df.sparkSession.catalog.functionExists("topk_pairs"))
+      pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+             F.call_function("topk_pairs",
+               F.lit(0.0), F.col(idCol).cast("long"), F.lit(maxPostings)).as("_top"))
+        .select(F.col("token"), F.col("n_docs"),
+                F.transform(F.col("_top"), (t: Column) => t.getField("id"))
+                  .as("postings"))
+    else
+      pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+             F.slice(F.sort_array(F.collect_list(F.col(idCol).cast("long"))), 1,
+                     maxPostings).as("postings"))
+  }
+
   /** All text statistics as one projection — single pass over the
     * corpus. With the session extensions registered, the counting side is
     * the native `text_stats` walk and quality/lang come from the fused

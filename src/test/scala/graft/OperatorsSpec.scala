@@ -575,4 +575,54 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
     assert(!plan.contains("Window"))
   }
+
+  test("top n-gram fraction: hand-computed repetition, short-doc floor") {
+    val d = Seq((0L, "a b a b c"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val out = d.select(F.col("doc_id"),
+      TextAnalysis.topNgramFrac(F.col("text"), 2).as("f2"),
+      TextAnalysis.topNgramFrac(F.col("text"), 3).as("f3"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // grams of doc 0: 2-grams [a b, b a, a b, b c] → max 2 of 4;
+    // 3-grams [a b a, b a b, a b c] → max 1 of 3
+    assert(out(0L) == ((0.5, 1.0 / 3.0)))
+    assert(out(1L) == ((0.0, 0.0))) // shorter than n → 0.0, not NaN
+    assert(out(2L) == ((0.0, 0.0)))
+  }
+
+  test("tf-idf top terms: hand-computed scores, rounded-score tie-break") {
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._5, t._2)).toSeq).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3; df: a→1 b→2 c→2 d→1
+    assert(byDoc(1L).map(t => (t._2, t._5)) ==
+      Seq(("a", r6(2 * math.log(3.0))), ("b", r6(math.log(1.5)))))
+    // doc 2: b and c tie at 1·ln(1.5) — token ascending keeps both, b first
+    assert(byDoc(2L).map(_._2) == Seq("b", "c"))
+    // doc 3: c = 3·ln(1.5) beats d = ln(3)
+    assert(byDoc(3L).map(t => (t._2, t._5)) ==
+      Seq(("c", r6(3 * math.log(1.5))), ("d", r6(math.log(3.0)))))
+  }
+
+  test("inverted index: sorted capped postings via the bounded heap") {
+    val d = Seq((3L, "x y"), (1L, "x z x"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, "text", "doc_id", maxPostings = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // "x" appears in all three docs (dedup within doc 1): df 3, postings
+    // capped to the two SMALLEST ids, ascending
+    assert(out("x") == ((3L, Seq(1L, 2L))))
+    assert(out("y") == ((1L, Seq(3L))))
+    assert(out("z") == ((1L, Seq(1L))))
+    // the heap path is active in this session (extensions registered)
+    assert(spark.catalog.functionExists("topk_pairs"))
+  }
 }

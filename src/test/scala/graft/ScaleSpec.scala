@@ -296,6 +296,48 @@ class ScaleSpec extends SparkSpec {
     assert(avgSpan <= 16.0, s"z-ordered files span too much: $avgSpan")
   }
 
+  test("sliding chunks: window/stride windows stay inside the document") {
+    val d = Seq((7L, "t1 t2 t3 t4 t5"), (8L, "solo"), (9L, "  "))
+      .toDF("doc_id", "text")
+    val out = Pack.slidingChunks(d, "text", "doc_id", window = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (7L, 0L, "t1 t2 t3", 3L),
+      (7L, 2L, "t3 t4 t5", 3L),
+      (7L, 4L, "t5", 1L), // tail chunk truncates, never crosses the doc
+      (8L, 0L, "solo", 1L))) // whitespace-only doc 9 yields no chunks
+  }
+
+  test("temperature sampling: keep-rate ∝ 1/sqrt(stratum size), replayable") {
+    val d = ((1L to 400L).map(i => (i, "big")) ++
+             (401L to 425L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Scale.temperatureSample(d, "source", F.col("doc_id"), k = 4.0)
+    // exact replay of the documented threshold: floor(1e6·min(1, k/√c))
+    val expected = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, src) =>
+        val c = if (src == "big") 400.0 else 25.0
+        val thresh = math.floor(1000000.0 * math.min(1.0, 4.0 / math.sqrt(c)))
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 1000000 < thresh
+      }.toSet
+    val got = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    assert(got == expected)
+    // the flattening direction: big kept at ~20%, small at ~80%
+    val keptBig = got.count(_._2 == "big") / 400.0
+    val keptSmall = got.count(_._2 == "small") / 25.0
+    assert(keptBig < 0.3 && keptSmall > 0.6,
+      s"big=$keptBig small=$keptSmall")
+    // rerun-stable (hash, not rand())
+    assert(got == Scale.temperatureSample(d, "source", F.col("doc_id"), k = 4.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet)
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
