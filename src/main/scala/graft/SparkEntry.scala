@@ -1034,6 +1034,82 @@ object SparkEntry {
       s.read.parquet(s"$staging0/out")
     }),
 
+    // ---- deterministic global shuffle order: dense rank in md5-hash
+    //      order via the two-level decomposition (per-hash-range ranks in
+    //      parallel + one 256-row offset window); oracle = the single
+    //      global row_number the decomposition must equal ----
+    "q103_shuffle_rank" -> ((s, dir) =>
+      Scale.shuffleRank(t(s, dir, "documents"), F.col("doc_id"))
+        .select("doc_id", "shuffle_rank")),
+
+    // ---- approximate median gated HONESTLY (the q43 pattern for
+    //      percentiles): exact percentile beside the sketch, plus an
+    //      in-query rank-error check the oracle replays as TRUE — an
+    //      out-of-bound sketch fails the hash gate ----
+    "q104_approx_quantile" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val stats = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").as("_p50_raw"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_p50_approx"),
+        F.count(F.lit(1)).as("n_rows"))
+      val frac = l.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg((F.sum(F.when(F.col("l_extendedprice") <= F.col("_p50_approx"), 1L)
+          .otherwise(0L)).cast("double") / F.max("n_rows")).as("_frac"))
+      stats.join(frac, "l_returnflag").select(
+        F.col("l_returnflag"),
+        F.round(F.col("_p50_raw"), 4).as("p50_exact"),
+        F.col("n_rows"),
+        F.col("_frac").between(0.45, 0.55).as("approx_within_bound"))
+    }),
+
+    // ---- stream-stream INTERVAL JOIN end-to-end under the gate: two
+    //      real file-source streams (separate drop folders — the two-feed
+    //      production shape), watermarked interval join (purchases within
+    //      30 min before each click), parquet sink, AvailableNow. Inner
+    //      stream-stream joins emit matches as both sides ingest (only
+    //      OUTER joins wait on the watermark), and the horizon watermark
+    //      prevents state eviction on the bounded run, so the sink equals
+    //      the batch join — which is exactly what the oracle replays ----
+    "q105_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staging = stagingDir("graft_stream_ij")
+      def feed(sub: String): String = {
+        val d = java.nio.file.Paths.get(staging, sub)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        d.toString
+      }
+      def readTs(path: String): DataFrame = {
+        val raw = Streams.readParquetStream(s, path)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          case _ => raw
+        }
+      }
+      val clicks = readTs(feed("in_l"))
+        .filter(F.col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = readTs(feed("in_r"))
+        .filter(F.col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val joined = Streams
+        .intervalJoin(clicks, purchases, "user_id", "ts",
+          lookback = "30 minutes", watermark = "3650 days")
+        .select(F.col("l_user_id").as("user_id"),
+          F.col("l_event_id").as("l_event_id"),
+          F.col("r_event_id").as("r_event_id"),
+          F.unix_micros(F.col("l_ts")).as("l_ts_us"),
+          F.unix_micros(F.col("r_ts")).as("r_ts_us"))
+      val q = Streams.toParquetSink(joined, s"$staging/out", s"$staging/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging/out")
+    }),
+
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
     "q93_zorder_key" -> ((s, dir) =>
@@ -1984,6 +2060,33 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keep_id, quality AS best_quality,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM ranked WHERE rk = 1""".stripMargin,
+
+    // the two-level rank decomposition must equal ONE global row_number
+    "q103_shuffle_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    doc_id) - 1 AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+
+    // exact median replays (quantile_cont == Spark percentile at round-4,
+    // the q40 precedent); the sketch's rank-error flag replays as TRUE
+    "q104_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS approx_within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the batch twin of the streaming interval join (same key, same
+    // [ts-30min, ts] bound); timestamps as epoch micros per the rules
+    "q105_stream_join" ->
+      """SELECT l.user_id AS user_id, l.event_id AS l_event_id,
+        |  r.event_id AS r_event_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE""".stripMargin,
 
     "q99_tpch_q8" ->
       """WITH j AS (

@@ -169,6 +169,43 @@ object Scale {
       .drop("_thresh")
   }
 
+  /** Deterministic global shuffle order (training-order randomization):
+    * every row gets a dense rank in engine-portable md5-hash order — the
+    * "shuffle the corpus once, reproducibly" step before packing/sharding.
+    * Same hash-not-`rand()` rationale as [[hashSplit]]: the order never
+    * changes across reruns or repartitionings, and an oracle replays it
+    * as `row_number() OVER (ORDER BY md5hash, id)`.
+    *
+    * Scale shape: the naive spec is ONE global `row_number` window — a
+    * single-task total sort at corpus scale. Instead, the same two-level
+    * decomposition as [[Pack.concatChunk]]: the hash space is split into
+    * `buckets` equal ranges (range identity comes free from the hash's
+    * high bits — no range-sampling pass), each bucket ranks its rows in
+    * parallel, and bucket COUNTS — `buckets` narrow rows — get the only
+    * sequential window, broadcast back as offsets. Collisionless ties
+    * break on the id, so the rank is a permutation regardless of hash
+    * collisions. */
+  def shuffleRank(df: DataFrame, idCol: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val span = (1L << 60) / buckets // md5Hash60 < 2^60: bucket == hash range
+    val keyed = df
+      .withColumn("_h", Dedup.md5Hash60(idCol.cast("string")))
+      .withColumn("_b", F.expr(s"_h div $span")) // big literal parses as BIGINT
+    val wLocal = Window.partitionBy("_b").orderBy(F.col("_h"), idCol)
+    val counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).as("_n"))
+    val wBucket = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", F.coalesce(F.sum("_n").over(wBucket), F.lit(0L)))
+      .select("_b", "_off")
+    keyed.join(F.broadcast(offsets), "_b")
+      .withColumn("shuffle_rank",
+        F.col("_off") + F.row_number().over(wLocal).cast("long") - 1L)
+      .drop("_h", "_b", "_off")
+  }
+
   private def expr(how: String, c: String): Column = how match {
     case "sum"   => F.sum(c)
     case "count" => F.count(F.lit(1))

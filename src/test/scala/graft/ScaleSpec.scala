@@ -338,6 +338,25 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet)
   }
 
+  test("shuffle rank equals the global hash order for any bucket count") {
+    val d = (1L to 500L).toDF("id")
+    def ranks(buckets: Int): Map[Long, Long] =
+      Scale.shuffleRank(d, F.col("id"), buckets)
+        .select("id", "shuffle_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = ranks(16)
+    // the naive spec: one global sort by (md5-hash, id)
+    val expected = d
+      .withColumn("_h", Dedup.md5Hash60(F.col("id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // bucket count is an implementation detail, not a semantic knob
+    assert(ranks(7) == got)
+    assert(ranks(1) == got)
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
