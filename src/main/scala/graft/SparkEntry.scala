@@ -1110,6 +1110,18 @@ object SparkEntry {
       s.read.parquet(s"$staging/out")
     }),
 
+    // ---- perplexity-proxy quality filter: mean -ln p(token) under the
+    //      corpus unigram model (add-one smoothed); one staged
+    //      tokenization pass feeds model and scoring ----
+    "q106_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- hashing-trick document embedding: 32-dim bucket counts under
+    //      the portable md5 hash, L2-normalized; pure narrow map ----
+    "q107_hash_embedding" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+        TextAnalysis.hashEmbedding(F.col("text"), 32).as("emb"))),
+
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
     "q93_zorder_key" -> ((s, dir) =>
@@ -2060,6 +2072,43 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keep_id, quality AS best_quality,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM ranked WHERE rk = 1""".stripMargin,
+
+    // unigram-model replay: per-token term rounded to 9 BEFORE the group
+    // sum so cross-engine ln ulps cannot reorder it; division last
+    "q106_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |model AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+        |          FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |               CAST(count(*) AS BIGINT) AS vocab FROM model),
+        |scored AS (SELECT doc_id, tf,
+        |  round(-ln(CAST(cnt + 1 AS DOUBLE) /
+        |            CAST(n_tokens + vocab AS DOUBLE)), 9) AS nll
+        |  FROM tf JOIN model USING (token) CROSS JOIN tot)
+        |SELECT doc_id, round(sum(tf * nll) / sum(tf), 6) AS mean_nll
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // hashing-trick replay: integer bucket counts, in-order integer
+    // square fold, exactly-rounded sqrt, round(6) components
+    "q107_hash_embedding" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |b AS (SELECT doc_id, list_transform(toks,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 32) AS buckets
+        |  FROM t),
+        |c AS (SELECT doc_id, list_transform(generate_series(0, 31),
+        |    i -> CAST(len(list_filter(buckets, x -> x = i)) AS DOUBLE)) AS counts
+        |  FROM b),
+        |n AS (SELECT doc_id, counts,
+        |  sqrt(list_sum(list_transform(counts, x -> x * x))) AS norm FROM c)
+        |SELECT doc_id, list_transform(counts,
+        |  x -> CASE WHEN norm > 0 THEN round(x / norm, 6) ELSE 0.0 END) AS emb
+        |FROM n""".stripMargin,
 
     // the two-level rank decomposition must equal ONE global row_number
     "q103_shuffle_rank" ->

@@ -311,6 +311,69 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("token"), F.col("tf"), F.col("df"), F.col("score"))
   }
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter (a document whose tokens are improbable under the corpus
+    * unigram model is noise, menus, or the wrong language): score =
+    * mean over tokens of -ln p(token), with add-one smoothing over the
+    * corpus vocabulary so unseen probability mass is defined.
+    *
+    * Scale shape: the unigram model is one token-keyed count aggregation
+    * (map-side combine); scoring joins each document's (doc, token, tf)
+    * against the model — token-keyed again, so the model never
+    * broadcasts unless AQE decides it fits — and re-aggregates per
+    * document. Like [[tfidfTopTerms]], the tf frame is consumed twice
+    * (model + scoring), so it is staged lazily: one corpus tokenization
+    * pass total. The per-document score is Σ tf·(-ln p) / Σ tf with the
+    * DIVISION LAST — one rounding at the end, replayable because the
+    * summation order inside a group is made irrelevant by rounding the
+    * per-token term first. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df
+      .select(F.col(idCol), F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint(false) // one tokenization pass feeds model + scoring
+    val model = tf.groupBy("token").agg(F.sum("tf").as("cnt"))
+    val totals = model.agg(
+      F.sum("cnt").as("n_tokens"), F.count(F.lit(1)).as("vocab"))
+    val scored = tf.join(model, "token").crossJoin(F.broadcast(totals))
+      .select(F.col(idCol), F.col("tf"),
+        // add-one smoothing: p = (cnt+1) / (N + |V|); the per-token term
+        // is rounded so cross-engine ln ulps cannot reorder group sums
+        F.round(-F.log((F.col("cnt") + 1).cast("double") /
+          (F.col("n_tokens") + F.col("vocab")).cast("double")), 9)
+          .as("nll"))
+    scored.groupBy(idCol)
+      .agg(F.round(F.sum(F.col("tf") * F.col("nll")) / F.sum("tf"), 6)
+        .as("mean_nll"))
+  }
+
+  /** Feature-hashed bag-of-words document vector (the hashing trick):
+    * per-dimension token counts under the engine-portable md5 hash,
+    * L2-normalized — a training-free, vocabulary-free document embedding
+    * every [[Similarity]] operator can consume. Pure narrow map
+    * (no model state, no shuffle), O(dim·tokens) per row in array
+    * expressions, so embedding a corpus scales with input splits.
+    * Deterministic end to end: counts are integers, the norm folds
+    * integer squares in array order, and each component rounds to 6 —
+    * an oracle replays the vector exactly. */
+  def hashEmbedding(text: Column, dim: Int = 32): Column = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    import graft.functions.ExprUtils.let
+    let(tokens(F.lower(text))) { toks =>
+      let(F.transform(toks, (t: Column) => Dedup.md5Hash60(t) % dim)) { buckets =>
+        let(F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+            (b: Column) => F.size(F.filter(buckets,
+              (x: Column) => x === b.cast("long"))).cast("double"))) { counts =>
+          let(F.sqrt(F.aggregate(counts, F.lit(0.0),
+              (a: Column, c: Column) => a + c * c))) { norm =>
+            F.transform(counts, (c: Column) =>
+              F.when(norm > 0, F.round(c / norm, 6)).otherwise(F.lit(0.0)))
+          }
+        }
+      }
+    }
+  }
+
   /** Inverted index build: token → (document frequency, sorted posting
     * list capped at `maxPostings`). The serving-side artifact of a corpus
     * (search, decontamination lookups, vocabulary audits).

@@ -611,6 +611,37 @@ class OperatorsSpec extends SparkSpec {
       Seq(("c", r6(3 * math.log(1.5))), ("d", r6(math.log(3.0)))))
   }
 
+  test("unigram log-prob: hand-computed add-one-smoothed NLL") {
+    val d = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model: a→2 b→1 c→1; N=4, |V|=3 → p = (cnt+1)/7
+    val nllA = r(-math.log(3.0 / 7.0), 9)
+    val nllB = r(-math.log(2.0 / 7.0), 9)
+    val nllC = r(-math.log(2.0 / 7.0), 9)
+    assert(out(1L) == r((2 * nllA + nllB) / 3.0, 6))
+    assert(out(2L) == r(nllC, 6))
+  }
+
+  test("hash embedding: unit-norm, deterministic, count-proportional") {
+    val d = Seq((1L, "a a b"), (2L, "a a b"), (3L, "")).toDF("doc_id", "text")
+    val out = d.select(F.col("doc_id"),
+        TextAnalysis.hashEmbedding(F.col("text"), 32).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.values.forall(_.size == 32))
+    val norm1 = math.sqrt(out(1L).map(x => x * x).sum)
+    assert(math.abs(norm1 - 1.0) < 1e-5) // unit L2 norm (up to rounding)
+    assert(out(1L) == out(2L)) // same text → identical vector
+    assert(out(3L).forall(_ == 0.0)) // empty doc → zero vector, no NaN
+    // components ∝ bucket counts: "a" twice, "b" once → 2/√5 and 1/√5
+    val nonZero = out(1L).filter(_ != 0.0).sorted
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nonZero == Seq(r6(1.0 / math.sqrt(5.0)), r6(2.0 / math.sqrt(5.0))))
+  }
+
   test("inverted index: sorted capped postings via the bounded heap") {
     val d = Seq((3L, "x y"), (1L, "x z x"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, "text", "doc_id", maxPostings = 2)
