@@ -73,6 +73,34 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Open `file` as a parquet FILE STREAM: stage it into a fresh
+    * drop-folder directory under `stagingRoot` (file stream sources
+    * ingest directories — the production shape is a folder files land
+    * in), then normalize a raw-ns `ts` long (legacy nanosAsLong) to a µs
+    * timestamp. Shared by every streaming e2e gate (q83/q90/q105) so the
+    * ingestion scaffolding cannot drift between them. The symlink target
+    * is made ABSOLUTE: a relative sfDir would otherwise resolve against
+    * the /tmp staging dir and break the stream source.
+    *
+    * @param sub per-feed subdirectory — lets one gate stage several
+    *            independent feeds under one staging root */
+  private def stagedFileStream(s: SparkSession, file: String,
+                               stagingRoot: String,
+                               sub: String = "in"): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inDir = java.nio.file.Paths.get(stagingRoot, sub)
+    java.nio.file.Files.createDirectories(inDir)
+    val target = java.nio.file.Paths.get(file).toAbsolutePath
+    java.nio.file.Files.createSymbolicLink(inDir.resolve(target.getFileName),
+                                           target)
+    val raw = Streams.readParquetStream(s, inDir.toString)
+    if (raw.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      // integer division: ~1.7e18 ns exceeds double's 2^53 exact range
+      raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else raw
+  }
+
   /** The flagship TPC-H Q1-variant aggregation over a lineitem frame
     * (reference: examples/benchmark.py:51-68) — shared by the q06 gate
     * and Bench's replicated-input throughput probe. */
@@ -962,7 +990,11 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(
           F.sum(F.when(high, 1L).otherwise(0L)).as("high_line_count"),
-          F.sum(F.when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          // when(high, 0).otherwise(1), NOT when(!high, 1).otherwise(0):
+          // a NULL priority must land in the low bucket on both engines
+          // (the oracle's CASE ... THEN 0 ELSE 1 sends NULL to ELSE;
+          // when(!high, ...) would send it to neither)
+          F.sum(F.when(high, 0L).otherwise(1L)).as("low_line_count"))
     }),
 
     // ---- TPC-H Q15 shape (top supplier): aggregate-then-argmax via a
@@ -1009,21 +1041,8 @@ object SparkEntry {
     //      dependent, the key SET is not. ----
     "q83_stream_e2e" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // file stream sources ingest a DIRECTORY (the production shape: a
-      // drop folder files land in); stage the events file into one
       val staging0 = stagingDir("graft_stream")
-      val inDir = java.nio.file.Paths.get(staging0, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.createSymbolicLink(
-        inDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val raw = Streams.readParquetStream(s, inDir.toString)
-      val stream = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        case _ => raw
-      }
+      val stream = stagedFileStream(s, s"$dir/events.parquet", staging0)
       val deduped = Streams
         .dedupStream(stream, "ts", Seq("user_id", "event_type"),
           watermark = "3650 days")
@@ -1052,15 +1071,18 @@ object SparkEntry {
         F.expr("percentile(l_extendedprice, 0.5)").as("_p50_raw"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_p50_approx"),
         F.count(F.lit(1)).as("n_rows"))
-      val frac = l.join(F.broadcast(stats), "l_returnflag")
+      // stats is consumed ONCE (the broadcast side): its percentile
+      // sort-agg is expensive, and joining stats back afterwards would
+      // evaluate the subtree twice (BroadcastExchange and shuffle can't
+      // ReuseExchange) — so p50/n ride through the frac aggregation
+      l.join(F.broadcast(stats), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg((F.sum(F.when(F.col("l_extendedprice") <= F.col("_p50_approx"), 1L)
-          .otherwise(0L)).cast("double") / F.max("n_rows")).as("_frac"))
-      stats.join(frac, "l_returnflag").select(
-        F.col("l_returnflag"),
-        F.round(F.col("_p50_raw"), 4).as("p50_exact"),
-        F.col("n_rows"),
-        F.col("_frac").between(0.45, 0.55).as("approx_within_bound"))
+        .agg(
+          F.round(F.first("_p50_raw"), 4).as("p50_exact"),
+          F.first("n_rows").as("n_rows"),
+          (F.sum(F.when(F.col("l_extendedprice") <= F.col("_p50_approx"), 1L)
+            .otherwise(0L)).cast("double") / F.max("n_rows"))
+            .between(0.45, 0.55).as("approx_within_bound"))
     }),
 
     // ---- stream-stream INTERVAL JOIN end-to-end under the gate: two
@@ -1073,27 +1095,11 @@ object SparkEntry {
     //      the batch join — which is exactly what the oracle replays ----
     "q105_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val staging = stagingDir("graft_stream_ij")
-      def feed(sub: String): String = {
-        val d = java.nio.file.Paths.get(staging, sub)
-        java.nio.file.Files.createDirectories(d)
-        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-        d.toString
-      }
-      def readTs(path: String): DataFrame = {
-        val raw = Streams.readParquetStream(s, path)
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-          case _ => raw
-        }
-      }
-      val clicks = readTs(feed("in_l"))
+      val clicks = stagedFileStream(s, s"$dir/events.parquet", staging, "in_l")
         .filter(F.col("event_type") === "click")
         .select("user_id", "ts", "event_id")
-      val purchases = readTs(feed("in_r"))
+      val purchases = stagedFileStream(s, s"$dir/events.parquet", staging, "in_r")
         .filter(F.col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
       val joined = Streams
@@ -1198,12 +1204,7 @@ object SparkEntry {
     "q90_stream_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val staging = stagingDir("graft_stream_nd")
-      val inDir = java.nio.file.Paths.get(staging, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.createSymbolicLink(
-        inDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val raw = Streams.readParquetStream(s, inDir.toString)
+      val raw = stagedFileStream(s, s"$dir/documents.parquet", staging)
       val cands = Streams.minhashCandidatesStream(raw, "text", "doc_id",
         numBands = 4, rowsPerBand = 8, shingleN = 1, maxBucket = 100000)
       val q = Streams.toParquetSink(cands, s"$staging/out", s"$staging/ckpt")

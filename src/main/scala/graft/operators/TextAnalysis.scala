@@ -247,25 +247,53 @@ object TextAnalysis {
     * n-gram — the standard in-document repetition signal (boilerplate,
     * keyword stuffing, generation loops). Pure per-row array
     * expressions, so the whole repetition filter is a narrow codegen'd
-    * map at any corpus size; cost is O(distinct-grams × grams) per row,
-    * bounded by document length, never a shuffle. Returns 0.0 for
-    * documents shorter than `n` tokens. The value is a ratio of two
-    * integers (IEEE division — deterministic), so a differential oracle
-    * replays it exactly with no rounding. */
+    * map at any corpus size — never a shuffle. The max count comes from
+    * sorting the gram array and folding the longest equal-adjacent run:
+    * O(g log g) per row, NOT the naive O(distinct·g) nested scan, which
+    * would turn one ~100k-token mostly-distinct document into a 10¹⁰-
+    * comparison straggler task. Returns 0.0 for documents shorter than
+    * `n` tokens. The value is a ratio of two integers (IEEE division —
+    * deterministic), so a differential oracle replays it exactly with no
+    * rounding. */
   def topNgramFrac(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     import graft.functions.ExprUtils.let
     let(tokens(F.lower(text))) { toks =>
-      let(F.transform(
+      let(F.array_sort(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        (i: Column) => F.array_join(F.slice(toks, i + 1, F.lit(n)), " "))) { grams =>
+        (i: Column) => F.array_join(F.slice(toks, i + 1, F.lit(n)), " ")))) { sorted =>
+        val best = F.aggregate(
+          sorted,
+          F.struct(F.lit(null).cast("string").as("prev"),
+                   F.lit(0).as("run"), F.lit(0).as("best")),
+          (st: Column, g: Column) => {
+            // null-safe <=>: the seed's null prev never matches a gram
+            val run = F.when(st.getField("prev") <=> g,
+              st.getField("run") + 1).otherwise(F.lit(1))
+            F.struct(g.as("prev"), run.as("run"),
+              F.greatest(st.getField("best"), run).as("best"))
+          },
+          (st: Column) => st.getField("best"))
         F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
-          F.array_max(F.transform(F.array_distinct(grams),
-            (g: Column) => F.size(F.filter(grams, (x: Column) => x === g))))
-            .cast("double") / F.size(grams).cast("double"))
+          best.cast("double") / F.size(sorted).cast("double"))
       }
     }
   }
+
+  /** One row per (id, token) with its in-document count — the shared
+    * first pass of the corpus statistics ([[tfidfTopTerms]],
+    * [[unigramLogProb]]). Staged LAZILY: both operators consume the
+    * frame twice (vocabulary/model + scoring), and without staging
+    * Catalyst re-derives the second consumer from the scan — a full
+    * re-tokenize + re-shuffle of the corpus (ReuseExchange can't match
+    * the two branches because the vocabulary branch optimizes down to a
+    * distinct). The lazy local checkpoint materializes tf as a side
+    * effect of whichever consumer runs first; the other reads blocks —
+    * one corpus pass, no extra job barrier. */
+  private def stagedTf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(F.col(idCol), F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint(false)
 
   /** Per-document top-k terms by tf-idf — the classic two-pass corpus
     * statistic (keyword extraction, topic tagging for data cards).
@@ -288,18 +316,7 @@ object TextAnalysis {
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val nDocs = df.count()
-    val tf = df
-      .select(F.col(idCol), F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
-      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
-      // staged LAZILY: document frequency AND the scoring join both
-      // consume tf, and without staging Catalyst re-derives the second
-      // consumer from the scan — a full re-tokenize + re-shuffle of the
-      // corpus (ReuseExchange can't match the two branches because the
-      // df branch optimizes down to a distinct). The lazy local
-      // checkpoint materializes tf as a side effect of whichever
-      // consumer runs first; the other reads blocks — one corpus pass,
-      // no extra job barrier.
-      .localCheckpoint(false)
+    val tf = stagedTf(df, textCol, idCol)
     val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .withColumn("score",
@@ -328,10 +345,7 @@ object TextAnalysis {
     * summation order inside a group is made irrelevant by rounding the
     * per-token term first. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = df
-      .select(F.col(idCol), F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
-      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
-      .localCheckpoint(false) // one tokenization pass feeds model + scoring
+    val tf = stagedTf(df, textCol, idCol)
     val model = tf.groupBy("token").agg(F.sum("tf").as("cnt"))
     val totals = model.agg(
       F.sum("cnt").as("n_tokens"), F.count(F.lit(1)).as("vocab"))
