@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.api.{Col, GraftFrame}
 import graft.api.Col._
-import graft.sql.{GroupByError, JoinClause, SqlParser, SqlQuery}
+import graft.sql.{CompoundQuery, GroupByError, JoinClause, SqlParser, SqlQuery}
 import graft.sources.Tables
 
 /** Engine facade: `sql / collect / show / explain`
@@ -27,19 +27,29 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def table(ref: String): GraftFrame =
     GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
 
-  def sql(query: String): GraftFrame = {
-    val cq = SqlParser.parseCompound(query)
+  def sql(query: String): GraftFrame =
+    evalCompound(SqlParser.parseCompound(query), Map.empty)
+
+  /** Evaluate a compound under a CTE scope (name → planned frame).
+    * WITH bindings are planned in declaration order, each seeing the
+    * earlier ones — plain lexical scoping, no recursion (a CTE that
+    * names itself falls through to table resolution and fails there). */
+  private def evalCompound(cq: CompoundQuery,
+                           outer: Map[String, GraftFrame]): GraftFrame = {
+    val scope = cq.ctes.foldLeft(outer) { case (sc, (name, body)) =>
+      sc + (name -> evalCompound(body, sc))
+    }
     // standard precedence: fold INTERSECT runs into their left term
     // first, then fold UNION/EXCEPT left-associatively
     var acc: GraftFrame = null
     var accOp: (String, Boolean) = null
-    var term = plan(cq.head)
+    var term = plan(cq.head, scope)
     cq.tail.foreach { case (op, all, q) =>
-      if (op == "intersect") term = setOp(term, op, all, plan(q))
+      if (op == "intersect") term = setOp(term, op, all, plan(q, scope))
       else {
         acc = if (acc == null) term else setOp(acc, accOp._1, accOp._2, term)
         accOp = (op, all)
-        term = plan(q)
+        term = plan(q, scope)
       }
     }
     var out = if (acc == null) term else setOp(acc, accOp._1, accOp._2, term)
@@ -62,14 +72,18 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
     if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)
 
-  def plan(q: SqlQuery): GraftFrame = {
+  def plan(q: SqlQuery): GraftFrame = plan(q, Map.empty)
+
+  private def plan(q: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
+    // a FROM/JOIN target resolves against the CTE scope first, then disk
+    def resolve(path: String): GraftFrame = scope.getOrElse(path, table(path))
     // FROM + table alias
-    var frame = table(q.from.path)
+    var frame = resolve(q.from.path)
     q.from.alias.foreach(a => frame = frame.alias(a))
 
     // JOINs in declaration order
     q.joins.foreach { case JoinClause(t, on, how) =>
-      var right = table(t.path)
+      var right = resolve(t.path)
       t.alias.foreach(a => right = right.alias(a))
       frame = frame.join(right, on, how)
     }

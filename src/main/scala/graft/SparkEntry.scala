@@ -1116,6 +1116,18 @@ object SparkEntry {
       s.read.parquet(s"$staging/out")
     }),
 
+    // ---- JSONL ingestion round-trip under the gate: documents →
+    //      JSON-Lines (the pretraining interchange format) → explicit-
+    //      schema read-back; the oracle reads the ORIGINAL parquet, so
+    //      the gate proves the round-trip is lossless ----
+    "q109_jsonl_ingest" -> ((s, dir) => {
+      val staging = stagingDir("graft_jsonl")
+      val docs = t(s, dir, "documents")
+      docs.coalesce(2).write.mode("overwrite").json(s"$staging/docs_jsonl")
+      Tables.readJsonl(s, s"$staging/docs_jsonl", docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -1223,6 +1235,23 @@ object SparkEntry {
           |  SUM(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS n_mid,
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
+
+    // ---- WITH CTEs through the SQL dialect front-end (extension §7.1):
+    //      two bindings, the second consumed by name in a JOIN, plain
+    //      lexical scoping — the decomposition idiom every analyst
+    //      query over the corpus uses ----
+    "q108_sql_cte" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """WITH big AS (
+          |  SELECT o_custkey, SUM(o_totalprice) AS spend
+          |  FROM orders GROUP BY o_custkey
+          |  HAVING SUM(o_totalprice) > 300000.5
+          |), seg AS (
+          |  SELECT c_custkey, c_mktsegment FROM customer
+          |)
+          |SELECT c_mktsegment, COUNT() AS n_big_spenders
+          |FROM big JOIN seg ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin).df),
 
     // ---- IN lists and IS [NOT] NULL through the SQL dialect (extension
     //      §7.1): null tests against LEFT-JOIN-produced nulls — the
@@ -2073,6 +2102,21 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keep_id, quality AS best_quality,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q108_sql_cte" ->
+      """WITH big AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING sum(o_totalprice) > 300000.5),
+        |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_big_spenders
+        |FROM big JOIN seg ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the oracle reads the original parquet — equality proves the JSONL
+    // round-trip lost nothing (ids, full text bytes, counts)
+    "q109_jsonl_ingest" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // unigram-model replay: per-token term rounded to 9 BEFORE the group
     // sum so cross-engine ln ulps cannot reorder it; division last

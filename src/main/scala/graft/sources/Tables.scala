@@ -49,6 +49,22 @@ object Tables {
                    outPath: String): Unit =
     readCsv(spark, csvPath, schema).write.mode("overwrite").parquet(outPath)
 
+  /** JSON-Lines ingestion with an explicit schema — the de-facto
+    * interchange format of pre-training corpora (one JSON document per
+    * line). The schema is REQUIRED, not inferred: inference reads the
+    * data twice and types drift run-to-run on a growing drop folder;
+    * an explicit schema keeps ingestion one single pass and stable.
+    * JSONL splits by line, so a large file still parallelizes across
+    * tasks. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL → parquet conversion (columnar landing zone: one decode pass,
+    * then every downstream scan gets pruning + pushdown JSONL can't do). */
+  def jsonlToParquet(spark: SparkSession, jsonlPath: String,
+                     schema: StructType, outPath: String): Unit =
+    readJsonl(spark, jsonlPath, schema).write.mode("overwrite").parquet(outPath)
+
   /** Concatenate same-schema tables
     * (reference: io.py:297-305 merge_files) — free with a multi-path read. */
   def merge(spark: SparkSession, paths: Seq[String]): DataFrame =

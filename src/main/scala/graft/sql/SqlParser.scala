@@ -40,7 +40,11 @@ final case class JoinClause(table: TableRef, on: Col, how: String)
 final case class CompoundQuery(head: SqlQuery,
                                tail: Seq[(String, Boolean, SqlQuery)],
                                orderBy: Seq[(Col, Boolean)],
-                               limit: Option[Int])
+                               limit: Option[Int],
+                               // WITH name AS (...) bindings, in declaration
+                               // order; later CTEs may reference earlier ones
+                               // (extension — absent in reference)
+                               ctes: Seq[(String, CompoundQuery)] = Nil)
 
 /** Hand-rolled recursive-descent parser for the reference's SQL dialect.
   *
@@ -69,7 +73,7 @@ object SqlParser {
     "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
-    "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL")
+    "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -132,6 +136,36 @@ object SqlParser {
     }
 
     def parseCompound(): CompoundQuery = {
+      val cq = parseCompoundBody()
+      accept(";")
+      peek match {
+        case TEOF => ()
+        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
+      }
+      cq
+    }
+
+    /** A [WITH ...] compound without the trailing `;`/EOF check, so it
+      * can also parse a parenthesized CTE body. */
+    private def parseCompoundBody(): CompoundQuery = {
+      val ctes = ListBuffer.empty[(String, CompoundQuery)]
+      if (accept("WITH")) {
+        var more = true
+        while (more) {
+          val name = next() match {
+            case TIdent(n) => n
+            case t => throw new ParseError(s"Expected CTE name, got ${t.text}")
+          }
+          expectKw("AS")
+          expectOp("(")
+          ctes += ((name, parseCompoundBody())) // nested WITH allowed
+          expectOp(")")
+          more = peek match {
+            case TOp(",") => next(); true
+            case _        => false
+          }
+        }
+      }
       val head = parseBlock()
       val tail = ListBuffer.empty[(String, Boolean, SqlQuery)]
       var op = peekSetOp()
@@ -141,12 +175,7 @@ object SqlParser {
         tail += ((op.get, all, parseBlock()))
         op = peekSetOp()
       }
-      accept(";")
-      peek match {
-        case TEOF => ()
-        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
-      }
-      if (tail.isEmpty) CompoundQuery(head, Nil, Nil, None)
+      if (tail.isEmpty) CompoundQuery(head, Nil, Nil, None, ctes.toSeq)
       else {
         // standard SQL: ORDER BY/LIMIT may only close the WHOLE compound
         // (the grammar attaches them to the final block; lift them), and
@@ -160,7 +189,7 @@ object SqlParser {
         val (lastOp, lastAll, last) = tail.last
         val stripped = tail.init :+
           ((lastOp, lastAll, last.copy(orderBy = Nil, limit = None)))
-        CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit)
+        CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit, ctes.toSeq)
       }
     }
 
@@ -441,7 +470,9 @@ object SqlParser {
   /** Parse a single query block; a compound query is a parse error here
     * (legacy single-block entry point — the engine uses [[parseCompound]]). */
   def parse(sql: String): SqlQuery = parseCompound(sql) match {
-    case CompoundQuery(head, Seq(), _, _) => head
+    case CompoundQuery(head, Seq(), _, _, Seq()) => head
+    case CompoundQuery(_, _, _, _, ctes) if ctes.nonEmpty =>
+      throw new ParseError("WITH requires parseCompound")
     case _ => throw new ParseError("Set operations require parseCompound")
   }
 }

@@ -304,4 +304,35 @@ class SqlParserSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("apple", "medium"), ("banana", null), ("orange", "small")))
   }
+
+  test("WITH CTEs: bindings, chained references, aggregation over a CTE (extension)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cte").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // second CTE references the first; main query aggregates over it
+    val out = Engine(spark, d).sql(
+      """WITH big AS (SELECT fruit, quantity FROM fruits WHERE quantity > 3),
+        |tot AS (SELECT fruit, SUM(quantity) AS q FROM big GROUP BY fruit)
+        |SELECT fruit, q FROM tot WHERE q > 5""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("banana", 12L)))
+    // a CTE name shadows a disk table of the same name
+    val shadowed = Engine(spark, d).sql(
+      """WITH fruits AS (SELECT fruit FROM fruits WHERE quantity = 7)
+        |SELECT fruit FROM fruits""".stripMargin).df.collect()
+    assert(shadowed.map(_.getString(0)).toSeq == Seq("banana"))
+  }
+
+  test("WITH parse errors: missing AS, missing parens, dangling comma") {
+    import graft.sql.{ParseError, SqlParser}
+    assertThrows[ParseError](
+      SqlParser.parseCompound("WITH c (SELECT 1 AS x) SELECT x FROM c"))
+    assertThrows[ParseError](
+      SqlParser.parseCompound("WITH c AS SELECT 1 AS x SELECT x FROM c"))
+    assertThrows[ParseError](
+      SqlParser.parseCompound(
+        "WITH c AS (SELECT fruit FROM fruits), SELECT fruit FROM c"))
+    // the single-block legacy entry point refuses WITH
+    assertThrows[ParseError](
+      SqlParser.parse("WITH c AS (SELECT fruit FROM fruits) SELECT fruit FROM c"))
+  }
 }
