@@ -1128,6 +1128,13 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- content-defined chunking: boundaries where the trailing
+    //      3-gram's md5 ≡ 0 mod 16 — edit-stable chunks for chunk-level
+    //      dedup; pure narrow map, oracle replays the boundary set ----
+    "q110_cdc_chunks" -> ((s, dir) =>
+      Pack.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
+                     k = 3, modulus = 16)),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -2112,6 +2119,31 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_big_spenders
         |FROM big JOIN seg ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // CDC replay: same candidate boundaries (trailing-3-gram md5 mod 16),
+    // same forced end, same slice arithmetic
+    "q110_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks,
+        |  list_sort(list_distinct(list_append(
+        |    CASE WHEN n >= 3 THEN list_filter(generate_series(3, n), i ->
+        |      ('0x' || substr(md5(array_to_string(
+        |         list_slice(toks, i - 2, i), ' ')), 1, 15))::BIGINT % 16 = 0)
+        |    ELSE CAST([] AS BIGINT[]) END, n))) AS ends
+        |  FROM f),
+        |s AS (SELECT doc_id, toks, ends,
+        |  list_prepend(0, ends[1:len(ends)-1]) AS starts FROM e),
+        |u AS (SELECT doc_id, toks, ends, starts,
+        |  unnest(generate_series(1, len(ends))) AS j FROM s)
+        |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+        |  CAST(starts[j] AS BIGINT) AS "start",
+        |  CAST(ends[j] - starts[j] AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, starts[j] + 1, ends[j]), ' ')
+        |    AS chunk_text
+        |FROM u""".stripMargin,
 
     // the oracle reads the original parquet — equality proves the JSONL
     // round-trip lost nothing (ids, full text bytes, counts)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Sequence packing for pre-training: concatenate documents in a
@@ -107,5 +107,60 @@ object Pack {
                      " ").as("chunk_text"),
         F.least(F.lit(window), F.size(F.col("_toks")) - F.col("start"))
           .cast("long").as("n_tokens"))
+  }
+
+  /** Content-defined chunking (CDC): split each document's token stream
+    * at positions where the hash of the trailing `k`-gram is ≡ 0 mod
+    * `modulus` — boundaries are a function of CONTENT, not offsets, so
+    * an insertion early in a document shifts only the chunk it lands in
+    * and chunk-level dedup still matches everything downstream (the
+    * rsync/LBFS boundary trick, here at token granularity for corpus
+    * near-dedup). Expected chunk length ≈ `modulus` tokens; a final
+    * boundary is forced at the document end.
+    *
+    * Pure narrow array expressions (one md5 per token position, one
+    * slice per chunk) — no shuffle, scales with input splits. The hash
+    * is the engine-portable [[Dedup.md5Hash60]], so an oracle replays
+    * the exact boundary set. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 3, modulus: Int = 16): DataFrame = {
+    require(k >= 1 && modulus >= 1,
+      s"k and modulus must be positive, got k=$k modulus=$modulus")
+    import graft.functions.ExprUtils.let
+    val base = df
+      .select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("_toks"))
+      .filter(F.size(F.col("_toks")) > 0)
+    val chunks = let(F.col("_toks")) { tk =>
+      let(F.size(tk)) { n =>
+        // candidate boundary AFTER 1-based position i (i ≥ k: the gram
+        // must be full); sequence(k, n) would run DESCENDING when n < k,
+        // so short docs get no candidates explicitly
+        val cand = F.when(n >= k,
+          F.filter(F.sequence(F.lit(k), n), (i: Column) =>
+            Dedup.md5Hash60(F.array_join(
+              F.slice(tk, i - (k - 1), F.lit(k)), " ")) % modulus === 0))
+          .otherwise(F.array().cast("array<int>"))
+        let(F.array_union(cand, F.array(n))) { ends => // forced end-of-doc
+          let(F.concat(F.array(F.lit(0)),
+                       F.slice(ends, F.lit(1), F.size(ends) - 1))) { starts =>
+            F.transform(F.sequence(F.lit(0), F.size(ends) - 1),
+              (j: Column) => F.struct(
+                j.as("chunk_id"),
+                F.element_at(starts, j + 1).as("start"),
+                (F.element_at(ends, j + 1) - F.element_at(starts, j + 1))
+                  .as("n_tokens"),
+                F.array_join(F.slice(tk, F.element_at(starts, j + 1) + 1,
+                  F.element_at(ends, j + 1) - F.element_at(starts, j + 1)),
+                  " ").as("chunk_text")))
+          }
+        }
+      }
+    }
+    base.select(F.col(idCol), F.explode(chunks).as("c"))
+      .select(F.col(idCol),
+        F.col("c.chunk_id").cast("long").as("chunk_id"),
+        F.col("c.start").cast("long").as("start"),
+        F.col("c.n_tokens").cast("long").as("n_tokens"),
+        F.col("c.chunk_text").as("chunk_text"))
   }
 }

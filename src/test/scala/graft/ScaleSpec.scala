@@ -357,6 +357,38 @@ class ScaleSpec extends SparkSpec {
     assert(ranks(1) == got)
   }
 
+  test("CDC chunks reconstruct the stream and realign after an edit") {
+    // two documents sharing a long common suffix behind different prefixes
+    val common = (1 to 200).map(i => s"w${(i * 37) % 91}").mkString(" ")
+    val d = Seq((1L, s"alpha beta $common"),
+                (2L, s"gamma delta epsilon zeta $common"),
+                (3L, "tiny")).toDF("doc_id", "text")
+    val out = Pack.cdcChunks(d, "text", "doc_id", k = 3, modulus = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunks tile the token stream exactly: starts/lengths chain and the
+    // concatenation reproduces the original text
+    for ((id, text) <- Seq((1L, s"alpha beta $common"),
+                           (2L, s"gamma delta epsilon zeta $common"))) {
+      val cs = byDoc(id)
+      assert(cs.head._3 == 0L)
+      cs.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._3 == w(0)._3 + w(0)._4)
+      }
+      assert(cs.map(_._5).mkString(" ") == text)
+      assert(cs.forall(_._4 > 0))
+    }
+    // content-defined: despite different-length prefixes, the two docs
+    // share realigned chunks over the common suffix (offset-based
+    // chunking like slidingChunks would share none)
+    val shared = byDoc(1L).map(_._5).toSet intersect byDoc(2L).map(_._5).toSet
+    assert(shared.size >= 3, s"expected realigned common chunks, got $shared")
+    // a doc shorter than k gets one whole-document chunk
+    assert(byDoc(3L).toSeq == Seq((3L, 0L, 0L, 1L, "tiny")))
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
