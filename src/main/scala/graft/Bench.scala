@@ -83,7 +83,10 @@ object Bench {
       // corpus statistics + serving artifacts (tf-idf is two keyed aggs
       // + a token join; the index is one bounded-heap agg; chunking is a
       // pure narrow explode)
-      "q94_tfidf_terms", "q96_chunks", "q98_inverted_index")
+      "q94_tfidf_terms", "q96_chunks", "q98_inverted_index",
+      // second corpus-stats wave: two-level shuffle rank, unigram model
+      // scoring (staged tf), content-defined chunking (narrow)
+      "q103_shuffle_rank", "q106_unigram_nll", "q110_cdc_chunks")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

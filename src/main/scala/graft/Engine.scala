@@ -33,11 +33,32 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   /** Evaluate a compound under a CTE scope (name → planned frame).
     * WITH bindings are planned in declaration order, each seeing the
     * earlier ones — plain lexical scoping, no recursion (a CTE that
-    * names itself falls through to table resolution and fails there). */
+    * names itself falls through to table resolution and fails there).
+    *
+    * A CTE referenced MORE THAN ONCE downstream is staged with a lazy
+    * local checkpoint: Catalyst would otherwise re-derive each reference
+    * from the scan (the repo's known fan-out recompute hazard —
+    * BroadcastExchange vs shuffle branches defeat ReuseExchange), so an
+    * analyst's `FROM t a JOIN t b` would pay the CTE's subtree twice.
+    * Single-use CTEs stay un-staged (zero overhead). */
   private def evalCompound(cq: CompoundQuery,
                            outer: Map[String, GraftFrame]): GraftFrame = {
-    val scope = cq.ctes.foldLeft(outer) { case (sc, (name, body)) =>
-      sc + (name -> evalCompound(body, sc))
+    def blockPaths(q: SqlQuery): Seq[String] =
+      q.from.path +: q.joins.map(_.table.path)
+    def compoundPaths(c: CompoundQuery): Seq[String] =
+      (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
+        c.ctes.flatMap { case (_, b) => compoundPaths(b) }
+    val mainPaths = (cq.head +: cq.tail.map(_._3)).flatMap(blockPaths)
+    val scope = cq.ctes.zipWithIndex.foldLeft(outer) {
+      case (sc, ((name, body), i)) =>
+        val laterPaths = cq.ctes.drop(i + 1)
+          .flatMap { case (_, b) => compoundPaths(b) }
+        val uses = (laterPaths ++ mainPaths).count(_ == name)
+        val planned = evalCompound(body, sc)
+        val frame =
+          if (uses >= 2) GraftFrame.fromDF(planned.df.localCheckpoint(false))
+          else planned
+        sc + (name -> frame)
     }
     // standard precedence: fold INTERSECT runs into their left term
     // first, then fold UNION/EXCEPT left-associatively

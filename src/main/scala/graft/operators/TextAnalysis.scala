@@ -274,7 +274,11 @@ object TextAnalysis {
               F.greatest(st.getField("best"), run).as("best"))
           },
           (st: Column) => st.getField("best"))
-        F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+        // coalesce: a NULL text has size(toks) = null, which would slip
+        // past `< n` into the fold, where the seed's null prev would
+        // null-safe-match the single null gram and score 1.0 — null and
+        // short docs both contract to 0.0
+        F.when(F.coalesce(F.size(toks), F.lit(0)) < n, F.lit(0.0)).otherwise(
           best.cast("double") / F.size(sorted).cast("double"))
       }
     }

@@ -55,9 +55,15 @@ object Tables {
     * data twice and types drift run-to-run on a growing drop folder;
     * an explicit schema keeps ingestion one single pass and stable.
     * JSONL splits by line, so a large file still parallelizes across
-    * tasks. */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    * tasks. FAILFAST by default: Spark's PERMISSIVE mode would turn a
+    * truncated line (a partial write in a drop folder) into a silent
+    * all-null row that lands in the corpus — an ingestion job should
+    * die loudly instead. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                failFast: Boolean = true): DataFrame =
+    spark.read
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .schema(schema).json(path)
 
   /** JSONL → parquet conversion (columnar landing zone: one decode pass,
     * then every downstream scan gets pruning + pushdown JSONL can't do). */

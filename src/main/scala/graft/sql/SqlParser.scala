@@ -156,6 +156,11 @@ object SqlParser {
             case TIdent(n) => n
             case t => throw new ParseError(s"Expected CTE name, got ${t.text}")
           }
+          // standard SQL rejects duplicate names in one WITH list;
+          // silently letting the last binding win would turn a typo
+          // into wrong results
+          if (ctes.exists(_._1 == name))
+            throw new ParseError(s"CTE name '$name' specified more than once")
           expectKw("AS")
           expectOp("(")
           ctes += ((name, parseCompoundBody())) // nested WITH allowed

@@ -577,7 +577,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("top n-gram fraction: hand-computed repetition, short-doc floor") {
-    val d = Seq((0L, "a b a b c"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val d = Seq((0L, "a b a b c"), (1L, "x"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
     val out = d.select(F.col("doc_id"),
       TextAnalysis.topNgramFrac(F.col("text"), 2).as("f2"),
       TextAnalysis.topNgramFrac(F.col("text"), 3).as("f3"))
@@ -588,6 +589,8 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0L) == ((0.5, 1.0 / 3.0)))
     assert(out(1L) == ((0.0, 0.0))) // shorter than n → 0.0, not NaN
     assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0))) // NULL text → 0.0, not 1.0 (null gram
+    // must not null-safe-match the fold seed)
   }
 
   test("tf-idf top terms: hand-computed scores, rounded-score tie-break") {

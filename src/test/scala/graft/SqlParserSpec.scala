@@ -334,5 +334,27 @@ class SqlParserSpec extends SparkSpec {
     // the single-block legacy entry point refuses WITH
     assertThrows[ParseError](
       SqlParser.parse("WITH c AS (SELECT fruit FROM fruits) SELECT fruit FROM c"))
+    // duplicate names in one WITH list: standard SQL rejects (last-wins
+    // would turn a typo into wrong results)
+    assertThrows[ParseError](
+      SqlParser.parseCompound(
+        "WITH c AS (SELECT 1 AS x FROM fruits), c AS (SELECT 2 AS x FROM fruits) SELECT x FROM c"))
+  }
+
+  test("a CTE referenced twice is staged: one source scan, correct self-join") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val frame = Engine(spark, d).sql(
+      """WITH tot AS (SELECT fruit, SUM(quantity) AS q FROM fruits GROUP BY fruit)
+        |SELECT a.fruit AS fruit, a.q AS q
+        |FROM tot a JOIN tot b ON a.q = b.q
+        |WHERE a.fruit != b.fruit""".stripMargin).df
+    // apple=7 orange=2 banana=12: no two fruits share a total → empty,
+    // but the self-join must resolve, and both references must read the
+    // STAGED frame (LogicalRDD leaves), not re-derive the parquet scan
+    assert(frame.collect().isEmpty)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"CTE fan-out should not rescan:\n$plan")
+    assert(plan.contains("ExistingRDD"))
   }
 }
