@@ -389,6 +389,86 @@ class ScaleSpec extends SparkSpec {
     assert(byDoc(3L).toSeq == Seq((3L, 0L, 0L, 1L, "tiny")))
   }
 
+  test("property: CDC chunks tile arbitrary documents with valid boundaries") {
+    val vocab = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, vocab))
+    val docs = samples(docGen, 8).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val out = Pack.cdcChunks(df, "text", "doc_id", k = 3, modulus = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) assert(!out.contains(id)) // empty doc → no chunks
+      else {
+        val cs = out(id)
+        // tiling: starts chain, lengths positive, concat reconstructs
+        assert(cs.head._3 == 0L && cs.forall(_._4 > 0))
+        cs.sliding(2).filter(_.length == 2).foreach(w =>
+          assert(w(1)._3 == w(0)._3 + w(0)._4))
+        assert(cs.map(_._5).mkString(" ") == toks.mkString(" "))
+        // every INTERNAL boundary is content-defined (trailing-3-gram
+        // hash ≡ 0 mod 4) and no interior position is a missed boundary
+        val ends = cs.map(c => (c._3 + c._4).toInt)
+        ends.init.foreach { e =>
+          assert(e >= 3 && h60(toks.slice(e - 3, e).mkString(" ")) % 4 == 0,
+            s"doc $id end $e is not a valid boundary")
+        }
+        val boundarySet = ends.init.toSet
+        (3 to toks.length - 1).foreach { i =>
+          val isB = h60(toks.slice(i - 3, i).mkString(" ")) % 4 == 0
+          assert(boundarySet.contains(i) == isB,
+            s"doc $id position $i boundary mismatch")
+        }
+      }
+    }
+  }
+
+  test("property: repetition fraction bounded; constant doc scores 1.0") {
+    val docGen = Gen.chooseNum(2, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("x", "y", "z")))
+    val docs = samples(docGen, 6).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) } :+
+      (99L, Seq.fill(12)("w").mkString(" "))
+    val out = docs.toDF("doc_id", "text")
+      .select(F.col("doc_id"),
+        graft.operators.TextAnalysis.topNgramFrac(F.col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(f => f >= 0.0 && f <= 1.0))
+    assert(out(99L) == 1.0) // "w w ... w": every 2-gram identical
+  }
+
+  test("property: temperature sample is a stable subset, invariant to partitioning") {
+    val d = (1L to 600L).map(i => (i, s"s${i % 5}")).toDF("doc_id", "source")
+    def run(parts: Int): Set[Long] =
+      Scale.temperatureSample(d.repartition(parts), "source",
+          F.col("doc_id"), k = 3.0)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val a = run(1)
+    assert(a == run(32)) // partition-invariant
+    assert(a.subsetOf((1L to 600L).toSet) && a.nonEmpty && a.size < 600)
+  }
+
+  test("property: hash embedding is bag-of-words (order-invariant, unit norm)") {
+    val d = Seq((1L, "red green blue red"), (2L, "blue red red green"),
+                (3L, "different tokens entirely here")).toDF("doc_id", "text")
+    val out = d.select(F.col("doc_id"),
+        graft.operators.TextAnalysis.hashEmbedding(F.col("text"), 16).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == out(2L)) // same bag, different order → same vector
+    assert(out(1L) != out(3L))
+    out.values.foreach { v =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
