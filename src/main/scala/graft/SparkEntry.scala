@@ -1135,6 +1135,13 @@ object SparkEntry {
       Pack.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
                      k = 3, modulus = 16)),
 
+    // ---- chunk-level duplication (what CDC chunking is FOR): share of
+    //      each doc's content-defined chunks that occur elsewhere in the
+    //      corpus — partial duplication document-level dedup misses ----
+    "q111_chunk_dup" -> ((s, dir) =>
+      Pack.chunkDupStats(t(s, dir, "documents"), "text", "doc_id",
+                         k = 3, modulus = 16)),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -2144,6 +2151,35 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, starts[j] + 1, ends[j]), ' ')
         |    AS chunk_text
         |FROM u""".stripMargin,
+
+    // chunk-dedup replay: q110's chunk derivation, then the same
+    // md5-digest frequency count and per-doc ratio
+    "q111_chunk_dup" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks,
+        |  list_sort(list_distinct(list_append(
+        |    CASE WHEN n >= 3 THEN list_filter(generate_series(3, n), i ->
+        |      ('0x' || substr(md5(array_to_string(
+        |         list_slice(toks, i - 2, i), ' ')), 1, 15))::BIGINT % 16 = 0)
+        |    ELSE CAST([] AS BIGINT[]) END, n))) AS ends
+        |  FROM f),
+        |s AS (SELECT doc_id, toks, ends,
+        |  list_prepend(0, ends[1:len(ends)-1]) AS starts FROM e),
+        |u AS (SELECT doc_id, toks, ends, starts,
+        |  unnest(generate_series(1, len(ends))) AS j FROM s),
+        |ch AS (SELECT doc_id, md5(array_to_string(
+        |    list_slice(toks, starts[j] + 1, ends[j]), ' ')) AS digest FROM u),
+        |fr AS (SELECT digest, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN fr.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN fr.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM ch JOIN fr USING (digest)
+        |GROUP BY doc_id""".stripMargin,
 
     // the oracle reads the original parquet — equality proves the JSONL
     // round-trip lost nothing (ids, full text bytes, counts)

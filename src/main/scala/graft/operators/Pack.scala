@@ -163,4 +163,32 @@ object Pack {
         F.col("c.n_tokens").cast("long").as("n_tokens"),
         F.col("c.chunk_text").as("chunk_text"))
   }
+
+  /** Chunk-level duplication statistics — what [[cdcChunks]] exists FOR:
+    * because boundaries are content-defined, a paragraph pasted into
+    * many documents yields the same chunks everywhere, so "share of my
+    * chunks that occur elsewhere in the corpus" measures partial
+    * duplication that document-level dedup misses (the chunk analog of
+    * Lee et al.'s duplicate-line statistics).
+    *
+    * Scale shape: one narrow chunking pass, one md5-digest-keyed count
+    * aggregation (16-byte digests shuffle, never chunk text), one
+    * digest-keyed join back, one per-document re-aggregation. The chunk
+    * frame feeds both the frequency count AND the join, so it is staged
+    * lazily (one chunking pass — the repo's standard fan-out fix). The
+    * ratio is integral (IEEE-exact), oracle-replayable unrounded. */
+  def chunkDupStats(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3, modulus: Int = 16): DataFrame = {
+    val chunks = cdcChunks(df, textCol, idCol, k, modulus)
+      .select(F.col(idCol), F.md5(F.encode(F.col("chunk_text"), "UTF-8"))
+        .as("_digest"))
+      .localCheckpoint(false)
+    val freq = chunks.groupBy("_digest").agg(F.count(F.lit(1)).as("_n"))
+    chunks.join(freq, "_digest")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+           F.sum(F.when(F.col("_n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"))
+  }
 }
