@@ -86,7 +86,8 @@ object Bench {
       "q94_tfidf_terms", "q96_chunks", "q98_inverted_index",
       // second corpus-stats wave: two-level shuffle rank, unigram model
       // scoring (staged tf), content-defined chunking (narrow)
-      "q103_shuffle_rank", "q106_unigram_nll", "q110_cdc_chunks")
+      "q103_shuffle_rank", "q106_unigram_nll", "q110_cdc_chunks",
+      "q112_bloom_decontaminate", "q113_bucketed_join")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

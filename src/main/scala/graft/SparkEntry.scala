@@ -1142,6 +1142,43 @@ object SparkEntry {
       Pack.chunkDupStats(t(s, dir, "documents"), "text", "doc_id",
                          k = 3, modulus = 16)),
 
+    // ---- bloom-filter decontamination: the q77 pipeline's scale path
+    //      for when the eval gram set outgrows a broadcast hash join —
+    //      distributed sketch build, codegen'd might_contain prune,
+    //      exact confirm join (result EXACT; oracle replays the exact
+    //      pipeline, so a bloom mistake would fail the gate) ----
+    "q112_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(F.col("doc_id") >= 20), "text", "doc_id",
+        docs.filter(F.col("doc_id") < 20), "text",
+        k = 2, minShared = 3)
+        .select(F.col("id").as("doc_id"), F.col("n_shared"))
+    }),
+
+    // ---- bucketed co-located join: both sides written bucketed on the
+    //      join key (pay the shuffle once at layout time), then the
+    //      groupBy AND the join run exchange-free — the recurring-join
+    //      analog of q48's partition-pruned layout. The spec pins the
+    //      no-shuffle plan; this gate pins the results ----
+    "q113_bucketed_join" -> ((s, dir) => {
+      val staging = stagingDir("graft_bucketed")
+      Scale.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_orders_b", s"$staging/orders_b", "o_custkey", 8)
+      Scale.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_customer_b", s"$staging/customer_b", "c_custkey", 8)
+      s.table("graft_orders_b")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).as("spend"),
+             F.count(F.lit(1)).as("n_orders"))
+        .filter(F.col("spend") > 200000)
+        .join(s.table("graft_customer_b"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select("o_custkey", "c_mktsegment", "spend", "n_orders")
+    }),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -2185,6 +2222,36 @@ object SparkEntry {
     // round-trip lost nothing (ids, full text bytes, counts)
     "q109_jsonl_ingest" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // q77's gram replay at k=2/minShared=3: the oracle computes the
+    // EXACT overlap, so any bloom false positive surviving to the output
+    // (or true hit lost) would hash-mismatch
+    "q112_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 2, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, count(*) AS n_shared
+        |  FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 3""".stripMargin,
+
+    // the plain (unbucketed) join+agg — equality proves the bucketed
+    // layout is semantically transparent
+    "q113_bucketed_join" ->
+      """SELECT o_custkey, c_mktsegment,
+        | round(sum(o_totalprice), 4) AS spend,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_mktsegment
+        |HAVING round(sum(o_totalprice), 4) > 200000""".stripMargin,
 
     // unigram-model replay: per-token term rounded to 9 BEFORE the group
     // sum so cross-engine ln ulps cannot reorder it; division last

@@ -303,5 +303,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairsAgg(
           Cast(children(0), DoubleType), Cast(children(1), LongType), k)
       }))
+    // Bloom sketch pair — the scale path for set-membership pruning when
+    // the build side outgrows a broadcast hash join but its BITS still
+    // fit in a few MB. bloom_agg(longCol, numItems, numBits) is Spark's
+    // own distributed sketch aggregate (partial merge — values never
+    // leave executors); bloom_might_contain(sketchLit, longCol) is a
+    // codegen'd probe that hoists the (possibly multi-MB) sketch bytes
+    // out of the expression tree at resolution time — see
+    // [[BloomProbeExpr]] for why a plain literal child would make every
+    // optimizer pass O(sketch size).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          Cast(children(0), LongType), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomProbeExpr].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        val sketch = children(0) match {
+          case e if e.foldable => e.eval().asInstanceOf[Array[Byte]]
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain sketch must be a literal, got: $other")
+        }
+        require(sketch != null, "bloom_might_contain sketch is null — " +
+          "guard the empty-build-side case before probing")
+        BloomProbeExpr(sketch, Cast(children(1), LongType))
+      }))
   }
 }

@@ -639,6 +639,55 @@ object Dedup {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a BLOOM-FILTER prune — the scale path when
+    * the eval-set gram list outgrows a broadcast hash join (a full eval
+    * harness is easily 10⁸ distinct grams ≈ GBs as a hash relation, vs a
+    * few MB as a bloom sketch at the same false-positive rate). Three
+    * narrow passes, result EXACT:
+    *
+    *  1. distributed sketch build over the eval grams (Spark's native
+    *     `BloomFilterAggregate` — partial sketches merge executor-side,
+    *     the driver sees ONE row of `numBits/8` bytes, bounded by the
+    *     caller, same justification as `Similarity.trainCentroids`);
+    *  2. corpus grams stream through the codegen'd `might_contain`
+    *     probe — a pure narrow filter that discards ~everything (true
+    *     hits + `fpp` of the corpus);
+    *  3. the tiny survivor set joins the exact eval grams, so bloom
+    *     false positives are eliminated and the output is identical to
+    *     [[decontaminate]] — which is what the differential oracle
+    *     checks.
+    *
+    * The sketch travels to executors as a literal in the filter plan
+    * (Spark broadcasts the serialized plan), exactly how Spark ships its
+    * own injected runtime bloom filters. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
+                         evalSet: DataFrame, evalTextCol: String,
+                         k: Int = 3, minShared: Int = 2,
+                         expectedGrams: Long = 4000000L,
+                         numBits: Long = 33554432L): DataFrame = {
+    val evalGrams = evalSet
+      .filter(F.col(evalTextCol).rlike("\\S"))
+      .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
+      .distinct()
+    val sketch = evalGrams
+      .agg(F.call_function("bloom_agg", F.col("g"),
+        F.lit(expectedGrams), F.lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val out = (corpusGrams: DataFrame) => corpusGrams
+      .join(evalGrams, "g") // exact confirm: kills bloom false positives
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_shared")) // grams distinct per doc
+      .filter(F.col("n_shared") >= minShared)
+    // empty eval set → null sketch → nothing can match
+    if (sketch == null) out(corpus.limit(0)
+      .select(F.col(idCol).as("id"), F.lit(0L).as("g")))
+    else out(spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
+      .select(F.col(idCol).as("id"),
+        F.explode(gramHashes(F.col(textCol), k)).as("g"))
+      .filter(F.call_function("bloom_might_contain",
+        F.lit(sketch), F.col("g"))))
+  }
+
   /** CORPUS-WIDE duplicated-line statistics (cf. Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): for
     * each document, the fraction of its non-blank lines that occur more

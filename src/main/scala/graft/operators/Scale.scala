@@ -106,6 +106,37 @@ object Scale {
       .drop("_salt_l", "_salt_r")
   }
 
+  /** Write a table hash-BUCKETED (and optionally sorted) on a join key —
+    * the layout that makes repeated fact-to-fact joins shuffle-FREE: two
+    * tables bucketed on the same key into the same bucket count are
+    * already co-partitioned on disk, so a join between them needs no
+    * exchange at all (and no sort either, when `sortCols` covers the
+    * key). At corpus scale this converts every recurring join/groupBy on
+    * the bucket key from a full shuffle of the big table into a
+    * partition-local operation — the standard "pay the shuffle once at
+    * layout time, never again" trade, same family as the hive-partitioned
+    * ANN bucket layout (`Similarity.writeIvfPartitioned`) and the
+    * Z-order layout ([[writeZOrdered]]), but aimed at JOIN co-location
+    * rather than scan pruning.
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable` — plain
+    * parquet files plus bucket spec; the in-memory catalog works, no Hive
+    * needed), because bucketing is a CONTRACT about file contents that a
+    * bare directory read cannot carry: `spark.table(name)` restores it,
+    * `spark.read.parquet(path)` would see ordinary parquet. */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    bucketKey: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`") // stale catalog entry from a
+    // prior run would otherwise collide with the fresh path/spec
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path).bucketBy(buckets, bucketKey)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
   /** Z-order (Morton) key: bit-interleave two non-negative integral
     * columns (x bits at even positions, y at odd). Sorting by this key
     * clusters rows that are close in BOTH dimensions, so parquet

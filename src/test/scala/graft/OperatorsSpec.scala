@@ -659,4 +659,36 @@ class OperatorsSpec extends SparkSpec {
     // the heap path is active in this session (extensions registered)
     assert(spark.catalog.functionExists("topk_pairs"))
   }
+
+  test("bloom decontamination equals the exact broadcast pipeline") {
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "alpha beta gamma unrelated words here"),
+      (22L, "totally different text about spark engines"),
+      (23L, "delta epsilon zeta eta theta iota"),
+      (24L, "")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (minShared <- Seq(1, 2)) {
+      val exact = collect(Dedup.decontaminate(
+        corpus, "text", "doc_id", eval, "text", k = 3, minShared = minShared))
+      val bloom = collect(Dedup.decontaminateBloom(
+        corpus, "text", "doc_id", eval, "text", k = 3, minShared = minShared,
+        expectedGrams = 1000L, numBits = 65536L))
+      assert(bloom == exact, s"minShared=$minShared")
+      assert(exact.contains(20L) && exact.contains(23L)) // real overlap found
+      assert(!exact.contains(22L) && !exact.contains(24L))
+    }
+    // empty eval set → null sketch → nothing flagged (and no crash)
+    val none = Dedup.decontaminateBloom(
+      corpus, "text", "doc_id", eval.filter(F.col("doc_id") < 0), "text")
+    assert(none.count() == 0)
+    // the native pair is registered in this session
+    assert(spark.catalog.functionExists("bloom_agg"))
+    assert(spark.catalog.functionExists("bloom_might_contain"))
+  }
 }

@@ -37,25 +37,15 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange (co-located join)") {
-    import org.apache.spark.sql.SaveMode
-    // clear stale managed-table locations from previous runs
-    Seq("b_left", "b_right").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
-    }
-    (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
-      .write.mode(SaveMode.Overwrite).bucketBy(8, "id").sortBy("id")
-      .saveAsTable("b_left")
-    (1 to 1000).filter(_ % 3 == 0).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
-      .write.mode(SaveMode.Overwrite).bucketBy(8, "id").sortBy("id")
-      .saveAsTable("b_right")
+    // explicit-path external tables: writeBucketed drops stale catalog
+    // entries itself, and the temp dir never collides across runs
+    val staging = java.nio.file.Files.createTempDirectory("graft_bucket_spec")
+    Scale.writeBucketed(
+      (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name"),
+      "b_left", s"$staging/b_left", "id", 8, sortCols = Seq("id"))
+    Scale.writeBucketed(
+      (1 to 1000).filter(_ % 3 == 0).map(i => (i.toLong, i * 2.0)).toDF("id", "score"),
+      "b_right", s"$staging/b_right", "id", 8, sortCols = Seq("id"))
     // small tables would broadcast, bypassing buckets; disable to show the
     // co-located sort-merge path a 100 TB fact-fact join would take
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -66,6 +56,9 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin"))
       assert(joined.count() == 333)
+      // groupBy on the bucket key is exchange-free too (q113's agg shape)
+      val agg = spark.table("b_left").groupBy("id").agg(F.count(F.lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
