@@ -43,8 +43,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * Single-use CTEs stay un-staged (zero overhead). */
   private def evalCompound(cq: CompoundQuery,
                            outer: Map[String, GraftFrame]): GraftFrame = {
+    // a derived table contributes its subquery's paths, not its alias —
+    // a CTE referenced only inside (SELECT ...) must still count as used
+    def refPaths(t: graft.sql.TableRef): Seq[String] =
+      t.subquery.fold(Seq(t.path))(compoundPaths)
     def blockPaths(q: SqlQuery): Seq[String] =
-      q.from.path +: q.joins.map(_.table.path)
+      (q.from +: q.joins.map(_.table)).flatMap(refPaths)
     def compoundPaths(c: CompoundQuery): Seq[String] =
       (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
@@ -96,15 +100,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def plan(q: SqlQuery): GraftFrame = plan(q, Map.empty)
 
   private def plan(q: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
-    // a FROM/JOIN target resolves against the CTE scope first, then disk
-    def resolve(path: String): GraftFrame = scope.getOrElse(path, table(path))
+    // a FROM/JOIN target is a derived table (planned under the enclosing
+    // CTE scope), or resolves against the scope first, then disk
+    def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
+      case Some(sub) => evalCompound(sub, scope)
+      case None      => scope.getOrElse(t.path, table(t.path))
+    }
     // FROM + table alias
-    var frame = resolve(q.from.path)
+    var frame = resolve(q.from)
     q.from.alias.foreach(a => frame = frame.alias(a))
 
     // JOINs in declaration order
     q.joins.foreach { case JoinClause(t, on, how) =>
-      var right = resolve(t.path)
+      var right = resolve(t)
       t.alias.foreach(a => right = right.alias(a))
       frame = frame.join(right, on, how)
     }

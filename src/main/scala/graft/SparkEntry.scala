@@ -1128,6 +1128,17 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- ORC ingestion round-trip under the gate: documents → ORC →
+    //      explicit-schema read-back; the oracle reads the ORIGINAL
+    //      parquet, so the gate proves the round-trip is lossless ----
+    "q116_orc_ingest" -> ((s, dir) => {
+      val staging = stagingDir("graft_orc")
+      val docs = t(s, dir, "documents")
+      docs.coalesce(2).write.mode("overwrite").orc(s"$staging/docs_orc")
+      Tables.readOrc(s, s"$staging/docs_orc", docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- content-defined chunking: boundaries where the trailing
     //      3-gram's md5 ≡ 0 mod 16 — edit-stable chunks for chunk-level
     //      dedup; pure narrow map, oracle replays the boundary set ----
@@ -1178,6 +1189,14 @@ object SparkEntry {
           F.col("o_custkey") === F.col("c_custkey"))
         .select("o_custkey", "c_mktsegment", "spend", "n_orders")
     }),
+
+    // ---- BM25 top-k retrieval: the lexical-search pass of a RAG/eval
+    //      pipeline — one staged tf frame pruned to query tokens, so
+    //      cost tracks matching postings, not corpus size; bounded
+    //      TakeOrderedAndProject top-k ----
+    "q115_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        query = "spark window join", k = 10)),
 
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
@@ -1286,6 +1305,19 @@ object SparkEntry {
           |  SUM(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS n_mid,
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
+
+    // ---- derived tables through the SQL dialect front-end (extension
+    //      §7.1): a FROM subquery aggregated again (count-of-counts, the
+    //      TPC-H Q13 shape) and a JOIN-side derived table — inline
+    //      decomposition without naming a CTE ----
+    "q114_sql_derived" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT n_orders, COUNT() AS n_custs FROM
+          |  (SELECT o_custkey, COUNT() AS n_orders
+          |   FROM orders GROUP BY o_custkey) per_cust
+          |GROUP BY n_orders""".stripMargin).df
+        .select(F.col("n_orders").cast("long").as("n_orders"),
+                F.col("n_custs").cast("long").as("n_custs"))),
 
     // ---- WITH CTEs through the SQL dialect front-end (extension §7.1):
     //      two bindings, the second consumed by name in a JOIN, plain
@@ -2222,6 +2254,43 @@ object SparkEntry {
     // round-trip lost nothing (ids, full text bytes, counts)
     "q109_jsonl_ingest" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // same lossless-round-trip proof for the ORC path
+    "q116_orc_ingest" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // full BM25 replay: same tf/df/length derivation, same constants
+    // written as the same arithmetic ((1.2 + 1), 1 - 0.75), per-term
+    // round(9) before the sum, round(6) after, id tie-break
+    "q115_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |q AS (SELECT unnest(['spark', 'window', 'join']) AS token),
+        |m AS (SELECT tf.* FROM tf JOIN q USING (token)),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len) AS DOUBLE) AS total_len FROM lens),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT m.doc_id,
+        |    round(ln(1 + (nd.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (m.tf * (1.2 + 1))
+        |      / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.len / (tot.total_len / nd.n))),
+        |      9) AS ts
+        |  FROM m JOIN dfreq USING (token) JOIN lens USING (doc_id), tot, nd)
+        |SELECT doc_id, round(sum(ts), 6) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // count-of-counts over a derived table (no CTE) — DuckDB runs the
+    // same nested form
+    "q114_sql_derived" ->
+      """SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs FROM
+        |  (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |   FROM orders GROUP BY o_custkey) per_cust
+        |GROUP BY n_orders""".stripMargin,
 
     // q77's gram replay at k=2/minShared=3: the oracle computes the
     // EXACT overlap, so any bloom false positive surviving to the output

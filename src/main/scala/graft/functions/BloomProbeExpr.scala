@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-sketch membership probe with the sketch carried as a
@@ -29,6 +30,11 @@ case class BloomProbeExpr(sketch: Array[Byte], child: Expression)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain probes 64-bit hashes; got ${child.dataType}")
 
   @transient private lazy val filter: BloomFilter = BloomFilter.readFrom(sketch)
 

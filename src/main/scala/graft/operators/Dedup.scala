@@ -651,15 +651,22 @@ object Dedup {
     *     caller, same justification as `Similarity.trainCentroids`);
     *  2. corpus grams stream through the codegen'd `might_contain`
     *     probe — a pure narrow filter that discards ~everything (true
-    *     hits + `fpp` of the corpus);
+    *     hits + the false-positive share of the corpus);
     *  3. the tiny survivor set joins the exact eval grams, so bloom
     *     false positives are eliminated and the output is identical to
     *     [[decontaminate]] — which is what the differential oracle
     *     checks.
     *
-    * The sketch travels to executors as a literal in the filter plan
-    * (Spark broadcasts the serialized plan), exactly how Spark ships its
-    * own injected runtime bloom filters. */
+    * The eval-gram pipeline deliberately runs TWICE (sketch build, then
+    * the confirm join) — two cheap narrow passes beat materializing the
+    * gram set, the same trade [[corpusDupLines]] documents. The sketch
+    * reaches executors inside [[graft.functions.BloomProbeExpr]] as
+    * expression STATE, not as a child literal: a multi-MB literal makes
+    * every Catalyst pass O(sketch size) (measured ~1.6 s of driver time
+    * at 4 MB), while expression state ships once per stage in the
+    * broadcast task binary — how Spark ships its own injected runtime
+    * bloom filters. False-positive rate is set by `numBits` vs the true
+    * gram count (default 32 Mbit ≈ 1% at 4M grams). */
   def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
                          evalSet: DataFrame, evalTextCol: String,
                          k: Int = 3, minShared: Int = 2,

@@ -332,6 +332,59 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("token"), F.col("tf"), F.col("df"), F.col("score"))
   }
 
+  /** BM25 top-k retrieval over the corpus (Robertson/Spärck Jones) —
+    * the lexical-search sibling of the embedding ANN path
+    * ([[graft.operators.Similarity]]): score each document against a
+    * query string and return the k best. The standard retrieval pass of
+    * a RAG/eval pipeline, and the scoring backbone the capped
+    * [[invertedIndex]] serves.
+    *
+    * score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the +1 form that keeps
+    * idf positive for ubiquitous terms.
+    *
+    * Scale shape: the tf frame is built once ([[stagedTf]] — staged, it
+    * feeds lengths, document frequencies, AND the match set) and
+    * immediately pruned to QUERY TOKENS, so everything downstream is
+    * proportional to matching postings, not the corpus; document
+    * frequencies for ≤|q| terms broadcast; document lengths join
+    * doc-keyed (only matching docs survive the inner join); the global
+    * (total length, N) pair is one broadcast row. Top-k is
+    * `TakeOrderedAndProject` — O(k) per partition to the driver, never a
+    * global sort. Determinism: per-term scores round to 9 decimals
+    * before the group sum (cross-engine ln ulps cannot reorder it), the
+    * final score to 6, ties break on ascending id — a differential
+    * oracle reproduces the exact k-set. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               query: String, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25TopK: query has no tokens")
+    val nDocs = df.count() // parquet metadata count — the only driver value
+    val tf = stagedTf(df, textCol, idCol)
+    val matched = tf.filter(F.col("token").isin(qTerms: _*))
+    val dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+    val totals = lens.agg(F.sum("len").as("total_len"))
+    val avgLen = F.col("total_len").cast("double") / F.lit(nDocs.toDouble)
+    val idf = F.log(F.lit(1.0) +
+      (F.lit(nDocs.toDouble) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    val termScore = F.round(
+      idf * (F.col("tf") * (k1 + 1)) /
+        (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("len") / avgLen)),
+      9)
+    matched
+      .join(F.broadcast(dfreq), "token")
+      .join(lens, Seq(idCol))
+      .crossJoin(F.broadcast(totals))
+      .select(F.col(idCol), termScore.as("ts"))
+      .groupBy(idCol)
+      .agg(F.round(F.sum("ts"), 6).as("bm25"))
+      .orderBy(F.col("bm25").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Unigram log-probability scoring — the perplexity-proxy quality
     * filter (a document whose tokens are improbable under the corpus
     * unigram model is noise, menus, or the wrong language): score =

@@ -71,6 +71,19 @@ object Tables {
                      schema: StructType, outPath: String): Unit =
     readJsonl(spark, jsonlPath, schema).write.mode("overwrite").parquet(outPath)
 
+  /** ORC read with a declared schema — the other columnar interchange
+    * format a lake-resident corpus arrives in. Schema declared rather
+    * than inferred, same rationale as [[readJsonl]]; ORC scans get the
+    * same vectorized read + pushdown machinery as parquet. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC → parquet landing (one decode pass into the engine's canonical
+    * columnar format, like [[jsonlToParquet]]). */
+  def orcToParquet(spark: SparkSession, orcPath: String,
+                   schema: StructType, outPath: String): Unit =
+    readOrc(spark, orcPath, schema).write.mode("overwrite").parquet(outPath)
+
   /** Concatenate same-schema tables
     * (reference: io.py:297-305 merge_files) — free with a multi-path read. */
   def merge(spark: SparkSession, paths: Seq[String]): DataFrame =

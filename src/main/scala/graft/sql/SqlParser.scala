@@ -27,7 +27,12 @@ final case class SqlQuery(
     distinct: Boolean             // extension
 )
 final case class SelectItem(expr: Col, star: Boolean)
-final case class TableRef(path: String, alias: Option[String])
+/** A FROM/JOIN target: a table path/name, or a parenthesized derived
+  * table (`FROM (SELECT ...) alias` — extension; `subquery` set, `path`
+  * holds the alias for error messages). Derived tables require an alias,
+  * like standard SQL. */
+final case class TableRef(path: String, alias: Option[String],
+                          subquery: Option[CompoundQuery] = None)
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
@@ -287,20 +292,31 @@ object SqlParser {
     }
 
     private def parseTableRef(): TableRef = {
+      // derived table: FROM (SELECT ...) alias — the subquery may itself
+      // carry WITH / set ops / nested derived tables (extension)
+      if (peek == TOp("(")) {
+        next()
+        val sub = parseCompoundBody()
+        expectOp(")")
+        val alias = parseTableAlias().getOrElse(throw new ParseError(
+          "Derived table requires an alias: FROM (SELECT ...) name"))
+        return TableRef(alias, Some(alias), Some(sub))
+      }
       val path = next() match {
         case TStr(p)   => p // quoted path: FROM 'tmp/lineitem.bin' (parser.py:60)
         case TIdent(p) => p // extension: bare name resolved against base dir
         case t         => throw new ParseError(s"Expected table, got ${t.text}")
       }
-      val alias = peek match {
-        case TKw("AS")   => next(); next() match {
-          case TIdent(a) => Some(a)
-          case t         => throw new ParseError(s"Expected alias, got ${t.text}")
-        }
-        case TIdent(a) => next(); Some(a)
-        case _         => None
+      TableRef(path, parseTableAlias())
+    }
+
+    private def parseTableAlias(): Option[String] = peek match {
+      case TKw("AS")   => next(); next() match {
+        case TIdent(a) => Some(a)
+        case t         => throw new ParseError(s"Expected alias, got ${t.text}")
       }
-      TableRef(path, alias)
+      case TIdent(a) => next(); Some(a)
+      case _         => None
     }
 
     // precedence: OR < AND < NOT < cmp < add < mul < unary < primary

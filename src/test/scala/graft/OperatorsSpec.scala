@@ -660,6 +660,32 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.catalog.functionExists("topk_pairs"))
   }
 
+  test("BM25 top-k: exact single-doc score, ranking, k bound, id tie-break") {
+    // one doc, one term: score = idf = ln(1 + 0.5/1.5); the tf/length
+    // normalization cancels (len = avgLen = 1 → denom = tf + k1)
+    val one = Seq((7L, "a")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.bm25TopK(one, "text", "doc_id", "a", k = 5).collect()
+    assert(s1.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, BigDecimal(math.log(1.0 + 0.5 / 1.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val corpus = Seq(
+      (1L, "spark window join spark"),   // both terms, high tf
+      (2L, "spark table scan"),          // one term
+      (3L, "filter sort order"),         // no terms → absent
+      (4L, "window spark"),              // both terms, shorter doc
+      (5L, "spark table scan")           // tie with 2 → id order
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "text", "doc_id", "spark window", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 3) // k bound
+    assert(!out.map(_._1).contains(3L)) // non-matching doc never scored
+    // two-term docs outrank the one-term docs; scores descend
+    assert(out.map(_._1).take(2).toSet == Set(1L, 4L))
+    assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // the tied one-term docs (2, 5) resolve by ascending id
+    assert(out(2)._1 == 2L)
+  }
+
   test("bloom decontamination equals the exact broadcast pipeline") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),

@@ -31,6 +31,21 @@ class SourcesShellSpec extends SparkSpec {
     assert(Tables.inspect(spark, s"$dir/part1.parquet", n = 1) == 2L)
   }
 
+  test("JSONL and ORC ingestion round-trip losslessly with a declared schema") {
+    val d = Files.createTempDirectory("graft-ingest").toString
+    fruits.write.mode("overwrite").json(s"$d/fr_jsonl")
+    fruits.write.mode("overwrite").orc(s"$d/fr_orc")
+    val viaJsonl = Tables.readJsonl(spark, s"$d/fr_jsonl", fruits.schema)
+      .select("fruit", "quantity", "color")
+    val viaOrc = Tables.readOrc(spark, s"$d/fr_orc", fruits.schema)
+      .select("fruit", "quantity", "color")
+    assert(rows(viaJsonl) == rows(fruits))
+    assert(rows(viaOrc) == rows(fruits))
+    // landing conversions produce parquet twins
+    Tables.orcToParquet(spark, s"$d/fr_orc", fruits.schema, s"$d/fr_pq")
+    assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
+  }
+
   test("shell repl: multiline ';'-terminated queries, errors don't kill the loop, exit stops it") {
     val engine = Engine(spark, dir)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

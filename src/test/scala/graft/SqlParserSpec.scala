@@ -341,6 +341,37 @@ class SqlParserSpec extends SparkSpec {
         "WITH c AS (SELECT 1 AS x FROM fruits), c AS (SELECT 2 AS x FROM fruits) SELECT x FROM c"))
   }
 
+  test("derived tables: FROM/JOIN subqueries, alias required, CTE visible inside (extension)") {
+    import graft.sql.{ParseError, SqlParser}
+    val d = java.nio.file.Files.createTempDirectory("graft-derived").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // FROM (SELECT ...): aggregate over a derived projection
+    val out = Engine(spark, d).sql(
+      """SELECT fruit, SUM(q2) AS s FROM
+        |  (SELECT fruit, quantity * 2 AS q2 FROM fruits WHERE quantity > 2) big
+        |GROUP BY fruit""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("apple" -> 14L, "banana" -> 24L))
+    // derived table on the JOIN side, dotted refs through its alias
+    val joined = Engine(spark, d).sql(
+      """SELECT f.fruit, t.q FROM fruits f
+        |JOIN (SELECT fruit, SUM(quantity) AS q FROM fruits GROUP BY fruit) t
+        |  ON f.fruit = t.fruit
+        |WHERE f.quantity = 3""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(joined == Seq(("apple", 7L)))
+    // an enclosing CTE is visible inside a derived table
+    val viaCte = Engine(spark, d).sql(
+      """WITH big AS (SELECT fruit, quantity FROM fruits WHERE quantity > 3)
+        |SELECT fruit, q FROM (SELECT fruit, SUM(quantity) AS q FROM big GROUP BY fruit) t
+        |WHERE q > 5""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaCte == Set(("banana", 12L)))
+    // standard SQL: a derived table must carry an alias
+    assertThrows[ParseError](
+      SqlParser.parseCompound("SELECT fruit FROM (SELECT fruit FROM fruits)"))
+  }
+
   test("a CTE referenced twice is staged: one source scan, correct self-join") {
     val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
