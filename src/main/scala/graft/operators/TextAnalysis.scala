@@ -359,7 +359,12 @@ object TextAnalysis {
                query: String, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // UTF8String.toLowerCase: the EXACT lowering F.lower applies to the
+    // corpus — a JVM-default-locale String.toLowerCase would diverge on
+    // e.g. a Turkish-locale driver (I/İ), the round-2 advisor's locale bug
+    val qLower = org.apache.spark.unsafe.types.UTF8String
+      .fromString(query).toLowerCase.toString
+    val qTerms = qLower.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "bm25TopK: query has no tokens")
     val nDocs = df.count() // parquet metadata count — the only driver value
     val tf = stagedTf(df, textCol, idCol)
