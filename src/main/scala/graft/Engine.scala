@@ -122,6 +122,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
     val selectAggs = q.select.flatMap(i => collectAggs(i.expr))
     val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
+    // standard SQL evaluates window functions AFTER grouping — a mixed
+    // block would need post-aggregation window planning; reject loudly
+    // and point at the composable form (window over a derived table)
+    if (hasGrouping && q.select.exists(i => containsWindow(i.expr)))
+      throw new GroupByError(
+        "Window functions cannot appear in a grouped query block; " +
+        "aggregate in a derived table or CTE, then window over it")
 
     var out: GraftFrame =
       if (!hasGrouping) {
@@ -168,6 +175,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
   private def collectAggs(c: Col): Seq[AggCol] = c match {
     case a: AggCol      => Seq(a)
+    // a window's inner aggregate is per-row output, not a grouping agg
+    case _: WindowFn    => Seq.empty
     case BinOp(_, l, r) => collectAggs(l) ++ collectAggs(r)
     case Alias(ch, _)   => collectAggs(ch)
     case Not(ch)        => collectAggs(ch)
@@ -179,6 +188,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       bs.flatMap { case (w, v) => collectAggs(w) ++ collectAggs(v) } ++
         e.toSeq.flatMap(collectAggs)
     case _              => Seq.empty
+  }
+
+  private def containsWindow(c: Col): Boolean = c match {
+    case _: WindowFn     => true
+    case Alias(ch, _)    => containsWindow(ch)
+    case BinOp(_, l, r)  => containsWindow(l) || containsWindow(r)
+    case Not(ch)         => containsWindow(ch)
+    case Like(ch, _)     => containsWindow(ch)
+    case Cast(ch, _)     => containsWindow(ch)
+    case IsNull(ch)      => containsWindow(ch)
+    case AggCol(_, ch, _) => containsWindow(ch)
+    case FuncCall(_, as) => as.exists(containsWindow)
+    case CaseWhen(bs, e) =>
+      bs.exists { case (w, v) => containsWindow(w) || containsWindow(v) } ||
+        e.exists(containsWindow)
+    case _               => false
   }
 
   /** Give every aggregate a stable output name, collect it into `acc`, and
@@ -222,6 +247,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (stripQualifiers(w), stripQualifiers(v)) },
         e.map(stripQualifiers))
+    case WindowFn(f, a, pb, ob) =>
+      WindowFn(f, a.map(stripQualifiers), pb.map(stripQualifiers),
+        ob.map { case (c, asc) => (stripQualifiers(c), asc) })
     case other           => other
   }
 

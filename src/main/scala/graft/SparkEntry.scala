@@ -1306,6 +1306,24 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- window functions through the SQL dialect front-end
+    //      (extension §2.5): per-customer price ranking plus a
+    //      whole-partition windowed SUM, filtered to the top 2 per
+    //      customer through a derived table — the top-k-per-group idiom
+    //      in pure dialect SQL ----
+    "q117_sql_window" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT o_orderkey, o_custkey, rn, cust_total FROM
+          |  (SELECT o_orderkey, o_custkey,
+          |     ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |                        ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+          |     round(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+          |       AS cust_total
+          |   FROM orders) t
+          |WHERE rn <= 2""".stripMargin).df
+        .select(F.col("o_orderkey"), F.col("o_custkey"),
+                F.col("rn").cast("long").as("rn"), F.col("cust_total"))),
+
     // ---- derived tables through the SQL dialect front-end (extension
     //      §7.1): a FROM subquery aggregated again (count-of-counts, the
     //      TPC-H Q13 shape) and a JOIN-side derived table — inline
@@ -2283,6 +2301,18 @@ object SparkEntry {
         |SELECT doc_id, round(sum(ts), 6) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the same windowed ranking + partition sum in ANSI form; row_number
+    // cast to BIGINT to match the dialect's long-cast output
+    "q117_sql_window" ->
+      """SELECT o_orderkey, o_custkey, CAST(rn AS BIGINT) AS rn, cust_total FROM
+        |  (SELECT o_orderkey, o_custkey,
+        |     ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                        ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |     round(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+        |       AS cust_total
+        |   FROM orders) t
+        |WHERE rn <= 2""".stripMargin,
 
     // count-of-counts over a derived table (no CTE) — DuckDB runs the
     // same nested form

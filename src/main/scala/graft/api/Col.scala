@@ -99,6 +99,16 @@ object Col {
   final case class AggCol(fn: String, child: Col, aliasOpt: Option[String]) extends Col {
     def aliased(n: String): AggCol = copy(aliasOpt = Some(n))
   }
+  /** Window function over a PARTITION BY / ORDER BY spec (extension —
+    * the reference has no window functions, SURVEY §2.5). Ranking
+    * functions (`row_number`/`rank`/`dense_rank`, arg-less, ORDER BY
+    * required) and windowed aggregates (`sum`/`min`/`max`/`avg`/`count`).
+    * Frame semantics are Spark's standard-SQL defaults: with ORDER BY an
+    * aggregate is a running aggregate (RANGE UNBOUNDED PRECEDING..CURRENT
+    * ROW), without it the whole partition. */
+  final case class WindowFn(fn: String, arg: Option[Col],
+                            partitionBy: Seq[Col],
+                            orderBy: Seq[(Col, Boolean)]) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -269,6 +279,47 @@ object Col {
         case other => throw new IllegalArgumentException(s"Unsupported aggregate: $other")
       }
       (aliasOpt.fold(c)(c.as(_)), dt)
+    case WindowFn(fn, arg, pb, ob) =>
+      import org.apache.spark.sql.expressions.Window
+      val base =
+        if (pb.nonEmpty) Window.partitionBy(pb.map(compileNode(_, schema)._1): _*)
+        else Window.partitionBy()
+      val spec =
+        if (ob.nonEmpty) base.orderBy(ob.map { case (c, asc) =>
+          val cc = compileNode(c, schema)._1
+          if (asc) cc.asc else cc.desc
+        }: _*)
+        else base
+      def argC = compileNode(arg.getOrElse(throw new IllegalArgumentException(
+        s"$fn() over a window needs an argument")), schema)
+      val (c, dt) = fn match {
+        case "row_number" | "rank" | "dense_rank" =>
+          if (ob.isEmpty) throw new IllegalArgumentException(
+            s"$fn() requires ORDER BY in its OVER clause")
+          if (arg.nonEmpty) throw new IllegalArgumentException(
+            s"$fn() takes no arguments")
+          (fn match {
+            case "row_number" => F.row_number()
+            case "rank"       => F.rank()
+            case "dense_rank" => F.dense_rank()
+          }, IntegerType)
+        case "sum" =>
+          val (cc, cdt) = argC
+          val out = cdt match {
+            case IntegerType | ShortType | ByteType => LongType
+            case FloatType                          => DoubleType
+            case other                              => other
+          }
+          (F.sum(cc), out)
+        case "min"   => val (cc, cdt) = argC; (F.min(cc), cdt)
+        case "max"   => val (cc, cdt) = argC; (F.max(cc), cdt)
+        case "avg"   => val (cc, _) = argC; (F.avg(cc), DoubleType)
+        case "count" =>
+          (F.count(arg.map(compileNode(_, schema)._1).getOrElse(F.lit(1))), LongType)
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported window function: $other")
+      }
+      (c.over(spec), dt)
     case BinOp(op, l, r) =>
       val l0 = compileNode(l, schema)
       val r0 = compileNode(r, schema)

@@ -78,7 +78,8 @@ object SqlParser {
     "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
-    "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH")
+    "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
+    "OVER", "PARTITION")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -442,24 +443,24 @@ object SqlParser {
               while (accept(",")) fnArgs += parseAdd()
               expectOp(")")
             }
-            FuncCall(n.toLowerCase, fnArgs.toSeq)
+            maybeOver(FuncCall(n.toLowerCase, fnArgs.toSeq))
           case _ => ColRef(n)
         }
       case TOp("(") =>
         val e = parseOr(); expectOp(")"); e
       case TKw("COUNT") =>
         expectOp("(")
-        peek match {
+        maybeOver(peek match {
           case TOp(")") => next(); AggCol("count", Lit(1), Some("count")) // COUNT() → sum of ones (sql.py:462-464)
           case TKw("DISTINCT") => next(); val e = parseAdd(); expectOp(")"); AggCol("count_distinct", e, None)
           case TOp("*") => next(); expectOp(")"); AggCol("count", Lit(1), Some("count"))
           case _        => val e = parseAdd(); expectOp(")"); AggCol("count_col", e, None)
-        }
+        })
       case TKw(fn @ ("SUM" | "MIN" | "MAX" | "AVG")) =>
         expectOp("(")
         val e = parseAdd()
         expectOp(")")
-        AggCol(fn.toLowerCase, e, None)
+        maybeOver(AggCol(fn.toLowerCase, e, None))
       case TKw("CASE") =>
         // searched form `CASE WHEN cond THEN v ...` and simple form
         // `CASE x WHEN v THEN ...` (desugared to `WHEN x = v`); extension
@@ -481,6 +482,39 @@ object SqlParser {
         expectKw("END")
         CaseWhen(branches.toSeq, elseValue)
       case t => throw new ParseError(s"Unexpected token '${t.text}'")
+    }
+
+    /** Postfix `OVER (PARTITION BY ... ORDER BY ...)` after a function
+      * call or aggregate — turns it into a window function (extension;
+      * SURVEY §2.5 lists window functions as absent in the reference).
+      * `COUNT(DISTINCT) OVER` is rejected like standard SQL. */
+    private def maybeOver(e: Col): Col = {
+      if (!accept("OVER")) return e
+      expectOp("(")
+      val pb = ListBuffer.empty[Col]
+      if (accept("PARTITION")) {
+        expectKw("BY")
+        pb += parseAdd()
+        while (accept(",")) pb += parseAdd()
+      }
+      val ob = ListBuffer.empty[(Col, Boolean)]
+      if (accept("ORDER")) {
+        expectKw("BY")
+        ob += parseOrderItem()
+        while (accept(",")) ob += parseOrderItem()
+      }
+      expectOp(")")
+      val (fn, arg) = e match {
+        case FuncCall(f, Seq())            => (f, None)
+        case FuncCall(f, Seq(a))           => (f, Some(a))
+        case AggCol("count", Lit(1), _)    => ("count", None)
+        case AggCol("count_col", a, _)     => ("count", Some(a))
+        case AggCol(f @ ("sum" | "min" | "max" | "avg"), a, _) => (f, Some(a))
+        case _ => throw new ParseError(
+          s"OVER cannot follow ${e.name}: window functions are " +
+          "row_number/rank/dense_rank and sum/min/max/avg/count")
+      }
+      WindowFn(fn, arg, pb.toSeq, ob.toSeq)
     }
   }
 

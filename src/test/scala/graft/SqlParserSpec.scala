@@ -372,6 +372,49 @@ class SqlParserSpec extends SparkSpec {
       SqlParser.parseCompound("SELECT fruit FROM (SELECT fruit FROM fruits)"))
   }
 
+  test("window functions: OVER parses, ranks/partition sums evaluate, invalid forms raise (extension)") {
+    import graft.api.Col._
+    import graft.sql.{ParseError, SqlParser}
+    // AST shape
+    val q = SqlParser.parse(
+      "SELECT fruit, row_number() OVER (PARTITION BY color ORDER BY quantity DESC) AS rn FROM fruits")
+    assert(q.select(1).expr == Alias(
+      WindowFn("row_number", None, Seq(ColRef("color")),
+        Seq((ColRef("quantity"), false))), "rn"))
+    // execution: rank within color + whole-partition sum
+    val d = java.nio.file.Files.createTempDirectory("graft-window").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val out = Engine(spark, d).sql(
+      """SELECT fruit, quantity,
+        |  row_number() OVER (PARTITION BY color ORDER BY quantity DESC, fruit) AS rn,
+        |  SUM(quantity) OVER (PARTITION BY color) AS color_qty
+        |FROM fruits""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("banana", 7, 1, 12L), ("banana", 5, 2, 12L),   // yellow
+      ("apple", 4, 1, 4L),                            // green
+      ("apple", 3, 1, 3L),                            // red
+      ("orange", 2, 1, 2L)))                          // orange
+    // top-k per group via a derived table (the composable form)
+    val top1 = Engine(spark, d).sql(
+      """SELECT fruit, quantity FROM
+        |  (SELECT fruit, quantity,
+        |     row_number() OVER (PARTITION BY color ORDER BY quantity DESC, fruit) AS rn
+        |   FROM fruits) t
+        |WHERE rn = 1""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(top1 == Set(("banana", 7), ("apple", 4), ("apple", 3), ("orange", 2)))
+    // ranking without ORDER BY raises; OVER after a scalar fn raises;
+    // window inside a grouped block raises (compose via derived table)
+    assertThrows[IllegalArgumentException](
+      Engine(spark, d).sql("SELECT row_number() OVER (PARTITION BY color) AS rn FROM fruits").df)
+    assertThrows[ParseError](
+      SqlParser.parse("SELECT round(quantity, 2) OVER (ORDER BY fruit) FROM fruits"))
+    assertThrows[graft.sql.GroupByError](
+      Engine(spark, d).sql(
+        "SELECT color, SUM(quantity) AS q, row_number() OVER (ORDER BY color) AS rn FROM fruits GROUP BY color").df)
+  }
+
   test("a CTE referenced twice is staged: one source scan, correct self-join") {
     val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
