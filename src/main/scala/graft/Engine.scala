@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.api.{Col, GraftFrame}
 import graft.api.Col._
-import graft.sql.{CompoundQuery, GroupByError, JoinClause, SqlParser, SqlQuery}
+import graft.sql.{CompoundQuery, GroupByError, JoinClause, SemanticError, SqlParser, SqlQuery}
 import graft.sources.Tables
 
 /** Engine facade: `sql / collect / show / explain`
@@ -47,8 +47,17 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     // a CTE referenced only inside (SELECT ...) must still count as used
     def refPaths(t: graft.sql.TableRef): Seq[String] =
       t.subquery.fold(Seq(t.path))(compoundPaths)
+    // ... and so does a WHERE-level IN (SELECT ...) predicate
+    def wherePaths(c: Col): Seq[String] = c match {
+      case InSubquery(_, sub) => compoundPaths(sub)
+      case BinOp(_, l, r)     => wherePaths(l) ++ wherePaths(r)
+      case Not(ch)            => wherePaths(ch)
+      case Alias(ch, _)       => wherePaths(ch)
+      case _                  => Seq.empty
+    }
     def blockPaths(q: SqlQuery): Seq[String] =
-      (q.from +: q.joins.map(_.table)).flatMap(refPaths)
+      (q.from +: q.joins.map(_.table)).flatMap(refPaths) ++
+        q.where.toSeq.flatMap(wherePaths)
     def compoundPaths(c: CompoundQuery): Seq[String] =
       (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
@@ -117,8 +126,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       frame = frame.join(right, on, how)
     }
 
-    // WHERE
-    q.where.foreach(c => frame = frame.filter(c))
+    // WHERE: top-level AND conjuncts split so IN (SELECT ...) predicates
+    // plan as semi/anti joins; plain predicates stay row filters
+    q.where.foreach(c => frame = applyWhere(frame, c, scope))
 
     val selectAggs = q.select.flatMap(i => collectAggs(i.expr))
     val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
@@ -171,6 +181,56 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     if (q.orderBy.nonEmpty) out = out.sort(q.orderBy)
     q.limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  /** Apply a WHERE condition: AND conjuncts recurse, `IN (SELECT ...)`
+    * becomes a LEFT SEMI join (`NOT IN` → LEFT ANTI — the null-free
+    * reading, see [[Col.InSubquery]]), everything else filters. An IN
+    * subquery under OR / inside an expression has no join rendering;
+    * reject it loudly rather than mis-evaluate. */
+  private def applyWhere(frame: GraftFrame, cond: Col,
+                         scope: Map[String, GraftFrame]): GraftFrame = cond match {
+    case BinOp("&", l, r)        => applyWhere(applyWhere(frame, l, scope), r, scope)
+    case InSubquery(e, sub)      => inJoin(frame, e, sub, scope, anti = false)
+    case Not(InSubquery(e, sub)) => inJoin(frame, e, sub, scope, anti = true)
+    case other if containsInSubquery(other) =>
+      throw new SemanticError(
+        "IN (SELECT ...) must be a top-level AND conjunct of WHERE " +
+        "(it plans as a semi/anti join and cannot sit under OR or " +
+        "inside an expression)")
+    case other => frame.filter(other)
+  }
+
+  private def inJoin(frame: GraftFrame, e: Col, sub: CompoundQuery,
+                     scope: Map[String, GraftFrame], anti: Boolean): GraftFrame = {
+    val planned = evalCompound(sub, scope)
+    val cols = planned.df.columns
+    if (cols.length != 1)
+      throw new SemanticError(
+        s"IN subquery must produce exactly one column, got ${cols.length} " +
+        cols.mkString("(", ", ", ")"))
+    // rename the subquery output away from any left-side column so the
+    // join condition compiles unambiguously
+    var name = "_in_sq"
+    while (frame.df.columns.contains(name)) name += "_"
+    val right = GraftFrame.fromDF(planned.df.select(planned.df.col(cols(0)).as(name)))
+    frame.join(right, e === ColRef(name), if (anti) "left_anti" else "left_semi")
+  }
+
+  private def containsInSubquery(c: Col): Boolean = c match {
+    case _: InSubquery   => true
+    case Alias(ch, _)    => containsInSubquery(ch)
+    case BinOp(_, l, r)  => containsInSubquery(l) || containsInSubquery(r)
+    case Not(ch)         => containsInSubquery(ch)
+    case Like(ch, _)     => containsInSubquery(ch)
+    case Cast(ch, _)     => containsInSubquery(ch)
+    case IsNull(ch)      => containsInSubquery(ch)
+    case AggCol(_, ch, _) => containsInSubquery(ch)
+    case FuncCall(_, as) => as.exists(containsInSubquery)
+    case CaseWhen(bs, e) =>
+      bs.exists { case (w, v) => containsInSubquery(w) || containsInSubquery(v) } ||
+        e.exists(containsInSubquery)
+    case _               => false
   }
 
   private def collectAggs(c: Col): Seq[AggCol] = c match {

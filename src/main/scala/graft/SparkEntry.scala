@@ -1306,6 +1306,18 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- IN (SELECT ...) through the SQL dialect front-end (extension
+    //      §2.5): a semi-join membership predicate AND an anti-join
+    //      NOT IN in one query — planned as left_semi/left_anti, never
+    //      a row expression ----
+    "q118_sql_in_subquery" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders
+          |                    WHERE o_totalprice > 400000)
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+          |                        WHERE o_orderstatus = 'F')""".stripMargin).df),
+
     // ---- window functions through the SQL dialect front-end
     //      (extension §2.5): per-customer price ranking plus a
     //      whole-partition windowed SUM, filtered to the top 2 per
@@ -2301,6 +2313,15 @@ object SparkEntry {
         |SELECT doc_id, round(sum(ts), 6) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DuckDB's IN/NOT IN over null-free columns match the semi/anti
+    // reading exactly
+    "q118_sql_in_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')""".stripMargin,
 
     // the same windowed ranking + partition sum in ANSI form; row_number
     // cast to BIGINT to match the dialect's long-cast output

@@ -109,6 +109,14 @@ object Col {
   final case class WindowFn(fn: String, arg: Option[Col],
                             partitionBy: Seq[Col],
                             orderBy: Seq[(Col, Boolean)]) extends Col
+  /** `expr IN (SELECT ...)` membership predicate (extension). Not a
+    * row-local expression — the engine plans it as a LEFT SEMI join
+    * (`NOT IN` → LEFT ANTI), so it is only legal as a top-level AND
+    * conjunct of WHERE; [[compileNode]] rejects it anywhere else. The
+    * anti-join reading of NOT IN matches a null-free corpus (the
+    * reference's world has no nulls); standard SQL's null-poisoned
+    * NOT IN semantics are deliberately not reproduced. */
+  final case class InSubquery(expr: Col, subquery: graft.sql.CompoundQuery) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -279,6 +287,10 @@ object Col {
         case other => throw new IllegalArgumentException(s"Unsupported aggregate: $other")
       }
       (aliasOpt.fold(c)(c.as(_)), dt)
+    case InSubquery(_, _) =>
+      throw new IllegalArgumentException(
+        "IN (SELECT ...) is only supported as a top-level AND conjunct " +
+        "of WHERE (it plans as a semi/anti join, not a row expression)")
     case WindowFn(fn, arg, pb, ob) =>
       import org.apache.spark.sql.expressions.Window
       val base =

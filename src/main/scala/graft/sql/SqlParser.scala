@@ -376,13 +376,22 @@ object SqlParser {
 
     /** `IN (v1, v2, ...)` desugared to an OR chain of equalities — the
       * schema-directed `==` coercions (timestamp-vs-string etc.) then
-      * apply per element for free. Extension; absent in the reference. */
+      * apply per element for free. `IN (SELECT ...)` / `IN (WITH ...)`
+      * parses to [[InSubquery]], which the engine plans as a semi join.
+      * Extension; absent in the reference. */
     private def parseInList(l: Col): Col = {
       expectOp("(")
-      val vs = ListBuffer(parseAdd())
-      while (accept(",")) vs += parseAdd()
-      expectOp(")")
-      vs.map(v => l === v).reduce(_ || _)
+      peek match {
+        case TKw("SELECT") | TKw("WITH") =>
+          val sub = parseCompoundBody()
+          expectOp(")")
+          InSubquery(l, sub)
+        case _ =>
+          val vs = ListBuffer(parseAdd())
+          while (accept(",")) vs += parseAdd()
+          expectOp(")")
+          vs.map(v => l === v).reduce(_ || _)
+      }
     }
 
     private def parseAdd(): Col = {

@@ -415,6 +415,43 @@ class SqlParserSpec extends SparkSpec {
         "SELECT color, SUM(quantity) AS q, row_number() OVER (ORDER BY color) AS rn FROM fruits GROUP BY color").df)
   }
 
+  test("IN (SELECT ...): semi/anti joins, CTE scope inside, invalid placements raise (extension)") {
+    import graft.sql.{SemanticError, SqlParser}
+    import graft.api.Col.{InSubquery, ColRef}
+    val d = java.nio.file.Files.createTempDirectory("graft-insq").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // AST: IN before a subquery parses to InSubquery, not an OR chain
+    val q = SqlParser.parse(
+      "SELECT fruit FROM fruits WHERE color IN (SELECT color FROM fruits WHERE quantity > 4)")
+    assert(q.where.exists(_.isInstanceOf[InSubquery]))
+    assert(q.where.get.asInstanceOf[InSubquery].expr == ColRef("color"))
+    // semi: colors of high-quantity fruits → yellow only
+    val semi = Engine(spark, d).sql(
+      """SELECT fruit, quantity FROM fruits
+        |WHERE color IN (SELECT color FROM fruits WHERE quantity > 4)
+        |  AND quantity < 6""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(semi == Set(("banana", 5)))
+    // anti: NOT IN drops yellow rows
+    val anti = Engine(spark, d).sql(
+      """SELECT fruit FROM fruits
+        |WHERE color NOT IN (SELECT color FROM fruits WHERE quantity > 4)""".stripMargin)
+      .df.collect().map(_.getString(0)).toSet
+    assert(anti == Set("apple", "orange"))
+    // an enclosing CTE is visible inside the IN subquery
+    val viaCte = Engine(spark, d).sql(
+      """WITH hot AS (SELECT color FROM fruits WHERE quantity > 4)
+        |SELECT fruit FROM fruits WHERE color IN (SELECT color FROM hot)""".stripMargin)
+      .df.collect().map(_.getString(0)).toSet
+    assert(viaCte == Set("banana"))
+    // under OR there is no join rendering — loud error, not wrong rows
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE quantity = 2 OR color IN (SELECT color FROM fruits)").df)
+    // a multi-column subquery is not a membership set
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE color IN (SELECT color, quantity FROM fruits)").df)
+  }
+
   test("a CTE referenced twice is staged: one source scan, correct self-join") {
     val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
