@@ -47,17 +47,33 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     // a CTE referenced only inside (SELECT ...) must still count as used
     def refPaths(t: graft.sql.TableRef): Seq[String] =
       t.subquery.fold(Seq(t.path))(compoundPaths)
-    // ... and so does a WHERE-level IN (SELECT ...) predicate
-    def wherePaths(c: Col): Seq[String] = c match {
-      case InSubquery(_, sub) => compoundPaths(sub)
-      case BinOp(_, l, r)     => wherePaths(l) ++ wherePaths(r)
-      case Not(ch)            => wherePaths(ch)
-      case Alias(ch, _)       => wherePaths(ch)
+    // ... and so do expression-level subqueries (IN-membership sets and
+    // scalar subqueries), wherever an expression can sit
+    def colPaths(c: Col): Seq[String] = c match {
+      case InSubquery(e, sub) => colPaths(e) ++ compoundPaths(sub)
+      case ScalarSubquery(sub) => compoundPaths(sub)
+      case BinOp(_, l, r)     => colPaths(l) ++ colPaths(r)
+      case Not(ch)            => colPaths(ch)
+      case Alias(ch, _)       => colPaths(ch)
+      case Like(ch, _)        => colPaths(ch)
+      case Cast(ch, _)        => colPaths(ch)
+      case IsNull(ch)         => colPaths(ch)
+      case AggCol(_, ch, _)   => colPaths(ch)
+      case FuncCall(_, as)    => as.flatMap(colPaths)
+      case CaseWhen(bs, e) =>
+        bs.flatMap { case (w, v) => colPaths(w) ++ colPaths(v) } ++
+          e.toSeq.flatMap(colPaths)
+      case WindowFn(_, a, pb, ob) =>
+        a.toSeq.flatMap(colPaths) ++ pb.flatMap(colPaths) ++
+          ob.flatMap { case (oc, _) => colPaths(oc) }
       case _                  => Seq.empty
     }
+    def blockExprs(q: SqlQuery): Seq[Col] =
+      q.select.map(_.expr) ++ q.where ++ q.groupBy ++ q.having ++
+        q.orderBy.map(_._1) ++ q.joins.map(_.on)
     def blockPaths(q: SqlQuery): Seq[String] =
       (q.from +: q.joins.map(_.table)).flatMap(refPaths) ++
-        q.where.toSeq.flatMap(wherePaths)
+        blockExprs(q).flatMap(colPaths)
     def compoundPaths(c: CompoundQuery): Seq[String] =
       (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
@@ -108,7 +124,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
   def plan(q: SqlQuery): GraftFrame = plan(q, Map.empty)
 
-  private def plan(q: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
+  private def plan(q0: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
+    // scalar subqueries evaluate ONCE at plan time (bounded single-value
+    // collect) and substitute as literals before anything compiles
+    val q = q0.copy(
+      select = q0.select.map(i => i.copy(expr = resolveScalars(i.expr, scope))),
+      where = q0.where.map(resolveScalars(_, scope)),
+      groupBy = q0.groupBy.map(resolveScalars(_, scope)),
+      having = q0.having.map(resolveScalars(_, scope)),
+      orderBy = q0.orderBy.map { case (c, a) => (resolveScalars(c, scope), a) },
+      joins = q0.joins.map(j => j.copy(on = resolveScalars(j.on, scope))))
     // a FROM/JOIN target is a derived table (planned under the enclosing
     // CTE scope), or resolves against the scope first, then disk
     def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
@@ -215,6 +240,48 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     while (frame.df.columns.contains(name)) name += "_"
     val right = GraftFrame.fromDF(planned.df.select(planned.df.col(cols(0)).as(name)))
     frame.join(right, e === ColRef(name), if (anti) "left_anti" else "left_semi")
+  }
+
+  /** Replace every [[ScalarSubquery]] with the literal it evaluates to:
+    * plan the subquery under the enclosing CTE scope, demand exactly one
+    * column, take 2 rows to prove there is exactly one (never an
+    * unbounded collect), and inline the value. Empty → loud error
+    * rather than SQL's NULL (null-free world, [[Col.ScalarSubquery]]).
+    * Does NOT descend into [[InSubquery]]/derived-table compounds —
+    * their own plan() pass substitutes their blocks. */
+  private def resolveScalars(c: Col, scope: Map[String, GraftFrame]): Col = c match {
+    case ScalarSubquery(sub) =>
+      val planned = evalCompound(sub, scope)
+      if (planned.df.columns.length != 1)
+        throw new SemanticError(
+          s"Scalar subquery must produce one column, got ${planned.df.columns.length}")
+      val rows = planned.df.take(2)
+      if (rows.isEmpty)
+        throw new SemanticError("Scalar subquery returned no rows")
+      if (rows.length > 1)
+        throw new SemanticError("Scalar subquery returned more than one row")
+      rows(0).get(0) match {
+        case null => throw new SemanticError("Scalar subquery returned NULL")
+        case t: java.time.Instant => Lit(java.sql.Timestamp.from(t))
+        case v => Lit(v)
+      }
+    case Alias(ch, n)    => Alias(resolveScalars(ch, scope), n)
+    case BinOp(o, l, r)  => BinOp(o, resolveScalars(l, scope), resolveScalars(r, scope))
+    case Not(ch)         => Not(resolveScalars(ch, scope))
+    case Like(ch, p)     => Like(resolveScalars(ch, scope), p)
+    case Cast(ch, d)     => Cast(resolveScalars(ch, scope), d)
+    case IsNull(ch)      => IsNull(resolveScalars(ch, scope))
+    case AggCol(f, ch, n) => AggCol(f, resolveScalars(ch, scope), n)
+    case FuncCall(f, as) => FuncCall(f, as.map(resolveScalars(_, scope)))
+    case CaseWhen(bs, e) =>
+      CaseWhen(bs.map { case (w, v) =>
+        (resolveScalars(w, scope), resolveScalars(v, scope)) },
+        e.map(resolveScalars(_, scope)))
+    case WindowFn(f, a, pb, ob) =>
+      WindowFn(f, a.map(resolveScalars(_, scope)), pb.map(resolveScalars(_, scope)),
+        ob.map { case (oc, asc) => (resolveScalars(oc, scope), asc) })
+    case InSubquery(e, sub) => InSubquery(resolveScalars(e, scope), sub)
+    case other           => other
   }
 
   private def containsInSubquery(c: Col): Boolean = c match {

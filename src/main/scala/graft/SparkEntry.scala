@@ -1306,6 +1306,18 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- scalar subqueries through the SQL dialect front-end
+    //      (extension §2.5): the TPC-H Q17 shape — small-order filter
+    //      bound derived from a global aggregate, membership from a
+    //      part-table subquery; the scalar inlines at plan time ----
+    "q119_sql_scalar_subquery" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+          |FROM lineitem
+          |WHERE l_partkey IN (SELECT p_partkey FROM part
+          |                    WHERE p_brand = 'Brand#13')
+          |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem)""".stripMargin).df),
+
     // ---- IN (SELECT ...) through the SQL dialect front-end (extension
     //      §2.5): a semi-join membership predicate AND an anti-join
     //      NOT IN in one query — planned as left_semi/left_anti, never
@@ -2313,6 +2325,15 @@ object SparkEntry {
         |SELECT doc_id, round(sum(ts), 6) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the uncorrelated Q17 shape: DuckDB computes the same scalar bound
+    // and membership set
+    "q119_sql_scalar_subquery" ->
+      """SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                    WHERE p_brand = 'Brand#13')
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem)""".stripMargin,
 
     // DuckDB's IN/NOT IN over null-free columns match the semi/anti
     // reading exactly

@@ -117,6 +117,14 @@ object Col {
     * reference's world has no nulls); standard SQL's null-poisoned
     * NOT IN semantics are deliberately not reproduced. */
   final case class InSubquery(expr: Col, subquery: graft.sql.CompoundQuery) extends Col
+  /** `(SELECT <one value>)` scalar subquery (extension). The engine
+    * evaluates it at PLAN time — one bounded driver value, the SQL
+    * analog of `Similarity.trainCentroids`' k·dim collect — and
+    * substitutes the literal before compilation, so [[compileNode]]
+    * never sees one. Exactly one column and one row required; an empty
+    * result raises instead of yielding SQL's NULL (the engine's world
+    * is null-free). */
+  final case class ScalarSubquery(subquery: graft.sql.CompoundQuery) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -291,6 +299,10 @@ object Col {
       throw new IllegalArgumentException(
         "IN (SELECT ...) is only supported as a top-level AND conjunct " +
         "of WHERE (it plans as a semi/anti join, not a row expression)")
+    case ScalarSubquery(_) =>
+      throw new IllegalArgumentException(
+        "Scalar subquery escaped plan-time substitution — " +
+        "evaluate through the Engine, not Col.compile")
     case WindowFn(fn, arg, pb, ob) =>
       import org.apache.spark.sql.expressions.Window
       val base =

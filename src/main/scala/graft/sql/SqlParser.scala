@@ -456,7 +456,14 @@ object SqlParser {
           case _ => ColRef(n)
         }
       case TOp("(") =>
-        val e = parseOr(); expectOp(")"); e
+        peek match {
+          // scalar subquery: (SELECT <one value>) usable anywhere an
+          // expression is (extension; evaluated at plan time)
+          case TKw("SELECT") | TKw("WITH") =>
+            val sub = parseCompoundBody(); expectOp(")"); ScalarSubquery(sub)
+          case _ =>
+            val e = parseOr(); expectOp(")"); e
+        }
       case TKw("COUNT") =>
         expectOp("(")
         maybeOver(peek match {

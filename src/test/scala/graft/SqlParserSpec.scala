@@ -452,6 +452,35 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE color IN (SELECT color, quantity FROM fruits)").df)
   }
 
+  test("scalar subqueries: plan-time literal, anywhere an expression sits, cardinality errors (extension)") {
+    import graft.sql.SemanticError
+    val d = java.nio.file.Files.createTempDirectory("graft-scalar").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // WHERE: quantity above the global average (7+5+4+3+2)/5 = 4.2
+    val above = Engine(spark, d).sql(
+      "SELECT fruit, quantity FROM fruits WHERE quantity > (SELECT AVG(quantity) FROM fruits)")
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(above == Set(("banana", 7), ("banana", 5)))
+    // SELECT position + arithmetic over the inlined value
+    val rel = Engine(spark, d).sql(
+      "SELECT fruit, quantity / (SELECT MAX(quantity) FROM fruits) AS frac FROM fruits WHERE quantity = 7")
+      .df.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rel.toSeq == Seq(("banana", 1.0)))
+    // enclosing CTEs visible inside
+    val viaCte = Engine(spark, d).sql(
+      """WITH caps AS (SELECT MAX(quantity) AS m FROM fruits)
+        |SELECT fruit FROM fruits WHERE quantity = (SELECT m FROM caps)""".stripMargin)
+      .df.collect().map(_.getString(0)).toSeq
+    assert(viaCte == Seq("banana"))
+    // cardinality violations are loud: >1 row, 0 rows, 2 columns
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE quantity = (SELECT quantity FROM fruits)").df)
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE quantity = (SELECT quantity FROM fruits WHERE quantity > 99)").df)
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE quantity = (SELECT fruit, quantity FROM fruits)").df)
+  }
+
   test("a CTE referenced twice is staged: one source scan, correct self-join") {
     val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
