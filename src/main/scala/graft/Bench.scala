@@ -87,7 +87,9 @@ object Bench {
       // second corpus-stats wave: two-level shuffle rank, unigram model
       // scoring (staged tf), content-defined chunking (narrow)
       "q103_shuffle_rank", "q106_unigram_nll", "q110_cdc_chunks",
-      "q112_bloom_decontaminate", "q113_bucketed_join")
+      "q112_bloom_decontaminate", "q113_bucketed_join",
+      // retrieval + dialect subquery representative
+      "q115_bm25", "q118_sql_in_subquery")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

@@ -103,7 +103,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       }
     }
     var out = if (acc == null) term else setOp(acc, accOp._1, accOp._2, term)
-    if (cq.orderBy.nonEmpty) out = out.sort(cq.orderBy)
+    if (cq.orderBy.nonEmpty)
+      // compound-level ORDER BY is an expression position too — scalar
+      // subqueries in it substitute like per-block ones
+      out = out.sort(cq.orderBy.map { case (c, a) => (resolveScalars(c, scope), a) })
     cq.limit.foreach(n => out = out.limit(n))
     out
   }

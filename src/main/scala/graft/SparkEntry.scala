@@ -1306,6 +1306,23 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- corpus snapshot diff: classify ids across two corpus
+    //      versions (added/removed/changed/unchanged by content
+    //      fingerprint) — the incremental-pipeline primitive; both
+    //      versions derived deterministically from `documents` so the
+    //      oracle replays the exact scenario ----
+    "q120_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldV = docs.filter(F.col("doc_id") % 5 =!= 0)
+      val newV = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 3 === 0,
+              F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).as("text"))
+      Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+        .select(F.col("id").as("doc_id"), F.col("status"))
+    }),
+
     // ---- scalar subqueries through the SQL dialect front-end
     //      (extension §2.5): the TPC-H Q17 shape — small-order filter
     //      bound derived from a global aggregate, membership from a
@@ -2325,6 +2342,26 @@ object SparkEntry {
         |SELECT doc_id, round(sum(ts), 6) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // same derived old/new versions, same normalized-content fingerprint
+    // (q26's md5 form), full-outer null-pattern classification
+    "q120_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+        |newv AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 0),
+        |ofp AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+        |  FROM oldv),
+        |nfp AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+        |  FROM newv)
+        |SELECT coalesce(ofp.doc_id, nfp.doc_id) AS doc_id,
+        |  CASE WHEN ofp.doc_id IS NULL THEN 'added'
+        |       WHEN nfp.doc_id IS NULL THEN 'removed'
+        |       WHEN ofp.fp = nfp.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id""".stripMargin,
 
     // the uncorrelated Q17 shape: DuckDB computes the same scalar bound
     // and membership set

@@ -695,6 +695,32 @@ object Dedup {
         F.lit(sketch), F.col("g"))))
   }
 
+  /** Corpus SNAPSHOT DIFF: classify every document id across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` — the
+    * primitive behind incremental pipelines (recompute signals only for
+    * added+changed docs, retire removed ones) and dataset release notes.
+    *
+    * Scale shape: each side reduces to (id, fingerprint) — the same
+    * 16-byte normalized-content digest [[exact]] dedups on — so the
+    * full-outer join shuffles digests, never document bodies; the
+    * classification is a null-pattern CASE, pure narrow. Cost: two
+    * narrow scans + one id-keyed exchange per side, at any corpus size. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    def keyed(df: DataFrame, fp: String) =
+      df.select(F.col(idCol).as("id"),
+        TextAnalysis.fingerprint(F.col(textCol)).as(fp))
+    keyed(oldDf, "fp_old").join(keyed(newDf, "fp_new")
+        .withColumnRenamed("id", "id_new"),
+        F.col("id") === F.col("id_new"), "full_outer")
+      .select(
+        F.coalesce(F.col("id"), F.col("id_new")).as("id"),
+        F.when(F.col("fp_old").isNull, "added")
+          .when(F.col("fp_new").isNull, "removed")
+          .when(F.col("fp_old") === F.col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** CORPUS-WIDE duplicated-line statistics (cf. Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): for
     * each document, the fraction of its non-blank lines that occur more

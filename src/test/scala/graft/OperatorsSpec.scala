@@ -686,6 +686,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._1 == 2L)
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
+    val oldV = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "kept  EXACTLY"),   // whitespace/case-normalized match below
+      (4L, "soon gone")
+    ).toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, "alpha beta"),       // unchanged
+      (2L, "gamma delta EDITED"), // changed
+      (3L, "Kept exactly"),     // unchanged under fingerprint normalization
+      (5L, "brand new")         // added; 4 removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
   test("bloom decontamination equals the exact broadcast pipeline") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),
