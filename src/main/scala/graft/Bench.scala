@@ -137,6 +137,37 @@ object Bench {
     }
     tracer.drain()
 
+    // Bloom-decontamination scale probe: the q112 pipeline over the same
+    // 10×-replicated corpus as the LSH probe. The sketch build cost is
+    // FIXED (eval side unchanged); the corpus side is a narrow gram
+    // explode + codegen'd probe, so the probe should scale ~linearly in
+    // corpus rows with no blowup from the 10× duplicate mass — the
+    // measured form of "the bloom path is a scan, not a join".
+    val q112x10 = {
+      import org.apache.spark.sql.{functions => F}
+      def docs10 = {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        (0 until 10).map(i => d.select(
+          (F.col("doc_id") + F.lit(i.toLong * 1000000000L)).as("doc_id"),
+          F.col("text")))
+          .reduce(_.union(_))
+      }
+      def q = {
+        val all = docs10
+        graft.operators.Dedup.decontaminateBloom(
+          all.filter(F.col("doc_id") % 1000000000L >= 20), "text", "doc_id",
+          all.filter(F.col("doc_id") < 20), "text",
+          k = 2, minShared = 3)
+      }
+      sweepPersisted(spark)
+      System.gc()
+      execTime(q) // warmup
+      val runs = (1 to 3).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+      runs(1)
+    }
+    tracer.drain()
+
     val stageJson = new StringBuilder("{")
     val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
@@ -168,7 +199,8 @@ object Bench {
     stageJson.append("}")
 
     val flagship = results.head._2
-    val qjson = (results :+ ("q06_x10_6Mrows" -> x10) :+ ("q29_x10_50kdocs" -> q29x10))
+    val qjson = (results :+ ("q06_x10_6Mrows" -> x10) :+ ("q29_x10_50kdocs" -> q29x10)
+        :+ ("q112_x10_50kdocs" -> q112x10))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
     val json =

@@ -27,8 +27,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def table(ref: String): GraftFrame =
     GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
 
-  def sql(query: String): GraftFrame =
+  def sql(query: String): GraftFrame = {
+    // scalar-subquery memo is per-statement: a long-lived Engine (the
+    // shell) must not serve a stale collected value after the underlying
+    // table changed on disk
+    scalarCache.clear()
     evalCompound(SqlParser.parseCompound(query), Map.empty)
+  }
 
   /** Evaluate a compound under a CTE scope (name → planned frame).
     * WITH bindings are planned in declaration order, each seeing the
@@ -76,6 +81,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         blockExprs(q).flatMap(colPaths)
     def compoundPaths(c: CompoundQuery): Seq[String] =
       (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
+        c.orderBy.map(_._1).flatMap(colPaths) ++ // compound-level ORDER BY
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
     val mainPaths = (cq.head +: cq.tail.map(_._3)).flatMap(blockPaths)
     val scope = cq.ctes.zipWithIndex.foldLeft(outer) {
@@ -125,7 +131,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
     if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)
 
-  def plan(q: SqlQuery): GraftFrame = plan(q, Map.empty)
+  def plan(q: SqlQuery): GraftFrame = { scalarCache.clear(); plan(q, Map.empty) }
 
   private def plan(q0: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
     // scalar subqueries evaluate ONCE at plan time (bounded single-value
@@ -162,8 +168,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
     // standard SQL evaluates window functions AFTER grouping — a mixed
     // block would need post-aggregation window planning; reject loudly
-    // and point at the composable form (window over a derived table)
-    if (hasGrouping && q.select.exists(i => containsWindow(i.expr)))
+    // and point at the composable form (window over a derived table).
+    // Checked in EVERY expression position of the block (select, having,
+    // order/group by), not just the select list.
+    val groupedExprs = q.select.map(_.expr) ++ q.having ++ q.groupBy ++
+      q.orderBy.map(_._1)
+    if (hasGrouping && groupedExprs.exists(containsWindow))
       throw new GroupByError(
         "Window functions cannot appear in a grouped query block; " +
         "aggregate in a derived table or CTE, then window over it")
@@ -250,10 +260,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * column, take 2 rows to prove there is exactly one (never an
     * unbounded collect), and inline the value. Empty → loud error
     * rather than SQL's NULL (null-free world, [[Col.ScalarSubquery]]).
-    * Does NOT descend into [[InSubquery]]/derived-table compounds —
-    * their own plan() pass substitutes their blocks. */
+    * Textually repeated subqueries evaluate ONCE per scope
+    * ([[scalarCache]] — the AST is a case class, so structural equality
+    * keys the memo). Does NOT descend into [[InSubquery]]/derived-table
+    * compounds — their own plan() pass substitutes their blocks. */
+  private val scalarCache =
+    scala.collection.mutable.Map.empty[(CompoundQuery, Map[String, GraftFrame]), Col]
+
   private def resolveScalars(c: Col, scope: Map[String, GraftFrame]): Col = c match {
     case ScalarSubquery(sub) =>
+      scalarCache.getOrElseUpdate((sub, scope), {
       val planned = evalCompound(sub, scope)
       if (planned.df.columns.length != 1)
         throw new SemanticError(
@@ -266,8 +282,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       rows(0).get(0) match {
         case null => throw new SemanticError("Scalar subquery returned NULL")
         case t: java.time.Instant => Lit(java.sql.Timestamp.from(t))
+        case d: java.time.LocalDate => Lit(java.sql.Date.valueOf(d))
+        case d: java.math.BigDecimal => Lit(scala.math.BigDecimal(d))
         case v => Lit(v)
       }
+      })
     case Alias(ch, n)    => Alias(resolveScalars(ch, scope), n)
     case BinOp(o, l, r)  => BinOp(o, resolveScalars(l, scope), resolveScalars(r, scope))
     case Not(ch)         => Not(resolveScalars(ch, scope))
@@ -300,6 +319,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       bs.exists { case (w, v) => containsInSubquery(w) || containsInSubquery(v) } ||
         e.exists(containsInSubquery)
+    case WindowFn(_, a, pb, ob) =>
+      a.exists(containsInSubquery) || pb.exists(containsInSubquery) ||
+        ob.exists { case (oc, _) => containsInSubquery(oc) }
     case _               => false
   }
 

@@ -181,6 +181,13 @@ object Col {
     case s: String     => (F.lit(s), StringType)
     case b: Boolean    => (F.lit(b), BooleanType)
     case t: Timestamp  => (F.lit(t), TimestampType)
+    case d: java.sql.Date => (F.lit(d), DateType)
+    // max(precision, scale) mirrors Spark's DecimalType.fromBigDecimal
+    // (BigDecimal("0.01") has precision 1 < scale 2)
+    case bd: scala.math.BigDecimal =>
+      (F.lit(bd), DecimalType(math.max(bd.precision, bd.scale), bd.scale))
+    case bd: java.math.BigDecimal =>
+      (F.lit(bd), DecimalType(math.max(bd.precision, bd.scale), bd.scale))
     case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
   }
 

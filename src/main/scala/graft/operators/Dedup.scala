@@ -676,6 +676,19 @@ object Dedup {
       .filter(F.col(evalTextCol).rlike("\\S"))
       .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
       .distinct()
+    // BloomFilterAggregate silently caps its parameters at the session's
+    // runtime-filter conf limits (4M items / 64 Mbit by default) — at the
+    // 10⁸-gram scale this function exists for, a silently-clamped sketch
+    // would have a far worse false-positive rate than requested and the
+    // confirm join would degrade toward a full gram shuffle. Raise the
+    // caps to the caller's request so the parameters MEAN what they say.
+    val conf = corpus.sparkSession.conf
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedGrams,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (key, wanted) =>
+        val current = try conf.get(key).toLong catch { case _: Exception => 0L }
+        if (current < wanted) conf.set(key, wanted.toString)
+      }
     val sketch = evalGrams
       .agg(F.call_function("bloom_agg", F.col("g"),
         F.lit(expectedGrams), F.lit(numBits)).as("bf"))

@@ -732,6 +732,14 @@ class OperatorsSpec extends SparkSpec {
     val none = Dedup.decontaminateBloom(
       corpus, "text", "doc_id", eval.filter(F.col("doc_id") < 0), "text")
     assert(none.count() == 0)
+    // parameters ABOVE the session's runtime-filter caps (default 4M
+    // items / 64 Mbit) still work and stay exact — the conf raise is
+    // what makes the 10^8-gram sizing story real
+    val big = collect(Dedup.decontaminateBloom(
+      corpus, "text", "doc_id", eval, "text", k = 3, minShared = 1,
+      expectedGrams = 8000000L, numBits = 80000000L))
+    assert(big == collect(Dedup.decontaminate(
+      corpus, "text", "doc_id", eval, "text", k = 3, minShared = 1)))
     // the native pair is registered in this session
     assert(spark.catalog.functionExists("bloom_agg"))
     assert(spark.catalog.functionExists("bloom_might_contain"))

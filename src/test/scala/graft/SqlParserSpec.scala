@@ -413,6 +413,11 @@ class SqlParserSpec extends SparkSpec {
     assertThrows[graft.sql.GroupByError](
       Engine(spark, d).sql(
         "SELECT color, SUM(quantity) AS q, row_number() OVER (ORDER BY color) AS rn FROM fruits GROUP BY color").df)
+    // the guard covers EVERY expression position of the grouped block,
+    // not just the select list
+    assertThrows[graft.sql.GroupByError](
+      Engine(spark, d).sql(
+        "SELECT color, SUM(quantity) AS q FROM fruits GROUP BY color ORDER BY row_number() OVER (ORDER BY color)").df)
   }
 
   test("IN (SELECT ...): semi/anti joins, CTE scope inside, invalid placements raise (extension)") {
