@@ -1306,6 +1306,28 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- decontamination AT INGEST: the q77 check as a streaming
+    //      foreachBatch pass over a file-source corpus stream against a
+    //      static eval set — per-document statistic, so per-batch
+    //      evaluation IS the batch semantics; the oracle is the exact
+    //      batch replay ----
+    "q121_stream_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_decon")
+      val docs = t(s, dir, "documents")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging)
+        .filter(F.col("doc_id") >= 20)
+      val q = Streams.decontaminateToParquet(
+        stream, "text", "doc_id",
+        docs.filter(F.col("doc_id") < 20), "text",
+        s"$staging/out", s"$staging/ckpt",
+        k = 3, minShared = 4)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging/out")
+        .select(F.col("id").as("doc_id"), F.col("n_shared"))
+    }),
+
     // ---- corpus snapshot diff: classify ids across two corpus
     //      versions (added/removed/changed/unchanged by content
     //      fingerprint) — the incremental-pipeline primitive; both
@@ -2342,6 +2364,25 @@ object SparkEntry {
         |SELECT doc_id, round(sum(ts), 6) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q77's gram replay at minShared=4 — the streaming foreachBatch pass
+    // must land exactly the batch result
+    "q121_stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, count(*) AS n_shared
+        |  FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 4""".stripMargin,
 
     // same derived old/new versions, same normalized-content fingerprint
     // (q26's md5 form), full-outer null-pattern classification

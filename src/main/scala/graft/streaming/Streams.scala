@@ -290,6 +290,28 @@ object Streams {
     if (dedupPairs) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 
+  /** Decontamination AT INGEST: run [[graft.operators.Dedup.decontaminate]]
+    * per micro-batch against a STATIC eval set, appending flagged
+    * (id, n_shared) rows to parquet. `n_shared` is a PER-DOCUMENT
+    * statistic over the static gram set, so per-batch evaluation is
+    * exactly the batch semantics regardless of how the micro-batcher
+    * splits the stream (each document's grams arrive together) — zero
+    * stream state, no watermark, and the batch operator is reused
+    * verbatim, which is what lets one oracle gate both paths. The
+    * contamination check thus happens BEFORE a document ever lands in
+    * the corpus instead of as an after-the-fact sweep. */
+  def decontaminateToParquet(docs: DataFrame, textCol: String, idCol: String,
+                             evalSet: DataFrame, evalTextCol: String,
+                             outPath: String, checkpoint: String,
+                             k: Int = 3, minShared: Int = 2): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .decontaminate(batch, textCol, idCol, evalSet, evalTextCol, k, minShared)
+          .write.mode("append").parquet(outPath)
+      }
+
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
   def readParquetStream(spark: SparkSession, path: String): DataFrame = {

@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination lands exactly the batch result across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val evalSet = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (20L, "alpha beta gamma delta words here"), // overlap: 2 grams
+      (21L, "alpha beta gamma delta epsilon more"), // overlap: 3 grams
+      (22L, "nothing shared at all in this one"))
+    val d = Files.createTempDirectory("graft-stream-decon").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").as("text"))
+    val q = Streams.decontaminateToParquet(
+      docs, "text", "doc_id", evalSet, "text",
+      s"$d/out", s"$d/ckpt", k = 3, minShared = 2).start()
+    try {
+      stream.addData(corpusRows.take(1): _*) // doc 20 alone in batch 1
+      q.processAllAvailable()
+      stream.addData(corpusRows.drop(1): _*) // 21 and 22 in batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$d/out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dedup.decontaminate(
+      corpusRows.toDF("doc_id", "text"), "text", "doc_id",
+      evalSet, "text", k = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.contains(20L) && streamed.contains(21L) && !streamed.contains(22L))
+  }
+
   test("streaming near-dup candidates carry bucket state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
