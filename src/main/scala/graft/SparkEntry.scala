@@ -46,6 +46,16 @@ object SparkEntry {
       (0 until 64).map(j =>
         ((i * 73856093 + j * 19349663) % 1000) / 1000.0 - 0.5).toSeq)
 
+  /** Product-quantization codebooks for q122 — 4 subspaces × 16 codes ×
+    * 16 dims of deterministic literals, shared verbatim by the Spark
+    * query and the DuckDB oracle (the [[ivfCentroids]] pattern; real
+    * deployments train these with [[graft.operators.Similarity.trainCentroids]]
+    * per subspace). */
+  private val pqCodebooks: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(s => (0 until 16).map(c => (0 until 16).map(j =>
+      (((s * 31 + c) * 73856093L + j * 19349663L) % 1000) / 1000.0 - 0.5)
+      .toSeq).toSeq)
+
   /** Random hyperplanes for q31 — deterministic literals (seeded LCG),
     * replayed verbatim by the DuckDB oracle. */
   private val q31Planes: Seq[Seq[Double]] = Dedup.hyperplanes(numPlanes = 8, dim = 64)
@@ -1306,6 +1316,18 @@ object SparkEntry {
           |  SUM(CASE l_linestatus WHEN 'O' THEN l_quantity ELSE 0 END) AS qty_open
           |FROM lineitem GROUP BY l_returnflag""".stripMargin).df),
 
+    // ---- product-quantization ANN: encode vectors to 4 subspace codes,
+    //      serve top-k by asymmetric distance (LUT lookups, no per-row
+    //      float math) — the compressed-index path that holds billions
+    //      of vectors; oracle replays codes + LUT + ADC exactly ----
+    "q122_knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqTopKAdc(emb, "embedding", "vec_id", q, pqCodebooks, k = 10)
+        .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
+    }),
+
     // ---- decontamination AT INGEST: the q77 check as a streaming
     //      foreachBatch pass over a file-source corpus stream against a
     //      static eval set — per-document statistic, so per-batch
@@ -1749,6 +1771,7 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+    "q122_knn_pq" -> pqOracleSql(pqCodebooks, k = 10),
 
     // same algorithm as q33, different execution path (partition-pruned
     // scan over the bucketed layout) — same oracle by construction
@@ -2921,6 +2944,49 @@ object SparkEntry {
     * centroids, same argmax bucket assignment (ties to the higher index,
     * matching `greatest` over (score, index) structs), same nprobe probe
     * selection (ties to the lower index, matching a stable sort). */
+  /** Full PQ replay: code assignment (argmin by (d, c) — the same tie
+    * rule as Spark's struct-least), the query's LUT from the identical
+    * codebook literals, and the ADC sum in FIXED subspace order
+    * (l0+l1+...: bit-identical to the Spark fold). */
+  private def pqOracleSql(codebooks: Seq[Seq[Seq[Double]]], k: Int): String = {
+    val m = codebooks.length
+    val subdim = codebooks.head.head.length
+    val cbVals = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, i) => s"($s, $i, ${sqlArray(c)})" }
+    }.mkString(",\n    ")
+    val pivots = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN c END) AS c$s").mkString(",\n    ")
+    val lutJoins = (0 until m)
+      .map(s => s"JOIN lut l$s ON l$s.s = $s AND l$s.c = pv.c$s").mkString("\n  ")
+    val adcSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cb AS (SELECT * FROM (VALUES
+       |    $cbVals) t(s, c, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dists AS (SELECT e.vec_id, cb.s, cb.c,
+       |    list_sum(list_transform(range($subdim), j ->
+       |      (v[cb.s * $subdim + j + 1] - cv[j + 1])
+       |        * (v[cb.s * $subdim + j + 1] - cv[j + 1]))) AS d
+       |  FROM e, cb),
+       |codes AS (SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |lut AS (SELECT cb.s, cb.c,
+       |    list_sum(list_transform(range($subdim), j ->
+       |      (qv[cb.s * $subdim + j + 1] - cv[j + 1])
+       |        * (qv[cb.s * $subdim + j + 1] - cv[j + 1]))) AS ld
+       |  FROM cb, q),
+       |pv AS (SELECT vec_id,
+       |    $pivots
+       |  FROM codes GROUP BY vec_id),
+       |adc AS (SELECT pv.vec_id, $adcSum AS dist_raw
+       |  FROM pv
+       |  $lutJoins)
+       |SELECT vec_id, round(dist_raw, 6) AS dist FROM adc
+       |ORDER BY dist_raw, vec_id LIMIT $k""".stripMargin
+  }
+
   private def ivfOracleSql(centroids: Seq[Seq[Double]], k: Int, nprobe: Int): String = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       s"list_dot_product(v, ${sqlArray(c)}) AS s$i"

@@ -139,6 +139,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Squared L2 distance of two numeric arrays — the PQ metric. Fold is
+    * element-order left-to-right in double precision, so a differential
+    * oracle replays it bit-for-bit. */
+  def sqDist(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x: Column, y: Column) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      F.lit(0.0),
+      (acc: Column, x: Column) => acc + x)
+
+  /** PRODUCT-QUANTIZATION codes of a vector (Jégou et al., FAISS-style):
+    * split the vector into `m` contiguous subspaces and store, per
+    * subspace, the index of the nearest codebook entry by squared L2
+    * (ties → lowest index, via the struct-least trick [[ivfBucket]]
+    * uses for argmax). A 64-dim float vector (256 bytes) compresses to
+    * `m` small ints — the memory trick that lets an ANN index hold
+    * billions of vectors. Codebooks are literals (train offline or via
+    * [[trainCentroids]] per subspace), so encoding is a pure narrow map
+    * in codegen — the same zero-state scale shape as [[ivfBucket]]. */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subdim = codebooks.head.head.length
+    F.array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = F.slice(vec.cast("array<double>"), s * subdim + 1, subdim)
+      F.least(cb.zipWithIndex.map { case (c, i) =>
+        F.struct(sqDist(sub, F.array(c.map(F.lit): _*)).as("d"), F.lit(i).as("i"))
+      }: _*).getField("i")
+    }: _*)
+  }
+
+  /** ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes: the
+    * query builds an `m × k` lookup table of exact sub-distances
+    * driver-side (m·k doubles — bounded), and every corpus vector's
+    * approximate distance is `m` table lookups summed in subspace order
+    * — no per-row float arithmetic at all, the classic PQ serving scan.
+    * Encoding happens in-flight here; at corpus scale store
+    * `pqCodes(...)` once and scan the codes column (≥ 30× less I/O than
+    * raw vectors). Returns (id, dist) ascending, ties by id — fully
+    * deterministic, so a differential oracle replays the exact k-set. */
+  def pqTopKAdc(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+                k: Int): DataFrame = {
+    val m = codebooks.length
+    val subdim = codebooks.head.head.length
+    require(query.length == m * subdim,
+      s"query dim ${query.length} != m*subdim ${m * subdim}")
+    val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { code =>
+        var acc = 0.0
+        var j = 0
+        while (j < subdim) {
+          val d = query(s * subdim + j) - code(j); acc += d * d; j += 1
+        }
+        acc
+      }
+    }
+    val lutLit = F.array(lut.map(row => F.array(row.map(F.lit): _*)): _*)
+    val dist = graft.functions.ExprUtils.let(pqCodes(F.col(vecCol), codebooks)) {
+      codes =>
+        (0 until m).map { s =>
+          F.element_at(F.element_at(lutLit, s + 1),
+            F.element_at(codes, s + 1) + 1)
+        }.reduce(_ + _) // fixed subspace order: bit-identical to the oracle
+    }
+    df.select(F.col(idCol), dist.as("dist"))
+      .orderBy(F.col("dist").asc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** In-engine k-means training for IVF centroids — replaces the "trained
     * offline" assumption with a distributed Lloyd's iteration:
     * assignment is the same per-row [[ivfBucket]] expression the serving

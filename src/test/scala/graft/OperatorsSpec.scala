@@ -686,6 +686,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._1 == 2L)
   }
 
+  test("PQ codes and ADC top-k: hand-computed codes, distances, tie-break") {
+    // 2 subspaces × 1 dim, 2 codes each: everything computable by hand
+    val cbs: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0), Seq(1.0)), Seq(Seq(0.0), Seq(2.0)))
+    val vecs = Seq(
+      (1L, Seq(0.9f, 1.9f)), // codes (1,1): nearest 1.0 then 2.0
+      (2L, Seq(0.1f, 0.1f)), // codes (0,0)
+      (3L, Seq(0.5f, 0.9f))  // sub0 tie (0.25 vs 0.25) → lowest index 0; sub1 → 0
+    ).toDF("vec_id", "embedding")
+    val codes = vecs
+      .select(F.col("vec_id"), Similarity.pqCodes(F.col("embedding"), cbs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == Map(1L -> Seq(1, 1), 2L -> Seq(0, 0), 3L -> Seq(0, 0)))
+    val top = Similarity.pqTopKAdc(vecs, "embedding", "vec_id",
+      query = Seq(1.0, 2.0), cbs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ADC: lut = [[1, 0], [4, 0]]
+    //   id 1 codes (1,1) → 0 + 0 = 0
+    //   id 2 codes (0,0) → 1 + 4 = 5
+    //   id 3 codes (0,0) → 1 + 4 = 5 (tie with 2 → id ascending)
+    assert(top.toSeq == Seq((1L, 0.0), (2L, 5.0), (3L, 5.0)))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
     val oldV = Seq(
       (1L, "alpha beta"),
