@@ -1328,6 +1328,17 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
     }),
 
+    // ---- IVF-PQ: bucket pruning + compressed ADC scan composed — the
+    //      production serving config; oracle replays both stages ----
+    "q123_knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqTopKIvf(emb, "embedding", "vec_id", q,
+        ivfCentroids, pqCodebooks, k = 10, nprobe = 2)
+        .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
+    }),
+
     // ---- decontamination AT INGEST: the q77 check as a streaming
     //      foreachBatch pass over a file-source corpus stream against a
     //      static eval set — per-document statistic, so per-batch
@@ -1772,6 +1783,8 @@ object SparkEntry {
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
     "q122_knn_pq" -> pqOracleSql(pqCodebooks, k = 10),
+    "q123_knn_ivfpq" ->
+      pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
 
     // same algorithm as q33, different execution path (partition-pruned
     // scan over the bucketed layout) — same oracle by construction
@@ -2947,8 +2960,11 @@ object SparkEntry {
   /** Full PQ replay: code assignment (argmin by (d, c) — the same tie
     * rule as Spark's struct-least), the query's LUT from the identical
     * codebook literals, and the ADC sum in FIXED subspace order
-    * (l0+l1+...: bit-identical to the Spark fold). */
-  private def pqOracleSql(codebooks: Seq[Seq[Seq[Double]]], k: Int): String = {
+    * (l0+l1+...: bit-identical to the Spark fold). `ivfPrune` (q123)
+    * prepends the q33 bucket-assignment replay so the scan covers only
+    * the query's nprobe cells. */
+  private def pqOracleSql(codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                          ivfPrune: Option[(Seq[Seq[Double]], Int)] = None): String = {
     val m = codebooks.length
     val subdim = codebooks.head.head.length
     val cbVals = codebooks.zipWithIndex.flatMap { case (cb, s) =>
@@ -2959,10 +2975,35 @@ object SparkEntry {
     val lutJoins = (0 until m)
       .map(s => s"JOIN lut l$s ON l$s.s = $s AND l$s.c = pv.c$s").mkString("\n  ")
     val adcSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
+    // corpus CTE: the full table, or the q33-style IVF bucket replay
+    // (identical argmax CASE + nprobe probe) filtered to probed cells
+    val corpusCte = ivfPrune match {
+      case None =>
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+      case Some((centroids, nprobe)) =>
+        val scores = centroids.zipWithIndex.map { case (c, i) =>
+          s"list_dot_product(v0, ${sqlArray(c)}) AS s$i"
+        }.mkString(",\n    ")
+        val n = centroids.length
+        val argmax = "CASE " + (n - 1 to 1 by -1).map { i =>
+          val others = (0 until i).map(j => s"s$j").mkString(", ")
+          s"WHEN s$i >= greatest($others) THEN $i"
+        }.mkString(" ") + " ELSE 0 END"
+        val centVals = centroids.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlArray(c)})" }.mkString(", ")
+        s"""cd AS (SELECT * FROM (VALUES $centVals) t(i, cvec)),
+           |qb AS (SELECT i FROM cd, q ORDER BY list_dot_product(cvec, qv) DESC, i LIMIT $nprobe),
+           |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+           |es AS (SELECT vec_id, v0,
+           |    $scores
+           |  FROM e0),
+           |e AS (SELECT vec_id, v0 AS v FROM es
+           |  WHERE ($argmax) IN (SELECT i FROM qb)),""".stripMargin
+    }
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
        |cb AS (SELECT * FROM (VALUES
        |    $cbVals) t(s, c, cv)),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$corpusCte
        |dists AS (SELECT e.vec_id, cb.s, cb.c,
        |    list_sum(list_transform(range($subdim), j ->
        |      (v[cb.s * $subdim + j + 1] - cv[j + 1])

@@ -208,6 +208,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the standard production ANN serving config — IVF bucket
+    * pruning cuts the corpus to the query's `nprobe` nearest cells, and
+    * the survivors are scanned by PQ asymmetric distance
+    * ([[pqTopKAdc]]) instead of raw-vector math. At 100 TB: store codes
+    * partitioned by bucket ([[writeIvfBucketed]] on the coded frame) and
+    * the query touches nprobe/n of the corpus at ~1/30th the bytes per
+    * row. Composition of the two literal-driven expressions — still a
+    * pure narrow scan, zero state. */
+  def pqTopKIvf(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], centroids: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                nprobe: Int = 2): DataFrame = {
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
+    pqTopKAdc(
+      df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+        .filter(F.col("bucket").isin(queryBuckets: _*)),
+      vecCol, idCol, query, codebooks, k)
+  }
+
   /** In-engine k-means training for IVF centroids — replaces the "trained
     * offline" assumption with a distributed Lloyd's iteration:
     * assignment is the same per-row [[ivfBucket]] expression the serving

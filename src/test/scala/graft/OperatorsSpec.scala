@@ -707,6 +707,12 @@ class OperatorsSpec extends SparkSpec {
     //   id 2 codes (0,0) → 1 + 4 = 5
     //   id 3 codes (0,0) → 1 + 4 = 5 (tie with 2 → id ascending)
     assert(top.toSeq == Seq((1L, 0.0), (2L, 5.0), (3L, 5.0)))
+    // IVF-PQ probing EVERY cell is plain PQ (pruning is transparent)
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 2.0))
+    val pruned = Similarity.pqTopKIvf(vecs, "embedding", "vec_id",
+      query = Seq(1.0, 2.0), cents, cbs, k = 3, nprobe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.toSeq == top.toSeq)
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
