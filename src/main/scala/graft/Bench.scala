@@ -89,7 +89,9 @@ object Bench {
       "q103_shuffle_rank", "q106_unigram_nll", "q110_cdc_chunks",
       "q112_bloom_decontaminate", "q113_bucketed_join",
       // retrieval + dialect subquery representative
-      "q115_bm25", "q118_sql_in_subquery")
+      "q115_bm25", "q118_sql_in_subquery",
+      // compressed-index ANN serving paths
+      "q122_knn_pq", "q123_knn_ivfpq")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{functions => F}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, Pack, Scale}
+import graft.operators.{Dedup, Pack, Scale, Similarity}
 
 /** Scale-behavior specs: partition invariance, salting equivalence,
   * bucketed-join shuffle elimination, and scalacheck properties over the
@@ -460,6 +460,51 @@ class ScaleSpec extends SparkSpec {
       val norm = math.sqrt(v.map(x => x * x).sum)
       assert(math.abs(norm - 1.0) < 1e-5)
     }
+  }
+
+  test("property: corpusDiff statuses partition the id space; self-diff is all-unchanged") {
+    val texts = samples(Gen.listOfN(8, Gen.alphaNumStr), 40).flatten
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // self-diff: every id unchanged
+    val self = Dedup.corpusDiff(base, base, "text", "doc_id")
+      .collect().map(_.getString(1)).toSet
+    assert(self == Set("unchanged"))
+    // a mutated version: statuses cover ALL ids of both sides exactly once
+    val newV = base.filter(F.col("doc_id") % 3 =!= 0)
+      .select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 4 === 0, F.concat(F.col("text"), F.lit(" x")))
+          .otherwise(F.col("text")).as("text"))
+    val oldV = base.filter(F.col("doc_id") % 5 =!= 0)
+    val out = Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.map(_._1).distinct.length == out.length) // one status per id
+    val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val oldIds = oldV.collect().map(_.getLong(0)).toSet
+    val newIds = newV.collect().map(_.getLong(0)).toSet
+    assert(byStatus.getOrElse("added", Set.empty) == newIds -- oldIds)
+    assert(byStatus.getOrElse("removed", Set.empty) == oldIds -- newIds)
+    assert(out.map(_._1).toSet == (oldIds ++ newIds))
+  }
+
+  test("property: PQ codes bounded by codebook size; ADC distances non-negative") {
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1.0f, 1.0f))
+    val vecs = samples(vecGen, 30).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val cbs: Seq[Seq[Seq[Double]]] = (0 until 2).map(s =>
+      (0 until 4).map(c => (0 until 4).map(j =>
+        ((s + 1) * (c + 1) * (j + 2) % 7) / 7.0 - 0.5).toSeq).toSeq)
+    val codes = vecs
+      .select(Similarity.pqCodes(F.col("embedding"), cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    val q = samples(vecGen, 1).head.map(_.toDouble)
+    val top = Similarity.pqTopKAdc(vecs, "embedding", "vec_id", q, cbs, k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 30)
+    assert(top.forall(_._2 >= 0.0))
+    assert(top.map(_._2).sliding(2).forall(p => p(0) <= p(1))) // ascending
   }
 
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
