@@ -625,11 +625,26 @@ object Dedup {
     * (id, n_shared) for flagged documents only. */
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
                     evalSet: DataFrame, evalTextCol: String,
-                    k: Int = 3, minShared: Int = 2): DataFrame = {
-    val evalGrams = evalSet
+                    k: Int = 3, minShared: Int = 2): DataFrame =
+    decontaminateAgainstGrams(corpus, textCol, idCol,
+      evalGramsOf(evalSet, evalTextCol, k), minShared, k)
+
+  /** The eval set's distinct gram-hash frame — factored out so a
+    * long-running caller (the streaming ingest path) can derive it ONCE,
+    * persist it, and reuse it across micro-batches instead of rebuilding
+    * the static side per batch. */
+  private[graft] def evalGramsOf(evalSet: DataFrame, evalTextCol: String,
+                                 k: Int): DataFrame =
+    evalSet
       .filter(F.col(evalTextCol).rlike("\\S"))
       .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
       .distinct()
+
+  /** [[decontaminate]]'s corpus side against a prebuilt gram frame
+    * (single column `g`: long gram hashes, distinct per the eval set). */
+  private[graft] def decontaminateAgainstGrams(corpus: DataFrame, textCol: String,
+                                               idCol: String, evalGrams: DataFrame,
+                                               minShared: Int, k: Int = 3): DataFrame =
     spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
       .select(F.col(idCol).as("id"),
         F.explode(gramHashes(F.col(textCol), k)).as("g"))
@@ -637,7 +652,6 @@ object Dedup {
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_shared")) // grams distinct per doc
       .filter(F.col("n_shared") >= minShared)
-  }
 
   /** [[decontaminate]] with a BLOOM-FILTER prune — the scale path when
     * the eval-set gram list outgrows a broadcast hash join (a full eval

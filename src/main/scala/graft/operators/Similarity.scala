@@ -130,13 +130,22 @@ object Similarity {
   def topKIvf(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], centroids: Seq[Seq[Double]],
               k: Int, nprobe: Int = 2): DataFrame = {
-    val queryBuckets = probeBuckets(query, centroids, nprobe)
     val q = F.array(query.map(F.lit): _*)
-    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
-      .filter(F.col("bucket").isin(queryBuckets: _*))
+    pruneToProbed(df, vecCol, query, centroids, nprobe)
       .select(F.col(idCol), cosine(F.col(vecCol), q).as("score"))
       .orderBy(F.col("score").desc, F.col(idCol).asc)
       .limit(k)
+  }
+
+  /** The IVF prune shared by [[topKIvf]] and [[pqTopKIvf]]: keep only
+    * rows assigned to the query's `nprobe` nearest cells. One place, so
+    * the bucket-assignment contract (which the DuckDB oracles replay)
+    * cannot drift between the raw and compressed serving paths. */
+  private def pruneToProbed(df: DataFrame, vecCol: String, query: Seq[Double],
+                            centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
+    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .filter(F.col("bucket").isin(queryBuckets: _*))
   }
 
   /** Squared L2 distance of two numeric arrays — the PQ metric. Fold is
@@ -161,12 +170,23 @@ object Similarity {
     * in codegen — the same zero-state scale shape as [[ivfBucket]]. */
   def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val subdim = codebooks.head.head.length
-    F.array(codebooks.zipWithIndex.map { case (cb, s) =>
+    // ragged codebooks would mis-slice silently; check the shape loudly
+    require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == subdim)),
+      "pqCodes: every codebook entry must have the same sub-dimension")
+    val codes = F.array(codebooks.zipWithIndex.map { case (cb, s) =>
       val sub = F.slice(vec.cast("array<double>"), s * subdim + 1, subdim)
       F.least(cb.zipWithIndex.map { case (c, i) =>
         F.struct(sqDist(sub, F.array(c.map(F.lit): _*)).as("d"), F.lit(i).as("i"))
       }: _*).getField("i")
     }: _*)
+    // a short vector would slice to nulls, sqDist → null, and the
+    // struct-least would deterministically pick code 0 per subspace —
+    // a plausible-looking distance built from garbage. Fail the row
+    // loudly instead.
+    val dim = codebooks.length * subdim
+    F.when(F.size(vec) === dim, codes).otherwise(F.raise_error(F.concat(
+      F.lit(s"pqCodes: vector of length "), F.size(vec).cast("string"),
+      F.lit(s" does not match m*subdim = $dim"))))
   }
 
   /** ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes: the
@@ -219,13 +239,9 @@ object Similarity {
   def pqTopKIvf(df: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], centroids: Seq[Seq[Double]],
                 codebooks: Seq[Seq[Seq[Double]]], k: Int,
-                nprobe: Int = 2): DataFrame = {
-    val queryBuckets = probeBuckets(query, centroids, nprobe)
-    pqTopKAdc(
-      df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
-        .filter(F.col("bucket").isin(queryBuckets: _*)),
+                nprobe: Int = 2): DataFrame =
+    pqTopKAdc(pruneToProbed(df, vecCol, query, centroids, nprobe),
       vecCol, idCol, query, codebooks, k)
-  }
 
   /** In-engine k-means training for IVF centroids — replaces the "trained
     * offline" assumption with a distributed Lloyd's iteration:

@@ -303,14 +303,27 @@ object Streams {
   def decontaminateToParquet(docs: DataFrame, textCol: String, idCol: String,
                              evalSet: DataFrame, evalTextCol: String,
                              outPath: String, checkpoint: String,
-                             k: Int = 3, minShared: Int = 2): DataStreamWriter[Row] =
+                             k: Int = 3, minShared: Int = 2): DataStreamWriter[Row] = {
+    // the static side is derived and persisted ONCE — rebuilding the
+    // eval gram set per micro-batch would make batch latency track the
+    // (never-changing) eval harness size; the cache lives as long as
+    // the streaming query does
+    val evalGrams = graft.operators.Dedup
+      .evalGramsOf(evalSet, evalTextCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch directory + overwrite = idempotent replay: if the
+        // stream dies between the parquet commit and the checkpoint
+        // commit, the re-run batch OVERWRITES its own output instead of
+        // appending duplicates (exactly-once, like toParquetSink)
         graft.operators.Dedup
-          .decontaminate(batch, textCol, idCol, evalSet, evalTextCol, k, minShared)
-          .write.mode("append").parquet(outPath)
+          .decontaminateAgainstGrams(batch, textCol, idCol, evalGrams,
+            minShared, k)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
+  }
 
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
