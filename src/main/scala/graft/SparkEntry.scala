@@ -1339,6 +1339,22 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
     }),
 
+    // ---- IVF-PQ over the SERVING LAYOUT: codes stored partitioned by
+    //      bucket, query touches nprobe partitions and reads ONLY the
+    //      codes column (no vector I/O); same oracle as q123 — the
+    //      layout must be result-transparent ----
+    "q124_knn_pq_layout" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val path = stagingDir("graft_pq_codes") + "/codes"
+      Similarity.writeIvfPqCodes(emb, "embedding", "vec_id",
+        ivfCentroids, pqCodebooks, path)
+      Similarity.pqTopKFromCodes(s, path, "vec_id", q,
+        ivfCentroids, pqCodebooks, k = 10, nprobe = 2)
+        .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
+    }),
+
     // ---- decontamination AT INGEST: the q77 check as a streaming
     //      foreachBatch pass over a file-source corpus stream against a
     //      static eval set — per-document statistic, so per-batch
@@ -1784,6 +1800,9 @@ object SparkEntry {
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
     "q122_knn_pq" -> pqOracleSql(pqCodebooks, k = 10),
     "q123_knn_ivfpq" ->
+      pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
+    // the stored-codes layout must land the exact q123 result
+    "q124_knn_pq_layout" ->
       pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
 
     // same algorithm as q33, different execution path (partition-pruned

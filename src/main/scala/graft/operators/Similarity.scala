@@ -201,11 +201,25 @@ object Similarity {
   def pqTopKAdc(df: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
                 k: Int): DataFrame = {
+    val dist = graft.functions.ExprUtils.let(pqCodes(F.col(vecCol), codebooks)) {
+      codes => adcDist(codes, query, codebooks)
+    }
+    df.select(F.col(idCol), dist.as("dist"))
+      .orderBy(F.col("dist").asc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The query's exact sub-distance lookup table: lut(s)(c) =
+    * ‖q_sub(s) − codebook(s)(c)‖², computed driver-side (m·k doubles —
+    * bounded) in ascending element order so the oracle's replay is
+    * bit-identical. */
+  private def adcLut(query: Seq[Double],
+                     codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
     val m = codebooks.length
     val subdim = codebooks.head.head.length
     require(query.length == m * subdim,
       s"query dim ${query.length} != m*subdim ${m * subdim}")
-    val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+    codebooks.zipWithIndex.map { case (cb, s) =>
       cb.map { code =>
         var acc = 0.0
         var j = 0
@@ -215,15 +229,46 @@ object Similarity {
         acc
       }
     }
-    val lutLit = F.array(lut.map(row => F.array(row.map(F.lit): _*)): _*)
-    val dist = graft.functions.ExprUtils.let(pqCodes(F.col(vecCol), codebooks)) {
-      codes =>
-        (0 until m).map { s =>
-          F.element_at(F.element_at(lutLit, s + 1),
-            F.element_at(codes, s + 1) + 1)
-        }.reduce(_ + _) // fixed subspace order: bit-identical to the oracle
-    }
-    df.select(F.col(idCol), dist.as("dist"))
+  }
+
+  /** ADC distance of a PQ code array: m LUT lookups summed in fixed
+    * subspace order (bit-identical to the oracle's l0+l1+... chain). */
+  private def adcDist(codes: Column, query: Seq[Double],
+                      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val lutLit = F.array(adcLut(query, codebooks)
+      .map(row => F.array(row.map(F.lit): _*)): _*)
+    (0 until codebooks.length).map { s =>
+      F.element_at(F.element_at(lutLit, s + 1), F.element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The PQ SERVING LAYOUT: encode once, store (id, codes) partitioned
+    * by IVF bucket. A query then touches nprobe/n of the partitions
+    * (storage-level pruning, like [[writeIvfBucketed]]) and reads ONLY
+    * the codes column — for 64-dim float vectors that is ~16× less I/O
+    * per row before pruning even starts. This is how an index holds
+    * billions of vectors: raw embeddings never travel at query time. */
+  def writeIvfPqCodes(df: DataFrame, vecCol: String, idCol: String,
+                      centroids: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]], path: String): Unit =
+    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .select(F.col(idCol), F.col("bucket"),
+        pqCodes(F.col(vecCol), codebooks).as("codes"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Top-k over a [[writeIvfPqCodes]] layout: bucket predicate →
+    * partition pruning, then the ADC scan over stored codes — no vector
+    * arithmetic, no vector I/O. Same result as [[pqTopKIvf]] (one
+    * oracle gates both). */
+  def pqTopKFromCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, query: Seq[Double],
+                      centroids: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]],
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
+    spark.read.parquet(path)
+      .filter(F.col("bucket").isin(queryBuckets: _*))
+      .select(F.col(idCol), adcDist(F.col("codes"), query, codebooks).as("dist"))
       .orderBy(F.col("dist").asc, F.col(idCol).asc)
       .limit(k)
   }

@@ -496,6 +496,30 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("PQ codes layout: partition-pruned, vector-free scan, result-transparent") {
+    val emb = (0L until 40L)
+      .map(i => (i, Seq((i % 5).toFloat - 2f, (i % 3).toFloat, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0, 0.0))
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(-2.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 2.0)),
+      Seq(Seq(1.0, 0.5), Seq(0.0, 0.0), Seq(-1.0, 1.0)))
+    val query = Seq(1.0, 0.5, 0.5, 0.5)
+    val path = java.nio.file.Files.createTempDirectory("graft-pqlay").toString + "/codes"
+    Similarity.writeIvfPqCodes(emb, "embedding", "vec_id", centroids, cbs, path)
+    val fromCodes = Similarity.pqTopKFromCodes(spark, path, "vec_id", query,
+      centroids, cbs, k = 5, nprobe = 1)
+    val inflight = Similarity.pqTopKIvf(emb, "embedding", "vec_id", query,
+      centroids, cbs, k = 5, nprobe = 1)
+    assert(fromCodes.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inflight.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // partition-level pruning AND a vector-free read schema: the scan
+    // reads codes, never embeddings
+    val plan = fromCodes.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    assert(!plan.contains("embedding"), s"codes scan must not read vectors:\n$plan")
+  }
+
   test("native simhash64 matches the composable route bit-for-bit (both hash modes)") {
     val tricky = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
