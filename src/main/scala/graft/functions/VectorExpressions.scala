@@ -321,6 +321,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           Cast(children(0), LongType), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodesExpr].getName, "pq_codes"),
+      (children: Seq[Expression]) => {
+        // codebooks arrive as a foldable nested-array literal and move
+        // into expression STATE (not a child) — plan-processing cost
+        // must not scale with m·k·subdim (the BloomProbeExpr rationale)
+        val cbs = children(1) match {
+          case e if e.foldable =>
+            import org.apache.spark.sql.catalyst.util.ArrayData
+            e.eval().asInstanceOf[ArrayData].toObjectArray(
+              ArrayType(ArrayType(DoubleType))).map(
+              _.asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType)).map(
+                _.asInstanceOf[ArrayData].toDoubleArray()))
+          case other => throw new IllegalArgumentException(
+            s"pq_codes codebooks must be a literal nested array, got: $other")
+        }
+        PqCodesExpr(Cast(children(0), ArrayType(DoubleType)), cbs)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
+      (children: Seq[Expression]) => {
+        val lut = children(1) match {
+          case e if e.foldable =>
+            import org.apache.spark.sql.catalyst.util.ArrayData
+            e.eval().asInstanceOf[ArrayData].toObjectArray(
+              ArrayType(DoubleType)).map(
+              _.asInstanceOf[ArrayData].toDoubleArray())
+          case other => throw new IllegalArgumentException(
+            s"pq_adc lut must be a literal nested array, got: $other")
+        }
+        PqAdcExpr(Cast(children(0), ArrayType(IntegerType)), lut)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomProbeExpr].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => {

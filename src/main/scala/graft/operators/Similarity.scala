@@ -173,6 +173,25 @@ object Similarity {
     // ragged codebooks would mis-slice silently; check the shape loudly
     require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == subdim)),
       "pqCodes: every codebook entry must have the same sub-dimension")
+    // the native tight-loop expression when the session carries
+    // GraftExtensions: the composable tree ([[pqCodesComposable]]) is
+    // thousands of nodes at realistic (m, k) and falls out of
+    // WholeStageCodegen — see PqCodesExpr's scaladoc. The codebooks
+    // travel to the builder as a foldable nested-array literal and are
+    // unpacked into expression state at resolution time.
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("pq_codes")) {
+      val cbLit = F.array(codebooks.map(cb =>
+        F.array(cb.map(c => F.array(c.map(F.lit): _*)): _*)): _*)
+      F.call_function("pq_codes", vec.cast("array<double>"), cbLit)
+    } else pqCodesComposable(vec, codebooks)
+  }
+
+  /** The composable-expression twin of [[pqCodes]] — same codes
+    * bit-for-bit (parity-spec'd); kept as the no-custom-expression
+    * reference implementation. */
+  def pqCodesComposable(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subdim = codebooks.head.head.length
     val codes = F.array(codebooks.zipWithIndex.map { case (cb, s) =>
       val sub = F.slice(vec.cast("array<double>"), s * subdim + 1, subdim)
       F.least(cb.zipWithIndex.map { case (c, i) =>
@@ -182,7 +201,7 @@ object Similarity {
     // a short vector would slice to nulls, sqDist → null, and the
     // struct-least would deterministically pick code 0 per subspace —
     // a plausible-looking distance built from garbage. Fail the row
-    // loudly instead.
+    // loudly instead (the native path throws the equivalent error).
     val dim = codebooks.length * subdim
     F.when(F.size(vec) === dim, codes).otherwise(F.raise_error(F.concat(
       F.lit(s"pqCodes: vector of length "), F.size(vec).cast("string"),
@@ -201,13 +220,26 @@ object Similarity {
   def pqTopKAdc(df: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
                 k: Int): DataFrame = {
-    val dist = graft.functions.ExprUtils.let(pqCodes(F.col(vecCol), codebooks)) {
-      codes => adcDist(codes, query, codebooks)
-    }
+    val codes = pqCodes(F.col(vecCol), codebooks)
+    // native pq_adc consumes the codes child ONCE, so no let binding is
+    // needed and the projection stays inside WholeStageCodegen; the
+    // composable fallback references codes m times → let-bound
+    val dist =
+      if (df.sparkSession.catalog.functionExists("pq_adc"))
+        adcNative(codes, adcLut(query, codebooks))
+      else graft.functions.ExprUtils.let(codes) { c =>
+        adcDist(c, query, codebooks)
+      }
     df.select(F.col(idCol), dist.as("dist"))
       .orderBy(F.col("dist").asc, F.col(idCol).asc)
       .limit(k)
   }
+
+  /** The native ADC expression over a codes column (lut as expression
+    * state — see [[graft.functions.PqAdcExpr]]). */
+  private def adcNative(codes: Column, lut: Seq[Seq[Double]]): Column =
+    F.call_function("pq_adc", codes,
+      F.array(lut.map(row => F.array(row.map(F.lit): _*)): _*))
 
   /** The query's exact sub-distance lookup table: lut(s)(c) =
     * ‖q_sub(s) − codebook(s)(c)‖², computed driver-side (m·k doubles —
@@ -266,9 +298,14 @@ object Similarity {
                       codebooks: Seq[Seq[Seq[Double]]],
                       k: Int, nprobe: Int = 2): DataFrame = {
     val queryBuckets = probeBuckets(query, centroids, nprobe)
+    val dist =
+      if (spark.catalog.functionExists("pq_adc"))
+        adcNative(F.col("codes"), adcLut(query, codebooks))
+      else adcDist(F.col("codes"), query, codebooks) // plain column ref:
+      // referencing it m times re-reads a field, not a computation
     spark.read.parquet(path)
       .filter(F.col("bucket").isin(queryBuckets: _*))
-      .select(F.col(idCol), adcDist(F.col("codes"), query, codebooks).as("dist"))
+      .select(F.col(idCol), dist.as("dist"))
       .orderBy(F.col("dist").asc, F.col(idCol).asc)
       .limit(k)
   }

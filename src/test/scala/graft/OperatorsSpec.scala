@@ -737,6 +737,12 @@ class OperatorsSpec extends SparkSpec {
       query = Seq(1.0, 2.0), cents, cbs, k = 3, nprobe = cents.length)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(pruned.toSeq == top.toSeq)
+    // native tight-loop encoder ≡ composable tree, bit-for-bit
+    val both = vecs.select(
+        Similarity.pqCodes(F.col("embedding"), cbs).as("n"),
+        Similarity.pqCodesComposable(F.col("embedding"), cbs).as("c"))
+      .collect()
+    assert(both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
