@@ -90,8 +90,8 @@ object Bench {
       "q112_bloom_decontaminate", "q113_bucketed_join",
       // retrieval + dialect subquery representative
       "q115_bm25", "q118_sql_in_subquery",
-      // compressed-index ANN serving paths
-      "q122_knn_pq", "q123_knn_ivfpq")
+      // compressed-index ANN serving paths (in-flight, pruned, stored)
+      "q122_knn_pq", "q123_knn_ivfpq", "q124_knn_pq_layout")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's
