@@ -37,6 +37,27 @@ object PortableHash {
     val b = s.getBytes
     md5Hash60(b, 0, b.length)
   }
+
+  private val space = Array[Byte](' ')
+
+  /** md5Hash60 of `toks[from until from+count]` joined by single spaces —
+    * byte-identical to hashing `array_join(slice(...), " ")`, but via
+    * incremental digest updates: no joined-string allocation per call. */
+  def md5Hash60Join(toks: Array[UTF8String], from: Int, count: Int): Long = {
+    val digest = md.get()
+    var i = 0
+    while (i < count) {
+      if (i > 0) digest.update(space, 0, 1)
+      val b = toks(from + i).getBytes
+      digest.update(b, 0, b.length)
+      i += 1
+    }
+    val d = digest.digest()
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
 }
 
 /** `md5_hash60(str)` — native form of

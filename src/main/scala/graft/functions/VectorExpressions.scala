@@ -340,6 +340,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqCodesExpr(Cast(children(0), ArrayType(DoubleType)), cbs)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBoundsExpr].getName, "cdc_bounds"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"cdc_bounds $what must be a literal, got: $other")
+        }
+        CdcBoundsExpr(children(0),
+          lit(children(1), "k"), lit(children(2), "modulus"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (children: Seq[Expression]) => {

@@ -130,17 +130,25 @@ object Pack {
     val base = df
       .select(F.col(idCol), TextAnalysis.tokens(F.col(textCol)).as("_toks"))
       .filter(F.size(F.col("_toks")) > 0)
+    // the per-position gram hashing runs through the native one-pass
+    // cdc_bounds when the session carries GraftExtensions (incremental
+    // digest, no per-position string allocation — identical values,
+    // parity-spec'd); the composable filter chain otherwise
+    val native = df.sparkSession.catalog.functionExists("cdc_bounds")
     val chunks = let(F.col("_toks")) { tk =>
       let(F.size(tk)) { n =>
         // candidate boundary AFTER 1-based position i (i ≥ k: the gram
         // must be full); sequence(k, n) would run DESCENDING when n < k,
         // so short docs get no candidates explicitly
-        val cand = F.when(n >= k,
+        def cand = F.when(n >= k,
           F.filter(F.sequence(F.lit(k), n), (i: Column) =>
             Dedup.md5Hash60(F.array_join(
               F.slice(tk, i - (k - 1), F.lit(k)), " ")) % modulus === 0))
           .otherwise(F.array().cast("array<int>"))
-        let(F.array_union(cand, F.array(n))) { ends => // forced end-of-doc
+        val endsExpr =
+          if (native) F.call_function("cdc_bounds", tk, F.lit(k), F.lit(modulus))
+          else F.array_union(cand, F.array(n))
+        let(endsExpr) { ends => // forced end-of-doc included
           let(F.concat(F.array(F.lit(0)),
                        F.slice(ends, F.lit(1), F.size(ends) - 1))) { starts =>
             F.transform(F.sequence(F.lit(0), F.size(ends) - 1),

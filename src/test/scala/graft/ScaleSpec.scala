@@ -350,6 +350,36 @@ class ScaleSpec extends SparkSpec {
     assert(ranks(1) == got)
   }
 
+  test("native cdc_bounds matches the composable boundary rule exactly") {
+    // native path is active in the shared session; compute the composable
+    // ends directly and compare, over docs exercising the edge cases:
+    // short (n < k), boundary coinciding with end-of-doc, unicode tokens
+    val docs = Seq(
+      (1L, (1 to 300).map(i => s"tok${(i * 7919) % 101}").mkString(" ")),
+      (2L, "a b"), // n < k → single forced end
+      (3L, "汉字 токены mixed ünïcode tokens here and more of them now"),
+      (4L, (1 to 50).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(spark.catalog.functionExists("cdc_bounds"))
+    val toks = graft.operators.TextAnalysis.tokens(F.col("text"))
+    val composable = graft.functions.ExprUtils.let(toks) { tk =>
+      graft.functions.ExprUtils.let(F.size(tk)) { n =>
+        F.array_union(
+          F.when(n >= 3,
+            F.filter(F.sequence(F.lit(3), n), (i: org.apache.spark.sql.Column) =>
+              Dedup.md5Hash60(F.array_join(
+                F.slice(tk, i - 2, F.lit(3)), " ")) % 16 === 0))
+            .otherwise(F.array().cast("array<int>")),
+          F.array(n))
+      }
+    }
+    val both = docs.select(
+        F.call_function("cdc_bounds", toks, F.lit(3), F.lit(16)).as("n"),
+        composable.as("c"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("CDC chunks reconstruct the stream and realign after an edit") {
     // two documents sharing a long common suffix behind different prefixes
     val common = (1 to 200).map(i => s"w${(i * 37) % 91}").mkString(" ")
