@@ -40,7 +40,15 @@ case class CdcBoundsExpr(child: Expression, k: Int, modulus: Int)
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i)
+      // tokens() can't produce nulls, but direct SQL callers can; a null
+      // would NPE mid-digest — divergent from array_join's skip-nulls.
+      // Be loud instead (null-free engine contract).
+      if (toks(i) == null)
+        throw new IllegalArgumentException(s"cdc_bounds: null token at $i")
+      i += 1
+    }
     val out = new java.util.ArrayList[Integer](8)
     var pos = k // 1-based end position of the first full gram
     while (pos <= n) {

@@ -25,6 +25,7 @@ object PortableHash {
     * nibble of byte 7, matching the hex-prefix parse exactly. */
   def md5Hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val digest = md.get()
+    digest.reset() // insurance against a dirty shared thread-local
     digest.update(bytes, off, len)
     val d = digest.digest()
     var v = 0L
@@ -42,9 +43,13 @@ object PortableHash {
 
   /** md5Hash60 of `toks[from until from+count]` joined by single spaces —
     * byte-identical to hashing `array_join(slice(...), " ")`, but via
-    * incremental digest updates: no joined-string allocation per call. */
+    * incremental digest updates: no joined-string allocation per call.
+    * The explicit reset() guards the shared thread-local against state
+    * left by any earlier exception between updates (a dirty digest would
+    * silently corrupt every later hash on this executor thread). */
   def md5Hash60Join(toks: Array[UTF8String], from: Int, count: Int): Long = {
     val digest = md.get()
+    digest.reset()
     var i = 0
     while (i < count) {
       if (i > 0) digest.update(space, 0, 1)

@@ -34,23 +34,46 @@ case class PqAdcExpr(child: Expression, lut: Array[Array[Double]])
   }
 
   def dist(codes: ArrayData): Double = {
+    if (codes == null)
+      throw new IllegalArgumentException(
+        "pq_adc: null code array (the engine's corpus is null-free; " +
+        "filter upstream)")
     if (codes.numElements() != lut.length)
       throw new IllegalArgumentException(
         s"pq_adc: ${codes.numElements()} codes for ${lut.length} subspaces")
     var acc = 0.0
     var s = 0
     while (s < lut.length) {
+      // a null slot would read as code 0 from unsafe rows — silently
+      // summing the wrong LUT cell; be loud (out-of-range codes already
+      // raise via the array bounds check)
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(s"pq_adc: null code at subspace $s")
       acc += lut(s)(codes.getInt(s))
       s += 1
     }
     acc
   }
 
+  // null input must FAIL, not yield a null distance that ranks first in
+  // ascending top-k — same stance as PqCodesExpr
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    dist(child.eval(input).asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = false
+
   override def nullSafeEval(v: Any): Any = dist(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.dist($v);")
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    ev.copy(
+      code = code"""
+        ${c.code}
+        double ${ev.value} = $ref.dist(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcExpr =

@@ -42,10 +42,23 @@ case class PqCodesExpr(child: Expression,
   }
 
   def encode(arr: ArrayData): ArrayData = {
+    if (arr == null)
+      throw new IllegalArgumentException(
+        "pq_codes: null input vector (the engine's corpus is null-free; " +
+        "filter upstream)")
     if (arr.numElements() != dim)
       throw new IllegalArgumentException(
         s"pq_codes: vector of length ${arr.numElements()} does not match " +
         s"m*subdim = $dim")
+    // a null element would read as 0.0 from unsafe rows — a plausible
+    // garbage code; the composable twin nulls out instead. Be LOUD.
+    var e = 0
+    while (e < dim) {
+      if (arr.isNullAt(e))
+        throw new IllegalArgumentException(
+          s"pq_codes: null element at position $e")
+      e += 1
+    }
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -72,11 +85,28 @@ case class PqCodesExpr(child: Expression,
     new GenericArrayData(out)
   }
 
+  // a null vector must FAIL, not propagate: a null distance would rank
+  // first in ascending top-k — the silent-garbage mode this expression
+  // family exists to prevent. encode(null) throws, so bypass the
+  // null-short-circuiting eval/codegen paths.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    encode(child.eval(input).asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = false
+
   override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodesExpr].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.encode(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =

@@ -123,7 +123,8 @@ object Pack {
     * is the engine-portable [[Dedup.md5Hash60]], so an oracle replays
     * the exact boundary set. */
   def cdcChunks(df: DataFrame, textCol: String, idCol: String,
-                k: Int = 3, modulus: Int = 16): DataFrame = {
+                k: Int = 3, modulus: Int = 16,
+                native: Boolean = true): DataFrame = {
     require(k >= 1 && modulus >= 1,
       s"k and modulus must be positive, got k=$k modulus=$modulus")
     import graft.functions.ExprUtils.let
@@ -133,8 +134,9 @@ object Pack {
     // the per-position gram hashing runs through the native one-pass
     // cdc_bounds when the session carries GraftExtensions (incremental
     // digest, no per-position string allocation — identical values,
-    // parity-spec'd); the composable filter chain otherwise
-    val native = df.sparkSession.catalog.functionExists("cdc_bounds")
+    // parity-spec'd); the composable filter chain otherwise. `native =
+    // false` forces the composable route so specs can exercise it.
+    val useNative = native && df.sparkSession.catalog.functionExists("cdc_bounds")
     val chunks = let(F.col("_toks")) { tk =>
       let(F.size(tk)) { n =>
         // candidate boundary AFTER 1-based position i (i ≥ k: the gram
@@ -146,7 +148,7 @@ object Pack {
               F.slice(tk, i - (k - 1), F.lit(k)), " ")) % modulus === 0))
           .otherwise(F.array().cast("array<int>"))
         val endsExpr =
-          if (native) F.call_function("cdc_bounds", tk, F.lit(k), F.lit(modulus))
+          if (useNative) F.call_function("cdc_bounds", tk, F.lit(k), F.lit(modulus))
           else F.array_union(cand, F.array(n))
         let(endsExpr) { ends => // forced end-of-doc included
           let(F.concat(F.array(F.lit(0)),

@@ -168,7 +168,9 @@ object Similarity {
     * billions of vectors. Codebooks are literals (train offline or via
     * [[trainCentroids]] per subspace), so encoding is a pure narrow map
     * in codegen — the same zero-state scale shape as [[ivfBucket]]. */
-  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+              spark: org.apache.spark.sql.SparkSession =
+                org.apache.spark.sql.SparkSession.active): Column = {
     val subdim = codebooks.head.head.length
     // ragged codebooks would mis-slice silently; check the shape loudly
     require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == subdim)),
@@ -178,9 +180,11 @@ object Similarity {
     // thousands of nodes at realistic (m, k) and falls out of
     // WholeStageCodegen — see PqCodesExpr's scaladoc. The codebooks
     // travel to the builder as a foldable nested-array literal and are
-    // unpacked into expression state at resolution time.
-    val active = org.apache.spark.sql.SparkSession.active
-    if (active.catalog.functionExists("pq_codes")) {
+    // unpacked into expression state at resolution time. `spark` must be
+    // the session that will ANALYZE the plan (callers with a DataFrame
+    // pass df.sparkSession) — gating on a different session's registry
+    // would either fail analysis or silently drop to the slow tree.
+    if (spark.catalog.functionExists("pq_codes")) {
       val cbLit = F.array(codebooks.map(cb =>
         F.array(cb.map(c => F.array(c.map(F.lit): _*)): _*)): _*)
       F.call_function("pq_codes", vec.cast("array<double>"), cbLit)
@@ -219,16 +223,20 @@ object Similarity {
     * deterministic, so a differential oracle replays the exact k-set. */
   def pqTopKAdc(df: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
-                k: Int): DataFrame = {
-    val codes = pqCodes(F.col(vecCol), codebooks)
+                k: Int, native: Boolean = true): DataFrame = {
     // native pq_adc consumes the codes child ONCE, so no let binding is
     // needed and the projection stays inside WholeStageCodegen; the
-    // composable fallback references codes m times → let-bound
+    // composable route references codes m times → let-bound. `native =
+    // false` forces the composable route (the topKByCosine precedent —
+    // keeps the fallback exercised by specs even in extension-carrying
+    // sessions).
+    val useNative = native && df.sparkSession.catalog.functionExists("pq_adc")
     val dist =
-      if (df.sparkSession.catalog.functionExists("pq_adc"))
-        adcNative(codes, adcLut(query, codebooks))
-      else graft.functions.ExprUtils.let(codes) { c =>
-        adcDist(c, query, codebooks)
+      if (useNative)
+        adcNative(pqCodes(F.col(vecCol), codebooks, df.sparkSession),
+          adcLut(query, codebooks))
+      else graft.functions.ExprUtils.let(pqCodesComposable(F.col(vecCol), codebooks)) {
+        c => adcDist(c, query, codebooks)
       }
     df.select(F.col(idCol), dist.as("dist"))
       .orderBy(F.col("dist").asc, F.col(idCol).asc)
@@ -285,7 +293,7 @@ object Similarity {
                       codebooks: Seq[Seq[Seq[Double]]], path: String): Unit =
     df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
       .select(F.col(idCol), F.col("bucket"),
-        pqCodes(F.col(vecCol), codebooks).as("codes"))
+        pqCodes(F.col(vecCol), codebooks, df.sparkSession).as("codes"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Top-k over a [[writeIvfPqCodes]] layout: bucket predicate →
@@ -296,10 +304,11 @@ object Similarity {
                       idCol: String, query: Seq[Double],
                       centroids: Seq[Seq[Double]],
                       codebooks: Seq[Seq[Seq[Double]]],
-                      k: Int, nprobe: Int = 2): DataFrame = {
+                      k: Int, nprobe: Int = 2,
+                      native: Boolean = true): DataFrame = {
     val queryBuckets = probeBuckets(query, centroids, nprobe)
     val dist =
-      if (spark.catalog.functionExists("pq_adc"))
+      if (native && spark.catalog.functionExists("pq_adc"))
         adcNative(F.col("codes"), adcLut(query, codebooks))
       else adcDist(F.col("codes"), query, codebooks) // plain column ref:
       // referencing it m times re-reads a field, not a computation

@@ -513,6 +513,11 @@ class OperatorsSpec extends SparkSpec {
       centroids, cbs, k = 5, nprobe = 1)
     assert(fromCodes.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       inflight.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the composable element_at route over stored codes matches too
+    val composable = Similarity.pqTopKFromCodes(spark, path, "vec_id", query,
+      centroids, cbs, k = 5, nprobe = 1, native = false)
+    assert(composable.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      fromCodes.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
     // partition-level pruning AND a vector-free read schema: the scan
     // reads codes, never embeddings
     val plan = fromCodes.queryExecution.executedPlan.toString
@@ -743,6 +748,21 @@ class OperatorsSpec extends SparkSpec {
         Similarity.pqCodesComposable(F.col("embedding"), cbs).as("c"))
       .collect()
     assert(both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // the composable ADC route (native = false) lands the same top-k —
+    // the extension-free fallback stays exercised
+    val composableTop = Similarity.pqTopKAdc(vecs, "embedding", "vec_id",
+      query = Seq(1.0, 2.0), cbs, k = 3, native = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(composableTop.toSeq == top.toSeq)
+    // a null vector FAILS the native path loudly (a null distance would
+    // rank first in ascending top-k — never silently)
+    val withNull = Seq((9L, null: Seq[Float])).toDF("vec_id", "embedding")
+      .union(vecs)
+    val err = intercept[Exception] {
+      Similarity.pqTopKAdc(withNull, "embedding", "vec_id",
+        query = Seq(1.0, 2.0), cbs, k = 3).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
