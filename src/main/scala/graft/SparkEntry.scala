@@ -1377,6 +1377,22 @@ object SparkEntry {
         .select(F.col("id").as("doc_id"), F.col("n_shared"))
     }),
 
+    // ---- INCREMENTAL minhash dedup: docs < 400 are a pre-built index
+    //      (band keys + shingle hashes, text never re-read); the q29
+    //      pipeline then runs for the "nightly batch" (>= 400) against
+    //      index ∪ batch — the oracle is the FULL batch replay filtered
+    //      to new-involving pairs, so the incremental path must land
+    //      exactly the batch result ----
+    "q125_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_mh_index") + "/idx"
+      Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") < 400),
+        "text", "doc_id", path, numBands = 4, rowsPerBand = 8, shingleN = 1)
+      Dedup.minhashLshIncremental(docs.filter(F.col("doc_id") >= 400),
+        "text", "doc_id", path, numBands = 4, rowsPerBand = 8,
+        shingleN = 1, threshold = 0.8, maxBucket = 64)
+    }),
+
     // ---- corpus snapshot diff: classify ids across two corpus
     //      versions (added/removed/changed/unchanged by content
     //      fingerprint) — the incremental-pipeline primitive; both
@@ -1754,6 +1770,12 @@ object SparkEntry {
 
     "q29_minhash_pairs" -> minhashOracleSql(
       numBands = 4, rowsPerBand = 8, threshold = 0.8, maxBucket = 64),
+
+    // the full q29 replay restricted to pairs with a new (>= 400) side:
+    // incremental-vs-index must equal batch-over-everything
+    "q125_minhash_incremental" -> minhashOracleSql(
+      numBands = 4, rowsPerBand = 8, threshold = 0.8, maxBucket = 64,
+      extraWhere = " AND (id_a >= 400 OR id_b >= 400)"),
 
     "q30_simhash_pairs" ->
       """WITH d0 AS (SELECT doc_id AS id,
@@ -2855,9 +2877,11 @@ object SparkEntry {
     * md5 base hashes → affine minhash minima → band keys → capped buckets
     * → candidate pairs → exact-Jaccard filter. */
   private def minhashOracleSql(numBands: Int, rowsPerBand: Int,
-                               threshold: Double, maxBucket: Int): String =
+                               threshold: Double, maxBucket: Int,
+                               extraWhere: String = ""): String =
     s"""WITH ${minhashOracleCtes(numBands, rowsPerBand, maxBucket)}
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j
+       |WHERE jaccard >= $threshold$extraWhere""".stripMargin
 
   /** The CTE block of [[minhashOracleSql]] (ending at `j`), reusable by
     * oracles that post-process the pair set (e.g. q51's clustering). */

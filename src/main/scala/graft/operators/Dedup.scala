@@ -263,6 +263,83 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Write a minhash dedup INDEX: per document, its LSH band keys and
+    * its sorted shingle hashes — everything a future ingest needs to
+    * dedup NEW documents against this corpus without touching the
+    * corpus text again. One narrow pass; at 100 TB the index is a small
+    * fraction of the corpus (ints, not bodies) and is written once per
+    * corpus version. Parameters must match the later
+    * [[minhashLshIncremental]] call (band keys are parameter-specific). */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, numBands: Int = 4, rowsPerBand: Int = 8,
+                        shingleN: Int = 3): Unit = {
+    val bandKeys = bandKeysDispatch(df.sparkSession, F.col(textCol),
+      numBands, rowsPerBand, shingleN)
+    df.filter(F.col(textCol).rlike("\\S"))
+      .select(F.col(idCol).as("id"), bandKeys.as("bands"),
+        sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** INCREMENTAL near-duplicate detection: pairs involving at least one
+    * NEW document, against a [[writeMinhashIndex]]-ed corpus and among
+    * the new batch itself — the nightly-ingest form of [[minhashLsh]].
+    * The indexed corpus contributes stored band keys and shingle hashes
+    * (its text is never read, its internal pairs are never recomputed);
+    * only the new batch pays signature work. Result equals
+    * `minhashLsh(indexed ∪ new)` restricted to pairs with a new id —
+    * which is what the differential oracle replays. Ids must be unique
+    * across index and batch (re-ingest under a fresh id or diff first —
+    * [[corpusDiff]]). Bucket caps apply to the COMBINED membership,
+    * like the batch pipeline. */
+  def minhashLshIncremental(newDocs: DataFrame, textCol: String, idCol: String,
+                            indexPath: String,
+                            numBands: Int = 4, rowsPerBand: Int = 8,
+                            shingleN: Int = 3, threshold: Double = 0.8,
+                            maxBucket: Int = 64,
+                            reliable: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val bandKeys = bandKeysDispatch(spark, F.col(textCol),
+      numBands, rowsPerBand, shingleN)
+    // ONE prep pass over the new batch (bands + shingles feed bucketing
+    // AND verification) — staged like minhashLsh's candidate frame
+    val newPrep = stage(
+      spreadForCompute(newDocs.filter(F.col(textCol).rlike("\\S")))
+        .select(F.col(idCol).as("id"), bandKeys.as("bands"),
+          sortedHashedShingles(F.col(textCol), shingleN).as("sh")),
+      eager = true, reliable)
+    def explodeBands(df: DataFrame, isNew: Boolean) =
+      df.select(F.col("id"), F.lit(isNew).as("is_new"),
+        F.posexplode(F.col("bands")).as(Seq("band", "bucket")))
+    val allBanded = explodeBands(index, isNew = false)
+      .unionByName(explodeBands(newPrep, isNew = true))
+    // the cappedBucketPairs shape with an is_new tag riding along;
+    // members sort by id (unique across sides), so id_a < id_b like the
+    // batch pipeline, and only new-involving pairs survive
+    val pairs = stage(
+      allBanded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col("id"), F.col("is_new"))).as("ms"))
+        .filter(F.size(F.col("ms")).between(2, maxBucket))
+        .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
+        .filter(F.col("p.a.is_new") || F.col("p.b.is_new"))
+        .select(F.col("p.a.id").as("id_a"), F.col("p.b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b"),
+      eager = false, reliable)
+    val sh = index.select("id", "sh").unionByName(newPrep.select("id", "sh"))
+    val candIds = pairs
+      .select(F.explode(F.array(F.col("id_a"), F.col("id_b"))).as("id"))
+    val candSh = stage(sh.join(candIds, Seq("id"), "left_semi"),
+      eager = true, reliable)
+    pairs
+      .join(candSh.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        jaccardSortedLongs(newDocs)(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. Union size
     * is computed as |a| + |b| - |a∩b| — one hash-set build per pair
     * instead of two (inputs from [[shingles]] are already distinct). */

@@ -765,6 +765,37 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("incremental minhash against an index equals the batch run filtered to new pairs") {
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // near-dup of 0
+      (2L, "completely different content about spark engines here"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // new: dup of 0
+      (11L, "unrelated new document about large corpora and dedup"),
+      (12L, "unrelated new document about large corpora and dedup") // exact dup of 11
+    ).toDF("doc_id", "text")
+    val old = all.filter(F.col("doc_id") < 10)
+    val fresh = all.filter(F.col("doc_id") >= 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString + "/idx"
+    Dedup.writeMinhashIndex(old, "text", "doc_id", path,
+      numBands = 4, rowsPerBand = 8, shingleN = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val incremental = pairs(Dedup.minhashLshIncremental(fresh, "text", "doc_id",
+      path, numBands = 4, rowsPerBand = 8, shingleN = 3,
+      threshold = 0.5, maxBucket = 64))
+    val batch = pairs(Dedup.minhashLsh(all, "text", "doc_id",
+      numBands = 4, rowsPerBand = 8, shingleN = 3,
+      threshold = 0.5, maxBucket = 64)
+      .filter(F.col("id_a") >= 10 || F.col("id_b") >= 10))
+    assert(incremental == batch)
+    assert(incremental.exists(p => p._1 == 0L && p._2 == 10L))  // new-vs-indexed
+    assert(incremental.exists(p => p._1 == 11L && p._2 == 12L)) // new-vs-new
+    assert(!incremental.exists(p => p._1 < 10L && p._2 < 10L))  // never old-vs-old
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
     val oldV = Seq(
       (1L, "alpha beta"),
