@@ -83,7 +83,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       (c.head +: c.tail.map(_._3)).flatMap(blockPaths) ++
         c.orderBy.map(_._1).flatMap(colPaths) ++ // compound-level ORDER BY
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
-    val mainPaths = (cq.head +: cq.tail.map(_._3)).flatMap(blockPaths)
+    val mainPaths = (cq.head +: cq.tail.map(_._3)).flatMap(blockPaths) ++
+      cq.orderBy.map(_._1).flatMap(colPaths) // compound-level ORDER BY too
     val scope = cq.ctes.zipWithIndex.foldLeft(outer) {
       case (sc, ((name, body), i)) =>
         val laterPaths = cq.ctes.drop(i + 1)

@@ -21,17 +21,23 @@ object PortableHash {
   private val md = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** First 60 bits of md5(bytes[off, off+len)): 7 full bytes + the high
-    * nibble of byte 7, matching the hex-prefix parse exactly. */
-  def md5Hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
-    val digest = md.get()
-    digest.reset() // insurance against a dirty shared thread-local
-    digest.update(bytes, off, len)
-    val d = digest.digest()
+  /** The 60-bit fold of a full md5 digest: 7 full bytes + the high
+    * nibble of byte 7, matching the hex-prefix parse exactly. ONE
+    * definition — every hashing entry point folds through here, which
+    * is what the cross-path parity specs and the DuckDB replay rest on. */
+  private def fold60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  /** First 60 bits of md5(bytes[off, off+len)). */
+  def md5Hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val digest = md.get()
+    digest.reset() // insurance against a dirty shared thread-local
+    digest.update(bytes, off, len)
+    fold60(digest.digest())
   }
 
   def md5Hash60(s: UTF8String): Long = {
@@ -57,11 +63,7 @@ object PortableHash {
       digest.update(b, 0, b.length)
       i += 1
     }
-    val d = digest.digest()
-    var v = 0L
-    var j = 0
-    while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
-    (v << 4) | ((d(7) >> 4) & 0xFL)
+    fold60(digest.digest())
   }
 }
 

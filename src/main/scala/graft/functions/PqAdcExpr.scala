@@ -62,8 +62,6 @@ case class PqAdcExpr(child: Expression, lut: Array[Array[Double]])
 
   override def nullable: Boolean = false
 
-  override def nullSafeEval(v: Any): Any = dist(v.asInstanceOf[ArrayData])
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
     val c = child.genCode(ctx)

@@ -94,8 +94,6 @@ case class PqCodesExpr(child: Expression,
 
   override def nullable: Boolean = false
 
-  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodesExpr].getName)
     val c = child.genCode(ctx)

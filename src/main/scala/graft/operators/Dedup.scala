@@ -275,7 +275,7 @@ object Dedup {
                         shingleN: Int = 3): Unit = {
     val bandKeys = bandKeysDispatch(df.sparkSession, F.col(textCol),
       numBands, rowsPerBand, shingleN)
-    df.filter(F.col(textCol).rlike("\\S"))
+    spreadForCompute(df.filter(F.col(textCol).rlike("\\S")))
       .select(F.col(idCol).as("id"), bandKeys.as("bands"),
         sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
       .write.mode("overwrite").parquet(path)
@@ -763,27 +763,33 @@ object Dedup {
                          k: Int = 3, minShared: Int = 2,
                          expectedGrams: Long = 4000000L,
                          numBits: Long = 33554432L): DataFrame = {
-    val evalGrams = evalSet
-      .filter(F.col(evalTextCol).rlike("\\S"))
-      .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
-      .distinct()
+    val evalGrams = evalGramsOf(evalSet, evalTextCol, k)
     // BloomFilterAggregate silently caps its parameters at the session's
     // runtime-filter conf limits (4M items / 64 Mbit by default) — at the
     // 10⁸-gram scale this function exists for, a silently-clamped sketch
     // would have a far worse false-positive rate than requested and the
     // confirm join would degrade toward a full gram shuffle. Raise the
-    // caps to the caller's request so the parameters MEAN what they say.
+    // caps to the caller's request for the BUILD only, restoring the
+    // previous values after — a permanently raised cap would let Spark's
+    // own injected runtime filters on unrelated later joins balloon.
     val conf = corpus.sparkSession.conf
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedGrams,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      .foreach { case (key, wanted) =>
-        val current = try conf.get(key).toLong catch { case _: Exception => 0L }
-        if (current < wanted) conf.set(key, wanted.toString)
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedGrams,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = keys.map { case (key, wanted) =>
+      val current = try Some(conf.get(key)) catch { case _: Exception => None }
+      if (current.forall(_.toLong < wanted)) conf.set(key, wanted.toString)
+      key -> current
+    }
+    val sketch =
+      try evalGrams
+        .agg(F.call_function("bloom_agg", F.col("g"),
+          F.lit(expectedGrams), F.lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      finally saved.foreach {
+        case (key, Some(v)) => conf.set(key, v)
+        case (key, None)    => conf.unset(key)
       }
-    val sketch = evalGrams
-      .agg(F.call_function("bloom_agg", F.col("g"),
-        F.lit(expectedGrams), F.lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
     val out = (corpusGrams: DataFrame) => corpusGrams
       .join(evalGrams, "g") // exact confirm: kills bloom false positives
       .groupBy("id")

@@ -128,8 +128,13 @@ object Scale {
                     bucketKey: String, buckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(!name.contains("`"), s"table name must not contain backticks: $name")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$name`") // stale catalog entry from a
+    // quote PER PART so a qualified name (db.table) targets the same
+    // table saveAsTable will parse — backticking the whole string would
+    // look up a table literally named "db.table" and miss the stale entry
+    val quoted = name.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted") // stale catalog entry from a
     // prior run would otherwise collide with the fresh path/spec
     val w = df.write.mode("overwrite").format("parquet")
       .option("path", path).bucketBy(buckets, bucketKey)

@@ -79,6 +79,9 @@ object SqlParser {
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
+    // reserving OVER/PARTITION (window support) breaks columns of those
+    // names as bare identifiers — the standard tradeoff; the
+    // double-quoted-identifier escape ("partition") still reaches them
     "OVER", "PARTITION")
 
   def tokenize(input: String): Vector[Tok] = {

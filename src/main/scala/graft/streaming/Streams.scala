@@ -306,8 +306,10 @@ object Streams {
                              k: Int = 3, minShared: Int = 2): DataStreamWriter[Row] = {
     // the static side is derived and persisted ONCE — rebuilding the
     // eval gram set per micro-batch would make batch latency track the
-    // (never-changing) eval harness size; the cache lives as long as
-    // the streaming query does
+    // (never-changing) eval harness size. The cache is SESSION-lived
+    // (nothing hooks query.stop()); a service cycling many
+    // decontamination streams in one session should reuse one stream
+    // per eval set or sweep persisted RDDs between restarts
     val evalGrams = graft.operators.Dedup
       .evalGramsOf(evalSet, evalTextCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
