@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
 import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
@@ -1215,10 +1215,16 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
     // ---- hashing-trick document embedding: 32-dim bucket counts under
-    //      the portable md5 hash, L2-normalized; pure narrow map ----
+    //      the portable md5 hash, L2-normalized; pure narrow map. The
+    //      gate encodes components as integer micro-units (round(x*1e6)
+    //      as long, comma-joined) because the driver comparator cannot
+    //      sort array cells — the encoding is exact on both engines ----
     "q107_hash_embedding" -> ((s, dir) =>
       t(s, dir, "documents").select(F.col("doc_id"),
-        TextAnalysis.hashEmbedding(F.col("text"), 32).as("emb"))),
+        F.array_join(
+          F.transform(TextAnalysis.hashEmbedding(F.col("text"), 32),
+            (x: Column) => F.round(x * 1e6).cast("long").cast("string")),
+          ",").as("emb"))),
 
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
@@ -1265,10 +1271,15 @@ object SparkEntry {
         .select("doc_id", "source")),
 
     // ---- inverted index: token → (df, first-50 posting list) via the
-    //      bounded-heap topk_pairs aggregate (capped per-group state) ----
+    //      bounded-heap topk_pairs aggregate (capped per-group state).
+    //      Postings are comma-joined to a scalar for the gate (the
+    //      driver comparator cannot sort array cells) ----
     "q98_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
-                                 maxPostings = 50)),
+                                 maxPostings = 50)
+        .select(F.col("token"), F.col("n_docs"),
+          F.array_join(F.col("postings").cast("array<string>"), ",")
+            .as("postings"))),
 
     // ---- keep BEST-QUALITY doc per near-dup cluster (vs q59's keep-min-
     //      id): struct-max argmax with (quality, doc_id) tie-break; the
@@ -2569,7 +2580,8 @@ object SparkEntry {
         |FROM scored GROUP BY doc_id""".stripMargin,
 
     // hashing-trick replay: integer bucket counts, in-order integer
-    // square fold, exactly-rounded sqrt, round(6) components
+    // square fold, exactly-rounded sqrt, round(6) components encoded as
+    // comma-joined integer micro-units (hashable scalar for the gate)
     "q107_hash_embedding" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
@@ -2582,8 +2594,9 @@ object SparkEntry {
         |  FROM b),
         |n AS (SELECT doc_id, counts,
         |  sqrt(list_sum(list_transform(counts, x -> x * x))) AS norm FROM c)
-        |SELECT doc_id, list_transform(counts,
-        |  x -> CASE WHEN norm > 0 THEN round(x / norm, 6) ELSE 0.0 END) AS emb
+        |SELECT doc_id, array_to_string(list_transform(counts,
+        |  x -> CAST(round((CASE WHEN norm > 0 THEN round(x / norm, 6)
+        |                        ELSE 0.0 END) * 1000000) AS BIGINT)), ',') AS emb
         |FROM n""".stripMargin,
 
     // the two-level rank decomposition must equal ONE global row_number
@@ -2736,10 +2749,12 @@ object SparkEntry {
         |  < floor(1000000 * least(1.0, 4.0 / sqrt(CAST(c.c AS DOUBLE))))""".stripMargin,
 
     // inverted index: per-doc list_distinct mirrors the pre-explode
-    // array_distinct; sorted postings capped at 50 (smallest ids kept)
+    // array_distinct; sorted postings capped at 50 (smallest ids kept),
+    // comma-joined to a hashable scalar for the gate
     "q98_inverted_index" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
-        |  list_slice(list_sort(list(doc_id)), 1, 50) AS postings
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',')
+        |    AS postings
         |FROM (SELECT doc_id, unnest(list_distinct(list_filter(
         |        regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |        x -> len(x) > 0))) AS token
