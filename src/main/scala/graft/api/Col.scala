@@ -339,12 +339,22 @@ object Col {
           val out = cdt match {
             case IntegerType | ShortType | ByteType => LongType
             case FloatType                          => DoubleType
+            // Spark widens sum(decimal(p,s)) to decimal(p+10, s), capped
+            case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
             case other                              => other
           }
           (F.sum(cc), out)
         case "min"   => val (cc, cdt) = argC; (F.min(cc), cdt)
         case "max"   => val (cc, cdt) = argC; (F.max(cc), cdt)
-        case "avg"   => val (cc, _) = argC; (F.avg(cc), DoubleType)
+        case "avg"   =>
+          val (cc, cdt) = argC
+          // avg(decimal(p,s)) stays decimal in Spark: (p+4, s+4) capped
+          val out = cdt match {
+            case d: DecimalType =>
+              DecimalType(math.min(38, d.precision + 4), math.min(38, d.scale + 4))
+            case _ => DoubleType
+          }
+          (F.avg(cc), out)
         case "count" =>
           (F.count(arg.map(compileNode(_, schema)._1).getOrElse(F.lit(1))), LongType)
         case other =>

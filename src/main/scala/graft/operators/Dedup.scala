@@ -323,6 +323,10 @@ object Dedup {
         .filter(F.size(F.col("ms")).between(2, maxBucket))
         .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
         .filter(F.col("p.a.is_new") || F.col("p.b.is_new"))
+        // a re-ingested duplicate id (index ∩ batch) would otherwise
+        // surface as a degenerate self-pair with jaccard 1.0 — drop it
+        // rather than let an id-uniqueness violation corrupt the output
+        .filter(F.col("p.a.id") =!= F.col("p.b.id"))
         .select(F.col("p.a.id").as("id_a"), F.col("p.b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b"),
       eager = false, reliable)
@@ -763,33 +767,46 @@ object Dedup {
                          k: Int = 3, minShared: Int = 2,
                          expectedGrams: Long = 4000000L,
                          numBits: Long = 33554432L): DataFrame = {
+    val spark = corpus.sparkSession
+    // like every other dispatch site (pqCodes, cdcChunks, bandKeys): the
+    // bloom path needs GraftExtensions' bloom_agg/bloom_might_contain;
+    // without them fall back to the exact broadcast path — identical
+    // result, just not the sketch-sized scale shape
+    if (!spark.catalog.functionExists("bloom_agg") ||
+        !spark.catalog.functionExists("bloom_might_contain"))
+      return decontaminate(corpus, textCol, idCol, evalSet, evalTextCol,
+        k, minShared)
     val evalGrams = evalGramsOf(evalSet, evalTextCol, k)
     // BloomFilterAggregate silently caps its parameters at the session's
     // runtime-filter conf limits (4M items / 64 Mbit by default) — at the
     // 10⁸-gram scale this function exists for, a silently-clamped sketch
     // would have a far worse false-positive rate than requested and the
     // confirm join would degrade toward a full gram shuffle. Raise the
-    // caps to the caller's request for the BUILD only, restoring the
-    // previous values after — a permanently raised cap would let Spark's
-    // own injected runtime filters on unrelated later joins balloon.
-    val conf = corpus.sparkSession.conf
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedGrams,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-    val saved = keys.map { case (key, wanted) =>
-      val current = try Some(conf.get(key)) catch { case _: Exception => None }
-      if (current.forall(_.toLong < wanted)) conf.set(key, wanted.toString)
-      key -> current
+    // caps on a SCRATCH session (same SparkContext + extensions, own
+    // SQLConf) and run the build there via a global temp view, so
+    // concurrent queries on the caller's session never see the raised
+    // caps and two concurrent builds cannot clobber each other's conf.
+    val scratch = spark.newSession()
+    // newSession() starts from the BASE conf, not the caller's session
+    // conf — mirror the caller's settings (ANSI pin, timezone, shuffle
+    // partitions, ...) so the build plans identically, then raise the
+    // caps only on the scratch copy. Static/read-only keys can't be set
+    // on a running session; skip them.
+    spark.conf.getAll.foreach { case (key, v) =>
+      try scratch.conf.set(key, v) catch { case _: Exception => () }
     }
+    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      expectedGrams.toString)
+    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      numBits.toString)
+    val view = s"graft_bloom_grams_${java.util.UUID.randomUUID().toString.take(8)}"
+    evalGrams.createOrReplaceGlobalTempView(view)
     val sketch =
-      try evalGrams
+      try scratch.table(s"global_temp.$view")
         .agg(F.call_function("bloom_agg", F.col("g"),
           F.lit(expectedGrams), F.lit(numBits)).as("bf"))
         .head().getAs[Array[Byte]]("bf")
-      finally saved.foreach {
-        case (key, Some(v)) => conf.set(key, v)
-        case (key, None)    => conf.unset(key)
-      }
+      finally spark.catalog.dropGlobalTempView(view)
     val out = (corpusGrams: DataFrame) => corpusGrams
       .join(evalGrams, "g") // exact confirm: kills bloom false positives
       .groupBy("id")

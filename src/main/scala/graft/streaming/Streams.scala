@@ -306,23 +306,48 @@ object Streams {
                              k: Int = 3, minShared: Int = 2): DataStreamWriter[Row] = {
     // the static side is derived and persisted ONCE — rebuilding the
     // eval gram set per micro-batch would make batch latency track the
-    // (never-changing) eval harness size. The cache is SESSION-lived
-    // (nothing hooks query.stop()); a service cycling many
-    // decontamination streams in one session should reuse one stream
-    // per eval set or sweep persisted RDDs between restarts
+    // (never-changing) eval harness size. The cache is released when the
+    // query terminates, via a listener keyed on the query name below
+    // (callers that override queryName take back session-lifetime
+    // responsibility for the cache).
     val evalGrams = graft.operators.Dedup
       .evalGramsOf(evalSet, evalTextCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qName =
+      s"graft_decontaminate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val streams = docs.sparkSession.streams
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    streams.addListener(new StreamingQueryListener {
+      private val watched =
+        new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == qName) watched.set(e.id)
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == watched.get()) {
+          evalGrams.unpersist(false)
+          streams.removeListener(this)
+        }
+    })
     docs.writeStream
+      .queryName(qName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // per-batch directory + overwrite = idempotent replay: if the
         // stream dies between the parquet commit and the checkpoint
         // commit, the re-run batch OVERWRITES its own output instead of
-        // appending duplicates (exactly-once, like toParquetSink)
+        // appending duplicates (exactly-once, like toParquetSink).
+        // repartition(1) guarantees a schema-bearing part file even for
+        // zero-flagged batches (AQE can otherwise emit NO files, and a
+        // downstream read of outPath would fail schema inference if no
+        // batch ever flagged a document)
         graft.operators.Dedup
           .decontaminateAgainstGrams(batch, textCol, idCol, evalGrams,
             minShared, k)
+          .repartition(1)
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
   }

@@ -794,6 +794,21 @@ class OperatorsSpec extends SparkSpec {
     assert(incremental.exists(p => p._1 == 0L && p._2 == 10L))  // new-vs-indexed
     assert(incremental.exists(p => p._1 == 11L && p._2 == 12L)) // new-vs-new
     assert(!incremental.exists(p => p._1 < 10L && p._2 < 10L))  // never old-vs-old
+    // reliable = true (real checkpoints instead of executor-local blocks)
+    // must not change the pair set — the incremental twin of the batch
+    // reliable spec above
+    val reliableRun = pairs(Dedup.minhashLshIncremental(fresh, "text", "doc_id",
+      path, numBands = 4, rowsPerBand = 8, shingleN = 3,
+      threshold = 0.5, maxBucket = 64, reliable = true))
+    assert(reliableRun == incremental)
+    // a re-ingested id (present in BOTH index and batch) must not emit a
+    // degenerate self-pair (id_a == id_b, jaccard 1.0)
+    val reIngested = all.filter(F.col("doc_id") === 0L)
+      .unionByName(fresh)
+    val withDup = Dedup.minhashLshIncremental(reIngested, "text", "doc_id",
+      path, numBands = 4, rowsPerBand = 8, shingleN = 3,
+      threshold = 0.5, maxBucket = 64).collect()
+    assert(withDup.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
@@ -853,5 +868,14 @@ class OperatorsSpec extends SparkSpec {
     // the native pair is registered in this session
     assert(spark.catalog.functionExists("bloom_agg"))
     assert(spark.catalog.functionExists("bloom_might_contain"))
+    // the above-caps build must not leak raised runtime-filter caps into
+    // the CALLER's session (the sketch is built on a scratch session)
+    for (key <- Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+                    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))
+      assert(spark.conf.getOption(key).forall(_.toLong <= 67108864L),
+        s"$key leaked into the calling session")
+    // and no build-scoped global temp view remains
+    assert(spark.catalog.listTables("global_temp").collect()
+      .forall(!_.name.startsWith("graft_bloom_grams")))
   }
 }
