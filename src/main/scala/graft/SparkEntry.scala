@@ -410,6 +410,17 @@ object SparkEntry {
           Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")),
         stride = 10)),
 
+    // ---- REAL video container metadata: every row is an actual
+    //      ISO-BMFF byte stream (ftyp+moov/mvhd/trak/tkhd) synthesized
+    //      with id-derived dims/duration; decode() recovers them by
+    //      PARSING THE BOXES (16.16 fixed-point dims, duration units /
+    //      timescale) and the oracle replays the derivation — a wrong
+    //      offset or endianness fails the hash ----
+    "q127_video_meta" -> ((s, dir) =>
+      Multimodal.decode(
+        Multimodal.synthesizeVideo(t(s, dir, "documents"), "doc_id"))
+        .select("media_id", "n_bytes", "width", "height", "duration_s")),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -1208,6 +1219,17 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         query = "spark window join", k = 10)),
 
+    // ---- BM25 against the PERSISTED serving index: token-bucket-
+    //      partitioned postings, so the query scan partition-prunes to
+    //      its terms' buckets and never re-aggregates the corpus — the
+    //      100 TB serving shape of q115 (same oracle replays both) ----
+    "q126_bm25_indexed" -> ((s, dir) => {
+      val path = stagingDir("graft_bm25") + "/idx"
+      TextAnalysis.writeBm25Index(t(s, dir, "documents"), "text", "doc_id",
+        path, numBuckets = 16)
+      TextAnalysis.bm25TopKIndexed(s, path, query = "spark window join", k = 10)
+    }),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -1554,6 +1576,31 @@ object SparkEntry {
       Multimodal.audioFeatures(
         Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text"))),
   )
+
+  /** The BM25 differential replay — shared verbatim by q115 (per-query
+    * aggregation) and q126 (persisted index): the index layout must not
+    * change a single score bit. */
+  private val bm25Replay: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+      |    x -> len(x) > 0)) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |q AS (SELECT unnest(['spark', 'window', 'join']) AS token),
+      |m AS (SELECT tf.* FROM tf JOIN q USING (token)),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+      |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(len) AS DOUBLE) AS total_len FROM lens),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (SELECT m.doc_id,
+      |    round(ln(1 + (nd.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * (m.tf * (1.2 + 1))
+      |      / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.len / (tot.total_len / nd.n))),
+      |      9) AS ts
+      |  FROM m JOIN dfreq USING (token) JOIN lens USING (doc_id), tot, nd)
+      |SELECT doc_id, round(sum(ts), 6) AS bm25
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
@@ -2146,6 +2193,18 @@ object SparkEntry {
         | (octet_length(encode(text)) % 6000) / 100.0 AS duration_s
         |FROM documents""".stripMargin,
 
+    // replays synthesizeVideo's id-derivation; the Spark side must
+    // recover these by PARSING the ISO-BMFF boxes it wrote (wrong tkhd
+    // offset / endianness / fixed-point shift → hash mismatch). n_bytes
+    // pins the container skeleton size (ftyp 24 + moov 8+108+8+92)
+    "q127_video_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(240 AS BIGINT) AS n_bytes,
+        | CAST(320 + (doc_id % 16) * 16 AS INTEGER) AS width,
+        | CAST(240 + (doc_id % 9) * 16 AS INTEGER) AS height,
+        | CAST(1000 + (doc_id % 600) * 100 AS DOUBLE) / 1000.0 AS duration_s
+        |FROM documents""".stripMargin,
+
     "q36_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |flagged AS (SELECT user_id, event_id, ts_us, value,
@@ -2431,27 +2490,11 @@ object SparkEntry {
     // full BM25 replay: same tf/df/length derivation, same constants
     // written as the same arithmetic ((1.2 + 1), 1 - 0.75), per-term
     // round(9) before the sum, round(6) after, id tie-break
-    "q115_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
-        |    x -> len(x) > 0)) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY 1, 2),
-        |q AS (SELECT unnest(['spark', 'window', 'join']) AS token),
-        |m AS (SELECT tf.* FROM tf JOIN q USING (token)),
-        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
-        |tot AS (SELECT CAST(sum(len) AS DOUBLE) AS total_len FROM lens),
-        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |scored AS (SELECT m.doc_id,
-        |    round(ln(1 + (nd.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        |      * (m.tf * (1.2 + 1))
-        |      / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.len / (tot.total_len / nd.n))),
-        |      9) AS ts
-        |  FROM m JOIN dfreq USING (token) JOIN lens USING (doc_id), tot, nd)
-        |SELECT doc_id, round(sum(ts), 6) AS bm25
-        |FROM scored GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "q115_bm25" -> bm25Replay,
+
+    // the indexed serving path must land the IDENTICAL result — one
+    // replay gates both the per-query and the persisted-index shapes
+    "q126_bm25_indexed" -> bm25Replay,
 
     // q77's gram replay at minShared=4 — the streaming foreachBatch pass
     // must land exactly the batch result

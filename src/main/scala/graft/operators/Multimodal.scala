@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * Image decode is REAL for the JDK's native raster formats
   * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external codecs needed):
   * [[decode]] sniffs the payload's magic bytes and reads true
-  * width/height when the bytes are an actual image. Audio/video decode
-  * has no JDK-native codec, so [[fakeDecode]] remains the clearly-marked
-  * deterministic STUB for those (and for non-image payloads, e.g. the
-  * synthetic UTF-8 test corpus): "dimensions" derived from byte length.
+  * width/height when the bytes are an actual image. Audio container
+  * decode is REAL via `javax.sound.sampled` ([[decodeAudio]]). Video
+  * CONTAINER metadata is REAL via pure ISO-BMFF box arithmetic
+  * ([[decodeVideoMeta]] — width/height/duration from tkhd/mvhd, no
+  * codec involved). Only frame-level video DECODE remains a
+  * clearly-marked stub ([[sampleFrames]] — that genuinely needs a
+  * codec), and [[fakeDecode]] stands in for payloads that are not real
+  * media at all (the synthetic UTF-8 test corpus): "dimensions" derived
+  * from byte length.
   */
 object Multimodal {
 
@@ -78,14 +83,141 @@ object Multimodal {
         if (img == null) None else Some((img.getWidth, img.getHeight))
       } catch { case _: java.io.IOException => None }
 
-  /** Per-row decode dispatch: real `javax.imageio` dimensions when the
-    * payload is an actual image, the deterministic [[fakeDecode]] stub
-    * otherwise (audio/video and synthetic payloads). */
+  /** Per-row decode dispatch: real `javax.imageio` dimensions for image
+    * payloads, real ISO-BMFF box parsing ([[decodeVideoMeta]]) for video
+    * containers, the deterministic [[fakeDecode]] stub otherwise
+    * (audio handled by [[audioFeatures]]; synthetic payloads fall
+    * through to the stub). */
   def decodePayload(kind: String, payload: Array[Byte]): (Int, Int, Double) =
-    (if (kind == "image") decodeImage(payload) else None) match {
-      case Some((w, h)) => (w, h, 0.0)
-      case None         => fakeDecode(payload)
+    (kind match {
+      case "image" => decodeImage(payload).map { case (w, h) => (w, h, 0.0) }
+      case "video" => decodeVideoMeta(payload)
+      case _       => None
+    }) match {
+      case Some(t) => t
+      case None    => fakeDecode(payload)
     }
+
+  /** True iff the payload starts with an ISO-BMFF `ftyp` box (MP4 / MOV /
+    * 3GP family): bytes 4..7 spell "ftyp". */
+  def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** REAL video container metadata via ISO-BMFF box parsing — pure byte
+    * arithmetic, no codec: walks the top-level box list to `moov`, reads
+    * presentation duration from `mvhd` (duration units / timescale,
+    * version 0 and 1 layouts) and pixel dimensions from the first `trak`
+    * whose `tkhd` carries a nonzero 16.16 fixed-point width (audio
+    * tracks store zero). Returns None when the bytes are not an
+    * ISO-BMFF container or the needed boxes are absent/truncated —
+    * malformed input falls back, never throws. Only FRAME decode remains
+    * stubbed ([[sampleFrames]]): that genuinely needs a codec; container
+    * metadata does not. */
+  def decodeVideoMeta(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (!looksLikeMp4(payload)) return None
+    def u32(off: Int): Long =
+      ((payload(off) & 0xFFL) << 24) | ((payload(off + 1) & 0xFFL) << 16) |
+        ((payload(off + 2) & 0xFFL) << 8) | (payload(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the box list in [from, until); returns (payloadStart, payloadEnd)
+    // of the first box with the given tag
+    def findBox(from: Int, until: Int, want: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val size0 = u32(off)
+        val t = tag(off + 4)
+        val (bodyStart, boxEnd) =
+          if (size0 == 1L) {
+            if (off + 16 > until) return None
+            (off + 16, off + u64(off + 8))
+          } else if (size0 == 0L) (off + 8, until.toLong) // box runs to end
+          else (off + 8, off + size0)
+        if (boxEnd < bodyStart || boxEnd > until) return None
+        if (t == want) return Some((bodyStart, boxEnd.toInt))
+        off = boxEnd.toInt
+      }
+      None
+    }
+    try {
+      val (moovS, moovE) = findBox(0, payload.length, "moov").getOrElse(return None)
+      // mvhd: version 0 → timescale/duration u32 at +12/+16;
+      //       version 1 → 64-bit times, u32 timescale at +20, u64 at +24
+      val (mvhdS, _) = findBox(moovS, moovE, "mvhd").getOrElse(return None)
+      val (timescale, durUnits) = payload(mvhdS) match {
+        case 0 => (u32(mvhdS + 12), u32(mvhdS + 16))
+        case _ => (u32(mvhdS + 20), u64(mvhdS + 24))
+      }
+      val duration = if (timescale > 0) durUnits.toDouble / timescale else 0.0
+      // first trak whose tkhd has nonzero width (the video track; audio
+      // tkhd dims are zero). tkhd width/height: 16.16 fixed point at
+      // +76/+80 (v0) or +88/+92 (v1) from the box payload.
+      var trakFrom = moovS
+      while (trakFrom < moovE) {
+        val (trakS, trakE) = findBox(trakFrom, moovE, "trak").getOrElse(return None)
+        findBox(trakS, trakE, "tkhd") match {
+          case Some((tkhdS, _)) =>
+            val base = if (payload(tkhdS) == 0) tkhdS + 76 else tkhdS + 88
+            val w = (u32(base) >> 16).toInt
+            val h = (u32(base + 4) >> 16).toInt
+            if (w > 0) return Some((w, h, duration))
+          case None => ()
+        }
+        trakFrom = trakE
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Build a minimal VALID ISO-BMFF skeleton (`ftyp` + `moov`(`mvhd` +
+    * `trak`(`tkhd`))) carrying the given presentation metadata — the
+    * deterministic fixture generator for [[decodeVideoMeta]] (the test
+    * corpus has no real video bytes; a container written here exercises
+    * the same byte layout a camera MP4 carries). `durationUnits` is in
+    * `timescale`-ths of a second. */
+  def synthesizeMp4(width: Int, height: Int, durationUnits: Long,
+                    timescale: Long = 1000L, trackId: Int = 1): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(24 + 8 + 108 + 8 + 92)
+    def box(size: Int, tag: String): Unit = {
+      buf.putInt(size); buf.put(tag.getBytes("US-ASCII"))
+    }
+    // ftyp (24): isom, minor 0x200, compatible isom + mp42
+    box(24, "ftyp")
+    buf.put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII"))
+    // moov container: mvhd (108) + trak (8 + 92)
+    box(8 + 108 + 8 + 92, "moov")
+    box(108, "mvhd")
+    buf.putInt(0)                    // version 0 + flags
+      .putInt(0).putInt(0)           // ctime, mtime
+      .putInt(timescale.toInt)
+      .putInt(durationUnits.toInt)
+      .putInt(0x00010000)            // rate 1.0
+      .putShort(0x0100.toShort)      // volume 1.0
+      .putShort(0).putLong(0L)       // reserved
+    // unity matrix (36 bytes)
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(trackId + 1)          // next_track_id
+    box(8 + 92, "trak")
+    box(92, "tkhd")
+    buf.putInt(0x000007)             // version 0, flags: enabled|in movie|in preview
+      .putInt(0).putInt(0)           // ctime, mtime
+      .putInt(trackId)
+      .putInt(0)                     // reserved
+      .putInt(durationUnits.toInt)
+      .putLong(0L)                   // reserved
+      .putShort(0).putShort(0)       // layer, alternate_group
+      .putShort(0).putShort(0)       // volume (0 for video), reserved
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    buf.array()
+  }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK-native, executor-
     * local — WAV/AIFF/AU PCM need no external codecs): container-level
@@ -163,6 +295,31 @@ object Multimodal {
               Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
                 16000, 1, dur, 0.0, false)
           }
+        }
+      }(enc)
+  }
+
+  /** Wrap an id column as REAL minimal MP4 containers ([[synthesizeMp4]])
+    * with id-derived presentation metadata — the video-side fixture
+    * generator (the test corpus carries no camera footage): downstream
+    * [[decode]] must recover width/height/duration by actually parsing
+    * the boxes, which is what lets a differential oracle replay the
+    * id-derivation arithmetic and gate the parser on real bytes. */
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (320 + (id % 16) * 16).toInt
+          val h = (240 + (id % 9) * 16).toInt
+          val durationUnits = 1000L + (id % 600) * 100L
+          val p = synthesizeMp4(w, h, durationUnits)
+          // schema-carrying row: Spark fuses adjacent object transforms,
+          // so a downstream mapPartitions may receive THIS object and
+          // access fields by name
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
         }
       }(enc)
   }

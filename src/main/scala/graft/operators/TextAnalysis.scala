@@ -390,6 +390,100 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Persist a BM25 SERVING index — the lexical twin of
+    * [[graft.operators.Similarity.writeIvfPqCodes]] /
+    * [[graft.operators.Dedup.writeMinhashIndex]]: [[bm25TopK]] is correct
+    * but re-aggregates the corpus tf and length frames PER QUERY, which
+    * at 100 TB makes every query a corpus scan. This writes that work
+    * out once per corpus version:
+    *
+    *  - `path/postings`: (token, id, tf, len) rows hive-partitioned by
+    *    `tbucket = md5Hash60(token) % numBuckets`, so a query's scan
+    *    prunes to its terms' buckets at the STORAGE level (the parquet
+    *    reader never opens the other buckets' files). Document length is
+    *    denormalized into each posting — 8 bytes/row buys the query path
+    *    out of any doc-keyed join against a corpus-sized length table.
+    *  - `path/stats`: one row (n_docs, total_len, num_buckets, id_col) —
+    *    the corpus constants the scoring formula needs, plus the layout
+    *    contract the query side must reproduce to prune correctly.
+    *
+    * A token's postings land in exactly one bucket, so per-term document
+    * frequency is computable from the pruned scan alone. Build cost: the
+    * one corpus tokenization pass [[stagedTf]] already pays, a doc-keyed
+    * length aggregation, and a token-bucketed shuffle-free write
+    * (partitionBy is a local sort within write tasks, not an exchange). */
+  def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
+                     path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = df.sparkSession
+    val nDocs = df.count() // parquet metadata count — bounded driver value
+    val tf = stagedTf(df, textCol, idCol)
+    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+    tf.join(lens, Seq(idCol))
+      .select(F.col("token"),
+        (Dedup.md5Hash60(F.col("token")) % numBuckets).cast("int").as("tbucket"),
+        F.col(idCol), F.col("tf"), F.col("len"))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    val totalLen = lens.agg(F.sum("len").as("t")).head().getAs[Long]("t")
+    import spark.implicits._
+    Seq((nDocs, totalLen, numBuckets, idCol))
+      .toDF("n_docs", "total_len", "num_buckets", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] layout — result identical
+    * to [[bm25TopK]] on the indexed corpus (same formula, same rounding,
+    * same tie-break; one oracle gates both), but the query path touches
+    * only its terms' postings buckets: the `tbucket IN (...)` predicate
+    * becomes parquet PARTITION PRUNING, document frequencies aggregate
+    * over the pruned matches, and the corpus constants come from the
+    * one-row stats file. Per-query cost scales with matching postings —
+    * independent of corpus size — which is what makes this the 100 TB
+    * serving shape. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: String, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val nDocs = stats.getAs[Long]("n_docs")
+    val totalLen = stats.getAs[Long]("total_len")
+    val numBuckets = stats.getAs[Int]("num_buckets")
+    val idCol = stats.getAs[String]("id_col")
+    // same UTF8String lowering + md5 fold as the build side — a locale-
+    // dependent lowercase or a different hash would probe wrong buckets
+    val qLower = org.apache.spark.unsafe.types.UTF8String
+      .fromString(query).toLowerCase.toString
+    val qTerms = qLower.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25TopKIndexed: query has no tokens")
+    val qBuckets = qTerms.map { t =>
+      (graft.functions.PortableHash.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % numBuckets)
+        .toInt
+    }.distinct
+    val matched = spark.read.parquet(s"$path/postings")
+      .filter(F.col("tbucket").isin(qBuckets: _*)) // storage-level pruning
+      .filter(F.col("token").isin(qTerms: _*))
+    val dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    // the same double the batch path's total_len/n division produces —
+    // identical operands, identical IEEE result, so round(...,9) agrees
+    val avgLen = totalLen.toDouble / nDocs.toDouble
+    val idf = F.log(F.lit(1.0) +
+      (F.lit(nDocs.toDouble) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    val termScore = F.round(
+      idf * (F.col("tf") * (k1 + 1)) /
+        (F.col("tf") + F.lit(k1) *
+          (F.lit(1.0 - b) + F.lit(b) * F.col("len") / F.lit(avgLen))),
+      9)
+    matched
+      .join(F.broadcast(dfreq), "token")
+      .select(F.col(idCol), termScore.as("ts"))
+      .groupBy(idCol)
+      .agg(F.round(F.sum("ts"), 6).as("bm25"))
+      .orderBy(F.col("bm25").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Unigram log-probability scoring — the perplexity-proxy quality
     * filter (a document whose tokens are improbable under the corpus
     * unigram model is noise, menus, or the wrong language): score =

@@ -116,6 +116,68 @@ class OperatorsSpec extends SparkSpec {
     assert(!out(2L).getBoolean(6) && out(2L).getInt(2) == 16000)
   }
 
+  test("video container metadata: real ISO-BMFF box parse, v1 layout, fallbacks") {
+    // round-trip: write a minimal mp4, parse dims + duration back
+    val mp4 = Multimodal.synthesizeMp4(640, 480, durationUnits = 2500L)
+    assert(Multimodal.looksLikeMp4(mp4))
+    assert(Multimodal.decodeVideoMeta(mp4).contains((640, 480, 2.5)))
+    // version-1 mvhd/tkhd (64-bit times): patch versions + re-lay fields
+    // by hand — mvhd v1 body is 12 bytes longer before timescale, tkhd
+    // v1 is 12 longer before width
+    val v1 = {
+      val buf = java.nio.ByteBuffer.allocate(24 + 8 + 120 + 8 + 104)
+      def box(size: Int, tag: String): Unit = {
+        buf.putInt(size); buf.put(tag.getBytes("US-ASCII"))
+      }
+      box(24, "ftyp")
+      buf.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII"))
+      box(8 + 120 + 8 + 104, "moov")
+      box(120, "mvhd")
+      buf.putInt(0x01000000)           // version 1
+        .putLong(0L).putLong(0L)       // 64-bit ctime/mtime
+        .putInt(90000)                 // timescale
+        .putLong(45000L)               // 64-bit duration → 0.5 s
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0).putLong(0L)
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => buf.putInt(0))
+      buf.putInt(2)
+      box(8 + 104, "trak")
+      box(104, "tkhd")
+      buf.putInt(0x01000007)           // version 1, enabled flags
+        .putLong(0L).putLong(0L)       // 64-bit ctime/mtime
+        .putInt(1).putInt(0)
+        .putLong(45000L)               // 64-bit duration
+        .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      buf.putInt(1920 << 16).putInt(1080 << 16)
+      buf.array()
+    }
+    assert(Multimodal.decodeVideoMeta(v1).contains((1920, 1080, 0.5)))
+    // non-container bytes → None; truncated container → None, no throw
+    assert(Multimodal.decodeVideoMeta("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeVideoMeta(mp4.take(40)).isEmpty)
+    // dispatch: real parse for real containers, stub for synthetic bytes
+    assert(Multimodal.decodePayload("video", mp4) == ((640, 480, 2.5)))
+    val textBytes = "synthetic".getBytes("UTF-8")
+    assert(Multimodal.decodePayload("video", textBytes) ==
+      Multimodal.fakeDecode(textBytes))
+    // distributed plumbing: synthesizeVideo → decode recovers the
+    // id-derived metadata for every row
+    val ids = Seq(0L, 7L, 599L, 1234L).toDF("doc_id")
+    val dec = Multimodal.decode(Multimodal.synthesizeVideo(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    for (id <- Seq(0L, 7L, 599L, 1234L))
+      assert(dec(id) == ((320 + (id % 16) * 16).toInt,
+        (240 + (id % 9) * 16).toInt,
+        (1000L + (id % 600) * 100L).toDouble / 1000L), s"id=$id")
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -713,6 +775,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
     // the tied one-term docs (2, 5) resolve by ascending id
     assert(out(2)._1 == 2L)
+  }
+
+  test("BM25 serving index: identical result to the per-query path, pruned scan") {
+    val corpus = Seq(
+      (1L, "spark window join spark"),
+      (2L, "spark table scan"),
+      (3L, "filter sort order"),
+      (4L, "window spark"),
+      (5L, "spark table scan"),
+      (6L, "")                         // empty doc counts toward N only
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString + "/idx"
+    TextAnalysis.writeBm25Index(corpus, "text", "doc_id", path, numBuckets = 4)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (q <- Seq("spark window", "SPARK", "window join scan")) {
+      assert(scores(TextAnalysis.bm25TopKIndexed(spark, path, q, k = 3)) ==
+        scores(TextAnalysis.bm25TopK(corpus, "text", "doc_id", q, k = 3)),
+        s"query=$q")
+    }
+    // the layout contract: the query scan partition-prunes to the query
+    // terms' token buckets — never a full postings scan
+    val plan = TextAnalysis.bm25TopKIndexed(spark, path, "spark", k = 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tbucket".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
   }
 
   test("PQ codes and ADC top-k: hand-computed codes, distances, tie-break") {
