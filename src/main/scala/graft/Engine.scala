@@ -57,6 +57,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     def colPaths(c: Col): Seq[String] = c match {
       case InSubquery(e, sub) => colPaths(e) ++ compoundPaths(sub)
       case ScalarSubquery(sub) => compoundPaths(sub)
+      case ExistsSubquery(sub) => compoundPaths(sub)
       case BinOp(_, l, r)     => colPaths(l) ++ colPaths(r)
       case Not(ch)            => colPaths(ch)
       case Alias(ch, _)       => colPaths(ch)
@@ -232,12 +233,93 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case BinOp("&", l, r)        => applyWhere(applyWhere(frame, l, scope), r, scope)
     case InSubquery(e, sub)      => inJoin(frame, e, sub, scope, anti = false)
     case Not(InSubquery(e, sub)) => inJoin(frame, e, sub, scope, anti = true)
+    case ExistsSubquery(sub)      => existsJoin(frame, sub, scope, anti = false)
+    case Not(ExistsSubquery(sub)) => existsJoin(frame, sub, scope, anti = true)
     case other if containsInSubquery(other) =>
       throw new SemanticError(
-        "IN (SELECT ...) must be a top-level AND conjunct of WHERE " +
-        "(it plans as a semi/anti join and cannot sit under OR or " +
-        "inside an expression)")
+        "IN (SELECT ...) / EXISTS (SELECT ...) must be a top-level AND " +
+        "conjunct of WHERE (it plans as a semi/anti join and cannot sit " +
+        "under OR or inside an expression)")
     case other => frame.filter(other)
+  }
+
+  /** Plan `[NOT] EXISTS (SELECT ...)` as a LEFT SEMI (`NOT` → LEFT ANTI)
+    * join by DECORRELATION: build the subquery's FROM/JOIN frame, split
+    * its WHERE into top-level AND conjuncts, and partition them by
+    * whether every column reference resolves INSIDE the subquery
+    * (innermost-scope-first, like standard SQL): local conjuncts stay
+    * subquery-side filters (pushed to its scan), correlated ones become
+    * the join condition. The select list is irrelevant to EXISTS and is
+    * ignored. An uncorrelated EXISTS degenerates to a bounded one-row
+    * emptiness probe (`take(1)`) choosing all-rows or no-rows.
+    *
+    * Correlated subqueries must be a single SELECT block without
+    * GROUP BY/HAVING/ORDER BY/LIMIT or set ops — those have no join
+    * rendering here; reject loudly rather than mis-evaluate. */
+  private def existsJoin(frame: GraftFrame, sub: CompoundQuery,
+                         scope: Map[String, GraftFrame], anti: Boolean): GraftFrame = {
+    def emptinessProbe(planned: GraftFrame): GraftFrame = {
+      val nonEmpty = planned.df.take(1).nonEmpty
+      if (nonEmpty != anti) frame else GraftFrame.fromDF(frame.df.limit(0))
+    }
+    val simple = sub.tail.isEmpty && sub.orderBy.isEmpty && sub.limit.isEmpty &&
+      sub.ctes.isEmpty && sub.head.groupBy.isEmpty && sub.head.having.isEmpty &&
+      sub.head.orderBy.isEmpty && sub.head.limit.isEmpty
+    if (!simple)
+      // set ops / grouping / LIMIT: only the UNCORRELATED reading exists
+      // (a correlated reference fails resolution inside evalCompound)
+      return emptinessProbe(evalCompound(sub, scope))
+    val q = sub.head
+    def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
+      case Some(s2) => evalCompound(s2, scope)
+      case None     => scope.getOrElse(t.path, table(t.path))
+    }
+    val innerAliases = ListBuffer.empty[String]
+    var inner = resolve(q.from)
+    q.from.alias.foreach { a => inner = inner.alias(a); innerAliases += a }
+    q.joins.foreach { case JoinClause(t, on, how) =>
+      var right = resolve(t)
+      t.alias.foreach { a => right = right.alias(a); innerAliases += a }
+      inner = inner.join(right, on, how)
+    }
+    val innerCols = inner.df.columns.toSet
+    def isOuterRef(r: String): Boolean =
+      if (r.contains('.')) !innerAliases.contains(r.split('.').head)
+      else !innerCols.contains(r)
+    def splitAnd(c: Col): Seq[Col] = c match {
+      case BinOp("&", l, r) => splitAnd(l) ++ splitAnd(r)
+      case o                => Seq(o)
+    }
+    val conjuncts = q.where.toSeq.flatMap(splitAnd)
+      .map(resolveScalars(_, scope))
+    val (correlated, local) = conjuncts.partition(c =>
+      collectRefs(c).exists(isOuterRef))
+    local.foreach(c => inner = applyWhere(inner, c, scope))
+    if (correlated.isEmpty) emptinessProbe(inner)
+    else frame.join(inner, correlated.reduce(_ && _),
+      if (anti) "left_anti" else "left_semi")
+  }
+
+  /** Every column reference in an expression tree (subquery bodies
+    * excluded — their refs resolve in their own scope). */
+  private def collectRefs(c: Col): Seq[String] = c match {
+    case ColRef(r)       => Seq(r)
+    case Alias(ch, _)    => collectRefs(ch)
+    case BinOp(_, l, r)  => collectRefs(l) ++ collectRefs(r)
+    case Not(ch)         => collectRefs(ch)
+    case Like(ch, _)     => collectRefs(ch)
+    case Cast(ch, _)     => collectRefs(ch)
+    case IsNull(ch)      => collectRefs(ch)
+    case AggCol(_, ch, _) => collectRefs(ch)
+    case FuncCall(_, as) => as.flatMap(collectRefs)
+    case CaseWhen(bs, e) =>
+      bs.flatMap { case (w, v) => collectRefs(w) ++ collectRefs(v) } ++
+        e.toSeq.flatMap(collectRefs)
+    case WindowFn(_, a, pb, ob) =>
+      a.toSeq.flatMap(collectRefs) ++ pb.flatMap(collectRefs) ++
+        ob.flatMap { case (oc, _) => collectRefs(oc) }
+    case InSubquery(e, _) => collectRefs(e)
+    case _               => Seq.empty
   }
 
   private def inJoin(frame: GraftFrame, e: Col, sub: CompoundQuery,
@@ -308,7 +390,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   }
 
   private def containsInSubquery(c: Col): Boolean = c match {
-    case _: InSubquery   => true
+    case _: InSubquery      => true
+    case _: ExistsSubquery  => true
     case Alias(ch, _)    => containsInSubquery(ch)
     case BinOp(_, l, r)  => containsInSubquery(l) || containsInSubquery(r)
     case Not(ch)         => containsInSubquery(ch)

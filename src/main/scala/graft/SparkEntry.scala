@@ -439,6 +439,29 @@ object SparkEntry {
           |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
           |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df),
 
+    // ---- correlated EXISTS / NOT EXISTS through the graft DIALECT
+    //      (TPC-H Q21's wait-chain shape, q81's ANSI twin): the engine
+    //      decorrelates each subquery into a semi/anti self-join whose
+    //      condition is the correlated conjuncts ----
+    "q128_sql_exists" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT s.s_name, COUNT() AS numwait
+          |FROM lineitem l1
+          |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+          |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o.o_orderdate
+          |  AND EXISTS (SELECT * FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey != l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT * FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey != l1.l_suppkey
+          |                    AND l3.l_shipdate > o.o_orderdate)
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 20""".stripMargin).df),
+
     // ---- ANSI SQL passthrough over the registered catalog ----
     "q39_ansi_exists" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -2359,6 +2382,25 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin,
+
+    // q81's wait-chain shape replayed for the DIALECT's decorrelated
+    // EXISTS/NOT EXISTS (date comparison instead of INTERVAL arithmetic,
+    // which the dialect does not have)
+    "q128_sql_exists" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q83_stream_e2e" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -125,6 +125,12 @@ object Col {
     * result raises instead of yielding SQL's NULL (the engine's world
     * is null-free). */
   final case class ScalarSubquery(subquery: graft.sql.CompoundQuery) extends Col
+  /** `[NOT] EXISTS (SELECT ...)` predicate (extension). Like
+    * [[InSubquery]] it is not a row-local expression: the engine
+    * decorrelates it into a LEFT SEMI join (`NOT EXISTS` → LEFT ANTI)
+    * whose condition is the subquery's correlated WHERE conjuncts, so it
+    * is only legal as a top-level AND conjunct of WHERE. */
+  final case class ExistsSubquery(subquery: graft.sql.CompoundQuery) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -310,6 +316,10 @@ object Col {
       throw new IllegalArgumentException(
         "Scalar subquery escaped plan-time substitution — " +
         "evaluate through the Engine, not Col.compile")
+    case ExistsSubquery(_) =>
+      throw new IllegalArgumentException(
+        "EXISTS (SELECT ...) is only supported as a top-level AND conjunct " +
+        "of WHERE (it plans as a semi/anti join, not a row expression)")
     case WindowFn(fn, arg, pb, ob) =>
       import org.apache.spark.sql.expressions.Window
       val base =

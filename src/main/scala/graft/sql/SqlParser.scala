@@ -79,6 +79,7 @@ object SqlParser {
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
+    "EXISTS",
     // reserving OVER/PARTITION (window support) breaks columns of those
     // names as bare identifiers — the standard tradeoff; the
     // double-quoted-identifier escape ("partition") still reaches them
@@ -335,7 +336,15 @@ object SqlParser {
       l
     }
     private def parseNot(): Col =
-      if (accept("NOT")) !parseNot() else parseCmp()
+      if (accept("NOT")) !parseNot()
+      else if (accept("EXISTS")) {
+        // `[NOT] EXISTS (SELECT ...)` — the subquery may be correlated;
+        // the engine decorrelates it into a semi/anti join (extension)
+        expectOp("(")
+        val sub = parseCompoundBody()
+        expectOp(")")
+        ExistsSubquery(sub)
+      } else parseCmp()
 
     private def parseCmp(): Col = {
       val l = parseAdd()

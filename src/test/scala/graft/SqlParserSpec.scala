@@ -457,6 +457,62 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE color IN (SELECT color, quantity FROM fruits)").df)
   }
 
+  test("EXISTS / NOT EXISTS: decorrelated semi/anti joins, local conjunct pushdown, probes, errors (extension)") {
+    import graft.sql.{SemanticError, SqlParser}
+    import graft.api.Col.{ExistsSubquery, Not}
+    val d = java.nio.file.Files.createTempDirectory("graft-exists").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // AST: EXISTS parses to the predicate node; NOT EXISTS wraps it
+    val q = SqlParser.parse(
+      "SELECT fruit FROM fruits f WHERE EXISTS (SELECT * FROM fruits g WHERE g.color = f.color)")
+    assert(q.where.exists(_.isInstanceOf[ExistsSubquery]))
+    val qn = SqlParser.parse(
+      "SELECT fruit FROM fruits f WHERE NOT EXISTS (SELECT * FROM fruits g WHERE g.color = f.color)")
+    assert(qn.where.exists {
+      case Not(_: ExistsSubquery) => true; case _ => false
+    })
+    def run(sql: String): Set[(String, Int)] =
+      Engine(spark, d).sql(sql).df.collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    // correlated semi: rows with a same-color row of HIGHER quantity —
+    // only banana5 (outshone by banana7); both conjuncts correlated
+    val semi = run(
+      """SELECT f.fruit, f.quantity FROM fruits f
+        |WHERE EXISTS (SELECT * FROM fruits g
+        |              WHERE g.color = f.color AND g.quantity > f.quantity)""".stripMargin)
+    assert(semi == Set(("banana", 5)))
+    // correlated anti: the complement
+    val anti = run(
+      """SELECT f.fruit, f.quantity FROM fruits f
+        |WHERE NOT EXISTS (SELECT * FROM fruits g
+        |                  WHERE g.color = f.color AND g.quantity > f.quantity)""".stripMargin)
+    assert(anti == Set(("apple", 3), ("apple", 4), ("orange", 2), ("banana", 7)))
+    // a LOCAL conjunct (quantity > 4 resolves inside) filters the
+    // subquery side; the correlated one joins → yellow rows only
+    val mixed = run(
+      """SELECT f.fruit, f.quantity FROM fruits f
+        |WHERE EXISTS (SELECT * FROM fruits g
+        |              WHERE g.color = f.color AND g.quantity > 4)""".stripMargin)
+    assert(mixed == Set(("banana", 5), ("banana", 7)))
+    // uncorrelated: bounded emptiness probe, all-or-nothing
+    assert(run(
+      """SELECT fruit, quantity FROM fruits
+        |WHERE EXISTS (SELECT * FROM fruits WHERE quantity > 100)""".stripMargin).isEmpty)
+    assert(run(
+      """SELECT fruit, quantity FROM fruits
+        |WHERE NOT EXISTS (SELECT * FROM fruits WHERE quantity > 100)""".stripMargin)
+      .size == 5)
+    // an enclosing CTE is visible inside the EXISTS subquery
+    val viaCte = run(
+      """WITH hot AS (SELECT color FROM fruits WHERE quantity > 4)
+        |SELECT f.fruit, f.quantity FROM fruits f
+        |WHERE EXISTS (SELECT * FROM hot h WHERE h.color = f.color)""".stripMargin)
+    assert(viaCte == Set(("banana", 5), ("banana", 7)))
+    // under OR there is no join rendering — loud error, not wrong rows
+    assertThrows[SemanticError](Engine(spark, d).sql(
+      "SELECT fruit FROM fruits WHERE quantity = 2 OR EXISTS (SELECT * FROM fruits)").df)
+  }
+
   test("scalar subqueries: plan-time literal, anywhere an expression sits, cardinality errors (extension)") {
     import graft.sql.SemanticError
     val d = java.nio.file.Files.createTempDirectory("graft-scalar").toString
