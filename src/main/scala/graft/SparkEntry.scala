@@ -93,17 +93,28 @@ object SparkEntry {
     * the /tmp staging dir and break the stream source.
     *
     * @param sub per-feed subdirectory — lets one gate stage several
-    *            independent feeds under one staging root */
+    *            independent feeds under one staging root
+    * @param splitFiles when > 1, rewrite the input into that many files
+    *            and drain them ONE PER MICRO-BATCH (maxFilesPerTrigger)
+    *            — the multi-batch ingest shape that actually exercises
+    *            cross-batch stream state (join buffers, dedup maps)
+    *            instead of collapsing into one batch */
   private def stagedFileStream(s: SparkSession, file: String,
                                stagingRoot: String,
-                               sub: String = "in"): DataFrame = {
+                               sub: String = "in",
+                               splitFiles: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val inDir = java.nio.file.Paths.get(stagingRoot, sub)
     java.nio.file.Files.createDirectories(inDir)
     val target = java.nio.file.Paths.get(file).toAbsolutePath
-    java.nio.file.Files.createSymbolicLink(inDir.resolve(target.getFileName),
-                                           target)
-    val raw = Streams.readParquetStream(s, inDir.toString)
+    if (splitFiles > 1)
+      s.read.parquet(target.toString).repartition(splitFiles)
+        .write.mode("overwrite").parquet(inDir.toString)
+    else
+      java.nio.file.Files.createSymbolicLink(inDir.resolve(target.getFileName),
+                                             target)
+    val raw = Streams.readParquetStream(s, inDir.toString,
+      maxFilesPerTrigger = if (splitFiles > 1) 1 else 0)
     if (raw.schema.fields.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType))
       // integer division: ~1.7e18 ns exceeds double's 2^53 exact range
@@ -1131,19 +1142,24 @@ object SparkEntry {
 
     // ---- stream-stream INTERVAL JOIN end-to-end under the gate: two
     //      real file-source streams (separate drop folders — the two-feed
-    //      production shape), watermarked interval join (purchases within
-    //      30 min before each click), parquet sink, AvailableNow. Inner
-    //      stream-stream joins emit matches as both sides ingest (only
-    //      OUTER joins wait on the watermark), and the horizon watermark
-    //      prevents state eviction on the bounded run, so the sink equals
-    //      the batch join — which is exactly what the oracle replays ----
+    //      production shape), each drained over FOUR micro-batches
+    //      (splitFiles + maxFilesPerTrigger=1, so matches must pair rows
+    //      across batch boundaries out of the join's buffered state),
+    //      watermarked interval join (purchases within 30 min before
+    //      each click), parquet sink, AvailableNow. Inner stream-stream
+    //      joins emit matches as both sides ingest (only OUTER joins
+    //      wait on the watermark), and the horizon watermark prevents
+    //      state eviction on the bounded run, so the sink equals the
+    //      batch join — which is exactly what the oracle replays ----
     "q105_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val staging = stagingDir("graft_stream_ij")
-      val clicks = stagedFileStream(s, s"$dir/events.parquet", staging, "in_l")
+      val clicks = stagedFileStream(s, s"$dir/events.parquet", staging, "in_l",
+          splitFiles = 4)
         .filter(F.col("event_type") === "click")
         .select("user_id", "ts", "event_id")
-      val purchases = stagedFileStream(s, s"$dir/events.parquet", staging, "in_r")
+      val purchases = stagedFileStream(s, s"$dir/events.parquet", staging, "in_r",
+          splitFiles = 4)
         .filter(F.col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
       val joined = Streams
@@ -2701,7 +2717,10 @@ object SparkEntry {
         |  TRUE AS approx_within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    // the batch twin of the streaming interval join (same key, same
+    // DuckDB replays the interval join as a BATCH query — but the Spark
+    // side is a real two-feed micro-batch run (file-source streams +
+    // AvailableNow, see the q105 queries entry), so this gate proves the
+    // streaming execution equals batch semantics (same key, same
     // [ts-30min, ts] bound); timestamps as epoch micros per the rules
     "q105_stream_join" ->
       """SELECT l.user_id AS user_id, l.event_id AS l_event_id,

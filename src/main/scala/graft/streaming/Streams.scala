@@ -354,9 +354,18 @@ object Streams {
 
   /** Open a file-source stream over a parquet directory (schema must be
     * supplied for streaming reads; reuse the batch footer schema). */
-  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
+  def readParquetStream(spark: SparkSession, path: String,
+                        maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    val reader = spark.readStream.schema(schema)
+    // >0 caps files per micro-batch — the multi-batch ingest shape (a
+    // drop folder draining file by file); 0 = source default (all
+    // available files in one batch under AvailableNow)
+    val capped =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    capped.parquet(path)
   }
 
   /** Write an aggregated stream to parquet with checkpointing (exactly-
