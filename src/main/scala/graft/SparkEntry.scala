@@ -889,16 +889,32 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = TextAnalysis.docSignals(F.col("text"),
         native = s.catalog.functionExists("text_stats"))
-      val scored = docs.select(F.col("doc_id"), sig.as("sig"))
+      // Two independent corpus passes feed the final anti-join: the
+      // narrow signals filter and the LSH cluster pipeline (whose eager
+      // staging serializes several job barriers). OVERLAP them: the
+      // signals side materializes on a background action (spread to full
+      // parallelism — the test corpus arrives in 3 splits; at scale the
+      // guard adds no exchange) while the cluster pipeline stages its
+      // own jobs, so its barriers no longer extend the critical path.
+      // The checkpointed blocks are narrow keep-list rows, not text.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val keepsFut = Future {
+        Dedup.spreadForCompute(docs)
+          .select(F.col("doc_id"), sig.as("sig"))
+          .filter(F.col("sig.lang_guess") === "en" && F.col("sig.quality") >= 0.4)
+          .select(F.col("doc_id"), F.col("sig.quality").as("quality"))
+          .localCheckpoint(true)
+      }
       val clusterLosers = Dedup.clusters(
           Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
             rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
         .filter(F.col("id") =!= F.col("cluster"))
         .select(F.col("id").as("doc_id"))
-      scored
-        .filter(F.col("sig.lang_guess") === "en" && F.col("sig.quality") >= 0.4)
+      Await.result(keepsFut, Duration.Inf)
         .join(clusterLosers, Seq("doc_id"), "left_anti")
-        .select(F.col("doc_id"), F.col("sig.quality").as("quality"))
+        .select(F.col("doc_id"), F.col("quality"))
     }),
 
     // ---- partition-pruned ANN: the 100 TB serving path — corpus staged

@@ -117,7 +117,7 @@ object Dedup {
     * upstream query stages. At scale a parquet corpus is far wider than
     * the core count, the condition is false, and no exchange is added —
     * the narrow (id, key) explode stays the only shuffle. */
-  private def spreadForCompute(df: DataFrame): DataFrame = {
+  private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val parts = df.queryExecution.sparkPlan.collectLeaves().map {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
