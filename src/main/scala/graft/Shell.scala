@@ -51,9 +51,61 @@ object Shell {
     val spark = GraftSession.getOrCreate()
     val engine = new Engine(spark, baseDir)
     println(s"graft shell — tables resolve against ${baseDir.get}; end queries with ';', exit with 'exit;'")
-    val stdin = Iterator.continually(Option(StdIn.readLine()).getOrElse("exit;"))
-    repl(engine, stdin, println,
-      prompt = fresh => { print(if (fresh) "graft> " else "    -> "); Console.flush() })
+    if (System.console() != null) jlineRepl(engine, baseDir.get)
+    else {
+      // piped/non-tty input (tests, heredocs): plain line reading
+      val stdin = Iterator.continually(Option(StdIn.readLine()).getOrElse("exit;"))
+      repl(engine, stdin, println,
+        prompt = fresh => { print(if (fresh) "graft> " else "    -> "); Console.flush() })
+    }
     spark.stop()
+  }
+
+  /** Interactive path on a real terminal: jline-backed line editing with
+    * persistent history (`~/.graft_history`), fish-style autosuggestion
+    * from history, and tab completion over SQL keywords + the base dir's
+    * table names — the reference shell's prompt_toolkit feature set
+    * (reference: src/mini_spark/shell.py:75-84 FileHistory +
+    * AutoSuggestFromHistory). jline ships with Spark, so this adds no
+    * dependency; the piped path above stays jline-free. */
+  private def jlineRepl(engine: Engine, baseDir: String): Unit = {
+    import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
+    import org.jline.reader.impl.completer.StringsCompleter
+    import org.jline.reader.impl.history.DefaultHistory
+    import org.jline.terminal.TerminalBuilder
+    val tables =
+      try new java.io.File(baseDir).listFiles()
+        .toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet"))
+      catch { case _: Exception => Seq.empty }
+    val words = Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
+      "JOIN", "ON", "AS", "AND", "OR", "NOT", "LIKE", "BETWEEN", "ORDER",
+      "LIMIT", "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG", "UNION",
+      "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END", "IN",
+      "IS", "NULL", "WITH", "EXISTS", "OVER", "PARTITION", "exit") ++ tables
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val history = new DefaultHistory()
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .history(history)
+      .completer(new StringsCompleter(words: _*))
+      .variable(LineReader.HISTORY_FILE,
+        java.nio.file.Paths.get(System.getProperty("user.home"), ".graft_history"))
+      .build()
+    reader.setAutosuggestion(LineReader.SuggestionType.HISTORY)
+    val promptRef = new java.util.concurrent.atomic.AtomicReference("graft> ")
+    val in = Iterator.continually {
+      try reader.readLine(promptRef.get())
+      catch {
+        case _: EndOfFileException    => "exit;"
+        case _: UserInterruptException => "" // ^C clears the line, like psql
+      }
+    }
+    try repl(engine, in, terminal.writer().println(_: String),
+      prompt = fresh => promptRef.set(if (fresh) "graft> " else "    -> "))
+    finally {
+      try history.save() catch { case _: Exception => () }
+      terminal.close()
+    }
   }
 }
