@@ -410,6 +410,22 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
 
+    // ---- index-quality evaluation: recall@10 of the IVF path against
+    //      the exact brute-force top-10 — the tuning/canary metric of
+    //      an ANN deployment; the oracle replays BOTH pipelines and
+    //      intersects, so a silent recall regression fails the gate ----
+    "q130_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.recallAtK(
+        Similarity.topKIvf(emb, "embedding", "vec_id", q, ivfCentroids,
+          k = 10, nprobe = 2),
+        Similarity.topKByCosine(emb, "embedding", "vec_id", q, 10,
+          native = true),
+        "vec_id", k = 10)
+    }),
+
     // ---- multimodal plumbing (graft.operators.Multimodal) ----
     "q34_media_meta" -> ((s, dir) =>
       Multimodal.decode(
@@ -1481,6 +1497,20 @@ object SparkEntry {
         shingleN = 1, threshold = 0.8, maxBucket = 64)
     }),
 
+    // ---- FUZZY decontamination: minhash near-dup pairs BETWEEN corpus
+    //      (doc_id >= 20) and eval set (doc_id < 20) — catches the
+    //      paraphrased/edited contamination q77's exact gram overlap
+    //      misses. Equals the full q29-style banding over the union
+    //      restricted to cross-side pairs, which the oracle replays ----
+    "q129_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshCross(
+        docs.filter(F.col("doc_id") >= 20), "text", "doc_id",
+        docs.filter(F.col("doc_id") < 20), "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.5,
+        maxBucket = 64)
+    }),
+
     // ---- corpus snapshot diff: classify ids across two corpus
     //      versions (added/removed/changed/unchanged by content
     //      fingerprint) — the incremental-pipeline primitive; both
@@ -1656,6 +1686,19 @@ object SparkEntry {
       |SELECT doc_id, round(sum(ts), 6) AS bm25
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The brute-force cosine top-10 replay — shared by q32 and q130's
+    * recall evaluation (the exact side of the intersection). */
+  private val bruteKnnReplay: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |scored AS (SELECT vec_id,
+      |  list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+      |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS raw
+      | FROM embeddings)
+      |SELECT vec_id, round(raw, 6) AS score
+      |FROM scored ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
@@ -1889,6 +1932,17 @@ object SparkEntry {
     "q125_minhash_incremental" -> minhashOracleSql(
       numBands = 4, rowsPerBand = 8, threshold = 0.8, maxBucket = 64,
       extraWhere = " AND (id_a >= 400 OR id_b >= 400)"),
+
+    // the q29 replay over the whole table restricted to CROSS pairs
+    // (one side < 20 = eval, the other = corpus), columns remapped to
+    // the cross operator's (corpus_id, eval_id) output
+    "q129_fuzzy_decontaminate" ->
+      s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)}
+         |SELECT CASE WHEN id_a < 20 THEN id_b ELSE id_a END AS corpus_id,
+         |       CASE WHEN id_a < 20 THEN id_a ELSE id_b END AS eval_id,
+         |       jaccard
+         |FROM j
+         |WHERE jaccard >= 0.5 AND ((id_a < 20) <> (id_b < 20))""".stripMargin,
 
     "q30_simhash_pairs" ->
       """WITH d0 AS (SELECT doc_id AS id,
@@ -2222,16 +2276,16 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
-    "q32_knn_brute" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id = 0),
-        |scored AS (SELECT vec_id,
-        |  list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
-        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-        |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS raw
-        | FROM embeddings)
-        |SELECT vec_id, round(raw, 6) AS score
-        |FROM scored ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    "q32_knn_brute" -> bruteKnnReplay,
+
+    // recall@10: both the brute and IVF replays run as CTE bodies (each
+    // carries its own inner WITH — names stay local), then a semi-count
+    "q130_ann_recall" ->
+      s"""WITH brute AS ($bruteKnnReplay),
+         |approx AS (${ivfOracleSql(ivfCentroids, k = 10, nprobe = 2)})
+         |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+         |       round(count(*) / 10.0, 6) AS recall
+         |FROM approx WHERE vec_id IN (SELECT vec_id FROM brute)""".stripMargin,
 
     // octet_length(encode(..)): the Spark side derives fake dimensions
     // from the UTF-8 BYTE length of the payload, so the oracle must

@@ -344,6 +344,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** FUZZY DECONTAMINATION: near-duplicate pairs BETWEEN a corpus and an
+    * eval set — the contamination the exact n-gram overlap check
+    * ([[decontaminate]]) misses when benchmark text was paraphrased or
+    * lightly edited before landing in the corpus. Same banded-LSH shape
+    * as [[minhashLsh]] over the tagged union of both sides, with
+    * candidate pairs restricted to CROSS-side members, so the result
+    * provably equals `minhashLsh(corpus ∪ eval)` filtered to
+    * (corpus, eval) pairs — which is what the differential oracle
+    * replays. Bucket caps apply to COMBINED membership; shingle
+    * verification runs candidates-only (semi-join-pruned, like the
+    * batch pipeline — corpus text is never shuffled, corpus shingles
+    * are computed only for candidate docs). Ids must be unique across
+    * sides (the [[minhashLshIncremental]] contract); a shared id is
+    * dropped rather than emitted as a degenerate self-pair.
+    *
+    * Returns (corpus_id, eval_id, jaccard). Scale shape: identical to
+    * [[minhashLsh]]; the eval side is typically thousands of rows, so
+    * its added band rows are noise next to the corpus pass. */
+  def minhashLshCross(corpus: DataFrame, corpusTextCol: String,
+                      corpusIdCol: String,
+                      evalSet: DataFrame, evalTextCol: String,
+                      evalIdCol: String,
+                      numBands: Int = 4, rowsPerBand: Int = 8,
+                      shingleN: Int = 3, threshold: Double = 0.8,
+                      maxBucket: Int = 64,
+                      reliable: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    def tagged(df: DataFrame, textCol: String, idCol: String, isEval: Boolean) =
+      df.filter(F.col(textCol).rlike("\\S"))
+        .select(F.col(idCol).as("id"), F.lit(isEval).as("is_eval"),
+          F.col(textCol).as("text_"))
+    val union = tagged(corpus, corpusTextCol, corpusIdCol, isEval = false)
+      .unionByName(tagged(evalSet, evalTextCol, evalIdCol, isEval = true))
+    val banded = spreadForCompute(union).select(
+      F.col("id"), F.col("is_eval"),
+      F.posexplode(bandKeysDispatch(spark, F.col("text_"),
+        numBands, rowsPerBand, shingleN)).as(Seq("band", "bucket")))
+    val pairs = stage(
+      banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col("id"), F.col("is_eval"))).as("ms"))
+        .filter(F.size(F.col("ms")).between(2, maxBucket))
+        .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
+        .filter(F.col("p.a.is_eval") =!= F.col("p.b.is_eval")) // cross only
+        .filter(F.col("p.a.id") =!= F.col("p.b.id"))           // shared-id guard
+        .select(
+          F.when(F.col("p.a.is_eval"), F.col("p.b.id"))
+            .otherwise(F.col("p.a.id")).as("corpus_id"),
+          F.when(F.col("p.a.is_eval"), F.col("p.a.id"))
+            .otherwise(F.col("p.b.id")).as("eval_id"))
+        .dropDuplicates("corpus_id", "eval_id"),
+      eager = false, reliable)
+    val candIds = pairs
+      .select(F.explode(F.array(F.col("corpus_id"), F.col("eval_id"))).as("id"))
+    val candSh = stage(
+      spreadForCompute(union).join(candIds, Seq("id"), "left_semi")
+        .select(F.col("id"),
+          sortedHashedShingles(F.col("text_"), shingleN).as("sh")),
+      eager = true, reliable)
+    pairs
+      .join(candSh.select(F.col("id").as("corpus_id"), F.col("sh").as("sh_a")),
+        "corpus_id")
+      .join(candSh.select(F.col("id").as("eval_id"), F.col("sh").as("sh_b")),
+        "eval_id")
+      .withColumn("jaccard",
+        jaccardSortedLongs(corpus)(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("corpus_id", "eval_id", "jaccard")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. Union size
     * is computed as |a| + |b| - |a∩b| — one hash-set build per pair
     * instead of two (inputs from [[shingles]] are already distinct). */

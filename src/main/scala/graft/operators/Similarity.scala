@@ -60,6 +60,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Index-quality metric: RECALL of an approximate top-k result against
+    * the exact top-k for the same query — the number a serving team
+    * watches while tuning nprobe / codebook size / bucket counts (an
+    * index whose recall silently degraded is worse than a slow one).
+    * Both inputs are k-row frames, so the evaluation is a tiny semi
+    * join + count — run it per tuning sweep point, or sampled in
+    * production as a canary. Returns one row (n_matched, recall). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    approx.select(F.col(idCol))
+      .join(exact.select(F.col(idCol)), Seq(idCol), "left_semi")
+      .agg(F.count(F.lit(1)).as("n_matched"))
+      .select(F.col("n_matched"),
+        F.round(F.col("n_matched") / k.toDouble, 6).as("recall"))
+  }
+
   /** Top-k per probe vector for a (small) probe set: broadcast the probes,
     * score the cross product, keep k per probe with the native bounded-heap
     * aggregate `topk_pairs` ([[graft.functions.TopKPairsAgg]]). Partial

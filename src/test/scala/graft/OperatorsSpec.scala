@@ -205,6 +205,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(0L, 3L, 1L)) // ties (0,3) broken by id
   }
 
+  test("recall@k: exact overlap count, perfect and degraded cases") {
+    def ids(xs: Long*) = xs.toDF("vec_id")
+    def recall(a: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame, k: Int) = {
+      val r = Similarity.recallAtK(a, e, "vec_id", k).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(recall(ids(1, 2, 3, 4), ids(1, 2, 3, 4), 4) == ((4L, 1.0)))
+    assert(recall(ids(1, 2, 9, 8), ids(1, 2, 3, 4), 4) == ((2L, 0.5)))
+    assert(recall(ids(7, 8, 9, 6), ids(1, 2, 3, 4), 4) == ((0L, 0.0)))
+  }
+
   test("IVF pruning keeps the true neighbor when it shares the probed bucket") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, 0.0f))
@@ -898,6 +909,49 @@ class OperatorsSpec extends SparkSpec {
       path, numBands = 4, rowsPerBand = 8, shingleN = 3,
       threshold = 0.5, maxBucket = 64).collect()
     assert(withDup.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("cross-table fuzzy decontamination equals batch minhash filtered to cross pairs") {
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),   // eval
+      (1L, "completely unrelated benchmark question about physics"), // eval
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),  // dup of 0
+      (11L, "the quick brown fox jumps over the lazy dog today"),    // near-dup of 0
+      (12L, "totally different corpus document about spark engines"),
+      (13L, "the quick brown fox jumps over the lazy dog tonight")   // dup of 0 AND 10
+    ).toDF("doc_id", "text")
+    val eval_ = all.filter(F.col("doc_id") < 10)
+    val corpus = all.filter(F.col("doc_id") >= 10)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val cross = norm(Dedup.minhashLshCross(corpus, "text", "doc_id",
+      eval_, "text", "doc_id", numBands = 4, rowsPerBand = 8, shingleN = 3,
+      threshold = 0.5, maxBucket = 64).collect())
+    // contract: equals the batch run over the union, restricted to
+    // (corpus, eval) pairs and remapped to (corpus_id, eval_id)
+    val batch = norm(Dedup.minhashLsh(all, "text", "doc_id", numBands = 4,
+      rowsPerBand = 8, shingleN = 3, threshold = 0.5, maxBucket = 64)
+      .filter((F.col("id_a") < 10) =!= (F.col("id_b") < 10))
+      .select(
+        F.when(F.col("id_a") < 10, F.col("id_b")).otherwise(F.col("id_a")),
+        F.when(F.col("id_a") < 10, F.col("id_a")).otherwise(F.col("id_b")),
+        F.col("jaccard")).collect())
+    assert(cross == batch)
+    // identical text → identical signature → guaranteed band collision
+    // (near-dups below 1.0 only collide probabilistically — the
+    // cross == batch contract above is the exhaustive check)
+    assert(cross.exists(p => p._1 == 10L && p._2 == 0L)) // exact dup found
+    assert(cross.exists(p => p._1 == 13L && p._2 == 0L)) // second copy too
+    assert(!cross.exists(p => p._1 >= 10L && p._2 >= 10L)) // never corpus-corpus
+    assert(!cross.exists(p => p._1 < 10L))                 // never eval-eval
+    // a shared id across sides is dropped, never a degenerate self-pair
+    val shared = Dedup.minhashLshCross(corpus, "text", "doc_id",
+      all.filter(F.col("doc_id") === 10L), "text", "doc_id",
+      numBands = 4, rowsPerBand = 8, shingleN = 3, threshold = 0.5,
+      maxBucket = 64).collect()
+    assert(shared.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
   test("corpus diff classifies added/removed/changed/unchanged; normalization-invariant") {
