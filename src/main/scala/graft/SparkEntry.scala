@@ -1307,6 +1307,12 @@ object SparkEntry {
     "q106_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- bigram perplexity proxy: mean -ln p(w_i | w_{i-1}) — catches
+    //      plausible-unigrams-wrong-order text (shuffles, OCR damage);
+    //      one staged bigram tf frame feeds model + contexts + vocab ----
+    "q131_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- hashing-trick document embedding: 32-dim bucket counts under
     //      the portable md5 hash, L2-normalized; pure narrow map. The
     //      gate encodes components as integer micro-units (round(x*1e6)
@@ -2747,6 +2753,31 @@ object SparkEntry {
         |  round(-ln(CAST(cnt + 1 AS DOUBLE) /
         |            CAST(n_tokens + vocab AS DOUBLE)), 9) AS nll
         |  FROM tf JOIN model USING (token) CROSS JOIN tot)
+        |SELECT doc_id, round(sum(tf * nll) / sum(tf), 6) AS mean_nll
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // bigram replay: adjacent-token pairs via index transform, add-one
+    // p = (c12+1)/(c1+V) with V = distinct tokens over the bigram frame;
+    // docs under two tokens have no bigrams on either engine
+    "q131_bigram_nll" ->
+      """WITH toks0 AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |toks AS (SELECT * FROM toks0 WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p FROM toks),
+        |tf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY 1, 2, 3),
+        |model AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+        |          FROM tf GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |        FROM (SELECT unnest([w1, w2]) AS tok FROM tf)),
+        |scored AS (SELECT tf.doc_id, tf.tf,
+        |    round(-ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 9) AS nll
+        |  FROM tf JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc)
         |SELECT doc_id, round(sum(tf * nll) / sum(tf), 6) AS mean_nll
         |FROM scored GROUP BY doc_id""".stripMargin,
 

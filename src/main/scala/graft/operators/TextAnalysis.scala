@@ -517,6 +517,51 @@ object TextAnalysis {
         .as("mean_nll"))
   }
 
+  /** Bigram log-probability scoring — [[unigramLogProb]]'s sharper
+    * sibling: score = mean over positions of -ln p(w_i | w_{i-1}) under
+    * the corpus bigram model with add-one smoothing
+    * (p = (c(w1,w2)+1) / (c(w1·)+V), V = bigram-eligible vocabulary).
+    * A document can have plausible unigrams in implausible order
+    * (shuffled text, keyword stuffing, bad OCR segmentation) — the
+    * bigram model catches exactly that.
+    *
+    * Scale shape: one tokenization pass builds the per-doc bigram tf
+    * frame (zip_with over adjacent tokens — narrow), STAGED because it
+    * feeds the model, the context counts, the vocabulary, and the
+    * scoring join; everything downstream is keyed aggregation/join on
+    * (w1, w2) or (w1) — map-side combinable, no corpus re-read. Docs
+    * with fewer than two tokens have no bigrams and are excluded
+    * (matching the oracle). Per-bigram terms round to 9 decimals before
+    * the group sum so cross-engine ln ulps cannot reorder it. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(F.col(idCol), tokens(F.lower(F.col(textCol))).as("t"))
+      .filter(F.size(F.col("t")) >= 2)
+    val pairs = toks.select(F.col(idCol),
+      F.explode(F.zip_with(
+        F.slice(F.col("t"), F.lit(1), F.size(F.col("t")) - 1),
+        F.slice(F.col("t"), F.lit(2), F.size(F.col("t")) - 1),
+        (a: Column, b: Column) => F.struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(F.col(idCol), F.col("bg.w1").as("w1"), F.col("bg.w2").as("w2"))
+    val tf = pairs.groupBy(idCol, "w1", "w2")
+      .agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val model = tf.groupBy("w1", "w2").agg(F.sum("tf").as("c12"))
+    val ctx = tf.groupBy("w1").agg(F.sum("tf").as("c1"))
+    val vocab = tf
+      .select(F.explode(F.array(F.col("w1"), F.col("w2"))).as("tok"))
+      .agg(F.count_distinct(F.col("tok")).as("v"))
+    val scored = tf
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(F.broadcast(vocab))
+      .select(F.col(idCol), F.col("tf"),
+        F.round(-F.log((F.col("c12") + 1).cast("double") /
+          (F.col("c1") + F.col("v")).cast("double")), 9).as("nll"))
+    scored.groupBy(idCol)
+      .agg(F.round(F.sum(F.col("tf") * F.col("nll")) / F.sum("tf"), 6)
+        .as("mean_nll"))
+  }
+
   /** Feature-hashed bag-of-words document vector (the hashing trick):
     * per-dimension token counts under the engine-portable md5 hash,
     * L2-normalized — a training-free, vocabulary-free document embedding

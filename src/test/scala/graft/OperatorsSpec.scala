@@ -730,6 +730,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == r(nllC, 6))
   }
 
+  test("bigram log-prob: hand-computed add-one NLL; sub-2-token docs excluded") {
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bigram model: (a,b)→3 (b,a)→1; contexts a→3 b→1; V = |{a,b}| = 2
+    val nllAB = r(-math.log(4.0 / 5.0), 9) // (3+1)/(3+2)
+    val nllBA = r(-math.log(2.0 / 3.0), 9) // (1+1)/(1+2)
+    assert(out.keySet == Set(1L, 2L)) // "x" has no bigrams
+    assert(out(1L) == r((2 * nllAB + nllBA) / 3.0, 6))
+    assert(out(2L) == r(nllAB, 6))
+    // ordering sensitivity — the reason this exists next to the unigram
+    // model: same tokens, different order, different score
+    val shuffled = Seq((1L, "a a b b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.bigramLogProb(shuffled, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s2(1L) != s2(2L))
+  }
+
   test("hash embedding: unit-norm, deterministic, count-proportional") {
     val d = Seq((1L, "a a b"), (2L, "a a b"), (3L, "")).toDF("doc_id", "text")
     val out = d.select(F.col("doc_id"),
