@@ -410,6 +410,19 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
 
+    // ---- scalar quantization (int8 per dimension): the third
+    //      compression tier beside PQ/IVF-PQ. min/max train in-engine
+    //      (2·dim driver doubles), serving scores are INTEGER dot
+    //      products of shared-grid codes — exactly replayable, no float
+    //      summation anywhere ----
+    "q132_knn_sq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val (mins, maxs) = Similarity.sqMinMax(emb, "embedding")
+      Similarity.sqTopKInt(emb, "embedding", "vec_id", q, mins, maxs, k = 10)
+    }),
+
     // ---- index-quality evaluation: recall@10 of the IVF path against
     //      the exact brute-force top-10 — the tuning/canary metric of
     //      an ANN deployment; the oracle replays BOTH pipelines and
@@ -2283,6 +2296,34 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q32_knn_brute" -> bruteKnnReplay,
+
+    // scalar quantization replay: per-dim min/max from the data, the
+    // same affine 0..255 grid, integer dot scores — all int64 exact
+    "q132_knn_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mm0 AS (SELECT d.i AS dim, min(v[d.i]) AS mn, max(v[d.i]) AS mx
+        |        FROM e, (SELECT unnest(generate_series(1, 64)) AS i) d
+        |        GROUP BY 1),
+        |mm AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |       FROM mm0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |      WHERE vec_id = 0),
+        |qc AS (SELECT list_transform(generate_series(1, 64),
+        |         i -> CASE WHEN mxs[i] > mns[i]
+        |              THEN CAST(round((qv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT)
+        |              ELSE 0 END) AS qcs
+        |       FROM q, mm),
+        |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+        |            i -> CASE WHEN mxs[i] > mns[i]
+        |                 THEN CAST(round((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT)
+        |                 ELSE 0 END) AS c
+        |          FROM e, mm),
+        |scored AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> c[i] * qcs[i])) AS BIGINT) AS score_int
+        |  FROM codes, qc)
+        |SELECT vec_id, score_int FROM scored
+        |ORDER BY score_int DESC, vec_id LIMIT 10""".stripMargin,
 
     // recall@10: both the brute and IVF replays run as CTE bodies (each
     // carries its own inner WITH — names stay local), then a semi-count

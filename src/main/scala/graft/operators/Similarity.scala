@@ -60,6 +60,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension [min, max] of a vector column — the SCALAR
+    * QUANTIZATION training pass ([[sqCodes]]). One dim-keyed aggregation
+    * (map-side combinable); only 2·dim doubles reach the driver, the
+    * [[trainCentroids]] bounded-collect precedent. */
+  def sqMinMax(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = df
+      .select(F.posexplode(F.col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(F.min("x").as("mn"), F.max("x").as("mx"))
+      .orderBy("dim")
+      .collect()
+    (rows.map(_.getAs[Double]("mn")).toSeq, rows.map(_.getAs[Double]("mx")).toSeq)
+  }
+
+  /** Scalar-quantization codes: per-dimension affine map to the 0..255
+    * grid, `round((x - min_d) * 255 / (max_d - min_d))` (constant
+    * dimensions code to 0) — 1 byte/dim vs 4 for a float, the simplest
+    * of the compression tiers (SQ here, PQ/[[pqCodes]], IVF-PQ). A
+    * corpus value never leaves [0, 255]: min/max came from the same
+    * data. */
+  def sqCodes(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(mins.length == maxs.length && mins.nonEmpty, "empty SQ params")
+    val mnL = F.array(mins.map(F.lit): _*)
+    val mxL = F.array(maxs.map(F.lit): _*)
+    F.transform(vec.cast("array<double>"), (x: Column, i: Column) => {
+      val mn = F.element_at(mnL, i + 1)
+      val rng = F.element_at(mxL, i + 1) - mn
+      F.when(rng > 0, F.round((x - mn) * 255.0 / rng).cast("int"))
+        .otherwise(F.lit(0))
+    })
+  }
+
+  /** Top-k under scalar quantization by INTEGER dot product: both the
+    * corpus and the query quantize with the shared [[sqMinMax]] params,
+    * and the score is `Σ code_d · qcode_d` — pure int64 arithmetic, so
+    * the ranking is EXACTLY reproducible on any engine (the gate hashes
+    * integer scores, no float-summation ulps anywhere). This is the
+    * classic SQ serving trade: 4× smaller vectors, one multiply-add per
+    * dimension over ints, recall measured against the exact path with
+    * [[recallAtK]]. Scale shape: pure narrow map + bounded top-k
+    * (`TakeOrderedAndProject`), no shuffle. */
+  def sqTopKInt(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], mins: Seq[Double], maxs: Seq[Double],
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.length == mins.length, "query/params dimension mismatch")
+    // the query's codes, computed driver-side with the IDENTICAL
+    // arithmetic the executor applies to corpus rows (double ops, then
+    // HALF_UP — what F.round compiles to; values are >= 0 here, where
+    // HALF_UP and round-half-away agree)
+    val qc = query.indices.map { i =>
+      val rng = maxs(i) - mins(i)
+      if (rng > 0)
+        BigDecimal((query(i) - mins(i)) * 255.0 / rng)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+    }
+    val qcL = F.array(qc.map(F.lit): _*)
+    val score = F.aggregate(
+      F.zip_with(sqCodes(F.col(vecCol), mins, maxs), qcL,
+        (c: Column, q: Column) => c.cast("long") * q),
+      F.lit(0L), (acc: Column, t: Column) => acc + t)
+    df.select(F.col(idCol), score.as("score_int"))
+      .orderBy(F.col("score_int").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Index-quality metric: RECALL of an approximate top-k result against
     * the exact top-k for the same query — the number a serving team
     * watches while tuning nprobe / codebook size / bucket counts (an

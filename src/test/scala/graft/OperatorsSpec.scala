@@ -205,6 +205,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(0L, 3L, 1L)) // ties (0,3) broken by id
   }
 
+  test("scalar quantization: hand-computed codes and exact integer-dot ranking") {
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqMinMax(emb, "embedding")
+    assert(mins == Seq(0.0, 0.0) && maxs == Seq(1.0, 1.0))
+    val codes = emb.select(F.col("vec_id"),
+        Similarity.sqCodes(F.col("embedding"), mins, maxs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // 0.5 → round(127.5) = 128 (HALF_UP); extremes hit the grid ends
+    assert(codes(0L) == Seq(0, 0))
+    assert(codes(1L) == Seq(255, 255))
+    assert(codes(2L) == Seq(128, 255))
+    val top = Similarity.sqTopKInt(emb, "embedding", "vec_id",
+        query = Seq(1.0, 1.0), mins, maxs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // integer dots: v1 = 255*255*2 = 130050, v2 = 128*255 + 255*255
+    assert(top == Seq((1L, 130050L), (2L, 128L * 255 + 255L * 255)))
+    // a constant dimension codes to 0 instead of dividing by zero
+    val const = Seq((0L, Seq(3.0f, 0.0f)), (1L, Seq(3.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val (m2, x2) = Similarity.sqMinMax(const, "embedding")
+    val c2 = const.select(Similarity.sqCodes(F.col("embedding"), m2, x2).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(c2.forall(_.head == 0))
+  }
+
   test("recall@k: exact overlap count, perfect and degraded cases") {
     def ids(xs: Long*) = xs.toDF("vec_id")
     def recall(a: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame, k: Int) = {
