@@ -1375,6 +1375,14 @@ object SparkEntry {
       Pack.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
                          window = 32, stride = 24)),
 
+    // ---- exact-k-per-stratum sample ("exactly 5 docs per language"):
+    //      bounded-heap selection by highest id-hash — uniform, stable,
+    //      never a full-stratum window sort ----
+    "q133_sample_k_per_group" -> ((s, dir) =>
+      Scale.sampleKPerGroup(t(s, dir, "documents"), "lang",
+          F.col("doc_id"), k = 5)
+        .select("doc_id", "lang")),
+
     // ---- temperature mixing (α=0.5): keep-rate ∝ 1/sqrt(stratum size),
     //      broadcast per-source thresholds, md5 keep decision ----
     "q97_temperature_sample" -> ((s, dir) =>
@@ -2986,6 +2994,17 @@ object SparkEntry {
 
     // temperature mixing: identical IEEE threshold (sqrt/least/floor are
     // exactly rounded), identical md5 keep decision
+    // replay: rank by the hash cast to DOUBLE (the heap's stored type),
+    // ties by ascending id — the documented >2^53 collision tie-break
+    "q133_sample_k_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |             AS DOUBLE) DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
+
     "q97_temperature_sample" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
         |           FROM documents GROUP BY 1)

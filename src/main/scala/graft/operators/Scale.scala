@@ -62,6 +62,48 @@ object Scale {
   def stratifiedSampleByHash(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
     df.filter(Dedup.md5Hash60(idCol.cast("string")) % 100 < ratePct)
 
+  /** Deterministic EXACT-k-per-stratum sample: within each stratum keep
+    * the k documents with the HIGHEST portable md5 hash of their id —
+    * uniform over the stratum (the hash is uniform), exactly k rows per
+    * stratum (fewer when the stratum is smaller), and stable across
+    * reruns/backfills like every sampler here (hash, never rand()).
+    * The fixed-rate [[stratifiedSampleByHash]] cannot promise an exact
+    * count; this is the "exactly 10k docs per language" eval-set shape.
+    *
+    * Scale shape: the selection runs through the bounded-heap
+    * `topk_pairs` aggregate — O(k) state per stratum per task, only k
+    * rows per stratum per partition reach the shuffle; a `row_number`
+    * window here would sort every stratum's full membership inside one
+    * partition (the straggler at 100 TB). Window fallback without
+    * extensions. Ranking key is the hash AS A DOUBLE (what the heap
+    * stores); int64s above 2^53 can collide when rounded, and such ties
+    * break deterministically by lower id on both the heap and the
+    * replaying oracle. */
+  def sampleKPerGroup(df: DataFrame, stratumCol: String, idCol: Column,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = Dedup.md5Hash60(idCol.cast("string")).cast("double")
+    if (df.sparkSession.catalog.functionExists("topk_pairs")) {
+      val picked = df
+        .select(F.col(stratumCol).as("_st"), key.as("_key"),
+          idCol.cast("long").as("_id"))
+        .groupBy("_st")
+        .agg(F.call_function("topk_pairs",
+          F.col("_key"), F.col("_id"), F.lit(k)).as("_top"))
+        .select(F.explode(F.col("_top")).as("t"))
+        .select(F.col("t.id").as("_keep"))
+      df.join(F.broadcast(picked), idCol.cast("long") === F.col("_keep"),
+          "left_semi")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(stratumCol)
+        .orderBy(key.desc, idCol.cast("long").asc)
+      df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    }
+  }
+
   /** Deterministic train/validation/test split assignment — same
     * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's
     * split never changes across reruns, backfills or repartitioning, and

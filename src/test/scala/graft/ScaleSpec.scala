@@ -543,6 +543,34 @@ class ScaleSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p(0) <= p(1))) // ascending
   }
 
+  test("sampleKPerGroup: exact k per stratum, window-equivalent, stable") {
+    val df = (0L until 200L).map(i => (i, s"lang${i % 4}"))
+      .toDF("doc_id", "lang")
+    val out = Scale.sampleKPerGroup(df, "lang", F.col("doc_id"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly k from each of the 4 strata
+    assert(out.length == 28)
+    assert(out.groupBy(_._2).values.forall(_.length == 7))
+    // the heap path must equal the window formulation (the oracle's
+    // definition): top-7 by hash-as-double desc, id asc, per stratum
+    import org.apache.spark.sql.expressions.Window
+    val key = Dedup.md5Hash60(F.col("doc_id").cast("string")).cast("double")
+    val w = Window.partitionBy("lang").orderBy(key.desc, F.col("doc_id").asc)
+    val expected = df.withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= 7).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == expected.toSet)
+    // a stratum smaller than k returns whole-stratum, not a failure
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "lang")
+    val t = Scale.sampleKPerGroup(tiny, "lang", F.col("doc_id"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(t == Set(1L, 2L, 3L))
+    // deterministic across invocations (hash, never rand())
+    val again = Scale.sampleKPerGroup(df, "lang", F.col("doc_id"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
