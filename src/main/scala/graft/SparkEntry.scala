@@ -1508,6 +1508,29 @@ object SparkEntry {
         .select(F.col("id").as("doc_id"), F.col("n_shared"))
     }),
 
+    // ---- STREAMING fuzzy decontamination: the q129 check at ingest —
+    //      the corpus file drains over FOUR micro-batches, each banded
+    //      against the static eval side (prepared once, persisted);
+    //      per-document statistic → batch ≡ stream, gated by the
+    //      uncapped cross-pair replay (the q90/q121 precedent) ----
+    "q134_stream_fuzzy_decon" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_fuzzy")
+      val docs = t(s, dir, "documents")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging,
+          splitFiles = 4)
+        .filter(F.col("doc_id") >= 20)
+      val q = Streams.fuzzyDecontaminateToParquet(
+        stream, "text", "doc_id",
+        docs.filter(F.col("doc_id") < 20), "text", "doc_id",
+        s"$staging/out", s"$staging/ckpt",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.5)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging/out")
+        .select("corpus_id", "eval_id", "jaccard")
+    }),
+
     // ---- INCREMENTAL minhash dedup: docs < 400 are a pre-built index
     //      (band keys + shingle hashes, text never re-read); the q29
     //      pipeline then runs for the "nightly batch" (>= 400) against
@@ -1965,6 +1988,17 @@ object SparkEntry {
     // the cross operator's (corpus_id, eval_id) output
     "q129_fuzzy_decontaminate" ->
       s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)}
+         |SELECT CASE WHEN id_a < 20 THEN id_b ELSE id_a END AS corpus_id,
+         |       CASE WHEN id_a < 20 THEN id_a ELSE id_b END AS eval_id,
+         |       jaccard
+         |FROM j
+         |WHERE jaccard >= 0.5 AND ((id_a < 20) <> (id_b < 20))""".stripMargin,
+
+    // the streaming ingest path has NO bucket cap (candidates are
+    // corpus-batch × eval bands, bounded by the eval side), so its
+    // replay uses the effectively-uncapped banding — the q90 precedent
+    "q134_stream_fuzzy_decon" ->
+      s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 100000)}
          |SELECT CASE WHEN id_a < 20 THEN id_b ELSE id_a END AS corpus_id,
          |       CASE WHEN id_a < 20 THEN id_a ELSE id_b END AS eval_id,
          |       jaccard

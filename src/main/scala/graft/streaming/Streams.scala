@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
@@ -349,6 +349,96 @@ object Streams {
             minShared, k)
           .repartition(1)
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+  }
+
+  /** FUZZY decontamination AT INGEST: the streaming twin of
+    * [[graft.operators.Dedup.minhashLshCross]] — every micro-batch's
+    * documents are banded and checked for near-duplicate overlap against
+    * a STATIC eval set, appending flagged (corpus_id, eval_id, jaccard)
+    * pairs to parquet. The eval side's band keys and shingle hashes are
+    * derived ONCE and persisted (released on query termination, like
+    * [[decontaminateToParquet]]); each batch pays banding for its own
+    * rows only. A document meets the ENTIRE eval side within its batch,
+    * so the pair set is a per-document statistic — batch execution IS
+    * the batch-twin semantics regardless of micro-batch splits, zero
+    * stream state, and one differential oracle (the uncapped cross-pair
+    * replay, the q90 precedent) gates both paths. Unlike the batch
+    * operator there is no bucket cap: the candidate join is
+    * corpus-batch × eval bands, already bounded by the eval set's size. */
+  def fuzzyDecontaminateToParquet(docs: DataFrame, textCol: String,
+                                  idCol: String,
+                                  evalSet: DataFrame, evalTextCol: String,
+                                  evalIdCol: String,
+                                  outPath: String, checkpoint: String,
+                                  numBands: Int = 4, rowsPerBand: Int = 8,
+                                  shingleN: Int = 3,
+                                  threshold: Double = 0.8): DataStreamWriter[Row] = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def prep(df: DataFrame, text: String, id: String) =
+      Dedup.spreadForCompute(df.filter(F.col(text).rlike("\\S")))
+        .select(F.col(id).as("eval_id"),
+          Dedup.bandKeysDispatch(spark, F.col(text), numBands, rowsPerBand,
+            shingleN).as("bands"),
+          Dedup.sortedHashedShingles(F.col(text), shingleN).as("sh"))
+    val evalPrep = prep(evalSet, evalTextCol, evalIdCol).persist(level)
+    val evalBands = evalPrep.select(F.col("eval_id"),
+      F.posexplode(F.col("bands")).as(Seq("band", "bucket"))).persist(level)
+    val evalSh = evalPrep.select("eval_id", "sh")
+    val jac: (Column, Column) => Column =
+      if (spark.catalog.functionExists("jaccard_sorted"))
+        (a, b) => F.call_function("jaccard_sorted", a, b)
+      else Dedup.jaccard
+    val qName =
+      s"graft_fuzzy_decontaminate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val streams = spark.streams
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    streams.addListener(new StreamingQueryListener {
+      private val watched =
+        new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == qName) watched.set(e.id)
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == watched.get()) {
+          evalBands.unpersist(false)
+          evalPrep.unpersist(false)
+          streams.removeListener(this)
+        }
+    })
+    docs.writeStream
+      .queryName(qName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one banding+shingle pass over the batch; candidates from the
+        // band join against the static side; exact Jaccard confirm
+        val bPrep = batch.filter(F.col(textCol).rlike("\\S"))
+          .select(F.col(idCol).as("id"),
+            Dedup.bandKeysDispatch(spark, F.col(textCol), numBands,
+              rowsPerBand, shingleN).as("bands"),
+            Dedup.sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
+          .persist(level) // bands AND sh consumed below — one pass,
+                          // released when the batch's write lands
+        try {
+          val cand = bPrep
+            .select(F.col("id"),
+              F.posexplode(F.col("bands")).as(Seq("band", "bucket")))
+            .join(evalBands, Seq("band", "bucket"))
+            .select("id", "eval_id").dropDuplicates("id", "eval_id")
+          cand
+            .join(bPrep.select(F.col("id"), F.col("sh").as("sh_a")), "id")
+            .join(evalSh.select(F.col("eval_id"), F.col("sh").as("sh_b")), "eval_id")
+            .withColumn("jaccard", jac(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("id").as("corpus_id"), F.col("eval_id"), F.col("jaccard"))
+            .repartition(1) // schema-bearing part file even for clean batches
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        } finally bPrep.unpersist(false)
       }
   }
 

@@ -68,6 +68,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(20L) && streamed.contains(21L) && !streamed.contains(22L))
   }
 
+  test("streaming fuzzy decontamination flags near-dups of the eval set across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val evalSet = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an entirely different benchmark question about physics"))
+      .toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+      (21L, "no overlap with anything in the suite whatsoever"),
+      (22L, "the quick brown fox jumps over the lazy dog tonight")) // dup of 0
+    val d = Files.createTempDirectory("graft-stream-fuzzy").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").as("text"))
+    val q = Streams.fuzzyDecontaminateToParquet(
+      docs, "text", "doc_id", evalSet, "text", "doc_id",
+      s"$d/out", s"$d/ckpt", numBands = 4, rowsPerBand = 8,
+      shingleN = 3, threshold = 0.5).start()
+    try {
+      stream.addData(corpusRows.take(1): _*) // doc 20 alone in batch 1
+      q.processAllAvailable()
+      stream.addData(corpusRows.drop(1): _*) // 21 and 22 in batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$d/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact duplicates of eval doc 0 flagged from BOTH batches; the
+    // clean doc never appears
+    assert(streamed == Set((20L, 0L, 1.0), (22L, 0L, 1.0)))
+  }
+
   test("streaming near-dup candidates carry bucket state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
