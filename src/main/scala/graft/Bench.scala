@@ -96,7 +96,12 @@ object Bench {
       // NOTE: q113/q124 (like q48) deliberately time their LAYOUT WRITE
       // inside the measured region — the honest one-shot cost; the
       // serving-only latency is the in-flight twin (q122/q123)
-      "q122_knn_pq", "q123_knn_ivfpq", "q124_knn_pq_layout")
+      "q122_knn_pq", "q123_knn_ivfpq", "q124_knn_pq_layout",
+      // round-5 additions: cross-corpus fuzzy decontamination (the LSH
+      // family's cross-table member), bigram LM scoring (staged bigram
+      // tf), int8 scalar quantization (narrow + bounded top-k, incl.
+      // its in-engine min/max training pass)
+      "q129_fuzzy_decontaminate", "q131_bigram_nll", "q132_knn_sq")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's

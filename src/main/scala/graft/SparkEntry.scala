@@ -423,6 +423,22 @@ object SparkEntry {
       Similarity.sqTopKInt(emb, "embedding", "vec_id", q, mins, maxs, k = 10)
     }),
 
+    // ---- the SQ SERVING LAYOUT: codes stored hive-partitioned by IVF
+    //      bucket; the query partition-prunes to its nprobe buckets and
+    //      reads ONLY codes (vector-free I/O), ranking by exact int64
+    //      dots — the SQ twin of q124's stored-PQ path ----
+    "q135_knn_ivfsq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val (mins, maxs) = Similarity.sqMinMax(emb, "embedding")
+      val path = stagingDir("graft_ivfsq") + "/codes"
+      Similarity.writeIvfSqCodes(emb, "embedding", "vec_id", ivfCentroids,
+        mins, maxs, path)
+      Similarity.sqTopKFromCodes(s, path, "vec_id", q, ivfCentroids,
+        mins, maxs, k = 10, nprobe = 2)
+    }),
+
     // ---- index-quality evaluation: recall@10 of the IVF path against
     //      the exact brute-force top-10 — the tuning/canary metric of
     //      an ANN deployment; the oracle replays BOTH pipelines and
@@ -2366,6 +2382,52 @@ object SparkEntry {
         |  FROM codes, qc)
         |SELECT vec_id, score_int FROM scored
         |ORDER BY score_int DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the q132 SQ replay composed with the IVF bucket-assignment replay:
+    // params train on the FULL corpus, pruning applies at serve time
+    "q135_knn_ivfsq" -> {
+      val scores = ivfCentroids.zipWithIndex.map { case (c, i) =>
+        s"list_dot_product(v, ${sqlArray(c)}) AS s$i"
+      }.mkString(",\n    ")
+      val n = ivfCentroids.length
+      val argmax = "CASE " + (n - 1 to 1 by -1).map { i =>
+        val others = (0 until i).map(j => s"s$j").mkString(", ")
+        s"WHEN s$i >= greatest($others) THEN $i"
+      }.mkString(" ") + " ELSE 0 END"
+      val centVals = ivfCentroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlArray(c)})" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mm0 AS (SELECT d.i AS dim, min(v[d.i]) AS mn, max(v[d.i]) AS mx
+         |        FROM e, (SELECT unnest(generate_series(1, 64)) AS i) d
+         |        GROUP BY 1),
+         |mm AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+         |       FROM mm0),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |qc AS (SELECT list_transform(generate_series(1, 64),
+         |         i -> CASE WHEN mxs[i] > mns[i]
+         |              THEN CAST(round((qv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT)
+         |              ELSE 0 END) AS qcs
+         |       FROM q, mm),
+         |cd AS (SELECT * FROM (VALUES $centVals) t(i, c)),
+         |qb AS (SELECT i FROM cd, q ORDER BY list_dot_product(c, qv) DESC, i LIMIT 2),
+         |es AS (SELECT vec_id, v,
+         |    $scores
+         |  FROM e),
+         |eb AS (SELECT vec_id, v, $argmax AS bucket FROM es),
+         |pruned AS (SELECT vec_id, v FROM eb WHERE bucket IN (SELECT i FROM qb)),
+         |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+         |            i -> CASE WHEN mxs[i] > mns[i]
+         |                 THEN CAST(round((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT)
+         |                 ELSE 0 END) AS c
+         |          FROM pruned, mm),
+         |scored AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> c[i] * qcs[i])) AS BIGINT) AS score_int
+         |  FROM codes, qc)
+         |SELECT vec_id, score_int FROM scored
+         |ORDER BY score_int DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     // recall@10: both the brute and IVF replays run as CTE bodies (each
     // carries its own inner WITH — names stay local), then a semi-count

@@ -128,6 +128,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF-partitioned SQ-codes serving layout: (id, codes)
+    * hive-partitioned by IVF bucket — the scalar-quantization member of
+    * the stored-index family ([[writeIvfPqCodes]] stores PQ codes the
+    * same way). A query then partition-prunes to its `nprobe` buckets
+    * AND reads only the codes column (vector-free I/O), scoring by the
+    * exact-integer dot of [[sqTopKInt]]. */
+  def writeIvfSqCodes(df: DataFrame, vecCol: String, idCol: String,
+                      centroids: Seq[Seq[Double]],
+                      mins: Seq[Double], maxs: Seq[Double],
+                      path: String): Unit =
+    df.withColumn("bucket", ivfBucket(F.col(vecCol), centroids))
+      .select(F.col(idCol), F.col("bucket"),
+        sqCodes(F.col(vecCol), mins, maxs).as("codes"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Top-k over a [[writeIvfSqCodes]] layout: bucket predicate →
+    * partition pruning, then the int64 code-dot scan — no vector
+    * arithmetic, no vector I/O, zero float ulps (the ranking replays
+    * exactly on any engine). Result equals [[sqTopKInt]] restricted to
+    * the probed buckets. */
+  def sqTopKFromCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, query: Seq[Double],
+                      centroids: Seq[Seq[Double]],
+                      mins: Seq[Double], maxs: Seq[Double],
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val queryBuckets = probeBuckets(query, centroids, nprobe)
+    val qc = query.indices.map { i =>
+      val rng = maxs(i) - mins(i)
+      if (rng > 0)
+        BigDecimal((query(i) - mins(i)) * 255.0 / rng)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+    }
+    val qcL = F.array(qc.map(F.lit): _*)
+    val score = F.aggregate(
+      F.zip_with(F.col("codes"), qcL, (c: Column, q: Column) => c.cast("long") * q),
+      F.lit(0L), (acc: Column, t: Column) => acc + t)
+    spark.read.parquet(path)
+      .filter(F.col("bucket").isin(queryBuckets: _*)) // storage-level prune
+      .select(F.col(idCol), score.as("score_int"))
+      .orderBy(F.col("score_int").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Index-quality metric: RECALL of an approximate top-k result against
     * the exact top-k for the same query — the number a serving team
     * watches while tuning nprobe / codebook size / bucket counts (an

@@ -234,6 +234,36 @@ class OperatorsSpec extends SparkSpec {
     assert(c2.forall(_.head == 0))
   }
 
+  test("stored SQ codes layout: equals in-flight SQ on the probed buckets, vector-free pruned scan") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val (mins, maxs) = Similarity.sqMinMax(emb, "embedding")
+    val query = Seq(1.0, 0.0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq").toString + "/codes"
+    Similarity.writeIvfSqCodes(emb, "embedding", "vec_id", centroids,
+      mins, maxs, path)
+    val fromCodes = Similarity.sqTopKFromCodes(spark, path, "vec_id", query,
+      centroids, mins, maxs, k = 3, nprobe = 1)
+    // contract: the in-flight integer-dot ranking restricted to the
+    // probed bucket's members (vec 2 lives in the other bucket)
+    val probed = Similarity.probeBuckets(query, centroids, nprobe = 1)
+    val inflight = Similarity.sqTopKInt(
+      emb.filter(Similarity.ivfBucket(F.col("embedding"), centroids)
+        .isin(probed: _*)),
+      "embedding", "vec_id", query, mins, maxs, k = 3)
+    assert(fromCodes.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      inflight.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(!fromCodes.collect().map(_.getLong(0)).contains(2L))
+    // partition-level pruning AND a vector-free read schema
+    val plan = fromCodes.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    assert(!plan.contains("embedding"), s"codes scan must not read vectors:\n$plan")
+  }
+
   test("recall@k: exact overlap count, perfect and degraded cases") {
     def ids(xs: Long*) = xs.toDF("vec_id")
     def recall(a: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame, k: Int) = {
