@@ -75,7 +75,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case _                  => Seq.empty
     }
     def blockExprs(q: SqlQuery): Seq[Col] =
-      q.select.map(_.expr) ++ q.where ++ q.groupBy ++ q.having ++
+      q.select.map(_.expr) ++ q.where ++ q.groupBy ++ q.having ++ q.qualify ++
         q.orderBy.map(_._1) ++ q.joins.map(_.on)
     def blockPaths(q: SqlQuery): Seq[String] =
       (q.from +: q.joins.map(_.table)).flatMap(refPaths) ++
@@ -143,6 +143,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       where = q0.where.map(resolveScalars(_, scope)),
       groupBy = q0.groupBy.map(resolveScalars(_, scope)),
       having = q0.having.map(resolveScalars(_, scope)),
+      qualify = q0.qualify.map(resolveScalars(_, scope)),
       orderBy = q0.orderBy.map { case (c, a) => (resolveScalars(c, scope), a) },
       joins = q0.joins.map(j => j.copy(on = resolveScalars(j.on, scope))))
     // a FROM/JOIN target is a derived table (planned under the enclosing
@@ -168,6 +169,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
     val selectAggs = q.select.flatMap(i => collectAggs(i.expr))
     val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
+
+    // QUALIFY: windowed filter, post-WHERE pre-SELECT. Spark rejects
+    // window expressions directly inside filter(), so it compiles to a
+    // hidden column + filter + drop. Grouped blocks reject like any
+    // window position (compose via a derived table).
+    q.qualify.foreach { qual =>
+      if (hasGrouping)
+        throw new GroupByError(
+          "QUALIFY cannot appear in a grouped query block; " +
+          "aggregate in a derived table or CTE, then QUALIFY over it")
+      val df = frame.df
+      var name = "_qualify"
+      while (df.columns.contains(name)) name += "_"
+      frame = GraftFrame.fromDF(
+        df.withColumn(name, qual.compile(df.schema))
+          .filter(org.apache.spark.sql.functions.col(name)).drop(name))
+    }
     // standard SQL evaluates window functions AFTER grouping — a mixed
     // block would need post-aggregation window planning; reject loudly
     // and point at the composable form (window over a derived table).

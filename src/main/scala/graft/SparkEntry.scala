@@ -495,6 +495,15 @@ object SparkEntry {
           |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
           |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df),
 
+    // ---- QUALIFY through the dialect (DuckDB/Snowflake-style windowed
+    //      filter): top-2 docs per language by length in ONE block — the
+    //      idiom that otherwise needs a derived table ----
+    "q136_sql_qualify" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT doc_id, lang, n_chars FROM documents
+          |QUALIFY row_number()
+          |  OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2""".stripMargin).df),
+
     // ---- correlated EXISTS / NOT EXISTS through the graft DIALECT
     //      (TPC-H Q21's wait-chain shape, q81's ANSI twin): the engine
     //      decorrelates each subquery into a semi/anti self-join whose
@@ -2619,6 +2628,12 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin,
+
+    // DuckDB has native QUALIFY — the replay is the same statement
+    "q136_sql_qualify" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2""".stripMargin,
 
     // q81's wait-chain shape replayed for the DIALECT's decorrelated
     // EXISTS/NOT EXISTS (date comparison instead of INTERVAL arithmetic,

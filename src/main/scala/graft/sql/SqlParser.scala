@@ -24,7 +24,13 @@ final case class SqlQuery(
     having: Option[Col],
     orderBy: Seq[(Col, Boolean)], // (expr, ascending) — extension, absent in reference
     limit: Option[Int],           // extension
-    distinct: Boolean             // extension
+    distinct: Boolean,            // extension
+    // QUALIFY windowed filter (extension, DuckDB/Snowflake-style): a
+    // predicate over window functions evaluated post-WHERE, pre-SELECT;
+    // references INPUT columns (not select aliases). Illegal in grouped
+    // blocks, like window functions generally (compose via a derived
+    // table).
+    qualify: Option[Col] = None
 )
 final case class SelectItem(expr: Col, star: Boolean)
 /** A FROM/JOIN target: a table path/name, or a parenthesized derived
@@ -79,7 +85,7 @@ object SqlParser {
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
-    "EXISTS",
+    "EXISTS", "QUALIFY",
     // reserving OVER/PARTITION (window support) breaks columns of those
     // names as bare identifiers — the standard tradeoff; the
     // double-quoted-identifier escape ("partition") still reaches them
@@ -246,6 +252,7 @@ object SqlParser {
           throw new ParseError("HAVING requires GROUP BY")
         Some(parseOr())
       } else None
+      val qualify = if (accept("QUALIFY")) Some(parseOr()) else None
       val orderBy =
         if (accept("ORDER")) {
           expectKw("BY")
@@ -259,7 +266,8 @@ object SqlParser {
           case t       => throw new ParseError(s"Expected number after LIMIT, got ${t.text}")
         })
         else None
-      SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having, orderBy, limit, distinct)
+      SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having,
+        orderBy, limit, distinct, qualify)
     }
 
     private def peekJoinHow(): Option[String] = peek match {

@@ -457,6 +457,37 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE color IN (SELECT color, quantity FROM fruits)").df)
   }
 
+  test("QUALIFY: windowed filter in one block; grouped blocks reject (extension)") {
+    import graft.sql.GroupByError
+    val d = java.nio.file.Files.createTempDirectory("graft-qualify").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // top-1 per color by quantity, ties by fruit name — one block, no
+    // derived table
+    val top = Engine(spark, d).sql(
+      """SELECT fruit, color, quantity FROM fruits
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY color ORDER BY quantity DESC, fruit) = 1""".stripMargin)
+      .df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(top == Set(("banana", "yellow", 7), ("apple", "red", 3),
+      ("orange", "orange", 2), ("apple", "green", 4)))
+    // composes with WHERE (filter first, then window over survivors)
+    val filtered = Engine(spark, d).sql(
+      """SELECT fruit, quantity FROM fruits WHERE quantity > 2
+        |QUALIFY row_number() OVER (ORDER BY quantity DESC, fruit) <= 2""".stripMargin)
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(filtered == Set(("banana", 7), ("banana", 5)))
+    // windowed aggregates work too: rows above their color's average
+    val above = Engine(spark, d).sql(
+      """SELECT fruit, color, quantity FROM fruits
+        |QUALIFY quantity > AVG(quantity) OVER (PARTITION BY color)""".stripMargin)
+      .df.collect().map(_.getString(0)).toSeq
+    assert(above == Seq("banana")) // only banana-7 beats yellow's avg 6
+    // grouped block → loud error, like any window position
+    assertThrows[GroupByError](Engine(spark, d).sql(
+      """SELECT color, SUM(quantity) AS q FROM fruits GROUP BY color
+        |QUALIFY row_number() OVER (ORDER BY color) = 1""".stripMargin).df)
+  }
+
   test("EXISTS / NOT EXISTS: decorrelated semi/anti joins, local conjunct pushdown, probes, errors (extension)") {
     import graft.sql.{SemanticError, SqlParser}
     import graft.api.Col.{ExistsSubquery, Not}
