@@ -495,6 +495,19 @@ object SparkEntry {
           |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
           |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df),
 
+    // ---- second scalar-function wave through the dialect: trim family,
+    //      replace, concat, strpos, greatest/least ----
+    "q137_sql_scalar_fns2" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  trim(concat(' ', l_returnflag, ' ', l_linestatus, ' ')) AS fl,
+          |  replace(l_linestatus, 'O', 'X') AS st,
+          |  strpos(concat(l_returnflag, l_linestatus), 'F') AS pos_f,
+          |  greatest(l_quantity, 25) AS g,
+          |  least(l_discount, 0.05) AS sm
+          |FROM lineitem
+          |WHERE l_orderkey < 1000""".stripMargin).df),
+
     // ---- QUALIFY through the dialect (DuckDB/Snowflake-style windowed
     //      filter): top-2 docs per language by length in ONE block — the
     //      idiom that otherwise needs a derived table ----
@@ -2628,6 +2641,17 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin,
+
+    // same statement modulo DuckDB's round trip of the numeric types
+    "q137_sql_scalar_fns2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  trim(concat(' ', l_returnflag, ' ', l_linestatus, ' ')) AS fl,
+        |  replace(l_linestatus, 'O', 'X') AS st,
+        |  CAST(strpos(concat(l_returnflag, l_linestatus), 'F') AS INTEGER) AS pos_f,
+        |  greatest(l_quantity, 25) AS g,
+        |  least(l_discount, 0.05) AS sm
+        |FROM lineitem
+        |WHERE l_orderkey < 1000""".stripMargin,
 
     // DuckDB has native QUALIFY — the replay is the same statement
     "q136_sql_qualify" ->

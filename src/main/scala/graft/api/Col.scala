@@ -253,6 +253,29 @@ object Col {
               s"coalesce() arguments have incompatible types: $a vs $b")
           }
           (F.coalesce(cs: _*), dt)
+        case "trim"  => arity(1); (F.trim(cs(0)), StringType)
+        case "ltrim" => arity(1); (F.ltrim(cs(0)), StringType)
+        case "rtrim" => arity(1); (F.rtrim(cs(0)), StringType)
+        case "replace" =>
+          arity(3); (F.call_function("replace", cs: _*), StringType)
+        case "concat" =>
+          if (args.length < 2) throw new IllegalArgumentException(
+            "concat() needs at least two arguments")
+          (F.concat(cs: _*), StringType)
+        // 1-based position of the first occurrence, 0 when absent —
+        // DuckDB's strpos/instr semantics, Spark's instr
+        case "strpos" | "instr" =>
+          arity(2); (F.call_function("instr", cs(0), cs(1)), IntegerType)
+        case "greatest" | "least" =>
+          if (args.length < 2) throw new IllegalArgumentException(
+            s"$fn() needs at least two arguments")
+          val dt = compiled.map(_._2).reduce { (a, b) =>
+            if (a == b) a
+            else if (isNumeric(a) && isNumeric(b)) promote(a, b)
+            else throw new IllegalArgumentException(
+              s"$fn() arguments have incompatible types: $a vs $b")
+          }
+          (if (fn == "greatest") F.greatest(cs: _*) else F.least(cs: _*), dt)
         case other =>
           throw new IllegalArgumentException(s"Unknown function: $other")
       }

@@ -271,6 +271,22 @@ class SqlParserSpec extends SparkSpec {
       e.sql("SELECT nope(fruit) FROM fruits").df)
     assertThrows[IllegalArgumentException](
       e.sql("SELECT lower(fruit, fruit) FROM fruits").df)
+
+    // second wave: trim family, replace, concat, strpos, greatest/least
+    val r2 = e.sql(
+      """SELECT trim(concat(' ', fruit, ' ')) AS t, ltrim(' x') AS lt,
+        |  rtrim('x ') AS rt, replace(fruit, 'an', 'AN') AS rep,
+        |  strpos(fruit, 'ang') AS p, strpos(fruit, 'zz') AS p0,
+        |  greatest(quantity, 3) AS g, least(quantity, 3) AS l
+        |FROM fruits WHERE fruit = 'orange'""".stripMargin).df.collect().head
+    assert(r2.getString(0) == "orange" && r2.getString(1) == "x" &&
+      r2.getString(2) == "x" && r2.getString(3) == "orANge" &&
+      r2.getInt(4) == 3 && r2.getInt(5) == 0 &&
+      r2.getInt(6) == 3 && r2.getInt(7) == 2)
+    assertThrows[IllegalArgumentException](
+      e.sql("SELECT concat(fruit) FROM fruits").df)
+    assertThrows[IllegalArgumentException](
+      e.sql("SELECT greatest(fruit, quantity) FROM fruits").df)
   }
 
   test("quoted identifiers reach reserved-word column names") {
