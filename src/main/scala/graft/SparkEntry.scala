@@ -1413,6 +1413,24 @@ object SparkEntry {
       Pack.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
                          window = 32, stride = 24)),
 
+    // ---- mergeable distinct sketches: per-(lang, source) HLL sketches
+    //      STORED, then unioned to per-lang estimates without touching
+    //      raw data — the shardable form of COUNT(DISTINCT); gated like
+    //      q43 (exact value + in-query accuracy flag, both replayable) ----
+    "q138_sketch_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_hll") + "/sketches"
+      Scale.writeDistinctSketches(docs, Seq("lang", "source"),
+        F.col("n_chars"), path)
+      val est = Scale.mergedDistinctEstimate(s, path, Seq("lang"))
+      docs.groupBy("lang")
+        .agg(F.count_distinct(F.col("n_chars")).as("n_exact"))
+        .join(est, "lang")
+        .select(F.col("lang"), F.col("n_exact"),
+          (F.abs(F.col("est") - F.col("n_exact")) <=
+            F.col("n_exact") * 0.05 + 16).as("within_bound"))
+    }),
+
     // ---- exact-k-per-stratum sample ("exactly 5 docs per language"):
     //      bounded-heap selection by highest id-hash — uniform, stable,
     //      never a full-stratum window sort ----
@@ -3129,6 +3147,13 @@ object SparkEntry {
 
     // temperature mixing: identical IEEE threshold (sqrt/least/floor are
     // exactly rounded), identical md5 keep decision
+    // exact distinct replays; the merged-sketch estimate's accuracy
+    // flag must come out TRUE (the q43 gating pattern)
+    "q138_sketch_merge" ->
+      """SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM documents GROUP BY lang""".stripMargin,
+
     // replay: rank by the hash cast to DOUBLE (the heap's stored type),
     // ties by ascending id — the documented >2^53 collision tie-break
     "q133_sample_k_per_group" ->

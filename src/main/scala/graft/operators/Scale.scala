@@ -62,6 +62,29 @@ object Scale {
   def stratifiedSampleByHash(df: DataFrame, idCol: Column, ratePct: Column): DataFrame =
     df.filter(Dedup.md5Hash60(idCol.cast("string")) % 100 < ratePct)
 
+  /** MERGEABLE distinct-count sketches, persisted: one Datasketches HLL
+    * sketch per group written to parquet — the incremental corpus-stats
+    * primitive. Each ingest shard (or day, or source) builds its own
+    * sketches; [[mergedDistinctEstimate]] unions them under a COARSER
+    * grouping later without touching raw data — the property an exact
+    * COUNT(DISTINCT) fundamentally lacks (exact counts don't add across
+    * shards; sketches do). Sketch size is KBs per group regardless of
+    * cardinality. */
+  def writeDistinctSketches(df: DataFrame, groupCols: Seq[String],
+                            valueCol: Column, path: String): Unit =
+    df.groupBy(groupCols.map(F.col): _*)
+      .agg(F.hll_sketch_agg(valueCol).as("sketch"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Union stored sketches ([[writeDistinctSketches]]) under a coarser
+    * grouping and estimate distinct counts — reads only the sketch
+    * column, never the corpus. */
+  def mergedDistinctEstimate(spark: org.apache.spark.sql.SparkSession,
+                             path: String, groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).as("est"))
+
   /** Deterministic EXACT-k-per-stratum sample: within each stratum keep
     * the k documents with the HIGHEST portable md5 hash of their id —
     * uniform over the stratum (the hash is uniform), exactly k rows per

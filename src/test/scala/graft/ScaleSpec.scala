@@ -543,6 +543,26 @@ class ScaleSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p(0) <= p(1))) // ascending
   }
 
+  test("stored HLL sketches merge across shards to the union's estimate") {
+    val d = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    // two "shards" of one logical corpus, overlapping values
+    val df = (0L until 300L).map(i =>
+      (if (i < 150) "shardA" else "shardB", "en", i % 120))
+      .toDF("source", "lang", "v")
+    Scale.writeDistinctSketches(df, Seq("lang", "source"), F.col("v"),
+      s"$d/sk")
+    // merged across shards: estimates the UNION's 120 distinct values,
+    // not the 120+120 sum — the mergeability property
+    val est = Scale.mergedDistinctEstimate(spark, s"$d/sk", Seq("lang"))
+      .collect().head.getLong(1)
+    assert(math.abs(est - 120L) <= 12, s"est=$est")
+    // and equals (within HLL error) the single-pass sketch of everything
+    val direct = df.agg(
+      F.hll_sketch_estimate(F.hll_sketch_agg(F.col("v"))).as("e"))
+      .collect().head.getLong(0)
+    assert(est == direct)
+  }
+
   test("sampleKPerGroup: exact k per stratum, window-equivalent, stable") {
     val df = (0L until 200L).map(i => (i, s"lang${i % 4}"))
       .toDF("doc_id", "lang")
