@@ -1352,6 +1352,20 @@ object SparkEntry {
       TextAnalysis.bm25TopKIndexed(s, path, query = "spark window join", k = 10)
     }),
 
+    // ---- INCREMENTAL BM25: index built on docs < 400, the "nightly
+    //      batch" (>= 400) APPENDED (additive postings + stats, old
+    //      files never rewritten) — queries must equal the full rebuild,
+    //      so the same replay gates q115, q126 AND this path ----
+    "q139_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_bm25_inc") + "/idx"
+      TextAnalysis.writeBm25Index(docs.filter(F.col("doc_id") < 400),
+        "text", "doc_id", path, numBuckets = 16)
+      TextAnalysis.appendBm25Index(docs.filter(F.col("doc_id") >= 400),
+        "text", "doc_id", path)
+      TextAnalysis.bm25TopKIndexed(s, path, query = "spark window join", k = 10)
+    }),
+
     // ---- perplexity-proxy quality filter: mean -ln p(token) under the
     //      corpus unigram model (add-one smoothed); one staged
     //      tokenization pass feeds model and scoring ----
@@ -2831,6 +2845,9 @@ object SparkEntry {
     // the indexed serving path must land the IDENTICAL result — one
     // replay gates both the per-query and the persisted-index shapes
     "q126_bm25_indexed" -> bm25Replay,
+
+    // ...and the incrementally-appended index must equal the rebuild
+    "q139_bm25_incremental" -> bm25Replay,
 
     // q77's gram replay at minShared=4 — the streaming foreachBatch pass
     // must land exactly the batch result

@@ -432,6 +432,46 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** INCREMENTAL maintenance of a [[writeBm25Index]] layout: append a
+    * new document batch without rebuilding — the nightly-ingest form
+    * ([[graft.operators.Dedup.minhashLshIncremental]]'s lexical
+    * sibling). Works because every piece of the index is ADDITIVE: new
+    * postings append into their token buckets (same hash, same
+    * partitioning — old files are never rewritten), and the stats row
+    * updates by addition (n_docs += batch docs, total_len += batch
+    * tokens). After the append, [[bm25TopKIndexed]] answers queries over
+    * the COMBINED corpus exactly as a full rebuild would — which is what
+    * the differential oracle checks. Ids must be unique across the
+    * existing index and the batch (re-ingest via [[graft.operators.Dedup.corpusDiff]]
+    * first). Cost: one tokenization pass over the BATCH only. */
+  def appendBm25Index(newDocs: DataFrame, textCol: String, idCol: String,
+                      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val numBuckets = stats.getAs[Int]("num_buckets")
+    val oldIdCol = stats.getAs[String]("id_col")
+    require(oldIdCol == idCol,
+      s"index was built with id column '$oldIdCol', got '$idCol'")
+    val nNew = newDocs.count()
+    val tf = stagedTf(newDocs, textCol, idCol)
+    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+    tf.join(lens, Seq(idCol))
+      .select(F.col("token"),
+        (Dedup.md5Hash60(F.col("token")) % numBuckets).cast("int").as("tbucket"),
+        F.col(idCol), F.col("tf"), F.col("len"))
+      .write.partitionBy("tbucket").mode("append")
+      .parquet(s"$path/postings")
+    val newLen = lens.agg(F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
+      .head().getAs[Long]("t")
+    import spark.implicits._
+    // stats rewrite is the COMMIT of the append: tiny, last, atomic via
+    // parquet overwrite
+    Seq((stats.getAs[Long]("n_docs") + nNew,
+         stats.getAs[Long]("total_len") + newLen, numBuckets, idCol))
+      .toDF("n_docs", "total_len", "num_buckets", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 top-k against a [[writeBm25Index]] layout — result identical
     * to [[bm25TopK]] on the indexed corpus (same formula, same rounding,
     * same tie-break; one oracle gates both), but the query path touches

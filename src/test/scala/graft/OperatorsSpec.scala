@@ -892,6 +892,22 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*tbucket".r.findFirstIn(plan).isDefined,
       plan.take(2000))
+    // INCREMENTAL append: index on a prefix + appended suffix must equal
+    // both the full-rebuild index and the per-query path on everything
+    val incPath = java.nio.file.Files
+      .createTempDirectory("graft-bm25-inc").toString + "/idx"
+    TextAnalysis.writeBm25Index(corpus.filter(F.col("doc_id") <= 3),
+      "text", "doc_id", incPath, numBuckets = 4)
+    TextAnalysis.appendBm25Index(corpus.filter(F.col("doc_id") > 3),
+      "text", "doc_id", incPath)
+    for (q <- Seq("spark window", "scan")) {
+      assert(scores(TextAnalysis.bm25TopKIndexed(spark, incPath, q, k = 3)) ==
+        scores(TextAnalysis.bm25TopK(corpus, "text", "doc_id", q, k = 3)),
+        s"incremental query=$q")
+    }
+    // id-column contract violations fail loudly
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.appendBm25Index(corpus, "text", "other_id", incPath))
   }
 
   test("PQ codes and ADC top-k: hand-computed codes, distances, tie-break") {
