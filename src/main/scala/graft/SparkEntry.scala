@@ -1427,6 +1427,14 @@ object SparkEntry {
       Pack.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
                          window = 32, stride = 24)),
 
+    // ---- language-mixing detection: per-32-token-window language ID
+    //      vs the document vote — code-switched/concatenated/mislabeled
+    //      docs poison monolingual mixes and a doc-level vote alone
+    //      cannot see them ----
+    "q140_language_mix" -> ((s, dir) =>
+      TextAnalysis.languageMix(t(s, dir, "documents"), "text", "doc_id",
+        window = 32)),
+
     // ---- mergeable distinct sketches: per-(lang, source) HLL sketches
     //      STORED, then unioned to per-lang estimates without touching
     //      raw data — the shardable form of COUNT(DISTINCT); gated like
@@ -3164,6 +3172,41 @@ object SparkEntry {
 
     // temperature mixing: identical IEEE threshold (sqrt/least/floor are
     // exactly rounded), identical md5 keep decision
+    // the q96 chunk construction (stride = window = 32) + the q25
+    // word-list scorer per chunk + the doc-level vote, aggregated
+    "q140_language_mix" ->
+      s"""WITH $langidCtes,
+         |t AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+         |    x -> len(x) > 0) AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0, len(toks) - 1, 32)) AS "start"
+         |  FROM t WHERE len(toks) > 0),
+         |ck AS (SELECT doc_id, list_transform(
+         |    list_slice(toks, "start" + 1, "start" + 32),
+         |    x -> lower(x)) AS ctoks FROM s),
+         |cl AS (SELECT doc_id,
+         |  len(list_filter(ctoks, x -> x IN ('the','and','of','is'))) AS s_en,
+         |  len(list_filter(ctoks, x -> x IN ('der','die','und','ist'))) AS s_de,
+         |  len(list_filter(ctoks, x -> x IN ('el','la','los','es'))) AS s_es,
+         |  len(list_filter(ctoks, x -> x IN ('le','les','et','est'))) AS s_fr
+         | FROM ck),
+         |cg AS (SELECT doc_id, CASE
+         |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+         |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+         |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+         |  WHEN s_de > s_en THEN 'de'
+         |  ELSE 'en' END AS chunk_lang
+         |FROM cl),
+         |agg AS (SELECT cg.doc_id, l.lang_guess AS doc_lang,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN chunk_lang <> l.lang_guess THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_foreign
+         |  FROM cg JOIN langid l USING (doc_id) GROUP BY 1, 2)
+         |SELECT doc_id, doc_lang, n_chunks, n_foreign,
+         |  round(CAST(n_foreign AS DOUBLE) / n_chunks, 6) AS mix_frac
+         |FROM agg""".stripMargin,
+
     // exact distinct replays; the merged-sketch estimate's accuracy
     // flag must come out TRUE (the q43 gating pattern)
     "q138_sketch_merge" ->

@@ -117,6 +117,34 @@ object TextAnalysis {
     F.when(best._2 <= 0, F.lit("und")).otherwise(best._1)
   }
 
+  /** LANGUAGE-MIXING detection: language-ID per fixed-size token window
+    * (non-overlapping), compared against the document-level guess — a
+    * document whose chunks disagree with its own label is code-switched,
+    * concatenated from multiple sources, or mislabeled (all of which
+    * poison monolingual training mixes; a doc-level vote alone cannot
+    * see it). Returns (id, doc_lang, n_chunks, n_foreign, mix_frac).
+    *
+    * Scale shape: two narrow tokenization passes (doc-level vote +
+    * chunk explode) and one doc-keyed aggregation — no shuffle of text
+    * beyond the chunk rows themselves. Empty documents have no chunks
+    * and are excluded, like [[graft.operators.Pack.slidingChunks]]. */
+  def languageMix(df: DataFrame, textCol: String, idCol: String,
+                  window: Int = 32): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val docLang = df.select(F.col(idCol), langId(F.col(textCol)).as("doc_lang"))
+    val chunkLang = Pack.slidingChunks(df, textCol, idCol, window,
+        stride = window)
+      .select(F.col(idCol), langId(F.col("chunk_text")).as("chunk_lang"))
+    chunkLang.join(docLang, Seq(idCol))
+      .groupBy(idCol, "doc_lang")
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.when(F.col("chunk_lang") =!= F.col("doc_lang"), 1L)
+          .otherwise(0L)).as("n_foreign"))
+      .select(F.col(idCol), F.col("doc_lang"), F.col("n_chunks"),
+        F.col("n_foreign"),
+        F.round(F.col("n_foreign") / F.col("n_chunks"), 6).as("mix_frac"))
+  }
+
   /** Content fingerprint: MD5 of case-folded, whitespace-collapsed text.
     * Stable across partitionings; the standard first pass of exact dedup
     * at corpus scale (hash first, compare full text only within hash

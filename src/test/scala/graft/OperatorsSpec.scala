@@ -789,6 +789,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == r(nllC, 6))
   }
 
+  test("language mixing: code-switched halves flagged, monolingual docs clean") {
+    val docs = Seq(
+      // 8 EN tokens then 8 DE tokens: with window=8 exactly two chunks,
+      // one per language; the doc-level vote ties 6-6 and resolves EN
+      // (strict-greater switching, like the oracle's CASE)
+      (1L, "the cat is of the dog and is der hund ist die katze und der ist"),
+      (2L, "the cat and the dog is of the mat and it is the end of all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageMix(docs, "text", "doc_id", window = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == (("en", 2L, 1L, 0.5)))
+    assert(out(2L)._1 == "en" && out(2L)._3 == 0L && out(2L)._4 == 0.0)
+    assert(!out.contains(3L)) // empty doc has no chunks
+  }
+
   test("bigram log-prob: hand-computed add-one NLL; sub-2-token docs excluded") {
     val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramLogProb(d, "text", "doc_id")
