@@ -282,7 +282,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     }
     val simple = sub.tail.isEmpty && sub.orderBy.isEmpty && sub.limit.isEmpty &&
       sub.ctes.isEmpty && sub.head.groupBy.isEmpty && sub.head.having.isEmpty &&
-      sub.head.orderBy.isEmpty && sub.head.limit.isEmpty
+      sub.head.orderBy.isEmpty && sub.head.limit.isEmpty &&
+      // an aggregate select (`EXISTS (SELECT COUNT(*) ...)`) makes the
+      // subquery ALWAYS one row in standard SQL — that is grouped
+      // semantics, not a row subquery; route it through the full planner
+      sub.head.select.forall(i => collectAggs(i.expr).isEmpty)
     if (!simple)
       // set ops / grouping / LIMIT: only the UNCORRELATED reading exists
       // (a correlated reference fails resolution inside evalCompound)

@@ -397,8 +397,11 @@ object Dedup {
       eager = false, reliable)
     val candIds = pairs
       .select(F.explode(F.array(F.col("corpus_id"), F.col("eval_id"))).as("id"))
+    // candidates-only verify side: semi-join-pruned BEFORE the shingle
+    // recompute, un-spread like the batch pipeline (re-shuffling full
+    // text a second time would cost more than the pruned compute saves)
     val candSh = stage(
-      spreadForCompute(union).join(candIds, Seq("id"), "left_semi")
+      union.join(candIds, Seq("id"), "left_semi")
         .select(F.col("id"),
           sortedHashedShingles(F.col("text_"), shingleN).as("sh")),
       eager = true, reliable)

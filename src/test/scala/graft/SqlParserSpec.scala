@@ -545,6 +545,12 @@ class SqlParserSpec extends SparkSpec {
     assert(run(
       """SELECT fruit, quantity FROM fruits
         |WHERE EXISTS (SELECT * FROM fruits WHERE quantity > 100)""".stripMargin).isEmpty)
+    // an aggregate select is ALWAYS one row in standard SQL — even when
+    // the aggregated input is empty, so this keeps every row
+    assert(run(
+      """SELECT fruit, quantity FROM fruits
+        |WHERE EXISTS (SELECT COUNT() FROM fruits WHERE quantity > 100)""".stripMargin)
+      .size == 5)
     assert(run(
       """SELECT fruit, quantity FROM fruits
         |WHERE NOT EXISTS (SELECT * FROM fruits WHERE quantity > 100)""".stripMargin)
