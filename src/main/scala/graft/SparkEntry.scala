@@ -1427,6 +1427,24 @@ object SparkEntry {
       Pack.slidingChunks(t(s, dir, "documents"), "text", "doc_id",
                          window = 32, stride = 24)),
 
+    // ---- the reference's NATIVE BlockFile format, round-tripped: write
+    //      lineitem (cast to the format's i32/f32/str/ts types) as one
+    //      multi-block .bin, read it back through the DSv2 source (one
+    //      partition per block, size-prefix column pruning) — the oracle
+    //      reads the ORIGINAL parquet, so the gate proves byte-level
+    //      losslessness of both sides ----
+    "q141_blockfile_roundtrip" -> ((s, dir) => {
+      val path = stagingDir("graft_blockfile") + "/lineitem.bin"
+      val src = t(s, dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").as("l_orderkey"),
+        F.col("l_linenumber").cast("int").as("l_linenumber"),
+        F.col("l_quantity").cast("float").as("l_quantity"),
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.col("l_shipdate"))
+      Tables.blockFileWrite(src, path, rowsPerBlock = 8192)
+      Tables.blockFileRead(s, path)
+    }),
+
     // ---- language-mixing detection: per-32-token-window language ID
     //      vs the document vote — code-switched/concatenated/mislabeled
     //      docs poison monolingual mixes and a doc-level vote alone
@@ -3172,6 +3190,16 @@ object SparkEntry {
 
     // temperature mixing: identical IEEE threshold (sqrt/least/floor are
     // exactly rounded), identical md5 keep decision
+    // the original parquet replays the BlockFile round trip: every
+    // value must survive the i32/f32/len-byte-string/µs-ts encoding
+    // (quantity values are small integers — exact in f32)
+    "q141_blockfile_roundtrip" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey,
+        |  CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        |  CAST(l_quantity AS REAL) AS l_quantity,
+        |  l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin,
+
     // the q96 chunk construction (stride = window = 32) + the q25
     // word-list scorer per chunk + the doc-level vote, aggregated
     "q140_language_mix" ->

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's native columnar "BlockFile" format, read and written
+  * from Spark — so a minispark user's existing `.bin` tables load
+  * directly (reference: src/mini_spark/io.py:47-171; byte-for-byte
+  * layout):
+  *
+  *  - header: `u8` column count; per column `u8` type ordinal
+  *    (INTEGER=0 STRING=1 FLOAT=2 TIMESTAMP=3, constants.py:18-23),
+  *    `u8` name length, UTF-8 name (io.py:47-61);
+  *  - blocks: `u32 LE` row count, then per column `u64 LE` byte size +
+  *    contiguous values — i32/f32/i64-micros LE; strings as one length
+  *    byte per row then concatenated UTF-8 (io.py:74-109);
+  *  - footer: `u64 LE` block-start offsets then `u32 LE` block count
+  *    (io.py:166-170).
+  *
+  * The DSv2 reader plans ONE PARTITION PER BLOCK — blocks are the
+  * reference's own unit of parallelism (plan.py:90-93) — and implements
+  * COLUMN PRUNING through the per-column size prefixes (io.py:112-124
+  * documents the capability; the reference engine never exploits it).
+  * A pruned scan seeks past unwanted columns without reading them.
+  *
+  * [[BlockFile.write]] streams the frame through the driver: the format
+  * is a SINGLE FILE with a global footer (like the reference writes) —
+  * an interchange/compat utility, not a distributed sink; parquet is
+  * the scale-path storage. */
+object BlockFile {
+
+  val MaxStrLength = 0xFF // one length byte per string (io.py:18,43-44)
+
+  private[sources] def ordinalOf(dt: DataType): Int = dt match {
+    case IntegerType   => 0
+    case StringType    => 1
+    case FloatType     => 2
+    // NTZ included: the reference's timestamps are naive datetimes
+    // (io.py:34-39) — micros of the wall-clock value either way
+    case TimestampType | TimestampNTZType => 3
+    case other => throw new IllegalArgumentException(
+      s"BlockFile supports int/string/float/timestamp columns, got $other " +
+      "(cast first — the reference's type system is exactly these four, " +
+      "SURVEY §1.3)")
+  }
+
+  private[sources] def typeOf(ordinal: Int): DataType = ordinal match {
+    case 0 => IntegerType
+    case 1 => StringType
+    case 2 => FloatType
+    case 3 => TimestampType
+    case other => throw new IllegalArgumentException(
+      s"Unknown BlockFile type ordinal $other")
+  }
+
+  /** Read just the header schema (driver-side, a few hundred bytes). */
+  def readSchema(path: String): StructType = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      val n = f.readUnsignedByte()
+      StructType((0 until n).map { _ =>
+        val ord = f.readUnsignedByte()
+        val nameLen = f.readUnsignedByte()
+        val nameBytes = new Array[Byte](nameLen)
+        f.readFully(nameBytes)
+        StructField(new String(nameBytes, "UTF-8"), typeOf(ord),
+          nullable = false)
+      })
+    } finally f.close()
+  }
+
+  /** Block start offsets from the footer (driver-side). */
+  def blockStarts(path: String): Seq[Long] = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      f.seek(f.length() - 4)
+      val count = readU32(f)
+      f.seek(f.length() - 4 - 8L * count)
+      (0 until count).map(_ => readU64(f))
+    } finally f.close()
+  }
+
+  private def readU32(f: RandomAccessFile): Int = {
+    val b = new Array[Byte](4); f.readFully(b)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+  }
+  private def readU64(f: RandomAccessFile): Long = {
+    val b = new Array[Byte](8); f.readFully(b)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  /** Write `df` as ONE BlockFile. Schema must already be the reference's
+    * four types (cast beforehand); strings must encode under 255 UTF-8
+    * bytes (the format's one-byte length, io.py:43-44) — violations
+    * throw rather than truncate. Rows stream through the driver
+    * (`toLocalIterator` — one partition in memory at a time): the
+    * single-file global footer makes this inherently a gather point,
+    * exactly as the single-node reference behaves. */
+  def write(df: DataFrame, path: String,
+            rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
+    require(rowsPerBlock >= 1, s"rowsPerBlock must be >= 1, got $rowsPerBlock")
+    val schema = df.schema
+    schema.fields.foreach(f => ordinalOf(f.dataType)) // validate up front
+    val out = new java.io.DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    var offset = 0L
+    def writeBytes(b: Array[Byte]): Unit = { out.write(b); offset += b.length }
+    def u32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def u64(v: Long): Array[Byte] = ByteBuffer.allocate(8)
+      .order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    try {
+      // header
+      writeBytes(Array(schema.length.toByte))
+      schema.fields.foreach { f =>
+        val name = f.name.getBytes("UTF-8")
+        require(name.length < MaxStrLength, s"column name too long: ${f.name}")
+        writeBytes(Array(ordinalOf(f.dataType).toByte, name.length.toByte))
+        writeBytes(name)
+      }
+      val blockOffsets = ListBuffer.empty[Long]
+      // timestamps iterate as epoch-micros LONGS (Spark's own internal
+      // form via unix_micros) — no driver-side calendar arithmetic
+      val iterDf = df.select(schema.fields.map { fld =>
+        if (fld.dataType == TimestampType || fld.dataType == TimestampNTZType)
+          org.apache.spark.sql.functions.unix_micros(org.apache.spark.sql
+            .functions.col(fld.name).cast(TimestampType)).as(fld.name)
+        else org.apache.spark.sql.functions.col(fld.name)
+      }.toIndexedSeq: _*)
+      val it = iterDf.toLocalIterator()
+      val block = new Array[org.apache.spark.sql.Row](rowsPerBlock)
+      var n = 0
+      def flushBlock(): Unit = if (n > 0) {
+        blockOffsets += offset
+        writeBytes(u32(n))
+        schema.fields.zipWithIndex.foreach { case (field, ci) =>
+          val body: Array[Byte] = (field.dataType match {
+            case TimestampNTZType => TimestampType // iterated as micros
+            case dt               => dt
+          }) match {
+            case IntegerType =>
+              val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+              (0 until n).foreach(i => bb.putInt(block(i).getInt(ci)))
+              bb.array()
+            case FloatType =>
+              val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+              (0 until n).foreach(i => bb.putFloat(block(i).getFloat(ci)))
+              bb.array()
+            case TimestampType =>
+              val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+              (0 until n).foreach(i => bb.putLong(block(i).getLong(ci)))
+              bb.array()
+            case StringType =>
+              val encoded = (0 until n).map { i =>
+                val b = block(i).getString(ci).getBytes("UTF-8")
+                require(b.length < MaxStrLength,
+                  s"string over ${MaxStrLength - 1} UTF-8 bytes in '${field.name}'")
+                b
+              }
+              val total = encoded.map(_.length).sum
+              val bb = ByteBuffer.allocate(n + total)
+              encoded.foreach(b => bb.put(b.length.toByte))
+              encoded.foreach(bb.put)
+              bb.array()
+            case other => throw new IllegalStateException(other.toString)
+          }
+          writeBytes(u64(body.length.toLong))
+          writeBytes(body)
+        }
+        n = 0
+      }
+      while (it.hasNext) {
+        block(n) = it.next(); n += 1
+        if (n == rowsPerBlock) flushBlock()
+      }
+      flushBlock()
+      // footer
+      blockOffsets.foreach(o => writeBytes(u64(o)))
+      writeBytes(u32(blockOffsets.length))
+    } finally out.close()
+  }
+
+  /** Read a BlockFile as a DataFrame via the DSv2 source (one partition
+    * per block, column pruning through the size prefixes). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[BlockFileSource].getName).load(path)
+}
+
+/** DSv2 entry point: `spark.read.format(classOf[BlockFileSource].getName)
+  * .load(path)`. */
+final class BlockFileSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlockFile.readSchema(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new BlockFileTable(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class BlockFileTable(path: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"blockfile($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BlockFileScanBuilder(path, schema0)
+}
+
+final class BlockFileScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  // keep FILE order for the pruned schema: the reader walks columns
+  // sequentially, skipping unwanted ones by their size prefix
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val want = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => want.contains(f.name)))
+  }
+  override def build(): Scan = new BlockFileScan(path, full, required)
+}
+
+final class BlockFileScan(path: String, full: StructType, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BlockFileScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    BlockFile.blockStarts(path)
+      .map(off => BlockFilePartition(path, off): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockFileReaderFactory(full, required)
+}
+
+final case class BlockFilePartition(path: String, offset: Long)
+    extends InputPartition
+
+final class BlockFileReaderFactory(full: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BlockFilePartition]
+    new BlockFileBlockReader(p.path, p.offset, full, required)
+  }
+}
+
+/** Reads ONE block: seeks to the block start, walks the columns in file
+  * order reading the required ones and seeking past the rest via their
+  * u64 size prefix (the pruning path), then emits rows. Block size is
+  * bounded by the writer (reference cap: 2M rows), so a columnar
+  * buffer per task is the same memory shape the reference's executor
+  * uses (one block per job, plan.py:90-93). */
+final class BlockFileBlockReader(path: String, offset: Long,
+                                 full: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val f = new RandomAccessFile(path, "r")
+  private val rows: Int = { f.seek(offset); readU32() }
+  private val wanted = required.fieldNames.toSet
+  // file-order walk with skip-by-size; store column vectors by name
+  private val vectors: Map[String, Array[Any]] = {
+    val m = scala.collection.mutable.Map.empty[String, Array[Any]]
+    full.fields.foreach { field =>
+      val size = readU64()
+      if (!wanted.contains(field.name)) f.seek(f.getFilePointer + size)
+      else {
+        val body = new Array[Byte](size.toInt)
+        f.readFully(body)
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Any](rows)
+        field.dataType match {
+          case IntegerType   => (0 until rows).foreach(i => out(i) = bb.getInt())
+          case FloatType     => (0 until rows).foreach(i => out(i) = bb.getFloat())
+          case TimestampType => (0 until rows).foreach(i => out(i) = bb.getLong())
+          case StringType =>
+            val lens = new Array[Int](rows)
+            (0 until rows).foreach(i => lens(i) = bb.get() & 0xFF)
+            (0 until rows).foreach { i =>
+              val s = new Array[Byte](lens(i)); bb.get(s)
+              out(i) = UTF8String.fromBytes(s)
+            }
+          case other => throw new IllegalStateException(other.toString)
+        }
+        m(field.name) = out
+      }
+    }
+    m.toMap
+  }
+  private val cols = required.fieldNames.map(vectors)
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows }
+  override def get(): InternalRow =
+    new GenericInternalRow(cols.map(_(i)).toArray)
+  override def close(): Unit = f.close()
+
+  private def readU32(): Int = {
+    val b = new Array[Byte](4); f.readFully(b)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+  }
+  private def readU64(): Long = {
+    val b = new Array[Byte](8); f.readFully(b)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+  }
+}

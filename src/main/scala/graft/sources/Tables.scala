@@ -124,4 +124,15 @@ object Tables {
     df.show(n, truncate = false)
     df.count()
   }
+
+  /** Write/read the reference's NATIVE BlockFile format (`.bin`) — see
+    * [[BlockFile]]: a minispark user's existing tables load directly,
+    * with block-granular read parallelism and size-prefix column
+    * pruning the reference engine itself never exploited. */
+  def blockFileWrite(df: DataFrame, path: String,
+                     rowsPerBlock: Int = 2 * 1024 * 1024): Unit =
+    BlockFile.write(df, path, rowsPerBlock)
+
+  def blockFileRead(spark: SparkSession, path: String): DataFrame =
+    BlockFile.read(spark, path)
 }

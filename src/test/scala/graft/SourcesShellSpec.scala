@@ -46,6 +46,74 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("BlockFile: multi-block round trip, per-block partitions, pruned reads, limits") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-blockfile").toString
+    val src = Seq(
+      (1, "alpha", 1.5f, "2024-01-02 03:04:05"),
+      (2, "beta", -2.25f, "2024-06-07 08:09:10"),
+      (3, "", 0.0f, "1999-12-31 23:59:59"),
+      (4, "delta", 3.75f, "2024-01-01 00:00:00"),
+      (5, "épsilon", 1e10f, "2024-03-04 05:06:07")
+    ).toDF("i", "s", "f", "ts0")
+      .select(F.col("i"), F.col("s"), F.col("f"),
+        F.col("ts0").cast("timestamp").as("t"))
+    Tables.blockFileWrite(src, s"$d/t.bin", rowsPerBlock = 2)
+    val back = Tables.blockFileRead(spark, s"$d/t.bin")
+    assert(back.schema.fieldNames.toSeq == Seq("i", "s", "f", "t"))
+    assert(rows(back) == rows(src))
+    // blocks are the unit of parallelism: 5 rows at 2/block = 3 blocks
+    assert(back.rdd.getNumPartitions == 3)
+    // column pruning through the size prefixes: a projected read agrees
+    assert(back.select("s").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("", "alpha", "beta", "delta", "épsilon"))
+    assert(back.count() == 5)
+    // format limits enforced loudly: >254-byte strings, unsupported types
+    val tooLong = Seq((1, "x" * 300)).toDF("i", "s")
+    assertThrows[Exception](Tables.blockFileWrite(tooLong, s"$d/bad.bin"))
+    assertThrows[IllegalArgumentException](
+      Tables.blockFileWrite(Seq((1L, "a")).toDF("l", "s"), s"$d/bad2.bin"))
+  }
+
+  test("BlockFile: byte-level compatibility with the reference implementation") {
+    // write with OUR writer, read with the REFERENCE's Python reader —
+    // and the reverse — proving the files are interchangeable, not just
+    // self-consistent. Skipped when the reference checkout or python
+    // is unavailable (the suite must pass standalone).
+    import scala.sys.process._
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val refOk = new java.io.File("/root/reference/src/mini_spark/io.py").exists() &&
+      (try { Seq("python3", "-c", "1").! == 0 } catch { case _: Exception => false })
+    assume(refOk, "reference checkout / python3 not available")
+    val d = Files.createTempDirectory("graft-bf-compat").toString
+    // ours → reference
+    val src = Seq((1, "alpha", 1.5f), (2, "beta", -2.25f), (3, "gamma", 0.5f))
+      .toDF("i", "s", "f")
+    Tables.blockFileWrite(src, s"$d/ours.bin", rowsPerBlock = 2)
+    val pyRead =
+      s"""import sys; sys.path.insert(0, '/root/reference/src')
+         |from pathlib import Path
+         |from mini_spark.io import BlockFile
+         |rows = list(BlockFile(Path('$d/ours.bin')).read_data_rows())
+         |print(sorted((r['i'], r['s'], r['f']) for r in rows))""".stripMargin
+    val out = Seq("python3", "-c", pyRead).!!.trim
+    assert(out == "[(1, 'alpha', 1.5), (2, 'beta', -2.25), (3, 'gamma', 0.5)]", out)
+    // reference → ours
+    val pyWrite =
+      s"""import sys; sys.path.insert(0, '/root/reference/src')
+         |from pathlib import Path
+         |from mini_spark.io import BlockFile
+         |BlockFile(Path('$d/theirs.bin')).write_rows([
+         |  {'i': 10, 's': 'ref', 'f': 0.25},
+         |  {'i': 11, 's': 'file', 'f': -1.5}])""".stripMargin
+    assert(Seq("python3", "-c", pyWrite).! == 0)
+    val theirs = Tables.blockFileRead(spark, s"$d/theirs.bin")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getFloat(2))).toSet
+    assert(theirs == Set((10, "ref", 0.25f), (11, "file", -1.5f)))
+  }
+
   test("shell repl: multiline ';'-terminated queries, errors don't kill the loop, exit stops it") {
     val engine = Engine(spark, dir)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
