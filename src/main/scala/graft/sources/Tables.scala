@@ -20,10 +20,19 @@ object Tables {
     *
     * The reference addresses tables as quoted file paths
     * (`SELECT * FROM 'tmp/lineitem.bin'`, reference: parser.py:60). We
-    * accept: an absolute/relative parquet path, or a bare table name
-    * resolved against `baseDir` as `<baseDir>/<name>.parquet`.
+    * accept: a `.bin` path (the reference's NATIVE BlockFile format,
+    * read through the [[BlockFile]] DSv2 source — a minispark user's
+    * SQL works verbatim), an absolute/relative parquet path, or a bare
+    * table name resolved against `baseDir` as `<baseDir>/<name>.parquet`.
     */
   def load(spark: SparkSession, ref: String, baseDir: Option[String] = None): DataFrame = {
+    if (ref.endsWith(".bin")) {
+      val p = new java.io.File(ref)
+      val resolved =
+        if (p.isAbsolute || p.exists()) ref
+        else baseDir.map(d => s"$d/$ref").getOrElse(ref)
+      return BlockFile.read(spark, resolved)
+    }
     val path =
       if (ref.endsWith(".parquet") || ref.contains("/")) ref
       else baseDir.map(d => s"$d/$ref.parquet").getOrElse(ref)

@@ -112,6 +112,12 @@ class SourcesShellSpec extends SparkSpec {
     val theirs = Tables.blockFileRead(spark, s"$d/theirs.bin")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getFloat(2))).toSet
     assert(theirs == Set((10, "ref", 0.25f), (11, "file", -1.5f)))
+    // ...and the reference's SQL shape works VERBATIM: a quoted .bin
+    // path in FROM reads through the BlockFile source
+    val viaSql = Engine(spark, d).sql(
+      s"SELECT s, f FROM '$d/theirs.bin' WHERE i = 10")
+      .collect().map(r => (r.getString(0), r.getFloat(1))).toSeq
+    assert(viaSql == Seq(("ref", 0.25f)))
   }
 
   test("shell repl: multiline ';'-terminated queries, errors don't kill the loop, exit stops it") {
