@@ -98,7 +98,9 @@ object Scale {
     * rows per stratum per partition reach the shuffle; a `row_number`
     * window here would sort every stratum's full membership inside one
     * partition (the straggler at 100 TB). Window fallback without
-    * extensions. Ranking key is the hash AS A DOUBLE (what the heap
+    * extensions. Ids must be GLOBALLY unique (the keep-list joins back
+    * by id — the standing id contract of the samplers and dedup
+    * pipelines). Ranking key is the hash AS A DOUBLE (what the heap
     * stores); int64s above 2^53 can collide when rounded, and such ties
     * break deterministically by lower id on both the heap and the
     * replaying oracle. */

@@ -492,8 +492,11 @@ object TextAnalysis {
     val newLen = lens.agg(F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
       .head().getAs[Long]("t")
     import spark.implicits._
-    // stats rewrite is the COMMIT of the append: tiny, last, atomic via
-    // parquet overwrite
+    // stats update goes LAST so a failure before it leaves the old stats
+    // intact; note the appended postings files are visible to readers
+    // immediately (parquet directory listing), so concurrent queries
+    // during an append can see mixed state — serialize appends against
+    // serving, or append into a fresh index path and swap
     Seq((stats.getAs[Long]("n_docs") + nNew,
          stats.getAs[Long]("total_len") + newLen, numBuckets, idCol))
       .toDF("n_docs", "total_len", "num_buckets", "id_col")

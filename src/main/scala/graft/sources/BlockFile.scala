@@ -113,6 +113,8 @@ object BlockFile {
             rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
     require(rowsPerBlock >= 1, s"rowsPerBlock must be >= 1, got $rowsPerBlock")
     val schema = df.schema
+    require(schema.length < 0xFF,
+      s"BlockFile holds at most 254 columns (io.py MAX_COLUMNS), got ${schema.length}")
     schema.fields.foreach(f => ordinalOf(f.dataType)) // validate up front
     val out = new java.io.DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))

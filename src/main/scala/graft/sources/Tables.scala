@@ -94,9 +94,15 @@ object Tables {
     readOrc(spark, orcPath, schema).write.mode("overwrite").parquet(outPath)
 
   /** Concatenate same-schema tables
-    * (reference: io.py:297-305 merge_files) — free with a multi-path read. */
-  def merge(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
+    * (reference: io.py:297-305 merge_files) — free with a multi-path
+    * read for parquet; `.bin` inputs (the reference's merge operates on
+    * BlockFiles) read through the [[BlockFile]] source and union in. */
+  def merge(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val (bin, pq) = paths.partition(_.endsWith(".bin"))
+    val parts = (if (pq.nonEmpty) Seq(spark.read.parquet(pq: _*)) else Nil) ++
+      bin.map(BlockFile.read(spark, _))
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Register every parquet table under `dir` as a temp view, enabling
     * full ANSI Spark SQL (CTEs, subqueries, window functions) over the

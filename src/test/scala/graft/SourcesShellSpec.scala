@@ -25,6 +25,12 @@ class SourcesShellSpec extends SparkSpec {
     val merged = Tables.merge(spark, Seq(s"$dir/part1.parquet", s"$dir/part2.parquet"))
     assert(merged.count() == 3)
     assert(rows(merged) == Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // the reference's merge operates on BlockFiles — mixed inputs union
+    Tables.blockFileWrite(Seq((4, "d")).toDF("id", "v"), s"$dir/part3.bin")
+    val mixed = Tables.merge(spark,
+      Seq(s"$dir/part1.parquet", s"$dir/part2.parquet", s"$dir/part3.bin"))
+    assert(rows(mixed) ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c"), Seq(4, "d")))
   }
 
   test("inspect returns the row count (reference read_block_file.py:8-24)") {
