@@ -228,4 +228,26 @@ class ReferenceE2ESpec extends SparkSpec {
     check(s"SELECT u.country, COUNT() AS orders_count, SUM(o.quantity*o.price) AS total_sales FROM '$U' AS u JOIN '$O' AS o ON u.user_id=o.user_id GROUP BY u.country HAVING SUM(o.quantity*o.price) > 500;",
       Seq(Seq("USA", 7, 4535.0), Seq("UK", 4, 2002.0)))
   }
+
+  test("golden queries run identically over the reference's NATIVE .bin files") {
+    // the reference's SQL addresses BlockFiles; write the same fixtures
+    // in the native format and re-run representative golden queries
+    // with .bin paths — results must match the parquet-path runs bit
+    // for bit (same engine, different source)
+    val ub = s"$dir/users.bin"
+    val ob = s"$dir/orders.bin"
+    graft.sources.Tables.blockFileWrite(spark.read.parquet(U), ub)
+    graft.sources.Tables.blockFileWrite(spark.read.parquet(O), ob)
+    for (mk <- Seq[(String, String) => String](
+      (u, o) => s"SELECT * FROM '$u';",
+      (u, o) => s"SELECT first_name, age FROM '$u' WHERE country = 'USA' AND age > 30;",
+      (u, o) => s"SELECT u.country, COUNT() AS orders_count, SUM(o.quantity*o.price) AS total_sales FROM '$u' AS u JOIN '$o' AS o ON u.user_id=o.user_id GROUP BY u.country HAVING SUM(o.quantity*o.price) > 500;",
+      (u, o) => s"SELECT product, SUM(quantity) AS q FROM '$o' GROUP BY product;")) {
+      val viaParquet = engine.sql(mk(U, O)).collect()
+        .map((r: Row) => r.toSeq).toSet
+      val viaBin = engine.sql(mk(ub, ob)).collect()
+        .map((r: Row) => r.toSeq).toSet
+      assert(viaBin == viaParquet, mk(ub, ob))
+    }
+  }
 }
