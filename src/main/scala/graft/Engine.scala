@@ -237,6 +237,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty) out = out.sort(q.orderBy)
+    // OFFSET skips before LIMIT counts (standard pagination order)
+    q.offset.foreach(m => out = GraftFrame.fromDF(out.df.offset(m)))
     q.limit.foreach(n => out = out.limit(n))
     out
   }

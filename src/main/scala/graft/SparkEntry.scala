@@ -495,6 +495,14 @@ object SparkEntry {
           |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31'
           |  AND NOT l_returnflag = 'A' AND l_linestatus LIKE 'O%'""".stripMargin).df),
 
+    // ---- LIMIT/OFFSET pagination through the dialect: page 2 of the
+    //      price-ranked orders (deterministic under the id tie-break) ----
+    "q142_sql_offset" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 10 OFFSET 5""".stripMargin).df),
+
     // ---- second scalar-function wave through the dialect: trim family,
     //      replace, concat, strpos, greatest/least ----
     "q137_sql_scalar_fns2" -> ((s, dir) =>
@@ -2699,6 +2707,11 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin,
+
+    "q142_sql_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 5""".stripMargin,
 
     // same statement modulo DuckDB's round trip of the numeric types
     "q137_sql_scalar_fns2" ->

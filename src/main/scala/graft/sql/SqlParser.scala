@@ -30,7 +30,10 @@ final case class SqlQuery(
     // references INPUT columns (not select aliases). Illegal in grouped
     // blocks, like window functions generally (compose via a derived
     // table).
-    qualify: Option[Col] = None
+    qualify: Option[Col] = None,
+    // OFFSET m (extension): rows skipped BEFORE the limit counts, the
+    // standard pagination pair. Not supported on set-op chains.
+    offset: Option[Int] = None
 )
 final case class SelectItem(expr: Col, star: Boolean)
 /** A FROM/JOIN target: a table path/name, or a parenthesized derived
@@ -85,7 +88,7 @@ object SqlParser {
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
-    "EXISTS", "QUALIFY",
+    "EXISTS", "QUALIFY", "OFFSET",
     // reserving OVER/PARTITION (window support) breaks columns of those
     // names as bare identifiers — the standard tradeoff; the
     // double-quoted-identifier escape ("partition") still reaches them
@@ -202,12 +205,14 @@ object SqlParser {
         // (the grammar attaches them to the final block; lift them), and
         // are illegal on earlier blocks
         (head +: tail.init.map(_._3)).foreach { b =>
-          if (b.orderBy.nonEmpty || b.limit.isDefined)
+          if (b.orderBy.nonEmpty || b.limit.isDefined || b.offset.isDefined)
             throw new ParseError(
               "ORDER BY/LIMIT must follow the last block of a set-op chain " +
               "(it applies to the whole compound result)")
         }
         val (lastOp, lastAll, last) = tail.last
+        if (last.offset.isDefined)
+          throw new ParseError("OFFSET is not supported on set-operation chains")
         val stripped = tail.init :+
           ((lastOp, lastAll, last.copy(orderBy = Nil, limit = None)))
         CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit, ctes.toSeq)
@@ -266,8 +271,14 @@ object SqlParser {
           case t       => throw new ParseError(s"Expected number after LIMIT, got ${t.text}")
         })
         else None
+      val offset =
+        if (accept("OFFSET")) Some(next() match {
+          case TNum(t) => t.toInt
+          case t       => throw new ParseError(s"Expected number after OFFSET, got ${t.text}")
+        })
+        else None
       SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having,
-        orderBy, limit, distinct, qualify)
+        orderBy, limit, distinct, qualify, offset)
     }
 
     private def peekJoinHow(): Option[String] = peek match {

@@ -473,6 +473,30 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE color IN (SELECT color, quantity FROM fruits)").df)
   }
 
+  test("LIMIT/OFFSET pagination; OFFSET alone; set-op chains reject (extension)") {
+    import graft.sql.ParseError
+    val d = java.nio.file.Files.createTempDirectory("graft-offset").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val e = Engine(spark, d)
+    def page(sql: String) = e.sql(sql).df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val all = page("SELECT fruit, quantity FROM fruits ORDER BY quantity DESC, fruit")
+    // page 2 of size 2 == the middle slice of the full ordering
+    assert(page(
+      "SELECT fruit, quantity FROM fruits ORDER BY quantity DESC, fruit LIMIT 2 OFFSET 2")
+      == all.slice(2, 4))
+    // OFFSET without LIMIT runs to the end
+    assert(page(
+      "SELECT fruit, quantity FROM fruits ORDER BY quantity DESC, fruit OFFSET 3")
+      == all.drop(3))
+    // past-the-end offset is empty, not an error
+    assert(page(
+      "SELECT fruit, quantity FROM fruits ORDER BY quantity DESC, fruit OFFSET 99").isEmpty)
+    // no rendering on set-op chains — loud error
+    assertThrows[ParseError](e.sql(
+      "SELECT fruit FROM fruits UNION SELECT fruit FROM fruits LIMIT 2 OFFSET 1").df)
+  }
+
   test("QUALIFY: windowed filter in one block; grouped blocks reject (extension)") {
     import graft.sql.GroupByError
     val d = java.nio.file.Files.createTempDirectory("graft-qualify").toString
