@@ -80,9 +80,10 @@ object Shell {
       catch { case _: Exception => Seq.empty }
     val words = Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
       "JOIN", "ON", "AS", "AND", "OR", "NOT", "LIKE", "BETWEEN", "ORDER",
-      "LIMIT", "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG", "UNION",
-      "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END", "IN",
-      "IS", "NULL", "WITH", "EXISTS", "OVER", "PARTITION", "exit") ++ tables
+      "LIMIT", "OFFSET", "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
+      "UNION", "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END",
+      "IN", "IS", "NULL", "WITH", "EXISTS", "QUALIFY", "OVER", "PARTITION",
+      "exit") ++ tables
     val terminal = TerminalBuilder.builder().system(true).build()
     val history = new DefaultHistory()
     val reader = LineReaderBuilder.builder()
