@@ -1651,6 +1651,14 @@ object SparkEntry {
         shingleN = 1, threshold = 0.8, maxBucket = 64)
     }),
 
+    // ---- CONTAINMENT pairs: subset duplication (|A∩B| / min) — blocked
+    //      by (lang, source) WITHOUT a length bucket, since the point is
+    //      catching asymmetric-length pairs Jaccard scores low ----
+    "q143_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        F.struct(F.col("lang"), F.col("source")), shingleN = 1,
+        threshold = 0.9, maxBlock = 1024)),
+
     // ---- FUZZY decontamination: minhash near-dup pairs BETWEEN corpus
     //      (doc_id >= 20) and eval set (doc_id < 20) — catches the
     //      paraphrased/edited contamination q77's exact gram overlap
@@ -2055,6 +2063,28 @@ object SparkEntry {
 
     // the ok CTE replays ngramJaccardPairs' block cap: blocks outside
     // [2, 1024] members emit no pairs
+    // q28's blocked-pair replay with containment scoring and NO length
+    // bucket in the blocking (asymmetric pairs must stay co-blocked);
+    // |∩|/min over distinct tokens — exact integer ratio, no rounding
+    "q143_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_filter(list_distinct(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')),
+        |    x -> len(x) > 0) AS toks
+        | FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+        |ok AS (SELECT lang, source FROM t2
+        | GROUP BY lang, source
+        | HAVING count(*) BETWEEN 2 AND 1024)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / least(len(a.toks), len(b.toks)) AS containment
+        |FROM t2 a
+        |JOIN ok ON a.lang = ok.lang AND a.source = ok.source
+        |JOIN t2 b
+        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / least(len(a.toks), len(b.toks)) >= 0.9""".stripMargin,
+
     "q28_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |  list_filter(list_distinct(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')),

@@ -448,7 +448,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, shingleN: Int = 3,
                         threshold: Double = 0.5,
-                        maxBlock: Int = 1024): DataFrame = {
+                        maxBlock: Int = 1024): DataFrame =
+    blockedShinglePairs(df, textCol, idCol, blockCol, shingleN, maxBlock)
+      .select(F.col("id_a"), F.col("id_b"),
+        jaccardSortedLongs(df)(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+
+  /** The shared capped-block pair machinery of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: per-block member lists, [2, maxBlock] cap,
+    * pair explode — emits (id_a, id_b, sh_a, sh_b) for scoring. */
+  private def blockedShinglePairs(df: DataFrame, textCol: String,
+                                  idCol: String, blockCol: Column,
+                                  shingleN: Int, maxBlock: Int): DataFrame = {
     // Repartition by block BEFORE the shingle hashing: the aggregation
     // needs a block-hashed distribution anyway, so moving the exchange
     // first (shuffling raw text instead of shingle arrays — same order of
@@ -464,9 +475,30 @@ object Dedup {
       .filter(F.size(F.col("ms")).between(2, maxBlock))
       .select(F.explode(elementPairs(F.array_sort(F.col("ms")))).as("p"))
       .select(F.col("p.a.id").as("id_a"), F.col("p.b.id").as("id_b"),
-              jaccardSortedLongs(df)(F.col("p.a.sh"), F.col("p.b.sh")).as("jaccard"))
-      .filter(F.col("jaccard") >= threshold)
+              F.col("p.a.sh").as("sh_a"), F.col("p.b.sh").as("sh_b"))
   }
+
+  /** CONTAINMENT near-dup pairs: `|A∩B| / min(|A|, |B|)` ≥ threshold —
+    * the SUBSET-duplication detector Jaccard misses (a short document
+    * pasted whole into a much longer one has low Jaccard but containment
+    * ≈ 1; the classic quote-inflation / boilerplate-wrapper case).
+    * Same capped-block machinery as [[ngramJaccardPairs]] — deliberately
+    * NOT minhash banding: signature collision probability tracks
+    * JACCARD, so banding systematically under-recalls exactly the
+    * asymmetric pairs containment exists for. Choose a blocking that
+    * does not split by length (e.g. (lang, source)); for open-ended
+    * corpora the winnowing fingerprints ([[winnowOverlapPairs]]) are
+    * the scale path for partial overlap. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       blockCol: Column, shingleN: Int = 3,
+                       threshold: Double = 0.9,
+                       maxBlock: Int = 1024): DataFrame =
+    blockedShinglePairs(df, textCol, idCol, blockCol, shingleN, maxBlock)
+      .select(F.col("id_a"), F.col("id_b"),
+        (F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+          F.least(F.size(F.col("sh_a")), F.size(F.col("sh_b"))))
+          .as("containment"))
+      .filter(F.col("containment") >= threshold)
 
   /** 64-bit SimHash of a document: per-token hashes vote ±1 on each bit;
     * the sign of each bit's vote total forms the signature. Expressed as

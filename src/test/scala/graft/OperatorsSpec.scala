@@ -1024,6 +1024,27 @@ class OperatorsSpec extends SparkSpec {
     assert(withDup.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("containment pairs catch subset duplication that Jaccard scores low") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // fully contained in 2
+      (2L, "alpha beta gamma delta " +
+        (1 to 40).map(i => s"filler$i").mkString(" ")),
+      (3L, "totally unrelated words here nothing shared")
+    ).toDF("doc_id", "text")
+    val block = F.lit(1) // one block: the scoring is under test
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id", block,
+        shingleN = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the subset pair scores containment 1.0 (all 4 tokens of doc 1
+    // appear in doc 2); nothing else clears 0.9
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // ...while Jaccard on the same pair is 4/44 — invisible to q28's op
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", block,
+        shingleN = 1, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("cross-table fuzzy decontamination equals batch minhash filtered to cross pairs") {
     val all = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),   // eval
