@@ -1360,6 +1360,19 @@ object SparkEntry {
       TextAnalysis.bm25TopKIndexed(s, path, query = "spark window join", k = 10)
     }),
 
+    // ---- BATCH BM25: top-5 per query for a query TABLE (the retrieval
+    //      eval / hard-negative-mining shape) — one staged tf pass
+    //      serves every query; per-query top-k via the bounded heap;
+    //      the no-hit query ('zebra') is absent on both sides ----
+    "q144_bm25_batch" -> ((s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark window join"), (2L, "data quality filter"),
+        (3L, "zebra")))
+        .toDF("query_id", "qtext")
+      TextAnalysis.bm25TopKBatch(t(s, dir, "documents"), "text", "doc_id",
+        qs, "query_id", "qtext", k = 5)
+    }),
+
     // ---- INCREMENTAL BM25: index built on docs < 400, the "nightly
     //      batch" (>= 400) APPENDED (additive postings + stats, old
     //      files never rewritten) — queries must equal the full rebuild,
@@ -2917,6 +2930,38 @@ object SparkEntry {
 
     // ...and the incrementally-appended index must equal the rebuild
     "q139_bm25_incremental" -> bm25Replay,
+
+    // the q115 replay generalized to a query TABLE: per-query terms,
+    // shared df/length/total stats, per-query top-5 via QUALIFY
+    "q144_bm25_batch" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |q AS (SELECT * FROM (VALUES (1, 'spark window join'),
+        |       (2, 'data quality filter'), (3, 'zebra')) t(query_id, qtext)),
+        |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(qtext), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0))) AS token FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.token, tf.tf
+        |      FROM tf JOIN qt USING (token)),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+        |          WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len) AS DOUBLE) AS total_len FROM lens),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT m.query_id, m.doc_id,
+        |    round(ln(1 + (nd.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * (m.tf * (1.2 + 1))
+        |      / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.len / (tot.total_len / nd.n))),
+        |      9) AS ts
+        |  FROM m JOIN dfreq USING (token) JOIN lens USING (doc_id), tot, nd),
+        |agg AS (SELECT query_id, doc_id, round(sum(ts), 6) AS bm25
+        |        FROM scored GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25 FROM agg
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY bm25 DESC, doc_id) <= 5""".stripMargin,
 
     // q77's gram replay at minShared=4 — the streaming foreachBatch pass
     // must land exactly the batch result

@@ -460,6 +460,68 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** BATCH BM25: top-k per query for a QUERY TABLE — the real shape of
+    * retrieval evaluation and hard-negative mining (thousands of
+    * queries against one corpus, not one string at a time). Same
+    * formula, rounding and tie-break as [[bm25TopK]], so the per-query
+    * results match the single-query operator exactly.
+    *
+    * Scale shape: query terms come from a (small) table instead of
+    * driver literals — tokenized with the SAME lowering/splitting as
+    * the corpus, exploded, distinct, and joined token-keyed against the
+    * staged tf frame (AQE broadcasts the term side). Per-query top-k
+    * runs through the bounded-heap `topk_pairs` aggregate — O(k) state
+    * per query per task, never a per-query window sort over all
+    * matching docs (window fallback without extensions). One corpus
+    * tokenization pass serves every query. */
+  def bm25TopKBatch(df: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val nDocs = df.count()
+    val tf = stagedTf(df, textCol, idCol)
+    val qTerms = queries.select(F.col(queryIdCol).as("query_id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(queryTextCol)))))
+          .as("token"))
+    val matched = tf.join(F.broadcast(qTerms), "token")
+    val dfreq = tf
+      .join(F.broadcast(qTerms.select("token").distinct()), "token")
+      .groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+    val totals = lens.agg(F.sum("len").as("total_len"))
+    val avgLen = F.col("total_len").cast("double") / F.lit(nDocs.toDouble)
+    val idf = F.log(F.lit(1.0) +
+      (F.lit(nDocs.toDouble) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    val termScore = F.round(
+      idf * (F.col("tf") * (k1 + 1)) /
+        (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("len") / avgLen)),
+      9)
+    val scored = matched
+      .join(F.broadcast(dfreq), "token")
+      .join(lens, Seq(idCol))
+      .crossJoin(F.broadcast(totals))
+      .select(F.col("query_id"), F.col(idCol), termScore.as("ts"))
+      .groupBy("query_id", idCol)
+      .agg(F.round(F.sum("ts"), 6).as("bm25"))
+    if (spark.catalog.functionExists("topk_pairs"))
+      scored.groupBy("query_id")
+        .agg(F.call_function("topk_pairs",
+          F.col("bm25"), F.col(idCol).cast("long"), F.lit(k)).as("top"))
+        .select(F.col("query_id"), F.explode(F.col("top")).as("t"))
+        .select(F.col("query_id"), F.col("t.id").as(idCol),
+          F.col("t.score").as("bm25"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("bm25").desc, F.col(idCol).asc)
+      scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", idCol, "bm25")
+    }
+  }
+
   /** INCREMENTAL maintenance of a [[writeBm25Index]] layout: append a
     * new document batch without rebuilding — the nightly-ingest form
     * ([[graft.operators.Dedup.minhashLshIncremental]]'s lexical

@@ -885,6 +885,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._1 == 2L)
   }
 
+  test("batch BM25 equals the single-query operator per query; no-hit queries absent") {
+    val corpus = Seq(
+      (1L, "spark window join spark"),
+      (2L, "spark table scan"),
+      (3L, "filter sort order"),
+      (4L, "window spark"),
+      (5L, "spark table scan")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark window"), (200L, "scan"), (300L, "zzz"))
+      .toDF("query_id", "qtext")
+    val batch = TextAnalysis.bm25TopKBatch(corpus, "text", "doc_id",
+        queries, "query_id", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for ((qid, text) <- Seq(100L -> "spark window", 200L -> "scan")) {
+      val single = TextAnalysis.bm25TopK(corpus, "text", "doc_id", text, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"query $qid")
+    }
+    assert(!batch.contains(300L)) // no matching token → absent, not zeros
+  }
+
   test("BM25 serving index: identical result to the per-query path, pruned scan") {
     val corpus = Seq(
       (1L, "spark window join spark"),
