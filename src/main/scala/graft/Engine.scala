@@ -285,6 +285,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     val simple = sub.tail.isEmpty && sub.orderBy.isEmpty && sub.limit.isEmpty &&
       sub.ctes.isEmpty && sub.head.groupBy.isEmpty && sub.head.having.isEmpty &&
       sub.head.orderBy.isEmpty && sub.head.limit.isEmpty &&
+      // QUALIFY/OFFSET change which rows the subquery yields; the
+      // decorrelation below rebuilds only FROM/JOIN+WHERE and would drop
+      // them (e.g. OFFSET past the match count must make EXISTS false)
+      sub.head.qualify.isEmpty && sub.head.offset.isEmpty &&
       // an aggregate select (`EXISTS (SELECT COUNT(*) ...)`) makes the
       // subquery ALWAYS one row in standard SQL — that is grouped
       // semantics, not a row subquery; route it through the full planner

@@ -964,31 +964,27 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = TextAnalysis.docSignals(F.col("text"),
         native = s.catalog.functionExists("text_stats"))
-      // Two independent corpus passes feed the final anti-join: the
-      // narrow signals filter and the LSH cluster pipeline (whose eager
-      // staging serializes several job barriers). OVERLAP them: the
-      // signals side materializes on a background action (spread to full
-      // parallelism — the test corpus arrives in 3 splits; at scale the
-      // guard adds no exchange) while the cluster pipeline stages its
-      // own jobs, so its barriers no longer extend the critical path.
-      // The checkpointed blocks are narrow keep-list rows, not text.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val keepsFut = Future {
-        Dedup.spreadForCompute(docs)
-          .select(F.col("doc_id"), sig.as("sig"))
-          .filter(F.col("sig.lang_guess") === "en" && F.col("sig.quality") >= 0.4)
-          .select(F.col("doc_id"), F.col("sig.quality").as("quality"))
-          .localCheckpoint(true)
-      }
+      // Two corpus consumers feed the final anti-join: the narrow
+      // signals filter and the LSH cluster pipeline. Round 5 ran them as
+      // independent plans overlapped on a Future — each side re-derived
+      // its OWN scan + full-text spread shuffle (the round-5 trace shows
+      // two parallel text shuffles per run). Instead: stage the shared
+      // doc-prep ONCE (one scan, one spread, blocks in memory); the LSH
+      // side's eager staging and the final join both read those blocks,
+      // and the signals filter collapses to a narrow map in the final
+      // job — no second text shuffle, no background action to race.
+      val prep = Dedup.spreadForCompute(docs.select("doc_id", "text"))
+        .localCheckpoint(true)
+      val keeps = prep
+        .select(F.col("doc_id"), sig.as("sig"))
+        .filter(F.col("sig.lang_guess") === "en" && F.col("sig.quality") >= 0.4)
+        .select(F.col("doc_id"), F.col("sig.quality").as("quality"))
       val clusterLosers = Dedup.clusters(
-          Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+          Dedup.minhashLsh(prep, "text", "doc_id", numBands = 4,
             rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
         .filter(F.col("id") =!= F.col("cluster"))
         .select(F.col("id").as("doc_id"))
-      Await.result(keepsFut, Duration.Inf)
-        .join(clusterLosers, Seq("doc_id"), "left_anti")
+      keeps.join(clusterLosers, Seq("doc_id"), "left_anti")
         .select(F.col("doc_id"), F.col("quality"))
     }),
 

@@ -103,12 +103,23 @@ object Scale {
     * pipelines). Ranking key is the hash AS A DOUBLE (what the heap
     * stores); int64s above 2^53 can collide when rounded, and such ties
     * break deterministically by lower id on both the heap and the
-    * replaying oracle. */
+    * replaying oracle.
+    *
+    * The heap path requires an INTEGRAL id (its state is `(double, long)`
+    * pairs); a non-integral id would cast to null and silently select
+    * nothing, so non-integral ids route through the window fallback,
+    * which handles any id type — same rows either way, just without the
+    * bounded-state guarantee. */
   def sampleKPerGroup(df: DataFrame, stratumCol: String, idCol: Column,
                       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val key = Dedup.md5Hash60(idCol.cast("string")).cast("double")
-    if (df.sparkSession.catalog.functionExists("topk_pairs")) {
+    val integralId = df.select(idCol).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId && df.sparkSession.catalog.functionExists("topk_pairs")) {
       val picked = df
         .select(F.col(stratumCol).as("_st"), key.as("_key"),
           idCol.cast("long").as("_id"))

@@ -105,7 +105,15 @@ object BlockFile {
   /** Write `df` as ONE BlockFile. Schema must already be the reference's
     * four types (cast beforehand); strings must encode under 255 UTF-8
     * bytes (the format's one-byte length, io.py:43-44) — violations
-    * throw rather than truncate. Rows stream through the driver
+    * throw rather than truncate.
+    *
+    * String length-byte semantics: this writer (and this reader) use the
+    * UTF-8 BYTE length. The reference writer emits the CHARACTER count
+    * while writing UTF-8 bytes (io.py `len(str(val)) & 0xFF`), so its own
+    * reader also mis-parses multibyte text — the de-facto format is
+    * ASCII-only. Interop with reference-written files is exact for ASCII
+    * strings; non-ASCII files are broken on BOTH implementations.
+    * Rows stream through the driver
     * (`toLocalIterator` — one partition in memory at a time): the
     * single-file global footer makes this inherently a gather point,
     * exactly as the single-node reference behaves. */

@@ -365,7 +365,13 @@ object Streams {
     * stream state, and one differential oracle (the uncapped cross-pair
     * replay, the q90 precedent) gates both paths. Unlike the batch
     * operator there is no bucket cap: the candidate join is
-    * corpus-batch × eval bands, already bounded by the eval set's size. */
+    * corpus-batch × eval bands, already bounded by the eval set's size.
+    *
+    * CONTRACT (same as [[decontaminateToParquet]]): the caller must
+    * `.start()` the returned writer and must NOT override `queryName` —
+    * the eval-side cached frames are released by a termination listener
+    * keyed on that name; a never-started or renamed query leaks the
+    * cache (and the listener) for the session lifetime. */
   def fuzzyDecontaminateToParquet(docs: DataFrame, textCol: String,
                                   idCol: String,
                                   evalSet: DataFrame, evalTextCol: String,
