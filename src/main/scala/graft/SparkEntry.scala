@@ -1462,6 +1462,25 @@ object SparkEntry {
       Tables.blockFileRead(s, path)
     }),
 
+    // ---- BlockFile APPEND with last-block merge — the format's
+    //      write-side invariant (reference io.py:231-252): base write of
+    //      the even orderkeys leaves an under-full tail block, the odd
+    //      append merges into it and re-splits at the cap; the read-back
+    //      must equal the whole table ----
+    "q145_blockfile_append" -> ((s, dir) => {
+      val path = stagingDir("graft_bfappend") + "/orders.bin"
+      val src = t(s, dir, "orders").select(
+        F.col("o_orderkey").cast("int").as("o_orderkey"),
+        F.col("o_custkey").cast("int").as("o_custkey"),
+        F.col("o_totalprice").cast("float").as("o_totalprice"),
+        F.col("o_orderstatus"))
+      Tables.blockFileWrite(src.filter(F.col("o_orderkey") % 2 === 0),
+        path, rowsPerBlock = 512)
+      Tables.blockFileAppend(src.filter(F.col("o_orderkey") % 2 =!= 0),
+        path, rowsPerBlock = 512)
+      Tables.blockFileRead(s, path)
+    }),
+
     // ---- language-mixing detection: per-32-token-window language ID
     //      vs the document vote — code-switched/concatenated/mislabeled
     //      docs poison monolingual mixes and a doc-level vote alone
@@ -3283,6 +3302,13 @@ object SparkEntry {
         |  CAST(l_quantity AS REAL) AS l_quantity,
         |  l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem""".stripMargin,
+
+    "q145_blockfile_append" ->
+      """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+        |  CAST(o_custkey AS INTEGER) AS o_custkey,
+        |  CAST(o_totalprice AS REAL) AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders""".stripMargin,
 
     // the q96 chunk construction (stride = window = 32) + the q25
     // word-list scorer per chunk + the doc-level vote, aggregated

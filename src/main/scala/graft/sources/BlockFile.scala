@@ -142,54 +142,12 @@ object BlockFile {
         writeBytes(name)
       }
       val blockOffsets = ListBuffer.empty[Long]
-      // timestamps iterate as epoch-micros LONGS (Spark's own internal
-      // form via unix_micros) — no driver-side calendar arithmetic
-      val iterDf = df.select(schema.fields.map { fld =>
-        if (fld.dataType == TimestampType || fld.dataType == TimestampNTZType)
-          org.apache.spark.sql.functions.unix_micros(org.apache.spark.sql
-            .functions.col(fld.name).cast(TimestampType)).as(fld.name)
-        else org.apache.spark.sql.functions.col(fld.name)
-      }.toIndexedSeq: _*)
-      val it = iterDf.toLocalIterator()
+      val it = microsView(df).toLocalIterator()
       val block = new Array[org.apache.spark.sql.Row](rowsPerBlock)
       var n = 0
       def flushBlock(): Unit = if (n > 0) {
         blockOffsets += offset
-        writeBytes(u32(n))
-        schema.fields.zipWithIndex.foreach { case (field, ci) =>
-          val body: Array[Byte] = (field.dataType match {
-            case TimestampNTZType => TimestampType // iterated as micros
-            case dt               => dt
-          }) match {
-            case IntegerType =>
-              val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
-              (0 until n).foreach(i => bb.putInt(block(i).getInt(ci)))
-              bb.array()
-            case FloatType =>
-              val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
-              (0 until n).foreach(i => bb.putFloat(block(i).getFloat(ci)))
-              bb.array()
-            case TimestampType =>
-              val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
-              (0 until n).foreach(i => bb.putLong(block(i).getLong(ci)))
-              bb.array()
-            case StringType =>
-              val encoded = (0 until n).map { i =>
-                val b = block(i).getString(ci).getBytes("UTF-8")
-                require(b.length < MaxStrLength,
-                  s"string over ${MaxStrLength - 1} UTF-8 bytes in '${field.name}'")
-                b
-              }
-              val total = encoded.map(_.length).sum
-              val bb = ByteBuffer.allocate(n + total)
-              encoded.foreach(b => bb.put(b.length.toByte))
-              encoded.foreach(bb.put)
-              bb.array()
-            case other => throw new IllegalStateException(other.toString)
-          }
-          writeBytes(u64(body.length.toLong))
-          writeBytes(body)
-        }
+        writeBytes(encodeBlock(schema, block, n))
         n = 0
       }
       while (it.hasNext) {
@@ -207,6 +165,173 @@ object BlockFile {
     * per block, column pruning through the size prefixes). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(classOf[BlockFileSource].getName).load(path)
+
+  private def u32Bytes(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+    .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def u64Bytes(v: Long): Array[Byte] = ByteBuffer.allocate(8)
+    .order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Encode rows [0, n) of `block` as ONE on-disk block (io.py:74-109):
+    * u32 row count, then per column u64 byte size + contiguous values.
+    * Timestamp columns must already be iterated as epoch-micros longs
+    * (the write/append drivers select via [[microsView]] first). */
+  private def encodeBlock(schema: StructType,
+                          block: Array[org.apache.spark.sql.Row],
+                          n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u32Bytes(n))
+    schema.fields.zipWithIndex.foreach { case (field, ci) =>
+      val body: Array[Byte] = (field.dataType match {
+        case TimestampNTZType => TimestampType // iterated as micros
+        case dt               => dt
+      }) match {
+        case IntegerType =>
+          val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => bb.putInt(block(i).getInt(ci)))
+          bb.array()
+        case FloatType =>
+          val bb = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => bb.putFloat(block(i).getFloat(ci)))
+          bb.array()
+        case TimestampType =>
+          val bb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => bb.putLong(block(i).getLong(ci)))
+          bb.array()
+        case StringType =>
+          val encoded = (0 until n).map { i =>
+            val b = block(i).getString(ci).getBytes("UTF-8")
+            require(b.length < MaxStrLength,
+              s"string over ${MaxStrLength - 1} UTF-8 bytes in '${field.name}'")
+            b
+          }
+          val total = encoded.map(_.length).sum
+          val bb = ByteBuffer.allocate(n + total)
+          encoded.foreach(b => bb.put(b.length.toByte))
+          encoded.foreach(bb.put)
+          bb.array()
+        case other => throw new IllegalStateException(other.toString)
+      }
+      out.write(u64Bytes(body.length.toLong))
+      out.write(body)
+    }
+    out.toByteArray
+  }
+
+  /** Select `df` into the iteration shape the block encoder expects:
+    * timestamps as epoch-micros LONGS (Spark's internal form via
+    * unix_micros) — no driver-side calendar arithmetic. */
+  private def microsView(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    df.select(schema.fields.map { fld =>
+      if (fld.dataType == TimestampType || fld.dataType == TimestampNTZType)
+        org.apache.spark.sql.functions.unix_micros(org.apache.spark.sql
+          .functions.col(fld.name).cast(TimestampType)).as(fld.name)
+      else org.apache.spark.sql.functions.col(fld.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Decode the block at `offset` into driver rows in the WRITE loop's
+    * value shape (Int / Float / Long micros / String) — the merge
+    * prefix for [[append]]. Bounded by the block cap. */
+  private def decodeBlockRows(f: RandomAccessFile, offset: Long,
+                              schema: StructType): Array[org.apache.spark.sql.Row] = {
+    f.seek(offset)
+    val rows = readU32(f)
+    val cols = schema.fields.map { field =>
+      val size = readU64(f)
+      val body = new Array[Byte](size.toInt)
+      f.readFully(body)
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Any](rows)
+      (field.dataType match {
+        case TimestampNTZType => TimestampType
+        case dt               => dt
+      }) match {
+        case IntegerType   => (0 until rows).foreach(i => out(i) = bb.getInt())
+        case FloatType     => (0 until rows).foreach(i => out(i) = bb.getFloat())
+        case TimestampType => (0 until rows).foreach(i => out(i) = bb.getLong())
+        case StringType =>
+          val lens = new Array[Int](rows)
+          (0 until rows).foreach(i => lens(i) = bb.get() & 0xFF)
+          (0 until rows).foreach { i =>
+            val s = new Array[Byte](lens(i)); bb.get(s)
+            out(i) = new String(s, "UTF-8")
+          }
+        case other => throw new IllegalStateException(other.toString)
+      }
+      out
+    }
+    Array.tabulate(rows)(i =>
+      org.apache.spark.sql.Row.fromSeq(cols.toIndexedSeq.map(_(i))))
+  }
+
+  /** APPEND `df` to an existing BlockFile, merging into the final block
+    * while it is under `rowsPerBlock` — the reference writer's format
+    * invariant (io.py:231-252, tested at tests/test_io.py:75-98): an
+    * under-full last block absorbs new rows (re-split at the cap) so
+    * repeated small appends cannot accumulate tiny blocks. Schema must
+    * equal the file's header schema (asserted, like the reference).
+    * A missing or zero-block file degrades to [[write]] (io.py:233-234).
+    *
+    * DIVERGENCE (deliberate): when the last block is exactly full, the
+    * reference seeks `-8*(nblocks+1)` from EOF (io.py:245) — but its
+    * footer is `8*nblocks + 4` bytes, so it lands 4 bytes INSIDE the
+    * last block and corrupts that block's final 4 data bytes (its own
+    * test asserts only row COUNTS, tests/test_io.py:75-98, so the bug
+    * survives there). We seek to the true footer start; row and block
+    * counts match the reference exactly, values stay intact. */
+  def append(df: DataFrame, path: String,
+             rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
+    require(rowsPerBlock >= 1, s"rowsPerBlock must be >= 1, got $rowsPerBlock")
+    if (!new java.io.File(path).exists()) { write(df, path, rowsPerBlock); return }
+    val fileSchema = readSchema(path)
+    val schema = df.schema
+    require(schema.length == fileSchema.length &&
+      schema.fields.zip(fileSchema.fields).forall { case (a, b) =>
+        a.name == b.name && ordinalOf(a.dataType) == ordinalOf(b.dataType) },
+      s"append schema mismatch: file has ${fileSchema.simpleString}, " +
+      s"frame has ${schema.simpleString}")
+    val starts = blockStarts(path)
+    if (starts.isEmpty) { write(df, path, rowsPerBlock); return }
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.seek(starts.last)
+      val lastRows = readU32(raf)
+      val merge = lastRows < rowsPerBlock
+      val prefix: Array[org.apache.spark.sql.Row] =
+        if (merge) decodeBlockRows(raf, starts.last, fileSchema)
+        else Array.empty
+      val keptOffsets = if (merge) starts.dropRight(1) else starts
+      // footer start = EOF - 8*nblocks - 4 (see divergence note above)
+      val writeStart =
+        if (merge) starts.last else raf.length() - 8L * starts.length - 4
+      raf.seek(writeStart)
+      var offset = writeStart
+      val newOffsets = ListBuffer.empty[Long]
+      newOffsets ++= keptOffsets
+      val it = prefix.iterator ++
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          microsView(df).toLocalIterator()).asScala
+      val block = new Array[org.apache.spark.sql.Row](rowsPerBlock)
+      var n = 0
+      def flushBlock(): Unit = if (n > 0) {
+        val bytes = encodeBlock(schema, block, n)
+        newOffsets += offset
+        raf.write(bytes)
+        offset += bytes.length
+        n = 0
+      }
+      while (it.hasNext) {
+        block(n) = it.next(); n += 1
+        if (n == rowsPerBlock) flushBlock()
+      }
+      flushBlock()
+      newOffsets.foreach(o => raf.write(u64Bytes(o)))
+      raf.write(u32Bytes(newOffsets.length))
+      offset += 8L * newOffsets.length + 4
+      raf.setLength(offset)
+    } finally raf.close()
+  }
 }
 
 /** DSv2 entry point: `spark.read.format(classOf[BlockFileSource].getName)

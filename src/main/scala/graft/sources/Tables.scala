@@ -150,4 +150,10 @@ object Tables {
 
   def blockFileRead(spark: SparkSession, path: String): DataFrame =
     BlockFile.read(spark, path)
+
+  /** Append to an existing `.bin`, merging into an under-full final
+    * block — the reference's append invariant (io.py:231-252). */
+  def blockFileAppend(df: DataFrame, path: String,
+                      rowsPerBlock: Int = 2 * 1024 * 1024): Unit =
+    BlockFile.append(df, path, rowsPerBlock)
 }

@@ -82,6 +82,78 @@ class SourcesShellSpec extends SparkSpec {
       Tables.blockFileWrite(Seq((1L, "a")).toDF("l", "s"), s"$d/bad2.bin"))
   }
 
+  test("BlockFile: append merges into an under-full final block (reference invariant)") {
+    // mirrors tests/test_io.py:75-98 under a small block cap: single-row
+    // appends fill one block to the cap, the 11th opens a second block,
+    // five more merge into it, five more split a third — and unlike the
+    // reference's test, VALUES are asserted after every step (its
+    // full-last-block seek bug corrupts data while keeping counts right;
+    // see BlockFile.append's divergence note).
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-bf-append").toString
+    val p = s"$d/app.bin"
+    def one(s: String) = Seq(Tuple1(s)).toDF("col1")
+    def blocks = graft.sources.BlockFile.blockStarts(p).length
+    def readBack = Tables.blockFileRead(spark, p).collect()
+      .map(_.getString(0)).toSeq
+    (1 to 10).foreach { i =>
+      Tables.blockFileAppend(one(s"x$i"), p, rowsPerBlock = 10)
+      assert(blocks == 1)
+    }
+    Tables.blockFileAppend(one("x11"), p, rowsPerBlock = 10)
+    assert(blocks == 2 && readBack.sorted == (1 to 11).map(i => s"x$i").sorted)
+    Tables.blockFileAppend(
+      (12 to 16).map(i => s"x$i").toDF("col1"), p, rowsPerBlock = 10)
+    assert(blocks == 2 && readBack.sorted == (1 to 16).map(i => s"x$i").sorted)
+    Tables.blockFileAppend(
+      (17 to 21).map(i => s"x$i").toDF("col1"), p, rowsPerBlock = 10)
+    assert(blocks == 3 && readBack.sorted == (1 to 21).map(i => s"x$i").sorted)
+    // schema mismatch fails loudly, like the reference's assert
+    assertThrows[IllegalArgumentException](
+      Tables.blockFileAppend(Seq(Tuple1(1)).toDF("col1"), p, rowsPerBlock = 10))
+    // append to a missing file degrades to write (io.py:233-234)
+    Tables.blockFileAppend(one("y1"), s"$d/fresh.bin", rowsPerBlock = 10)
+    assert(Tables.blockFileRead(spark, s"$d/fresh.bin").count() == 1)
+    // multi-type append round-trips: int/float/timestamp alongside text
+    val typed = Seq((1, 1.5f, "2024-01-02 03:04:05", "a"),
+                    (2, -0.25f, "2024-06-07 08:09:10", "b"))
+      .toDF("i", "f", "ts0", "s")
+      .select(org.apache.spark.sql.functions.col("i"),
+        org.apache.spark.sql.functions.col("f"),
+        org.apache.spark.sql.functions.col("ts0").cast("timestamp").as("t"),
+        org.apache.spark.sql.functions.col("s"))
+    Tables.blockFileWrite(typed.limit(1), s"$d/typed.bin", rowsPerBlock = 10)
+    Tables.blockFileAppend(typed.filter("i = 2"), s"$d/typed.bin",
+      rowsPerBlock = 10)
+    assert(rows(Tables.blockFileRead(spark, s"$d/typed.bin")) == rows(typed))
+  }
+
+  test("BlockFile: our append is readable by the reference implementation") {
+    import scala.sys.process._
+    import spark.implicits._
+    val refOk = new java.io.File("/root/reference/src/mini_spark/io.py").exists() &&
+      (try { Seq("python3", "-c", "1").! == 0 } catch { case _: Exception => false })
+    assume(refOk, "reference checkout / python3 not available")
+    val d = Files.createTempDirectory("graft-bf-append-x").toString
+    val p = s"$d/x.bin"
+    Tables.blockFileWrite(
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("i", "s"), p,
+      rowsPerBlock = 2) // blocks: [2, 1] — under-full tail
+    Tables.blockFileAppend(Seq((4, "delta"), (5, "eps")).toDF("i", "s"), p,
+      rowsPerBlock = 2) // tail merges: [2, 2, 1]
+    assert(graft.sources.BlockFile.blockStarts(p).length == 3)
+    val pyRead =
+      s"""import sys; sys.path.insert(0, '/root/reference/src')
+         |from pathlib import Path
+         |from mini_spark.io import BlockFile
+         |rows = list(BlockFile(Path('$p')).read_data_rows())
+         |print(sorted((r['i'], r['s']) for r in rows))""".stripMargin
+    val out = Seq("python3", "-c", pyRead).!!.trim
+    assert(out ==
+      "[(1, 'alpha'), (2, 'beta'), (3, 'gamma'), (4, 'delta'), (5, 'eps')]",
+      out)
+  }
+
   test("BlockFile: byte-level compatibility with the reference implementation") {
     // write with OUR writer, read with the REFERENCE's Python reader —
     // and the reverse — proving the files are interchangeable, not just
