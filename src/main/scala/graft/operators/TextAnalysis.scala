@@ -418,33 +418,72 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Persist a BM25 SERVING index — the lexical twin of
-    * [[graft.operators.Similarity.writeIvfPqCodes]] /
-    * [[graft.operators.Dedup.writeMinhashIndex]]: [[bm25TopK]] is correct
-    * but re-aggregates the corpus tf and length frames PER QUERY, which
-    * at 100 TB makes every query a corpus scan. This writes that work
-    * out once per corpus version:
-    *
-    *  - `path/postings`: (token, id, tf, len) rows hive-partitioned by
-    *    `tbucket = md5Hash60(token) % numBuckets`, so a query's scan
-    *    prunes to its terms' buckets at the STORAGE level (the parquet
-    *    reader never opens the other buckets' files). Document length is
-    *    denormalized into each posting — 8 bytes/row buys the query path
-    *    out of any doc-keyed join against a corpus-sized length table.
-    *  - `path/stats`: one row (n_docs, total_len, num_buckets, id_col) —
-    *    the corpus constants the scoring formula needs, plus the layout
-    *    contract the query side must reproduce to prune correctly.
-    *
-    * A token's postings land in exactly one bucket, so per-term document
-    * frequency is computable from the pruned scan alone. Build cost: the
-    * one corpus tokenization pass [[stagedTf]] already pays, a doc-keyed
-    * length aggregation, and a token-bucketed shuffle-free write
-    * (partitionBy is a local sort within write tasks, not an exchange). */
-  def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
-                     path: String, numBuckets: Int = 64): Unit = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    val spark = df.sparkSession
-    val nDocs = df.count() // parquet metadata count — bounded driver value
+  /** The committed state of a BM25 index: corpus constants plus the
+    * IMMUTABLE segment directories that make up this generation. */
+  private[graft] final case class Bm25Manifest(gen: Long, nDocs: Long,
+      totalLen: Long, numBuckets: Int, idCol: String, segments: Seq[String])
+
+  private def bm25Fs(spark: org.apache.spark.sql.SparkSession,
+                     path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the CURRENT generation: highest `gen-N.txt` in
+    * `path/manifest/`. One driver-side directory listing — the only
+    * non-immutable read in the whole serving path. */
+  private[graft] def readBm25Manifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Bm25Manifest = {
+    val fs = bm25Fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val gens = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen-") && s.endsWith(".txt") =>
+        s.stripPrefix("gen-").stripSuffix(".txt").toLong }
+    require(gens.nonEmpty, s"no committed manifest under $dir")
+    val gen = gens.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"gen-$gen%09d.txt"))
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").toSeq
+    Bm25Manifest(gen, lines(0).toLong, lines(1).toLong, lines(2).toInt,
+      lines(3), lines.drop(4).filter(_.nonEmpty))
+  }
+
+  /** Commit a manifest as generation `m.gen` via write-temp + RENAME —
+    * atomic on HDFS (and POSIX); on an object store without atomic
+    * rename you'd use a conditional PUT on the same key shape. Readers
+    * either resolve the previous generation or this one — never a mix.
+    * Fails loudly if `m.gen` was committed concurrently (single-writer
+    * appends are the contract, as with the minhash index). */
+  private def commitBm25Manifest(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, m: Bm25Manifest): Unit = {
+    val fs = bm25Fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (Seq(m.nDocs.toString, m.totalLen.toString, m.numBuckets.toString,
+        m.idCol) ++ m.segments).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, f"gen-${m.gen}%09d.txt")
+    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest generation ${m.gen} already committed at $dest — " +
+        "concurrent appenders must be serialized")
+    }
+  }
+
+  /** Write one immutable postings SEGMENT for `df` and return
+    * (segmentName, docCount, tokenCount). Shared by build and append —
+    * a segment is never modified after this returns. */
+  private def writeBm25Segment(df: DataFrame, textCol: String, idCol: String,
+                               path: String, numBuckets: Int)
+      : (String, Long, Long) = {
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    val nDocs = df.count()
     val tf = stagedTf(df, textCol, idCol)
     val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
     tf.join(lens, Seq(idCol))
@@ -452,12 +491,52 @@ object TextAnalysis {
         (Dedup.md5Hash60(F.col("token")) % numBuckets).cast("int").as("tbucket"),
         F.col(idCol), F.col("tf"), F.col("len"))
       .write.partitionBy("tbucket").mode("overwrite")
-      .parquet(s"$path/postings")
-    val totalLen = lens.agg(F.sum("len").as("t")).head().getAs[Long]("t")
-    import spark.implicits._
-    Seq((nDocs, totalLen, numBuckets, idCol))
-      .toDF("n_docs", "total_len", "num_buckets", "id_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .parquet(s"$path/segments/$seg/postings")
+    val totalLen = lens.agg(F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
+      .head().getAs[Long]("t")
+    (seg, nDocs, totalLen)
+  }
+
+  /** Persist a BM25 SERVING index — the lexical twin of
+    * [[graft.operators.Similarity.writeIvfPqCodes]] /
+    * [[graft.operators.Dedup.writeMinhashIndex]]: [[bm25TopK]] is correct
+    * but re-aggregates the corpus tf and length frames PER QUERY, which
+    * at 100 TB makes every query a corpus scan. This writes that work
+    * out once per corpus version:
+    *
+    *  - `path/segments/<seg>/postings`: (token, id, tf, len) rows
+    *    hive-partitioned by `tbucket = md5Hash60(token) % numBuckets`,
+    *    so a query's scan prunes to its terms' buckets at the STORAGE
+    *    level (the parquet reader never opens the other buckets' files).
+    *    Document length is denormalized into each posting — 8 bytes/row
+    *    buys the query path out of any doc-keyed join against a
+    *    corpus-sized length table. Segments are IMMUTABLE; appends add
+    *    segments, never rewrite them.
+    *  - `path/manifest/gen-N.txt`: the committed GENERATION — corpus
+    *    constants (n_docs, total_len, num_buckets, id_col) plus the
+    *    segment list, swapped in atomically (see
+    *    [[commitBm25Manifest]]). Queries resolve the manifest once, so
+    *    a concurrent [[appendBm25Index]] is invisible until its commit
+    *    and fully visible after — never a half-appended layout.
+    *
+    * A token's postings land in exactly one bucket in every segment, so
+    * per-term document frequency is computable from the pruned scan
+    * alone. Build cost: the one corpus tokenization pass [[stagedTf]]
+    * already pays, a doc-keyed length aggregation, and a token-bucketed
+    * shuffle-free write (partitionBy is a local sort within write
+    * tasks, not an exchange). A rebuild at an existing path commits a
+    * fresh single-segment generation (old segments become unreferenced;
+    * in-flight readers of prior generations are unaffected). */
+  def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
+                     path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = df.sparkSession
+    val (seg, nDocs, totalLen) =
+      writeBm25Segment(df, textCol, idCol, path, numBuckets)
+    val gen = try readBm25Manifest(spark, path).gen + 1
+              catch { case _: Exception => 1L }
+    commitBm25Manifest(spark, path,
+      Bm25Manifest(gen, nDocs, totalLen, numBuckets, idCol, Seq(seg)))
   }
 
   /** BATCH BM25: top-k per query for a QUERY TABLE — the real shape of
@@ -537,32 +616,18 @@ object TextAnalysis {
   def appendBm25Index(newDocs: DataFrame, textCol: String, idCol: String,
                       path: String): Unit = {
     val spark = newDocs.sparkSession
-    val stats = spark.read.parquet(s"$path/stats").head()
-    val numBuckets = stats.getAs[Int]("num_buckets")
-    val oldIdCol = stats.getAs[String]("id_col")
-    require(oldIdCol == idCol,
-      s"index was built with id column '$oldIdCol', got '$idCol'")
-    val nNew = newDocs.count()
-    val tf = stagedTf(newDocs, textCol, idCol)
-    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
-    tf.join(lens, Seq(idCol))
-      .select(F.col("token"),
-        (Dedup.md5Hash60(F.col("token")) % numBuckets).cast("int").as("tbucket"),
-        F.col(idCol), F.col("tf"), F.col("len"))
-      .write.partitionBy("tbucket").mode("append")
-      .parquet(s"$path/postings")
-    val newLen = lens.agg(F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
-      .head().getAs[Long]("t")
-    import spark.implicits._
-    // stats update goes LAST so a failure before it leaves the old stats
-    // intact; note the appended postings files are visible to readers
-    // immediately (parquet directory listing), so concurrent queries
-    // during an append can see mixed state — serialize appends against
-    // serving, or append into a fresh index path and swap
-    Seq((stats.getAs[Long]("n_docs") + nNew,
-         stats.getAs[Long]("total_len") + newLen, numBuckets, idCol))
-      .toDF("n_docs", "total_len", "num_buckets", "id_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val m = readBm25Manifest(spark, path)
+    require(m.idCol == idCol,
+      s"index was built with id column '${m.idCol}', got '$idCol'")
+    // new segment first (invisible until the commit), manifest swap last:
+    // a failure anywhere leaves the current generation fully intact, and
+    // a concurrent bm25TopKIndexed resolved its manifest before or after
+    // the rename — a half-appended layout is unobservable by construction
+    val (seg, nNew, newLen) =
+      writeBm25Segment(newDocs, textCol, idCol, path, m.numBuckets)
+    commitBm25Manifest(spark, path, Bm25Manifest(m.gen + 1,
+      m.nDocs + nNew, m.totalLen + newLen, m.numBuckets, idCol,
+      m.segments :+ seg))
   }
 
   /** BM25 top-k against a [[writeBm25Index]] layout — result identical
@@ -578,11 +643,14 @@ object TextAnalysis {
                       query: String, k: Int = 10,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val stats = spark.read.parquet(s"$path/stats").head()
-    val nDocs = stats.getAs[Long]("n_docs")
-    val totalLen = stats.getAs[Long]("total_len")
-    val numBuckets = stats.getAs[Int]("num_buckets")
-    val idCol = stats.getAs[String]("id_col")
+    // ONE manifest resolution pins this query to a committed generation:
+    // segments are immutable, so the plan below reads a consistent
+    // snapshot even if an append commits mid-query
+    val m = readBm25Manifest(spark, path)
+    val nDocs = m.nDocs
+    val totalLen = m.totalLen
+    val numBuckets = m.numBuckets
+    val idCol = m.idCol
     // same UTF8String lowering + md5 fold as the build side — a locale-
     // dependent lowercase or a different hash would probe wrong buckets
     val qLower = org.apache.spark.unsafe.types.UTF8String
@@ -594,7 +662,12 @@ object TextAnalysis {
         org.apache.spark.unsafe.types.UTF8String.fromString(t)) % numBuckets)
         .toInt
     }.distinct
-    val matched = spark.read.parquet(s"$path/postings")
+    // one root per segment (separate loads unioned — multiple partitioned
+    // roots cannot share one file index); the bucket filter pushes through
+    // the union into every segment's scan as a PartitionFilter
+    val matched = m.segments
+      .map(s => spark.read.parquet(s"$path/segments/$s/postings"))
+      .reduce(_.unionByName(_))
       .filter(F.col("tbucket").isin(qBuckets: _*)) // storage-level pruning
       .filter(F.col("token").isin(qTerms: _*))
     val dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).as("df"))

@@ -950,6 +950,46 @@ class OperatorsSpec extends SparkSpec {
       TextAnalysis.appendBm25Index(corpus, "text", "other_id", incPath))
   }
 
+  test("BM25 index generations: appends commit atomically, readers see snapshots") {
+    val corpus = Seq(
+      (1L, "spark window join spark"), (2L, "spark table scan"),
+      (3L, "filter sort order"), (4L, "window spark"),
+      (5L, "spark table scan")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-gen").toString + "/idx"
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    TextAnalysis.writeBm25Index(corpus.filter(F.col("doc_id") <= 3),
+      "text", "doc_id", path, numBuckets = 4)
+    val preAppend =
+      scores(TextAnalysis.bm25TopKIndexed(spark, path, "spark scan", k = 5))
+    // a reader constructed NOW pins the current generation (manifest
+    // resolved at plan time; segments are immutable)
+    val pinned = TextAnalysis.bm25TopKIndexed(spark, path, "spark scan", k = 5)
+    TextAnalysis.appendBm25Index(corpus.filter(F.col("doc_id") > 3),
+      "text", "doc_id", path)
+    // the concurrent reader never observes the half-appended state: it
+    // still answers from its own committed generation...
+    assert(scores(pinned) == preAppend)
+    // ...while a post-commit resolution sees the combined corpus exactly
+    assert(scores(TextAnalysis.bm25TopKIndexed(spark, path, "spark scan", k = 5))
+      == scores(TextAnalysis.bm25TopK(corpus, "text", "doc_id", "spark scan", k = 5)))
+    // the in-between state itself — a segment written but not committed —
+    // is invisible: an unreferenced segment directory changes nothing
+    val stray = corpus.limit(2).select(
+      F.lit("spark").as("token"), F.lit(0).as("tbucket"),
+      F.col("doc_id"), F.lit(99L).as("tf"), F.lit(99L).as("len"))
+    stray.write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$path/segments/seg-uncommitted/postings")
+    assert(scores(TextAnalysis.bm25TopKIndexed(spark, path, "spark scan", k = 5))
+      == scores(TextAnalysis.bm25TopK(corpus, "text", "doc_id", "spark scan", k = 5)))
+    // two committed generations on disk — the history the swap leaves
+    val gens = new java.io.File(s"$path/manifest").list().toSeq
+      .filter(_.startsWith("gen-"))
+    assert(gens.size == 2, gens.toString)
+  }
+
   test("PQ codes and ADC top-k: hand-computed codes, distances, tie-break") {
     // 2 subspaces × 1 dim, 2 codes each: everything computable by hand
     val cbs: Seq[Seq[Seq[Double]]] =
