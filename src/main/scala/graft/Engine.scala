@@ -168,7 +168,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     q.where.foreach(c => frame = applyWhere(frame, c, scope))
 
     val selectAggs = q.select.flatMap(i => collectAggs(i.expr))
-    val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty
+    val hasGrouping = q.groupBy.nonEmpty || selectAggs.nonEmpty ||
+      q.groupKind.isDefined
 
     // QUALIFY: windowed filter, post-WHERE pre-SELECT. Spark rejects
     // window expressions directly inside filter(), so it compiles to a
@@ -226,7 +227,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           rewriteHaving(h, named)
         }
 
-        var g = frame.groupBy(q.groupBy: _*).agg(named.toSeq: _*)
+        val groupedFrame = q.groupKind match {
+          case None           => frame.groupBy(q.groupBy: _*)
+          case Some("rollup") => frame.rollup(q.groupBy: _*)
+          case Some("cube")   => frame.cube(q.groupBy: _*)
+          case Some("sets")   => frame.groupingSets(q.groupingSets, q.groupBy: _*)
+          case Some(other) =>
+            throw new IllegalStateException(s"unknown group kind $other")
+        }
+        var g = groupedFrame.agg(named.toSeq: _*)
         havingRewritten.foreach(h => g = g.filter(h))
         // final projection: grouping keys + visible select outputs, hidden
         // columns dropped (reference: parser.py:161); the aggregated frame
@@ -285,10 +294,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     val simple = sub.tail.isEmpty && sub.orderBy.isEmpty && sub.limit.isEmpty &&
       sub.ctes.isEmpty && sub.head.groupBy.isEmpty && sub.head.having.isEmpty &&
       sub.head.orderBy.isEmpty && sub.head.limit.isEmpty &&
-      // QUALIFY/OFFSET change which rows the subquery yields; the
-      // decorrelation below rebuilds only FROM/JOIN+WHERE and would drop
-      // them (e.g. OFFSET past the match count must make EXISTS false)
+      // QUALIFY/OFFSET/grouping-sets change which rows the subquery
+      // yields; the decorrelation below rebuilds only FROM/JOIN+WHERE
+      // and would drop them (e.g. OFFSET past the match count must make
+      // EXISTS false)
       sub.head.qualify.isEmpty && sub.head.offset.isEmpty &&
+      sub.head.groupKind.isEmpty &&
       // an aggregate select (`EXISTS (SELECT COUNT(*) ...)`) makes the
       // subquery ALWAYS one row in standard SQL — that is grouped
       // semantics, not a row subquery; route it through the full planner

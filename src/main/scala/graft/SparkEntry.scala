@@ -503,6 +503,32 @@ object SparkEntry {
           |ORDER BY o_totalprice DESC, o_orderkey
           |LIMIT 10 OFFSET 5""".stripMargin).df),
 
+    // ---- ROLLUP / CUBE / GROUPING SETS through the dialect: the
+    //      grammar lowers onto the engine's grouping-set aggregation
+    //      (q37/q58's shapes — one Expand + hash agg pass, never one job
+    //      per set); subtotal rows carry NULL keys, standard semantics ----
+    "q146_sql_rollup" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin).df),
+
+    "q147_sql_cube" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |HAVING COUNT() > 100""".stripMargin).df),
+
+    "q148_sql_grouping_sets" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())""".stripMargin).df),
+
     // ---- second scalar-function wave through the dialect: trim family,
     //      replace, concat, strpos, greatest/least ----
     "q137_sql_scalar_fns2" -> ((s, dir) =>
@@ -2770,6 +2796,27 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 5""".stripMargin,
+
+    // DuckDB has native ROLLUP/CUBE/GROUPING SETS — same statements
+    // modulo the zero-arg COUNT() dialect quirk
+    "q146_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q147_sql_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |HAVING count(*) > 100""".stripMargin,
+
+    "q148_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
 
     // same statement modulo DuckDB's round trip of the numeric types
     "q137_sql_scalar_fns2" ->

@@ -43,6 +43,17 @@ final class GraftFrame(val df: DataFrame) {
     * allows it, reference: parser.py:30). */
   def groupBy(cols: Col*): GraftGrouped = new GraftGrouped(df, cols)
 
+  /** ROLLUP / CUBE / GROUPING SETS (extensions — absent in reference):
+    * lower onto Spark's native grouping-set aggregation (one pass,
+    * `Expand` + hash aggregate — never one job per set). Subtotal rows
+    * carry NULL in the suppressed keys, standard SQL semantics. */
+  def rollup(cols: Col*): GraftGrouped =
+    new GraftGrouped(df, cols, GraftGrouped.Rollup)
+  def cube(cols: Col*): GraftGrouped =
+    new GraftGrouped(df, cols, GraftGrouped.Cube)
+  def groupingSets(sets: Seq[Seq[Col]], keys: Col*): GraftGrouped =
+    new GraftGrouped(df, keys, GraftGrouped.Sets(sets))
+
   /** Equi-join. The reference shuffles both sides and hash-joins
     * (reference: tasks.py:190-260); here Catalyst + AQE pick
     * broadcast/shuffled-hash/sort-merge from statistics. Unlike the
@@ -95,8 +106,10 @@ final class GraftFrame(val df: DataFrame) {
 }
 
 /** Post-`groupBy` aggregation surface
-  * (reference: src/mini_spark/dataframe.py:28-35 `GroupedData`). */
-final class GraftGrouped(df: DataFrame, keys: Seq[Col]) {
+  * (reference: src/mini_spark/dataframe.py:28-35 `GroupedData`).
+  * `mode` selects plain / rollup / cube / explicit grouping sets. */
+final class GraftGrouped(df: DataFrame, keys: Seq[Col],
+                         mode: GraftGrouped.Mode = GraftGrouped.Flat) {
   def agg(aggCols: Col*): GraftFrame = {
     val schema = df.schema
     val keyCols: Seq[Column] = keys.map(_.compile(schema))
@@ -106,8 +119,23 @@ final class GraftGrouped(df: DataFrame, keys: Seq[Col]) {
       case other => throw new IllegalArgumentException(
         s"agg() requires aggregate columns, got: $other")
     }
-    new GraftFrame(df.groupBy(keyCols: _*).agg(compiled.head, compiled.tail: _*))
+    val grouped = mode match {
+      case GraftGrouped.Flat   => df.groupBy(keyCols: _*)
+      case GraftGrouped.Rollup => df.rollup(keyCols: _*)
+      case GraftGrouped.Cube   => df.cube(keyCols: _*)
+      case GraftGrouped.Sets(sets) =>
+        df.groupingSets(sets.map(_.map(_.compile(schema))), keyCols: _*)
+    }
+    new GraftFrame(grouped.agg(compiled.head, compiled.tail: _*))
   }
+}
+
+object GraftGrouped {
+  sealed trait Mode
+  case object Flat extends Mode
+  case object Rollup extends Mode
+  case object Cube extends Mode
+  final case class Sets(sets: Seq[Seq[Col]]) extends Mode
 }
 
 object GraftFrame {

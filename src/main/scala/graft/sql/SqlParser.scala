@@ -33,7 +33,15 @@ final case class SqlQuery(
     qualify: Option[Col] = None,
     // OFFSET m (extension): rows skipped BEFORE the limit counts, the
     // standard pagination pair. Not supported on set-op chains.
-    offset: Option[Int] = None
+    offset: Option[Int] = None,
+    // GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS(...) (extension):
+    // `groupKind` is None for a plain GROUP BY, Some("rollup"|"cube"|
+    // "sets") otherwise. For every kind `groupBy` holds the grouping
+    // columns (for "sets": the DISTINCT union of all sets, in first-
+    // appearance order — the output key columns); `groupingSets` holds
+    // the explicit sets only for "sets".
+    groupKind: Option[String] = None,
+    groupingSets: Seq[Seq[Col]] = Nil
 )
 final case class SelectItem(expr: Col, star: Boolean)
 /** A FROM/JOIN target: a table path/name, or a parenthesized derived
@@ -89,6 +97,9 @@ object SqlParser {
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
     "EXISTS", "QUALIFY", "OFFSET",
+    // grouping-set extensions; reserved like OVER/PARTITION below — a
+    // column literally named "rollup" needs the double-quote escape
+    "ROLLUP", "CUBE", "GROUPING", "SETS",
     // reserving OVER/PARTITION (window support) breaks columns of those
     // names as bare identifiers — the standard tradeoff; the
     // double-quoted-identifier escape ("partition") still reaches them
@@ -242,18 +253,40 @@ object SqlParser {
         joinHow = peekJoinHow()
       }
       val where = if (accept("WHERE")) Some(parseOr()) else None
-      val groupBy =
+      def parseExprList(): Seq[Col] = {
+        val gs = ListBuffer(parseAdd())
+        while (accept(",")) gs += parseAdd()
+        gs.toSeq
+      }
+      def parseParenExprList(): Seq[Col] = {
+        expectOp("(")
+        val out = if (peek == TOp(")")) Seq.empty[Col] else parseExprList()
+        expectOp(")")
+        out
+      }
+      val (groupBy, groupKind, groupingSets) =
         if (accept("GROUP")) {
           expectKw("BY")
-          val gs = ListBuffer(parseAdd())
-          while (accept(",")) gs += parseAdd()
-          gs.toSeq
-        } else Seq.empty
+          if (accept("ROLLUP")) (parseParenExprList(), Some("rollup"), Nil)
+          else if (accept("CUBE")) (parseParenExprList(), Some("cube"), Nil)
+          else if (accept("GROUPING")) {
+            expectKw("SETS")
+            expectOp("(")
+            val sets = ListBuffer(parseParenExprList())
+            while (accept(",")) sets += parseParenExprList()
+            expectOp(")")
+            // output keys: distinct union of all sets, first appearance
+            val union = ListBuffer.empty[Col]
+            sets.flatten.foreach(c =>
+              if (!union.exists(_.name == c.name)) union += c)
+            (union.toSeq, Some("sets"), sets.toSeq)
+          } else (parseExprList(), None, Nil)
+        } else (Seq.empty[Col], None, Seq.empty[Seq[Col]])
       // HAVING is part of the group_by clause in the reference grammar
       // (parser.py visit_query): without GROUP BY it cannot parse, so a
       // dangling HAVING is a parse error here too (not silently dropped)
       val having = if (accept("HAVING")) {
-        if (groupBy.isEmpty)
+        if (groupBy.isEmpty && groupKind.isEmpty)
           throw new ParseError("HAVING requires GROUP BY")
         Some(parseOr())
       } else None
@@ -278,7 +311,7 @@ object SqlParser {
         })
         else None
       SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having,
-        orderBy, limit, distinct, qualify, offset)
+        orderBy, limit, distinct, qualify, offset, groupKind, groupingSets)
     }
 
     private def peekJoinHow(): Option[String] = peek match {

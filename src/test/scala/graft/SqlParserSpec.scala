@@ -635,4 +635,55 @@ class SqlParserSpec extends SparkSpec {
     assert(!plan.contains("FileScan"), s"CTE fan-out should not rescan:\n$plan")
     assert(plan.contains("ExistingRDD"))
   }
+
+  test("ROLLUP / CUBE / GROUPING SETS: grammar, NULL subtotal rows, HAVING, validity (extension)") {
+    import graft.sql.GroupByError
+    // grammar → AST
+    val r = SqlParser.parse(
+      "SELECT a, SUM(b) FROM 't' GROUP BY ROLLUP(a, c)")
+    assert(r.groupKind.contains("rollup") &&
+      r.groupBy == Seq(ColRef("a"), ColRef("c")))
+    val gs = SqlParser.parse(
+      "SELECT a, SUM(b) FROM 't' GROUP BY GROUPING SETS ((a, c), (a), ())")
+    assert(gs.groupKind.contains("sets") &&
+      gs.groupBy == Seq(ColRef("a"), ColRef("c")) &&
+      gs.groupingSets == Seq(Seq(ColRef("a"), ColRef("c")),
+        Seq(ColRef("a")), Seq()))
+    // execution: rollup = per-(fruit,color) + per-fruit + grand total
+    val d = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    def rows(sql: String): Set[(Option[String], Option[String], Long)] =
+      Engine(spark, d).sql(sql).df.collect().map(row =>
+        (Option(row.getString(0)), Option(row.getString(1)),
+          row.getLong(2))).toSet
+    val rollup = rows(
+      """SELECT fruit, color, SUM(quantity) AS q FROM fruits
+        |GROUP BY ROLLUP(fruit, color)""".stripMargin)
+    assert(rollup.contains((Some("apple"), Some("red"), 3L)))
+    assert(rollup.contains((Some("apple"), None, 7L)))   // fruit subtotal
+    assert(rollup.contains((None, None, 21L)))           // grand total
+    assert(!rollup.exists { case (f, c, _) => f.isEmpty && c.isDefined })
+    // cube adds the per-color marginal rollup lacks
+    val cube = rows(
+      """SELECT fruit, color, SUM(quantity) AS q FROM fruits
+        |GROUP BY CUBE(fruit, color)""".stripMargin)
+    assert(cube.contains((None, Some("yellow"), 12L)))
+    assert(rollup.subsetOf(cube))
+    // explicit sets: exactly the requested aggregations, nothing else
+    val sets = rows(
+      """SELECT fruit, color, SUM(quantity) AS q FROM fruits
+        |GROUP BY GROUPING SETS ((fruit), (color))""".stripMargin)
+    assert(sets.forall { case (f, c, _) => f.isDefined != c.isDefined })
+    assert(sets.contains((Some("banana"), None, 12L)) &&
+      sets.contains((None, Some("green"), 4L)))
+    // HAVING filters the expanded rows
+    val having = rows(
+      """SELECT fruit, color, SUM(quantity) AS q FROM fruits
+        |GROUP BY ROLLUP(fruit, color) HAVING SUM(quantity) > 10""".stripMargin)
+    assert(having == Set((None, None, 21L), (Some("banana"), None, 12L),
+      (Some("banana"), Some("yellow"), 12L)))
+    // GROUP BY validity still enforced: a non-grouped select column
+    assertThrows[GroupByError](Engine(spark, d).sql(
+      "SELECT color, SUM(quantity) AS q FROM fruits GROUP BY ROLLUP(fruit)").df)
+  }
 }
