@@ -477,6 +477,14 @@ object SparkEntry {
         Multimodal.synthesizeVideo(t(s, dir, "documents"), "doc_id"))
         .select("media_id", "n_bytes", "width", "height", "duration_s")),
 
+    // ---- REAL MJPEG frame decode: full sample-table fixtures (stsd/
+    //      stsz/stco + actual JPEG samples in mdat), first frame decoded
+    //      with javax.imageio — geometry is exact, so the oracle replays
+    //      the fixture arithmetic; only compressed codecs stay stubbed ----
+    "q149_mjpeg_frames" -> ((s, dir) =>
+      Multimodal.decodeFrames(
+        Multimodal.synthesizeMjpegVideo(t(s, dir, "documents"), "doc_id"))),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -2635,6 +2643,17 @@ object SparkEntry {
         | CAST(320 + (doc_id % 16) * 16 AS INTEGER) AS width,
         | CAST(240 + (doc_id % 9) * 16 AS INTEGER) AS height,
         | CAST(1000 + (doc_id % 600) * 100 AS DOUBLE) / 1000.0 AS duration_s
+        |FROM documents""".stripMargin,
+
+    // the decoded JPEG geometry must equal the fixture arithmetic —
+    // a real decode ran iff these match (a wrong sample offset or a
+    // codec mixup cannot reproduce the per-id dims)
+    "q149_mjpeg_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(16 + (doc_id % 4) * 16 AS INTEGER) AS frame_w,
+        | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
+        | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+        | 'jpeg' AS codec
         |FROM documents""".stripMargin,
 
     "q36_sessionize" ->

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
   * decode is REAL via `javax.sound.sampled` ([[decodeAudio]]). Video
   * CONTAINER metadata is REAL via pure ISO-BMFF box arithmetic
   * ([[decodeVideoMeta]] — width/height/duration from tkhd/mvhd, no
-  * codec involved). Only frame-level video DECODE remains a
-  * clearly-marked stub ([[sampleFrames]] — that genuinely needs a
-  * codec), and [[fakeDecode]] stands in for payloads that are not real
-  * media at all (the synthetic UTF-8 test corpus): "dimensions" derived
-  * from byte length.
+  * codec involved). Frame-level video decode is REAL for MJPEG tracks
+  * ([[decodeMjpegFrame]] — samples are whole JPEGs, decoded with the
+  * JDK); only COMPRESSED codecs (avc1/hev1/...) remain a clearly-marked
+  * stub ([[sampleFrames]] — those genuinely need a codec), and
+  * [[fakeDecode]] stands in for payloads that are not real media at all
+  * (the synthetic UTF-8 test corpus): "dimensions" derived from byte
+  * length.
   */
 object Multimodal {
 
@@ -170,6 +172,94 @@ object Multimodal {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
+  /** Box-walk helpers over one ISO-BMFF payload — the byte arithmetic
+    * [[decodeVideoMeta]] inlines, reusable for the sample-table walk. */
+  private final class Boxes(p: Array[Byte]) {
+    def u32(off: Int): Long =
+      ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+        ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    /** (payloadStart, payloadEnd) of the first `want` box in [from, until). */
+    def find(from: Int, until: Int, want: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val size0 = u32(off)
+        val t = tag(off + 4)
+        val (bodyStart, boxEnd) =
+          if (size0 == 1L) {
+            if (off + 16 > until) return None
+            (off + 16, off + u64(off + 8))
+          } else if (size0 == 0L) (off + 8, until.toLong)
+          else (off + 8, off + size0)
+        if (boxEnd < bodyStart || boxEnd > until) return None
+        if (t == want) return Some((bodyStart, boxEnd.toInt))
+        off = boxEnd.toInt
+      }
+      None
+    }
+  }
+
+  /** Sample-entry fourccs whose samples are COMPLETE JPEG images —
+    * decodable with the JDK alone, no video codec involved. */
+  private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb")
+
+  /** REAL frame decode for MJPEG tracks: walk
+    * `moov → trak → mdia → minf → stbl`, read the first sample-entry
+    * fourcc from `stsd`; when it is an MJPEG flavor, the first sample's
+    * bytes (`stco` chunk 0 offset + `stsz` size 0) are one complete
+    * JPEG — decoded through the same `javax.imageio` path as still
+    * images. Returns (frameWidth, frameHeight, sampleCount, codec);
+    * None for non-ISO-BMFF bytes, compressed codecs (avc1/hev1/... —
+    * the JDK has no decoder; [[sampleFrames]] stays the honest stub
+    * for those), or malformed tables — never throws. */
+  def decodeMjpegFrame(payload: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (!looksLikeMp4(payload)) return None
+    val b = new Boxes(payload)
+    try {
+      val (moovS, moovE) =
+        b.find(0, payload.length, "moov").getOrElse(return None)
+      var trakFrom = moovS
+      while (trakFrom < moovE) {
+        val (trakS, trakE) =
+          b.find(trakFrom, moovE, "trak").getOrElse(return None)
+        val stblOpt = for {
+          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
+          (mfS, mfE) <- b.find(mdS, mdE, "minf")
+          s <- b.find(mfS, mfE, "stbl")
+        } yield s
+        stblOpt.foreach { case (sS, sE) =>
+          val codecOpt = b.find(sS, sE, "stsd").collect {
+            // stsd body: u32 ver/flags, u32 entry_count; first entry's
+            // size at +8, fourcc at +12
+            case (stsdS, stsdE) if stsdS + 16 <= stsdE => b.tag(stsdS + 12)
+          }
+          codecOpt.filter(MjpegCodecs.contains).foreach { codec =>
+            for {
+              (szS, _) <- b.find(sS, sE, "stsz")
+              (coS, _) <- b.find(sS, sE, "stco")
+            } {
+              val uniform = b.u32(szS + 4) // stsz: ver/flags, sample_size, count
+              val count = b.u32(szS + 8).toInt
+              val size = if (uniform != 0L) uniform else b.u32(szS + 12)
+              val off = b.u32(coS + 8)     // stco: ver/flags, count, offset[0]
+              if (count > 0 && size > 0 && off + size <= payload.length) {
+                val jpeg = java.util.Arrays.copyOfRange(
+                  payload, off.toInt, (off + size).toInt)
+                decodeImage(jpeg).foreach { case (w, h) =>
+                  return Some((w, h, count, codec))
+                }
+              }
+            }
+          }
+        }
+        trakFrom = trakE
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
   /** Build a minimal VALID ISO-BMFF skeleton (`ftyp` + `moov`(`mvhd` +
     * `trak`(`tkhd`))) carrying the given presentation metadata — the
     * deterministic fixture generator for [[decodeVideoMeta]] (the test
@@ -217,6 +307,129 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0x40000000)
     buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
     buf.array()
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def be16(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def mkBox(tag: String, parts: Array[Byte]*): Array[Byte] = {
+    val total = 8 + parts.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.putInt(total).put(tag.getBytes("US-ASCII"))
+    parts.foreach(out.put)
+    out.array()
+  }
+  private val unityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** Deterministic in-JVM JPEG: a solid-color frame encoded by the
+    * JDK's own writer — REAL compressed bytes whose decoded geometry is
+    * exact (colors may quantize; pixel dimensions cannot). */
+  def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(40, 90, 160))
+      g.fillRect(0, 0, width, height)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Build a COMPLETE MJPEG ISO-BMFF file: `nFrames` real JPEG samples
+    * in `mdat`, plus the full sample table (`stsd` with a 'jpeg' visual
+    * sample entry, `stts`/`stsc`/`stsz`/`stco`) a real MJPEG camera
+    * writes — the fixture [[decodeMjpegFrame]] exercises end-to-end
+    * (moov after mdat, the standard non-faststart layout, so chunk
+    * offsets are known when the table is written). */
+  def synthesizeMjpeg(width: Int, height: Int, nFrames: Int,
+                      timescale: Int = 1000,
+                      frameDurUnits: Int = 40): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val jpeg = jpegBytes(width, height)
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val mdat = mkBox("mdat", Array.fill(nFrames)(jpeg).flatten)
+    val chunkOffset = ftyp.length + 8 // first sample starts at mdat body
+    val durUnits = nFrames * frameDurUnits
+    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
+      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0), unityMatrix, be32(width << 16), be32(height << 16))
+    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be16(0x55C4), be16(0))
+    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0))
+    // VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, 16 bytes of
+    // pre_defined/reserved, u16 dims, 16.16 dpi, reserved, frame_count,
+    // 32-byte compressor name, depth 24, pre_defined -1
+    val stsdEntry = mkBox("jpeg", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(width), be16(height), be32(0x00480000),
+      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
+      be16(0xFFFF))
+    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
+    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
+    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
+    val stsz = mkBox("stsz", be32(0), be32(jpeg.length), be32(nFrames))
+    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = mkBox("minf", stbl)
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val trak = mkBox("trak", tkhd, mdia)
+    val moov = mkBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthesize an MJPEG corpus keyed by id — REAL JPEG frames inside a
+    * real sample table, dimensions/frame-count derived from the id so a
+    * differential oracle replays them arithmetically
+    * (w = 16+(id%4)*16, h = 16+((id*3)%5)*16, frames = 1+id%4). */
+  def synthesizeMjpegVideo(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + (id % 4) * 16).toInt
+          val h = (16 + ((id * 3) % 5) * 16).toInt
+          val n = (1 + id % 4).toInt
+          val p = synthesizeMjpeg(w, h, n)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  private val framesSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_w", IntegerType, nullable = false),
+    StructField("frame_h", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false)
+  ))
+
+  /** Batched REAL frame decode over a media frame: one output row per
+    * video whose first sample decoded (MJPEG — see
+    * [[decodeMjpegFrame]]); compressed-codec rows are dropped here and
+    * served by the labeled stub path instead. Same executor-local
+    * partition loop as [[decode]] — memory bounded by one payload. */
+  def decodeFrames(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(framesSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeMjpegFrame(r.getAs[Array[Byte]]("payload")).map {
+            case (w, h, n, codec) =>
+              Row(r.getAs[Long]("media_id"), w, h, n, codec)
+          }
+        }
+      }(enc)
   }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK-native, executor-
@@ -349,10 +562,12 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame sampling stub: for "video" rows, emit one row per sampled
-    * frame index (every `stride`th frame of a fake frame count derived
-    * from payload size). Shows the explode-shaped plumbing a real frame
-    * sampler needs (posexplode over a per-row frame index sequence). */
+  /** Frame sampling stub — COMPRESSED codecs only (MJPEG decodes for
+    * real via [[decodeFrames]]): for "video" rows, emit one row per
+    * sampled frame index (every `stride`th frame of a fake frame count
+    * derived from payload size). Shows the explode-shaped plumbing a
+    * real frame sampler needs (posexplode over a per-row frame index
+    * sequence); an ffmpeg pipe plugs into the same partition loop. */
   def sampleFrames(decoded: DataFrame, stride: Int = 10): DataFrame = {
     val frames = F.greatest(F.lit(1L), (F.col("duration_s") * 30).cast("long"))
     decoded.filter(F.col("kind") === "video")

@@ -178,6 +178,33 @@ class OperatorsSpec extends SparkSpec {
         (1000L + (id % 600) * 100L).toDouble / 1000L), s"id=$id")
   }
 
+  test("MJPEG frame decode: real JPEG samples out of a real sample table") {
+    // the fixture writes N real JDK-encoded JPEGs into mdat plus the
+    // full stsd/stts/stsc/stsz/stco table; the decoder must walk the
+    // table to sample 0 and recover the EXACT encoded geometry
+    val mjpeg = Multimodal.synthesizeMjpeg(48, 32, nFrames = 3)
+    assert(Multimodal.decodeMjpegFrame(mjpeg).contains((48, 32, 3, "jpeg")))
+    // container metadata decodes from the same bytes (tkhd/mvhd intact):
+    // 3 frames x 40 units at timescale 1000 = 0.12 s
+    assert(Multimodal.decodeVideoMeta(mjpeg).contains((48, 32, 0.12)))
+    // a container WITHOUT a sample table (metadata-only skeleton) stays
+    // with the stub path — no table, no frame claim
+    val bare = Multimodal.synthesizeMp4(640, 480, durationUnits = 2500L)
+    assert(Multimodal.decodeMjpegFrame(bare).isEmpty)
+    // non-container and truncated bytes → None, never a throw
+    assert(Multimodal.decodeMjpegFrame("nope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMjpegFrame(mjpeg.take(60)).isEmpty)
+    // distributed plumbing: per-id dims/frames recovered for every row
+    val ids = Seq(0L, 5L, 42L).toDF("doc_id")
+    val out = Multimodal.decodeFrames(Multimodal.synthesizeMjpegVideo(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    for (id <- Seq(0L, 5L, 42L))
+      assert(out(id) == (((16 + (id % 4) * 16).toInt,
+        (16 + ((id * 3) % 5) * 16).toInt, (1 + id % 4).toInt, "jpeg")),
+        s"id=$id")
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
