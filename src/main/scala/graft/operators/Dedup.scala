@@ -465,8 +465,22 @@ object Dedup {
     // first (shuffling raw text instead of shingle arrays — same order of
     // bytes) makes the expensive per-row prep run with full cluster
     // parallelism even when the input has few splits.
-    val prepared = df.filter(F.col(textCol).rlike("\\S"))
+    val nonEmpty = df.filter(F.col(textCol).rlike("\\S"))
       .select(F.col(idCol).as("id"), blockCol.as("block"), F.col(textCol).as("_text"))
+    // Enforce the block cap BEFORE any text moves: membership counts are
+    // a narrow map-combinable aggregation over the block key alone (the
+    // text column is pruned out of that scan), and the semi-join drops
+    // mega-blocks up front. After it, every surviving block holds at
+    // most maxBlock rows BY CONSTRUCTION — so repartition(block)'s
+    // one-task-per-block layout is bounded (no boilerplate-explosion
+    // straggler) and no reducer ever collects an unbounded member list
+    // just to throw it away. A mega-block's total cost is its narrow
+    // count, not its text.
+    val eligible = nonEmpty.groupBy("block")
+      .agg(F.count(F.lit(1)).as("_n"))
+      .filter(F.col("_n").between(2, maxBlock))
+      .select("block")
+    val prepared = nonEmpty.join(eligible, Seq("block"), "left_semi")
       .repartition(F.col("block"))
       .select(F.col("id"), F.col("block"),
         sortedHashedShingles(F.col("_text"), shingleN).as("sh"))
@@ -488,7 +502,13 @@ object Dedup {
     * asymmetric pairs containment exists for. Choose a blocking that
     * does not split by length (e.g. (lang, source)); for open-ended
     * corpora the winnowing fingerprints ([[winnowOverlapPairs]]) are
-    * the scale path for partial overlap. */
+    * the scale path for partial overlap.
+    *
+    * Scale bound, ENFORCED not assumed: the block cap is applied to
+    * narrow membership counts before any text shuffles, so per-task
+    * rows and per-block pair output are ≤ maxBlock and ≤ maxBlock²/2
+    * regardless of corpus size; a skewed block distribution costs its
+    * counts, never its text (see [[blockedShinglePairs]]). */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        blockCol: Column, shingleN: Int = 3,
                        threshold: Double = 0.9,
