@@ -1390,6 +1390,33 @@ object SparkEntry {
       TextAnalysis.bm25TopKIndexed(s, path, query = "spark window join", k = 10)
     }),
 
+    // ---- STREAMING BM25 index ingest: the corpus arrives as 4
+    //      micro-batches, each committing one immutable segment + an
+    //      atomic manifest generation (the index stays queryable at
+    //      every instant of the stream); after the drain, the indexed
+    //      query must equal the batch build — same oracle as q115/q126 ----
+    "q151_stream_bm25_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_bm25")
+      val idxPath = s"$staging/idx"
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging,
+        splitFiles = 4)
+      val q = Streams.bm25IndexSink(stream, "text", "doc_id", idxPath,
+        s"$staging/ckpt", numBuckets = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      TextAnalysis.bm25TopKIndexed(s, idxPath, query = "spark window join",
+        k = 10)
+    }),
+
+    // ---- corpus vocabulary + per-doc OOV rate: top-256 tokens by
+    //      document frequency (ties by token asc — replayable), then
+    //      the fraction of token OCCURRENCES outside the vocab; the
+    //      tokenizer-coverage statistic a data card ships ----
+    "q150_vocab_oov" -> ((s, dir) =>
+      TextAnalysis.vocabOovRate(t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 256)),
+
     // ---- BATCH BM25: top-5 per query for a query TABLE (the retrieval
     //      eval / hard-negative-mining shape) — one staged tf pass
     //      serves every query; per-query top-k via the bounded heap;
@@ -3004,6 +3031,26 @@ object SparkEntry {
     // written as the same arithmetic ((1.2 + 1), 1 - 0.75), per-term
     // round(9) before the sum, round(6) after, id tie-break
     "q115_bm25" -> bm25Replay,
+
+    // the streamed index must land the batch result exactly — same
+    // replay as q115/q126 (segments partition the corpus; every score
+    // component is additive across segments)
+    "q151_stream_bm25_ingest" -> bm25Replay,
+
+    "q150_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT token, 1 AS inv FROM (
+        |    SELECT token, count(*) AS dfc FROM tf GROUP BY token)
+        |  ORDER BY dfc DESC, token LIMIT 256)
+        |SELECT tf.doc_id,
+        |  round(CAST(sum(CASE WHEN vocab.inv IS NULL THEN tf.tf ELSE 0 END)
+        |          AS DOUBLE) / sum(tf.tf), 6) AS oov_rate,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+        |FROM tf LEFT JOIN vocab USING (token)
+        |GROUP BY tf.doc_id""".stripMargin,
 
     // the indexed serving path must land the IDENTICAL result — one
     // replay gates both the per-query and the persisted-index shapes

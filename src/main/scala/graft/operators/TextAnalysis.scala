@@ -327,6 +327,36 @@ object TextAnalysis {
       .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
       .localCheckpoint(false)
 
+  /** Corpus VOCABULARY + per-document out-of-vocabulary rate — the
+    * tokenizer-coverage statistic a pre-training mix ships with (a
+    * rising OOV rate flags domain drift; per-doc OOV is a standard
+    * quality filter input). The vocabulary is the top `vocabSize`
+    * tokens by DOCUMENT frequency, ties broken by token ascending so a
+    * differential oracle replays the exact membership; the rate is the
+    * fraction of token OCCURRENCES (not types) outside it.
+    *
+    * Scale shape: one corpus tokenization pass ([[stagedTf]], exploded
+    * tokens combine map-side), document frequency re-aggregates the tf
+    * frame, the vocabulary is a bounded TakeOrdered (vocabSize rows on
+    * the driver — the only bounded collect), and membership tests are a
+    * broadcast join. OOV aggregation is doc-keyed — partitions evenly. */
+  def vocabOovRate(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int = 256): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tf = stagedTf(df, textCol, idCol)
+    val vocab = tf.groupBy("token").agg(F.count(F.lit(1)).as("_dfc"))
+      .orderBy(F.col("_dfc").desc, F.col("token").asc)
+      .limit(vocabSize)
+      .select(F.col("token"), F.lit(1).as("_inv"))
+    tf.join(F.broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(
+        F.round(
+          F.sum(F.when(F.col("_inv").isNull, F.col("tf")).otherwise(0L))
+            .cast("double") / F.sum("tf"), 6).as("oov_rate"),
+        F.sum("tf").as("n_tokens"))
+  }
+
   /** Per-document top-k terms by tf-idf — the classic two-pass corpus
     * statistic (keyword extraction, topic tagging for data cards).
     *

@@ -472,4 +472,36 @@ object Streams {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .format("parquet")
+
+  /** BM25 index INGEST at stream time — the serving-index twin of
+    * [[decontaminateToParquet]]: every micro-batch becomes one immutable
+    * postings segment plus an atomic manifest-generation commit
+    * ([[graft.operators.TextAnalysis.appendBm25Index]]; the first batch
+    * creates the index). Because generations swap atomically, the index
+    * is ALWAYS queryable while the stream runs — a concurrent
+    * `bm25TopKIndexed` reads the last committed generation, never a
+    * half-appended batch. After the stream drains, queries equal a
+    * batch build over the full corpus (one differential oracle gates
+    * both paths).
+    *
+    * Replay caveat (honest): the segment write is not tied to the
+    * checkpoint commit, so a batch replayed after a crash BETWEEN
+    * segment commit and checkpoint commit would append its documents
+    * twice — dedupe re-ingests via
+    * [[graft.operators.Dedup.corpusDiff]] or rebuild the index for
+    * exact recovery. Steady-state appends are atomic. */
+  def bm25IndexSink(docs: DataFrame, textCol: String, idCol: String,
+                    indexPath: String, checkpoint: String,
+                    numBuckets: Int = 64): DataStreamWriter[Row] = {
+    import graft.operators.TextAnalysis
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val exists =
+          try { TextAnalysis.readBm25Manifest(batch.sparkSession, indexPath); true }
+          catch { case _: Exception => false }
+        if (exists) TextAnalysis.appendBm25Index(batch, textCol, idCol, indexPath)
+        else TextAnalysis.writeBm25Index(batch, textCol, idCol, indexPath, numBuckets)
+      }
+  }
 }

@@ -272,6 +272,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 ingest: one atomic generation per micro-batch, batch-equal serving") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "spark window join spark"), (2L, "spark table scan"),
+      (3L, "filter sort order"), (4L, "window spark"),
+      (5L, "spark table scan"), (6L, "group agg window")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-bm25-stream").toString
+    // 3 input files = 3 micro-batches under maxFilesPerTrigger=1
+    corpus.repartition(3).write.parquet(s"$dir/in")
+    val stream = Streams.readParquetStream(spark, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = Streams.bm25IndexSink(stream, "text", "doc_id", s"$dir/idx",
+      s"$dir/ckpt", numBuckets = 4)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one committed generation per batch: 1 create + 2 appends
+    val gens = new java.io.File(s"$dir/idx/manifest").list().toSeq
+      .filter(_.startsWith("gen-"))
+    assert(gens.size == 3, gens.toString)
+    // the drained index answers exactly like the batch operator
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (query <- Seq("spark scan", "window")) {
+      assert(scores(TextAnalysis.bm25TopKIndexed(spark, s"$dir/idx", query, k = 6))
+        == scores(TextAnalysis.bm25TopK(corpus, "text", "doc_id", query, k = 6)),
+        s"query=$query")
+    }
+  }
+
   test("CSV ingestion with declared schema (reference utils.py:179-203)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
