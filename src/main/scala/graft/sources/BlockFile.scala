@@ -356,15 +356,73 @@ final class BlockFileTable(path: String, schema0: StructType)
 }
 
 final class BlockFileScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
+  private var countStar = false
   // keep FILE order for the pruned schema: the reader walks columns
   // sequentially, skipping unwanted ones by their size prefix
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val want = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
-  override def build(): Scan = new BlockFileScan(path, full, required)
+  // COUNT(*) answers from the BLOCK HEADERS alone: every block leads
+  // with its u32 row count, so a bare count is footer + one u32 per
+  // block — zero column bytes read. Spark only offers the aggregation
+  // when it sits directly on the scan (residual filters block it), so
+  // complete pushdown is safe; anything beyond a bare ungrouped
+  // COUNT(*) is declined and planned normally.
+  private def bareCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    bareCountStar(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (bareCountStar(agg)) { countStar = true; true } else false
+  }
+  override def build(): Scan =
+    if (countStar) new BlockFileCountScan(path)
+    else new BlockFileScan(path, full, required)
+}
+
+/** COUNT(*) served from block metadata: one task walks the footer's
+  * block offsets and sums each block's leading u32 row count — the scan
+  * that never opens a column. */
+final class BlockFileCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"BlockFileCountScan(path=$path)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BlockFilePartition(path, 0L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockFileCountReaderFactory
+}
+
+final class BlockFileCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val path = p.asInstanceOf[BlockFilePartition].path
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = {
+        val f = new RandomAccessFile(path, "r")
+        try {
+          val total = BlockFile.blockStarts(path).map { off =>
+            f.seek(off)
+            val b = new Array[Byte](4); f.readFully(b)
+            ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+          }.sum
+          new GenericInternalRow(Array[Any](total))
+        } finally f.close()
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final class BlockFileScan(path: String, full: StructType, required: StructType)

@@ -75,6 +75,22 @@ class SourcesShellSpec extends SparkSpec {
     assert(back.select("s").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("", "alpha", "beta", "delta", "épsilon"))
     assert(back.count() == 5)
+    // COUNT(*) pushes down to block metadata — the plan carries the
+    // count scan, not the column scan, and the header-summed count
+    // agrees with the row count
+    val countPlan = back.groupBy().count().queryExecution.executedPlan.toString
+    assert(countPlan.contains("BlockFileCountScan"), countPlan.take(1500))
+    assert(back.groupBy().count().head().getLong(0) == 5L)
+    // ...but anything beyond a bare ungrouped count declines the
+    // pushdown and plans normally
+    val grouped = back.groupBy("s").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("BlockFileCountScan"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 5L)
+    val filtered = back.filter("i > 2")
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("BlockFileCountScan"))
+    assert(filtered.count() == 3L)
     // format limits enforced loudly: >254-byte strings, unsupported types
     val tooLong = Seq((1, "x" * 300)).toDF("i", "s")
     assertThrows[Exception](Tables.blockFileWrite(tooLong, s"$d/bad.bin"))
