@@ -1740,6 +1740,14 @@ object SparkEntry {
         shingleN = 1, threshold = 0.8, maxBucket = 64)
     }),
 
+    // ---- corpus-duplicated n-gram REMOVAL: the rewrite form of exact
+    //      substring dedup — 8-grams shared by >= 2 docs mark their
+    //      positions, documents rebuild from unmarked tokens; the
+    //      oracle replays the whole rewrite including the cleaned text ----
+    "q152_remove_dup_ngrams" -> ((s, dir) =>
+      Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
+        n = 8, minDocs = 2)),
+
     // ---- CONTAINMENT pairs: subset duplication (|A∩B| / min) — blocked
     //      by (lang, source) WITHOUT a length bucket, since the point is
     //      catching asymmetric-length pairs Jaccard scores low ----
@@ -2149,6 +2157,33 @@ object SparkEntry {
         | CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // full rewrite replay: positional 8-gram md5 hashes, >= 2 distinct
+    // docs, covered-position anti-join, ordered string_agg rebuild —
+    // clean_text must match byte-for-byte (both sides rebuild from
+    // tokens, so whitespace normalizes identically)
+    "q152_remove_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, s.i AS i,
+        |    ('0x' || substr(md5(array_to_string(toks[s.i:s.i+7], ' ')), 1, 15))::BIGINT AS gram
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i) s),
+        |dup AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+        |  WHERE nd >= 2),
+        |starts AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |covered AS (SELECT DISTINCT doc_id, u.p AS p FROM starts,
+        |  LATERAL (SELECT unnest(range(i, i + 8)) AS p) u),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM d),
+        |kept AS (SELECT p.doc_id, p.i, p.toks[p.i] AS token
+        |  FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.p
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY i) AS clean_text,
+        |    count(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // the ok CTE replays ngramJaccardPairs' block cap: blocks outside
     // [2, 1024] members emit no pairs

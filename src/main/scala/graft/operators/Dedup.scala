@@ -520,6 +520,58 @@ object Dedup {
           .as("containment"))
       .filter(F.col("containment") >= threshold)
 
+  /** CORPUS-DUPLICATED N-GRAM REMOVAL — the REWRITE form of exact
+    * substring dedup (the "dedup repeated substrings across documents"
+    * step of a pre-training pipeline, at token-n-gram granularity):
+    * every token n-gram whose md5 hash appears in at least `minDocs`
+    * DISTINCT documents marks its n token positions in every document
+    * containing it; each document is rebuilt from the unmarked tokens
+    * (single-space joined — the rebuild normalizes whitespace, on both
+    * the Spark side and the differential oracle). Returns
+    * (id, clean_text, n_removed). Documents shorter than n tokens (and
+    * empty ones) pass through with n_removed = 0.
+    *
+    * Scale shape: gram extraction is a narrow per-row transform over
+    * the token array; the duplicated-gram vote is a (gram, id)-distinct
+    * aggregation over 8-byte hashes — never text; the marked-positions
+    * join back is doc-keyed; and the rebuild is one per-row expression
+    * over the original token array (no re-explode, no order-sensitive
+    * shuffle). A boilerplate gram shared by millions of documents
+    * fans out only its 8-byte hash. */
+  def removeDuplicatedNgrams(df: DataFrame, textCol: String, idCol: String,
+                             n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = spreadForCompute(df).select(F.col(idCol).as("id"),
+      graft.operators.TextAnalysis.tokens(F.col(textCol)).as("toks"))
+    // one gram hash per start position (0-based), docs with >= n tokens
+    val gramArr = F.transform(
+      F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+      (i: Column) => md5Hash60(F.concat_ws(" ",
+        F.slice(F.col("toks"), i + 1, F.lit(n)))))
+    val grams = base.filter(F.size(F.col("toks")) >= n)
+      .select(F.col("id"), F.posexplode(gramArr).as(Seq("pos", "gram")))
+    val dup = grams.select("gram", "id").distinct()
+      .groupBy("gram").agg(F.count(F.lit(1)).as("_nd"))
+      .filter(F.col("_nd") >= minDocs)
+      .select("gram")
+    val starts = grams.join(dup, "gram")
+      .groupBy("id").agg(F.collect_list("pos").as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .select(F.col("id"), F.col("toks"),
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).as("st"))
+      .select(F.col("id").as(idCol), F.col("toks"),
+        F.array_distinct(F.flatten(F.transform(F.col("st"),
+          (s: Column) => F.sequence(s, s + n - 1)))).as("cov"))
+      .select(F.col(idCol), F.col("toks"),
+        F.filter(F.col("toks"), (t: Column, i: Column) =>
+          !F.array_contains(F.col("cov"), i)).as("kept"))
+      .select(F.col(idCol),
+        F.concat_ws(" ", F.col("kept")).as("clean_text"),
+        (F.size(F.col("toks")) - F.size(F.col("kept")))
+          .cast("long").as("n_removed"))
+  }
+
   /** 64-bit SimHash of a document: per-token hashes vote ±1 on each bit;
     * the sign of each bit's vote total forms the signature. Expressed as
     * one `aggregate` over the token array accumulating a 64-slot vote

@@ -205,6 +205,31 @@ class OperatorsSpec extends SparkSpec {
         s"id=$id")
   }
 
+  test("duplicated n-gram removal: hand-computed coverage, rebuild, pass-through") {
+    // docs 1 and 2 share the 3-gram "a b c" (and its overlapping
+    // shifts); doc 3 is untouched; doc 4 is shorter than n
+    val docs = Seq(
+      (1L, "x a b c y"),
+      (2L, "a b c z w"),
+      (3L, "p q r s t"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedNgrams(docs, "text", "doc_id",
+      n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // shared gram "a b c": doc 1 covers positions 1-3, doc 2 positions 0-2
+    assert(out(1L) == (("x y", 3L)))
+    assert(out(2L) == (("z w", 3L)))
+    assert(out(3L) == (("p q r s t", 0L)))  // no shared grams
+    assert(out(4L) == (("u v", 0L)))        // shorter than n: pass-through
+    // a gram repeated WITHIN one doc only does not count as duplicated
+    val solo = Seq((1L, "a b c d a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val soloOut = Dedup.removeDuplicatedNgrams(solo, "text", "doc_id",
+      n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(soloOut == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
