@@ -537,6 +537,18 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |  (l_returnflag), ())""".stripMargin).df),
 
+    // ---- text-pipeline scalars through the dialect: the corpus filter
+    //      a pipeline author writes without dropping to the Scala API —
+    //      token/subword counts, content fingerprint, quality + langid
+    //      in WHERE (all narrow codegen'd expressions) ----
+    "q153_sql_text_fns" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT doc_id, token_count(text) AS n_tok,
+          |  subword_count(text) AS n_sub, fingerprint(text) AS fp
+          |FROM documents
+          |WHERE quality_score(text) >= 0.5 AND lang_guess(text) = 'en'"""
+          .stripMargin).df),
+
     // ---- second scalar-function wave through the dialect: trim family,
     //      replace, concat, strpos, greatest/least ----
     "q137_sql_scalar_fns2" -> ((s, dir) =>
@@ -1748,6 +1760,29 @@ object SparkEntry {
       Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
         n = 8, minDocs = 2)),
 
+    // ---- INCREMENTAL clustering: stored assignment (a depth-1
+    //      spanning forest of the old graph) ∪ the nightly batch's
+    //      incremental pairs → same components as a full recompute,
+    //      without re-reading the old pair set; the oracle replays BOTH
+    //      capping regimes (old-corpus buckets for the old side,
+    //      combined buckets for new-involving pairs) then the closure ----
+    "q154_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(F.col("doc_id") < 400)
+      val idxPath = stagingDir("graft_mh_index_cl") + "/idx"
+      Dedup.writeMinhashIndex(oldDocs, "text", "doc_id", idxPath,
+        numBands = 4, rowsPerBand = 8, shingleN = 1)
+      val assignment = Dedup.clusters(
+        Dedup.minhashLsh(oldDocs, "text", "doc_id", numBands = 4,
+          rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+      val newPairs = Dedup.minhashLshIncremental(
+        docs.filter(F.col("doc_id") >= 400), "text", "doc_id", idxPath,
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+        maxBucket = 64)
+      Dedup.clustersIncremental(assignment, newPairs)
+        .select(F.col("id").as("doc_id"), F.col("cluster"))
+    }),
+
     // ---- CONTAINMENT pairs: subset duplication (|A∩B| / min) — blocked
     //      by (lang, source) WITHOUT a length bucket, since the point is
     //      catching asymmetric-length pairs Jaccard scores low ----
@@ -2350,6 +2385,38 @@ object SparkEntry {
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // incremental = old-side pairs under the OLD corpus's bucket caps
+    // (replayed from `banded` restricted to id < 400) ∪ new-involving
+    // pairs under the COMBINED caps (j filtered), then the same closure
+    // as q51 — the union must land the full recompute's components
+    "q154_clusters_incremental" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |obuckets AS (SELECT band, key FROM banded WHERE id < 400
+         |  GROUP BY band, key HAVING count(*) BETWEEN 2 AND 64),
+         |ocand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a
+         |  JOIN obuckets k ON a.band = k.band AND a.key = k.key
+         |  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |  WHERE a.id < 400 AND b.id < 400),
+         |oj AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+         |  FROM ocand
+         |  JOIN d ta ON ta.id = ocand.id_a
+         |  JOIN d tb ON tb.id = ocand.id_b),
+         |p AS (SELECT id_a, id_b FROM oj WHERE jaccard >= 0.8
+         |      UNION
+         |      SELECT id_a, id_b FROM j
+         |      WHERE jaccard >= 0.8 AND (id_a >= 400 OR id_b >= 400)),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
+
     // the q23 + q24 + q25 + q26 oracles joined into one row per doc
     "q72_profile" ->
       s"""WITH ${docStatsCte()},
@@ -2877,6 +2944,46 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 5""".stripMargin,
+
+    // the dialect's text scalars replay via the q23-q26 formula CTEs
+    // (token/stopword counts, punctuation ratio, stopword-vote langid,
+    // normalized-md5 fingerprint), composed and filtered identically
+    "q153_sql_text_fns" ->
+      """WITH qd AS (SELECT doc_id, text,
+        |  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS n_tok,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+        | FROM documents),
+        |q AS (SELECT doc_id, round((
+        |  least(n_tok / 100.0, 1.0)
+        |  + (1.0 - least(10.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |  + least(5.0 * n_sw / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0)
+        | ) / 3.0, 6) AS quality FROM qd),
+        |ls AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM documents),
+        |lc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','es'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS s_fr
+        | FROM ls),
+        |l AS (SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_de > s_en THEN 'de'
+        |  ELSE 'en' END AS lang_guess FROM lc),
+        |base AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_tok,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_sub,
+        |  md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+        | FROM documents)
+        |SELECT base.doc_id, base.n_tok, base.n_sub, base.fp
+        |FROM base JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |WHERE q.quality >= 0.5 AND l.lang_guess = 'en'""".stripMargin,
 
     // DuckDB has native ROLLUP/CUBE/GROUPING SETS — same statements
     // modulo the zero-arg COUNT() dialect quirk

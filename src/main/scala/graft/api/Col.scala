@@ -276,6 +276,26 @@ object Col {
               s"$fn() arguments have incompatible types: $a vs $b")
           }
           (if (fn == "greatest") F.greatest(cs: _*) else F.least(cs: _*), dt)
+        // text-pipeline scalars (extension): the engine's document
+        // operators surfaced in the dialect, so a corpus filter like
+        // `WHERE token_count(text) > 100 AND lang_guess(text) = 'en'`
+        // runs without dropping to the Scala API. All are narrow
+        // per-row expressions — whole-stage-codegen friendly.
+        case "token_count" =>
+          arity(1)
+          (graft.operators.TextAnalysis.tokenCount(cs(0)), IntegerType)
+        case "subword_count" =>
+          arity(1)
+          (graft.operators.TextAnalysis.subwordCount(cs(0)), IntegerType)
+        case "quality_score" =>
+          arity(1)
+          (graft.operators.TextAnalysis.qualityScore(cs(0)), DoubleType)
+        case "lang_guess" =>
+          arity(1)
+          (graft.operators.TextAnalysis.langId(cs(0)), StringType)
+        case "fingerprint" =>
+          arity(1)
+          (graft.operators.TextAnalysis.fingerprint(cs(0)), StringType)
         case other =>
           throw new IllegalArgumentException(s"Unknown function: $other")
       }

@@ -542,8 +542,12 @@ object Dedup {
                              n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = spreadForCompute(df).select(F.col(idCol).as("id"),
-      graft.operators.TextAnalysis.tokens(F.col(textCol)).as("toks"))
+    // staged ONCE: the token arrays feed the gram branch AND the final
+    // rebuild join — without staging the corpus scans three times
+    // (Catalyst does not dedupe common subplans; q59's precedent)
+    val base = stage(spreadForCompute(df).select(F.col(idCol).as("id"),
+      graft.operators.TextAnalysis.tokens(F.col(textCol)).as("toks")),
+      eager = true, reliable = false)
     // one gram hash per start position (0-based), docs with >= n tokens
     val gramArr = F.transform(
       F.sequence(F.lit(0), F.size(F.col("toks")) - n),
@@ -670,6 +674,27 @@ object Dedup {
     * silently wrong, so that raises instead. Only ids appearing in
     * `pairs` are returned (everything else is its own trivial cluster).
     */
+  /** INCREMENTAL connected components: merge a NEW pair batch into a
+    * STORED cluster assignment without rescanning the old pair set —
+    * the nightly-maintenance downstream of [[minhashLshIncremental]].
+    * Works because a [[clusters]] assignment (id → min-label) is the
+    * old graph's spanning forest COMPRESSED TO DEPTH 1: its edges have
+    * exactly the old pairs' connected components, so
+    * `clusters(assignment-edges ∪ newPairs)` equals a full recompute
+    * over `oldPairs ∪ newPairs` — but the propagation starts from a
+    * depth-1 old side, so rounds track the diameter of the NEWLY
+    * MERGED structure, not of the historical graph, and the old pair
+    * set (the expensive LSH output at corpus scale) is never re-read. */
+  def clustersIncremental(assignment: DataFrame, newPairs: DataFrame,
+                          idCol: String = "id", clusterCol: String = "cluster",
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxIter: Int = 50, localThreshold: Int = 2000000,
+                          reliable: Boolean = false): DataFrame =
+    clusters(
+      assignment.select(F.col(idCol).as(idA), F.col(clusterCol).as(idB))
+        .unionByName(newPairs.select(F.col(idA), F.col(idB))),
+      idA, idB, maxIter, localThreshold, reliable)
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 50, localThreshold: Int = 2000000,
                reliable: Boolean = false): DataFrame = {
