@@ -101,7 +101,10 @@ object Bench {
       // family's cross-table member), bigram LM scoring (staged bigram
       // tf), int8 scalar quantization (narrow + bounded top-k, incl.
       // its in-engine min/max training pass)
-      "q129_fuzzy_decontaminate", "q131_bigram_nll", "q132_knn_sq")
+      "q129_fuzzy_decontaminate", "q131_bigram_nll", "q132_knn_sq",
+      // round-6 additions: the exact-substring-dedup rewrite (gram vote
+      // + doc-keyed mark join + per-row rebuild)
+      "q152_remove_dup_ngrams")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: read
     // the sf0.1 lineitem 10× (6M rows — same volume as BASELINE.md's
@@ -260,6 +263,31 @@ object Bench {
     }
     tracer.drain()
 
+    // Duplicated-n-gram-removal scale probe: the 10×-replicated corpus
+    // is 90% duplicates, so nearly every gram becomes corpus-duplicated
+    // and nearly every position gets marked — the worst case for the
+    // mark join-back. Gram votes aggregate 8-byte hashes (never text),
+    // so the probe should scale ~linearly in rows.
+    val q152x10 = {
+      import org.apache.spark.sql.{functions => F}
+      def docs10 = {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        (0 until 10).map(i => d.select(
+          (F.col("doc_id") + F.lit(i.toLong * 1000000000L)).as("doc_id"),
+          F.col("text")))
+          .reduce(_.union(_))
+      }
+      def q = graft.operators.Dedup.removeDuplicatedNgrams(docs10, "text",
+        "doc_id", n = 8, minDocs = 2)
+      sweepPersisted(spark)
+      System.gc()
+      execTime(q) // warmup
+      val runs = (1 to 3).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+      runs(1)
+    }
+    tracer.drain()
+
     // Containment scale probe: 10× the corpus as 10× the SOURCES (the
     // replication index joins the block key) — the growth mode blocked
     // containment is designed for: block size stays ~constant, block
@@ -349,6 +377,7 @@ object Bench {
         :+ ("q112_x10_50kdocs" -> q112x10)
         :+ ("q126_x10_50kdocs" -> bm25IdxX10) :+ ("q51_x10_50kdocs" -> q51x10)
         :+ ("q129_x10_50kdocs" -> q129x10) :+ ("q143_x10_50kdocs" -> q143x10)
+        :+ ("q152_x10_50kdocs" -> q152x10)
         :+ ("q06_blockfile_600krows" -> blockfileQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")

@@ -384,6 +384,15 @@ object SparkEntry {
         planes = q31Planes, threshold = 0.3, maxBucket = 4096)
         .select(F.col("id_a"), F.col("id_b"), F.round(F.col("cosine"), 6).as("cosine"))),
 
+    // ---- SEMANTIC dedup (SemDeDup shape): IVF-cell blocking + exact
+    //      within-cell cosine + connected components — the embedding
+    //      analog of q51's lexical pipeline; output is the dup-group
+    //      assignment (keep = id == cluster) ----
+    "q155_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDupGroups(t(s, dir, "embeddings"), "embedding",
+        "vec_id", ivfCentroids, threshold = 0.3, maxCell = 4096)
+        .select(F.col("id").as("vec_id"), F.col("cluster"))),
+
     // multi-table LSH: union of candidates over TWO independent plane
     // sets — the recall path (q31 is single-table precision); the oracle
     // replays both bucketings and the union
@@ -2341,6 +2350,31 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    // same cell assignment as q33's replay, then capped within-cell
+    // pairs, rounded-cosine flagging and the q51-style closure
+    "q155_semantic_dedup" ->
+      s"""WITH RECURSIVE ${ivfAssignCtes(ivfCentroids)},
+         |kc AS (SELECT bucket FROM eb GROUP BY bucket
+         |  HAVING count(*) BETWEEN 2 AND 4096),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.v AS va, b.v AS vb
+         |  FROM eb a
+         |  JOIN kc ON a.bucket = kc.bucket
+         |  JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, round(list_dot_product(va, vb)
+         |      / (sqrt(list_dot_product(va, va))
+         |         * sqrt(list_dot_product(vb, vb))), 6) AS c
+         |    FROM cand) WHERE c >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+         |SELECT a AS vec_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
     "q122_knn_pq" -> pqOracleSql(pqCodebooks, k = 10),
     "q123_knn_ivfpq" ->
       pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
@@ -3964,7 +3998,11 @@ object SparkEntry {
        |ORDER BY dist_raw, vec_id LIMIT $k""".stripMargin
   }
 
-  private def ivfOracleSql(centroids: Seq[Seq[Double]], k: Int, nprobe: Int): String = {
+  /** The e/es/eb CTE fragment assigning every embedding its IVF cell
+    * (max-dot argmax, ties to the higher index — the `ivfBucket`
+    * contract) — shared by [[ivfOracleSql]] and q155's semantic-dedup
+    * replay. */
+  private def ivfAssignCtes(centroids: Seq[Seq[Double]]): String = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       s"list_dot_product(v, ${sqlArray(c)}) AS s$i"
     }.mkString(",\n    ")
@@ -3973,16 +4011,20 @@ object SparkEntry {
       val others = (0 until i).map(j => s"s$j").mkString(", ")
       s"WHEN s$i >= greatest($others) THEN $i"
     }.mkString(" ") + " ELSE 0 END"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |es AS (SELECT vec_id, v,
+       |    $scores
+       |  FROM e),
+       |eb AS (SELECT vec_id, v, $argmax AS bucket FROM es)""".stripMargin
+  }
+
+  private def ivfOracleSql(centroids: Seq[Seq[Double]], k: Int, nprobe: Int): String = {
     val centVals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlArray(c)})" }.mkString(", ")
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
        |cd AS (SELECT * FROM (VALUES $centVals) t(i, c)),
        |qb AS (SELECT i FROM cd, q ORDER BY list_dot_product(c, qv) DESC, i LIMIT $nprobe),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |es AS (SELECT vec_id, v,
-       |    $scores
-       |  FROM e),
-       |eb AS (SELECT vec_id, v, $argmax AS bucket FROM es),
+       |${ivfAssignCtes(centroids)},
        |scored AS (
        |  SELECT vec_id,
        |    list_dot_product(v, (SELECT qv FROM q))

@@ -243,6 +243,36 @@ object Similarity {
     F.greatest(scored: _*).getField("i")
   }
 
+  /** SEMANTIC DEDUPLICATION groups (SemDeDup-style): assign every
+    * embedding to its IVF cell (max-dot argmax over literal centroids —
+    * replayable), flag within-cell pairs whose ROUNDED cosine clears
+    * `threshold`, and group flagged ids by connected components
+    * (min-id representative — the kept exemplar; the keep-list is the
+    * corpus minus ids with `id != cluster`). The embedding analog of
+    * [[graft.operators.Dedup.minhashLsh]]+clusters for paraphrase-level
+    * duplication lexical dedup can't see.
+    *
+    * Scale shape: assignment is a narrow codegen'd map; pairs explode
+    * only within cells capped at [2, maxCell] (a mega-cell means a
+    * degenerate embedding region — cap it, don't join it); the cosine
+    * verify joins vectors back by id onto the bounded candidate set;
+    * components run on the flagged pairs only. */
+  def semanticDupGroups(df: DataFrame, vecCol: String, idCol: String,
+                        centroids: Seq[Seq[Double]], threshold: Double,
+                        maxCell: Int = 4096): DataFrame = {
+    val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      ivfBucket(F.col(vecCol), centroids).as("bucket"))
+    val pairs = graft.operators.Dedup.cappedBucketPairs(
+      base.select("bucket", "id"), Seq("bucket"), maxCell)
+    val va = base.select(F.col("id").as("id_a"), F.col("v").as("_va"))
+    val vb = base.select(F.col("id").as("id_b"), F.col("v").as("_vb"))
+    val flagged = pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("_cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+      .filter(F.col("_cos") >= threshold)
+      .select("id_a", "id_b")
+    graft.operators.Dedup.clusters(flagged)
+  }
+
   /** The query's `nprobe` closest centroids by dot product (driver-side
     * over literal centroids; ties keep the lower index — stable sort). */
   def probeBuckets(query: Seq[Double], centroids: Seq[Seq[Double]],
