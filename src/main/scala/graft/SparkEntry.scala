@@ -56,6 +56,13 @@ object SparkEntry {
       (((s * 31 + c) * 73856093L + j * 19349663L) % 1000) / 1000.0 - 0.5)
       .toSeq).toSeq)
 
+  /** Integer weight vector for the q156 linear quality classifier —
+    * deterministic literals standing in for offline-trained fastText
+    * weights, shared verbatim with the DuckDB oracle (the
+    * [[ivfCentroids]] pattern). */
+  private val clfWeights: Seq[Long] =
+    (0 until 32).map(i => ((i * 2654435761L) % 2001L) - 1000L)
+
   /** Random hyperplanes for q31 — deterministic literals (seeded LCG),
     * replayed verbatim by the DuckDB oracle. */
   private val q31Planes: Seq[Seq[Double]] = Dedup.hyperplanes(numPlanes = 8, dim = 64)
@@ -1488,6 +1495,13 @@ object SparkEntry {
           F.transform(TextAnalysis.hashEmbedding(F.col("text"), 32),
             (x: Column) => F.round(x * 1e6).cast("long").cast("string")),
           ",").as("emb"))),
+
+    // ---- classifier-based quality filtering: integer logit over the
+    //      hashed embedding (micro-units) with literal trained weights —
+    //      int64-exact, so the gate replays every logit bit-for-bit ----
+    "q156_classifier_quality" -> ((s, dir) =>
+      TextAnalysis.classifierQuality(t(s, dir, "documents"), "text",
+        "doc_id", clfWeights)),
 
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
@@ -3437,6 +3451,32 @@ object SparkEntry {
         |  x -> CAST(round((CASE WHEN norm > 0 THEN round(x / norm, 6)
         |                        ELSE 0.0 END) * 1000000) AS BIGINT)), ',') AS emb
         |FROM n""".stripMargin,
+
+    // q107's embedding replay through the same integer micro-units,
+    // then an int64 dot with the literal weight vector — exact
+    "q156_classifier_quality" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |    x -> len(x) > 0) AS toks FROM documents),
+         |b AS (SELECT doc_id, list_transform(toks,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 32) AS buckets
+         |  FROM t),
+         |c AS (SELECT doc_id, list_transform(generate_series(0, 31),
+         |    i -> CAST(len(list_filter(buckets, x -> x = i)) AS DOUBLE)) AS counts
+         |  FROM b),
+         |n AS (SELECT doc_id, counts,
+         |  sqrt(list_sum(list_transform(counts, x -> x * x))) AS norm FROM c),
+         |em AS (SELECT doc_id, list_transform(counts,
+         |  x -> CAST(round((CASE WHEN norm > 0 THEN round(x / norm, 6)
+         |                        ELSE 0.0 END) * 1000000) AS BIGINT)) AS e
+         |  FROM n),
+         |w AS (SELECT ${clfWeights.mkString("[", ", ", "]")}::BIGINT[] AS wv)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 32),
+         |    i -> e[i] * wv[i])) AS BIGINT) AS logit_micro,
+         |  list_sum(list_transform(generate_series(1, 32),
+         |    i -> e[i] * wv[i])) > 0 AS keep
+         |FROM em, w""".stripMargin,
 
     // the two-level rank decomposition must equal ONE global row_number
     "q103_shuffle_rank" ->

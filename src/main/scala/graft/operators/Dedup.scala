@@ -548,13 +548,28 @@ object Dedup {
     val base = stage(spreadForCompute(df).select(F.col(idCol).as("id"),
       graft.operators.TextAnalysis.tokens(F.col(textCol)).as("toks")),
       eager = true, reliable = false)
-    // one gram hash per start position (0-based), docs with >= n tokens
+    // one gram hash per start position (0-based), docs with >= n tokens.
+    // The hash dispatches to the native md5_hash60 expression when the
+    // session has the extensions (same values — parity-spec'd), and the
+    // gram frame is STAGED: it feeds the duplicate vote AND the
+    // join-back, and the md5-over-slices transform is the operator's
+    // dominant compute — without staging it runs twice (the x10 probe
+    // measured the doubling at 90% duplicate mass).
+    val hash: Column => Column =
+      if (df.sparkSession.catalog.functionExists("md5_hash60"))
+        (c: Column) => F.call_function("md5_hash60", c)
+      else md5Hash60
     val gramArr = F.transform(
       F.sequence(F.lit(0), F.size(F.col("toks")) - n),
-      (i: Column) => md5Hash60(F.concat_ws(" ",
+      (i: Column) => hash(F.concat_ws(" ",
         F.slice(F.col("toks"), i + 1, F.lit(n)))))
-    val grams = base.filter(F.size(F.col("toks")) >= n)
-      .select(F.col("id"), F.posexplode(gramArr).as(Seq("pos", "gram")))
+    // LAZY, not eager: the duplicate-vote aggregation materializes the
+    // blocks as a side effect of the final action, so the join-back
+    // reads them without an extra job barrier (the minhashLsh pairs
+    // precedent)
+    val grams = stage(base.filter(F.size(F.col("toks")) >= n)
+      .select(F.col("id"), F.posexplode(gramArr).as(Seq("pos", "gram"))),
+      eager = false, reliable = false)
     val dup = grams.select("gram", "id").distinct()
       .groupBy("gram").agg(F.count(F.lit(1)).as("_nd"))
       .filter(F.col("_nd") >= minDocs)

@@ -825,6 +825,36 @@ object TextAnalysis {
     }
   }
 
+  /** CLASSIFIER-based quality filtering — the fastText-style linear
+    * scorer of the standard pipeline (a trained model's weights applied
+    * over the [[hashEmbedding]] features): logit = w · e + b where e is
+    * the hashed document embedding in INTEGER MICRO-UNITS and `weights`
+    * an integer weight vector (train offline, ship literals). The dot
+    * is pure int64 arithmetic — the gate replay is exact, zero float
+    * ulps — and the whole filter is a narrow codegen'd map at any
+    * corpus size (the same zero-state shape as the heuristic
+    * [[qualityScore]]; this is the learned sibling). Returns
+    * (id, logit_micro, keep = logit > threshold). */
+  def classifierQuality(df: DataFrame, textCol: String, idCol: String,
+                        weights: Seq[Long], bias: Long = 0L,
+                        threshold: Long = 0L): DataFrame = {
+    import graft.functions.ExprUtils.let
+    val dim = weights.length
+    require(dim >= 1, "classifierQuality needs a non-empty weight vector")
+    val w = F.array(weights.map(F.lit): _*)
+    val eMicro = F.transform(hashEmbedding(F.col(textCol), dim),
+      (x: Column) => F.round(x * 1e6).cast("long"))
+    df.select(F.col(idCol),
+        let(F.aggregate(
+          F.zip_with(eMicro, w, (a: Column, b: Column) => a * b),
+          F.lit(bias), (acc: Column, x: Column) => acc + x)) { logit =>
+          F.struct(logit.as("logit_micro"),
+            (logit > threshold).as("keep"))
+        }.as("_s"))
+      .select(F.col(idCol), F.col("_s.logit_micro").as("logit_micro"),
+        F.col("_s.keep").as("keep"))
+  }
+
   /** Inverted index build: token → (document frequency, sorted posting
     * list capped at `maxPostings`). The serving-side artifact of a corpus
     * (search, decontamination lookups, vocabulary audits).

@@ -205,6 +205,26 @@ class OperatorsSpec extends SparkSpec {
         s"id=$id")
   }
 
+  test("classifier quality: integer logit equals hand-derived embedding dot") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
+    // weights = e_0 selector: logit must equal the micro-unit value of
+    // embedding component 0 (plus exactness: empty text → 0, keep=false)
+    val w = Seq.tabulate(32)(i => if (i == 0) 1L else 0L)
+    val out = TextAnalysis.classifierQuality(docs, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val emb = docs.select(F.col("doc_id"),
+        TextAnalysis.hashEmbedding(F.col("text"), 32).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        math.round(r.getSeq[Double](1).head * 1e6)).toMap
+    for (id <- Seq(1L, 3L))
+      assert(out(id) == ((emb(id), emb(id) > 0L)), s"id=$id")
+    assert(out(2L) == ((0L, false))) // empty text: zero vector, dropped
+    // negated weights flip every keep decision — pure sign arithmetic
+    val outNeg = TextAnalysis.classifierQuality(docs, "text", "doc_id",
+      w.map(-_)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L, 3L)) assert(outNeg(id) == -out(id)._1)
+  }
+
   test("duplicated n-gram removal: hand-computed coverage, rebuild, pass-through") {
     // docs 1 and 2 share the 3-gram "a b c" (and its overlapping
     // shifts); doc 3 is untouched; doc 4 is shorter than n
