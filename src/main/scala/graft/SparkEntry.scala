@@ -1503,6 +1503,12 @@ object SparkEntry {
       TextAnalysis.classifierQuality(t(s, dir, "documents"), "text",
         "doc_id", clfWeights)),
 
+    // ---- domain mixing weights: quality-mass² tilted per-source
+    //      sampling table — int64-exact masses, one final division ----
+    "q157_mixing_weights" -> ((s, dir) =>
+      Scale.mixingWeights(t(s, dir, "documents"), "text", "source",
+        alpha = 2)),
+
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
     "q93_zorder_key" -> ((s, dir) =>
@@ -3477,6 +3483,25 @@ object SparkEntry {
          |  list_sum(list_transform(generate_series(1, 32),
          |    i -> e[i] * wv[i])) > 0 AS keep
          |FROM em, w""".stripMargin,
+
+    // integer micro-unit quality masses (exact sums), squared tilt, one
+    // final division rounded at 6dp — the q24 formula feeding the mix
+    "q157_mixing_weights" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> len(x) > 0)) AS n_tok,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+         | FROM documents),
+         |q AS (SELECT source,
+         |  CAST(round($qualityExprSql * 1000000) AS BIGINT) AS qm FROM d),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(qm) AS BIGINT) AS quality_mass_micro FROM q GROUP BY source),
+         |t AS (SELECT sum(quality_mass_micro * quality_mass_micro) AS dn FROM s)
+         |SELECT source, n_docs, quality_mass_micro,
+         |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
+         |    6) AS weight
+         |FROM s, t""".stripMargin,
 
     // the two-level rank decomposition must equal ONE global row_number
     "q103_shuffle_rank" ->

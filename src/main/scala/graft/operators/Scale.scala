@@ -140,6 +140,42 @@ object Scale {
     }
   }
 
+  /** DOMAIN MIXING WEIGHTS — the per-source sampling table a training
+    * mix ships (the "how much of each source" decision): weight_s ∝
+    * (quality mass)_s^alpha, where quality mass is the source's SUM of
+    * per-document quality in integer micro-units. alpha > 1 tilts the
+    * mix toward cleaner sources; alpha = 1 is proportional sampling.
+    *
+    * Numerics, deliberately: quality is rounded to 6dp (already the
+    * [[graft.operators.TextAnalysis.qualityScore]] contract), so the
+    * micro-unit mass and its integer power are EXACT int64 sums —
+    * order-free, replayable bit-for-bit; only the final normalization
+    * is one double division of identical operands on both sides,
+    * rounded at 6dp. One narrow stats aggregation plus a broadcast
+    * one-row total; mass^alpha must fit int64 (alpha ≤ 2 enforced —
+    * at bigger corpora normalize per shard first). */
+  def mixingWeights(df: DataFrame, textCol: String, srcCol: String,
+                    alpha: Int = 2): DataFrame = {
+    require(alpha == 1 || alpha == 2,
+      s"alpha must be 1 or 2 (integer-exact powers), got $alpha")
+    val qMicro = F.round(
+      graft.operators.TextAnalysis.qualityScore(F.col(textCol)) * 1e6)
+      .cast("long")
+    val s = df.groupBy(F.col(srcCol))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(qMicro).as("quality_mass_micro"))
+    val tilted =
+      if (alpha == 1) F.col("quality_mass_micro")
+      else F.col("quality_mass_micro") * F.col("quality_mass_micro")
+    val denom = s.agg(F.sum(
+      if (alpha == 1) F.col("quality_mass_micro")
+      else F.col("quality_mass_micro") * F.col("quality_mass_micro"))
+      .as("_d"))
+    s.crossJoin(F.broadcast(denom))
+      .select(F.col(srcCol), F.col("n_docs"), F.col("quality_mass_micro"),
+        F.round(tilted.cast("double") / F.col("_d"), 6).as("weight"))
+  }
+
   /** Deterministic train/validation/test split assignment — same
     * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's
     * split never changes across reruns, backfills or repartitioning, and
