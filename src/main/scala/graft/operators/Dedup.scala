@@ -580,11 +580,22 @@ object Dedup {
       .select(F.col("id"), F.col("toks"),
         F.coalesce(F.col("starts"), F.array().cast("array<int>")).as("st"))
       .select(F.col("id").as(idCol), F.col("toks"),
-        F.array_distinct(F.flatten(F.transform(F.col("st"),
-          (s: Column) => F.sequence(s, s + n - 1)))).as("cov"))
+        F.flatten(F.transform(F.col("st"),
+          (s: Column) => F.sequence(s, s + n - 1))).as("cov"))
+      // kept = toks at positions NOT covered. array_except is hash-based
+      // (O(L + |cov|) and order-preserving on its left argument, here the
+      // ascending position sequence) — a per-token array_contains scan
+      // would be O(L·|cov|), which degenerates to O(L²) per document in
+      // the boilerplate-heavy regime where most positions are marked
+      // (the x10 probe's 90%-duplicate corpus measured the blowup).
+      // Guard the empty-token case: sequence(0, -1) counts DOWN.
       .select(F.col(idCol), F.col("toks"),
-        F.filter(F.col("toks"), (t: Column, i: Column) =>
-          !F.array_contains(F.col("cov"), i)).as("kept"))
+        F.when(F.size(F.col("toks")) > 0,
+          F.transform(
+            F.array_except(
+              F.sequence(F.lit(0), F.size(F.col("toks")) - 1), F.col("cov")),
+            (i: Column) => F.element_at(F.col("toks"), i + 1)))
+          .otherwise(F.array().cast("array<string>")).as("kept"))
       .select(F.col(idCol),
         F.concat_ws(" ", F.col("kept")).as("clean_text"),
         (F.size(F.col("toks")) - F.size(F.col("kept")))
