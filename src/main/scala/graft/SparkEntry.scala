@@ -24,9 +24,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, name, Some(dir))
 
-  /** The events table carries a nanosecond parquet timestamp, which
-    * Spark's reader rejects by default; read it as long nanos and convert
-    * to a microsecond timestamp. */
+  /** The events table's `ts` has shipped as nanosecond int64 (older
+    * generators) and as µs TIMESTAMP_NTZ (current); normalize both to a
+    * session-zoned µs TIMESTAMP so downstream `unix_micros`/watermarks
+    * type-check. The session runs in UTC, so the NTZ cast is a pure
+    * relabel — identical instants, identical epoch_us vs the oracle. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -35,6 +37,8 @@ object SparkEntry {
         // integer division: ts is ~1.7e18 ns, beyond double's 2^53 exact
         // range, so `/ 1000` + cast would be off by ±1 µs
         raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
       case _ => raw
     }
   }
@@ -122,11 +126,15 @@ object SparkEntry {
                                              target)
     val raw = Streams.readParquetStream(s, inDir.toString,
       maxFilesPerTrigger = if (splitFiles > 1) 1 else 0)
-    if (raw.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      // integer division: ~1.7e18 ns exceeds double's 2^53 exact range
-      raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else raw
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        // integer division: ~1.7e18 ns exceeds double's 2^53 exact range
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // UTC session: pure relabel to the event-time-capable LTZ type
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The flagship TPC-H Q1-variant aggregation over a lineitem frame
