@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.api.{Col, GraftFrame}
 import graft.api.Col._
-import graft.sql.{CompoundQuery, GroupByError, JoinClause, SemanticError, SqlParser, SqlQuery}
+import graft.sql.{CompoundQuery, GroupByError, JoinClause, SelectItem, SemanticError, SqlParser, SqlQuery}
 import graft.sources.Tables
 
 /** Engine facade: `sql / collect / show / explain`
@@ -269,6 +269,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         "IN (SELECT ...) / EXISTS (SELECT ...) must be a top-level AND " +
         "conjunct of WHERE (it plans as a semi/anti join and cannot sit " +
         "under OR or inside an expression)")
+    // whatever ScalarSubquery nodes survive resolveScalars are correlated
+    case other if collectScalarSubs(other).nonEmpty =>
+      correlatedScalarFilter(frame, other, scope)
     case other => frame.filter(other)
   }
 
@@ -309,6 +312,25 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // (a correlated reference fails resolution inside evalCompound)
       return emptinessProbe(evalCompound(sub, scope))
     val q = sub.head
+    val (inner0, isOuterRef) = blockFrame(q, scope)
+    var inner = inner0
+    val conjuncts = q.where.toSeq.flatMap(splitAnd)
+      .map(resolveScalars(_, scope))
+    val (correlated, local) = conjuncts.partition(c =>
+      collectRefs(c).exists(isOuterRef))
+    local.foreach(c => inner = applyWhere(inner, c, scope))
+    if (correlated.isEmpty) emptinessProbe(inner)
+    else frame.join(inner, correlated.reduce(_ && _),
+      if (anti) "left_anti" else "left_semi")
+  }
+
+  /** Build a single block's FROM/JOIN frame (no WHERE applied) plus the
+    * outer-ref test used by every decorrelation: a reference is OUTER
+    * when, innermost-scope-first like standard SQL, it resolves against
+    * neither the block's table aliases (dotted refs) nor its columns
+    * (bare refs). Schema-only — nothing executes. */
+  private def blockFrame(q: SqlQuery, scope: Map[String, GraftFrame])
+      : (GraftFrame, String => Boolean) = {
     def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
       case Some(s2) => evalCompound(s2, scope)
       case None     => scope.getOrElse(t.path, table(t.path))
@@ -325,18 +347,176 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     def isOuterRef(r: String): Boolean =
       if (r.contains('.')) !innerAliases.contains(r.split('.').head)
       else !innerCols.contains(r)
-    def splitAnd(c: Col): Seq[Col] = c match {
-      case BinOp("&", l, r) => splitAnd(l) ++ splitAnd(r)
-      case o                => Seq(o)
+    (inner, isOuterRef)
+  }
+
+  private def splitAnd(c: Col): Seq[Col] = c match {
+    case BinOp("&", l, r) => splitAnd(l) ++ splitAnd(r)
+    case o                => Seq(o)
+  }
+
+  /** True when `sub` is a simple single-aggregate block whose WHERE
+    * references enclosing-scope columns — the TPC-H Q2/Q17/Q20 shape
+    * `(SELECT agg(...) FROM t WHERE t.k = outer.k [AND local...])`.
+    * Such subqueries cannot inline as a literal; [[applyWhere]] rewrites
+    * them into a group-by-correlation-keys aggregate join instead. */
+  private def isCorrelatedScalar(sub: CompoundQuery,
+                                 scope: Map[String, GraftFrame]): Boolean = {
+    val shapeOk = sub.tail.isEmpty && sub.ctes.isEmpty && sub.orderBy.isEmpty &&
+      sub.limit.isEmpty && {
+        val q = sub.head
+        q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
+        q.limit.isEmpty && q.qualify.isEmpty && q.offset.isEmpty &&
+        q.groupKind.isEmpty && !q.distinct &&
+        q.select.size == 1 && !q.select.head.star &&
+        collectAggs(q.select.head.expr).nonEmpty
+      }
+    shapeOk && {
+      val q = sub.head
+      val (_, isOuterRef) = blockFrame(q, scope)
+      q.where.toSeq.flatMap(splitAnd)
+        .exists(c => collectRefs(c).exists(isOuterRef))
     }
-    val conjuncts = q.where.toSeq.flatMap(splitAnd)
-      .map(resolveScalars(_, scope))
-    val (correlated, local) = conjuncts.partition(c =>
+  }
+
+  /** Every [[ScalarSubquery]] node remaining in an expression (after
+    * [[resolveScalars]] these are exactly the correlated ones). Does not
+    * descend into IN/EXISTS subquery bodies — their own plan pass owns
+    * those. */
+  private def collectScalarSubs(c: Col): Seq[ScalarSubquery] = c match {
+    case s: ScalarSubquery => Seq(s)
+    case Alias(ch, _)      => collectScalarSubs(ch)
+    case BinOp(_, l, r)    => collectScalarSubs(l) ++ collectScalarSubs(r)
+    case Not(ch)           => collectScalarSubs(ch)
+    case Like(ch, _)       => collectScalarSubs(ch)
+    case Cast(ch, _)       => collectScalarSubs(ch)
+    case IsNull(ch)        => collectScalarSubs(ch)
+    case AggCol(_, ch, _)  => collectScalarSubs(ch)
+    case FuncCall(_, as)   => as.flatMap(collectScalarSubs)
+    case CaseWhen(bs, e) =>
+      bs.flatMap { case (w, v) => collectScalarSubs(w) ++ collectScalarSubs(v) } ++
+        e.toSeq.flatMap(collectScalarSubs)
+    case InSubquery(e, _)  => collectScalarSubs(e)
+    case _                 => Seq.empty
+  }
+
+  private def substituteScalar(c: Col, target: ScalarSubquery, repl: Col): Col =
+    c match {
+      case s: ScalarSubquery if s == target => repl
+      case Alias(ch, n)   => Alias(substituteScalar(ch, target, repl), n)
+      case BinOp(o, l, r) => BinOp(o, substituteScalar(l, target, repl),
+                                   substituteScalar(r, target, repl))
+      case Not(ch)        => Not(substituteScalar(ch, target, repl))
+      case Like(ch, p)    => Like(substituteScalar(ch, target, repl), p)
+      case Cast(ch, d)    => Cast(substituteScalar(ch, target, repl), d)
+      case IsNull(ch)     => IsNull(substituteScalar(ch, target, repl))
+      case AggCol(f, ch, n) => AggCol(f, substituteScalar(ch, target, repl), n)
+      case FuncCall(f, as) => FuncCall(f, as.map(substituteScalar(_, target, repl)))
+      case CaseWhen(bs, e) =>
+        CaseWhen(bs.map { case (w, v) =>
+          (substituteScalar(w, target, repl), substituteScalar(v, target, repl)) },
+          e.map(substituteScalar(_, target, repl)))
+      case other          => other
+    }
+
+  /** Plan a WHERE conjunct containing CORRELATED scalar subqueries
+    * (TPC-H Q2/Q17/Q20's `x < (SELECT agg(...) WHERE inner.k = outer.k)`)
+    * by classic aggregate decorrelation: group the subquery's FROM/JOIN
+    * frame (local WHERE conjuncts pushed inside) by its correlation key
+    * columns, compute the aggregate per key, INNER-join the result to
+    * the outer frame on the correlation equalities, substitute the
+    * aggregate column into the comparison, filter, and drop the helper
+    * columns. One distributed agg + one equi-join — no per-row
+    * re-execution, broadcast-able when the keyed aggregate is small.
+    *
+    * Semantics note (null-free engine reading, like [[resolveScalars]]'
+    * empty-result error): an outer row whose correlation key has NO
+    * subquery rows fails the predicate (the inner join drops it) —
+    * which matches SQL's NULL-comparison outcome for every aggregate
+    * except COUNT-of-empty; correlated COUNT compared against 0 is the
+    * one divergent shape. The conjunct must BE the comparison (under OR
+    * the drop-on-empty rendering would be wrong — rejected loudly). */
+  private def correlatedScalarFilter(frame: GraftFrame, cond: Col,
+      scope: Map[String, GraftFrame]): GraftFrame = {
+    cond match {
+      case BinOp(op, _, _) if op != "&" && op != "|" => ()
+      case _ => throw new SemanticError(
+        "A correlated scalar subquery must appear in a comparison that is " +
+        "its own top-level AND conjunct of WHERE, e.g. " +
+        "`x < (SELECT avg(...) FROM t WHERE t.k = outer.k)`")
+    }
+    var fr = frame
+    var cond2 = cond
+    val helperCols = ListBuffer.empty[String]
+    var remaining = collectScalarSubs(cond2)
+    while (remaining.nonEmpty) {
+      val target = remaining.head
+      val (joined, ref) = attachCorrelatedScalar(fr, target, scope, helperCols)
+      fr = joined
+      cond2 = substituteScalar(cond2, target, ref)
+      remaining = collectScalarSubs(cond2)
+    }
+    fr = fr.filter(cond2)
+    GraftFrame.fromDF(fr.df.drop(helperCols.toSeq: _*))
+  }
+
+  /** Join one correlated scalar subquery's per-key aggregate onto
+    * `outer`; returns the joined frame and the ref standing in for the
+    * subquery's value. Helper output names are freshened against the
+    * outer frame and recorded in `helperCols` for the caller to drop. */
+  private def attachCorrelatedScalar(outer: GraftFrame, s: ScalarSubquery,
+      scope: Map[String, GraftFrame],
+      helperCols: ListBuffer[String]): (GraftFrame, Col) = {
+    val q = s.subquery.head
+    val (_, isOuterRef) = blockFrame(q, scope)
+    val conjs = q.where.toSeq.flatMap(splitAnd)
+    val (correlated, local) = conjs.partition(c =>
       collectRefs(c).exists(isOuterRef))
-    local.foreach(c => inner = applyWhere(inner, c, scope))
-    if (correlated.isEmpty) emptinessProbe(inner)
-    else frame.join(inner, correlated.reduce(_ && _),
-      if (anti) "left_anti" else "left_semi")
+    // each correlated conjunct must be inner-column = outer-column — the
+    // only shape with a group-by rendering; anything else has no keyed
+    // aggregate reading (reject rather than mis-evaluate)
+    val keyPairs: Seq[(String, String)] = correlated.map {
+      case BinOp("==", ColRef(a), ColRef(b)) =>
+        (isOuterRef(a), isOuterRef(b)) match {
+          case (true, false)  => (a, b) // (outer, inner)
+          case (false, true)  => (b, a)
+          case _ => throw new SemanticError(
+            s"Correlated scalar subquery predicate must compare an inner " +
+            s"column with an outer column: $a = $b")
+        }
+      case other => throw new SemanticError(
+        "Correlated scalar subquery predicates must be top-level AND " +
+        s"equality comparisons between columns; got: $other")
+    }
+    val innerKeys = keyPairs.map(_._2).distinct
+    def fresh(base: String): String = {
+      var n = base
+      while (outer.df.columns.contains(n) || helperCols.contains(n)) n += "_"
+      n
+    }
+    val keyNames = innerKeys.map(k => fresh("_ck_" + k.replace('.', '_')))
+    val keyName = innerKeys.zip(keyNames).toMap
+    val valName = fresh("_scalar")
+    val selExpr = q.select.head.expr match {
+      case Alias(e, _) => e
+      case e           => e
+    }
+    // the keyed aggregate, planned through the normal grouped machinery
+    // (agg naming, GROUP BY validity, qualifier cleanup all reused)
+    val innerQ = SqlQuery(
+      select = innerKeys.map(k =>
+          SelectItem(Alias(ColRef(k), keyName(k)), star = false)) :+
+        SelectItem(Alias(selExpr, valName), star = false),
+      from = q.from, joins = q.joins,
+      where = local.reduceOption(_ && _),
+      groupBy = innerKeys.map(ColRef(_)),
+      having = None, orderBy = Nil, limit = None, distinct = false)
+    val agged = plan(innerQ, scope)
+    val joinCond = keyPairs.map { case (o, i) =>
+      (ColRef(o): Col) === ColRef(keyName(i))
+    }.reduce(_ && _)
+    helperCols ++= keyNames += valName
+    (outer.join(agged, joinCond, "inner"), ColRef(valName))
   }
 
   /** Every column reference in an expression tree (subquery bodies
@@ -390,6 +570,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     scala.collection.mutable.Map.empty[(CompoundQuery, Map[String, GraftFrame]), Col]
 
   private def resolveScalars(c: Col, scope: Map[String, GraftFrame]): Col = c match {
+    // CORRELATED scalar subqueries cannot inline as a literal — leave
+    // the node for applyWhere's aggregate-decorrelation rewrite
+    case s @ ScalarSubquery(sub) if isCorrelatedScalar(sub, scope) => s
     case ScalarSubquery(sub) =>
       scalarCache.getOrElseUpdate((sub, scope), {
       val planned = evalCompound(sub, scope)

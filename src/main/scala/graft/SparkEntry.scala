@@ -1517,6 +1517,76 @@ object SparkEntry {
       Scale.mixingWeights(t(s, dir, "documents"), "text", "source",
         alpha = 2)),
 
+    // ---- TPC-H Q17 through the GRAFT DIALECT (q74 runs the same shape
+    //      via Spark SQL): a CORRELATED scalar subquery, decorrelated by
+    //      the engine into one per-partkey aggregate + an equi-join —
+    //      never a per-row re-execution (Engine.attachCorrelatedScalar) ----
+    "q158_sql_tpch_q17d" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#4'
+          |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+          |                    FROM lineitem l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin).df),
+
+    // ---- TPC-H Q2 shape (min-cost supplier) on the available tables:
+    //      the correlated subquery keys on the OUTER alias's column and
+    //      the equality predicate compares against the per-key extreme ----
+    "q159_sql_tpch_q2" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal,
+          |  n.n_name AS n_name
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+          |                     WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin).df),
+
+    // ---- TPC-H Q11 shape: scalar subquery inside HAVING (inlined at
+    //      plan time — integer counts, so no float-boundary risk) ----
+    "q160_sql_tpch_q11" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT o_custkey, COUNT() AS n_orders,
+          |  round(SUM(o_totalprice), 4) AS value
+          |FROM orders
+          |GROUP BY o_custkey
+          |HAVING COUNT() > (SELECT 0.0002 * COUNT() FROM orders)""".stripMargin).df),
+
+    // ---- TPC-H Q9 shape (profit by nation and year): year() calendar
+    //      extraction + LIKE part filter + 5-way join, aggregated over a
+    //      CTE so the grouping keys are plain columns ----
+    "q161_sql_tpch_q9" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """WITH t AS (
+          |  SELECT n_name, year(o_orderdate) AS o_year,
+          |    l_extendedprice * (1 - l_discount) AS amount
+          |  FROM lineitem
+          |  JOIN orders ON o_orderkey = l_orderkey
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation ON n_nationkey = s_nationkey
+          |  JOIN part ON p_partkey = l_partkey
+          |  WHERE p_name LIKE '%red%')
+          |SELECT n_name AS nation, o_year,
+          |  round(SUM(amount), 4) AS sum_profit
+          |FROM t GROUP BY n_name, o_year""".stripMargin).df),
+
+    // ---- TPC-H Q20 shape: IN-subquery nesting + a correlated SUM over
+    //      TWO correlation keys (partkey, suppkey) — the subquery block
+    //      must alias its scan (l1) so the correlated refs are
+    //      outer-qualified, exactly as standard SQL resolves them ----
+    "q162_sql_tpch_q20" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT s_name, s_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |  AND s_suppkey IN (
+          |    SELECT l1.l_suppkey FROM lineitem l1
+          |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+          |                           WHERE p_name LIKE '%red%')
+          |      AND l1.l_quantity > (SELECT 0.0005 * SUM(l2.l_quantity)
+          |                           FROM lineitem l2
+          |                           WHERE l2.l_partkey = l1.l_partkey
+          |                             AND l2.l_suppkey = l1.l_suppkey))""".stripMargin).df),
+
     // ---- Z-order (Morton) keys: the 2-D clustering layout primitive;
     //      pure bit arithmetic, replayed by the oracle with shifts ----
     "q93_zorder_key" -> ((s, dir) =>
@@ -3491,6 +3561,60 @@ object SparkEntry {
          |  list_sum(list_transform(generate_series(1, 32),
          |    i -> e[i] * wv[i])) > 0 AS keep
          |FROM em, w""".stripMargin,
+
+    // DuckDB evaluates the correlated subqueries natively; the engine's
+    // decorrelation (group-by-key aggregate + inner join) must agree.
+    // Boundary exactness argument: every compared aggregate is built
+    // from integer-valued doubles (sums exact below 2^53, so partial-
+    // aggregation order cannot change them) times an identical literal.
+    "q158_sql_tpch_q17d" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q159_sql_tpch_q2" ->
+      """SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal,
+        |  n.n_name AS n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+        |                     WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
+
+    "q160_sql_tpch_q11" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS value
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) > (SELECT 0.0002 * count(*) FROM orders)""".stripMargin,
+
+    "q161_sql_tpch_q9" ->
+      """WITH t AS (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS amount
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%red%')
+        |SELECT n_name AS nation, o_year,
+        |  round(sum(amount), 4) AS sum_profit
+        |FROM t GROUP BY n_name, o_year""".stripMargin,
+
+    "q162_sql_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l1.l_suppkey FROM lineitem l1
+        |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                           WHERE p_name LIKE '%red%')
+        |      AND l1.l_quantity > (SELECT 0.0005 * sum(l2.l_quantity)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = l1.l_partkey
+        |                             AND l2.l_suppkey = l1.l_suppkey))""".stripMargin,
 
     // integer micro-unit quality masses (exact sums), squared tilt, one
     // final division rounded at 6dp — the q24 formula feeding the mix

@@ -276,6 +276,12 @@ object Col {
               s"$fn() arguments have incompatible types: $a vs $b")
           }
           (if (fn == "greatest") F.greatest(cs: _*) else F.least(cs: _*), dt)
+        // calendar field extraction (extension; DuckDB's year()/month()/
+        // day() — Spark's identically-named functions have the same
+        // UTC-session semantics on the engine's µs timestamps)
+        case "year"  => arity(1); (F.year(cs(0)), IntegerType)
+        case "month" => arity(1); (F.month(cs(0)), IntegerType)
+        case "day"   => arity(1); (F.dayofmonth(cs(0)), IntegerType)
         // text-pipeline scalars (extension): the engine's document
         // operators surfaced in the dialect, so a corpus filter like
         // `WHERE token_count(text) > 100 AND lang_guess(text) = 'en'`
@@ -357,8 +363,10 @@ object Col {
         "of WHERE (it plans as a semi/anti join, not a row expression)")
     case ScalarSubquery(_) =>
       throw new IllegalArgumentException(
-        "Scalar subquery escaped plan-time substitution — " +
-        "evaluate through the Engine, not Col.compile")
+        "Scalar subquery escaped plan-time substitution — correlated " +
+        "scalar subqueries are only supported as WHERE comparisons " +
+        "(decorrelated by the Engine); evaluate through the Engine, " +
+        "not Col.compile")
     case ExistsSubquery(_) =>
       throw new IllegalArgumentException(
         "EXISTS (SELECT ...) is only supported as a top-level AND conjunct " +

@@ -188,4 +188,61 @@ class EngineSpec extends SparkSpec {
     assert(full.count(_.isNullAt(0)) == 1)
     assert(full.count(_.isNullAt(1)) == 2)
   }
+
+  // ---- correlated scalar subqueries (aggregate decorrelation) ----
+
+  test("correlated scalar subquery decorrelates to a per-key aggregate join") {
+    // user 1: avg(1200, 80) = 640 -> only order 1 beats its user's average
+    val out = engine.sql(
+      """SELECT o.order_id FROM orders o
+        |WHERE o.price > (SELECT AVG(o2.price) FROM orders o2
+        |                 WHERE o2.user_id = o.user_id)""".stripMargin)
+    assert(rows(out.df) == Set(Seq(1)))
+  }
+
+  test("correlated scalar: outer rows with an empty subquery group are dropped") {
+    // Dan (4) and Eve (5) have no orders: SQL's NULL-comparison outcome
+    // and the inner-join rendering agree — both drop the rows
+    val out = engine.sql(
+      """SELECT u.user_id FROM users u
+        |WHERE u.age > (SELECT AVG(o.price) FROM orders o
+        |               WHERE o.user_id = u.user_id)""".stripMargin)
+    assert(rows(out.df) == Set(Seq(2))) // Bob: 30 > avg(25)
+  }
+
+  test("correlated scalar: local conjuncts stay subquery-side, value side-agnostic") {
+    // min over quantity>=2 orders per user; the scalar sits on the RIGHT
+    val out = engine.sql(
+      """SELECT u.user_id FROM users u
+        |WHERE 50.0 > (SELECT MIN(o2.price) FROM orders o2
+        |              WHERE o2.user_id = u.user_id AND o2.quantity >= 2)""".stripMargin)
+    assert(rows(out.df) == Set(Seq(2))) // Bob: min(25) < 50; Cara: 300 fails
+  }
+
+  test("correlated scalar under OR is rejected loudly") {
+    val e = intercept[graft.sql.SemanticError] {
+      engine.sql(
+        """SELECT u.user_id FROM users u
+          |WHERE u.age > 100 OR u.age > (SELECT AVG(o.price) FROM orders o
+          |                              WHERE o.user_id = u.user_id)""".stripMargin)
+    }
+    assert(e.getMessage.contains("top-level AND conjunct"))
+  }
+
+  test("correlated scalar with a non-equality correlation predicate is rejected") {
+    val e = intercept[graft.sql.SemanticError] {
+      engine.sql(
+        """SELECT u.user_id FROM users u
+          |WHERE u.age > (SELECT AVG(o.price) FROM orders o
+          |               WHERE o.user_id < u.user_id)""".stripMargin)
+    }
+    assert(e.getMessage.contains("equality"))
+  }
+
+  test("uncorrelated scalar subqueries still inline as literals") {
+    val out = engine.sql(
+      """SELECT name FROM users
+        |WHERE age > (SELECT AVG(age) FROM users)""".stripMargin)
+    assert(rows(out.df) == Set(Seq("Bob"), Seq("Cara"))) // avg = 28
+  }
 }
