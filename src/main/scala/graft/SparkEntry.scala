@@ -775,6 +775,26 @@ object SparkEntry {
           maxBucket = 64))
         .select(F.col("id").as("doc_id"), F.col("cluster"))),
 
+    // ---- LEAKAGE-FREE train/val/test split: the split key is the
+    //      near-dup CLUSTER, not the document, so near-duplicates can
+    //      never straddle train and eval (the contamination a per-doc
+    //      split silently allows). Unclustered docs key on themselves.
+    //      Scale shape: q51's bounded cluster machinery + a broadcast
+    //      left join of the (small) cluster map + a narrow hash — no new
+    //      shuffle class over q51 ----
+    "q163_leakfree_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.clusters(
+          Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+            rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+        .select(F.col("id").as("doc_id"), F.col("cluster"))
+      val assigned = docs.select("doc_id")
+        .join(F.broadcast(clusters), Seq("doc_id"), "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
+      Scale.hashSplit(assigned, F.col("cluster"))
+        .select("doc_id", "cluster", "split")
+    }),
+
     // ---- TPC-H Q5 shape (local-supplier revenue) through the SQL
     //      dialect: 6-way join incl. a two-condition ON (l_suppkey =
     //      s_suppkey AND c_nationkey = s_nationkey) ----
@@ -2516,6 +2536,30 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
+
+    // q51's closure, left-joined onto ALL docs (self-cluster fallback),
+    // then the q88 md5 split keyed on the CLUSTER id
+    "q163_leakfree_split" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |,cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |        FROM reach GROUP BY a),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, cluster,
+         | CASE WHEN b < 80 THEN 'train'
+         |      WHEN b < 90 THEN 'validation'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster,
+         |  ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+         | FROM assigned)""".stripMargin,
 
     // incremental = old-side pairs under the OLD corpus's bucket caps
     // (replayed from `banded` restricted to id < 400) ∪ new-involving

@@ -251,6 +251,35 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(n("validation") - 100) < 50, n.toString)
   }
 
+  test("leakage-free split: near-duplicates always land on the same side") {
+    import graft.operators.Dedup
+    // two exact-duplicate groups + singletons; the per-DOC split would be
+    // free to separate dup pairs, the per-CLUSTER split must not
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "completely unrelated content lives here apart")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.clusters(
+        Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+          rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+      .select(F.col("id").as("doc_id"), F.col("cluster"))
+    val assigned = docs.select("doc_id")
+      .join(F.broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
+    val out = Scale.hashSplit(assigned, F.col("cluster"))
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 5) // every doc assigned exactly once
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1)) // one side per cluster
+    // the dup pairs share a cluster (and therefore a side)
+    val side = out.map(t => t._1 -> t._3).toMap
+    assert(side(0L) == side(1L) && side(2L) == side(3L))
+  }
+
   test("PII redaction scrubs emails/phones/IPs and counts hits") {
     val df = Seq(
       (1L, "write bob.smith+x@corp.example.org or call 555-123-4567"),
