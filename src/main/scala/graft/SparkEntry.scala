@@ -795,6 +795,17 @@ object SparkEntry {
         .select("doc_id", "cluster", "split")
     }),
 
+    // ---- deterministic range buckets (sorted-export primitive): exact
+    //      k-quantile boundaries + codegen'd assignment — unlike
+    //      repartitionByRange's per-run reservoir sample, the same input
+    //      always cuts at the same points, so the oracle replays it ----
+    "q164_range_buckets" -> ((s, dir) =>
+      Scale.rangeBuckets(t(s, dir, "lineitem"), F.col("l_extendedprice"), 8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.round(F.min("l_extendedprice"), 4).as("lo"),
+          F.round(F.max("l_extendedprice"), 4).as("hi"))),
+
     // ---- TPC-H Q5 shape (local-supplier revenue) through the SQL
     //      dialect: 6-way join incl. a two-condition ON (l_suppkey =
     //      s_suppkey AND c_nationkey = s_nationkey) ----
@@ -2560,6 +2571,22 @@ object SparkEntry {
          |FROM (SELECT doc_id, cluster,
          |  ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
          | FROM assigned)""".stripMargin,
+
+    // quantile_cont == Spark percentile (the q40 precedent); boundaries
+    // rounded at 4dp in BOTH engines before the comparison chain
+    "q164_range_buckets" -> {
+      val cuts = (1 until 8)
+        .map(i => s"round(quantile_cont(l_extendedprice, $i/8.0), 4)")
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT $cuts AS bs FROM lineitem)
+         |SELECT CAST(len(list_filter(b.bs, v -> l_extendedprice > v)) AS INTEGER)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(min(l_extendedprice), 4) AS lo,
+         |  round(max(l_extendedprice), 4) AS hi
+         |FROM lineitem, b
+         |GROUP BY 1""".stripMargin
+    },
 
     // incremental = old-side pairs under the OLD corpus's bucket caps
     // (replayed from `banded` restricted to id < 400) ∪ new-involving

@@ -192,6 +192,31 @@ object Scale {
         .otherwise("test"))
   }
 
+  /** Deterministic range-bucket assignment — the building block of a
+    * range-partitioned (sorted) export at 100 TB. Spark's own
+    * `repartitionByRange` samples a reservoir per run, so identical
+    * input can land rows in different partitions across runs; here the
+    * boundaries are the EXACT k-quantiles of the key (one sort-based
+    * aggregate; k-1 scalars collected — bounded by construction, the
+    * ivfCentroids precedent), rounded to 4 dp so a differential oracle
+    * computes identical cutpoints, and assignment is a codegen'd
+    * comparison chain (`bucket` in [0, k), narrow, no shuffle). Writing
+    * `partitionBy("bucket")` after this yields a stable sorted layout. */
+  def rangeBuckets(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1024, s"k must be in [2, 1024], got $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val bounds = df
+      .agg(F.percentile(key, F.typedLit(probs)).as("_b"))
+      .head().getSeq[Double](0)
+      // half-up at 4 dp — DuckDB round()'s away-from-zero agrees for the
+      // non-negative keys this is meant for; sub-ulp engine differences
+      // in the interpolated quantile vanish under the rounding
+      .map(b => math.round(b * 1e4) / 1e4)
+    val bucket = bounds.map(b => (key > F.lit(b)).cast("int"))
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
   /** Salted equi-join for skewed keys when NEITHER side broadcasts (two
     * fact tables): the skewed left keeps one row per record with a
     * deterministic salt in [0, salts); the right is replicated `salts`×

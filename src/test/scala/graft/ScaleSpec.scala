@@ -280,6 +280,24 @@ class ScaleSpec extends SparkSpec {
     assert(side(0L) == side(1L) && side(2L) == side(3L))
   }
 
+  test("range buckets: contiguous cutpoints, near-even sizes, rerun-stable") {
+    val df = (1 to 1000).map(i => (i.toLong, (i * 7919 % 1000).toDouble / 3.0))
+      .toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Scale.rangeBuckets(d, F.col("v"), 4).select("id", "v", "bucket")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val a = run(df)
+    assert(a.map(_._3).toSet.subsetOf(Set(0, 1, 2, 3)))
+    // contiguity: every bucket's max is <= the next bucket's min
+    val byB = a.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (b <- 0 until 3 if byB.contains(b) && byB.contains(b + 1))
+      assert(byB(b).max <= byB(b + 1).min)
+    // exact quantile cutpoints give near-even occupancy (ties aside)
+    byB.values.foreach(vs => assert(math.abs(vs.size - 250) < 60, byB.view.mapValues(_.size).toMap))
+    // deterministic across partitioning, unlike repartitionByRange
+    assert(run(df.repartition(7)).sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
+  }
+
   test("PII redaction scrubs emails/phones/IPs and counts hits") {
     val df = Seq(
       (1L, "write bob.smith+x@corp.example.org or call 555-123-4567"),
