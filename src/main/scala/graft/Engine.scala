@@ -27,12 +27,37 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def table(ref: String): GraftFrame =
     GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
 
-  def sql(query: String): GraftFrame = {
-    // scalar-subquery memo is per-statement: a long-lived Engine (the
-    // shell) must not serve a stale collected value after the underlying
-    // table changed on disk
-    scalarCache.clear()
-    evalCompound(SqlParser.parseCompound(query), Map.empty)
+  /** `CREATE TABLE <target> AS SELECT ...` (extension): target is a
+    * quoted parquet path, a quoted `.bin` path (materializes in the
+    * reference's native BlockFile format — column types must be the
+    * format's i32/f32/str/ts set, enforced by the writer), or a bare
+    * name resolved against the engine's base directory with the SAME
+    * rule FROM uses — so the created table is immediately SELECTable
+    * in the next statement. Overwrites an existing target. */
+  private val Ctas =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+AS\s+(.+)$""".r
+
+  def sql(query: String): GraftFrame = query match {
+    case Ctas(quoted, bare, body) =>
+      scalarCache.clear()
+      val frame = evalCompound(SqlParser.parseCompound(body), Map.empty)
+      val target =
+        if (quoted != null) quoted
+        else baseDir match {
+          case Some(d) => s"$d/$bare.parquet"
+          case None => throw new SemanticError(
+            "CREATE TABLE with a bare name needs an engine base " +
+            "directory; use a quoted target path instead")
+        }
+      if (target.endsWith(".bin")) Tables.blockFileWrite(frame.df, target)
+      else frame.df.write.mode("overwrite").parquet(target)
+      table(target)
+    case _ =>
+      // scalar-subquery memo is per-statement: a long-lived Engine (the
+      // shell) must not serve a stale collected value after the
+      // underlying table changed on disk
+      scalarCache.clear()
+      evalCompound(SqlParser.parseCompound(query), Map.empty)
   }
 
   /** Evaluate a compound under a CTE scope (name → planned frame).
