@@ -49,9 +49,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             "CREATE TABLE with a bare name needs an engine base " +
             "directory; use a quoted target path instead")
         }
-      if (target.endsWith(".bin")) Tables.blockFileWrite(frame.df, target)
-      else frame.df.write.mode("overwrite").parquet(target)
-      table(target)
+      // resolve ONCE and write + re-read the same resolved path
+      // (Tables.resolve scaladoc: a quoted extension-less target would
+      // otherwise write `./out` and read back `<baseDir>/out.parquet`)
+      val resolved = Tables.resolve(target, baseDir)
+      if (resolved.endsWith(".bin")) Tables.blockFileWrite(frame.df, resolved)
+      else frame.df.write.mode("overwrite").parquet(resolved)
+      table(resolved)
     case _ =>
       // scalar-subquery memo is per-statement: a long-lived Engine (the
       // shell) must not serve a stale collected value after the
@@ -458,9 +462,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * empty-result error): an outer row whose correlation key has NO
     * subquery rows fails the predicate (the inner join drops it) —
     * which matches SQL's NULL-comparison outcome for every aggregate
-    * except COUNT-of-empty; correlated COUNT compared against 0 is the
-    * one divergent shape. The conjunct must BE the comparison (under OR
-    * the drop-on-empty rendering would be wrong — rejected loudly). */
+    * except COUNT-of-empty, which SQL defines as 0. A bare correlated
+    * COUNT therefore renders as a LEFT join + `coalesce(value, 0)`
+    * (exact SQL semantics); a COUNT nested inside a larger select
+    * expression (`COUNT(*) + 1`) has no coalesce rendering for the
+    * empty group and is rejected loudly rather than mis-evaluated.
+    * The conjunct must BE the comparison (under OR the drop-on-empty
+    * rendering would be wrong — rejected loudly). */
   private def correlatedScalarFilter(frame: GraftFrame, cond: Col,
       scope: Map[String, GraftFrame]): GraftFrame = {
     cond match {
@@ -526,6 +534,20 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case Alias(e, _) => e
       case e           => e
     }
+    // COUNT over an empty correlation group is 0 in SQL, but the keyed
+    // aggregate has no row for it — a bare COUNT gets the left-join +
+    // coalesce rendering below; a COUNT buried in arithmetic has no
+    // such rendering (COUNT(*)+1 over empty is 1, not coalesce-0) and
+    // is rejected rather than mis-evaluated
+    val isBareCount = selExpr match {
+      case AggCol(f, _, _) => f == "count" || f == "count_distinct"
+      case _               => false
+    }
+    if (!isBareCount && collectNestedCounts(selExpr))
+      throw new SemanticError(
+        "A correlated scalar subquery may use COUNT only as the bare " +
+        "select expression (COUNT over an empty group is 0, which has " +
+        s"no keyed-aggregate rendering inside a larger expression): $selExpr")
     // the keyed aggregate, planned through the normal grouped machinery
     // (agg naming, GROUP BY validity, qualifier cleanup all reused)
     val innerQ = SqlQuery(
@@ -541,7 +563,29 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       (ColRef(o): Col) === ColRef(keyName(i))
     }.reduce(_ && _)
     helperCols ++= keyNames += valName
-    (outer.join(agged, joinCond, "inner"), ColRef(valName))
+    if (isBareCount)
+      (outer.join(agged, joinCond, "left"),
+        FuncCall("coalesce", Seq(ColRef(valName), Lit(0L))))
+    else
+      (outer.join(agged, joinCond, "inner"), ColRef(valName))
+  }
+
+  /** True when any COUNT/COUNT DISTINCT aggregate appears in the tree. */
+  private def collectNestedCounts(c: Col): Boolean = c match {
+    case AggCol(f, ch, _) => f == "count" || f == "count_distinct" ||
+      collectNestedCounts(ch)
+    case Alias(ch, _)    => collectNestedCounts(ch)
+    case BinOp(_, l, r)  => collectNestedCounts(l) || collectNestedCounts(r)
+    case Not(ch)         => collectNestedCounts(ch)
+    case Like(ch, _)     => collectNestedCounts(ch)
+    case Cast(ch, _)     => collectNestedCounts(ch)
+    case IsNull(ch)      => collectNestedCounts(ch)
+    case FuncCall(_, as) => as.exists(collectNestedCounts)
+    case CaseWhen(bs, e) =>
+      bs.exists { case (w, v) =>
+        collectNestedCounts(w) || collectNestedCounts(v) } ||
+        e.exists(collectNestedCounts)
+    case _               => false
   }
 
   /** Every column reference in an expression tree (subquery bodies

@@ -779,9 +779,13 @@ object SparkEntry {
     //      near-dup CLUSTER, not the document, so near-duplicates can
     //      never straddle train and eval (the contamination a per-doc
     //      split silently allows). Unclustered docs key on themselves.
-    //      Scale shape: q51's bounded cluster machinery + a broadcast
-    //      left join of the (small) cluster map + a narrow hash — no new
-    //      shuffle class over q51 ----
+    //      Scale shape: q51's bounded cluster machinery + a left join
+    //      of the cluster map + a narrow hash — no new shuffle class
+    //      over q51. NO broadcast hint on the cluster map: it has one
+    //      row per document in any near-dup pair, which is O(corpus) on
+    //      a duplicate-heavy corpus (the x10 probes are 90% dups) — a
+    //      forced broadcast would OOM the driver at scale, while AQE
+    //      broadcasts genuinely small sides on its own ----
     "q163_leakfree_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val clusters = Dedup.clusters(
@@ -789,7 +793,7 @@ object SparkEntry {
             rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
         .select(F.col("id").as("doc_id"), F.col("cluster"))
       val assigned = docs.select("doc_id")
-        .join(F.broadcast(clusters), Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
       Scale.hashSplit(assigned, F.col("cluster"))
         .select("doc_id", "cluster", "split")
@@ -1689,6 +1693,33 @@ object SparkEntry {
         path, rowsPerBlock = 512)
       Tables.blockFileAppend(src.filter(F.col("o_orderkey") % 2 =!= 0),
         path, rowsPerBlock = 512)
+      Tables.blockFileRead(s, path)
+    }),
+
+    // ---- PARALLEL BlockFile export at 10× the q141 volume: the
+    //      directory-of-blocks writer (one part per task, NO driver
+    //      byte path — q141/q145's single-file form is inherently a
+    //      driver gather) round-tripped through the DSv2 reader, which
+    //      treats the directory as one table. 10 distinct-keyed copies
+    //      = 10 input partitions = 10 task-written parts; the oracle
+    //      replays the replication, so the gate proves losslessness of
+    //      the parallel path end-to-end ----
+    "q165_blockfile_dir" -> ((s, dir) => {
+      val path = stagingDir("graft_bfdir") + "/lineitem10"
+      val base = t(s, dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").as("l_orderkey"),
+        F.col("l_linenumber").cast("int").as("l_linenumber"),
+        F.col("l_quantity").cast("float").as("l_quantity"),
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.col("l_shipdate"))
+      val x10 = (0 until 10).map(i => base.select(
+          (F.col("l_orderkey") + F.lit(i * 10000000)).cast("int")
+            .as("l_orderkey"),
+          F.col("l_linenumber"), F.col("l_quantity"),
+          F.col("l_returnflag"), F.col("l_linestatus"),
+          F.col("l_shipdate")))
+        .reduce(_.union(_))
+      Tables.blockFileWriteDir(x10, path, rowsPerBlock = 8192)
       Tables.blockFileRead(s, path)
     }),
 
@@ -3866,6 +3897,16 @@ object SparkEntry {
         |  CAST(o_totalprice AS REAL) AS o_totalprice,
         |  o_orderstatus
         |FROM orders""".stripMargin,
+
+    // the 10× replication replayed with a range cross join; every value
+    // must survive the parallel per-task part writes + the multi-part
+    // read exactly as q141 proves for the single-file path
+    "q165_blockfile_dir" ->
+      """SELECT CAST(l_orderkey + i * 10000000 AS INTEGER) AS l_orderkey,
+        |  CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        |  CAST(l_quantity AS REAL) AS l_quantity,
+        |  l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem, range(10) t(i)""".stripMargin,
 
     // the q96 chunk construction (stride = window = 32) + the q25
     // word-list scorer per chunk + the doc-level vote, aggregated

@@ -205,13 +205,19 @@ object Scale {
   def rangeBuckets(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 1024, s"k must be in [2, 1024], got $k")
     val probs = (1 until k).map(_.toDouble / k)
-    val bounds = df
-      .agg(F.percentile(key, F.typedLit(probs)).as("_b"))
-      .head().getSeq[Double](0)
-      // half-up at 4 dp — DuckDB round()'s away-from-zero agrees for the
-      // non-negative keys this is meant for; sub-ulp engine differences
-      // in the interpolated quantile vanish under the rounding
-      .map(b => math.round(b * 1e4) / 1e4)
+    val row = df.agg(F.percentile(key, F.typedLit(probs)).as("_b")).head()
+    // percentile over zero rows (empty input, or every key null) yields
+    // a null array — fail with a meaningful message, not an NPE
+    require(!row.isNullAt(0),
+      "rangeBuckets: input has no non-null key values, no quantile " +
+      "cutpoints exist (empty DataFrame or all-null key column)")
+    val bounds = row.getSeq[Double](0)
+      // HALF_UP (away from zero) at 4 dp — matches DuckDB round() on
+      // BOTH sign domains (math.round's half-up-toward-+inf diverged
+      // for negative keys); sub-ulp engine differences in the
+      // interpolated quantile vanish under the rounding
+      .map(b => BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
     val bucket = bounds.map(b => (key > F.lit(b)).cast("int"))
       .reduce(_ + _)
     df.withColumn("bucket", bucket)

@@ -38,8 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * [[BlockFile.write]] streams the frame through the driver: the format
   * is a SINGLE FILE with a global footer (like the reference writes) —
-  * an interchange/compat utility, not a distributed sink; parquet is
-  * the scale-path storage. */
+  * an interchange/compat utility, not a distributed sink.
+  * [[BlockFile.writeDir]] is the PARALLEL form: one part file per task
+  * into a directory the reader treats as one table — no driver byte
+  * path. Parquet remains the scale-path storage. */
 object BlockFile {
 
   val MaxStrLength = 0xFF // one length byte per string (io.py:18,43-44)
@@ -66,8 +68,23 @@ object BlockFile {
       s"Unknown BlockFile type ordinal $other")
   }
 
-  /** Read just the header schema (driver-side, a few hundred bytes). */
+  /** Part files of a DIRECTORY-form BlockFile table, in name order —
+    * each a complete single-file BlockFile (see [[writeDir]]). */
+  private[graft] def partFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".bin"))
+      .sortBy(_.getName).toSeq
+
+  /** Read just the header schema (driver-side, a few hundred bytes).
+    * A directory reads as its first part file ([[writeDir]] layout). */
   def readSchema(path: String): StructType = {
+    val f0 = new java.io.File(path)
+    if (f0.isDirectory) {
+      val parts = partFiles(f0)
+      require(parts.nonEmpty,
+        s"BlockFile directory $path contains no part-*.bin files")
+      return readSchema(parts.head.getPath)
+    }
     val f = new RandomAccessFile(path, "r")
     try {
       val n = f.readUnsignedByte()
@@ -119,46 +136,98 @@ object BlockFile {
     * exactly as the single-node reference behaves. */
   def write(df: DataFrame, path: String,
             rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
+    validateWritable(df.schema, rowsPerBlock)
+    val os = new FileOutputStream(path)
+    try writeTo(os, df.schema,
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        microsView(df).toLocalIterator()).asScala, rowsPerBlock)
+    finally os.close()
+  }
+
+  private def validateWritable(schema: StructType, rowsPerBlock: Int): Unit = {
     require(rowsPerBlock >= 1, s"rowsPerBlock must be >= 1, got $rowsPerBlock")
-    val schema = df.schema
     require(schema.length < 0xFF,
       s"BlockFile holds at most 254 columns (io.py MAX_COLUMNS), got ${schema.length}")
     schema.fields.foreach(f => ordinalOf(f.dataType)) // validate up front
-    val out = new java.io.DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path)))
+  }
+
+  /** Stream one complete BlockFile (header + blocks + footer) to an
+    * output stream — the shared core of the driver-side [[write]] and
+    * the per-task writers of [[writeDir]]. Rows must already be in the
+    * micros iteration shape ([[microsView]]). */
+  private[sources] def writeTo(os: java.io.OutputStream, schema: StructType,
+                               it: Iterator[org.apache.spark.sql.Row],
+                               rowsPerBlock: Int): Unit = {
+    val out = new java.io.DataOutputStream(new BufferedOutputStream(os))
     var offset = 0L
     def writeBytes(b: Array[Byte]): Unit = { out.write(b); offset += b.length }
-    def u32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
-      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
-    def u64(v: Long): Array[Byte] = ByteBuffer.allocate(8)
-      .order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
-    try {
-      // header
-      writeBytes(Array(schema.length.toByte))
-      schema.fields.foreach { f =>
-        val name = f.name.getBytes("UTF-8")
-        require(name.length < MaxStrLength, s"column name too long: ${f.name}")
-        writeBytes(Array(ordinalOf(f.dataType).toByte, name.length.toByte))
-        writeBytes(name)
+    // header
+    writeBytes(Array(schema.length.toByte))
+    schema.fields.foreach { f =>
+      val name = f.name.getBytes("UTF-8")
+      require(name.length < MaxStrLength, s"column name too long: ${f.name}")
+      writeBytes(Array(ordinalOf(f.dataType).toByte, name.length.toByte))
+      writeBytes(name)
+    }
+    val blockOffsets = ListBuffer.empty[Long]
+    // growable buffer, not Array(rowsPerBlock): at the 2M-row default a
+    // pre-sized array per writeDir TASK would pin 16 MB of refs × cores
+    val block = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    def flushBlock(): Unit = if (block.nonEmpty) {
+      blockOffsets += offset
+      writeBytes(encodeBlock(schema, block, block.length))
+      block.clear()
+    }
+    while (it.hasNext) {
+      block += it.next()
+      if (block.length == rowsPerBlock) flushBlock()
+    }
+    flushBlock()
+    // footer
+    blockOffsets.foreach(o => writeBytes(u64Bytes(o)))
+    writeBytes(u32Bytes(blockOffsets.length))
+    out.flush()
+  }
+
+  /** PARALLEL directory-of-blocks writer: every input partition writes
+    * its own `part-NNNNN.bin` — a complete, self-describing BlockFile —
+    * directly from its task, so large exports never stream through the
+    * driver (the single-FILE [[write]] stays the interchange path; its
+    * global footer makes it inherently a gather point). The DSv2 reader
+    * treats the directory as ONE table: partitions = all blocks of all
+    * parts in name order, same pruning, same COUNT(*) pushdown. Each
+    * part also loads individually in the reference engine (it is just a
+    * BlockFile). The path must be on a filesystem every executor can
+    * reach (local[*]/NFS here; the format is the single-node
+    * reference's, parquet is the at-scale storage).
+    *
+    * Empty input partitions write no file; a fully empty frame leaves
+    * one zero-block part so the table stays readable. */
+  def writeDir(df: DataFrame, path: String,
+               rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
+    val schema = df.schema
+    validateWritable(schema, rowsPerBlock)
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      require(dir.isDirectory, s"writeDir target $path exists and is a file " +
+        "(use write() for the single-file form)")
+      partFiles(dir).foreach(_.delete()) // overwrite semantics
+    } else require(dir.mkdirs(), s"cannot create directory $path")
+    val rpb = rowsPerBlock
+    val dirPath = dir.getAbsolutePath
+    val written = microsView(df).rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val part = new java.io.File(dirPath, f"part-$idx%05d.bin")
+        val os = new FileOutputStream(part)
+        try writeTo(os, schema, it, rpb) finally os.close()
+        Iterator.single(1)
       }
-      val blockOffsets = ListBuffer.empty[Long]
-      val it = microsView(df).toLocalIterator()
-      val block = new Array[org.apache.spark.sql.Row](rowsPerBlock)
-      var n = 0
-      def flushBlock(): Unit = if (n > 0) {
-        blockOffsets += offset
-        writeBytes(encodeBlock(schema, block, n))
-        n = 0
-      }
-      while (it.hasNext) {
-        block(n) = it.next(); n += 1
-        if (n == rowsPerBlock) flushBlock()
-      }
-      flushBlock()
-      // footer
-      blockOffsets.foreach(o => writeBytes(u64(o)))
-      writeBytes(u32(blockOffsets.length))
-    } finally out.close()
+    }.count()
+    if (written == 0) {
+      val os = new FileOutputStream(new java.io.File(dir, "part-00000.bin"))
+      try writeTo(os, schema, Iterator.empty, rowsPerBlock) finally os.close()
+    }
   }
 
   /** Read a BlockFile as a DataFrame via the DSv2 source (one partition
@@ -176,7 +245,7 @@ object BlockFile {
     * Timestamp columns must already be iterated as epoch-micros longs
     * (the write/append drivers select via [[microsView]] first). */
   private def encodeBlock(schema: StructType,
-                          block: Array[org.apache.spark.sql.Row],
+                          block: collection.Seq[org.apache.spark.sql.Row],
                           n: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(u32Bytes(n))
@@ -283,7 +352,24 @@ object BlockFile {
   def append(df: DataFrame, path: String,
              rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
     require(rowsPerBlock >= 1, s"rowsPerBlock must be >= 1, got $rowsPerBlock")
-    if (!new java.io.File(path).exists()) { write(df, path, rowsPerBlock); return }
+    val f0 = new java.io.File(path)
+    // DIRECTORY form: the merge invariant applies at the table's append
+    // BOUNDARY — the last part file absorbs new rows into its under-full
+    // tail block exactly like the single-file form. Earlier parts' tail
+    // blocks keep their (parallel-write) sizes, the same way parquet
+    // part files keep their final row groups.
+    if (f0.isDirectory) {
+      val parts = partFiles(f0)
+      if (parts.isEmpty) {
+        val os = new FileOutputStream(new java.io.File(f0, "part-00000.bin"))
+        try writeTo(os, df.schema,
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            microsView(df).toLocalIterator()).asScala, rowsPerBlock)
+        finally os.close()
+      } else append(df, parts.last.getPath, rowsPerBlock)
+      return
+    }
+    if (!f0.exists()) { write(df, path, rowsPerBlock); return }
     val fileSchema = readSchema(path)
     val schema = df.schema
     require(schema.length == fileSchema.length &&
@@ -411,15 +497,20 @@ final class BlockFileCountReaderFactory extends PartitionReaderFactory {
       private var done = false
       override def next(): Boolean = { val r = !done; done = true; r }
       override def get(): InternalRow = {
-        val f = new RandomAccessFile(path, "r")
-        try {
-          val total = BlockFile.blockStarts(path).map { off =>
+        val f0 = new java.io.File(path)
+        val files =
+          if (f0.isDirectory) BlockFile.partFiles(f0).map(_.getPath)
+          else Seq(path)
+        val total = files.map { fp =>
+          val f = new RandomAccessFile(fp, "r")
+          try BlockFile.blockStarts(fp).map { off =>
             f.seek(off)
             val b = new Array[Byte](4); f.readFully(b)
             ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
           }.sum
-          new GenericInternalRow(Array[Any](total))
-        } finally f.close()
+          finally f.close()
+        }.sum
+        new GenericInternalRow(Array[Any](total))
       }
       override def close(): Unit = ()
     }
@@ -431,9 +522,24 @@ final class BlockFileScan(path: String, full: StructType, required: StructType)
   override def toBatch: Batch = this
   override def description(): String =
     s"BlockFileScan(path=$path, columns=${required.fieldNames.mkString(",")})"
-  override def planInputPartitions(): Array[InputPartition] =
-    BlockFile.blockStarts(path)
-      .map(off => BlockFilePartition(path, off): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f0 = new java.io.File(path)
+    if (f0.isDirectory) {
+      val parts = BlockFile.partFiles(f0)
+      // loud on inter-part schema drift (each part is self-describing;
+      // a foreign .bin dropped into the directory must not mis-decode)
+      parts.foreach { p =>
+        val s = BlockFile.readSchema(p.getPath)
+        require(s == full,
+          s"BlockFile part ${p.getName} schema ${s.simpleString} does not " +
+          s"match the table schema ${full.simpleString}")
+      }
+      parts.flatMap(p => BlockFile.blockStarts(p.getPath)
+        .map(off => BlockFilePartition(p.getPath, off): InputPartition)).toArray
+    } else
+      BlockFile.blockStarts(path)
+        .map(off => BlockFilePartition(path, off): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockFileReaderFactory(full, required)
 }

@@ -26,18 +26,25 @@ object Tables {
     * table name resolved against `baseDir` as `<baseDir>/<name>.parquet`.
     */
   def load(spark: SparkSession, ref: String, baseDir: Option[String] = None): DataFrame = {
+    val path = resolve(ref, baseDir)
+    if (path.endsWith(".bin")) BlockFile.read(spark, path)
+    else spark.read.parquet(path)
+  }
+
+  /** The on-disk path a table reference resolves to — ONE rule shared
+    * by FROM (via [[load]]) and CTAS (Engine): CTAS must write to the
+    * exact path a subsequent read of the same reference resolves to,
+    * or `CREATE TABLE 'out' AS ...` would write `./out` and read back
+    * `<baseDir>/out.parquet` — silently a different (possibly
+    * pre-existing) table. Idempotent: resolving an already-resolved
+    * path returns it unchanged. */
+  def resolve(ref: String, baseDir: Option[String]): String =
     if (ref.endsWith(".bin")) {
       val p = new java.io.File(ref)
-      val resolved =
-        if (p.isAbsolute || p.exists()) ref
-        else baseDir.map(d => s"$d/$ref").getOrElse(ref)
-      return BlockFile.read(spark, resolved)
-    }
-    val path =
-      if (ref.endsWith(".parquet") || ref.contains("/")) ref
-      else baseDir.map(d => s"$d/$ref.parquet").getOrElse(ref)
-    spark.read.parquet(path)
-  }
+      if (p.isAbsolute || p.exists()) ref
+      else baseDir.map(d => s"$d/$ref").getOrElse(ref)
+    } else if (ref.endsWith(".parquet") || ref.contains("/")) ref
+    else baseDir.map(d => s"$d/$ref.parquet").getOrElse(ref)
 
   /** CSV ingestion with a declared schema
     * (reference: src/mini_spark/utils.py:179-203 csv→BlockFile). ISO
@@ -150,6 +157,13 @@ object Tables {
 
   def blockFileRead(spark: SparkSession, path: String): DataFrame =
     BlockFile.read(spark, path)
+
+  /** Parallel directory-of-blocks write: one `part-NNNNN.bin` per input
+    * partition, written task-side (no driver byte path); the reader
+    * treats the directory as one table — see [[BlockFile.writeDir]]. */
+  def blockFileWriteDir(df: DataFrame, path: String,
+                        rowsPerBlock: Int = 2 * 1024 * 1024): Unit =
+    BlockFile.writeDir(df, path, rowsPerBlock)
 
   /** Append to an existing `.bin`, merging into an under-full final
     * block — the reference's append invariant (io.py:231-252). */

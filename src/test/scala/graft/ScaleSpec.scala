@@ -267,10 +267,18 @@ class ScaleSpec extends SparkSpec {
           rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
       .select(F.col("id").as("doc_id"), F.col("cluster"))
     val assigned = docs.select("doc_id")
-      .join(F.broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
-    val out = Scale.hashSplit(assigned, F.col("cluster"))
-      .select("doc_id", "cluster", "split").collect()
+    val split = Scale.hashSplit(assigned, F.col("cluster"))
+      .select("doc_id", "cluster", "split")
+    // the cluster map is O(duplicated docs) — a FORCED broadcast of it
+    // OOMs the driver on a duplicate-heavy corpus; the plan must carry
+    // no broadcast hint (AQE broadcasts genuinely small sides itself)
+    val hints = split.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected broadcast hint in plan: $hints")
+    val out = split.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.length == 5) // every doc assigned exactly once
     val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)

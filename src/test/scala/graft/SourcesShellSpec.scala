@@ -144,6 +144,64 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(Tables.blockFileRead(spark, s"$d/typed.bin")) == rows(typed))
   }
 
+  test("BlockFile: directory-of-blocks parallel write, read, append invariant") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft-bf-dir").toString
+    val p = s"$d/tbl"
+    // one part PER TASK: 4 input partitions must produce 4 part files —
+    // the write-side parallelism the single-file format cannot have
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("i", "s").repartition(4)
+    Tables.blockFileWriteDir(df, p, rowsPerBlock = 10)
+    def parts = graft.sources.BlockFile.partFiles(new java.io.File(p))
+    assert(parts.length == 4, s"expected 4 task-written parts, got ${parts.length}")
+    def back = Tables.blockFileRead(spark, p)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      .toSeq == (1 to 100).map(i => (i, s"v$i")))
+    // scan parallelism: one read partition per block across ALL parts
+    val totalBlocks = parts
+      .map(f => graft.sources.BlockFile.blockStarts(f.getPath).length).sum
+    assert(back.rdd.getNumPartitions == totalBlocks)
+    // COUNT(*) pushdown sums block headers across the directory
+    assert(back.count() == 100L)
+    // column pruning still routes through the per-part size prefixes
+    assert(back.select(col("s")).where(col("s") === "v7").count() == 1L)
+
+    // append invariant AT THE DIRECTORY BOUNDARY: the last part's
+    // under-full tail block absorbs appended rows (single-file
+    // invariant, reference io.py:231-252); earlier parts untouched
+    def lastPart = parts.last.getPath
+    def lastBlocks = graft.sources.BlockFile.blockStarts(lastPart).length
+    def tailRows: Int = {
+      val f = new java.io.RandomAccessFile(lastPart, "r")
+      try {
+        f.seek(graft.sources.BlockFile.blockStarts(lastPart).last)
+        val b = new Array[Byte](4); f.readFully(b)
+        java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      } finally f.close()
+    }
+    val (blocksBefore, tailBefore) = (lastBlocks, tailRows)
+    assert(tailBefore < 10) // 25-row partitions under a 10-row cap
+    val room = 10 - tailBefore
+    Tables.blockFileAppend(
+      (101 to 100 + room).map(i => (i, s"v$i")).toDF("i", "s"), p,
+      rowsPerBlock = 10)
+    // the appended rows exactly fill the tail: same block count
+    assert(lastBlocks == blocksBefore && tailRows == 10)
+    assert(back.count() == 100L + room)
+    // one more row now opens a fresh block
+    Tables.blockFileAppend(Seq((999, "z")).toDF("i", "s"), p, rowsPerBlock = 10)
+    assert(lastBlocks == blocksBefore + 1 && tailRows == 1)
+    assert(back.count() == 101L + room)
+
+    // empty frame still leaves a readable (zero-row) table
+    Tables.blockFileWriteDir(df.filter("i < 0"), s"$d/empty", rowsPerBlock = 10)
+    assert(Tables.blockFileRead(spark, s"$d/empty").count() == 0L)
+    // schema drift between parts fails loudly at scan planning
+    Tables.blockFileWrite(Seq(Tuple1(1)).toDF("only"), s"$p/part-zzzzz.bin")
+    assertThrows[Exception](back.collect())
+  }
+
   test("BlockFile: our append is readable by the reference implementation") {
     import scala.sys.process._
     import spark.implicits._
