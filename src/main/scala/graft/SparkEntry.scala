@@ -1749,6 +1749,25 @@ object SparkEntry {
             F.col("n_exact") * 0.05 + 16).as("within_bound"))
     }),
 
+    // ---- mergeable fixed-width histograms: three deterministic ingest
+    //      shards each persist per-(lang, source) length histograms;
+    //      the merge sums counts under the coarser per-lang grouping
+    //      and reads off p50/p90 upper-bound estimates — the exactly-
+    //      replayable quantile companion of the q138 HLL sketches
+    //      (shard merge = whole-corpus histogram, which is the
+    //      mergeability property the oracle checks) ----
+    "q167_histogram_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = stagingDir("graft_hist")
+      (0 until 3).foreach(i =>
+        Scale.writeHistogramSketches(docs.filter(F.col("doc_id") % 3 === i),
+          Seq("lang", "source"), F.col("n_chars"), s"$base/shard$i",
+          width = 64))
+      Scale.mergedQuantiles(s, s"$base/shard*", Seq("lang"),
+          probs = Seq(0.5, 0.9), width = 64)
+        .select("lang", "p", "q_est")
+    }),
+
     // ---- exact-k-per-stratum sample ("exactly 5 docs per language"):
     //      bounded-heap selection by highest id-hash — uniform, stable,
     //      never a full-stratum window sort ----
@@ -1857,6 +1876,20 @@ object SparkEntry {
         ivfCentroids, pqCodebooks, path)
       Similarity.pqTopKFromCodes(s, path, "vec_id", q,
         ivfCentroids, pqCodebooks, k = 10, nprobe = 2)
+        .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
+    }),
+
+    // ---- IVF-PQ + EXACT RE-RANK: ADC over probed cells pools 50
+    //      compressed candidates, full vectors are read for ONLY those
+    //      50, exact squared-L2 picks the final top-10 — the serving
+    //      config that closes PQ's recall gap while touching O(rerank)
+    //      raw vectors per query; oracle replays all three stages ----
+    "q168_knn_ivfpq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqTopKIvfRefine(emb, "embedding", "vec_id", q,
+        ivfCentroids, pqCodebooks, k = 10, nprobe = 2, rerank = 50)
         .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
     }),
 
@@ -1972,6 +2005,30 @@ object SparkEntry {
         docs.filter(F.col("doc_id") < 20), "text", "doc_id",
         numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.5,
         maxBucket = 64)
+    }),
+
+    // ---- per-source contamination REPORT: the q129 cross-corpus
+    //      fuzzy-decontamination pairs rolled up to the number every
+    //      data lead actually asks for — "how contaminated is each
+    //      source against the eval set?". Adds one distinct + one
+    //      left join + one agg on top of the cross pipeline; the
+    //      flagged-id set is bounded by the eval side, so the join
+    //      side AQE broadcasts is small by construction ----
+    "q166_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = Dedup.minhashLshCross(
+          docs.filter(F.col("doc_id") >= 20), "text", "doc_id",
+          docs.filter(F.col("doc_id") < 20), "text", "doc_id",
+          numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.5,
+          maxBucket = 64)
+        .select("corpus_id").distinct()
+      docs.filter(F.col("doc_id") >= 20)
+        .join(flagged, docs("doc_id") === flagged("corpus_id"), "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.count(F.col("corpus_id")).as("n_contaminated"),
+          F.round(F.count(F.col("corpus_id")) /
+            F.count(F.lit(1)).cast("double"), 6).as("contaminated_frac"))
     }),
 
     // ---- corpus snapshot diff: classify ids across two corpus
@@ -2456,6 +2513,38 @@ object SparkEntry {
          |FROM j
          |WHERE jaccard >= 0.5 AND ((id_a < 20) <> (id_b < 20))""".stripMargin,
 
+    // the q129 cross-pair replay rolled up: distinct flagged corpus ids,
+    // left-joined onto the corpus side, counted per source
+    "q166_contamination_report" ->
+      s"""WITH ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |flagged AS (SELECT DISTINCT
+         |    CASE WHEN id_a < 20 THEN id_b ELSE id_a END AS doc_id
+         |  FROM j
+         |  WHERE jaccard >= 0.5 AND ((id_a < 20) <> (id_b < 20)))
+         |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(f.doc_id) AS BIGINT) AS n_contaminated,
+         |  round(count(f.doc_id) / CAST(count(*) AS DOUBLE), 6)
+         |    AS contaminated_frac
+         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         |WHERE d.doc_id >= 20
+         |GROUP BY d.source""".stripMargin,
+
+    // shard histograms merge to the whole-corpus histogram (mergeability
+    // is exact, so the replay skips the sharding), then the same
+    // first-bucket-reaching-p*total upper-edge rule
+    "q167_histogram_quantiles" ->
+      """WITH h AS (SELECT lang, CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS total
+        |  FROM h)
+        |SELECT lang, p, CAST(min((bucket + 1) * 64) AS BIGINT) AS q_est
+        |FROM c, (SELECT unnest([0.5, 0.9]) AS p) probs
+        |WHERE cum >= p * total
+        |GROUP BY lang, p""".stripMargin,
+
     // the streaming ingest path has NO bucket cap (candidates are
     // corpus-batch × eval bands, bounded by the eval side), so its
     // replay uses the effectively-uncapped banding — the q90 precedent
@@ -2541,6 +2630,10 @@ object SparkEntry {
     // the stored-codes layout must land the exact q123 result
     "q124_knn_pq_layout" ->
       pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
+    // q123's ADC stages + a 50-candidate pool + exact-L2 re-rank
+    "q168_knn_ivfpq_refine" ->
+      pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2)),
+        rerank = Some(50)),
 
     // same algorithm as q33, different execution path (partition-pruned
     // scan over the bucketed layout) — same oracle by construction
@@ -4243,7 +4336,8 @@ object SparkEntry {
     * prepends the q33 bucket-assignment replay so the scan covers only
     * the query's nprobe cells. */
   private def pqOracleSql(codebooks: Seq[Seq[Seq[Double]]], k: Int,
-                          ivfPrune: Option[(Seq[Seq[Double]], Int)] = None): String = {
+                          ivfPrune: Option[(Seq[Seq[Double]], Int)] = None,
+                          rerank: Option[Int] = None): String = {
     val m = codebooks.length
     val subdim = codebooks.head.head.length
     val cbVals = codebooks.zipWithIndex.flatMap { case (cb, s) =>
@@ -4279,6 +4373,24 @@ object SparkEntry {
            |e AS (SELECT vec_id, v0 AS v FROM es
            |  WHERE ($argmax) IN (SELECT i FROM qb)),""".stripMargin
     }
+    val dim = m * subdim
+    // with a rerank pool: ADC picks the pool, full vectors (CTE `e`,
+    // which the pruned variant restricts to probed cells) re-rank it by
+    // exact squared L2 — the pqTopKIvfRefine replay
+    val finalSql = rerank match {
+      case None =>
+        s"""SELECT vec_id, round(dist_raw, 6) AS dist FROM adc
+           |ORDER BY dist_raw, vec_id LIMIT $k""".stripMargin
+      case Some(r) =>
+        s"""cand AS (SELECT vec_id FROM adc ORDER BY dist_raw, vec_id LIMIT $r),
+           |ex AS (SELECT e.vec_id,
+           |    list_sum(list_transform(range($dim), j ->
+           |      (v[j + 1] - qv[j + 1]) * (v[j + 1] - qv[j + 1]))) AS dr
+           |  FROM e JOIN cand USING (vec_id), q)
+           |SELECT vec_id, round(dr, 6) AS dist FROM ex
+           |ORDER BY dr, vec_id LIMIT $k""".stripMargin
+    }
+    val adcClose = if (rerank.isDefined) "," else ""
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
        |cb AS (SELECT * FROM (VALUES
        |    $cbVals) t(s, c, cv)),
@@ -4302,9 +4414,8 @@ object SparkEntry {
        |  FROM codes GROUP BY vec_id),
        |adc AS (SELECT pv.vec_id, $adcSum AS dist_raw
        |  FROM pv
-       |  $lutJoins)
-       |SELECT vec_id, round(dist_raw, 6) AS dist FROM adc
-       |ORDER BY dist_raw, vec_id LIMIT $k""".stripMargin
+       |  $lutJoins)$adcClose
+       |$finalSql""".stripMargin
   }
 
   /** The e/es/eb CTE fragment assigning every embedding its IVF cell

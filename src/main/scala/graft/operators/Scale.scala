@@ -85,6 +85,58 @@ object Scale {
       .groupBy(groupCols.map(F.col): _*)
       .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).as("est"))
 
+  /** Mergeable FIXED-WIDTH histograms, persisted: per group, exact
+    * counts of `floor(value / width)` buckets — the quantile companion
+    * of [[writeDistinctSketches]]. Each ingest shard (or day, or
+    * source) writes its own histogram; [[mergedQuantiles]] SUMS them
+    * under a coarser grouping later and reads off bucket-resolution
+    * quantiles without touching raw data — the property an exact
+    * percentile fundamentally lacks (exact quantiles don't add across
+    * shards; histogram counts do). Sketch size per group is
+    * max(value)/width longs — for doc-length stats a few hundred rows
+    * regardless of corpus size. Unlike the HLL sketch (probabilistic,
+    * bound-checked), every step here is arithmetic a differential
+    * oracle replays EXACTLY. */
+  def writeHistogramSketches(df: DataFrame, groupCols: Seq[String],
+                             valueCol: Column, path: String,
+                             width: Long = 64): Unit = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    df.groupBy((groupCols.map(F.col) :+
+        F.floor(valueCol.cast("long") / F.lit(width)).as("bucket")): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Merge stored histograms ([[writeHistogramSketches]], `path` may
+    * glob over shards) under a coarser grouping and estimate quantiles:
+    * for each probability p, the upper edge `(bucket+1)*width` of the
+    * first bucket whose cumulative count reaches `p * total` — a
+    * conservative (upper-bound) estimate with bucket resolution, fully
+    * deterministic. One narrow read of the sketch rows; the cumulative
+    * window runs over ~max(value)/width rows per group, never the
+    * corpus. */
+  def mergedQuantiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      groupCols: Seq[String], probs: Seq[Double],
+                      width: Long = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probabilities must be in (0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val merged = spark.read.parquet(path)
+      .groupBy((groupCols :+ "bucket").map(F.col): _*)
+      .agg(F.sum("n").as("n"))
+    val wCum = Window.partitionBy(groupCols.map(F.col): _*).orderBy("bucket")
+    val wAll = Window.partitionBy(groupCols.map(F.col): _*)
+    val pFrame = spark.createDataset(probs)(
+      org.apache.spark.sql.Encoders.scalaDouble).toDF("p")
+    merged
+      .withColumn("cum", F.sum("n").over(wCum))
+      .withColumn("total", F.sum("n").over(wAll))
+      .crossJoin(F.broadcast(pFrame))
+      .filter(F.col("cum") >= F.col("p") * F.col("total"))
+      .groupBy((groupCols :+ "p").map(F.col): _*)
+      .agg(F.min((F.col("bucket") + 1) * width).as("q_est"))
+  }
+
   /** Deterministic EXACT-k-per-stratum sample: within each stratum keep
     * the k documents with the HIGHEST portable md5 hash of their id —
     * uniform over the stratum (the hash is uniform), exactly k rows per

@@ -494,6 +494,33 @@ object Similarity {
     pqTopKAdc(pruneToProbed(df, vecCol, query, centroids, nprobe),
       vecCol, idCol, query, codebooks, k)
 
+  /** IVF-PQ with EXACT RE-RANK — the standard serving refinement
+    * (FAISS's refine stage): ADC over the probed cells selects `rerank`
+    * candidates from the COMPRESSED codes (k-NN recall is limited only
+    * by whether the true neighbors make this pool), then the exact
+    * squared-L2 re-rank reads full vectors for ONLY those candidates
+    * and returns the final top-k. Closes most of PQ's recall gap at the
+    * cost of `rerank` full-vector distance evaluations per query.
+    *
+    * Scale shape: the candidate pool is `rerank` rows (bounded,
+    * broadcast), so the full-vector pass is a semi-joined scan of
+    * `rerank` rows — at 100 TB the heavy work stays on codes; raw
+    * vectors are touched O(rerank) per query. Ties at both stages break
+    * by ascending id (the oracle's rule). */
+  def pqTopKIvfRefine(df: DataFrame, vecCol: String, idCol: String,
+                      query: Seq[Double], centroids: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                      nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank pool ($rerank) must be >= k ($k)")
+    val cands = pqTopKIvf(df, vecCol, idCol, query, centroids, codebooks,
+      k = rerank, nprobe).select(F.col(idCol))
+    val qLit = F.array(query.map(F.lit): _*)
+    df.join(F.broadcast(cands), Seq(idCol))
+      .select(F.col(idCol), sqDist(F.col(vecCol), qLit).as("dist"))
+      .orderBy(F.col("dist").asc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** In-engine k-means training for IVF centroids — replaces the "trained
     * offline" assumption with a distributed Lloyd's iteration:
     * assignment is the same per-row [[ivfBucket]] expression the serving

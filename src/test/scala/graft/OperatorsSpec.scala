@@ -277,6 +277,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(0L, 3L, 1L)) // ties (0,3) broken by id
   }
 
+  test("IVF-PQ refine: exact re-rank over the bounded candidate pool") {
+    // 8 clustered vectors; PQ compression distorts within-cluster order,
+    // the refine stage must restore the EXACT squared-L2 ranking
+    val emb = (0L until 8L).map { i =>
+      val base = if (i < 4) 0.0f else 1.0f
+      (i, Seq(base + i * 0.01f, base - i * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val cbs = Seq(
+      Seq(Seq(0.0), Seq(0.5), Seq(1.0), Seq(1.5)),
+      Seq(Seq(0.0), Seq(0.5), Seq(1.0), Seq(1.5)))
+    val query = Seq(0.02, 0.0)
+    val out = Similarity.pqTopKIvfRefine(emb, "embedding", "vec_id", query,
+        cents, cbs, k = 3, nprobe = 1, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact distances within the probed (origin) cell, ids 0-3
+    def d(v: Seq[Double]) =
+      v.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+    val exact = (0L until 4L).map { i =>
+      val base = 0.0
+      i -> d(Seq(base + i * 0.01f, base - i * 0.01f).map(_.toDouble))
+    }.sortBy { case (id, dist) => (dist, id) }.take(3)
+    assert(out.map(_._1) == exact.map(_._1))
+    out.zip(exact).foreach { case ((_, got), (_, want)) =>
+      assert(math.abs(got - want) < 1e-12) }
+    // rerank must bound-check against k
+    assertThrows[IllegalArgumentException](
+      Similarity.pqTopKIvfRefine(emb, "embedding", "vec_id", query,
+        cents, cbs, k = 5, nprobe = 1, rerank = 3))
+  }
+
   test("scalar quantization: hand-computed codes and exact integer-dot ranking") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.0f)),

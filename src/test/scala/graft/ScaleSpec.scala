@@ -288,6 +288,37 @@ class ScaleSpec extends SparkSpec {
     assert(side(0L) == side(1L) && side(2L) == side(3L))
   }
 
+  test("histogram sketches: shard merge equals whole-corpus quantiles") {
+    val d = java.nio.file.Files.createTempDirectory("graft-hist-spec").toString
+    val docs = (1 to 300).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i * 7 % 250).toLong)).toDF("id", "g", "len")
+    // three shards persist independently...
+    (0 until 3).foreach(i =>
+      Scale.writeHistogramSketches(docs.filter(F.col("id") % 3 === i),
+        Seq("g"), F.col("len"), s"$d/s$i", width = 16))
+    val merged = Scale.mergedQuantiles(spark, s"$d/s*", Seq("g"),
+        probs = Seq(0.5), width = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // ...and must merge to exactly the single-pass sketch of the whole
+    Scale.writeHistogramSketches(docs, Seq("g"), F.col("len"), s"$d/whole",
+      width = 16)
+    val whole = Scale.mergedQuantiles(spark, s"$d/whole", Seq("g"),
+        probs = Seq(0.5), width = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(merged == whole)
+    // the estimate is an upper bound of the true median at bucket
+    // resolution: true p50 <= q_est < true p50 + 2*width
+    for ((g, _, est) <- merged) {
+      val vals = docs.filter(F.col("g") === g).select("len")
+        .collect().map(_.getLong(0)).sorted
+      val p50 = vals((vals.length - 1) / 2)
+      assert(est >= p50 && est <= p50 + 2 * 16, s"g=$g est=$est p50=$p50")
+    }
+    // degenerate probabilities rejected loudly
+    assertThrows[IllegalArgumentException](
+      Scale.mergedQuantiles(spark, s"$d/whole", Seq("g"), probs = Seq(0.0)))
+  }
+
   test("range buckets: contiguous cutpoints, near-even sizes, rerun-stable") {
     val df = (1 to 1000).map(i => (i.toLong, (i * 7919 % 1000).toDouble / 3.0))
       .toDF("id", "v")
