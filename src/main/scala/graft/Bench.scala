@@ -272,7 +272,11 @@ object Bench {
       "q129_fuzzy_decontaminate", "q131_bigram_nll", "q132_knn_sq",
       // round-6 additions: the exact-substring-dedup rewrite (gram vote
       // + doc-keyed mark join + per-row rebuild)
-      "q152_remove_dup_ngrams")
+      "q152_remove_dup_ngrams",
+      // round-7 additions: the contamination rollup (q129's pipeline +
+      // distinct/join/agg) and the recall-closing ANN serving config
+      // (ADC pool + bounded exact re-rank)
+      "q166_contamination_report", "q168_knn_ivfpq_refine")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table

@@ -1480,6 +1480,26 @@ object SparkEntry {
         k = 10)
     }),
 
+    // ---- STREAMING histogram ingest — q167's sketches built
+    //      incrementally: each micro-batch persists its own shard, the
+    //      merged read serves quantiles over everything ingested; the
+    //      oracle is the batch replay, which the streaming result must
+    //      equal EXACTLY (counts add — mergeability, exercised
+    //      incrementally) ----
+    "q169_stream_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_hist")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging,
+        splitFiles = 4)
+      val q = Streams.histogramSink(stream, Seq("lang", "source"),
+          F.col("n_chars"), s"$staging/sk", s"$staging/ckpt", width = 64)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Scale.mergedQuantiles(s, s"$staging/sk/shard-*", Seq("lang"),
+          probs = Seq(0.5, 0.9), width = 64)
+        .select("lang", "p", "q_est")
+    }),
+
     // ---- corpus vocabulary + per-doc OOV rate: top-256 tokens by
     //      document frequency (ties by token asc — replayable), then
     //      the fraction of token OCCURRENCES outside the vocab; the
@@ -2528,6 +2548,21 @@ object SparkEntry {
          |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
          |WHERE d.doc_id >= 20
          |GROUP BY d.source""".stripMargin,
+
+    // the streaming shards merge to the same whole-corpus histogram —
+    // identical replay to q167 (that equality IS the gate)
+    "q169_stream_histogram" ->
+      """WITH h AS (SELECT lang, CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS total
+        |  FROM h)
+        |SELECT lang, p, CAST(min((bucket + 1) * 64) AS BIGINT) AS q_est
+        |FROM c, (SELECT unnest([0.5, 0.9]) AS p) probs
+        |WHERE cum >= p * total
+        |GROUP BY lang, p""".stripMargin,
 
     // shard histograms merge to the whole-corpus histogram (mergeability
     // is exact, so the replay skips the sharding), then the same

@@ -490,6 +490,29 @@ object Streams {
     * twice — dedupe re-ingests via
     * [[graft.operators.Dedup.corpusDiff]] or rebuild the index for
     * exact recovery. Steady-state appends are atomic. */
+  /** Streaming corpus-statistics ingest: every micro-batch persists its
+    * own fixed-width histogram shard
+    * ([[graft.operators.Scale.writeHistogramSketches]]) under
+    * `path/shard-<batchId>`; [[graft.operators.Scale.mergedQuantiles]]
+    * over `path/shard-*` then serves quantiles of everything ingested
+    * so far. The sink never merges — histogram counts ADD, so per-batch
+    * shards union at read time and the streaming result equals the
+    * batch replay exactly (the mergeability property, exercised
+    * incrementally). Restarted batches overwrite their own shard
+    * (idempotent by batch id — the exactly-once pattern of the other
+    * foreachBatch sinks here). */
+  def histogramSink(docs: DataFrame, groupCols: Seq[String], valueCol: Column,
+                    path: String, checkpoint: String,
+                    width: Long = 64): DataStreamWriter[Row] = {
+    import graft.operators.Scale
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Scale.writeHistogramSketches(batch, groupCols, valueCol,
+          s"$path/shard-$id", width)
+      }
+  }
+
   def bm25IndexSink(docs: DataFrame, textCol: String, idCol: String,
                     indexPath: String, checkpoint: String,
                     numBuckets: Int = 64): DataStreamWriter[Row] = {

@@ -68,6 +68,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(20L) && streamed.contains(21L) && !streamed.contains(22L))
   }
 
+  test("streaming histogram shards merge to the exact batch quantiles") {
+    implicit val sq = spark.sqlContext
+    val rows = (1 to 90).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i * 11 % 200).toLong))
+    val d = Files.createTempDirectory("graft-stream-hist").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("id"), F.col("_2").as("g"), F.col("_3").as("len"))
+    val q = Streams.histogramSink(docs, Seq("g"), F.col("len"),
+      s"$d/sk", s"$d/ckpt", width = 16).start()
+    try {
+      stream.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // one shard dir per batch, merged == the single-pass batch sketch
+    assert(Option(new java.io.File(s"$d/sk").listFiles()).get
+      .count(_.getName.startsWith("shard-")) == 2)
+    val merged = graft.operators.Scale.mergedQuantiles(spark, s"$d/sk/shard-*",
+        Seq("g"), probs = Seq(0.5, 0.9), width = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    graft.operators.Scale.writeHistogramSketches(
+      rows.toDF("id", "g", "len"), Seq("g"), F.col("len"), s"$d/whole",
+      width = 16)
+    val whole = graft.operators.Scale.mergedQuantiles(spark, s"$d/whole",
+        Seq("g"), probs = Seq(0.5, 0.9), width = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(merged == whole && merged.nonEmpty)
+  }
+
   test("streaming fuzzy decontamination flags near-dups of the eval set across micro-batches") {
     implicit val sq = spark.sqlContext
     val evalSet = Seq(
