@@ -912,13 +912,23 @@ object Dedup {
 
   /** Distinct engine-portable hashes of a document's token k-grams (the
     * gram stage of [[TextAnalysis.winnowingFingerprint]], un-winnowed) —
-    * md5-based so a SQL oracle replays them. */
-  private def gramHashes(text: Column, k: Int): Column = {
+    * md5-based so a SQL oracle replays them. Dispatches the per-gram
+    * hash to the native thread-local-digest `md5_hash60` expression
+    * when the session carries [[graft.functions.GraftExtensions]]
+    * (identical values — parity-spec'd; the decontamination corpus side
+    * computes one hash per gram, the dominant cost of the bloom path at
+    * scale), composable fallback otherwise. */
+  private def gramHashes(spark: org.apache.spark.sql.SparkSession,
+                         text: Column, k: Int): Column = {
     import graft.functions.ExprUtils.let
+    val gramHash: Column => Column =
+      if (spark.catalog.functionExists("md5_hash60"))
+        (c: Column) => F.call_function("md5_hash60", c)
+      else md5Hash60
     let(TextAnalysis.tokens(F.lower(text))) { toks =>
       F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        (i: Column) => md5Hash60(F.array_join(F.slice(toks, i + 1, F.lit(k)), " "))))
+        (i: Column) => gramHash(F.array_join(F.slice(toks, i + 1, F.lit(k)), " "))))
     }
   }
 
@@ -945,7 +955,8 @@ object Dedup {
                                  k: Int): DataFrame =
     evalSet
       .filter(F.col(evalTextCol).rlike("\\S"))
-      .select(F.explode(gramHashes(F.col(evalTextCol), k)).as("g"))
+      .select(F.explode(gramHashes(evalSet.sparkSession,
+        F.col(evalTextCol), k)).as("g"))
       .distinct()
 
   /** [[decontaminate]]'s corpus side against a prebuilt gram frame
@@ -955,7 +966,7 @@ object Dedup {
                                                minShared: Int, k: Int = 3): DataFrame =
     spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
       .select(F.col(idCol).as("id"),
-        F.explode(gramHashes(F.col(textCol), k)).as("g"))
+        F.explode(gramHashes(corpus.sparkSession, F.col(textCol), k)).as("g"))
       .join(F.broadcast(evalGrams), "g")
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_shared")) // grams distinct per doc
@@ -1044,7 +1055,7 @@ object Dedup {
       .select(F.col(idCol).as("id"), F.lit(0L).as("g")))
     else out(spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
       .select(F.col(idCol).as("id"),
-        F.explode(gramHashes(F.col(textCol), k)).as("g"))
+        F.explode(gramHashes(spark, F.col(textCol), k)).as("g"))
       .filter(F.call_function("bloom_might_contain",
         F.lit(sketch), F.col("g"))))
   }
