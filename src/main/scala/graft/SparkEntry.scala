@@ -1419,6 +1419,21 @@ object SparkEntry {
         .select(F.col("id").as("doc_id"), F.col("n_shared"))
     }),
 
+    // ---- decontamination against a STORED index: the eval set's gram
+    //      hashes + bloom sketch persisted once per eval release
+    //      (writeDeconIndex), every ingest probes the artifact without
+    //      touching eval text — must land exactly the q112 result (the
+    //      bloom is a prune, the confirm join keeps it exact) ----
+    "q170_decon_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_deconidx") + "/idx"
+      Dedup.writeDeconIndex(docs.filter(F.col("doc_id") < 20), "text", path,
+        k = 2)
+      Dedup.decontaminateIndexed(s, path, docs.filter(F.col("doc_id") >= 20),
+          "text", "doc_id", minShared = 3)
+        .select(F.col("id").as("doc_id"), F.col("n_shared"))
+    }),
+
     // ---- bucketed co-located join: both sides written bucketed on the
     //      join key (pay the shuffle once at layout time), then the
     //      groupBy AND the join run exchange-free — the recurring-join
@@ -3676,6 +3691,25 @@ object SparkEntry {
     // EXACT overlap, so any bloom false positive surviving to the output
     // (or true hit lost) would hash-mismatch
     "q112_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 2, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, count(*) AS n_shared
+        |  FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 3""".stripMargin,
+
+    // the stored-index probe must land the exact q112 result (same
+    // replay: the persisted sketch+grams are the same eval gram set)
+    "q170_decon_indexed" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> len(x) > 0) AS toks

@@ -1015,36 +1015,7 @@ object Dedup {
       return decontaminate(corpus, textCol, idCol, evalSet, evalTextCol,
         k, minShared)
     val evalGrams = evalGramsOf(evalSet, evalTextCol, k)
-    // BloomFilterAggregate silently caps its parameters at the session's
-    // runtime-filter conf limits (4M items / 64 Mbit by default) — at the
-    // 10⁸-gram scale this function exists for, a silently-clamped sketch
-    // would have a far worse false-positive rate than requested and the
-    // confirm join would degrade toward a full gram shuffle. Raise the
-    // caps on a SCRATCH session (same SparkContext + extensions, own
-    // SQLConf) and run the build there via a global temp view, so
-    // concurrent queries on the caller's session never see the raised
-    // caps and two concurrent builds cannot clobber each other's conf.
-    val scratch = spark.newSession()
-    // newSession() starts from the BASE conf, not the caller's session
-    // conf — mirror the caller's settings (ANSI pin, timezone, shuffle
-    // partitions, ...) so the build plans identically, then raise the
-    // caps only on the scratch copy. Static/read-only keys can't be set
-    // on a running session; skip them.
-    spark.conf.getAll.foreach { case (key, v) =>
-      try scratch.conf.set(key, v) catch { case _: Exception => () }
-    }
-    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      expectedGrams.toString)
-    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      numBits.toString)
-    val view = s"graft_bloom_grams_${java.util.UUID.randomUUID().toString.take(8)}"
-    evalGrams.createOrReplaceGlobalTempView(view)
-    val sketch =
-      try scratch.table(s"global_temp.$view")
-        .agg(F.call_function("bloom_agg", F.col("g"),
-          F.lit(expectedGrams), F.lit(numBits)).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-      finally spark.catalog.dropGlobalTempView(view)
+    val sketch = buildBloomSketch(spark, evalGrams, expectedGrams, numBits)
     val out = (corpusGrams: DataFrame) => corpusGrams
       .join(evalGrams, "g") // exact confirm: kills bloom false positives
       .groupBy("id")
@@ -1058,6 +1029,97 @@ object Dedup {
         F.explode(gramHashes(spark, F.col(textCol), k)).as("g"))
       .filter(F.call_function("bloom_might_contain",
         F.lit(sketch), F.col("g"))))
+  }
+
+  /** Build the bloom sketch bytes over a gram frame; null when the
+    * frame is empty. BloomFilterAggregate silently caps its parameters
+    * at the session's runtime-filter conf limits (4M items / 64 Mbit by
+    * default) — at the 10⁸-gram scale the bloom path exists for, a
+    * silently-clamped sketch would have a far worse false-positive rate
+    * than requested and the confirm join would degrade toward a full
+    * gram shuffle. Raise the caps on a SCRATCH session (same
+    * SparkContext + extensions, own SQLConf) and run the build there
+    * via a global temp view, so concurrent queries on the caller's
+    * session never see the raised caps and two concurrent builds cannot
+    * clobber each other's conf. newSession() starts from the BASE conf,
+    * not the caller's session conf — mirror the caller's settings (ANSI
+    * pin, timezone, shuffle partitions, ...) so the build plans
+    * identically, then raise the caps only on the scratch copy;
+    * static/read-only keys can't be set on a running session, skip
+    * them. */
+  private def buildBloomSketch(spark: org.apache.spark.sql.SparkSession,
+                               evalGrams: DataFrame, expectedGrams: Long,
+                               numBits: Long): Array[Byte] = {
+    val scratch = spark.newSession()
+    spark.conf.getAll.foreach { case (key, v) =>
+      try scratch.conf.set(key, v) catch { case _: Exception => () }
+    }
+    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      expectedGrams.toString)
+    scratch.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      numBits.toString)
+    val view = s"graft_bloom_grams_${java.util.UUID.randomUUID().toString.take(8)}"
+    evalGrams.createOrReplaceGlobalTempView(view)
+    try scratch.table(s"global_temp.$view")
+      .agg(F.call_function("bloom_agg", F.col("g"),
+        F.lit(expectedGrams), F.lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    finally spark.catalog.dropGlobalTempView(view)
+  }
+
+  /** Persist a DECONTAMINATION INDEX for an eval-set version: the
+    * distinct gram-hash set (the exact confirm side) plus the bloom
+    * sketch over it (the prune side) — built ONCE per eval-set release,
+    * reused by every ingest through [[decontaminateIndexed]] without
+    * touching eval text again. The artifact is gram hashes + one sketch
+    * row (KBs–MBs, independent of corpus size) — the decontamination
+    * member of the stored-artifact family (BM25 index, minhash index,
+    * PQ/SQ codes, HLL/histogram sketches). `k` is stored beside the
+    * sketch so the probe side cannot drift from the build side.
+    * Sessions without [[graft.functions.GraftExtensions]] store an
+    * empty sketch; the probe then skips the prune and stays exact. */
+  def writeDeconIndex(evalSet: DataFrame, evalTextCol: String, path: String,
+                      k: Int = 3, expectedGrams: Long = 4000000L,
+                      numBits: Long = 33554432L): Unit = {
+    val spark = evalSet.sparkSession
+    val grams = evalGramsOf(evalSet, evalTextCol, k)
+    grams.write.mode("overwrite").parquet(s"$path/grams")
+    val sketch =
+      if (spark.catalog.functionExists("bloom_agg"))
+        buildBloomSketch(spark, grams, expectedGrams, numBits)
+      else null
+    import spark.implicits._
+    Seq((k, if (sketch == null) Array.empty[Byte] else sketch))
+      .toDF("k", "sketch")
+      .write.mode("overwrite").parquet(s"$path/sketch")
+  }
+
+  /** Decontaminate a corpus against a stored [[writeDeconIndex]]
+    * artifact: the per-ingest side of the split — narrow gram explode,
+    * codegen'd bloom prune (when the stored sketch is non-empty and the
+    * session carries the probe expression), broadcast confirm join,
+    * per-doc count. Result is exactly [[decontaminate]] with the
+    * indexed eval set (the bloom is a prune; the confirm join keeps it
+    * exact), which is what the differential gate checks. */
+  def decontaminateIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, corpus: DataFrame, textCol: String,
+                           idCol: String, minShared: Int = 2): DataFrame = {
+    val meta = spark.read.parquet(s"$path/sketch").head()
+    val k = meta.getAs[Int]("k")
+    val sketch = meta.getAs[Array[Byte]]("sketch")
+    val grams = spark.read.parquet(s"$path/grams")
+    val corpusGrams = spreadForCompute(corpus.filter(F.col(textCol).rlike("\\S")))
+      .select(F.col(idCol).as("id"),
+        F.explode(gramHashes(spark, F.col(textCol), k)).as("g"))
+    val pruned =
+      if (sketch.nonEmpty && spark.catalog.functionExists("bloom_might_contain"))
+        corpusGrams.filter(F.call_function("bloom_might_contain",
+          F.lit(sketch), F.col("g")))
+      else corpusGrams
+    pruned.join(F.broadcast(grams), "g")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
   }
 
   /** Corpus SNAPSHOT DIFF: classify every document id across two corpus

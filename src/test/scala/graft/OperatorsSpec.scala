@@ -1272,6 +1272,37 @@ class OperatorsSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "removed", 5L -> "added"))
   }
 
+  test("stored decontamination index equals the in-flight pipeline") {
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "alpha beta gamma unrelated words here"),
+      (22L, "totally different text about spark engines"),
+      (23L, "")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft-deconidx").toString
+    Dedup.writeDeconIndex(eval, "text", s"$d/idx", k = 3,
+      expectedGrams = 1000L, numBits = 65536L)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (minShared <- Seq(1, 2)) {
+      val indexed = collect(Dedup.decontaminateIndexed(spark, s"$d/idx",
+        corpus, "text", "doc_id", minShared = minShared))
+      val inflight = collect(Dedup.decontaminate(
+        corpus, "text", "doc_id", eval, "text", k = 3, minShared = minShared))
+      assert(indexed == inflight, s"minShared=$minShared")
+    }
+    // k travels WITH the artifact: a probe never re-specifies it
+    assert(spark.read.parquet(s"$d/idx/sketch").head().getInt(0) == 3)
+    // empty eval set → empty grams + empty sketch → nothing flagged
+    Dedup.writeDeconIndex(eval.filter(F.col("doc_id") < 0), "text",
+      s"$d/empty", k = 3)
+    assert(Dedup.decontaminateIndexed(spark, s"$d/empty", corpus, "text",
+      "doc_id").count() == 0)
+  }
+
   test("bloom decontamination equals the exact broadcast pipeline") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),
