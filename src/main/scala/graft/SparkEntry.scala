@@ -1587,6 +1587,15 @@ object SparkEntry {
       Scale.mixingWeights(t(s, dir, "documents"), "text", "source",
         alpha = 2)),
 
+    // ---- the q157 weights APPLIED: per-source md5-keyed sampling sized
+    //      to land the α-tilted mixture at a 300-doc budget (sources
+    //      smaller than their allocation keep everything) — the
+    //      build-the-mixture deliverable a pre-training run consumes ----
+    "q171_sample_mixture" -> ((s, dir) =>
+      Scale.sampleToMixture(t(s, dir, "documents"), "text", "source",
+          F.col("doc_id"), budgetDocs = 300, alpha = 2)
+        .select("doc_id", "source")),
+
     // ---- TPC-H Q17 through the GRAFT DIALECT (q74 runs the same shape
     //      via Spark SQL): a CORRELATED scalar subquery, decorrelated by
     //      the engine into one per-partkey aggregate + an equi-join —
@@ -3898,6 +3907,32 @@ object SparkEntry {
          |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
          |    6) AS weight
          |FROM s, t""".stripMargin,
+
+    // q157's weight replay + the exact ppm rate + the q97-style md5
+    // keep decision (identical IEEE op order: ((w*B)*1e6)/n, floored)
+    "q171_sample_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> len(x) > 0)) AS n_tok,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+         | FROM documents),
+         |q AS (SELECT source,
+         |  CAST(round($qualityExprSql * 1000000) AS BIGINT) AS qm FROM d),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(qm) AS BIGINT) AS quality_mass_micro FROM q GROUP BY source),
+         |t AS (SELECT sum(quality_mass_micro * quality_mass_micro) AS dn FROM s),
+         |w AS (SELECT source, n_docs,
+         |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
+         |    6) AS weight
+         |  FROM s, t),
+         |r AS (SELECT source,
+         |  least(1000000, CAST(floor(weight * 300 * 1000000 / n_docs) AS BIGINT))
+         |    AS rate_ppm
+         |  FROM w)
+         |SELECT doc_id, source FROM documents JOIN r USING (source)
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 1000000 < rate_ppm""".stripMargin,
 
     // the two-level rank decomposition must equal ONE global row_number
     "q103_shuffle_rank" ->

@@ -228,6 +228,32 @@ object Scale {
         F.round(tilted.cast("double") / F.col("_d"), 6).as("weight"))
   }
 
+  /** APPLY a mixing-weight table — the step after [[mixingWeights]]
+    * that actually builds the mixture: deterministic per-source
+    * sampling sized so the kept corpus lands the α-tilted weights at a
+    * target document budget. Per source, keep-rate =
+    * min(1, weight·budget/n_docs) in exact ppm; the keep decision is
+    * the portable md5 of the id (the [[temperatureSample]] pattern —
+    * stable across reruns/backfills, partition-invariant, replayable by
+    * a SQL oracle). Sources smaller than their allocation keep
+    * everything (rate caps at 1). Scale shape: one per-source agg, a
+    * broadcast of the per-source rate table (categorical domain —
+    * bounded), and a narrow hash filter; the corpus never shuffles. */
+  def sampleToMixture(df: DataFrame, textCol: String, srcCol: String,
+                      idCol: Column, budgetDocs: Long,
+                      alpha: Int = 2): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val rates = mixingWeights(df, textCol, srcCol, alpha)
+      .select(F.col(srcCol),
+        F.least(F.lit(1000000L),
+          F.floor(F.col("weight") * budgetDocs * 1000000L / F.col("n_docs")))
+          .as("rate_ppm"))
+    df.join(F.broadcast(rates), srcCol)
+      .filter(Dedup.md5Hash60(idCol.cast("string")) % 1000000L <
+        F.col("rate_ppm"))
+      .drop("rate_ppm")
+  }
+
   /** Deterministic train/validation/test split assignment — same
     * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's
     * split never changes across reruns, backfills or repartitioning, and

@@ -288,6 +288,26 @@ class ScaleSpec extends SparkSpec {
     assert(side(0L) == side(1L) && side(2L) == side(3L))
   }
 
+  test("sampleToMixture: partition-invariant, budget-tracking, caps at full source") {
+    // two sources of identical per-doc quality: the α=2 tilt sends
+    // nearly all weight to the 100-doc source
+    val docs = ((1 to 100).map(i => (i.toLong, "big",
+        "the quick brown fox jumps over the lazy dog")) ++
+      (101 to 110).map(i => (i.toLong, "small",
+        "the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "source", "text")
+    def ids(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      Scale.sampleToMixture(d, "text", "source", F.col("doc_id"), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = ids(docs, 50)
+    // deterministic and partition-invariant (hash key, never rand())
+    assert(ids(docs.repartition(7), 50) == kept)
+    // tracks the budget: ~0.99 weight on 'big' → rate ~0.5 there
+    assert(kept.size > 25 && kept.size < 75, s"kept=${kept.size}")
+    // a budget >= the corpus keeps every document (rates cap at 1)
+    assert(ids(docs, 10000).size == 110)
+  }
+
   test("histogram sketches: shard merge equals whole-corpus quantiles") {
     val d = java.nio.file.Files.createTempDirectory("graft-hist-spec").toString
     val docs = (1 to 300).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
