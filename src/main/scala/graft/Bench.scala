@@ -54,16 +54,22 @@ object Bench {
   private val spreads =
     scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
 
-  /** Shared probe runner: sweep + GC + warmup, then `reps` timed runs;
-    * records the spread and returns the median. Every scale probe goes
-    * through here so none ships as a bare single sample again (the
-    * round-6 gate number had no spread, so noise vs regression could
-    * not be adjudicated from the artifacts). */
-  private def probe(spark: SparkSession, name: String, reps: Int = 5)
+  /** Shared probe/headline runner: sweep + GC + warmup, then `reps`
+    * timed runs; records the spread and returns the median. EVERY timed
+    * entry — scale probes and headline queries alike — goes through
+    * here so none ships as a bare single sample (the round-6 gate
+    * number had no spread, so noise vs regression could not be
+    * adjudicated from the artifacts) and the timing methodology cannot
+    * drift between the two call sites. `afterWarmup` is the headline
+    * loop's tracer hook (drain warmup stages so per-stage attribution
+    * covers the timed runs only). */
+  private def probe(spark: SparkSession, name: String, reps: Int = 5,
+                    afterWarmup: () => Unit = () => ())
                    (q: => DataFrame): Double = {
     sweepPersisted(spark)
     System.gc()
     execTime(q) // warmup (not reported)
+    afterWarmup()
     val runs = (1 to reps).map { _ => sweepPersisted(spark); execTime(q) }.sorted
     spreads += name -> ((runs.head, runs.last))
     runs(runs.length / 2)
@@ -452,23 +458,13 @@ object Bench {
     val stageJson = new StringBuilder("{")
     val results = headline.zipWithIndex.map { case (name, i) =>
       val fn = qs(name)
-      // isolate queries from each other's garbage: ~60 query executions
-      // accumulate heap pressure that taxes whichever query runs last
-      sweepPersisted(spark)
-      System.gc()
-      execTime(fn(spark, sfDir)) // warmup (not reported)
-      tracer.drain()             // attribute stages to the timed run only
       // medians, not single runs: JVM/scheduler noise at sub-second scale
       // is ±0.15s and single samples of fixed queries vary up to 5x
-      def timed(): Double = {
-        sweepPersisted(spark) // previous run's staged blocks, untimed
-        execTime(fn(spark, sfDir))
-      }
       val reps =
         if (name == "q06_q1_flagship" || highVariance(name)) 5 else 3
-      val runs = (1 to reps).map(_ => timed()).sorted
-      val secs = runs(runs.length / 2)
-      spreads += name -> ((runs.head, runs.last))
+      val secs = probe(spark, name, reps, afterWarmup = () => {
+        tracer.drain(): Unit // attribute stages to the timed runs only
+      })(fn(spark, sfDir))
       val stages = tracer.drain()
       if (i > 0) stageJson.append(",")
       stageJson.append(s""""$name":[${stages.map(_.toJson).mkString(",")}]""")
@@ -513,9 +509,11 @@ object Bench {
       "over-split small tables — the events-family regressions were " +
       "per-task scheduling overhead); q06_x10_6Mrows reads a pre-staged " +
       "real 6M-row table, q06_x10_rawlayout is its no-ingest twin " +
-      "(10 paths of the single-row-group file); every entry has a 5-rep " +
-      "[min,max] spread; compare canary_32task_sec and load before " +
-      "attributing cross-round deltas to code"
+      "(10 paths of the single-row-group file); every entry has a " +
+      "[min,max] spread (5 timed reps for all probes, the flagship and " +
+      "the high-variance LSH set; 3 for other headline queries); " +
+      "compare canary_32task_sec and load before attributing " +
+      "cross-round deltas to code"
     val json =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""
 

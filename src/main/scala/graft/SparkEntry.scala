@@ -1587,6 +1587,19 @@ object SparkEntry {
       Scale.mixingWeights(t(s, dir, "documents"), "text", "source",
         alpha = 2)),
 
+    // ---- CORRELATED COUNT through the dialect: customers with fewer
+    //      than 5 orders INCLUDING zero-order customers — COUNT over an
+    //      empty correlation group is 0 in SQL, the one aggregate the
+    //      inner-join decorrelation would silently drop; the engine
+    //      renders it as a left join + coalesce(0)
+    //      (Engine.attachCorrelatedScalar) ----
+    "q172_sql_correlated_count" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c.c_custkey AS c_custkey
+          |FROM customer c
+          |WHERE 5 > (SELECT COUNT() FROM orders o
+          |           WHERE o.o_custkey = c.c_custkey)""".stripMargin).df),
+
     // ---- the q157 weights APPLIED: per-source md5-keyed sampling sized
     //      to land the α-tilted mixture at a 300-doc budget (sources
     //      smaller than their allocation keep everything) — the
@@ -3907,6 +3920,15 @@ object SparkEntry {
          |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
          |    6) AS weight
          |FROM s, t""".stripMargin,
+
+    // DuckDB evaluates the same correlated COUNT natively (COUNT(*) is
+    // its spelling of the dialect's zero-arg COUNT()); zero-order
+    // customers must appear on both sides — the COUNT-of-empty = 0 case
+    "q172_sql_correlated_count" ->
+      """SELECT c_custkey
+        |FROM customer c
+        |WHERE 5 > (SELECT COUNT(*) FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     // q157's weight replay + the exact ppm rate + the q97-style md5
     // keep decision (identical IEEE op order: ((w*B)*1e6)/n, floored)

@@ -293,9 +293,15 @@ object Scale {
       // HALF_UP (away from zero) at 4 dp — matches DuckDB round() on
       // BOTH sign domains (math.round's half-up-toward-+inf diverged
       // for negative keys); sub-ulp engine differences in the
-      // interpolated quantile vanish under the rounding
-      .map(b => BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
+      // interpolated quantile vanish under the rounding. NaN cutpoints
+      // (a NaN in the key column poisons percentile) fail here with a
+      // named cause, not BigDecimal's opaque NumberFormatException.
+      .map { b =>
+        require(!b.isNaN && !b.isInfinite,
+          "rangeBuckets: quantile cutpoint is not finite — the key " +
+          "column contains NaN/Infinity values; filter them upstream")
+        BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
     val bucket = bounds.map(b => (key > F.lit(b)).cast("int"))
       .reduce(_ + _)
     df.withColumn("bucket", bucket)

@@ -75,16 +75,48 @@ object BlockFile {
       .filter(f => f.isFile && f.getName.endsWith(".bin"))
       .sortBy(_.getName).toSeq
 
+  /** [[partFiles]] gated on the [[writeDir]] job-commit marker: a
+    * directory with parts but no marker is a failed/in-flight write and
+    * reading it would serve a silently truncated table. */
+  private[graft] def committedParts(dir: java.io.File): Seq[java.io.File] = {
+    require(new java.io.File(dir, SuccessMarker).exists(),
+      s"BlockFile directory $dir is not committed (no $SuccessMarker " +
+      "marker — the writeDir job may have failed mid-write); refusing a " +
+      "possibly truncated table")
+    val parts = partFiles(dir)
+    require(parts.nonEmpty,
+      s"BlockFile directory $dir contains no part-*.bin files")
+    parts
+  }
+
+  /** The file list a scan of `path` reads: the single file, or the
+    * committed parts of a directory with every part's header schema
+    * checked against the table schema (a foreign `.bin` dropped into
+    * the directory must refuse loudly, not mis-decode — ALL query
+    * shapes, row scans and COUNT(*) alike, route through this).
+    * Cost: one header read per part per planning — O(parts) driver
+    * I/O, the price of re-validating a directory that [[append]] may
+    * have changed since the last plan. */
+  private[sources] def validatedScanFiles(path: String,
+                                          full: StructType): Seq[String] = {
+    val f0 = new java.io.File(path)
+    if (!f0.isDirectory) return Seq(path)
+    val parts = committedParts(f0)
+    parts.foreach { p =>
+      val s = readSchema(p.getPath)
+      require(s == full,
+        s"BlockFile part ${p.getName} schema ${s.simpleString} does not " +
+        s"match the table schema ${full.simpleString}")
+    }
+    parts.map(_.getPath)
+  }
+
   /** Read just the header schema (driver-side, a few hundred bytes).
-    * A directory reads as its first part file ([[writeDir]] layout). */
+    * A directory reads as its first committed part ([[writeDir]]). */
   def readSchema(path: String): StructType = {
     val f0 = new java.io.File(path)
-    if (f0.isDirectory) {
-      val parts = partFiles(f0)
-      require(parts.nonEmpty,
-        s"BlockFile directory $path contains no part-*.bin files")
-      return readSchema(parts.head.getPath)
-    }
+    if (f0.isDirectory)
+      return readSchema(committedParts(f0).head.getPath)
     val f = new RandomAccessFile(path, "r")
     try {
       val n = f.readUnsignedByte()
@@ -213,14 +245,24 @@ object BlockFile {
         "(use write() for the single-file form)")
       partFiles(dir).foreach(_.delete()) // overwrite semantics
     } else require(dir.mkdirs(), s"cannot create directory $path")
+    new java.io.File(dir, SuccessMarker).delete() // re-commit below
     val rpb = rowsPerBlock
     val dirPath = dir.getAbsolutePath
     val written = microsView(df).rdd.mapPartitionsWithIndex { (idx, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val part = new java.io.File(dirPath, f"part-$idx%05d.bin")
-        val os = new FileOutputStream(part)
+        // task-atomic: write an attempt-unique temp (never matched by
+        // partFiles), then rename into place — a speculative or retried
+        // attempt cannot interleave bytes into the final part, and the
+        // last completed attempt wins with a whole file either way
+        val tmp = new java.io.File(dirPath,
+          f".part-$idx%05d.bin.tmp-${java.util.UUID.randomUUID()}")
+        val os = new FileOutputStream(tmp)
         try writeTo(os, schema, it, rpb) finally os.close()
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(dirPath, f"part-$idx%05d.bin").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator.single(1)
       }
     }.count()
@@ -228,7 +270,16 @@ object BlockFile {
       val os = new FileOutputStream(new java.io.File(dir, "part-00000.bin"))
       try writeTo(os, schema, Iterator.empty, rowsPerBlock) finally os.close()
     }
+    // job-atomic: the marker commits the table — a job that died after
+    // some tasks finished leaves parts but no marker, and the reader
+    // REFUSES the directory instead of serving a silently truncated
+    // table (the _SUCCESS convention of Spark's own file sinks)
+    require(new java.io.File(dir, SuccessMarker).createNewFile(),
+      s"could not commit $path (marker exists or is not writable)")
   }
+
+  /** Job-commit marker of [[writeDir]] (the `_SUCCESS` convention). */
+  private[graft] val SuccessMarker = "_SUCCESS"
 
   /** Read a BlockFile as a DataFrame via the DSv2 source (one partition
     * per block, column pruning through the size prefixes). */
@@ -366,6 +417,9 @@ object BlockFile {
           scala.jdk.CollectionConverters.IteratorHasAsScala(
             microsView(df).toLocalIterator()).asScala, rowsPerBlock)
         finally os.close()
+        // first content in a bare directory: commit it (writeDir's
+        // marker contract — the reader refuses unmarked directories)
+        new java.io.File(f0, SuccessMarker).createNewFile(): Unit
       } else append(df, parts.last.getPath, rowsPerBlock)
       return
     }
@@ -471,21 +525,27 @@ final class BlockFileScanBuilder(path: String, full: StructType)
     if (bareCountStar(agg)) { countStar = true; true } else false
   }
   override def build(): Scan =
-    if (countStar) new BlockFileCountScan(path)
+    if (countStar) new BlockFileCountScan(path, full)
     else new BlockFileScan(path, full, required)
 }
 
 /** COUNT(*) served from block metadata: one task walks the footer's
   * block offsets and sums each block's leading u32 row count — the scan
   * that never opens a column. */
-final class BlockFileCountScan(path: String) extends Scan with Batch {
+final class BlockFileCountScan(path: String, full: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
       nullable = false)))
   override def toBatch: Batch = this
   override def description(): String = s"BlockFileCountScan(path=$path)"
-  override def planInputPartitions(): Array[InputPartition] =
+  // same commit-marker + inter-part schema gate as the row scan: a
+  // drifted/foreign part must fail COUNT(*) too, not be silently
+  // counted into the total
+  override def planInputPartitions(): Array[InputPartition] = {
+    BlockFile.validatedScanFiles(path, full)
     Array(BlockFilePartition(path, 0L))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockFileCountReaderFactory
 }
@@ -522,24 +582,10 @@ final class BlockFileScan(path: String, full: StructType, required: StructType)
   override def toBatch: Batch = this
   override def description(): String =
     s"BlockFileScan(path=$path, columns=${required.fieldNames.mkString(",")})"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val f0 = new java.io.File(path)
-    if (f0.isDirectory) {
-      val parts = BlockFile.partFiles(f0)
-      // loud on inter-part schema drift (each part is self-describing;
-      // a foreign .bin dropped into the directory must not mis-decode)
-      parts.foreach { p =>
-        val s = BlockFile.readSchema(p.getPath)
-        require(s == full,
-          s"BlockFile part ${p.getName} schema ${s.simpleString} does not " +
-          s"match the table schema ${full.simpleString}")
-      }
-      parts.flatMap(p => BlockFile.blockStarts(p.getPath)
-        .map(off => BlockFilePartition(p.getPath, off): InputPartition)).toArray
-    } else
-      BlockFile.blockStarts(path)
-        .map(off => BlockFilePartition(path, off): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    BlockFile.validatedScanFiles(path, full)
+      .flatMap(fp => BlockFile.blockStarts(fp)
+        .map(off => BlockFilePartition(fp, off): InputPartition)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockFileReaderFactory(full, required)
 }

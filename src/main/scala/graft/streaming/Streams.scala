@@ -490,6 +490,21 @@ object Streams {
     * twice — dedupe re-ingests via
     * [[graft.operators.Dedup.corpusDiff]] or rebuild the index for
     * exact recovery. Steady-state appends are atomic. */
+  def bm25IndexSink(docs: DataFrame, textCol: String, idCol: String,
+                    indexPath: String, checkpoint: String,
+                    numBuckets: Int = 64): DataStreamWriter[Row] = {
+    import graft.operators.TextAnalysis
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val exists =
+          try { TextAnalysis.readBm25Manifest(batch.sparkSession, indexPath); true }
+          catch { case _: Exception => false }
+        if (exists) TextAnalysis.appendBm25Index(batch, textCol, idCol, indexPath)
+        else TextAnalysis.writeBm25Index(batch, textCol, idCol, indexPath, numBuckets)
+      }
+  }
+
   /** Streaming corpus-statistics ingest: every micro-batch persists its
     * own fixed-width histogram shard
     * ([[graft.operators.Scale.writeHistogramSketches]]) under
@@ -510,21 +525,6 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         Scale.writeHistogramSketches(batch, groupCols, valueCol,
           s"$path/shard-$id", width)
-      }
-  }
-
-  def bm25IndexSink(docs: DataFrame, textCol: String, idCol: String,
-                    indexPath: String, checkpoint: String,
-                    numBuckets: Int = 64): DataStreamWriter[Row] = {
-    import graft.operators.TextAnalysis
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val exists =
-          try { TextAnalysis.readBm25Manifest(batch.sparkSession, indexPath); true }
-          catch { case _: Exception => false }
-        if (exists) TextAnalysis.appendBm25Index(batch, textCol, idCol, indexPath)
-        else TextAnalysis.writeBm25Index(batch, textCol, idCol, indexPath, numBuckets)
       }
   }
 }

@@ -219,6 +219,28 @@ class EngineSpec extends SparkSpec {
     assert(rows(out.df) == Set(Seq(2))) // Bob: min(25) < 50; Cara: 300 fails
   }
 
+  test("correlated bare COUNT counts empty groups as 0 (left join + coalesce)") {
+    // users 4 (Dan) and 5 (Eve) have NO orders: SQL defines their
+    // correlated COUNT as 0, so `2 > COUNT` must KEEP them — the one
+    // aggregate where the drop-on-empty inner-join rendering would be
+    // wrong (Engine.attachCorrelatedScalar's left-join branch)
+    val out = engine.sql(
+      """SELECT u.user_id FROM users u
+        |WHERE 2 > (SELECT COUNT() FROM orders o
+        |           WHERE o.user_id = u.user_id)""".stripMargin)
+    // Alice has 2 orders (dropped); Bob 1, Cara 1, Dan 0, Eve 0 kept
+    assert(rows(out.df) == Set(Seq(2), Seq(3), Seq(4), Seq(5)))
+  }
+
+  test("correlated COUNT nested in a larger expression is rejected loudly") {
+    // COUNT()+1 over an empty group is 1, which coalesce-0 cannot
+    // render — reject rather than mis-evaluate
+    assertThrows[graft.sql.SemanticError](engine.sql(
+      """SELECT u.user_id FROM users u
+        |WHERE 2 > (SELECT COUNT() + 1 FROM orders o
+        |           WHERE o.user_id = u.user_id)""".stripMargin))
+  }
+
   test("correlated scalar under OR is rejected loudly") {
     val e = intercept[graft.sql.SemanticError] {
       engine.sql(

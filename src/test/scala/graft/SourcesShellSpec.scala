@@ -197,9 +197,17 @@ class SourcesShellSpec extends SparkSpec {
     // empty frame still leaves a readable (zero-row) table
     Tables.blockFileWriteDir(df.filter("i < 0"), s"$d/empty", rowsPerBlock = 10)
     assert(Tables.blockFileRead(spark, s"$d/empty").count() == 0L)
-    // schema drift between parts fails loudly at scan planning
+    // an UNCOMMITTED directory (parts but no _SUCCESS — a writeDir job
+    // that died mid-write) is refused, never served truncated
+    val uncommitted = new java.io.File(s"$d/dead"); uncommitted.mkdirs()
+    Tables.blockFileWrite(Seq((1, "a")).toDF("i", "s"),
+      s"$d/dead/part-00000.bin")
+    assertThrows[Exception](Tables.blockFileRead(spark, s"$d/dead").collect())
+    // schema drift between parts fails loudly on EVERY query shape —
+    // the row scan AND the block-header COUNT(*) pushdown alike
     Tables.blockFileWrite(Seq(Tuple1(1)).toDF("only"), s"$p/part-zzzzz.bin")
     assertThrows[Exception](back.collect())
+    assertThrows[Exception](back.count())
   }
 
   test("BlockFile: our append is readable by the reference implementation") {
