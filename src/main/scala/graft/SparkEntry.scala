@@ -509,6 +509,15 @@ object SparkEntry {
       Multimodal.decodeFrames(
         Multimodal.synthesizeMjpegVideo(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- REAL animated-GIF frame walk (JDK ImageIO sequence reader):
+    //      frame count from a full-sequence scan + first-frame decode
+    //      over real GIF89a fixtures — the multi-frame IMAGE format
+    //      web-scraped corpora actually contain; the oracle replays the
+    //      id-derived geometry arithmetic (the q149 pattern) ----
+    "q173_gif_frames" -> ((s, dir) =>
+      Multimodal.decodeGifFrameStats(
+        Multimodal.synthesizeGifs(t(s, dir, "documents"), "doc_id"))),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -3182,6 +3191,15 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // every value decoded from REAL GIF bytes must equal the fixture's
+    // id-derived geometry (the q149 pattern for the GIF sequence walk)
+    "q173_gif_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS frame_w,
+        | CAST(8 + ((doc_id * 7) % 3) * 8 AS INTEGER) AS frame_h,
+        | CAST(1 + doc_id % 5 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     "q36_sessionize" ->

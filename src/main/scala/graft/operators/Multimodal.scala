@@ -406,6 +406,110 @@ object Multimodal {
       }(enc)
   }
 
+  /** Animated-GIF bytes: `nFrames` solid-color frames written through
+    * the JDK's GIF sequence writer (a real GIF89a with per-frame image
+    * descriptors) — the multi-frame IMAGE fixture twin of
+    * [[synthesizeMjpeg]]. */
+  def gifBytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color((20 * i) % 255, 90, 160))
+          g.fillRect(0, 0, width, height)
+        } finally g.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** REAL animated-GIF frame walk via the JDK's ImageIO GIF reader:
+    * frame COUNT from a full-sequence scan (`getNumImages(true)`
+    * decodes every image descriptor) and first-frame dimensions from an
+    * actual decode — the animated-image analog of [[decodeMjpegFrame]]
+    * (web-scraped corpora are full of multi-frame GIFs; a frame-level
+    * dedup/sampling pass needs this walk). None when the payload is not
+    * a GIF (magic check before any reader work). */
+  def decodeGifFrames(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload.length < 6 ||
+        !(payload.startsWith("GIF87a".getBytes("US-ASCII")) ||
+          payload.startsWith("GIF89a".getBytes("US-ASCII")))) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n < 1) None
+        else {
+          val f0 = reader.read(0)
+          Some((f0.getWidth, f0.getHeight, n))
+        }
+      } catch { case _: Exception => None }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Synthesize an animated-GIF corpus keyed by id — real multi-frame
+    * GIF89a bytes, dimensions/frame-count derived from the id so a
+    * differential oracle replays them arithmetically
+    * (w = 8+(id%5)*8, h = 8+((id*7)%3)*8, frames = 1+id%5). */
+  def synthesizeGifs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + (id % 5) * 8).toInt
+          val h = (8 + ((id * 7) % 3) * 8).toInt
+          val n = (1 + id % 5).toInt
+          val p = gifBytes(w, h, n)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "image", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  private val gifFramesSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_w", IntegerType, nullable = false),
+    StructField("frame_h", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)
+  ))
+
+  /** Batched REAL GIF frame-walk over a media frame: one row per
+    * payload that decodes as a GIF ([[decodeGifFrames]]); non-GIF rows
+    * drop. Same executor-local partition loop as [[decode]] — memory
+    * bounded by one payload. */
+  def decodeGifFrameStats(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(gifFramesSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeGifFrames(r.getAs[Array[Byte]]("payload")).map {
+            case (w, h, n) => Row(r.getAs[Long]("media_id"), w, h, n)
+          }
+        }
+      }(enc)
+  }
+
   private val framesSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_w", IntegerType, nullable = false),

@@ -178,6 +178,30 @@ class OperatorsSpec extends SparkSpec {
         (1000L + (id % 600) * 100L).toDouble / 1000L), s"id=$id")
   }
 
+  test("animated-GIF frame walk: real multi-frame decode via ImageIO") {
+    // the fixture writes N frames through the JDK's GIF sequence
+    // writer; the walk must recover the exact geometry and frame count
+    val gif = Multimodal.gifBytes(40, 24, nFrames = 4)
+    assert(Multimodal.decodeGifFrames(gif).contains((40, 24, 4)))
+    // single-frame GIFs (the static-image common case) count 1
+    assert(Multimodal.decodeGifFrames(Multimodal.gifBytes(8, 8, 1))
+      .contains((8, 8, 1)))
+    // non-GIF and truncated bytes → None, never a throw
+    assert(Multimodal.decodeGifFrames("nope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeGifFrames(
+      Multimodal.jpegBytes(16, 16)).isEmpty)
+    assert(Multimodal.decodeGifFrames(gif.take(20)).isEmpty)
+    // distributed plumbing: per-id geometry recovered for every row
+    val ids = Seq(0L, 7L, 33L).toDF("doc_id")
+    val out = Multimodal.decodeGifFrameStats(
+        Multimodal.synthesizeGifs(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    for (id <- Seq(0L, 7L, 33L))
+      assert(out(id) == ((8 + (id % 5) * 8).toInt,
+        (8 + ((id * 7) % 3) * 8).toInt, (1 + id % 5).toInt), s"id=$id")
+  }
+
   test("MJPEG frame decode: real JPEG samples out of a real sample table") {
     // the fixture writes N real JDK-encoded JPEGs into mdat plus the
     // full stsd/stts/stsc/stsz/stco table; the decoder must walk the
