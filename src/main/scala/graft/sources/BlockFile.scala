@@ -81,8 +81,10 @@ object BlockFile {
   private[graft] def committedParts(dir: java.io.File): Seq[java.io.File] = {
     require(new java.io.File(dir, SuccessMarker).exists(),
       s"BlockFile directory $dir is not committed (no $SuccessMarker " +
-      "marker — the writeDir job may have failed mid-write); refusing a " +
-      "possibly truncated table")
+      "marker — a writeDir job may have failed mid-write); refusing a " +
+      "possibly truncated table. If this directory was assembled by hand " +
+      s"from complete part files, create an empty $SuccessMarker file in " +
+      "it to commit it")
     val parts = partFiles(dir)
     require(parts.nonEmpty,
       s"BlockFile directory $dir contains no part-*.bin files")
@@ -99,15 +101,20 @@ object BlockFile {
     * have changed since the last plan. */
   private[sources] def validatedScanFiles(path: String,
                                           full: StructType): Seq[String] = {
-    val f0 = new java.io.File(path)
-    if (!f0.isDirectory) return Seq(path)
-    val parts = committedParts(f0)
-    parts.foreach { p =>
-      val s = readSchema(p.getPath)
+    def check(p: String, name: String): Unit = {
+      val s = readSchema(p)
       require(s == full,
-        s"BlockFile part ${p.getName} schema ${s.simpleString} does not " +
-        s"match the table schema ${full.simpleString}")
+        s"BlockFile $name schema ${s.simpleString} does not match the " +
+        s"table schema ${full.simpleString} (file changed since the " +
+        "DataFrame was created?)")
     }
+    val f0 = new java.io.File(path)
+    // single-file tables get the same header re-check: a .bin
+    // overwritten with a different schema after `read` must refuse, not
+    // decode the new bytes against the stale schema into garbage rows
+    if (!f0.isDirectory) { check(path, f0.getName); return Seq(path) }
+    val parts = committedParts(f0)
+    parts.foreach(p => check(p.getPath, s"part ${p.getName}"))
     parts.map(_.getPath)
   }
 
@@ -243,9 +250,15 @@ object BlockFile {
     if (dir.exists()) {
       require(dir.isDirectory, s"writeDir target $path exists and is a file " +
         "(use write() for the single-file form)")
-      partFiles(dir).foreach(_.delete()) // overwrite semantics
+      // UN-COMMIT FIRST: the marker must be gone before any old part is
+      // deleted — a crash mid-sweep must leave an uncommitted (refused)
+      // directory, never a marker-committed truncated one
+      new java.io.File(dir, SuccessMarker).delete()
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".bin") ||
+          f.getName.contains(".bin.tmp-")) // stale attempt temps too
+        .foreach(_.delete())
     } else require(dir.mkdirs(), s"cannot create directory $path")
-    new java.io.File(dir, SuccessMarker).delete() // re-commit below
     val rpb = rowsPerBlock
     val dirPath = dir.getAbsolutePath
     val written = microsView(df).rdd.mapPartitionsWithIndex { (idx, it) =>
@@ -270,6 +283,11 @@ object BlockFile {
       val os = new FileOutputStream(new java.io.File(dir, "part-00000.bin"))
       try writeTo(os, schema, Iterator.empty, rowsPerBlock) finally os.close()
     }
+    // sweep temps orphaned by failed attempts whose retry succeeded (a
+    // killed attempt dies between open and rename; nothing else would
+    // ever delete its attempt-unique file)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.contains(".bin.tmp-")).foreach(_.delete())
     // job-atomic: the marker commits the table — a job that died after
     // some tasks finished leaves parts but no marker, and the reader
     // REFUSES the directory instead of serving a silently truncated
@@ -410,8 +428,7 @@ object BlockFile {
     // blocks keep their (parallel-write) sizes, the same way parquet
     // part files keep their final row groups.
     if (f0.isDirectory) {
-      val parts = partFiles(f0)
-      if (parts.isEmpty) {
+      if (partFiles(f0).isEmpty) {
         val os = new FileOutputStream(new java.io.File(f0, "part-00000.bin"))
         try writeTo(os, df.schema,
           scala.jdk.CollectionConverters.IteratorHasAsScala(
@@ -420,7 +437,19 @@ object BlockFile {
         // first content in a bare directory: commit it (writeDir's
         // marker contract — the reader refuses unmarked directories)
         new java.io.File(f0, SuccessMarker).createNewFile(): Unit
-      } else append(df, parts.last.getPath, rowsPerBlock)
+      } else {
+        // only a COMMITTED directory may be appended to (extending a
+        // truncated failed write would launder it into a "complete"
+        // table), and the mutation itself runs UN-COMMITTED: the last
+        // part's tail block + footer are rewritten in place, so a crash
+        // mid-append must leave a refused directory, not a
+        // marker-committed part with a garbage footer
+        val parts = committedParts(f0)
+        val marker = new java.io.File(f0, SuccessMarker)
+        require(marker.delete(), s"could not un-commit $path for append")
+        append(df, parts.last.getPath, rowsPerBlock)
+        require(marker.createNewFile(), s"could not re-commit $path")
+      }
       return
     }
     if (!f0.exists()) { write(df, path, rowsPerBlock); return }
@@ -541,27 +570,26 @@ final class BlockFileCountScan(path: String, full: StructType)
   override def description(): String = s"BlockFileCountScan(path=$path)"
   // same commit-marker + inter-part schema gate as the row scan: a
   // drifted/foreign part must fail COUNT(*) too, not be silently
-  // counted into the total
-  override def planInputPartitions(): Array[InputPartition] = {
-    BlockFile.validatedScanFiles(path, full)
-    Array(BlockFilePartition(path, 0L))
-  }
+  // counted into the total. The VALIDATED file list is snapshotted into
+  // the partition — execution must count exactly the files planning
+  // checked, not re-list a directory that may have changed in between
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BlockFileCountPartition(BlockFile.validatedScanFiles(path, full)))
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockFileCountReaderFactory
 }
 
+final case class BlockFileCountPartition(paths: Seq[String])
+    extends InputPartition
+
 final class BlockFileCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val path = p.asInstanceOf[BlockFilePartition].path
+      private val paths = p.asInstanceOf[BlockFileCountPartition].paths
       private var done = false
       override def next(): Boolean = { val r = !done; done = true; r }
       override def get(): InternalRow = {
-        val f0 = new java.io.File(path)
-        val files =
-          if (f0.isDirectory) BlockFile.partFiles(f0).map(_.getPath)
-          else Seq(path)
-        val total = files.map { fp =>
+        val total = paths.map { fp =>
           val f = new RandomAccessFile(fp, "r")
           try BlockFile.blockStarts(fp).map { off =>
             f.seek(off)

@@ -198,11 +198,18 @@ class SourcesShellSpec extends SparkSpec {
     Tables.blockFileWriteDir(df.filter("i < 0"), s"$d/empty", rowsPerBlock = 10)
     assert(Tables.blockFileRead(spark, s"$d/empty").count() == 0L)
     // an UNCOMMITTED directory (parts but no _SUCCESS — a writeDir job
-    // that died mid-write) is refused, never served truncated
+    // that died mid-write) is refused, never served truncated...
     val uncommitted = new java.io.File(s"$d/dead"); uncommitted.mkdirs()
     Tables.blockFileWrite(Seq((1, "a")).toDF("i", "s"),
       s"$d/dead/part-00000.bin")
     assertThrows[Exception](Tables.blockFileRead(spark, s"$d/dead").collect())
+    // ...and refused for APPEND too (extending a truncated failed write
+    // would launder it into a "complete" table)
+    assertThrows[Exception](Tables.blockFileAppend(
+      Seq((2, "b")).toDF("i", "s"), s"$d/dead", rowsPerBlock = 10))
+    // hand-committing per the error message makes it readable
+    new java.io.File(s"$d/dead/_SUCCESS").createNewFile()
+    assert(Tables.blockFileRead(spark, s"$d/dead").count() == 1L)
     // schema drift between parts fails loudly on EVERY query shape —
     // the row scan AND the block-header COUNT(*) pushdown alike
     Tables.blockFileWrite(Seq(Tuple1(1)).toDF("only"), s"$p/part-zzzzz.bin")
