@@ -1596,6 +1596,30 @@ object SparkEntry {
       Scale.mixingWeights(t(s, dir, "documents"), "text", "source",
         alpha = 2)),
 
+    // ---- CANONICAL DOC PER NEAR-DUP CLUSTER: keep the HIGHEST-QUALITY
+    //      copy, not the lowest id — the "which duplicate survives"
+    //      policy real dedup pipelines ship (q59 keeps cluster
+    //      representatives by min-id; this ranks by the q24 quality
+    //      signal, ties to the lower id). One keyed shuffle + per-
+    //      cluster sort on top of the bounded cluster machinery ----
+    "q174_canonical_keep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.clusters(
+          Dedup.minhashLsh(docs, "text", "doc_id", numBands = 4,
+            rowsPerBand = 8, shingleN = 1, threshold = 0.8, maxBucket = 64))
+        .select(F.col("id").as("doc_id"), F.col("cluster"))
+      val scored = docs.select(F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      val assigned = scored.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
+      val w = Window.partitionBy("cluster")
+        .orderBy(F.col("quality").desc, F.col("doc_id").asc)
+      assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") === 1)
+        .select("cluster", "doc_id", "quality")
+    }),
+
     // ---- CORRELATED COUNT through the dialect: customers with fewer
     //      than 5 orders INCLUDING zero-order customers — COUNT over an
     //      empty correlation group is 0 in SQL, the one aggregate the
@@ -3938,6 +3962,33 @@ object SparkEntry {
          |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
          |    6) AS weight
          |FROM s, t""".stripMargin,
+
+    // q51's closure + q24's quality formula + argmax per cluster
+    // (highest quality, ties to the lower id) — the survivor policy
+    // replayed end to end
+    "q174_canonical_keep" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |,cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |        FROM reach GROUP BY a),
+         |${docStatsCte("ds")},
+         |scored AS (SELECT doc_id, $qualityExprSql AS quality FROM ds),
+         |assigned AS (
+         |  SELECT s.doc_id, coalesce(cl.cluster, s.doc_id) AS cluster,
+         |         s.quality
+         |  FROM scored s LEFT JOIN cl ON s.doc_id = cl.doc_id)
+         |SELECT cluster, doc_id, quality FROM (
+         |  SELECT cluster, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY quality DESC, doc_id) AS rk
+         |  FROM assigned)
+         |WHERE rk = 1""".stripMargin,
 
     // DuckDB evaluates the same correlated COUNT natively (COUNT(*) is
     // its spelling of the dialect's zero-arg COUNT()); zero-order
