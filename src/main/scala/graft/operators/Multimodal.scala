@@ -411,6 +411,8 @@ object Multimodal {
     * descriptors) — the multi-frame IMAGE fixture twin of
     * [[synthesizeMjpeg]]. */
   def gifBytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1,
+      s"frame dimensions must be >= 1, got ${width}x$height")
     require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
@@ -477,6 +479,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
+          // Scala % is sign-of-dividend: a negative id would derive
+          // zero/negative dimensions — fail with the cause, not a
+          // BufferedImage crash deep inside the task
+          require(id >= 0, s"synthesizeGifs requires non-negative ids, got $id")
           val w = (8 + (id % 5) * 8).toInt
           val h = (8 + ((id * 7) % 3) * 8).toInt
           val n = (1 + id % 5).toInt

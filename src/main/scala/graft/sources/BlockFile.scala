@@ -252,8 +252,12 @@ object BlockFile {
         "(use write() for the single-file form)")
       // UN-COMMIT FIRST: the marker must be gone before any old part is
       // deleted — a crash mid-sweep must leave an uncommitted (refused)
-      // directory, never a marker-committed truncated one
-      new java.io.File(dir, SuccessMarker).delete()
+      // directory, never a marker-committed truncated one. A FAILED
+      // delete must abort for the same reason (proceeding would run the
+      // whole job with the marker still present).
+      val marker = new java.io.File(dir, SuccessMarker)
+      require(!marker.exists() || marker.delete(),
+        s"could not un-commit $path before overwrite")
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.endsWith(".bin") ||
           f.getName.contains(".bin.tmp-")) // stale attempt temps too
@@ -298,6 +302,16 @@ object BlockFile {
 
   /** Job-commit marker of [[writeDir]] (the `_SUCCESS` convention). */
   private[graft] val SuccessMarker = "_SUCCESS"
+
+  /** The append schema gate, shared by the single-file body and the
+    * directory pre-check (which must reject BEFORE un-committing). */
+  private def requireAppendCompatible(schema: StructType,
+                                      fileSchema: StructType): Unit =
+    require(schema.length == fileSchema.length &&
+      schema.fields.zip(fileSchema.fields).forall { case (a, b) =>
+        a.name == b.name && ordinalOf(a.dataType) == ordinalOf(b.dataType) },
+      s"append schema mismatch: file has ${fileSchema.simpleString}, " +
+      s"frame has ${schema.simpleString}")
 
   /** Read a BlockFile as a DataFrame via the DSv2 source (one partition
     * per block, column pruning through the size prefixes). */
@@ -428,7 +442,16 @@ object BlockFile {
     // blocks keep their (parallel-write) sizes, the same way parquet
     // part files keep their final row groups.
     if (f0.isDirectory) {
-      if (partFiles(f0).isEmpty) {
+      val marker = new java.io.File(f0, SuccessMarker)
+      val parts = partFiles(f0) // ONE listing: emptiness decision and
+                                // append target share the same snapshot
+      if (parts.isEmpty) {
+        validateWritable(df.schema, rowsPerBlock)
+        // a stale marker (e.g. hand-created before the parts arrived)
+        // must be gone while the part streams in — same un-commit-first
+        // rule as writeDir's overwrite
+        require(!marker.exists() || marker.delete(),
+          s"could not un-commit $path for first append")
         val os = new FileOutputStream(new java.io.File(f0, "part-00000.bin"))
         try writeTo(os, df.schema,
           scala.jdk.CollectionConverters.IteratorHasAsScala(
@@ -436,7 +459,7 @@ object BlockFile {
         finally os.close()
         // first content in a bare directory: commit it (writeDir's
         // marker contract — the reader refuses unmarked directories)
-        new java.io.File(f0, SuccessMarker).createNewFile(): Unit
+        require(marker.createNewFile(), s"could not commit $path")
       } else {
         // only a COMMITTED directory may be appended to (extending a
         // truncated failed write would launder it into a "complete"
@@ -444,8 +467,12 @@ object BlockFile {
         // part's tail block + footer are rewritten in place, so a crash
         // mid-append must leave a refused directory, not a
         // marker-committed part with a garbage footer
-        val parts = committedParts(f0)
-        val marker = new java.io.File(f0, SuccessMarker)
+        require(marker.exists(),
+          s"BlockFile directory $path is not committed (no $SuccessMarker " +
+          "marker); refusing to append to a possibly truncated table")
+        // validate EVERYTHING that can reject BEFORE un-committing — a
+        // schema-mismatch append must leave an intact table committed
+        requireAppendCompatible(df.schema, readSchema(parts.last.getPath))
         require(marker.delete(), s"could not un-commit $path for append")
         append(df, parts.last.getPath, rowsPerBlock)
         require(marker.createNewFile(), s"could not re-commit $path")
@@ -455,11 +482,7 @@ object BlockFile {
     if (!f0.exists()) { write(df, path, rowsPerBlock); return }
     val fileSchema = readSchema(path)
     val schema = df.schema
-    require(schema.length == fileSchema.length &&
-      schema.fields.zip(fileSchema.fields).forall { case (a, b) =>
-        a.name == b.name && ordinalOf(a.dataType) == ordinalOf(b.dataType) },
-      s"append schema mismatch: file has ${fileSchema.simpleString}, " +
-      s"frame has ${schema.simpleString}")
+    requireAppendCompatible(schema, fileSchema)
     val starts = blockStarts(path)
     if (starts.isEmpty) { write(df, path, rowsPerBlock); return }
     val raf = new RandomAccessFile(path, "rw")
