@@ -1983,6 +1983,24 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
     }),
 
+    // ---- the COMPLETE production ANN serving config: stored
+    //      bucket-partitioned codes serve the ADC candidate pool
+    //      (partition-pruned, no vector I/O — q124's layout), exact
+    //      squared-L2 re-ranks ONLY the pool's full vectors (q168's
+    //      refine) — and the layout must be result-transparent: the
+    //      oracle is the same replay as the in-flight q168 ----
+    "q175_knn_stored_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val path = stagingDir("graft_pq_refine") + "/codes"
+      Similarity.writeIvfPqCodes(emb, "embedding", "vec_id",
+        ivfCentroids, pqCodebooks, path)
+      Similarity.pqTopKFromCodesRefine(s, path, emb, "embedding", "vec_id",
+        q, ivfCentroids, pqCodebooks, k = 10, nprobe = 2, rerank = 50)
+        .select(F.col("vec_id"), F.round(F.col("dist"), 6).as("dist"))
+    }),
+
     // ---- decontamination AT INGEST: the q77 check as a streaming
     //      foreachBatch pass over a file-source corpus stream against a
     //      static eval set — per-document statistic, so per-batch
@@ -2737,6 +2755,11 @@ object SparkEntry {
       pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2))),
     // q123's ADC stages + a 50-candidate pool + exact-L2 re-rank
     "q168_knn_ivfpq_refine" ->
+      pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2)),
+        rerank = Some(50)),
+    // the stored-codes layout must land the exact q168 result (the
+    // q124-vs-q123 transparency contract, extended to the refine stage)
+    "q175_knn_stored_refine" ->
       pqOracleSql(pqCodebooks, k = 10, ivfPrune = Some((ivfCentroids, 2)),
         rerank = Some(50)),
 

@@ -521,6 +521,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[pqTopKIvfRefine]] over the STORED serving layout: the ADC
+    * candidate pool comes from the bucket-partitioned codes table
+    * ([[writeIvfPqCodes]] — partition-pruned, codes-only ReadSchema, no
+    * vector I/O), and only the `rerank` winners' FULL vectors are then
+    * read from the raw table for the exact squared-L2 re-rank. This is
+    * the complete production configuration: the corpus is touched as
+    * nprobe/n compressed partitions plus O(rerank) raw-vector lookups
+    * per query, and the layout must be result-transparent (same answer
+    * as the in-flight [[pqTopKIvfRefine]] — the q124 contract). */
+  def pqTopKFromCodesRefine(spark: org.apache.spark.sql.SparkSession,
+                            codesPath: String, vectors: DataFrame,
+                            vecCol: String, idCol: String,
+                            query: Seq[Double], centroids: Seq[Seq[Double]],
+                            codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                            nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank pool ($rerank) must be >= k ($k)")
+    val cands = pqTopKFromCodes(spark, codesPath, idCol, query, centroids,
+      codebooks, k = rerank, nprobe).select(F.col(idCol))
+    val qLit = F.array(query.map(F.lit): _*)
+    vectors.join(F.broadcast(cands), Seq(idCol))
+      .select(F.col(idCol), sqDist(F.col(vecCol), qLit).as("dist"))
+      .orderBy(F.col("dist").asc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** In-engine k-means training for IVF centroids — replaces the "trained
     * offline" assumption with a distributed Lloyd's iteration:
     * assignment is the same per-row [[ivfBucket]] expression the serving

@@ -782,6 +782,20 @@ class OperatorsSpec extends SparkSpec {
     val plan = fromCodes.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
     assert(!plan.contains("embedding"), s"codes scan must not read vectors:\n$plan")
+    // the stored-candidates + exact-re-rank composition lands the exact
+    // in-flight refine result (the transparency contract, refine stage
+    // included), and the pool bound still checks
+    val storedRefine = Similarity.pqTopKFromCodesRefine(spark, path, emb,
+      "embedding", "vec_id", query, centroids, cbs, k = 3, nprobe = 1,
+      rerank = 6)
+    val inflightRefine = Similarity.pqTopKIvfRefine(emb, "embedding",
+      "vec_id", query, centroids, cbs, k = 3, nprobe = 1, rerank = 6)
+    assert(storedRefine.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq == inflightRefine.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assertThrows[IllegalArgumentException](
+      Similarity.pqTopKFromCodesRefine(spark, path, emb, "embedding",
+        "vec_id", query, centroids, cbs, k = 5, nprobe = 1, rerank = 3))
   }
 
   test("native simhash64 matches the composable route bit-for-bit (both hash modes)") {
