@@ -2070,6 +2070,21 @@ object SparkEntry {
       Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
         n = 8, minDocs = 2)),
 
+    // ---- PER-SOURCE boilerplate-line removal: a non-blank line in
+    //      >= 3 distinct docs of one source is template text (nav bars,
+    //      footers); rebuild every doc from its surviving lines. The
+    //      oracle replays the vote AND the byte-identical rewrite ----
+    "q176_remove_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplateLines(t(s, dir, "documents"), "text", "doc_id",
+        "source", minDocs = 3)),
+
+    // ---- WITHIN-doc repeated-line removal: keep the first occurrence
+    //      of each non-blank line — a pure narrow rewrite (zero
+    //      shuffles); the oracle replays first-position selection and
+    //      the rebuilt text byte-for-byte ----
+    "q178_remove_repeated_lines" -> ((s, dir) =>
+      Dedup.removeRepeatedLines(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- INCREMENTAL clustering: stored assignment (a depth-1
     //      spanning forest of the old graph) ∪ the nightly batch's
     //      incremental pairs → same components as a full recompute,
@@ -2552,6 +2567,51 @@ object SparkEntry {
         |    count(*) AS nk FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
         |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the boilerplate vote (distinct docs per (source, line digest)) +
+    // the rewrite, replayed byte-for-byte: blank lines always keep,
+    // voted lines drop every occurrence
+    "q176_remove_boilerplate" ->
+      """WITH l AS (SELECT doc_id, source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\n'),
+        |      x -> trim(x) <> '')) AS line
+        |  FROM documents),
+        |lh AS (SELECT DISTINCT doc_id, source, md5(line) AS h FROM l),
+        |bp AS (SELECT source, h FROM lh GROUP BY source, h
+        |       HAVING count(*) >= 3),
+        |docbp AS (SELECT lh.doc_id, list(lh.h) AS bset
+        |  FROM lh JOIN bp ON lh.source = bp.source AND lh.h = bp.h
+        |  GROUP BY lh.doc_id),
+        |r AS (SELECT d.doc_id,
+        |    regexp_split_to_array(d.text, '\n') AS ls,
+        |    list_filter(regexp_split_to_array(d.text, '\n'),
+        |      x -> trim(x) = ''
+        |        OR NOT list_contains(coalesce(b.bset, []), md5(x))) AS kept
+        |  FROM documents d LEFT JOIN docbp b USING (doc_id))
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed
+        |FROM r""".stripMargin,
+
+    // first-occurrence selection per (doc, line digest) + ordered
+    // rebuild — blank lines keep every occurrence
+    "q178_remove_repeated_lines" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\n') AS ls
+        |  FROM documents),
+        |p AS (SELECT doc_id, s.i AS i, ls[s.i] AS line
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) s),
+        |firsts AS (SELECT doc_id, md5(line) AS h, min(i) AS mi
+        |  FROM p WHERE trim(line) <> '' GROUP BY doc_id, md5(line)),
+        |kept AS (SELECT p.doc_id, p.i, p.line
+        |  FROM p LEFT JOIN firsts f
+        |    ON p.doc_id = f.doc_id AND md5(p.line) = f.h
+        |  WHERE trim(p.line) = '' OR p.i = f.mi),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY i) AS clean_text,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(d.ls) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // the ok CTE replays ngramJaccardPairs' block cap: blocks outside

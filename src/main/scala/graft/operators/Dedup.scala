@@ -1175,6 +1175,83 @@ object Dedup {
         F.count(F.lit(1)).as("n_lines"))
   }
 
+  /** PER-SOURCE boilerplate-line removal (the CCNet/RefinedWeb cleanup
+    * step [[corpusDupLines]] only measures): a non-blank line occurring
+    * in at least `minDocs` DISTINCT documents of the SAME source is
+    * boilerplate (navigation bars, cookie banners, license footers —
+    * template text a crawler of that source repeats); every occurrence
+    * is removed and each document is rebuilt from its surviving lines
+    * (original order and blank lines preserved — blank lines carry
+    * formatting, not content, and keeping them makes the rewrite
+    * minimal). Returns (id, clean_text, n_removed). Documents with no
+    * boilerplate pass through byte-identical.
+    *
+    * Scale shape: the vote aggregates (source, 16-byte line digest)
+    * pairs after a per-doc distinct — text never enters the vote
+    * shuffle; the per-document boilerplate set is doc-keyed and bounded
+    * by lines-per-document; and the rebuild is one narrow `filter`
+    * lambda over the re-split line array (an md5 per line — codegen'd,
+    * no second explode). A footer shared by millions of documents fans
+    * out only its digest. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             sourceCol: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lineHash = (l: Column) => F.md5(F.encode(l, "UTF-8"))
+    // (id, source, line digest), distinct per doc — a doc repeating its
+    // own line votes once (the vote counts DOCUMENTS, not occurrences)
+    val lines = df.select(F.col(idCol).as("id"), F.col(sourceCol).as("src"),
+        F.explode(F.filter(F.split(F.col(textCol), "\n"),
+          (l: Column) => F.length(F.trim(l)) > 0)).as("line"))
+      .select(F.col("id"), F.col("src"), lineHash(F.col("line")).as("lh"))
+      .distinct()
+    val boiler = lines.groupBy("src", "lh")
+      .agg(F.count(F.lit(1)).as("_nd"))
+      .filter(F.col("_nd") >= minDocs)
+      .select("src", "lh")
+    // per-document boilerplate digest set (only docs that have any)
+    val docBp = lines.join(boiler, Seq("src", "lh"))
+      .groupBy("id").agg(F.collect_set("lh").as("bp"))
+    df.select(F.col(idCol).as("id"), F.col(textCol).as("text"))
+      .join(docBp, Seq("id"), "left")
+      .select(F.col("id").as(idCol), F.col("text"),
+        F.coalesce(F.col("bp"), F.array().cast("array<string>")).as("bp"))
+      .select(F.col(idCol), F.col("bp"),
+        F.split(F.col("text"), "\n").as("ls"))
+      .select(F.col(idCol), F.col("ls"),
+        F.filter(F.col("ls"), (l: Column) =>
+          (F.length(F.trim(l)) === 0) ||
+            !F.array_contains(F.col("bp"), lineHash(l))).as("kept"))
+      .select(F.col(idCol),
+        F.array_join(F.col("kept"), "\n").as("clean_text"),
+        (F.size(F.col("ls")) - F.size(F.col("kept")))
+          .cast("long").as("n_removed"))
+  }
+
+  /** WITHIN-document repeated-line removal: keep the FIRST occurrence of
+    * each non-blank line, drop later repeats (the in-doc counterpart of
+    * [[removeBoilerplateLines]] — catches scraped pages that repeat their
+    * own headers/menus between sections). Blank lines are preserved.
+    * Returns (id, clean_text, n_removed).
+    *
+    * Scale shape: a pure NARROW per-row rewrite — zero shuffles, zero
+    * joins; the whole operator is one `filter` lambda whose index-i
+    * predicate scans the line prefix (`slice(ls, 1, i)`). Per-document
+    * cost is O(lines²) worst case on the line ARRAY (bounded by document
+    * size, never corpus size); corpus-wide boilerplate needs the voted
+    * variant instead. */
+  def removeRepeatedLines(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    df.select(F.col(idCol), F.split(F.col(textCol), "\n").as("ls"))
+      .select(F.col(idCol), F.col("ls"),
+        F.filter(F.col("ls"), (l: Column, i: Column) =>
+          (F.length(F.trim(l)) === 0) ||
+            !F.exists(F.slice(F.col("ls"), F.lit(1), i), (p: Column) => p === l))
+          .as("kept"))
+      .select(F.col(idCol),
+        F.array_join(F.col("kept"), "\n").as("clean_text"),
+        (F.size(F.col("ls")) - F.size(F.col("kept")))
+          .cast("long").as("n_removed"))
+
   /** Sign-bit bucket of a vector against one hyperplane set (bit i =
     * sign of dot with plane i), via the native fused-loop f64 dot when
     * the session carries the extensions — double precision end to end,

@@ -274,6 +274,51 @@ class OperatorsSpec extends SparkSpec {
     assert(soloOut == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("boilerplate line removal: per-source vote, blank lines kept, rewrite") {
+    // "FOOTER" appears in 3 docs of source s1 (boilerplate at minDocs=3);
+    // "menu" in only 2 of s1 (below threshold); "FOOTER" also in one doc
+    // of s2 — votes are PER SOURCE, so s2's copy survives
+    val docs = Seq(
+      (1L, "body one\nFOOTER", "s1"),
+      (2L, "menu\nbody two\n\nFOOTER", "s1"),
+      (3L, "menu\nFOOTER\nbody three", "s1"),
+      (4L, "FOOTER\nother", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.removeBoilerplateLines(docs, "text", "doc_id", "source",
+        minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("body one", 1L)))
+    assert(out(2L) == (("menu\nbody two\n", 1L))) // blank line preserved
+    assert(out(3L) == (("menu\nbody three", 1L)))
+    assert(out(4L) == (("FOOTER\nother", 0L)))    // different source: kept
+    // a doc repeating the line internally votes ONCE but loses every copy
+    val rep = Seq(
+      (1L, "FOOTER\nx\nFOOTER", "s"), (2L, "FOOTER\ny", "s"),
+      (3L, "FOOTER\nz", "s")
+    ).toDF("doc_id", "text", "source")
+    val repOut = Dedup.removeBoilerplateLines(rep, "text", "doc_id", "source",
+        minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(repOut(1L) == (("x", 2L)))
+  }
+
+  test("repeated-line removal: first occurrence kept, narrow plan") {
+    val docs = Seq(
+      (1L, "header\nbody\nheader\n\ntail\nbody"),
+      (2L, "only\nlines"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("header\nbody\n\ntail", 2L)))
+    assert(out(2L) == (("only\nlines", 0L)))
+    assert(out(3L) == (("", 0L)))
+    // the operator is a pure narrow rewrite: no exchange in the plan
+    val plan = Dedup.removeRepeatedLines(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected narrow plan, got:\n$plan")
+  }
+
   test("simhash of identical docs is identical; near dups are close") {
     val sigs = docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
