@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
 import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{Tables, Versioned}
 import graft.streaming.Streams
 
 /** Driver contract — one queries-map entry per implemented operator from
@@ -433,6 +433,15 @@ object SparkEntry {
           k = 10, nprobe = 2)
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
+
+    // ---- EMBEDDING-SPACE OUTLIERS: vectors whose best centroid-dot
+    //      affinity (their IVF assignment score) falls below the exact
+    //      corpus 5th percentile — the off-manifold/noise filter run
+    //      before semantic dedup; one narrow map + one single-scalar
+    //      percentile agg, corpus never shuffles ----
+    "q179_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "embedding",
+        "vec_id", ivfCentroids, quantile = 0.05)),
 
     // ---- scalar quantization (int8 per dimension): the third
     //      compression tier beside PQ/IVF-PQ. min/max train in-engine
@@ -2070,6 +2079,20 @@ object SparkEntry {
       Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "text", "doc_id",
         n = 8, minDocs = 2)),
 
+    // ---- VERSIONED dataset snapshots: commit v1 (even ids), append v2
+    //      (odd ids), then TIME-TRAVEL read v1 while the head is v2 and
+    //      read the head — atomic manifest-pinned snapshots, the corpus-
+    //      publishing primitive (immutable segments + rename commit,
+    //      the BM25 generation protocol generalized to tables) ----
+    "q177_versioned_snapshot" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "source")
+      val path = stagingDir("graft_versioned") + "/ds"
+      Versioned.commit(base.filter(F.col("doc_id") % 2 === 0), path)
+      Versioned.commit(base.filter(F.col("doc_id") % 2 === 1), path)
+      Versioned.read(s, path, Some(1L)).withColumn("version", F.lit(1))
+        .unionAll(Versioned.read(s, path).withColumn("version", F.lit(2)))
+    }),
+
     // ---- PER-SOURCE boilerplate-line removal: a non-blank line in
     //      >= 3 distinct docs of one source is template text (nav bars,
     //      footers); rebuild every doc from its surviving lines. The
@@ -2569,6 +2592,14 @@ object SparkEntry {
         |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // v1 must be EXACTLY the even ids (time travel after the v2 commit)
+    // and the head must be everything — the snapshot-isolation contract
+    "q177_versioned_snapshot" ->
+      """SELECT doc_id, source, 1 AS version FROM documents
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
     // the boilerplate vote (distinct docs per (source, line digest)) +
     // the rewrite, replayed byte-for-byte: blank lines always keep,
     // voted lines drop every occurrence
@@ -2782,6 +2813,21 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    // the IVF assignment replay (same argmax CTEs as q33) + best-dot
+    // affinity + the exact 5th-percentile cutoff — quantile_cont uses
+    // the same rank interpolation as Spark's percentile (the q164
+    // precedent), over ROUNDED affinities on both sides
+    "q179_embedding_outliers" -> {
+      val best = ivfCentroids.indices.map(i => s"s$i").mkString(", ")
+      s"""WITH ${ivfAssignCtes(ivfCentroids)},
+         |a AS (SELECT es.vec_id AS vec_id, eb.bucket AS bucket,
+         |    round(greatest($best), 6) AS affinity
+         |  FROM es JOIN eb ON es.vec_id = eb.vec_id),
+         |t AS (SELECT quantile_cont(affinity, 0.05) AS thr FROM a)
+         |SELECT vec_id, bucket, affinity FROM a, t
+         |WHERE affinity < thr""".stripMargin
+    },
 
     // same cell assignment as q33's replay, then capped within-cell
     // pairs, rounded-cosine flagging and the q51-style closure

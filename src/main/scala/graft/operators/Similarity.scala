@@ -273,6 +273,38 @@ object Similarity {
     graft.operators.Dedup.clusters(flagged)
   }
 
+  /** EMBEDDING-SPACE OUTLIER filter — the curation pass that drops
+    * off-manifold embeddings (garbage docs, decode failures, mislabeled
+    * modalities) before semantic dedup or ANN indexing: each vector's
+    * affinity is its best centroid dot product (its IVF assignment
+    * score), and vectors whose ROUNDED affinity falls below the exact
+    * corpus `quantile` are flagged. Returns the flagged rows as
+    * (idCol, bucket, affinity).
+    *
+    * Scale shape: assignment + affinity is one narrow codegen'd map;
+    * the cutoff is ONE exact-percentile aggregate collecting a single
+    * scalar (the [[graft.operators.Scale.rangeBuckets]] precedent),
+    * inlined as a literal into the filter — the corpus itself never
+    * shuffles. Deterministic: affinity is rounded to 6 decimals BEFORE
+    * the quantile, so identical input cuts identically on any
+    * partitioning, and a differential oracle replays the whole pipeline
+    * (`quantile_cont` uses the same rank interpolation). */
+  def embeddingOutliers(df: DataFrame, vecCol: String, idCol: String,
+                        centroids: Seq[Seq[Double]],
+                        quantile: Double = 0.05): DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"quantile must be in (0, 1), got $quantile")
+    val dots = centroids.map(c => dot(F.col(vecCol), F.array(c.map(F.lit): _*)))
+    val scored = df.select(F.col(idCol),
+      ivfBucket(F.col(vecCol), centroids).as("bucket"),
+      F.round(F.greatest(dots: _*), 6).as("affinity"))
+    val row = scored.agg(
+      F.percentile(F.col("affinity"), F.lit(quantile)).as("_thr")).head()
+    require(!row.isNullAt(0),
+      "embeddingOutliers: empty input (or all-null vectors) — no quantile")
+    scored.filter(F.col("affinity") < F.lit(row.getDouble(0)))
+  }
+
   /** The query's `nprobe` closest centroids by dot product (driver-side
     * over literal centroids; ties keep the lower index — stable sort). */
   def probeBuckets(query: Seq[Double], centroids: Seq[Seq[Double]],

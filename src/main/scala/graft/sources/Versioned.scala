@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERSIONED parquet datasets — the corpus-publishing primitive a
+  * training-data pipeline needs around every other operator here: each
+  * pipeline run commits an atomic SNAPSHOT, consumers pin the version
+  * they trained on, and an incremental run appends without rewriting
+  * history (the generalization of the BM25 index's generation protocol
+  * in [[graft.operators.TextAnalysis]] to arbitrary tables).
+  *
+  * Layout under `path`:
+  *   - `data/seg-<uuid>/`    — IMMUTABLE parquet segment directories,
+  *     written once, never modified (task-parallel writes, no driver
+  *     byte path);
+  *   - `manifest/v-N.txt`    — version N = the newline-joined list of
+  *     segment names composing that snapshot, committed via write-temp
+  *     + atomic RENAME.
+  *
+  * Isolation guarantees, by construction:
+  *   - a reader resolves ONE manifest and then touches only immutable
+  *     segments — no half-committed state is ever observable;
+  *   - a crash before the manifest rename leaves an unreferenced
+  *     segment directory and the previous version fully intact;
+  *   - version numbers are dense and monotonic; concurrent committers
+  *     of the same version fail loudly on the rename (single-writer
+  *     commits are the contract, as with the BM25/minhash indexes).
+  *
+  * At 100 TB this is exactly the snapshot/append discipline a lakehouse
+  * table format provides; expressed minimally here so the engine's own
+  * artifacts (corpora, signal tables, keep-lists) get atomic versions
+  * without a new dependency.
+  */
+object Versioned {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions at `path`, ascending (empty if none). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/manifest")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("v-") && s.endsWith(".txt") =>
+        s.stripPrefix("v-").stripSuffix(".txt").toLong }
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+                           version: Long): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val f = new Path(s"$path/manifest", f"v-$version%09d.txt")
+    require(fs.exists(f), s"version $version not committed at $path")
+    val in = fs.open(f)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Commit `df` as the next version. `append = true` (default) stacks
+    * the new segment on the previous version's segment list (the
+    * incremental-run shape); `append = false` starts the new version
+    * from ONLY this segment (a full republish — prior versions stay
+    * readable, their segments are simply no longer referenced by the
+    * head). Returns the committed version number.
+    *
+    * Appends enforce schema equality (names + types, in order) against
+    * the previous head — silent schema drift inside one dataset is how
+    * a downstream trainer gets garbage columns at read time. */
+  def commit(df: DataFrame, path: String, append: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val prev = versions(spark, path)
+    val version = prev.lastOption.getOrElse(0L) + 1
+    val prevSegs =
+      if (append && prev.nonEmpty) readManifest(spark, path, prev.last)
+      else Seq.empty
+    if (prevSegs.nonEmpty) {
+      val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.head}").schema
+      require(prevSchema.map(f => (f.name, f.dataType)) ==
+          df.schema.map(f => (f.name, f.dataType)),
+        s"append schema mismatch at $path: committed " +
+          s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString}")
+    }
+    // segment first (invisible until the manifest lands), commit last
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$path/data/$seg")
+    val dir = new Path(s"$path/manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write((prevSegs :+ seg).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, f"v-$version%09d.txt")
+    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"version $version already committed at $path — " +
+        "concurrent committers must be serialized")
+    }
+    version
+  }
+
+  /** Read a committed snapshot: the given `version`, or the head when
+    * absent. One manifest resolution pins the read; everything after is
+    * immutable-segment parquet I/O (splittable, column-pruned, filter-
+    * pushed like any parquet scan). */
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val all = versions(spark, path)
+      require(all.nonEmpty, s"no committed versions at $path")
+      all.last
+    }
+    val segs = readManifest(spark, path, v)
+    spark.read.parquet(segs.map(s => s"$path/data/$s"): _*)
+  }
+}

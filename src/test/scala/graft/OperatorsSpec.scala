@@ -336,6 +336,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("embedding outliers: low-affinity vectors flagged at the exact quantile") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // best dot 1.0 (c0)
+      (1L, Seq(0.9f, 0.1f)),  // 0.9 (c0)
+      (2L, Seq(0.0f, 1.0f)),  // 1.0 (c1)
+      (3L, Seq(-1.0f, -1.0f)) // -1.0 — the off-manifold vector
+    ).toDF("vec_id", "embedding")
+    // q=0.3 over sorted [-1, 0.9, 1, 1]: rank 0.9 → cut at -1 + 0.9·1.9
+    // = 0.71; only vec 3 is below
+    val out = Similarity.embeddingOutliers(emb, "embedding", "vec_id",
+        cents, quantile = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(3L))
+    assert(out(3L)._2 == -1.0)
+    // assignment tie (equal dots to both centroids) goes to the HIGHER
+    // index — the ivfBucket struct-argmax rule the oracles replay
+    assert(out(3L)._1 == 1)
+    // empty input fails loudly instead of NPE-ing on a null quantile
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingOutliers(emb.limit(0), "embedding", "vec_id", cents)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("cosine topK is exact and deterministically ordered") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

@@ -315,4 +315,36 @@ class SourcesShellSpec extends SparkSpec {
     val engine = Engine(spark, dir)
     assert(Shell.repl(engine, Iterator.empty, _ => ()) == 0)
   }
+
+  test("versioned dataset: commit/append/time-travel, schema guard, isolation") {
+    import graft.sources.Versioned
+    val path = Files.createTempDirectory("graft-versioned").toString + "/ds"
+    val v1 = Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    assert(v1 == 1L)
+    val v2 = Versioned.commit(Seq((3, "c")).toDF("id", "v"), path)
+    assert(v2 == 2L)
+    assert(Versioned.versions(spark, path) == Seq(1L, 2L))
+    // append is cumulative; v1 stays exactly the first commit (time travel)
+    assert(rows(Versioned.read(spark, path)) ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    assert(rows(Versioned.read(spark, path, Some(1L))) ==
+      Set(Seq(1, "a"), Seq(2, "b")))
+    // schema drift on append fails loudly
+    val drifted = Seq((4, 9L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(drifted, path)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // a stray segment without a manifest commit is INVISIBLE to readers
+    Seq((99, "zz")).toDF("id", "v").write.parquet(s"$path/data/seg-stray")
+    assert(Versioned.read(spark, path).count() == 3)
+    // overwrite (append = false) republishes from only the new segment;
+    // prior versions remain readable
+    val v3 = Versioned.commit(Seq((7, "g")).toDF("id", "v"), path,
+      append = false)
+    assert(v3 == 3L)
+    assert(rows(Versioned.read(spark, path)) == Set(Seq(7, "g")))
+    assert(rows(Versioned.read(spark, path, Some(2L))) ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
 }
