@@ -1822,6 +1822,28 @@ object SparkEntry {
       Tables.blockFileRead(s, path)
     }),
 
+    // ---- ZONE MAPS on the native format: sorted write → per-block
+    //      [min,max] sidecar → the filtered aggregation schedules ONLY
+    //      the surviving blocks (parquet row-group stats, retrofitted
+    //      onto the reference's .bin without changing its bytes). Every
+    //      filter stays residual, so a wrongly-skipped block would fail
+    //      this gate's hash, not just slow it down ----
+    "q180_blockfile_zonemap" -> ((s, dir) => {
+      val path = stagingDir("graft_bfzones") + "/lineitem.bin"
+      val src = t(s, dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").as("l_orderkey"),
+        F.col("l_quantity").cast("float").as("l_quantity"),
+        F.col("l_returnflag"))
+        .orderBy("l_orderkey")
+      Tables.blockFileWrite(src, path, rowsPerBlock = 4096)
+      graft.sources.ZoneMap.write(path)
+      Tables.blockFileRead(s, path)
+        .filter(F.col("l_orderkey") >= 10000 && F.col("l_orderkey") < 20000)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"),
+          F.count(F.lit(1)).as("n"))
+    }),
+
     // ---- language-mixing detection: per-32-token-window language ID
     //      vs the document vote — code-switched/concatenated/mislabeled
     //      docs poison monolingual mixes and a doc-level vote alone
@@ -4324,6 +4346,17 @@ object SparkEntry {
         |  CAST(l_quantity AS REAL) AS l_quantity,
         |  l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem, range(10) t(i)""".stripMargin,
+
+    // the same filter + aggregation over the parquet table: the zone-
+    // mapped .bin scan must land identical groups (float cast first,
+    // like q141 — quantities are integral, so the double sum is exact)
+    "q180_blockfile_zonemap" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(CAST(l_quantity AS REAL) AS DOUBLE)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey >= 10000 AND l_orderkey < 20000
+        |GROUP BY l_returnflag""".stripMargin,
 
     // the q96 chunk construction (stride = window = 32) + the q25
     // word-list scorer per chunk + the doc-level vote, aggregated

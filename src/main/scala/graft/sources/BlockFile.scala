@@ -176,6 +176,9 @@ object BlockFile {
   def write(df: DataFrame, path: String,
             rowsPerBlock: Int = 2 * 1024 * 1024): Unit = {
     validateWritable(df.schema, rowsPerBlock)
+    // an overwrite invalidates any zone-map sidecar BEFORE the file
+    // changes (ZoneMap.load's length/offset guard is the backstop)
+    new java.io.File(ZoneMap.sidecar(path)).delete(): Unit
     val os = new FileOutputStream(path)
     try writeTo(os, df.schema,
       scala.jdk.CollectionConverters.IteratorHasAsScala(
@@ -260,6 +263,7 @@ object BlockFile {
         s"could not un-commit $path before overwrite")
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.endsWith(".bin") ||
+          f.getName.endsWith(".bin.zones") || // sidecars of swept parts
           f.getName.contains(".bin.tmp-")) // stale attempt temps too
         .foreach(_.delete())
     } else require(dir.mkdirs(), s"cannot create directory $path")
@@ -485,6 +489,10 @@ object BlockFile {
     requireAppendCompatible(schema, fileSchema)
     val starts = blockStarts(path)
     if (starts.isEmpty) { write(df, path, rowsPerBlock); return }
+    // the in-place mutation invalidates the sidecar — delete it FIRST
+    // so a crash mid-append cannot leave a sidecar describing a
+    // half-written footer (the load-time guard is the backstop)
+    new java.io.File(ZoneMap.sidecar(path)).delete(): Unit
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.seek(starts.last)
@@ -549,9 +557,25 @@ final class BlockFileTable(path: String, schema0: StructType)
 
 final class BlockFileScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var countStar = false
+  private var zoneFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  // Zone-map pruning: remember the numeric comparison conjuncts for
+  // block skipping at planning time, but return EVERY filter as
+  // residual — the sidecar decides which blocks are READ, never which
+  // rows match, so Spark re-evaluates all predicates post-scan and a
+  // missing/stale sidecar degrades to a full scan, not wrong rows.
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    zoneFilters = filters.filter(ZoneMap.usable)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    zoneFilters
   // keep FILE order for the pruned schema: the reader walks columns
   // sequentially, skipping unwanted ones by their size prefix
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -578,7 +602,7 @@ final class BlockFileScanBuilder(path: String, full: StructType)
   }
   override def build(): Scan =
     if (countStar) new BlockFileCountScan(path, full)
-    else new BlockFileScan(path, full, required)
+    else new BlockFileScan(path, full, required, zoneFilters.toSeq)
 }
 
 /** COUNT(*) served from block metadata: one task walks the footer's
@@ -627,16 +651,27 @@ final class BlockFileCountReaderFactory extends PartitionReaderFactory {
     }
 }
 
-final class BlockFileScan(path: String, full: StructType, required: StructType)
+final class BlockFileScan(path: String, full: StructType, required: StructType,
+                          zoneFilters: Seq[org.apache.spark.sql.sources.Filter]
+                            = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"BlockFileScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+  // one partition per SURVIVING block: a block whose sidecar ranges
+  // prove no row can match every zone filter is never scheduled (the
+  // sidecar is validated against the file's current length and footer
+  // offsets — see ZoneMap.load — so drift degrades to the full scan)
   override def planInputPartitions(): Array[InputPartition] =
-    BlockFile.validatedScanFiles(path, full)
-      .flatMap(fp => BlockFile.blockStarts(fp)
-        .map(off => BlockFilePartition(fp, off): InputPartition)).toArray
+    BlockFile.validatedScanFiles(path, full).flatMap { fp =>
+      val starts = BlockFile.blockStarts(fp)
+      val zones =
+        if (zoneFilters.isEmpty) None else ZoneMap.load(fp, starts)
+      starts
+        .filter(off => zones.forall(z => ZoneMap.mayMatch(z(off), zoneFilters)))
+        .map(off => BlockFilePartition(fp, off): InputPartition)
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockFileReaderFactory(full, required)
 }

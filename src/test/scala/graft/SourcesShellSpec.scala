@@ -316,6 +316,53 @@ class SourcesShellSpec extends SparkSpec {
     assert(Shell.repl(engine, Iterator.empty, _ => ()) == 0)
   }
 
+  test("zone maps: filtered .bin scans skip blocks; drift degrades to full scan") {
+    import graft.sources.{BlockFile, ZoneMap}
+    val d = Files.createTempDirectory("graft-zones").toString
+    val bin = s"$d/t.bin"
+    // 100 sorted rows, 10 per block → 10 blocks with disjoint id ranges
+    val df = spark.range(100).selectExpr("CAST(id AS INT) AS id",
+      "CAST(id AS FLOAT) AS score").coalesce(1)
+    Tables.blockFileWrite(df, bin, rowsPerBlock = 10)
+    val plain = BlockFile.read(spark, bin).filter($"id" >= 95)
+    assert(plain.rdd.getNumPartitions == 10) // no sidecar: every block
+    ZoneMap.write(bin)
+    val pruned = BlockFile.read(spark, bin).filter($"id" >= 95)
+    assert(pruned.rdd.getNumPartitions == 1) // only the last block read
+    assert(rows(pruned.select("id")) == (95 to 99).map(Seq(_)).toSet)
+    // float range + equality prune too; every filter stays residual so
+    // partially-covered blocks return exact rows
+    val f2 = BlockFile.read(spark, bin)
+      .filter($"score" < 13.0f && $"id" =!= 3)
+    assert(f2.rdd.getNumPartitions == 2)
+    assert(rows(f2.select("id")) ==
+      ((0 to 12).toSet - 3).map(Seq(_)))
+    // append rewrites the tail in place and deletes the sidecar — the
+    // next scan is full (correct) until the sidecar is rebuilt
+    BlockFile.append(Seq((100, 100.0f)).toDF("id", "score"), bin,
+      rowsPerBlock = 10)
+    assert(!new java.io.File(s"$bin.zones").exists())
+    val after = BlockFile.read(spark, bin).filter($"id" >= 95)
+    assert(after.rdd.getNumPartitions == 11)
+    assert(rows(after.select("id")) == (95 to 100).map(Seq(_)).toSet)
+    // a STALE sidecar (length drift) is ignored, never trusted
+    ZoneMap.write(bin)
+    BlockFile.append(Seq((101, 101.0f)).toDF("id", "score"), bin,
+      rowsPerBlock = 10)
+    Files.writeString(java.nio.file.Paths.get(s"$bin.zones"), "garbage")
+    val stale = BlockFile.read(spark, bin).filter($"id" >= 95)
+    assert(stale.rdd.getNumPartitions == 11)
+    assert(rows(stale.select("id")) == (95 to 101).map(Seq(_)).toSet)
+    // directory form: one sidecar per part, same pruning
+    val dir = s"$d/parts"
+    BlockFile.writeDir(spark.range(40).selectExpr("CAST(id AS INT) AS id")
+      .repartitionByRange(4, $"id"), dir, rowsPerBlock = 5)
+    ZoneMap.write(dir)
+    val dp = BlockFile.read(spark, dir).filter($"id" === 17)
+    assert(dp.rdd.getNumPartitions == 1)
+    assert(rows(dp) == Set(Seq(17)))
+  }
+
   test("versioned dataset: commit/append/time-travel, schema guard, isolation") {
     import graft.sources.Versioned
     val path = Files.createTempDirectory("graft-versioned").toString + "/ds"
