@@ -87,6 +87,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case InSubquery(e, sub) => colPaths(e) ++ compoundPaths(sub)
       case ScalarSubquery(sub) => compoundPaths(sub)
       case ExistsSubquery(sub) => compoundPaths(sub)
+      case QuantifiedCmp(e, _, _, sub) => colPaths(e) ++ compoundPaths(sub)
       case BinOp(_, l, r)     => colPaths(l) ++ colPaths(r)
       case Not(ch)            => colPaths(ch)
       case Alias(ch, _)       => colPaths(ch)
@@ -293,6 +294,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Not(InSubquery(e, sub)) => inJoin(frame, e, sub, scope, anti = true)
     case ExistsSubquery(sub)      => existsJoin(frame, sub, scope, anti = false)
     case Not(ExistsSubquery(sub)) => existsJoin(frame, sub, scope, anti = true)
+    case QuantifiedCmp(e, op, forAll, sub) =>
+      quantifiedFilter(frame, resolveScalars(e, scope), op, forAll, sub, scope)
     case other if containsInSubquery(other) =>
       throw new SemanticError(
         "IN (SELECT ...) / EXISTS (SELECT ...) must be a top-level AND " +
@@ -426,6 +429,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       bs.flatMap { case (w, v) => collectScalarSubs(w) ++ collectScalarSubs(v) } ++
         e.toSeq.flatMap(collectScalarSubs)
     case InSubquery(e, _)  => collectScalarSubs(e)
+    case QuantifiedCmp(e, _, _, _) => collectScalarSubs(e)
     case _                 => Seq.empty
   }
 
@@ -607,6 +611,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       a.toSeq.flatMap(collectRefs) ++ pb.flatMap(collectRefs) ++
         ob.flatMap { case (oc, _) => collectRefs(oc) }
     case InSubquery(e, _) => collectRefs(e)
+    case QuantifiedCmp(e, _, _, _) => collectRefs(e)
     case _               => Seq.empty
   }
 
@@ -677,12 +682,77 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       WindowFn(f, a.map(resolveScalars(_, scope)), pb.map(resolveScalars(_, scope)),
         ob.map { case (oc, asc) => (resolveScalars(oc, scope), asc) })
     case InSubquery(e, sub) => InSubquery(resolveScalars(e, scope), sub)
+    case QuantifiedCmp(e, op, fa, sub) =>
+      QuantifiedCmp(resolveScalars(e, scope), op, fa, sub)
     case other           => other
+  }
+
+  /** Plan `expr <op> ANY|ALL (SELECT ...)` (uncorrelated): `= ANY` IS
+    * the IN semi join and `<> ALL` IS the NOT IN anti join; the four
+    * range operators reduce to a comparison against ONE plan-time
+    * 4-scalar aggregate of the subquery column —
+    *   x > ALL(S) ⇔ x > max(S)    x > ANY(S) ⇔ x > min(S)
+    *   x < ALL(S) ⇔ x < min(S)    x < ANY(S) ⇔ x < max(S)
+    * (≥/≤ likewise) — never a value collect, so the subquery may be any
+    * size. An empty subquery makes ALL vacuously true and ANY false
+    * (standard SQL); a NULL among the values would make the comparison
+    * three-valued, which has no rendering in the engine's null-free
+    * world — rejected loudly, like every other unsupported shape.
+    * `= ALL` / `<> ANY` (useful only for single-valued or constant
+    * subqueries) are rejected with a pointer at the scalar-subquery
+    * spelling that covers the meaningful case. */
+  private def quantifiedFilter(frame: GraftFrame, e: Col, op: String,
+                               forAll: Boolean, sub: CompoundQuery,
+                               scope: Map[String, GraftFrame]): GraftFrame = {
+    (op, forAll) match {
+      case ("=", false)  => return inJoin(frame, e, sub, scope, anti = false)
+      case ("!=", true)  => return inJoin(frame, e, sub, scope, anti = true)
+      case ("=", true) => throw new SemanticError(
+        "= ALL (SELECT ...) is not supported — compare to a scalar " +
+        "subquery, or use = ANY / IN for membership")
+      case ("!=", false) => throw new SemanticError(
+        "<> ANY (SELECT ...) is not supported — use NOT IN / <> ALL " +
+        "for non-membership")
+      case _ => ()
+    }
+    val planned = evalCompound(sub, scope)
+    val cols = planned.df.columns
+    if (cols.length != 1)
+      throw new SemanticError(
+        s"ANY/ALL subquery must produce exactly one column, got ${cols.length}")
+    import org.apache.spark.sql.{functions => F}
+    val c = planned.df.col(cols(0))
+    val row = planned.df.agg(F.count(F.lit(1)), F.count(c), F.min(c), F.max(c))
+      .head()
+    val (cnt, nonNull) = (row.getLong(0), row.getLong(1))
+    if (cnt == 0)
+      // ALL over an empty set is vacuously TRUE, ANY is FALSE
+      return if (forAll) frame else GraftFrame.fromDF(frame.df.limit(0))
+    if (nonNull < cnt)
+      throw new SemanticError(
+        "ANY/ALL subquery returned NULL values — the three-valued " +
+        "comparison has no rendering here (filter them in the subquery)")
+    val bound = Lit(row.get(if (forAll == (op == "<" || op == "<=")) 2 else 3)
+      match {
+        case t: java.time.Instant    => java.sql.Timestamp.from(t)
+        case d: java.time.LocalDate  => java.sql.Date.valueOf(d)
+        case d: java.math.BigDecimal => scala.math.BigDecimal(d)
+        case v => v
+      })
+    val pred = op match {
+      case ">"  => e > bound
+      case ">=" => e >= bound
+      case "<"  => e < bound
+      case "<=" => e <= bound
+      case other => throw new SemanticError(s"unsupported quantified op $other")
+    }
+    frame.filter(pred)
   }
 
   private def containsInSubquery(c: Col): Boolean = c match {
     case _: InSubquery      => true
     case _: ExistsSubquery  => true
+    case _: QuantifiedCmp   => true
     case Alias(ch, _)    => containsInSubquery(ch)
     case BinOp(_, l, r)  => containsInSubquery(l) || containsInSubquery(r)
     case Not(ch)         => containsInSubquery(ch)

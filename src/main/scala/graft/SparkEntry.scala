@@ -1651,6 +1651,20 @@ object SparkEntry {
           F.col("doc_id"), budgetDocs = 300, alpha = 2)
         .select("doc_id", "source")),
 
+    // ---- quantified comparisons in the DIALECT: `> ALL (...)` reduces
+    //      at plan time to one 4-scalar aggregate of the subquery (a
+    //      comparison against its max — never a value collect), and
+    //      `= ANY (...)` IS the IN semi join; DuckDB evaluates the same
+    //      statement natively ----
+    "q181_sql_any_all" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT s_suppkey, s_acctbal FROM supplier
+          |WHERE s_acctbal > ALL (SELECT s2.s_acctbal FROM supplier s2
+          |                       JOIN nation ON s2.s_nationkey = n_nationkey
+          |                       WHERE n_name = 'GERMANY')
+          |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation
+          |                         WHERE n_regionkey < 3)""".stripMargin).df),
+
     // ---- TPC-H Q17 through the GRAFT DIALECT (q74 runs the same shape
     //      via Spark SQL): a CORRELATED scalar subquery, decorrelated by
     //      the engine into one per-partkey aggregate + an equi-join —
@@ -2613,6 +2627,15 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
         |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // DuckDB's native quantified comparisons over the same statement
+    "q181_sql_any_all" ->
+      """SELECT s_suppkey, s_acctbal FROM supplier
+        |WHERE s_acctbal > ALL (SELECT s2.s_acctbal FROM supplier s2
+        |                       JOIN nation ON s2.s_nationkey = n_nationkey
+        |                       WHERE n_name = 'GERMANY')
+        |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation
+        |                         WHERE n_regionkey < 3)""".stripMargin,
 
     // v1 must be EXACTLY the even ids (time travel after the v2 commit)
     // and the head must be everything — the snapshot-isolation contract

@@ -131,6 +131,15 @@ object Col {
     * whose condition is the subquery's correlated WHERE conjuncts, so it
     * is only legal as a top-level AND conjunct of WHERE. */
   final case class ExistsSubquery(subquery: graft.sql.CompoundQuery) extends Col
+  /** `expr <op> ANY|SOME|ALL (SELECT ...)` quantified comparison
+    * (extension). `= ANY` is exactly IN (semi join), `<> ALL` exactly
+    * NOT IN (anti join); range operators reduce at PLAN time to a
+    * comparison against the subquery's min/max — one bounded 4-scalar
+    * aggregate, never a value collect. Like [[InSubquery]], only legal
+    * as a top-level AND conjunct of WHERE. `op` is the comparison as
+    * the parser spells it (`=`, `!=`, `<`, `<=`, `>`, `>=`). */
+  final case class QuantifiedCmp(expr: Col, op: String, forAll: Boolean,
+                                 subquery: graft.sql.CompoundQuery) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -371,6 +380,11 @@ object Col {
       throw new IllegalArgumentException(
         "EXISTS (SELECT ...) is only supported as a top-level AND conjunct " +
         "of WHERE (it plans as a semi/anti join, not a row expression)")
+    case QuantifiedCmp(_, _, _, _) =>
+      throw new IllegalArgumentException(
+        "ANY/ALL (SELECT ...) is only supported as a top-level AND conjunct " +
+        "of WHERE (it plans as a join or a plan-time bound, not a row " +
+        "expression)")
     case WindowFn(fn, arg, pb, ob) =>
       import org.apache.spark.sql.expressions.Window
       val base =

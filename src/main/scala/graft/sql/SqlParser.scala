@@ -97,6 +97,10 @@ object SqlParser {
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
     "EXISTS", "QUALIFY", "OFFSET",
+    // quantified comparisons (`> ALL (SELECT ...)`); ANY/SOME reserved
+    // like OVER/PARTITION below — the double-quote escape reaches
+    // columns of those names
+    "ANY", "SOME",
     // grouping-set extensions; reserved like OVER/PARTITION below — a
     // column literally named "rollup" needs the double-quote escape
     "ROLLUP", "CUBE", "GROUPING", "SETS",
@@ -398,16 +402,28 @@ object SqlParser {
         ExistsSubquery(sub)
       } else parseCmp()
 
+    /** RHS of a comparison: `ANY|SOME|ALL (SELECT ...)` builds the
+      * quantified node (engine-planned), anything else is the plain
+      * expression comparison via `mk`. */
+    private def cmpRhs(l: Col, op: String, mk: Col => Col): Col = peek match {
+      case TKw(q @ ("ANY" | "SOME" | "ALL")) =>
+        next(); expectOp("(")
+        val sub = parseCompoundBody()
+        expectOp(")")
+        QuantifiedCmp(l, op, q == "ALL", sub)
+      case _ => mk(parseAdd())
+    }
+
     private def parseCmp(): Col = {
       val l = parseAdd()
       peek match {
-        case TOp("=")          => next(); l === parseAdd()
-        case TOp("==")         => next(); l === parseAdd()
-        case TOp("!=") | TOp("<>") => next(); l =!= parseAdd()
-        case TOp("<=")         => next(); l <= parseAdd()
-        case TOp(">=")         => next(); l >= parseAdd()
-        case TOp("<")          => next(); l < parseAdd()
-        case TOp(">")          => next(); l > parseAdd()
+        case TOp("=")          => next(); cmpRhs(l, "=", l === _)
+        case TOp("==")         => next(); cmpRhs(l, "=", l === _)
+        case TOp("!=") | TOp("<>") => next(); cmpRhs(l, "!=", l =!= _)
+        case TOp("<=")         => next(); cmpRhs(l, "<=", l <= _)
+        case TOp(">=")         => next(); cmpRhs(l, ">=", l >= _)
+        case TOp("<")          => next(); cmpRhs(l, "<", l < _)
+        case TOp(">")          => next(); cmpRhs(l, ">", l > _)
         case TKw("LIKE") =>
           next()
           next() match {

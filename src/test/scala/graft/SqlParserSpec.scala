@@ -619,6 +619,51 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE quantity = (SELECT fruit, quantity FROM fruits)").df)
   }
 
+  test("quantified comparisons: ANY/ALL bounds, membership joins, errors (extension)") {
+    import graft.sql.SemanticError
+    val d = java.nio.file.Files.createTempDirectory("graft-anyall").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    def q(sql: String) = Engine(spark, d).sql(sql).df
+    // >= ALL ⇔ >= max(apples) = 4: bananas and the 4-apple qualify
+    assert(q("""SELECT fruit, quantity FROM fruits
+               |WHERE quantity >= ALL (SELECT quantity FROM fruits
+               |                       WHERE fruit = 'apple')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("banana", 5), ("banana", 7), ("apple", 4)))
+    // < ANY ⇔ < max(all) = 7: everything but the 7-banana
+    assert(q("""SELECT quantity FROM fruits
+               |WHERE quantity < ANY (SELECT quantity FROM fruits)""".stripMargin)
+      .collect().map(_.getInt(0)).toSet == Set(2, 3, 4, 5))
+    // = ANY is the IN semi join; SOME is a synonym
+    assert(q("""SELECT DISTINCT fruit FROM fruits
+               |WHERE quantity = SOME (SELECT quantity FROM fruits
+               |                       WHERE color = 'yellow')""".stripMargin)
+      .collect().map(_.getString(0)).toSet == Set("banana"))
+    // empty subquery: ALL is vacuously TRUE, ANY is FALSE
+    assert(q("""SELECT fruit FROM fruits
+               |WHERE quantity > ALL (SELECT quantity FROM fruits
+               |                      WHERE quantity > 99)""".stripMargin)
+      .count() == 5)
+    assert(q("""SELECT fruit FROM fruits
+               |WHERE quantity > ANY (SELECT quantity FROM fruits
+               |                      WHERE quantity > 99)""".stripMargin)
+      .count() == 0)
+    // NULLs among the values: three-valued comparison — rejected loudly
+    assertThrows[SemanticError](q(
+      """SELECT fruit FROM fruits
+        |WHERE quantity > ALL (SELECT CASE WHEN quantity > 99 THEN quantity END
+        |                      FROM fruits)""".stripMargin).collect())
+    // = ALL / <> ANY have no useful rendering here — loud errors
+    assertThrows[SemanticError](q(
+      "SELECT fruit FROM fruits WHERE quantity = ALL (SELECT quantity FROM fruits)"))
+    assertThrows[SemanticError](q(
+      "SELECT fruit FROM fruits WHERE quantity != ANY (SELECT quantity FROM fruits)"))
+    // like IN/EXISTS, a quantified comparison cannot sit under OR
+    assertThrows[SemanticError](q(
+      """SELECT fruit FROM fruits WHERE quantity = 2
+        |OR quantity > ALL (SELECT quantity FROM fruits)""".stripMargin))
+  }
+
   test("a CTE referenced twice is staged: one source scan, correct self-join") {
     val d = java.nio.file.Files.createTempDirectory("graft-cte2").toString
     fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
