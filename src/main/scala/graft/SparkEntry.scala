@@ -1665,6 +1665,26 @@ object SparkEntry {
           |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation
           |                         WHERE n_regionkey < 3)""".stripMargin).df),
 
+    // ---- STREAMING mixture application: rates planned ONCE from the
+    //      static snapshot (Scale.mixtureRates), applied per document
+    //      at ingest over a four-micro-batch drain — per-doc md5
+    //      decision against a broadcast rate table, so the drained sink
+    //      must equal q171's batch output EXACTLY (same oracle) ----
+    "q182_stream_mixture" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging0 = stagingDir("graft_stream_mix")
+      val rates = Scale.mixtureRates(t(s, dir, "documents"), "text", "source",
+        budgetDocs = 300, alpha = 2)
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging0,
+        splitFiles = 4)
+      val kept = Streams.sampleMixtureStream(stream, "source",
+        F.col("doc_id"), rates).select("doc_id", "source")
+      val q = Streams.toParquetSink(kept, s"$staging0/out", s"$staging0/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging0/out")
+    }),
+
     // ---- TPC-H Q17 through the GRAFT DIALECT (q74 runs the same shape
     //      via Spark SQL): a CORRELATED scalar subquery, decorrelated by
     //      the engine into one per-partkey aggregate + an equi-join —
@@ -4175,29 +4195,11 @@ object SparkEntry {
 
     // q157's weight replay + the exact ppm rate + the q97-style md5
     // keep decision (identical IEEE op order: ((w*B)*1e6)/n, floored)
-    "q171_sample_mixture" ->
-      s"""WITH d AS (SELECT doc_id, source, text,
-         |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
-         |      x -> len(x) > 0)) AS n_tok,
-         |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
-         | FROM documents),
-         |q AS (SELECT source,
-         |  CAST(round($qualityExprSql * 1000000) AS BIGINT) AS qm FROM d),
-         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(qm) AS BIGINT) AS quality_mass_micro FROM q GROUP BY source),
-         |t AS (SELECT sum(quality_mass_micro * quality_mass_micro) AS dn FROM s),
-         |w AS (SELECT source, n_docs,
-         |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
-         |    6) AS weight
-         |  FROM s, t),
-         |r AS (SELECT source,
-         |  least(1000000, CAST(floor(weight * 300 * 1000000 / n_docs) AS BIGINT))
-         |    AS rate_ppm
-         |  FROM w)
-         |SELECT doc_id, source FROM documents JOIN r USING (source)
-         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         |    % 1000000 < rate_ppm""".stripMargin,
+    "q171_sample_mixture" -> sampleMixtureOracleSql,
+
+    // the STREAMING drain must equal the batch mixture EXACTLY — same
+    // oracle as q171 (per-doc decision against static rates, zero state)
+    "q182_stream_mixture" -> sampleMixtureOracleSql,
 
     // the two-level rank decomposition must equal ONE global row_number
     "q103_shuffle_rank" ->
@@ -4802,6 +4804,33 @@ object SparkEntry {
     * (max-dot argmax, ties to the higher index — the `ivfBucket`
     * contract) — shared by [[ivfOracleSql]] and q155's semantic-dedup
     * replay. */
+  /** The q171 mixture replay (q157's weights + exact ppm rates + the
+    * md5 keep decision), shared verbatim by the batch gate (q171) and
+    * its streaming-ingest twin (q182) — the contract is equality. */
+  private def sampleMixtureOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source, text,
+       |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+       |      x -> len(x) > 0)) AS n_tok,
+       |  len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
+       | FROM documents),
+       |q AS (SELECT source,
+       |  CAST(round($qualityExprSql * 1000000) AS BIGINT) AS qm FROM d),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(qm) AS BIGINT) AS quality_mass_micro FROM q GROUP BY source),
+       |t AS (SELECT sum(quality_mass_micro * quality_mass_micro) AS dn FROM s),
+       |w AS (SELECT source, n_docs,
+       |  round(CAST(quality_mass_micro * quality_mass_micro AS DOUBLE) / t.dn,
+       |    6) AS weight
+       |  FROM s, t),
+       |r AS (SELECT source,
+       |  least(1000000, CAST(floor(weight * 300 * 1000000 / n_docs) AS BIGINT))
+       |    AS rate_ppm
+       |  FROM w)
+       |SELECT doc_id, source FROM documents JOIN r USING (source)
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % 1000000 < rate_ppm""".stripMargin
+
   private def ivfAssignCtes(centroids: Seq[Seq[Double]]): String = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       s"list_dot_product(v, ${sqlArray(c)}) AS s$i"

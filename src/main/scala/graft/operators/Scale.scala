@@ -241,18 +241,35 @@ object Scale {
     * bounded), and a narrow hash filter; the corpus never shuffles. */
   def sampleToMixture(df: DataFrame, textCol: String, srcCol: String,
                       idCol: Column, budgetDocs: Long,
-                      alpha: Int = 2): DataFrame = {
+                      alpha: Int = 2): DataFrame =
+    applyMixtureRates(df, srcCol, idCol,
+      mixtureRates(df, textCol, srcCol, budgetDocs, alpha))
+
+  /** The PLANNING half of [[sampleToMixture]]: the per-source keep-rate
+    * table (srcCol, rate_ppm) in exact ppm. Split out so the rates can
+    * be planned ONCE from a corpus snapshot and applied later — at a
+    * different batch, or at INGEST by the streaming twin
+    * ([[graft.streaming.Streams.sampleMixtureStream]]). */
+  def mixtureRates(df: DataFrame, textCol: String, srcCol: String,
+                   budgetDocs: Long, alpha: Int = 2): DataFrame = {
     require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
-    val rates = mixingWeights(df, textCol, srcCol, alpha)
+    mixingWeights(df, textCol, srcCol, alpha)
       .select(F.col(srcCol),
         F.least(F.lit(1000000L),
           F.floor(F.col("weight") * budgetDocs * 1000000L / F.col("n_docs")))
           .as("rate_ppm"))
+  }
+
+  /** The APPLYING half of [[sampleToMixture]]: the md5-keyed keep
+    * decision against a broadcast rate table — a pure narrow filter
+    * (per-document, no state), which is exactly why the streaming twin
+    * equals the batch run micro-batch by micro-batch. */
+  def applyMixtureRates(df: DataFrame, srcCol: String, idCol: Column,
+                        rates: DataFrame): DataFrame =
     df.join(F.broadcast(rates), srcCol)
       .filter(Dedup.md5Hash60(idCol.cast("string")) % 1000000L <
         F.col("rate_ppm"))
       .drop("rate_ppm")
-  }
 
   /** Deterministic train/validation/test split assignment — same
     * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's

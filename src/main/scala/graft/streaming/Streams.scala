@@ -466,6 +466,17 @@ object Streams {
 
   /** Write an aggregated stream to parquet with checkpointing (exactly-
     * once per micro-batch via the commit log). */
+  /** MIXTURE application at INGEST — the streaming twin of
+    * [[graft.operators.Scale.sampleToMixture]]: rates are PLANNED once,
+    * offline, from a corpus snapshot (`Scale.mixtureRates`) and shipped
+    * here as a static table; the keep decision is the same per-document
+    * md5 hash against the broadcast rate row, so each micro-batch keeps
+    * exactly the documents the batch run would — batch ≡ stream by
+    * construction, zero stream state. Compose with [[toParquetSink]]. */
+  def sampleMixtureStream(docs: DataFrame, srcCol: String, idCol: Column,
+                          rates: DataFrame): DataFrame =
+    graft.operators.Scale.applyMixtureRates(docs, srcCol, idCol, rates)
+
   def toParquetSink(df: DataFrame, outPath: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
