@@ -70,7 +70,15 @@ object Bench {
     System.gc()
     execTime(q) // warmup (not reported)
     afterWarmup()
-    val runs = (1 to reps).map { _ => sweepPersisted(spark); execTime(q) }.sorted
+    // GC before EVERY rep, not just the warmup (outside the timed
+    // window): the heavy probes stage multi-hundred-MB checkpoint
+    // blocks per construction, and a rep that inherits the previous
+    // rep's un-collected garbage can spend seconds in allocation-
+    // pressure pauses — round 7 measured a single q152_x10 rep at 12.9 s
+    // against a 2.9-3.5 s family, exactly the q59 round-6 pattern.
+    val runs = (1 to reps).map { _ =>
+      sweepPersisted(spark); System.gc(); execTime(q)
+    }.sorted
     spreads += name -> ((runs.head, runs.last))
     runs(runs.length / 2)
   }

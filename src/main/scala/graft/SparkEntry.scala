@@ -2149,6 +2149,14 @@ object SparkEntry {
         .unionAll(Versioned.read(s, path).withColumn("version", F.lit(2)))
     }),
 
+    // ---- Unicode-canonical text normalization (NFC + whitespace
+    //      collapse + trim): the pre-dedup canonicalization pass as a
+    //      codegen'd native expression; DuckDB replays NFC as the
+    //      Unicode-standard nfc_normalize, byte-for-byte ----
+    "q183_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+        TextAnalysis.normalizeText(F.col("text")).as("norm_text"))),
+
     // ---- PER-SOURCE boilerplate-line removal: a non-blank line in
     //      >= 3 distinct docs of one source is template text (nav bars,
     //      footers); rebuild every doc from its surviving lines. The
@@ -2664,6 +2672,13 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
+    // NFC + whitespace-collapse + trim, same operation order
+    "q183_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(text), '[ \t\n\x0b\f\r]+',
+        |    ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
 
     // the boilerplate vote (distinct docs per (source, line digest)) +
     // the rewrite, replayed byte-for-byte: blank lines always keep,

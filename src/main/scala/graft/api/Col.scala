@@ -311,6 +311,9 @@ object Col {
         case "fingerprint" =>
           arity(1)
           (graft.operators.TextAnalysis.fingerprint(cs(0)), StringType)
+        case "text_normalize" =>
+          arity(1)
+          (graft.operators.TextAnalysis.normalizeText(cs(0)), StringType)
         case other =>
           throw new IllegalArgumentException(s"Unknown function: $other")
       }

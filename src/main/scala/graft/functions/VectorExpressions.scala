@@ -280,6 +280,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         Md5Hash60Expr(Cast(children.head, StringType))))
     ext.injectFunction((
+      new FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "text_normalize"),
+      (children: Seq[Expression]) =>
+        NormalizeTextExpr(Cast(children.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (children: Seq[Expression]) => {

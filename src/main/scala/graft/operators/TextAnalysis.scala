@@ -23,6 +23,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = F.size(tokens(text))
 
+  /** Unicode-canonical text normalization — NFC composition, ASCII
+    * whitespace runs collapsed to single spaces, ends trimmed (see
+    * [[graft.functions.NormalizeText]] for the exact contract and the
+    * DuckDB replay). The canonicalization pass run BEFORE fingerprints
+    * and dedup so byte-different spellings of identical content (e +
+    * combining accent vs composed é, tab runs vs spaces) hash alike.
+    * Codegen'd native expression — requires the session to carry
+    * [[graft.functions.GraftExtensions]] (Spark has no composable NFC;
+    * an unregistered session fails loudly at analysis, never degrades
+    * silently). */
+  def normalizeText(text: Column): Column =
+    F.call_function("text_normalize", text)
+
   /** BPE-ish subword count: word-boundary pieces plus punctuation tokens,
     * approximated as regex splits on non-alphanumerics — a cheap,
     * deterministic proxy for tokenizer cost estimation at corpus scale. */

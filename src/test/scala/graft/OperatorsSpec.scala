@@ -274,6 +274,25 @@ class OperatorsSpec extends SparkSpec {
     assert(soloOut == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("text normalization: NFC composition, whitespace collapse, idempotence") {
+    val decomposed = "Cafe\u0301"   // e + combining acute (NFD)
+    val composed = "Caf\u00e9"      // precomposed \u00e9 (NFC)
+    val messy = s"\t $decomposed  du\nmonde  "
+    val out = Seq((1L, messy), (2L, composed), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$composed du monde") // NFC composed + collapsed + trimmed
+    assert(out(2L) == composed)
+    assert(out(3L) == "")
+    // canonicalization goal: byte-different spellings now hash alike
+    assert(out(1L).startsWith(out(2L)))
+    // idempotent: normalizing a normalized string is the identity
+    val twice = Seq(Tuple1(out(1L))).toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).head.getString(0)
+    assert(twice == out(1L))
+  }
+
   test("boilerplate line removal: per-source vote, blank lines kept, rewrite") {
     // "FOOTER" appears in 3 docs of source s1 (boilerplate at minDocs=3);
     // "menu" in only 2 of s1 (below threshold); "FOOTER" also in one doc
