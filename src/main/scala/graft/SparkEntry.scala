@@ -434,6 +434,21 @@ object SparkEntry {
         .select(F.col("vec_id"), F.round(F.col("score"), 6).as("score"))
     }),
 
+    // ---- ANN JOIN: top-k corpus neighbors for EVERY probe-table row,
+    //      IVF-pruned — probes explode to their nprobe nearest cells
+    //      and meet the corpus in a bucket EQUI-join (no cross join;
+    //      q41's brute path is the few-probes twin); bounded-heap
+    //      per-probe top-k ----
+    "q184_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(F.col("vec_id").isin(0L, 1L, 2L))
+        .select(F.col("vec_id").as("probe_id"), F.col("embedding").as("probe_vec"))
+      Similarity.topKPerProbeIvf(emb, "embedding", "vec_id", probes,
+          "probe_vec", "probe_id", ivfCentroids, k = 5, nprobe = 2)
+        .select(F.col("probe_id"), F.col("id"),
+          F.round(F.col("score"), 6).as("score"))
+    }),
+
     // ---- EMBEDDING-SPACE OUTLIERS: vectors whose best centroid-dot
     //      affinity (their IVF assignment score) falls below the exact
     //      corpus 5th percentile — the off-manifold/noise filter run
@@ -2893,6 +2908,30 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
 
     "q33_knn_ivf" -> ivfOracleSql(ivfCentroids, k = 10, nprobe = 2),
+
+    // the full ANN-join replay: per-probe nprobe-best cells (dot DESC,
+    // ties to the lower index — the probeBuckets contract), the q33
+    // corpus assignment CTEs, the bucket equi-join, and per-probe top-k
+    // with q41's tie convention
+    "q184_ann_join" -> {
+      val centVals = ivfCentroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlArray(c)})" }.mkString(", ")
+      s"""WITH cd AS (SELECT * FROM (VALUES $centVals) t(i, c)),
+         |p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+         |      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |pb AS (SELECT probe_id, pv, i AS bucket FROM p, cd
+         |       QUALIFY row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY list_dot_product(cd.c, p.pv) DESC, cd.i) <= 2),
+         |${ivfAssignCtes(ivfCentroids)},
+         |s AS (SELECT pb.probe_id, eb.vec_id AS id,
+         |    list_dot_product(eb.v, pb.pv)
+         |      / (sqrt(list_dot_product(eb.v, eb.v))
+         |         * sqrt(list_dot_product(pb.pv, pb.pv))) AS raw
+         |  FROM pb JOIN eb ON eb.bucket = pb.bucket)
+         |SELECT probe_id, id, round(raw, 6) AS score FROM s
+         |QUALIFY row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY raw DESC, id) <= 5""".stripMargin
+    },
 
     // the IVF assignment replay (same argmax CTEs as q33) + best-dot
     // affinity + the exact 5th-percentile cutoff — quantile_cont uses

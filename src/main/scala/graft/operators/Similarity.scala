@@ -210,12 +210,61 @@ object Similarity {
       if (corpus.sparkSession.catalog.functionExists("vec_cosine_f32"))
         (a, b) => F.call_function("vec_cosine_f32", a, b)
       else cosine
-    val scored = corpus.crossJoin(F.broadcast(probes))
+    perProbeTopK(corpus.crossJoin(F.broadcast(probes))
       .select(
         F.col(probeIdCol).as("probe_id"),
         F.col(idCol).as("id"),
-        cos(F.col(vecCol), F.col(probeVecCol)).as("score"))
-    if (corpus.sparkSession.catalog.functionExists("topk_pairs")) {
+        cos(F.col(vecCol), F.col(probeVecCol)).as("score")), k)
+  }
+
+  /** ANN JOIN — top-k corpus neighbors for EVERY row of a probe TABLE,
+    * IVF-pruned: the batch-retrieval shape (hard-negative mining, eval
+    * retrieval, cross-corpus semantic matching) at corpus scale.
+    * [[topKPerProbe]] scores ALL pairs through a broadcast cross join —
+    * right when probes are few; here each probe explodes to its
+    * `nprobe` nearest cells and meets the corpus in a bucket EQUI-join,
+    * so scored pairs shrink by ~cells/nprobe and there is no cross join
+    * anywhere. Per probe, results equal [[topKIvf]] with that probe's
+    * vector (same assignment, same probe-bucket ranking — ties to the
+    * lower centroid index, matching [[probeBuckets]]).
+    *
+    * Scale shape: both sides are narrow maps feeding one hash exchange
+    * on `bucket`; the per-probe top-k runs through the bounded-heap
+    * `topk_pairs` aggregate (O(k) state per probe per task), never a
+    * window sort. */
+  def topKPerProbeIvf(corpus: DataFrame, vecCol: String, idCol: String,
+                      probes: DataFrame, probeVecCol: String,
+                      probeIdCol: String, centroids: Seq[Seq[Double]],
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val cb = corpus.select(F.col(idCol).as("id"), F.col(vecCol).as("_cv"),
+      ivfBucket(F.col(vecCol), centroids).as("bucket"))
+    // per-probe nprobe best cells: sort (−dot, index) ascending — dot
+    // descending, ties to the LOWER index, the probeBuckets contract
+    val ranked = F.array(centroids.zipWithIndex.map { case (c, i) =>
+      F.struct((-dot(F.col(probeVecCol), F.array(c.map(F.lit): _*))).as("nd"),
+        F.lit(i).as("i"))
+    }: _*)
+    val pb = probes.select(F.col(probeIdCol).as("probe_id"),
+      F.col(probeVecCol).as("_pv"),
+      F.explode(F.transform(
+        F.slice(F.array_sort(ranked), 1, nprobe),
+        (s: Column) => s.getField("i"))).as("bucket"))
+    val cos: (Column, Column) => Column =
+      if (corpus.sparkSession.catalog.functionExists("vec_cosine_f32"))
+        (a, b) => F.call_function("vec_cosine_f32", a, b)
+      else cosine
+    perProbeTopK(pb.join(cb, "bucket")
+      .select(F.col("probe_id"), F.col("id"),
+        cos(F.col("_cv"), F.col("_pv")).as("score")), k)
+  }
+
+  /** Per-probe bounded top-k tail shared by [[topKPerProbe]] and
+    * [[topKPerProbeIvf]]: the `topk_pairs` heap aggregate when the
+    * session carries the extensions, a window fallback otherwise. */
+  private def perProbeTopK(scored: DataFrame, k: Int): DataFrame =
+    if (scored.sparkSession.catalog.functionExists("topk_pairs")) {
       scored.groupBy("probe_id")
         .agg(F.call_function("topk_pairs",
           F.col("score"), F.col("id"), F.lit(k)).as("top"))
@@ -229,7 +278,6 @@ object Similarity {
         .filter(F.col("rank") <= k)
         .drop("rank")
     }
-  }
 
   /** IVF-style bucket id: nearest of `centroids` by dot product.
     * Centroids are literal arrays (trained offline / sampled), so

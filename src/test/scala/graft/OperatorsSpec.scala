@@ -355,6 +355,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("ANN join: IVF-pruned per-probe top-k, brute parity at nprobe=all") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.1f)), (1L, Seq(0.9f, 0.2f)), (2L, Seq(0.2f, 1.0f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.7f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id".isin(0L, 2L))
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    // nprobe = all cells prunes nothing — must equal the brute ANN join
+    val allCells = Similarity.topKPerProbeIvf(emb, "embedding", "vec_id",
+      probes, "probe_vec", "probe_id", cents, k = 3, nprobe = 2)
+    val brute = Similarity.topKPerProbe(emb, "embedding", "vec_id",
+      probes, "probe_vec", "probe_id", k = 3)
+    assert(key(allCells) == key(brute))
+    // nprobe = 1: each probe scores only its own cell's members; every
+    // returned neighbor shares the probe's bucket
+    val pruned = Similarity.topKPerProbeIvf(emb, "embedding", "vec_id",
+        probes, "probe_vec", "probe_id", cents, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe 0 (cell 0) reaches {0,1,4}; probe 2 (cell 1) reaches {2,3}
+    assert(pruned == Set((0L, 0L), (0L, 1L), (0L, 4L), (2L, 2L), (2L, 3L)))
+  }
+
   test("embedding outliers: low-affinity vectors flagged at the exact quantile") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val emb = Seq(
