@@ -458,6 +458,31 @@ object Bench {
     }
     tracer.drain()
 
+    // Zone-map block skipping, measured: the same selective filtered
+    // aggregation over a SORTED .bin — once without a sidecar (every
+    // block scheduled + decoded) and once with (only range-intersecting
+    // blocks scheduled). The write + sidecar build are untimed
+    // per-corpus costs, like every other layout probe.
+    val (bfUnzoned, bfZoned) = {
+      import org.apache.spark.sql.{functions => F}
+      val binPath = newTempDir("graft_bench_zones") + "/lineitem_sorted.bin"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+          F.col("l_orderkey").cast("int").as("l_orderkey"),
+          F.col("l_quantity").cast("float").as("l_quantity"),
+          F.col("l_returnflag"))
+        .orderBy("l_orderkey")
+      graft.sources.Tables.blockFileWrite(li, binPath, rowsPerBlock = 16384)
+      def q = graft.sources.Tables.blockFileRead(spark, binPath)
+        .filter(F.col("l_orderkey") >= 10000 && F.col("l_orderkey") < 20000)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
+      val un = probe(spark, "q06_blockfile_unzoned") { q }
+      graft.sources.ZoneMap.write(binPath)
+      val zn = probe(spark, "q06_blockfile_zoned") { q }
+      (un, zn)
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -495,6 +520,8 @@ object Bench {
         :+ ("q129_x10_50kdocs" -> q129x10) :+ ("q143_x10_50kdocs" -> q143x10)
         :+ ("q152_x10_50kdocs" -> q152x10)
         :+ ("q06_blockfile_600krows" -> blockfileQ1)
+        :+ ("q06_blockfile_unzoned" -> bfUnzoned)
+        :+ ("q06_blockfile_zoned" -> bfZoned)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")

@@ -2164,6 +2164,14 @@ object SparkEntry {
         .unionAll(Versioned.read(s, path).withColumn("version", F.lit(2)))
     }),
 
+    // ---- token-budget truncation: clip every doc to its first 96
+    //      whitespace tokens (the context-length cap before packing) —
+    //      a pure narrow rewrite; the oracle replays the clip and the
+    //      single-space rejoin byte-for-byte ----
+    "q185_truncate_tokens" -> ((s, dir) =>
+      Pack.truncateTokens(t(s, dir, "documents"), "text", "doc_id",
+        maxTokens = 96)),
+
     // ---- Unicode-canonical text normalization (NFC + whitespace
     //      collapse + trim): the pre-dedup canonicalization pass as a
     //      codegen'd native expression; DuckDB replays NFC as the
@@ -2687,6 +2695,16 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
+    // the clip + single-space rejoin replayed on the shared token class
+    "q185_truncate_tokens" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0) AS toks FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(toks, 1, 96), ' ') AS clipped_text,
+        |  CAST(greatest(len(toks) - 96, 0) AS BIGINT) AS n_dropped
+        |FROM d""".stripMargin,
 
     // NFC + whitespace-collapse + trim, same operation order
     "q183_normalize_text" ->

@@ -92,6 +92,27 @@ object Pack {
     * chunk rows with no shuffle, so it scales with input splits. The
     * expansion factor is bounded by `window/stride` ≈ the overlap
     * ratio, not by document size. */
+  /** TOKEN-BUDGET truncation: clip every document to its first
+    * `maxTokens` whitespace tokens — the context-length cap applied
+    * before packing (a document longer than the window otherwise
+    * dominates whichever chunk it lands in). The clipped text is
+    * single-space rejoined (the [[graft.operators.Dedup.removeDuplicatedNgrams]]
+    * rebuild convention — whitespace normalizes on rewrite, replayable
+    * byte-for-byte by the oracle). Returns (idCol, clipped_text,
+    * n_dropped); documents at or under budget pass through with
+    * n_dropped = 0. Pure narrow per-row rewrite — zero shuffles. */
+  def truncateTokens(df: DataFrame, textCol: String, idCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    df.select(F.col(idCol),
+        TextAnalysis.tokens(F.col(textCol)).as("_toks"))
+      .select(F.col(idCol),
+        F.concat_ws(" ",
+          F.slice(F.col("_toks"), 1, maxTokens)).as("clipped_text"),
+        F.greatest(F.size(F.col("_toks")) - maxTokens, F.lit(0))
+          .cast("long").as("n_dropped"))
+  }
+
   def slidingChunks(df: DataFrame, textCol: String, idCol: String,
                     window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0,

@@ -105,6 +105,35 @@ object Versioned {
     version
   }
 
+  /** Garbage-collect history: retain the newest `keepVersions`
+    * manifests and delete (a) every older manifest, then (b) every
+    * `data/seg-*` directory no retained manifest references — which
+    * also sweeps segments orphaned by crashed commits. Ordering is the
+    * crash-safety argument: manifests die BEFORE their segments, so at
+    * every instant each existing manifest's segments all exist; a crash
+    * mid-vacuum leaves only harmless orphans for the next vacuum.
+    * Maintenance-window contract (like any table format's vacuum):
+    * readers still pinned to a dropped version lose their segments —
+    * run it when no reader holds versions older than the cutoff. */
+  def vacuum(spark: SparkSession, path: String,
+             keepVersions: Int = Int.MaxValue): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val fs = fsOf(spark, path)
+    val all = versions(spark, path)
+    if (all.isEmpty) return
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
+    drop.foreach { v =>
+      fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit
+    }
+    val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+    val dataDir = new Path(s"$path/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("seg-") &&
+          !referenced.contains(p.getName))
+        .foreach(p => fs.delete(p, true): Unit)
+  }
+
   /** Read a committed snapshot: the given `version`, or the head when
     * absent. One manifest resolution pins the read; everything after is
     * immutable-segment parquet I/O (splittable, column-pruned, filter-

@@ -393,5 +393,18 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(Versioned.read(spark, path)) == Set(Seq(7, "g")))
     assert(rows(Versioned.read(spark, path, Some(2L))) ==
       Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // default vacuum keeps every version but sweeps the stray segment
+    Versioned.vacuum(spark, path)
+    assert(Versioned.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(rows(Versioned.read(spark, path, Some(2L))) ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    assert(!new java.io.File(s"$path/data/seg-stray").exists())
+    // keepVersions=1 drops history: only the head survives, its data
+    // intact, and exactly one segment directory remains on disk
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(Versioned.versions(spark, path) == Seq(3L))
+    assert(rows(Versioned.read(spark, path)) == Set(Seq(7, "g")))
+    assert(new java.io.File(s"$path/data").listFiles()
+      .count(_.getName.startsWith("seg-")) == 1)
   }
 }
