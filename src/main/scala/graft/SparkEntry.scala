@@ -2164,6 +2164,18 @@ object SparkEntry {
         .unionAll(Versioned.read(s, path).withColumn("version", F.lit(2)))
     }),
 
+    // ---- EXACT heavy hitters via a mergeable Misra-Gries sketch +
+    //      exact confirm over the <= k candidates: k=32 holds the whole
+    //      (31-word) vocabulary so 30 value-checked rows survive the
+    //      n/33 threshold; k=8 forces sketch decrements AND an empty
+    //      true answer — the sketch must fabricate nothing ----
+    "q186_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Scale.heavyHitterTokens(docs, "text", k = 32).withColumn("k", F.lit(32))
+        .unionAll(
+          Scale.heavyHitterTokens(docs, "text", k = 8).withColumn("k", F.lit(8)))
+    }),
+
     // ---- token-budget truncation: clip every doc to its first 96
     //      whitespace tokens (the context-length cap before packing) —
     //      a pure narrow rewrite; the oracle replays the clip and the
@@ -2695,6 +2707,20 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
+    // brute-force exact counts + the n/(k+1) threshold for BOTH k
+    // regimes — the Misra-Gries superset guarantee makes the
+    // sketch-then-confirm pipeline EQUAL this, which is what's gated
+    "q186_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |n AS (SELECT count(*) AS total FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY token)
+        |SELECT token, cnt, 32 AS k FROM c, n WHERE cnt * 33 > total
+        |UNION ALL
+        |SELECT token, cnt, 8 AS k FROM c, n WHERE cnt * 9 > total""".stripMargin,
 
     // the clip + single-space rejoin replayed on the shared token class
     "q185_truncate_tokens" ->

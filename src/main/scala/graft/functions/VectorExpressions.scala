@@ -297,6 +297,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashExpr(Cast(children.head, StringType), portable)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters k must be a literal, got: $other")
+        }
+        HeavyHittersAgg(Cast(children(0), StringType), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
       (children: Seq[Expression]) => {

@@ -271,6 +271,38 @@ object Scale {
         F.col("rate_ppm"))
       .drop("rate_ppm")
 
+  /** EXACT heavy-hitter tokens via a Misra–Gries sketch + exact
+    * confirmation — the vocabulary-scale-free way to ask "which tokens
+    * exceed fraction 1/(k+1) of the corpus": the sketch pass keeps O(k)
+    * state per task and ships k counters per partition (NEVER a
+    * full-vocabulary aggregation — at 100 TB the token domain is
+    * billions of distinct n-grams and a groupBy over it is its own
+    * shuffle problem); its superset guarantee means every true heavy
+    * hitter is among the ≤ k candidates, so one broadcast semi-join +
+    * count over candidates yields counts that are EXACT, and the
+    * n/(k+1) threshold filter makes the final set provably equal to
+    * the brute-force answer (the property the differential oracle
+    * checks). Returns (token, cnt) with cnt·(k+1) > total strictly.
+    *
+    * Cost: three narrow token scans (sketch, total, confirm — the
+    * corpusDupLines recompute-don't-materialize tradeoff) and one
+    * ≤ k-row broadcast. */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = df.select(
+      F.explode(TextAnalysis.tokens(F.col(textCol))).as("token"))
+    val cand = t.agg(F.call_function("heavy_hitters",
+        F.col("token"), F.lit(k)).as("hh"))
+      .select(F.explode(F.col("hh")).as("h"))
+      .select(F.col("h.item").as("token"))
+    val total = t.agg(F.count(F.lit(1)).as("_n"))
+    t.join(F.broadcast(cand), "token")
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .crossJoin(F.broadcast(total))
+      .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+      .select("token", "cnt")
+  }
+
   /** Deterministic train/validation/test split assignment — same
     * hash-not-rand() rationale as [[stratifiedSampleByHash]]: a row's
     * split never changes across reruns, backfills or repartitioning, and

@@ -274,6 +274,27 @@ class OperatorsSpec extends SparkSpec {
     assert(soloOut == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("heavy hitters: sketch+confirm equals brute force on skewed data") {
+    // skewed corpus: two dominant tokens + a 200-word noise tail, spread
+    // over 8 partitions so partial sketches really merge (and, with
+    // k = 4 counters against 202 distinct tokens, really decrement)
+    val docs = (
+      Seq.fill(300)("aaa") ++ Seq.fill(220)("bbb") ++
+        (0 until 200).flatMap(i => Seq.fill(2)(s"noise$i"))
+      ).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = docs.toDF("id", "text").repartition(8)
+    val k = 4
+    val out = Scale.heavyHitterTokens(df, "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: n = 920, threshold n/(k+1) = 184 → exactly aaa, bbb
+    assert(out == Map("aaa" -> 300L, "bbb" -> 220L))
+    // below-threshold k: the true answer is empty and the sketch's
+    // candidates must not survive the exact confirm (no fabrication)
+    val uniform = (0 until 100).map(i => (i.toLong, s"w${i % 50}"))
+      .toDF("id", "text").repartition(8)
+    assert(Scale.heavyHitterTokens(uniform, "text", 3).count() == 0)
+  }
+
   test("text normalization: NFC composition, whitespace collapse, idempotence") {
     val decomposed = "Cafe\u0301"   // e + combining acute (NFD)
     val composed = "Caf\u00e9"      // precomposed \u00e9 (NFC)
