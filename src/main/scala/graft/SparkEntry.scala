@@ -542,6 +542,32 @@ object SparkEntry {
       Multimodal.decodeGifFrameStats(
         Multimodal.synthesizeGifs(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- REAL image perceptual hashing: every row is an actual 16×16
+    //      gray PNG (ImageIO-encoded, id-derived pixel pattern), decoded
+    //      with ImageIO and 8×8 block-mean average-hashed in exact
+    //      integer arithmetic; the oracle replays pixels → cells → mean
+    //      → bits from the fixture formula alone — a wrong raster read,
+    //      block bound, or bit order fails the hash ----
+    "q187_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHashes(
+        Multimodal.synthesizePatternPngs(t(s, dir, "documents"), "doc_id"))),
+
+    // ---- VISUAL near-dup pairs: the aHash signatures through the
+    //      16-bit-chunk Hamming LSH (total recall at distance <= 3 by
+    //      pigeonhole) — the image analog of q30's SimHash pipeline;
+    //      fixture patterns repeat every 40 ids, so true visual
+    //      duplicates exist and the oracle replays hash + banding +
+    //      exact Hamming verification end to end ----
+    "q188_visual_neardup" -> ((s, dir) => {
+      val hashes = Multimodal.imageAHashes(
+          Multimodal.synthesizePatternPngs(t(s, dir, "documents"), "doc_id"))
+        .select(F.col("media_id"),
+          F.shiftleft(F.col("ahash_hi"), 32).bitwiseOR(F.col("ahash_lo"))
+            .as("sig"))
+      Dedup.hammingPairs(hashes, "sig", "media_id",
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -2909,6 +2935,37 @@ object SparkEntry {
          |FROM j
          |WHERE jaccard >= 0.5 AND ((id_a < 20) <> (id_b < 20))""".stripMargin,
 
+    // pixel formula → integer block means → global mean → bit grid →
+    // (hi, lo) halves: the whole decode+hash pipeline re-derived from
+    // the fixture arithmetic (PNG gray8 is lossless, so decoded raster
+    // samples ARE the formula's values)
+    "q187_image_ahash" ->
+      s"""WITH $aHashOracleCtes
+         |SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+         |  hi AS ahash_hi, lo AS ahash_lo
+         |FROM sig""".stripMargin,
+
+    // the aHash replay + q30's chunk-LSH banding replay (keys from the
+    // hi/lo halves) + exact Hamming verification with the [2, 64] cap
+    "q188_visual_neardup" ->
+      s"""WITH $aHashOracleCtes,
+         |chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
+         |    CASE cs.c WHEN 0 THEN lo & 65535
+         |              WHEN 1 THEN (lo >> 16) & 65535
+         |              WHEN 2 THEN hi & 65535
+         |              ELSE (hi >> 16) & 65535 END AS key
+         |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+         |buckets AS (SELECT chunk, key FROM chunked GROUP BY chunk, key
+         |  HAVING count(*) BETWEEN 2 AND 64),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |      AS INTEGER) AS hamming
+         |  FROM chunked a
+         |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
+         |  JOIN chunked b
+         |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
     "q30_simhash_pairs" ->
       """WITH d0 AS (SELECT doc_id AS id,
         |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
@@ -4902,6 +4959,32 @@ object SparkEntry {
     * (max-dot argmax, ties to the higher index — the `ivfBucket`
     * contract) — shared by [[ivfOracleSql]] and q155's semantic-dedup
     * replay. */
+  /** The q187 aHash replay — 16×16 gray fixture pixels
+    * `(pk·31 + x·7 + y·13) mod 256` with pk = doc_id mod 40, 2×2
+    * integer block means into an 8×8 cell grid, integer global mean,
+    * strict-greater bits at index j·8+i, split into unsigned 32-bit
+    * halves (DuckDB's BIGINT shift overflows at bit 63, so the oracle
+    * never builds the full 64-bit value). Shared by q187 and q188. */
+  private def aHashOracleCtes: String =
+    """ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
+      |c AS (SELECT doc_id, ti.i AS i, tj.j AS j,
+      |    CAST(sum((pk * 31 + (2 * ti.i + tx.dx) * 7
+      |              + (2 * tj.j + ty.dy) * 13) % 256) // 4 AS BIGINT) AS cell
+      |  FROM ids, range(8) ti(i), range(8) tj(j),
+      |       range(2) tx(dx), range(2) ty(dy)
+      |  GROUP BY doc_id, ti.i, tj.j),
+      |m AS (SELECT doc_id, CAST(sum(cell) // 64 AS BIGINT) AS mean
+      |      FROM c GROUP BY doc_id),
+      |bits AS (SELECT c.doc_id, c.j * 8 + c.i AS b,
+      |    CASE WHEN c.cell > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM c JOIN m ON c.doc_id = m.doc_id),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
+      |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND b < 32
+      |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** The q171 mixture replay (q157's weights + exact ppm rates + the
     * md5 keep decision), shared verbatim by the batch gate (q171) and
     * its streaming-ingest twin (q182) — the contract is equality. */

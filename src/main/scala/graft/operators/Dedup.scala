@@ -649,13 +649,31 @@ object Dedup {
         F.call_function("simhash64", F.col(textCol), F.lit(portableHash))
       else if (portableHash) simhash64(F.col(textCol), (t: Column) => md5Hash60(t))
       else simhash64(F.col(textCol))
-    // sig is let-bound and feeds the generator ONCE: a naive
-    // select(sig, posexplode(array(chunks-of-sig))) lets CollapseProject
-    // inline the whole signature computation 5x per row (sig + 4 chunks)
-    val chunked = spreadForCompute(
-        df.filter(F.col(textCol).rlike("\\S")))
+    hammingPairs(
+      spreadForCompute(df.filter(F.col(textCol).rlike("\\S")))
+        .select(F.col(idCol).as("_hp_id"), sigExpr.as("_hp_sig")),
+      "_hp_sig", "_hp_id", maxHamming, maxBucket)
+  }
+
+  /** Hamming near-duplicate pairs over an arbitrary 64-bit SIGNATURE
+    * column (SimHash, image perceptual hash, any locality-preserving
+    * bit signature) via 16-bit chunk LSH: by pigeonhole, two signatures
+    * within Hamming distance 3 agree on at least one of the 4 chunks,
+    * so recall is TOTAL at `maxHamming` ≤ 3 (heuristic above). One
+    * map-side-combinable bucket aggregation with the [2, maxBucket]
+    * cap, pairs exploded from the bounded member lists, exact bit_count
+    * verification — the [[minhashLsh]] scale shape on bit signatures.
+    *
+    * The signature is let-bound and feeds the chunk generator ONCE: a
+    * naive select(sig, posexplode(chunks-of-sig)) lets CollapseProject
+    * inline an expensive signature expression 5× per row (sig + 4
+    * chunks) — so callers may pass sig as an unmaterialized expression
+    * column safely. */
+  def hammingPairs(sigs: DataFrame, sigCol: String, idCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val chunked = sigs
       .select(F.col(idCol).as("id"),
-        F.posexplode(let(sigExpr) { sg =>
+        F.posexplode(let(F.col(sigCol)) { sg =>
           F.array((0 until 4).map { c =>
             F.struct(
               F.shiftrightunsigned(sg, c * 16).bitwiseAND(F.lit(0xFFFFL)).as("key"),

@@ -516,6 +516,132 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- image PERCEPTUAL HASHING (visual dedup) -------------------------
+
+  /** REAL grayscale PNG fixtures with id-derived pattern content: each
+    * row is an actual 16×16 8-bit gray PNG (encoded by the JDK's
+    * ImageIO writer) whose pixel at (x, y) is
+    * `(patternKey·31 + x·7 + y·13) mod 256` with
+    * `patternKey = id mod distinctPatterns` — so the corpus contains
+    * TRUE visual duplicates (every id sharing a pattern key renders the
+    * identical image), and a differential oracle can replay the
+    * downstream hash from the pixel formula alone. PNG gray8 is
+    * lossless: the decoded raster equals the written samples
+    * byte-for-byte. */
+  def synthesizePatternPngs(df: DataFrame, idCol: String,
+                            distinctPatterns: Int = 40): DataFrame = {
+    require(distinctPatterns >= 1, s"distinctPatterns must be >= 1")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+    val dp = distinctPatterns
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pk = (id % dp + dp) % dp
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              raster.setSample(x, y, 0, ((pk * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** 8×8 block-mean AVERAGE HASH of a decoded image — the standard
+    * perceptual-hash (aHash) construction, in exact INTEGER arithmetic
+    * so an oracle can replay it bit-for-bit: the top-left 8·(w/8) ×
+    * 8·(h/8) region divides into an 8×8 grid of equal blocks, each
+    * cell is the integer-division mean of its block's gray samples,
+    * the global mean is the integer-division mean of the 64 cells, and
+    * bit (j·8 + i) is set iff cell(i, j) > mean (strict). Gray values
+    * are RAW raster samples (no colorspace conversion — for gray8
+    * sources this is the stored byte; for RGB sources, band 0). */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val bw = img.getWidth / 8
+    val bh = img.getHeight / 8
+    require(bw >= 1 && bh >= 1,
+      s"aHash needs at least 8x8 pixels, got ${img.getWidth}x${img.getHeight}")
+    val cells = new Array[Long](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        var sum = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            sum += raster.getSample(i * bw + dx, j * bh + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(j * 8 + i) = sum / (bw.toLong * bh)
+        i += 1
+      }
+      j += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (cells(b) > mean) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** REAL decode + perceptual hash per image row: ImageIO decode (the
+    * [[decodeImage]] path), then [[aHash64]]. Returns (media_id, width,
+    * height, ahash_hi, ahash_lo) — the hash split into two unsigned
+    * 32-bit halves so a SQL oracle can rebuild it without signed-shift
+    * overflow (`hi·2³² | lo` is the 64-bit signature
+    * [[graft.operators.Dedup.hammingPairs]] consumes). Rows whose bytes
+    * do not decode as an image are dropped (a visual-dedup pass has
+    * nothing to say about them). Batched executor-local partition loop,
+    * memory bounded by one payload. */
+  def imageAHashes(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false))))
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          // positional access: rows from an upstream mapPartitions may
+          // carry no schema, so name-based getAs would throw
+          val payload = r.getAs[Array[Byte]](1)
+          if (!looksLikeImage(payload)) None
+          else {
+            val img = try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+            } catch { case _: java.io.IOException => None }
+            img.map { im =>
+              val h = aHash64(im)
+              Row(r.getLong(0), im.getWidth, im.getHeight,
+                h >>> 32, h & 0xFFFFFFFFL)
+            }
+          }
+        }
+      }(enc)
+  }
+
   private val framesSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_w", IntegerType, nullable = false),

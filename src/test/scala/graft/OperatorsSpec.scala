@@ -274,6 +274,33 @@ class OperatorsSpec extends SparkSpec {
     assert(soloOut == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("image aHash: hand-computed bits on an 8x8 image; visual near-dups found") {
+    // 8x8 image → 1x1 blocks, cells ARE the pixels: gradient 0..63,
+    // mean = 31, bits set exactly where pixel > 31 (indices 32..63)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, y * 8 + x)
+    val h = Multimodal.aHash64(img)
+    assert(h == (0xFFFFFFFFL << 32)) // top 32 bits set, bottom clear
+    // the PNG fixtures are REAL images: magic bytes + ImageIO round-trip
+    val fx = Multimodal.synthesizePatternPngs(
+      Seq(0L, 40L, 1L).toDF("doc_id"), "doc_id", distinctPatterns = 40)
+    val rows0 = fx.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.looksLikeImage(rows0(0L)))
+    assert(Multimodal.decodeImage(rows0(0L)).contains((16, 16)))
+    // ids 0 and 40 share a pattern key: byte-identical PNGs, and the
+    // near-dup pipeline pairs them at Hamming 0; id 1 differs
+    assert(java.util.Arrays.equals(rows0(0L), rows0(40L)))
+    val sigs = Multimodal.imageAHashes(fx)
+      .select($"media_id", (F.shiftleft($"ahash_hi", 32)
+        .bitwiseOR($"ahash_lo")).as("sig"))
+    val pairs = Dedup.hammingPairs(sigs, "sig", "media_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 40L, 0)))
+  }
+
   test("heavy hitters: sketch+confirm equals brute force on skewed data") {
     // skewed corpus: two dominant tokens + a 200-word noise tail, spread
     // over 8 partitions so partial sketches really merge (and, with
