@@ -568,6 +568,28 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    // ---- REAL audio fingerprinting (the q187 gate's aural twin):
+    //      every row is an actual 16-bit PCM WAV (AudioSystem-encoded,
+    //      id-derived waveform), decoded with javax.sound and energy-
+    //      profile-hashed in exact integer arithmetic; the oracle
+    //      replays samples → window energies → mean → bits ----
+    "q189_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprints(
+        Multimodal.synthesizePatternWavs(t(s, dir, "documents"), "doc_id"))),
+
+    // ---- AURAL near-dup pairs: the fingerprints through the same
+    //      Hamming chunk LSH as q188 — identical waveforms (pattern
+    //      keys repeat every 40 ids) pair at distance 0 ----
+    "q190_audio_neardup" -> ((s, dir) => {
+      val fps = Multimodal.audioFingerprints(
+          Multimodal.synthesizePatternWavs(t(s, dir, "documents"), "doc_id"))
+        .select(F.col("media_id"),
+          F.shiftleft(F.col("afp_hi"), 32).bitwiseOR(F.col("afp_lo"))
+            .as("sig"))
+      Dedup.hammingPairs(fps, "sig", "media_id",
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -2949,22 +2971,20 @@ object SparkEntry {
     // hi/lo halves) + exact Hamming verification with the [2, 64] cap
     "q188_visual_neardup" ->
       s"""WITH $aHashOracleCtes,
-         |chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
-         |    CASE cs.c WHEN 0 THEN lo & 65535
-         |              WHEN 1 THEN (lo >> 16) & 65535
-         |              WHEN 2 THEN hi & 65535
-         |              ELSE (hi >> 16) & 65535 END AS key
-         |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
-         |buckets AS (SELECT chunk, key FROM chunked GROUP BY chunk, key
-         |  HAVING count(*) BETWEEN 2 AND 64),
-         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-         |      AS INTEGER) AS hamming
-         |  FROM chunked a
-         |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
-         |  JOIN chunked b
-         |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+         |$hammingLshOracleTail""".stripMargin,
+
+    // the audio-fingerprint replay (sample formula → window energies →
+    // mean → bits) — the q187 gate's aural twin
+    "q189_audio_fingerprint" ->
+      s"""WITH $audioFpOracleCtes
+         |SELECT doc_id AS media_id, CAST(2048 AS BIGINT) AS n_samples,
+         |  hi AS afp_hi, lo AS afp_lo
+         |FROM sig""".stripMargin,
+
+    // fingerprint replay + the same chunk-LSH tail as q188
+    "q190_audio_neardup" ->
+      s"""WITH $audioFpOracleCtes,
+         |$hammingLshOracleTail""".stripMargin,
 
     "q30_simhash_pairs" ->
       """WITH d0 AS (SELECT doc_id AS id,
@@ -4984,6 +5004,54 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN bit = 1 AND b < 32
       |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** The q189 audio-fingerprint replay — 2048-sample fixture waveform
+    * `((pk·31 + t·7) mod 256 − 128) · 64` with pk = doc_id mod 40, 64
+    * windows of 32 samples, window energy = Σ sample² (exact BIGINT),
+    * integer global mean, strict-greater bits, unsigned 32-bit halves
+    * (the [[aHashOracleCtes]] conventions). */
+  private def audioFpOracleCtes: String =
+    """ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
+      |e AS (SELECT doc_id, tw.w AS w,
+      |    CAST(sum(
+      |      CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
+      |        AS BIGINT)
+      |      * CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
+      |        AS BIGINT)) AS BIGINT) AS en
+      |  FROM ids, range(64) tw(w), range(32) ti(i)
+      |  GROUP BY doc_id, tw.w),
+      |m AS (SELECT doc_id, CAST(sum(en) // 64 AS BIGINT) AS mean
+      |      FROM e GROUP BY doc_id),
+      |bits AS (SELECT e.doc_id, e.w AS b,
+      |    CASE WHEN e.en > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM e JOIN m ON e.doc_id = m.doc_id),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
+      |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND b < 32
+      |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** The Hamming-LSH oracle tail shared by q188/q190: expects a
+    * `sig(doc_id, hi, lo)` CTE; replays the 16-bit chunk banding with
+    * the [2, 64] bucket cap and exact Hamming verification at ≤ 3. */
+  private def hammingLshOracleTail: String =
+    """chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
+      |    CASE cs.c WHEN 0 THEN lo & 65535
+      |              WHEN 1 THEN (lo >> 16) & 65535
+      |              WHEN 2 THEN hi & 65535
+      |              ELSE (hi >> 16) & 65535 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+      |buckets AS (SELECT chunk, key FROM chunked GROUP BY chunk, key
+      |  HAVING count(*) BETWEEN 2 AND 64),
+      |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |      AS INTEGER) AS hamming
+      |  FROM chunked a
+      |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
+      |  JOIN chunked b
+      |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
   /** The q171 mixture replay (q157's weights + exact ppm rates + the
     * md5 keep decision), shared verbatim by the batch gate (q171) and

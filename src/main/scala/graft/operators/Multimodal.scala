@@ -642,6 +642,132 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- audio FINGERPRINTING (the aural twin of the image aHash) --------
+
+  /** REAL 16-bit PCM mono WAV fixtures with id-derived waveforms: each
+    * row is an actual RIFF/WAVE byte stream (encoded by
+    * `javax.sound.sampled.AudioSystem`) of `nSamples` samples at 8 kHz
+    * whose sample at t is the pure-integer formula
+    * `((patternKey·31 + t·7) mod 256 − 128) · 64` with
+    * `patternKey = id mod distinctPatterns` — so the corpus contains
+    * true aural duplicates and the oracle replays the downstream
+    * fingerprint from the sample formula alone. 16-bit PCM WAV is
+    * lossless: decoded samples equal the written ones exactly. */
+  def synthesizePatternWavs(df: DataFrame, idCol: String,
+                            distinctPatterns: Int = 40,
+                            nSamples: Int = 2048): DataFrame = {
+    require(distinctPatterns >= 1 && nSamples >= 64)
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+    val (dp, ns) = (distinctPatterns, nSamples)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pk = (id % dp + dp) % dp
+          val pcm = new Array[Byte](ns * 2)
+          var t = 0
+          while (t < ns) {
+            val s = (((pk * 31 + t * 7) % 256 - 128) * 64).toInt
+            pcm(2 * t) = (s & 0xFF).toByte
+            pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // signed, little-endian
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** 64-bit energy-profile fingerprint of a PCM sample array, in exact
+    * INTEGER arithmetic (the audio analog of [[aHash64]]): the first
+    * 64·(n/64) samples divide into 64 equal windows, each window's
+    * energy is the sum of squared samples (exact in Long: 2¹⁵² per
+    * sample, bounded window lengths), the global mean is the
+    * integer-division mean of the 64 energies, and bit w is set iff
+    * energy(w) > mean (strict). */
+  def pcmFingerprint64(samples: Array[Int]): Long = {
+    val w = samples.length / 64
+    require(w >= 1, s"fingerprint needs >= 64 samples, got ${samples.length}")
+    val energies = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      var sum = 0L
+      var i = 0
+      while (i < w) {
+        val s = samples(b * w + i).toLong
+        sum += s * s
+        i += 1
+      }
+      energies(b) = sum
+      b += 1
+    }
+    val mean = energies.sum / 64
+    var hash = 0L
+    b = 0
+    while (b < 64) {
+      if (energies(b) > mean) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Decode a RIFF/WAVE payload to its raw 16-bit PCM samples (mono,
+    * little-endian — the fixture format; None for anything else or
+    * undecodable bytes). Exact: PCM WAV is uncompressed. */
+  def readPcm16(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF))
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** REAL decode + fingerprint per audio row: `javax.sound` WAV decode
+    * (exact PCM), then [[pcmFingerprint64]]. Returns (media_id,
+    * n_samples, afp_hi, afp_lo) — halves for the same oracle-shift
+    * reason as [[imageAHashes]]; `hi·2³² | lo` feeds
+    * [[graft.operators.Dedup.hammingPairs]] for aural near-dup pairs.
+    * Undecodable rows are dropped. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("afp_hi", LongType, nullable = false),
+      StructField("afp_lo", LongType, nullable = false))))
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          readPcm16(r.getAs[Array[Byte]](1)).map { pcm =>
+            val h = pcmFingerprint64(pcm)
+            Row(r.getLong(0), pcm.length.toLong, h >>> 32, h & 0xFFFFFFFFL)
+          }
+        }
+      }(enc)
+  }
+
   private val framesSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_w", IntegerType, nullable = false),

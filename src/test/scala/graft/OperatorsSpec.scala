@@ -301,6 +301,30 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 40L, 0)))
   }
 
+  test("audio fingerprint: hand-computed bits; real WAV round trip; near-dups") {
+    // 128 samples = 64 windows of 2, alternating loud/quiet: energies
+    // alternate 20000/0, mean 10000 → bits set on even windows
+    val samples = Array.tabulate(128)(t => if ((t / 2) % 2 == 0) 100 else 0)
+    assert(Multimodal.pcmFingerprint64(samples) == 0x5555555555555555L)
+    // fixtures are REAL WAVs: decode recovers the exact formula samples
+    val fx = Multimodal.synthesizePatternWavs(
+      Seq(0L, 40L, 1L).toDF("doc_id"), "doc_id", distinctPatterns = 40)
+    val rows0 = fx.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val pcm0 = Multimodal.readPcm16(rows0(0L)).get
+    assert(pcm0.length == 2048)
+    assert(pcm0.take(4).toSeq ==
+      (0 until 4).map(t => ((0 * 31 + t * 7) % 256 - 128) * 64))
+    // ids 0 and 40 share a waveform: identical bytes, Hamming-0 pair
+    assert(java.util.Arrays.equals(rows0(0L), rows0(40L)))
+    val sigs = Multimodal.audioFingerprints(fx)
+      .select($"media_id", (F.shiftleft($"afp_hi", 32)
+        .bitwiseOR($"afp_lo")).as("sig"))
+    val pairs = Dedup.hammingPairs(sigs, "sig", "media_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 40L, 0)))
+  }
+
   test("heavy hitters: sketch+confirm equals brute force on skewed data") {
     // skewed corpus: two dominant tokens + a 200-word noise tail, spread
     // over 8 partitions so partial sketches really merge (and, with
