@@ -290,7 +290,12 @@ object Bench {
       // round-7 additions: the contamination rollup (q129's pipeline +
       // distinct/join/agg) and the recall-closing ANN serving config
       // (ADC pool + bounded exact re-rank)
-      "q166_contamination_report", "q168_knn_ivfpq_refine")
+      "q166_contamination_report", "q168_knn_ivfpq_refine",
+      // round-7 second wave: per-source boilerplate strip (line-digest
+      // vote + doc-keyed rebuild), the IVF-pruned ANN join (bucket
+      // equi-join, no cross join), and visual dedup end-to-end (real
+      // PNG encode+decode + aHash + Hamming chunk LSH)
+      "q176_remove_boilerplate", "q184_ann_join", "q188_visual_neardup")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table

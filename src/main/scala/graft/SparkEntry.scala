@@ -2224,6 +2224,18 @@ object SparkEntry {
           Scale.heavyHitterTokens(docs, "text", k = 8).withColumn("k", F.lit(8)))
     }),
 
+    // ---- STORED heavy-hitter sketches, sharded by source: per-shard
+    //      Misra-Gries summaries persisted, merged by candidate UNION
+    //      (a global heavy hitter must be shard-heavy somewhere —
+    //      pigeonhole), exact confirm at query time; must equal q186's
+    //      single-pass answer, which is what the oracle checks ----
+    "q191_heavy_hitters_sharded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_hh_shards") + "/sketches"
+      Scale.writeHeavyHitterSketches(docs, "text", "source", k = 32, path)
+      Scale.mergedHeavyHitters(docs, "text", s, path, k = 32)
+    }),
+
     // ---- token-budget truncation: clip every doc to its first 96
     //      whitespace tokens (the context-length cap before packing) —
     //      a pure narrow rewrite; the oracle replays the clip and the
@@ -2755,6 +2767,17 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
+    // the q186 k=32 brute-force replay — the sharded/merged pipeline
+    // must land the identical heavy-hitter set and counts
+    "q191_heavy_hitters_sharded" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |n AS (SELECT count(*) AS total FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY token)
+        |SELECT token, cnt FROM c, n WHERE cnt * 33 > total""".stripMargin,
 
     // brute-force exact counts + the n/(k+1) threshold for BOTH k
     // regimes — the Misra-Gries superset guarantee makes the

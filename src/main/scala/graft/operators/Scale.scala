@@ -295,12 +295,58 @@ object Scale {
         F.col("token"), F.lit(k)).as("hh"))
       .select(F.explode(F.col("hh")).as("h"))
       .select(F.col("h.item").as("token"))
+    confirmHeavyHitters(t, cand, k)
+  }
+
+  /** The exact-confirm tail shared by [[heavyHitterTokens]] and
+    * [[mergedHeavyHitters]]: exact counts over the bounded candidate
+    * set (broadcast semi-join), thresholded at n/(k+1) strictly. */
+  private def confirmHeavyHitters(t: DataFrame, cand: DataFrame,
+                                  k: Int): DataFrame = {
     val total = t.agg(F.count(F.lit(1)).as("_n"))
     t.join(F.broadcast(cand), "token")
       .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
       .crossJoin(F.broadcast(total))
       .filter(F.col("cnt") * (k + 1) > F.col("_n"))
       .select("token", "cnt")
+  }
+
+  /** STORED heavy-hitter sketches, sharded: one Misra–Gries summary per
+    * `shardCol` group persisted as (shard, item, count) parquet — the
+    * heavy-hitters member of the stored-sketch family (HLL distinct
+    * q138, histogram quantiles q167). Each shard's sketch is built by
+    * ONE pass over that shard's tokens; nothing global runs at write
+    * time. */
+  def writeHeavyHitterSketches(df: DataFrame, textCol: String,
+                               shardCol: String, k: Int,
+                               path: String): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(F.col(shardCol).as("shard"),
+        F.explode(TextAnalysis.tokens(F.col(textCol))).as("token"))
+      .groupBy("shard")
+      .agg(F.call_function("heavy_hitters", F.col("token"), F.lit(k)).as("hh"))
+      .select(F.col("shard"), F.explode(F.col("hh")).as("h"))
+      .select(F.col("shard"), F.col("h.item").as("item"),
+        F.col("h.count").as("count"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** EXACT whole-corpus heavy hitters from the stored shard sketches:
+    * a token with global count > N/(k+1) must exceed n_s/(k+1) in at
+    * least one shard (pigeonhole over Σn_s = N), so it sits in that
+    * shard's sketch — the UNION of shard candidates is a superset of
+    * the true heavy hitters, no rescaling needed. One distinct over the
+    * ≤ shards·k stored rows, then the same broadcast exact confirm as
+    * the in-flight path; `df` must be the corpus the shards were built
+    * from for the counts to be exact. */
+  def mergedHeavyHitters(df: DataFrame, textCol: String,
+                         spark: org.apache.spark.sql.SparkSession,
+                         path: String, k: Int): DataFrame = {
+    val cand = spark.read.parquet(path)
+      .select(F.col("item").as("token")).distinct()
+    val t = df.select(
+      F.explode(TextAnalysis.tokens(F.col(textCol))).as("token"))
+    confirmHeavyHitters(t, cand, k)
   }
 
   /** Deterministic train/validation/test split assignment — same

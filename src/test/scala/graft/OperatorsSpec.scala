@@ -344,6 +344,15 @@ class OperatorsSpec extends SparkSpec {
     val uniform = (0 until 100).map(i => (i.toLong, s"w${i % 50}"))
       .toDF("id", "text").repartition(8)
     assert(Scale.heavyHitterTokens(uniform, "text", 3).count() == 0)
+    // stored shard sketches: the candidate UNION (pigeonhole superset)
+    // + exact confirm lands the identical answer
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hh").toString + "/sk"
+    val sharded = df.withColumn("shard", ($"id" % 3).cast("string"))
+    Scale.writeHeavyHitterSketches(sharded, "text", "shard", k, path)
+    val merged = Scale.mergedHeavyHitters(sharded, "text", spark, path, k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == out)
   }
 
   test("text normalization: NFC composition, whitespace collapse, idempotence") {
