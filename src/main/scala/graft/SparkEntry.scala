@@ -2236,6 +2236,24 @@ object SparkEntry {
       Scale.mergedHeavyHitters(docs, "text", s, path, k = 32)
     }),
 
+    // ---- STREAMING heavy-hitter ingest: each micro-batch persists its
+    //      own MG sketch shard (a batch IS a corpus shard, so q191's
+    //      pigeonhole superset argument applies verbatim); the merged
+    //      query over a four-micro-batch drain must equal the batch
+    //      answer exactly — same oracle as q186/q191 ----
+    "q192_stream_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging0 = stagingDir("graft_stream_hh")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging0,
+        splitFiles = 4)
+      val q = Streams.heavyHitterSink(stream, "text", s"$staging0/hh",
+          s"$staging0/ckpt", k = 32)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Scale.mergedHeavyHitters(t(s, dir, "documents"), "text", s,
+        s"$staging0/hh/shard-*", k = 32)
+    }),
+
     // ---- token-budget truncation: clip every doc to its first 96
     //      whitespace tokens (the context-length cap before packing) —
     //      a pure narrow rewrite; the oracle replays the clip and the
@@ -2251,6 +2269,20 @@ object SparkEntry {
     "q183_normalize_text" -> ((s, dir) =>
       t(s, dir, "documents").select(F.col("doc_id"),
         TextAnalysis.normalizeText(F.col("text")).as("norm_text"))),
+
+    // ---- copy-on-write DELETE on the versioned layer (the takedown /
+    //      GDPR primitive): the delete commits a NEW version; the head
+    //      serves the filtered corpus while v1 stays readable as the
+    //      audit trail until vacuum ----
+    "q193_versioned_delete" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "source")
+      val path = stagingDir("graft_versioned_del") + "/ds"
+      Versioned.commit(base, path)
+      Versioned.deleteWhere(s, path, F.col("doc_id") % 3 === 0)
+      Versioned.read(s, path).withColumn("version", F.lit(2))
+        .unionAll(Versioned.read(s, path, Some(1L))
+          .withColumn("version", F.lit(1)))
+    }),
 
     // ---- PER-SOURCE boilerplate-line removal: a non-blank line in
     //      >= 3 distinct docs of one source is template text (nav bars,
@@ -2760,6 +2792,13 @@ object SparkEntry {
         |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation
         |                         WHERE n_regionkey < 3)""".stripMargin,
 
+    // the deleted rows must be gone from the head AND intact in v1
+    "q193_versioned_delete" ->
+      """SELECT doc_id, source, 2 AS version FROM documents
+        |WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, 1 AS version FROM documents""".stripMargin,
+
     // v1 must be EXACTLY the even ids (time travel after the v2 commit)
     // and the head must be everything — the snapshot-isolation contract
     "q177_versioned_snapshot" ->
@@ -2767,6 +2806,17 @@ object SparkEntry {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, 2 AS version FROM documents""".stripMargin,
+
+    // the q191 replay again: per-BATCH shards must land the identical
+    // heavy-hitter set and counts (streaming ≡ batch)
+    "q192_stream_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |n AS (SELECT count(*) AS total FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY token)
+        |SELECT token, cnt FROM c, n WHERE cnt * 33 > total""".stripMargin,
 
     // the q186 k=32 brute-force replay — the sharded/merged pipeline
     // must land the identical heavy-hitter set and counts

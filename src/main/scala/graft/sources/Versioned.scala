@@ -105,6 +105,17 @@ object Versioned {
     version
   }
 
+  /** Copy-on-write DELETE: commit a new version holding the head's rows
+    * that do NOT match `predicate` — the takedown/GDPR primitive on the
+    * publishing layer. The delete is itself a version: prior snapshots
+    * stay readable (audit trail) until [[vacuum]] retires them, exactly
+    * like a lakehouse table format. Cost: one filtered rewrite of the
+    * head (task-parallel parquet), one manifest rename. Returns the new
+    * version number. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): Long =
+    commit(read(spark, path).filter(!predicate), path, append = false)
+
   /** Garbage-collect history: retain the newest `keepVersions`
     * manifests and delete (a) every older manifest, then (b) every
     * `data/seg-*` directory no retained manifest references — which

@@ -538,4 +538,24 @@ object Streams {
           s"$path/shard-$id", width)
       }
   }
+
+  /** STREAMING heavy-hitter ingest — each micro-batch persists its own
+    * Misra–Gries sketch shard (idempotent by batch id, overwrite mode —
+    * the [[histogramSink]] pattern; each batch IS a shard of the
+    * corpus, so [[graft.operators.Scale.mergedHeavyHitters]]' pigeonhole
+    * superset argument applies to the per-batch shards verbatim and the
+    * merged query over everything ingested equals the batch answer
+    * exactly). Zero stream state; candidates accumulate as ≤ k rows per
+    * batch. */
+  def heavyHitterSink(docs: DataFrame, textCol: String, path: String,
+                      checkpoint: String, k: Int): DataStreamWriter[Row] = {
+    import graft.operators.Scale
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Scale.writeHeavyHitterSketches(
+          batch.withColumn("_shard", F.lit(id.toString)),
+          textCol, "_shard", k, s"$path/shard-$id")
+      }
+  }
 }
