@@ -1714,6 +1714,19 @@ object SparkEntry {
           F.col("doc_id"), budgetDocs = 300, alpha = 2)
         .select("doc_id", "source")),
 
+    // ---- INTERVAL date arithmetic in the DIALECT — TPC-H Q1's proper
+    //      spelling (`date - interval '90' day`) instead of a
+    //      pre-computed literal; both DAY and MONTH units exercised,
+    //      DuckDB evaluates the same calendar arithmetic natively ----
+    "q194_sql_interval" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= '1998-12-01' - INTERVAL 90 DAY
+          |  AND l_shipdate >= '1992-01-01' + INTERVAL 70 MONTH
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin).df),
+
     // ---- quantified comparisons in the DIALECT: `> ALL (...)` reduces
     //      at plan time to one 4-scalar aggregate of the subquery (a
     //      comparison against its max — never a value collect), and
@@ -2782,6 +2795,15 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
         |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // DuckDB's native calendar arithmetic over the same bounds
+    "q194_sql_interval" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1992-01-01' + INTERVAL 70 MONTH
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     // DuckDB's native quantified comparisons over the same statement
     "q181_sql_any_all" ->

@@ -140,6 +140,13 @@ object Col {
     * the parser spells it (`=`, `!=`, `<`, `<=`, `>`, `>=`). */
   final case class QuantifiedCmp(expr: Col, op: String, forAll: Boolean,
                                  subquery: graft.sql.CompoundQuery) extends Col
+  /** `INTERVAL n DAY|MONTH|YEAR` literal (extension — TPC-H's date
+    * arithmetic, `date '1998-12-01' - interval '90' day`). Only
+    * meaningful as an operand of `+`/`-` against a timestamp (or a
+    * date-string literal, which coerces); compiles through
+    * `timestampadd`, whose calendar semantics in the engine's pinned
+    * UTC session match DuckDB's `timestamp ± INTERVAL`. */
+  final case class IntervalLit(n: Int, unit: String) extends Col
 
   def col(name: String): Col = ColRef(name)
   def lit(v: Any): Col = Lit(v)
@@ -439,6 +446,22 @@ object Col {
           throw new IllegalArgumentException(s"Unsupported window function: $other")
       }
       (c.over(spec), dt)
+    case IntervalLit(_, _) =>
+      throw new IllegalArgumentException(
+        "INTERVAL literals are only valid as an operand of +/- against " +
+        "a timestamp")
+    // interval arithmetic: ts ± INTERVAL (and the commuted INTERVAL + ts)
+    case BinOp("+", iv: IntervalLit, r) => compileNode(BinOp("+", r, iv), schema)
+    case BinOp(op @ ("+" | "-"), l, IntervalLit(n, unit)) =>
+      val l0 = compileNode(l, schema)
+      val ts = l0._2 match {
+        case TimestampType => l0._1
+        case StringType    => F.to_timestamp(l0._1) // date-string literal
+        case other => throw new IllegalArgumentException(
+          s"INTERVAL arithmetic needs a timestamp operand, got $other")
+      }
+      val q = if (op == "-") -n else n
+      (F.timestamp_add(unit, F.lit(q), ts), TimestampType)
     case BinOp(op, l, r) =>
       val l0 = compileNode(l, schema)
       val r0 = compileNode(r, schema)

@@ -101,6 +101,9 @@ object SqlParser {
     // like OVER/PARTITION below — the double-quote escape reaches
     // columns of those names
     "ANY", "SOME",
+    // date arithmetic (`'1998-12-01' - INTERVAL 90 DAY`); the unit
+    // stays an identifier so year()/month()/day() calls keep parsing
+    "INTERVAL",
     // grouping-set extensions; reserved like OVER/PARTITION below — a
     // column literally named "rollup" needs the double-quote escape
     "ROLLUP", "CUBE", "GROUPING", "SETS",
@@ -502,6 +505,28 @@ object SqlParser {
     }
 
     private def parsePrimary(): Col = next() match {
+      // `INTERVAL 90 DAY` / `INTERVAL '90' DAY` (TPC-H spelling) — the
+      // unit is a bare identifier (not a keyword: `year(...)` the scalar
+      // must keep parsing), singular or plural, case-insensitive
+      case TKw("INTERVAL") =>
+        val n = next() match {
+          case TNum(t) if !t.contains('.') => t.toInt
+          case TStr(s) =>
+            try s.trim.toInt
+            catch { case _: NumberFormatException =>
+              throw new ParseError(s"Malformed INTERVAL quantity '$s'") }
+          case t => throw new ParseError(
+            s"INTERVAL expects an integer quantity, got ${t.text}")
+        }
+        next() match {
+          case TIdent(u) =>
+            val unit = u.toLowerCase.stripSuffix("s")
+            if (unit != "day" && unit != "month" && unit != "year")
+              throw new ParseError(s"Unsupported INTERVAL unit '$u'")
+            IntervalLit(n, unit.toUpperCase)
+          case t => throw new ParseError(
+            s"INTERVAL expects a unit (DAY/MONTH/YEAR), got ${t.text}")
+        }
       case TNum(t) =>
         // int-only in the reference visitor (parser.py:352-353); floats
         // extended per the grammar's intent (parser.py:63, SURVEY §7.1.4).

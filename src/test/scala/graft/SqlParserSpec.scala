@@ -619,6 +619,35 @@ class SqlParserSpec extends SparkSpec {
       "SELECT fruit FROM fruits WHERE quantity = (SELECT fruit, quantity FROM fruits)").df)
   }
 
+  test("INTERVAL date arithmetic: day/month/year units, coercion, errors (extension)") {
+    import graft.sql.ParseError
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-interval").toString
+    val ts = java.sql.Timestamp.valueOf("1997-06-15 12:00:00")
+    Seq((1, ts)).toDF("id", "t").write.mode("overwrite").parquet(s"$d/tt.parquet")
+    def one(sql: String): String =
+      Engine(spark, d).sql(sql).df.head.get(0).toString
+    // column ± interval, all three units (TPC-H's `'...' day` quoting too)
+    assert(one("SELECT t + INTERVAL 10 DAY AS x FROM tt")
+      .startsWith("1997-06-25"))
+    assert(one("SELECT t - INTERVAL '3' month AS x FROM tt")
+      .startsWith("1997-03-15"))
+    assert(one("SELECT t + INTERVAL 2 years AS x FROM tt")
+      .startsWith("1999-06-15"))
+    // string-literal date coerces; commuted interval + ts works
+    assert(one("SELECT '1998-12-01' - INTERVAL 90 DAY AS x FROM tt")
+      .startsWith("1998-09-02"))
+    assert(one("SELECT INTERVAL 1 DAY + t AS x FROM tt")
+      .startsWith("1997-06-16"))
+    // errors: bad unit, non-integer quantity, interval against a number
+    assertThrows[ParseError](
+      Engine(spark, d).sql("SELECT t + INTERVAL 1 fortnight FROM tt"))
+    assertThrows[ParseError](
+      Engine(spark, d).sql("SELECT t + INTERVAL 1.5 DAY FROM tt"))
+    assertThrows[IllegalArgumentException](
+      Engine(spark, d).sql("SELECT id + INTERVAL 1 DAY AS x FROM tt").df.collect())
+  }
+
   test("quantified comparisons: ANY/ALL bounds, membership joins, errors (extension)") {
     import graft.sql.SemanticError
     val d = java.nio.file.Files.createTempDirectory("graft-anyall").toString
