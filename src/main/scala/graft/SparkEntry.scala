@@ -1727,6 +1727,28 @@ object SparkEntry {
           |  AND l_shipdate >= '1992-01-01' + INTERVAL 70 MONTH
           |GROUP BY l_returnflag, l_linestatus""".stripMargin).df),
 
+    // ---- TPC-H Q1 VERBATIM through the dialect: the full statement —
+    //      all four sums (incl. the disc_price/charge product
+    //      aggregates), the three averages, the interval-derived
+    //      shipdate bound, ORDER BY — not the simplified q20 shape;
+    //      float aggregates rounded at 4dp per the determinism policy ----
+    "q195_sql_tpch_q1_full" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  SUM(l_quantity) AS sum_qty,
+          |  round(SUM(l_extendedprice), 4) AS sum_base_price,
+          |  round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |  round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+          |    AS sum_charge,
+          |  round(AVG(l_quantity), 4) AS avg_qty,
+          |  round(AVG(l_extendedprice), 4) AS avg_price,
+          |  round(AVG(l_discount), 4) AS avg_disc,
+          |  COUNT() AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= '1998-12-01' - INTERVAL 90 DAY
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin).df),
+
     // ---- quantified comparisons in the DIALECT: `> ALL (...)` reduces
     //      at plan time to one 4-scalar aggregate of the subquery (a
     //      comparison against its max — never a value collect), and
@@ -2795,6 +2817,22 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
         |  CAST(len(d.toks) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the full Q1 replay with identical rounding
+    "q195_sql_tpch_q1_full" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+        |    AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     // DuckDB's native calendar arithmetic over the same bounds
     "q194_sql_interval" ->
