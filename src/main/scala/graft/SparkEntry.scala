@@ -590,6 +590,23 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    // ---- the COMPLETE visual-dedup deliverable: aHash signatures →
+    //      Hamming LSH pairs → connected-component clusters (keep
+    //      media_id == cluster, drop the rest) — q51's pipeline on
+    //      images; the oracle replays hash, banding, verification AND
+    //      the recursive closure ----
+    "q196_visual_clusters" -> ((s, dir) => {
+      val hashes = Multimodal.imageAHashes(
+          Multimodal.synthesizePatternPngs(t(s, dir, "documents"), "doc_id"))
+        .select(F.col("media_id"),
+          F.shiftleft(F.col("ahash_hi"), 32).bitwiseOR(F.col("ahash_lo"))
+            .as("sig"))
+      Dedup.clusters(
+          Dedup.hammingPairs(hashes, "sig", "media_id",
+            maxHamming = 3, maxBucket = 64))
+        .select(F.col("id").as("media_id"), F.col("cluster"))
+    }),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -1661,6 +1678,23 @@ object SparkEntry {
     "q156_classifier_quality" -> ((s, dir) =>
       TextAnalysis.classifierQuality(t(s, dir, "documents"), "text",
         "doc_id", clfWeights)),
+
+    // ---- STREAMING classifier-quality filter at ingest (the fastText-
+    //      at-ingest shape): the q156 scorer is a per-doc pure function,
+    //      so a drained four-micro-batch stream equals the batch filter
+    //      exactly — zero stream state ----
+    "q197_stream_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging0 = stagingDir("graft_stream_clf")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging0,
+        splitFiles = 4)
+      val kept = TextAnalysis.classifierQuality(stream, "text", "doc_id",
+        clfWeights.map(-_)).filter(F.col("keep"))
+      val q = Streams.toParquetSink(kept, s"$staging0/out", s"$staging0/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging0/out")
+    }),
 
     // ---- domain mixing weights: quality-mass² tilted per-source
     //      sampling table — int64-exact masses, one final division ----
@@ -3106,6 +3140,21 @@ object SparkEntry {
       s"""WITH $aHashOracleCtes,
          |$hammingLshOracleTail""".stripMargin,
 
+    // the q188 replay + the q51 recursive closure (min reachable id):
+    // the cluster assignment the keep-list consumes
+    "q196_visual_clusters" ->
+      s"""WITH RECURSIVE $aHashOracleCtes,
+         |$hammingLshPairsCtes,
+         |p2 AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p2
+         |          UNION SELECT id_b, id_a FROM p2),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS media_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
+
     // the audio-fingerprint replay (sample formula → window energies →
     // mean → bits) — the q187 gate's aural twin
     "q189_audio_fingerprint" ->
@@ -4368,29 +4417,12 @@ object SparkEntry {
 
     // q107's embedding replay through the same integer micro-units,
     // then an int64 dot with the literal weight vector — exact
-    "q156_classifier_quality" ->
-      s"""WITH t AS (SELECT doc_id, list_filter(
-         |    regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |    x -> len(x) > 0) AS toks FROM documents),
-         |b AS (SELECT doc_id, list_transform(toks,
-         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 32) AS buckets
-         |  FROM t),
-         |c AS (SELECT doc_id, list_transform(generate_series(0, 31),
-         |    i -> CAST(len(list_filter(buckets, x -> x = i)) AS DOUBLE)) AS counts
-         |  FROM b),
-         |n AS (SELECT doc_id, counts,
-         |  sqrt(list_sum(list_transform(counts, x -> x * x))) AS norm FROM c),
-         |em AS (SELECT doc_id, list_transform(counts,
-         |  x -> CAST(round((CASE WHEN norm > 0 THEN round(x / norm, 6)
-         |                        ELSE 0.0 END) * 1000000) AS BIGINT)) AS e
-         |  FROM n),
-         |w AS (SELECT ${clfWeights.mkString("[", ", ", "]")}::BIGINT[] AS wv)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(generate_series(1, 32),
-         |    i -> e[i] * wv[i])) AS BIGINT) AS logit_micro,
-         |  list_sum(list_transform(generate_series(1, 32),
-         |    i -> e[i] * wv[i])) > 0 AS keep
-         |FROM em, w""".stripMargin,
+    "q156_classifier_quality" -> classifierOracleSql,
+
+    // the q156 replay (negated weights — large keep set) restricted to
+    // kept docs: the drained stream must equal the batch filter exactly
+    "q197_stream_classifier" ->
+      s"""SELECT * FROM (${classifierOracleSql(negate = true)}) WHERE keep""",
 
     // DuckDB evaluates the correlated subqueries natively; the engine's
     // decorrelation (group-by-key aggregate + inner join) must agree.
@@ -5165,10 +5197,10 @@ object SparkEntry {
       |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** The Hamming-LSH oracle tail shared by q188/q190: expects a
-    * `sig(doc_id, hi, lo)` CTE; replays the 16-bit chunk banding with
-    * the [2, 64] bucket cap and exact Hamming verification at ≤ 3. */
-  private def hammingLshOracleTail: String =
+  /** Hamming-LSH banding CTEs shared by q188/q190/q196: expect a
+    * `sig(doc_id, hi, lo)` CTE; replay the 16-bit chunk banding with
+    * the [2, 64] bucket cap and exact Hamming distances into `pairs`. */
+  private def hammingLshPairsCtes: String =
     """chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
       |    CASE cs.c WHEN 0 THEN lo & 65535
       |              WHEN 1 THEN (lo >> 16) & 65535
@@ -5183,8 +5215,42 @@ object SparkEntry {
       |  FROM chunked a
       |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
       |  JOIN chunked b
-      |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
-      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+      |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)""".stripMargin
+
+  private def hammingLshOracleTail: String =
+    s"""$hammingLshPairsCtes
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** The q156 classifier replay (hash-embedding + integer-micro logit),
+    * shared with its streaming-ingest twin q197 (which NEGATES the
+    * weights so the kept set is large — a 1-row keep set gates almost
+    * nothing). */
+  private def classifierOracleSql: String = classifierOracleSql(negate = false)
+  private def classifierOracleSql(negate: Boolean): String = {
+    val ws = if (negate) clfWeights.map(-_) else clfWeights
+    s"""WITH t AS (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |    x -> len(x) > 0) AS toks FROM documents),
+       |b AS (SELECT doc_id, list_transform(toks,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 32) AS buckets
+       |  FROM t),
+       |c AS (SELECT doc_id, list_transform(generate_series(0, 31),
+       |    i -> CAST(len(list_filter(buckets, x -> x = i)) AS DOUBLE)) AS counts
+       |  FROM b),
+       |n AS (SELECT doc_id, counts,
+       |  sqrt(list_sum(list_transform(counts, x -> x * x))) AS norm FROM c),
+       |em AS (SELECT doc_id, list_transform(counts,
+       |  x -> CAST(round((CASE WHEN norm > 0 THEN round(x / norm, 6)
+       |                        ELSE 0.0 END) * 1000000) AS BIGINT)) AS e
+       |  FROM n),
+       |w AS (SELECT ${ws.mkString("[", ", ", "]")}::BIGINT[] AS wv)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 32),
+       |    i -> e[i] * wv[i])) AS BIGINT) AS logit_micro,
+       |  list_sum(list_transform(generate_series(1, 32),
+       |    i -> e[i] * wv[i])) > 0 AS keep
+       |FROM em, w""".stripMargin
+  }
 
   /** The q171 mixture replay (q157's weights + exact ppm rates + the
     * md5 keep decision), shared verbatim by the batch gate (q171) and
