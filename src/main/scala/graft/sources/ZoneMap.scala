@@ -47,12 +47,32 @@ object ZoneMap {
   /** Build (or rebuild) the sidecar(s) for `path` — a single `.bin`
     * file or a committed directory of parts (one sidecar per part).
     * One sequential pass per file, skipping string columns by their
-    * size prefix. Works on reference-written files unchanged. */
+    * size prefix. Works on reference-written files unchanged.
+    *
+    * The single-file form runs on the driver (a lone file has no
+    * sub-file parallelism unit the sidecar could be built from without
+    * a merge step); for a DIRECTORY use the `(spark, path)` overload,
+    * which builds one sidecar per part IN TASKS — a large export's
+    * stats pass must not stream every numeric byte through the
+    * driver. */
   def write(path: String): Unit = {
     val f0 = new java.io.File(path)
     if (f0.isDirectory) {
       BlockFile.committedParts(f0).foreach(p => writeOne(p.getPath))
     } else writeOne(path)
+  }
+
+  /** Distributed sidecar build for a directory-of-blocks table: one
+    * task per part (each part's pass is self-contained, like
+    * [[BlockFile.writeDir]]'s per-task part writes — the path must be
+    * executor-reachable, same contract). Single files delegate to the
+    * driver-side form. */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val f0 = new java.io.File(path)
+    if (!f0.isDirectory) { writeOne(path); return }
+    val parts = BlockFile.committedParts(f0).map(_.getAbsolutePath)
+    spark.sparkContext.parallelize(parts, parts.length)
+      .foreach(p => ZoneMap.writeOne(p))
   }
 
   private def writeOne(binPath: String): Unit = {

@@ -353,11 +353,12 @@ class SourcesShellSpec extends SparkSpec {
     val stale = BlockFile.read(spark, bin).filter($"id" >= 95)
     assert(stale.rdd.getNumPartitions == 11)
     assert(rows(stale.select("id")) == (95 to 101).map(Seq(_)).toSet)
-    // directory form: one sidecar per part, same pruning
+    // directory form: one sidecar per part, built IN TASKS (the
+    // distributed overload — no driver byte path), same pruning
     val dir = s"$d/parts"
     BlockFile.writeDir(spark.range(40).selectExpr("CAST(id AS INT) AS id")
       .repartitionByRange(4, $"id"), dir, rowsPerBlock = 5)
-    ZoneMap.write(dir)
+    ZoneMap.write(spark, dir)
     val dp = BlockFile.read(spark, dir).filter($"id" === 17)
     assert(dp.rdd.getNumPartitions == 1)
     assert(rows(dp) == Set(Seq(17)))
