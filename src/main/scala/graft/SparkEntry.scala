@@ -607,6 +607,38 @@ object SparkEntry {
         .select(F.col("id").as("media_id"), F.col("cluster"))
     }),
 
+    // ---- the MULTIMODAL keep-list capstone: a document survives only
+    //      if it is the canonical member (or untouched) in EVERY
+    //      modality — text minhash clusters ∪ visual aHash clusters ∪
+    //      aural fingerprint clusters each contribute their
+    //      non-canonical drops; the oracle replays all three pipelines
+    //      AND their closures in one statement ----
+    "q198_multimodal_keeplist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def drops(cl: DataFrame): DataFrame =
+        cl.filter(F.col("id") =!= F.col("cluster"))
+          .select(F.col("id").as("doc_id"))
+      def sigOf(hashed: DataFrame, hi: String, lo: String): DataFrame =
+        hashed.select(F.col("media_id"),
+          F.shiftleft(F.col(hi), 32).bitwiseOR(F.col(lo)).as("sig"))
+      val textCl = Dedup.clusters(Dedup.minhashLsh(docs, "text", "doc_id",
+        numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+        maxBucket = 64))
+      val imgCl = Dedup.clusters(Dedup.hammingPairs(
+        sigOf(Multimodal.imageAHashes(
+            Multimodal.synthesizePatternPngs(docs, "doc_id")),
+          "ahash_hi", "ahash_lo"),
+        "sig", "media_id", maxHamming = 3, maxBucket = 64))
+      val audCl = Dedup.clusters(Dedup.hammingPairs(
+        sigOf(Multimodal.audioFingerprints(
+            Multimodal.synthesizePatternWavs(docs, "doc_id")),
+          "afp_hi", "afp_lo"),
+        "sig", "media_id", maxHamming = 3, maxBucket = 64))
+      val allDrops = drops(textCl).unionAll(drops(imgCl))
+        .unionAll(drops(audCl)).distinct()
+      docs.join(allDrops, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -3155,6 +3187,45 @@ object SparkEntry {
          |SELECT a AS media_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // all three modality pipelines + their closures in ONE statement:
+    // text minhash (q29's CTEs + q51's closure), visual aHash ("i"
+    // prefix) and aural fingerprint ("au" prefix) each yield their
+    // non-canonical drops; survivors are everything else
+    "q198_multimodal_keeplist" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |tp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |tedges AS (SELECT id_a AS a, id_b AS b FROM tp
+         |           UNION SELECT id_b, id_a FROM tp),
+         |treach(a, b) AS (SELECT a, b FROM tedges UNION
+         |  SELECT r.a, g.b FROM treach r JOIN tedges g ON r.b = g.a),
+         |tdrop AS (SELECT a AS doc_id FROM (
+         |    SELECT a, least(a, min(b)) AS c FROM treach GROUP BY a)
+         |  WHERE a <> c),
+         |${aHashOracleCtes("i")},
+         |${hammingLshPairsCtes("i")},
+         |ip AS (SELECT id_a, id_b FROM ipairs WHERE hamming <= 3),
+         |iedges AS (SELECT id_a AS a, id_b AS b FROM ip
+         |           UNION SELECT id_b, id_a FROM ip),
+         |ireach(a, b) AS (SELECT a, b FROM iedges UNION
+         |  SELECT r.a, g.b FROM ireach r JOIN iedges g ON r.b = g.a),
+         |idrop AS (SELECT a AS doc_id FROM (
+         |    SELECT a, least(a, min(b)) AS c FROM ireach GROUP BY a)
+         |  WHERE a <> c),
+         |${audioFpOracleCtes("au")},
+         |${hammingLshPairsCtes("au")},
+         |ap AS (SELECT id_a, id_b FROM aupairs WHERE hamming <= 3),
+         |aedges AS (SELECT id_a AS a, id_b AS b FROM ap
+         |           UNION SELECT id_b, id_a FROM ap),
+         |areach(a, b) AS (SELECT a, b FROM aedges UNION
+         |  SELECT r.a, g.b FROM areach r JOIN aedges g ON r.b = g.a),
+         |adrop AS (SELECT a AS doc_id FROM (
+         |    SELECT a, least(a, min(b)) AS c FROM areach GROUP BY a)
+         |  WHERE a <> c)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM tdrop
+         |  UNION SELECT doc_id FROM idrop
+         |  UNION SELECT doc_id FROM adrop)""".stripMargin,
+
     // the audio-fingerprint replay (sample formula → window energies →
     // mean → bits) — the q187 gate's aural twin
     "q189_audio_fingerprint" ->
@@ -5150,72 +5221,76 @@ object SparkEntry {
     * strict-greater bits at index j·8+i, split into unsigned 32-bit
     * halves (DuckDB's BIGINT shift overflows at bit 63, so the oracle
     * never builds the full 64-bit value). Shared by q187 and q188. */
-  private def aHashOracleCtes: String =
-    """ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
-      |c AS (SELECT doc_id, ti.i AS i, tj.j AS j,
-      |    CAST(sum((pk * 31 + (2 * ti.i + tx.dx) * 7
-      |              + (2 * tj.j + ty.dy) * 13) % 256) // 4 AS BIGINT) AS cell
-      |  FROM ids, range(8) ti(i), range(8) tj(j),
-      |       range(2) tx(dx), range(2) ty(dy)
-      |  GROUP BY doc_id, ti.i, tj.j),
-      |m AS (SELECT doc_id, CAST(sum(cell) // 64 AS BIGINT) AS mean
-      |      FROM c GROUP BY doc_id),
-      |bits AS (SELECT c.doc_id, c.j * 8 + c.i AS b,
-      |    CASE WHEN c.cell > m.mean THEN 1 ELSE 0 END AS bit
-      |  FROM c JOIN m ON c.doc_id = m.doc_id),
-      |sig AS (SELECT doc_id,
-      |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
-      |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
-      |    CAST(sum(CASE WHEN bit = 1 AND b < 32
-      |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY doc_id)""".stripMargin
+  private def aHashOracleCtes: String = aHashOracleCtes("")
+  private def aHashOracleCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
+       |${p}c AS (SELECT doc_id, ti.i AS i, tj.j AS j,
+       |    CAST(sum((pk * 31 + (2 * ti.i + tx.dx) * 7
+       |              + (2 * tj.j + ty.dy) * 13) % 256) // 4 AS BIGINT) AS cell
+       |  FROM ${p}ids, range(8) ti(i), range(8) tj(j),
+       |       range(2) tx(dx), range(2) ty(dy)
+       |  GROUP BY doc_id, ti.i, tj.j),
+       |${p}m AS (SELECT doc_id, CAST(sum(cell) // 64 AS BIGINT) AS mean
+       |      FROM ${p}c GROUP BY doc_id),
+       |${p}bits AS (SELECT c.doc_id, c.j * 8 + c.i AS b,
+       |    CASE WHEN c.cell > m.mean THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}c c JOIN ${p}m m ON c.doc_id = m.doc_id),
+       |${p}sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
+       |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN bit = 1 AND b < 32
+       |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
 
   /** The q189 audio-fingerprint replay — 2048-sample fixture waveform
     * `((pk·31 + t·7) mod 256 − 128) · 64` with pk = doc_id mod 40, 64
     * windows of 32 samples, window energy = Σ sample² (exact BIGINT),
     * integer global mean, strict-greater bits, unsigned 32-bit halves
     * (the [[aHashOracleCtes]] conventions). */
-  private def audioFpOracleCtes: String =
-    """ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
-      |e AS (SELECT doc_id, tw.w AS w,
-      |    CAST(sum(
-      |      CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
-      |        AS BIGINT)
-      |      * CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
-      |        AS BIGINT)) AS BIGINT) AS en
-      |  FROM ids, range(64) tw(w), range(32) ti(i)
-      |  GROUP BY doc_id, tw.w),
-      |m AS (SELECT doc_id, CAST(sum(en) // 64 AS BIGINT) AS mean
-      |      FROM e GROUP BY doc_id),
-      |bits AS (SELECT e.doc_id, e.w AS b,
-      |    CASE WHEN e.en > m.mean THEN 1 ELSE 0 END AS bit
-      |  FROM e JOIN m ON e.doc_id = m.doc_id),
-      |sig AS (SELECT doc_id,
-      |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
-      |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
-      |    CAST(sum(CASE WHEN bit = 1 AND b < 32
-      |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY doc_id)""".stripMargin
+  private def audioFpOracleCtes: String = audioFpOracleCtes("")
+  private def audioFpOracleCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
+       |${p}e AS (SELECT doc_id, tw.w AS w,
+       |    CAST(sum(
+       |      CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
+       |        AS BIGINT)
+       |      * CAST(((pk * 31 + (32 * tw.w + ti.i) * 7) % 256 - 128) * 64
+       |        AS BIGINT)) AS BIGINT) AS en
+       |  FROM ${p}ids, range(64) tw(w), range(32) ti(i)
+       |  GROUP BY doc_id, tw.w),
+       |${p}m AS (SELECT doc_id, CAST(sum(en) // 64 AS BIGINT) AS mean
+       |      FROM ${p}e GROUP BY doc_id),
+       |${p}bits AS (SELECT e.doc_id, e.w AS b,
+       |    CASE WHEN e.en > m.mean THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}e e JOIN ${p}m m ON e.doc_id = m.doc_id),
+       |${p}sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
+       |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN bit = 1 AND b < 32
+       |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
 
   /** Hamming-LSH banding CTEs shared by q188/q190/q196: expect a
     * `sig(doc_id, hi, lo)` CTE; replay the 16-bit chunk banding with
     * the [2, 64] bucket cap and exact Hamming distances into `pairs`. */
-  private def hammingLshPairsCtes: String =
-    """chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
-      |    CASE cs.c WHEN 0 THEN lo & 65535
-      |              WHEN 1 THEN (lo >> 16) & 65535
-      |              WHEN 2 THEN hi & 65535
-      |              ELSE (hi >> 16) & 65535 END AS key
-      |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
-      |buckets AS (SELECT chunk, key FROM chunked GROUP BY chunk, key
-      |  HAVING count(*) BETWEEN 2 AND 64),
-      |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-      |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-      |      AS INTEGER) AS hamming
-      |  FROM chunked a
-      |  JOIN buckets k ON a.chunk = k.chunk AND a.key = k.key
-      |  JOIN chunked b
-      |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)""".stripMargin
+  private def hammingLshPairsCtes: String = hammingLshPairsCtes("")
+  private def hammingLshPairsCtes(p: String): String =
+    s"""${p}chunked AS (SELECT doc_id AS id, hi, lo, cs.c AS chunk,
+       |    CASE cs.c WHEN 0 THEN lo & 65535
+       |              WHEN 1 THEN (lo >> 16) & 65535
+       |              WHEN 2 THEN hi & 65535
+       |              ELSE (hi >> 16) & 65535 END AS key
+       |  FROM ${p}sig, (SELECT unnest(range(4)) AS c) cs),
+       |${p}buckets AS (SELECT chunk, key FROM ${p}chunked
+       |  GROUP BY chunk, key
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |${p}pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |      AS INTEGER) AS hamming
+       |  FROM ${p}chunked a
+       |  JOIN ${p}buckets k ON a.chunk = k.chunk AND a.key = k.key
+       |  JOIN ${p}chunked b
+       |    ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)""".stripMargin
 
   private def hammingLshOracleTail: String =
     s"""$hammingLshPairsCtes
