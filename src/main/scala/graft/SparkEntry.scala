@@ -639,6 +639,29 @@ object SparkEntry {
       docs.join(allDrops, Seq("doc_id"), "left_anti").select("doc_id")
     }),
 
+    // ---- explicit ROWS frames through the dialect: a 3-row moving
+    //      sum, a running average via the standard `ROWS UNBOUNDED
+    //      PRECEDING` shorthand, and a centered local max — the frame
+    //      grammar DuckDB runs verbatim; ORDER BY (ts, event_id) makes
+    //      every frame deterministic (event_id is unique) ----
+    "q199_sql_window_frame" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT event_id, user_id,
+          |  round(SUM(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100, 0) AS mov_sum_c,
+          |  round(SUM(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) * 100, 0) AS run_sum_c,
+          |  MAX(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id
+          |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS local_max,
+          |  COUNT(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id
+          |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_near
+          |FROM events
+          |WHERE user_id < 40""".stripMargin).df),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -2371,6 +2394,25 @@ object SparkEntry {
       t(s, dir, "documents").select(F.col("doc_id"),
         TextAnalysis.normalizeText(F.col("text")).as("norm_text"))),
 
+    // ---- HTML → text extraction (the web-crawl ingest step): each doc
+    //      wrapped in-flight into a deterministic page — style block,
+    //      comment, entity-bearing heading, script block — then
+    //      stripMarkup must drop blocks WITH content, strip tags,
+    //      decode entities (&amp; last) and collapse whitespace; the
+    //      oracle builds the identical page and replays the identical
+    //      regex/replace chain in RE2 ----
+    "q200_strip_markup" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+        TextAnalysis.stripMarkup(F.concat(
+          F.lit("<html><head><style>p{color:red}</style></head><body><!-- id="),
+          F.col("doc_id").cast("string"),
+          F.lit(" --><h1>Doc &amp; &lt;tag&gt; "),
+          F.col("doc_id").cast("string"),
+          F.lit("</h1>\n<p class=\"body\">"),
+          F.col("text"),
+          F.lit("</p><script>var x = 1 < 2;</script></body></html>")))
+          .as("clean"))),
+
     // ---- copy-on-write DELETE on the versioned layer (the takedown /
     //      GDPR primitive): the delete commits a NEW version; the head
     //      serves the filtered corpus while v1 stays readable as the
@@ -2986,6 +3028,29 @@ object SparkEntry {
         |    ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
 
+    // the identical page construction + extraction chain in RE2:
+    // script/style blocks (with content) → comments → tags → entity
+    // decode (&amp; last) → whitespace collapse
+    "q200_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style></head><body><!-- id='
+        |    || doc_id || ' --><h1>Doc &amp; &lt;tag&gt; ' || doc_id
+        |    || '</h1>' || chr(10) || '<p class="body">' || text
+        |    || '</p><script>var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)>',
+        |        ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h""".stripMargin,
+
     // the boilerplate vote (distinct docs per (source, line digest)) +
     // the rewrite, replayed byte-for-byte: blank lines always keep,
     // voted lines drop every occurrence
@@ -3225,6 +3290,25 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM tdrop
          |  UNION SELECT doc_id FROM idrop
          |  UNION SELECT doc_id FROM adrop)""".stripMargin,
+
+    // the same frame grammar verbatim — DuckDB's ROWS frames have
+    // identical row-offset semantics
+    "q199_sql_window_frame" ->
+      """SELECT event_id, user_id,
+        |  round(SUM(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100, 0) AS mov_sum_c,
+        |  round(SUM(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) * 100, 0) AS run_sum_c,
+        |  MAX(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS local_max,
+        |  COUNT(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_near
+        |FROM events
+        |WHERE user_id < 40""".stripMargin,
 
     // the audio-fingerprint replay (sample formula → window energies →
     // mean → bits) — the q187 gate's aural twin

@@ -105,10 +105,16 @@ object Col {
     * required) and windowed aggregates (`sum`/`min`/`max`/`avg`/`count`).
     * Frame semantics are Spark's standard-SQL defaults: with ORDER BY an
     * aggregate is a running aggregate (RANGE UNBOUNDED PRECEDING..CURRENT
-    * ROW), without it the whole partition. */
+    * ROW), without it the whole partition. An explicit `frame` is a ROWS
+    * frame as (start, end) row offsets in Spark's encoding —
+    * `Long.MinValue` = UNBOUNDED PRECEDING, `0` = CURRENT ROW,
+    * `Long.MaxValue` = UNBOUNDED FOLLOWING, negative = n PRECEDING,
+    * positive = n FOLLOWING. Only windowed aggregates accept one
+    * (standard SQL: ranking functions take no frame). */
   final case class WindowFn(fn: String, arg: Option[Col],
                             partitionBy: Seq[Col],
-                            orderBy: Seq[(Col, Boolean)]) extends Col
+                            orderBy: Seq[(Col, Boolean)],
+                            frame: Option[(Long, Long)] = None) extends Col
   /** `expr IN (SELECT ...)` membership predicate (extension). Not a
     * row-local expression — the engine plans it as a LEFT SEMI join
     * (`NOT IN` → LEFT ANTI), so it is only legal as a top-level AND
@@ -321,6 +327,9 @@ object Col {
         case "text_normalize" =>
           arity(1)
           (graft.operators.TextAnalysis.normalizeText(cs(0)), StringType)
+        case "strip_markup" =>
+          arity(1)
+          (graft.operators.TextAnalysis.stripMarkup(cs(0)), StringType)
         case other =>
           throw new IllegalArgumentException(s"Unknown function: $other")
       }
@@ -395,17 +404,29 @@ object Col {
         "ANY/ALL (SELECT ...) is only supported as a top-level AND conjunct " +
         "of WHERE (it plans as a join or a plan-time bound, not a row " +
         "expression)")
-    case WindowFn(fn, arg, pb, ob) =>
+    case WindowFn(fn, arg, pb, ob, frame) =>
       import org.apache.spark.sql.expressions.Window
       val base =
         if (pb.nonEmpty) Window.partitionBy(pb.map(compileNode(_, schema)._1): _*)
         else Window.partitionBy()
-      val spec =
+      val ordered =
         if (ob.nonEmpty) base.orderBy(ob.map { case (c, asc) =>
           val cc = compileNode(c, schema)._1
           if (asc) cc.asc else cc.desc
         }: _*)
         else base
+      // explicit ROWS frame: aggregates only, ORDER BY required (an
+      // unordered ROWS frame is nondeterministic row arithmetic)
+      val spec = frame match {
+        case None => ordered
+        case Some(_) if ob.isEmpty =>
+          throw new IllegalArgumentException(
+            "a ROWS frame requires ORDER BY in its OVER clause")
+        case Some((s, e)) =>
+          if (s > e) throw new IllegalArgumentException(
+            "ROWS frame start is after its end")
+          ordered.rowsBetween(s, e)
+      }
       def argC = compileNode(arg.getOrElse(throw new IllegalArgumentException(
         s"$fn() over a window needs an argument")), schema)
       val (c, dt) = fn match {
@@ -414,6 +435,8 @@ object Col {
             s"$fn() requires ORDER BY in its OVER clause")
           if (arg.nonEmpty) throw new IllegalArgumentException(
             s"$fn() takes no arguments")
+          if (frame.nonEmpty) throw new IllegalArgumentException(
+            s"$fn() takes no frame clause (standard SQL)")
           (fn match {
             case "row_number" => F.row_number()
             case "rank"       => F.rank()

@@ -36,6 +36,32 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     F.call_function("text_normalize", text)
 
+  /** HTML/markup → text extraction (the web-crawl ingest step that
+    * precedes every quality/dedup pass): drops `<script>`/`<style>`
+    * elements WITH their content, strips comments and all remaining
+    * tags (each replaced by a space so adjacent words never merge),
+    * decodes the common named entities (`&amp;` deliberately LAST so
+    * `&amp;lt;` decodes to the literal `&lt;`, not `<`), then collapses
+    * whitespace runs and trims. Pure narrow `regexp_replace`/`replace`
+    * chain — whole-stage codegen, no shuffle, linear in corpus bytes;
+    * every construct (inline `(?is)` flags, non-greedy `.*?`, `\b`,
+    * `\s`) behaves identically in Java regex and RE2, so a DuckDB
+    * oracle replays the extraction byte-for-byte. Not a sanitizer: a
+    * `<script>` closed by `</style>` matches cross-element (documented
+    * single-pass semantics), which real extraction pipelines accept. */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = F.regexp_replace(html,
+      "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)>", " ")
+    val noComments = F.regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = F.regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        F.call_function("replace", c, F.lit(ent), F.lit(ch)) }
+    F.trim(F.regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** BPE-ish subword count: word-boundary pieces plus punctuation tokens,
     * approximated as regex splits on non-alphanumerics — a cheap,
     * deterministic proxy for tokenizer cost estimation at corpus scale. */

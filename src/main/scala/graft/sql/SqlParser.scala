@@ -110,7 +110,11 @@ object SqlParser {
     // reserving OVER/PARTITION (window support) breaks columns of those
     // names as bare identifiers — the standard tradeoff; the
     // double-quoted-identifier escape ("partition") still reaches them
-    "OVER", "PARTITION")
+    "OVER", "PARTITION",
+    // ROWS frame clause inside OVER (`ROWS BETWEEN 2 PRECEDING AND
+    // CURRENT ROW`); reserved like OVER/PARTITION — the double-quote
+    // escape reaches columns of those names
+    "ROWS", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -624,6 +628,31 @@ object SqlParser {
         ob += parseOrderItem()
         while (accept(",")) ob += parseOrderItem()
       }
+      // `ROWS BETWEEN <bound> AND <bound>` (or the standard shorthand
+      // `ROWS <start-bound>`, whose end defaults to CURRENT ROW) —
+      // bounds in Spark's rowsBetween encoding, see WindowFn's scaladoc
+      val frame: Option[(Long, Long)] =
+        if (!accept("ROWS")) None
+        else {
+          def bound(): Long = peek match {
+            case TKw("UNBOUNDED") =>
+              next()
+              if (accept("PRECEDING")) Long.MinValue
+              else { expectKw("FOLLOWING"); Long.MaxValue }
+            case TKw("CURRENT") =>
+              next(); expectKw("ROW"); 0L
+            case TNum(t) if !t.contains('.') =>
+              next()
+              val n = t.toLong
+              if (accept("PRECEDING")) -n
+              else { expectKw("FOLLOWING"); n }
+            case t => throw new ParseError(
+              s"Expected a ROWS frame bound, got ${t.text}")
+          }
+          if (accept("BETWEEN")) {
+            val s = bound(); expectKw("AND"); Some((s, bound()))
+          } else Some((bound(), 0L))
+        }
       expectOp(")")
       val (fn, arg) = e match {
         case FuncCall(f, Seq())            => (f, None)
@@ -635,7 +664,7 @@ object SqlParser {
           s"OVER cannot follow ${e.name}: window functions are " +
           "row_number/rank/dense_rank and sum/min/max/avg/count")
       }
-      WindowFn(fn, arg, pb.toSeq, ob.toSeq)
+      WindowFn(fn, arg, pb.toSeq, ob.toSeq, frame)
     }
   }
 

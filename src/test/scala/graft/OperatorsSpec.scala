@@ -374,6 +374,32 @@ class OperatorsSpec extends SparkSpec {
     assert(twice == out(1L))
   }
 
+  test("markup stripping: blocks with content, tags, entity order, whitespace") {
+    val page = "<html><head><style>p {color: red}</style></head>" +
+      "<body><!-- note\nmultiline --><h1 class=\"t\">A &amp;amp; B</h1>" +
+      "<p>x&lt;y&gt;z &quot;q&#39;s&quot;&nbsp;end</p>" +
+      "<SCRIPT type=\"text/javascript\">if (1 < 2) alert('hi')</script>" +
+      "tail</body></html>"
+    val out = Seq(Tuple1(page)).toDF("html")
+      .select(TextAnalysis.stripMarkup($"html")).head.getString(0)
+    // style+script content gone (incl. the `<` inside the script),
+    // comment gone, tags gone, &amp; decoded LAST so `&amp;amp;` is
+    // the literal `&amp;`, quotes/apostrophe/nbsp decoded, collapsed
+    assert(out == "A &amp; B x<y>z \"q's\" end tail")
+    // plain text with no markup passes through modulo collapse
+    val plain = Seq(Tuple1("no  tags\there")).toDF("html")
+      .select(TextAnalysis.stripMarkup($"html")).head.getString(0)
+    assert(plain == "no tags here")
+    // the dialect surface compiles to the same expression
+    val viaSql = Seq((1L, page)).toDF("id", "html")
+    val d = java.nio.file.Files.createTempDirectory("graft-markup").toString
+    viaSql.write.mode("overwrite").parquet(s"$d/pages.parquet")
+    val sqlOut = graft.Engine(spark, d)
+      .sql("SELECT strip_markup(html) AS clean FROM pages")
+      .df.head.getString(0)
+    assert(sqlOut == out)
+  }
+
   test("boilerplate line removal: per-source vote, blank lines kept, rewrite") {
     // "FOOTER" appears in 3 docs of source s1 (boilerplate at minDocs=3);
     // "menu" in only 2 of s1 (below threshold); "FOOTER" also in one doc

@@ -436,6 +436,49 @@ class SqlParserSpec extends SparkSpec {
         "SELECT color, SUM(quantity) AS q FROM fruits GROUP BY color ORDER BY row_number() OVER (ORDER BY color)").df)
   }
 
+  test("window ROWS frames: moving/running aggregates evaluate; invalid frames raise (extension)") {
+    import graft.api.Col._
+    import graft.sql.{ParseError, SqlParser}
+    // AST: BETWEEN form and the standard start-only shorthand
+    val q = SqlParser.parse(
+      "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM fruits")
+    assert(q.select.head.expr == Alias(
+      WindowFn("sum", Some(ColRef("quantity")), Seq.empty,
+        Seq((ColRef("fruit"), true)), Some((-2L, 0L))), "s"))
+    assert(SqlParser.parse(
+      "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS UNBOUNDED PRECEDING) AS s FROM fruits")
+      .select.head.expr == Alias(
+        WindowFn("sum", Some(ColRef("quantity")), Seq.empty,
+          Seq((ColRef("fruit"), true)), Some((Long.MinValue, 0L))), "s"))
+    // execution: a 2-row moving sum over a deterministic total order
+    val d = java.nio.file.Files.createTempDirectory("graft-frame").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    val out = Engine(spark, d).sql(
+      """SELECT fruit, quantity,
+        |  SUM(quantity) OVER (ORDER BY quantity, fruit
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mov
+        |FROM fruits""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // order: orange 2, apple 3, apple 4, banana 5, banana 7
+    assert(out == Set(
+      ("orange", 2, 2L), ("apple", 3, 5L), ("apple", 4, 7L),
+      ("banana", 5, 9L), ("banana", 7, 12L)))
+    // a frame without ORDER BY raises (nondeterministic row arithmetic);
+    // ranking functions take no frame; inverted bounds raise; a
+    // non-integer bound is a parse error
+    assertThrows[IllegalArgumentException](
+      Engine(spark, d).sql(
+        "SELECT SUM(quantity) OVER (PARTITION BY color ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM fruits").df)
+    assertThrows[IllegalArgumentException](
+      Engine(spark, d).sql(
+        "SELECT row_number() OVER (ORDER BY fruit ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn FROM fruits").df)
+    assertThrows[IllegalArgumentException](
+      Engine(spark, d).sql(
+        "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s FROM fruits").df)
+    assertThrows[ParseError](SqlParser.parse(
+      "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN 1.5 PRECEDING AND CURRENT ROW) AS s FROM fruits"))
+  }
+
   test("IN (SELECT ...): semi/anti joins, CTE scope inside, invalid placements raise (extension)") {
     import graft.sql.{SemanticError, SqlParser}
     import graft.api.Col.{InSubquery, ColRef}
