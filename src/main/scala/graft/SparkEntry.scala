@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis, Web}
 import graft.sources.{Tables, Versioned}
 import graft.streaming.Streams
 
@@ -2413,6 +2413,57 @@ object SparkEntry {
           F.lit("</p><script>var x = 1 < 2;</script></body></html>")))
           .as("clean"))),
 
+    // ---- URL hygiene (crawl curation): every doc gets a synthesized
+    //      URL exercising each normalization rule — mixed-case scheme/
+    //      host, www. label, default vs non-default ports, tracking
+    //      params (incl. a param list that empties), fragments, and a
+    //      second-level public-suffix domain (.co.uk → three labels);
+    //      the oracle builds the identical URL and replays the chain ----
+    "q201_url_normalize" -> ((s, dir) => {
+      val d = F.col("doc_id")
+      val url = F.concat(
+        F.when(d % 2 === 0, "HTTP://").otherwise("https://"),
+        F.when(d % 4 < 2, "WWW.").otherwise(F.lit("")),
+        F.upper(F.col("source")),
+        F.when(d % 3 === 0, ".Example.COM")
+          .when(d % 3 === 1, ".news.CO.UK").otherwise(".blog.ORG"),
+        F.when(d % 5 === 0, ":8080")
+          .when(d % 2 === 0, ":80").otherwise(":443"),
+        F.lit("/Articles/"), d.cast("string"),
+        F.when(d % 7 === 0, "?utm_medium=em")
+          .when(d % 2 === 0, F.concat(F.lit("?utm_source=feed&id="),
+            d.cast("string"), F.lit("&utm_campaign=x")))
+          .otherwise(F.concat(F.lit("?id="), d.cast("string"),
+            F.lit("&fbclid=abc"))),
+        F.when(d % 3 === 0, F.concat(F.lit("#Sec-"), d.cast("string")))
+          .otherwise(F.lit("")))
+      val norm = Web.normalizeUrl(url)
+      t(s, dir, "documents").select(d.as("doc_id"),
+        norm.as("norm_url"),
+        Web.host(norm).as("host"),
+        Web.registrableDomain(Web.host(norm)).as("domain"))
+    }),
+
+    // ---- domain blocklist filtering + per-domain stats composed: the
+    //      example.com docs drop via the LEFT ANTI join on the derived
+    //      registrable domain (never a collected set — real blocklists
+    //      are millions of rows), then the survivors aggregate one
+    //      (domain, count) row each ----
+    "q202_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val d = F.col("doc_id")
+      val url = F.concat(
+        F.when(d % 2 === 0, "HTTP://").otherwise("https://"),
+        F.upper(F.col("source")),
+        F.when(d % 3 === 0, ".Example.COM")
+          .when(d % 3 === 1, ".news.CO.UK").otherwise(".blog.ORG"),
+        F.lit("/p/"), d.cast("string"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      val blocklist = Seq("example.com").toDF("domain")
+      Web.domainStats(
+        Web.filterBlockedDomains(docs, "url", blocklist), "url")
+    }),
+
     // ---- copy-on-write DELETE on the versioned layer (the takedown /
     //      GDPR primitive): the delete commits a NEW version; the head
     //      serves the filtered corpus while v1 stays readable as the
@@ -3050,6 +3101,83 @@ object SparkEntry {
         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM h""".stripMargin,
+
+    // the identical URL construction + normalization chain in RE2
+    // (anchored replaces are single-match in DuckDB without 'g', which
+    // matches the chain's semantics; tracking-param removal and the
+    // delimiter re-collapse passes need 'g')
+    "q201_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |  || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE '' END)
+        |  || upper(source)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+        |           WHEN doc_id % 3 = 1 THEN '.news.CO.UK'
+        |           ELSE '.blog.ORG' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+        |           WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |  || '/Articles/' || doc_id
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '?utm_medium=em'
+        |           WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id='
+        |             || doc_id || '&utm_campaign=x'
+        |           ELSE '?id=' || doc_id || '&fbclid=abc' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '#Sec-' || doc_id
+        |           ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        |        || regexp_replace(url,
+        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |      '^(http://[^/?#]*):80([/?#].*)?$', '\1\2'),
+        |      '^(https://[^/?#]*):443([/?#].*)?$', '\1\2'),
+        |      '#.*$', ''),
+        |      '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+        |      '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |      '\?&+', '?', 'g'),
+        |      '&&+', '&', 'g') AS nu0
+        |  FROM u),
+        |n2 AS (SELECT doc_id, regexp_replace(nu0, '[?&]+$', '') AS nu FROM n),
+        |h AS (SELECT doc_id, nu,
+        |  regexp_extract(nu, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM n2)
+        |SELECT doc_id, nu AS norm_url, host,
+        |  CASE WHEN regexp_matches(host,
+        |      '\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|nz|in|za|br)$')
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |    WHEN regexp_matches(host, '\.')
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |FROM h""".stripMargin,
+
+    // blocklist anti-join on the derived domain + surviving-domain counts
+    "q202_domain_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |  || upper(source)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+        |           WHEN doc_id % 3 = 1 THEN '.news.CO.UK'
+        |           ELSE '.blog.ORG' END)
+        |  || '/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_extract(
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+        |    '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM u),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN regexp_matches(host,
+        |      '\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|nz|in|za|br)$')
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |    WHEN regexp_matches(host, '\.')
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |  FROM h)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d WHERE domain NOT IN ('example.com')
+        |GROUP BY domain""".stripMargin,
 
     // the boilerplate vote (distinct docs per (source, line digest)) +
     // the rewrite, replayed byte-for-byte: blank lines always keep,

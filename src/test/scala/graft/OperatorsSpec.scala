@@ -400,6 +400,40 @@ class OperatorsSpec extends SparkSpec {
     assert(sqlOut == out)
   }
 
+  test("URL normalization: ports, tracking params, www, domains, idempotence") {
+    import graft.operators.Web
+    def norm(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(Web.normalizeUrl($"u")).head.getString(0)
+    // every rule at once: case, www, default port, tracking, fragment
+    assert(norm("HTTP://WWW.Example.COM:80/A/b?utm_source=x&id=7&utm_c=y#top")
+      == "http://example.com/A/b?id=7")
+    // param list empties → dangling '?' trimmed; non-default port kept
+    assert(norm("https://Host.org:8080/p?fbclid=z") == "https://host.org:8080/p")
+    // https default port strips; path case preserved (RFC 3986)
+    assert(norm("HTTPS://a.b.NET:443/CaseSensitive") == "https://a.b.net/CaseSensitive")
+    // no scheme → untouched (not a URL the crawler emitted)
+    assert(norm("not a url?utm_source=x") == "not a url?utm_source=x")
+    // idempotent
+    assert(norm(norm("HTTP://WWW.E.COM:80/x?utm_a=1&q=2#f")) ==
+      norm("HTTP://WWW.E.COM:80/x?utm_a=1&q=2#f"))
+    // domains: 2-label default, 3-label public-suffix pairs, dot-less host
+    def dom(h: String): String = Seq(Tuple1(h)).toDF("h")
+      .select(Web.registrableDomain($"h")).head.getString(0)
+    assert(dom("deep.sub.example.com") == "example.com")
+    assert(dom("www.bbc.co.uk") == "bbc.co.uk")
+    assert(dom("localhost") == "localhost")
+    // blocklist filter: anti-join on derived domain, no collected set
+    val docs = Seq(
+      (1L, "http://spam.example.com/a"), (2L, "https://keep.org/b"),
+      (3L, "http://sub.spam-two.net/c")).toDF("id", "url")
+    val bl = Seq("example.com", "spam-two.net").toDF("domain")
+    val kept = Web.filterBlockedDomains(docs, "url", bl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    assert(Web.filterBlockedDomains(docs, "url", bl).columns.toSeq ==
+      Seq("id", "url")) // helper column dropped
+  }
+
   test("boilerplate line removal: per-source vote, blank lines kept, rewrite") {
     // "FOOTER" appears in 3 docs of source s1 (boilerplate at minDocs=3);
     // "menu" in only 2 of s1 (below threshold); "FOOTER" also in one doc
