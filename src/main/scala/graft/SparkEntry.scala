@@ -568,6 +568,39 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    // ---- the gradient twin of q187: block-grid difference hash (bit =
+    //      next cell in the row strictly brighter, wraparound) over the
+    //      same real-PNG fixtures; the oracle replays pixels → cells →
+    //      horizontal comparisons → bits ----
+    "q203_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHashes(
+        Multimodal.synthesizePatternPngs(t(s, dir, "documents"), "doc_id"))),
+
+    // ---- visual-dedup CROSS-CHECK: near-dup pairs that BOTH
+    //      perceptual hashes agree on (aHash pairs ∩ dHash pairs via
+    //      inner join on the pair key) — the precision filter: a
+    //      brightness-shift false positive of one hash family dies
+    //      unless the other confirms it; fixture duplicates (identical
+    //      pixels) survive both by construction ----
+    "q204_visual_crosscheck" -> ((s, dir) => {
+      val pngs = Multimodal.synthesizePatternPngs(t(s, dir, "documents"), "doc_id")
+        .localCheckpoint() // one fixture render feeds both hash passes
+      def sig(hashed: DataFrame, hi: String, lo: String): DataFrame =
+        hashed.select(F.col("media_id"),
+          F.shiftleft(F.col(hi), 32).bitwiseOR(F.col(lo)).as("sig"))
+      val aPairs = Dedup.hammingPairs(
+        sig(Multimodal.imageAHashes(pngs), "ahash_hi", "ahash_lo"),
+        "sig", "media_id", maxHamming = 3, maxBucket = 64)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.col("hamming").as("hamming_a"))
+      val dPairs = Dedup.hammingPairs(
+        sig(Multimodal.imageDHashes(pngs), "dhash_hi", "dhash_lo"),
+        "sig", "media_id", maxHamming = 3, maxBucket = 64)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.col("hamming").as("hamming_d"))
+      aPairs.join(dPairs, Seq("id_a", "id_b"))
+    }),
+
     // ---- REAL audio fingerprinting (the q187 gate's aural twin):
     //      every row is an actual 16-bit PCM WAV (AudioSystem-encoded,
     //      id-derived waveform), decoded with javax.sound and energy-
@@ -3365,6 +3398,26 @@ object SparkEntry {
       s"""WITH $aHashOracleCtes,
          |$hammingLshOracleTail""".stripMargin,
 
+    // the dHash replay: same pixel/cell CTEs, gradient bit rule
+    "q203_image_dhash" ->
+      s"""WITH $dHashOracleCtes
+         |SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+         |  hi AS dhash_hi, lo AS dhash_lo
+         |FROM sig""".stripMargin,
+
+    // both hash replays + both banding/verification tails, intersected
+    // on the pair key — the cross-check keep set
+    "q204_visual_crosscheck" ->
+      s"""WITH ${aHashOracleCtes("a")},
+         |${hammingLshPairsCtes("a")},
+         |${dHashOracleCtes("d")},
+         |${hammingLshPairsCtes("d")}
+         |SELECT ap.id_a, ap.id_b,
+         |  ap.hamming AS hamming_a, dp.hamming AS hamming_d
+         |FROM apairs ap JOIN dpairs dp
+         |  ON ap.id_a = dp.id_a AND ap.id_b = dp.id_b
+         |WHERE ap.hamming <= 3 AND dp.hamming <= 3""".stripMargin,
+
     // the q188 replay + the q51 recursive closure (min reachable id):
     // the cluster assignment the keep-list consumes
     "q196_visual_clusters" ->
@@ -5447,6 +5500,30 @@ object SparkEntry {
        |${p}bits AS (SELECT c.doc_id, c.j * 8 + c.i AS b,
        |    CASE WHEN c.cell > m.mean THEN 1 ELSE 0 END AS bit
        |  FROM ${p}c c JOIN ${p}m m ON c.doc_id = m.doc_id),
+       |${p}sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
+       |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN bit = 1 AND b < 32
+       |                  THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
+
+  /** The q203 dHash replay — the [[aHashOracleCtes]] pixel/cell CTEs
+    * with the bit rule swapped for the horizontal gradient: bit j·8+i
+    * set iff cell((i+1) mod 8, j) > cell(i, j) (wraparound). */
+  private def dHashOracleCtes: String = dHashOracleCtes("")
+  private def dHashOracleCtes(p: String): String =
+    s"""${p}ids AS (SELECT doc_id, doc_id % 40 AS pk FROM documents),
+       |${p}c AS (SELECT doc_id, ti.i AS i, tj.j AS j,
+       |    CAST(sum((pk * 31 + (2 * ti.i + tx.dx) * 7
+       |              + (2 * tj.j + ty.dy) * 13) % 256) // 4 AS BIGINT) AS cell
+       |  FROM ${p}ids, range(8) ti(i), range(8) tj(j),
+       |       range(2) tx(dx), range(2) ty(dy)
+       |  GROUP BY doc_id, ti.i, tj.j),
+       |${p}bits AS (SELECT a.doc_id, a.j * 8 + a.i AS b,
+       |    CASE WHEN n.cell > a.cell THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}c a JOIN ${p}c n
+       |    ON a.doc_id = n.doc_id AND a.j = n.j
+       |   AND n.i = (a.i + 1) % 8),
        |${p}sig AS (SELECT doc_id,
        |    CAST(sum(CASE WHEN bit = 1 AND b >= 32
        |                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,

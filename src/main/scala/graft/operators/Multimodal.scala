@@ -569,11 +569,27 @@ object Multimodal {
     * are RAW raster samples (no colorspace conversion — for gray8
     * sources this is the stored byte; for RGB sources, band 0). */
   def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = cellGrid8(img)
+    val mean = cells.sum / 64
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (cells(b) > mean) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** The 8×8 integer block-mean cell grid shared by [[aHash64]] and
+    * [[dHash64]]: the top-left 8·(w/8) × 8·(h/8) region divides into
+    * equal blocks; cell (i, j) at index j·8+i is the integer-division
+    * mean of its block's raw band-0 samples. */
+  private def cellGrid8(img: java.awt.image.BufferedImage): Array[Long] = {
     val raster = img.getRaster
     val bw = img.getWidth / 8
     val bh = img.getHeight / 8
     require(bw >= 1 && bh >= 1,
-      s"aHash needs at least 8x8 pixels, got ${img.getWidth}x${img.getHeight}")
+      s"perceptual hash needs at least 8x8 pixels, got ${img.getWidth}x${img.getHeight}")
     val cells = new Array[Long](64)
     var j = 0
     while (j < 8) {
@@ -594,12 +610,32 @@ object Multimodal {
       }
       j += 1
     }
-    val mean = cells.sum / 64
+    cells
+  }
+
+  /** 8×8 block-grid DIFFERENCE HASH (dHash) — the gradient twin of
+    * [[aHash64]], in the same exact integer arithmetic: over the
+    * [[cellGrid8]] cells, bit (j·8 + i) is set iff the horizontally
+    * next cell in the row is strictly brighter,
+    * `cell((i+1) mod 8, j) > cell(i, j)` (wraparound keeps all 64 bits
+    * informative instead of the classic 9-column resample, which is
+    * interpolation-dependent and not replayable bit-for-bit by a SQL
+    * oracle). Gradients are invariant to global brightness shifts that
+    * move every aHash cell past the mean together, so agreement
+    * BETWEEN the two hashes is a precision filter for visual dedup
+    * (q204's cross-check). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = cellGrid8(img)
     var hash = 0L
-    var b = 0
-    while (b < 64) {
-      if (cells(b) > mean) hash |= (1L << b)
-      b += 1
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cells(j * 8 + ((i + 1) % 8)) > cells(j * 8 + i))
+          hash |= (1L << (j * 8 + i))
+        i += 1
+      }
+      j += 1
     }
     hash
   }
@@ -634,6 +670,37 @@ object Multimodal {
             } catch { case _: java.io.IOException => None }
             img.map { im =>
               val h = aHash64(im)
+              Row(r.getLong(0), im.getWidth, im.getHeight,
+                h >>> 32, h & 0xFFFFFFFFL)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL decode + difference hash per image row — [[imageAHashes]]
+    * with [[dHash64]] as the hash; same schema conventions
+    * ((media_id, width, height, dhash_hi, dhash_lo), unsigned 32-bit
+    * halves, non-images dropped, batched partition loop). */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash_hi", LongType, nullable = false),
+      StructField("dhash_lo", LongType, nullable = false))))
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          if (!looksLikeImage(payload)) None
+          else {
+            val img = try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+            } catch { case _: java.io.IOException => None }
+            img.map { im =>
+              val h = dHash64(im)
               Row(r.getLong(0), im.getWidth, im.getHeight,
                 h >>> 32, h & 0xFFFFFFFFL)
             }

@@ -301,6 +301,44 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 40L, 0)))
   }
 
+  test("image dHash: hand-computed gradient bits; cross-check confirms true dups") {
+    // 8x8 row-gradient image: cells are the pixels y*8+x, so within a
+    // row the next cell is strictly brighter EXCEPT at the wraparound
+    // column i=7 (cell(0,j) < cell(7,j)) → bits 0..6 set per row
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, y * 8 + x)
+    val h = Multimodal.dHash64(img)
+    val perRow = 0x7FL // bits 0..6
+    val expected = (0 until 8).map(j => perRow << (j * 8)).reduce(_ | _)
+    assert(h == expected)
+    // a uniform brightness shift (no clipping) leaves dHash unchanged
+    val img2 = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img2.getRaster.setSample(x, y, 0, y * 8 + x + 100)
+    assert(Multimodal.dHash64(img2) == h)
+    // cross-check on fixtures: byte-identical pattern twins (0, 40)
+    // survive BOTH hash families at Hamming 0
+    val fx = Multimodal.synthesizePatternPngs(
+      Seq(0L, 40L, 1L).toDF("doc_id"), "doc_id", distinctPatterns = 40)
+    def sig(df: org.apache.spark.sql.DataFrame, hi: String, lo: String) =
+      df.select($"media_id",
+        F.shiftleft(F.col(hi), 32).bitwiseOR(F.col(lo)).as("sig"))
+    val aP = Dedup.hammingPairs(
+      sig(Multimodal.imageAHashes(fx), "ahash_hi", "ahash_lo"),
+      "sig", "media_id", maxHamming = 0)
+      .select($"id_a", $"id_b")
+    val dP = Dedup.hammingPairs(
+      sig(Multimodal.imageDHashes(fx), "dhash_hi", "dhash_lo"),
+      "sig", "media_id", maxHamming = 0)
+      .select($"id_a", $"id_b")
+    val both = aP.join(dP, Seq("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == Set((0L, 40L)))
+  }
+
   test("audio fingerprint: hand-computed bits; real WAV round trip; near-dups") {
     // 128 samples = 64 windows of 2, alternating loud/quiet: energies
     // alternate 20000/0, mean 10000 → bits set on even windows
