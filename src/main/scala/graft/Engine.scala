@@ -99,8 +99,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case CaseWhen(bs, e) =>
         bs.flatMap { case (w, v) => colPaths(w) ++ colPaths(v) } ++
           e.toSeq.flatMap(colPaths)
-      case WindowFn(_, a, pb, ob, _) =>
-        a.toSeq.flatMap(colPaths) ++ pb.flatMap(colPaths) ++
+      case WindowFn(_, as, pb, ob, _) =>
+        as.flatMap(colPaths) ++ pb.flatMap(colPaths) ++
           ob.flatMap { case (oc, _) => colPaths(oc) }
       case _                  => Seq.empty
     }
@@ -607,8 +607,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       bs.flatMap { case (w, v) => collectRefs(w) ++ collectRefs(v) } ++
         e.toSeq.flatMap(collectRefs)
-    case WindowFn(_, a, pb, ob, _) =>
-      a.toSeq.flatMap(collectRefs) ++ pb.flatMap(collectRefs) ++
+    case WindowFn(_, as, pb, ob, _) =>
+      as.flatMap(collectRefs) ++ pb.flatMap(collectRefs) ++
         ob.flatMap { case (oc, _) => collectRefs(oc) }
     case InSubquery(e, _) => collectRefs(e)
     case QuantifiedCmp(e, _, _, _) => collectRefs(e)
@@ -678,8 +678,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       CaseWhen(bs.map { case (w, v) =>
         (resolveScalars(w, scope), resolveScalars(v, scope)) },
         e.map(resolveScalars(_, scope)))
-    case WindowFn(f, a, pb, ob, fr) =>
-      WindowFn(f, a.map(resolveScalars(_, scope)), pb.map(resolveScalars(_, scope)),
+    case WindowFn(f, as, pb, ob, fr) =>
+      WindowFn(f, as.map(resolveScalars(_, scope)), pb.map(resolveScalars(_, scope)),
         ob.map { case (oc, asc) => (resolveScalars(oc, scope), asc) }, fr)
     case InSubquery(e, sub) => InSubquery(resolveScalars(e, scope), sub)
     case QuantifiedCmp(e, op, fa, sub) =>
@@ -764,8 +764,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       bs.exists { case (w, v) => containsInSubquery(w) || containsInSubquery(v) } ||
         e.exists(containsInSubquery)
-    case WindowFn(_, a, pb, ob, _) =>
-      a.exists(containsInSubquery) || pb.exists(containsInSubquery) ||
+    case WindowFn(_, as, pb, ob, _) =>
+      as.exists(containsInSubquery) || pb.exists(containsInSubquery) ||
         ob.exists { case (oc, _) => containsInSubquery(oc) }
     case _               => false
   }
@@ -844,8 +844,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (stripQualifiers(w), stripQualifiers(v)) },
         e.map(stripQualifiers))
-    case WindowFn(f, a, pb, ob, fr) =>
-      WindowFn(f, a.map(stripQualifiers), pb.map(stripQualifiers),
+    case WindowFn(f, as, pb, ob, fr) =>
+      WindowFn(f, as.map(stripQualifiers), pb.map(stripQualifiers),
         ob.map { case (c, asc) => (stripQualifiers(c), asc) }, fr)
     case other           => other
   }

@@ -695,6 +695,26 @@ object SparkEntry {
           |FROM events
           |WHERE user_id < 40""".stripMargin).df),
 
+    // ---- offset/positional window functions through the dialect:
+    //      lag with a literal default (null-free partition edges), lead
+    //      over a string column, first_value, and last_value with the
+    //      explicit forward frame (the default running frame would make
+    //      last_value the current row) — DuckDB runs the same text ----
+    "q205_sql_lag_lead" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT event_id, user_id,
+          |  lag(value, 1, 0.0) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS prev_val,
+          |  lead(event_type, 1, 'none') OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS next_type,
+          |  first_value(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS first_val,
+          |  last_value(value) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_val
+          |FROM events
+          |WHERE user_id < 30""".stripMargin).df),
+
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
     "q36_sessionize" -> ((s, dir) =>
@@ -3490,6 +3510,22 @@ object SparkEntry {
         |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_near
         |FROM events
         |WHERE user_id < 40""".stripMargin,
+
+    // identical text: DuckDB's lag/lead defaults and frame-aware
+    // first_value/last_value have the same semantics
+    "q205_sql_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1, 0.0) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_val,
+        |  lead(event_type, 1, 'none') OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type,
+        |  first_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS first_val,
+        |  last_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_val
+        |FROM events
+        |WHERE user_id < 30""".stripMargin,
 
     // the audio-fingerprint replay (sample formula → window energies →
     // mean → bits) — the q187 gate's aural twin

@@ -102,16 +102,19 @@ object Col {
   /** Window function over a PARTITION BY / ORDER BY spec (extension —
     * the reference has no window functions, SURVEY §2.5). Ranking
     * functions (`row_number`/`rank`/`dense_rank`, arg-less, ORDER BY
-    * required) and windowed aggregates (`sum`/`min`/`max`/`avg`/`count`).
+    * required), windowed aggregates (`sum`/`min`/`max`/`avg`/`count`),
+    * offset functions (`lag`/`lead` with optional literal offset and
+    * default — standard 3-arg form; no frame, like standard SQL), and
+    * positional functions (`first_value`/`last_value`, frame-aware).
     * Frame semantics are Spark's standard-SQL defaults: with ORDER BY an
     * aggregate is a running aggregate (RANGE UNBOUNDED PRECEDING..CURRENT
     * ROW), without it the whole partition. An explicit `frame` is a ROWS
     * frame as (start, end) row offsets in Spark's encoding —
     * `Long.MinValue` = UNBOUNDED PRECEDING, `0` = CURRENT ROW,
     * `Long.MaxValue` = UNBOUNDED FOLLOWING, negative = n PRECEDING,
-    * positive = n FOLLOWING. Only windowed aggregates accept one
-    * (standard SQL: ranking functions take no frame). */
-  final case class WindowFn(fn: String, arg: Option[Col],
+    * positive = n FOLLOWING. Only aggregates and positional functions
+    * accept one (standard SQL: ranking/offset functions take no frame). */
+  final case class WindowFn(fn: String, args: Seq[Col],
                             partitionBy: Seq[Col],
                             orderBy: Seq[(Col, Boolean)],
                             frame: Option[(Long, Long)] = None) extends Col
@@ -404,7 +407,7 @@ object Col {
         "ANY/ALL (SELECT ...) is only supported as a top-level AND conjunct " +
         "of WHERE (it plans as a join or a plan-time bound, not a row " +
         "expression)")
-    case WindowFn(fn, arg, pb, ob, frame) =>
+    case WindowFn(fn, args, pb, ob, frame) =>
       import org.apache.spark.sql.expressions.Window
       val base =
         if (pb.nonEmpty) Window.partitionBy(pb.map(compileNode(_, schema)._1): _*)
@@ -415,8 +418,9 @@ object Col {
           if (asc) cc.asc else cc.desc
         }: _*)
         else base
-      // explicit ROWS frame: aggregates only, ORDER BY required (an
-      // unordered ROWS frame is nondeterministic row arithmetic)
+      // explicit ROWS frame: aggregates/positional only, ORDER BY
+      // required (an unordered ROWS frame is nondeterministic row
+      // arithmetic)
       val spec = frame match {
         case None => ordered
         case Some(_) if ob.isEmpty =>
@@ -427,16 +431,20 @@ object Col {
             "ROWS frame start is after its end")
           ordered.rowsBetween(s, e)
       }
-      def argC = compileNode(arg.getOrElse(throw new IllegalArgumentException(
-        s"$fn() over a window needs an argument")), schema)
+      def argC = compileNode(args.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$fn() over a window needs an argument")), schema)
+      def noFrame(): Unit =
+        if (frame.nonEmpty) throw new IllegalArgumentException(
+          s"$fn() takes no frame clause (standard SQL)")
+      def needsOrder(): Unit =
+        if (ob.isEmpty) throw new IllegalArgumentException(
+          s"$fn() requires ORDER BY in its OVER clause")
       val (c, dt) = fn match {
         case "row_number" | "rank" | "dense_rank" =>
-          if (ob.isEmpty) throw new IllegalArgumentException(
-            s"$fn() requires ORDER BY in its OVER clause")
-          if (arg.nonEmpty) throw new IllegalArgumentException(
+          needsOrder(); noFrame()
+          if (args.nonEmpty) throw new IllegalArgumentException(
             s"$fn() takes no arguments")
-          if (frame.nonEmpty) throw new IllegalArgumentException(
-            s"$fn() takes no frame clause (standard SQL)")
           (fn match {
             case "row_number" => F.row_number()
             case "rank"       => F.rank()
@@ -464,7 +472,50 @@ object Col {
           }
           (F.avg(cc), out)
         case "count" =>
-          (F.count(arg.map(compileNode(_, schema)._1).getOrElse(F.lit(1))), LongType)
+          (F.count(args.headOption.map(compileNode(_, schema)._1)
+            .getOrElse(F.lit(1))), LongType)
+        // offset functions: lag/lead(expr [, offset [, default]]) —
+        // literal offset, literal default; no frame (standard SQL). A
+        // missing default yields NULL at the partition edge exactly
+        // like standard SQL (callers in a null-free corpus pass one).
+        case "lag" | "lead" =>
+          needsOrder(); noFrame()
+          if (args.isEmpty || args.length > 3)
+            throw new IllegalArgumentException(
+              s"$fn() takes (expr [, offset [, default]]), got ${args.length} args")
+          val (cc, cdt) = argC
+          val off = args.lift(1) match {
+            case None => 1
+            case Some(Lit(i: Int)) =>
+              if (i < 0) throw new IllegalArgumentException(
+                s"$fn() offset must be non-negative, got $i")
+              i
+            case Some(other) => throw new IllegalArgumentException(
+              s"$fn() offset must be an integer literal, got $other")
+          }
+          val defaultC = args.lift(2).map { d =>
+            val (dc, ddt) = compileNode(d, schema)
+            if (ddt != cdt && !(isNumeric(ddt) && isNumeric(cdt)))
+              throw new IllegalArgumentException(
+                s"$fn() default type $ddt is incompatible with $cdt")
+            dc
+          }
+          val col = (fn, defaultC) match {
+            case ("lag", Some(d))  => F.lag(cc, off, d)
+            case ("lag", None)     => F.lag(cc, off)
+            case ("lead", Some(d)) => F.lead(cc, off, d)
+            case ("lead", None)    => F.lead(cc, off)
+          }
+          (col, cdt)
+        // positional functions: frame-aware (with the default running
+        // frame, last_value is the current row — pass an explicit
+        // frame for the usual "latest in partition" reading)
+        case "first_value" | "last_value" =>
+          needsOrder()
+          if (args.length != 1) throw new IllegalArgumentException(
+            s"$fn() takes exactly one argument")
+          val (cc, cdt) = argC
+          (if (fn == "first_value") F.first(cc) else F.last(cc), cdt)
         case other =>
           throw new IllegalArgumentException(s"Unsupported window function: $other")
       }

@@ -654,17 +654,22 @@ object SqlParser {
           } else Some((bound(), 0L))
         }
       expectOp(")")
-      val (fn, arg) = e match {
-        case FuncCall(f, Seq())            => (f, None)
-        case FuncCall(f, Seq(a))           => (f, Some(a))
-        case AggCol("count", Lit(1), _)    => ("count", None)
-        case AggCol("count_col", a, _)     => ("count", Some(a))
-        case AggCol(f @ ("sum" | "min" | "max" | "avg"), a, _) => (f, Some(a))
+      val (fn, args) = e match {
+        // offset/positional functions keep their full argument list
+        // (lag/lead carry a literal offset and default)
+        case FuncCall(f @ ("lag" | "lead" | "first_value" | "last_value"), as) =>
+          (f, as)
+        case FuncCall(f, Seq())            => (f, Seq.empty[Col])
+        case FuncCall(f, Seq(a))           => (f, Seq(a))
+        case AggCol("count", Lit(1), _)    => ("count", Seq.empty[Col])
+        case AggCol("count_col", a, _)     => ("count", Seq(a))
+        case AggCol(f @ ("sum" | "min" | "max" | "avg"), a, _) => (f, Seq(a))
         case _ => throw new ParseError(
           s"OVER cannot follow ${e.name}: window functions are " +
-          "row_number/rank/dense_rank and sum/min/max/avg/count")
+          "row_number/rank/dense_rank, sum/min/max/avg/count, " +
+          "lag/lead and first_value/last_value")
       }
-      WindowFn(fn, arg, pb.toSeq, ob.toSeq, frame)
+      WindowFn(fn, args, pb.toSeq, ob.toSeq, frame)
     }
   }
 

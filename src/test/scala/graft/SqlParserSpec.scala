@@ -395,7 +395,7 @@ class SqlParserSpec extends SparkSpec {
     val q = SqlParser.parse(
       "SELECT fruit, row_number() OVER (PARTITION BY color ORDER BY quantity DESC) AS rn FROM fruits")
     assert(q.select(1).expr == Alias(
-      WindowFn("row_number", None, Seq(ColRef("color")),
+      WindowFn("row_number", Seq.empty, Seq(ColRef("color")),
         Seq((ColRef("quantity"), false))), "rn"))
     // execution: rank within color + whole-partition sum
     val d = java.nio.file.Files.createTempDirectory("graft-window").toString
@@ -443,12 +443,12 @@ class SqlParserSpec extends SparkSpec {
     val q = SqlParser.parse(
       "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM fruits")
     assert(q.select.head.expr == Alias(
-      WindowFn("sum", Some(ColRef("quantity")), Seq.empty,
+      WindowFn("sum", Seq(ColRef("quantity")), Seq.empty,
         Seq((ColRef("fruit"), true)), Some((-2L, 0L))), "s"))
     assert(SqlParser.parse(
       "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS UNBOUNDED PRECEDING) AS s FROM fruits")
       .select.head.expr == Alias(
-        WindowFn("sum", Some(ColRef("quantity")), Seq.empty,
+        WindowFn("sum", Seq(ColRef("quantity")), Seq.empty,
           Seq((ColRef("fruit"), true)), Some((Long.MinValue, 0L))), "s"))
     // execution: a 2-row moving sum over a deterministic total order
     val d = java.nio.file.Files.createTempDirectory("graft-frame").toString
@@ -477,6 +477,42 @@ class SqlParserSpec extends SparkSpec {
         "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s FROM fruits").df)
     assertThrows[ParseError](SqlParser.parse(
       "SELECT SUM(quantity) OVER (ORDER BY fruit ROWS BETWEEN 1.5 PRECEDING AND CURRENT ROW) AS s FROM fruits"))
+  }
+
+  test("lag/lead/first_value/last_value: defaults, frames, rejections (extension)") {
+    import graft.sql.{ParseError, SqlParser}
+    val d = java.nio.file.Files.createTempDirectory("graft-offset").toString
+    fruits.write.mode("overwrite").parquet(s"$d/fruits.parquet")
+    // lag with default fills the partition edge; lead without default
+    // yields null there (standard SQL); first/last span the partition
+    val out = Engine(spark, d).sql(
+      """SELECT fruit,
+        |  lag(quantity, 1, -1) OVER (ORDER BY quantity, fruit) AS prev_q,
+        |  lead(quantity) OVER (ORDER BY quantity, fruit) AS next_q,
+        |  first_value(quantity) OVER (ORDER BY quantity, fruit) AS fst,
+        |  last_value(quantity) OVER (ORDER BY quantity, fruit
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lst
+        |FROM fruits""".stripMargin).df.collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) -99 else r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    // quantity order: orange 2, apple 3, apple 4, banana 5, banana 7
+    assert(out == Set(
+      ("orange", -1, 3, 2, 7), ("apple", 2, 4, 2, 7), ("apple", 3, 5, 2, 7),
+      ("banana", 4, 7, 2, 7), ("banana", 5, -99, 2, 7)))
+    // rejections: frame on lag; non-literal offset; missing ORDER BY;
+    // lag outside OVER is an unknown scalar function
+    assertThrows[IllegalArgumentException](Engine(spark, d).sql(
+      "SELECT lag(quantity) OVER (ORDER BY fruit ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS p FROM fruits").df)
+    assertThrows[IllegalArgumentException](Engine(spark, d).sql(
+      "SELECT lag(quantity, quantity) OVER (ORDER BY fruit) AS p FROM fruits").df)
+    assertThrows[IllegalArgumentException](Engine(spark, d).sql(
+      "SELECT lag(quantity) OVER (PARTITION BY color) AS p FROM fruits").df)
+    assertThrows[IllegalArgumentException](Engine(spark, d).sql(
+      "SELECT lag(quantity) AS p FROM fruits").df)
+    // incompatible default type is loud
+    assertThrows[IllegalArgumentException](Engine(spark, d).sql(
+      "SELECT lag(quantity, 1, 'x') OVER (ORDER BY fruit) AS p FROM fruits").df)
   }
 
   test("IN (SELECT ...): semi/anti joins, CTE scope inside, invalid placements raise (extension)") {
