@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Pack, Scale, Similarity, TextAnalysis, Web}
+import graft.operators.{AsofJoin, Dedup, EventAnalytics, Multimodal, Pack, Scale, Similarity, TextAnalysis, Web}
 import graft.sources.{Tables, Versioned}
 import graft.streaming.Streams
 
@@ -714,6 +714,21 @@ object SparkEntry {
           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_val
           |FROM events
           |WHERE user_id < 30""".stripMargin).df),
+
+    // ---- conversion funnel (view → click → purchase, 7-day window
+    //      anchored at funnel entry): per-step user counts via
+    //      user-keyed min-agg/join chains — no per-user ordered scan;
+    //      the oracle replays the chain in epoch-µs arithmetic ----
+    "q206_funnel" -> ((s, dir) =>
+      EventAnalytics.funnelCounts(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"),
+        windowMicros = 7L * 24 * 3600 * 1000000)),
+
+    // ---- cohort retention (cohort = day of first event; day_k rows
+    //      count the cohort's users active k days later) — the classic
+    //      retention triangle in long form ----
+    "q207_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")),
 
     // ---- sessionization (graft.streaming, batch twin of the
     //      flatMapGroupsWithState path) ----
@@ -3510,6 +3525,41 @@ object SparkEntry {
         |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_near
         |FROM events
         |WHERE user_id < 40""".stripMargin,
+
+    // the funnel chain in epoch-µs: earliest entry anchors the window,
+    // each later step is the earliest in-window event at-or-after the
+    // previous step's time
+    "q206_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= s1.t1
+        |    AND e.us <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, min(e.us) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+        |    AND e.us <= s2.t1 + 604800000000
+        |  GROUP BY e.user_id, s2.t1)
+        |SELECT 1 AS step, 'view' AS step_type,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+
+    // cohort day = day of first event; one row per (cohort, offset)
+    // counting distinct active users ((user, day) deduped first)
+    "q207_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cohort, d.day) AS day_k,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical text: DuckDB's lag/lead defaults and frame-aware
     // first_value/last_value have the same semantics

@@ -393,6 +393,42 @@ class OperatorsSpec extends SparkSpec {
     assert(merged == out)
   }
 
+  test("funnel: chain order and window cutoff; cohort retention counts") {
+    import graft.operators.EventAnalytics
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L) // minutes → ms
+    val W = 60L * 60 * 1000000 // 1h in µs
+    val ev = Seq(
+      // user 1 completes A→B→C in order, in window
+      (1L, "A", ts(0)), (1L, "B", ts(10)), (1L, "C", ts(20)),
+      // user 2: B BEFORE the A anchor — chain must not count it; the
+      // later B is in order, no C
+      (2L, "B", ts(0)), (2L, "A", ts(5)), (2L, "B", ts(30)),
+      // user 3: B lands outside the 1h window from the anchor
+      (3L, "A", ts(0)), (3L, "B", ts(90)),
+      // user 4: never enters the funnel (no A)
+      (4L, "B", ts(0)), (4L, "C", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val stages = EventAnalytics.funnelStages(ev, "user_id", "event_type",
+      "ts", Seq("A", "B", "C"), W)
+    def users(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(users(stages(0)) == Set(1L, 2L, 3L))
+    assert(users(stages(1)) == Set(1L, 2L)) // user 3's B is out of window
+    assert(users(stages(2)) == Set(1L))
+    val counts = EventAnalytics.funnelCounts(ev, "user_id", "event_type",
+      "ts", Seq("A", "B", "C"), W)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(counts == Set((1, "A", 3L), (2, "B", 2L), (3, "C", 1L)))
+    // retention: user 1 active day 0 + day 1; user 2 day 0 only —
+    // cohort day 1970-01-01, day_k 0 → 2 users, day_k 1 → 1 user
+    val ev2 = Seq(
+      (1L, "x", ts(0)), (1L, "x", ts(10)), (1L, "x", ts(60 * 25)),
+      (2L, "x", ts(5))).toDF("user_id", "event_type", "ts")
+    val ret = EventAnalytics.cohortRetention(ev2, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ret == Set(("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 1L)))
+  }
+
   test("text normalization: NFC composition, whitespace collapse, idempotence") {
     val decomposed = "Cafe\u0301"   // e + combining acute (NFD)
     val composed = "Caf\u00e9"      // precomposed \u00e9 (NFC)
