@@ -715,6 +715,26 @@ object SparkEntry {
           |FROM events
           |WHERE user_id < 30""".stripMargin).df),
 
+    // ---- truncated-dimension ANN prefilter (Matryoshka-style
+    //      serving): first-16-dims cosine picks a 50-candidate pool
+    //      (a quarter of the arithmetic per candidate), exact 64-dim
+    //      cosine re-ranks to top-10; needs no trained artifact,
+    //      unlike the PQ/SQ tiers ----
+    "q209_knn_truncated" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.topKTruncatedRefine(emb, "embedding", "vec_id", q,
+        k = 10, dPrefix = 16, pool = 50)
+    }),
+
+    // ---- corpus-health head coverage (the integer-exact Zipf
+    //      diagnostic): top-k token-type share of all occurrences at
+    //      k ∈ {10, 100, 1000} — exact counts, one final division ----
+    "q208_head_coverage" -> ((s, dir) =>
+      TextAnalysis.headCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(10, 100, 1000))),
+
     // ---- conversion funnel (view → click → purchase, 7-day window
     //      anchored at funnel entry): per-step user counts via
     //      user-keyed min-agg/join chains — no per-user ordered scan;
@@ -3525,6 +3545,50 @@ object SparkEntry {
         |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_near
         |FROM events
         |WHERE user_id < 40""".stripMargin,
+
+    // truncated-prefix cosine pool (list slice), exact full re-rank —
+    // the two-stage replay with the same id tie-breaks
+    "q209_knn_truncated" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |pre AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+        |                   (SELECT qv[1:16] FROM q))
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+        |                            CAST(embedding AS DOUBLE[])[1:16]))
+        |      * sqrt(list_dot_product((SELECT qv[1:16] FROM q),
+        |                              (SELECT qv[1:16] FROM q)))) AS p
+        | FROM embeddings),
+        |pool AS (SELECT vec_id, v FROM pre
+        |  QUALIFY row_number() OVER (ORDER BY p DESC, vec_id) <= 50),
+        |scored AS (SELECT vec_id,
+        |  list_dot_product(v, (SELECT qv FROM q))
+        |   / (sqrt(list_dot_product(v, v))
+        |      * sqrt(list_dot_product((SELECT qv FROM q),
+        |                              (SELECT qv FROM q)))) AS raw
+        | FROM pool)
+        |SELECT vec_id, round(raw, 6) AS score
+        |FROM scored ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the same top-k rank (count desc, token asc tie-break), integer
+    // sums (DuckDB's HUGEINT sums cast back to BIGINT), one division
+    "q208_head_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |top AS (SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS r
+        |  FROM cnt QUALIFY r <= 1000),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT ks.k,
+        |  CAST(sum(top.n) AS BIGINT) AS covered_tokens,
+        |  (SELECT total FROM tot) AS total_tokens,
+        |  round(CAST(sum(top.n) AS DOUBLE)
+        |    / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS coverage
+        |FROM ks JOIN top ON top.r <= ks.k
+        |GROUP BY ks.k""".stripMargin,
 
     // the funnel chain in epoch-µs: earliest entry anchors the window,
     // each later step is the earliest in-window event at-or-after the

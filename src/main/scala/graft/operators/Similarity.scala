@@ -60,6 +60,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** TRUNCATED-DIMENSION ANN prefilter (the Matryoshka-style serving
+    * trick): score every candidate on only the first `dPrefix`
+    * dimensions — a dPrefix/dim fraction of the arithmetic and, in a
+    * dimension-major storage layout, of the bytes read — keep the top
+    * `pool` by truncated cosine, then exact full-dimension cosine
+    * re-ranks the pool to top-k. With embeddings trained front-loaded
+    * (Matryoshka representation learning), the truncated order is a
+    * high-recall proxy and `pool` ≫ k absorbs the inversions; unlike
+    * PQ/SQ the prefilter needs NO trained artifact, so it serves any
+    * fresh corpus version immediately. Both stages are bounded
+    * TakeOrderedAndProject top-k merges (never a global sort); ties
+    * break on the id like every serving path here. Returns
+    * (idCol, score@6dp) — the same shape as [[topKByCosine]], so
+    * [[recallAtK]] evaluates it directly. */
+  def topKTruncatedRefine(df: DataFrame, vecCol: String, idCol: String,
+                          query: Seq[Double], k: Int, dPrefix: Int,
+                          pool: Int): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    require(dPrefix >= 1 && dPrefix <= query.length,
+      s"dPrefix must be in [1, ${query.length}], got $dPrefix")
+    val qPre = F.array(query.take(dPrefix).map(F.lit): _*)
+    val qFull = F.array(query.map(F.lit): _*)
+    val candidates = df
+      .select(F.col(idCol), F.col(vecCol),
+        cosine(F.slice(F.col(vecCol), 1, dPrefix), qPre).as("_pre"))
+      .orderBy(F.col("_pre").desc, F.col(idCol).asc)
+      .limit(pool)
+    candidates
+      .select(F.col(idCol), cosine(F.col(vecCol), qFull).as("_score"))
+      .orderBy(F.col("_score").desc, F.col(idCol).asc)
+      .limit(k)
+      .select(F.col(idCol), F.round(F.col("_score"), 6).as("score"))
+  }
+
   /** Per-dimension [min, max] of a vector column — the SCALAR
     * QUANTIZATION training pass ([[sqCodes]]). One dim-keyed aggregation
     * (map-side combinable); only 2·dim doubles reach the driver, the

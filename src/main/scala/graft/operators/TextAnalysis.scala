@@ -62,6 +62,44 @@ object TextAnalysis {
     F.trim(F.regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Corpus-health HEAD COVERAGE: for each k, the fraction of all token
+    * occurrences covered by the top-k token types — the integer-exact
+    * Zipf diagnostic (a healthy natural-language corpus covers a large
+    * head share; a degenerate or template-dominated one covers far
+    * more; a boilerplate-free deduped one less). A least-squares Zipf
+    * slope needs float logs whose summation order differs across
+    * engines; coverage is exact integer counts plus ONE final division
+    * of identical operands, so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: one keyed token count (map-side combined), then a
+    * `TakeOrderedAndProject` top-max(k) — a bounded per-partition
+    * top-k merge, never a global sort — and a window over that
+    * max(k)-row frame (bounded single partition by construction).
+    * Returns (k, covered_tokens, total_tokens, coverage@6dp). */
+  def headCoverage(df: DataFrame, textCol: String,
+                   ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.explode(tokens(F.lower(F.col(textCol)))).as("_tok"))
+      .groupBy("_tok").agg(F.count(F.lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("_n").desc, F.col("_tok"))
+    val ranked = counts.orderBy(F.col("_n").desc, F.col("_tok"))
+      .limit(ks.max)
+      .withColumn("_rank", F.row_number().over(w))
+    val total = counts.agg(F.sum("_n").as("_total"))
+    ks.toDF("k")
+      .join(ranked, F.col("_rank") <= F.col("k"))
+      .groupBy("k").agg(F.sum("_n").as("covered_tokens"))
+      .crossJoin(F.broadcast(total))
+      .select(F.col("k"), F.col("covered_tokens"),
+        F.col("_total").as("total_tokens"),
+        F.round(F.col("covered_tokens").cast("double") /
+          F.col("_total").cast("double"), 6).as("coverage"))
+  }
+
   /** BPE-ish subword count: word-boundary pieces plus punctuation tokens,
     * approximated as regex splits on non-alphanumerics — a cheap,
     * deterministic proxy for tokenizer cost estimation at corpus scale. */

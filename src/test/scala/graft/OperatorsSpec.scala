@@ -631,6 +631,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(0L, 3L, 1L)) // ties (0,3) broken by id
   }
 
+  test("truncated-dim prefilter: brute parity at pool=all, bounded pool otherwise") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    // pool = corpus size → the exact re-rank sees everything: must
+    // equal brute-force cosine top-k exactly (scores and order)
+    val brute = Similarity.topKByCosine(vecs, "embedding", "vec_id", q, 5)
+      .select($"vec_id", F.round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val refined = Similarity.topKTruncatedRefine(vecs, "embedding", "vec_id",
+      q, k = 5, dPrefix = 2, pool = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == brute)
+    // a tight pool returns k rows drawn from the pool only
+    val tight = Similarity.topKTruncatedRefine(vecs, "embedding", "vec_id",
+      q, k = 5, dPrefix = 2, pool = 5)
+    assert(tight.count() == 5)
+    // invalid configs are loud
+    assertThrows[IllegalArgumentException](Similarity.topKTruncatedRefine(
+      vecs, "embedding", "vec_id", q, k = 5, dPrefix = 0, pool = 10))
+    assertThrows[IllegalArgumentException](Similarity.topKTruncatedRefine(
+      vecs, "embedding", "vec_id", q, k = 5, dPrefix = 2, pool = 3))
+  }
+
   test("IVF-PQ refine: exact re-rank over the bounded candidate pool") {
     // 8 clustered vectors; PQ compression distorts within-cluster order,
     // the refine stage must restore the EXACT squared-L2 ranking
