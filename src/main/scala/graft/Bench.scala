@@ -295,7 +295,13 @@ object Bench {
       // vote + doc-keyed rebuild), the IVF-pruned ANN join (bucket
       // equi-join, no cross join), and visual dedup end-to-end (real
       // PNG encode+decode + aHash + Hamming chunk LSH)
-      "q176_remove_boilerplate", "q184_ann_join", "q188_visual_neardup")
+      "q176_remove_boilerplate", "q184_ann_join", "q188_visual_neardup",
+      // round-7 third wave: event analytics (funnel join chain), the
+      // head-coverage corpus diagnostic (token agg + bounded top-k),
+      // the artifact-free truncated-dim ANN tier, and the web-crawl
+      // URL normalization chain (pure narrow regex)
+      "q206_funnel", "q208_head_coverage", "q209_knn_truncated",
+      "q201_url_normalize")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table

@@ -715,6 +715,20 @@ object SparkEntry {
           |FROM events
           |WHERE user_id < 30""".stripMargin).df),
 
+    // ---- CAST through the dialect: widening, integral-narrowing,
+    //      string and temporal targets, a chained ts→date→varchar, and
+    //      a CAST'd literal in WHERE — DuckDB runs the same text (the
+    //      float→int rounding divergence is documented and avoided) ----
+    "q210_sql_cast" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+          |  CAST(l_quantity AS BIGINT) AS qty_int,
+          |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+          |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+          |FROM lineitem
+          |WHERE l_shipdate >= CAST('1998-09-01' AS TIMESTAMP)""".stripMargin).df),
+
     // ---- truncated-dimension ANN prefilter (Matryoshka-style
     //      serving): first-16-dims cosine picks a 50-candidate pool
     //      (a quarter of the arithmetic per candidate), exact 64-dim
@@ -743,6 +757,13 @@ object SparkEntry {
       EventAnalytics.funnelCounts(events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"),
         windowMicros = 7L * 24 * 3600 * 1000000)),
+
+    // ---- PIVOT report: per-user wide-format event-type counts with an
+    //      EXPLICIT value list (no collect-distinct planning pass, and
+    //      a schema that is stable across corpus versions) ----
+    "q211_event_pivot" -> ((s, dir) =>
+      EventAnalytics.pivotCounts(events(s, dir), "user_id", "event_type",
+        Seq("view", "click", "purchase", "signup", "error"))),
 
     // ---- cohort retention (cohort = day of first event; day_k rows
     //      count the cohort's users active k days later) — the classic
@@ -3546,6 +3567,17 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 40""".stripMargin,
 
+    // identical text — every cast in the query is in the
+    // cross-engine-agreeing set
+    "q210_sql_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+        |  CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= CAST('1998-09-01' AS TIMESTAMP)""".stripMargin,
+
     // truncated-prefix cosine pool (list slice), exact full re-rank —
     // the two-stage replay with the same id tie-breaks
     "q209_knn_truncated" ->
@@ -3612,6 +3644,17 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users FROM s1
         |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
         |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+
+    // the pivot as conditional count-sums (FILTER), zero-filled like
+    // the explicit-value pivot
+    "q211_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // cohort day = day of first event; one row per (cohort, offset)
     // counting distinct active users ((user, day) deduped first)

@@ -62,6 +62,24 @@ object EventAnalytics {
       }
       .reduce(_.unionAll(_))
 
+  /** Wide-format per-key activity counts: one row per `keyCol`, one
+    * column per pivot value (`n_<value>`) counting that value's rows —
+    * the classic PIVOT report. `values` is EXPLICIT (the deployment
+    * knows its event taxonomy): passing it keeps Spark's pivot from
+    * running a collect-distinct planning pass over the corpus, so the
+    * whole thing is one keyed aggregation with map-side combine, and
+    * the output schema is stable across corpus versions. Unlisted
+    * values are ignored by construction. */
+  def pivotCounts(df: DataFrame, keyCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs an explicit value list")
+    df.groupBy(keyCol)
+      .pivot(pivotCol, values)
+      .agg(F.count(F.lit(1)))
+      .select(F.col(keyCol) +: values.map(v =>
+        F.coalesce(F.col(s"`$v`"), F.lit(0L)).as(s"n_$v")): _*)
+  }
+
   /** Cohort retention: users cohort by the calendar day of their FIRST
     * event; retention at day-offset k counts the cohort's users active
     * (any event) k days after the cohort day. Returns

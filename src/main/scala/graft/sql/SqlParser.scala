@@ -114,7 +114,10 @@ object SqlParser {
     // ROWS frame clause inside OVER (`ROWS BETWEEN 2 PRECEDING AND
     // CURRENT ROW`); reserved like OVER/PARTITION — the double-quote
     // escape reaches columns of those names
-    "ROWS", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW")
+    "ROWS", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW",
+    // CAST(expr AS TYPE); reserved so the form never parses as a
+    // scalar function call whose body would choke on the inner AS
+    "CAST")
 
   def tokenize(input: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -509,6 +512,36 @@ object SqlParser {
     }
 
     private def parsePrimary(): Col = next() match {
+      // `CAST(expr AS TYPE)` — standard SQL type names mapped onto the
+      // engine's Spark types. Numeric down-casts keep each engine's own
+      // narrowing rule (Spark truncates float→int where DuckDB rounds
+      // half-even — the one documented divergence; integral values and
+      // all widening/string/temporal casts agree), so differential
+      // queries stick to the agreeing cases.
+      case TKw("CAST") =>
+        expectOp("(")
+        val e = parseOr()
+        expectKw("AS")
+        val tn = next() match {
+          case TIdent(t) => t.toUpperCase
+          case t => throw new ParseError(s"Expected a type name, got ${t.text}")
+        }
+        expectOp(")")
+        import org.apache.spark.sql.types._
+        val dt = tn match {
+          case "INT" | "INTEGER"          => IntegerType
+          case "BIGINT"                   => LongType
+          case "SMALLINT"                 => ShortType
+          case "DOUBLE"                   => DoubleType
+          case "FLOAT" | "REAL"           => FloatType
+          case "VARCHAR" | "TEXT" | "STRING" => StringType
+          case "BOOLEAN" | "BOOL"         => BooleanType
+          case "TIMESTAMP"                => TimestampType
+          case "DATE"                     => DateType
+          case other => throw new ParseError(
+            s"Unsupported CAST target type '$other'")
+        }
+        Cast(e, dt)
       // `INTERVAL 90 DAY` / `INTERVAL '90' DAY` (TPC-H spelling) — the
       // unit is a bare identifier (not a keyword: `year(...)` the scalar
       // must keep parsing), singular or plural, case-insensitive

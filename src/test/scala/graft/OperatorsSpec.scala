@@ -429,6 +429,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ret == Set(("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 1L)))
   }
 
+  test("pivotCounts: explicit values, zero fill, unlisted values ignored") {
+    import graft.operators.EventAnalytics
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "zzz"))
+      .toDF("k", "t")
+    val out = EventAnalytics.pivotCounts(df, "k", "t", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 2 has no 'a' → zero-filled; 'zzz' is not a column
+    assert(out == Set((1L, 2L, 1L), (2L, 0L, 1L)))
+    assert(EventAnalytics.pivotCounts(df, "k", "t", Seq("a", "b"))
+      .columns.toSeq == Seq("k", "n_a", "n_b"))
+  }
+
   test("text normalization: NFC composition, whitespace collapse, idempotence") {
     val decomposed = "Cafe\u0301"   // e + combining acute (NFD)
     val composed = "Caf\u00e9"      // precomposed \u00e9 (NFC)
