@@ -715,6 +715,21 @@ object SparkEntry {
           |FROM events
           |WHERE user_id < 30""".stripMargin).df),
 
+    // ---- date_trunc + CAST composed through the dialect: the daily
+    //      rollup a SQL user writes first — truncated day rendered via
+    //      CAST (both engines print 'yyyy-MM-dd HH:mm:ss'), grouped in
+    //      a derived table ----
+    "q213_sql_date_trunc" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT day, event_type, COUNT() AS n,
+          |  round(SUM(value), 4) AS total
+          |FROM (SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+          |        event_type, value
+          |      FROM events) t
+          |GROUP BY day, event_type""".stripMargin).df
+        .select(F.col("day"), F.col("event_type"),
+          F.col("n").cast("long").as("n"), F.col("total"))),
+
     // ---- CAST through the dialect: widening, integral-narrowing,
     //      string and temporal targets, a chained ts→date→varchar, and
     //      a CAST'd literal in WHERE — DuckDB runs the same text (the
@@ -757,6 +772,29 @@ object SparkEntry {
       EventAnalytics.funnelCounts(events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"),
         windowMicros = 7L * 24 * 3600 * 1000000)),
+
+    // ---- the q206 funnel's STREAMING twin: step events compacted at
+    //      ingest (stateless per batch — exactly the batch filter, the
+    //      q121 pattern; four micro-batches via maxFilesPerTrigger so
+    //      compaction must compose across batch boundaries), then the
+    //      batch chain over the compacted log; same oracle as q206 ----
+    "q212_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = stagingDir("graft_stream_funnel")
+      val stream = stagedFileStream(s, s"$dir/events.parquet", staging,
+        splitFiles = 4)
+      val q = Streams.funnelLogToParquet(stream, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"),
+        s"$staging/out", s"$staging/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val log = s.read.parquet(s"$staging/out")
+        .select(F.col("user_id"), F.col("event_type"),
+          F.timestamp_micros(F.col("us")).as("ts"))
+      EventAnalytics.funnelCounts(log, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        windowMicros = 7L * 24 * 3600 * 1000000)
+    }),
 
     // ---- PIVOT report: per-user wide-format event-type counts with an
     //      EXPLICIT value list (no collect-distinct planning pass, and
@@ -2849,6 +2887,30 @@ object SparkEntry {
 
   /** The brute-force cosine top-10 replay — shared by q32 and q130's
     * recall evaluation (the exact side of the intersection). */
+  /** The q206/q212 funnel replay: earliest entry anchors the 7-day
+    * window, each later step is the earliest in-window event at-or-
+    * after the previous step's time — shared by the batch funnel and
+    * its compacted-at-ingest streaming twin. */
+  private val funnelReplay: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.us >= s1.t1
+      |    AND e.us <= s1.t1 + 604800000000
+      |  GROUP BY e.user_id, s1.t1),
+      |s3 AS (SELECT e.user_id, s2.t1, min(e.us) AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+      |    AND e.us <= s2.t1 + 604800000000
+      |  GROUP BY e.user_id, s2.t1)
+      |SELECT 1 AS step, 'view' AS step_type,
+      |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
+
   private val bruteKnnReplay: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
       |  FROM embeddings WHERE vec_id = 0),
@@ -3567,6 +3629,18 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 40""".stripMargin,
 
+    // same rollup; DuckDB's date_trunc('day') narrows to DATE, so the
+    // oracle re-widens to TIMESTAMP before the VARCHAR render to land
+    // the engine's 'yyyy-MM-dd HH:mm:ss' form
+    "q213_sql_date_trunc" ->
+      """SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(value), 4) AS total
+        |FROM (SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |          AS VARCHAR) AS day,
+        |        event_type, value
+        |      FROM events) t
+        |GROUP BY day, event_type""".stripMargin,
+
     // identical text — every cast in the query is in the
     // cross-engine-agreeing set
     "q210_sql_cast" ->
@@ -3622,28 +3696,14 @@ object SparkEntry {
         |FROM ks JOIN top ON top.r <= ks.k
         |GROUP BY ks.k""".stripMargin,
 
+    // the streaming twin's gate: the compacted-at-ingest log must land
+    // the IDENTICAL funnel — same replay as q206
+    "q212_stream_funnel" -> funnelReplay,
+
     // the funnel chain in epoch-µs: earliest entry anchors the window,
     // each later step is the earliest in-window event at-or-after the
     // previous step's time
-    "q206_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2
-        |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.us >= s1.t1
-        |    AND e.us <= s1.t1 + 604800000000
-        |  GROUP BY e.user_id, s1.t1),
-        |s3 AS (SELECT e.user_id, s2.t1, min(e.us) AS t3
-        |  FROM e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.us >= s2.t2
-        |    AND e.us <= s2.t1 + 604800000000
-        |  GROUP BY e.user_id, s2.t1)
-        |SELECT 1 AS step, 'view' AS step_type,
-        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
-        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
-        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    "q206_funnel" -> funnelReplay,
 
     // the pivot as conditional count-sums (FILTER), zero-filled like
     // the explicit-value pivot

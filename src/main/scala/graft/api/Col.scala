@@ -307,6 +307,20 @@ object Col {
         case "year"  => arity(1); (F.year(cs(0)), IntegerType)
         case "month" => arity(1); (F.month(cs(0)), IntegerType)
         case "day"   => arity(1); (F.dayofmonth(cs(0)), IntegerType)
+        // date_trunc('day', ts) — DuckDB's spelling and argument order;
+        // unit must be a string literal (it selects the Spark function's
+        // format constant). Weeks start Monday in both engines.
+        case "date_trunc" =>
+          arity(2)
+          val unit = args(0) match {
+            case Lit(s: String) => s.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"date_trunc() unit must be a string literal, got $other")
+          }
+          if (!Set("minute", "hour", "day", "week", "month", "year")(unit))
+            throw new IllegalArgumentException(
+              s"date_trunc() unit must be minute/hour/day/week/month/year, got '$unit'")
+          (F.date_trunc(unit, cs(1)), TimestampType)
         // text-pipeline scalars (extension): the engine's document
         // operators surfaced in the dialect, so a corpus filter like
         // `WHERE token_count(text) > 100 AND lang_guess(text) = 'en'`

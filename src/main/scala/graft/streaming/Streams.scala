@@ -290,6 +290,33 @@ object Streams {
     if (dedupPairs) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 
+  /** Funnel step-event COMPACTION at ingest: filter the stream to the
+    * funnel's step types and project the three narrow chain columns
+    * (user, type, epoch-µs) into a compacted log. Stateless per batch —
+    * each event's keep/project decision depends on that event alone, so
+    * the compacted log equals the batch filter EXACTLY regardless of
+    * how the micro-batcher splits the stream (the q121 at-ingest
+    * pattern), and one oracle gates both paths. The full conversion
+    * chain then runs as the batch operator
+    * ([[graft.operators.EventAnalytics.funnelCounts]]) over the
+    * compacted log — at 100 TB of raw events the log is the step
+    * types' tiny fraction of the stream, which is the point: the
+    * heavy stream never lands, only the funnel-relevant slice does. A
+    * to-the-second LIVE funnel would instead hold per-user chain state
+    * in update mode; this twin targets exact batch parity. */
+  def funnelLogToParquet(events: DataFrame, userCol: String,
+                         typeCol: String, tsCol: String,
+                         steps: Seq[String], outPath: String,
+                         checkpoint: String): DataStreamWriter[Row] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.{functions => F}
+    toParquetSink(
+      events.filter(F.col(typeCol).isin(steps: _*))
+        .select(F.col(userCol), F.col(typeCol),
+          F.unix_micros(F.col(tsCol)).as("us")),
+      outPath, checkpoint)
+  }
+
   /** Decontamination AT INGEST: run [[graft.operators.Dedup.decontaminate]]
     * per micro-batch against a STATIC eval set, appending flagged
     * (id, n_shared) rows to parquet. `n_shared` is a PER-DOCUMENT
