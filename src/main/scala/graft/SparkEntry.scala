@@ -730,6 +730,108 @@ object SparkEntry {
         .select(F.col("day"), F.col("event_type"),
           F.col("n").cast("long").as("n"), F.col("total"))),
 
+    // ---- statistical aggregates through the dialect: stddev/variance
+    //      in sample and population forms plus exact interpolated
+    //      median — grouped, rounded for a hash-stable float compare;
+    //      DuckDB runs the identical text ----
+    "q214_sql_stat_aggs" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+          |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+          |  round(var_samp(l_discount), 6) AS var_disc,
+          |  round(var_pop(l_discount), 6) AS varp_disc,
+          |  round(median(l_quantity), 4) AS med_qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
+    // ---- distribution window functions through the dialect: ntile
+    //      octiles plus percent_rank/cume_dist, tie-broken to a total
+    //      order so both engines assign identical tiles; aggregated per
+    //      tile (the quantile-report shape a SQL user writes) ----
+    "q215_sql_ntile" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT o_orderstatus, tile, COUNT() AS n,
+          |  round(MIN(pr), 6) AS min_pr,
+          |  round(MAX(cd), 6) AS max_cd,
+          |  round(MIN(o_totalprice), 2) AS lo,
+          |  round(MAX(o_totalprice), 2) AS hi
+          |FROM (SELECT o_orderstatus, o_totalprice,
+          |    ntile(8) OVER (PARTITION BY o_orderstatus
+          |      ORDER BY o_totalprice, o_orderkey) AS tile,
+          |    percent_rank() OVER (PARTITION BY o_orderstatus
+          |      ORDER BY o_totalprice, o_orderkey) AS pr,
+          |    cume_dist() OVER (PARTITION BY o_orderstatus
+          |      ORDER BY o_totalprice, o_orderkey) AS cd
+          |  FROM orders) t
+          |GROUP BY o_orderstatus, tile""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
+    // ---- string_agg through the dialect: elements sorted by VALUE
+    //      (deterministic under any partitioning — the oracle writes
+    //      the ORDER BY explicitly), over a join so the grouped lists
+    //      cross a shuffle boundary ----
+    "q216_sql_string_agg" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT r_name, string_agg(n_name, ',') AS nations,
+          |  COUNT() AS n
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
+    // ---- next-fit whole-document packing: fixed-token-budget bins
+    //      that never split a document (the SFT/eval packing, vs
+    //      q86's split-freely concat-chunk); md5-sharded so the
+    //      sequential fold parallelizes per shard and the oracle
+    //      replays the exact bin walk with a recursive CTE ----
+    "q217_nextfit_pack" -> ((s, dir) =>
+      Pack.nextFitPack(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget = 256,
+        numShards = 16)),
+
+    // ---- STREAMING next-fit packing ingest: the q217 fold run
+    //      incrementally — ascending doc_id-range files drained one
+    //      per micro-batch (ascending mtimes; the file source goes
+    //      oldest-first), per-shard (bin, acc) state carried across
+    //      batches, so bins straddle batch boundaries from checkpoint
+    //      state. Next-fit is order-defined, which is why the twin
+    //      stages ranges instead of round-robin splits. Gate: equals
+    //      the BATCH recursive-CTE oracle exactly ----
+    "q218_stream_nextfit" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val staging = stagingDir("graft_stream_pack")
+      val inDir = s"$staging/in"
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).cast("long").as("ntok"))
+        .repartitionByRange(4, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(inDir)
+      // strictly increasing mtimes: repartitionByRange puts ascending
+      // ranges in ascending part indices, and the file source sorts by
+      // modification time — together the drop-folder drains in id order
+      new java.io.File(inDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1600000000000L + i * 60000L); () }
+      val raw = Streams.readParquetStream(s, inDir, maxFilesPerTrigger = 1)
+      val packDocs = raw.select(
+          (Dedup.md5Hash60(F.col("doc_id").cast("string")) % 16)
+            .cast("int").as("shard"),
+          F.col("doc_id"), F.col("ntok"))
+        .as[graft.streaming.PackDoc]
+      val q = Streams.toParquetSink(
+          Streams.nextFitPackStream(packDocs, budget = 256).toDF(),
+          s"$staging/out", s"$staging/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$staging/out")
+        .select("doc_id", "shard", "bin", "ntok")
+    }),
+
     // ---- CAST through the dialect: widening, integral-narrowing,
     //      string and temporal targets, a chained ts→date→varchar, and
     //      a CAST'd literal in WHERE — DuckDB runs the same text (the
@@ -2891,6 +2993,36 @@ object SparkEntry {
     * window, each later step is the earliest in-window event at-or-
     * after the previous step's time — shared by the batch funnel and
     * its compacted-at-ingest streaming twin. */
+  /** The q217/q218 next-fit bin walk, replayed sequentially per shard
+    * with a recursive CTE (batch and streaming must land the IDENTICAL
+    * assignment — one replay gates both). */
+  private val nextFitReplay: String =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 16 AS shard,
+      |    CAST(len(list_filter(
+      |      regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS ntok,
+      |    row_number() OVER (PARTITION BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        % 16 ORDER BY doc_id) AS rn
+      |  FROM documents
+      |), pack AS (
+      |  SELECT shard, rn, doc_id, ntok, 0 AS bin, ntok AS acc
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.ntok,
+      |    CASE WHEN p.acc > 0 AND p.acc + o.ntok > 256
+      |         THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.acc > 0 AND p.acc + o.ntok > 256
+      |         THEN o.ntok ELSE p.acc + o.ntok END
+      |  FROM pack p JOIN ordered o
+      |    ON o.shard = p.shard AND o.rn = p.rn + 1
+      |)
+      |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+      |  bin, ntok FROM pack""".stripMargin
+
   private val funnelReplay: String =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
       |  FROM events),
@@ -3640,6 +3772,56 @@ object SparkEntry {
         |        event_type, value
         |      FROM events) t
         |GROUP BY day, event_type""".stripMargin,
+
+    // identical text (all inputs are DOUBLE, both engines run the same
+    // float math; rounded before the hash)
+    "q214_sql_stat_aggs" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(var_pop(l_discount), 6) AS varp_disc,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical text — the (o_totalprice, o_orderkey) tie-break makes
+    // every window a total order, so tile/rank assignment agrees
+    "q215_sql_ntile" ->
+      """SELECT o_orderstatus, tile, COUNT(*) AS n,
+        |  round(MIN(pr), 6) AS min_pr,
+        |  round(MAX(cd), 6) AS max_cd,
+        |  round(MIN(o_totalprice), 2) AS lo,
+        |  round(MAX(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |    ntile(8) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS tile,
+        |    percent_rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS pr,
+        |    cume_dist() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS cd
+        |  FROM orders) t
+        |GROUP BY o_orderstatus, tile""".stripMargin,
+
+    // the dialect's string_agg sorts elements by value — the oracle
+    // writes that ordering explicitly
+    "q216_sql_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    // the exact next-fit walk replayed sequentially per shard with a
+    // recursive CTE: same md5 shard, same doc_id order, same
+    // overflow rule (new bin when acc would exceed 256; an oversized
+    // doc occupies a bin alone)
+    "q217_nextfit_pack" -> nextFitReplay,
+
+    // the STREAMING ingest must land the identical assignment — same
+    // replay, not a weaker rows-only check
+    "q218_stream_nextfit" -> nextFitReplay,
 
     // identical text — every cast in the query is in the
     // cross-engine-agreeing set

@@ -399,6 +399,37 @@ object Col {
         case "avg" =>
           // AVG always yields floating point (reference: sql.py:412-415).
           val (cc, _) = compileNode(child, schema); (F.avg(cc), DoubleType)
+        // statistical aggregates (dialect extension; all float-valued
+        // like AVG — callers round for oracle-stable comparisons)
+        case "stddev" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.stddev_samp(cc), DoubleType)
+        case "stddev_pop" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.stddev_pop(cc), DoubleType)
+        case "var_samp" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.var_samp(cc), DoubleType)
+        case "var_pop" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.var_pop(cc), DoubleType)
+        case "median" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.median(cc), DoubleType)
+        case "string_agg" => child match {
+          // composite child carries (expr, separator) — see SqlParser.
+          // Elements are sorted by VALUE (array_sort over collect_list)
+          // so the result is deterministic under any input partitioning;
+          // the oracle form is string_agg(expr, sep ORDER BY expr).
+          case FuncCall("string_agg_args", Seq(e, Lit(sep: String))) =>
+            val (cc, cdt) = compileNode(e, schema)
+            if (cdt != StringType) throw new IllegalArgumentException(
+              s"string_agg expects a string expression, got $cdt")
+            (F.array_join(F.array_sort(F.collect_list(cc)), sep), StringType)
+          case other => throw new IllegalArgumentException(
+            "string_agg requires (expr, 'separator') with a literal " +
+            s"separator, got $other")
+        }
         case other => throw new IllegalArgumentException(s"Unsupported aggregate: $other")
       }
       (aliasOpt.fold(c)(c.as(_)), dt)
@@ -530,6 +561,20 @@ object Col {
             s"$fn() takes exactly one argument")
           val (cc, cdt) = argC
           (if (fn == "first_value") F.first(cc) else F.last(cc), cdt)
+        // distribution functions (standard SQL): ordered, frameless
+        case "ntile" =>
+          needsOrder(); noFrame()
+          args match {
+            case Seq(Lit(n: Int)) if n > 0 => (F.ntile(n), IntegerType)
+            case _ => throw new IllegalArgumentException(
+              "ntile() takes one positive integer literal")
+          }
+        case "percent_rank" | "cume_dist" =>
+          needsOrder(); noFrame()
+          if (args.nonEmpty) throw new IllegalArgumentException(
+            s"$fn() takes no arguments")
+          (if (fn == "percent_rank") F.percent_rank() else F.cume_dist(),
+            DoubleType)
         case other =>
           throw new IllegalArgumentException(s"Unsupported window function: $other")
       }

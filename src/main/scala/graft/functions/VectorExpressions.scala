@@ -368,6 +368,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(children(1), "k"), lit(children(2), "modulus"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("next_fit_bins"),
+      new ExpressionInfo(classOf[NextFitBinsExpr].getName, "next_fit_bins"),
+      (children: Seq[Expression]) => {
+        val budget = children(1) match {
+          case l if l.foldable => l.eval().asInstanceOf[Number].longValue()
+          case other => throw new IllegalArgumentException(
+            s"next_fit_bins budget must be a literal, got: $other")
+        }
+        NextFitBinsExpr(Cast(children(0), ArrayType(LongType)), budget)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (children: Seq[Expression]) => {

@@ -113,6 +113,46 @@ object Pack {
           .cast("long").as("n_dropped"))
   }
 
+  /** Next-fit WHOLE-document packing: assign every document to a
+    * fixed-token-budget bin without ever splitting a document — the
+    * packing used for SFT/eval examples, where a document straddling
+    * two context windows is a corrupted example (contrast
+    * [[concatChunk]], which splits freely for pre-training). Documents
+    * are sharded by the engine-portable [[Dedup.md5Hash60]] of their id
+    * (so bin ids are stable across reruns and replayable by a
+    * differential oracle), ordered by id within a shard, and folded
+    * next-fit: a new bin opens when the running total would exceed
+    * `budget`; an over-budget document occupies a bin alone.
+    *
+    * Scale design: the fold is inherently sequential, so the
+    * sequential unit is the SHARD, not the corpus — `numShards` shards
+    * pack in parallel, each a bounded `collect_list` (corpus/numShards
+    * docs; pick numShards so a shard's (id, ntok) pairs — ~16 bytes/doc
+    * — fit an executor, e.g. 1M shards at 100 TB). The per-shard fold is
+    * a codegen'd native expression ([[graft.functions.NextFitBinsExpr]])
+    * — one linear pass, not an O(n²) `aggregate`+`array_append` HOF
+    * chain. One shuffle (the groupBy), then narrow. Returns
+    * (doc_id, shard, bin, ntok); bins are 0-based per shard. */
+  def nextFitPack(df: DataFrame, idCol: String, tokensCol: Column,
+                  budget: Int, numShards: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        tokensCol.cast("long").as("ntok"))
+      .withColumn("shard",
+        (Dedup.md5Hash60(F.col("doc_id").cast("string")) % numShards)
+          .cast("int"))
+      .groupBy("shard")
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("doc_id"), F.col("ntok")))).as("_ds"))
+      .withColumn("_bins", F.call_function("next_fit_bins",
+        F.transform(F.col("_ds"), d => d.getField("ntok")), F.lit(budget)))
+      .select(F.col("shard"),
+        F.explode(F.arrays_zip(F.col("_ds"), F.col("_bins"))).as("_z"))
+      .select(F.col("_z._ds.doc_id").as("doc_id"), F.col("shard"),
+        F.col("_z._bins").as("bin"), F.col("_z._ds.ntok").as("ntok"))
+  }
+
   def slidingChunks(df: DataFrame, textCol: String, idCol: String,
                     window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0,

@@ -594,7 +594,24 @@ object SqlParser {
               while (accept(",")) fnArgs += parseAdd()
               expectOp(")")
             }
-            maybeOver(FuncCall(n.toLowerCase, fnArgs.toSeq))
+            maybeOver(n.toLowerCase match {
+              // statistical aggregates (extension): parsed like any
+              // function, routed through the aggregate machinery so
+              // GROUP BY validity / HAVING hiding apply unchanged
+              case f @ ("stddev" | "stddev_samp" | "stddev_pop" |
+                        "var_samp" | "var_pop" | "median")
+                  if fnArgs.size == 1 =>
+                AggCol(if (f == "stddev_samp") "stddev" else f,
+                  fnArgs.head, None)
+              case "string_agg" if fnArgs.size == 2 =>
+                // string_agg(expr, 'sep') with elements sorted by VALUE
+                // (deterministic; oracle writes ORDER BY expr) — the
+                // two args ride in a composite child so AggCol stays
+                // single-child for the Engine's generic traversals
+                AggCol("string_agg",
+                  FuncCall("string_agg_args", fnArgs.toSeq), None)
+              case f => FuncCall(f, fnArgs.toSeq)
+            })
           case _ => ColRef(n)
         }
       case TOp("(") =>
@@ -699,8 +716,8 @@ object SqlParser {
         case AggCol(f @ ("sum" | "min" | "max" | "avg"), a, _) => (f, Seq(a))
         case _ => throw new ParseError(
           s"OVER cannot follow ${e.name}: window functions are " +
-          "row_number/rank/dense_rank, sum/min/max/avg/count, " +
-          "lag/lead and first_value/last_value")
+          "row_number/rank/dense_rank, ntile/percent_rank/cume_dist, " +
+          "sum/min/max/avg/count, lag/lead and first_value/last_value")
       }
       WindowFn(fn, args, pb.toSeq, ob.toSeq, frame)
     }

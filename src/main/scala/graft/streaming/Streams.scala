@@ -16,6 +16,12 @@ case class SessionState(sessionId: Long, startUs: Long, lastTsUs: Long,
 /** A closed (or batch-final) session. */
 case class UserSession(user_id: Long, session_id: Long, n_events: Long,
                        sum_value: Double, start_us: Long, end_us: Long)
+/** A document to pack, pre-sharded (see [[Streams.nextFitPackStream]]). */
+case class PackDoc(shard: Int, doc_id: Long, ntok: Long)
+/** Open-bin state per shard: current bin index and its token fill. */
+case class PackState(bin: Int, acc: Long)
+/** A packed document: its bin assignment within its shard. */
+case class PackedDoc(doc_id: Long, shard: Int, bin: Int, ntok: Long)
 
 /** Structured-streaming surface of the engine.
   *
@@ -105,6 +111,46 @@ object Streams {
           }
           state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** Streaming next-fit packing ingest — the incremental twin of
+    * [[graft.operators.Pack.nextFitPack]]: documents land in a drop
+    * folder, each micro-batch extends the per-shard open bin instead of
+    * re-packing the corpus. State is ONE (bin, acc) pair per shard —
+    * O(shards) memory regardless of corpus size — and a bin straddling
+    * two micro-batches continues filling, which is exactly the
+    * cross-batch state a restart must recover from the checkpoint.
+    *
+    * Equality contract with the batch fold: next-fit is ORDER-DEFINED,
+    * so the stream must deliver documents in doc_id order per shard
+    * across batches (stage ascending doc_id-range files with ascending
+    * mtimes — the file source drains oldest-first); within a batch the
+    * per-shard iterator is sorted here. Under that contract the result
+    * equals the batch [[graft.operators.Pack.nextFitPack]] EXACTLY
+    * (same gate oracle: the q217 recursive-CTE bin walk). */
+  def nextFitPackStream(docs: Dataset[PackDoc], budget: Long): Dataset[PackedDoc] = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    implicit val outEnc = Encoders.product[PackedDoc]
+    implicit val stateEnc = Encoders.product[PackState]
+    implicit val keyEnc = Encoders.scalaInt
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, ds: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val sorted = ds.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackState(0, 0L))
+          val out = Seq.newBuilder[PackedDoc]
+          sorted.foreach { d =>
+            st =
+              if (st.acc > 0 && st.acc + d.ntok > budget)
+                PackState(st.bin + 1, d.ntok)
+              else PackState(st.bin, st.acc + d.ntok)
+            out += PackedDoc(d.doc_id, shard, st.bin, d.ntok)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -267,4 +267,60 @@ class EngineSpec extends SparkSpec {
         |WHERE age > (SELECT AVG(age) FROM users)""".stripMargin)
     assert(rows(out.df) == Set(Seq("Bob"), Seq("Cara"))) // avg = 28
   }
+
+  test("statistical aggregates: stddev/variance in both forms, median") {
+    // quantities per fruit: apple (3,4), banana (5,7), orange (2)
+    val out = engine.sql(
+      """SELECT fruit,
+        |  round(stddev_samp(quantity), 4) AS sd,
+        |  round(stddev_pop(quantity), 4) AS sdp,
+        |  round(var_samp(quantity), 4) AS v,
+        |  round(var_pop(quantity), 4) AS vp,
+        |  median(quantity) AS med
+        |FROM fruits GROUP BY fruit""".stripMargin)
+    val byFruit = out.df.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // apple: mean 3.5, var_samp 0.5, var_pop 0.25; median interpolates
+    assert(byFruit("apple") == Seq(0.7071, 0.5, 0.5, 0.25, 3.5))
+    assert(byFruit("banana") == Seq(1.4142, 1.0, 2.0, 1.0, 6.0))
+    // single-row group: sample forms are NULL, population forms are 0
+    assert(byFruit("orange") == Seq(null, 0.0, null, 0.0, 2.0))
+  }
+
+  test("string_agg sorts elements by value, independent of input order") {
+    val out = engine.sql(
+      """SELECT color, string_agg(fruit, '|') AS fs
+        |FROM fruits GROUP BY color""".stripMargin)
+    val m = out.df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("yellow") == "banana|banana") // duplicates kept
+    assert(m("red") == "apple" && m("green") == "apple")
+    // a non-literal separator is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("SELECT string_agg(fruit, color) AS x FROM fruits").df
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("ntile/percent_rank/cume_dist distribution window functions") {
+    val out = engine.sql(
+      """SELECT fruit, quantity,
+        |  ntile(2) OVER (ORDER BY quantity, fruit) AS half,
+        |  percent_rank() OVER (ORDER BY quantity, fruit) AS pr,
+        |  cume_dist() OVER (ORDER BY quantity, fruit) AS cd
+        |FROM fruits""".stripMargin)
+    val rs = out.df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // order: orange 2, apple 3, apple 4, banana 5, banana 7; ntile(2)
+    // over 5 rows puts 3 in the first tile
+    assert(rs(("orange", 2)) == ((1, 0.0, 0.2)))
+    assert(rs(("apple", 4)) == ((1, 0.5, 0.6)))
+    assert(rs(("banana", 7)) == ((2, 1.0, 1.0)))
+    // ntile requires ORDER BY and a positive literal
+    assertThrows[IllegalArgumentException] {
+      engine.sql("SELECT ntile(0) OVER (ORDER BY quantity) AS t FROM fruits")
+        .df.collect()
+    }
+  }
 }

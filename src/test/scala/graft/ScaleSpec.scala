@@ -4,7 +4,7 @@ import org.apache.spark.sql.{functions => F}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, Pack, Scale, Similarity}
+import graft.operators.{Dedup, Pack, Scale, Similarity, TextAnalysis}
 
 /** Scale-behavior specs: partition invariance, salting equivalence,
   * bucketed-join shuffle elimination, and scalacheck properties over the
@@ -235,6 +235,35 @@ class ScaleSpec extends SparkSpec {
         "doc_id", "n_tok", capacity = 16).collect()
     }
     assert(ex.getMessage != null || ex.getCause != null)
+  }
+
+  test("next-fit pack keeps documents whole and matches the naive fold") {
+    // one shard → global id order; budget 10; counts chosen to exercise
+    // exact-fit (4+6), overflow (7 after 6), and an oversized doc (25)
+    val docs = Seq((1L, "a " * 4), (2L, "b " * 6), (3L, "c " * 7),
+      (4L, "d " * 25), (5L, "e " * 2), (6L, "f " * 9))
+      .toDF("doc_id", "text")
+    val out = Pack.nextFitPack(docs, "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget = 10, numShards = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    // naive walk: 4+6=10 fit bin 0; 7 opens bin 1; 25 > budget opens
+    // bin 2 alone; 2 opens bin 3 (7+25 already overflowed… acc=25>0 and
+    // 25+2>10); 9 opens bin 4 (2+9>10)
+    assert(out == Map(1L -> ((0, 4L)), 2L -> ((0, 6L)), 3L -> ((1, 7L)),
+      4L -> ((2, 25L)), 5L -> ((3, 2L)), 6L -> ((4, 9L))))
+    // sharded run: bins are per-shard, every doc appears exactly once,
+    // and no bin exceeds budget unless it holds a single oversized doc
+    val many = (0L until 200L).map(i => (i, "w " * (1 + (i % 13)).toInt))
+      .toDF("doc_id", "text")
+    val packed = Pack.nextFitPack(many, "doc_id",
+      TextAnalysis.tokenCount(F.col("text")), budget = 16, numShards = 8)
+      .collect()
+    assert(packed.map(_.getLong(0)).toSet == (0L until 200L).toSet)
+    val fills = packed.groupBy(r => (r.getInt(1), r.getInt(2)))
+      .view.mapValues(_.map(_.getLong(3)).sum)
+    assert(fills.values.forall(_ <= 16L)) // no oversized docs in this set
+    // the fold is the codegen'd native expression, not an O(n²) HOF chain
+    assert(spark.catalog.functionExists("next_fit_bins"))
   }
 
   test("hash split is disjoint, exhaustive, and rerun-stable") {

@@ -188,6 +188,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming next-fit packing continues the open bin across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[PackDoc]
+    val q = Streams.nextFitPackStream(stream.toDS(), budget = 10)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      // batch 1 (one shard): 4 + 3 fill bin 0 to 7
+      stream.addData(PackDoc(0, 1L, 4L), PackDoc(0, 2L, 3L))
+      q.processAllAvailable()
+      // batch 2: 3 STILL FITS bin 0 (state carried: 7+3=10); 5 then
+      // overflows into bin 1; an oversized 25 opens bin 2 alone
+      stream.addData(PackDoc(0, 3L, 3L), PackDoc(0, 4L, 5L), PackDoc(0, 5L, 25L))
+      q.processAllAvailable()
+      val out = spark.table("packed").as[PackedDoc].collect()
+        .map(p => p.doc_id -> p.bin).toMap
+      assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2))
+      // equality with the batch fold on the same (ordered) input
+      val batch = graft.operators.Pack.nextFitPack(
+        Seq((1L, "w " * 4), (2L, "w " * 3), (3L, "w " * 3), (4L, "w " * 5),
+          (5L, "w " * 25)).toDF("doc_id", "text"),
+        "doc_id", graft.operators.TextAnalysis.tokenCount(F.col("text")),
+        budget = 10, numShards = 1)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     val events = Seq(
       (1L, 10L, "2024-01-01 00:00:00", 1.0),
