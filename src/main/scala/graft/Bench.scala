@@ -301,7 +301,11 @@ object Bench {
       // the artifact-free truncated-dim ANN tier, and the web-crawl
       // URL normalization chain (pure narrow regex)
       "q206_funnel", "q208_head_coverage", "q209_knn_truncated",
-      "q201_url_normalize")
+      "q201_url_normalize",
+      // round-7 fifth wave: the two whole-document packers (one shuffle
+      // + a per-shard native fold each; FFD adds the largest-first
+      // in-shard sort)
+      "q217_nextfit_pack", "q219_ffd_pack")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table

@@ -247,18 +247,65 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               s"Column '${underlying.name}' must appear in GROUP BY or an aggregate")
         }
 
+        // COMPUTED (non-ColRef) grouping keys — `SELECT upper(fruit)
+        // AS f ... GROUP BY upper(fruit)` and its GROUP BY ALL
+        // expansion: after aggregation the key's INPUTS are gone, so
+        // the select item cannot recompile. Group such keys under
+        // hidden stable aliases and rewrite every structurally-equal
+        // select/HAVING subtree into a reference to the hidden column.
+        // A TOP-LEVEL unaliased computed-key item would surface the
+        // hidden name; require the alias rather than invent a name.
+        // Plain-mode only: ROLLUP/CUBE/SETS keep their existing
+        // ColRef-key contract.
+        val hiddenKeys: Map[Col, String] =
+          if (q.groupKind.isDefined) Map.empty
+          else q.groupBy.zipWithIndex.collect {
+            case (k, i) if !k.isInstanceOf[ColRef] => (k, s"_gkey$i")
+          }.toMap
+        def substKeys(c: Col): Col = hiddenKeys.get(c) match {
+          case Some(n) => ColRef(n)
+          case None => c match {
+            case Alias(ch, n)   => Alias(substKeys(ch), n)
+            case BinOp(o, l, r) => BinOp(o, substKeys(l), substKeys(r))
+            case Not(ch)        => Not(substKeys(ch))
+            case Like(ch, p)    => Like(substKeys(ch), p)
+            case Cast(ch, d)    => Cast(substKeys(ch), d)
+            case IsNull(ch)     => IsNull(substKeys(ch))
+            case AggCol(f, ch, n) => AggCol(f, substKeys(ch), n)
+            case FuncCall(f, as)  => FuncCall(f, as.map(substKeys))
+            case CaseWhen(bs, e)  =>
+              CaseWhen(bs.map { case (w, v) => (substKeys(w), substKeys(v)) },
+                e.map(substKeys))
+            case other          => other
+          }
+        }
+        val selectRewritten = q.select.map { item =>
+          val r = substKeys(item.expr)
+          r match {
+            case ColRef(n) if n.startsWith("_gkey") &&
+                hiddenKeys.valuesIterator.contains(n) =>
+              throw new GroupByError(
+                "A computed GROUP BY key selected bare needs an alias " +
+                "(`SELECT upper(x) AS u ... GROUP BY upper(x)`) — its " +
+                "output column has no natural name")
+            case _ => item.copy(expr = r)
+          }
+        }
+        val groupCols = q.groupBy.map(k =>
+          hiddenKeys.get(k).fold(k)(n => Alias(k, n): Col))
+
         // name every select aggregate so the final projection can refer to it
         val named = ListBuffer.empty[Col] // aggregates to compute
-        val finalCols = q.select.map { item =>
+        val finalCols = selectRewritten.map { item =>
           stripQualifiers(nameAggs(item.expr, named))
         }
         // hidden HAVING aggregates (reference: parser.py:153-161)
         val havingRewritten = q.having.map { h =>
-          rewriteHaving(h, named)
+          rewriteHaving(substKeys(h), named)
         }
 
         val groupedFrame = q.groupKind match {
-          case None           => frame.groupBy(q.groupBy: _*)
+          case None           => frame.groupBy(groupCols: _*)
           case Some("rollup") => frame.rollup(q.groupBy: _*)
           case Some("cube")   => frame.cube(q.groupBy: _*)
           case Some("sets")   => frame.groupingSets(q.groupingSets, q.groupBy: _*)

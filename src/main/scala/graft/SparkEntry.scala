@@ -832,6 +832,31 @@ object SparkEntry {
         .select("doc_id", "shard", "bin", "ntok")
     }),
 
+    // ---- GROUP BY ALL / ORDER BY ALL through the dialect: the
+    //      non-aggregate select items become the keys, the output
+    //      columns the sort — with LIMIT so the ordering is
+    //      semantically observable, not just cosmetic ----
+    "q220_sql_groupby_all" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(SUM(l_quantity), 4) AS qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY ALL
+          |ORDER BY ALL
+          |LIMIT 3""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
+    // ---- first-fit-decreasing packing: the padding-minimizing batch
+    //      packer (largest-first, first open bin that fits — 11/9·OPT+1)
+    //      beside q217's streamable next-fit; the oracle replays the
+    //      exact placement with a recursive CTE threading the open-bin
+    //      fill LIST through each step ----
+    "q219_ffd_pack" -> ((s, dir) =>
+      Pack.ffdPack(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget = 256,
+        numShards = 16)),
+
     // ---- CAST through the dialect: widening, integral-narrowing,
     //      string and temporal targets, a chained ts→date→varchar, and
     //      a CAST'd literal in WHERE — DuckDB runs the same text (the
@@ -3822,6 +3847,58 @@ object SparkEntry {
     // the STREAMING ingest must land the identical assignment — same
     // replay, not a weaker rows-only check
     "q218_stream_nextfit" -> nextFitReplay,
+
+    // identical shorthand — DuckDB defined GROUP BY ALL / ORDER BY ALL
+    "q220_sql_groupby_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(SUM(l_quantity), 4) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL
+        |LIMIT 3""".stripMargin,
+
+    // first-fit-decreasing replayed per shard: docs ordered largest-
+    // first, the recursive CTE threads the open-bin fill LIST through
+    // each step; `first fitting index else append` is a list_filter
+    // over the fills' subscripts (repeated inline — the recursive term
+    // cannot name it once without LATERAL)
+    "q219_ffd_pack" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT doc_id, shard, ntok,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY ntok DESC, doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 16 AS shard,
+        |      CAST(len(list_filter(
+        |        regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |        x -> len(x) > 0)) AS BIGINT) AS ntok
+        |    FROM documents)
+        |), pack AS (
+        |  SELECT shard, rn, doc_id, ntok, 0 AS bin, [ntok] AS fills
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.ntok,
+        |    CAST(coalesce(list_filter(range(1, len(p.fills) + 1),
+        |        i -> p.fills[i] + o.ntok <= 256)[1],
+        |      len(p.fills) + 1) - 1 AS INTEGER) AS bin,
+        |    CASE WHEN coalesce(list_filter(range(1, len(p.fills) + 1),
+        |        i -> p.fills[i] + o.ntok <= 256)[1],
+        |      len(p.fills) + 1) <= len(p.fills)
+        |    THEN list_transform(range(1, len(p.fills) + 1),
+        |      j -> CASE WHEN j = coalesce(
+        |          list_filter(range(1, len(p.fills) + 1),
+        |            i -> p.fills[i] + o.ntok <= 256)[1],
+        |          len(p.fills) + 1)
+        |        THEN p.fills[j] + o.ntok ELSE p.fills[j] END)
+        |    ELSE list_append(p.fills, o.ntok) END AS fills
+        |  FROM pack p JOIN ordered o
+        |    ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  bin, ntok FROM pack""".stripMargin,
 
     // identical text — every cast in the query is in the
     // cross-engine-agreeing set

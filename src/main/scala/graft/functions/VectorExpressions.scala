@@ -379,6 +379,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NextFitBinsExpr(Cast(children(0), ArrayType(LongType)), budget)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ffd_bins"),
+      new ExpressionInfo(classOf[FfdBinsExpr].getName, "ffd_bins"),
+      (children: Seq[Expression]) => {
+        val budget = children(1) match {
+          case l if l.foldable => l.eval().asInstanceOf[Number].longValue()
+          case other => throw new IllegalArgumentException(
+            s"ffd_bins budget must be a literal, got: $other")
+        }
+        FfdBinsExpr(Cast(children(0), ArrayType(LongType)), budget)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (children: Seq[Expression]) => {

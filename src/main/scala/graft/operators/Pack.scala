@@ -153,6 +153,44 @@ object Pack {
         F.col("_z._bins").as("bin"), F.col("_z._ds.ntok").as("ntok"))
   }
 
+  /** First-fit-decreasing (FFD) whole-document packing — the
+    * padding-MINIMIZING companion of [[nextFitPack]]: documents sort
+    * largest-first within their shard and each goes into the FIRST open
+    * bin it fits (11/9·OPT+1 guarantee), so bins pack tighter and a
+    * fixed corpus trains in fewer padded windows. The trade: FFD needs
+    * the whole shard up front and keeps every open bin's fill, so it is
+    * the batch-curation packer; next-fit is the streaming-ingest one
+    * (O(1) state, order-preserving).
+    *
+    * Same scale shape as [[nextFitPack]]: md5-sharded, one shuffle,
+    * per-shard fold as the codegen'd native
+    * [[graft.functions.FfdBinsExpr]] (which also REJECTS unsorted
+    * input rather than silently losing the guarantee). Returns
+    * (doc_id, shard, bin, ntok); bins are 0-based per shard, ordered by
+    * (ntok desc, doc_id) — deterministic, so a differential oracle
+    * replays the exact placement. */
+  def ffdPack(df: DataFrame, idCol: String, tokensCol: Column,
+              budget: Int, numShards: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        tokensCol.cast("long").as("ntok"))
+      .withColumn("shard",
+        (Dedup.md5Hash60(F.col("doc_id").cast("string")) % numShards)
+          .cast("int"))
+      .groupBy("shard")
+      // leading negated count sorts the struct (ntok desc, doc_id asc)
+      .agg(F.sort_array(F.collect_list(F.struct(
+        (-F.col("ntok")).as("negtok"), F.col("doc_id"), F.col("ntok"))))
+        .as("_ds"))
+      .withColumn("_bins", F.call_function("ffd_bins",
+        F.transform(F.col("_ds"), d => d.getField("ntok")), F.lit(budget)))
+      .select(F.col("shard"),
+        F.explode(F.arrays_zip(F.col("_ds"), F.col("_bins"))).as("_z"))
+      .select(F.col("_z._ds.doc_id").as("doc_id"), F.col("shard"),
+        F.col("_z._bins").as("bin"), F.col("_z._ds.ntok").as("ntok"))
+  }
+
   def slidingChunks(df: DataFrame, textCol: String, idCol: String,
                     window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0,

@@ -278,11 +278,58 @@ object SqlParser {
         expectOp(")")
         out
       }
+      // tree scans for GROUP BY ALL expansion (local: the parser AST has
+      // no generic children traversal, and only these two facts matter)
+      def hasAgg(c: Col): Boolean = c match {
+        case _: AggCol            => true
+        case Alias(ch, _)         => hasAgg(ch)
+        case BinOp(_, l, r)       => hasAgg(l) || hasAgg(r)
+        case Like(ch, _)          => hasAgg(ch)
+        case Not(ch)              => hasAgg(ch)
+        case Cast(ch, _)          => hasAgg(ch)
+        case IsNull(ch)           => hasAgg(ch)
+        case FuncCall(_, as)      => as.exists(hasAgg)
+        case CaseWhen(bs, e) =>
+          bs.exists { case (w, t) => hasAgg(w) || hasAgg(t) } ||
+            e.exists(hasAgg)
+        case _                    => false // refs, literals, windows, subqueries
+      }
+      def hasWin(c: Col): Boolean = c match {
+        case _: WindowFn          => true
+        case Alias(ch, _)         => hasWin(ch)
+        case BinOp(_, l, r)       => hasWin(l) || hasWin(r)
+        case Like(ch, _)          => hasWin(ch)
+        case Not(ch)              => hasWin(ch)
+        case Cast(ch, _)          => hasWin(ch)
+        case IsNull(ch)           => hasWin(ch)
+        case FuncCall(_, as)      => as.exists(hasWin)
+        case CaseWhen(bs, e) =>
+          bs.exists { case (w, t) => hasWin(w) || hasWin(t) } ||
+            e.exists(hasWin)
+        case _                    => false
+      }
       val (groupBy, groupKind, groupingSets) =
         if (accept("GROUP")) {
           expectKw("BY")
           if (accept("ROLLUP")) (parseParenExprList(), Some("rollup"), Nil)
           else if (accept("CUBE")) (parseParenExprList(), Some("cube"), Nil)
+          else if (accept("ALL")) {
+            // GROUP BY ALL (extension, DuckDB-style): every select item
+            // containing no aggregate becomes a grouping key (alias
+            // stripped — grouping is on the EXPRESSION, exactly the
+            // Engine's validity rule). All-aggregate select → grand
+            // total (empty key list). Star or window items have no
+            // well-defined expansion: reject, don't guess.
+            if (items.exists(_.star)) throw new ParseError(
+              "GROUP BY ALL requires an explicit select list, not *")
+            val keys = items.toSeq.map(_.expr).filterNot(hasAgg).map { e =>
+              if (hasWin(e)) throw new ParseError(
+                "GROUP BY ALL cannot expand a window-function select " +
+                "item; window over a derived table instead")
+              e match { case Alias(c, _) => c; case c => c }
+            }
+            (keys, None, Nil)
+          }
           else if (accept("GROUPING")) {
             expectKw("SETS")
             expectOp("(")
@@ -308,9 +355,21 @@ object SqlParser {
       val orderBy =
         if (accept("ORDER")) {
           expectKw("BY")
-          val os = ListBuffer(parseOrderItem())
-          while (accept(",")) os += parseOrderItem()
-          os.toSeq
+          if (accept("ALL")) {
+            // ORDER BY ALL (extension, DuckDB-style): sort by every
+            // select OUTPUT column left-to-right; one optional
+            // ASC/DESC applies to all of them
+            val asc =
+              if (accept("DESC")) false
+              else { accept("ASC"); true }
+            if (items.exists(_.star)) throw new ParseError(
+              "ORDER BY ALL requires an explicit select list, not *")
+            items.toSeq.map(i => (ColRef(i.expr.name): Col, asc))
+          } else {
+            val os = ListBuffer(parseOrderItem())
+            while (accept(",")) os += parseOrderItem()
+            os.toSeq
+          }
         } else Seq.empty
       val limit =
         if (accept("LIMIT")) Some(next() match {

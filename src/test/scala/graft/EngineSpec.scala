@@ -268,6 +268,39 @@ class EngineSpec extends SparkSpec {
     assert(rows(out.df) == Set(Seq("Bob"), Seq("Cara"))) // avg = 28
   }
 
+  test("GROUP BY ALL expands to the non-aggregate select items") {
+    val out = engine.sql(
+      """SELECT fruit, SUM(quantity) AS total, COUNT() AS n
+        |FROM fruits GROUP BY ALL""".stripMargin)
+    assert(rows(out.df) == Set(
+      Seq("apple", 7L, 2L), Seq("banana", 12L, 2L), Seq("orange", 2L, 1L)))
+    // aliased expression keys group on the EXPRESSION (alias stripped)
+    val expr = engine.sql(
+      """SELECT upper(fruit) AS f, COUNT() AS n
+        |FROM fruits GROUP BY ALL""".stripMargin)
+    assert(rows(expr.df) == Set(
+      Seq("APPLE", 2L), Seq("BANANA", 2L), Seq("ORANGE", 1L)))
+    // all-aggregate select → grand total
+    assert(rows(engine.sql(
+      "SELECT SUM(quantity) AS s FROM fruits GROUP BY ALL").df) ==
+      Set(Seq(21L)))
+    // star has no well-defined expansion
+    assertThrows[graft.sql.ParseError] {
+      engine.sql("SELECT * FROM fruits GROUP BY ALL")
+    }
+  }
+
+  test("ORDER BY ALL sorts by every output column, with optional DESC") {
+    val out = engine.sql(
+      """SELECT fruit, quantity FROM fruits ORDER BY ALL LIMIT 2""")
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("apple", 3), ("apple", 4)))
+    val desc = engine.sql(
+      """SELECT fruit, quantity FROM fruits ORDER BY ALL DESC LIMIT 2""")
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(desc == Seq(("orange", 2), ("banana", 7)))
+  }
+
   test("statistical aggregates: stddev/variance in both forms, median") {
     // quantities per fruit: apple (3,4), banana (5,7), orange (2)
     val out = engine.sql(

@@ -266,6 +266,39 @@ class ScaleSpec extends SparkSpec {
     assert(spark.catalog.functionExists("next_fit_bins"))
   }
 
+  test("FFD pack places largest-first into the first fitting bin") {
+    // budget 10, counts 7,6,5,4,3,2: FFD → bins [7,3],[6,4],[5,2]*;
+    // actually 7+3=10, 6+4=10, 5+2=7 → 3 bins. Next-fit on id order
+    // (counts 4,6,7,3,5,2 say) would fragment more.
+    val docs = Seq((1L, "w " * 7), (2L, "w " * 6), (3L, "w " * 5),
+      (4L, "w " * 4), (5L, "w " * 3), (6L, "w " * 2))
+      .toDF("doc_id", "text")
+    val out = Pack.ffdPack(docs, "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget = 10, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // descending walk: 7→bin0; 6→bin1; 5→bin2; 4 fits bin1 (6+4=10);
+    // 3 fits bin0 (7+3=10); 2 fits bin2 (5+2=7)
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0, 6L -> 2))
+    // FFD never uses more bins than next-fit on the same corpus
+    val many = (0L until 300L).map(i => (i, "w " * (1 + (i * 7 % 13)).toInt))
+      .toDF("doc_id", "text")
+    def binCount(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("shard").agg(F.max("bin").as("mb")).collect()
+      .map(_.getInt(1) + 1).sum
+    val ffd = binCount(Pack.ffdPack(many, "doc_id",
+      TextAnalysis.tokenCount(F.col("text")), budget = 16, numShards = 4))
+    val nf = binCount(Pack.nextFitPack(many, "doc_id",
+      TextAnalysis.tokenCount(F.col("text")), budget = 16, numShards = 4))
+    assert(ffd <= nf, s"FFD used $ffd bins, next-fit $nf")
+    // the native fold REJECTS unsorted input instead of silently
+    // losing the decreasing-order guarantee
+    val e = intercept[Exception] {
+      spark.sql("SELECT ffd_bins(array(3L, 9L), 10)").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("sorted descending")))
+  }
+
   test("hash split is disjoint, exhaustive, and rerun-stable") {
     val ids = (0L until 1000L).toDF("id")
     val a = Scale.hashSplit(ids, F.col("id")).collect()
