@@ -99,7 +99,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case CaseWhen(bs, e) =>
         bs.flatMap { case (w, v) => colPaths(w) ++ colPaths(v) } ++
           e.toSeq.flatMap(colPaths)
-      case WindowFn(_, as, pb, ob, _) =>
+      case WindowFn(_, as, pb, ob, _, _) =>
         as.flatMap(colPaths) ++ pb.flatMap(colPaths) ++
           ob.flatMap { case (oc, _) => colPaths(oc) }
       case _                  => Seq.empty
@@ -149,6 +149,53 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     out
   }
 
+  /** Materialize an inline `(VALUES ...) t(a, b)` table. Entries must be
+    * LITERALS (an expression would need a schema to compile against —
+    * there is none); per-column types come from the literals with the
+    * dialect's numeric widening (int < long < double), mixed
+    * number/string is an error, not a coercion. The frame is a tiny
+    * local relation — Catalyst constant-folds and broadcast-joins it
+    * like any small side. */
+  private def valuesFrame(names: Seq[String], rows: Seq[Seq[Col]]): GraftFrame = {
+    import org.apache.spark.sql.types._
+    val lits: Seq[Seq[Any]] = rows.map(_.map {
+      case Lit(v) => v
+      case other => throw new SemanticError(
+        s"VALUES entries must be literals, got $other")
+    })
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (x, y) => throw new SemanticError(
+        s"VALUES column mixes incompatible types $x and $y")
+    }
+    def typeOf(v: Any): DataType = v match {
+      case _: Int    => IntegerType
+      case _: Long   => LongType
+      case _: Double => DoubleType
+      case _: String => StringType
+      case other => throw new SemanticError(
+        s"Unsupported VALUES literal: $other")
+    }
+    val colTypes = names.indices.map(i =>
+      lits.map(r => typeOf(r(i))).reduce(widen))
+    def promote(v: Any, dt: DataType): Any = (v, dt) match {
+      case (x: Int, LongType)    => x.toLong
+      case (x: Int, DoubleType)  => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
+      case (x, _)                => x
+    }
+    val schema = StructType(names.zip(colTypes).map { case (n, t) =>
+      StructField(n, t, nullable = false) })
+    val data = lits.map(r => Row(
+      r.zip(colTypes).map { case (v, t) => promote(v, t) }: _*))
+    GraftFrame.fromDF(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava), schema))
+  }
+
   private def setOp(l: GraftFrame, op: String, all: Boolean, r: GraftFrame): GraftFrame =
     GraftFrame.fromDF((op, all) match {
       case ("union", true)      => l.df.union(r.df)
@@ -177,10 +224,14 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       orderBy = q0.orderBy.map { case (c, a) => (resolveScalars(c, scope), a) },
       joins = q0.joins.map(j => j.copy(on = resolveScalars(j.on, scope))))
     // a FROM/JOIN target is a derived table (planned under the enclosing
-    // CTE scope), or resolves against the scope first, then disk
+    // CTE scope), an inline VALUES table, or resolves against the scope
+    // first, then disk
     def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
       case Some(sub) => evalCompound(sub, scope)
-      case None      => scope.getOrElse(t.path, table(t.path))
+      case None => t.values match {
+        case Some((names, rows)) => valuesFrame(names, rows)
+        case None => scope.getOrElse(t.path, table(t.path))
+      }
     }
     // FROM + table alias
     var frame = resolve(q.from)
@@ -654,7 +705,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       bs.flatMap { case (w, v) => collectRefs(w) ++ collectRefs(v) } ++
         e.toSeq.flatMap(collectRefs)
-    case WindowFn(_, as, pb, ob, _) =>
+    case WindowFn(_, as, pb, ob, _, _) =>
       as.flatMap(collectRefs) ++ pb.flatMap(collectRefs) ++
         ob.flatMap { case (oc, _) => collectRefs(oc) }
     case InSubquery(e, _) => collectRefs(e)
@@ -725,9 +776,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       CaseWhen(bs.map { case (w, v) =>
         (resolveScalars(w, scope), resolveScalars(v, scope)) },
         e.map(resolveScalars(_, scope)))
-    case WindowFn(f, as, pb, ob, fr) =>
+    case WindowFn(f, as, pb, ob, fr, rng) =>
       WindowFn(f, as.map(resolveScalars(_, scope)), pb.map(resolveScalars(_, scope)),
-        ob.map { case (oc, asc) => (resolveScalars(oc, scope), asc) }, fr)
+        ob.map { case (oc, asc) => (resolveScalars(oc, scope), asc) }, fr, rng)
     case InSubquery(e, sub) => InSubquery(resolveScalars(e, scope), sub)
     case QuantifiedCmp(e, op, fa, sub) =>
       QuantifiedCmp(resolveScalars(e, scope), op, fa, sub)
@@ -811,7 +862,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       bs.exists { case (w, v) => containsInSubquery(w) || containsInSubquery(v) } ||
         e.exists(containsInSubquery)
-    case WindowFn(_, as, pb, ob, _) =>
+    case WindowFn(_, as, pb, ob, _, _) =>
       as.exists(containsInSubquery) || pb.exists(containsInSubquery) ||
         ob.exists { case (oc, _) => containsInSubquery(oc) }
     case _               => false
@@ -891,9 +942,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (stripQualifiers(w), stripQualifiers(v)) },
         e.map(stripQualifiers))
-    case WindowFn(f, as, pb, ob, fr) =>
+    case WindowFn(f, as, pb, ob, fr, rng) =>
       WindowFn(f, as.map(stripQualifiers), pb.map(stripQualifiers),
-        ob.map { case (c, asc) => (stripQualifiers(c), asc) }, fr)
+        ob.map { case (c, asc) => (stripQualifiers(c), asc) }, fr, rng)
     case other           => other
   }
 

@@ -847,6 +847,63 @@ object SparkEntry {
           |LIMIT 3""".stripMargin).df
         .withColumn("n", F.col("n").cast("long"))),
 
+    // ---- RANGE window frames through the dialect: value-distance
+    //      frames along an integral sort key (tie-safe where ROWS is
+    //      not: equal keys share a frame) — size-neighborhood density
+    //      and a running value-bounded sum over the documents table ----
+    "q221_sql_range_frame" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT doc_id, lang,
+          |  COUNT() OVER (PARTITION BY lang ORDER BY n_chars
+          |    RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS near_sized,
+          |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+          |    RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS chars_win
+          |FROM documents""".stripMargin).df
+        .withColumn("near_sized", F.col("near_sized").cast("long"))),
+
+    // ---- ILIKE through the dialect: case-insensitive LIKE, desugared
+    //      to lower() LIKE lower-pattern (the standard-engine
+    //      definition); DuckDB runs its native ILIKE on the same
+    //      mixed-case pattern ----
+    "q222_sql_ilike" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT c_custkey, c_name, c_mktsegment
+          |FROM customer
+          |WHERE c_mktsegment ILIKE 'bUiLd%'
+          |  AND c_name NOT ILIKE '%00001%'""".stripMargin).df),
+
+    // ---- SFT data-prep capstone: quality filter → leakage-safe hash
+    //      split → first-fit-decreasing packing of the TRAIN split, one
+    //      composed statement — the whole-document curation arc (q24
+    //      scoring, q88 split, q219 packing) as a user would run it;
+    //      the oracle replays all three stages in one recursive query ----
+    "q224_sft_prep" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("text"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      val train = Scale.hashSplit(scored, F.col("doc_id"))
+        .filter(F.col("split") === "train" && F.col("quality") >= 0.6)
+      Pack.ffdPack(train, "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget = 256,
+        numShards = 16)
+    }),
+
+    // ---- inline VALUES table through the dialect: the standard way to
+    //      hand a query a tiny lookup (here a priority→tier map) with
+    //      no file — a literal local relation Catalyst broadcast-joins
+    //      like any small side ----
+    "q223_sql_values" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT v.tier, COUNT() AS n,
+          |  round(SUM(o_totalprice), 4) AS total
+          |FROM orders
+          |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+          |      ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+          |      ('5-LOW', 'cold')) v(prio, tier)
+          |  ON o_orderpriority = v.prio
+          |GROUP BY v.tier""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
     // ---- first-fit-decreasing packing: the padding-minimizing batch
     //      packer (largest-first, first open bin that fits — 11/9·OPT+1)
     //      beside q217's streamable next-fit; the oracle replays the
@@ -3847,6 +3904,83 @@ object SparkEntry {
     // the STREAMING ingest must land the identical assignment — same
     // replay, not a weaker rows-only check
     "q218_stream_nextfit" -> nextFitReplay,
+
+    // identical frames — DuckDB widens SUM(BIGINT) to HUGEINT, so the
+    // windowed sum casts back to BIGINT to match Spark's long
+    "q221_sql_range_frame" ->
+      """SELECT doc_id, lang,
+        |  COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS near_sized,
+        |  CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS chars_win
+        |FROM documents""".stripMargin,
+
+    // DuckDB's native ILIKE on the same mixed-case pattern — must agree
+    // with the dialect's lower()-desugared rendering
+    "q222_sql_ilike" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment ILIKE 'bUiLd%'
+        |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // the full curation arc in one recursive query: quality (the q24
+    // formula) + train bucket (the q88 md5 rule) gate `eligible`, then
+    // the q219 FFD walk packs it
+    "q224_sft_prep" ->
+      s"""WITH RECURSIVE ${docStatsCte()},
+         |eligible AS (
+         |  SELECT doc_id, text FROM d
+         |  WHERE $qualityExprSql >= 0.6
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 100 < 80
+         |),
+         |ordered AS (
+         |  SELECT doc_id, shard, ntok,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY ntok DESC, doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id,
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 16 AS shard,
+         |      CAST(len(list_filter(
+         |        regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+         |        x -> len(x) > 0)) AS BIGINT) AS ntok
+         |    FROM eligible)
+         |), pack AS (
+         |  SELECT shard, rn, doc_id, ntok, 0 AS bin, [ntok] AS fills
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.ntok,
+         |    CAST(coalesce(list_filter(range(1, len(p.fills) + 1),
+         |        i -> p.fills[i] + o.ntok <= 256)[1],
+         |      len(p.fills) + 1) - 1 AS INTEGER) AS bin,
+         |    CASE WHEN coalesce(list_filter(range(1, len(p.fills) + 1),
+         |        i -> p.fills[i] + o.ntok <= 256)[1],
+         |      len(p.fills) + 1) <= len(p.fills)
+         |    THEN list_transform(range(1, len(p.fills) + 1),
+         |      j -> CASE WHEN j = coalesce(
+         |          list_filter(range(1, len(p.fills) + 1),
+         |            i -> p.fills[i] + o.ntok <= 256)[1],
+         |          len(p.fills) + 1)
+         |        THEN p.fills[j] + o.ntok ELSE p.fills[j] END)
+         |    ELSE list_append(p.fills, o.ntok) END AS fills
+         |  FROM pack p JOIN ordered o
+         |    ON o.shard = p.shard AND o.rn = p.rn + 1
+         |)
+         |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+         |  bin, ntok FROM pack""".stripMargin,
+
+    // identical text — inline VALUES is standard SQL
+    "q223_sql_values" ->
+      """SELECT v.tier, COUNT(*) AS n,
+        |  round(SUM(o_totalprice), 4) AS total
+        |FROM orders
+        |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+        |      ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+        |      ('5-LOW', 'cold')) v(prio, tier)
+        |  ON o_orderpriority = v.prio
+        |GROUP BY v.tier""".stripMargin,
 
     // identical shorthand — DuckDB defined GROUP BY ALL / ORDER BY ALL
     "q220_sql_groupby_all" ->

@@ -117,7 +117,10 @@ object Col {
   final case class WindowFn(fn: String, args: Seq[Col],
                             partitionBy: Seq[Col],
                             orderBy: Seq[(Col, Boolean)],
-                            frame: Option[(Long, Long)] = None) extends Col
+                            frame: Option[(Long, Long)] = None,
+                            // true = RANGE (value-distance) frame over a
+                            // single numeric ORDER BY key; false = ROWS
+                            rangeFrame: Boolean = false) extends Col
   /** `expr IN (SELECT ...)` membership predicate (extension). Not a
     * row-local expression — the engine plans it as a LEFT SEMI join
     * (`NOT IN` → LEFT ANTI), so it is only legal as a top-level AND
@@ -452,7 +455,7 @@ object Col {
         "ANY/ALL (SELECT ...) is only supported as a top-level AND conjunct " +
         "of WHERE (it plans as a join or a plan-time bound, not a row " +
         "expression)")
-    case WindowFn(fn, args, pb, ob, frame) =>
+    case WindowFn(fn, args, pb, ob, frame, range) =>
       import org.apache.spark.sql.expressions.Window
       val base =
         if (pb.nonEmpty) Window.partitionBy(pb.map(compileNode(_, schema)._1): _*)
@@ -463,18 +466,33 @@ object Col {
           if (asc) cc.asc else cc.desc
         }: _*)
         else base
-      // explicit ROWS frame: aggregates/positional only, ORDER BY
+      // explicit ROWS/RANGE frame: aggregates/positional only, ORDER BY
       // required (an unordered ROWS frame is nondeterministic row
-      // arithmetic)
+      // arithmetic; an unordered RANGE frame has no distance axis).
+      // RANGE additionally requires EXACTLY ONE INTEGRAL order key —
+      // the frame is value distance along it (Spark's rangeBetween
+      // boundary type must match the key; float keys + long offsets
+      // would need per-type boundary literals: rejected, not coerced)
       val spec = frame match {
         case None => ordered
         case Some(_) if ob.isEmpty =>
           throw new IllegalArgumentException(
-            "a ROWS frame requires ORDER BY in its OVER clause")
+            s"a ${if (range) "RANGE" else "ROWS"} frame requires " +
+            "ORDER BY in its OVER clause")
         case Some((s, e)) =>
           if (s > e) throw new IllegalArgumentException(
-            "ROWS frame start is after its end")
-          ordered.rowsBetween(s, e)
+            s"${if (range) "RANGE" else "ROWS"} frame start is after its end")
+          if (range) {
+            if (ob.length != 1) throw new IllegalArgumentException(
+              "a RANGE frame requires exactly one ORDER BY key")
+            val kt = compileNode(ob.head._1, schema)._2
+            kt match {
+              case ByteType | ShortType | IntegerType | LongType => ()
+              case other => throw new IllegalArgumentException(
+                s"a RANGE frame requires an integral ORDER BY key, got $other")
+            }
+            ordered.rangeBetween(s, e)
+          } else ordered.rowsBetween(s, e)
       }
       def argC = compileNode(args.headOption.getOrElse(
         throw new IllegalArgumentException(

@@ -49,7 +49,10 @@ final case class SelectItem(expr: Col, star: Boolean)
   * holds the alias for error messages). Derived tables require an alias,
   * like standard SQL. */
 final case class TableRef(path: String, alias: Option[String],
-                          subquery: Option[CompoundQuery] = None)
+                          subquery: Option[CompoundQuery] = None,
+                          // inline literal table: (column names, rows)
+                          // from `(VALUES (...), ...) t(a, b)` (extension)
+                          values: Option[(Seq[String], Seq[Seq[Col]])] = None)
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
@@ -91,12 +94,12 @@ object SqlParser {
 
   private val keywords = Set(
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "JOIN", "ON", "AS",
-    "AND", "OR", "NOT", "LIKE", "BETWEEN", "INNER", "LEFT", "RIGHT", "FULL",
+    "AND", "OR", "NOT", "LIKE", "ILIKE", "BETWEEN", "INNER", "LEFT", "RIGHT", "FULL",
     "OUTER", "SEMI", "ANTI", "CROSS", "ORDER", "LIMIT", "ASC", "DESC",
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
-    "EXISTS", "QUALIFY", "OFFSET",
+    "EXISTS", "QUALIFY", "OFFSET", "VALUES",
     // quantified comparisons (`> ALL (SELECT ...)`); ANY/SOME reserved
     // like OVER/PARTITION below — the double-quote escape reaches
     // columns of those names
@@ -114,7 +117,7 @@ object SqlParser {
     // ROWS frame clause inside OVER (`ROWS BETWEEN 2 PRECEDING AND
     // CURRENT ROW`); reserved like OVER/PARTITION — the double-quote
     // escape reaches columns of those names
-    "ROWS", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW",
+    "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW",
     // CAST(expr AS TYPE); reserved so the form never parses as a
     // scalar function call whose body would choke on the inner AS
     "CAST")
@@ -423,9 +426,41 @@ object SqlParser {
 
     private def parseTableRef(): TableRef = {
       // derived table: FROM (SELECT ...) alias — the subquery may itself
-      // carry WITH / set ops / nested derived tables (extension)
+      // carry WITH / set ops / nested derived tables (extension).
+      // Inline literal table: FROM (VALUES (...), ...) t(a, b) — the
+      // standard way to hand a query a tiny lookup table without a file
       if (peek == TOp("(")) {
         next()
+        if (peek == TKw("VALUES")) {
+          next()
+          def valRow(): Seq[Col] = {
+            expectOp("(")
+            val es = ListBuffer(parseAdd())
+            while (accept(",")) es += parseAdd()
+            expectOp(")")
+            es.toSeq
+          }
+          val rows = ListBuffer(valRow())
+          while (accept(",")) rows += valRow()
+          expectOp(")")
+          val alias = parseTableAlias().getOrElse(throw new ParseError(
+            "VALUES requires an alias with column names: " +
+            "(VALUES ...) t(a, b)"))
+          expectOp("(")
+          def colName(): String = next() match {
+            case TIdent(n) => n
+            case t => throw new ParseError(
+              s"Expected a VALUES column name, got ${t.text}")
+          }
+          val cols = ListBuffer(colName())
+          while (accept(",")) cols += colName()
+          expectOp(")")
+          rows.find(_.length != cols.length).foreach(r =>
+            throw new ParseError(s"VALUES row has ${r.length} entries " +
+              s"but the column list names ${cols.length}"))
+          return TableRef(alias, Some(alias), None,
+            Some((cols.toSeq, rows.toSeq)))
+        }
         val sub = parseCompoundBody()
         expectOp(")")
         val alias = parseTableAlias().getOrElse(throw new ParseError(
@@ -499,16 +534,29 @@ object SqlParser {
             case TStr(p) => l.like(p)
             case t       => throw new ParseError(s"LIKE expects a string pattern, got ${t.text}")
           }
+        // ILIKE (extension): case-insensitive LIKE, DESUGARED at parse
+        // to lower(expr) LIKE lower(pattern) — the standard-engine
+        // definition, so no new AST node and DuckDB's native ILIKE
+        // agrees on any cased pattern
+        case TKw("ILIKE") =>
+          next()
+          next() match {
+            case TStr(p) => FuncCall("lower", Seq(l)).like(p.toLowerCase)
+            case t       => throw new ParseError(s"ILIKE expects a string pattern, got ${t.text}")
+          }
         case TKw("NOT") =>
           next()
           if (accept("LIKE")) next() match {
             case TStr(p) => !l.like(p)
             case t       => throw new ParseError(s"LIKE expects a string pattern, got ${t.text}")
+          } else if (accept("ILIKE")) next() match {
+            case TStr(p) => !FuncCall("lower", Seq(l)).like(p.toLowerCase)
+            case t       => throw new ParseError(s"ILIKE expects a string pattern, got ${t.text}")
           } else if (accept("BETWEEN")) {
             val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
             !l.between(lo, hi)
           } else if (accept("IN")) !parseInList(l)
-          else throw new ParseError("Expected LIKE, BETWEEN or IN after NOT")
+          else throw new ParseError("Expected LIKE, ILIKE, BETWEEN or IN after NOT")
         case TKw("BETWEEN") =>
           next()
           val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
@@ -737,11 +785,14 @@ object SqlParser {
         ob += parseOrderItem()
         while (accept(",")) ob += parseOrderItem()
       }
-      // `ROWS BETWEEN <bound> AND <bound>` (or the standard shorthand
-      // `ROWS <start-bound>`, whose end defaults to CURRENT ROW) —
-      // bounds in Spark's rowsBetween encoding, see WindowFn's scaladoc
+      // `ROWS|RANGE BETWEEN <bound> AND <bound>` (or the standard
+      // shorthand `ROWS <start-bound>`, end defaulting to CURRENT ROW)
+      // — bounds in Spark's rowsBetween/rangeBetween encoding; RANGE is
+      // value distance along a single integral ORDER BY key (enforced
+      // at compile, see WindowFn's scaladoc)
+      val isRange = peek == TKw("RANGE") && { next(); true }
       val frame: Option[(Long, Long)] =
-        if (!accept("ROWS")) None
+        if (!isRange && !accept("ROWS")) None
         else {
           def bound(): Long = peek match {
             case TKw("UNBOUNDED") =>
@@ -778,7 +829,7 @@ object SqlParser {
           "row_number/rank/dense_rank, ntile/percent_rank/cume_dist, " +
           "sum/min/max/avg/count, lag/lead and first_value/last_value")
       }
-      WindowFn(fn, args, pb.toSeq, ob.toSeq, frame)
+      WindowFn(fn, args, pb.toSeq, ob.toSeq, frame, isRange)
     }
   }
 

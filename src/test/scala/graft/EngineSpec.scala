@@ -301,6 +301,68 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("inline VALUES tables join, widen numerics, and reject non-literals") {
+    val out = engine.sql(
+      """SELECT f.fruit, v.color_class, SUM(f.quantity) AS q
+        |FROM fruits f
+        |JOIN (VALUES ('red', 'warm'), ('yellow', 'warm'),
+        |      ('green', 'cool'), ('orange', 'warm')) v(c, color_class)
+        |  ON f.color = v.c
+        |GROUP BY f.fruit, v.color_class""".stripMargin)
+    assert(rows(out.df) == Set(
+      Seq("apple", "warm", 3L), Seq("apple", "cool", 4L),
+      Seq("banana", "warm", 12L), Seq("orange", "warm", 2L)))
+    // int/double widen to double within a column
+    assert(rows(engine.sql(
+      """SELECT x FROM (VALUES (1), (2.5)) t(x)""").df) ==
+      Set(Seq(1.0), Seq(2.5)))
+    // a non-literal entry is rejected loudly
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql("SELECT x FROM (VALUES (quantity)) t(x)").df.collect()
+    }
+    // arity mismatch with the column list is a parse error
+    assertThrows[graft.sql.ParseError] {
+      engine.sql("SELECT x FROM (VALUES (1, 2)) t(x)")
+    }
+  }
+
+  test("RANGE frames are value-distance along one integral key") {
+    // quantities 2,3,4,5,7: within ±1 of each → 2:[2,3] 3:[2,3,4]
+    // 4:[3,4,5] 5:[4,5] 7:[7]; ties would share a frame (the ROWS
+    // distinction) but this fixture has none
+    val out = engine.sql(
+      """SELECT fruit, quantity,
+        |  COUNT() OVER (ORDER BY quantity
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS near
+        |FROM fruits""".stripMargin)
+      .df.collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out == Map(2 -> 2L, 3 -> 3L, 4 -> 3L, 5 -> 2L, 7 -> 1L))
+    // a float ORDER BY key is rejected, not silently coerced
+    val e = intercept[IllegalArgumentException] {
+      engine.sql(
+        """SELECT SUM(price) OVER (ORDER BY price
+          |  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS s
+          |FROM orders""".stripMargin).df.collect()
+    }
+    assert(e.getMessage.contains("integral"))
+    // two ORDER BY keys have no distance axis
+    assertThrows[IllegalArgumentException] {
+      engine.sql(
+        """SELECT COUNT() OVER (ORDER BY quantity, fruit
+          |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+          |FROM fruits""".stripMargin).df.collect()
+    }
+  }
+
+  test("ILIKE is case-insensitive LIKE (desugared to lower())") {
+    assert(rows(engine.sql(
+      "SELECT fruit FROM fruits WHERE fruit ILIKE 'APP%'").df) ==
+      Set(Seq("apple")))
+    assert(rows(engine.sql(
+      "SELECT DISTINCT fruit FROM fruits WHERE fruit NOT ILIKE '%ANA'").df) ==
+      Set(Seq("apple"), Seq("orange")))
+  }
+
   test("statistical aggregates: stddev/variance in both forms, median") {
     // quantities per fruit: apple (3,4), banana (5,7), orange (2)
     val out = engine.sql(
