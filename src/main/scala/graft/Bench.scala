@@ -426,6 +426,19 @@ object Bench {
     }
     tracer.drain()
 
+    // FFD-packing scale probe: one shuffle + a per-shard linear native
+    // fold, so 10× docs should cost ~10× the fold (linear), with shard
+    // width held constant by scaling the shard count with the corpus —
+    // exactly how the 100 TB deployment keeps collect_list bounded.
+    val q219x10 = probe(spark, "q219_x10_50kdocs") {
+      graft.operators.Pack.ffdPack(
+        docs10(spark, sfDir, cpus.toInt), "doc_id",
+        graft.operators.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")),
+        budget = 256, numShards = 160)
+    }
+    tracer.drain()
+
     // Containment scale probe: 10× the corpus as 10× the SOURCES (the
     // replication index joins the block key) — the growth mode blocked
     // containment is designed for: block size stays ~constant, block
@@ -534,6 +547,7 @@ object Bench {
         :+ ("q126_x10_50kdocs" -> bm25IdxX10) :+ ("q51_x10_50kdocs" -> q51x10)
         :+ ("q129_x10_50kdocs" -> q129x10) :+ ("q143_x10_50kdocs" -> q143x10)
         :+ ("q152_x10_50kdocs" -> q152x10)
+        :+ ("q219_x10_50kdocs" -> q219x10)
         :+ ("q06_blockfile_600krows" -> blockfileQ1)
         :+ ("q06_blockfile_unzoned" -> bfUnzoned)
         :+ ("q06_blockfile_zoned" -> bfZoned)

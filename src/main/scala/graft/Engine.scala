@@ -268,6 +268,46 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         df.withColumn(name, qual.compile(df.schema))
           .filter(org.apache.spark.sql.functions.col(name)).drop(name))
     }
+    // DISTINCT ON (keys): keep the FIRST row per key under the block's
+    // ORDER BY — the canonical-survivor idiom (one doc per cluster,
+    // latest row per entity) at the SQL surface. Planned as a hidden
+    // row_number window over the INPUT frame + filter + drop,
+    // pre-SELECT (the QUALIFY precedent). Grouped blocks reject;
+    // ORDER BY must LEAD with the ON keys (Postgres's rule) and carry
+    // at least one tie-break column beyond them — keys-only ORDER BY
+    // makes "first" an arbitrary row, which this engine's
+    // deterministic-result contract rejects rather than mis-evaluates.
+    if (q.distinctOn.nonEmpty) {
+      if (hasGrouping)
+        throw new GroupByError(
+          "DISTINCT ON cannot appear in a grouped query block; " +
+          "aggregate in a derived table or CTE, then DISTINCT ON over it")
+      if (q.orderBy.length < q.distinctOn.length ||
+          q.orderBy.take(q.distinctOn.length).map(_._1) != q.distinctOn)
+        throw new SemanticError(
+          "DISTINCT ON requires ORDER BY whose leading expressions " +
+          "are the ON keys")
+      if (q.orderBy.length == q.distinctOn.length)
+        throw new SemanticError(
+          "DISTINCT ON needs a tie-break: add at least one ORDER BY " +
+          "column beyond the ON keys, or 'first row per key' is " +
+          "nondeterministic")
+      val df = frame.df
+      var name = "_distinct_on"
+      while (df.columns.contains(name)) name += "_"
+      import org.apache.spark.sql.expressions.Window
+      val spec = Window
+        .partitionBy(q.distinctOn.map(_.compile(df.schema)): _*)
+        .orderBy(q.orderBy.drop(q.distinctOn.length).map { case (c, asc) =>
+          val cc = c.compile(df.schema)
+          if (asc) cc.asc else cc.desc
+        }: _*)
+      frame = GraftFrame.fromDF(
+        df.withColumn(name,
+            org.apache.spark.sql.functions.row_number().over(spec))
+          .filter(org.apache.spark.sql.functions.col(name) === 1)
+          .drop(name))
+    }
     // standard SQL evaluates window functions AFTER grouping — a mixed
     // block would need post-aggregation window planning; reject loudly
     // and point at the composable form (window over a derived table).

@@ -872,6 +872,32 @@ object SparkEntry {
           |WHERE c_mktsegment ILIKE 'bUiLd%'
           |  AND c_name NOT ILIKE '%00001%'""".stripMargin).df),
 
+    // ---- DISTINCT ON through the dialect: the keep-one-row-per-key
+    //      idiom (largest document per source) — planned as a hidden
+    //      row_number window + filter, with the mandatory tie-break
+    //      that keeps "first" deterministic ----
+    "q225_sql_distinct_on" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT DISTINCT ON (source) source, doc_id, n_chars
+          |FROM documents
+          |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
+
+    // ---- vector search through the dialect: brute-force cosine top-k
+    //      as ONE SQL statement — the query vector is an inlined scalar
+    //      subquery over the same table, the cosine the codegen'd
+    //      native expression; ordering on the rounded score + id so
+    //      both engines cut the same top-10 ----
+    "q226_sql_vec_search" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT vec_id,
+          |  round(vec_cosine(embedding,
+          |    (SELECT embedding FROM embeddings WHERE vec_id = 7)), 6)
+          |    AS sim,
+          |  len(embedding) AS dim
+          |FROM embeddings
+          |ORDER BY sim DESC, vec_id
+          |LIMIT 10""".stripMargin).df),
+
     // ---- SFT data-prep capstone: quality filter → leakage-safe hash
     //      split → first-fit-decreasing packing of the TRAIN split, one
     //      composed statement — the whole-document curation arc (q24
@@ -3923,6 +3949,27 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // the q32 double-cosine replay shape with the q226 statement's
+    // query vector and the same (rounded score, id) cut
+    "q226_sql_vec_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS sim,
+        |  CAST(len(embedding) AS INTEGER) AS dim
+        | FROM embeddings)
+        |SELECT vec_id, sim, dim
+        |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical text — DuckDB's native DISTINCT ON under the same
+    // total-order tie-break picks the same survivors
+    "q225_sql_distinct_on" ->
+      """SELECT DISTINCT ON (source) source, doc_id, n_chars
+        |FROM documents
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
 
     // the full curation arc in one recursive query: quality (the q24
     // formula) + train bucket (the q88 md5 rule) gate `eligible`, then

@@ -222,6 +222,21 @@ object Col {
       (F.lit(bd), DecimalType(math.max(bd.precision, bd.scale), bd.scale))
     case bd: java.math.BigDecimal =>
       (F.lit(bd), DecimalType(math.max(bd.precision, bd.scale), bd.scale))
+    // array literal — reaches here when a scalar subquery over an ARRAY
+    // column inlines (SELECT embedding FROM ... WHERE id = k); element
+    // type from the first element (an empty array has no inferable type)
+    case s: scala.collection.Seq[_] if s.nonEmpty => s.head match {
+      case _: Float =>
+        (F.lit(s.map(_.asInstanceOf[Float]).toArray), ArrayType(FloatType))
+      case _: Double =>
+        (F.lit(s.map(_.asInstanceOf[Double]).toArray), ArrayType(DoubleType))
+      case _: Int =>
+        (F.lit(s.map(_.asInstanceOf[Int]).toArray), ArrayType(IntegerType))
+      case _: Long =>
+        (F.lit(s.map(_.asInstanceOf[Long]).toArray), ArrayType(LongType))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported array literal element: $other")
+    }
     case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
   }
 
@@ -329,6 +344,29 @@ object Col {
         // `WHERE token_count(text) > 100 AND lang_guess(text) = 'en'`
         // runs without dropping to the Scala API. All are narrow
         // per-row expressions — whole-stage-codegen friendly.
+        // vector similarity (extension): the engine's codegen'd native
+        // cosine surfaced in the dialect — with an inlined scalar
+        // subquery as the query vector, brute-force ANN is a plain SQL
+        // statement. f64 so a differential oracle's double replay
+        // (list_dot_product) lands the same value.
+        case "vec_cosine" =>
+          arity(2)
+          compiled.foreach { case (_, dt) => dt match {
+            case ArrayType(FloatType | DoubleType, _) => ()
+            case other => throw new IllegalArgumentException(
+              s"vec_cosine expects float/double arrays, got $other")
+          } }
+          (F.call_function("vec_cosine_f64", cs(0), cs(1)), DoubleType)
+        // len: element count for arrays, character count for strings
+        // (DuckDB's len covers both)
+        case "len" =>
+          arity(1)
+          compiled(0)._2 match {
+            case ArrayType(_, _) => (F.size(cs(0)), IntegerType)
+            case StringType      => (F.length(cs(0)), IntegerType)
+            case other => throw new IllegalArgumentException(
+              s"len() expects an array or string, got $other")
+          }
         case "token_count" =>
           arity(1)
           (graft.operators.TextAnalysis.tokenCount(cs(0)), IntegerType)

@@ -41,7 +41,12 @@ final case class SqlQuery(
     // appearance order — the output key columns); `groupingSets` holds
     // the explicit sets only for "sets".
     groupKind: Option[String] = None,
-    groupingSets: Seq[Seq[Col]] = Nil
+    groupingSets: Seq[Seq[Col]] = Nil,
+    // SELECT DISTINCT ON (keys) (extension, Postgres/DuckDB-style):
+    // keep the FIRST row per key group under the block's ORDER BY
+    // (whose leading expressions must be the keys — enforced at plan
+    // time, like Postgres). Empty = plain SELECT [DISTINCT].
+    distinctOn: Seq[Col] = Nil
 )
 final case class SelectItem(expr: Col, star: Boolean)
 /** A FROM/JOIN target: a table path/name, or a parenthesized derived
@@ -255,6 +260,15 @@ object SqlParser {
     private def parseBlock(): SqlQuery = {
       expectKw("SELECT")
       val distinct = accept("DISTINCT")
+      // DISTINCT ON (k1, ...) — the keep-one-row-per-key idiom
+      val distinctOn: Seq[Col] =
+        if (distinct && accept("ON")) {
+          expectOp("(")
+          val ks = ListBuffer(parseAdd())
+          while (accept(",")) ks += parseAdd()
+          expectOp(")")
+          ks.toSeq
+        } else Nil
       val items = ListBuffer(parseSelectItem())
       while (accept(",")) items += parseSelectItem()
       expectKw("FROM")
@@ -387,7 +401,8 @@ object SqlParser {
         })
         else None
       SqlQuery(items.toSeq, from, joins.toSeq, where, groupBy, having,
-        orderBy, limit, distinct, qualify, offset, groupKind, groupingSets)
+        orderBy, limit, distinct && distinctOn.isEmpty, qualify, offset,
+        groupKind, groupingSets, distinctOn)
     }
 
     private def peekJoinHow(): Option[String] = peek match {

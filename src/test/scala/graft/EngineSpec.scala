@@ -25,6 +25,10 @@ class EngineSpec extends SparkSpec {
       (5, 9, "Cable", 3, 10.0)
     ).toDF("order_id", "user_id", "product", "quantity", "price")
       .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)), (4L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("id", "v").write.mode("overwrite").parquet(s"$d/vecs.parquet")
     d
   }
   private lazy val engine = Engine(spark, dir)
@@ -299,6 +303,54 @@ class EngineSpec extends SparkSpec {
       """SELECT fruit, quantity FROM fruits ORDER BY ALL DESC LIMIT 2""")
       .df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(desc == Seq(("orange", 2), ("banana", 7)))
+  }
+
+  test("vec_cosine + array scalar-subquery literal: vector search in SQL") {
+    val out = engine.sql(
+      """SELECT id, round(vec_cosine(v,
+        |  (SELECT v FROM vecs WHERE id = 1)), 4) AS sim, len(v) AS dim
+        |FROM vecs ORDER BY sim DESC, id""".stripMargin)
+      .df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.head == ((1L, 1.0, 3)))         // self-similarity
+    assert(out.last == ((2L, 0.0, 3)))         // orthogonal
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 4L, 2L)) // cos: 1, .7071, .6, 0
+    // len() on a string still counts characters
+    assert(rows(engine.sql(
+      "SELECT len(fruit) AS n FROM fruits WHERE fruit = 'apple' LIMIT 1").df)
+      == Set(Seq(5)))
+    // a non-array argument to vec_cosine is rejected loudly
+    assertThrows[IllegalArgumentException] {
+      engine.sql("SELECT vec_cosine(fruit, fruit) AS x FROM fruits")
+        .df.collect()
+    }
+  }
+
+  test("DISTINCT ON keeps the first row per key under the tie-break order") {
+    val out = engine.sql(
+      """SELECT DISTINCT ON (fruit) fruit, quantity, color
+        |FROM fruits
+        |ORDER BY fruit, quantity DESC""".stripMargin)
+    assert(rows(out.df) == Set(
+      Seq("apple", 4, "green"), Seq("banana", 7, "yellow"),
+      Seq("orange", 2, "orange")))
+    // keys-only ORDER BY would make "first" arbitrary — rejected
+    val e = intercept[graft.sql.SemanticError] {
+      engine.sql(
+        "SELECT DISTINCT ON (fruit) fruit FROM fruits ORDER BY fruit")
+    }
+    assert(e.getMessage.contains("tie-break"))
+    // ORDER BY must lead with the ON keys
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql(
+        """SELECT DISTINCT ON (fruit) fruit, quantity FROM fruits
+          |ORDER BY quantity DESC, fruit""".stripMargin)
+    }
+    // grouped blocks reject (compose via a derived table)
+    assertThrows[graft.sql.GroupByError] {
+      engine.sql(
+        """SELECT DISTINCT ON (fruit) fruit, SUM(quantity) AS s
+          |FROM fruits GROUP BY fruit ORDER BY fruit, s DESC""".stripMargin)
+    }
   }
 
   test("inline VALUES tables join, widen numerics, and reject non-literals") {
