@@ -37,7 +37,28 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val Ctas =
     """(?is)^\s*CREATE\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+AS\s+(.+)$""".r
 
+  /** `EXPLAIN [FORMATTED] SELECT ...` (extension): plans the body
+    * WITHOUT executing it and returns the physical plan as rows of
+    * text — the surface a SQL user pokes before paying for a scan.
+    * CTAS under EXPLAIN is rejected (planning it would still write). */
+  private val ExplainRe = """(?is)^\s*EXPLAIN(\s+FORMATTED)?\s+(.+)$""".r
+
   def sql(query: String): GraftFrame = query match {
+    case ExplainRe(formatted, body) =>
+      if (Ctas.findFirstIn(body).isDefined)
+        throw new SemanticError("EXPLAIN does not take CREATE TABLE " +
+          "(planning it would still write); EXPLAIN the SELECT body")
+      scalarCache.clear()
+      val planned = evalCompound(SqlParser.parseCompound(body), Map.empty)
+      val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
+        if (formatted != null) "formatted" else "simple")
+      val lines = planned.df.queryExecution.explainString(mode)
+        .split("\n").toSeq
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(lines.map(Row(_))).asJava),
+        StructType(Seq(StructField("plan", StringType, nullable = false)))))
     case Ctas(quoted, bare, body) =>
       scalarCache.clear()
       val frame = evalCompound(SqlParser.parseCompound(body), Map.empty)

@@ -83,6 +83,9 @@ object Shell {
       "LIMIT", "OFFSET", "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
       "UNION", "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END",
       "IN", "IS", "NULL", "WITH", "EXISTS", "QUALIFY", "OVER", "PARTITION",
+      "ROLLUP", "CUBE", "GROUPING", "SETS", "ALL", "ANY", "VALUES",
+      "ILIKE", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
+      "CURRENT", "ROW", "CAST", "INTERVAL",
       "exit") ++ tables
     val terminal = TerminalBuilder.builder().system(true).build()
     val history = new DefaultHistory()

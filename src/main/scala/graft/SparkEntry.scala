@@ -882,6 +882,27 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- NEAREST as-of join (pandas merge_asof direction='nearest'):
+    //      each click attributed to its temporally closest purchase
+    //      within a 30-day tolerance, ties resolving backward — the
+    //      third member of the as-of family (q42 backward, q63
+    //      forward); two single-shuffle passes, no range explosion ----
+    "q227_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", F.expr("unix_micros(ts)"))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"),
+          F.col("event_id").as("p_event_id"), F.col("value"))
+      AsofJoin.nearest(clicks, purchases, "user_id", "ts_us", "ts_us",
+          rightPrefix = "p_", tieBreak = "p_event_id",
+          tolerance = 2592000000000L)
+        .select(F.col("event_id"), F.col("user_id"),
+          F.col("p_p_event_id").as("p_event_id"),
+          (F.col("p_ts_us") - F.col("ts_us")).as("delta_us"),
+          F.col("p_value"))
+    }),
+
     // ---- vector search through the dialect: brute-force cosine top-k
     //      as ONE SQL statement — the query vector is an inlined scalar
     //      subquery over the same table, the cosine the codegen'd
@@ -3949,6 +3970,43 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // closest purchase per click via a correlated LIMIT-1 pick ordered
+    // by (|Δt|, backward-first, side-aware event-id tiebreak — backward
+    // keeps the LATEST equal-ts row, forward the EARLIEST, matching the
+    // engine's running-last window construction)
+    "q227_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |             event_id AS p_event_id, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  (SELECT p.p_event_id FROM p
+        |   WHERE p.user_id = c.user_id
+        |     AND abs(p.ts_us - c.ts_us) <= 2592000000000
+        |   ORDER BY abs(p.ts_us - c.ts_us),
+        |     CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END,
+        |     CASE WHEN p.ts_us <= c.ts_us THEN -p.p_event_id
+        |          ELSE p.p_event_id END
+        |   LIMIT 1) AS p_event_id,
+        |  (SELECT p.ts_us - c.ts_us FROM p
+        |   WHERE p.user_id = c.user_id
+        |     AND abs(p.ts_us - c.ts_us) <= 2592000000000
+        |   ORDER BY abs(p.ts_us - c.ts_us),
+        |     CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END,
+        |     CASE WHEN p.ts_us <= c.ts_us THEN -p.p_event_id
+        |          ELSE p.p_event_id END
+        |   LIMIT 1) AS delta_us,
+        |  (SELECT p.value FROM p
+        |   WHERE p.user_id = c.user_id
+        |     AND abs(p.ts_us - c.ts_us) <= 2592000000000
+        |   ORDER BY abs(p.ts_us - c.ts_us),
+        |     CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END,
+        |     CASE WHEN p.ts_us <= c.ts_us THEN -p.p_event_id
+        |          ELSE p.p_event_id END
+        |   LIMIT 1) AS p_value
+        |FROM c""".stripMargin,
 
     // the q32 double-cosine replay shape with the q226 statement's
     // query vector and the same (rounded score, id) cut

@@ -46,6 +46,40 @@ object AsofJoin {
               rightPrefix: String = "r_", tieBreak: String = ""): DataFrame =
     join(left, right, key, leftTs, rightTs, rightPrefix, tieBreak, fwd = true)
 
+  /** Nearest as-of join: for every left row, whichever of the backward
+    * and forward candidates is temporally CLOSER (the pandas
+    * `merge_asof(direction='nearest')` semantics); equal distances
+    * resolve backward. `tolerance` (in the ts column's own unit — µs
+    * for `unix_micros` columns) drops matches farther than the bound;
+    * a left row with no candidate in range keeps NULL match columns.
+    *
+    * Construction: the [[backward]] pass feeds the [[forward]] pass as
+    * its left side, then a narrow per-row pick — two single-shuffle
+    * passes, still no range explosion. Numeric ts columns only (callers
+    * with timestamps convert via `unix_micros`, the [[backward]] gate's
+    * own convention). */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightPrefix: String = "r_", tieBreak: String = "",
+              tolerance: Long = Long.MaxValue): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val b = backward(left, right, key, leftTs, rightTs, "_nb_", tieBreak)
+    val bf = forward(b, right, key, leftTs, rightTs, "_nf_", tieBreak)
+    val lt = F.col(leftTs).cast("double")
+    val db = lt - F.col(s"_nb_$rightTs").cast("double")
+    val df = F.col(s"_nf_$rightTs").cast("double") - lt
+    val okB = F.col(s"_nb_$rightTs").isNotNull && db <= tolerance.toDouble
+    val okF = F.col(s"_nf_$rightTs").isNotNull && df <= tolerance.toDouble
+    val useB = okB && (!okF || db <= df) // backward wins ties
+    val useF = okF && !useB
+    val payload = right.columns.filterNot(c => c == key || c == rightTs)
+    val matchCols = (rightTs +: payload.toSeq).map { c =>
+      F.when(useB, F.col(s"_nb_$c")).when(useF, F.col(s"_nf_$c"))
+        .otherwise(F.lit(null)).as(s"$rightPrefix$c")
+    }
+    bf.select(left.columns.map(F.col).toSeq ++ matchCols: _*)
+  }
+
   private def join(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    rightPrefix: String, tieBreak: String, fwd: Boolean): DataFrame = {

@@ -305,6 +305,21 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("EXPLAIN returns the plan without executing; CTAS under it rejects") {
+    val plan = engine.sql(
+      "EXPLAIN SELECT fruit, SUM(quantity) AS s FROM fruits GROUP BY fruit")
+      .df.collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("parquet") || plan.contains("Scan"))
+    val formatted = engine.sql(
+      "EXPLAIN FORMATTED SELECT fruit FROM fruits WHERE quantity > 3")
+      .df.collect().map(_.getString(0)).mkString("\n")
+    assert(formatted.contains("PushedFilters") ||
+      formatted.contains("Filter"))
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql("EXPLAIN CREATE TABLE 'x.parquet' AS SELECT * FROM fruits")
+    }
+  }
+
   test("vec_cosine + array scalar-subquery literal: vector search in SQL") {
     val out = engine.sql(
       """SELECT id, round(vec_cosine(v,

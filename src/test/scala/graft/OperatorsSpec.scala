@@ -1012,6 +1012,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L).isEmpty)       // user 2 has no purchases -> null
   }
 
+  test("nearest as-of join picks the closer side, ties backward, tolerance-bounded") {
+    val clicks = Seq((100L, 1L, 50L), (101L, 1L, 56L), (102L, 1L, 55L),
+      (103L, 1L, 300L), (104L, 2L, 70L))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 10L, 1.0), (1L, 50L, 2.0), (1L, 60L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.nearest(clicks, purchases, "user_id", "ts", "ts",
+        rightPrefix = "p_", tolerance = 100L).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(100L).contains(2.0)) // exact hit at 50 (distance 0, backward)
+    assert(out(101L).contains(3.0)) // 56: fwd 60 (d=4) beats bwd 50 (d=6)
+    assert(out(102L).contains(2.0)) // 55: tie d=5 both sides -> backward
+    assert(out(103L).isEmpty)       // 300: nearest 60 is 240 > tolerance
+    assert(out(104L).isEmpty)       // user 2 has no purchases
+  }
+
   test("multi-table embedding LSH equals the union of its single-table runs") {
     // deterministic pseudo-random vectors; two plane sets catch different
     // pair subsets, the multi run must be exactly their union

@@ -266,6 +266,62 @@ class ScaleSpec extends SparkSpec {
     assert(spark.catalog.functionExists("next_fit_bins"))
   }
 
+  test("property: packer invariants — coverage, budget, contiguity, FFD ≤ NF") {
+    val gen = Gen.listOfN(60, Gen.chooseNum(1, 24))
+    samples(gen, 5).foreach { toks =>
+      val docs = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, "w " * t) }.toDF("doc_id", "text")
+      val budget = 16
+      def check(packed: Array[org.apache.spark.sql.Row]): Unit = {
+        // every doc exactly once, with its true token count
+        assert(packed.map(_.getLong(0)).sorted.toSeq == toks.indices.map(_.toLong))
+        packed.foreach(r => assert(r.getLong(3) == toks(r.getLong(0).toInt)))
+        val byBin = packed.groupBy(r => (r.getInt(1), r.getInt(2)))
+        // a bin over budget holds exactly one (oversized, >budget) doc
+        byBin.values.foreach { b =>
+          val s = b.map(_.getLong(3)).sum
+          assert(s <= budget || (b.length == 1 && b.head.getLong(3) > budget))
+        }
+        // bins are contiguous 0..max within each shard
+        packed.groupBy(_.getInt(1)).values.foreach { sh =>
+          val bins = sh.map(_.getInt(2)).toSet
+          assert(bins == (0 to bins.max).toSet)
+        }
+      }
+      val nf = Pack.nextFitPack(docs, "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget, numShards = 4).collect()
+      val ffd = Pack.ffdPack(docs, "doc_id",
+        TextAnalysis.tokenCount(F.col("text")), budget, numShards = 4).collect()
+      check(nf); check(ffd)
+      // exact equality with naive single-threaded folds per shard
+      val shardOf = nf.map(r => r.getLong(0) -> r.getInt(1)).toMap
+      shardOf.values.toSet[Int].foreach { sh =>
+        val ids = shardOf.collect { case (id, s) if s == sh => id }.toSeq.sorted
+        // next-fit in id order
+        var (bin, acc) = (0, 0L)
+        val wantNf = ids.map { id =>
+          val t = toks(id.toInt).toLong
+          if (acc > 0 && acc + t > budget) { bin += 1; acc = t } else acc += t
+          id -> bin
+        }.toMap
+        assert(nf.filter(_.getInt(1) == sh)
+          .map(r => r.getLong(0) -> r.getInt(2)).toMap == wantNf)
+        // FFD largest-first, first fitting bin
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val wantFfd = ids.sortBy(id => (-toks(id.toInt), id)).map { id =>
+          val t = toks(id.toInt).toLong
+          val b = fills.indexWhere(_ + t <= budget) match {
+            case -1 => fills += t; fills.length - 1
+            case i  => fills(i) += t; i
+          }
+          id -> b
+        }.toMap
+        assert(ffd.filter(_.getInt(1) == sh)
+          .map(r => r.getLong(0) -> r.getInt(2)).toMap == wantFfd)
+      }
+    }
+  }
+
   test("FFD pack places largest-first into the first fitting bin") {
     // budget 10, counts 7,6,5,4,3,2: FFD → bins [7,3],[6,4],[5,2]*;
     // actually 7+3=10, 6+4=10, 5+2=7 → 3 bins. Next-fit on id order
