@@ -882,6 +882,27 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- PRETRAINING data-prep capstone, the q224 arc's other half:
+    //      exact-dedup survivors (q27 rule) → n-gram decontamination
+    //      against the eval slice (q77 rule) → concat-and-chunk packed
+    //      positions (q86 rule), one composed statement; the oracle
+    //      replays all three stages in one query ----
+    "q228_pretrain_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(F.col("keep_id").as("doc_id"))
+      val surv = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val corpus = surv.filter(F.col("doc_id") >= 20)
+      val flagged = Dedup.decontaminate(corpus, "text", "doc_id",
+          docs.filter(F.col("doc_id") < 20), "text", k = 3, minShared = 2)
+        .select(F.col("id").as("doc_id"))
+      val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+      Pack.concatChunk(
+        clean.select(F.col("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", capacity = 1024, shardSpan = 64)
+    }),
+
     // ---- NEAREST as-of join (pandas merge_asof direction='nearest'):
     //      each click attributed to its temporally closest purchase
     //      within a 30-day tolerance, ties resolving backward — the
@@ -3970,6 +3991,44 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // the three stages replayed in one query: q27's fingerprint keeper,
+    // q77's distinct-3-gram overlap gate, q86's cumsum chunk positions
+    "q228_pretrain_prep" ->
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
+        |  FROM documents),
+        |keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+        |surv AS (SELECT fp.doc_id, fp.text FROM fp
+        |         JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.keep_id),
+        |t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id HAVING count(*) >= 2),
+        |clean AS (SELECT s.doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(s.text, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM surv s
+        |  WHERE s.doc_id >= 20
+        |    AND s.doc_id NOT IN (SELECT doc_id FROM hits)),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_pos
+        | FROM clean)
+        |SELECT doc_id, start_pos,
+        | start_pos // 1024 AS chunk_first,
+        | greatest(start_pos + n_tok - 1, start_pos) // 1024 AS chunk_last,
+        | start_pos % 1024 AS offset_in_chunk
+        |FROM c""".stripMargin,
 
     // closest purchase per click via a correlated LIMIT-1 pick ordered
     // by (|Δt|, backward-first, side-aware event-id tiebreak — backward
