@@ -897,10 +897,15 @@ object SparkEntry {
           docs.filter(F.col("doc_id") < 20), "text", k = 3, minShared = 2)
         .select(F.col("id").as("doc_id"))
       val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
-      Pack.concatChunk(
-        clean.select(F.col("doc_id"),
-          TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tok")),
-        "doc_id", "n_tok", capacity = 1024, shardSpan = 64)
+      // stage the narrow survivor list ONCE: concatChunk's two-level
+      // prefix sum consumes its input twice (shard totals + rows), and
+      // without staging each branch would recompute the dedup +
+      // decontamination lineage (the q59 fan-out lesson)
+      val packInput = clean.select(F.col("doc_id"),
+          TextAnalysis.tokenCount(F.col("text")).cast("long").as("n_tok"))
+        .localCheckpoint(false)
+      Pack.concatChunk(packInput, "doc_id", "n_tok",
+        capacity = 1024, shardSpan = 64)
     }),
 
     // ---- NEAREST as-of join (pandas merge_asof direction='nearest'):
