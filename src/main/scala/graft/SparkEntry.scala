@@ -882,6 +882,33 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- unnest through the dialect: per-element rows from an array
+    //      column, re-aggregated per vector — the array-to-rows bridge
+    //      every embedding inspection starts with ----
+    "q230_sql_unnest" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT vec_id, COUNT() AS n,
+          |  round(SUM(CAST(comp AS DOUBLE)), 4) AS s,
+          |  round(MAX(CAST(comp AS DOUBLE)), 4) AS mx
+          |FROM (SELECT vec_id, unnest(embedding) AS comp
+          |      FROM embeddings WHERE vec_id < 50) t
+          |GROUP BY vec_id""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
+    // ---- windowed statistical aggregates: per-row group dispersion
+    //      without collapsing the rows (the analyst's "how unusual is
+    //      this row within its cohort" column) ----
+    "q229_sql_window_stats" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  round(stddev_samp(l_quantity)
+          |    OVER (PARTITION BY l_returnflag), 4) AS sd_rf,
+          |  round(var_pop(l_discount)
+          |    OVER (PARTITION BY l_returnflag, l_linestatus), 6)
+          |    AS vp_rfls
+          |FROM lineitem
+          |WHERE l_orderkey < 200""".stripMargin).df),
+
     // ---- PRETRAINING data-prep capstone, the q224 arc's other half:
     //      exact-dedup survivors (q27 rule) → n-gram decontamination
     //      against the eval slice (q77 rule) → concat-and-chunk packed
@@ -3996,6 +4023,28 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // identical text — DuckDB's unnest is the same array-to-rows
+    // bridge; sums cast to DOUBLE and rounded
+    "q230_sql_unnest" ->
+      """SELECT vec_id, COUNT(*) AS n,
+        |  round(SUM(CAST(comp AS DOUBLE)), 4) AS s,
+        |  round(MAX(CAST(comp AS DOUBLE)), 4) AS mx
+        |FROM (SELECT vec_id, unnest(embedding) AS comp
+        |      FROM embeddings WHERE vec_id < 50) t
+        |GROUP BY vec_id""".stripMargin,
+
+    // identical text — both engines compute the whole-partition
+    // dispersion per row; rounded for the float compare
+    "q229_sql_window_stats" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(stddev_samp(l_quantity)
+        |    OVER (PARTITION BY l_returnflag), 4) AS sd_rf,
+        |  round(var_pop(l_discount)
+        |    OVER (PARTITION BY l_returnflag, l_linestatus), 6)
+        |    AS vp_rfls
+        |FROM lineitem
+        |WHERE l_orderkey < 200""".stripMargin,
 
     // the three stages replayed in one query: q27's fingerprint keeper,
     // q77's distinct-3-gram overlap gate, q86's cumsum chunk positions

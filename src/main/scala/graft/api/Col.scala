@@ -357,6 +357,17 @@ object Col {
               s"vec_cosine expects float/double arrays, got $other")
           } }
           (F.call_function("vec_cosine_f64", cs(0), cs(1)), DoubleType)
+        // unnest: one output row per array element (DuckDB's spelling;
+        // Spark's explode). A generator must sit at the TOP LEVEL of a
+        // select item — Spark's analyzer rejects nesting, so compose
+        // `round(unnest(x))` as a derived table instead
+        case "unnest" =>
+          arity(1)
+          compiled(0)._2 match {
+            case ArrayType(et, _) => (F.explode(cs(0)), et)
+            case other => throw new IllegalArgumentException(
+              s"unnest() expects an array, got $other")
+          }
         // len: element count for arrays, character count for strings
         // (DuckDB's len covers both)
         case "len" =>
@@ -575,6 +586,15 @@ object Col {
         case "count" =>
           (F.count(args.headOption.map(compileNode(_, schema)._1)
             .getOrElse(F.lit(1))), LongType)
+        // windowed statistical aggregates (float-valued like AVG)
+        case "stddev" | "stddev_pop" | "var_samp" | "var_pop" =>
+          val (cc, _) = argC
+          (fn match {
+            case "stddev"     => F.stddev_samp(cc)
+            case "stddev_pop" => F.stddev_pop(cc)
+            case "var_samp"   => F.var_samp(cc)
+            case "var_pop"    => F.var_pop(cc)
+          }, DoubleType)
         // offset functions: lag/lead(expr [, offset [, default]]) —
         // literal offset, literal default; no frame (standard SQL). A
         // missing default yields NULL at the partition edge exactly

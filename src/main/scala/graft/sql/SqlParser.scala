@@ -838,7 +838,9 @@ object SqlParser {
         case FuncCall(f, Seq(a))           => (f, Seq(a))
         case AggCol("count", Lit(1), _)    => ("count", Seq.empty[Col])
         case AggCol("count_col", a, _)     => ("count", Seq(a))
-        case AggCol(f @ ("sum" | "min" | "max" | "avg"), a, _) => (f, Seq(a))
+        case AggCol(f @ ("sum" | "min" | "max" | "avg" | "stddev" |
+                         "stddev_pop" | "var_samp" | "var_pop"), a, _) =>
+          (f, Seq(a))
         case _ => throw new ParseError(
           s"OVER cannot follow ${e.name}: window functions are " +
           "row_number/rank/dense_rank, ntile/percent_rank/cume_dist, " +

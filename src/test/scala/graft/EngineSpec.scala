@@ -305,6 +305,27 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("windowed statistical aggregates and unnest") {
+    // per-row whole-partition stddev: apple quantities (3,4) → 0.7071
+    val sd = engine.sql(
+      """SELECT fruit, round(stddev_samp(quantity) OVER
+        |  (PARTITION BY fruit), 4) AS sd FROM fruits""".stripMargin)
+      .df.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(sd("apple") == 0.7071 && sd("banana") == 1.4142)
+    assert(sd("orange") == null) // single row → sample stddev NULL
+    // unnest: one row per element, aggregable in an outer block
+    val un = engine.sql(
+      """SELECT id, COUNT() AS n, round(SUM(CAST(c AS DOUBLE)), 2) AS s
+        |FROM (SELECT id, unnest(v) AS c FROM vecs) t
+        |GROUP BY id""".stripMargin)
+      .df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(un(3L) == ((3L, 2.0)) && un(4L) == ((3L, 1.4)))
+    // unnest of a non-array rejects loudly
+    assertThrows[IllegalArgumentException] {
+      engine.sql("SELECT unnest(fruit) AS x FROM fruits").df.collect()
+    }
+  }
+
   test("EXPLAIN returns the plan without executing; CTAS under it rejects") {
     val plan = engine.sql(
       "EXPLAIN SELECT fruit, SUM(quantity) AS s FROM fruits GROUP BY fruit")
