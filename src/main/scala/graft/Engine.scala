@@ -35,7 +35,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * rule FROM uses — so the created table is immediately SELECTable
     * in the next statement. Overwrites an existing target. */
   private val Ctas =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+(?:USING\s+([A-Za-z_]+)\s+)?AS\s+(.+)$""".r
 
   /** `EXPLAIN [FORMATTED] SELECT ...` (extension): plans the body
     * WITHOUT executing it and returns the physical plan as rows of
@@ -59,7 +59,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(lines.map(Row(_))).asJava),
         StructType(Seq(StructField("plan", StringType, nullable = false)))))
-    case Ctas(quoted, bare, body) =>
+    case Ctas(quoted, bare, using, body) =>
       scalarCache.clear()
       val frame = evalCompound(SqlParser.parseCompound(body), Map.empty)
       val target =
@@ -74,8 +74,30 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // (Tables.resolve scaladoc: a quoted extension-less target would
       // otherwise write `./out` and read back `<baseDir>/out.parquet`)
       val resolved = Tables.resolve(target, baseDir)
-      if (resolved.endsWith(".bin")) Tables.blockFileWrite(frame.df, resolved)
-      else frame.df.write.mode("overwrite").parquet(resolved)
+      // `USING <fmt>` picks the writer; default follows the extension.
+      // `blockdir` is the PARALLEL one-part-per-task BlockFile writer
+      // (BlockFile.writeDir) — the target must still end in .bin so a
+      // later FROM of the same reference routes through the BlockFile
+      // reader (which treats the directory as one table).
+      val fmt = Option(using).map(_.toLowerCase).getOrElse(
+        if (resolved.endsWith(".bin")) "blockfile" else "parquet")
+      fmt match {
+        case "parquet" =>
+          if (resolved.endsWith(".bin")) throw new SemanticError(
+            "a '.bin' target reads back through the BlockFile reader; " +
+            "USING parquet would create an unreadable table — drop the " +
+            "USING clause or rename the target")
+          frame.df.write.mode("overwrite").parquet(resolved)
+        case "blockfile" | "blockdir" =>
+          if (!resolved.endsWith(".bin")) throw new SemanticError(
+            s"USING $fmt requires a '.bin' target so the created table " +
+            "reads back through the BlockFile reader")
+          if (fmt == "blockfile") Tables.blockFileWrite(frame.df, resolved)
+          else Tables.blockFileWriteDir(frame.df, resolved)
+        case other => throw new SemanticError(
+          s"Unknown CTAS format '$other' — USING parquet, blockfile " +
+          "or blockdir")
+      }
       table(resolved)
     case _ =>
       // scalar-subquery memo is per-statement: a long-lived Engine (the

@@ -882,6 +882,30 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- CTAS USING blockdir: the PARALLEL one-part-per-task
+    //      BlockFile writer reachable from SQL — create, then
+    //      aggregate back over the directory-as-one-table through the
+    //      same dialect; the oracle replays the f32 round-trip from
+    //      parquet (quantities are integral, so the double sum is
+    //      exact — the q180 rule) ----
+    "q231_sql_ctas_blockdir" -> ((s, dir) => {
+      val staging = stagingDir("graft_ctas_bfdir")
+      val eng = Engine(s, dir)
+      eng.sql(
+        s"""CREATE TABLE '$staging/li.bin' USING blockdir AS
+           |SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey,
+           |  CAST(l_quantity AS REAL) AS l_quantity,
+           |  l_returnflag, l_linestatus, l_shipdate
+           |FROM lineitem""".stripMargin)
+      eng.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  round(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+           |  COUNT() AS n
+           |FROM '$staging/li.bin'
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- unnest through the dialect: per-element rows from an array
     //      column, re-aggregated per vector — the array-to-rows bridge
     //      every embedding inspection starts with ----
@@ -4023,6 +4047,16 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // the f32 round-trip replayed from parquet (cast to REAL first,
+    // then DOUBLE for the sum — integral quantities, exact)
+    "q231_sql_ctas_blockdir" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(SUM(CAST(CAST(l_quantity AS REAL) AS DOUBLE)), 2)
+        |    AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     // identical text — DuckDB's unnest is the same array-to-rows
     // bridge; sums cast to DOUBLE and rounded

@@ -305,6 +305,41 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("CTAS USING picks the writer and validates the target extension") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ctas-using")
+    try {
+      // blockdir → a directory of part .bin files, readable as one table
+      engine.sql(
+        s"""CREATE TABLE '$out/f.bin' USING blockdir AS
+           |SELECT fruit, CAST(quantity AS INTEGER) AS quantity
+           |FROM fruits""".stripMargin)
+      assert(new java.io.File(s"$out/f.bin").isDirectory)
+      assert(new java.io.File(s"$out/f.bin").listFiles()
+        .exists(_.getName.endsWith(".bin")))
+      val back = engine.sql(
+        s"SELECT SUM(quantity) AS s FROM '$out/f.bin'")
+      assert(rows(back.df) == Set(Seq(21L)))
+      // format/extension mismatches reject loudly
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"CREATE TABLE '$out/x.parquet' USING blockdir AS " +
+          "SELECT fruit FROM fruits")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"CREATE TABLE '$out/y.bin' USING parquet AS " +
+          "SELECT fruit FROM fruits")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"CREATE TABLE '$out/z.bin' USING orc AS " +
+          "SELECT fruit FROM fruits")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("windowed statistical aggregates and unnest") {
     // per-row whole-partition stddev: apple quantities (3,4) → 0.7071
     val sd = engine.sql(
