@@ -1003,6 +1003,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case Alias(ch, n)        => Alias(nameAggs(ch, acc), n)
     case BinOp(op, l, r)     => BinOp(op, nameAggs(l, acc), nameAggs(r, acc))
     case IsNull(ch)          => IsNull(nameAggs(ch, acc))
+    case Cast(ch, dt)        => Cast(nameAggs(ch, acc), dt)
+    case Not(ch)             => Not(nameAggs(ch, acc))
     case FuncCall(f, as)     => FuncCall(f, as.map(nameAggs(_, acc)))
     case CaseWhen(bs, e) =>
       CaseWhen(bs.map { case (w, v) => (nameAggs(w, acc), nameAggs(v, acc)) },

@@ -882,6 +882,44 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- GROUPING() under ROLLUP: tells a real NULL key apart from a
+    //      subtotal row — without it a rollup over a nullable dimension
+    //      is ambiguous; both engines compute the same indicator ----
+    "q233_sql_grouping_fn" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+          |  round(SUM(l_quantity), 4) AS qty
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin).df),
+
+    // ---- curation-loss accounting: how many documents each q228
+    //      pipeline stage removes, PER SOURCE — the attrition report a
+    //      pipeline operator reads before trusting a corpus build
+    //      (drops that skew toward one source signal a stage bug) ----
+    "q232_prep_accounting" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(F.col("keep_id").as("doc_id"))
+      val surv = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val corpus = surv.filter(F.col("doc_id") >= 20)
+      val flagged = Dedup.decontaminate(corpus, "text", "doc_id",
+          docs.filter(F.col("doc_id") < 20), "text", k = 3, minShared = 2)
+        .select(F.col("id").as("doc_id"))
+      val stage = docs.filter(F.col("doc_id") >= 20).select("doc_id", "source")
+        .join(surv.select(F.col("doc_id"), F.lit(1).as("_kept")),
+          Seq("doc_id"), "left")
+        .join(flagged.withColumn("_flag", F.lit(1)), Seq("doc_id"), "left")
+      stage.groupBy("source").agg(
+        F.count(F.lit(1)).as("n_total"),
+        F.sum(F.coalesce(F.col("_kept"), F.lit(0))).as("n_after_dedup"),
+        F.sum(F.when(F.col("_kept") === 1 && F.col("_flag") === 1, 1)
+          .otherwise(0)).as("n_flagged"),
+        F.sum(F.when(F.col("_kept") === 1 && F.col("_flag").isNull, 1)
+          .otherwise(0)).as("n_clean"))
+    }),
+
     // ---- CTAS USING blockdir: the PARALLEL one-part-per-task
     //      BlockFile writer reachable from SQL — create, then
     //      aggregate back over the directory-as-one-table through the
@@ -4047,6 +4085,49 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // identical text — GROUPING is standard SQL; both sides cast the
+    // indicator to INTEGER
+    "q233_sql_grouping_fn" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  round(SUM(l_quantity), 4) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // per-source attrition: the q27 keeper rule and q77 overlap gate
+    // re-joined to the corpus slice, counted per stage
+    "q232_prep_accounting" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
+        |  FROM documents),
+        |keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+        |t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(n - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT))) AS gr
+        |  FROM g),
+        |ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id < 20),
+        |hits AS (SELECT doc_id FROM grams JOIN ev USING (gr)
+        |  WHERE doc_id >= 20 GROUP BY doc_id HAVING count(*) >= 2),
+        |stage AS (SELECT fp.doc_id, fp.source,
+        |    CASE WHEN keep.keep_id = fp.doc_id THEN 1 ELSE 0 END AS kept,
+        |    CASE WHEN fp.doc_id IN (SELECT doc_id FROM hits)
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM fp JOIN keep ON fp.f = keep.f
+        |  WHERE fp.doc_id >= 20)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(kept) AS BIGINT) AS n_after_dedup,
+        |  CAST(SUM(CASE WHEN kept = 1 AND flag = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN kept = 1 AND flag = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean
+        |FROM stage GROUP BY source""".stripMargin,
 
     // the f32 round-trip replayed from parquet (cast to REAL first,
     // then DOUBLE for the sum — integral quantities, exact)

@@ -451,6 +451,11 @@ object Col {
         case "avg" =>
           // AVG always yields floating point (reference: sql.py:412-415).
           val (cc, _) = compileNode(child, schema); (F.avg(cc), DoubleType)
+        // GROUPING(key): subtotal-row indicator under ROLLUP/CUBE/
+        // GROUPING SETS (Spark analysis rejects it elsewhere)
+        case "grouping" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.grouping(cc), ByteType)
         // statistical aggregates (dialect extension; all float-valued
         // like AVG — callers round for oracle-stable comparisons)
         case "stddev" =>

@@ -725,6 +725,12 @@ object SqlParser {
                   if fnArgs.size == 1 =>
                 AggCol(if (f == "stddev_samp") "stddev" else f,
                   fnArgs.head, None)
+              // GROUPING(key): 1 on subtotal rows where ROLLUP/CUBE
+              // suppressed the key, 0 on regular rows — rides the
+              // aggregate machinery (it is computed BY the grouping
+              // operator; Spark rejects it outside rollup/cube loudly)
+              case "grouping" if fnArgs.size == 1 =>
+                AggCol("grouping", fnArgs.head, None)
               case "string_agg" if fnArgs.size == 2 =>
                 // string_agg(expr, 'sep') with elements sorted by VALUE
                 // (deterministic; oracle writes ORDER BY expr) — the
@@ -758,6 +764,14 @@ object SqlParser {
         val e = parseAdd()
         expectOp(")")
         maybeOver(AggCol(fn.toLowerCase, e, None))
+      // GROUPING is a keyword (GROUP BY GROUPING SETS), so the generic
+      // identifier-function branch never sees GROUPING(key) — handled
+      // here; see the grouping case in the generic branch for semantics
+      case TKw("GROUPING") =>
+        expectOp("(")
+        val e = parseAdd()
+        expectOp(")")
+        AggCol("grouping", e, None)
       case TKw("CASE") =>
         // searched form `CASE WHEN cond THEN v ...` and simple form
         // `CASE x WHEN v THEN ...` (desugared to `WHEN x = v`); extension

@@ -305,6 +305,22 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
+    val out = engine.sql(
+      """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
+        |  CAST(SUM(quantity) AS DOUBLE) AS s
+        |FROM fruits GROUP BY ROLLUP (fruit)""".stripMargin)
+    assert(rows(out.df) == Set(
+      Seq("apple", 0, 7.0), Seq("banana", 0, 12.0), Seq("orange", 0, 2.0),
+      Seq(null, 1, 21.0))) // the grand-total row carries grouping = 1
+    // grouping() outside ROLLUP/CUBE fails Spark's analysis loudly
+    assertThrows[Exception] {
+      engine.sql(
+        "SELECT fruit, grouping(fruit) AS g FROM fruits GROUP BY fruit")
+        .df.collect()
+    }
+  }
+
   test("CTAS USING picks the writer and validates the target extension") {
     val out = java.nio.file.Files.createTempDirectory("graft-ctas-using")
     try {
