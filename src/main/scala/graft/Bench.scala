@@ -304,8 +304,10 @@ object Bench {
       "q201_url_normalize",
       // round-7 fifth wave: the two whole-document packers (one shuffle
       // + a per-shard native fold each; FFD adds the largest-first
-      // in-shard sort)
-      "q217_nextfit_pack", "q219_ffd_pack")
+      // in-shard sort) and the two data-prep capstones (SFT: quality →
+      // split → FFD; pretraining: dedup → decontaminate → concat-chunk)
+      "q217_nextfit_pack", "q219_ffd_pack",
+      "q224_sft_prep", "q228_pretrain_prep")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table
