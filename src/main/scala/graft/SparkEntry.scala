@@ -882,6 +882,20 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- shape statistics through the dialect: population skewness /
+    //      excess kurtosis per group (Spark's definitions); the oracle
+    //      replays them from raw central moments because DuckDB's own
+    //      skewness/kurtosis are the bias-corrected SAMPLE forms ----
+    "q234_sql_shape_stats" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(skewness(l_quantity), 4) AS skew_qty,
+          |  round(kurtosis(l_quantity), 4) AS kurt_qty,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY l_returnflag""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
     // ---- GROUPING() under ROLLUP: tells a real NULL key apart from a
     //      subtotal row — without it a rollup over a nullable dimension
     //      is ambiguous; both engines compute the same indicator ----
@@ -4085,6 +4099,22 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // raw-central-moment replay of Spark's POPULATION definitions
+    // (two-pass: mean, then summed moments)
+    "q234_sql_shape_stats" ->
+      """WITH s AS (SELECT l_returnflag AS k, l_quantity AS x
+        |           FROM lineitem),
+        |m AS (SELECT k, avg(x) AS mu, count(*) AS n FROM s GROUP BY k),
+        |c AS (SELECT s.k,
+        |    sum(pow(x - mu, 2)) AS m2, sum(pow(x - mu, 3)) AS m3,
+        |    sum(pow(x - mu, 4)) AS m4, any_value(n) AS n
+        |  FROM s JOIN m ON s.k = m.k GROUP BY s.k)
+        |SELECT k AS l_returnflag,
+        |  round(sqrt(n) * m3 / pow(m2, 1.5), 4) AS skew_qty,
+        |  round(n * m4 / (m2 * m2) - 3, 4) AS kurt_qty,
+        |  n
+        |FROM c""".stripMargin,
 
     // identical text — GROUPING is standard SQL; both sides cast the
     // indicator to INTEGER

@@ -473,6 +473,17 @@ object Col {
         case "median" =>
           val (cc, _) = compileNode(child, schema)
           (F.median(cc), DoubleType)
+        // POPULATION skewness / excess kurtosis (Spark's definitions:
+        // (m3/n)/(m2/n)^1.5 and (m4/n)/(m2/n)^2 − 3) — a differential
+        // oracle replays them from raw central moments; DuckDB's own
+        // skewness/kurtosis are the BIAS-CORRECTED sample forms and
+        // would NOT match
+        case "skewness" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.skewness(cc), DoubleType)
+        case "kurtosis" =>
+          val (cc, _) = compileNode(child, schema)
+          (F.kurtosis(cc), DoubleType)
         case "string_agg" => child match {
           // composite child carries (expr, separator) — see SqlParser.
           // Elements are sorted by VALUE (array_sort over collect_list)

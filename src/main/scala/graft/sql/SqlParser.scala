@@ -721,7 +721,8 @@ object SqlParser {
               // function, routed through the aggregate machinery so
               // GROUP BY validity / HAVING hiding apply unchanged
               case f @ ("stddev" | "stddev_samp" | "stddev_pop" |
-                        "var_samp" | "var_pop" | "median")
+                        "var_samp" | "var_pop" | "median" |
+                        "skewness" | "kurtosis")
                   if fnArgs.size == 1 =>
                 AggCol(if (f == "stddev_samp") "stddev" else f,
                   fnArgs.head, None)

@@ -519,6 +519,15 @@ class EngineSpec extends SparkSpec {
     assert(byFruit("banana") == Seq(1.4142, 1.0, 2.0, 1.0, 6.0))
     // single-row group: sample forms are NULL, population forms are 0
     assert(byFruit("orange") == Seq(null, 0.0, null, 0.0, 2.0))
+    // population shape stats: symmetric 2-point {3,4} → skew 0,
+    // excess kurtosis n·m4/m2² − 3 = 2·0.125/0.25 − 3 = −2
+    val shape = engine.sql(
+      """SELECT fruit, round(skewness(quantity), 4) AS sk,
+        |  round(kurtosis(quantity), 4) AS ku
+        |FROM fruits GROUP BY fruit""".stripMargin)
+      .df.collect().map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+    assert(shape("apple") == ((0.0, -2.0)))
+    assert(shape("banana") == ((0.0, -2.0)))
   }
 
   test("string_agg sorts elements by value, independent of input order") {
