@@ -882,6 +882,21 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- bivariate statistics through the dialect: Pearson
+    //      correlation (scale-invariant, so the sample/population
+    //      distinction cancels and both engines agree) plus both
+    //      covariance forms, per group ----
+    "q235_sql_corr" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(corr(l_quantity, l_extendedprice), 4) AS r_qp,
+          |  round(covar_pop(l_quantity, l_discount), 6) AS cvp_qd,
+          |  round(covar_samp(l_quantity, l_discount), 6) AS cvs_qd,
+          |  COUNT() AS n
+          |FROM lineitem
+          |GROUP BY l_returnflag""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
     // ---- shape statistics through the dialect: population skewness /
     //      excess kurtosis per group (Spark's definitions); the oracle
     //      replays them from raw central moments because DuckDB's own
@@ -4099,6 +4114,17 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // identical text — Pearson corr and both covariance forms have the
+    // same definitions in both engines; rounded for the float compare
+    "q235_sql_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS r_qp,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS cvp_qd,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cvs_qd,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
 
     // raw-central-moment replay of Spark's POPULATION definitions
     // (two-pass: mean, then summed moments)

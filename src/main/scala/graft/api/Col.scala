@@ -484,6 +484,18 @@ object Col {
         case "kurtosis" =>
           val (cc, _) = compileNode(child, schema)
           (F.kurtosis(cc), DoubleType)
+        case "corr" | "covar_pop" | "covar_samp" => child match {
+          case FuncCall("stat2_args", Seq(a, b)) =>
+            val (ca, _) = compileNode(a, schema)
+            val (cb, _) = compileNode(b, schema)
+            (fn match {
+              case "corr"       => F.corr(ca, cb)
+              case "covar_pop"  => F.covar_pop(ca, cb)
+              case "covar_samp" => F.covar_samp(ca, cb)
+            }, DoubleType)
+          case other => throw new IllegalArgumentException(
+            s"$fn requires exactly two arguments, got $other")
+        }
         case "string_agg" => child match {
           // composite child carries (expr, separator) — see SqlParser.
           // Elements are sorted by VALUE (array_sort over collect_list)

@@ -732,6 +732,14 @@ object SqlParser {
               // operator; Spark rejects it outside rollup/cube loudly)
               case "grouping" if fnArgs.size == 1 =>
                 AggCol("grouping", fnArgs.head, None)
+              // two-argument statistical aggregates: the pair rides in
+              // a composite child (the string_agg convention) so AggCol
+              // stays single-child for the Engine's generic traversals.
+              // corr is Pearson — the sample/population distinction
+              // cancels in the ratio, so both engines agree
+              case f @ ("corr" | "covar_pop" | "covar_samp")
+                  if fnArgs.size == 2 =>
+                AggCol(f, FuncCall("stat2_args", fnArgs.toSeq), None)
               case "string_agg" if fnArgs.size == 2 =>
                 // string_agg(expr, 'sep') with elements sorted by VALUE
                 // (deterministic; oracle writes ORDER BY expr) — the

@@ -528,6 +528,16 @@ class EngineSpec extends SparkSpec {
       .df.collect().map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
     assert(shape("apple") == ((0.0, -2.0)))
     assert(shape("banana") == ((0.0, -2.0)))
+    // bivariate: x vs 2x → corr 1; covar hand-checked on apple (3,4)
+    val bi = engine.sql(
+      """SELECT fruit, round(corr(quantity, quantity * 2), 4) AS r,
+        |  round(covar_pop(quantity, quantity * 2), 4) AS cp,
+        |  round(covar_samp(quantity, quantity * 2), 4) AS cs
+        |FROM fruits GROUP BY fruit""".stripMargin)
+      .df.collect().map(r => r.getString(0) ->
+        ((r.get(1), r.get(2), r.get(3)))).toMap
+    assert(bi("apple") == ((1.0, 0.5, 1.0)))
+    assert(bi("orange") == ((null, 0.0, null))) // single row
   }
 
   test("string_agg sorts elements by value, independent of input order") {
