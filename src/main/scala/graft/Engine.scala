@@ -273,7 +273,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case Some(sub) => evalCompound(sub, scope)
       case None => t.values match {
         case Some((names, rows)) => valuesFrame(names, rows)
-        case None => scope.getOrElse(t.path, table(t.path))
+        case None => t.version match {
+          // FOR VERSION AS OF n: that committed snapshot, exactly
+          case Some(v) => GraftFrame.fromDF(graft.sources.Versioned.read(
+            spark, Tables.resolve(t.path, baseDir), Some(v)))
+          case None => scope.getOrElse(t.path, table(t.path))
+        }
       }
     }
     // FROM + table alias
@@ -376,7 +381,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             case Alias(c, _) => c
             case c           => c
           }
-          if (collectAggs(item.expr).isEmpty && !keyNames.contains(underlying.name))
+          // a bare LITERAL is group-invariant (`SELECT 1 AS version,
+          // COUNT(*) ...`) — standard SQL admits it without a key
+          if (collectAggs(item.expr).isEmpty &&
+              !underlying.isInstanceOf[Lit] &&
+              !keyNames.contains(underlying.name))
             throw new GroupByError(
               s"Column '${underlying.name}' must appear in GROUP BY or an aggregate")
         }

@@ -882,6 +882,26 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- time travel through the dialect: FOR VERSION AS OF reads an
+    //      exact committed snapshot of a Versioned dataset; a bare FROM
+    //      of the same path reads the LATEST version (a raw parquet
+    //      read would silently union every version's segments) ----
+    "q236_sql_time_travel" -> ((s, dir) => {
+      val path = stagingDir("graft_ttravel") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "source")
+      Versioned.commit(base.filter(F.col("doc_id") % 2 === 0), path)
+      Versioned.commit(base.filter(F.col("doc_id") % 2 === 1), path)
+      Engine(s, dir).sql(
+        s"""SELECT 1 AS version, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR VERSION AS OF 1
+           |UNION ALL
+           |SELECT 2 AS version, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path'""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- bivariate statistics through the dialect: Pearson
     //      correlation (scale-invariant, so the sample/population
     //      distinction cancels and both engines agree) plus both
@@ -4114,6 +4134,17 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // version 1 committed the even doc_ids, version 2 appended the
+    // odd — the snapshots replay as filters over the source table
+    "q236_sql_time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2 AS version, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
 
     // identical text — Pearson corr and both covariance forms have the
     // same definitions in both engines; rounded for the float compare

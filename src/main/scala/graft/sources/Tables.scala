@@ -28,6 +28,13 @@ object Tables {
   def load(spark: SparkSession, ref: String, baseDir: Option[String] = None): DataFrame = {
     val path = resolve(ref, baseDir)
     if (path.endsWith(".bin")) BlockFile.read(spark, path)
+    // a Versioned dataset read WITHOUT a version clause means its
+    // LATEST snapshot — a raw parquet read of the directory would
+    // silently union every version's segments (one manifest-dir
+    // existence check; plain parquet paths skip it on the suffix)
+    else if (!path.endsWith(".parquet") &&
+             Versioned.versions(spark, path).nonEmpty)
+      Versioned.read(spark, path, None)
     else spark.read.parquet(path)
   }
 

@@ -57,7 +57,10 @@ final case class TableRef(path: String, alias: Option[String],
                           subquery: Option[CompoundQuery] = None,
                           // inline literal table: (column names, rows)
                           // from `(VALUES (...), ...) t(a, b)` (extension)
-                          values: Option[(Seq[String], Seq[Seq[Col]])] = None)
+                          values: Option[(Seq[String], Seq[Seq[Col]])] = None,
+                          // time travel: `FOR VERSION AS OF n` over a
+                          // Versioned dataset (Delta-style; extension)
+                          version: Option[Long] = None)
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
@@ -104,7 +107,7 @@ object SqlParser {
     "DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
     "UNION", "INTERSECT", "EXCEPT", "ALL",
     "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "WITH",
-    "EXISTS", "QUALIFY", "OFFSET", "VALUES",
+    "EXISTS", "QUALIFY", "OFFSET", "VALUES", "FOR", "VERSION", "OF",
     // quantified comparisons (`> ALL (SELECT ...)`); ANY/SOME reserved
     // like OVER/PARTITION below — the double-quote escape reaches
     // columns of those names
@@ -487,7 +490,20 @@ object SqlParser {
         case TIdent(p) => p // extension: bare name resolved against base dir
         case t         => throw new ParseError(s"Expected table, got ${t.text}")
       }
-      TableRef(path, parseTableAlias())
+      // time travel (extension, Delta-style): FROM 'ds' FOR VERSION AS
+      // OF n — reads that committed snapshot of a Versioned dataset;
+      // without the clause a versioned path reads its LATEST version
+      val version: Option[Long] =
+        if (!accept("FOR")) None
+        else {
+          expectKw("VERSION"); expectKw("AS"); expectKw("OF")
+          next() match {
+            case TNum(t) if !t.contains('.') => Some(t.toLong)
+            case t => throw new ParseError(
+              s"Expected an integer version after AS OF, got ${t.text}")
+          }
+        }
+      TableRef(path, parseTableAlias(), version = version)
     }
 
     private def parseTableAlias(): Option[String] = peek match {

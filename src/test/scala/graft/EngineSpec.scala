@@ -305,6 +305,35 @@ class EngineSpec extends SparkSpec {
     assert(desc == Seq(("orange", 2), ("banana", 7)))
   }
 
+  test("FOR VERSION AS OF reads snapshots; bare FROM reads the latest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ttravel")
+    try {
+      import graft.sources.Versioned
+      import org.apache.spark.sql.{functions => F}
+      val ds = s"$out/ds"
+      Versioned.commit(fruits.filter(F.col("quantity") > 3), ds)
+      Versioned.commit(fruits.filter(F.col("quantity") <= 3), ds)
+      val v1 = engine.sql(
+        s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 1")
+      assert(rows(v1.df) == Set(Seq(3L))) // quantities 4, 5, 7
+      val latest = engine.sql(s"SELECT COUNT() AS n FROM '$ds'")
+      assert(rows(latest.df) == Set(Seq(5L))) // append stacked all rows
+      // a missing version fails loudly, not with an empty frame
+      assertThrows[Exception] {
+        engine.sql(s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 9")
+          .df.collect()
+      }
+      // literal select items are group-invariant in aggregate blocks
+      assert(rows(engine.sql(
+        "SELECT 7 AS tag, COUNT() AS n FROM fruits").df) == Set(Seq(7, 5L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
