@@ -43,7 +43,41 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * CTAS under EXPLAIN is rejected (planning it would still write). */
   private val ExplainRe = """(?is)^\s*EXPLAIN(\s+FORMATTED)?\s+(.+)$""".r
 
+  /** `DELETE FROM '<versioned-ds>' WHERE <pred>` (extension):
+    * copy-on-write delete via [[graft.sources.Versioned.deleteWhere]] —
+    * commits a NEW version holding the surviving rows; prior snapshots
+    * stay readable (time travel). Returns one row (version, n_rows) of
+    * the new head. Only Versioned datasets: an in-place parquet delete
+    * has no atomicity story, so a plain path is rejected. */
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
+
   def sql(query: String): GraftFrame = query match {
+    case DeleteRe(target, cond) =>
+      scalarCache.clear()
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"DELETE requires a Versioned dataset at '$resolved' — " +
+          "copy-on-write needs manifests; commit through Versioned first")
+      // parse the predicate with the full dialect expression grammar by
+      // wrapping it in a SELECT; subquery predicates have no rendering
+      // against the snapshot read and reject loudly
+      val where = SqlParser
+        .parseCompound(s"SELECT * FROM t WHERE $cond").head.where
+        .getOrElse(throw new SemanticError("DELETE needs a predicate"))
+      if (collectScalarSubs(where).nonEmpty || containsInSubquery(where))
+        throw new SemanticError(
+          "DELETE predicates cannot contain subqueries")
+      val df = graft.sources.Versioned.read(spark, resolved, None)
+      val v = graft.sources.Versioned.deleteWhere(
+        spark, resolved, where.compile(df.schema))
+      val n = graft.sources.Versioned.read(spark, resolved, None).count()
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(v, n)),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false)))))
     case ExplainRe(formatted, body) =>
       if (Ctas.findFirstIn(body).isDefined)
         throw new SemanticError("EXPLAIN does not take CREATE TABLE " +

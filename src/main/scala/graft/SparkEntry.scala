@@ -882,6 +882,23 @@ object SparkEntry {
           |FROM documents
           |ORDER BY source, n_chars DESC, doc_id""".stripMargin).df),
 
+    // ---- DELETE through the dialect: copy-on-write against a
+    //      Versioned dataset — a new version holds the survivors,
+    //      prior snapshots stay time-travelable; the read-back proves
+    //      the head serves exactly the undeleted rows ----
+    "q237_sql_delete" -> ((s, dir) => {
+      val path = stagingDir("graft_sql_delete") + "/ds"
+      Versioned.commit(t(s, dir, "documents").select("doc_id", "lang"), path)
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' WHERE lang != 'en'")
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path'
+           |GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -4134,6 +4151,13 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment ILIKE 'bUiLd%'
         |  AND c_name NOT ILIKE '%00001%'""".stripMargin,
+
+    // the surviving rows replay as a filter over the source table
+    "q237_sql_delete" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang""".stripMargin,
 
     // version 1 committed the even doc_ids, version 2 appended the
     // odd — the snapshots replay as filters over the source table

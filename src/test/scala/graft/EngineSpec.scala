@@ -326,6 +326,20 @@ class EngineSpec extends SparkSpec {
       // literal select items are group-invariant in aggregate blocks
       assert(rows(engine.sql(
         "SELECT 7 AS tag, COUNT() AS n FROM fruits").df) == Set(Seq(7, 5L)))
+      // DELETE commits a new version of the survivors; version 1 still
+      // time-travels to the pre-delete snapshot
+      val del = engine.sql(s"DELETE FROM '$ds' WHERE quantity >= 4")
+        .df.collect().head
+      assert(del.getLong(0) == 3L && del.getLong(1) == 2L) // v3, 2 rows
+      assert(rows(engine.sql(s"SELECT COUNT() AS n FROM '$ds'").df) ==
+        Set(Seq(2L)))
+      assert(rows(engine.sql(
+        s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 1").df) ==
+        Set(Seq(3L)))
+      // DELETE on a plain (non-versioned) path rejects loudly
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"DELETE FROM '$out/nowhere' WHERE 1 = 1")
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
