@@ -52,7 +52,30 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
 
+  /** `VACUUM '<versioned-ds>' [KEEP n]` (extension): garbage-collect
+    * history down to the newest `n` versions (default 1) via
+    * [[graft.sources.Versioned.vacuum]] — a maintenance-window
+    * operation (readers pinned to dropped versions lose their
+    * segments). Returns one row (versions_kept, head_version). */
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$""".r
+
   def sql(query: String): GraftFrame = query match {
+    case VacuumRe(target, keep) =>
+      scalarCache.clear()
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"VACUUM requires a Versioned dataset at '$resolved'")
+      val n = Option(keep).map(_.toInt).getOrElse(1)
+      graft.sources.Versioned.vacuum(spark, resolved, n)
+      val left = graft.sources.Versioned.versions(spark, resolved)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(left.length.toLong, left.last)),
+        StructType(Seq(
+          StructField("versions_kept", LongType, nullable = false),
+          StructField("head_version", LongType, nullable = false)))))
     case DeleteRe(target, cond) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)

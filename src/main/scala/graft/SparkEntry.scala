@@ -884,13 +884,16 @@ object SparkEntry {
 
     // ---- DELETE through the dialect: copy-on-write against a
     //      Versioned dataset — a new version holds the survivors,
-    //      prior snapshots stay time-travelable; the read-back proves
-    //      the head serves exactly the undeleted rows ----
+    //      prior snapshots stay time-travelable; then VACUUM KEEP 1
+    //      garbage-collects the history and the head must STILL serve
+    //      exactly the undeleted rows (vacuum cannot touch referenced
+    //      segments) ----
     "q237_sql_delete" -> ((s, dir) => {
       val path = stagingDir("graft_sql_delete") + "/ds"
       Versioned.commit(t(s, dir, "documents").select("doc_id", "lang"), path)
       val eng = Engine(s, dir)
       eng.sql(s"DELETE FROM '$path' WHERE lang != 'en'")
+      eng.sql(s"VACUUM '$path' KEEP 1")
       eng.sql(
         s"""SELECT lang, COUNT() AS n,
            |  CAST(SUM(doc_id) AS BIGINT) AS id_sum

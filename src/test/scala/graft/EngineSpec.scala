@@ -340,6 +340,16 @@ class EngineSpec extends SparkSpec {
       assertThrows[graft.sql.SemanticError] {
         engine.sql(s"DELETE FROM '$out/nowhere' WHERE 1 = 1")
       }
+      // VACUUM KEEP 1 drops history: the head still serves, the old
+      // snapshot is gone
+      val vac = engine.sql(s"VACUUM '$ds' KEEP 1").df.collect().head
+      assert(vac.getLong(0) == 1L && vac.getLong(1) == 3L)
+      assert(rows(engine.sql(s"SELECT COUNT() AS n FROM '$ds'").df) ==
+        Set(Seq(2L)))
+      assertThrows[Exception] {
+        engine.sql(s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 1")
+          .df.collect()
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
