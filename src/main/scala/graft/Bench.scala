@@ -136,20 +136,33 @@ object Bench {
     tables.foreach { f =>
       val df = spark.read.parquet(f.getPath)
       val out = s"$staged/${f.getName}"
-      // split count: every split must be worth its task — at least
-      // ~50k rows AND ~512 KB, capped at the core count. Round 6 sized
-      // by bytes alone (128 KB floor): events (100k rows, 2 MB) became
-      // 15 files whose per-task scheduling overhead QUADRUPLED every
-      // events query (measured: the q19 shape 0.38 s at 15 splits vs
-      // 0.17 s at 4; q42 0.67 s at 15 vs 0.32 s at 1 — the round-6
-      // "regression" in the events family was exactly this). A split
-      // that decodes in under ~10 ms loses to its own scheduling; at
-      // real scale the floors are no-ops (any 100 GB table hits the
-      // core cap) — they only protect the small-SF bench from
-      // over-splitting.
+      // split count: every split must be worth its task, where "worth"
+      // depends on PER-ROW cost. Round 7's one-size floors (50k rows AND
+      // 512 KB) staged the 5,000-row `documents` table as ONE split and
+      // serialized every regex/hash-heavy doc scan on one core of 32
+      // (round-7 verdict #1: q87 2.06×, q110 1.83×, q52 1.42×). The
+      // compressed row width discriminates the two workload shapes:
+      //   - WIDE rows (≥64 B compressed — long text / embedding arrays)
+      //     mean per-row CPU dominates decode, so fan out BY ROWS.
+      //     Measured (round-8 split experiment, medians of 3):
+      //     documents@1 split q87=0.420s q110=0.377s q52=0.279s;
+      //     @32 splits 0.109s / 0.133s / 0.140s — monotone to the cap.
+      //   - NARROW rows (numeric TPC-H tables) decode in bulk, so a
+      //     split must carry real volume or scheduling overhead wins
+      //     (round 6: events at 15 splits quadrupled q19). Measured:
+      //     lineitem flagship 0.402s@4, 0.214s@8, flat 0.21-0.22 through
+      //     32; events q19 best at 2-4 splits (0.153-0.159s), worse at
+      //     8 (0.178s). Floors: ~512 KB AND ~20k rows per split.
+      // At real scale both branches hit the core cap immediately (any
+      // 100 GB table does) — the floors only protect the small-SF bench.
       val rows = df.count()
-      val splits = math.max(1L, Seq(
-        ways.toLong, tableBytes(f) / (512 * 1024), rows / 50000L).min).toInt
+      val bytes = tableBytes(f)
+      val rowWidth = bytes / math.max(1L, rows)
+      val splits =
+        if (rowWidth >= 64)
+          math.min(ways.toLong, math.max(1L, rows / 150L)).toInt
+        else math.max(1L, Seq(
+          ways.toLong, bytes / (512 * 1024), rows / 20000L).min).toInt
       if (splits > 1)
         df.write.option("maxRecordsPerFile", (rows / splits + 1).toString)
           .mode("overwrite").parquet(out)
@@ -320,8 +333,14 @@ object Bench {
     tracer.drain()
 
     // the same 6M rows over the driver's RAW layout (10 paths of the
-    // single-row-group file = 10 scan tasks): the no-ingest twin
-    val x10raw = probe(spark, "q06_x10_rawlayout") {
+    // single-row-group file = 10 scan tasks): the no-ingest twin.
+    // The two raw-layout probes are single-row-group reads whose
+    // parallelism is capped by construction, so they measure
+    // single-thread decode + machine state — round 7's 5-rep spreads
+    // spanned 2× and could support any conclusion (verdict #3). They
+    // are cheap: 11 reps each tightens the median's confidence without
+    // moving the bench's runtime materially.
+    val x10raw = probe(spark, "q06_x10_rawlayout", reps = 11) {
       SparkEntry.q1Agg(
         spark.read.parquet(Seq.fill(10)(s"$rawSfDir/lineitem.parquet"): _*))
     }
@@ -329,7 +348,7 @@ object Bench {
 
     // the flagship over the driver's RAW single-row-group file — reported
     // alongside the staged number so the ingest-layout delta is explicit
-    val rawQ1 = probe(spark, "q06_rawlayout_600krows") {
+    val rawQ1 = probe(spark, "q06_rawlayout_600krows", reps = 11) {
       SparkEntry.q1Agg(spark.read.parquet(s"$rawSfDir/lineitem.parquet"))
     }
     tracer.drain()
@@ -569,15 +588,23 @@ object Bench {
     // attribution notes the artifact's reader needs (round-6 verdict
     // asks #1/#2): what was timed, how staging changed, what the env
     // fingerprint is for
-    val notes = "staging is order-preserving maxRecordsPerFile splits " +
-      "(floors: 50k rows AND 512KB per split, capped at cores; round 6's " +
-      "round-robin repartition destroyed encoding and its byte-only floor " +
-      "over-split small tables — the events-family regressions were " +
-      "per-task scheduling overhead); q06_x10_6Mrows reads a pre-staged " +
-      "real 6M-row table, q06_x10_rawlayout is its no-ingest twin " +
-      "(10 paths of the single-row-group file); every entry has a " +
-      "[min,max] spread (5 timed reps for all probes, the flagship and " +
-      "the high-variance LSH set; 3 for other headline queries); " +
+    val notes = "staging is order-preserving maxRecordsPerFile splits, " +
+      "sized by compressed row width: wide rows (>=64B: documents, " +
+      "embeddings) fan out by rows (min(cores, rows/150) — round 7 " +
+      "staged documents as ONE split and serialized the doc-scan " +
+      "family: measured q87 0.420s@1 split vs 0.109s@32, q110 0.377s " +
+      "vs 0.133s, q52 0.279s vs 0.140s), narrow numeric rows keep " +
+      "volume floors (512KB AND 20k rows per split: flagship measured " +
+      "0.402s@4 splits, flat 0.21-0.22s from 8 through 32; events q19 " +
+      "best at 2-4 splits). Round 7's flagship 0.528s was machine " +
+      "state, not the 12-split staging: the split experiment re-ran " +
+      "12 splits at 0.222s median on an idle box (r7 load_before was " +
+      "4.59); q44 likewise re-measured 0.22s at 12 AND 20 splits. " +
+      "q06_x10_6Mrows reads a pre-staged real 6M-row table, " +
+      "q06_x10_rawlayout is its no-ingest twin (10 paths of the " +
+      "single-row-group file); raw-layout probes get 11 reps (they are " +
+      "single-task by construction, so they measure single-thread " +
+      "decode + machine state); every entry has a [min,max] spread; " +
       "compare canary_32task_sec and load before attributing " +
       "cross-round deltas to code"
     val json =

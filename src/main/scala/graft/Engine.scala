@@ -106,7 +106,18 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         throw new SemanticError("EXPLAIN does not take CREATE TABLE " +
           "(planning it would still write); EXPLAIN the SELECT body")
       scalarCache.clear()
-      val planned = evalCompound(SqlParser.parseCompound(body), Map.empty)
+      val parsed = SqlParser.parseCompound(body)
+      // EXPLAIN promises planning WITHOUT execution, but uncorrelated
+      // scalar subqueries are resolved by collecting a real value — a
+      // scan job — before the outer plan exists. Reject rather than
+      // silently run work under a statement documented as free (the
+      // CTAS-refusal precedent above). Uncorrelated EXISTS still pays
+      // its bounded one-row emptiness probe.
+      if (compoundHasScalarSub(parsed))
+        throw new SemanticError("EXPLAIN does not take scalar " +
+          "subqueries (resolving one executes a real scan to collect " +
+          "the value); inline the value or run the query itself")
+      val planned = evalCompound(parsed, Map.empty)
       val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
         if (formatted != null) "formatted" else "simple")
       val lines = planned.df.queryExecution.explainString(mode)
@@ -279,16 +290,27 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case other => throw new SemanticError(
         s"Unsupported VALUES literal: $other")
     }
-    val colTypes = names.indices.map(i =>
-      lits.map(r => typeOf(r(i))).reduce(widen))
+    // NULL entries are standard SQL: the column's type comes from its
+    // non-null peers (an all-NULL column has no inferable type and
+    // rejects by name); the column is marked nullable only when a NULL
+    // actually appears
+    val colTypes = names.indices.map { i =>
+      val nonNull = lits.map(_(i)).filter(_ != null).map(typeOf)
+      if (nonNull.isEmpty) throw new SemanticError(
+        s"VALUES column ${names(i)} is NULL in every row — no type to " +
+        "infer; give it at least one non-NULL literal")
+      nonNull.reduce(widen)
+    }
     def promote(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _)             => null
       case (x: Int, LongType)    => x.toLong
       case (x: Int, DoubleType)  => x.toDouble
       case (x: Long, DoubleType) => x.toDouble
       case (x, _)                => x
     }
-    val schema = StructType(names.zip(colTypes).map { case (n, t) =>
-      StructField(n, t, nullable = false) })
+    val schema = StructType(names.zip(colTypes).zipWithIndex.map {
+      case ((n, t), i) =>
+        StructField(n, t, nullable = lits.exists(_(i) == null)) })
     val data = lits.map(r => Row(
       r.zip(colTypes).map { case (v, t) => promote(v, t) }: _*))
     GraftFrame.fromDF(spark.createDataFrame(
@@ -678,6 +700,44 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case InSubquery(e, _)  => collectScalarSubs(e)
     case QuantifiedCmp(e, _, _, _) => collectScalarSubs(e)
     case _                 => Seq.empty
+  }
+
+  /** EXPLAIN guard: does ANY expression position in the compound —
+    * blocks, set-op tails, CTEs, derived tables, IN/EXISTS/quantified
+    * bodies — hold a scalar subquery? Unlike [[collectScalarSubs]] this
+    * DOES descend into subquery bodies: planning those bodies resolves
+    * their own scalar subqueries eagerly too. */
+  private def compoundHasScalarSub(cq: CompoundQuery): Boolean = {
+    def colHas(c: Col): Boolean = c match {
+      case _: ScalarSubquery => true
+      case InSubquery(e, sub) => colHas(e) || go(sub)
+      case ExistsSubquery(sub) => go(sub)
+      case QuantifiedCmp(e, _, _, sub) => colHas(e) || go(sub)
+      case BinOp(_, l, r)     => colHas(l) || colHas(r)
+      case Not(ch)            => colHas(ch)
+      case Alias(ch, _)       => colHas(ch)
+      case Like(ch, _)        => colHas(ch)
+      case Cast(ch, _)        => colHas(ch)
+      case IsNull(ch)         => colHas(ch)
+      case AggCol(_, ch, _)   => colHas(ch)
+      case FuncCall(_, as)    => as.exists(colHas)
+      case CaseWhen(bs, e) =>
+        bs.exists { case (w, v) => colHas(w) || colHas(v) } || e.exists(colHas)
+      case WindowFn(_, as, pb, ob, _, _) =>
+        as.exists(colHas) || pb.exists(colHas) ||
+          ob.exists { case (oc, _) => colHas(oc) }
+      case _ => false
+    }
+    def refHas(t: graft.sql.TableRef): Boolean = t.subquery.exists(go)
+    def blockHas(q: SqlQuery): Boolean =
+      (q.select.map(_.expr) ++ q.where ++ q.groupBy ++ q.having ++
+        q.qualify ++ q.orderBy.map(_._1) ++ q.joins.map(_.on)).exists(colHas) ||
+      (q.from +: q.joins.map(_.table)).exists(refHas)
+    def go(c: CompoundQuery): Boolean =
+      (c.head +: c.tail.map(_._3)).exists(blockHas) ||
+        c.orderBy.map(_._1).exists(colHas) ||
+        c.ctes.exists { case (_, b) => go(b) }
+    go(cq)
   }
 
   private def substituteScalar(c: Col, target: ScalarSubquery, repl: Col): Col =

@@ -237,6 +237,10 @@ object Col {
       case other => throw new IllegalArgumentException(
         s"Unsupported array literal element: $other")
     }
+    // SQL NULL literal (parser `NULL` keyword, VALUES rows, CASE ELSE
+    // NULL): an untyped null — Spark coerces NullType to the context's
+    // type wherever one exists
+    case null => (F.lit(null), NullType)
     case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
   }
 

@@ -113,8 +113,15 @@ object Versioned {
     * head (task-parallel parquet), one manifest rename. Returns the new
     * version number. */
   def deleteWhere(spark: SparkSession, path: String,
-                  predicate: org.apache.spark.sql.Column): Long =
-    commit(read(spark, path).filter(!predicate), path, append = false)
+                  predicate: org.apache.spark.sql.Column): Long = {
+    // standard DELETE semantics: remove rows where the predicate is TRUE.
+    // Survivors are everything else — including rows where the predicate
+    // is NULL (e.g. `lang != 'en'` with NULL lang). A bare `!predicate`
+    // would keep only FALSE rows and silently drop the NULL ones.
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    commit(read(spark, path).filter(!coalesce(predicate, lit(false))),
+      path, append = false)
+  }
 
   /** Garbage-collect history: retain the newest `keepVersions`
     * manifests and delete (a) every older manifest, then (b) every

@@ -92,6 +92,12 @@ final case class CompoundQuery(head: SqlQuery,
 object SqlParser {
 
   // ---------- lexer ----------
+  /** The lowering Spark's `lower` applies (UTF8String, locale-independent)
+    * — used on ILIKE patterns so both sides of the desugared comparison
+    * lower identically regardless of the JVM default locale. */
+  private def utf8Lower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
   sealed trait Tok { def text: String }
   final case class TIdent(text: String) extends Tok
   final case class TNum(text: String) extends Tok
@@ -568,11 +574,15 @@ object SqlParser {
         // ILIKE (extension): case-insensitive LIKE, DESUGARED at parse
         // to lower(expr) LIKE lower(pattern) — the standard-engine
         // definition, so no new AST node and DuckDB's native ILIKE
-        // agrees on any cased pattern
+        // agrees on any cased pattern. The PATTERN must be lowered with
+        // the same lowering the column side gets (Spark's `lower` =
+        // UTF8String.toLowerCase, locale-independent): JVM
+        // String.toLowerCase is locale-sensitive (Turkish dotless-I) and
+        // would disagree with both Spark and DuckDB on such locales.
         case TKw("ILIKE") =>
           next()
           next() match {
-            case TStr(p) => FuncCall("lower", Seq(l)).like(p.toLowerCase)
+            case TStr(p) => FuncCall("lower", Seq(l)).like(utf8Lower(p))
             case t       => throw new ParseError(s"ILIKE expects a string pattern, got ${t.text}")
           }
         case TKw("NOT") =>
@@ -581,7 +591,7 @@ object SqlParser {
             case TStr(p) => !l.like(p)
             case t       => throw new ParseError(s"LIKE expects a string pattern, got ${t.text}")
           } else if (accept("ILIKE")) next() match {
-            case TStr(p) => !FuncCall("lower", Seq(l)).like(p.toLowerCase)
+            case TStr(p) => !FuncCall("lower", Seq(l)).like(utf8Lower(p))
             case t       => throw new ParseError(s"ILIKE expects a string pattern, got ${t.text}")
           } else if (accept("BETWEEN")) {
             val lo = parseAdd(); expectKw("AND"); val hi = parseAdd()
@@ -797,6 +807,10 @@ object SqlParser {
         val e = parseAdd()
         expectOp(")")
         AggCol("grouping", e, None)
+      // NULL literal (standard SQL): an untyped null usable anywhere an
+      // expression is — VALUES rows infer the column type from non-null
+      // peers, CASE ELSE NULL coerces to the branches' type
+      case TKw("NULL") => Lit(null)
       case TKw("CASE") =>
         // searched form `CASE WHEN cond THEN v ...` and simple form
         // `CASE x WHEN v THEN ...` (desugared to `WHEN x = v`); extension

@@ -340,6 +340,18 @@ class EngineSpec extends SparkSpec {
       assertThrows[graft.sql.SemanticError] {
         engine.sql(s"DELETE FROM '$out/nowhere' WHERE 1 = 1")
       }
+      // standard DELETE semantics on a NULLABLE predicate column: only
+      // rows where the predicate is TRUE are deleted — a NULL predicate
+      // (here: NULL lang in lang != 'en') KEEPS the row, as SQL and the
+      // DuckDB oracle do; a naive filter(!pred) would silently drop it
+      val nds = s"$out/nullable-ds"
+      import spark.implicits._
+      Versioned.commit(Seq(
+        (1L, "en"), (2L, "de"), (3L, null.asInstanceOf[String])
+      ).toDF("id", "lang"), nds)
+      engine.sql(s"DELETE FROM '$nds' WHERE lang != 'en'")
+      assert(rows(engine.sql(s"SELECT id FROM '$nds'").df) ==
+        Set(Seq(1L), Seq(3L))) // NULL-lang row survives
       // VACUUM KEEP 1 drops history: the head still serves, the old
       // snapshot is gone
       val vac = engine.sql(s"VACUUM '$ds' KEEP 1").df.collect().head
@@ -443,6 +455,12 @@ class EngineSpec extends SparkSpec {
     assertThrows[graft.sql.SemanticError] {
       engine.sql("EXPLAIN CREATE TABLE 'x.parquet' AS SELECT * FROM fruits")
     }
+    // scalar subqueries resolve by EXECUTING a collect — EXPLAIN promises
+    // planning without execution, so they reject like CTAS does
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql("EXPLAIN SELECT fruit FROM fruits " +
+        "WHERE quantity > (SELECT AVG(quantity) AS a FROM fruits)")
+    }
   }
 
   test("vec_cosine + array scalar-subquery literal: vector search in SQL") {
@@ -516,6 +534,23 @@ class EngineSpec extends SparkSpec {
     assertThrows[graft.sql.ParseError] {
       engine.sql("SELECT x FROM (VALUES (1, 2)) t(x)")
     }
+  }
+
+  test("VALUES accepts NULL entries; an all-NULL column rejects by name") {
+    // NULL infers the column type from the non-null peers and marks the
+    // column nullable (standard SQL; DuckDB agrees)
+    val df = engine.sql(
+      "SELECT x, y FROM (VALUES (1, 'a'), (2, NULL)) t(x, y)").df
+    assert(df.schema("y").nullable && !df.schema("x").nullable)
+    assert(rows(df) == Set(Seq(1, "a"), Seq(2, null)))
+    // NULLs participate in SQL three-valued logic downstream
+    assert(rows(engine.sql(
+      "SELECT x FROM (VALUES (1, 'a'), (2, NULL)) t(x, y) WHERE y IS NULL").df)
+      == Set(Seq(2)))
+    val e = intercept[graft.sql.SemanticError] {
+      engine.sql("SELECT x FROM (VALUES (NULL), (NULL)) t(x)")
+    }
+    assert(e.getMessage.contains("x") && e.getMessage.contains("NULL"))
   }
 
   test("RANGE frames are value-distance along one integral key") {
