@@ -922,6 +922,52 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- INSERT INTO through the dialect (round-7 verdict ask #4):
+    //      the SQL-only incremental-publish arc — bootstrap a Versioned
+    //      dataset with INSERT INTO ... SELECT (version 1), stack an
+    //      appended version 2, add a VALUES row-batch as version 3
+    //      (names + types from the target schema, positional casts),
+    //      then time-travel v1 and read the head; the oracle replays
+    //      every version as filters/arithmetic over the source table ----
+    "q238_sql_insert" -> ((s, dir) => {
+      val path = stagingDir("graft_sql_insert") + "/ds"
+      val eng = Engine(s, dir)
+      eng.sql(s"INSERT INTO '$path' SELECT doc_id, source FROM documents " +
+        "WHERE doc_id % 2 = 0")
+      eng.sql(s"INSERT INTO '$path' SELECT doc_id, source FROM documents " +
+        "WHERE doc_id % 2 = 1")
+      eng.sql(s"INSERT INTO '$path' VALUES (9000001, 'manual'), " +
+        "(9000002, 'manual')")
+      eng.sql(
+        s"""SELECT 1 AS version, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR VERSION AS OF 1
+           |UNION ALL
+           |SELECT 3 AS version, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path'""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
+    // ---- INSERT INTO a BlockFile table: CTAS writes the .bin, INSERT
+    //      appends into its under-full tail block (the reference's
+    //      append invariant, io.py:231-252, reachable from SQL) ----
+    "q239_sql_insert_bin" -> ((s, dir) => {
+      val path = stagingDir("graft_sql_insbin") + "/t.bin"
+      val eng = Engine(s, dir)
+      eng.sql(s"CREATE TABLE '$path' AS " +
+        "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name " +
+        "FROM customer WHERE c_custkey <= 500")
+      eng.sql(s"INSERT INTO '$path' SELECT " +
+        "CAST(c_custkey AS INTEGER) AS c_custkey, c_name " +
+        "FROM customer WHERE c_custkey > 500")
+      eng.sql(
+        s"""SELECT COUNT() AS n,
+           |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+           |FROM '$path'""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- bivariate statistics through the dialect: Pearson
     //      correlation (scale-invariant, so the sample/population
     //      distinction cancels and both engines agree) plus both
@@ -4172,6 +4218,24 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // versions replay as filters over the source; the VALUES batch adds
+    // two literal rows to the head (SUM over BIGINT → HUGEINT in DuckDB,
+    // cast back)
+    "q238_sql_insert" ->
+      """SELECT 1 AS version, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 3 AS version, COUNT(*) + 2 AS n,
+        |  CAST(SUM(doc_id) + 9000001 + 9000002 AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
+
+    // the appended BlockFile table holds exactly the source rows
+    "q239_sql_insert_bin" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer""".stripMargin,
 
     // identical text — Pearson corr and both covariance forms have the
     // same definitions in both engines; rounded for the float compare

@@ -370,6 +370,60 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO commits versions / appends BlockFiles; error paths reject") {
+    val out = java.nio.file.Files.createTempDirectory("graft-insert")
+    try {
+      val ds = s"$out/ds"
+      // bootstrap version 1 from a SELECT, stack version 2 — both
+      // readable, head = union (the incremental-publish arc in SQL only)
+      val v1 = engine.sql(s"INSERT INTO '$ds' SELECT fruit, quantity " +
+        "FROM fruits WHERE quantity > 3").df.collect().head
+      assert(v1.getLong(0) == 1L && v1.getLong(1) == 3L)
+      val v2 = engine.sql(s"INSERT INTO '$ds' SELECT fruit, quantity " +
+        "FROM fruits WHERE quantity <= 3").df.collect().head
+      assert(v2.getLong(0) == 2L && v2.getLong(1) == 5L)
+      assert(rows(engine.sql(
+        s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 1").df) ==
+        Set(Seq(3L)))
+      // VALUES rows take names AND types from the target schema
+      // (positional casts: the int literal lands in the int column)
+      val v3 = engine.sql(
+        s"INSERT INTO '$ds' VALUES ('kiwi', 9), ('mango', 1)").df
+        .collect().head
+      assert(v3.getLong(0) == 3L && v3.getLong(1) == 7L)
+      assert(rows(engine.sql(
+        s"SELECT quantity FROM '$ds' WHERE fruit = 'kiwi'").df) ==
+        Set(Seq(9)))
+      // arity mismatches reject before any write (the Versioned schema
+      // gate backstops it; positional casts make same-arity inserts fit)
+      val ar = intercept[graft.sql.SemanticError] {
+        engine.sql(s"INSERT INTO '$ds' SELECT fruit FROM fruits")
+      }
+      assert(ar.getMessage.contains("arity"))
+      // BlockFile append: CTAS then INSERT merges into the tail block
+      engine.sql(s"CREATE TABLE '$out/f.bin' AS SELECT fruit, " +
+        "CAST(quantity AS INTEGER) AS quantity FROM fruits")
+      val b = engine.sql(
+        s"INSERT INTO '$out/f.bin' VALUES ('kiwi', 9)").df.collect().head
+      assert(b.getLong(0) == 1L && b.getLong(1) == 6L)
+      assert(rows(engine.sql(
+        s"SELECT SUM(quantity) AS s FROM '$out/f.bin'").df) == Set(Seq(30L)))
+      // raw parquet targets reject: no atomic append story
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"INSERT INTO '$out/x.parquet' SELECT fruit FROM fruits")
+      }
+      // VALUES into a FRESH path has no schema to take names from
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"INSERT INTO '$out/fresh' VALUES (1, 2)")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
