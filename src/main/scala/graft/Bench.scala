@@ -532,6 +532,43 @@ object Bench {
     }
     tracer.drain()
 
+    // The PARQUET side of the same experiment (round-7 verdict ask #7):
+    // the identical selective filtered aggregation over parquet written
+    // in two layouts — key-shuffled (every 16384-row file spans the full
+    // l_orderkey range, so footer min/max stats prune NOTHING) vs
+    // key-sorted (file/row-group stats exclude non-intersecting files
+    // before any decode). Like-for-like with q06_blockfile_unzoned/
+    // zoned: same rows per unit (16384), same filter, same agg — the
+    // comparison shows what the zone-map sidecar buys the .bin path
+    // relative to what parquet's built-in statistics buy the same
+    // workload. Writes are untimed per-corpus layout costs, as always.
+    val (pqShuffled, pqPruned) = {
+      import org.apache.spark.sql.{functions => F}
+      val dirP = newTempDir("graft_bench_pqprune")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+          F.col("l_orderkey").cast("int").as("l_orderkey"),
+          F.col("l_quantity").cast("float").as("l_quantity"),
+          F.col("l_returnflag"))
+      // shuffled twin: order by a hash so every file's [min,max] spans
+      // the whole key domain (lineitem's NATURAL order is already
+      // near-sorted by orderkey — it would prune almost as well as the
+      // sorted twin and measure nothing)
+      li.orderBy(F.hash(F.col("l_orderkey"), F.col("l_quantity")))
+        .write.option("maxRecordsPerFile", "16384")
+        .mode("overwrite").parquet(s"$dirP/shuffled")
+      li.orderBy("l_orderkey")
+        .write.option("maxRecordsPerFile", "16384")
+        .mode("overwrite").parquet(s"$dirP/sorted")
+      def q(path: String) = spark.read.parquet(path)
+        .filter(F.col("l_orderkey") >= 10000 && F.col("l_orderkey") < 20000)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
+      val a = probe(spark, "q06_parquet_unpruned") { q(s"$dirP/shuffled") }
+      val b = probe(spark, "q06_parquet_pruned") { q(s"$dirP/sorted") }
+      (a, b)
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -577,6 +614,8 @@ object Bench {
         :+ ("q06_blockfile_600krows" -> blockfileQ1)
         :+ ("q06_blockfile_unzoned" -> bfUnzoned)
         :+ ("q06_blockfile_zoned" -> bfZoned)
+        :+ ("q06_parquet_unpruned" -> pqShuffled)
+        :+ ("q06_parquet_pruned" -> pqPruned)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")

@@ -968,6 +968,36 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- heavy-hitter sketch-store COMPACTION (round-7 verdict ask
+    //      #8): four per-batch shard segments (the streaming sink's
+    //      growth shape) merge into ONE via the weighted Misra-Gries
+    //      merge; the merged query must be IDENTICAL before and after
+    //      (the mergeable-summaries guarantee), and the store must
+    //      shrink to a single segment — the oracle replays the
+    //      brute-force answer for both phases ----
+    "q240_hh_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = stagingDir("graft_hh_compact") + "/store"
+      (0 until 4).foreach { i =>
+        Scale.writeHeavyHitterSketches(
+          docs.filter(F.col("doc_id") % 4 === i)
+            .withColumn("_shard", F.lit(i.toString)),
+          "text", "_shard", k = 32, s"$store/shard-$i")
+      }
+      // materialize the pre-compaction answer NOW — the store mutates
+      // underneath a lazy plan otherwise
+      val before = Scale.mergedHeavyHitters(docs, "text", s,
+        s"$store/shard-*", k = 32).withColumn("phase", F.lit("before"))
+        .localCheckpoint(true)
+      Scale.compactHeavyHitterSketches(s, store, k = 32)
+      val segs = Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("shard-"))
+      require(segs == 1, s"compaction left $segs segments, expected 1")
+      val after = Scale.mergedHeavyHitters(docs, "text", s,
+        s"$store/shard-*", k = 32).withColumn("phase", F.lit("after"))
+      before.unionAll(after)
+    }),
+
     // ---- bivariate statistics through the dialect: Pearson
     //      correlation (scale-invariant, so the sample/population
     //      distinction cancels and both engines agree) plus both
@@ -3698,6 +3728,19 @@ object SparkEntry {
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |      FROM t GROUP BY token)
         |SELECT token, cnt FROM c, n WHERE cnt * 33 > total""".stripMargin,
+
+    // the q186 k=32 brute-force replay for BOTH phases — compaction
+    // must not move the merged answer by a single row or count
+    "q240_hh_compaction" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |n AS (SELECT count(*) AS total FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY token)
+        |SELECT token, cnt, 'before' AS phase FROM c, n WHERE cnt * 33 > total
+        |UNION ALL
+        |SELECT token, cnt, 'after' AS phase FROM c, n WHERE cnt * 33 > total""".stripMargin,
 
     // the q186 k=32 brute-force replay — the sharded/merged pipeline
     // must land the identical heavy-hitter set and counts

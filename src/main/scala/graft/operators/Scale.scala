@@ -331,6 +331,63 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a GROWING sketch store (the [[graft.streaming.Streams.heavyHitterSink]]
+    * layout: one `shard-<id>` parquet segment per ingest batch) into a
+    * single merged segment — the generation discipline the BM25 index
+    * got, applied to sketches: a long-running ingest otherwise
+    * accumulates one segment per micro-batch forever, and every merged
+    * query pays an ever-wider candidate union.
+    *
+    * The merge is the weighted Misra–Gries merge (Agarwal et al.,
+    * "Mergeable Summaries"): sum counters item-wise across shards, and
+    * if more than k survive, subtract the (k+1)-th largest summed count
+    * from every counter and keep the positives. The result is itself a
+    * valid MG summary of the CONCATENATED stream with the same 1/(k+1)
+    * error bound, so [[mergedHeavyHitters]]' superset argument holds
+    * over the compacted store exactly as over the shards.
+    *
+    * Crash-safety ordering: the compacted segment lands BEFORE the old
+    * shards are deleted. At every instant the store's candidate union is
+    * a superset of the true heavy hitters (duplicate summaries only
+    * WIDEN the union — they are never summed into final counts, because
+    * the exact-confirm pass recomputes counts from the corpus), so a
+    * crash at any point leaves a store whose merged answer is identical;
+    * the next compaction sweeps the leftovers. All shuffles are over
+    * ≤ shards·k candidate rows. */
+  def compactHeavyHitterSketches(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, k: Int): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val root = new java.io.File(path)
+    val old = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard-"))
+    if (old.length <= 1) return // a single segment is already compact
+    val summed = spark.read.parquet(old.map(_.getPath): _*)
+      .groupBy("item").agg(F.sum("count").as("count"))
+    val compacted =
+      if (summed.count() <= k) summed
+      else {
+        // (k+1)-th largest summed counter = min over the top k+1
+        val thresh = summed.orderBy(F.col("count").desc).limit(k + 1)
+          .agg(F.min("count").as("m")).head().getLong(0)
+        summed.withColumn("count", F.col("count") - thresh)
+          .filter(F.col("count") > 0)
+      }
+    val seg = s"$path/shard-compact-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    compacted
+      .select(F.lit("compacted").as("shard"), F.col("item"), F.col("count"))
+      .coalesce(1).write.parquet(seg)
+    // segment first, sweep second (see scaladoc ordering argument)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    old.foreach(rm)
+    // the session's file-status cache may still hold the swept shards'
+    // listings; a reader would then schedule tasks against deleted files
+    // and burn a retry round on FileNotFound before refreshing
+    spark.catalog.refreshByPath(path)
+  }
+
   /** EXACT whole-corpus heavy hitters from the stored shard sketches:
     * a token with global count > N/(k+1) must exceed n_s/(k+1) in at
     * least one shard (pigeonhole over Σn_s = N), so it sits in that

@@ -815,6 +815,44 @@ class ScaleSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("sketch-store compaction: merged answer invariant, store shrinks") {
+    val out = java.nio.file.Files.createTempDirectory("graft-hh-compact")
+    try {
+      val store = s"$out/store"
+      // skewed corpus over a >k vocabulary so the weighted merge's
+      // rescale path (subtract the (k+1)-th largest) actually runs
+      val docs = ((1 to 400).map(i => (i.toLong, "alpha beta alpha")) ++
+        (1 to 60).map(i => (400L + i, s"w${i % 40} beta")))
+        .toDF("doc_id", "text")
+      (0 until 4).foreach { i =>
+        Scale.writeHeavyHitterSketches(
+          docs.filter(F.col("doc_id") % 4 === i)
+            .withColumn("_s", F.lit(i.toString)),
+          "text", "_s", k = 8, s"$store/shard-$i")
+      }
+      def merged() = Scale.mergedHeavyHitters(docs, "text", spark,
+          s"$store/shard-*", k = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val before = merged()
+      assert(before.keySet == Set("alpha", "beta")) // 800 + 460 of 1320
+      Scale.compactHeavyHitterSketches(spark, store, k = 8)
+      val segs = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("shard-"))
+      assert(segs.length == 1 && segs.head.getName.startsWith("shard-compact-"))
+      assert(merged() == before) // counts exact, set identical
+      // the compacted summary respects the k bound
+      assert(spark.read.parquet(segs.head.getPath).count() <= 8)
+      // idempotent: a single segment is already compact (no-op)
+      Scale.compactHeavyHitterSketches(spark, store, k = 8)
+      assert(merged() == before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
