@@ -229,6 +229,58 @@ class OperatorsSpec extends SparkSpec {
         s"id=$id")
   }
 
+  test("AVI first-frame decode: MJPEG and raw BI_RGB fourcc paths") {
+    // MJPEG-in-AVI: real JPEG chunks; decoded geometry must be the
+    // encoder's (a header-only read could not distinguish a lying strf)
+    val mj = Multimodal.aviBytes(64, 48, nFrames = 3, mjpeg = true)
+    assert(Multimodal.decodeAviFrame(mj)
+      .contains((64, 48, 3, "MJPG", -1.0, 3.0 / 25)))
+    // raw BI_RGB: dims from BITMAPINFOHEADER; the first frame is filled
+    // with byte 200, so the exact mean is 200.0
+    val raw = Multimodal.aviBytes(32, 16, nFrames = 2, mjpeg = false, fill = 200)
+    assert(Multimodal.decodeAviFrame(raw)
+      .contains((32, 16, 2, "DIB ", 200.0, 2.0 / 25)))
+    // a codec the JDK cannot decode -> None (the stub's honest domain):
+    // flip the compression fourcc + handler of a raw file to 'cvid'
+    val alien = raw.clone()
+    def put(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => alien(off + i) = b }
+    val strfIdx = {
+      // locate 'strf' and overwrite biCompression (strf data + 16)
+      val needle = "strf".getBytes("US-ASCII")
+      (0 until alien.length - 4).find(i => needle.indices.forall(j => alien(i + j) == needle(j))).get
+    }
+    put(strfIdx + 8 + 16, "cvid")
+    val strhIdx = {
+      val needle = "strh".getBytes("US-ASCII")
+      (0 until alien.length - 4).find(i => needle.indices.forall(j => alien(i + j) == needle(j))).get
+    }
+    put(strhIdx + 8 + 4, "cvid")
+    assert(Multimodal.decodeAviFrame(alien).isEmpty)
+    // ...but decodePayload still yields a row for it via the stub
+    assert(Multimodal.decodePayload("video", alien) ==
+      Multimodal.fakeDecode(alien))
+    // non-AVI / truncated bytes -> None, never a throw
+    assert(Multimodal.decodeAviFrame("RIFFnope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAviFrame(mj.take(40)).isEmpty)
+    // decodePayload's video dispatch covers BOTH container families
+    assert(Multimodal.decodePayload("video", mj) == ((64, 48, 3.0 / 25)))
+    // distributed plumbing: per-id stats for a mixed MJPEG/raw corpus
+    val ids = Seq(2L, 5L, 40L).toDF("doc_id")
+    val out = Multimodal.decodeAviFrameStats(
+        Multimodal.synthesizeAviVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5)))).toMap
+    for (id <- Seq(2L, 5L, 40L)) {
+      val exp = ((if (id % 2 == 0) "MJPG" else "DIB"),
+        (16 + (id % 4) * 16).toInt, (16 + ((id * 3) % 5) * 16).toInt,
+        (1 + id % 4).toInt,
+        if (id % 2 == 0) -1.0 else ((id * 13) % 251).toDouble)
+      assert(out(id) == exp, s"id=$id")
+    }
+  }
+
   test("classifier quality: integer logit equals hand-derived embedding dot") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
     // weights = e_0 selector: logit must equal the micro-unit value of
