@@ -648,8 +648,20 @@ object Bench {
       "q06_x10_rawlayout is its no-ingest twin (10 paths of the " +
       "single-row-group file); raw-layout probes get 11 reps (they are " +
       "single-task by construction, so they measure single-thread " +
-      "decode + machine state); every entry has a [min,max] spread; " +
-      "compare canary_32task_sec and load before attributing " +
+      "decode + machine state); every entry has a [min,max] spread. " +
+      "In-sweep medians of sub-0.5s queries carry a ~0.1-0.15s " +
+      "driver-side floor (per-rep Catalyst planning + codegen + the " +
+      "footer-read job, honestly charged by the by-name timing): " +
+      "bench_stages shows q52 at ~0.10s/rep of actual stage wall " +
+      "against a ~0.24s median and q44 at ~0.24s (one 31-task " +
+      "scan+salted-partial-agg wave ~0.15s + two tiny shuffle stages) " +
+      "against ~0.39s — both match their isolated split-experiment " +
+      "medians (0.14s / 0.22s) once that constant is added; at real " +
+      "scale the floor amortizes to zero. The same floor explains why " +
+      "the staged and raw flagship layouts now agree at sf0.1 " +
+      "(~0.29s): 600k rows decode in ~0.25s even single-threaded, so " +
+      "the layout delta only emerges at the 6M-row probe volume and " +
+      "beyond; compare canary_32task_sec and load before attributing " +
       "cross-round deltas to code"
     val json =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""

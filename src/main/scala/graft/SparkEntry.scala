@@ -914,6 +914,31 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- UPDATE through the dialect: copy-on-write column rewrite
+    //      completing the DML triad — matched rows (predicate TRUE
+    //      only) carry the SET expressions, everything else unchanged,
+    //      committed as a new version while v1 stays time-travelable;
+    //      the oracle replays the rewrite as CASE over the source and
+    //      the v1 read as the untouched source ----
+    "q242_sql_update" -> ((s, dir) => {
+      val path = stagingDir("graft_sql_update") + "/ds"
+      Versioned.commit(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        path)
+      val eng = Engine(s, dir)
+      eng.sql(s"UPDATE '$path' SET lang = 'und', " +
+        "n_chars = n_chars * 2 WHERE source = 'web' AND n_chars < 900")
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang
+           |UNION ALL
+           |SELECT 'v1:' + lang AS lang, n, chars FROM (
+           |  SELECT lang, COUNT() AS n,
+           |    CAST(SUM(n_chars) AS BIGINT) AS chars
+           |  FROM '$path' FOR VERSION AS OF 1 GROUP BY lang) v1""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -4273,6 +4298,22 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // the head replays as CASE over the source (matched rows rewritten),
+    // v1 as the source untouched — both groupings in one statement
+    "q242_sql_update" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN source = 'web' AND n_chars < 900
+        |         THEN 'und' ELSE lang END AS lang,
+        |    CASE WHEN source = 'web' AND n_chars < 900
+        |         THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM u GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1:' || lang AS lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // versions replay as filters over the source; the VALUES batch adds
     // two literal rows to the head (SUM over BIGINT → HUGEINT in DuckDB,

@@ -206,6 +206,33 @@ object SqlParser {
       cq
     }
 
+    /** UPDATE's `SET col = expr [, col = expr]...` list — right-hand
+      * sides get the full dialect expression grammar (CASE, functions,
+      * concatenation, the works). */
+    def parseSetList(): Seq[(String, Col)] = {
+      val out = ListBuffer.empty[(String, Col)]
+      def one(): Unit = {
+        val name = next() match {
+          case TIdent(n) => n
+          case t => throw new ParseError(
+            s"Expected a column name in SET, got ${t.text}")
+        }
+        peek match {
+          case TOp("=") => pos += 1
+          case t => throw new ParseError(
+            s"Expected '=' after SET $name, got ${t.text}")
+        }
+        out += ((name, parseOr()))
+      }
+      one()
+      while (accept(",")) one()
+      peek match {
+        case TEOF => ()
+        case t    => throw new ParseError(s"Trailing input at '${t.text}'")
+      }
+      out.toSeq
+    }
+
     /** A [WITH ...] compound without the trailing `;`/EOF check, so it
       * can also parse a parenthesized CTE body. */
     private def parseCompoundBody(): CompoundQuery = {
@@ -906,6 +933,10 @@ object SqlParser {
   /** Parse a (possibly set-op-combined) query. */
   def parseCompound(sql: String): CompoundQuery =
     new P(tokenize(sql)).parseCompound()
+
+  /** Parse an UPDATE statement's SET assignment list. */
+  def parseSetAssignments(sql: String): Seq[(String, Col)] =
+    new P(tokenize(sql)).parseSetList()
 
   /** Parse a single query block; a compound query is a parse error here
     * (legacy single-block entry point — the engine uses [[parseCompound]]). */

@@ -424,6 +424,50 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE rewrites matched rows copy-on-write; NULL predicate keeps rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-update")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      Versioned.commit(Seq(
+        (1L, "en", 10L), (2L, "de", 20L), (3L, null.asInstanceOf[String], 30L)
+      ).toDF("id", "lang", "n"), ds)
+      // matched row rewritten (both columns), NULL-predicate row (lang
+      // IS NULL makes lang != 'en' NULL) untouched — the DELETE mirror
+      val r = engine.sql(
+        s"UPDATE '$ds' SET lang = 'xx', n = n + 100 WHERE lang != 'en'")
+        .df.collect().head
+      assert(r.getLong(0) == 2L && r.getLong(1) == 1L) // v2, 1 row updated
+      val rows2 = engine.sql(s"SELECT id, lang, n FROM '$ds'").df
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+      assert(rows2 == Set((1L, "en", 10L), (2L, "xx", 120L), (3L, null, 30L)))
+      // v1 still serves the pre-update snapshot
+      assert(rows(engine.sql(
+        s"SELECT id FROM '$ds' FOR VERSION AS OF 1 WHERE lang = 'de'").df) ==
+        Set(Seq(2L)))
+      // SET expressions keep the column's committed type (n stays long)
+      assert(engine.sql(s"SELECT n FROM '$ds'").df.schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // error paths: unknown column, subquery in SET, non-versioned path
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"UPDATE '$ds' SET nope = 1 WHERE id = 1")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"UPDATE '$ds' SET n = (SELECT MAX(n) FROM '$ds') " +
+          "WHERE id = 1")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"UPDATE '$out/nowhere' SET x = 1 WHERE 1 = 1")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
