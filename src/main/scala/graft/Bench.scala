@@ -141,28 +141,47 @@ object Bench {
       // 512 KB) staged the 5,000-row `documents` table as ONE split and
       // serialized every regex/hash-heavy doc scan on one core of 32
       // (round-7 verdict #1: q87 2.06×, q110 1.83×, q52 1.42×). The
-      // compressed row width discriminates the two workload shapes:
-      //   - WIDE rows (≥64 B compressed — long text / embedding arrays)
-      //     mean per-row CPU dominates decode, so fan out BY ROWS.
-      //     Measured (round-8 split experiment, medians of 3):
-      //     documents@1 split q87=0.420s q110=0.377s q52=0.279s;
-      //     @32 splits 0.109s / 0.133s / 0.140s — monotone to the cap.
-      //   - NARROW rows (numeric TPC-H tables) decode in bulk, so a
-      //     split must carry real volume or scheduling overhead wins
-      //     (round 6: events at 15 splits quadrupled q19). Measured:
-      //     lineitem flagship 0.402s@4, 0.214s@8, flat 0.21-0.22 through
-      //     32; events q19 best at 2-4 splits (0.153-0.159s), worse at
-      //     8 (0.178s). Floors: ~512 KB AND ~20k rows per split.
-      // At real scale both branches hit the core cap immediately (any
-      // 100 GB table does) — the floors only protect the small-SF bench.
+      // discriminator is STRING-heavy rows (compressed width ≥64 B AND a
+      // string column): per-row regex/hash CPU dominates decode there,
+      // so fan out BY ROWS. Measured (round-8 split experiment, medians
+      // of 3): documents@1 split q87=0.420s q110=0.377s q52=0.279s; @10
+      // splits 0.167/0.147/0.139s; @32 0.109/0.133/0.140s. 32 is NOT
+      // the right point despite winning the narrow scans: a full r8
+      // sweep at 32 splits (documents AND embeddings) put ~0.1s of task
+      // scheduling under every aggregating query over those tables and
+      // regressed the ANN family 1.5-2x (q32 0.132→0.257, q27
+      // 0.209→0.471) — embeddings is numeric vector data whose per-row
+      // cost never justified fan-out at all, hence the StringType guard.
+      // NARROW numeric tables decode in bulk, so a split must carry
+      // real volume or scheduling overhead wins (round 6: events at 15
+      // splits quadrupled q19; measured: flagship 0.402s@4 lineitem
+      // splits, flat 0.21-0.22 from 8 through 32; events q19/q42 a wash
+      // at 2 vs 4). At real scale every branch hits the core cap
+      // immediately (any 100 GB table does) — the floors only protect
+      // the small-SF bench.
       val rows = df.count()
       val bytes = tableBytes(f)
       val rowWidth = bytes / math.max(1L, rows)
+      val textHeavy = rowWidth >= 64 && df.schema.exists(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      // rows/500 (documents: 10 splits), NOT rows/150 (32): the first
+      // r8 sweep fanned documents AND embeddings to 32 single-task-wave
+      // splits — narrow regex scans got 2-4x faster but every
+      // aggregating query over those tables paid ~0.1s of extra task
+      // scheduling and the ANN family regressed 1.5-2x (embeddings is
+      // numeric vector data; its per-row cost never justified the
+      // fan-out, hence the StringType guard). 10 splits keeps q87 at
+      // ~0.17s isolated (vs 0.42 at 1, 0.11 at 32) without taxing the
+      // shuffle/agg fleet.
+      // narrow numeric tables keep round 7's exact floors: the split
+      // experiment measured the flagship FLAT from 8 through 32 lineitem
+      // splits (0.21-0.22s) and events q19/q42 a wash at 2 vs 4, so
+      // changing them buys nothing and muddies round-over-round compares
       val splits =
-        if (rowWidth >= 64)
-          math.min(ways.toLong, math.max(1L, rows / 150L)).toInt
+        if (textHeavy)
+          math.min(ways.toLong, math.max(1L, rows / 500L)).toInt
         else math.max(1L, Seq(
-          ways.toLong, bytes / (512 * 1024), rows / 20000L).min).toInt
+          ways.toLong, bytes / (512 * 1024), rows / 50000L).min).toInt
       if (splits > 1)
         df.write.option("maxRecordsPerFile", (rows / splits + 1).toString)
           .mode("overwrite").parquet(out)
@@ -632,18 +651,23 @@ object Bench {
     // attribution notes the artifact's reader needs (round-6 verdict
     // asks #1/#2): what was timed, how staging changed, what the env
     // fingerprint is for
-    val notes = "staging is order-preserving maxRecordsPerFile splits, " +
-      "sized by compressed row width: wide rows (>=64B: documents, " +
-      "embeddings) fan out by rows (min(cores, rows/150) — round 7 " +
-      "staged documents as ONE split and serialized the doc-scan " +
-      "family: measured q87 0.420s@1 split vs 0.109s@32, q110 0.377s " +
-      "vs 0.133s, q52 0.279s vs 0.140s), narrow numeric rows keep " +
-      "volume floors (512KB AND 20k rows per split: flagship measured " +
-      "0.402s@4 splits, flat 0.21-0.22s from 8 through 32; events q19 " +
-      "best at 2-4 splits). Round 7's flagship 0.528s was machine " +
-      "state, not the 12-split staging: the split experiment re-ran " +
-      "12 splits at 0.222s median on an idle box (r7 load_before was " +
-      "4.59); q44 likewise re-measured 0.22s at 12 AND 20 splits. " +
+    val notes = "staging is order-preserving maxRecordsPerFile splits: " +
+      "STRING-heavy tables (compressed row width >=64B with a string " +
+      "column, i.e. documents) fan out by rows (min(cores, rows/500) = " +
+      "10 splits — round 7 staged documents as ONE split and " +
+      "serialized the doc-scan family: measured q87 0.420s@1 split, " +
+      "0.167s@10, 0.109s@32; 10 not 32 because a full sweep at 32 " +
+      "splits (documents AND embeddings) taxed every aggregating query " +
+      "over those tables ~0.1s of task scheduling and regressed the " +
+      "ANN family 1.5-2x, so embeddings stays un-fanned — numeric " +
+      "vector rows never justified it), narrow numeric tables keep " +
+      "round 7's exact volume floors (512KB AND 50k rows per split: " +
+      "flagship measured 0.402s@4 lineitem splits, flat 0.21-0.22s " +
+      "from 8 through 32, so the round-7 12-split staging stands). " +
+      "Round 7's flagship 0.528s was machine state, not the staging: " +
+      "the split experiment re-ran 12 splits at 0.222s median on an " +
+      "idle box (r7 load_before was 4.59); q44 likewise re-measured " +
+      "0.22s at 12 AND 20 splits. " +
       "q06_x10_6Mrows reads a pre-staged real 6M-row table, " +
       "q06_x10_rawlayout is its no-ingest twin (10 paths of the " +
       "single-row-group file); raw-layout probes get 11 reps (they are " +
@@ -651,18 +675,16 @@ object Bench {
       "decode + machine state); every entry has a [min,max] spread. " +
       "In-sweep medians of sub-0.5s queries carry a ~0.1-0.15s " +
       "driver-side floor (per-rep Catalyst planning + codegen + the " +
-      "footer-read job, honestly charged by the by-name timing): " +
-      "bench_stages shows q52 at ~0.10s/rep of actual stage wall " +
-      "against a ~0.24s median and q44 at ~0.24s (one 31-task " +
-      "scan+salted-partial-agg wave ~0.15s + two tiny shuffle stages) " +
-      "against ~0.39s — both match their isolated split-experiment " +
-      "medians (0.14s / 0.22s) once that constant is added; at real " +
-      "scale the floor amortizes to zero. The same floor explains why " +
-      "the staged and raw flagship layouts now agree at sf0.1 " +
-      "(~0.29s): 600k rows decode in ~0.25s even single-threaded, so " +
-      "the layout delta only emerges at the 6M-row probe volume and " +
-      "beyond; compare canary_32task_sec and load before attributing " +
-      "cross-round deltas to code"
+      "footer-read job, honestly charged by the by-name timing — " +
+      "bench_stages.json carries the per-stage wall to subtract): " +
+      "q44 and q52's in-sweep medians sit that constant above their " +
+      "isolated split-experiment medians (0.22s / 0.14s) with the " +
+      "identical plans; at real scale the floor amortizes to zero. " +
+      "The same floor is why the staged and raw flagship layouts " +
+      "nearly agree at sf0.1: 600k rows decode in ~0.25s even " +
+      "single-threaded, so the layout delta only emerges at the " +
+      "6M-row probe volume and beyond; compare canary_32task_sec and " +
+      "load before attributing cross-round deltas to code"
     val json =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""
 
