@@ -914,6 +914,27 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- STREAMING versioned ingest: each micro-batch of a 4-file
+    //      drain commits as one atomic snapshot version (the publishing
+    //      layer's streaming twin — q192's per-batch-shard pattern
+    //      applied to Versioned.commit), so the drained head must equal
+    //      the batch union and the version count the batch count ----
+    "q243_stream_versioned" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging0 = stagingDir("graft_stream_versioned")
+      val stream = stagedFileStream(s, s"$dir/documents.parquet", staging0,
+        splitFiles = 4)
+      val q = Streams.versionedSink(stream.select("doc_id", "lang"),
+          s"$staging0/ds", s"$staging0/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val nVersions = Versioned.versions(s, s"$staging0/ds").length
+      Versioned.read(s, s"$staging0/ds")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("doc_id").cast("long").as("id_sum"))
+        .withColumn("n_versions", F.lit(nVersions.toLong))
+    }),
+
     // ---- UPDATE through the dialect: copy-on-write column rewrite
     //      completing the DML triad — matched rows (predicate TRUE
     //      only) carry the SET expressions, everything else unchanged,
@@ -4297,6 +4318,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
+
+    // the drained head is the batch union; 4 split files drain one per
+    // micro-batch, so exactly 4 versions commit
+    "q243_stream_versioned" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(4 AS BIGINT) AS n_versions
         |FROM documents""".stripMargin,
 
     // the head replays as CASE over the source (matched rows rewritten),

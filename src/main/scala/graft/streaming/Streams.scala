@@ -589,6 +589,29 @@ object Streams {
       }
   }
 
+  /** Streaming VERSIONED-dataset ingest — the publishing layer's
+    * streaming twin: every micro-batch commits as one atomic snapshot
+    * version via [[graft.sources.Versioned.commit]] (`append = true`),
+    * so a concurrent reader always resolves a fully-committed manifest
+    * (never a half-written batch), consumers can pin the version they
+    * trained on while the stream keeps ingesting, and the SQL surface
+    * (`FOR VERSION AS OF` / DELETE / VACUUM / UPDATE) applies to the
+    * live feed unchanged. After a drain of N batches the head version
+    * reads back as the batch union exactly.
+    *
+    * Replay caveat (honest, the [[bm25IndexSink]] one): the manifest
+    * commit is not tied to the checkpoint commit, so a batch replayed
+    * after a crash in between would commit twice — VACUUM + a keyed
+    * dedup on read recovers, or rebuild for exact recovery.
+    * Steady-state commits are atomic. */
+  def versionedSink(docs: DataFrame, path: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.commit(batch, path, append = true): Unit
+      }
+
   /** Streaming corpus-statistics ingest: every micro-batch persists its
     * own fixed-width histogram shard
     * ([[graft.operators.Scale.writeHistogramSketches]]) under
