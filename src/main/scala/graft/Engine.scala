@@ -60,6 +60,20 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$""".r
 
+  /** `DESCRIBE '<table>'` / `DESCRIBE <name>` (extension): one row per
+    * column — (column_name, column_type, nullable) — through the same
+    * resolution FROM uses, so parquet, `.bin` BlockFiles and Versioned
+    * heads all describe identically. Types print in Spark DDL
+    * lower-case (`bigint`, `string`, `array<float>`). Planning-only:
+    * reads footers/headers, never data. */
+  private val DescribeRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
+
+  /** `SHOW TABLES` (extension): the `.parquet`/`.bin` tables of the
+    * engine's base directory, one (table_name, format) row each — the
+    * minimal catalog surface over a directory-of-files data layout. */
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+
   /** `UPDATE '<versioned-ds>' SET col = expr [, ...] WHERE <pred>`
     * (extension): copy-on-write update completing the DML triad
     * (INSERT / UPDATE / DELETE) — commits a NEW version where rows
@@ -135,6 +149,40 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         java.util.List.of(Row(v, n)),
         StructType(Seq(StructField("version", LongType, nullable = false),
           StructField("n_rows", LongType, nullable = false)))))
+    case DescribeRe(quoted, bare) =>
+      val ref = if (quoted != null) quoted else bare
+      val df = table(ref).df
+      import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+      val rows = df.schema.fields.toSeq.map(f =>
+        Row(f.name, f.dataType.sql.toLowerCase, f.nullable))
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("column_name", StringType, nullable = false),
+          StructField("column_type", StringType, nullable = false),
+          StructField("nullable", BooleanType, nullable = false)))))
+    case ShowTablesRe() =>
+      val dir = baseDir.getOrElse(throw new SemanticError(
+        "SHOW TABLES needs an engine base directory (tables are files; " +
+        "without a directory there is nothing to list)"))
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".bin"))
+        .sortBy(_.getName)
+        .map { f =>
+          val (name, fmt) =
+            if (f.getName.endsWith(".bin")) (f.getName, "blockfile")
+            else (f.getName.stripSuffix(".parquet"), "parquet")
+          Row(name, fmt)
+        }
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(files).asJava),
+        StructType(Seq(
+          StructField("table_name", StringType, nullable = false),
+          StructField("format", StringType, nullable = false)))))
     case UpdateRe(target, setText, cond) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)

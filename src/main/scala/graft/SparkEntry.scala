@@ -914,6 +914,18 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- DESCRIBE through the dialect: one row per column with Spark
+    //      DDL types — the schema-inspection surface; planning-only
+    //      (footers, never data); oracle = the known schema as literal
+    //      rows, so a type-mapping drift fails the hash ----
+    "q244_sql_describe" -> ((s, dir) =>
+      Engine(s, dir).sql("DESCRIBE documents").df),
+
+    // ---- SHOW TABLES: the minimal catalog surface over the
+    //      directory-of-files layout (name + format per table) ----
+    "q245_sql_show_tables" -> ((s, dir) =>
+      Engine(s, dir).sql("SHOW TABLES").df),
+
     // ---- STREAMING versioned ingest: each micro-batch of a 4-file
     //      drain commits as one atomic snapshot version (the publishing
     //      layer's streaming twin — q192's per-batch-shard pattern
@@ -4319,6 +4331,25 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // the documents schema as literal rows — Spark DDL type names
+    // lower-cased; a drifted type mapping or nullability read fails
+    "q244_sql_describe" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'bigint', true), ('text', 'string', true),
+        |  ('lang', 'string', true), ('source', 'string', true),
+        |  ('n_chars', 'bigint', true))
+        |t(column_name, column_type, nullable)""".stripMargin,
+
+    // the test dirs ship exactly these ten parquet tables
+    "q245_sql_show_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 'parquet'), ('documents', 'parquet'),
+        |  ('embeddings', 'parquet'), ('events', 'parquet'),
+        |  ('lineitem', 'parquet'), ('nation', 'parquet'),
+        |  ('orders', 'parquet'), ('part', 'parquet'),
+        |  ('region', 'parquet'), ('supplier', 'parquet'))
+        |t(table_name, format)""".stripMargin,
 
     // the drained head is the batch union; 4 split files drain one per
     // micro-batch, so exactly 4 versions commit

@@ -424,6 +424,36 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE covers every table format; SHOW TABLES lists the base dir") {
+    // parquet table: one (name, type, nullable) row per column
+    val d = engine.sql("DESCRIBE fruits").df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(d("fruit") == "string" && d("quantity") == "int")
+    // a BlockFile created by CTAS describes through the same statement
+    val out = java.nio.file.Files.createTempDirectory("graft-describe")
+    try {
+      engine.sql(s"CREATE TABLE '$out/f.bin' AS SELECT fruit, " +
+        "CAST(quantity AS INTEGER) AS q FROM fruits")
+      val b = engine.sql(s"DESCRIBE '$out/f.bin'").df.collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(b == Map("fruit" -> "string", "q" -> "int"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+    // SHOW TABLES: the fixture dir's four parquet tables, name-sorted
+    val t = engine.sql("SHOW TABLES").df.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(t.map(_._1).toSeq == Seq("fruits", "orders", "users", "vecs"))
+    assert(t.forall(_._2 == "parquet"))
+    // without a base directory there is nothing to list — loud reject
+    assertThrows[graft.sql.SemanticError] {
+      new Engine(spark, None).sql("SHOW TABLES")
+    }
+  }
+
   test("UPDATE rewrites matched rows copy-on-write; NULL predicate keeps rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-update")
     try {
