@@ -267,16 +267,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             Map.empty).df
         case _ => evalCompound(SqlParser.parseCompound(body), Map.empty).df
       }
-      // positional alignment with casts (standard INSERT): arity must
-      // match; types coerce to the target's — so `VALUES (1, 'x')` fits
-      // a (BIGINT, VARCHAR) table without explicit casts
+      // positional alignment with casts (standard INSERT): the target's
+      // columns align positionally with casts (`VALUES (1, 'x')` fits a
+      // (BIGINT, VARCHAR) table); EXTRA trailing columns pass through as
+      // schema EVOLUTION on Versioned targets (the commit's prefix rule
+      // validates; older segments then read NULL for them) and reject
+      // loudly in the BlockFile writer (the .bin format is fixed-width,
+      // no evolution story). Fewer columns than the target is always an
+      // error — silent null-padding hides a broken pipeline.
       val df = targetSchema match {
         case Some(ts) =>
-          if (incoming.columns.length != ts.length) throw new SemanticError(
+          if (incoming.columns.length < ts.length) throw new SemanticError(
             s"INSERT arity mismatch: target '$resolved' has ${ts.length} " +
             s"columns, the inserted query produces ${incoming.columns.length}")
-          incoming.select(incoming.columns.zip(ts.fields).map {
-            case (c, f) => incoming.col(c).cast(f.dataType).as(f.name)
+          incoming.select(incoming.columns.zipWithIndex.map { case (c, i) =>
+            if (i < ts.length)
+              incoming.col(c).cast(ts.fields(i).dataType).as(ts.fields(i).name)
+            else incoming.col(c)
           }: _*)
         case None => incoming
       }

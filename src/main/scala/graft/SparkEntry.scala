@@ -914,6 +914,27 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- SCHEMA EVOLUTION through the publishing layer: a widening
+    //      INSERT adds a trailing column mid-dataset-life WITHOUT
+    //      rewriting prior segments (at 100 TB that rewrite is the
+    //      whole corpus); merged reads serve NULL for the new column on
+    //      pre-widening rows, which COUNT(col) then skips — the oracle
+    //      replays exactly that null pattern from the source ----
+    "q246_schema_evolution" -> ((s, dir) => {
+      val path = stagingDir("graft_evolution") + "/ds"
+      val eng = Engine(s, dir)
+      eng.sql(s"INSERT INTO '$path' SELECT doc_id, lang FROM documents " +
+        "WHERE doc_id % 2 = 0")
+      eng.sql(s"INSERT INTO '$path' SELECT doc_id, lang, n_chars " +
+        "FROM documents WHERE doc_id % 2 = 1")
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n, COUNT(n_chars) AS n_scored,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_scored", F.col("n_scored").cast("long"))
+    }),
+
     // ---- DESCRIBE through the dialect: one row per column with Spark
     //      DDL types — the schema-inspection surface; planning-only
     //      (footers, never data); oracle = the known schema as literal
@@ -4331,6 +4352,15 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // pre-widening rows carry NULL n_chars (COUNT(col)/SUM skip them);
+    // the replay reproduces that null pattern with CASE
+    "q246_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_scored,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // the documents schema as literal rows — Spark DDL type names
     // lower-cased; a drifted type mapping or nullability read fails

@@ -67,9 +67,16 @@ object Versioned {
     * readable, their segments are simply no longer referenced by the
     * head). Returns the committed version number.
     *
-    * Appends enforce schema equality (names + types, in order) against
-    * the previous head — silent schema drift inside one dataset is how
-    * a downstream trainer gets garbage columns at read time. */
+    * Appends enforce schema compatibility against the previous head:
+    * the committed columns (names + types, in order) must be a PREFIX
+    * of the incoming frame's — identical appends pass unchanged, and an
+    * append may WIDEN the dataset with extra trailing columns (schema
+    * EVOLUTION: a new signal column arriving mid-corpus-life must not
+    * force a history rewrite — at 100 TB that rewrite is the whole
+    * dataset; [[read]] merges schemas so prior segments serve NULL for
+    * the new columns, the lakehouse add-column semantics). Column
+    * renames/retypes/drops still reject loudly — silent drift is how a
+    * downstream trainer gets garbage columns at read time. */
   def commit(df: DataFrame, path: String, append: Boolean = true): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
@@ -79,11 +86,16 @@ object Versioned {
       if (append && prev.nonEmpty) readManifest(spark, path, prev.last)
       else Seq.empty
     if (prevSegs.nonEmpty) {
-      val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.head}").schema
-      require(prevSchema.map(f => (f.name, f.dataType)) ==
-          df.schema.map(f => (f.name, f.dataType)),
+      // compare against the NEWEST segment — the dataset's widest
+      // schema; checking the oldest would let a later append silently
+      // narrow an evolved dataset back down
+      val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.last}").schema
+      val prevSig = prevSchema.map(f => (f.name, f.dataType))
+      val inSig = df.schema.map(f => (f.name, f.dataType))
+      require(inSig.take(prevSig.length) == prevSig,
         s"append schema mismatch at $path: committed " +
-          s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString}")
+          s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString} " +
+          "(appends may add trailing columns, never rename/retype/drop)")
     }
     // segment first (invisible until the manifest lands), commit last
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -155,7 +167,12 @@ object Versioned {
   /** Read a committed snapshot: the given `version`, or the head when
     * absent. One manifest resolution pins the read; everything after is
     * immutable-segment parquet I/O (splittable, column-pruned, filter-
-    * pushed like any parquet scan). */
+    * pushed like any parquet scan). `mergeSchema` makes an EVOLVED
+    * dataset read whole: segments written before a widening append
+    * serve NULL for the newer columns (footer-merge cost is per
+    * segment-file, not per row — negligible against the scan). A
+    * version pinned BEFORE the widening still reads with its own
+    * narrower schema, because only its segments are resolved. */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse {
@@ -164,6 +181,7 @@ object Versioned {
       all.last
     }
     val segs = readManifest(spark, path, v)
-    spark.read.parquet(segs.map(s => s"$path/data/$s"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$path/data/$s"): _*)
   }
 }

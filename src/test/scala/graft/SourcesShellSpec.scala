@@ -408,4 +408,34 @@ class SourcesShellSpec extends SparkSpec {
     assert(new java.io.File(s"$path/data").listFiles()
       .count(_.getName.startsWith("seg-")) == 1)
   }
+
+  test("versioned schema evolution: widening append, old segments read NULL") {
+    import graft.sources.Versioned
+    val path = Files.createTempDirectory("graft-evolved").toString + "/ds"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // widening append: a new trailing column arrives mid-life — no
+    // rewrite of the existing segment
+    Versioned.commit(Seq((3L, "c", 0.5)).toDF("id", "v", "score"), path)
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    assert(rows(head) == Set(
+      Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", 0.5)))
+    // a version pinned BEFORE the widening keeps its own narrow schema
+    assert(Versioned.read(spark, path, Some(1L)).columns.toSeq ==
+      Seq("id", "v"))
+    // the NEWEST segment is the compatibility baseline: an append that
+    // drops back to the narrow shape rejects (silent re-narrowing)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((4L, "d")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // renames/retypes still reject — evolution is trailing-add only
+    assertThrows[IllegalArgumentException] {
+      Versioned.commit(
+        Seq((4L, "d", 1.0)).toDF("id", "renamed", "score"), path)
+    }
+    // the widened shape keeps appending fine
+    Versioned.commit(Seq((5L, "e", 0.9)).toDF("id", "v", "score"), path)
+    assert(Versioned.read(spark, path).count() == 4)
+  }
 }
