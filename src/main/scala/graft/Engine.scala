@@ -105,7 +105,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * semantics); a SELECT body is aligned to the target schema the
     * same way when one exists. */
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+(.+)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s+(.+)$""".r
   private val InsertValuesBody = """(?is)^\s*VALUES\s+(.+)$""".r
 
   def sql(query: String): GraftFrame = query match {
@@ -226,7 +226,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("n_updated", LongType, nullable = false)))))
-    case InsertRe(quoted, bare, body) =>
+    case InsertRe(quoted, bare, colList, body) =>
       scalarCache.clear()
       val target =
         if (quoted != null) quoted
@@ -254,29 +254,41 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         } else if (graft.sources.Versioned.versions(spark, resolved).nonEmpty)
           Some(graft.sources.Versioned.read(spark, resolved, None).schema)
         else None
+      // optional explicit column list: `INSERT INTO t (a, b) ...`
+      val cols: Option[Seq[String]] =
+        Option(colList).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      cols.foreach { cs =>
+        if (cs.distinct.length != cs.length) throw new SemanticError(
+          s"INSERT column list names a column twice: ${cs.mkString(", ")}")
+      }
       val incoming = body match {
         case InsertValuesBody(valueRows) =>
-          val names = targetSchema.getOrElse(throw new SemanticError(
-            s"INSERT ... VALUES needs an existing table at '$resolved' " +
-            "to take column names from; bootstrap a fresh dataset with " +
-            "INSERT INTO ... SELECT (aliases name the columns)"))
-            .map(_.name)
+          val names = cols.orElse(targetSchema.map(_.map(_.name).toSeq))
+            .getOrElse(throw new SemanticError(
+              s"INSERT ... VALUES needs an existing table at '$resolved' " +
+              "or an explicit column list `INSERT INTO t (a, b) VALUES " +
+              "...` to name the columns"))
           evalCompound(SqlParser.parseCompound(
             s"""SELECT * FROM (VALUES $valueRows) _ins(${
               names.map(n => "\"" + n + "\"").mkString(", ")})"""),
             Map.empty).df
         case _ => evalCompound(SqlParser.parseCompound(body), Map.empty).df
       }
-      // positional alignment with casts (standard INSERT): the target's
-      // columns align positionally with casts (`VALUES (1, 'x')` fits a
-      // (BIGINT, VARCHAR) table); EXTRA trailing columns pass through as
-      // schema EVOLUTION on Versioned targets (the commit's prefix rule
-      // validates; older segments then read NULL for them) and reject
-      // loudly in the BlockFile writer (the .bin format is fixed-width,
-      // no evolution story). Fewer columns than the target is always an
-      // error — silent null-padding hides a broken pipeline.
-      val df = targetSchema match {
-        case Some(ts) =>
+      // Alignment, standard INSERT semantics:
+      //   - no column list: the target's columns align POSITIONALLY with
+      //     casts (`VALUES (1, 'x')` fits a (BIGINT, VARCHAR) table);
+      //     EXTRA trailing columns pass through as schema EVOLUTION on
+      //     Versioned targets (the commit's prefix rule validates; older
+      //     segments then read NULL for them) and reject loudly in the
+      //     BlockFile writer (fixed-width format, no evolution story).
+      //     FEWER columns than the target is an error — SILENT
+      //     null-padding hides a broken pipeline;
+      //   - with a column list: listed names map the incoming columns to
+      //     their target columns, and the UNLISTED target columns fill
+      //     with NULL — explicit, so not silent. Names outside the
+      //     target schema reject (widen positionally instead).
+      val df = (targetSchema, cols) match {
+        case (Some(ts), None) =>
           if (incoming.columns.length < ts.length) throw new SemanticError(
             s"INSERT arity mismatch: target '$resolved' has ${ts.length} " +
             s"columns, the inserted query produces ${incoming.columns.length}")
@@ -285,7 +297,30 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               incoming.col(c).cast(ts.fields(i).dataType).as(ts.fields(i).name)
             else incoming.col(c)
           }: _*)
-        case None => incoming
+        case (Some(ts), Some(cs)) =>
+          cs.find(c => !ts.fieldNames.contains(c)).foreach(c =>
+            throw new SemanticError(
+              s"INSERT column list names '$c', which '$resolved' does " +
+              "not have; new columns are added by a WIDENING positional " +
+              "insert, not a column list"))
+          if (incoming.columns.length != cs.length) throw new SemanticError(
+            s"INSERT arity mismatch: column list names ${cs.length} " +
+            s"columns, the inserted query produces ${incoming.columns.length}")
+          import org.apache.spark.sql.{functions => F}
+          val byName = cs.zip(incoming.columns).toMap
+          incoming.select(ts.fields.toSeq.map { f =>
+            byName.get(f.name) match {
+              case Some(c) => incoming.col(c).cast(f.dataType).as(f.name)
+              case None    => F.lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+        case (None, Some(cs)) =>
+          // fresh target: the list NAMES the new dataset's columns
+          if (incoming.columns.length != cs.length) throw new SemanticError(
+            s"INSERT arity mismatch: column list names ${cs.length} " +
+            s"columns, the inserted query produces ${incoming.columns.length}")
+          incoming.toDF(cs: _*)
+        case (None, None) => incoming
       }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       if (isBin) {
@@ -367,9 +402,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             "reads back through the BlockFile reader")
           if (fmt == "blockfile") Tables.blockFileWrite(frame.df, resolved)
           else Tables.blockFileWriteDir(frame.df, resolved)
+        case "versioned" =>
+          // bootstrap/republish a Versioned dataset from CTAS: version 1
+          // (or a fresh full snapshot on an existing dataset — prior
+          // versions stay time-travelable); INSERT INTO then appends
+          if (resolved.endsWith(".bin") || resolved.endsWith(".parquet"))
+            throw new SemanticError(
+              "USING versioned needs an extension-less target (the path " +
+              "becomes a manifest + segments dataset directory)")
+          graft.sources.Versioned.commit(frame.df, resolved,
+            append = false): Unit
         case other => throw new SemanticError(
-          s"Unknown CTAS format '$other' — USING parquet, blockfile " +
-          "or blockdir")
+          s"Unknown CTAS format '$other' — USING parquet, blockfile, " +
+          "blockdir or versioned")
       }
       table(resolved)
     case _ =>

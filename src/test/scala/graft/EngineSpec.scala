@@ -412,10 +412,40 @@ class EngineSpec extends SparkSpec {
       assertThrows[graft.sql.SemanticError] {
         engine.sql(s"INSERT INTO '$out/x.parquet' SELECT fruit FROM fruits")
       }
-      // VALUES into a FRESH path has no schema to take names from
+      // VALUES into a FRESH path with no column list has no names
       assertThrows[graft.sql.SemanticError] {
         engine.sql(s"INSERT INTO '$out/fresh' VALUES (1, 2)")
       }
+      // ... but an explicit column list names a fresh dataset's columns
+      engine.sql(s"INSERT INTO '$out/named' (id, tag) VALUES (1, 'a')")
+      assert(rows(engine.sql(s"SELECT id, tag FROM '$out/named'").df) ==
+        Set(Seq(1, "a")))
+      // column-list insert into an EXISTING table: listed names map by
+      // name (any order), unlisted columns fill with NULL — explicit,
+      // so not silent null-padding
+      engine.sql(s"INSERT INTO '$ds' (quantity, fruit) VALUES (3, 'pear')")
+      assert(rows(engine.sql(
+        s"SELECT fruit, quantity FROM '$ds' WHERE fruit = 'pear'").df) ==
+        Set(Seq("pear", 3)))
+      engine.sql(s"INSERT INTO '$ds' (fruit) VALUES ('plum')")
+      assert(rows(engine.sql(
+        s"SELECT quantity FROM '$ds' WHERE fruit = 'plum'").df) ==
+        Set(Seq(null)))
+      // a column the target lacks rejects (widen positionally instead)
+      val cl = intercept[graft.sql.SemanticError] {
+        engine.sql(s"INSERT INTO '$ds' (fruit, nope) VALUES ('x', 1)")
+      }
+      assert(cl.getMessage.contains("nope"))
+      // CTAS USING versioned bootstraps a dataset the DML triad then owns
+      engine.sql(s"CREATE TABLE '$out/vds' USING versioned AS " +
+        "SELECT fruit, quantity FROM fruits")
+      engine.sql(s"INSERT INTO '$out/vds' SELECT fruit, quantity " +
+        "FROM fruits WHERE quantity > 4")
+      assert(rows(engine.sql(s"SELECT COUNT() AS n FROM '$out/vds'").df) ==
+        Set(Seq(7L))) // 5 + the 2 appended
+      assert(rows(engine.sql(
+        s"SELECT COUNT() AS n FROM '$out/vds' FOR VERSION AS OF 1").df) ==
+        Set(Seq(5L)))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
