@@ -588,6 +588,24 @@ object Bench {
     }
     tracer.drain()
 
+    // The Versioned publishing layer's read-path overhead, measured:
+    // the identical flagship aggregation over the SAME lineitem rows
+    // committed as a Versioned snapshot (manifest resolution + merged-
+    // schema segment read) vs the staged parquet read the flagship
+    // uses. The delta is the cost of the abstraction every pipeline
+    // deliverable pays at read time — it should be one manifest read +
+    // per-segment footer merges, i.e. ~0 against the scan.
+    val versionedQ1 = {
+      val vPath = newTempDir("graft_bench_versioned") + "/lineitem_ds"
+      graft.sources.Versioned.commit(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), vPath,
+        append = false) // untimed: the publish is a per-corpus cost
+      probe(spark, "q06_versioned_600krows") {
+        SparkEntry.q1Agg(graft.sources.Versioned.read(spark, vPath))
+      }
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -635,6 +653,7 @@ object Bench {
         :+ ("q06_blockfile_zoned" -> bfZoned)
         :+ ("q06_parquet_unpruned" -> pqShuffled)
         :+ ("q06_parquet_pruned" -> pqPruned)
+        :+ ("q06_versioned_600krows" -> versionedQ1)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
