@@ -914,6 +914,26 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- INCREMENTAL consumption of a versioned dataset (the CDC
+    //      primitive): changes(from, to) reads exactly the segments
+    //      ADDED in that version range — manifest set-difference, no
+    //      data comparison — so a consumer polls versions() and
+    //      processes only what is new; the oracle replays both ranges
+    //      as filters over the source ----
+    "q247_versioned_changes" -> ((s, dir) => {
+      val path = stagingDir("graft_vchanges") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 0), path)
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 1), path)
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 2), path)
+      def stat(df: DataFrame, tag: String) =
+        df.agg(F.count(F.lit(1)).as("n"),
+            F.sum("doc_id").cast("long").as("id_sum"))
+          .withColumn("delta", F.lit(tag))
+      stat(Versioned.changes(s, path, fromVersion = 1), "v1_to_head")
+        .unionAll(stat(Versioned.changes(s, path, 0, Some(2L)), "v0_to_v2"))
+    }),
+
     // ---- SCHEMA EVOLUTION through the publishing layer: a widening
     //      INSERT adds a trailing column mid-dataset-life WITHOUT
     //      rewriting prior segments (at 100 TB that rewrite is the
@@ -4352,6 +4372,16 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // both version ranges replay as residue-class filters
+    "q247_versioned_changes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, 'v1_to_head' AS delta
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, 'v0_to_v2' AS delta
+        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
 
     // pre-widening rows carry NULL n_chars (COUNT(col)/SUM skip them);
     // the replay reproduces that null pattern with CASE

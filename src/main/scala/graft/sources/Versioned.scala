@@ -164,6 +164,42 @@ object Versioned {
         .foreach(p => fs.delete(p, true): Unit)
   }
 
+  /** Incremental read: the rows in segments ADDED after `fromVersion`,
+    * up to `toVersion` (head when absent) — the change-data-capture
+    * primitive an incremental consumer needs: poll [[versions]], read
+    * [[changes]] since the last version it processed, advance its
+    * cursor. `fromVersion = 0` reads everything. Segment-LEVEL delta by
+    * construction (segments are immutable, so "added since" is exact
+    * set difference on the manifests — no data comparison): appended
+    * versions yield exactly their new rows; a REPUBLISH (UPDATE /
+    * DELETE / append=false commit) starts a fresh segment list, so its
+    * whole snapshot appears as changes — correct for a consumer that
+    * must reprocess after a rewrite; row-level diffing between
+    * arbitrary snapshots is [[graft.operators.Dedup.corpusDiff]]'s job.
+    * Returns an empty frame (head schema) when nothing changed. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+              toVersion: Option[Long] = None): DataFrame = {
+    val all = versions(spark, path)
+    require(all.nonEmpty, s"no committed versions at $path")
+    val to = toVersion.getOrElse(all.last)
+    require(fromVersion == 0L || all.contains(fromVersion),
+      s"version $fromVersion not committed at $path")
+    require(all.contains(to), s"version $to not committed at $path")
+    require(fromVersion <= to,
+      s"changes range is backwards: from $fromVersion to $to")
+    val before =
+      if (fromVersion == 0L) Set.empty[String]
+      else readManifest(spark, path, fromVersion).toSet
+    val added = readManifest(spark, path, to).filterNot(before)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, path, Some(to)).schema)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(added.map(s => s"$path/data/$s"): _*)
+  }
+
   /** Read a committed snapshot: the given `version`, or the head when
     * absent. One manifest resolution pins the read; everything after is
     * immutable-segment parquet I/O (splittable, column-pruned, filter-

@@ -409,6 +409,34 @@ class SourcesShellSpec extends SparkSpec {
       .count(_.getName.startsWith("seg-")) == 1)
   }
 
+  test("versioned changes(): segment-level delta, empty range, republish") {
+    import graft.sources.Versioned
+    val path = Files.createTempDirectory("graft-changes").toString + "/ds"
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), path)
+    Versioned.commit(Seq((2, "b"), (3, "c")).toDF("id", "v"), path)
+    // delta (1, head] = exactly version 2's segment
+    assert(rows(Versioned.changes(spark, path, 1)) ==
+      Set(Seq(2, "b"), Seq(3, "c")))
+    // from 0 = everything; bounded to = prefix
+    assert(Versioned.changes(spark, path, 0).count() == 3)
+    assert(rows(Versioned.changes(spark, path, 0, Some(1L))) ==
+      Set(Seq(1, "a")))
+    // empty range: zero rows, head schema intact
+    val empty = Versioned.changes(spark, path, 2)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
+    // a republish (copy-on-write rewrite) starts a fresh segment list,
+    // so its WHOLE snapshot is the delta — consumers reprocess
+    Versioned.commit(Seq((9, "z")).toDF("id", "v"), path, append = false)
+    assert(rows(Versioned.changes(spark, path, 2)) == Set(Seq(9, "z")))
+    // bad cursors reject loudly
+    assertThrows[IllegalArgumentException] {
+      Versioned.changes(spark, path, 7)
+    }
+    assertThrows[IllegalArgumentException] {
+      Versioned.changes(spark, path, 2, Some(1L))
+    }
+  }
+
   test("versioned schema evolution: widening append, old segments read NULL") {
     import graft.sources.Versioned
     val path = Files.createTempDirectory("graft-evolved").toString + "/ds"
