@@ -74,6 +74,17 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * minimal catalog surface over a directory-of-files data layout. */
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
 
+  /** `SUMMARIZE '<table>'` / `SUMMARIZE <name>` (extension, the DuckDB
+    * statement): per-column dataset-card statistics — non-null count,
+    * null count, EXACT distinct count, min and max (stringified;
+    * non-orderable types get NULL min/max) — in ONE aggregation pass
+    * over the table. Exact, not approximate, so a differential oracle
+    * replays it; the corpus-stats sketch family ([[graft.operators.Scale]])
+    * is the at-scale incremental alternative when one pass over 100 TB
+    * per question is too much. */
+  private val SummarizeRe =
+    """(?is)^\s*SUMMARIZE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
+
   /** `UPDATE '<versioned-ds>' SET col = expr [, ...] WHERE <pred>`
     * (extension): copy-on-write update completing the DML triad
     * (INSERT / UPDATE / DELETE) — commits a NEW version where rows
@@ -162,6 +173,49 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("column_name", StringType, nullable = false),
           StructField("column_type", StringType, nullable = false),
           StructField("nullable", BooleanType, nullable = false)))))
+    case SummarizeRe(quoted, bare) =>
+      val df = table(if (quoted != null) quoted else bare).df
+      import org.apache.spark.sql.{functions => F}
+      import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, StructField, StructType}
+      // one aggregation pass: 4 statistics per column + the row count;
+      // the single collected row is 4·ncols + 1 scalars — bounded by the
+      // schema, never the data (the ivfCentroids bounded-collect rule)
+      val fields = df.schema.fields.toSeq
+      val aggs = fields.flatMap { f =>
+        val c = df.col(f.name)
+        // min/max only for scalar types: nested types either don't
+        // order (maps) or stringify differently across engines
+        val orderable = f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => false
+          case _ => true
+        }
+        Seq(
+          F.count(c),
+          F.count_distinct(c),
+          if (orderable) F.min(c).cast("string")
+          else F.lit(null).cast("string"),
+          if (orderable) F.max(c).cast("string")
+          else F.lit(null).cast("string"))
+      } :+ F.count(F.lit(1))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val total = r.getLong(aggs.length - 1)
+      val out = fields.zipWithIndex.map { case (f, i) =>
+        Row(f.name, f.dataType.sql.toLowerCase,
+          r.getLong(4 * i), total - r.getLong(4 * i), r.getLong(4 * i + 1),
+          if (r.isNullAt(4 * i + 2)) null else r.getString(4 * i + 2),
+          if (r.isNullAt(4 * i + 3)) null else r.getString(4 * i + 3))
+      }
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+        StructType(Seq(
+          StructField("column_name", StringType, nullable = false),
+          StructField("column_type", StringType, nullable = false),
+          StructField("n_nonnull", LongType, nullable = false),
+          StructField("n_null", LongType, nullable = false),
+          StructField("n_distinct", LongType, nullable = false),
+          StructField("min_value", StringType, nullable = true),
+          StructField("max_value", StringType, nullable = true)))))
     case ShowTablesRe() =>
       val dir = baseDir.getOrElse(throw new SemanticError(
         "SHOW TABLES needs an engine base directory (tables are files; " +

@@ -955,6 +955,13 @@ object SparkEntry {
         .withColumn("n_scored", F.col("n_scored").cast("long"))
     }),
 
+    // ---- SUMMARIZE through the dialect (the DuckDB statement): exact
+    //      per-column dataset-card stats in ONE aggregation pass —
+    //      non-null/null/distinct counts + stringified min/max; the
+    //      oracle recomputes every number per column ----
+    "q248_sql_summarize" -> ((s, dir) =>
+      Engine(s, dir).sql("SUMMARIZE documents").df),
+
     // ---- DESCRIBE through the dialect: one row per column with Spark
     //      DDL types — the schema-inspection surface; planning-only
     //      (footers, never data); oracle = the known schema as literal
@@ -4391,6 +4398,38 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
         |    AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // every statistic recomputed per column; VARCHAR casts make the
+    // min/max comparison type-free on both sides
+    "q248_sql_summarize" ->
+      """SELECT 'doc_id' AS column_name, 'bigint' AS column_type,
+        |  CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', 'string', CAST(count(text) AS BIGINT),
+        |  CAST(count(*) - count(text) AS BIGINT),
+        |  CAST(count(DISTINCT text) AS BIGINT), min(text), max(text)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', 'string', CAST(count(lang) AS BIGINT),
+        |  CAST(count(*) - count(lang) AS BIGINT),
+        |  CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', 'string', CAST(count(source) AS BIGINT),
+        |  CAST(count(*) - count(source) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT), min(source), max(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', 'bigint', CAST(count(n_chars) AS BIGINT),
+        |  CAST(count(*) - count(n_chars) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
 
     // the documents schema as literal rows — Spark DDL type names
     // lower-cased; a drifted type mapping or nullability read fails
