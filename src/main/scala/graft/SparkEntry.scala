@@ -955,6 +955,19 @@ object SparkEntry {
         .withColumn("n_scored", F.col("n_scored").cast("long"))
     }),
 
+    // ---- token-distribution DRIFT between two corpus snapshots: the
+    //      ship/no-ship observability report — top movers by per-token
+    //      KL contribution under joint-vocab add-one smoothing; the
+    //      oracle replays counts, smoothing, the pre-rounded ln and the
+    //      tie-broken top-k ----
+    "q249_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenDrift(
+        docs.filter(F.col("doc_id") % 2 === 0),
+        docs.filter(F.col("doc_id") % 2 === 1),
+        "text", k = 25)
+    }),
+
     // ---- SUMMARIZE through the dialect (the DuckDB statement): exact
     //      per-column dataset-card stats in ONE aggregation pass —
     //      non-null/null/distinct counts + stringified min/max; the
@@ -4398,6 +4411,37 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
         |    AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // counts per side, joint-vocab smoothing, the same pre-rounded ln,
+    // the same (kl desc, token) tie-break and limit
+    "q249_token_drift" ->
+      """WITH ta AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY token),
+        |cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY token),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |s AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb,
+        |    count(*) AS v FROM j),
+        |terms AS (SELECT token,
+        |    CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+        |    round(ln(((cnt_b + 1)::DOUBLE / (nb + v)::DOUBLE) /
+        |             ((cnt_a + 1)::DOUBLE / (na + v)::DOUBLE)), 9)
+        |      AS log_ratio,
+        |    round(((cnt_b + 1)::DOUBLE / (nb + v)::DOUBLE) *
+        |      round(ln(((cnt_b + 1)::DOUBLE / (nb + v)::DOUBLE) /
+        |               ((cnt_a + 1)::DOUBLE / (na + v)::DOUBLE)), 9), 12)
+        |      AS kl_term
+        |  FROM j, s)
+        |SELECT token, cnt_a, cnt_b, log_ratio, kl_term FROM terms
+        |ORDER BY kl_term DESC, token LIMIT 25""".stripMargin,
 
     // every statistic recomputed per column; VARCHAR casts make the
     // min/max comparison type-free on both sides

@@ -813,6 +813,45 @@ object TextAnalysis {
     * DIVISION LAST — one rounding at the end, replayable because the
     * summation order inside a group is made irrelevant by rounding the
     * per-token term first. */
+  /** Token-distribution DRIFT between two corpus snapshots — the
+    * release-observability report a data pipeline runs before shipping
+    * a new corpus version: which tokens moved most, by per-token KL
+    * contribution `p_b · ln(p_b / p_a)` under add-one smoothing over
+    * the JOINT vocabulary (so tokens absent on one side still score).
+    * Pairs naturally with [[graft.sources.Versioned.changes]]: `a` =
+    * the pinned release, `b` = the candidate head.
+    *
+    * Scale shape: one token aggregation per side (map-side combinable),
+    * a vocab-keyed full-outer join, a broadcast one-row totals frame,
+    * and a bounded top-k TakeOrdered — never a full sort. The ln term
+    * is pre-rounded (the [[unigramLogProb]] rule) so cross-engine ulps
+    * cannot reorder the ranking; ties break on the token.
+    *
+    * Returns the k largest positive movers (token, cnt_a, cnt_b,
+    * log_ratio, kl_term), kl_term descending. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame, name: String) =
+      df.select(F.explode(tokens(F.col(textCol))).as("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).as(name))
+    val joined = counts(a, "cnt_a")
+      .join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val stats = joined.agg(F.sum("cnt_a").as("_na"),
+      F.sum("cnt_b").as("_nb"), F.count(F.lit(1)).as("_v"))
+    val pA = (F.col("cnt_a") + 1).cast("double") /
+      (F.col("_na") + F.col("_v")).cast("double")
+    val pB = (F.col("cnt_b") + 1).cast("double") /
+      (F.col("_nb") + F.col("_v")).cast("double")
+    joined.crossJoin(F.broadcast(stats))
+      .select(F.col("token"), F.col("cnt_a"), F.col("cnt_b"),
+        F.round(F.log(pB / pA), 9).as("log_ratio"),
+        F.round(pB * F.round(F.log(pB / pA), 9), 12).as("kl_term"))
+      .orderBy(F.col("kl_term").desc, F.col("token"))
+      .limit(k)
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = stagedTf(df, textCol, idCol)
     val model = tf.groupBy("token").agg(F.sum("tf").as("cnt"))
