@@ -74,6 +74,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * minimal catalog surface over a directory-of-files data layout. */
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
 
+  /** `COPY (SELECT ...) TO '<path>' [FORMAT jsonl|csv|parquet]`
+    * (extension, DuckDB-style): task-parallel export of a query result
+    * in the interchange formats trainers and downstream tools ingest —
+    * JSONL (one document per line, the pre-training corpus format), CSV
+    * (with header), or parquet. Default follows the target extension
+    * (`.jsonl`/`.ndjson` → jsonl, `.csv` → csv, else parquet). The
+    * export is a directory of part files (every writer here is
+    * task-parallel; a single-file export would gather 100 TB through
+    * one writer) — `Tables.readJsonl`/`readCsv` and every engine FROM
+    * read such directories natively. Returns one row (n_rows, path). */
+  private val CopyRe =
+    """(?is)^\s*COPY\s*\((.+)\)\s*TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+([A-Za-z]+)\s*\)|FORMAT\s+([A-Za-z]+))?\s*$""".r
+
   /** `SUMMARIZE '<table>'` / `SUMMARIZE <name>` (extension, the DuckDB
     * statement): per-column dataset-card statistics — non-null count,
     * null count, EXACT distinct count, min and max (stringified;
@@ -173,6 +186,32 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("column_name", StringType, nullable = false),
           StructField("column_type", StringType, nullable = false),
           StructField("nullable", BooleanType, nullable = false)))))
+    case CopyRe(body, target, fmtParen, fmtBare) =>
+      scalarCache.clear()
+      val df = evalCompound(SqlParser.parseCompound(body), Map.empty).df
+      val fmt = Option(fmtParen).orElse(Option(fmtBare))
+        .map(_.toLowerCase).getOrElse {
+          if (target.endsWith(".jsonl") || target.endsWith(".ndjson")) "jsonl"
+          else if (target.endsWith(".csv")) "csv"
+          else "parquet"
+        }
+      val n = df.count()
+      fmt match {
+        case "jsonl" | "json" | "ndjson" =>
+          df.write.mode("overwrite").json(target)
+        case "csv" =>
+          df.write.mode("overwrite").option("header", "true").csv(target)
+        case "parquet" =>
+          df.write.mode("overwrite").parquet(target)
+        case other => throw new SemanticError(
+          s"Unknown COPY format '$other' — FORMAT jsonl, csv or parquet")
+      }
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(n, target)),
+        StructType(Seq(
+          StructField("n_rows", LongType, nullable = false),
+          StructField("path", StringType, nullable = false)))))
     case SummarizeRe(quoted, bare) =>
       val df = table(if (quoted != null) quoted else bare).df
       import org.apache.spark.sql.{functions => F}

@@ -955,6 +955,22 @@ object SparkEntry {
         .withColumn("n_scored", F.col("n_scored").cast("long"))
     }),
 
+    // ---- COPY TO export: task-parallel JSONL export of a query result
+    //      (the trainer-facing corpus interchange format), proven by a
+    //      full read-back round trip — the gate aggregates what was
+    //      exported, the oracle aggregates the source ----
+    "q250_sql_copy_jsonl" -> ((s, dir) => {
+      val path = stagingDir("graft_copy") + "/export.jsonl"
+      Engine(s, dir).sql(s"COPY (SELECT doc_id, lang, n_chars " +
+        s"FROM documents WHERE doc_id < 300) TO '$path' FORMAT jsonl")
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      Tables.readJsonl(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType))))
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n"),
+          F.sum("n_chars").cast("long").as("chars"))
+    }),
+
     // ---- token-distribution DRIFT between two corpus snapshots: the
     //      ship/no-ship observability report — top movers by per-token
     //      KL contribution under joint-vocab add-one smoothing; the
@@ -4411,6 +4427,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
         |    AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the exported rows are exactly the filtered source
+    "q250_sql_copy_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id < 300 GROUP BY lang""".stripMargin,
 
     // counts per side, joint-vocab smoothing, the same pre-rounded ln,
     // the same (kl desc, token) tie-break and limit

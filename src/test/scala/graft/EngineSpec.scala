@@ -454,6 +454,59 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("COPY TO exports jsonl/csv round-trippably; bad formats reject") {
+    val out = java.nio.file.Files.createTempDirectory("graft-copy")
+    try {
+      val r = engine.sql(s"COPY (SELECT fruit, quantity FROM fruits) " +
+        s"TO '$out/f.csv' FORMAT csv").df.collect().head
+      assert(r.getLong(0) == 5L)
+      import org.apache.spark.sql.types._
+      val back = graft.sources.Tables.readCsv(spark, s"$out/f.csv",
+        StructType(Seq(StructField("fruit", StringType),
+          StructField("quantity", IntegerType))))
+      assert(back.count() == 5 &&
+        back.agg(org.apache.spark.sql.functions.sum("quantity"))
+          .head().getLong(0) == 21L)
+      // extension-driven default: .jsonl target writes json lines
+      engine.sql(s"COPY (SELECT fruit FROM fruits) TO '$out/g.jsonl'")
+      assert(spark.read.json(s"$out/g.jsonl").count() == 5)
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"COPY (SELECT fruit FROM fruits) TO '$out/h' FORMAT xml")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
+  test("UPDATE and DELETE compose with an evolved (widened) dataset") {
+    val out = java.nio.file.Files.createTempDirectory("graft-evolve-dml")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      Versioned.commit(Seq((1L, "a")).toDF("id", "v"), ds)
+      // widen via SQL INSERT, then UPDATE over the merged head: the
+      // pre-widening row's NULL score must survive the rewrite of the
+      // matched row, and the republished head keeps the wide schema
+      engine.sql(s"INSERT INTO '$ds' SELECT CAST(2 AS BIGINT) AS id, " +
+        "'b' AS v, CAST(0.5 AS DOUBLE) AS score FROM fruits LIMIT 1")
+      engine.sql(s"UPDATE '$ds' SET v = 'B' WHERE id = 2")
+      val head = engine.sql(s"SELECT id, v, score FROM '$ds'").df
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+      assert(head == Set((1L, "a", null), (2L, "B", 0.5)))
+      engine.sql(s"DELETE FROM '$ds' WHERE id = 1")
+      assert(rows(engine.sql(s"SELECT id FROM '$ds'").df) == Set(Seq(2L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("DESCRIBE covers every table format; SHOW TABLES lists the base dir") {
     // parquet table: one (name, type, nullable) row per column
     val d = engine.sql("DESCRIBE fruits").df.collect()
