@@ -339,7 +339,11 @@ object Bench {
       // in-shard sort) and the two data-prep capstones (SFT: quality →
       // split → FFD; pretraining: dedup → decontaminate → concat-chunk)
       "q217_nextfit_pack", "q219_ffd_pack",
-      "q224_sft_prep", "q228_pretrain_prep")
+      "q224_sft_prep", "q228_pretrain_prep",
+      // round-8 addition: the web-crawl curation capstone (normalize →
+      // canonical-URL dedup → quality gate → rollup: narrow regex chain
+      // + one keyed min + a semi join + two aggs)
+      "q251_webcrawl_prep")
 
     // Throughput probe at the reference's published sf1 ROW COUNT: the
     // identical Q1 aggregation over the pre-staged REAL 6M-row table

@@ -955,6 +955,46 @@ object SparkEntry {
         .withColumn("n_scored", F.col("n_scored").cast("long"))
     }),
 
+    // ---- WEB-CRAWL curation capstone, the third of the data-prep trio
+    //      (SFT q224, pretraining q228): URL normalization → canonical-
+    //      URL dedup (keep the lowest doc_id per canonical URL — the
+    //      crawl re-fetch rule) → length-quality gate → per-source
+    //      report. Each doc gets a deterministically messy URL (cased
+    //      scheme, www, default port, tracking-only query, fragment)
+    //      whose CANONICAL form collides across ~10 docs per (source,
+    //      path) group — so the normalization chain IS the dedup key,
+    //      and a single wrong rule changes the keep-set and fails the
+    //      hash. The oracle states the canonical form analytically
+    //      (the chain itself is gated in full by q201). ----
+    "q251_webcrawl_prep" -> ((s, dir) => {
+      val d = F.col("doc_id")
+      val url = F.concat(
+        F.when(d % 2 === 0, "HTTPS://").otherwise("https://"),
+        F.when(d % 4 < 2, "WWW.").otherwise(F.lit("")),
+        F.upper(F.col("source")), F.lit(".Example.COM"),
+        F.when(d % 3 === 0, ":443").otherwise(F.lit("")),
+        F.lit("/page/"), (d % 97).cast("string"),
+        F.when(d % 3 === 0, F.lit("?utm_medium=em"))
+          .when(d % 3 === 1, F.concat(F.lit("?fbclid="), d.cast("string")))
+          .otherwise(F.concat(F.lit("?utm_source=feed&gclid="),
+            d.cast("string"))),
+        F.when(d % 5 === 0, "#top").otherwise(F.lit("")))
+      val withUrl = t(s, dir, "documents").select(
+        d.as("doc_id"), F.col("source"), F.col("n_chars"),
+        Web.normalizeUrl(url).as("norm_url"))
+      val keep = withUrl.groupBy("norm_url").agg(F.min("doc_id").as("doc_id"))
+      val kept = withUrl.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .filter(F.col("n_chars") >= 120 && F.col("n_chars") <= 1800)
+      withUrl.groupBy("source").agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.countDistinct("norm_url").as("n_urls"))
+        .join(kept.groupBy("source").agg(
+            F.count(F.lit(1)).as("n_kept"),
+            F.sum("n_chars").cast("long").as("chars_kept")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept", "chars_kept"))
+    }),
+
     // ---- COPY TO export: task-parallel JSONL export of a query result
     //      (the trainer-facing corpus interchange format), proven by a
     //      full read-back round trip — the gate aggregates what was
@@ -4427,6 +4467,28 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
         |    AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the canonical URL stated analytically (the normalization chain is
+    // q201's gate); then min-per-URL keep, length gate, per-source rollup
+    "q251_webcrawl_prep" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |  'https://' || lower(source) || '.example.com/page/'
+        |    || (doc_id % 97) AS nu
+        |  FROM documents),
+        |k AS (SELECT nu, min(doc_id) AS keep_id FROM u GROUP BY nu),
+        |kept AS (SELECT u.source, u.n_chars
+        |  FROM u JOIN k ON u.doc_id = k.keep_id
+        |  WHERE u.n_chars BETWEEN 120 AND 1800),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT nu) AS BIGINT) AS n_urls
+        |  FROM u GROUP BY source),
+        |ks AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |  FROM kept GROUP BY source)
+        |SELECT tot.source AS source, n_docs, n_urls,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(chars_kept, 0) AS chars_kept
+        |FROM tot LEFT JOIN ks ON tot.source = ks.source""".stripMargin,
 
     // the exported rows are exactly the filtered source
     "q250_sql_copy_jsonl" ->
