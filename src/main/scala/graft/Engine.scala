@@ -106,7 +106,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * else is untouched. Assigned expressions are cast to the column's
     * existing type so the dataset's schema NEVER drifts across versions
     * (time-travel consumers rely on it). Prior snapshots stay readable.
-    * Returns one row (version, n_updated). */
+    * Returns one row (version, n_updated).
+    *
+    * Known statement-split limitation (shared with [[DeleteRe]]): the
+    * SET/WHERE boundary is the FIRST ` WHERE ` occurrence, so a SET
+    * string literal containing the word ` WHERE ` mis-splits and fails
+    * with a parse error (loud, never silent); a tokenizer-level
+    * statement grammar is the eventual fix. */
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
 
@@ -178,7 +184,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val df = table(ref).df
       import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
       val rows = df.schema.fields.toSeq.map(f =>
-        Row(f.name, f.dataType.sql.toLowerCase, f.nullable))
+        // Locale.ROOT: 'BIGINT'.toLowerCase under tr-TR yields 'bıgınt'
+        // (dotless i) — the ILIKE lowering trap, statement-side
+        Row(f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT),
+          f.nullable))
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -190,19 +199,30 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       scalarCache.clear()
       val df = evalCompound(SqlParser.parseCompound(body), Map.empty).df
       val fmt = Option(fmtParen).orElse(Option(fmtBare))
-        .map(_.toLowerCase).getOrElse {
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse {
           if (target.endsWith(".jsonl") || target.endsWith(".ndjson")) "jsonl"
           else if (target.endsWith(".csv")) "csv"
           else "parquet"
         }
-      val n = df.count()
-      fmt match {
+      // ONE execution of the body: write, then count the EXPORT (line
+      // counts for the text formats, a columnless scan for parquet) —
+      // a count() before the write would run the whole query twice and,
+      // for a nondeterministic body, report rows from a different
+      // execution than the one exported
+      val n = fmt match {
         case "jsonl" | "json" | "ndjson" =>
           df.write.mode("overwrite").json(target)
+          spark.read.text(target).count()
         case "csv" =>
           df.write.mode("overwrite").option("header", "true").csv(target)
+          // a real CSV read-back (multiLine: embedded-newline fields are
+          // quoted by the writer and span lines — a raw line count would
+          // overcount them)
+          spark.read.option("header", "true").option("multiLine", "true")
+            .csv(target).count()
         case "parquet" =>
           df.write.mode("overwrite").parquet(target)
+          spark.read.parquet(target).count()
         case other => throw new SemanticError(
           s"Unknown COPY format '$other' — FORMAT jsonl, csv or parquet")
       }
@@ -223,14 +243,17 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val aggs = fields.flatMap { f =>
         val c = df.col(f.name)
         // min/max only for scalar types: nested types either don't
-        // order (maps) or stringify differently across engines
+        // order (maps) or stringify differently across engines; Spark
+        // also rejects DISTINCT aggregation on map type outright, so
+        // maps get NULL n_distinct rather than failing the statement
         val orderable = f.dataType match {
           case _: ArrayType | _: MapType | _: StructType => false
           case _ => true
         }
+        val distinctable = !f.dataType.isInstanceOf[MapType]
         Seq(
           F.count(c),
-          F.count_distinct(c),
+          if (distinctable) F.count_distinct(c) else F.lit(null).cast("long"),
           if (orderable) F.min(c).cast("string")
           else F.lit(null).cast("string"),
           if (orderable) F.max(c).cast("string")
@@ -239,8 +262,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val total = r.getLong(aggs.length - 1)
       val out = fields.zipWithIndex.map { case (f, i) =>
-        Row(f.name, f.dataType.sql.toLowerCase,
-          r.getLong(4 * i), total - r.getLong(4 * i), r.getLong(4 * i + 1),
+        Row(f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT),
+          r.getLong(4 * i), total - r.getLong(4 * i),
+          if (r.isNullAt(4 * i + 1)) null else r.getLong(4 * i + 1),
           if (r.isNullAt(4 * i + 2)) null else r.getString(4 * i + 2),
           if (r.isNullAt(4 * i + 3)) null else r.getString(4 * i + 3))
       }
@@ -252,7 +276,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("column_type", StringType, nullable = false),
           StructField("n_nonnull", LongType, nullable = false),
           StructField("n_null", LongType, nullable = false),
-          StructField("n_distinct", LongType, nullable = false),
+          StructField("n_distinct", LongType, nullable = true), // NULL for maps
           StructField("min_value", StringType, nullable = true),
           StructField("max_value", StringType, nullable = true)))))
     case ShowTablesRe() =>
@@ -321,14 +345,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("n_updated", LongType, nullable = false)))))
     case InsertRe(quoted, bare, colList, body) =>
       scalarCache.clear()
-      val target =
-        if (quoted != null) quoted
-        else baseDir match {
-          case Some(d) => s"$d/$bare.parquet"
-          case None => throw new SemanticError(
-            "INSERT INTO with a bare name needs an engine base " +
-            "directory; use a quoted target path instead")
-        }
+      // Tables.resolve is THE shared rule (its scaladoc: writers must
+      // land where a subsequent FROM of the same reference reads) — a
+      // hand-built '<base>/<bare>.parquet' here would resolve a bare
+      // 't.bin' differently from FROM/DESCRIBE
+      val target = if (quoted != null) quoted else {
+        if (baseDir.isEmpty) throw new SemanticError(
+          "INSERT INTO with a bare name needs an engine base " +
+          "directory; use a quoted target path instead")
+        bare
+      }
       val resolved = Tables.resolve(target, baseDir)
       if (resolved.endsWith(".parquet"))
         throw new SemanticError(
@@ -417,22 +443,36 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       if (isBin) {
-        val appended = df.count()
+        // counts from BLOCK METADATA before and after (the BlockFile
+        // source pushes a bare COUNT(*) down to the footer walk — zero
+        // column bytes): the inserted query executes exactly ONCE, in
+        // the append itself, and appended = the metadata delta
+        val before =
+          if (new java.io.File(resolved).exists())
+            Tables.blockFileRead(spark, resolved).count()
+          else 0L
         Tables.blockFileAppend(df, resolved)
         val total = Tables.blockFileRead(spark, resolved).count()
         GraftFrame.fromDF(spark.createDataFrame(
-          java.util.List.of(Row(appended, total)),
+          java.util.List.of(Row(total - before, total)),
           StructType(Seq(
             StructField("rows_appended", LongType, nullable = false),
             StructField("n_rows", LongType, nullable = false)))))
       } else {
         val v = graft.sources.Versioned.commit(df, resolved, append = true)
-        val total = graft.sources.Versioned.read(spark, resolved, None).count()
+        // count the NEW segment only (Versioned.changes scopes the read
+        // to what this statement just wrote — bounded by the append):
+        // a head count would re-scan the whole dataset after every
+        // incremental publish, the exact cost the statement exists to
+        // avoid. Cumulative totals are one `SELECT COUNT() FROM ds`
+        // away when wanted.
+        val appended = graft.sources.Versioned
+          .changes(spark, resolved, v - 1, Some(v)).count()
         GraftFrame.fromDF(spark.createDataFrame(
-          java.util.List.of(Row(v, total)),
+          java.util.List.of(Row(v, appended)),
           StructType(Seq(
             StructField("version", LongType, nullable = false),
-            StructField("n_rows", LongType, nullable = false)))))
+            StructField("rows_appended", LongType, nullable = false)))))
       }
     case ExplainRe(formatted, body) =>
       if (Ctas.findFirstIn(body).isDefined)
@@ -480,7 +520,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // (BlockFile.writeDir) — the target must still end in .bin so a
       // later FROM of the same reference routes through the BlockFile
       // reader (which treats the directory as one table).
-      val fmt = Option(using).map(_.toLowerCase).getOrElse(
+      val fmt = Option(using).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(
         if (resolved.endsWith(".bin")) "blockfile" else "parquet")
       fmt match {
         case "parquet" =>

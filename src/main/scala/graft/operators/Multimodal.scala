@@ -470,9 +470,23 @@ object Multimodal {
       }
       val riffEnd = math.min(payload.length, 8 + le32(4).toInt)
       val (hS, hE) = findList(12, riffEnd, "hdrl").getOrElse(return None)
-      val (slS, slE) = findList(hS, hE, "strl").getOrElse(return None)
-      val (shS, _) = find(slS, slE, "strh").getOrElse(return None)
-      if (tag(shS) != "vids") return None // audio-only AVI: no frame
+      // the VIDEO stream's strl: audio-before-video stream order is
+      // legal RIFF, so walk EVERY strl until a 'vids' strh appears —
+      // stopping at the first strl would stub out a decodable track
+      // behind an audio stream
+      var cursor = hS
+      var found: Option[(Int, Int, Int)] = None // (strhData, strlStart, strlEnd)
+      while (found.isEmpty && cursor < hE) {
+        findList(cursor, hE, "strl") match {
+          case Some((s, e)) =>
+            find(s, e, "strh").foreach { case (sh, _) =>
+              if (tag(sh) == "vids") found = Some((sh, s, e))
+            }
+            cursor = e
+          case None => cursor = hE // no further strl
+        }
+      }
+      val (shS, slS, slE) = found.getOrElse(return None) // no video stream
       val handler = tag(shS + 4)
       // strh frame clock: dwRate/dwScale frames per second
       val scale = le32(shS + 20); val rate = le32(shS + 24)
@@ -508,7 +522,13 @@ object Multimodal {
         while (i < fE) { sum += payload(i) & 0xFF; i += 1 }
         Some((w, h, count, "DIB ", sum.toDouble / (fE - fS), durSec))
       } else None // a codec the JDK cannot decode -> caller's stub path
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch {
+      // the BASE class: tag()'s String constructor throws plain
+      // IndexOutOfBoundsException on a truncated buffer, which the
+      // Array subclass would not catch — and one malformed file must
+      // skip, never kill the partition task
+      case _: IndexOutOfBoundsException => None
+    }
   }
 
   private def leBuf(n: Int): java.nio.ByteBuffer =

@@ -361,8 +361,12 @@ object Scale {
     val old = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("shard-"))
     if (old.length <= 1) return // a single segment is already compact
+    // staged: the cardinality check, the threshold aggregate and the
+    // final write would otherwise each re-read and re-aggregate every
+    // shard; the staged frame is bounded at shards·k candidate rows
     val summed = spark.read.parquet(old.map(_.getPath): _*)
       .groupBy("item").agg(F.sum("count").as("count"))
+      .localCheckpoint(true)
     val compacted =
       if (summed.count() <= k) summed
       else {

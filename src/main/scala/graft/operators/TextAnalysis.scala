@@ -835,9 +835,15 @@ object TextAnalysis {
     def counts(df: DataFrame, name: String) =
       df.select(F.explode(tokens(F.col(textCol))).as("token"))
         .groupBy("token").agg(F.count(F.lit(1)).as(name))
+    // STAGED: the totals aggregate and the scoring projection both
+    // consume the join — un-staged, the tokenize → groupBy →
+    // full-outer-join pipeline over BOTH corpora would execute twice
+    // (the q59 fan-out-recompute lesson); the staged frame is bounded
+    // by the joint vocabulary, not the corpus
     val joined = counts(a, "cnt_a")
       .join(counts(b, "cnt_b"), Seq("token"), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .localCheckpoint(true)
     val stats = joined.agg(F.sum("cnt_a").as("_na"),
       F.sum("cnt_b").as("_nb"), F.count(F.lit(1)).as("_v"))
     val pA = (F.col("cnt_a") + 1).cast("double") /

@@ -376,12 +376,16 @@ class EngineSpec extends SparkSpec {
       val ds = s"$out/ds"
       // bootstrap version 1 from a SELECT, stack version 2 — both
       // readable, head = union (the incremental-publish arc in SQL only)
+      // returns (version, rows_appended) — the appended count comes from
+      // the new segment only, never a whole-dataset rescan
       val v1 = engine.sql(s"INSERT INTO '$ds' SELECT fruit, quantity " +
         "FROM fruits WHERE quantity > 3").df.collect().head
       assert(v1.getLong(0) == 1L && v1.getLong(1) == 3L)
       val v2 = engine.sql(s"INSERT INTO '$ds' SELECT fruit, quantity " +
         "FROM fruits WHERE quantity <= 3").df.collect().head
-      assert(v2.getLong(0) == 2L && v2.getLong(1) == 5L)
+      assert(v2.getLong(0) == 2L && v2.getLong(1) == 2L)
+      assert(rows(engine.sql(s"SELECT COUNT() AS n FROM '$ds'").df) ==
+        Set(Seq(5L)))
       assert(rows(engine.sql(
         s"SELECT COUNT() AS n FROM '$ds' FOR VERSION AS OF 1").df) ==
         Set(Seq(3L)))
@@ -390,7 +394,7 @@ class EngineSpec extends SparkSpec {
       val v3 = engine.sql(
         s"INSERT INTO '$ds' VALUES ('kiwi', 9), ('mango', 1)").df
         .collect().head
-      assert(v3.getLong(0) == 3L && v3.getLong(1) == 7L)
+      assert(v3.getLong(0) == 3L && v3.getLong(1) == 2L)
       assert(rows(engine.sql(
         s"SELECT quantity FROM '$ds' WHERE fruit = 'kiwi'").df) ==
         Set(Seq(9)))
