@@ -60,6 +60,14 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$""".r
 
+  /** `OPTIMIZE '<versioned-ds>'` (extension, the lakehouse statement):
+    * compact the head's per-batch segments into one
+    * ([[graft.sources.Versioned.compact]]) — the maintenance statement
+    * a long-running streaming ingest needs so manifests and file
+    * listings stay bounded; prior versions keep time-traveling until
+    * VACUUM. Returns one row (version, segments_compacted). */
+  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*$""".r
+
   /** `DESCRIBE '<table>'` / `DESCRIBE <name>` (extension): one row per
     * column — (column_name, column_type, nullable) — through the same
     * resolution FROM uses, so parquet, `.bin` BlockFiles and Versioned
@@ -154,6 +162,20 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("versions_kept", LongType, nullable = false),
           StructField("head_version", LongType, nullable = false)))))
+    case OptimizeRe(target) =>
+      scalarCache.clear()
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"OPTIMIZE requires a Versioned dataset at '$resolved'")
+      val before = graft.sources.Versioned.segmentCount(spark, resolved)
+      val v = graft.sources.Versioned.compact(spark, resolved)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(v, before.toLong)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("segments_compacted", LongType, nullable = false)))))
     case DeleteRe(target, cond) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)

@@ -914,6 +914,32 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- OPTIMIZE through the dialect (the lakehouse statement):
+    //      three per-batch segments compact into ONE fresh segment as a
+    //      new version — content must be IDENTICAL before/after (both
+    //      gated rows are the same full aggregate: head post-compaction
+    //      and the pre-compaction version via time travel), the head's
+    //      manifest shrinks to one segment, history stays readable ----
+    "q252_sql_optimize" -> ((s, dir) => {
+      val path = stagingDir("graft_optimize") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      (0 until 3).foreach(i =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === i), path))
+      val eng = Engine(s, dir)
+      val opt = eng.sql(s"OPTIMIZE '$path'").df.collect().head
+      require(opt.getLong(0) == 4L && opt.getLong(1) == 3L,
+        s"unexpected OPTIMIZE result: $opt")
+      require(Versioned.segmentCount(s, path) == 1,
+        "OPTIMIZE left more than one head segment")
+      eng.sql(
+        s"""SELECT COUNT() AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path'
+           |UNION ALL
+           |SELECT COUNT() AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR VERSION AS OF 3""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- INCREMENTAL consumption of a versioned dataset (the CDC
     //      primitive): changes(from, to) reads exactly the segments
     //      ADDED in that version range — manifest set-difference, no
@@ -4448,6 +4474,15 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // compaction must not move a row: the post-compaction head and the
+    // pre-compaction snapshot aggregate identically (both = the source)
+    "q252_sql_optimize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents""".stripMargin,
 
     // both version ranges replay as residue-class filters
     "q247_versioned_changes" ->

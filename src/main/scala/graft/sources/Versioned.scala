@@ -135,6 +135,33 @@ object Versioned {
       path, append = false)
   }
 
+  /** Number of segments composing a version (head when absent) — the
+    * observability number [[compact]] exists to keep small. */
+  def segmentCount(spark: SparkSession, path: String,
+                   version: Option[Long] = None): Int = {
+    val v = version.getOrElse {
+      val all = versions(spark, path)
+      require(all.nonEmpty, s"no committed versions at $path")
+      all.last
+    }
+    readManifest(spark, path, v).length
+  }
+
+  /** Segment COMPACTION (the lakehouse OPTIMIZE): rewrite the head's
+    * segment list into ONE fresh segment and commit it as a new
+    * version. A long-running [[graft.streaming.Streams.versionedSink]]
+    * ingest stacks one segment per micro-batch, so the head's manifest
+    * (and every reader's file listing) grows without bound — compaction
+    * resets it to a single segment while prior versions stay readable
+    * (time travel is untouched; [[vacuum]] retires them later, sweeping
+    * the now-unreferenced small segments). Crash-safe for free: this IS
+    * a commit, so a crash leaves at worst an unreferenced segment
+    * directory and the previous head fully intact. Content-identical by
+    * construction — the new segment is one task-parallel rewrite of the
+    * head read. Returns the new version. */
+  def compact(spark: SparkSession, path: String): Long =
+    commit(read(spark, path), path, append = false)
+
   /** Garbage-collect history: retain the newest `keepVersions`
     * manifests and delete (a) every older manifest, then (b) every
     * `data/seg-*` directory no retained manifest references — which

@@ -352,6 +352,16 @@ class EngineSpec extends SparkSpec {
       engine.sql(s"DELETE FROM '$nds' WHERE lang != 'en'")
       assert(rows(engine.sql(s"SELECT id FROM '$nds'").df) ==
         Set(Seq(1L), Seq(3L))) // NULL-lang row survives
+      // OPTIMIZE compacts the head's segments into one as a new version;
+      // content identical, non-versioned targets reject
+      val opt = engine.sql(s"OPTIMIZE '$nds'").df.collect().head
+      assert(opt.getLong(1) >= 1L) // segments_compacted
+      assert(graft.sources.Versioned.segmentCount(spark, nds) == 1)
+      assert(rows(engine.sql(s"SELECT id FROM '$nds'").df) ==
+        Set(Seq(1L), Seq(3L)))
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"OPTIMIZE '$out/nowhere'")
+      }
       // VACUUM KEEP 1 drops history: the head still serves, the old
       // snapshot is gone
       val vac = engine.sql(s"VACUUM '$ds' KEEP 1").df.collect().head
