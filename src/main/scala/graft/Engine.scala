@@ -632,12 +632,66 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         c.ctes.flatMap { case (_, b) => compoundPaths(b) }
     val mainPaths = (cq.head +: cq.tail.map(_._3)).flatMap(blockPaths) ++
       cq.orderBy.map(_._1).flatMap(colPaths) // compound-level ORDER BY too
+    // WITH RECURSIVE: a CTE whose body references its own name plans as
+    // a SEMI-NAIVE fixpoint (the standard SQL recursion semantics): the
+    // first block is the non-recursive base; each iteration evaluates
+    // the recursive term(s) against the PREVIOUS iteration's new rows
+    // only (the working table, never the whole accumulation); under
+    // UNION, rows already accumulated are removed and convergence is
+    // "no new rows" — under UNION ALL, only an empty iteration stops,
+    // with a hard iteration cap as the divergence backstop. Every
+    // iteration's delta is locally checkpointed, so the accumulated
+    // union's lineage stays one level deep regardless of depth (the
+    // same reason Dedup.clusters checkpoints its label frontier).
+    def evalRecursiveCte(name: String, body: CompoundQuery,
+                         sc: Map[String, GraftFrame]): GraftFrame = {
+      if (body.ctes.nonEmpty || body.orderBy.nonEmpty || body.limit.isDefined)
+        throw new SemanticError(s"recursive CTE '$name' must be " +
+          "`base UNION [ALL] term` without nested WITH/ORDER BY/LIMIT")
+      if (body.tail.isEmpty || body.tail.exists(_._1 != "union"))
+        throw new SemanticError(s"recursive CTE '$name' needs the form " +
+          "`base UNION [ALL] recursive-term`")
+      if (blockPaths(body.head).contains(name))
+        throw new SemanticError(s"recursive CTE '$name': the first block " +
+          s"is the non-recursive base and cannot reference '$name'")
+      val bagMode = body.tail.exists(_._2) // any UNION ALL
+      val base0 = plan(body.head, sc).df
+      val base = (if (bagMode) base0 else base0.distinct())
+        .localCheckpoint(true)
+      val pieces = ListBuffer[org.apache.spark.sql.DataFrame](base)
+      def acc = pieces.reduce(_.union(_))
+      var working = base
+      var iters = 0
+      val maxIters = 200
+      while (working.head(1).nonEmpty) {
+        iters += 1
+        if (iters > maxIters) throw new SemanticError(
+          s"recursive CTE '$name' exceeded $maxIters iterations — " +
+          "likely divergent (UNION ALL without a shrinking predicate?)")
+        val wFrame = GraftFrame.fromDF(working)
+        val next = body.tail.map { case (_, _, q) =>
+            val t = plan(q, sc + (name -> wFrame)).df
+            if (t.columns.length != base.columns.length)
+              throw new SemanticError(s"recursive CTE '$name': term " +
+                s"arity ${t.columns.length} != base arity ${base.columns.length}")
+            t.toDF(base.columns.toIndexedSeq: _*)
+          }.reduce(_.union(_))
+        val delta =
+          (if (bagMode) next else next.distinct().except(acc))
+            .localCheckpoint(true)
+        if (delta.head(1).nonEmpty) pieces += delta
+        working = delta
+      }
+      GraftFrame.fromDF(acc)
+    }
     val scope = cq.ctes.zipWithIndex.foldLeft(outer) {
       case (sc, ((name, body), i)) =>
         val laterPaths = cq.ctes.drop(i + 1)
           .flatMap { case (_, b) => compoundPaths(b) }
         val uses = (laterPaths ++ mainPaths).count(_ == name)
-        val planned = evalCompound(body, sc)
+        val planned =
+          if (compoundPaths(body).contains(name)) evalRecursiveCte(name, body, sc)
+          else evalCompound(body, sc)
         val frame =
           if (uses >= 2) GraftFrame.fromDF(planned.df.localCheckpoint(false))
           else planned
@@ -761,7 +815,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           // FOR VERSION AS OF n: that committed snapshot, exactly
           case Some(v) => GraftFrame.fromDF(graft.sources.Versioned.read(
             spark, Tables.resolve(t.path, baseDir), Some(v)))
-          case None => scope.getOrElse(t.path, table(t.path))
+          case None => scope.get(t.path) match {
+            // a CTE's NAME is its default alias (standard SQL): without
+            // this, `FROM r JOIN ... ON r.q = ...` fails to resolve the
+            // dotted ref unless the user re-aliases r AS r
+            case Some(fr) => if (t.alias.isEmpty) fr.alias(t.path) else fr
+            case None => table(t.path)
+          }
         }
       }
     }
@@ -1039,7 +1099,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       : (GraftFrame, String => Boolean) = {
     def resolve(t: graft.sql.TableRef): GraftFrame = t.subquery match {
       case Some(s2) => evalCompound(s2, scope)
-      case None     => scope.getOrElse(t.path, table(t.path))
+      case None     => scope.get(t.path) match {
+        // CTE name = default alias, mirroring the main planner
+        case Some(fr) => if (t.alias.isEmpty) fr.alias(t.path) else fr
+        case None => table(t.path)
+      }
     }
     val innerAliases = ListBuffer.empty[String]
     var inner = resolve(q.from)

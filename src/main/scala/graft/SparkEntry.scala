@@ -914,6 +914,27 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- WITH RECURSIVE through the dialect: semi-naive fixpoint
+    //      iteration (base + UNION term over the previous iteration's
+    //      rows, per-iteration checkpointed deltas) — the oracle is the
+    //      IDENTICAL statement run by DuckDB's native recursive CTE
+    //      machinery, so base/working/dedup semantics must agree step
+    //      for step. The closure walks doc_id += 7 from 0 up to 400
+    //      (58 reachable nodes) ----
+    "q253_sql_recursive_cte" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """WITH RECURSIVE r AS (
+          |  SELECT doc_id FROM documents WHERE doc_id = 0
+          |  UNION
+          |  SELECT d.doc_id FROM documents d
+          |  JOIN r ON d.doc_id = r.doc_id + 7
+          |  WHERE d.doc_id < 400
+          |)
+          |SELECT COUNT() AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+          |FROM r""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))),
+
     // ---- OPTIMIZE through the dialect (the lakehouse statement):
     //      three per-batch segments compact into ONE fresh segment as a
     //      new version — content must be IDENTICAL before/after (both
@@ -4474,6 +4495,20 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // DuckDB runs the SAME recursive statement natively
+    "q253_sql_recursive_cte" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT doc_id FROM documents WHERE doc_id = 0
+        |  UNION
+        |  SELECT d.doc_id FROM documents d
+        |  JOIN r ON d.doc_id = r.doc_id + 7
+        |  WHERE d.doc_id < 400
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM r""".stripMargin,
 
     // compaction must not move a row: the post-compaction head and the
     // pre-compaction snapshot aggregate identically (both = the source)

@@ -238,6 +238,16 @@ object SqlParser {
     private def parseCompoundBody(): CompoundQuery = {
       val ctes = ListBuffer.empty[(String, CompoundQuery)]
       if (accept("WITH")) {
+        // optional RECURSIVE marker (standard SQL spells it, DuckDB
+        // tolerates its absence): consumed here, and recursion itself
+        // is detected SEMANTICALLY by the engine — a CTE whose body
+        // references its own name plans as a fixpoint iteration whether
+        // or not the keyword was written. Not a reserved word: a column
+        // named `recursive` stays reachable everywhere else.
+        peek match {
+          case TIdent(r) if r.equalsIgnoreCase("recursive") => next(): Unit
+          case _ => ()
+        }
         var more = true
         while (more) {
           val name = next() match {

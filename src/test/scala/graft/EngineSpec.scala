@@ -468,6 +468,42 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("WITH RECURSIVE: fixpoint closure, UNION dedup, divergence guard") {
+    // arithmetic chain over a real table: quantities 2,3,4,5,7 — start
+    // at 2, repeatedly step to quantity+1 while it exists: {2,3,4,5}
+    val out = engine.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT quantity AS q FROM fruits WHERE quantity = 2
+        |  UNION
+        |  SELECT f.quantity AS q FROM fruits f JOIN r ON f.quantity = r.q + 1
+        |) SELECT q FROM r""".stripMargin)
+    assert(rows(out.df) == Set(Seq(2), Seq(3), Seq(4), Seq(5)))
+    // UNION semantics deduplicate across iterations (apple appears at
+    // quantities 3 AND 4 — revisits must not loop forever): the
+    // RECURSIVE keyword is optional, recursion is detected semantically
+    val cyc = engine.sql(
+      """WITH r AS (
+        |  SELECT fruit FROM fruits WHERE quantity = 2
+        |  UNION
+        |  SELECT f2.fruit FROM fruits f2 JOIN r ON 1 = 1
+        |  WHERE f2.quantity <= 4
+        |) SELECT COUNT() AS n FROM r""".stripMargin)
+    // base {orange}; quantities <=4 are apple(3), apple(4), orange(2) →
+    // the revisiting term converges after adding only {apple}
+    assert(rows(cyc.df) == Set(Seq(2L)))
+    // error path: ORDER BY/LIMIT inside a recursive body rejects before
+    // any iteration runs
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql(
+        """WITH RECURSIVE r AS (
+          |  SELECT quantity AS q FROM fruits WHERE quantity = 2
+          |  UNION
+          |  SELECT f.quantity AS q FROM fruits f JOIN r ON f.quantity = r.q + 1
+          |  LIMIT 3
+          |) SELECT COUNT() AS n FROM r""".stripMargin)
+    }
+  }
+
   test("COPY TO exports jsonl/csv round-trippably; bad formats reject") {
     val out = java.nio.file.Files.createTempDirectory("graft-copy")
     try {
