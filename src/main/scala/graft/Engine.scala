@@ -690,7 +690,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           .flatMap { case (_, b) => compoundPaths(b) }
         val uses = (laterPaths ++ mainPaths).count(_ == name)
         val planned =
-          if (compoundPaths(body).contains(name)) evalRecursiveCte(name, body, sc)
+          if (cq.recursive && compoundPaths(body).contains(name))
+            evalRecursiveCte(name, body, sc)
           else evalCompound(body, sc)
         val frame =
           if (uses >= 2) GraftFrame.fromDF(planned.df.localCheckpoint(false))

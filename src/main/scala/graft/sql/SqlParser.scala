@@ -77,7 +77,14 @@ final case class CompoundQuery(head: SqlQuery,
                                // WITH name AS (...) bindings, in declaration
                                // order; later CTEs may reference earlier ones
                                // (extension — absent in reference)
-                               ctes: Seq[(String, CompoundQuery)] = Nil)
+                               ctes: Seq[(String, CompoundQuery)] = Nil,
+                               // WITH RECURSIVE was written: bindings whose
+                               // body references their own name plan as
+                               // fixpoint recursion. Without the keyword a
+                               // self-name reference is SHADOWING (standard
+                               // SQL): `WITH fruits AS (SELECT FROM fruits)`
+                               // reads the table
+                               recursive: Boolean = false)
 
 /** Hand-rolled recursive-descent parser for the reference's SQL dialect.
   *
@@ -237,15 +244,17 @@ object SqlParser {
       * can also parse a parenthesized CTE body. */
     private def parseCompoundBody(): CompoundQuery = {
       val ctes = ListBuffer.empty[(String, CompoundQuery)]
+      var recursive = false
       if (accept("WITH")) {
-        // optional RECURSIVE marker (standard SQL spells it, DuckDB
-        // tolerates its absence): consumed here, and recursion itself
-        // is detected SEMANTICALLY by the engine — a CTE whose body
-        // references its own name plans as a fixpoint iteration whether
-        // or not the keyword was written. Not a reserved word: a column
-        // named `recursive` stays reachable everywhere else.
+        // RECURSIVE marker (standard SQL): ONLY with it does a CTE's
+        // self-name reference mean fixpoint recursion — without it the
+        // reference SHADOWS the binding and reads the outer table
+        // (`WITH fruits AS (SELECT ... FROM fruits)` is legal layering).
+        // Not a reserved word: a column named `recursive` stays
+        // reachable everywhere else.
         peek match {
-          case TIdent(r) if r.equalsIgnoreCase("recursive") => next(): Unit
+          case TIdent(r) if r.equalsIgnoreCase("recursive") =>
+            next(); recursive = true
           case _ => ()
         }
         var more = true
@@ -278,7 +287,8 @@ object SqlParser {
         tail += ((op.get, all, parseBlock()))
         op = peekSetOp()
       }
-      if (tail.isEmpty) CompoundQuery(head, Nil, Nil, None, ctes.toSeq)
+      if (tail.isEmpty)
+        CompoundQuery(head, Nil, Nil, None, ctes.toSeq, recursive)
       else {
         // standard SQL: ORDER BY/LIMIT may only close the WHOLE compound
         // (the grammar attaches them to the final block; lift them), and
@@ -294,7 +304,8 @@ object SqlParser {
           throw new ParseError("OFFSET is not supported on set-operation chains")
         val stripped = tail.init :+
           ((lastOp, lastAll, last.copy(orderBy = Nil, limit = None)))
-        CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit, ctes.toSeq)
+        CompoundQuery(head, stripped.toSeq, last.orderBy, last.limit,
+          ctes.toSeq, recursive)
       }
     }
 
@@ -951,8 +962,8 @@ object SqlParser {
   /** Parse a single query block; a compound query is a parse error here
     * (legacy single-block entry point — the engine uses [[parseCompound]]). */
   def parse(sql: String): SqlQuery = parseCompound(sql) match {
-    case CompoundQuery(head, Seq(), _, _, Seq()) => head
-    case CompoundQuery(_, _, _, _, ctes) if ctes.nonEmpty =>
+    case CompoundQuery(head, Seq(), _, _, Seq(), _) => head
+    case CompoundQuery(_, _, _, _, ctes, _) if ctes.nonEmpty =>
       throw new ParseError("WITH requires parseCompound")
     case _ => throw new ParseError("Set operations require parseCompound")
   }

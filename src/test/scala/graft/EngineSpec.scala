@@ -478,11 +478,10 @@ class EngineSpec extends SparkSpec {
         |  SELECT f.quantity AS q FROM fruits f JOIN r ON f.quantity = r.q + 1
         |) SELECT q FROM r""".stripMargin)
     assert(rows(out.df) == Set(Seq(2), Seq(3), Seq(4), Seq(5)))
-    // UNION semantics deduplicate across iterations (apple appears at
-    // quantities 3 AND 4 — revisits must not loop forever): the
-    // RECURSIVE keyword is optional, recursion is detected semantically
+    // UNION semantics deduplicate across iterations (revisits must not
+    // loop forever)
     val cyc = engine.sql(
-      """WITH r AS (
+      """WITH RECURSIVE r AS (
         |  SELECT fruit FROM fruits WHERE quantity = 2
         |  UNION
         |  SELECT f2.fruit FROM fruits f2 JOIN r ON 1 = 1
@@ -491,6 +490,12 @@ class EngineSpec extends SparkSpec {
     // base {orange}; quantities <=4 are apple(3), apple(4), orange(2) →
     // the revisiting term converges after adding only {apple}
     assert(rows(cyc.df) == Set(Seq(2L)))
+    // WITHOUT the keyword, a self-name reference is SHADOWING: the CTE
+    // body reads the TABLE fruits (standard SQL layering), no recursion
+    assert(rows(engine.sql(
+      """WITH fruits AS (SELECT fruit FROM fruits WHERE quantity = 2)
+        |SELECT COUNT() AS n FROM fruits""".stripMargin).df) ==
+      Set(Seq(1L)))
     // error path: ORDER BY/LIMIT inside a recursive body rejects before
     // any iteration runs
     assertThrows[graft.sql.SemanticError] {
