@@ -169,7 +169,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         throw new SemanticError(
           s"OPTIMIZE requires a Versioned dataset at '$resolved'")
       val before = graft.sources.Versioned.segmentCount(spark, resolved)
-      val v = graft.sources.Versioned.compact(spark, resolved)
+      // already-compact short-circuit: a one-segment head would still
+      // be rewritten IN FULL by compact() — a whole-dataset write for
+      // zero benefit (and a useless new version)
+      val v =
+        if (before <= 1)
+          graft.sources.Versioned.versions(spark, resolved).last
+        else graft.sources.Versioned.compact(spark, resolved)
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
         java.util.List.of(Row(v, before.toLong)),
@@ -582,8 +588,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
   /** Evaluate a compound under a CTE scope (name → planned frame).
     * WITH bindings are planned in declaration order, each seeing the
-    * earlier ones — plain lexical scoping, no recursion (a CTE that
-    * names itself falls through to table resolution and fails there).
+    * earlier ones — plain lexical scoping. A binding that names ITSELF
+    * is shadowing (reads the outer table) unless the compound carries
+    * the RECURSIVE flag, in which case it plans as the semi-naive
+    * fixpoint in [[evalRecursiveCte]] below.
     *
     * A CTE referenced MORE THAN ONCE downstream is staged with a lazy
     * local checkpoint: Catalyst would otherwise re-derive each reference
@@ -654,20 +662,31 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       if (blockPaths(body.head).contains(name))
         throw new SemanticError(s"recursive CTE '$name': the first block " +
           s"is the non-recursive base and cannot reference '$name'")
-      val bagMode = body.tail.exists(_._2) // any UNION ALL
+      // one spelling per body: mixed `UNION t1 UNION ALL t2` would need
+      // per-term dedup semantics — reject rather than silently pick one
+      if (body.tail.map(_._2).distinct.length > 1)
+        throw new SemanticError(s"recursive CTE '$name' mixes UNION and " +
+          "UNION ALL between terms — use one set-op spelling per body")
+      val bagMode = body.tail.head._2
       val base0 = plan(body.head, sc).df
       val base = (if (bagMode) base0 else base0.distinct())
         .localCheckpoint(true)
       val pieces = ListBuffer[org.apache.spark.sql.DataFrame](base)
       def acc = pieces.reduce(_.union(_))
       var working = base
+      var workingNonEmpty = working.head(1).nonEmpty
       var iters = 0
-      val maxIters = 200
-      while (working.head(1).nonEmpty) {
+      // set-mode recursion is GUARANTEED finite (each iteration must add
+      // a new distinct row), so its cap is only a runaway-cost guard;
+      // bag-mode can genuinely diverge, so it gets the tight backstop
+      val maxIters = if (bagMode) 200 else 10000
+      while (workingNonEmpty) {
         iters += 1
         if (iters > maxIters) throw new SemanticError(
           s"recursive CTE '$name' exceeded $maxIters iterations — " +
-          "likely divergent (UNION ALL without a shrinking predicate?)")
+          (if (bagMode) "likely divergent (UNION ALL without a " +
+            "shrinking predicate?)"
+           else "a convergent recursion this deep exceeds the cost guard"))
         val wFrame = GraftFrame.fromDF(working)
         val next = body.tail.map { case (_, _, q) =>
             val t = plan(q, sc + (name -> wFrame)).df
@@ -679,7 +698,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         val delta =
           (if (bagMode) next else next.distinct().except(acc))
             .localCheckpoint(true)
-        if (delta.head(1).nonEmpty) pieces += delta
+        // ONE emptiness probe per iteration, reused by the loop guard
+        workingNonEmpty = delta.head(1).nonEmpty
+        if (workingNonEmpty) pieces += delta
         working = delta
       }
       GraftFrame.fromDF(acc)
@@ -1106,12 +1127,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         case None => table(t.path)
       }
     }
+    // a scope-resolved (CTE) table without an explicit alias carries its
+    // NAME as default alias (resolve() above) — record it, or dotted
+    // refs like `c.grp` on an unaliased CTE would be misclassified as
+    // OUTER references and mis-trigger correlation handling
+    def defaultAlias(t: graft.sql.TableRef): Option[String] =
+      if (t.alias.isEmpty && t.subquery.isEmpty && scope.contains(t.path))
+        Some(t.path)
+      else t.alias
     val innerAliases = ListBuffer.empty[String]
     var inner = resolve(q.from)
-    q.from.alias.foreach { a => inner = inner.alias(a); innerAliases += a }
+    q.from.alias.foreach(a => inner = inner.alias(a))
+    defaultAlias(q.from).foreach(innerAliases += _)
     q.joins.foreach { case JoinClause(t, on, how) =>
       var right = resolve(t)
-      t.alias.foreach { a => right = right.alias(a); innerAliases += a }
+      t.alias.foreach(a => right = right.alias(a))
+      defaultAlias(t).foreach(innerAliases += _)
       inner = inner.join(right, on, how)
     }
     val innerCols = inner.df.columns.toSet

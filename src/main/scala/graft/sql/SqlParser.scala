@@ -252,8 +252,12 @@ object SqlParser {
         // (`WITH fruits AS (SELECT ... FROM fruits)` is legal layering).
         // Not a reserved word: a column named `recursive` stays
         // reachable everywhere else.
+        // one-token lookahead: `WITH recursive AS (...)` is a CTE NAMED
+        // recursive (the next token is AS), not the marker — the word
+        // stays fully non-reserved
         peek match {
-          case TIdent(r) if r.equalsIgnoreCase("recursive") =>
+          case TIdent(r) if r.equalsIgnoreCase("recursive") &&
+              pos + 1 < toks.length && toks(pos + 1) != TKw("AS") =>
             next(); recursive = true
           case _ => ()
         }

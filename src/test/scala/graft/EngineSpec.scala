@@ -507,6 +507,20 @@ class EngineSpec extends SparkSpec {
           |  LIMIT 3
           |) SELECT COUNT() AS n FROM r""".stripMargin)
     }
+    // `recursive` stays a usable CTE NAME (one-token lookahead: marker
+    // only when not followed by AS)
+    assert(rows(engine.sql(
+      """WITH recursive AS (SELECT fruit FROM fruits WHERE quantity = 2)
+        |SELECT COUNT() AS n FROM recursive""".stripMargin).df) ==
+      Set(Seq(1L)))
+    // an UNALIASED CTE carries its name as default alias even inside
+    // scalar subqueries (dotted refs must not read as correlation)
+    assert(rows(engine.sql(
+      """WITH c AS (SELECT fruit, quantity FROM fruits)
+        |SELECT fruit FROM fruits
+        |WHERE quantity > (SELECT AVG(c.quantity) AS a FROM c
+        |                  WHERE c.fruit != 'kiwi')""".stripMargin).df) ==
+      Set(Seq("banana"))) // avg 4.2 → quantities 5 and 7, both banana
   }
 
   test("COPY TO exports jsonl/csv round-trippably; bad formats reject") {
