@@ -914,6 +914,30 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- stored COUNT-MIN frequency sketches, sharded by source then
+    //      merged (the point-frequency member of the sketch family):
+    //      the gate checks the CLASSIC guarantee per probe token — the
+    //      merged estimate never undercounts, and overcounts by at most
+    //      eps*N — as fixed booleans (the sketch is seeded, so the
+    //      flags are deterministic; the q43/q138 bound-flag pattern),
+    //      with exact counts recomputed on both sides ----
+    "q254_cms_frequency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagingDir("graft_cms") + "/sketches"
+      Scale.writeCmsSketches(docs, "text", "source", path)
+      val probes = Seq("spark", "window", "join", "data", "quality",
+        "zzz_never_present")
+      val est = Scale.cmsTokenEstimates(s, path, probes)
+      val exact = docs.select(
+          F.explode(TextAnalysis.tokens(F.col("text"))).as("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).as("n_exact"))
+      est.join(exact, Seq("token"), "left").na.fill(0L, Seq("n_exact"))
+        .select(F.col("token"), F.col("n_exact"),
+          (F.col("est") >= F.col("n_exact")).as("est_ge_exact"),
+          (F.col("est") <= F.col("n_exact") +
+            F.ceil(F.col("total") * 0.0001)).as("est_in_bound"))
+    }),
+
     // ---- WITH RECURSIVE through the dialect: semi-naive fixpoint
     //      iteration (base + UNION term over the previous iteration's
     //      rows, per-iteration checkpointed deltas) — the oracle is the
@@ -4495,6 +4519,19 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // exact counts per probe; the seeded sketch's bound flags are fixed
+    "q254_cms_frequency" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM t GROUP BY token)
+        |SELECT p.token, CAST(coalesce(c.n_exact, 0) AS BIGINT) AS n_exact,
+        |  true AS est_ge_exact, true AS est_in_bound
+        |FROM (VALUES ('spark'), ('window'), ('join'), ('data'),
+        |      ('quality'), ('zzz_never_present')) p(token)
+        |LEFT JOIN c ON p.token = c.token""".stripMargin,
 
     // DuckDB runs the SAME recursive statement natively
     "q253_sql_recursive_cte" ->

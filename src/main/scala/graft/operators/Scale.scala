@@ -85,6 +85,58 @@ object Scale {
       .groupBy(groupCols.map(F.col): _*)
       .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).as("est"))
 
+  /** MERGEABLE count-min frequency sketches, persisted: one seeded CMS
+    * per shard over the whitespace tokens — the point-frequency member
+    * of the stored-sketch family (distinct = HLL, quantiles =
+    * histograms, heavy hitters = Misra–Gries, frequencies = CMS). Each
+    * ingest shard sketches its own tokens in one narrow pass;
+    * [[cmsTokenEstimates]] merges the fixed-size tables later and
+    * serves "how often does token t appear?" for ANY token without
+    * touching raw data — the query the MG sketch (top-k only)
+    * fundamentally cannot answer. Sketch size is depth×width longs per
+    * shard regardless of vocabulary. The SEED makes the sketch
+    * deterministic: estimates are reproducible run-to-run, so the
+    * classic guarantee (est ≥ exact, and est ≤ exact + ε·N at the
+    * sketch's confidence) is checkable as a fixed boolean by a
+    * differential oracle (the q43/q138 bound-flag pattern). */
+  def writeCmsSketches(df: DataFrame, textCol: String, shardCol: String,
+                       path: String, eps: Double = 0.0001,
+                       confidence: Double = 0.99, seed: Int = 42): Unit =
+    df.select(F.col(shardCol).as("shard"),
+        F.explode(TextAnalysis.tokens(F.col(textCol))).as("token"))
+      .groupBy("shard")
+      .agg(F.count_min_sketch(F.col("token"), F.lit(eps),
+        F.lit(confidence), F.lit(seed)).as("cms"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Merge the stored CMS shards and estimate each probe token's corpus
+    * frequency: (token, est, total). The merge deserializes one
+    * fixed-size table per shard on the driver — KBs per shard, bounded
+    * by the shard count, never the corpus (the bounded-collect rule);
+    * at larger shard counts the same merge runs as a treeAggregate.
+    * Probes are a bounded token list (typically ≤ hundreds). */
+  def cmsTokenEstimates(spark: org.apache.spark.sql.SparkSession,
+                        path: String, probes: Seq[String]): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val shards = spark.read.parquet(path).select("cms")
+      .collect().map(_.getAs[Array[Byte]](0))
+    require(shards.nonEmpty, s"no CMS shards at $path")
+    val merged = shards.map(b =>
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce(_.mergeInPlace(_))
+    val total = merged.totalCount()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = probes.map(t =>
+      org.apache.spark.sql.Row(t, merged.estimateCount(t), total))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("est", LongType, nullable = false),
+        StructField("total", LongType, nullable = false))))
+  }
+
   /** Mergeable FIXED-WIDTH histograms, persisted: per group, exact
     * counts of `floor(value / width)` buckets — the quantile companion
     * of [[writeDistinctSketches]]. Each ingest shard (or day, or

@@ -853,6 +853,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("CMS sketches: sharded merge serves exact-regime frequencies") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cms-spec")
+    try {
+      // tiny vocabulary, wide sketch (eps small vs N) → estimates are
+      // EXACT with overwhelming margin; shard-merge must serve the
+      // whole-corpus counts, and an absent token estimates 0
+      val docs = ((1 to 40).map(i => (i.toLong, "alpha beta", s"s${i % 4}")) ++
+        (1 to 10).map(i => (100L + i, "alpha", s"s${i % 4}")))
+        .toDF("doc_id", "text", "source")
+      Scale.writeCmsSketches(docs, "text", "source", s"$out/cms")
+      val est = Scale.cmsTokenEstimates(spark, s"$out/cms",
+          Seq("alpha", "beta", "absent"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(est("alpha") == ((50L, 90L))) // 40 + 10, total = 90 tokens
+      assert(est("beta") == ((40L, 90L)))
+      assert(est("absent") == ((0L, 90L)))
+      // the store holds one fixed-size sketch per shard
+      assert(spark.read.parquet(s"$out/cms").count() == 4)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("property: COUNT equals SUM of ones (reference COUNT() desugar)") {
     samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 5).foreach { ks =>
       val df = ks.toDF("k")
