@@ -914,6 +914,15 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- FROM-less SELECT (the shell's calculator surface): constant
+    //      expressions evaluate against a synthetic one-row relation;
+    //      scalar functions, CASE and coercions all compose ----
+    "q255_sql_select_noscan" -> ((s, dir) =>
+      Engine(s, dir).sql(
+        """SELECT 1 + 2 * 3 AS arith, lower('ABC') + 'd' AS text,
+          |  CASE WHEN 2 > 1 THEN 'yes' ELSE 'no' END AS branch,
+          |  round(abs(-2.5), 1) AS fn""".stripMargin).df),
+
     // ---- stored COUNT-MIN frequency sketches, sharded by source then
     //      merged (the point-frequency member of the sketch family):
     //      the gate checks the CLASSIC guarantee per probe token — the
@@ -4519,6 +4528,12 @@ object SparkEntry {
         |SELECT 2 AS version, COUNT(*) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    // DuckDB evaluates the same constants (its || for the concat)
+    "q255_sql_select_noscan" ->
+      """SELECT 1 + 2 * 3 AS arith, lower('ABC') || 'd' AS text,
+        |  CASE WHEN 2 > 1 THEN 'yes' ELSE 'no' END AS branch,
+        |  round(abs(-2.5), 1) AS fn""".stripMargin,
 
     // exact counts per probe; the seeded sketch's bound flags are fixed
     "q254_cms_frequency" ->

@@ -332,8 +332,13 @@ object SqlParser {
         } else Nil
       val items = ListBuffer(parseSelectItem())
       while (accept(",")) items += parseSelectItem()
-      expectKw("FROM")
-      val from = parseTableRef()
+      // FROM-less SELECT (extension, the DuckDB/Postgres convenience):
+      // `SELECT 1 + 2` evaluates constants against a synthetic one-row
+      // VALUES relation — the shell's calculator / probe surface
+      val from =
+        if (accept("FROM")) parseTableRef()
+        else TableRef("_dual", Some("_dual"),
+          values = Some((Seq("_one"), Seq(Seq(Lit(1))))))
       val joins = ListBuffer.empty[JoinClause]
       var joinHow = peekJoinHow()
       while (joinHow.isDefined) {
