@@ -933,7 +933,10 @@ object SparkEntry {
     "q254_cms_frequency" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = stagingDir("graft_cms") + "/sketches"
-      Scale.writeCmsSketches(docs, "text", "source", path)
+      // ONE eps binds the sketch AND the bound check — a default-value
+      // drift in Scale could otherwise silently flip the gate's flags
+      val eps = 0.0001
+      Scale.writeCmsSketches(docs, "text", "source", path, eps = eps)
       val probes = Seq("spark", "window", "join", "data", "quality",
         "zzz_never_present")
       val est = Scale.cmsTokenEstimates(s, path, probes)
@@ -944,7 +947,7 @@ object SparkEntry {
         .select(F.col("token"), F.col("n_exact"),
           (F.col("est") >= F.col("n_exact")).as("est_ge_exact"),
           (F.col("est") <= F.col("n_exact") +
-            F.ceil(F.col("total") * 0.0001)).as("est_in_bound"))
+            F.ceil(F.col("total") * eps)).as("est_in_bound"))
     }),
 
     // ---- WITH RECURSIVE through the dialect: semi-naive fixpoint

@@ -112,9 +112,11 @@ object Scale {
   /** Merge the stored CMS shards and estimate each probe token's corpus
     * frequency: (token, est, total). The merge deserializes one
     * fixed-size table per shard on the driver — KBs per shard, bounded
-    * by the shard count, never the corpus (the bounded-collect rule);
-    * at larger shard counts the same merge runs as a treeAggregate.
-    * Probes are a bounded token list (typically ≤ hundreds). */
+    * by the SHARD COUNT, never the corpus (the bounded-collect rule).
+    * A deployment with many thousands of shards should pre-merge
+    * distributed (sketches add cell-wise) before this driver step; as
+    * written the collect is the profile. Probes are a bounded token
+    * list (typically ≤ hundreds). */
   def cmsTokenEstimates(spark: org.apache.spark.sql.SparkSession,
                         path: String, probes: Seq[String]): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch

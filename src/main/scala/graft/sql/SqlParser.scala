@@ -334,11 +334,20 @@ object SqlParser {
       while (accept(",")) items += parseSelectItem()
       // FROM-less SELECT (extension, the DuckDB/Postgres convenience):
       // `SELECT 1 + 2` evaluates constants against a synthetic one-row
-      // VALUES relation — the shell's calculator / probe surface
+      // VALUES relation — the shell's calculator / probe surface. Kept
+      // STRICT: `SELECT *` (the dual's internal column would leak) and
+      // JOIN without FROM (no engine accepts it) stay errors.
+      val hasFrom = accept("FROM")
       val from =
-        if (accept("FROM")) parseTableRef()
-        else TableRef("_dual", Some("_dual"),
-          values = Some((Seq("_one"), Seq(Seq(Lit(1))))))
+        if (hasFrom) parseTableRef()
+        else {
+          if (items.exists(_.star))
+            throw new ParseError("SELECT * needs a FROM clause")
+          if (peek == TKw("JOIN") || peekJoinHow().isDefined)
+            throw new ParseError("JOIN needs a FROM clause")
+          TableRef("_dual", Some("_dual"),
+            values = Some((Seq("_one"), Seq(Seq(Lit(1))))))
+        }
       val joins = ListBuffer.empty[JoinClause]
       var joinHow = peekJoinHow()
       while (joinHow.isDefined) {

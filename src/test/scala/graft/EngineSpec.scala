@@ -468,6 +468,20 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("FROM-less SELECT evaluates constants; star and JOIN stay errors") {
+    assert(rows(engine.sql("SELECT 1 + 2 * 3 AS x, lower('AB') AS s").df) ==
+      Set(Seq(7, "ab")))
+    // the synthetic relation must never leak: SELECT * needs a FROM
+    assertThrows[graft.sql.ParseError] { engine.sql("SELECT *") }
+    // no engine accepts JOIN without FROM
+    assertThrows[graft.sql.ParseError] {
+      engine.sql("SELECT 1 JOIN fruits ON 1 = 1")
+    }
+    assertThrows[graft.sql.ParseError] {
+      engine.sql("SELECT 1 LEFT JOIN fruits ON 1 = 1")
+    }
+  }
+
   test("WITH RECURSIVE: fixpoint closure, UNION dedup, divergence guard") {
     // arithmetic chain over a real table: quantities 2,3,4,5,7 — start
     // at 2, repeatedly step to quantity+1 while it exists: {2,3,4,5}
