@@ -312,14 +312,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         "SHOW TABLES needs an engine base directory (tables are files; " +
         "without a directory there is nothing to list)"))
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      val files = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty).toSeq
-        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".bin"))
-        .sortBy(_.getName)
-        .map { f =>
+      // the Hadoop FS API, not java.io.File: FROM/Versioned resolve
+      // tables through the Hadoop filesystem of the path's scheme, so a
+      // non-local base directory must list the same catalog those paths
+      // read — java.io.File would silently return an empty catalog there
+      val basePath = new org.apache.hadoop.fs.Path(dir)
+      val hfs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files =
+        (if (hfs.exists(basePath)) hfs.listStatus(basePath).toSeq
+         else Seq.empty)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") || n.endsWith(".bin"))
+        .sorted
+        .map { n =>
           val (name, fmt) =
-            if (f.getName.endsWith(".bin")) (f.getName, "blockfile")
-            else (f.getName.stripSuffix(".parquet"), "parquet")
+            if (n.endsWith(".bin")) (n, "blockfile")
+            else (n.stripSuffix(".parquet"), "parquet")
           Row(name, fmt)
         }
       GraftFrame.fromDF(spark.createDataFrame(
@@ -667,6 +675,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       if (body.tail.map(_._2).distinct.length > 1)
         throw new SemanticError(s"recursive CTE '$name' mixes UNION and " +
           "UNION ALL between terms — use one set-op spelling per body")
+      // LINEAR recursion only: semi-naive evaluation binds the CTE name
+      // to the per-iteration delta, which is only sound when each
+      // recursive term references the name exactly once, directly in
+      // FROM/JOIN position. Two references (self-join `FROM r a, r b`)
+      // or a reference inside a subquery would need new×old AND old×new
+      // combinations the delta binding silently drops — reject loudly,
+      // matching Postgres/DuckDB which refuse non-linear recursion.
+      body.tail.foreach { case (_, _, q) =>
+        val direct = (q.from +: q.joins.map(_.table))
+          .count(t => t.subquery.isEmpty && t.path == name)
+        val total = blockPaths(q).count(_ == name)
+        if (total > 0 && (direct != 1 || total != 1))
+          throw new SemanticError(s"recursive CTE '$name': each recursive " +
+            s"term must reference '$name' exactly once, directly in " +
+            s"FROM/JOIN (found $total reference(s), $direct direct) — " +
+            "non-linear recursion is not supported by semi-naive evaluation")
+      }
       val bagMode = body.tail.head._2
       val base0 = plan(body.head, sc).df
       val base = (if (bagMode) base0 else base0.distinct())

@@ -950,6 +950,50 @@ object SparkEntry {
             F.ceil(F.col("total") * eps)).as("est_in_bound"))
     }),
 
+    // ---- CMS sketch-store COMPACTION (round-8 verdict ask #3): four
+    //      per-batch shard segments merge DISTRIBUTED (executors
+    //      tree-reduce the fixed-size tables; the driver deserializes
+    //      ONE blob, never O(shards)) into a single segment. CMS tables
+    //      add cell-wise, so every point estimate must be IDENTICAL
+    //      before and after — gated per probe via est_same alongside
+    //      the q254 bound flags, for both phases ----
+    "q256_cms_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = stagingDir("graft_cms_compact") + "/store"
+      val eps = 0.0001
+      (0 until 4).foreach { i =>
+        Scale.writeCmsSketches(docs.filter(F.col("doc_id") % 4 === i),
+          "text", "source", s"$store/shard-$i", eps = eps)
+      }
+      val probes = Seq("spark", "window", "join", "data", "quality",
+        "zzz_never_present")
+      // materialize the pre-compaction estimates NOW — the store
+      // mutates underneath a lazy plan otherwise
+      val bEst = Scale.cmsTokenEstimates(s, s"$store/shard-*", probes)
+        .localCheckpoint(true)
+      Scale.compactCmsSketches(s, store)
+      val segs = Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("shard-"))
+      require(segs == 1, s"CMS compaction left $segs segments, expected 1")
+      val aEst = Scale.cmsTokenEstimates(s, s"$store/shard-*", probes)
+      val exact = docs.select(
+          F.explode(TextAnalysis.tokens(F.col("text"))).as("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).as("n_exact"))
+      val same = bEst.select(F.col("token"), F.col("est").as("est_b"))
+        .join(aEst.select(F.col("token"), F.col("est").as("est_a")), "token")
+        .select(F.col("token"),
+          (F.col("est_b") === F.col("est_a")).as("est_same"))
+      def phaseFlags(e: org.apache.spark.sql.DataFrame, name: String) =
+        e.join(exact, Seq("token"), "left").na.fill(0L, Seq("n_exact"))
+          .join(same, "token")
+          .select(F.col("token"), F.lit(name).as("phase"), F.col("n_exact"),
+            (F.col("est") >= F.col("n_exact")).as("est_ge_exact"),
+            (F.col("est") <= F.col("n_exact") +
+              F.ceil(F.col("total") * eps)).as("est_in_bound"),
+            F.col("est_same"))
+      phaseFlags(bEst, "before").unionAll(phaseFlags(aEst, "after"))
+    }),
+
     // ---- WITH RECURSIVE through the dialect: semi-naive fixpoint
     //      iteration (base + UNION term over the previous iteration's
     //      rows, per-iteration checkpointed deltas) — the oracle is the
@@ -4550,6 +4594,28 @@ object SparkEntry {
         |FROM (VALUES ('spark'), ('window'), ('join'), ('data'),
         |      ('quality'), ('zzz_never_present')) p(token)
         |LEFT JOIN c ON p.token = c.token""".stripMargin,
+
+    // the q254 probe flags replayed for BOTH phases: cell-wise CMS
+    // addition makes compaction estimate-preserving, so every flag —
+    // including est_same — is a deterministic true
+    "q256_cms_compaction" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM t GROUP BY token),
+        |f AS (SELECT p.token,
+        |        CAST(coalesce(c.n_exact, 0) AS BIGINT) AS n_exact,
+        |        true AS est_ge_exact, true AS est_in_bound,
+        |        true AS est_same
+        |      FROM (VALUES ('spark'), ('window'), ('join'), ('data'),
+        |            ('quality'), ('zzz_never_present')) p(token)
+        |      LEFT JOIN c ON p.token = c.token)
+        |SELECT token, 'before' AS phase, n_exact, est_ge_exact,
+        |  est_in_bound, est_same FROM f
+        |UNION ALL
+        |SELECT token, 'after' AS phase, n_exact, est_ge_exact,
+        |  est_in_bound, est_same FROM f""".stripMargin,
 
     // DuckDB runs the SAME recursive statement natively
     "q253_sql_recursive_cte" ->

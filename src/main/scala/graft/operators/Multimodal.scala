@@ -482,7 +482,11 @@ object Multimodal {
             find(s, e, "strh").foreach { case (sh, _) =>
               if (tag(sh) == "vids") found = Some((sh, s, e))
             }
-            cursor = e
+            // advance past this LIST including the RIFF even-byte pad
+            // (list size = e - s + 4, so its parity is (e - s) & 1) —
+            // an odd-sized leading audio strl must not misalign the
+            // scan for the video strl that follows it
+            cursor = e + ((e - s) & 1)
           case None => cursor = hE // no further strl
         }
       }
@@ -557,7 +561,7 @@ object Multimodal {
     * The fixture generator for [[decodeAviFrame]], mirroring what
     * [[synthesizeMjpeg]] is to [[decodeMjpegFrame]]. */
   def aviBytes(width: Int, height: Int, nFrames: Int, mjpeg: Boolean,
-               fill: Int = 0): Array[Byte] = {
+               fill: Int = 0, oddAudioStrl: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1 && nFrames >= 1,
       s"bad AVI geometry: ${width}x$height x$nFrames")
     val frames: Seq[Array[Byte]] =
@@ -579,7 +583,25 @@ object Multimodal {
     val strf = riffChunk("strf", le32b(40), le32b(width), le32b(height),
       le16b(1), le16b(24), compression, le32b(width * height * 3),
       le32b(0), le32b(0), le32b(0), le32b(0))
-    val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
+    // audio-before-video with an ODD declared strl size: a legal RIFF
+    // writer may exclude the final pad byte from the LIST size (the pad
+    // then sits after the LIST span) — the walker must apply the
+    // even-byte pad when stepping over it or the video strl misaligns
+    val audioStrl: Array[Byte] =
+      if (!oddAudioStrl) Array.empty
+      else {
+        val audioStrh = riffChunk("strh", "auds".getBytes("US-ASCII"),
+          new Array[Byte](52))
+        val junkBody = new Array[Byte](5) // odd content, pad excluded
+        val junk = "JUNK".getBytes("US-ASCII") ++
+          le32b(junkBody.length) ++ junkBody
+        val body = "strl".getBytes("US-ASCII") ++ audioStrh ++ junk
+        require(body.length % 2 == 1, "fixture must declare an odd LIST")
+        "LIST".getBytes("US-ASCII") ++ le32b(body.length) ++ body ++
+          Array(0.toByte)
+      }
+    val hdrl = riffList("hdrl", avih, audioStrl,
+      riffList("strl", strh, strf))
     val fcc = if (mjpeg) "00dc" else "00db"
     val movi = riffList("movi", frames.map(riffChunk(fcc, _)): _*)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi

@@ -109,23 +109,80 @@ object Scale {
         F.lit(confidence), F.lit(seed)).as("cms"))
       .write.mode("overwrite").parquet(path)
 
+  /** Pairwise CMS merge over serialized sketch blobs — count-min tables
+    * of identical (depth, width, seed) add cell-wise, so the merge is
+    * associative+commutative and safe to tree-reduce on executors.
+    * Incompatible geometry throws (loud, never silent). The empty blob
+    * is the treeAggregate zero. */
+  private def mergeCmsBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+      s.mergeInPlace(
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Merge ALL stored CMS shards into one serialized blob,
+    * DISTRIBUTED: executors tree-reduce fixed-size tables pairwise
+    * ([[mergeCmsBlobs]]); the driver receives O(√partitions) partials of
+    * KBs each — never O(shards), however many ingest batches the store
+    * has accumulated (the q240 lesson, applied to CMS). */
+  private def mergedCmsBlob(spark: org.apache.spark.sql.SparkSession,
+                            paths: Seq[String]): Array[Byte] = {
+    val blob = spark.read.parquet(paths: _*).select("cms")
+      .rdd.map(_.getAs[Array[Byte]](0))
+      .treeAggregate(Array.empty[Byte])(mergeCmsBlobs, mergeCmsBlobs)
+    require(blob.nonEmpty, s"no CMS shards at ${paths.mkString(", ")}")
+    blob
+  }
+
+  /** Compact a GROWING CMS store (one `shard-<id>` parquet segment per
+    * ingest batch, the [[compactHeavyHitterSketches]] layout) into a
+    * single merged segment. CMS tables add cell-wise, so the compacted
+    * sketch answers every point query IDENTICALLY to the shard union —
+    * no threshold step, unlike Misra–Gries. Merge runs distributed
+    * ([[mergedCmsBlob]]); the same `_covers.txt` crash protocol applies:
+    * segment + manifest land before the sweep, and a re-run after a
+    * crash excludes the detectable leftover instead of double-counting
+    * every cell. */
+  def compactCmsSketches(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val (fs, old, live) = liveSegments(spark, path)
+    if (old.length <= 1) return // a single segment is already compact
+    val blob = mergedCmsBlob(spark, live.map(_.toString).toSeq)
+    val seg = s"$path/shard-compact-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            Seq(org.apache.spark.sql.Row("compacted", blob))).asJava),
+        StructType(Seq(
+          StructField("shard", StringType, nullable = false),
+          StructField("cms", BinaryType, nullable = false))))
+      .coalesce(1).write.parquet(seg)
+    commitCompaction(spark, fs, path, seg, old)
+  }
+
   /** Merge the stored CMS shards and estimate each probe token's corpus
-    * frequency: (token, est, total). The merge deserializes one
-    * fixed-size table per shard on the driver — KBs per shard, bounded
-    * by the SHARD COUNT, never the corpus (the bounded-collect rule).
-    * A deployment with many thousands of shards should pre-merge
-    * distributed (sketches add cell-wise) before this driver step; as
-    * written the collect is the profile. Probes are a bounded token
-    * list (typically ≤ hundreds). */
+    * frequency: (token, est, total). The merge is DISTRIBUTED
+    * ([[mergedCmsBlob]]): executors tree-reduce the fixed-size tables
+    * and the driver deserializes ONE merged blob — O(1) in the shard
+    * count, so an ingest that accumulated thousands of micro-batch
+    * segments costs the driver nothing extra. Probes are a bounded
+    * token list (typically ≤ hundreds). `path` may be a segment glob
+    * (`store/shard-*`) or a single parquet directory. */
   def cmsTokenEstimates(spark: org.apache.spark.sql.SparkSession,
                         path: String, probes: Seq[String]): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val shards = spark.read.parquet(path).select("cms")
-      .collect().map(_.getAs[Array[Byte]](0))
-    require(shards.nonEmpty, s"no CMS shards at $path")
-    val merged = shards.map(b =>
-        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
-      .reduce(_.mergeInPlace(_))
+    val merged = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(mergedCmsBlob(spark, Seq(path))))
     val total = merged.totalCount()
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val rows = probes.map(t =>
@@ -406,19 +463,26 @@ object Scale {
     * WIDEN the union — they are never summed into final counts, because
     * the exact-confirm pass recomputes counts from the corpus), so a
     * crash at any point leaves a store whose merged answer is identical;
-    * the next compaction sweeps the leftovers. All shuffles are over
-    * ≤ shards·k candidate rows. */
+    * the next compaction sweeps the leftovers. Each compacted segment
+    * carries a `_covers.txt` manifest naming the segments it was summed
+    * from: a re-run after a crash (segment written, old shards not yet
+    * swept) detects the overlap and EXCLUDES the leftover from the sum —
+    * without the manifest it would double-count every item the leftover
+    * shares with the still-present shards and break the Misra–Gries
+    * underestimate property of the stored counters. (In the crash
+    * window itself — before the healing re-run — stored counters may
+    * double-represent and must be read as candidate weights only; the
+    * merged ANSWER is exact-confirmed and never wrong.) All shuffles
+    * are over ≤ shards·k candidate rows. */
   def compactHeavyHitterSketches(spark: org.apache.spark.sql.SparkSession,
                                  path: String, k: Int): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val root = new java.io.File(path)
-    val old = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard-"))
+    val (fs, old, live) = liveSegments(spark, path)
     if (old.length <= 1) return // a single segment is already compact
     // staged: the cardinality check, the threshold aggregate and the
     // final write would otherwise each re-read and re-aggregate every
     // shard; the staged frame is bounded at shards·k candidate rows
-    val summed = spark.read.parquet(old.map(_.getPath): _*)
+    val summed = spark.read.parquet(live.map(_.toString): _*)
       .groupBy("item").agg(F.sum("count").as("count"))
       .localCheckpoint(true)
     val compacted =
@@ -435,11 +499,62 @@ object Scale {
     compacted
       .select(F.lit("compacted").as("shard"), F.col("item"), F.col("count"))
       .coalesce(1).write.parquet(seg)
-    // segment first, sweep second (see scaladoc ordering argument)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    commitCompaction(spark, fs, path, seg, old)
+  }
+
+  /** Shared compaction plumbing for the stored-sketch family.
+    *
+    * `liveSegments` lists a store's `shard-*` segment directories via
+    * the Hadoop FileSystem API (the same resolution path FROM/Versioned
+    * use — java.io.File would silently see an empty store on a
+    * non-local base) and partitions out CRASH LEFTOVERS: a
+    * `shard-compact-*` segment whose `_covers.txt` manifest names a
+    * segment that still exists was written by a compaction that died
+    * before its sweep — its counters are already represented by the
+    * surviving shards, so summing it would double-count. Leftovers are
+    * excluded from the sum but still swept. Returns
+    * (fs, allSegments, segmentsToSum). */
+  private def liveSegments(spark: org.apache.spark.sql.SparkSession,
+                           path: String)
+      : (org.apache.hadoop.fs.FileSystem,
+         Array[org.apache.hadoop.fs.Path],
+         Array[org.apache.hadoop.fs.Path]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs =
+      (if (fs.exists(root)) fs.listStatus(root) else Array.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard-"))
+        .map(_.getPath)
+    val present = segs.map(_.getName).toSet
+    def coveredStillPresent(seg: org.apache.hadoop.fs.Path): Boolean = {
+      val m = new org.apache.hadoop.fs.Path(seg, "_covers.txt")
+      fs.exists(m) && {
+        val in = fs.open(m)
+        val text = try {
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        } finally in.close()
+        text.split("\n").exists(n => n.nonEmpty && present.contains(n))
+      }
     }
-    old.foreach(rm)
+    val live = segs.filterNot(s =>
+      s.getName.startsWith("shard-compact-") && coveredStillPresent(s))
+    (fs, segs, live)
+  }
+
+  /** Write the covers manifest into the fresh segment, sweep the old
+    * segments, and drop their cached file listings. Ordering: manifest
+    * before sweep, so a crash at ANY point leaves either (a) a store
+    * where the new segment is a detectable leftover (manifest names
+    * still-present shards) or (b) a fully swept store. */
+  private def commitCompaction(spark: org.apache.spark.sql.SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               path: String, seg: String,
+                               old: Array[org.apache.hadoop.fs.Path]): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(seg, "_covers.txt")
+    val out = fs.create(manifest, true)
+    try out.write(old.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    old.foreach(p => fs.delete(p, true))
     // the session's file-status cache may still hold the swept shards'
     // listings; a reader would then schedule tasks against deleted files
     // and burn a retry round on FileNotFound before refreshing

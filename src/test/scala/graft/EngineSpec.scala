@@ -521,6 +521,30 @@ class EngineSpec extends SparkSpec {
           |  LIMIT 3
           |) SELECT COUNT() AS n FROM r""".stripMargin)
     }
+    // NON-LINEAR recursion rejects loudly: semi-naive evaluation binds
+    // the name to the per-iteration delta, which silently drops
+    // new×old combinations for a self-join — Postgres/DuckDB refuse
+    // these forms too
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql(
+        """WITH RECURSIVE r AS (
+          |  SELECT quantity AS q FROM fruits WHERE quantity = 2
+          |  UNION
+          |  SELECT a.q + b.q AS q FROM r a JOIN r b ON a.q = b.q
+          |  WHERE a.q < 10
+          |) SELECT COUNT() AS n FROM r""".stripMargin)
+    }
+    // ... and so does a self-reference in SUBQUERY position (no direct
+    // FROM/JOIN binding for the delta to substitute)
+    assertThrows[graft.sql.SemanticError] {
+      engine.sql(
+        """WITH RECURSIVE r AS (
+          |  SELECT quantity AS q FROM fruits WHERE quantity = 2
+          |  UNION
+          |  SELECT f.quantity AS q FROM fruits f
+          |  WHERE f.quantity IN (SELECT r.q + 1 AS q1 FROM r)
+          |) SELECT COUNT() AS n FROM r""".stripMargin)
+    }
     // `recursive` stays a usable CTE NAME (one-token lookahead: marker
     // only when not followed by AS)
     assert(rows(engine.sql(

@@ -240,6 +240,13 @@ class OperatorsSpec extends SparkSpec {
     val raw = Multimodal.aviBytes(32, 16, nFrames = 2, mjpeg = false, fill = 200)
     assert(Multimodal.decodeAviFrame(raw)
       .contains((32, 16, 2, "DIB ", 200.0, 2.0 / 25)))
+    // an audio strl with an ODD declared LIST size (pad byte outside
+    // the size — legal RIFF) precedes the video strl: the walker must
+    // pad-align when stepping over it, or the decodable track is lost
+    val oddAudio = Multimodal.aviBytes(32, 16, nFrames = 2, mjpeg = false,
+      fill = 200, oddAudioStrl = true)
+    assert(Multimodal.decodeAviFrame(oddAudio)
+      .contains((32, 16, 2, "DIB ", 200.0, 2.0 / 25)))
     // a codec the JDK cannot decode -> None (the stub's honest domain):
     // flip the compression fourcc + handler of a raw file to 'cvid'
     val alien = raw.clone()

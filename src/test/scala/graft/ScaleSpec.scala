@@ -853,6 +853,99 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compaction crash re-run: leftover segment excluded, counters not doubled") {
+    val out = java.nio.file.Files.createTempDirectory("graft-hh-crash")
+    try {
+      val store = s"$out/store"
+      val docs = ((1 to 400).map(i => (i.toLong, "alpha beta alpha")) ++
+        (1 to 60).map(i => (400L + i, s"w${i % 40} beta")))
+        .toDF("doc_id", "text")
+      def writeShards(): Unit = (0 until 4).foreach { i =>
+        Scale.writeHeavyHitterSketches(
+          docs.filter(F.col("doc_id") % 4 === i)
+            .withColumn("_s", F.lit(i.toString)),
+          "text", "_s", k = 8, s"$store/shard-$i")
+      }
+      def counters() = spark.read.parquet(s"$store/shard-*")
+        .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("count"))
+        .toMap
+      writeShards()
+      Scale.compactHeavyHitterSketches(spark, store, k = 8)
+      val clean = counters()
+      // simulate the crash window: compacted segment committed (with
+      // its _covers.txt) but the sweep never ran — the covered shards
+      // reappear next to the compact segment
+      writeShards()
+      assert(new java.io.File(store).listFiles()
+        .count(_.getName.startsWith("shard-")) == 5)
+      // the healing re-run must detect the leftover via its manifest,
+      // exclude it from the sum, and land the SAME counters — without
+      // the manifest every shared item would double
+      Scale.compactHeavyHitterSketches(spark, store, k = 8)
+      assert(counters() == clean)
+      assert(new java.io.File(store).listFiles()
+        .count(_.getName.startsWith("shard-")) == 1)
+      // a post-compaction store that legitimately grew (manifest names
+      // only swept shards) must INCLUDE the old segment: new batches
+      // add, nothing is lost
+      Scale.writeHeavyHitterSketches(
+        docs.withColumn("_s", F.lit("late")), "text", "_s", k = 8,
+        s"$store/shard-late")
+      Scale.compactHeavyHitterSketches(spark, store, k = 8)
+      val grown = counters()
+      // alpha appears 800× in the original corpus; the late batch
+      // re-adds the whole corpus, so its counter must grow past the
+      // clean value (inclusion), roughly doubling net of MG rescale
+      assert(grown("alpha") > clean("alpha"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
+  test("CMS compaction: estimates identical, distributed merge, crash re-run safe") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cms-compact")
+    try {
+      val store = s"$out/store"
+      val docs = ((1 to 40).map(i => (i.toLong, "alpha beta", s"s${i % 4}")) ++
+        (1 to 10).map(i => (100L + i, "alpha", s"s${i % 4}")))
+        .toDF("doc_id", "text", "source")
+      def writeShards(): Unit = (0 until 4).foreach { i =>
+        Scale.writeCmsSketches(docs.filter(F.col("doc_id") % 4 === i),
+          "text", "source", s"$store/shard-$i")
+      }
+      def est() = Scale.cmsTokenEstimates(spark, s"$store/shard-*",
+          Seq("alpha", "beta", "absent"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      writeShards()
+      val before = est()
+      assert(before("alpha") == ((50L, 90L)))
+      Scale.compactCmsSketches(spark, store)
+      val segs = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("shard-"))
+      assert(segs.length == 1 && segs.head.getName.startsWith("shard-compact-"))
+      // cell-wise addition: every point estimate and the total invariant
+      assert(est() == before)
+      // idempotent on a single segment
+      Scale.compactCmsSketches(spark, store)
+      assert(est() == before)
+      // crash re-run: covered shards reappear next to the compact
+      // segment; the healing compaction must exclude the leftover
+      // (counts would otherwise double: alpha 100, total 180)
+      writeShards()
+      Scale.compactCmsSketches(spark, store)
+      assert(est() == before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("CMS sketches: sharded merge serves exact-regime frequencies") {
     val out = java.nio.file.Files.createTempDirectory("graft-cms-spec")
     try {
