@@ -1880,6 +1880,41 @@ object SparkEntry {
           maxBucket = 64))
         .select(F.col("id").as("doc_id"), F.col("cluster"))),
 
+    // ---- the dialect's WITH RECURSIVE dogfooded on the workload the
+    //      recursion exists for: q51's connected-component closure over
+    //      the REAL minhash pair set, expressed as a recursive CTE and
+    //      cross-checked ROW-FOR-ROW against Dedup.clusters — the two
+    //      fixpoint implementations (semi-naive SQL recursion vs
+    //      checkpointed min-label propagation) must land the identical
+    //      cluster map; the oracle is the q51 replay ----
+    "q257_recursive_closure_dogfood" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+          numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
+          maxBucket = 64)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val base = stagingDir("graft_rcte_dogfood")
+      pairs.write.mode("overwrite").parquet(s"$base/pairs.parquet")
+      val viaCte = Engine(s, base).sql(
+        """WITH RECURSIVE
+          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+          |reach AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a AS a, e.b AS b FROM reach r JOIN edges e ON r.b = e.a
+          |),
+          |m AS (SELECT a, MIN(b) AS mb FROM reach GROUP BY a)
+          |SELECT a AS doc_id, least(a, mb) AS cluster FROM m""".stripMargin).df
+        .localCheckpoint(true)
+      val viaOp = Dedup.clusters(pairs)
+        .select(F.col("id").as("doc_id"), F.col("cluster"))
+      val diff = viaCte.exceptAll(viaOp).unionAll(viaOp.exceptAll(viaCte))
+        .count()
+      require(diff == 0, s"recursive-CTE closure diverges from " +
+        s"Dedup.clusters by $diff rows")
+      viaCte
+    }),
+
     // ---- LEAKAGE-FREE train/val/test split: the split key is the
     //      near-dup CLUSTER, not the document, so near-duplicates can
     //      never straddle train and eval (the contamination a per-doc
@@ -5384,6 +5419,20 @@ object SparkEntry {
     // transitive closure over the SAME replayed pair set as q29: cluster
     // of a doc = the smallest doc id reachable through >= 0.8 pairs
     "q51_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
+
+    // the q51 replay verbatim: the dialect's recursive CTE over the
+    // real pair set must land the same closure DuckDB's does
+    "q257_recursive_closure_dogfood" ->
       s"""WITH RECURSIVE ${minhashOracleCtes(numBands = 4, rowsPerBand = 8, maxBucket = 64)},
          |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
          |edges AS (SELECT id_a AS a, id_b AS b FROM p
