@@ -95,7 +95,14 @@ object Multimodal {
   def decodePayload(kind: String, payload: Array[Byte]): (Int, Int, Double) =
     (kind match {
       case "image" => decodeImage(payload).map { case (w, h) => (w, h, 0.0) }
-      case "video" => decodeVideoMeta(payload).orElse(
+      case "video" =>
+        // H.264 tracks first: the SPS bitstream is the geometry ground
+        // truth (tkhd/sample-entry fields may carry padded sizes);
+        // duration still comes from the container's mvhd clock
+        decodeAvcMeta(payload).map { case (w, h, _, _, _) =>
+          (w, h, decodeVideoMeta(payload).map(_._3).getOrElse(0.0))
+        }
+        .orElse(decodeVideoMeta(payload)).orElse(
         // RIFF/AVI containers: geometry from the real first-frame walk,
         // duration from the stream header's own frame clock
         decodeAviFrame(payload).map { case (w, h, _, _, _, d) => (w, h, d) })
@@ -407,6 +414,337 @@ object Multimodal {
           val p = synthesizeMjpeg(w, h, n)
           new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
             Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
+  // H.264 SPS geometry: real metadata for COMPRESSED-codec tracks.
+  // The JDK has no H.264 pixel decoder (sampleFrames stays the honest
+  // stub for pixels), but coded geometry does not need one: the
+  // avcC box (ISO/IEC 14496-15 AVCDecoderConfigurationRecord) carries
+  // the raw SPS NAL, and the SPS (ITU-T H.264 §7.3.2.1.1) encodes
+  // pic_width_in_mbs / pic_height_in_map_units plus the frame-crop
+  // offsets in exp-Golomb — pure bit arithmetic. Cf. reference
+  // minispark: no video support at all; this is a north-star extension.
+  // --------------------------------------------------------------------
+
+  /** MSB-first bit writer with unsigned exp-Golomb (ue(v)) — the
+    * encoding side of the SPS fixture. */
+  private final class BitWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def u(v: Int, n: Int): Unit =
+      ((n - 1) to 0 by -1).foreach(i => bits += (((v >> i) & 1) == 1))
+    def ue(v: Int): Unit = {
+      val c = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(c)
+      u(0, len - 1); u(c, len)
+    }
+    /** RBSP bytes: payload + rbsp_stop_one_bit + zero-align. */
+    def rbsp(): Array[Byte] = {
+      val b = bits :+ true
+      val padded = b ++ Seq.fill((8 - b.length % 8) % 8)(false)
+      padded.grouped(8).map(_.foldLeft(0)((a, bit) =>
+        (a << 1) | (if (bit) 1 else 0)).toByte).toArray
+    }
+  }
+
+  /** MSB-first bit reader with ue/se exp-Golomb — the parsing side.
+    * Throws IndexOutOfBoundsException past the end (callers catch). */
+  private final class BitReader(p: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      for (_ <- 0 until n) {
+        v = (v << 1) | ((p(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IndexOutOfBoundsException("bad ue")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Insert H.264 emulation-prevention bytes: a 0x03 after any 00 00
+    * when the next RBSP byte is <= 0x03 (a raw 00 00 0x would read as a
+    * start code / escape inside the NAL). */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xFF) <= 3) { out += 3.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** Strip emulation-prevention bytes (00 00 03 → 00 00). */
+  private def unescapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+          nal(i + 2) == 3) {
+        out += 0; out += 0; i += 3
+      } else { out += nal(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode a VALID baseline-profile H.264 SPS NAL (header byte 0x67 +
+    * escaped RBSP) for the given DISPLAY dimensions: macroblock counts
+    * are the /16 ceilings and the remainder becomes frame-crop offsets
+    * (right/bottom, in 2-px chroma units — 4:2:0, so both gaps must be
+    * even). The deterministic fixture generator for
+    * [[parseSpsGeometry]]. */
+  def spsBytes(width: Int, height: Int, levelIdc: Int = 30): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad SPS geometry ${width}x$height")
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    val cropR = 16 * mbW - width
+    val cropB = 16 * mbH - height
+    require(cropR % 2 == 0 && cropB % 2 == 0,
+      s"4:2:0 crop offsets must be even px (got $cropR, $cropB)")
+    val w = new BitWriter
+    w.u(66, 8); w.u(0, 8); w.u(levelIdc, 8) // profile 66, constraints, level
+    w.ue(0)                 // seq_parameter_set_id
+    w.ue(0)                 // log2_max_frame_num_minus4
+    w.ue(0); w.ue(0)        // pic_order_cnt_type 0, log2_max_poc_lsb_minus4
+    w.ue(1)                 // max_num_ref_frames
+    w.u(0, 1)               // gaps_in_frame_num_value_allowed
+    w.ue(mbW - 1); w.ue(mbH - 1)
+    w.u(1, 1)               // frame_mbs_only_flag
+    w.u(1, 1)               // direct_8x8_inference_flag
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1)             // frame_cropping_flag
+      w.ue(0); w.ue(cropR / 2); w.ue(0); w.ue(cropB / 2)
+    } else w.u(0, 1)
+    w.u(0, 1)               // vui_parameters_present_flag
+    Array(0x67.toByte) ++ escapeRbsp(w.rbsp())
+  }
+
+  /** High-profile chroma/bit-depth profile ids whose SPS carries the
+    * chroma_format_idc branch (H.264 §7.3.2.1.1). */
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  /** Skip one scaling list (delta-coded; §7.3.2.1.1.1). */
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var last = 8; var next = 8
+    for (_ <- 0 until size) {
+      if (next != 0) next = (last + r.se() + 256) % 256
+      if (next != 0) last = next
+    }
+  }
+
+  /** Parse the DISPLAY geometry out of a raw H.264 SPS NAL (header byte
+    * included): (width, height, profile_idc, level_idc). Handles the
+    * high-profile chroma branch, both pic_order_cnt_type layouts,
+    * interlaced map units, and frame cropping in the correct chroma
+    * units — everything a real camera/encoder SPS can carry up to the
+    * geometry fields. None for non-SPS or truncated bytes, never a
+    * throw. */
+  def parseSpsGeometry(sps: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (sps.length < 4 || (sps(0) & 0x1F) != 7) return None
+    val r = new BitReader(unescapeRbsp(sps.drop(1)))
+    try {
+      val profile = r.u(8); r.u(8); val level = r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chromaIdc = 1 // baseline/main/extended imply 4:2:0
+      if (HighProfiles.contains(profile)) {
+        chromaIdc = r.ue()
+        if (chromaIdc == 3) r.u(1) // separate_colour_plane_flag
+        r.ue(); r.ue(); r.u(1)     // bit depths, qpprime_y_zero
+        if (r.u(1) == 1) {         // seq_scaling_matrix_present
+          val n = if (chromaIdc == 3) 12 else 8
+          for (i <- 0 until n)
+            if (r.u(1) == 1) skipScalingList(r, if (i < 6) 16 else 64)
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match {
+        case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+        case 1 =>
+          r.u(1); r.se(); r.se()
+          val n = r.ue(); for (_ <- 0 until n) r.se()
+        case _ => ()
+      }
+      r.ue(); r.u(1) // max_num_ref_frames, gaps flag
+      val pwMbs = r.ue() + 1
+      val phMap = r.ue() + 1
+      val fmof = r.u(1)
+      if (fmof == 0) r.u(1) // mb_adaptive_frame_field_flag
+      r.u(1)                // direct_8x8_inference_flag
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      val (cux, cuy) =
+        if (chromaIdc == 0) (1, 2 - fmof) // monochrome
+        else {
+          val subW = if (chromaIdc == 3) 1 else 2
+          val subH = if (chromaIdc == 1) 2 else 1
+          (subW, subH * (2 - fmof))
+        }
+      val w = 16 * pwMbs - cux * (cl + cr)
+      val h = 16 * phMap * (2 - fmof) - cuy * (ct + cb)
+      if (w >= 1 && h >= 1) Some((w, h, profile, level)) else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** SPS-derived metadata for an H.264 track in an ISO-BMFF container:
+    * (width, height, profile_idc, level_idc, sampleCount). Walks
+    * `stsd` to the `avc1`/`avc3` sample entry, pulls the first SPS out
+    * of its `avcC` record, and parses geometry FROM THE BITSTREAM —
+    * never from the sample-entry or tkhd dimension fields, which real
+    * muxers are free to pad or lie about. None for non-MP4 bytes or
+    * non-AVC tracks; pixel decode stays the honest stub. */
+  def decodeAvcMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!looksLikeMp4(payload)) return None
+    val b = new Boxes(payload)
+    try {
+      val (moovS, moovE) =
+        b.find(0, payload.length, "moov").getOrElse(return None)
+      var trakFrom = moovS
+      while (trakFrom < moovE) {
+        val (trakS, trakE) =
+          b.find(trakFrom, moovE, "trak").getOrElse(return None)
+        val hit = for {
+          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
+          (mfS, mfE) <- b.find(mdS, mdE, "minf")
+          (sS, sE) <- b.find(mfS, mfE, "stbl")
+          (stsdS, stsdE) <- b.find(sS, sE, "stsd")
+          if stsdS + 16 <= stsdE
+          if Set("avc1", "avc3").contains(b.tag(stsdS + 12))
+          // child boxes start after the 78-byte VisualSampleEntry
+          // fields (entry box header at stsdS+8, fields at stsdS+16)
+          (avcS, _) <- b.find(stsdS + 16 + 78, stsdE, "avcC")
+          if (payload(avcS + 5) & 0x1F) >= 1 // numOfSequenceParameterSets
+          spsLen = ((payload(avcS + 6) & 0xFF) << 8) |
+            (payload(avcS + 7) & 0xFF)
+          sps = java.util.Arrays.copyOfRange(payload, avcS + 8,
+            avcS + 8 + spsLen)
+          (w, h, prof, lvl) <- parseSpsGeometry(sps)
+        } yield {
+          val n = b.find(sS, sE, "stsz")
+            .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
+          (w, h, prof, lvl, n)
+        }
+        hit match {
+          case Some(t) => return Some(t)
+          case None    => ()
+        }
+        trakFrom = trakE
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Build a minimal VALID AVC MP4: `ftyp` + `mdat` (length-prefixed
+    * dummy NAL samples — pixels are NOT decodable, which is the point:
+    * geometry must come from the SPS) + full `moov` sample table with
+    * an `avc1` entry carrying a real `avcC`/SPS. The sample-entry and
+    * tkhd dimension fields deliberately carry the macroblock-PADDED
+    * size, so only a true SPS crop parse recovers the display size. */
+  def synthesizeAvcMp4(width: Int, height: Int, nFrames: Int,
+                       levelIdc: Int = 30, timescale: Int = 1000,
+                       frameDurUnits: Int = 40): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val padW = ((width + 15) / 16) * 16
+    val padH = ((height + 15) / 16) * 16
+    val sps = spsBytes(width, height, levelIdc)
+    val pps = Array(0x68, 0xCE, 0x38, 0x80).map(_.toByte)
+    // one dummy IDR-sized sample per frame: u32 NAL length + filler
+    val sample = be32(22) ++ Array.fill(22)(0x5A.toByte)
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
+    val chunkOffset = ftyp.length + 8
+    val durUnits = nFrames * frameDurUnits
+    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
+      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0), unityMatrix, be32(padW << 16), be32(padH << 16))
+    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be16(0x55C4), be16(0))
+    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0))
+    val avcC = mkBox("avcC",
+      Array(1.toByte, sps(1), sps(2), sps(3), 0xFF.toByte, 0xE1.toByte),
+      be16(sps.length), sps, Array(1.toByte), be16(pps.length), pps)
+    val stsdEntry = mkBox("avc1", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(padW), be16(padH), be32(0x00480000),
+      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
+      be16(0xFFFF), avcC)
+    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
+    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
+    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
+    val stsz = mkBox("stsz", be32(0), be32(sample.length), be32(nFrames))
+    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = mkBox("minf", stbl)
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val trak = mkBox("trak", tkhd, mdia)
+    val moov = mkBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthesize an AVC MP4 corpus keyed by id — geometry exercises the
+    * crop path (display size = padded size minus even crops), level
+    * varies per id, all replayable arithmetically:
+    * w = 16·(1+id%4) − 2·((id·7)%4), h = 16·(1+(id·3)%5) − 2·((id·11)%4),
+    * frames = 1+id%4, level = 10+(id%5)·10. */
+  def synthesizeAvcVideos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (16 * (1 + id % 4) - 2 * ((id * 7) % 4)).toInt
+          val h = (16 * (1 + (id * 3) % 5) - 2 * ((id * 11) % 4)).toInt
+          val n = (1 + id % 4).toInt
+          val lvl = (10 + (id % 5) * 10).toInt
+          val p = synthesizeAvcMp4(w, h, n, levelIdc = lvl)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched SPS-geometry extraction over a media frame: (media_id,
+    * codec, width, height, profile_idc, level_idc, n_frames). Non-AVC
+    * payloads are skipped (flatMap) — the honest-stub fallback composes
+    * via [[decodePayload]] when a pipeline wants a row per input. */
+  def decodeAvcStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("profile_idc", IntegerType, nullable = false),
+      StructField("level_idc", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAvcMeta(r.getAs[Array[Byte]](1)).map {
+            case (w, h, prof, lvl, n) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array(r.getLong(0), "avc1", w, h, prof, lvl, n),
+                outSchema): Row
+          }
         }
       }(enc)
   }

@@ -229,6 +229,51 @@ class OperatorsSpec extends SparkSpec {
         s"id=$id")
   }
 
+  test("H.264 SPS geometry: crop round-trip, padded container fields ignored") {
+    // the classic 1080p case: 1920x1080 needs a bottom crop of 8 px
+    // (68 map units * 16 = 1088) — the shape every real camera SPS has
+    val sps1080 = Multimodal.spsBytes(1920, 1080, levelIdc = 40)
+    assert(Multimodal.parseSpsGeometry(sps1080).contains((1920, 1080, 66, 40)))
+    // uncropped and doubly-cropped shapes round-trip too
+    assert(Multimodal.parseSpsGeometry(Multimodal.spsBytes(64, 32))
+      .contains((64, 32, 66, 30)))
+    assert(Multimodal.parseSpsGeometry(Multimodal.spsBytes(10, 10))
+      .contains((10, 10, 66, 30)))
+    // emulation prevention: geometry whose ue() run emits 00 00 0x must
+    // survive the escape/unescape round trip (widths near 2^k produce
+    // long zero runs in exp-Golomb)
+    for (w <- Seq(16, 256, 4096, 2050); h <- Seq(16, 1024, 2, 34))
+      assert(Multimodal.parseSpsGeometry(Multimodal.spsBytes(w, h))
+        .contains((w, h, 66, 30)), s"${w}x$h")
+    // non-SPS NAL types and truncated bytes -> None, never a throw
+    assert(Multimodal.parseSpsGeometry(Array[Byte](0x68, 0xCE.toByte)).isEmpty)
+    assert(Multimodal.parseSpsGeometry(sps1080.take(3)).isEmpty)
+    // container walk: the fixture's tkhd/sample-entry fields carry the
+    // PADDED size, so matching the display size proves the SPS parse
+    val mp4 = Multimodal.synthesizeAvcMp4(150, 70, nFrames = 3, levelIdc = 31)
+    assert(Multimodal.decodeAvcMeta(mp4).contains((150, 70, 66, 31, 3)))
+    // ...while the tkhd-based metadata walk sees 160x80 (the padding)
+    assert(Multimodal.decodeVideoMeta(mp4).map(m => (m._1, m._2))
+      .contains((160, 80)))
+    // the video dispatch prefers the SPS ground truth for AVC payloads
+    assert(Multimodal.decodePayload("video", mp4)._1 == 150)
+    // an MJPEG container has no avcC -> None; AVC walk skips it
+    assert(Multimodal.decodeAvcMeta(
+      Multimodal.synthesizeMjpeg(64, 48, 2)).isEmpty)
+    assert(Multimodal.decodeAvcMeta("notmp4".getBytes("UTF-8")).isEmpty)
+    // distributed plumbing: per-id stats, geometry = fixture arithmetic
+    val ids = Seq(0L, 7L, 42L).toDF("doc_id")
+    val out = Multimodal.decodeAvcStats(
+        Multimodal.synthesizeAvcVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6)))).toMap
+    for (id <- Seq(0L, 7L, 42L))
+      assert(out(id) == ((
+        (16 * (1 + id % 4) - 2 * ((id * 7) % 4)).toInt,
+        (16 * (1 + (id * 3) % 5) - 2 * ((id * 11) % 4)).toInt,
+        (10 + (id % 5) * 10).toInt, (1 + id % 4).toInt)), s"id=$id")
+  }
+
   test("AVI first-frame decode: MJPEG and raw BI_RGB fourcc paths") {
     // MJPEG-in-AVI: real JPEG chunks; decoded geometry must be the
     // encoder's (a header-only read could not distinguish a lying strf)
