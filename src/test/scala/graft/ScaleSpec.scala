@@ -90,6 +90,46 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits the skewed partition of an unsalted shuffled join") {
+    // pins the q44_x10_skewed_unsalted bench probe's plan: one hot key
+    // owning ~50% of rows through a sort-merge join with AQE skew
+    // handling enabled and thresholds sized to the data — the executed
+    // plan must carry the skew=true marker (the hot partition was
+    // split), and results must equal the salted twin's
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = ((1 to 60000).map(i => (0L, i.toLong)) ++   // hot key 0
+        (1 to 6000).map(i => ((i % 200 + 1).toLong, i.toLong)))
+        .toDF("user_id", "value")
+      val dim = (0L to 200L).map(k => (k, k % 10)).toDF("d_user_id", "segment")
+      val joined = left
+        .join(dim.hint("merge"), F.col("user_id") === F.col("d_user_id"))
+        .groupBy("segment").agg(F.sum("value").as("v"), F.count(F.lit(1)).as("n"))
+      val rows = joined.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$plan")
+      // semantic cross-check against the salted twin
+      val salted = Scale.saltedJoin(left, dim, "user_id", "d_user_id",
+          F.hash(F.col("value")), salts = 8)
+        .groupBy("segment").agg(F.sum("value").as("v"), F.count(F.lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(salted == rows)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned corpus layout prunes non-matching lang directories") {
     val docs = Seq(
       (0L, "the quick brown fox", "en"), (1L, "der schnelle fuchs", "de"),
