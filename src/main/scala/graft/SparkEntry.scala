@@ -557,6 +557,14 @@ object SparkEntry {
       Multimodal.decodeAvcStats(
         Multimodal.synthesizeAvcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- the q258 recovery for the OTHER dominant compressed codec:
+    //      HEVC hvcC → SPS NAL-array walk → profile_tier_level skip →
+    //      conformance-window arithmetic; container dimension fields
+    //      padded again so only the bitstream parse can match ----
+    "q259_hevc_sps_geometry" -> ((s, dir) =>
+      Multimodal.decodeHevcStats(
+        Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
+
     // ---- REAL animated-GIF frame walk (JDK ImageIO sequence reader):
     //      frame count from a full-sequence scan + first-frame decode
     //      over real GIF89a fixtures — the multi-frame IMAGE format
@@ -5894,6 +5902,17 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // the q258 argument for HEVC: display size = luma size minus the
+    // conformance window, derivable only from the SPS bitstream
+    "q259_hevc_sps_geometry" ->
+      """SELECT doc_id AS media_id, 'hvc1' AS codec,
+        | CAST(8 * (2 + doc_id % 6) - 2 * ((doc_id * 5) % 4) AS INTEGER) AS width,
+        | CAST(8 * (2 + (doc_id * 7) % 5) - 2 * ((doc_id * 3) % 4) AS INTEGER) AS height,
+        | CAST(1 AS INTEGER) AS profile_idc,
+        | CAST(60 + (doc_id % 4) * 30 AS INTEGER) AS level_idc,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     // every dimension must equal the DISPLAY size (padded minus crop):

@@ -96,12 +96,13 @@ object Multimodal {
     (kind match {
       case "image" => decodeImage(payload).map { case (w, h) => (w, h, 0.0) }
       case "video" =>
-        // H.264 tracks first: the SPS bitstream is the geometry ground
-        // truth (tkhd/sample-entry fields may carry padded sizes);
-        // duration still comes from the container's mvhd clock
-        decodeAvcMeta(payload).map { case (w, h, _, _, _) =>
-          (w, h, decodeVideoMeta(payload).map(_._3).getOrElse(0.0))
-        }
+        // H.264/HEVC tracks first: the SPS bitstream is the geometry
+        // ground truth (tkhd/sample-entry fields may carry padded
+        // sizes); duration still comes from the container's mvhd clock
+        decodeAvcMeta(payload).orElse(decodeHevcMeta(payload))
+          .map { case (w, h, _, _, _) =>
+            (w, h, decodeVideoMeta(payload).map(_._3).getOrElse(0.0))
+          }
         .orElse(decodeVideoMeta(payload)).orElse(
         // RIFF/AVI containers: geometry from the real first-frame walk,
         // duration from the stream header's own frame clock
@@ -743,6 +744,252 @@ object Multimodal {
             case (w, h, prof, lvl, n) =>
               new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
                 Array(r.getLong(0), "avc1", w, h, prof, lvl, n),
+                outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
+  // HEVC (H.265) SPS geometry — the same no-decoder metadata recovery
+  // as the H.264 path, for the OTHER dominant compressed codec: the
+  // hvcC record (ISO/IEC 14496-15 §8.3.3.1.2) carries NAL arrays, the
+  // SPS (ITU-T H.265 §7.3.2.2.1) encodes pic_{width,height}_in_luma_
+  // samples plus the conformance window in exp-Golomb after a
+  // fixed-width profile_tier_level block. Same 00 00 03 escape.
+  // --------------------------------------------------------------------
+
+  /** Encode a VALID Main-profile HEVC SPS NAL (2-byte header, type 33)
+    * for the given DISPLAY dimensions: luma sizes are the /8 ceilings
+    * (MinCbSizeY alignment) and the remainder becomes the conformance
+    * window (right/bottom, in 2-px chroma units — 4:2:0, so both gaps
+    * must be even). The fixture generator for [[parseHevcSpsGeometry]];
+    * fields after the conformance window are syntactically terminated
+    * by the RBSP stop bit (the parser never reads past the window). */
+  def hevcSpsBytes(width: Int, height: Int, levelIdc: Int = 93): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad SPS geometry ${width}x$height")
+    val padW = ((width + 7) / 8) * 8
+    val padH = ((height + 7) / 8) * 8
+    val cropR = padW - width
+    val cropB = padH - height
+    require(cropR % 2 == 0 && cropB % 2 == 0,
+      s"4:2:0 conformance offsets must be even px (got $cropR, $cropB)")
+    val w = new BitWriter
+    w.u(0, 4); w.u(0, 3); w.u(1, 1) // vps id, max_sub_layers_minus1=0, nesting
+    // profile_tier_level, general block (96 bits)
+    w.u(0, 2); w.u(0, 1); w.u(1, 5) // profile_space, tier, profile_idc=1 Main
+    w.u(0x60000000, 32)             // profile_compatibility (Main)
+    w.u(1, 1); w.u(0, 23); w.u(0, 24) // progressive + 47 constraint/reserved
+    w.u(levelIdc, 8)
+    w.ue(0)                 // sps_seq_parameter_set_id
+    w.ue(1)                 // chroma_format_idc 4:2:0
+    w.ue(padW); w.ue(padH)  // pic_{width,height}_in_luma_samples
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1)             // conformance_window_flag
+      w.ue(0); w.ue(cropR / 2); w.ue(0); w.ue(cropB / 2)
+    } else w.u(0, 1)
+    w.ue(0); w.ue(0)        // bit_depth_{luma,chroma}_minus8
+    w.ue(4)                 // log2_max_pic_order_cnt_lsb_minus4
+    // NAL header: type 33, layer 0, tid+1 = 1
+    Array((33 << 1).toByte, 1.toByte) ++ escapeRbsp(w.rbsp())
+  }
+
+  /** Parse DISPLAY geometry out of a raw HEVC SPS NAL: (width, height,
+    * profile_idc, level_idc). Handles sub-layer profile_tier_level
+    * skipping, the 4:4:4 separate-plane branch, and the conformance
+    * window in the correct chroma units. None for non-SPS or truncated
+    * bytes, never a throw. */
+  def parseHevcSpsGeometry(sps: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (sps.length < 5 || ((sps(0) >> 1) & 0x3F) != 33) return None
+    val r = new BitReader(unescapeRbsp(sps.drop(2)))
+    try {
+      r.u(4)
+      val maxSub = r.u(3)
+      r.u(1)
+      // profile_tier_level: general block
+      r.u(2); r.u(1); val profile = r.u(5)
+      r.u(32)           // compatibility flags
+      r.u(24); r.u(24)  // 48 constraint/reserved bits
+      val level = r.u(8)
+      val flags = (0 until maxSub).map(_ => (r.u(1), r.u(1)))
+      if (maxSub > 0) for (_ <- maxSub until 8) r.u(2)
+      flags.foreach { case (p, l) =>
+        if (p == 1) { r.u(2); r.u(1); r.u(5); r.u(32); r.u(24); r.u(24) }
+        if (l == 1) r.u(8)
+      }
+      r.ue() // sps_seq_parameter_set_id
+      val chroma = r.ue()
+      if (chroma == 3) r.u(1) // separate_colour_plane_flag
+      val w0 = r.ue(); val h0 = r.ue()
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      val subW = if (chroma == 1 || chroma == 2) 2 else 1
+      val subH = if (chroma == 1) 2 else 1
+      val w = w0 - subW * (cl + cr)
+      val h = h0 - subH * (ct + cb)
+      if (w >= 1 && h >= 1) Some((w, h, profile, level)) else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** SPS-derived metadata for an HEVC track in an ISO-BMFF container:
+    * (width, height, profile_idc, level_idc, sampleCount) — the
+    * [[decodeAvcMeta]] walk with `hvc1`/`hev1` entries and the hvcC
+    * NAL-array layout (22-byte record header, then per-array
+    * type/count/length-prefixed NALUs). */
+  def decodeHevcMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!looksLikeMp4(payload)) return None
+    val b = new Boxes(payload)
+    def u16(off: Int): Int =
+      ((payload(off) & 0xFF) << 8) | (payload(off + 1) & 0xFF)
+    try {
+      val (moovS, moovE) =
+        b.find(0, payload.length, "moov").getOrElse(return None)
+      var trakFrom = moovS
+      while (trakFrom < moovE) {
+        val (trakS, trakE) =
+          b.find(trakFrom, moovE, "trak").getOrElse(return None)
+        val hit = for {
+          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
+          (mfS, mfE) <- b.find(mdS, mdE, "minf")
+          (sS, sE) <- b.find(mfS, mfE, "stbl")
+          (stsdS, stsdE) <- b.find(sS, sE, "stsd")
+          if stsdS + 16 <= stsdE
+          if Set("hvc1", "hev1").contains(b.tag(stsdS + 12))
+          (hvcS, hvcE) <- b.find(stsdS + 16 + 78, stsdE, "hvcC")
+          sps <- {
+            // walk the NAL arrays for the first type-33 (SPS) unit
+            val numArrays = payload(hvcS + 22) & 0xFF
+            var off = hvcS + 23
+            var found: Option[Array[Byte]] = None
+            var a = 0
+            while (a < numArrays && off + 3 <= hvcE) {
+              val naluType = payload(off) & 0x3F
+              val numNalus = u16(off + 1)
+              off += 3
+              var n = 0
+              while (n < numNalus && off + 2 <= hvcE) {
+                val len = u16(off)
+                if (naluType == 33 && found.isEmpty)
+                  found = Some(java.util.Arrays.copyOfRange(
+                    payload, off + 2, off + 2 + len))
+                off += 2 + len
+                n += 1
+              }
+              a += 1
+            }
+            found
+          }
+          (w, h, prof, lvl) <- parseHevcSpsGeometry(sps)
+        } yield {
+          val n = b.find(sS, sE, "stsz")
+            .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
+          (w, h, prof, lvl, n)
+        }
+        hit match {
+          case Some(t) => return Some(t)
+          case None    => ()
+        }
+        trakFrom = trakE
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Build a minimal VALID HEVC MP4 — the [[synthesizeAvcMp4]] skeleton
+    * with an `hvc1` entry carrying a real `hvcC`/SPS; dimension fields
+    * again deliberately padded so only the SPS conformance window
+    * recovers the display size. */
+  def synthesizeHevcMp4(width: Int, height: Int, nFrames: Int,
+                        levelIdc: Int = 93, timescale: Int = 1000,
+                        frameDurUnits: Int = 40): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val padW = ((width + 7) / 8) * 8
+    val padH = ((height + 7) / 8) * 8
+    val sps = hevcSpsBytes(width, height, levelIdc)
+    val sample = be32(22) ++ Array.fill(22)(0x3C.toByte)
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
+    val chunkOffset = ftyp.length + 8
+    val durUnits = nFrames * frameDurUnits
+    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
+      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0), unityMatrix, be32(padW << 16), be32(padH << 16))
+    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be16(0x55C4), be16(0))
+    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0))
+    // HEVCDecoderConfigurationRecord: 22-byte header (version, profile
+    // byte, compat u32, 6 constraint bytes, level, reserved-heavy
+    // min_spatial/parallelism/chroma/bit-depth fields, frame rate,
+    // lengthSize byte), then 1 array: SPS (type 33), 1 NALU
+    val hvcC = mkBox("hvcC",
+      Array(1.toByte, 1.toByte), be32(0x60000000),
+      new Array[Byte](6), Array(levelIdc.toByte),
+      be16(0xF000), Array(0xFC.toByte), Array((0xFC | 1).toByte),
+      Array(0xF8.toByte), Array(0xF8.toByte), be16(0),
+      Array(0x0F.toByte), Array(1.toByte),
+      Array((0x80 | 33).toByte), be16(1), be16(sps.length), sps)
+    val stsdEntry = mkBox("hvc1", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(padW), be16(padH), be32(0x00480000),
+      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
+      be16(0xFFFF), hvcC)
+    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
+    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
+    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
+    val stsz = mkBox("stsz", be32(0), be32(sample.length), be32(nFrames))
+    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = mkBox("minf", stbl)
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val trak = mkBox("trak", tkhd, mdia)
+    val moov = mkBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthesize an HEVC MP4 corpus keyed by id — display size exercises
+    * the conformance-window path, all replayable arithmetically:
+    * w = 8·(2+id%6) − 2·((id·5)%4), h = 8·(2+(id·7)%5) − 2·((id·3)%4),
+    * frames = 1+id%3, level = 60+(id%4)·30. */
+  def synthesizeHevcVideos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 * (2 + id % 6) - 2 * ((id * 5) % 4)).toInt
+          val h = (8 * (2 + (id * 7) % 5) - 2 * ((id * 3) % 4)).toInt
+          val n = (1 + id % 3).toInt
+          val lvl = (60 + (id % 4) * 30).toInt
+          val p = synthesizeHevcMp4(w, h, n, levelIdc = lvl)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched HEVC SPS-geometry extraction — the [[decodeAvcStats]]
+    * frame for hvc1 tracks. */
+  def decodeHevcStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("profile_idc", IntegerType, nullable = false),
+      StructField("level_idc", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeHevcMeta(r.getAs[Array[Byte]](1)).map {
+            case (w, h, prof, lvl, n) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array(r.getLong(0), "hvc1", w, h, prof, lvl, n),
                 outSchema): Row
           }
         }

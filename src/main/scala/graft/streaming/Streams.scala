@@ -654,4 +654,26 @@ object Streams {
           textCol, "_shard", k, s"$path/shard-$id")
       }
   }
+
+  /** STREAMING token-frequency ingest — each micro-batch persists its
+    * own seeded count-min sketch shard (idempotent by batch id, the
+    * [[histogramSink]]/[[heavyHitterSink]] pattern). CMS tables add
+    * cell-wise, so [[graft.operators.Scale.cmsTokenEstimates]] over
+    * `path/shard-*` equals the batch answer over everything ingested
+    * exactly, and [[graft.operators.Scale.compactCmsSketches]] folds a
+    * long-running ingest's segments back to one whenever the store
+    * grows. Zero stream state; each shard is depth×width longs. */
+  def cmsSink(docs: DataFrame, textCol: String, path: String,
+              checkpoint: String, eps: Double = 0.0001,
+              confidence: Double = 0.99,
+              seed: Int = 42): DataStreamWriter[Row] = {
+    import graft.operators.Scale
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Scale.writeCmsSketches(
+          batch.withColumn("_shard", F.lit(id.toString)),
+          textCol, "_shard", s"$path/shard-$id", eps, confidence, seed)
+      }
+  }
 }

@@ -274,6 +274,44 @@ class OperatorsSpec extends SparkSpec {
         (10 + (id % 5) * 10).toInt, (1 + id % 4).toInt)), s"id=$id")
   }
 
+  test("HEVC SPS geometry: conformance window round-trip, hvcC NAL-array walk") {
+    // 1080p in HEVC: luma 1920x1080 is already /8-aligned — no window
+    assert(Multimodal.parseHevcSpsGeometry(
+      Multimodal.hevcSpsBytes(1920, 1080, levelIdc = 120))
+      .contains((1920, 1080, 1, 120)))
+    // windowed shapes and emulation-prevention-prone sizes round-trip
+    for (w <- Seq(16, 100, 256, 4096, 1282); h <- Seq(16, 70, 1024, 2))
+      assert(Multimodal.parseHevcSpsGeometry(Multimodal.hevcSpsBytes(w, h))
+        .contains((w, h, 1, 93)), s"${w}x$h")
+    // non-SPS NAL types / truncated bytes -> None
+    assert(Multimodal.parseHevcSpsGeometry(
+      Array[Byte](0x40, 0x01, 0x0C)).isEmpty) // type 32 = VPS
+    assert(Multimodal.parseHevcSpsGeometry(
+      Multimodal.hevcSpsBytes(64, 64).take(4)).isEmpty)
+    // container walk: padded tkhd/sample-entry fields (=104x40), display
+    // size only recoverable via the conformance window
+    val mp4 = Multimodal.synthesizeHevcMp4(100, 38, nFrames = 2, levelIdc = 90)
+    assert(Multimodal.decodeHevcMeta(mp4).contains((100, 38, 1, 90, 2)))
+    assert(Multimodal.decodeVideoMeta(mp4).map(m => (m._1, m._2))
+      .contains((104, 40)))
+    assert(Multimodal.decodePayload("video", mp4)._1 == 100)
+    // cross-codec: the AVC walk skips hvc1 entries and vice versa
+    assert(Multimodal.decodeAvcMeta(mp4).isEmpty)
+    assert(Multimodal.decodeHevcMeta(
+      Multimodal.synthesizeAvcMp4(64, 48, 1)).isEmpty)
+    // distributed plumbing matches the fixture arithmetic
+    val ids = Seq(1L, 9L, 30L).toDF("doc_id")
+    val out = Multimodal.decodeHevcStats(
+        Multimodal.synthesizeHevcVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6)))).toMap
+    for (id <- Seq(1L, 9L, 30L))
+      assert(out(id) == ((
+        (8 * (2 + id % 6) - 2 * ((id * 5) % 4)).toInt,
+        (8 * (2 + (id * 7) % 5) - 2 * ((id * 3) % 4)).toInt,
+        (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
+  }
+
   test("AVI first-frame decode: MJPEG and raw BI_RGB fourcc paths") {
     // MJPEG-in-AVI: real JPEG chunks; decoded geometry must be the
     // encoder's (a header-only read could not distinguish a lying strf)

@@ -99,6 +99,41 @@ class StreamingSpec extends SparkSpec {
     assert(merged == whole && merged.nonEmpty)
   }
 
+  test("streaming CMS shards merge to the exact batch estimates and compact") {
+    implicit val sq = spark.sqlContext
+    val rows = (1 to 40).map(i => (i.toLong, "alpha beta")) ++
+      (1 to 10).map(i => (100L + i, "alpha"))
+    val d = Files.createTempDirectory("graft-stream-cms").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").as("text"))
+    val q = Streams.cmsSink(docs, "text", s"$d/sk", s"$d/ckpt").start()
+    try {
+      stream.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // one shard dir per batch; merged estimates = whole-corpus counts
+    // (tiny vocabulary, wide sketch → exact regime)
+    assert(Option(new java.io.File(s"$d/sk").listFiles()).get
+      .count(_.getName.startsWith("shard-")) == 2)
+    def est() = graft.operators.Scale.cmsTokenEstimates(spark,
+        s"$d/sk/shard-*", Seq("alpha", "beta", "absent"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val streamed = est()
+    assert(streamed("alpha") == ((50L, 90L)))
+    assert(streamed("beta") == ((40L, 90L)))
+    assert(streamed("absent") == ((0L, 90L)))
+    // the long-running-ingest path: compaction folds the per-batch
+    // segments to one without moving a single estimate
+    graft.operators.Scale.compactCmsSketches(spark, s"$d/sk")
+    assert(Option(new java.io.File(s"$d/sk").listFiles()).get
+      .count(_.getName.startsWith("shard-")) == 1)
+    assert(est() == streamed)
+  }
+
   test("streaming fuzzy decontamination flags near-dups of the eval set across micro-batches") {
     implicit val sq = spark.sqlContext
     val evalSet = Seq(
