@@ -146,6 +146,66 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     """(?is)^\s*INSERT\s+INTO\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s+(.+)$""".r
   private val InsertValuesBody = """(?is)^\s*VALUES\s+(.+)$""".r
 
+  /** `MERGE INTO '<versioned-ds>' [AS] t USING <source> [AS] s ON <cond>
+    *    [WHEN MATCHED THEN UPDATE SET col = expr [, ...] | WHEN MATCHED THEN DELETE]
+    *    [WHEN NOT MATCHED THEN INSERT * | WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]`
+    * (extension, the lakehouse upsert): one atomic copy-on-write commit
+    * applying the matched action to target rows the ON condition pairs
+    * with a source row, and inserting unmatched SOURCE rows. `<source>`
+    * is a quoted path, a bare table name, or a parenthesized SELECT
+    * with an alias. Standard cardinality rule enforced: a target row
+    * matching MORE than one source row is an error (loud, matching
+    * Postgres/Delta), because "apply both updates" has no defined
+    * order. SET right-hand sides and INSERT VALUES expressions get the
+    * full dialect grammar and may reference BOTH aliases (SET) or the
+    * source alias (INSERT). `INSERT *` maps source columns to target
+    * columns BY NAME and requires every target column present.
+    * Statement-split limitation (the [[UpdateRe]] note's family): the
+    * ON condition is cut at the LAST ` ON ` before the first WHEN, so
+    * a string literal containing ` when matched ` or a condition
+    * containing ` on ` mis-splits and fails loudly. */
+  private val MergeRe =
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+)$""".r
+  private val MergeWhenSplit = """(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b""".r
+  private val MergeOnSplit = """(?i)\s+ON\s+""".r
+  private val MergeUsingSub =
+    """(?is)^\((.+)\)\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val MergeUsingQuoted =
+    """(?is)^'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+  private val MergeUsingBare =
+    """(?is)^([A-Za-z_][A-Za-z0-9_.]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+  private val MergeWhenUpdate =
+    """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val MergeWhenDelete = """(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$""".r
+  private val MergeWhenInsertStar =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
+  private val MergeWhenInsertCols =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$""".r
+
+  /** Split `text` at top-level occurrences of `sep` (outside parens and
+    * single-quoted strings) — the SET-assignment splitter MERGE needs
+    * because a right-hand side may itself contain commas
+    * (`CASE ... END`, function calls). */
+  private def splitTopLevel(text: String, sep: Char): Seq[String] = {
+    val out = ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   def sql(query: String): GraftFrame = query match {
     case VacuumRe(target, keep) =>
       scalarCache.clear()
@@ -379,6 +439,212 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("n_updated", LongType, nullable = false)))))
+    case MergeRe(target, taliasOpt, rest) =>
+      scalarCache.clear()
+      import org.apache.spark.sql.{functions => F}
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"MERGE requires a Versioned dataset at '$resolved' — " +
+          "copy-on-write needs manifests; commit through Versioned first")
+      // statement split: WHEN clauses off the tail, then the LAST
+      // ` ON ` inside the head separates USING source from condition
+      val whenStart = MergeWhenSplit.findFirstMatchIn(rest).map(_.start)
+        .getOrElse(throw new SemanticError(
+          "MERGE needs at least one WHEN [NOT] MATCHED clause"))
+      val headText = rest.take(whenStart)
+      val whenText = rest.drop(whenStart).trim
+      val onMatches = MergeOnSplit.findAllMatchIn(headText).toSeq
+      if (onMatches.isEmpty) throw new SemanticError(
+        "MERGE needs `USING <source> ON <condition>`")
+      val usingText = headText.take(onMatches.last.start).trim
+      val condText = headText.drop(onMatches.last.end).trim
+      // WHEN clauses: split at each WHEN boundary, classify each
+      val whenStarts = MergeWhenSplit.findAllMatchIn(whenText)
+        .map(_.start).toSeq
+      val clauses = whenStarts.zipAll(whenStarts.drop(1), 0, whenText.length)
+        .map { case (a, b) => whenText.substring(a, b).trim }
+      var updateSet: Option[String] = None
+      var deleteMatched = false
+      var insertStar = false
+      var insertCols: Option[(Seq[String], Seq[String])] = None
+      clauses.foreach {
+        case MergeWhenUpdate(setText) =>
+          if (updateSet.nonEmpty || deleteMatched) throw new SemanticError(
+            "MERGE supports at most one WHEN MATCHED clause")
+          updateSet = Some(setText)
+        case MergeWhenDelete() =>
+          if (updateSet.nonEmpty || deleteMatched) throw new SemanticError(
+            "MERGE supports at most one WHEN MATCHED clause")
+          deleteMatched = true
+        case MergeWhenInsertStar() =>
+          if (insertStar || insertCols.nonEmpty) throw new SemanticError(
+            "MERGE supports at most one WHEN NOT MATCHED clause")
+          insertStar = true
+        case MergeWhenInsertCols(cols, vals) =>
+          if (insertStar || insertCols.nonEmpty) throw new SemanticError(
+            "MERGE supports at most one WHEN NOT MATCHED clause")
+          insertCols = Some((
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            splitTopLevel(vals, ',')))
+        case other => throw new SemanticError(
+          s"MERGE: unsupported WHEN clause '$other' — expected WHEN " +
+          "MATCHED THEN UPDATE SET ... / DELETE, or WHEN NOT MATCHED " +
+          "THEN INSERT * / INSERT (cols) VALUES (exprs)")
+      }
+      // source frame + aliases
+      val (srcFrame, saliasRaw) = usingText match {
+        case MergeUsingSub(sub, a) =>
+          (evalCompound(SqlParser.parseCompound(sub), Map.empty), Option(a))
+        case MergeUsingQuoted(p, a) => (table(p), Option(a))
+        case MergeUsingBare(n, a) => (table(n), Option(a).orElse(Some(n)))
+        case other => throw new SemanticError(
+          s"MERGE: cannot parse USING source '$other'")
+      }
+      val tName = "__merge_target"; val sName = "__merge_source"
+      val talias = Option(taliasOpt).getOrElse(tName)
+      val salias = saliasRaw.getOrElse(sName)
+      if (talias == salias) throw new SemanticError(
+        s"MERGE: target and source aliases collide ('$talias')")
+      val head = graft.sources.Versioned.read(spark, resolved, None)
+      Seq("__rid", "__srid").foreach { c =>
+        if (head.columns.contains(c) || srcFrame.df.columns.contains(c))
+          throw new SemanticError(s"MERGE: reserved column name '$c'")
+      }
+      // row identities, pinned by an eager checkpoint so every use of
+      // the frame sees the same ids (monotonically_increasing_id is
+      // otherwise free to renumber between jobs)
+      val tDf = head.withColumn("__rid", F.monotonically_increasing_id())
+        .localCheckpoint(true)
+      val sDf = srcFrame.df
+        .withColumn("__srid", F.monotonically_increasing_id())
+        .localCheckpoint(true)
+      val scope = Map(tName -> GraftFrame.fromDF(tDf),
+        sName -> GraftFrame.fromDF(sDf))
+      // SET assignments, split textually so the right-hand sides embed
+      // verbatim into the internal join query (they may reference both
+      // aliases); validated against the target schema
+      val assigns: Seq[(String, String)] =
+        updateSet.toSeq.flatMap(splitTopLevel(_, ',')).map { a =>
+          val i = {
+            var j = -1; var depth = 0; var inStr = false; var k = 0
+            while (j < 0 && k < a.length) {
+              val c = a.charAt(k)
+              if (inStr) { if (c == '\'') inStr = false }
+              else c match {
+                case '\'' => inStr = true
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case '=' if depth == 0 => j = k
+                case _ => ()
+              }
+              k += 1
+            }
+            if (j < 0) throw new SemanticError(
+              s"MERGE: SET assignment '$a' is not `col = expr`")
+            j
+          }
+          (a.take(i).trim, a.drop(i + 1).trim)
+        }
+      assigns.foreach { case (n, _) =>
+        if (!head.columns.contains(n)) throw new SemanticError(
+          s"MERGE SET references unknown target column '$n'")
+      }
+      // one internal dialect query joins the aliased frames on the
+      // user's condition and projects row ids + SET values; its parsed
+      // expressions are then checked for subqueries (same rule as
+      // UPDATE/DELETE — no defined evaluation scope for them here)
+      val matchedSql =
+        s"SELECT $talias.__rid AS __rid, $salias.__srid AS __srid" +
+          assigns.zipWithIndex.map { case ((_, rhs), i) =>
+            s", ($rhs) AS __set_$i" }.mkString +
+          s" FROM $tName $talias JOIN $sName $salias ON $condText"
+      val matchedCq = SqlParser.parseCompound(matchedSql)
+      (matchedCq.head.joins.map(_.on) ++
+        matchedCq.head.select.map(_.expr)).foreach { c =>
+        if (collectScalarSubs(c).nonEmpty || containsInSubquery(c))
+          throw new SemanticError(
+            "MERGE expressions cannot contain subqueries")
+      }
+      val pairs = evalCompound(matchedCq, scope).df.localCheckpoint(true)
+      // standard cardinality rule: a target row matching two source
+      // rows has no defined result — fail loudly, never pick one
+      if (pairs.groupBy("__rid").agg(F.count(F.lit(1)).as("c"))
+            .filter(F.col("c") > 1).head(1).nonEmpty)
+        throw new SemanticError("MERGE: a target row matches more than " +
+          "one source row — the ON condition must match at most one")
+      val nMatched = pairs.count()
+      val flagged = tDf.join(
+        pairs.drop("__srid").withColumn("__matched", F.lit(true)),
+        Seq("__rid"), "left")
+      val survivors =
+        if (deleteMatched)
+          flagged.filter(F.col("__matched").isNull)
+            .select(head.columns.map(F.col).toSeq: _*)
+        else if (assigns.nonEmpty)
+          flagged.select(head.schema.fields.map { f =>
+            assigns.indexWhere(_._1 == f.name) match {
+              case -1 => F.col(f.name)
+              case i =>
+                // cast to the committed type: schema stability across
+                // versions is the dataset's contract (the UPDATE rule)
+                F.when(F.col("__matched").isNotNull,
+                    F.col(s"__set_$i").cast(f.dataType))
+                  .otherwise(F.col(f.name)).as(f.name)
+            }
+          }.toSeq: _*)
+        else tDf.select(head.columns.map(F.col).toSeq: _*)
+      val inserts: Option[org.apache.spark.sql.DataFrame] =
+        if (insertStar) {
+          head.columns.foreach { c =>
+            if (!sDf.columns.contains(c)) throw new SemanticError(
+              s"MERGE INSERT *: source lacks target column '$c' — use " +
+              "INSERT (cols) VALUES (exprs) to map explicitly")
+          }
+          Some(sDf.join(pairs.select("__srid"), Seq("__srid"), "left_anti")
+            .select(head.schema.fields.map(f =>
+              F.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+        } else insertCols.map { case (cols, vals) =>
+          if (cols.length != vals.length) throw new SemanticError(
+            s"MERGE INSERT: ${cols.length} columns but ${vals.length} values")
+          cols.foreach { c =>
+            if (!head.columns.contains(c)) throw new SemanticError(
+              s"MERGE INSERT references unknown target column '$c'")
+          }
+          // VALUES expressions compile against the SOURCE alias; the
+          // unlisted target columns fill with explicit NULLs (the
+          // column-list INSERT rule)
+          val insSql = s"SELECT $salias.__srid AS __srid" +
+            vals.zip(cols).map { case (v, c) => s", ($v) AS __ins_$c" }
+              .mkString + s" FROM $sName $salias"
+          val insCq = SqlParser.parseCompound(insSql)
+          insCq.head.select.map(_.expr).foreach { c =>
+            if (collectScalarSubs(c).nonEmpty || containsInSubquery(c))
+              throw new SemanticError(
+                "MERGE expressions cannot contain subqueries")
+          }
+          evalCompound(insCq, scope).df
+            .join(pairs.select("__srid"), Seq("__srid"), "left_anti")
+            .select(head.schema.fields.map { f =>
+              if (cols.contains(f.name))
+                F.col(s"__ins_${f.name}").cast(f.dataType).as(f.name)
+              else F.lit(null).cast(f.dataType).as(f.name)
+            }.toSeq: _*)
+        }
+      val nInserted = inserts.map(_.count()).getOrElse(0L)
+      val out = inserts.foldLeft(survivors)(_.unionAll(_))
+      val v = graft.sources.Versioned.commit(out, resolved, append = false)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(v,
+          if (updateSet.nonEmpty) nMatched else 0L,
+          if (deleteMatched) nMatched else 0L, nInserted)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("n_updated", LongType, nullable = false),
+          StructField("n_deleted", LongType, nullable = false),
+          StructField("n_inserted", LongType, nullable = false)))))
+
     case InsertRe(quoted, bare, colList, body) =>
       scalarCache.clear()
       // Tables.resolve is THE shared rule (its scaladoc: writers must

@@ -1236,6 +1236,37 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- MERGE INTO through the dialect (the lakehouse upsert,
+    //      completing the DML surface past the INSERT/UPDATE/DELETE
+    //      triad): one atomic copy-on-write commit updates every
+    //      matched target row AND inserts every unmatched source row —
+    //      target = documents without the doc_id%3=0 third, source =
+    //      the even-id half, so all three row fates (updated, inserted,
+    //      untouched) appear; the oracle replays the merge as
+    //      CASE + UNION arithmetic over the base table ----
+    "q260_sql_merge" -> ((s, dir) => {
+      val path = stagingDir("graft_sql_merge") + "/ds"
+      Versioned.commit(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .filter(F.col("doc_id") % 3 =!= 0), path)
+      val eng = Engine(s, dir)
+      eng.sql(
+        s"""MERGE INTO '$path' t
+           |USING (SELECT doc_id, lang, n_chars FROM documents
+           |       WHERE doc_id % 2 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET lang = 'upd',
+           |  n_chars = t.n_chars + 1
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, 'new', s.n_chars)""".stripMargin)
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -4834,6 +4865,23 @@ object SparkEntry {
 
     // the head replays as CASE over the source (matched rows rewritten),
     // v1 as the source untouched — both groupings in one statement
+    // the merge replayed analytically: matched rows (even id, id%3!=0)
+    // take the update, unmatched source rows (even id, id%3=0) insert,
+    // odd non-third rows pass through — one wrong row fate moves a sum
+    "q260_sql_merge" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'upd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars + 1
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'new' AS lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 0)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM m GROUP BY lang""".stripMargin,
+
     "q242_sql_update" ->
       """WITH u AS (SELECT doc_id,
         |    CASE WHEN source = 'web' AND n_chars < 900

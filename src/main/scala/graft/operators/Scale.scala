@@ -218,6 +218,26 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a GROWING histogram store (one `shard-<id>` segment per
+    * ingest batch, the [[graft.streaming.Streams.histogramSink]]
+    * layout) into one merged segment: bucket counts ADD, so the
+    * compacted store answers every quantile query identically to the
+    * shard union. Groups by every stored column except the count, so
+    * any `groupCols` arity compacts without re-declaring it. Same
+    * `_covers.txt` crash protocol as the other sketch stores. */
+  def compactHistogramSketches(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    val (fs, old, live) = liveSegments(spark, path)
+    if (old.length <= 1) return // a single segment is already compact
+    val df = spark.read.parquet(live.map(_.toString): _*)
+    val keys = df.columns.filterNot(_ == "n")
+    val compacted = df.groupBy(keys.map(F.col): _*).agg(F.sum("n").as("n"))
+    val seg = s"$path/shard-compact-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    compacted.coalesce(1).write.parquet(seg)
+    commitCompaction(spark, fs, path, seg, old)
+  }
+
   /** Merge stored histograms ([[writeHistogramSketches]], `path` may
     * glob over shards) under a coarser grouping and estimate quantiles:
     * for each probability p, the upper edge `(bucket+1)*width` of the

@@ -614,6 +614,90 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO: upsert, delete, cardinality violation, error paths") {
+    val out = java.nio.file.Files.createTempDirectory("graft-merge")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      Versioned.commit(
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+          .toDF("id", "v", "n"), ds)
+      // upsert: source updates 2, inserts 4; 1 and 3 untouched
+      val r1 = engine.sql(
+        s"""MERGE INTO '$ds' t
+           |USING (SELECT CAST(2 AS BIGINT) AS sid, 'B2' AS sv,
+           |         CAST(200 AS BIGINT) AS sn
+           |       UNION ALL
+           |       SELECT CAST(4 AS BIGINT) AS sid, 'd' AS sv,
+           |         CAST(40 AS BIGINT) AS sn) s
+           |ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET v = s.sv, n = s.sn + t.n
+           |WHEN NOT MATCHED THEN INSERT (id, v, n)
+           |  VALUES (s.sid, s.sv, s.sn)""".stripMargin).df
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(r1.head == ((1L, 0L, 1L))) // 1 updated, 0 deleted, 1 inserted
+      assert(rows(engine.sql(s"SELECT id, v, n FROM '$ds'").df) ==
+        Set(Seq(1L, "a", 10L), Seq(2L, "B2", 220L), Seq(3L, "c", 30L),
+          Seq(4L, "d", 40L)))
+      // prior snapshot still time-travels (copy-on-write)
+      assert(rows(engine.sql(
+        s"SELECT COUNT() AS c FROM '$ds' FOR VERSION AS OF 1").df) ==
+        Set(Seq(3L)))
+      // WHEN MATCHED THEN DELETE + INSERT *: source must carry every
+      // target column by name for the star form
+      val r2 = engine.sql(
+        s"""MERGE INTO '$ds' t
+           |USING (SELECT CAST(4 AS BIGINT) AS id, 'x' AS v,
+           |         CAST(0 AS BIGINT) AS n
+           |       UNION ALL
+           |       SELECT CAST(9 AS BIGINT) AS id, 'i' AS v,
+           |         CAST(90 AS BIGINT) AS n) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).df
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(r2.head == ((0L, 1L, 1L)))
+      assert(rows(engine.sql(s"SELECT id FROM '$ds'").df) ==
+        Set(Seq(1L), Seq(2L), Seq(3L), Seq(9L)))
+      // cardinality violation: two source rows match target id 1
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(
+          s"""MERGE INTO '$ds' t
+             |USING (SELECT CAST(1 AS BIGINT) AS sid UNION ALL
+             |       SELECT CAST(1 AS BIGINT) AS sid) s
+             |ON t.id = s.sid
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      // error paths: non-versioned target, unknown SET column, alias
+      // collision, INSERT * with a missing source column, no WHEN
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"MERGE INTO '$out/nope' t USING fruits s ON 1 = 1 " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"MERGE INTO '$ds' t USING fruits s ON t.id = 1 " +
+          "WHEN MATCHED THEN UPDATE SET nope = 1")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"MERGE INTO '$ds' x USING fruits x ON 1 = 1 " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"MERGE INTO '$ds' t USING fruits s ON t.id = 1 " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"MERGE INTO '$ds' t USING fruits s ON t.id = 1")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("DESCRIBE covers every table format; SHOW TABLES lists the base dir") {
     // parquet table: one (name, type, nullable) row per column
     val d = engine.sql("DESCRIBE fruits").df.collect()

@@ -97,6 +97,15 @@ class StreamingSpec extends SparkSpec {
         Seq("g"), probs = Seq(0.5, 0.9), width = 16)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(merged == whole && merged.nonEmpty)
+    // long-running-ingest path: compaction folds the per-batch segments
+    // to one without moving a single quantile (bucket counts add)
+    graft.operators.Scale.compactHistogramSketches(spark, s"$d/sk")
+    assert(Option(new java.io.File(s"$d/sk").listFiles()).get
+      .count(_.getName.startsWith("shard-")) == 1)
+    val after = graft.operators.Scale.mergedQuantiles(spark, s"$d/sk/shard-*",
+        Seq("g"), probs = Seq(0.5, 0.9), width = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(after == whole)
   }
 
   test("streaming CMS shards merge to the exact batch estimates and compact") {
