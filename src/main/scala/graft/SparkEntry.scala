@@ -565,6 +565,15 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- WebM/Matroska metadata (the THIRD container family, and the
+    //      one a web crawl serves VP9/AV1 in): geometry, codec id and
+    //      duration from a real EBML tree walk — varint ids/sizes,
+    //      unknown-size segments, TimestampScale×Duration arithmetic;
+    //      the oracle replays the id-derived fixture values ----
+    "q261_webm_meta" -> ((s, dir) =>
+      Multimodal.decodeWebmStats(
+        Multimodal.synthesizeWebmVideos(t(s, dir, "documents"), "doc_id"))),
+
     // ---- REAL animated-GIF frame walk (JDK ImageIO sequence reader):
     //      frame count from a full-sequence scan + first-frame decode
     //      over real GIF89a fixtures — the multi-frame IMAGE format
@@ -5950,6 +5959,16 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // every decoded value must equal the EBML fixture arithmetic; the
+    // duration crosses TimestampScale×Duration, so a wrong unit moves it
+    "q261_webm_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+        | CAST(32 + (doc_id % 7) * 16 AS INTEGER) AS width,
+        | CAST(24 + ((doc_id * 3) % 6) * 16 AS INTEGER) AS height,
+        | CAST(1000 + (doc_id % 10) * 500 AS DOUBLE) / 1000 AS dur_sec
         |FROM documents""".stripMargin,
 
     // the q258 argument for HEVC: display size = luma size minus the

@@ -104,6 +104,8 @@ object Multimodal {
             (w, h, decodeVideoMeta(payload).map(_._3).getOrElse(0.0))
           }
         .orElse(decodeVideoMeta(payload)).orElse(
+        // WebM/Matroska: geometry + duration from the EBML tree
+        decodeWebmMeta(payload).map { case (w, h, _, d) => (w, h, d) }).orElse(
         // RIFF/AVI containers: geometry from the real first-frame walk,
         // duration from the stream header's own frame clock
         decodeAviFrame(payload).map { case (w, h, _, _, _, d) => (w, h, d) })
@@ -991,6 +993,226 @@ object Multimodal {
               new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
                 Array(r.getLong(0), "hvc1", w, h, prof, lvl, n),
                 outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
+  // WebM (Matroska/EBML) metadata — the THIRD container family, and the
+  // one a web crawl actually serves VP9/AV1 in. EBML is a tree of
+  // (varint id, varint size, payload) elements; geometry lives at
+  // Segment → Tracks → TrackEntry(type=video) → Video → PixelWidth/
+  // PixelHeight, the codec at CodecID, duration at Info → Duration ×
+  // TimestampScale. Pure byte arithmetic, no codec.
+  // --------------------------------------------------------------------
+
+  /** True iff the payload starts with the EBML magic (0x1A45DFA3). */
+  def looksLikeWebm(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 0x1A.toByte && p(1) == 0x45.toByte &&
+      p(2) == 0xDF.toByte && p(3) == 0xA3.toByte
+
+  /** Minimal-width EBML size varint (1/2/4-byte forms). */
+  private def ebmlSize(n: Int): Array[Byte] = {
+    require(n >= 0, s"negative EBML size $n")
+    if (n <= 126) Array((0x80 | n).toByte)
+    else if (n <= 16382) Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    else Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xFF).toByte,
+      ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+  }
+
+  /** One EBML element: raw id bytes + size varint + payload. */
+  private def ebmlEl(id: Long, parts: Array[Byte]*): Array[Byte] = {
+    val idBytes =
+      if (id <= 0xFF) Array(id.toByte)
+      else if (id <= 0xFFFF) Array((id >> 8).toByte, id.toByte)
+      else if (id <= 0xFFFFFF) Array((id >> 16).toByte, (id >> 8).toByte, id.toByte)
+      else Array((id >> 24).toByte, (id >> 16).toByte, (id >> 8).toByte, id.toByte)
+    val body = parts.flatten.toArray
+    idBytes ++ ebmlSize(body.length) ++ body
+  }
+
+  /** Big-endian minimal-width unsigned integer payload. */
+  private def ebmlUint(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+  }
+
+  /** Build a minimal VALID WebM skeleton: EBML header (DocType webm) +
+    * Segment(Info(TimestampScale 1 ms, Duration) + Tracks(video
+    * TrackEntry with CodecID and Video PixelWidth/PixelHeight)) — what
+    * a muxer writes before the first cluster; enough for every
+    * metadata question that doesn't need a frame decoder. */
+  def synthesizeWebm(width: Int, height: Int, codecId: String,
+                     durationMs: Double): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad WebM geometry ${width}x$height")
+    val header = ebmlEl(0x1A45DFA3L,
+      ebmlEl(0x4286, ebmlUint(1)), ebmlEl(0x42F7, ebmlUint(1)),
+      ebmlEl(0x42F2, ebmlUint(4)), ebmlEl(0x42F3, ebmlUint(8)),
+      ebmlEl(0x4282, "webm".getBytes("US-ASCII")),
+      ebmlEl(0x4287, ebmlUint(4)), ebmlEl(0x4285, ebmlUint(2)))
+    val durBits = java.lang.Double.doubleToLongBits(durationMs)
+    val durBytes = (0 until 8).map(i =>
+      ((durBits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+    val info = ebmlEl(0x1549A966L,
+      ebmlEl(0x2AD7B1, ebmlUint(1000000L)), // TimestampScale = 1 ms in ns
+      ebmlEl(0x4489, durBytes))             // Duration (scale units), f64
+    val video = ebmlEl(0xE0,
+      ebmlEl(0xB0, ebmlUint(width.toLong)),
+      ebmlEl(0xBA, ebmlUint(height.toLong)))
+    val trackEntry = ebmlEl(0xAE,
+      ebmlEl(0xD7, ebmlUint(1)), ebmlEl(0x73C5, ebmlUint(1)),
+      ebmlEl(0x83, ebmlUint(1)), // TrackType = video
+      ebmlEl(0x86, codecId.getBytes("US-ASCII")), video)
+    val tracks = ebmlEl(0x1654AE6BL, trackEntry)
+    val segment = ebmlEl(0x18538067L, info, tracks)
+    header ++ segment
+  }
+
+  /** EBML element walker over a payload slice. */
+  private final class Ebml(p: Array[Byte]) {
+    /** (idValue, bodyStart, bodyEnd, nextElementStart) at `off`, None
+      * on malformed/truncated bytes. Unknown-size elements (all size
+      * bits set — streamed Segments) extend to `until`. */
+    def element(off: Int, until: Int): Option[(Long, Int, Int, Int)] = {
+      if (off >= until) return None
+      val idLen = Integer.numberOfLeadingZeros(p(off) & 0xFF) - 24 + 1
+      if (idLen < 1 || idLen > 4 || off + idLen > until) return None
+      var id = 0L
+      for (i <- 0 until idLen) id = (id << 8) | (p(off + i) & 0xFF)
+      val so = off + idLen
+      if (so >= until) return None
+      val szLen = Integer.numberOfLeadingZeros(p(so) & 0xFF) - 24 + 1
+      if (szLen < 1 || szLen > 8 || so + szLen > until) return None
+      var size = (p(so) & 0xFF).toLong & ((1L << (8 - szLen)) - 1)
+      var allOnes = ((p(so) & 0xFF) | ((0xFF << (8 - szLen)) & 0xFF)) == 0xFF
+      for (i <- 1 until szLen) {
+        size = (size << 8) | (p(so + i) & 0xFF)
+        allOnes = allOnes && (p(so + i) & 0xFF) == 0xFF
+      }
+      val bodyStart = so + szLen
+      val bodyEnd =
+        if (allOnes) until // unknown size: runs to the slice end
+        else bodyStart + size.toInt
+      if (bodyEnd < bodyStart || bodyEnd > until) return None
+      Some((id, bodyStart, bodyEnd, bodyEnd))
+    }
+    /** Body span of the first element with `want` in [from, until). */
+    def find(from: Int, until: Int, want: Long): Option[(Int, Int)] = {
+      var off = from
+      while (off < until) {
+        element(off, until) match {
+          case Some((id, s, e, next)) =>
+            if (id == want) return Some((s, e))
+            off = next
+          case None => return None
+        }
+      }
+      None
+    }
+    def uint(s: Int, e: Int): Long = {
+      var v = 0L
+      for (i <- s until e) v = (v << 8) | (p(i) & 0xFF)
+      v
+    }
+    def float(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(s, e))
+      case _ => 0.0
+    }
+  }
+
+  /** REAL WebM metadata via EBML parsing: (width, height, codecId,
+    * durationSec) of the first VIDEO track. Duration = Info.Duration ×
+    * TimestampScale (default 1 ms) in seconds; 0.0 when the muxer
+    * omitted it (live streams). None for non-EBML bytes or containers
+    * without a video track — never throws. */
+  def decodeWebmMeta(payload: Array[Byte]): Option[(Int, Int, String, Double)] = {
+    if (!looksLikeWebm(payload)) return None
+    val e = new Ebml(payload)
+    try {
+      // skip the EBML header element, then enter Segment
+      val (_, _, _, afterHeader) =
+        e.element(0, payload.length).getOrElse(return None)
+      val (segS, segE) =
+        e.find(afterHeader, payload.length, 0x18538067L).getOrElse(return None)
+      val scale = e.find(segS, segE, 0x1549A966L).flatMap { case (iS, iE) =>
+        e.find(iS, iE, 0x2AD7B1L).map { case (s2, e2) => e.uint(s2, e2) }
+      }.getOrElse(1000000L)
+      val durUnits = e.find(segS, segE, 0x1549A966L).flatMap {
+        case (iS, iE) =>
+          e.find(iS, iE, 0x4489L).map { case (s2, e2) => e.float(s2, e2) }
+      }.getOrElse(0.0)
+      val durSec = durUnits * scale / 1e9
+      val (trS, trE) = e.find(segS, segE, 0x1654AE6BL).getOrElse(return None)
+      var off = trS
+      while (off < trE) {
+        e.element(off, trE) match {
+          case Some((0xAEL, s, en, next)) =>
+            val isVideo = e.find(s, en, 0x83L)
+              .exists { case (a, b) => e.uint(a, b) == 1L }
+            if (isVideo) {
+              val codec = e.find(s, en, 0x86L).map { case (a, b) =>
+                new String(payload, a, b - a,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+              }.getOrElse("")
+              val dims = for {
+                (vS, vE) <- e.find(s, en, 0xE0L)
+                (wS, wE) <- e.find(vS, vE, 0xB0L)
+                (hS, hE) <- e.find(vS, vE, 0xBAL)
+              } yield (e.uint(wS, wE).toInt, e.uint(hS, hE).toInt)
+              dims.foreach { case (w, h) =>
+                if (w >= 1 && h >= 1) return Some((w, h, codec, durSec))
+              }
+            }
+            off = next
+          case Some((_, _, _, next)) => off = next
+          case None => return None
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Synthesize a WebM corpus keyed by id — VP9/AV1 alternating,
+    * geometry and duration replayable arithmetically:
+    * w = 32+(id%7)·16, h = 24+((id·3)%6)·16, codec = V_VP9 (even) /
+    * V_AV1 (odd), duration = (1000+(id%10)·500) ms. */
+  def synthesizeWebmVideos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (32 + (id % 7) * 16).toInt
+          val h = (24 + ((id * 3) % 6) * 16).toInt
+          val codec = if (id % 2 == 0) "V_VP9" else "V_AV1"
+          val durMs = (1000 + (id % 10) * 500).toDouble
+          val p = synthesizeWebm(w, h, codec, durMs)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched WebM metadata extraction: (media_id, codec, width, height,
+    * dur_sec). Non-EBML payloads are skipped (flatMap). */
+  def decodeWebmStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dur_sec", DoubleType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWebmMeta(r.getAs[Array[Byte]](1)).map {
+            case (w, h, codec, d) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array(r.getLong(0), codec, w, h,
+                  math.rint(d * 1000) / 1000), outSchema): Row
           }
         }
       }(enc)

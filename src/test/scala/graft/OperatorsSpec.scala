@@ -312,6 +312,43 @@ class OperatorsSpec extends SparkSpec {
         (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
   }
 
+  test("WebM EBML walk: geometry, codec, duration; malformed bytes safe") {
+    val vp9 = Multimodal.synthesizeWebm(640, 360, "V_VP9", 2500.0)
+    assert(Multimodal.decodeWebmMeta(vp9).contains((640, 360, "V_VP9", 2.5)))
+    val av1 = Multimodal.synthesizeWebm(1920, 1080, "V_AV1", 500.0)
+    assert(Multimodal.decodeWebmMeta(av1).contains((1920, 1080, "V_AV1", 0.5)))
+    // an UNKNOWN-SIZE Segment (streamed/live muxing: all size bits set)
+    // must still walk — patch the Segment's size varint to 0x01FF...FF
+    val streamed = vp9.clone()
+    val segIdx = {
+      val needle = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+      (0 until streamed.length - 4).find(i =>
+        needle.indices.forall(j => streamed(i + j) == needle(j))).get
+    }
+    // original size varint is 1 byte (0x80|n); an 8-byte unknown-size
+    // varint needs the bytes after it shifted — rebuild instead
+    val body = java.util.Arrays.copyOfRange(streamed, segIdx + 5, streamed.length)
+    val unknown = java.util.Arrays.copyOfRange(streamed, 0, segIdx + 4) ++
+      Array(0x01.toByte) ++ Array.fill(7)(0xFF.toByte) ++ body
+    assert(Multimodal.decodeWebmMeta(unknown).contains((640, 360, "V_VP9", 2.5)))
+    // malformed/truncated/non-EBML bytes -> None, never a throw
+    assert(Multimodal.decodeWebmMeta(vp9.take(20)).isEmpty)
+    assert(Multimodal.decodeWebmMeta("not webm at all".getBytes("UTF-8")).isEmpty)
+    // the video dispatch picks the EBML path up for webm payloads
+    assert(Multimodal.decodePayload("video", vp9) == ((640, 360, 2.5)))
+    // distributed plumbing matches the fixture arithmetic
+    val ids = Seq(0L, 3L, 25L).toDF("doc_id")
+    val out = Multimodal.decodeWebmStats(
+        Multimodal.synthesizeWebmVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    for (id <- Seq(0L, 3L, 25L))
+      assert(out(id) == ((
+        if (id % 2 == 0) "V_VP9" else "V_AV1",
+        (32 + (id % 7) * 16).toInt, (24 + ((id * 3) % 6) * 16).toInt,
+        (1000 + (id % 10) * 500) / 1000.0)), s"id=$id")
+  }
+
   test("AVI first-frame decode: MJPEG and raw BI_RGB fourcc paths") {
     // MJPEG-in-AVI: real JPEG chunks; decoded geometry must be the
     // encoder's (a header-only read could not distinguish a lying strf)
