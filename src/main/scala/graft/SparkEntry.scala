@@ -565,6 +565,15 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- AV1 sequence-header geometry, completing the compressed-
+    //      codec family trio (avcC/hvcC/av1C): explicit-bit-width
+    //      max_frame dimensions plus operating-point/tier handling;
+    //      the fixtures' container dimension fields are deliberately
+    //      WRONG (+16 px), so only the OBU bitstream parse matches ----
+    "q262_av1_seq_geometry" -> ((s, dir) =>
+      Multimodal.decodeAv1Stats(
+        Multimodal.synthesizeAv1Videos(t(s, dir, "documents"), "doc_id"))),
+
     // ---- WebM/Matroska metadata (the THIRD container family, and the
     //      one a web crawl serves VP9/AV1 in): geometry, codec id and
     //      duration from a real EBML tree walk — varint ids/sizes,
@@ -5959,6 +5968,17 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // container fields lie by +16 px, so equality with the arithmetic
+    // is only reachable through the OBU bitstream
+    "q262_av1_seq_geometry" ->
+      """SELECT doc_id AS media_id, 'av01' AS codec,
+        | CAST(17 + (doc_id % 50) * 3 AS INTEGER) AS width,
+        | CAST(23 + ((doc_id * 7) % 40) * 2 AS INTEGER) AS height,
+        | CAST(doc_id % 3 AS INTEGER) AS profile_idc,
+        | CAST(doc_id % 12 AS INTEGER) AS level_idc,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     // every decoded value must equal the EBML fixture arithmetic; the

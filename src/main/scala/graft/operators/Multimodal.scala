@@ -100,6 +100,7 @@ object Multimodal {
         // ground truth (tkhd/sample-entry fields may carry padded
         // sizes); duration still comes from the container's mvhd clock
         decodeAvcMeta(payload).orElse(decodeHevcMeta(payload))
+          .orElse(decodeAv1Meta(payload))
           .map { case (w, h, _, _, _) =>
             (w, h, decodeVideoMeta(payload).map(_._3).getOrElse(0.0))
           }
@@ -992,6 +993,283 @@ object Multimodal {
             case (w, h, prof, lvl, n) =>
               new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
                 Array(r.getLong(0), "hvc1", w, h, prof, lvl, n),
+                outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
+  // AV1 sequence-header geometry — the third member of the compressed-
+  // codec family (H.264 avcC, HEVC hvcC, AV1 av1C). The av1C record
+  // (AV1 Codec ISO Media File Format Binding §2.3) carries config OBUs;
+  // the sequence header OBU (AV1 spec §5.5.1) encodes max_frame_width/
+  // height with EXPLICIT bit widths (frame_*_bits_minus_1) — no crop
+  // arithmetic, but operating-point and timing-info skipping instead.
+  // --------------------------------------------------------------------
+
+  /** Encode a VALID AV1 sequence header OBU (header byte + leb128 size)
+    * for the given dimensions. `levelIdx` > 7 exercises the seq_tier
+    * branch. Fixture generator for [[parseAv1SequenceHeader]]. */
+  def av1SequenceHeaderObu(width: Int, height: Int, profile: Int = 0,
+                           levelIdx: Int = 8): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad AV1 geometry ${width}x$height")
+    require(profile >= 0 && profile <= 2 && levelIdx >= 0 && levelIdx <= 31,
+      s"bad AV1 profile/level $profile/$levelIdx")
+    val w = new BitWriter
+    w.u(profile, 3)
+    w.u(0, 1)  // still_picture
+    w.u(0, 1)  // reduced_still_picture_header
+    w.u(0, 1)  // timing_info_present_flag
+    w.u(0, 1)  // initial_display_delay_present_flag
+    w.u(0, 5)  // operating_points_cnt_minus_1 = 0
+    w.u(0, 12) // operating_point_idc[0]
+    w.u(levelIdx, 5)
+    if (levelIdx > 7) w.u(0, 1) // seq_tier[0]
+    val wBits = math.max(1, 32 - Integer.numberOfLeadingZeros(width - 1 | 1))
+    val hBits = math.max(1, 32 - Integer.numberOfLeadingZeros(height - 1 | 1))
+    w.u(wBits - 1, 4); w.u(hBits - 1, 4)
+    w.u(width - 1, wBits); w.u(height - 1, hBits)
+    // remaining fields (frame ids, superres, cdef, …) follow in a real
+    // stream; the parser stops at geometry, and the trailing stop bit
+    // terminates the RBSP-style payload
+    val payload = w.rbsp()
+    // OBU header: type 1 (sequence header), has_size_field = 1
+    val size = payload.length
+    val leb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var v = size
+    while ({ val b = v & 0x7F; v >>= 7
+             leb += (if (v != 0) (b | 0x80) else b).toByte; v != 0 }) ()
+    Array(0x0A.toByte) ++ leb ++ payload
+  }
+
+  /** Parse (width, height, profile, levelIdx0) out of an AV1 sequence
+    * header OBU (header byte + optional leb128 size + payload).
+    * Handles the reduced-still-picture form, timing/decoder-model info,
+    * and multiple operating points. None for non-sequence-header OBUs
+    * or truncated bytes, never a throw. */
+  def parseAv1SequenceHeader(obu: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (obu.length < 2) return None
+    val obuType = (obu(0) >> 3) & 0xF
+    if (obuType != 1) return None
+    val hasExt = ((obu(0) >> 2) & 1) == 1
+    val hasSize = ((obu(0) >> 1) & 1) == 1
+    var off = 1
+    if (hasExt) off += 1
+    if (hasSize) { // skip the leb128 size field
+      while (off < obu.length && (obu(off) & 0x80) != 0) off += 1
+      off += 1
+    }
+    if (off >= obu.length) return None
+    val r = new BitReader(java.util.Arrays.copyOfRange(obu, off, obu.length))
+    try {
+      val profile = r.u(3)
+      r.u(1) // still_picture
+      val reduced = r.u(1)
+      var level0 = 0
+      if (reduced == 1) level0 = r.u(5)
+      else {
+        val timingPresent = r.u(1)
+        var decoderModelPresent = 0
+        var bufferDelayLen = 0
+        if (timingPresent == 1) {
+          r.u(32); r.u(32) // num_units_in_display_tick, time_scale
+          if (r.u(1) == 1) { // equal_picture_interval → uvlc ticks
+            var lead = 0
+            while (r.u(1) == 0) {
+              lead += 1
+              if (lead > 31) throw new IndexOutOfBoundsException("bad uvlc")
+            }
+            if (lead > 0) r.u(lead)
+          }
+          decoderModelPresent = r.u(1)
+          if (decoderModelPresent == 1) {
+            bufferDelayLen = r.u(5) + 1
+            r.u(32); r.u(5); r.u(5)
+          }
+        }
+        val initialDelayPresent = r.u(1)
+        val opCnt = r.u(5) + 1
+        for (i <- 0 until opCnt) {
+          r.u(12) // operating_point_idc
+          val lvl = r.u(5)
+          if (i == 0) level0 = lvl
+          if (lvl > 7) r.u(1) // seq_tier
+          if (decoderModelPresent == 1 && r.u(1) == 1) {
+            r.u(bufferDelayLen); r.u(bufferDelayLen); r.u(1)
+          }
+          if (initialDelayPresent == 1 && r.u(1) == 1) r.u(4)
+        }
+      }
+      val wBits = r.u(4) + 1
+      val hBits = r.u(4) + 1
+      val w = r.u(wBits) + 1
+      val h = r.u(hBits) + 1
+      if (w >= 1 && h >= 1) Some((w, h, profile, level0)) else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Sequence-header metadata for an AV1 track in an ISO-BMFF
+    * container: (width, height, profile, levelIdx, sampleCount) — the
+    * [[decodeAvcMeta]] walk with `av01` entries; the av1C record's
+    * config OBUs are scanned for the sequence header. */
+  def decodeAv1Meta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!looksLikeMp4(payload)) return None
+    val b = new Boxes(payload)
+    try {
+      val (moovS, moovE) =
+        b.find(0, payload.length, "moov").getOrElse(return None)
+      var trakFrom = moovS
+      while (trakFrom < moovE) {
+        val (trakS, trakE) =
+          b.find(trakFrom, moovE, "trak").getOrElse(return None)
+        val hit = for {
+          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
+          (mfS, mfE) <- b.find(mdS, mdE, "minf")
+          (sS, sE) <- b.find(mfS, mfE, "stbl")
+          (stsdS, stsdE) <- b.find(sS, sE, "stsd")
+          if stsdS + 16 <= stsdE && b.tag(stsdS + 12) == "av01"
+          (avS, avE) <- b.find(stsdS + 16 + 78, stsdE, "av1C")
+          // config OBUs start after the 4-byte av1C prefix; walk OBUs
+          // (header + leb128 size) for type 1
+          seqHdr <- {
+            var off = avS + 4
+            var found: Option[Array[Byte]] = None
+            while (found.isEmpty && off < avE) {
+              val t = (payload(off) >> 3) & 0xF
+              val hasExt = ((payload(off) >> 2) & 1) == 1
+              val hasSize = ((payload(off) >> 1) & 1) == 1
+              if (!hasSize) { off = avE } // unsized trailing OBU: stop
+              else {
+                var so = off + 1 + (if (hasExt) 1 else 0)
+                var size = 0; var shift = 0
+                while (so < avE && (payload(so) & 0x80) != 0) {
+                  size |= (payload(so) & 0x7F) << shift; shift += 7; so += 1
+                }
+                if (so >= avE) off = avE
+                else {
+                  size |= (payload(so) & 0x7F) << shift; so += 1
+                  val end = so + size
+                  if (end > avE) off = avE
+                  else {
+                    if (t == 1)
+                      found = Some(java.util.Arrays.copyOfRange(
+                        payload, off, end))
+                    off = end
+                  }
+                }
+              }
+            }
+            found
+          }
+          (w, h, prof, lvl) <- parseAv1SequenceHeader(seqHdr)
+        } yield {
+          val n = b.find(sS, sE, "stsz")
+            .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
+          (w, h, prof, lvl, n)
+        }
+        hit match {
+          case Some(t) => return Some(t)
+          case None    => ()
+        }
+        trakFrom = trakE
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Build a minimal VALID AV1 MP4 — the [[synthesizeAvcMp4]] skeleton
+    * with an `av01` entry carrying a real av1C + sequence header OBU;
+    * tkhd/sample-entry dimensions deliberately WRONG (+16 px) so only
+    * the OBU parse can land the true size. */
+  def synthesizeAv1Mp4(width: Int, height: Int, nFrames: Int,
+                       profile: Int = 0, levelIdx: Int = 8,
+                       timescale: Int = 1000,
+                       frameDurUnits: Int = 40): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val obu = av1SequenceHeaderObu(width, height, profile, levelIdx)
+    val sample = be32(22) ++ Array.fill(22)(0x2D.toByte)
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
+    val chunkOffset = ftyp.length + 8
+    val durUnits = nFrames * frameDurUnits
+    val lieW = width + 16; val lieH = height + 16
+    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
+      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0), unityMatrix, be32(lieW << 16), be32(lieH << 16))
+    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(durUnits), be16(0x55C4), be16(0))
+    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0))
+    // av1C: marker|version = 0x81, profile(3)|level(5),
+    // tier|hbd|12bit|mono|ssx|ssy|csp = 4:2:0 defaults, reserved byte,
+    // then the config OBUs
+    val av1C = mkBox("av1C",
+      Array(0x81.toByte,
+        ((profile << 5) | levelIdx).toByte,
+        0x0C.toByte, 0x00.toByte), obu)
+    val stsdEntry = mkBox("av01", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(lieW), be16(lieH), be32(0x00480000),
+      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
+      be16(0xFFFF), av1C)
+    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
+    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
+    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
+    val stsz = mkBox("stsz", be32(0), be32(sample.length), be32(nFrames))
+    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = mkBox("minf", stbl)
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val trak = mkBox("trak", tkhd, mdia)
+    val moov = mkBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthesize an AV1 MP4 corpus keyed by id — arbitrary (uncropped)
+    * geometry, profile and level replayable arithmetically:
+    * w = 17+(id%50)·3, h = 23+((id·7)%40)·2, profile = id%3,
+    * level = id%12 (exercising the >7 tier branch), frames = 1+id%3. */
+  def synthesizeAv1Videos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (17 + (id % 50) * 3).toInt
+          val h = (23 + ((id * 7) % 40) * 2).toInt
+          val prof = (id % 3).toInt
+          val lvl = (id % 12).toInt
+          val n = (1 + id % 3).toInt
+          val p = synthesizeAv1Mp4(w, h, n, prof, lvl)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched AV1 sequence-header extraction — the [[decodeAvcStats]]
+    * frame for av01 tracks. */
+  def decodeAv1Stats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("profile_idc", IntegerType, nullable = false),
+      StructField("level_idc", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAv1Meta(r.getAs[Array[Byte]](1)).map {
+            case (w, h, prof, lvl, n) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array(r.getLong(0), "av01", w, h, prof, lvl, n),
                 outSchema): Row
           }
         }

@@ -312,6 +312,48 @@ class OperatorsSpec extends SparkSpec {
         (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
   }
 
+  test("AV1 sequence header: OBU round-trip, tier branch, lying container fields") {
+    // arbitrary (uncropped) geometry round-trips through the explicit
+    // bit-width encoding, including powers of two and tiny sizes
+    for ((w, h) <- Seq((1920, 1080), (17, 23), (256, 2), (4096, 1), (100, 77)))
+      assert(Multimodal.parseAv1SequenceHeader(
+        Multimodal.av1SequenceHeaderObu(w, h)).contains((w, h, 0, 8)),
+        s"${w}x$h")
+    // profile and level (tier branch fires above 7) carry through
+    assert(Multimodal.parseAv1SequenceHeader(
+      Multimodal.av1SequenceHeaderObu(640, 360, profile = 2, levelIdx = 5))
+      .contains((640, 360, 2, 5)))
+    assert(Multimodal.parseAv1SequenceHeader(
+      Multimodal.av1SequenceHeaderObu(640, 360, profile = 1, levelIdx = 12))
+      .contains((640, 360, 1, 12)))
+    // non-sequence-header OBU types and truncated bytes -> None
+    assert(Multimodal.parseAv1SequenceHeader(
+      Array(0x32.toByte, 0x01.toByte, 0x00.toByte)).isEmpty) // type 6
+    assert(Multimodal.parseAv1SequenceHeader(
+      Multimodal.av1SequenceHeaderObu(640, 360).take(2)).isEmpty)
+    // container walk: tkhd/sample-entry fields lie by +16, the OBU wins
+    val mp4 = Multimodal.synthesizeAv1Mp4(200, 113, nFrames = 2,
+      profile = 1, levelIdx = 9)
+    assert(Multimodal.decodeAv1Meta(mp4).contains((200, 113, 1, 9, 2)))
+    assert(Multimodal.decodeVideoMeta(mp4).map(m => (m._1, m._2))
+      .contains((216, 129)))
+    assert(Multimodal.decodePayload("video", mp4)._1 == 200)
+    // cross-codec: the AVC/HEVC walks skip av01 and vice versa
+    assert(Multimodal.decodeAvcMeta(mp4).isEmpty)
+    assert(Multimodal.decodeAv1Meta(
+      Multimodal.synthesizeAvcMp4(64, 48, 1)).isEmpty)
+    // distributed plumbing matches the fixture arithmetic
+    val ids = Seq(2L, 11L, 47L).toDF("doc_id")
+    val out = Multimodal.decodeAv1Stats(
+        Multimodal.synthesizeAv1Videos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    for (id <- Seq(2L, 11L, 47L))
+      assert(out(id) == ((
+        (17 + (id % 50) * 3).toInt, (23 + ((id * 7) % 40) * 2).toInt,
+        (id % 3).toInt, (id % 12).toInt)), s"id=$id")
+  }
+
   test("WebM EBML walk: geometry, codec, duration; malformed bytes safe") {
     val vp9 = Multimodal.synthesizeWebm(640, 360, "V_VP9", 2500.0)
     assert(Multimodal.decodeWebmMeta(vp9).contains((640, 360, "V_VP9", 2.5)))
