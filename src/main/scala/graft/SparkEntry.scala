@@ -565,6 +565,16 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- mixed-container video capstone: ONE extractor over a corpus
+    //      holding all five families (AVC/HEVC/AV1 MP4s, VP9/AV1 WebM,
+    //      MJPEG/BI_RGB AVI) — the shape a real crawl has; per-payload
+    //      container sniff dispatches to the right tree/bitstream walk,
+    //      and the oracle replays every family's arithmetic in one
+    //      CASE over doc_id%5 ----
+    "q263_video_meta_mixed" -> ((s, dir) =>
+      Multimodal.videoMetaStats(
+        Multimodal.synthesizeMixedVideos(t(s, dir, "documents"), "doc_id"))),
+
     // ---- AV1 sequence-header geometry, completing the compressed-
     //      codec family trio (avcC/hvcC/av1C): explicit-bit-width
     //      max_frame dimensions plus operating-point/tier handling;
@@ -5968,6 +5978,31 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // one CASE per container family — a wrong dispatch or a wrong
+    // per-family parse moves that family's whole residue class
+    "q263_video_meta_mixed" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 5
+        |   WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' WHEN 2 THEN 'av01'
+        |   WHEN 3 THEN (CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END)
+        |   ELSE (CASE WHEN doc_id % 2 = 0 THEN 'MJPG' ELSE 'DIB' END)
+        | END AS codec,
+        | CAST(CASE doc_id % 5
+        |   WHEN 0 THEN 16 * (1 + doc_id % 4) - 2 * ((doc_id * 7) % 4)
+        |   WHEN 1 THEN 8 * (2 + doc_id % 6) - 2 * ((doc_id * 5) % 4)
+        |   WHEN 2 THEN 17 + (doc_id % 50) * 3
+        |   WHEN 3 THEN 32 + (doc_id % 7) * 16
+        |   ELSE 16 + (doc_id % 4) * 16
+        | END AS INTEGER) AS width,
+        | CAST(CASE doc_id % 5
+        |   WHEN 0 THEN 16 * (1 + (doc_id * 3) % 5) - 2 * ((doc_id * 11) % 4)
+        |   WHEN 1 THEN 8 * (2 + (doc_id * 7) % 5) - 2 * ((doc_id * 3) % 4)
+        |   WHEN 2 THEN 23 + ((doc_id * 7) % 40) * 2
+        |   WHEN 3 THEN 24 + ((doc_id * 3) % 6) * 16
+        |   ELSE 16 + ((doc_id * 3) % 5) * 16
+        | END AS INTEGER) AS height
         |FROM documents""".stripMargin,
 
     // container fields lie by +16 px, so equality with the arithmetic

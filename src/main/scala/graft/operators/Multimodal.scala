@@ -1496,6 +1496,60 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthesize a MIXED video corpus — the shape a real web crawl has:
+    * by id%5, an H.264 MP4, an HEVC MP4, an AV1 MP4, a VP9/AV1 WebM,
+    * or an MJPEG/BI_RGB AVI, each with its family's id-derived
+    * arithmetic (see the per-family synthesizers). */
+  def synthesizeMixedVideos(df: DataFrame, idCol: String): DataFrame = {
+    val m = F.col(idCol) % 5
+    synthesizeAvcVideos(df.filter(m === 0), idCol)
+      .unionAll(synthesizeHevcVideos(df.filter(m === 1), idCol))
+      .unionAll(synthesizeAv1Videos(df.filter(m === 2), idCol))
+      .unionAll(synthesizeWebmVideos(df.filter(m === 3), idCol))
+      .unionAll(synthesizeAviVideos(df.filter(m === 4), idCol))
+  }
+
+  /** ONE geometry extractor over a mixed-container corpus: sniffs the
+    * container family per payload (ISO-BMFF box tree, EBML tree, RIFF
+    * chunk list) and dispatches to the right bitstream/tree parse —
+    * (media_id, codec, width, height). Payloads no walker understands
+    * are skipped (flatMap); compose [[decodePayload]] when a row per
+    * input is wanted. This is the operator a crawl pipeline actually
+    * calls: the corpus never arrives sorted by codec. */
+  def videoMetaStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val meta: Option[(String, Int, Int)] =
+            if (looksLikeMp4(p))
+              decodeAvcMeta(p).map { case (w, h, _, _, _) => ("avc1", w, h) }
+                .orElse(decodeHevcMeta(p).map {
+                  case (w, h, _, _, _) => ("hvc1", w, h) })
+                .orElse(decodeAv1Meta(p).map {
+                  case (w, h, _, _, _) => ("av01", w, h) })
+                .orElse(decodeMjpegFrame(p).map {
+                  case (w, h, _, codec) => (codec, w, h) })
+            else if (looksLikeWebm(p))
+              decodeWebmMeta(p).map { case (w, h, codec, _) => (codec, w, h) }
+            else if (looksLikeAvi(p))
+              decodeAviFrame(p).map {
+                case (w, h, _, codec, _, _) => (codec.trim, w, h) }
+            else None
+          meta.map { case (codec, w, h) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(r.getLong(0), codec, w, h), outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
   /** True iff the payload is a RIFF/AVI container: 'RIFF' magic with the
     * 'AVI ' form type — the OTHER mainstream video container family
     * (little-endian chunk list vs ISO-BMFF's big-endian box tree). */
