@@ -565,6 +565,40 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- WARC ingestion (the wire format web crawls arrive in — the
+    //      REAL first step before q251's curation): executors write
+    //      one WARC file per partition (half of them in the standard
+    //      member-per-record .warc.gz layout), then Warc.read walks
+    //      the records file-parallel and the HTTP payloads must
+    //      round-trip the document text exactly ----
+    "q264_warc_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val staging = stagingDir("graft_warc") + "/crawl"
+      new java.io.File(staging).mkdirs()
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val recs = it.map(r => (s"http://ex.com/doc/${r.getLong(0)}",
+            "2026-01-01T00:00:00Z", r.getString(1))).toSeq
+          if (recs.nonEmpty) {
+            val gz = pid % 2 == 1 // half the shards use the gzip layout
+            val f = new java.io.File(staging,
+              s"part-$pid.warc" + (if (gz) ".gz" else ""))
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.Warc.warcBytes(recs, gzip = gz))
+            finally out.close()
+          }
+        }
+      val read = graft.sources.Warc.read(s, s"$staging/*")
+        .withColumn("doc_id",
+          F.regexp_extract(F.col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long"))
+      read.join(docs, "doc_id")
+        .select(F.col("doc_id"), F.col("http_status"),
+          F.col("content_type"),
+          (F.col("body") === F.col("text")).as("body_ok"))
+    }),
+
     // ---- mixed-container video capstone: ONE extractor over a corpus
     //      holding all five families (AVC/HEVC/AV1 MP4s, VP9/AV1 WebM,
     //      MJPEG/BI_RGB AVI) — the shape a real crawl has; per-payload
@@ -5978,6 +6012,13 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // every record must survive the WARC wrap + HTTP embed + (half the
+    // shards) gzip member layout byte-exactly
+    "q264_warc_ingest" ->
+      """SELECT doc_id, CAST(200 AS INTEGER) AS http_status,
+        | 'text/plain' AS content_type, true AS body_ok
         |FROM documents""".stripMargin,
 
     // one CASE per container family — a wrong dispatch or a wrong

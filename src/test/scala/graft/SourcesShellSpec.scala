@@ -52,6 +52,48 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("WARC: record walk, gzip member layout, HTTP embed, salvaged tails") {
+    import graft.sources.Warc
+    val recs = Seq(
+      ("http://a.example/1", "2026-01-01T00:00:00Z", "hello world"),
+      ("http://a.example/2", "2026-01-02T00:00:00Z",
+        "multi\nline body with: colons\r\nand CRLF"),
+      ("http://a.example/3", "2026-01-03T00:00:00Z", ""))
+    val d = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    // plain and member-per-record gzip layouts must read identically
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/a.warc"),
+      Warc.warcBytes(recs))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/b.warc.gz"),
+      Warc.warcBytes(recs, gzip = true))
+    for (f <- Seq("a.warc", "b.warc.gz")) {
+      val out = Warc.read(spark, s"$d/$f").collect()
+        .map(r => (r.getString(2), r.getInt(4), r.getString(5), r.getString(6)))
+      assert(out.length == 3, f)
+      assert(out.toSet == recs.map { case (u, _, b) =>
+        (u, 200, "text/plain", b) }.toSet, f)
+    }
+    // a glob over both = one task per file, six records
+    assert(Warc.read(spark, s"$d/*").count() == 6)
+    // a truncated trailing record salvages the intact prefix (a crawl
+    // reader must not reject a whole file for one cut-off tail)
+    val whole = Warc.warcBytes(recs)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/trunc.warc"),
+      whole.take(whole.length - 20))
+    assert(Warc.read(spark, s"$d/trunc.warc").count() == 2)
+    // non-response records surface their raw block and status -1
+    val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      "Content-Length: 9\r\n\r\nrobots: x\r\n\r\n").getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/meta.warc"), meta)
+    val m = Warc.read(spark, s"$d/meta.warc").collect()
+    assert(m.length == 1 && m.head.getString(1) == "warcinfo" &&
+      m.head.getInt(4) == -1 && m.head.getString(6) == "robots: x")
+    // garbage bytes -> zero rows, never a throw
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/junk.warc"),
+      "not a warc at all".getBytes("UTF-8"))
+    assert(Warc.read(spark, s"$d/junk.warc").count() == 0)
+  }
+
   test("BlockFile: multi-block round trip, per-block partitions, pruned reads, limits") {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._
