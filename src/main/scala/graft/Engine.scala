@@ -24,8 +24,28 @@ import graft.sources.Tables
   */
 final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) {
 
-  def table(ref: String): GraftFrame =
-    GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
+  /** Session-scoped views: name → body TEXT, re-planned at every use
+    * (standard non-materialized view semantics — a view over a
+    * Versioned dataset tracks its head, and underlying-table changes
+    * are visible immediately). FROM resolution consults views first,
+    * then disk; CTE/subquery scope still shadows views (the standard
+    * layering: the nearest definition wins). */
+  private val views =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  /** names currently being expanded — a view whose body references
+    * itself (directly or through another view) must fail loudly, not
+    * recurse forever */
+  private val viewStack = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  def table(ref: String): GraftFrame = views.get(ref) match {
+    case Some(body) =>
+      if (!viewStack.add(ref)) throw new SemanticError(
+        s"view '$ref' is recursive (expansion chain: " +
+        s"${viewStack.mkString(" -> ")} -> $ref)")
+      try evalCompound(SqlParser.parseCompound(body), Map.empty)
+      finally viewStack.remove(ref)
+    case None => GraftFrame.fromDF(Tables.load(spark, ref, baseDir))
+  }
 
   /** `CREATE TABLE <target> AS SELECT ...` (extension): target is a
     * quoted parquet path, a quoted `.bin` path (materializes in the
@@ -42,6 +62,20 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * text — the surface a SQL user pokes before paying for a scan.
     * CTAS under EXPLAIN is rejected (planning it would still write). */
   private val ExplainRe = """(?is)^\s*EXPLAIN(\s+FORMATTED)?\s+(.+)$""".r
+
+  /** `CREATE [OR REPLACE] VIEW <name> AS SELECT ...` /
+    * `DROP VIEW [IF EXISTS] <name>` (extension): session-scoped
+    * non-materialized views — the body is validated (parsed AND
+    * planned) at definition so broken references fail here, stored as
+    * TEXT, and re-planned at every FROM use, so views over Versioned
+    * datasets always serve the current head. Self- or mutually-
+    * recursive views reject at use with the expansion chain named
+    * (recursion belongs to WITH RECURSIVE, which has fixpoint
+    * semantics; view expansion has none). */
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
 
   /** `DELETE FROM '<versioned-ds>' WHERE <pred>` (extension):
     * copy-on-write delete via [[graft.sources.Versioned.deleteWhere]] —
@@ -207,6 +241,42 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   }
 
   def sql(query: String): GraftFrame = query match {
+    case CreateViewRe(orReplace, name, body) =>
+      scalarCache.clear()
+      if (views.contains(name) && orReplace == null)
+        throw new SemanticError(s"view '$name' already exists — " +
+          "use CREATE OR REPLACE VIEW to redefine it")
+      val parsed = SqlParser.parseCompound(body)
+      // registered BEFORE validation so a self-referential body trips
+      // the cycle guard here, at definition, with the chain named
+      val prior = views.get(name)
+      views += name -> body
+      val cols =
+        try table(name).df.columns.length
+        catch { case e: Throwable =>
+          prior match {
+            case Some(p) => views += name -> p
+            case None    => views.remove(name)
+          }
+          throw e
+        }
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(name, cols.toLong)),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false),
+          StructField("n_columns", LongType, nullable = false)))))
+    case DropViewRe(ifExists, name) =>
+      scalarCache.clear()
+      val existed = views.remove(name).nonEmpty
+      if (!existed && ifExists == null)
+        throw new SemanticError(s"view '$name' does not exist")
+      import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(name, existed)),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false),
+          StructField("dropped", BooleanType, nullable = false)))))
     case VacuumRe(target, keep) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
@@ -389,7 +459,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             if (n.endsWith(".bin")) (n, "blockfile")
             else (n.stripSuffix(".parquet"), "parquet")
           Row(name, fmt)
-        }
+        } ++ views.keys.toSeq.sorted.map(n => Row(n, "view"))
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(files).asJava),

@@ -1286,7 +1286,7 @@ object SparkEntry {
         path)
       val eng = Engine(s, dir)
       eng.sql(s"UPDATE '$path' SET lang = 'und', " +
-        "n_chars = n_chars * 2 WHERE source = 'web' AND n_chars < 900")
+        "n_chars = n_chars * 2 WHERE source = 'src7' AND n_chars < 400")
       eng.sql(
         s"""SELECT lang, COUNT() AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM '$path' GROUP BY lang
@@ -1295,6 +1295,25 @@ object SparkEntry {
            |  SELECT lang, COUNT() AS n,
            |    CAST(SUM(n_chars) AS BIGINT) AS chars
            |  FROM '$path' FOR VERSION AS OF 1 GROUP BY lang) v1""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
+    // ---- session views through the dialect: CREATE VIEW bodies are
+    //      re-planned at every use, so redefining a base view changes
+    //      what a DEPENDENT view serves — the gate queries through two
+    //      view layers after a CREATE OR REPLACE of the bottom one,
+    //      and the oracle replays only the FINAL definition ----
+    "q265_sql_views" -> ((s, dir) => {
+      val eng = Engine(s, dir)
+      eng.sql("CREATE VIEW webdocs AS SELECT doc_id, lang, n_chars " +
+        "FROM documents WHERE source = 'src7' OR source = 'src3'")
+      eng.sql("CREATE VIEW webstats AS SELECT lang, COUNT() AS n, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM webdocs GROUP BY lang")
+      // redefine the BASE view: the dependent must track it
+      eng.sql("CREATE OR REPLACE VIEW webdocs AS SELECT doc_id, lang, " +
+        "n_chars FROM documents WHERE (source = 'src7' OR source = 'src3') " +
+        "AND n_chars >= 300")
+      eng.sql("SELECT lang, n, chars FROM webstats").df
         .withColumn("n", F.col("n").cast("long"))
     }),
 
@@ -4927,6 +4946,13 @@ object SparkEntry {
 
     // the head replays as CASE over the source (matched rows rewritten),
     // v1 as the source untouched — both groupings in one statement
+    // only the FINAL (replaced) definition replays — a stale cached
+    // view body would keep the unfiltered aggregate
+    "q265_sql_views" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source IN ('src7', 'src3') AND n_chars >= 300
+        |GROUP BY lang""".stripMargin,
+
     // the merge replayed analytically: matched rows (even id, id%3!=0)
     // take the update, unmatched source rows (even id, id%3=0) insert,
     // odd non-third rows pass through — one wrong row fate moves a sum
@@ -4946,9 +4972,9 @@ object SparkEntry {
 
     "q242_sql_update" ->
       """WITH u AS (SELECT doc_id,
-        |    CASE WHEN source = 'web' AND n_chars < 900
+        |    CASE WHEN source = 'src7' AND n_chars < 400
         |         THEN 'und' ELSE lang END AS lang,
-        |    CASE WHEN source = 'web' AND n_chars < 900
+        |    CASE WHEN source = 'src7' AND n_chars < 400
         |         THEN n_chars * 2 ELSE n_chars END AS n_chars
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars

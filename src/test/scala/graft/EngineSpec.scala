@@ -614,6 +614,48 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("CREATE VIEW: re-planned per use, shadowing, recursion guard, DROP") {
+    val eng = Engine(spark, dir) // fresh engine: views are session state
+    val r = eng.sql("CREATE VIEW big AS SELECT fruit, quantity " +
+      "FROM fruits WHERE quantity >= 4").df.collect()
+    assert(r.head.getString(0) == "big" && r.head.getLong(1) == 2L)
+    assert(rows(eng.sql("SELECT fruit FROM big WHERE quantity > 5").df) ==
+      Set(Seq("banana"))) // quantity 7
+    // views compose: a view over a view, joined back to a table
+    eng.sql("CREATE VIEW big_n AS SELECT COUNT() AS n FROM big")
+    assert(rows(eng.sql("SELECT n FROM big_n").df) == Set(Seq(3L)))
+    // CTE scope SHADOWS a view of the same name (nearest wins)
+    assert(rows(eng.sql(
+      "WITH big AS (SELECT 1 AS n) SELECT n FROM big").df) == Set(Seq(1)))
+    // re-planned per use: CREATE OR REPLACE redefines, dependents track
+    eng.sql("CREATE OR REPLACE VIEW big AS SELECT fruit, quantity " +
+      "FROM fruits WHERE quantity >= 2")
+    assert(rows(eng.sql("SELECT n FROM big_n").df) == Set(Seq(5L)))
+    // duplicate without OR REPLACE rejects; definition-time validation
+    // rejects broken references and leaves the old definition standing
+    assertThrows[graft.sql.SemanticError] {
+      eng.sql("CREATE VIEW big AS SELECT 1 AS x")
+    }
+    intercept[Exception] {
+      eng.sql("CREATE OR REPLACE VIEW big AS SELECT nope FROM fruits")
+    }
+    assert(rows(eng.sql("SELECT n FROM big_n").df) == Set(Seq(5L)))
+    // self-reference trips the cycle guard AT DEFINITION
+    assertThrows[graft.sql.SemanticError] {
+      eng.sql("CREATE VIEW loop_v AS SELECT * FROM loop_v")
+    }
+    // SHOW TABLES lists views beside files
+    assert(eng.sql("SHOW TABLES").df.collect()
+      .map(r2 => (r2.getString(0), r2.getString(1)))
+      .count(_ == ("big", "view")) == 1)
+    // DROP VIEW removes (resolution falls back to disk and fails
+    // there); IF EXISTS tolerates absence; bare DROP rejects
+    eng.sql("DROP VIEW big_n")
+    intercept[Exception] { eng.sql("SELECT n FROM big_n").df.collect() }
+    eng.sql("DROP VIEW IF EXISTS big_n")
+    assertThrows[graft.sql.SemanticError] { eng.sql("DROP VIEW big_n") }
+  }
+
   test("MERGE INTO: upsert, delete, cardinality violation, error paths") {
     val out = java.nio.file.Files.createTempDirectory("graft-merge")
     try {
