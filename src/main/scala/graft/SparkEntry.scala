@@ -565,6 +565,15 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- EXIF orientation (the normalization visual dedup needs:
+    //      ImageIO decodes UN-rotated pixels, so rotated phone photos
+    //      hash differently unless orientation is read and applied):
+    //      real JPEGs with a spliced APP1 TIFF tag; display dims swap
+    //      for the rotated orientations 5..8 ----
+    "q266_exif_orientation" -> ((s, dir) =>
+      Multimodal.decodeExifStats(
+        Multimodal.synthesizeExifImages(t(s, dir, "documents"), "doc_id"))),
+
     // ---- WARC ingestion (the wire format web crawls arrive in — the
     //      REAL first step before q251's curation): executors write
     //      one WARC file per partition (half of them in the standard
@@ -6038,6 +6047,21 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // decoded dims from the real JPEG, orientation from the APP1 walk,
+    // display dims swapped for orientations 5..8 — all id arithmetic
+    "q266_exif_orientation" ->
+      """SELECT doc_id AS media_id,
+        | CAST(16 + (doc_id % 4) * 16 AS INTEGER) AS width,
+        | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS height,
+        | CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        | CAST(CASE WHEN 1 + doc_id % 8 >= 5
+        |   THEN 16 + ((doc_id * 3) % 5) * 16
+        |   ELSE 16 + (doc_id % 4) * 16 END AS INTEGER) AS display_w,
+        | CAST(CASE WHEN 1 + doc_id % 8 >= 5
+        |   THEN 16 + (doc_id % 4) * 16
+        |   ELSE 16 + ((doc_id * 3) % 5) * 16 END AS INTEGER) AS display_h
         |FROM documents""".stripMargin,
 
     // every record must survive the WARC wrap + HTTP embed + (half the

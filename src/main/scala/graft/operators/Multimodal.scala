@@ -1000,6 +1000,133 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------
+  // EXIF orientation — the metadata an image pipeline must normalize
+  // before any visual dedup/aHash runs: a phone photo stored rotated
+  // carries orientation 6/8 in an APP1 TIFF tag (0x0112), and ImageIO
+  // decodes the UN-rotated pixels, so two visually-identical photos
+  // hash differently unless orientation is read and applied. Pure
+  // marker/IFD byte walk, both TIFF endiannesses.
+  // --------------------------------------------------------------------
+
+  /** Build an EXIF APP1 payload carrying just the orientation tag —
+    * "Exif\0\0" + little-endian TIFF with a one-entry IFD0. */
+  private def exifApp1Payload(orientation: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(6 + 8 + 2 + 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // TIFF header
+    b.putShort(1)                      // IFD0: one entry
+    b.putShort(0x0112.toShort)         // Orientation
+    b.putShort(3)                      // SHORT
+    b.putInt(1)
+    b.putShort(orientation.toShort).putShort(0)
+    b.putInt(0)                        // no next IFD
+    b.array()
+  }
+
+  /** A REAL JPEG (the [[jpegBytes]] encoder) with an EXIF APP1 segment
+    * carrying the given orientation spliced in after SOI — what a phone
+    * camera writes. */
+  def jpegBytesWithExif(width: Int, height: Int, orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    val jpeg = jpegBytes(width, height)
+    val payload = exifApp1Payload(orientation)
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xFF).toByte,
+      ((payload.length + 2) & 0xFF).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** Read the EXIF orientation (1..8) out of a JPEG's APP1 segment —
+    * marker walk to APP1 "Exif", TIFF endianness from II/MM, IFD0
+    * entry scan for tag 0x0112. None when the image carries no EXIF
+    * orientation (the overwhelmingly common case — callers default to
+    * 1, "upright"); never throws. */
+  def exifOrientation(payload: Array[Byte]): Option[Int] = {
+    if (payload.length < 4 || payload(0) != 0xFF.toByte ||
+        payload(1) != 0xD8.toByte) return None
+    try {
+      var off = 2
+      while (off + 4 <= payload.length && payload(off) == 0xFF.toByte) {
+        val marker = payload(off + 1) & 0xFF
+        if (marker == 0xDA || marker == 0xD9) return None // SOS/EOI: no EXIF
+        val len = ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+        if (len < 2 || off + 2 + len > payload.length) return None
+        if (marker == 0xE1 && len >= 10 &&
+            new String(payload, off + 4, 4, "US-ASCII") == "Exif") {
+          val tiff = off + 10 // past "Exif\0\0"
+          val le = payload(tiff) == 'I'.toByte && payload(tiff + 1) == 'I'.toByte
+          val be = payload(tiff) == 'M'.toByte && payload(tiff + 1) == 'M'.toByte
+          if (!le && !be) return None
+          def u16(o: Int): Int =
+            if (le) ((payload(o + 1) & 0xFF) << 8) | (payload(o) & 0xFF)
+            else ((payload(o) & 0xFF) << 8) | (payload(o + 1) & 0xFF)
+          def u32(o: Int): Long =
+            if (le) (u16(o + 2).toLong << 16) | u16(o)
+            else (u16(o).toLong << 16) | u16(o + 2)
+          val ifd0 = tiff + u32(tiff + 4).toInt
+          val n = u16(ifd0)
+          for (i <- 0 until n) {
+            val e = ifd0 + 2 + i * 12
+            if (u16(e) == 0x0112 && u16(e + 2) == 3)
+              return Some(u16(e + 8)).filter(o => o >= 1 && o <= 8)
+          }
+          return None
+        }
+        off += 2 + len
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Synthesize a camera-style JPEG corpus keyed by id — real encoded
+    * pixels + EXIF orientation, replayable arithmetically:
+    * w = 16+(id%4)·16, h = 16+((id·3)%5)·16, orientation = 1+id%8. */
+  def synthesizeExifImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + (id % 4) * 16).toInt
+          val h = (16 + ((id * 3) % 5) * 16).toInt
+          val p = jpegBytesWithExif(w, h, (1 + id % 8).toInt)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "image", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched decode + EXIF read: (media_id, width, height, orientation,
+    * display_w, display_h) — display dims swap for the rotated
+    * orientations (5..8), which is exactly the normalization a visual
+    * dedup pass must apply before hashing. Orientation defaults to 1
+    * when the image carries no EXIF. */
+  def decodeExifStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("orientation", IntegerType, nullable = false),
+      StructField("display_w", IntegerType, nullable = false),
+      StructField("display_h", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          decodeImage(p).map { case (w, h) =>
+            val o = exifOrientation(p).getOrElse(1)
+            val (dw, dh) = if (o >= 5) (h, w) else (w, h)
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(r.getLong(0), w, h, o, dw, dh), outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
   // AV1 sequence-header geometry — the third member of the compressed-
   // codec family (H.264 avcC, HEVC hvcC, AV1 av1C). The av1C record
   // (AV1 Codec ISO Media File Format Binding §2.3) carries config OBUs;

@@ -312,6 +312,56 @@ class OperatorsSpec extends SparkSpec {
         (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
   }
 
+  test("EXIF orientation: APP1 walk, rotation swap, EXIF-less default") {
+    // every orientation round-trips through the spliced APP1 segment,
+    // and the JPEG still decodes (the splice must not corrupt markers)
+    for (o <- 1 to 8) {
+      val p = Multimodal.jpegBytesWithExif(64, 32, o)
+      assert(Multimodal.exifOrientation(p).contains(o), s"o=$o")
+      assert(Multimodal.decodeImage(p).contains((64, 32)), s"o=$o decode")
+    }
+    // a plain encoder JPEG has no EXIF -> None (callers default to 1)
+    assert(Multimodal.exifOrientation(Multimodal.jpegBytes(32, 32)).isEmpty)
+    // big-endian TIFF (MM) parses too: flip the fixture's byte order
+    val le = Multimodal.jpegBytesWithExif(32, 32, 6)
+    val exifAt = {
+      val needle = "Exif".getBytes("US-ASCII")
+      (0 until le.length - 4).find(i =>
+        needle.indices.forall(j => le(i + j) == needle(j))).get
+    }
+    val tiff = exifAt + 6
+    val be = le.clone()
+    // II,42le,8le / 1 entry / tag,type,count,value all byte-swapped
+    def swap16(o: Int): Unit = { val t = be(o); be(o) = be(o + 1); be(o + 1) = t }
+    def swap32(o: Int): Unit = {
+      val a = be(o); val b2 = be(o + 1)
+      be(o) = be(o + 3); be(o + 1) = be(o + 2); be(o + 2) = b2; be(o + 3) = a
+    }
+    be(tiff) = 'M'.toByte; be(tiff + 1) = 'M'.toByte
+    swap16(tiff + 2); swap32(tiff + 4)      // 42, ifd0 offset
+    swap16(tiff + 8)                        // entry count
+    swap16(tiff + 10); swap16(tiff + 12)    // tag, type
+    swap32(tiff + 14); swap16(tiff + 18)    // count, SHORT value
+    swap32(tiff + 22)                       // next-IFD offset
+    assert(Multimodal.exifOrientation(be).contains(6))
+    // truncated/garbage bytes -> None, never a throw
+    assert(Multimodal.exifOrientation(le.take(8)).isEmpty)
+    assert(Multimodal.exifOrientation("nope".getBytes("UTF-8")).isEmpty)
+    // distributed stats: rotated orientations swap display dims
+    val ids = Seq(0L, 4L, 7L).toDF("doc_id") // orientations 1, 5, 8
+    val out = Multimodal.decodeExifStats(
+        Multimodal.synthesizeExifImages(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    for (id <- Seq(0L, 4L, 7L)) {
+      val w = (16 + (id % 4) * 16).toInt
+      val h = (16 + ((id * 3) % 5) * 16).toInt
+      val o = (1 + id % 8).toInt
+      assert(out(id) == ((o, if (o >= 5) h else w, if (o >= 5) w else h)),
+        s"id=$id")
+    }
+  }
+
   test("AV1 sequence header: OBU round-trip, tier branch, lying container fields") {
     // arbitrary (uncropped) geometry round-trips through the explicit
     // bit-width encoding, including powers of two and tiny sizes
