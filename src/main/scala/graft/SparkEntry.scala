@@ -565,6 +565,31 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- ORIENTATION-NORMALIZED visual dedup: a photo and its
+    //      rotated-stored twin (same scene, EXIF orientation 6) must
+    //      land the SAME perceptual hash after normalization and
+    //      DIFFERENT hashes without it — the q266 metadata applied to
+    //      the q187 hash family; one wrong transform direction flips a
+    //      deterministic boolean ----
+    "q267_ahash_oriented" -> ((s, dir) => {
+      val media = Multimodal.synthesizeRotatedPairs(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      def pairEq(df: org.apache.spark.sql.DataFrame, name: String) = {
+        val a = df.filter(F.col("media_id") % 2 === 0).select(
+          (F.col("media_id") / 2).cast("long").as("doc_id"),
+          F.col("ahash_hi").as("h1"), F.col("ahash_lo").as("l1"))
+        val b = df.filter(F.col("media_id") % 2 === 1).select(
+          ((F.col("media_id") - 1) / 2).cast("long").as("doc_id"),
+          F.col("ahash_hi").as("h2"), F.col("ahash_lo").as("l2"))
+        a.join(b, "doc_id").select(F.col("doc_id"),
+          (F.col("h1") === F.col("h2") && F.col("l1") === F.col("l2"))
+            .as(name))
+      }
+      pairEq(Multimodal.imageAHashes(media), "plain_equal")
+        .join(pairEq(Multimodal.imageAHashesOriented(media),
+          "oriented_equal"), "doc_id")
+    }),
+
     // ---- EXIF orientation (the normalization visual dedup needs:
     //      ImageIO decodes UN-rotated pixels, so rotated phone photos
     //      hash differently unless orientation is read and applied):
@@ -6047,6 +6072,13 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // the half-contrast pattern makes both outcomes deterministic:
+    // un-normalized hashes differ (column-bits vs row-bits), normalized
+    // hashes agree (the transform restores the displayed pixels)
+    "q267_ahash_oriented" ->
+      """SELECT doc_id, false AS plain_equal, true AS oriented_equal
         |FROM documents""".stripMargin,
 
     // decoded dims from the real JPEG, orientation from the APP1 walk,

@@ -2197,6 +2197,125 @@ object Multimodal {
       }(enc)
   }
 
+  /** Apply an EXIF orientation (1..8) to decoded pixels — the inverse
+    * transform that recovers the DISPLAYED image from the stored
+    * raster: flips, 180°, transpose/transverse, and the two 90°
+    * rotations, by direct band-0 sample copy into a gray raster (the
+    * only band the perceptual hashes read). Orientation 1 (and any
+    * out-of-range value) returns the input untouched. */
+  def normalizeOrientation(img: java.awt.image.BufferedImage,
+                           orientation: Int): java.awt.image.BufferedImage = {
+    if (orientation <= 1 || orientation > 8) return img
+    val w = img.getWidth; val h = img.getHeight
+    val swap = orientation >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster; val dst = out.getRaster
+    var y = 0
+    while (y < out.getHeight) {
+      var x = 0
+      while (x < out.getWidth) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)          // flip H
+          case 3 => (w - 1 - x, h - 1 - y)  // rotate 180
+          case 4 => (x, h - 1 - y)          // flip V
+          case 5 => (y, x)                  // transpose
+          case 6 => (y, h - 1 - x)          // stored = displayed rot CCW
+          case 7 => (w - 1 - y, h - 1 - x)  // transverse
+          case _ => (w - 1 - y, x)          // 8: stored = displayed rot CW
+        }
+        dst.setSample(x, y, 0, src.getSample(sx, sy, 0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[imageAHashes]] with EXIF-orientation NORMALIZATION first: the
+    * stored raster is transformed to its displayed form before
+    * hashing, so a photo and its rotated-stored twin (same scene,
+    * orientation tag 5..8) land the SAME signature — without this,
+    * visual dedup silently misses every rotated duplicate, because
+    * ImageIO hands back the un-rotated pixels. */
+  def imageAHashesOriented(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false))))
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          if (!looksLikeImage(payload)) None
+          else {
+            val img = try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+            } catch { case _: java.io.IOException => None }
+            img.map { im0 =>
+              val im = normalizeOrientation(im0,
+                exifOrientation(payload).getOrElse(1))
+              val h = aHash64(im)
+              Row(r.getLong(0), im.getWidth, im.getHeight,
+                h >>> 32, h & 0xFFFFFFFFL)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Synthesize rotated-duplicate JPEG pairs keyed by id: media_id
+    * 2·id is a high-contrast left/right half image stored UPRIGHT (no
+    * EXIF), media_id 2·id+1 is the SAME displayed image stored rotated
+    * 90° CCW with orientation tag 6 — what a phone in portrait writes.
+    * Sizes vary by id (8·(2+id%3) × 8·(2+(id·3)%4)). */
+  def synthesizeRotatedPairs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (8 * (2 + id % 3)).toInt
+          val h = (8 * (2 + (id * 3) % 4)).toInt
+          // displayed scene: dark left half, bright right half
+          val up = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until h; x <- 0 until w)
+            up.getRaster.setSample(x, y, 0, if (x < w / 2) 32 else 224)
+          // stored-rotated twin: displayed rotated 90° CCW on disk
+          // (orientation 6 tells the viewer to rotate CW back)
+          val rot = new java.awt.image.BufferedImage(h, w,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until w; x <- 0 until h)
+            rot.getRaster.setSample(x, y, 0,
+              up.getRaster.getSample(w - 1 - y, x, 0))
+          def jpeg(im: java.awt.image.BufferedImage): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(im, "jpg", bos)
+            bos.toByteArray
+          }
+          val upBytes = jpeg(up)
+          val rotPlain = jpeg(rot)
+          val payload = exifApp1Payload(6)
+          val app1 = Array(0xFF.toByte, 0xE1.toByte,
+            (((payload.length + 2) >> 8) & 0xFF).toByte,
+            ((payload.length + 2) & 0xFF).toByte) ++ payload
+          val rotBytes = rotPlain.take(2) ++ app1 ++ rotPlain.drop(2)
+          Seq(
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(2 * id, "image", upBytes, upBytes.length.toLong),
+              mediaSchema): Row,
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(2 * id + 1, "image", rotBytes, rotBytes.length.toLong),
+              mediaSchema): Row)
+        }
+      }(enc)
+  }
+
   /** REAL decode + difference hash per image row — [[imageAHashes]]
     * with [[dHash64]] as the hash; same schema conventions
     * ((media_id, width, height, dhash_hi, dhash_lo), unsigned 32-bit

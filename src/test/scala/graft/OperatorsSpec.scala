@@ -362,6 +362,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("orientation normalization: all 8 transforms recover the displayed pixels") {
+    // asymmetric 4x2 pattern; for each orientation, store the pattern
+    // pre-transformed with the INVERSE transform and check that
+    // normalizeOrientation recovers it exactly
+    val w = 4; val h = 2
+    val base = Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80))
+    def img(px: (Int, Int) => Int, iw: Int, ih: Int) = {
+      val im = new java.awt.image.BufferedImage(iw, ih,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until ih; x <- 0 until iw)
+        im.getRaster.setSample(x, y, 0, px(x, y))
+      im
+    }
+    val displayed = img((x, y) => base(y)(x), w, h)
+    // stored-pixel functions per orientation (the camera's transform)
+    val stored: Map[Int, java.awt.image.BufferedImage] = Map(
+      1 -> displayed,
+      2 -> img((x, y) => base(y)(w - 1 - x), w, h),
+      3 -> img((x, y) => base(h - 1 - y)(w - 1 - x), w, h),
+      4 -> img((x, y) => base(h - 1 - y)(x), w, h),
+      5 -> img((x, y) => base(x)(y), h, w),          // transpose
+      6 -> img((x, y) => base(x)(w - 1 - y), h, w),  // displayed rot CCW
+      7 -> img((x, y) => base(h - 1 - x)(w - 1 - y), h, w),
+      8 -> img((x, y) => base(h - 1 - x)(y), h, w))  // displayed rot CW
+    for (o <- 1 to 8) {
+      val out = Multimodal.normalizeOrientation(stored(o), o)
+      assert(out.getWidth == w && out.getHeight == h, s"o=$o dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(out.getRaster.getSample(x, y, 0) == base(y)(x),
+          s"o=$o pixel ($x,$y)")
+    }
+    // the rotated-pair fixture: plain hashes differ, oriented agree
+    val media = Multimodal.synthesizeRotatedPairs(Seq(5L).toDF("doc_id"), "doc_id")
+    val plain = Multimodal.imageAHashes(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val orient = Multimodal.imageAHashesOriented(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(plain(10L) != plain(11L))
+    assert(orient(10L) == orient(11L))
+  }
+
   test("AV1 sequence header: OBU round-trip, tier branch, lying container fields") {
     // arbitrary (uncropped) geometry round-trips through the explicit
     // bit-width encoding, including powers of two and tiny sizes
