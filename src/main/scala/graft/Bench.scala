@@ -343,7 +343,11 @@ object Bench {
       // round-8 addition: the web-crawl curation capstone (normalize →
       // canonical-URL dedup → quality gate → rollup: narrow regex chain
       // + one keyed min + a semi join + two aggs)
-      "q251_webcrawl_prep")
+      "q251_webcrawl_prep",
+      // round-9 addition: the mixed-container video walk (synthesize +
+      // sniff + per-family bitstream parse over all five families —
+      // pure narrow CPU, the multimodal family's representative)
+      "q263_video_meta_mixed")
 
     // EXPLICIT driver-floor probe (round-8 verdict ask #8): a 5-row
     // scan + trivial agg through the IDENTICAL timing path (by-name
