@@ -583,7 +583,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       }
       // row identities, pinned by an eager checkpoint so every use of
       // the frame sees the same ids (monotonically_increasing_id is
-      // otherwise free to renumber between jobs)
+      // otherwise free to renumber between jobs). Scale profile: the
+      // checkpoint materializes the TARGET once — bounded by the
+      // dataset MERGE copy-on-write rewrites anyway, so the rewrite
+      // dominates; a deployment with row-id columns in the data (or
+      // file+offset identity) can skip the pinning entirely
       val tDf = head.withColumn("__rid", F.monotonically_increasing_id())
         .localCheckpoint(true)
       val sDf = srcFrame.df

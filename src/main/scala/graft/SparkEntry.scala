@@ -565,6 +565,66 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- the FULL crawl arc as one composition — WARC shards on disk
+    //      (bodies are HTML pages, URLs carry the source as host) →
+    //      Warc.read → htmlToText → URL normalize/host/domain →
+    //      per-domain keep-rate rollup: every stage is individually
+    //      gated (q264/q268/q201) and this gates their composition ----
+    "q269_crawl_arc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val staging = stagingDir("graft_crawl_arc") + "/warc"
+      new java.io.File(staging).mkdirs()
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val recs = it.map { r =>
+            val id = r.getLong(0); val src = r.getString(1)
+            (s"http://$src.example/doc/$id", "2026-01-01T00:00:00Z",
+              s"<html><head><title>Doc $id</title></head><body><p>" +
+                r.getString(2) +
+                "</p><script>track();</script></body></html>")
+          }.toSeq
+          if (recs.nonEmpty) {
+            val gz = pid % 2 == 1
+            val f = new java.io.File(staging,
+              s"part-$pid.warc" + (if (gz) ".gz" else ""))
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.Warc.warcBytes(recs, gzip = gz))
+            finally out.close()
+          }
+        }
+      val pages = graft.sources.Warc.read(s, s"$staging/*")
+      import graft.operators.Web
+      pages.select(
+          Web.registrableDomain(Web.host(
+            Web.normalizeUrl(F.col("target_uri")))).as("domain"),
+          Web.htmlToText(F.col("body")).as("clean"))
+        .groupBy("domain").agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.when(F.length(F.col("clean")) >= 200, 1).otherwise(0))
+            .cast("long").as("n_kept"),
+          F.sum(F.length(F.col("clean"))).cast("long").as("clean_chars"))
+    }),
+
+    // ---- HTML → visible text (the extraction between WARC ingestion
+    //      and every quality operator): script/style/comments drop
+    //      entirely, tags become spaces, the six named entities decode
+    //      in the amp-last order, whitespace collapses — a codegen'd
+    //      regexp chain whose oracle builds the SAME page string in SQL
+    //      and replays the chain byte-for-byte ----
+    "q268_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit("</title><style>body { color: red }</style></head>" +
+          "<body>\n<h1 class=\"t\">Heading &amp; more</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><script>if (1 < 2) { track(\"&amp;\"); }</script>" +
+          "<!-- hidden --> tail&nbsp;&lt;end&gt;</body></html>"))
+      docs.select(F.col("doc_id"),
+        graft.operators.Web.htmlToText(page).as("clean"))
+    }),
+
     // ---- ORIENTATION-NORMALIZED visual dedup: a photo and its
     //      rotated-stored twin (same scene, EXIF orientation 6) must
     //      land the SAME perceptual hash after normalization and
@@ -6073,6 +6133,60 @@ object SparkEntry {
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
         |FROM documents""".stripMargin,
+
+    // the whole arc replayed: the page string rebuilt in SQL, the full
+    // q268 chain applied, domain = source || '.example', keep at 200
+    "q269_crawl_arc" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title></head><body><p>' || text ||
+        |  '</p><script>track();</script></body></html>' AS page
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, source, regexp_replace(page,
+        |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?s)<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, source,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s4),
+        |c AS (SELECT doc_id, source,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s5)
+        |SELECT source || '.example' AS domain, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN length(clean) >= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
+        |FROM c GROUP BY source""".stripMargin,
+
+    // DuckDB builds the IDENTICAL page string and replays the chain —
+    // pattern flags via inline (?is), global via the 'g' option
+    "q268_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>body { color: red }</style></head>' ||
+        |  '<body>' || chr(10) || '<h1 class="t">Heading &amp; more</h1>' ||
+        |  chr(10) || '<p>' || text ||
+        |  '</p><script>if (1 < 2) { track("&amp;"); }</script>' ||
+        |  '<!-- hidden --> tail&nbsp;&lt;end&gt;</body></html>' AS page
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(page,
+        |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+        |FROM s5""".stripMargin,
 
     // the half-contrast pattern makes both outcomes deterministic:
     // un-normalized hashes differ (column-bits vs row-bits), normalized

@@ -87,6 +87,33 @@ object Web {
       .otherwise(F.when(F.length(two) > 0, two).otherwise(hostCol))
   }
 
+  /** Visible text out of an HTML page — the extraction step between
+    * WARC ingestion ([[graft.sources.Warc]]) and every text-quality
+    * operator: script/style blocks and comments drop ENTIRELY (their
+    * content is never prose), remaining tags become spaces, the six
+    * ubiquitous named entities decode (`&amp;` LAST, so double-escaped
+    * text like `&amp;lt;` correctly lands as the literal `&lt;`), and
+    * whitespace collapses. The same narrow RE2-safe regexp_replace
+    * chain discipline as [[normalizeUrl]] — codegen'd, no UDF, oracle-
+    * replayable byte-for-byte. Numeric character references pass
+    * through (decoding them needs computed code points — a table-driven
+    * pass a deployment adds where its corpora need it). */
+  def htmlToText(html: Column): Column = {
+    val noScript = F.regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = F.regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = F.regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = F.regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val e1 = F.regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = F.regexp_replace(e1, "&lt;", "<")
+    val e3 = F.regexp_replace(e2, "&gt;", ">")
+    val e4 = F.regexp_replace(e3, "&quot;", "\"")
+    val e5 = F.regexp_replace(e4, "&#39;", "'")
+    val e6 = F.regexp_replace(e5, "&amp;", "&")
+    F.trim(F.regexp_replace(e6, "\\s+", " "))
+  }
+
   /** Per-registrable-domain document counts over a URL column —
     * normalize → host → domain inside the scan, then one keyed agg
     * (map-side combine; the output is one row per domain). */

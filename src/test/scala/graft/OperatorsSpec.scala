@@ -798,6 +798,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sqlOut == out)
   }
 
+  test("HTML text extraction: script/style/comment drop, entities, edge cases") {
+    def clean(html: String): String = {
+      Seq(html).toDF("h")
+        .select(Web.htmlToText(F.col("h")).as("t")).head().getString(0)
+    }
+    // the happy path: tags gone, entities decoded, whitespace collapsed
+    assert(clean("<html><body><h1>Hi</h1>\n\n<p>a &amp; b</p></body></html>")
+      == "Hi a & b")
+    // script/style content NEVER leaks into text, even with attributes,
+    // mixed case, or angle brackets inside the code
+    assert(clean("<SCRIPT type=\"x\">if (1 < 2) { alert('&'); }</ScRiPt>ok")
+      == "ok")
+    assert(clean("<style media=screen>p > a { color: red }</style>ok") == "ok")
+    // comments drop, including multi-line ones hiding tags
+    assert(clean("a<!-- <p>hidden</p>\nstill hidden -->b") == "a b")
+    // double-escaped entities decode ONE level (amp is applied last):
+    // the author wrote the literal text "&lt;" and must get it back
+    assert(clean("<p>&amp;lt; and &amp;amp;</p>") == "&lt; and &amp;")
+    // the six entities
+    assert(clean("&lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      == "<x> \"q\" 's' end")
+    // numeric references pass through (documented non-goal)
+    assert(clean("a &#65; b") == "a &#65; b")
+    // tag-free text is just whitespace-normalized
+    assert(clean("  plain\t\ttext\n ") == "plain text")
+    assert(clean("") == "")
+  }
+
   test("URL normalization: ports, tracking params, www, domains, idempotence") {
     import graft.operators.Web
     def norm(u: String): String = Seq(Tuple1(u)).toDF("u")
