@@ -650,6 +650,15 @@ object SparkEntry {
           "oriented_equal"), "doc_id")
     }),
 
+    // ---- compressed-audio metadata (the audio twin of the codec
+    //      story): FLAC STREAMINFO bit-parse and an MP3 frame WALK —
+    //      exact durations without any decoder; the oracle replays the
+    //      id-derived parameters and the integer duration math ----
+    "q270_audio_meta" -> ((s, dir) =>
+      Multimodal.decodeAudioMetaStats(
+        Multimodal.synthesizeCompressedAudio(
+          t(s, dir, "documents"), "doc_id"))),
+
     // ---- EXIF orientation (the normalization visual dedup needs:
     //      ImageIO decodes UN-rotated pixels, so rotated phone photos
     //      hash differently unless orientation is read and applied):
@@ -6193,6 +6202,32 @@ object SparkEntry {
     // hashes agree (the transform restores the displayed pixels)
     "q267_ahash_oriented" ->
       """SELECT doc_id, false AS plain_equal, true AS oriented_equal
+        |FROM documents""".stripMargin,
+
+    // FLAC duration = total·1000 // rate, MP3 = frames·1152·1000 //
+    // rate — integer division on both sides, parameters pure id math
+    "q270_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS codec,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |   CASE doc_id % 5 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |     WHEN 2 THEN 32000 WHEN 3 THEN 22050 ELSE 16000 END
+        | ELSE
+        |   CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |     ELSE 32000 END
+        | END AS INTEGER) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+        |   ELSE (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)
+        | END AS INTEGER) AS channels,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |   (1000 + doc_id * 37) * 1000 //
+        |     (CASE doc_id % 5 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |       WHEN 2 THEN 32000 WHEN 3 THEN 22050 ELSE 16000 END)
+        | ELSE
+        |   (3 + doc_id % 5) * 1152 * 1000 //
+        |     (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |       ELSE 32000 END)
+        | END AS BIGINT) AS dur_ms
         |FROM documents""".stripMargin,
 
     // decoded dims from the real JPEG, orientation from the APP1 walk,

@@ -1000,6 +1000,212 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------
+  // Compressed-audio metadata — the audio twin of the video codec
+  // story: crawled audio is MP3/FLAC, not PCM WAV, and sample rate /
+  // channels / exact duration do not need a decoder. FLAC publishes
+  // them in the STREAMINFO metadata block; MP3 needs a frame-header
+  // WALK (the only exact duration for CBR and VBR alike — header
+  // Xing/VBRI hints lie often enough that robust tools count frames).
+  // --------------------------------------------------------------------
+
+  /** Build a minimal VALID FLAC stream: "fLaC" + a STREAMINFO metadata
+    * block (marked last) with the given parameters + an opaque frame
+    * blob. The fixture generator for [[decodeFlacMeta]]. */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                totalSamples: Long): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 4 && bitsPerSample <= 32 &&
+      totalSamples >= 0 && totalSamples < (1L << 36),
+      s"bad FLAC params $sampleRate/$channels/$bitsPerSample/$totalSamples")
+    val w = new BitWriter
+    w.u(4096, 16); w.u(4096, 16)      // min/max block size
+    w.u(64, 24); w.u(4096, 24)        // min/max frame size
+    w.u(sampleRate, 20)
+    w.u(channels - 1, 3)
+    w.u(bitsPerSample - 1, 5)
+    w.u((totalSamples >> 32).toInt, 4)
+    w.u((totalSamples & 0xFFFFFFFFL).toInt, 32)
+    val info = w.rbsp().take(18) ++ new Array[Byte](16) // + md5 zeros
+    require(info.length == 34, s"STREAMINFO must be 34 bytes, got ${info.length}")
+    "fLaC".getBytes("US-ASCII") ++
+      Array((0x80 | 0).toByte) ++ // last-metadata-block flag, type 0
+      Array(0.toByte, 0.toByte, 34.toByte) ++ info ++
+      Array.fill(32)(0x55.toByte) // opaque frame data stand-in
+  }
+
+  /** Parse (sampleRate, channels, bitsPerSample, totalSamples) out of a
+    * FLAC stream's STREAMINFO block — walks the metadata-block chain to
+    * type 0. None for non-FLAC bytes, never throws. */
+  def decodeFlacMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (payload.length < 42 || payload(0) != 'f' || payload(1) != 'L' ||
+        payload(2) != 'a' || payload(3) != 'C') return None
+    try {
+      var off = 4
+      var last = false
+      while (!last && off + 4 <= payload.length) {
+        val h = payload(off) & 0xFF
+        last = (h & 0x80) != 0
+        val btype = h & 0x7F
+        val len = ((payload(off + 1) & 0xFF) << 16) |
+          ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+        if (off + 4 + len > payload.length) return None
+        if (btype == 0 && len >= 18) {
+          val r = new BitReader(
+            java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + 18))
+          r.u(16); r.u(16); r.u(24); r.u(24) // block/frame sizes
+          val rate = r.u(20)
+          val ch = r.u(3) + 1
+          val bits = r.u(5) + 1
+          val hi = r.u(4).toLong
+          val lo = (r.u(16).toLong << 16) | r.u(16).toLong
+          val total = (hi << 32) | lo
+          return if (rate >= 1) Some((rate, ch, bits, total)) else None
+        }
+        off += 4 + len
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320) // MPEG1 Layer III, kbps
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Build a minimal VALID MPEG1 Layer III stream: an ID3v2 tag
+    * (syncsafe-sized filler) followed by `nFrames` correctly-sized CBR
+    * frames. The fixture generator for [[decodeMp3Meta]]. */
+  def mp3Bytes(bitrateIdx: Int, rateIdx: Int, mono: Boolean,
+               nFrames: Int, id3Size: Int = 64): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      rateIdx >= 0 && rateIdx <= 2 && nFrames >= 1 && id3Size >= 0,
+      s"bad MP3 params $bitrateIdx/$rateIdx/$nFrames/$id3Size")
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 header: "ID3", version, flags, syncsafe 28-bit size
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0)
+    out.write((id3Size >> 21) & 0x7F); out.write((id3Size >> 14) & 0x7F)
+    out.write((id3Size >> 7) & 0x7F); out.write(id3Size & 0x7F)
+    out.write(new Array[Byte](id3Size))
+    val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx)
+    for (_ <- 0 until nFrames) {
+      // header: sync(11) ver=MPEG1(11) layer=III(01) noCRC(1) |
+      // bitrate(4) rate(2) pad=0 priv=0 | mode(2) ...
+      out.write(0xFF); out.write(0xFB)
+      out.write((bitrateIdx << 4) | (rateIdx << 2))
+      out.write(if (mono) 0xC0 else 0x00)
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** Parse (sampleRate, channels, bitrateKbps, frameCount) out of an
+    * MP3 stream by WALKING the frames (skipping a leading ID3v2 tag):
+    * the first frame supplies rate/channels/bitrate, and the walk
+    * counts frames through their computed lengths — the only exact
+    * duration for CBR and VBR alike (duration = frames·1152/rate).
+    * Stops at the first non-frame byte (truncated tails salvage the
+    * prefix count). None when no valid frame exists — never throws. */
+  def decodeMp3Meta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    try {
+      var off = 0
+      // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+          ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+        off = 10 + size
+      }
+      var first: Option[(Int, Int, Int)] = None
+      var frames = 0
+      var done = false
+      while (!done && off + 4 <= payload.length) {
+        val ok = (payload(off) & 0xFF) == 0xFF &&
+          (payload(off + 1) & 0xFE) == 0xFA // MPEG1 Layer III, sync
+        if (!ok) done = true
+        else {
+          val bIdx = (payload(off + 2) >> 4) & 0xF
+          val rIdx = (payload(off + 2) >> 2) & 0x3
+          val pad = (payload(off + 2) >> 1) & 0x1
+          val mode = (payload(off + 3) >> 6) & 0x3
+          if (bIdx < 1 || bIdx > 14 || rIdx > 2) done = true
+          else {
+            val rate = Mp3Rates(rIdx)
+            val kbps = Mp3Bitrates(bIdx)
+            val len = 144 * kbps * 1000 / rate + pad
+            // a header whose frame body is cut off is not a frame —
+            // only count when the full length fits (truncated tails
+            // salvage the complete-frame prefix)
+            if (len <= 4 || off + len > payload.length) done = true
+            else {
+              if (first.isEmpty)
+                first = Some((rate, if (mode == 3) 1 else 2, kbps))
+              frames += 1
+              off += len
+            }
+          }
+        }
+      }
+      first.map { case (r, c, k) => (r, c, k, frames) }
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Synthesize a compressed-audio corpus keyed by id — FLAC (even ids)
+    * and MP3 (odd ids), parameters replayable arithmetically. FLAC:
+    * rate by id%5 over {44100,48000,32000,22050,16000}, channels
+    * 1+(id%4)/2, 16-bit, total = 1000+id·37. MP3: bitrateIdx 1+id%14,
+    * rateIdx id%3, mono = (id%4<2), frames = 3+id%5. */
+  def synthesizeCompressedAudio(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    val flacRates = Array(44100, 48000, 32000, 22050, 16000)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p =
+            if (id % 2 == 0)
+              flacBytes(flacRates((id % 5).toInt), (1 + (id % 4) / 2).toInt,
+                16, 1000 + id * 37)
+            else
+              mp3Bytes((1 + id % 14).toInt, (id % 3).toInt,
+                mono = id % 4 < 2, nFrames = (3 + id % 5).toInt)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "audio", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched compressed-audio metadata: (media_id, codec, sample_rate,
+    * channels, dur_ms) — FLAC duration from STREAMINFO total samples,
+    * MP3 from the exact frame walk (1152 samples per MPEG1 Layer III
+    * frame); integer milliseconds so the oracle replays exactly. */
+  def decodeAudioMetaStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("dur_ms", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val meta: Option[(String, Int, Int, Long)] =
+            decodeFlacMeta(p).map { case (rate, ch, _, total) =>
+              ("flac", rate, ch, total * 1000 / rate)
+            }.orElse(decodeMp3Meta(p).map { case (rate, ch, _, frames) =>
+              ("mp3", rate, ch, frames.toLong * 1152 * 1000 / rate)
+            })
+          meta.map { case (codec, rate, ch, durMs) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(r.getLong(0), codec, rate, ch, durMs), outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
+  // --------------------------------------------------------------------
   // EXIF orientation — the metadata an image pipeline must normalize
   // before any visual dedup/aHash runs: a phone photo stored rotated
   // carries orientation 6/8 in an APP1 TIFF tag (0x0112), and ImageIO

@@ -312,6 +312,39 @@ class OperatorsSpec extends SparkSpec {
         (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
   }
 
+  test("compressed-audio metadata: FLAC STREAMINFO, MP3 frame walk") {
+    // FLAC round trip incl. a >32-bit total-samples value
+    assert(Multimodal.decodeFlacMeta(
+      Multimodal.flacBytes(44100, 2, 16, 5000000000L))
+      .contains((44100, 2, 16, 5000000000L)))
+    assert(Multimodal.decodeFlacMeta(
+      Multimodal.flacBytes(8000, 1, 24, 0L)).contains((8000, 1, 24, 0L)))
+    assert(Multimodal.decodeFlacMeta("fLaX nope".getBytes("UTF-8")).isEmpty)
+    // MP3: first-frame params + exact frame count through the walk
+    val m = Multimodal.mp3Bytes(bitrateIdx = 9, rateIdx = 0, mono = true,
+      nFrames = 7)
+    assert(Multimodal.decodeMp3Meta(m).contains((44100, 1, 128, 7)))
+    // stereo + different rate, no ID3 tag
+    val st = Multimodal.mp3Bytes(2, 1, mono = false, nFrames = 3, id3Size = 0)
+    assert(Multimodal.decodeMp3Meta(st).contains((48000, 2, 40, 3)))
+    // a truncated tail salvages the complete-frame prefix count
+    assert(Multimodal.decodeMp3Meta(m.take(m.length - 10))
+      .contains((44100, 1, 128, 6)))
+    assert(Multimodal.decodeMp3Meta("not mp3".getBytes("UTF-8")).isEmpty)
+    // distributed stats match the fixture arithmetic for both codecs
+    val ids = Seq(2L, 7L, 24L).toDF("doc_id")
+    val out = Multimodal.decodeAudioMetaStats(
+        Multimodal.synthesizeCompressedAudio(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    val flacRates = Array(44100, 48000, 32000, 22050, 16000)
+    assert(out(2L) == (("flac", flacRates(2), 2,
+      (1000 + 2 * 37) * 1000L / flacRates(2))))
+    assert(out(24L) == (("flac", flacRates(4), 1,
+      (1000 + 24 * 37) * 1000L / flacRates(4))))
+    assert(out(7L) == (("mp3", 48000, 2, (3 + 7 % 5) * 1152 * 1000L / 48000)))
+  }
+
   test("EXIF orientation: APP1 walk, rotation swap, EXIF-less default") {
     // every orientation round-trips through the spliced APP1 segment,
     // and the JPEG still decodes (the splice must not corrupt markers)
