@@ -35,17 +35,21 @@ object Warc {
     StructField("body", StringType, nullable = false)))
 
   /** Read a directory (or glob) of `.warc` / `.warc.gz` files — one
-    * scan task per file (see the scaladoc processing model). Gzip
-    * inputs may be single-stream or the standard member-per-record
-    * concatenation (GZIPInputStream drains concatenated members). */
+    * scan task per file (see the scaladoc processing model), parsed as
+    * a STREAM: memory per task is one record, never the file (a
+    * CommonCrawl shard is ~1 GB — materializing it per task would cap
+    * task concurrency at heap/1 GB). Gzip inputs may be single-stream
+    * or the standard member-per-record concatenation (GZIPInputStream
+    * drains concatenated members transparently). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        val raw = pds.toArray()
-        val bytes =
-          if (file.endsWith(".gz")) gunzipAll(raw)
-          else raw
-        parseRecords(bytes).map { r =>
+        val raw = pds.open()
+        val in: java.io.InputStream =
+          if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 65536)
+          else new java.io.BufferedInputStream(raw, 65536)
+        parseStream(in).map { r =>
           Row(file, r.warcType, r.targetUri.orNull, r.warcDate.orNull,
             r.httpStatus, r.contentType.orNull, r.body)
         }
@@ -57,80 +61,76 @@ object Warc {
                                warcDate: Option[String], httpStatus: Int,
                                contentType: Option[String], body: String)
 
-  /** Drain a gzip stream of one or more concatenated members (the
-    * member-per-record `.warc.gz` layout). */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(raw))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.toByteArray
-  }
-
-  /** Sequential record walk: `WARC/<ver>` header block (CRLF-separated
+  /** Streaming record walk: `WARC/<ver>` header block (CRLF-separated
     * `Name: value` lines, blank-line-terminated), then exactly
-    * `Content-Length` bytes of block, then the two record-separator
-    * CRLFs. Malformed tails stop the walk (loud length errors would
-    * reject whole files for one truncated trailing record — a crawl
-    * reader must salvage the prefix; the divergence from the
-    * everything-or-error rule is deliberate and documented here). */
-  private def parseRecords(bytes: Array[Byte]): Iterator[Rec] =
+    * `Content-Length` bytes of block, then the record-separator CRLFs.
+    * Malformed or truncated tails END the walk and close the stream
+    * (loud length errors would reject whole files for one cut-off
+    * trailing record — a crawl reader must salvage the prefix; the
+    * divergence from the everything-or-error rule is deliberate and
+    * documented here). The stream closes when the iterator exhausts. */
+  private def parseStream(in: java.io.InputStream): Iterator[Rec] =
     new Iterator[Rec] {
-      private var off = 0
       private var nextRec: Option[Rec] = advance()
       override def hasNext: Boolean = nextRec.nonEmpty
       override def next(): Rec = {
-        val r = nextRec.get; nextRec = advance(); r
+        val r = nextRec.get
+        nextRec = advance()
+        r
       }
-      private def lineEnd(from: Int): Int = {
-        var i = from
-        while (i + 1 < bytes.length &&
-               !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-        i
+      /** one CRLF-terminated line, CRLF stripped; None at EOF with
+        * nothing read */
+      private def readLine(): Option[String] = {
+        val buf = new java.io.ByteArrayOutputStream(128)
+        var prev = -1
+        var c = in.read()
+        if (c < 0) return None
+        while (c >= 0) {
+          if (prev == '\r' && c == '\n') {
+            val arr = buf.toByteArray
+            return Some(new String(arr, 0, arr.length - 1, "UTF-8"))
+          }
+          buf.write(c); prev = c; c = in.read()
+        }
+        Some(buf.toString("UTF-8")) // EOF without a final CRLF
       }
+      private def stop(): Option[Rec] = { in.close(); None }
       private def advance(): Option[Rec] = {
-        // skip inter-record CRLFs
-        while (off + 1 < bytes.length && bytes(off) == '\r' &&
-               bytes(off + 1) == '\n') off += 2
-        if (off + 5 >= bytes.length) return None
-        val magicEnd = lineEnd(off)
-        val magic = new String(bytes, off, magicEnd - off, "UTF-8")
-        if (!magic.startsWith("WARC/")) return None
-        var i = magicEnd + 2
+        // skip inter-record blank lines to the next magic line
+        var magic = readLine()
+        while (magic.exists(_.isEmpty)) magic = readLine()
+        val m = magic.getOrElse(return stop())
+        if (!m.startsWith("WARC/")) return stop()
         var warcType = ""; var uri: Option[String] = None
         var date: Option[String] = None; var clen = -1
         var recContentType: Option[String] = None
         var headerDone = false
         while (!headerDone) {
-          val e = lineEnd(i)
-          if (e == i) { headerDone = true; i += 2 } // blank line
-          else {
-            val line = new String(bytes, i, e - i, "UTF-8")
-            val c = line.indexOf(':')
-            if (c > 0) {
-              val k = line.take(c).trim.toLowerCase(java.util.Locale.ROOT)
-              val v = line.drop(c + 1).trim
-              k match {
-                case "warc-type" => warcType = v
-                case "warc-target-uri" => uri = Some(v)
-                case "warc-date" => date = Some(v)
-                case "content-length" =>
-                  clen = try v.toInt catch { case _: NumberFormatException => -1 }
-                case "content-type" => recContentType = Some(v)
-                case _ => ()
+          readLine() match {
+            case None => return stop() // EOF inside a header: truncated
+            case Some("") => headerDone = true
+            case Some(line) =>
+              val c = line.indexOf(':')
+              if (c > 0) {
+                val k = line.take(c).trim.toLowerCase(java.util.Locale.ROOT)
+                val v = line.drop(c + 1).trim
+                k match {
+                  case "warc-type" => warcType = v
+                  case "warc-target-uri" => uri = Some(v)
+                  case "warc-date" => date = Some(v)
+                  case "content-length" =>
+                    clen = try v.toInt
+                      catch { case _: NumberFormatException => -1 }
+                  case "content-type" => recContentType = Some(v)
+                  case _ => ()
+                }
               }
-            }
-            i = e + 2
-            if (i >= bytes.length) return None
           }
         }
-        if (clen < 0 || i + clen > bytes.length) return None
-        val block = new String(bytes, i, clen, "UTF-8")
-        off = i + clen
+        if (clen < 0) return stop()
+        val blockBytes = in.readNBytes(clen)
+        if (blockBytes.length < clen) return stop() // truncated block
+        val block = new String(blockBytes, "UTF-8")
         // response records embed an HTTP message: status line, headers,
         // blank line, body — surface the status, payload content type
         // and the body alone
