@@ -565,6 +565,70 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- TAR/ZIP archive ingestion (the delivery formats corpora
+    //      actually arrive in beside WARC): executors write sharded
+    //      archives (tar half-gzipped), the streaming entry walks read
+    //      them back, and every document's text must round-trip exactly
+    //      with its id recovered from the entry name ----
+    "q271_tar_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val staging = stagingDir("graft_tar") + "/archives"
+      new java.io.File(staging).mkdirs()
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val entries = it.map(r =>
+            (s"corpus/doc-${r.getLong(0)}.txt", r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val gz = pid % 2 == 1
+            val f = new java.io.File(staging,
+              s"shard-$pid.tar" + (if (gz) ".gz" else ""))
+            val bytes = graft.sources.Archives.tarBytes(entries)
+            val out = new java.io.FileOutputStream(f)
+            try {
+              if (gz) {
+                val z = new java.util.zip.GZIPOutputStream(out)
+                z.write(bytes); z.close()
+              } else out.write(bytes)
+            } finally out.close()
+          }
+        }
+      val read = graft.sources.Archives.readTar(s, s"$staging/*")
+        .withColumnRenamed("text", "archived_text")
+        .withColumn("doc_id",
+          F.regexp_extract(F.col("entry_name"), "doc-(\\d+)\\.txt$", 1)
+            .cast("long"))
+      read.join(docs, "doc_id")
+        .select(F.col("doc_id"), F.col("n_bytes"),
+          (F.col("archived_text") === F.col("text")).as("text_ok"))
+    }),
+
+    "q272_zip_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val staging = stagingDir("graft_zip") + "/archives"
+      new java.io.File(staging).mkdirs()
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val entries = it.map(r =>
+            (s"corpus/doc-${r.getLong(0)}.txt", r.getString(1))).toSeq
+          if (entries.nonEmpty) {
+            val f = new java.io.File(staging, s"shard-$pid.zip")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.Archives.zipBytes(entries))
+            finally out.close()
+          }
+        }
+      val read = graft.sources.Archives.readZip(s, s"$staging/*")
+        .withColumnRenamed("text", "archived_text")
+        .withColumn("doc_id",
+          F.regexp_extract(F.col("entry_name"), "doc-(\\d+)\\.txt$", 1)
+            .cast("long"))
+      read.join(docs, "doc_id")
+        .select(F.col("doc_id"), F.col("n_bytes"),
+          (F.col("archived_text") === F.col("text")).as("text_ok"))
+    }),
+
     // ---- the FULL crawl arc as one composition — WARC shards on disk
     //      (bodies are HTML pages, URLs carry the source as host) →
     //      Warc.read → htmlToText → URL normalize/host/domain →
@@ -6141,6 +6205,21 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // every document must survive the ustar wrap (+ half the shards
+    // gzipped) byte-exactly; n_bytes = the UTF-8 length of the text
+    "q271_tar_ingest" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | true AS text_ok
+        |FROM documents""".stripMargin,
+
+    // the zip twin of q271 through the JDK's local-header stream walk
+    "q272_zip_ingest" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | true AS text_ok
         |FROM documents""".stripMargin,
 
     // the whole arc replayed: the page string rebuilt in SQL, the full

@@ -52,6 +52,54 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("TAR/ZIP ingestion: entry walks, gz, long names, truncation") {
+    import graft.sources.Archives
+    val entries = Seq(
+      ("a.txt", "hello"),
+      ("dir/nested.txt", "multi\nline\ncontent"),
+      ("empty.txt", ""))
+    val d = java.nio.file.Files.createTempDirectory("graft-archives").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/p.tar"),
+      Archives.tarBytes(entries))
+    val gz = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.GZIPOutputStream(gz)
+    z.write(Archives.tarBytes(entries)); z.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/g.tar.gz"),
+      gz.toByteArray)
+    for (f <- Seq("p.tar", "g.tar.gz")) {
+      val out = Archives.readTar(spark, s"$d/$f").collect()
+        .map(r => r.getString(1) -> r.getString(3)).toMap
+      assert(out == entries.toMap, f)
+    }
+    // a GNU long-name 'L' entry names the next regular entry
+    val longName = "x/" * 60 + "leaf.txt" // > 100 bytes
+    val lData = longName.getBytes("UTF-8")
+    val lHdr = new Array[Byte](512)
+    System.arraycopy("././@LongLink".getBytes, 0, lHdr, 0, 13)
+    System.arraycopy(f"${lData.length}%011o".getBytes, 0, lHdr, 124, 11)
+    lHdr(156) = 'L'
+    val lPad = new Array[Byte]((512 - lData.length % 512) % 512)
+    val gnu = lHdr ++ lData ++ lPad ++ Archives.tarBytes(Seq(("short", "v")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/l.tar"), gnu)
+    val lOut = Archives.readTar(spark, s"$d/l.tar").collect()
+    assert(lOut.length == 1 && lOut.head.getString(1) == longName &&
+      lOut.head.getString(3) == "v")
+    // truncated tail salvages the intact prefix; garbage yields nothing
+    val whole = Archives.tarBytes(entries)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/t.tar"),
+      whole.take(whole.length - 1100))
+    assert(Archives.readTar(spark, s"$d/t.tar").count() < 3)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/junk.tar"),
+      "not a tar".getBytes("UTF-8"))
+    assert(Archives.readTar(spark, s"$d/junk.tar").count() == 0)
+    // zip round trip incl. directories skipped
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/p.zip"),
+      Archives.zipBytes(entries))
+    val zOut = Archives.readZip(spark, s"$d/p.zip").collect()
+      .map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(zOut == entries.toMap)
+  }
+
   test("WARC: record walk, gzip member layout, HTTP embed, salvaged tails") {
     import graft.sources.Warc
     val recs = Seq(
