@@ -28,6 +28,14 @@ object Tables {
   def load(spark: SparkSession, ref: String, baseDir: Option[String] = None): DataFrame = {
     val path = resolve(ref, baseDir)
     if (path.endsWith(".bin")) BlockFile.read(spark, path)
+    // ingestion formats route by extension, so the dialect can FROM a
+    // crawl or archive shard directly (`SELECT ... FROM 'x.warc.gz'`)
+    else if (path.endsWith(".warc") || path.endsWith(".warc.gz"))
+      Warc.read(spark, path)
+    else if (path.endsWith(".tar") || path.endsWith(".tar.gz") ||
+             path.endsWith(".tgz"))
+      Archives.readTar(spark, path)
+    else if (path.endsWith(".zip")) Archives.readZip(spark, path)
     // a Versioned dataset read WITHOUT a version clause means its
     // LATEST snapshot — a raw parquet read of the directory would
     // silently union every version's segments (one manifest-dir
@@ -45,8 +53,13 @@ object Tables {
     * `<baseDir>/out.parquet` — silently a different (possibly
     * pre-existing) table. Idempotent: resolving an already-resolved
     * path returns it unchanged. */
+  /** Extensions that name a non-parquet ingestion format — these refs
+    * resolve base-relative WITHOUT the `.parquet` suffix rule. */
+  private val IngestExts =
+    Seq(".bin", ".warc", ".warc.gz", ".tar", ".tar.gz", ".tgz", ".zip")
+
   def resolve(ref: String, baseDir: Option[String]): String =
-    if (ref.endsWith(".bin")) {
+    if (IngestExts.exists(ref.endsWith)) {
       val p = new java.io.File(ref)
       if (p.isAbsolute || p.exists()) ref
       else baseDir.map(d => s"$d/$ref").getOrElse(ref)

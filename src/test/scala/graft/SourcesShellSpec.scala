@@ -52,6 +52,33 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("dialect FROMs crawl/archive formats directly by extension") {
+    import graft.sources.{Archives, Warc}
+    val d = java.nio.file.Files.createTempDirectory("graft-from-formats").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/c.warc"),
+      Warc.warcBytes(Seq(
+        ("http://a/1", "2026-01-01T00:00:00Z", "alpha beta"),
+        ("http://a/2", "2026-01-01T00:00:00Z", "gamma"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/t.tar"),
+      Archives.tarBytes(Seq(("x.txt", "one"), ("y.txt", "two two"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/z.zip"),
+      Archives.zipBytes(Seq(("a.txt", "zzz"))))
+    val eng = graft.Engine(spark, d)
+    // quoted paths and base-relative bare refs both resolve
+    assert(eng.sql(s"SELECT COUNT() AS n FROM '$d/c.warc'").df
+      .head().getLong(0) == 2L)
+    assert(eng.sql("SELECT target_uri FROM 'c.warc' WHERE body = 'gamma'")
+      .df.head().getString(0) == "http://a/2")
+    assert(eng.sql("SELECT entry_name FROM 't.tar' ORDER BY entry_name")
+      .df.collect().map(_.getString(0)).toSeq == Seq("x.txt", "y.txt"))
+    assert(eng.sql("SELECT text FROM 'z.zip'").df.head().getString(0) == "zzz")
+    // the whole statement surface composes: DESCRIBE + aggregation
+    assert(eng.sql("DESCRIBE 'c.warc'").df.collect()
+      .map(_.getString(0)).contains("target_uri"))
+    assert(eng.sql(
+      "SELECT SUM(n_bytes) AS b FROM 't.tar'").df.head().getLong(0) == 10L)
+  }
+
   test("TAR/ZIP ingestion: entry walks, gz, long names, truncation") {
     import graft.sources.Archives
     val entries = Seq(
