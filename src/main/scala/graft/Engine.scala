@@ -77,6 +77,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
 
+  /** `DESCRIBE HISTORY '<versioned-ds>'` (extension, the Delta-style
+    * audit statement): one row per committed version — (version,
+    * n_segments, is_head) — from manifests alone, never data. The
+    * operational question it answers: has OPTIMIZE/VACUUM run, how
+    * many appends has the streaming sink stacked, which version would
+    * a time-travel read pin. */
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
+
   /** `DELETE FROM '<versioned-ds>' WHERE <pred>` (extension):
     * copy-on-write delete via [[graft.sources.Versioned.deleteWhere]] —
     * commits a NEW version holding the surviving rows; prior snapshots
@@ -337,6 +346,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         java.util.List.of(Row(v, n)),
         StructType(Seq(StructField("version", LongType, nullable = false),
           StructField("n_rows", LongType, nullable = false)))))
+    case DescribeHistoryRe(quoted, bare) =>
+      val ref = if (quoted != null) quoted else bare
+      val resolved = Tables.resolve(ref, baseDir)
+      val vs = graft.sources.Versioned.versions(spark, resolved)
+      if (vs.isEmpty) throw new SemanticError(
+        s"DESCRIBE HISTORY requires a Versioned dataset at '$resolved'")
+      import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
+      val rows = vs.map(v => Row(v,
+        graft.sources.Versioned.segmentCount(spark, resolved, Some(v)),
+        v == vs.last))
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("n_segments", IntegerType, nullable = false),
+          StructField("is_head", BooleanType, nullable = false)))))
     case DescribeRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val df = table(ref).df

@@ -714,6 +714,48 @@ object SparkEntry {
           "oriented_equal"), "doc_id")
     }),
 
+    // ---- DESCRIBE HISTORY (the Delta-style audit statement): one row
+    //      per committed version from manifests alone — three appends
+    //      then OPTIMIZE, so the history shows segment growth 1→2→3
+    //      and the compacted head back at 1 ----
+    "q274_sql_history" -> ((s, dir) => {
+      val path = stagingDir("graft_history") + "/ds"
+      val eng = Engine(s, dir)
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      Versioned.commit(docs.filter(F.col("doc_id") % 3 === 0), path)
+      Versioned.commit(docs.filter(F.col("doc_id") % 3 === 1), path,
+        append = true)
+      Versioned.commit(docs.filter(F.col("doc_id") % 3 === 2), path,
+        append = true)
+      eng.sql(s"OPTIMIZE '$path'")
+      eng.sql(s"DESCRIBE HISTORY '$path'").df
+    }),
+
+    // ---- SRT subtitle cues (the TEXT channel of video corpora):
+    //      id-derived three-cue SRT documents built in the plan, then
+    //      exploded by the codegen'd cue parser — indexes, millisecond
+    //      time arithmetic from HH:MM:SS,mmm, and multi-line cue text
+    //      joining all replay arithmetically ----
+    "q273_srt_cues" -> ((s, dir) => {
+      def tc(msCol: org.apache.spark.sql.Column) =
+        F.format_string("%02d:%02d:%02d,%03d",
+          (msCol / 3600000L).cast("int"),
+          ((msCol / 60000L) % 60).cast("int"),
+          ((msCol / 1000L) % 60).cast("int"),
+          (msCol % 1000L).cast("int"))
+      def cueStart(i: Int) =
+        (F.col("doc_id") % 50) * 700L + F.lit((i - 1) * 3000L)
+      val srt = F.concat((1 to 3).flatMap { i =>
+        Seq(F.lit(s"$i\n"), tc(cueStart(i)), F.lit(" --> "),
+          tc(cueStart(i) + 2500L),
+          F.lit(s"\ncue $i\nof doc "), F.col("doc_id"), F.lit("\n\n"))
+      }: _*)
+      Multimodal.explodeSrtCues(
+          t(s, dir, "documents").select(F.col("doc_id"))
+            .withColumn("srt", srt), "srt")
+        .select("doc_id", "cue_index", "start_ms", "end_ms", "cue_text")
+    }),
+
     // ---- compressed-audio metadata (the audio twin of the codec
     //      story): FLAC STREAMINFO bit-parse and an MP3 frame WALK —
     //      exact durations without any decoder; the oracle replays the
@@ -6282,6 +6324,26 @@ object SparkEntry {
     "q267_ahash_oriented" ->
       """SELECT doc_id, false AS plain_equal, true AS oriented_equal
         |FROM documents""".stripMargin,
+
+    // manifests record exactly this growth-then-compaction shape
+    "q274_sql_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(1 AS INTEGER), false),
+        | (CAST(2 AS BIGINT), CAST(2 AS INTEGER), false),
+        | (CAST(3 AS BIGINT), CAST(3 AS INTEGER), false),
+        | (CAST(4 AS BIGINT), CAST(1 AS INTEGER), true))
+        | h(version, n_segments, is_head)""".stripMargin,
+
+    // three cues per doc, times and joined text replayed arithmetically
+    "q273_srt_cues" ->
+      """SELECT d.doc_id, CAST(c.i AS INTEGER) AS cue_index,
+        | CAST((d.doc_id % 50) * 700 + (c.i - 1) * 3000 AS BIGINT)
+        |   AS start_ms,
+        | CAST((d.doc_id % 50) * 700 + (c.i - 1) * 3000 + 2500 AS BIGINT)
+        |   AS end_ms,
+        | 'cue ' || CAST(c.i AS VARCHAR) || ' of doc ' ||
+        |   CAST(d.doc_id AS VARCHAR) AS cue_text
+        |FROM documents d CROSS JOIN (VALUES (1), (2), (3)) c(i)""".stripMargin,
 
     // FLAC duration = total·1000 // rate, MP3 = frames·1152·1000 //
     // rate — integer division on both sides, parameters pure id math

@@ -1000,6 +1000,45 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------
+  // Subtitle parsing — the TEXT channel of video corpora: captions are
+  // training text with timestamps, and a multimodal pipeline aligns
+  // them with frames/audio by cue time. SRT is the interchange format
+  // crawled captions arrive in; the parse is a pure codegen'd
+  // split/regexp chain (no UDF), oracle-replayable.
+  // --------------------------------------------------------------------
+
+  /** Explode an SRT subtitle document column into one row per cue:
+    * (cue_index, start_ms, end_ms, cue_text). Cues split on blank
+    * lines; each cue is `index \n HH:MM:SS,mmm --> HH:MM:SS,mmm \n
+    * text...` (multi-line text joined with single spaces). Malformed
+    * cues (no timecode line) drop — a crawled subtitle file's banner
+    * junk must not become cues. Keep the source's other columns by
+    * selecting them alongside: the returned frame carries the input
+    * columns plus the four cue columns. */
+  def explodeSrtCues(df: DataFrame, srtCol: String): DataFrame = {
+    val cue = F.explode(F.split(F.col(srtCol), "\r?\n[ \t]*\r?\n"))
+    val timeRe =
+      "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})"
+    def ms(prefix: Int): Column =
+      F.regexp_extract(F.col("__cue"), timeRe, prefix).cast("long") * 3600000L +
+        F.regexp_extract(F.col("__cue"), timeRe, prefix + 1).cast("long") * 60000L +
+        F.regexp_extract(F.col("__cue"), timeRe, prefix + 2).cast("long") * 1000L +
+        F.regexp_extract(F.col("__cue"), timeRe, prefix + 3).cast("long")
+    df.withColumn("__cue", cue)
+      .filter(F.col("__cue").rlike(timeRe))
+      .withColumn("cue_index",
+        F.regexp_extract(F.col("__cue"), "^\\s*(\\d+)\\s*\r?\n", 1)
+          .cast("int"))
+      .withColumn("start_ms", ms(1))
+      .withColumn("end_ms", ms(5))
+      .withColumn("cue_text", F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("__cue"),
+          s"(?s)^.*?$timeRe[ \t]*\r?\n", ""),
+        "\\s+", " ")))
+      .drop("__cue")
+  }
+
+  // --------------------------------------------------------------------
   // Compressed-audio metadata — the audio twin of the video codec
   // story: crawled audio is MP3/FLAC, not PCM WAV, and sample rate /
   // channels / exact duration do not need a decoder. FLAC publishes

@@ -614,6 +614,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE HISTORY: per-version manifest rows; non-versioned rejects") {
+    val out = java.nio.file.Files.createTempDirectory("graft-history-spec")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      Versioned.commit(Seq((1L, "a")).toDF("id", "v"), ds)
+      Versioned.commit(Seq((2L, "b")).toDF("id", "v"), ds, append = true)
+      val h = engine.sql(s"DESCRIBE HISTORY '$ds'").df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      assert(h.toSeq == Seq((1L, 1, false), (2L, 2, true)))
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"DESCRIBE HISTORY '$out/nope'")
+      }
+      // plain DESCRIBE still resolves tables (the HISTORY keyword must
+      // not shadow it)
+      assert(engine.sql("DESCRIBE fruits").df.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("CREATE VIEW: re-planned per use, shadowing, recursion guard, DROP") {
     val eng = Engine(spark, dir) // fresh engine: views are session state
     val r = eng.sql("CREATE VIEW big AS SELECT fruit, quantity " +

@@ -312,6 +312,25 @@ class OperatorsSpec extends SparkSpec {
         (60 + (id % 4) * 30).toInt, (1 + id % 3).toInt)), s"id=$id")
   }
 
+  test("SRT cue explode: times, multi-line text, junk cues dropped") {
+    val srt = "WEBVTT-like banner junk\n\n" + // no timecode: dropped
+      "1\n00:00:01,500 --> 00:00:04,000\nHello there\n\n" +
+      "2\n01:02:03,250 --> 01:02:05,000\nline one\nline two\n\n" +
+      "trailing junk"
+    val out = Multimodal.explodeSrtCues(
+        Seq((7L, srt)).toDF("doc_id", "srt"), "srt")
+      .select("cue_index", "start_ms", "end_ms", "cue_text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1, 1500L, 4000L, "Hello there"),
+      (2, 3723250L, 3725000L, "line one line two")))
+    // CRLF line endings parse identically
+    val crlf = srt.replace("\n", "\r\n")
+    assert(Multimodal.explodeSrtCues(
+      Seq((7L, crlf)).toDF("doc_id", "srt"), "srt").count() == 2)
+  }
+
   test("compressed-audio metadata: FLAC STREAMINFO, MP3 frame walk") {
     // FLAC round trip incl. a >32-bit total-samples value
     assert(Multimodal.decodeFlacMeta(
