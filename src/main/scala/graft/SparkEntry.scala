@@ -714,6 +714,26 @@ object SparkEntry {
           "oriented_equal"), "doc_id")
     }),
 
+    // ---- parquet FOOTER statistics (the at-scale SUMMARIZE): row
+    //      counts and numeric min/max for a 4-file staged table read
+    //      from footers alone — zero data pages decoded — must equal
+    //      the exact aggregates the oracle computes by scanning ----
+    "q275_footer_stats" -> ((s, dir) => {
+      val path = stagingDir("graft_footer") + "/li"
+      t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").cast("long").as("l_orderkey"),
+          F.col("l_quantity").cast("double").as("l_quantity"),
+          F.col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+      Tables.parquetFooterStats(s, path)
+        .filter(F.col("column").isin("l_orderkey", "l_quantity"))
+        .groupBy(F.col("column").as("col_name"))
+        .agg(F.sum("n_values").as("n_rows"),
+          F.min("min_val").as("min_val"),
+          F.max("max_val").as("max_val"))
+    }),
+
     // ---- DESCRIBE HISTORY (the Delta-style audit statement): one row
     //      per committed version from manifests alone — three appends
     //      then OPTIMIZE, so the history shows segment growth 1→2→3
@@ -6324,6 +6344,17 @@ object SparkEntry {
     "q267_ahash_oriented" ->
       """SELECT doc_id, false AS plain_equal, true AS oriented_equal
         |FROM documents""".stripMargin,
+
+    // footers must agree with a real scan — count, min and max
+    "q275_footer_stats" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(min(l_orderkey) AS DOUBLE) AS min_val,
+        | CAST(max(l_orderkey) AS DOUBLE) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        | CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+        |FROM lineitem""".stripMargin,
 
     // manifests record exactly this growth-then-compaction shape
     "q274_sql_history" ->

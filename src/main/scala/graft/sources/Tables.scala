@@ -190,4 +190,86 @@ object Tables {
   def blockFileAppend(df: DataFrame, path: String,
                       rowsPerBlock: Int = 2 * 1024 * 1024): Unit =
     BlockFile.append(df, path, rowsPerBlock)
+
+  /** Per-column statistics from parquet FOOTERS ALONE — row counts,
+    * null counts, numeric min/max — without decoding a single data
+    * page: the at-scale companion to the dialect's `SUMMARIZE` (which
+    * scans). At 100 TB this is the difference between answering "how
+    * many rows, what key range" in seconds from KB-sized footers and a
+    * full-corpus pass; it is exactly the metadata the engine's own
+    * row-group pruning reads (see the bench's prune-probe accounting).
+    *
+    * One task per FILE (footers are per-file); returns one row per
+    * (file, column) with row-group stats pre-merged:
+    * (file, column, n_values, n_nulls, min_val, max_val) — min/max as
+    * doubles for numeric/boolean columns, NULL otherwise (binary
+    * min/max truncation semantics make cross-file string merges lossy,
+    * so they are deliberately not surfaced as comparable values).
+    * `n_nulls` is NULL when any row group omitted the statistic. */
+  def parquetFooterStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("n_values", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = true),
+      StructField("min_val", DoubleType, nullable = true),
+      StructField("max_val", DoubleType, nullable = true)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.length, 64))
+      .flatMap { f =>
+        import scala.jdk.CollectionConverters._
+        // a fresh Configuration resolves local and default-FS paths;
+        // a deployment on an authenticated store threads its conf here
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.conf.Configuration()))
+        try {
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Option[Long], Option[Double], Option[Double])]
+          rdr.getRowGroups.asScala.foreach { rg =>
+            rg.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              val nulls =
+                if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+                else None
+              val (mn, mx): (Option[Double], Option[Double]) =
+                if (st == null || st.isEmpty) (None, None)
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (a: Number, b: Number) =>
+                    (Some(a.doubleValue()), Some(b.doubleValue()))
+                  case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+                    (Some(if (a) 1.0 else 0.0), Some(if (b) 1.0 else 0.0))
+                  case _ => (None, None)
+                }
+              val prev = acc.get(name)
+              acc(name) = prev match {
+                case None => (rg.getRowCount, nulls, mn, mx)
+                case Some((n0, nu0, mn0, mx0)) => (
+                  n0 + rg.getRowCount,
+                  for (a <- nu0; b <- nulls) yield a + b,
+                  (mn0.toSeq ++ mn.toSeq).reduceOption(math.min(_: Double, _: Double)),
+                  (mx0.toSeq ++ mx.toSeq).reduceOption(math.max(_: Double, _: Double)))
+              }
+            }
+          }
+          acc.toSeq.map { case (col, (n, nu, mn, mx)) =>
+            org.apache.spark.sql.Row(f, col, n,
+              nu.map(Long.box).orNull, mn.map(Double.box).orNull,
+              mx.map(Double.box).orNull)
+          }
+        } finally rdr.close()
+      }
+    spark.createDataFrame(rows, schema)
+  }
 }

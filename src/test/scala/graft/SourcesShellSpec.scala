@@ -52,6 +52,30 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("parquet footer stats equal scan aggregates without decoding pages") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val d = java.nio.file.Files.createTempDirectory("graft-footer").toString
+    val df = ((1 to 100).map(i => (i.toLong, if (i % 10 == 0) None
+        else Some(i * 1.5), s"s$i")))
+      .toDF("k", "v", "name")
+    df.repartition(3).write.parquet(s"$d/t")
+    val st = graft.sources.Tables.parquetFooterStats(spark, s"$d/t")
+      .groupBy("column")
+      .agg(F.sum("n_values").as("n"), F.sum("n_nulls").as("nulls"),
+        F.min("min_val").as("mn"), F.max("max_val").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.get(2), r.get(3), r.get(4)))).toMap
+    assert(st("k") == ((100L, 0L, 1.0, 100.0)))
+    assert(st("v") == ((100L, 10L, 1.5, 148.5))) // i=100 is null; 99·1.5
+    // string columns surface counts but not (lossy, truncatable) bounds
+    assert(st("name")._1 == 100L && st("name")._3 == null)
+    // empty dir -> empty frame, no throw
+    new java.io.File(s"$d/empty").mkdirs()
+    assert(graft.sources.Tables.parquetFooterStats(spark, s"$d/empty")
+      .count() == 0)
+  }
+
   test("dialect FROMs crawl/archive formats directly by extension") {
     import graft.sources.{Archives, Warc}
     val d = java.nio.file.Files.createTempDirectory("graft-from-formats").toString
