@@ -728,6 +728,29 @@ object Bench {
     }
     tracer.drain()
 
+    // Footer statistics vs the scan they replace, at the 6M-row probe
+    // volume: SUMMARIZE-style exact aggregates need a full decode; the
+    // footer path reads KB-sized metadata — the delta is what the
+    // at-scale profile question costs with and without the shortcut.
+    val (footer6M, scan6M) = {
+      import org.apache.spark.sql.{functions => F}
+      val a = probe(spark, "q275_footer_6Mrows") {
+        graft.sources.Tables.parquetFooterStats(spark, x10Path)
+          .filter(F.col("column") === "l_orderkey")
+          .groupBy("column")
+          .agg(F.sum("n_values").as("n_rows"),
+            F.min("min_val").as("min_val"), F.max("max_val").as("max_val"))
+      }
+      val b = probe(spark, "q275_scan_6Mrows") {
+        spark.read.parquet(x10Path)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.min("l_orderkey").as("min_val"),
+            F.max("l_orderkey").as("max_val"))
+      }
+      (a, b)
+    }
+    tracer.drain()
+
     // The Versioned publishing layer's read-path overhead, measured:
     // the identical flagship aggregation over the SAME lineitem rows
     // committed as a Versioned snapshot (manifest resolution + merged-
@@ -797,6 +820,8 @@ object Bench {
         :+ ("q06_blockfile_zoned" -> bfZoned)
         :+ ("q06_parquet_unpruned" -> pqShuffled)
         :+ ("q06_parquet_pruned" -> pqPruned)
+        :+ ("q275_footer_6Mrows" -> footer6M)
+        :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }

@@ -149,6 +149,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val SummarizeRe =
     """(?is)^\s*SUMMARIZE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
 
+  /** `SUMMARIZE FOOTERS '<parquet-table>'` (extension): the at-scale
+    * SUMMARIZE — per-column row/null counts and numeric min/max from
+    * parquet FOOTERS alone ([[graft.sources.Tables.parquetFooterStats]]),
+    * zero data pages decoded. String bounds surface as NULL (parquet's
+    * binary min/max may be truncated — serving them as exact values
+    * would be silently wrong). */
+  private val SummarizeFootersRe =
+    """(?is)^\s*SUMMARIZE\s+FOOTERS\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
+
   /** `UPDATE '<versioned-ds>' SET col = expr [, ...] WHERE <pred>`
     * (extension): copy-on-write update completing the DML triad
     * (INSERT / UPDATE / DELETE) — commits a NEW version where rows
@@ -416,6 +425,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("n_rows", LongType, nullable = false),
           StructField("path", StringType, nullable = false)))))
+    case SummarizeFootersRe(quoted, bare) =>
+      val ref = if (quoted != null) quoted else bare
+      val resolved = Tables.resolve(ref, baseDir)
+      if (!resolved.endsWith(".parquet") &&
+          graft.sources.Versioned.versions(spark, resolved).nonEmpty)
+        throw new SemanticError("SUMMARIZE FOOTERS reads a raw parquet " +
+          "directory's footers; resolve a Versioned dataset's segments " +
+          "explicitly (footers cannot see manifest membership)")
+      import org.apache.spark.sql.{functions => F}
+      GraftFrame.fromDF(
+        Tables.parquetFooterStats(spark, resolved)
+          .groupBy(F.col("column").as("column_name"))
+          .agg(F.sum("n_values").as("n_values"),
+            F.sum("n_nulls").as("n_nulls"),
+            F.min("min_val").as("min_val"),
+            F.max("max_val").as("max_val")))
     case SummarizeRe(quoted, bare) =>
       val df = table(if (quoted != null) quoted else bare).df
       import org.apache.spark.sql.{functions => F}

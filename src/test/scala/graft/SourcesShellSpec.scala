@@ -74,6 +74,17 @@ class SourcesShellSpec extends SparkSpec {
     new java.io.File(s"$d/empty").mkdirs()
     assert(graft.sources.Tables.parquetFooterStats(spark, s"$d/empty")
       .count() == 0)
+    // the dialect statement serves the same numbers
+    val eng = graft.Engine(spark, d)
+    val viaSql = eng.sql(s"SUMMARIZE FOOTERS '$d/t'").df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql("k") == 100L && viaSql("v") == 100L)
+    // Versioned datasets reject (footers cannot see manifests)
+    import spark.implicits._
+    graft.sources.Versioned.commit(Seq((1L, "a")).toDF("id", "x"), s"$d/vds")
+    assertThrows[graft.sql.SemanticError] {
+      eng.sql(s"SUMMARIZE FOOTERS '$d/vds'")
+    }
   }
 
   test("dialect FROMs crawl/archive formats directly by extension") {
