@@ -434,13 +434,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           "directory's footers; resolve a Versioned dataset's segments " +
           "explicitly (footers cannot see manifest membership)")
       import org.apache.spark.sql.{functions => F}
+      // null-PROPAGATING aggregation: a file whose footer omitted a
+      // statistic makes that statistic unknown for the whole table —
+      // sum/min/max skip nulls, which would present a PARTIAL count or
+      // bound as exact; guard each on "every file reported it"
+      def allOrNull(c: String, agg: org.apache.spark.sql.Column) =
+        F.when(F.count(F.col(c)) === F.count(F.lit(1)), agg).as(c)
       GraftFrame.fromDF(
         Tables.parquetFooterStats(spark, resolved)
           .groupBy(F.col("column").as("column_name"))
           .agg(F.sum("n_values").as("n_values"),
-            F.sum("n_nulls").as("n_nulls"),
-            F.min("min_val").as("min_val"),
-            F.max("max_val").as("max_val")))
+            allOrNull("n_nulls", F.sum("n_nulls")),
+            allOrNull("min_val", F.min("min_val")),
+            allOrNull("max_val", F.max("max_val"))))
     case SummarizeRe(quoted, bare) =>
       val df = table(if (quoted != null) quoted else bare).df
       import org.apache.spark.sql.{functions => F}
@@ -693,12 +699,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       }
       val pairs = evalCompound(matchedCq, scope).df.localCheckpoint(true)
       // standard cardinality rule: a target row matching two source
-      // rows has no defined result — fail loudly, never pick one
-      if (pairs.groupBy("__rid").agg(F.count(F.lit(1)).as("c"))
+      // rows has no defined UPDATE/DELETE result — fail loudly, never
+      // pick one. Insert-only merges are exempt (matched source rows
+      // are merely excluded from the insert; multiplicity is harmless),
+      // matching Delta/Postgres semantics.
+      if ((updateSet.nonEmpty || deleteMatched) &&
+          pairs.groupBy("__rid").agg(F.count(F.lit(1)).as("c"))
             .filter(F.col("c") > 1).head(1).nonEmpty)
         throw new SemanticError("MERGE: a target row matches more than " +
           "one source row — the ON condition must match at most one")
-      val nMatched = pairs.count()
+      val nMatched = pairs.select("__rid").distinct().count()
       val flagged = tDf.join(
         pairs.drop("__srid").withColumn("__matched", F.lit(true)),
         Seq("__rid"), "left")

@@ -605,14 +605,17 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
-  /** SPS-derived metadata for an H.264 track in an ISO-BMFF container:
-    * (width, height, profile_idc, level_idc, sampleCount). Walks
-    * `stsd` to the `avc1`/`avc3` sample entry, pulls the first SPS out
-    * of its `avcC` record, and parses geometry FROM THE BITSTREAM —
-    * never from the sample-entry or tkhd dimension fields, which real
-    * muxers are free to pad or lie about. None for non-MP4 bytes or
-    * non-AVC tracks; pixel decode stays the honest stub. */
-  def decodeAvcMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+  /** The ISO-BMFF walk shared by the three codec-config decoders
+    * ([[decodeAvcMeta]]/[[decodeHevcMeta]]/[[decodeAv1Meta]]): find the
+    * first trak whose `stsd` sample-entry fourcc is in `fourccs`, hand
+    * `(boxes, stsdBodyStart, stsdBodyEnd)` to `extract` (child boxes —
+    * avcC/hvcC/av1C — start after the 78-byte VisualSampleEntry fields
+    * at stsdStart+16+78), and pair its result with the track's stsz
+    * sample count. None for non-MP4 bytes or when no track matches;
+    * never throws. */
+  private def walkVisualTracks[T](payload: Array[Byte],
+                                  fourccs: Set[String])
+      (extract: (Boxes, Int, Int) => Option[T]): Option[(T, Int)] = {
     if (!looksLikeMp4(payload)) return None
     val b = new Boxes(payload)
     try {
@@ -628,23 +631,15 @@ object Multimodal {
           (sS, sE) <- b.find(mfS, mfE, "stbl")
           (stsdS, stsdE) <- b.find(sS, sE, "stsd")
           if stsdS + 16 <= stsdE
-          if Set("avc1", "avc3").contains(b.tag(stsdS + 12))
-          // child boxes start after the 78-byte VisualSampleEntry
-          // fields (entry box header at stsdS+8, fields at stsdS+16)
-          (avcS, _) <- b.find(stsdS + 16 + 78, stsdE, "avcC")
-          if (payload(avcS + 5) & 0x1F) >= 1 // numOfSequenceParameterSets
-          spsLen = ((payload(avcS + 6) & 0xFF) << 8) |
-            (payload(avcS + 7) & 0xFF)
-          sps = java.util.Arrays.copyOfRange(payload, avcS + 8,
-            avcS + 8 + spsLen)
-          (w, h, prof, lvl) <- parseSpsGeometry(sps)
+          if fourccs.contains(b.tag(stsdS + 12))
+          t <- extract(b, stsdS, stsdE)
         } yield {
           val n = b.find(sS, sE, "stsz")
             .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
-          (w, h, prof, lvl, n)
+          (t, n)
         }
         hit match {
-          case Some(t) => return Some(t)
+          case Some(x) => return Some(x)
           case None    => ()
         }
         trakFrom = trakE
@@ -653,22 +648,40 @@ object Multimodal {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
-  /** Build a minimal VALID AVC MP4: `ftyp` + `mdat` (length-prefixed
-    * dummy NAL samples — pixels are NOT decodable, which is the point:
-    * geometry must come from the SPS) + full `moov` sample table with
-    * an `avc1` entry carrying a real `avcC`/SPS. The sample-entry and
-    * tkhd dimension fields deliberately carry the macroblock-PADDED
-    * size, so only a true SPS crop parse recovers the display size. */
-  def synthesizeAvcMp4(width: Int, height: Int, nFrames: Int,
-                       levelIdc: Int = 30, timescale: Int = 1000,
-                       frameDurUnits: Int = 40): Array[Byte] = {
+  /** SPS-derived metadata for an H.264 track in an ISO-BMFF container:
+    * (width, height, profile_idc, level_idc, sampleCount). Walks
+    * `stsd` to the `avc1`/`avc3` sample entry, pulls the first SPS out
+    * of its `avcC` record, and parses geometry FROM THE BITSTREAM —
+    * never from the sample-entry or tkhd dimension fields, which real
+    * muxers are free to pad or lie about. None for non-MP4 bytes or
+    * non-AVC tracks; pixel decode stays the honest stub. */
+  def decodeAvcMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    walkVisualTracks(payload, Set("avc1", "avc3")) { (b, stsdS, stsdE) =>
+      for {
+        (avcS, _) <- b.find(stsdS + 16 + 78, stsdE, "avcC")
+        if (payload(avcS + 5) & 0x1F) >= 1 // numOfSequenceParameterSets
+        spsLen = ((payload(avcS + 6) & 0xFF) << 8) |
+          (payload(avcS + 7) & 0xFF)
+        sps = java.util.Arrays.copyOfRange(payload, avcS + 8,
+          avcS + 8 + spsLen)
+        g <- parseSpsGeometry(sps)
+      } yield g
+    }.map { case ((w, h, prof, lvl), n) => (w, h, prof, lvl, n) }
+
+  /** Shared MP4 scaffolding for the codec-config fixtures
+    * ([[synthesizeAvcMp4]]/[[synthesizeHevcMp4]]/[[synthesizeAv1Mp4]]):
+    * `ftyp` + `mdat` (`nFrames` dummy samples — pixels are NOT
+    * decodable, which is the point: geometry must come from the
+    * bitstream config) + full `moov` sample table with one visual
+    * sample entry of `fourcc` carrying `configBox`. The entry/tkhd
+    * dimension fields take whatever the caller passes — deliberately
+    * padded or wrong, so only the bitstream parse can match. */
+  private def codecMp4(fourcc: String, entryW: Int, entryH: Int,
+                       configBox: Array[Byte], sampleFill: Byte,
+                       nFrames: Int, timescale: Int,
+                       frameDurUnits: Int): Array[Byte] = {
     require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
-    val padW = ((width + 15) / 16) * 16
-    val padH = ((height + 15) / 16) * 16
-    val sps = spsBytes(width, height, levelIdc)
-    val pps = Array(0x68, 0xCE, 0x38, 0x80).map(_.toByte)
-    // one dummy IDR-sized sample per frame: u32 NAL length + filler
-    val sample = be32(22) ++ Array.fill(22)(0x5A.toByte)
+    val sample = be32(22) ++ Array.fill(22)(sampleFill)
     val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
     val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
@@ -679,18 +692,15 @@ object Multimodal {
       new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
     val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
       be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
-      be16(0), unityMatrix, be32(padW << 16), be32(padH << 16))
+      be16(0), unityMatrix, be32(entryW << 16), be32(entryH << 16))
     val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
       be32(durUnits), be16(0x55C4), be16(0))
     val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
       new Array[Byte](12), Array[Byte](0))
-    val avcC = mkBox("avcC",
-      Array(1.toByte, sps(1), sps(2), sps(3), 0xFF.toByte, 0xE1.toByte),
-      be16(sps.length), sps, Array(1.toByte), be16(pps.length), pps)
-    val stsdEntry = mkBox("avc1", new Array[Byte](6), be16(1),
-      new Array[Byte](16), be16(padW), be16(padH), be32(0x00480000),
+    val stsdEntry = mkBox(fourcc, new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(entryW), be16(entryH), be32(0x00480000),
       be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
-      be16(0xFFFF), avcC)
+      be16(0xFFFF), configBox)
     val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
     val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
     val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
@@ -702,6 +712,24 @@ object Multimodal {
     val trak = mkBox("trak", tkhd, mdia)
     val moov = mkBox("moov", mvhd, trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Build a minimal VALID AVC MP4 with an `avc1` entry carrying a
+    * real `avcC`/SPS. The sample-entry and tkhd dimension fields
+    * deliberately carry the macroblock-PADDED size, so only a true SPS
+    * crop parse recovers the display size. */
+  def synthesizeAvcMp4(width: Int, height: Int, nFrames: Int,
+                       levelIdc: Int = 30, timescale: Int = 1000,
+                       frameDurUnits: Int = 40): Array[Byte] = {
+    val padW = ((width + 15) / 16) * 16
+    val padH = ((height + 15) / 16) * 16
+    val sps = spsBytes(width, height, levelIdc)
+    val pps = Array(0x68, 0xCE, 0x38, 0x80).map(_.toByte)
+    val avcC = mkBox("avcC",
+      Array(1.toByte, sps(1), sps(2), sps(3), 0xFF.toByte, 0xE1.toByte),
+      be16(sps.length), sps, Array(1.toByte), be16(pps.length), pps)
+    codecMp4("avc1", padW, padH, avcC, 0x5A.toByte, nFrames,
+      timescale, frameDurUnits)
   }
 
   /** Synthesize an AVC MP4 corpus keyed by id — geometry exercises the
@@ -726,11 +754,13 @@ object Multimodal {
       }(enc)
   }
 
-  /** Batched SPS-geometry extraction over a media frame: (media_id,
-    * codec, width, height, profile_idc, level_idc, n_frames). Non-AVC
-    * payloads are skipped (flatMap) — the honest-stub fallback composes
-    * via [[decodePayload]] when a pipeline wants a row per input. */
-  def decodeAvcStats(media: DataFrame): DataFrame = {
+  /** The stats frame shared by the three codec-geometry extractors:
+    * (media_id, codec, width, height, profile_idc, level_idc,
+    * n_frames); payloads `decode` returns None for are skipped
+    * (flatMap) — the honest-stub fallback composes via
+    * [[decodePayload]] when a pipeline wants a row per input. */
+  private def codecGeometryStats(media: DataFrame, codec: String,
+      decode: Array[Byte] => Option[(Int, Int, Int, Int, Int)]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("codec", StringType, nullable = false),
@@ -743,15 +773,20 @@ object Multimodal {
     media.select(F.col("media_id").cast("long"), F.col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          decodeAvcMeta(r.getAs[Array[Byte]](1)).map {
+          decode(r.getAs[Array[Byte]](1)).map {
             case (w, h, prof, lvl, n) =>
               new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-                Array(r.getLong(0), "avc1", w, h, prof, lvl, n),
+                Array(r.getLong(0), codec, w, h, prof, lvl, n),
                 outSchema): Row
           }
         }
       }(enc)
   }
+
+  /** Batched SPS-geometry extraction over a media frame — the
+    * [[codecGeometryStats]] frame for avc1 tracks. */
+  def decodeAvcStats(media: DataFrame): DataFrame =
+    codecGeometryStats(media, "avc1", decodeAvcMeta)
 
   // --------------------------------------------------------------------
   // HEVC (H.265) SPS geometry — the same no-decoder metadata recovery
@@ -840,62 +875,37 @@ object Multimodal {
     * NAL-array layout (22-byte record header, then per-array
     * type/count/length-prefixed NALUs). */
   def decodeHevcMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
-    if (!looksLikeMp4(payload)) return None
-    val b = new Boxes(payload)
     def u16(off: Int): Int =
       ((payload(off) & 0xFF) << 8) | (payload(off + 1) & 0xFF)
-    try {
-      val (moovS, moovE) =
-        b.find(0, payload.length, "moov").getOrElse(return None)
-      var trakFrom = moovS
-      while (trakFrom < moovE) {
-        val (trakS, trakE) =
-          b.find(trakFrom, moovE, "trak").getOrElse(return None)
-        val hit = for {
-          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
-          (mfS, mfE) <- b.find(mdS, mdE, "minf")
-          (sS, sE) <- b.find(mfS, mfE, "stbl")
-          (stsdS, stsdE) <- b.find(sS, sE, "stsd")
-          if stsdS + 16 <= stsdE
-          if Set("hvc1", "hev1").contains(b.tag(stsdS + 12))
-          (hvcS, hvcE) <- b.find(stsdS + 16 + 78, stsdE, "hvcC")
-          sps <- {
-            // walk the NAL arrays for the first type-33 (SPS) unit
-            val numArrays = payload(hvcS + 22) & 0xFF
-            var off = hvcS + 23
-            var found: Option[Array[Byte]] = None
-            var a = 0
-            while (a < numArrays && off + 3 <= hvcE) {
-              val naluType = payload(off) & 0x3F
-              val numNalus = u16(off + 1)
-              off += 3
-              var n = 0
-              while (n < numNalus && off + 2 <= hvcE) {
-                val len = u16(off)
-                if (naluType == 33 && found.isEmpty)
-                  found = Some(java.util.Arrays.copyOfRange(
-                    payload, off + 2, off + 2 + len))
-                off += 2 + len
-                n += 1
-              }
-              a += 1
+    walkVisualTracks(payload, Set("hvc1", "hev1")) { (b, stsdS, stsdE) =>
+      for {
+        (hvcS, hvcE) <- b.find(stsdS + 16 + 78, stsdE, "hvcC")
+        sps <- {
+          // walk the NAL arrays for the first type-33 (SPS) unit
+          val numArrays = payload(hvcS + 22) & 0xFF
+          var off = hvcS + 23
+          var found: Option[Array[Byte]] = None
+          var a = 0
+          while (a < numArrays && off + 3 <= hvcE) {
+            val naluType = payload(off) & 0x3F
+            val numNalus = u16(off + 1)
+            off += 3
+            var n = 0
+            while (n < numNalus && off + 2 <= hvcE) {
+              val len = u16(off)
+              if (naluType == 33 && found.isEmpty)
+                found = Some(java.util.Arrays.copyOfRange(
+                  payload, off + 2, off + 2 + len))
+              off += 2 + len
+              n += 1
             }
-            found
+            a += 1
           }
-          (w, h, prof, lvl) <- parseHevcSpsGeometry(sps)
-        } yield {
-          val n = b.find(sS, sE, "stsz")
-            .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
-          (w, h, prof, lvl, n)
+          found
         }
-        hit match {
-          case Some(t) => return Some(t)
-          case None    => ()
-        }
-        trakFrom = trakE
-      }
-      None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+        g <- parseHevcSpsGeometry(sps)
+      } yield g
+    }.map { case ((w, h, prof, lvl), n) => (w, h, prof, lvl, n) }
   }
 
   /** Build a minimal VALID HEVC MP4 — the [[synthesizeAvcMp4]] skeleton
@@ -905,26 +915,9 @@ object Multimodal {
   def synthesizeHevcMp4(width: Int, height: Int, nFrames: Int,
                         levelIdc: Int = 93, timescale: Int = 1000,
                         frameDurUnits: Int = 40): Array[Byte] = {
-    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val padW = ((width + 7) / 8) * 8
     val padH = ((height + 7) / 8) * 8
     val sps = hevcSpsBytes(width, height, levelIdc)
-    val sample = be32(22) ++ Array.fill(22)(0x3C.toByte)
-    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
-      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
-    val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
-    val chunkOffset = ftyp.length + 8
-    val durUnits = nFrames * frameDurUnits
-    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
-      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
-      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
-    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
-      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
-      be16(0), unityMatrix, be32(padW << 16), be32(padH << 16))
-    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
-      be32(durUnits), be16(0x55C4), be16(0))
-    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
-      new Array[Byte](12), Array[Byte](0))
     // HEVCDecoderConfigurationRecord: 22-byte header (version, profile
     // byte, compat u32, 6 constraint bytes, level, reserved-heavy
     // min_spatial/parallelism/chroma/bit-depth fields, frame rate,
@@ -936,21 +929,8 @@ object Multimodal {
       Array(0xF8.toByte), Array(0xF8.toByte), be16(0),
       Array(0x0F.toByte), Array(1.toByte),
       Array((0x80 | 33).toByte), be16(1), be16(sps.length), sps)
-    val stsdEntry = mkBox("hvc1", new Array[Byte](6), be16(1),
-      new Array[Byte](16), be16(padW), be16(padH), be32(0x00480000),
-      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
-      be16(0xFFFF), hvcC)
-    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
-    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
-    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
-    val stsz = mkBox("stsz", be32(0), be32(sample.length), be32(nFrames))
-    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
-    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
-    val minf = mkBox("minf", stbl)
-    val mdia = mkBox("mdia", mdhd, hdlr, minf)
-    val trak = mkBox("trak", tkhd, mdia)
-    val moov = mkBox("moov", mvhd, trak)
-    ftyp ++ mdat ++ moov
+    codecMp4("hvc1", padW, padH, hvcC, 0x3C.toByte, nFrames,
+      timescale, frameDurUnits)
   }
 
   /** Synthesize an HEVC MP4 corpus keyed by id — display size exercises
@@ -976,28 +956,8 @@ object Multimodal {
 
   /** Batched HEVC SPS-geometry extraction — the [[decodeAvcStats]]
     * frame for hvc1 tracks. */
-  def decodeHevcStats(media: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("codec", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("profile_idc", IntegerType, nullable = false),
-      StructField("level_idc", IntegerType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false)))
-    val enc = Encoders.row(outSchema)
-    media.select(F.col("media_id").cast("long"), F.col("payload"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeHevcMeta(r.getAs[Array[Byte]](1)).map {
-            case (w, h, prof, lvl, n) =>
-              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-                Array(r.getLong(0), "hvc1", w, h, prof, lvl, n),
-                outSchema): Row
-          }
-        }
-      }(enc)
-  }
+  def decodeHevcStats(media: DataFrame): DataFrame =
+    codecGeometryStats(media, "hvc1", decodeHevcMeta)
 
   // --------------------------------------------------------------------
   // Subtitle parsing — the TEXT channel of video corpora: captions are
@@ -1269,19 +1229,24 @@ object Multimodal {
     b.array()
   }
 
-  /** A REAL JPEG (the [[jpegBytes]] encoder) with an EXIF APP1 segment
-    * carrying the given orientation spliced in after SOI — what a phone
-    * camera writes. */
-  def jpegBytesWithExif(width: Int, height: Int, orientation: Int): Array[Byte] = {
+  /** Splice an EXIF APP1 segment carrying `orientation` into an
+    * existing JPEG, right after SOI — the framing (marker bytes +
+    * length arithmetic) lives HERE only. */
+  def spliceExifApp1(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
     require(orientation >= 1 && orientation <= 8,
       s"EXIF orientation must be 1..8, got $orientation")
-    val jpeg = jpegBytes(width, height)
     val payload = exifApp1Payload(orientation)
     val app1 = Array(0xFF.toByte, 0xE1.toByte,
       (((payload.length + 2) >> 8) & 0xFF).toByte,
       ((payload.length + 2) & 0xFF).toByte) ++ payload
     jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
+
+  /** A REAL JPEG (the [[jpegBytes]] encoder) with an EXIF APP1 segment
+    * carrying the given orientation spliced in after SOI — what a phone
+    * camera writes. */
+  def jpegBytesWithExif(width: Int, height: Int, orientation: Int): Array[Byte] =
+    spliceExifApp1(jpegBytes(width, height), orientation)
 
   /** Read the EXIF orientation (1..8) out of a JPEG's APP1 segment —
     * marker walk to APP1 "Exif", TIFF endianness from II/MM, IFD0
@@ -1485,70 +1450,45 @@ object Multimodal {
     * container: (width, height, profile, levelIdx, sampleCount) — the
     * [[decodeAvcMeta]] walk with `av01` entries; the av1C record's
     * config OBUs are scanned for the sequence header. */
-  def decodeAv1Meta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
-    if (!looksLikeMp4(payload)) return None
-    val b = new Boxes(payload)
-    try {
-      val (moovS, moovE) =
-        b.find(0, payload.length, "moov").getOrElse(return None)
-      var trakFrom = moovS
-      while (trakFrom < moovE) {
-        val (trakS, trakE) =
-          b.find(trakFrom, moovE, "trak").getOrElse(return None)
-        val hit = for {
-          (mdS, mdE) <- b.find(trakS, trakE, "mdia")
-          (mfS, mfE) <- b.find(mdS, mdE, "minf")
-          (sS, sE) <- b.find(mfS, mfE, "stbl")
-          (stsdS, stsdE) <- b.find(sS, sE, "stsd")
-          if stsdS + 16 <= stsdE && b.tag(stsdS + 12) == "av01"
-          (avS, avE) <- b.find(stsdS + 16 + 78, stsdE, "av1C")
-          // config OBUs start after the 4-byte av1C prefix; walk OBUs
-          // (header + leb128 size) for type 1
-          seqHdr <- {
-            var off = avS + 4
-            var found: Option[Array[Byte]] = None
-            while (found.isEmpty && off < avE) {
-              val t = (payload(off) >> 3) & 0xF
-              val hasExt = ((payload(off) >> 2) & 1) == 1
-              val hasSize = ((payload(off) >> 1) & 1) == 1
-              if (!hasSize) { off = avE } // unsized trailing OBU: stop
+  def decodeAv1Meta(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    walkVisualTracks(payload, Set("av01")) { (b, stsdS, stsdE) =>
+      for {
+        (avS, avE) <- b.find(stsdS + 16 + 78, stsdE, "av1C")
+        // config OBUs start after the 4-byte av1C prefix; walk OBUs
+        // (header + leb128 size) for type 1
+        seqHdr <- {
+          var off = avS + 4
+          var found: Option[Array[Byte]] = None
+          while (found.isEmpty && off < avE) {
+            val t = (payload(off) >> 3) & 0xF
+            val hasExt = ((payload(off) >> 2) & 1) == 1
+            val hasSize = ((payload(off) >> 1) & 1) == 1
+            if (!hasSize) { off = avE } // unsized trailing OBU: stop
+            else {
+              var so = off + 1 + (if (hasExt) 1 else 0)
+              var size = 0; var shift = 0
+              while (so < avE && (payload(so) & 0x80) != 0) {
+                size |= (payload(so) & 0x7F) << shift; shift += 7; so += 1
+              }
+              if (so >= avE) off = avE
               else {
-                var so = off + 1 + (if (hasExt) 1 else 0)
-                var size = 0; var shift = 0
-                while (so < avE && (payload(so) & 0x80) != 0) {
-                  size |= (payload(so) & 0x7F) << shift; shift += 7; so += 1
-                }
-                if (so >= avE) off = avE
+                size |= (payload(so) & 0x7F) << shift; so += 1
+                val end = so + size
+                if (end > avE) off = avE
                 else {
-                  size |= (payload(so) & 0x7F) << shift; so += 1
-                  val end = so + size
-                  if (end > avE) off = avE
-                  else {
-                    if (t == 1)
-                      found = Some(java.util.Arrays.copyOfRange(
-                        payload, off, end))
-                    off = end
-                  }
+                  if (t == 1)
+                    found = Some(java.util.Arrays.copyOfRange(
+                      payload, off, end))
+                  off = end
                 }
               }
             }
-            found
           }
-          (w, h, prof, lvl) <- parseAv1SequenceHeader(seqHdr)
-        } yield {
-          val n = b.find(sS, sE, "stsz")
-            .map { case (szS, _) => b.u32(szS + 8).toInt }.getOrElse(0)
-          (w, h, prof, lvl, n)
+          found
         }
-        hit match {
-          case Some(t) => return Some(t)
-          case None    => ()
-        }
-        trakFrom = trakE
-      }
-      None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
-  }
+        g <- parseAv1SequenceHeader(seqHdr)
+      } yield g
+    }.map { case ((w, h, prof, lvl), n) => (w, h, prof, lvl, n) }
 
   /** Build a minimal VALID AV1 MP4 — the [[synthesizeAvcMp4]] skeleton
     * with an `av01` entry carrying a real av1C + sequence header OBU;
@@ -1558,25 +1498,7 @@ object Multimodal {
                        profile: Int = 0, levelIdx: Int = 8,
                        timescale: Int = 1000,
                        frameDurUnits: Int = 40): Array[Byte] = {
-    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val obu = av1SequenceHeaderObu(width, height, profile, levelIdx)
-    val sample = be32(22) ++ Array.fill(22)(0x2D.toByte)
-    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
-      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
-    val mdat = mkBox("mdat", Array.fill(nFrames)(sample).flatten)
-    val chunkOffset = ftyp.length + 8
-    val durUnits = nFrames * frameDurUnits
-    val lieW = width + 16; val lieH = height + 16
-    val mvhd = mkBox("mvhd", be32(0), be32(0), be32(0), be32(timescale),
-      be32(durUnits), be32(0x00010000), be16(0x0100), be16(0),
-      new Array[Byte](8), unityMatrix, new Array[Byte](24), be32(2))
-    val tkhd = mkBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
-      be32(durUnits), new Array[Byte](8), be16(0), be16(0), be16(0),
-      be16(0), unityMatrix, be32(lieW << 16), be32(lieH << 16))
-    val mdhd = mkBox("mdhd", be32(0), be32(0), be32(0), be32(timescale),
-      be32(durUnits), be16(0x55C4), be16(0))
-    val hdlr = mkBox("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
-      new Array[Byte](12), Array[Byte](0))
     // av1C: marker|version = 0x81, profile(3)|level(5),
     // tier|hbd|12bit|mono|ssx|ssy|csp = 4:2:0 defaults, reserved byte,
     // then the config OBUs
@@ -1584,21 +1506,9 @@ object Multimodal {
       Array(0x81.toByte,
         ((profile << 5) | levelIdx).toByte,
         0x0C.toByte, 0x00.toByte), obu)
-    val stsdEntry = mkBox("av01", new Array[Byte](6), be16(1),
-      new Array[Byte](16), be16(lieW), be16(lieH), be32(0x00480000),
-      be32(0x00480000), be32(0), be16(1), new Array[Byte](32), be16(24),
-      be16(0xFFFF), av1C)
-    val stsd = mkBox("stsd", be32(0), be32(1), stsdEntry)
-    val stts = mkBox("stts", be32(0), be32(1), be32(nFrames), be32(frameDurUnits))
-    val stsc = mkBox("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
-    val stsz = mkBox("stsz", be32(0), be32(sample.length), be32(nFrames))
-    val stco = mkBox("stco", be32(0), be32(1), be32(chunkOffset))
-    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
-    val minf = mkBox("minf", stbl)
-    val mdia = mkBox("mdia", mdhd, hdlr, minf)
-    val trak = mkBox("trak", tkhd, mdia)
-    val moov = mkBox("moov", mvhd, trak)
-    ftyp ++ mdat ++ moov
+    // AV1 has no pad/crop arithmetic, so the lying dims are just +16
+    codecMp4("av01", width + 16, height + 16, av1C, 0x2D.toByte,
+      nFrames, timescale, frameDurUnits)
   }
 
   /** Synthesize an AV1 MP4 corpus keyed by id — arbitrary (uncropped)
@@ -1625,28 +1535,8 @@ object Multimodal {
 
   /** Batched AV1 sequence-header extraction — the [[decodeAvcStats]]
     * frame for av01 tracks. */
-  def decodeAv1Stats(media: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("codec", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("profile_idc", IntegerType, nullable = false),
-      StructField("level_idc", IntegerType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false)))
-    val enc = Encoders.row(outSchema)
-    media.select(F.col("media_id").cast("long"), F.col("payload"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeAv1Meta(r.getAs[Array[Byte]](1)).map {
-            case (w, h, prof, lvl, n) =>
-              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-                Array(r.getLong(0), "av01", w, h, prof, lvl, n),
-                outSchema): Row
-          }
-        }
-      }(enc)
-  }
+  def decodeAv1Stats(media: DataFrame): DataFrame =
+    codecGeometryStats(media, "av01", decodeAv1Meta)
 
   // --------------------------------------------------------------------
   // WebM (Matroska/EBML) metadata — the THIRD container family, and the
@@ -2544,12 +2434,7 @@ object Multimodal {
             bos.toByteArray
           }
           val upBytes = jpeg(up)
-          val rotPlain = jpeg(rot)
-          val payload = exifApp1Payload(6)
-          val app1 = Array(0xFF.toByte, 0xE1.toByte,
-            (((payload.length + 2) >> 8) & 0xFF).toByte,
-            ((payload.length + 2) & 0xFF).toByte) ++ payload
-          val rotBytes = rotPlain.take(2) ++ app1 ++ rotPlain.drop(2)
+          val rotBytes = spliceExifApp1(jpeg(rot), 6)
           Seq(
             new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
               Array(2 * id, "image", upBytes, upBytes.length.toLong),

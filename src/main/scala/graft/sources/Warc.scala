@@ -102,7 +102,7 @@ object Warc {
         val m = magic.getOrElse(return stop())
         if (!m.startsWith("WARC/")) return stop()
         var warcType = ""; var uri: Option[String] = None
-        var date: Option[String] = None; var clen = -1
+        var date: Option[String] = None; var clen = -1L
         var recContentType: Option[String] = None
         var headerDone = false
         while (!headerDone) {
@@ -119,8 +119,8 @@ object Warc {
                   case "warc-target-uri" => uri = Some(v)
                   case "warc-date" => date = Some(v)
                   case "content-length" =>
-                    clen = try v.toInt
-                      catch { case _: NumberFormatException => -1 }
+                    clen = try v.toLong
+                      catch { case _: NumberFormatException => -1L }
                   case "content-type" => recContentType = Some(v)
                   case _ => ()
                 }
@@ -128,7 +128,20 @@ object Warc {
           }
         }
         if (clen < 0) return stop()
-        val blockBytes = in.readNBytes(clen)
+        if (clen > Int.MaxValue - 8) {
+          // a record too large to hold as one string: DRAIN it (keeping
+          // the walk aligned) and continue — ending here would silently
+          // drop every valid record after one oversized one
+          var left = clen
+          while (left > 0) {
+            val s = in.skip(left)
+            if (s > 0) left -= s
+            else if (in.read() < 0) return stop() // true EOF
+            else left -= 1
+          }
+          return advance()
+        }
+        val blockBytes = in.readNBytes(clen.toInt)
         if (blockBytes.length < clen) return stop() // truncated block
         val block = new String(blockBytes, "UTF-8")
         // response records embed an HTTP message: status line, headers,

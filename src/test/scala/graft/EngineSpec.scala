@@ -736,6 +736,20 @@ class EngineSpec extends SparkSpec {
              |ON t.id = s.sid
              |WHEN MATCHED THEN DELETE""".stripMargin)
       }
+      // ...but an INSERT-ONLY merge is exempt (standard/Delta rule):
+      // multiple matches just exclude the row from the insert set
+      val r3 = engine.sql(
+        s"""MERGE INTO '$ds' t
+           |USING (SELECT CAST(1 AS BIGINT) AS sid, 'x' AS sv UNION ALL
+           |       SELECT CAST(1 AS BIGINT) AS sid, 'y' AS sv UNION ALL
+           |       SELECT CAST(77 AS BIGINT) AS sid, 'n' AS sv) s
+           |ON t.id = s.sid
+           |WHEN NOT MATCHED THEN INSERT (id, v)
+           |  VALUES (s.sid, s.sv)""".stripMargin).df
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(r3.head == ((0L, 0L, 1L))) // only 77 inserted
+      assert(rows(engine.sql(
+        s"SELECT COUNT() AS n FROM '$ds' WHERE id = 1").df) == Set(Seq(1L)))
       // error paths: non-versioned target, unknown SET column, alias
       // collision, INSERT * with a missing source column, no WHEN
       assertThrows[graft.sql.SemanticError] {

@@ -133,13 +133,18 @@ class SourcesShellSpec extends SparkSpec {
         .map(r => r.getString(1) -> r.getString(3)).toMap
       assert(out == entries.toMap, f)
     }
-    // a GNU long-name 'L' entry names the next regular entry
+    // a GNU long-name 'L' entry names the next regular entry (header
+    // checksum computed the standard way — the reader validates it)
     val longName = "x/" * 60 + "leaf.txt" // > 100 bytes
     val lData = longName.getBytes("UTF-8")
     val lHdr = new Array[Byte](512)
     System.arraycopy("././@LongLink".getBytes, 0, lHdr, 0, 13)
     System.arraycopy(f"${lData.length}%011o".getBytes, 0, lHdr, 124, 11)
     lHdr(156) = 'L'
+    java.util.Arrays.fill(lHdr, 148, 156, ' '.toByte)
+    val lSum = lHdr.foldLeft(0L)((a, b) => a + (b & 0xFF))
+    System.arraycopy(f"$lSum%06o".getBytes, 0, lHdr, 148, 6)
+    lHdr(154) = 0; lHdr(155) = ' '
     val lPad = new Array[Byte]((512 - lData.length % 512) % 512)
     val gnu = lHdr ++ lData ++ lPad ++ Archives.tarBytes(Seq(("short", "v")))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/l.tar"), gnu)
