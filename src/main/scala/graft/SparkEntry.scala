@@ -565,6 +565,47 @@ object SparkEntry {
       Multimodal.decodeHevcStats(
         Multimodal.synthesizeHevcVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- TFRecord round trip (the trainer-side interchange format):
+    //      executors write framed tf.Example shards (u64le length +
+    //      masked CRC32C, protobuf Features with bytes/int64/float
+    //      lists), the CRC-validating streaming reader walks them
+    //      back, and every document + its id and score feature must
+    //      reassemble exactly ----
+    "q276_tfrecord_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val staging = stagingDir("graft_tfrecord") + "/shards"
+      new java.io.File(staging).mkdirs()
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val exs = it.map { r =>
+            val id = r.getLong(0)
+            graft.sources.TfRecord.exampleBytes(
+              Seq("text" -> r.getString(1)),
+              Seq("doc_id" -> Seq(id)),
+              Seq("score" -> Seq((id % 100) / 10.0f)))
+          }.toSeq
+          if (exs.nonEmpty) {
+            val f = new java.io.File(staging, s"part-$pid.tfrecord")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.TfRecord.tfRecordBytes(exs))
+            finally out.close()
+          }
+        }
+      val read = graft.sources.TfRecord.read(s, s"$staging/*")
+      val byRec = read.groupBy("tf_file", "rec_idx").agg(
+        F.max(F.when(F.col("feature") === "doc_id",
+          F.col("int_vals").getItem(0))).as("doc_id"),
+        F.max(F.when(F.col("feature") === "text",
+          F.col("text_val"))).as("tf_text"),
+        F.max(F.when(F.col("feature") === "score",
+          F.col("float_vals").getItem(0))).as("score"))
+      byRec.join(docs, "doc_id")
+        .select(F.col("doc_id"),
+          (F.col("tf_text") === F.col("text")).as("text_ok"),
+          F.round(F.col("score").cast("double"), 1).as("score"))
+    }),
+
     // ---- TAR/ZIP archive ingestion (the delivery formats corpora
     //      actually arrive in beside WARC): executors write sharded
     //      archives (tar half-gzipped), the streaming entry walks read
@@ -6267,6 +6308,13 @@ object SparkEntry {
         | CAST(16 + ((doc_id * 3) % 5) * 16 AS INTEGER) AS frame_h,
         | CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
         | 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+
+    // text survives the proto round trip byte-exactly; the float
+    // feature replays through the same one-decimal arithmetic
+    "q276_tfrecord_ingest" ->
+      """SELECT doc_id, true AS text_ok,
+        | round(CAST(doc_id % 100 AS DOUBLE) / 10, 1) AS score
         |FROM documents""".stripMargin,
 
     // every document must survive the ustar wrap (+ half the shards

@@ -52,6 +52,48 @@ class SourcesShellSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$d/fr_pq")) == rows(fruits))
   }
 
+  test("TFRecord: CRC-validated framing, tf.Example proto walk, salvage") {
+    import graft.sources.TfRecord
+    val exs = Seq(
+      TfRecord.exampleBytes(Seq("text" -> "hello world"),
+        Seq("ids" -> Seq(1L, 300L, -5L)), Seq("w" -> Seq(0.5f, 2.25f))),
+      TfRecord.exampleBytes(Seq("text" -> ""), Seq("ids" -> Seq(Long.MaxValue))))
+    val d = java.nio.file.Files.createTempDirectory("graft-tfrec").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/a.tfrecord"),
+      TfRecord.tfRecordBytes(exs))
+    val out = graft.sources.TfRecord.read(spark, s"$d/a.tfrecord").collect()
+      .map(r => (r.getLong(1), r.getString(2)) ->
+        ((Option(r.getString(3)), Option(r.getSeq[Long](4)),
+          Option(r.getSeq[Float](5)))))
+      .toMap
+    assert(out((0L, "text")) == ((Some("hello world"), None, None)))
+    assert(out((0L, "ids"))._2.get == Seq(1L, 300L, -5L))
+    assert(out((0L, "w"))._3.get == Seq(0.5f, 2.25f))
+    assert(out((1L, "text")) == ((Some(""), None, None)))
+    assert(out((1L, "ids"))._2.get == Seq(Long.MaxValue))
+    // a corrupted payload CRC ends the walk, salvaging the prefix
+    val whole = TfRecord.tfRecordBytes(exs)
+    val corrupt = whole.clone()
+    corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 0x7F).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/c.tfrecord"),
+      corrupt)
+    assert(graft.sources.TfRecord.read(spark, s"$d/c.tfrecord").collect()
+      .map(_.getLong(1)).toSet == Set(0L))
+    // garbage bytes -> zero rows, never a throw
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/junk.tfrecord"),
+      "not a tfrecord".getBytes("UTF-8"))
+    assert(graft.sources.TfRecord.read(spark, s"$d/junk.tfrecord").count() == 0)
+    // a valid frame whose payload is NOT an Example is skipped, and
+    // later valid records still surface
+    val mixed = TfRecord.tfRecordBytes(Seq(
+      Array[Byte](0x0D, 1, 2, 3, 4), // field 1, wire 5 (fixed32): no Features
+      TfRecord.exampleBytes(Seq("k" -> "v"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/m.tfrecord"), mixed)
+    val m = graft.sources.TfRecord.read(spark, s"$d/m.tfrecord").collect()
+    assert(m.length == 1 && m.head.getLong(1) == 1L &&
+      m.head.getString(3) == "v")
+  }
+
   test("parquet footer stats equal scan aggregates without decoding pages") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}
