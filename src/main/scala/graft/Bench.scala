@@ -598,7 +598,7 @@ object Bench {
     // comparison shows what the zone-map sidecar buys the .bin path
     // relative to what parquet's built-in statistics buy the same
     // workload. Writes are untimed per-corpus layout costs, as always.
-    val (pqShuffled, pqPruned, rgNote) = {
+    val (pqShuffled, pqPruned, pqZorder2nd, pqLinear2nd, rgNote) = {
       import org.apache.spark.sql.{functions => F}
       val dirP = newTempDir("graft_bench_pqprune")
       // 6M-ROW input (the x10 staged table): at 600 k rows the whole
@@ -662,10 +662,54 @@ object Bench {
         .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
       val a = probe(spark, "q06_parquet_unpruned") { q(s"$dirP/shuffled") }
       val b = probe(spark, "q06_parquet_pruned") { q(s"$dirP/sorted") }
+      // Z-ORDER twin (the q277 statement's layout): cluster on
+      // (l_orderkey, l_quantity) and filter on the SECOND column —
+      // the case the linear sort above cannot prune (its groups carry
+      // full-range l_quantity stats). Same group sizing, same volume;
+      // the footer accounting below makes the skip measurable even
+      // where the 32-core wall hides it behind the driver floor.
+      graft.sources.Versioned.zorderLayout(
+          li, Seq("l_orderkey", "l_quantity"), numPartitions = Some(32))
+        .write.option("maxRecordsPerFile", "150000")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .mode("overwrite").parquet(s"$dirP/zorder")
+      def rgStatsQty(path: String): (Int, Int) = {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        var total = 0; var hit = 0
+        files.foreach { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try rdr.getRowGroups.asScala.foreach { rg =>
+            total += 1
+            rg.getColumns.asScala
+              .find(_.getPath.toDotString == "l_quantity").foreach { c =>
+                val st = c.getStatistics
+                val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                if (mx >= 10.0 && mn < 13.0) hit += 1
+              }
+          } finally rdr.close()
+        }
+        (total, hit)
+      }
+      val (totZ, hitZ) = rgStatsQty(s"$dirP/zorder")
+      val (totL, hitL) = rgStatsQty(s"$dirP/sorted")
+      def qQty(path: String) = spark.read.parquet(path)
+        .filter(F.col("l_quantity") >= 10 && F.col("l_quantity") < 13)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
+      val zl = probe(spark, "q06_zorder_2ndcol") { qQty(s"$dirP/zorder") }
+      val ll = probe(spark, "q06_linear_2ndcol") { qQty(s"$dirP/sorted") }
       val note = s"parquet row-group accounting: sorted layout $totS " +
         s"groups / $hitS intersect the filter range, shuffled twin " +
-        s"$totU / $hitU"
-      (a, b, note)
+        s"$totU / $hitU; 2nd-column twin (filter l_quantity in [10,13)): " +
+        s"zorder layout $totZ groups / $hitZ intersect, linear-by-orderkey " +
+        s"$totL / $hitL"
+      (a, b, zl, ll, note)
     }
     tracer.drain()
 
@@ -820,6 +864,8 @@ object Bench {
         :+ ("q06_blockfile_zoned" -> bfZoned)
         :+ ("q06_parquet_unpruned" -> pqShuffled)
         :+ ("q06_parquet_pruned" -> pqPruned)
+        :+ ("q06_zorder_2ndcol" -> pqZorder2nd)
+        :+ ("q06_linear_2ndcol" -> pqLinear2nd)
         :+ ("q275_footer_6Mrows" -> footer6M)
         :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)

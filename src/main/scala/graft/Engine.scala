@@ -108,8 +108,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * ([[graft.sources.Versioned.compact]]) — the maintenance statement
     * a long-running streaming ingest needs so manifests and file
     * listings stay bounded; prior versions keep time-traveling until
-    * VACUUM. Returns one row (version, segments_compacted). */
-  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*$""".r
+    * VACUUM. Returns one row (version, segments_compacted).
+    *
+    * `OPTIMIZE '<ds>' ZORDER BY (a, b, ...)` re-clusters the head along
+    * a Morton curve over the named numeric columns
+    * ([[graft.sources.Versioned.optimizeZorder]]) — row-group min/max
+    * statistics then prune scans filtered on ANY clustered column, not
+    * just a sort's leading one. No one-segment short-circuit: the
+    * rewrite is the point. */
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*$""".r
 
   /** `DESCRIBE '<table>'` / `DESCRIBE <name>` (extension): one row per
     * column — (column_name, column_type, nullable) — through the same
@@ -310,7 +318,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("versions_kept", LongType, nullable = false),
           StructField("head_version", LongType, nullable = false)))))
-    case OptimizeRe(target) =>
+    case OptimizeRe(target, zorderCols) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
@@ -319,9 +327,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val before = graft.sources.Versioned.segmentCount(spark, resolved)
       // already-compact short-circuit: a one-segment head would still
       // be rewritten IN FULL by compact() — a whole-dataset write for
-      // zero benefit (and a useless new version)
+      // zero benefit (and a useless new version). ZORDER never
+      // short-circuits: re-clustering a one-segment head is the point.
       val v =
-        if (before <= 1)
+        if (zorderCols != null) {
+          val cols = zorderCols.split(",").map(_.trim).toSeq
+          try graft.sources.Versioned.optimizeZorder(spark, resolved, cols)
+          catch { case e: IllegalArgumentException =>
+            throw new SemanticError(e.getMessage) }
+        }
+        else if (before <= 1)
           graft.sources.Versioned.versions(spark, resolved).last
         else graft.sources.Versioned.compact(spark, resolved)
       import org.apache.spark.sql.types.{LongType, StructField, StructType}

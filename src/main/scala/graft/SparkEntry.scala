@@ -1373,6 +1373,36 @@ object SparkEntry {
     //      gated rows are the same full aggregate: head post-compaction
     //      and the pre-compaction version via time travel), the head's
     //      manifest shrinks to one segment, history stays readable ----
+    // ---- OPTIMIZE ... ZORDER BY (the multi-dimensional clustering
+    //      statement): rewrite the head along a Morton curve over two
+    //      columns so row-group min/max stats prune filters on EITHER
+    //      of them (a linear sort serves only its leading column); the
+    //      gate proves the rewrite is content-exact by replaying a
+    //      selective filter on the SECOND clustered column through the
+    //      re-clustered head — layout/pruning evidence is pinned in
+    //      EngineSpec's row-group accounting and the bench pair ----
+    "q277_zorder_optimize" -> ((s, dir) => {
+      val path = stagingDir("graft_zorder") + "/ds"
+      val base = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_linestatus")
+      (0 until 2).foreach(i =>
+        Versioned.commit(base.filter(F.col("l_orderkey") % 2 === i), path))
+      val eng = Engine(s, dir)
+      val opt = eng.sql(s"OPTIMIZE '$path' ZORDER BY (l_partkey, l_quantity)")
+        .df.collect().head
+      require(opt.getLong(0) == 3L && opt.getLong(1) == 2L,
+        s"unexpected OPTIMIZE ZORDER result: $opt")
+      require(Versioned.segmentCount(s, path) == 1,
+        "OPTIMIZE ZORDER left more than one head segment")
+      eng.sql(
+        s"""SELECT l_linestatus, COUNT() AS n,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS id_sum
+           |FROM '$path'
+           |WHERE l_quantity >= 10 AND l_quantity < 20
+           |GROUP BY l_linestatus""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     "q252_sql_optimize" -> ((s, dir) => {
       val path = stagingDir("graft_optimize") + "/ds"
       val base = t(s, dir, "documents").select("doc_id", "lang")
@@ -5070,6 +5100,15 @@ object SparkEntry {
 
     // compaction must not move a row: the post-compaction head and the
     // pre-compaction snapshot aggregate identically (both = the source)
+    // the z-order rewrite is content-exact: the filtered aggregate over
+    // the re-clustered head equals the same filter over the source
+    "q277_zorder_optimize" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS id_sum
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity < 20
+        |GROUP BY l_linestatus""".stripMargin,
+
     "q252_sql_optimize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents

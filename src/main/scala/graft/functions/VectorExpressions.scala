@@ -417,5 +417,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "guard the empty-build-side case before probing")
         BloomProbeExpr(sketch, Cast(children(1), LongType))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCodeExpr].getName, "zorder_code"),
+      (children: Seq[Expression]) => {
+        // arg 0: the per-column quantile cutpoints as a literal nested
+        // array (small — driver-computed, (2^bits - 1) doubles/column),
+        // hoisted into a constructor field like pq_adc's LUT
+        val bounds = children(0) match {
+          case e if e.foldable =>
+            e.eval().asInstanceOf[ArrayData].toObjectArray(
+              ArrayType(DoubleType)).map(
+              _.asInstanceOf[ArrayData].toDoubleArray())
+          case other => throw new IllegalArgumentException(
+            s"zorder_code boundaries must be a literal nested array, got: $other")
+        }
+        ZOrderCodeExpr(bounds,
+          children.drop(1).map(c => Cast(c, DoubleType)))
+      }))
   }
 }

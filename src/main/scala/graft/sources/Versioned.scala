@@ -77,7 +77,8 @@ object Versioned {
     * the new columns, the lakehouse add-column semantics). Column
     * renames/retypes/drops still reject loudly — silent drift is how a
     * downstream trainer gets garbage columns at read time. */
-  def commit(df: DataFrame, path: String, append: Boolean = true): Long = {
+  def commit(df: DataFrame, path: String, append: Boolean = true,
+             writerOptions: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     val prev = versions(spark, path)
@@ -99,7 +100,7 @@ object Versioned {
     }
     // segment first (invisible until the manifest lands), commit last
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$path/data/$seg")
+    df.write.options(writerOptions).parquet(s"$path/data/$seg")
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
     val tmp = new Path(dir,
@@ -161,6 +162,93 @@ object Versioned {
     * head read. Returns the new version. */
   def compact(spark: SparkSession, path: String): Long =
     commit(read(spark, path), path, append = false)
+
+  /** Arrange `df` along a Morton (Z-order) curve over `cols`: quantile-
+    * quantize each column to a small bucket code, bit-interleave the
+    * codes ([[graft.functions.ZOrderCodeExpr]]), range-partition on the
+    * resulting z-value and sort within partitions. The output frame has
+    * the INPUT schema (the z column is internal) but its row order —
+    * and therefore every parquet row group written from it — is tight
+    * in ALL clustered dimensions at once, so min/max statistics prune
+    * scans filtered on any of them. A linear sort only does this for
+    * its leading column; at 100 TB the difference is whether a filter
+    * on the second dimension reads the whole table or ~1/√groups of it.
+    *
+    * Driver cost is bounded and corpus-size-independent: one
+    * `approxQuantile` pass collecting `(2^bits - 1)` doubles per column
+    * (255 at the default two-column 8 bits). Columns must be numeric —
+    * cast timestamps/dates to epoch numbers first, loudly rejected
+    * otherwise (hashing strings would destroy the locality the curve
+    * exists to create). */
+  def zorderLayout(df: DataFrame, cols: Seq[String],
+                   numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    require(cols.size >= 2,
+      s"ZORDER BY needs >= 2 columns (one column is a plain sort): $cols")
+    require(cols.size <= 7, s"ZORDER BY supports at most 7 columns: $cols")
+    val fields = cols.map { c =>
+      df.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column '$c' not in schema ${df.schema.simpleString}"))
+    }
+    fields.foreach { f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ZORDER BY column '${f.name}' is ${f.dataType.simpleString} — " +
+          "z-ordering needs numeric columns (cast timestamps to epoch first)")
+    }
+    val bits = math.min(8, 63 / cols.size)
+    val nCuts = (1 << bits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    // bounded driver collect: nCuts doubles per column, data-volume-free
+    val bounds: Array[Array[Double]] =
+      df.stat.approxQuantile(fields.map(_.name).toArray, probs, 0.001)
+    val doubles = fields.map(f => F.col(f.name).cast("double"))
+    val zcol = zcodeColumn(bounds, doubles, bits,
+      useNative = df.sparkSession.catalog.functionExists("zorder_code"))
+    val n = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val zname = "__graft_zorder"
+    df.withColumn(zname, zcol)
+      .repartitionByRange(n, F.col(zname))
+      .sortWithinPartitions(zname)
+      .drop(zname)
+  }
+
+  /** The z-code column: native [[graft.functions.ZOrderCodeExpr]] when
+    * the session carries GraftExtensions, else a bit-identical composed
+    * fallback — bucket = |{cutpoints <= v}| (NULL -> 0) via
+    * filter/size over the literal cutpoint array, then the MSB-first
+    * interleave as unrolled shift/mask arithmetic. Package-private so
+    * the differential spec can pin the two paths equal. */
+  private[graft] def zcodeColumn(bounds: Array[Array[Double]],
+                                 doubles: Seq[org.apache.spark.sql.Column],
+                                 bits: Int,
+                                 useNative: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    if (useNative)
+      F.call_function("zorder_code",
+        F.typedlit(bounds.map(_.toSeq).toSeq) +: doubles: _*)
+    else {
+      val codes = doubles.zipWithIndex.map { case (d, i) =>
+        F.coalesce(F.size(F.filter(F.typedlit(bounds(i).toSeq),
+          (x: org.apache.spark.sql.Column) => x <= d)), F.lit(0))
+      }
+      (bits - 1 to 0 by -1).flatMap { b =>
+        codes.map(c => F.shiftright(c, b).bitwiseAND(F.lit(1)).cast("long"))
+      }.reduce((acc, bit) => F.shiftleft(acc, 1).bitwiseOR(bit))
+    }
+  }
+
+  /** `OPTIMIZE ... ZORDER BY`: rewrite the head into z-ordered segments
+    * and commit as a new version. Unlike [[compact]] there is no
+    * one-segment short-circuit — re-clustering IS the point even when
+    * the manifest is already small. `writerOptions` pass through to the
+    * parquet writer (e.g. a bounded `parquet.block.size` so files carry
+    * many prunable row groups). Returns the new version. */
+  def optimizeZorder(spark: SparkSession, path: String, cols: Seq[String],
+                     writerOptions: Map[String, String] = Map.empty): Long =
+    commit(zorderLayout(read(spark, path), cols), path, append = false,
+      writerOptions = writerOptions)
 
   /** Garbage-collect history: retain the newest `keepVersions`
     * manifests and delete (a) every older manifest, then (b) every

@@ -1147,4 +1147,113 @@ class EngineSpec extends SparkSpec {
         .df.collect()
     }
   }
+
+  test("OPTIMIZE ZORDER BY: content identity, dual-path z-codes, " +
+       "row-group pruning on the second column") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .toString
+    try {
+      // two INDEPENDENT near-uniform dimensions — the case a linear
+      // sort cannot serve: ordering by x leaves every row group's y
+      // stats spanning the whole domain
+      val df = spark.range(40000).select(
+        F.col("id"),
+        F.pmod(F.hash(F.col("id")), F.lit(1000)).as("x"),
+        F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(1000)).as("y"))
+      val ds = s"$out/zds"
+      Versioned.commit(df, ds)
+      Versioned.commit(df.filter($"id" < 0), ds) // second (empty) segment
+
+      // the two z-code implementations are bit-identical
+      val bits = 8
+      val nCuts = (1 << bits) - 1
+      val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+      val bounds = df.stat.approxQuantile(Array("x", "y"), probs, 0.001)
+      val doubles = Seq(F.col("x").cast("double"), F.col("y").cast("double"))
+      val diff = df
+        .withColumn("zn", Versioned.zcodeColumn(bounds, doubles, bits, useNative = true))
+        .withColumn("zc", Versioned.zcodeColumn(bounds, doubles, bits, useNative = false))
+        .filter($"zn" =!= $"zc").count()
+      assert(diff == 0L)
+      // NULL buckets to 0 on both paths
+      val nulled = Seq((null.asInstanceOf[java.lang.Integer], 1))
+        .toDF("x", "y")
+      val zNull = nulled.select(
+        Versioned.zcodeColumn(bounds,
+          Seq(F.col("x").cast("double"), F.col("y").cast("double")),
+          bits, useNative = true).as("zn"),
+        Versioned.zcodeColumn(bounds,
+          Seq(F.col("x").cast("double"), F.col("y").cast("double")),
+          bits, useNative = false).as("zc")).collect().head
+      assert(zNull.getLong(0) == zNull.getLong(1))
+
+      // the dialect statement: rewrites (no one-segment short-circuit),
+      // bumps the version, preserves content exactly
+      val headBefore = Versioned.versions(spark, ds).last
+      val eng = Engine(spark, out)
+      val opt = eng.sql(s"OPTIMIZE '$ds' ZORDER BY (x, y)").df.collect().head
+      assert(opt.getLong(0) > headBefore)
+      assert(Versioned.segmentCount(spark, ds) >= 1)
+      val after = Versioned.read(spark, ds)
+      assert(after.count() == 40000L)
+      assert(after.agg(F.sum($"x" * $"y" + $"id")).collect().head.getLong(0) ==
+        df.agg(F.sum($"x" * $"y" + $"id")).collect().head.getLong(0))
+      // rejections: non-numeric column, unknown column, < 2 columns
+      assertThrows[graft.sql.SemanticError] {
+        eng.sql(s"OPTIMIZE '$ds' ZORDER BY (x)")
+      }
+      assertThrows[graft.sql.SemanticError] {
+        eng.sql(s"OPTIMIZE '$ds' ZORDER BY (x, nope)")
+      }
+
+      // pruning evidence: small-row-group parquet from the z-ordered
+      // layout vs a linear sort by x — a selective filter on Y
+      // intersects far fewer groups under z-order, while linear-by-x
+      // leaves y stats full-range in ~every group
+      def rgHits(path: String, lo: Long, hi: Long): (Int, Int) = {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        var total = 0; var hit = 0
+        files.foreach { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try rdr.getRowGroups.asScala.foreach { rg =>
+            total += 1
+            rg.getColumns.asScala
+              .find(_.getPath.toDotString == "y").foreach { c =>
+                val st = c.getStatistics
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                if (mx >= lo && mn < hi) hit += 1
+              }
+          } finally rdr.close()
+        }
+        (total, hit)
+      }
+      val wopts = Map("maxRecordsPerFile" -> "10000",
+                      "parquet.block.size" -> (16 * 1024).toString)
+      val zPath = s"$out/z-layout"
+      Versioned.zorderLayout(Versioned.read(spark, ds), Seq("x", "y"),
+          numPartitions = Some(4))
+        .write.options(wopts).parquet(zPath)
+      val linPath = s"$out/lin-layout"
+      Versioned.read(spark, ds).orderBy("x")
+        .write.options(wopts).parquet(linPath)
+      val (zTot, zHit) = rgHits(zPath, 100, 200)   // 10% of the y domain
+      val (lTot, lHit) = rgHits(linPath, 100, 200)
+      assert(zTot >= 8 && lTot >= 8) // enough groups for the claim
+      assert(lHit >= (lTot * 3) / 4,
+        s"linear-by-x should leave y unprunable: $lHit/$lTot")
+      assert(zHit * 2 <= zTot,
+        s"z-order should prune >= half the groups on y: $zHit/$zTot")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
