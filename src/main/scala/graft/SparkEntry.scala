@@ -358,6 +358,36 @@ object SparkEntry {
       t(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.qualityScore(F.col("text")).as("quality"))),
 
+    // ---- REAL BPE (not the subword proxy): the trainer makes ONE
+    //      distributed word-count pass, then runs the standard driver
+    //      loop over the bounded word-frequency table (pair argmax →
+    //      merge → repeat; ties count DESC then pair ASC). The oracle
+    //      replays all 8 training rounds in DuckDB — pair counting via
+    //      list_zip, the merge application as a list_reduce fold —
+    //      so every learned merge is independently re-derived ----
+    "q278_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
+        .zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
+
+    // ---- BPE ENCODE with the trained table: the native greedy-by-rank
+    //      expression (graft.functions.BpeEncodeExpr) tokenizes the
+    //      corpus; the oracle never reimplements the encoder — it takes
+    //      the symbols AFTER its replayed training rounds (sequential
+    //      merge application), which a correct greedy encoder must
+    //      reproduce exactly (the classic BPE order-equivalence) ----
+    "q279_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 8)
+      docs.select(F.explode(
+          TextAnalysis.bpeEncode(F.col("text"), merges)).as("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
+    }),
+
     "q25_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.langId(F.col("text")).as("lang_guess"))),
@@ -4408,6 +4438,22 @@ object SparkEntry {
          |SELECT doc_id, $qualityExprSql AS quality
          |FROM d""".stripMargin,
 
+    // every learned merge re-derived by the 8-round training replay
+    "q278_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(8)}
+         |${(1 to 8).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM m$k")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // the encode oracle is the trained words' post-round-8 symbols,
+    // weighted by word frequency — no second encoder implementation
+    "q279_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(8)}
+         |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+         |FROM (SELECT unnest(symbols) AS token, cnt FROM w8)
+         |GROUP BY token
+         |ORDER BY n DESC, token ASC LIMIT 30""".stripMargin,
+
     "q25_langid" ->
       s"""WITH $langidCtes
          |SELECT doc_id, lang_guess FROM langid""".stripMargin,
@@ -7724,6 +7770,38 @@ object SparkEntry {
       |  len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
       |      x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS n_sw
       | FROM documents)""".stripMargin
+
+  /** The BPE training replay as a CTE chain: `wf` (word frequencies
+    * with the q23 subword splitter), `w0` (words as character-symbol
+    * lists), then per round k: `p_k` adjacent pairs via list_zip,
+    * `m_k` the argmax merge (count DESC, pair ASC — the trainer's
+    * tiebreak), `w_k` the merge applied as a list_reduce fold over a
+    * chr(31)-joined accumulator (left-to-right, non-overlapping — one
+    * pass is exhaustive because a merged token can never recreate its
+    * own pair). After round N, `wN`'s symbols ARE each word's BPE
+    * encoding — which is how the encode oracle avoids reimplementing
+    * the greedy encoder. */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS (SELECT unnest(list_zip(symbols, symbols[2:])) AS p, cnt
+         |  FROM w${k - 1}),
+         |m$k AS (SELECT p[1] AS a, p[2] AS b FROM p$k WHERE p[2] IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY SUM(cnt) DESC, a ASC, b ASC LIMIT 1),
+         |w$k AS (SELECT str_split(list_reduce(symbols, (acc, x) ->
+         |    CASE WHEN (acc = m$k.a OR ends_with(acc, chr(31) || m$k.a))
+         |              AND x = m$k.b
+         |         THEN acc || m$k.b ELSE acc || chr(31) || x END),
+         |    chr(31)) AS symbols, cnt
+         |  FROM w${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    """wf AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+      |        '[^a-z0-9]+'), x -> len(x) > 0)) AS word FROM documents)
+      |  GROUP BY word),
+      |w0 AS (SELECT str_split(word, '') AS symbols, cnt FROM wf),
+      |""".stripMargin + rounds
+  }
 
   /** The quality formula over a docStatsCte row (n_tok, n_sw, text). */
   private val qualityExprSql: String =

@@ -418,6 +418,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomProbeExpr(sketch, Cast(children(1), LongType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        // arg 0: the trained merge table as a literal array of [a, b]
+        // pairs, hoisted into a constructor field (rank order = array
+        // order, exactly a merges.txt)
+        val merges = children(0) match {
+          case e if e.foldable =>
+            e.eval().asInstanceOf[ArrayData].toObjectArray(
+              ArrayType(StringType)).map { p =>
+              val pair = p.asInstanceOf[ArrayData]
+              require(pair.numElements == 2,
+                s"bpe_encode merges must be [a, b] pairs; got ${pair.numElements}")
+              (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+            }
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode merges must be a literal nested array, got: $other")
+        }
+        BpeEncodeExpr(merges, Cast(children(1), StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCodeExpr].getName, "zorder_code"),
       (children: Seq[Expression]) => {

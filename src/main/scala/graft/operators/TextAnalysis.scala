@@ -106,6 +106,100 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     F.size(F.filter(F.split(F.lower(text), "[^a-z0-9]+"), (t: Column) => F.length(t) > 0))
 
+  // ---- Byte-pair encoding: a REAL trained tokenizer (not the proxy
+  //      above) — train on the corpus, encode with the learned merges.
+  //      The trainer follows the standard shape every production BPE
+  //      trainer uses (Sennrich'16; HF/SentencePiece): learn from the
+  //      WORD-FREQUENCY table, not the corpus — the table is bounded by
+  //      vocabulary (heavy-hitter capped), so the driver loop's cost is
+  //      corpus-size-INDEPENDENT: at 100 TB only the one distributed
+  //      word-count pass touches the data. ----
+
+  /** The BPE pre-tokenizer: lowercase `[a-z0-9]+` runs — exactly the
+    * [[subwordCount]] splitter, so the oracle replay and the corpus
+    * stats agree on word boundaries. */
+  def bpeWords(text: Column): Column =
+    F.filter(F.split(F.lower(text), "[^a-z0-9]+"), (t: Column) => F.length(t) > 0)
+
+  /** Distributed word-frequency table — the only pass over the corpus
+    * the trainer makes. Shuffles (word, count) partials, never text. */
+  def bpeWordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(F.explode(bpeWords(F.col(textCol))).as("word"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+
+  /** One left-to-right, non-overlapping application of merge `(a, b)`
+    * to a word's symbols — the textbook merge step ('aaa' under (a,a)
+    * becomes [aa, a]). Shared by the trainer and the differential spec
+    * (the sequential-application encoder it cross-checks against
+    * [[graft.functions.BpeEncodeExpr]]'s greedy-by-rank one). */
+  private[graft] def bpeApplyMerge(syms: Array[String],
+                                   a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Train `numMerges` BPE merges on the corpus. One distributed
+    * word-count, then the standard driver loop over the word-frequency
+    * table: count adjacent symbol pairs (weighted by word frequency),
+    * take the argmax — ties broken (count DESC, pair ASC), the order a
+    * SQL oracle replays — apply, repeat. Stops early when no pair
+    * repeats. `maxWords` bounds the driver table to the most frequent
+    * words (count DESC, word ASC): a power-law vocabulary's tail
+    * contributes negligible pair mass, and the cap makes driver memory
+    * explicit and corpus-size-free. Returns the merges in rank order. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // bounded driver collect: maxWords (word, count) rows
+    val freqs = bpeWordFreqs(docs, textCol)
+      .orderBy(F.col("cnt").desc, F.col("word").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      freqs.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) += c; i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        words = words.map { case (syms, c) =>
+          (bpeApplyMerge(syms, pair._1, pair._2), c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode a text column with a trained merge table: ARRAY<STRING> of
+    * subword tokens. Native [[graft.functions.BpeEncodeExpr]] (greedy
+    * lowest-rank, codegen'd) when the session carries GraftExtensions;
+    * sessions without it fail loudly at analysis rather than silently
+    * slow-pathing (the merge table is expression state, not a column —
+    * there is no composable-builtin equivalent worth maintaining). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.functionExists("bpe_encode"),
+      "bpe_encode needs graft.functions.GraftExtensions on the session")
+    F.call_function("bpe_encode",
+      F.typedlit(merges.map(m => Seq(m._1, m._2))), text)
+  }
+
   /** Characters that count as punctuation for quality scoring. */
   val PunctClass = "[.,!?;:]"
 
