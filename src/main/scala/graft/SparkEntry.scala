@@ -636,6 +636,40 @@ object SparkEntry {
           F.round(F.col("score").cast("double"), 1).as("score"))
     }),
 
+    // ---- Avro OCF round trip (the row-oriented interchange format
+    //      ETL/Kafka pipelines hand corpora over in): executors write
+    //      sharded container files — half deflate, half uncompressed,
+    //      exercising both codecs — through the Avro CORE library (no
+    //      spark-avro module); the reader resolves the writer schema
+    //      from the first header and stream-decodes one record at a
+    //      time; ids, nullable strings, longs and an array column must
+    //      all round-trip exactly ----
+    "q280_avro_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("lang"), F.col("text"),
+          F.col("n_chars"),
+          F.array(F.col("doc_id"), F.col("n_chars")).as("sig"))
+      val staging = stagingDir("graft_avro") + "/shards"
+      new java.io.File(staging).mkdirs()
+      val schema = docs.schema
+      docs.repartition(4, F.col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val codec = if (pid % 2 == 0) "deflate" else "null"
+          graft.sources.Avro.writeFile(
+            new java.io.File(staging, s"part-$pid.avro"), schema, it, codec)
+          ()
+        }
+      val back = graft.sources.Avro.read(s, s"$staging/*.avro")
+      back.join(t(s, dir, "documents")
+          .select(F.col("doc_id"), F.col("text").as("src_text")), "doc_id")
+        .select(F.col("doc_id"),
+          (F.col("text") === F.col("src_text")).as("text_ok"),
+          (F.col("sig") === F.array(F.col("doc_id"), F.col("n_chars")))
+            .as("sig_ok"),
+          F.col("lang"), F.col("n_chars"))
+    }),
+
     // ---- TAR/ZIP archive ingestion (the delivery formats corpora
     //      actually arrive in beside WARC): executors write sharded
     //      archives (tar half-gzipped), the streaming entry walks read
@@ -6400,6 +6434,12 @@ object SparkEntry {
     "q276_tfrecord_ingest" ->
       """SELECT doc_id, true AS text_ok,
         | round(CAST(doc_id % 100 AS DOUBLE) / 10, 1) AS score
+        |FROM documents""".stripMargin,
+
+    // every row survives the container round trip: text byte-exact,
+    // the array column element-exact, nullable lang as union[null,T]
+    "q280_avro_ingest" ->
+      """SELECT doc_id, true AS text_ok, true AS sig_ok, lang, n_chars
         |FROM documents""".stripMargin,
 
     // every document must survive the ustar wrap (+ half the shards

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro Object Container File read/write — THE row-oriented interchange
+  * format of data engineering (Kafka archives, Sqoop/ETL drops, schema-
+  * registry pipelines all hand corpora over as `.avro`). Implemented
+  * against the Avro CORE library only (`org.apache.avro`, already on
+  * Spark's runtime classpath — no spark-avro module, no new
+  * dependency): an OCF is `magic Obj | metadata (writer schema
+  * JSON + codec) | 16-byte sync marker | blocks of
+  * (count, byte-length, deflate/null-compressed records, sync)`.
+  *
+  * Processing model: the writer schema travels IN the file, so [[read]]
+  * resolves it from the first file's HEADER on the driver (metadata
+  * only — no record decode), maps it to a Spark schema, and executors
+  * stream-decode records one at a time ([[DataFileStream]] — one
+  * record in memory, the [[Warc]]/[[TfRecord]] model). Parallelism is
+  * file-granular: corpora shard into many files, and that is the unit
+  * trainers and Kafka dumps produce anyway. (OCF is in principle also
+  * block-splittable on its sync markers — the upgrade path if a
+  * deployment ever ships single multi-GB files.)
+  *
+  * Type surface: the flat primitive subset corpora use — boolean, int,
+  * long, float, double, string, bytes, arrays of those, each
+  * optionally nullable as `union[null, T]`. Records-in-records, maps,
+  * enums and fixed reject LOUDLY at schema-mapping time: silently
+  * flattening nested payloads is how a pipeline ships garbage columns.
+  *
+  * Reference: minispark reads CSV and its native block format only
+  * (src/mini_spark/io.py) — Avro is a beyond-reference source.
+  */
+object Avro {
+
+  /** Spark -> Avro schema for the supported flat subset. Nullable
+    * fields become `union[null, T]` (null first, Avro's convention). */
+  def avroSchemaFor(schema: StructType, name: String = "graft_record"): Schema = {
+    def prim(dt: DataType): Schema = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case other => throw new IllegalArgumentException(
+        s"Avro writer supports flat primitives and arrays of them; got $other")
+    }
+    val fields = SchemaBuilder.record(name).fields()
+    schema.foldLeft(fields) { (fs, f) =>
+      val base = f.dataType match {
+        case ArrayType(et, _) => Schema.createArray(prim(et))
+        case dt => prim(dt)
+      }
+      val s =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      fs.name(f.name).`type`(s).noDefault()
+    }.endRecord()
+  }
+
+  /** Avro -> Spark schema for the supported subset; loud on the rest. */
+  def sparkSchemaFor(schema: Schema): StructType = {
+    def field(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(branches.size == nonNull.size + 1 && nonNull.size == 1,
+          s"Avro reader supports only union[null, T] nullability; got $s")
+        (field(nonNull.head)._1, true)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.INT     => (IntegerType, false)
+      case Schema.Type.LONG    => (LongType, false)
+      case Schema.Type.FLOAT   => (FloatType, false)
+      case Schema.Type.DOUBLE  => (DoubleType, false)
+      case Schema.Type.STRING  => (StringType, false)
+      case Schema.Type.BYTES   => (BinaryType, false)
+      case Schema.Type.ARRAY =>
+        val (et, en) = field(s.getElementType)
+        (ArrayType(et, containsNull = en), false)
+      case other => throw new IllegalArgumentException(
+        s"Avro reader supports flat primitives and arrays of them; " +
+          s"got $other in $s")
+    }
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record; got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = field(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def toAvroValue(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case seq: scala.collection.Seq[_] => seq.map(toAvroValue).asJava
+    case other => other
+  }
+
+  private def toSparkValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: org.apache.avro.util.Utf8, StringType) => s.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(toSparkValue(_, et))
+    case (other, _) => other
+  }
+
+  /** Write `rows` as one OCF shard to a LOCAL file — the executor-side
+    * writer ([[graft.sources.TfRecord]]'s sharding model: call from
+    * `foreachPartition`, one file per task). `codec` is `"null"`,
+    * `"deflate"` or `"snappy"`. */
+  def writeFile(file: java.io.File, schema: StructType,
+                rows: Iterator[Row], codec: String = "deflate"): Long = {
+    val avroSchema = avroSchemaFor(schema)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setCodec(codec match {
+      case "null"    => CodecFactory.nullCodec()
+      case "deflate" => CodecFactory.deflateCodec(6)
+      case "snappy"  => CodecFactory.snappyCodec()
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro codec '$other' (null|deflate|snappy)")
+    })
+    writer.create(avroSchema, file)
+    var n = 0L
+    try {
+      rows.foreach { r =>
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < schema.length) {
+          rec.put(i, toAvroValue(r.get(i)))
+          i += 1
+        }
+        writer.append(rec)
+        n += 1
+      }
+    } finally writer.close()
+    n
+  }
+
+  /** The writer schema of the FIRST file under `path` (glob ok),
+    * decoded from its OCF header — metadata only, no record reads. */
+  def writerSchema(spark: SparkSession, path: String): Schema = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val first = fs.globStatus(p) match {
+      case null | Array() => throw new IllegalArgumentException(
+        s"no Avro files match $path")
+      case matches =>
+        val files = matches.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+          else Array(st)
+        }.map(_.getPath).sortBy(_.toString)
+        require(files.nonEmpty, s"no Avro files match $path")
+        files.head
+    }
+    val in = fs.open(first)
+    try {
+      val stream = new DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      val s = stream.getSchema
+      stream.close()
+      s
+    } finally in.close()
+  }
+
+  /** Read a glob of `.avro` OCF files: schema from the first file's
+    * header, then one streaming task per file. A file whose writer
+    * schema differs from the resolved one fails ITS task loudly (no
+    * silent column drift mid-corpus); corrupted tail blocks raise
+    * through the Avro decoder the same way. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val sparkSchema = sparkSchemaFor(writerSchema(spark, path))
+    val expected = sparkSchema.map(f => (f.name, f.dataType)).toIndexedSeq
+    val types = sparkSchema.map(_.dataType).toIndexedSeq
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        val stream = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        val got = sparkSchemaFor(stream.getSchema)
+          .map(f => (f.name, f.dataType)).toIndexedSeq
+        require(got == expected,
+          s"Avro schema drift in $file: $got vs resolved $expected")
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = stream.hasNext
+            if (!h) { stream.close(); in.close() }
+            h
+          }
+          override def next(): Row = {
+            val rec = stream.next()
+            Row.fromSeq(types.indices.map(i =>
+              toSparkValue(rec.get(i), types(i))))
+          }
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+}

@@ -665,4 +665,81 @@ class SourcesShellSpec extends SparkSpec {
     Versioned.commit(Seq((5L, "e", 0.9)).toDF("id", "v", "score"), path)
     assert(Versioned.read(spark, path).count() == 4)
   }
+
+  test("Avro OCF: full-type round trip, nullables, codecs, " +
+       "schema drift and nested schemas reject loudly") {
+    import org.apache.spark.sql.{functions => F, Row}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toFile
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("flag", BooleanType, nullable = false),
+        StructField("n", IntegerType, nullable = true),
+        StructField("f", FloatType, nullable = false),
+        StructField("d", DoubleType, nullable = true),
+        StructField("s", StringType, nullable = true),
+        StructField("raw", BinaryType, nullable = true),
+        StructField("vec", ArrayType(FloatType, containsNull = false),
+          nullable = true)))
+      val rows = Seq(
+        Row(1L, true, 7, 1.5f, 2.25, "héllo\nworld", Array[Byte](0, 1, -2),
+          Seq(0.5f, -1.0f)),
+        Row(2L, false, null, -0.0f, null, null, null, null),
+        Row(3L, true, -1, Float.MinPositiveValue, 1e300, "", Array[Byte](),
+          Seq.empty[Float]))
+      // one shard per codec
+      graft.sources.Avro.writeFile(new java.io.File(dir, "a.avro"), schema,
+        rows.take(2).iterator, "deflate")
+      graft.sources.Avro.writeFile(new java.io.File(dir, "b.avro"), schema,
+        rows.drop(2).iterator, "null")
+      val back = graft.sources.Avro.read(spark, s"$dir/*.avro")
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        schema.map(f => (f.name, f.dataType)))
+      val got = back.collect().sortBy(_.getLong(0))
+      assert(got.length == 3)
+      val r1 = got(0)
+      assert(r1.getBoolean(1) && r1.getInt(2) == 7 && r1.getFloat(3) == 1.5f)
+      assert(r1.getString(5) == "héllo\nworld")
+      assert(r1.getAs[Array[Byte]](6).toSeq == Seq[Byte](0, 1, -2))
+      assert(r1.getSeq[Float](7) == Seq(0.5f, -1.0f))
+      val r2 = got(1)
+      assert(r2.isNullAt(2) && r2.isNullAt(4) && r2.isNullAt(5) &&
+        r2.isNullAt(6) && r2.isNullAt(7))
+      assert(got(2).getAs[Array[Byte]](6).isEmpty &&
+        got(2).getSeq[Float](7).isEmpty)
+
+      // an EMPTY shard (schema-only container) contributes zero rows
+      graft.sources.Avro.writeFile(new java.io.File(dir, "c.avro"), schema,
+        Iterator.empty, "deflate")
+      assert(graft.sources.Avro.read(spark, s"$dir/*.avro").count() == 3)
+
+      // schema DRIFT across files fails the read loudly
+      val drifted = StructType(Seq(StructField("id", LongType, false),
+        StructField("other", StringType, true)))
+      graft.sources.Avro.writeFile(new java.io.File(dir, "d.avro"), drifted,
+        Iterator(Row(9L, "x")), "null")
+      val ex = intercept[org.apache.spark.SparkException] {
+        graft.sources.Avro.read(spark, s"$dir/*.avro").count()
+      }
+      assert(ex.getMessage.contains("drift") ||
+        Option(ex.getCause).exists(_.getMessage.contains("drift")))
+      new java.io.File(dir, "d.avro").delete()
+
+      // nested/struct types reject at schema mapping, not silently
+      assertThrows[IllegalArgumentException] {
+        graft.sources.Avro.avroSchemaFor(StructType(Seq(
+          StructField("nested", StructType(Seq(
+            StructField("x", LongType, false))), false))))
+      }
+      assertThrows[IllegalArgumentException] {
+        graft.sources.Avro.writeFile(new java.io.File(dir, "x.avro"),
+          drifted, Iterator.empty, "zstd-nope")
+      }
+      // no files matching
+      assertThrows[IllegalArgumentException] {
+        graft.sources.Avro.read(spark, s"$dir/nothing-*.avro")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
