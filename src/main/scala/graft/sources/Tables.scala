@@ -36,6 +36,8 @@ object Tables {
              path.endsWith(".tgz"))
       Archives.readTar(spark, path)
     else if (path.endsWith(".zip")) Archives.readZip(spark, path)
+    else if (path.endsWith(".avro")) Avro.read(spark, path)
+    else if (path.endsWith(".tfrecord")) TfRecord.read(spark, path)
     // a Versioned dataset read WITHOUT a version clause means its
     // LATEST snapshot — a raw parquet read of the directory would
     // silently union every version's segments (one manifest-dir
@@ -56,7 +58,8 @@ object Tables {
   /** Extensions that name a non-parquet ingestion format — these refs
     * resolve base-relative WITHOUT the `.parquet` suffix rule. */
   private val IngestExts =
-    Seq(".bin", ".warc", ".warc.gz", ".tar", ".tar.gz", ".tgz", ".zip")
+    Seq(".bin", ".warc", ".warc.gz", ".tar", ".tar.gz", ".tgz", ".zip",
+      ".avro", ".tfrecord")
 
   def resolve(ref: String, baseDir: Option[String]): String =
     if (IngestExts.exists(ref.endsWith)) {

@@ -154,6 +154,21 @@ class SourcesShellSpec extends SparkSpec {
       .map(_.getString(0)).contains("target_uri"))
     assert(eng.sql(
       "SELECT SUM(n_bytes) AS b FROM 't.tar'").df.head().getLong(0) == 10L)
+    // Avro and TFRecord route by extension too
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    graft.sources.Avro.writeFile(new java.io.File(s"$d/r.avro"),
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("s", StringType, true))),
+      Iterator(Row(1L, "aa"), Row(2L, "bb")), "deflate")
+    assert(eng.sql("SELECT s FROM 'r.avro' WHERE id = 2").df
+      .head().getString(0) == "bb")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/r.tfrecord"),
+      graft.sources.TfRecord.tfRecordBytes(Seq(
+        graft.sources.TfRecord.exampleBytes(
+          Seq("text" -> "hello"), Seq("doc_id" -> Seq(5L)), Seq.empty))))
+    assert(eng.sql(
+      "SELECT COUNT() AS n FROM 'r.tfrecord'").df.head().getLong(0) == 2L)
   }
 
   test("TAR/ZIP ingestion: entry walks, gz, long names, truncation") {
