@@ -347,7 +347,13 @@ object Bench {
       // round-9 addition: the mixed-container video walk (synthesize +
       // sniff + per-family bitstream parse over all five families —
       // pure narrow CPU, the multimodal family's representative)
-      "q263_video_meta_mixed")
+      "q263_video_meta_mixed",
+      // round-9 second wave: the trained-tokenizer path — q279 as
+      // gated is train(8)+encode; the throughput number that matters
+      // at corpus scale is the ENCODE pass alone, probed separately
+      // below with a 200-merge table (q279_bpe_encode here keeps the
+      // gate-identical end-to-end cost visible beside it)
+      "q279_bpe_encode")
 
     // EXPLICIT driver-floor probe (round-8 verdict ask #8): a 5-row
     // scan + trivial agg through the IDENTICAL timing path (by-name
@@ -713,6 +719,27 @@ object Bench {
     }
     tracer.drain()
 
+    // Tokenizer THROUGHPUT probe: the q279 gate times train(8)+encode
+    // end-to-end; at corpus scale training amortizes to zero (one
+    // word-count pass + a vocabulary-bounded driver loop) and the
+    // recurring cost is the ENCODE pass. Train a 200-merge table once
+    // (untimed), then time encode+histogram over the staged documents —
+    // the per-row native-expression path a 100 TB tokenization job is
+    // made of.
+    val bpeEncode200 = {
+      import org.apache.spark.sql.{functions => F}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val merges =
+        graft.operators.TextAnalysis.bpeTrain(docs, "text", numMerges = 200)
+      probe(spark, "q279_bpe_encode200") {
+        docs.select(F.explode(graft.operators.TextAnalysis
+            .bpeEncode(F.col("text"), merges)).as("token"))
+          .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+          .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
+      }
+    }
+    tracer.drain()
+
     // Skewed-key x10 probe (round-8 verdict ask #6): a 10x events table
     // where ONE user owns ~50% of rows — the shape a 100 TB web corpus
     // presents (one giant domain). The same shuffled equi-join + agg
@@ -866,6 +893,7 @@ object Bench {
         :+ ("q06_parquet_pruned" -> pqPruned)
         :+ ("q06_zorder_2ndcol" -> pqZorder2nd)
         :+ ("q06_linear_2ndcol" -> pqLinear2nd)
+        :+ ("q279_bpe_encode200" -> bpeEncode200)
         :+ ("q275_footer_6Mrows" -> footer6M)
         :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)
