@@ -133,12 +133,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * minimal catalog surface over a directory-of-files data layout. */
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
 
-  /** `COPY (SELECT ...) TO '<path>' [FORMAT jsonl|csv|parquet]`
+  /** `COPY (SELECT ...) TO '<path>' [FORMAT jsonl|csv|parquet|avro|tfrecord]`
     * (extension, DuckDB-style): task-parallel export of a query result
     * in the interchange formats trainers and downstream tools ingest —
     * JSONL (one document per line, the pre-training corpus format), CSV
-    * (with header), or parquet. Default follows the target extension
-    * (`.jsonl`/`.ndjson` → jsonl, `.csv` → csv, else parquet). The
+    * (with header), parquet, Avro OCF shards, or framed tf.Example
+    * TFRecord shards (the read side of both is the matching FROM-by-
+    * extension route — full-duplex interchange). Default follows the
+    * target extension (`.jsonl`/`.ndjson` → jsonl, `.csv` → csv,
+    * `.avro` → avro, `.tfrecord` → tfrecord, else parquet). The
     * export is a directory of part files (every writer here is
     * task-parallel; a single-file export would gather 100 TB through
     * one writer) — `Tables.readJsonl`/`readCsv` and every engine FROM
@@ -410,6 +413,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse {
           if (target.endsWith(".jsonl") || target.endsWith(".ndjson")) "jsonl"
           else if (target.endsWith(".csv")) "csv"
+          else if (target.endsWith(".avro")) "avro"
+          else if (target.endsWith(".tfrecord")) "tfrecord"
           else "parquet"
         }
       // ONE execution of the body: write, then count the EXPORT (line
@@ -431,8 +436,90 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         case "parquet" =>
           df.write.mode("overwrite").parquet(target)
           spark.read.parquet(target).count()
+        case "avro" =>
+          // task-parallel OCF shards through the Avro core library
+          // (graft.sources.Avro — local-FS shard files, one per task,
+          // like the executor-side writers the ingest gates use);
+          // count is the READ-BACK of the export, like the others
+          val dir = new java.io.File(target)
+          if (dir.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          dir.mkdirs()
+          val schema = df.schema
+          df.foreachPartition { it: Iterator[Row] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            graft.sources.Avro.writeFile(
+              new java.io.File(target, f"part-$pid%05d.avro"),
+              schema, it, "deflate")
+            ()
+          }
+          graft.sources.Avro.read(spark, s"$target/*.avro").count()
+        case "tfrecord" =>
+          // framed tf.Example shards (graft.sources.TfRecord): strings
+          // -> bytes features, integral -> int64, floating -> float
+          // (f32 — the format's only float width), arrays likewise;
+          // NULL columns are ABSENT features (tf.Example convention).
+          // Count via accumulator: an all-null row exports an EMPTY
+          // Example, which a per-feature reader cannot see.
+          import org.apache.spark.sql.types._
+          val schema = df.schema
+          schema.foreach { f => f.dataType match {
+            case StringType | IntegerType | LongType | FloatType |
+                 DoubleType | BooleanType => ()
+            case ArrayType(IntegerType | LongType, _) => ()
+            case ArrayType(FloatType | DoubleType, _) => ()
+            case other => throw new SemanticError(
+              s"COPY FORMAT tfrecord cannot map column '${f.name}' of " +
+                s"type ${other.simpleString} onto tf.Example features")
+          }}
+          val dir = new java.io.File(target)
+          if (dir.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          dir.mkdirs()
+          val acc = spark.sparkContext.longAccumulator("copy_tfrecord_rows")
+          df.foreachPartition { it: Iterator[Row] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val exs = it.map { r =>
+              acc.add(1L)
+              var texts = List.empty[(String, String)]
+              var ints = List.empty[(String, Seq[Long])]
+              var floats = List.empty[(String, Seq[Float])]
+              schema.fields.zipWithIndex.foreach { case (f, i) =>
+                if (!r.isNullAt(i)) f.dataType match {
+                  case StringType =>
+                    texts ::= (f.name, r.getString(i))
+                  case IntegerType =>
+                    ints ::= (f.name, Seq(r.getInt(i).toLong))
+                  case LongType => ints ::= (f.name, Seq(r.getLong(i)))
+                  case BooleanType =>
+                    ints ::= (f.name, Seq(if (r.getBoolean(i)) 1L else 0L))
+                  case FloatType =>
+                    floats ::= (f.name, Seq(r.getFloat(i)))
+                  case DoubleType =>
+                    floats ::= (f.name, Seq(r.getDouble(i).toFloat))
+                  case ArrayType(LongType, _) =>
+                    ints ::= (f.name, r.getSeq[Long](i))
+                  case ArrayType(IntegerType, _) =>
+                    ints ::= (f.name, r.getSeq[Int](i).map(_.toLong))
+                  case ArrayType(FloatType, _) =>
+                    floats ::= (f.name, r.getSeq[Float](i))
+                  case ArrayType(DoubleType, _) =>
+                    floats ::= (f.name, r.getSeq[Double](i).map(_.toFloat))
+                  case _ => () // unreachable: schema pre-validated
+                }
+              }
+              graft.sources.TfRecord.exampleBytes(
+                texts.reverse, ints.reverse, floats.reverse)
+            }.toSeq
+            val f = new java.io.File(target, f"part-$pid%05d.tfrecord")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.TfRecord.tfRecordBytes(exs))
+            finally out.close()
+          }
+          acc.value.longValue()
         case other => throw new SemanticError(
-          s"Unknown COPY format '$other' — FORMAT jsonl, csv or parquet")
+          s"Unknown COPY format '$other' — FORMAT jsonl, csv, parquet, " +
+            "avro or tfrecord")
       }
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(

@@ -1572,6 +1572,23 @@ object SparkEntry {
     //      (the trainer-facing corpus interchange format), proven by a
     //      full read-back round trip — the gate aggregates what was
     //      exported, the oracle aggregates the source ----
+    // ---- FULL-DUPLEX Avro interchange from the dialect: COPY exports
+    //      task-parallel OCF shards (extension-inferred format), and
+    //      the SAME statement surface reads them back via FROM-by-
+    //      extension — export and re-ingest both oracle-replayed ----
+    "q281_sql_copy_avro" -> ((s, dir) => {
+      val path = stagingDir("graft_copy_avro") + "/export.avro"
+      val eng = Engine(s, dir)
+      val copied = eng.sql(s"COPY (SELECT doc_id, lang, n_chars " +
+        s"FROM documents WHERE doc_id < 300) TO '$path'").df.collect().head
+      require(copied.getLong(0) > 0L, s"empty Avro COPY: $copied")
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     "q250_sql_copy_jsonl" -> ((s, dir) => {
       val path = stagingDir("graft_copy") + "/export.jsonl"
       Engine(s, dir).sql(s"COPY (SELECT doc_id, lang, n_chars " +
@@ -5239,6 +5256,12 @@ object SparkEntry {
 
     // the exported rows are exactly the filtered source
     "q250_sql_copy_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id < 300 GROUP BY lang""".stripMargin,
+
+    // the Avro round trip preserves exactly the exported rows
+    "q281_sql_copy_avro" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id < 300 GROUP BY lang""".stripMargin,

@@ -580,6 +580,30 @@ class EngineSpec extends SparkSpec {
       assertThrows[graft.sql.SemanticError] {
         engine.sql(s"COPY (SELECT fruit FROM fruits) TO '$out/h' FORMAT xml")
       }
+      // FULL-DUPLEX interchange: COPY writes avro/tfrecord shards the
+      // dialect's FROM-by-extension reads straight back
+      val av = engine.sql(s"COPY (SELECT fruit, quantity FROM fruits) " +
+        s"TO '$out/x.avro'").df.collect().head
+      assert(av.getLong(0) == 5L)
+      assert(rows(engine.sql(
+        s"SELECT fruit FROM '$out/x.avro' WHERE quantity = 7").df) ==
+        Set(Seq("banana")))
+      val tf = engine.sql(s"COPY (SELECT fruit, quantity FROM fruits) " +
+        s"TO '$out/y.tfrecord'").df.collect().head
+      assert(tf.getLong(0) == 5L)
+      // the tf.Example reader surfaces one row per (record, feature)
+      assert(rows(engine.sql(
+        s"""SELECT feature, COUNT() AS n FROM '$out/y.tfrecord'
+           |GROUP BY feature""".stripMargin).df) ==
+        Set(Seq("fruit", 5L), Seq("quantity", 5L)))
+      // unmappable column types reject loudly at statement time
+      import spark.implicits._
+      Seq(Tuple1(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("ts").write.parquet(s"$out/ts.parquet")
+      assertThrows[graft.sql.SemanticError] {
+        engine.sql(s"COPY (SELECT ts FROM '$out/ts.parquet') " +
+          s"TO '$out/z.tfrecord'")
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
