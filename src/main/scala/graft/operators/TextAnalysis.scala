@@ -161,26 +161,85 @@ object TextAnalysis {
       .orderBy(F.col("cnt").desc, F.col("word").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Array[String], Long)] =
-      freqs.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+    val words: Array[Array[String]] =
+      freqs.map { case (w, _) => w.toCharArray.map(String.valueOf) }
+    val wcnt: Array[Long] = freqs.map(_._2)
+    // INCREMENTAL pair bookkeeping (the standard trainer optimization):
+    // a global pair -> weighted count map plus pair -> word-index
+    // inverted lists. Each merge then touches only the words CONTAINING
+    // the chosen pair — subtracting their old adjacencies, applying the
+    // merge, adding the new ones — instead of recounting every word.
+    // Cost drops from O(merges · total-symbols) to O(merges · touched),
+    // which is what makes a 32k-merge production vocabulary feasible on
+    // the driver (the loop is still vocabulary-bounded, never corpus-
+    // bounded). Determinism is untouched: counts after each round are
+    // identical to a full recount (the spec pins this equivalence).
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    // lazy-invalidated max-heap over (count, pair) SNAPSHOTS: every
+    // count change pushes the new value, selection pops until the top
+    // entry matches the live count (stale snapshots discard) — the
+    // textbook replacement for an O(pairs) argmax scan per merge.
+    // Ordering: highest count first, then lexicographically SMALLEST
+    // pair (the trainer/oracle tiebreak).
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      Ordering.fromLessThan { (x, y) =>
+        if (x._1 != y._1) x._1 < y._1
+        else {
+          val ac = x._2.compareTo(y._2)
+          if (ac != 0) ac > 0 else x._3.compareTo(y._3) > 0
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val syms = words(wi); val c = wcnt(wi) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts(p) + c
+        if (n == 0L) counts.remove(p)
+        else { counts(p) = n; heap.enqueue((n, p._1, p._2)) }
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += wi
+        // stale `where` entries for pairs a later merge removed are
+        // tolerated: the apply step re-checks adjacency
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long].withDefaultValue(0L)
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          counts((syms(i), syms(i + 1))) += c; i += 1
-        }
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == c) best = Some((a, b))
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        merges += pair
-        words = words.map { case (syms, c) =>
-          (bpeApplyMerge(syms, pair._1, pair._2), c)
-        }
+      best match {
+        case None => exhausted = true
+        case Some(pair) =>
+          merges += pair
+          val touched = where.remove(pair)
+            .map(_.toArray.sorted).getOrElse(Array.empty[Int])
+          touched.foreach { wi =>
+            // membership may be stale (the pair vanished from this word
+            // under an earlier merge) — verify before rewriting
+            val syms = words(wi)
+            var has = false; var i = 0
+            while (!has && i < syms.length - 1) {
+              has = syms(i) == pair._1 && syms(i + 1) == pair._2; i += 1
+            }
+            if (has) {
+              addWord(wi, -1L)
+              words(wi) = bpeApplyMerge(syms, pair._1, pair._2)
+              addWord(wi, 1L)
+            }
+          }
+          counts.remove(pair)
       }
     }
     merges.toSeq

@@ -2233,5 +2233,45 @@ class OperatorsSpec extends SparkSpec {
     val lowPairs = Set(("l", "o"), ("lo", "w"), ("o", "w"), ("l", "ow"))
     assert(capped.forall(lowPairs.contains),
       s"maxWords=1 should train only on 'low': $capped")
+
+    // the INCREMENTAL trainer (pair-delta bookkeeping + lazy heap) must
+    // equal a brute-force full-recount reference, merge for merge —
+    // including on overlap-heavy and tie-heavy corpora
+    def bruteTrain(freqs: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      var ws = freqs.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.length < n && !done) {
+        val cnt = scala.collection.mutable.HashMap
+          .empty[(String, String), Long].withDefaultValue(0L)
+        ws.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Array(a, b) => cnt((a, b)) += c
+            case _ => ()
+          }
+        }
+        if (cnt.isEmpty) done = true
+        else {
+          val (p, _) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+          out += p
+          ws = ws.map { case (s, c) =>
+            (TextAnalysis.bpeApplyMerge(s, p._1, p._2), c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val corpora = Seq(
+      tricky.union(docs),
+      Seq("aa aa aa ab ab ba ba bb bb bb").toDF("text"),   // heavy ties
+      Seq("xyxyxyxy yxyxyx xxxxxx yyyy").toDF("text"))     // overlaps
+    corpora.foreach { c =>
+      val freqs = TextAnalysis.bpeWordFreqs(c, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (w, n) => (-n, w) }
+      val inc = TextAnalysis.bpeTrain(c, "text", numMerges = 12)
+      val brute = bruteTrain(freqs, 12)
+      assert(inc == brute, s"incremental $inc != brute $brute")
+    }
   }
 }
