@@ -1341,6 +1341,30 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   def collect(query: String, limit: Int = Int.MaxValue): Seq[Row] =
     if (limit == Int.MaxValue) sql(query).collect() else sql(query).collect(limit)
 
+  /** Parse a FOR TIMESTAMP AS OF literal to epoch millis. Accepted:
+    * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (UTC — the session's pinned zone)
+    * or full ISO-8601 with offset/`Z`. Loud otherwise. */
+  private def parseAsOfTimestamp(s: String): Long = {
+    val t = s.trim
+    try {
+      if (t.contains("+") || t.endsWith("Z") || (t.contains("T") &&
+          t.length > 19))
+        java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+      else {
+        val norm =
+          if (t.length == 10) t + "T00:00:00"
+          else t.replace(' ', 'T')
+        java.time.LocalDateTime.parse(norm)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new SemanticError(
+          s"Cannot parse FOR TIMESTAMP AS OF '$s' — use " +
+            s"yyyy-MM-dd[ HH:mm:ss[.SSS]] (UTC) or ISO-8601: ${e.getMessage}")
+    }
+  }
+
   def plan(q: SqlQuery): GraftFrame = { scalarCache.clear(); plan(q, Map.empty) }
 
   private def plan(q0: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
@@ -1365,6 +1389,17 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           // FOR VERSION AS OF n: that committed snapshot, exactly
           case Some(v) => GraftFrame.fromDF(graft.sources.Versioned.read(
             spark, Tables.resolve(t.path, baseDir), Some(v)))
+          case None if t.asOfTs.isDefined =>
+            // FOR TIMESTAMP AS OF '<ts>': the snapshot that was head
+            // at that instant (UTC unless an offset is given)
+            val resolved = Tables.resolve(t.path, baseDir)
+            val ms = parseAsOfTimestamp(t.asOfTs.get)
+            val v =
+              try graft.sources.Versioned.versionAt(spark, resolved, ms)
+              catch { case e: IllegalArgumentException =>
+                throw new SemanticError(e.getMessage) }
+            GraftFrame.fromDF(
+              graft.sources.Versioned.read(spark, resolved, Some(v)))
           case None => scope.get(t.path) match {
             // a CTE's NAME is its default alias (standard SQL): without
             // this, `FROM r JOIN ... ON r.q = ...` fails to resolve the

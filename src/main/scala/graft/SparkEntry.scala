@@ -1437,6 +1437,32 @@ object SparkEntry {
     //      gated rows are the same full aggregate: head post-compaction
     //      and the pre-compaction version via time travel), the head's
     //      manifest shrinks to one segment, history stays readable ----
+    // ---- FOR TIMESTAMP AS OF (timestamp time travel): two commits
+    //      with separated manifest mtimes; querying AT the first
+    //      commit's instant must serve exactly the v1 snapshot — the
+    //      oracle replays v1's residue filter over the source ----
+    "q282_timestamp_travel" -> ((s, dir) => {
+      val path = stagingDir("graft_tstravel") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 0), path)
+      Thread.sleep(30)
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 1), path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val t1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$path/manifest", "v-000000001.txt")).getModificationTime
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(t1))
+      Engine(s, dir).sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR TIMESTAMP AS OF '$ts'
+           |GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- OPTIMIZE ... ZORDER BY (the multi-dimensional clustering
     //      statement): rewrite the head along a Morton curve over two
     //      columns so row-group min/max stats prune filters on EITHER
@@ -5197,6 +5223,12 @@ object SparkEntry {
 
     // compaction must not move a row: the post-compaction head and the
     // pre-compaction snapshot aggregate identically (both = the source)
+    // the v1-instant read serves exactly the first commit's residue
+    "q282_timestamp_travel" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang""".stripMargin,
+
     // the z-order rewrite is content-exact: the filtered aggregate over
     // the re-clustered head equals the same filter over the source
     "q277_zorder_optimize" ->

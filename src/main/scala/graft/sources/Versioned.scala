@@ -279,6 +279,27 @@ object Versioned {
         .foreach(p => fs.delete(p, true): Unit)
   }
 
+  /** The version that was HEAD at wall-clock instant `tsMillis`: the
+    * newest version whose manifest committed at or before it (manifest
+    * files are written once — rename-committed — so their modification
+    * time IS the commit time). Loud when the instant predates the
+    * first commit or when a kept-but-vacuumed history would lie: the
+    * answer only consults manifests that still exist, exactly the
+    * contract every lakehouse timestamp-travel has. */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, path)
+    val all = versions(spark, path)
+    require(all.nonEmpty, s"no committed versions at $path")
+    val committedBefore = all.filter { v =>
+      fs.getFileStatus(new Path(s"$path/manifest", f"v-$v%09d.txt"))
+        .getModificationTime <= tsMillis
+    }
+    require(committedBefore.nonEmpty,
+      s"no version of $path existed at epoch-ms $tsMillis " +
+        s"(first commit is version ${all.head})")
+    committedBefore.max
+  }
+
   /** Incremental read: the rows in segments ADDED after `fromVersion`,
     * up to `toVersion` (head when absent) — the change-data-capture
     * primitive an incremental consumer needs: poll [[versions]], read

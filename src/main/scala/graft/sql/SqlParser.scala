@@ -60,7 +60,10 @@ final case class TableRef(path: String, alias: Option[String],
                           values: Option[(Seq[String], Seq[Seq[Col]])] = None,
                           // time travel: `FOR VERSION AS OF n` over a
                           // Versioned dataset (Delta-style; extension)
-                          version: Option[Long] = None)
+                          version: Option[Long] = None,
+                          // `FOR TIMESTAMP AS OF '<ts>'`: the snapshot
+                          // that was HEAD at that wall-clock instant
+                          asOfTs: Option[String] = None)
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
@@ -563,19 +566,32 @@ object SqlParser {
         case t         => throw new ParseError(s"Expected table, got ${t.text}")
       }
       // time travel (extension, Delta-style): FROM 'ds' FOR VERSION AS
-      // OF n — reads that committed snapshot of a Versioned dataset;
-      // without the clause a versioned path reads its LATEST version
-      val version: Option[Long] =
-        if (!accept("FOR")) None
-        else {
-          expectKw("VERSION"); expectKw("AS"); expectKw("OF")
+      // OF n reads that committed snapshot of a Versioned dataset;
+      // FOR TIMESTAMP AS OF '<ts>' reads the snapshot that was HEAD at
+      // that instant (manifest commit times). Without the clause a
+      // versioned path reads its LATEST version. TIMESTAMP is matched
+      // as a bare ident, not reserved — a column may keep the name.
+      val (version, asOfTs): (Option[Long], Option[String]) =
+        if (!accept("FOR")) (None, None)
+        else if (accept("VERSION")) {
+          expectKw("AS"); expectKw("OF")
           next() match {
-            case TNum(t) if !t.contains('.') => Some(t.toLong)
+            case TNum(t) if !t.contains('.') => (Some(t.toLong), None)
             case t => throw new ParseError(
               s"Expected an integer version after AS OF, got ${t.text}")
           }
+        } else peek match {
+          case TIdent(k) if k.equalsIgnoreCase("timestamp") =>
+            next(); expectKw("AS"); expectKw("OF")
+            next() match {
+              case TStr(ts) => (None, Some(ts))
+              case t => throw new ParseError(
+                s"Expected a quoted timestamp after AS OF, got ${t.text}")
+            }
+          case t => throw new ParseError(
+            s"Expected VERSION or TIMESTAMP after FOR, got ${t.text}")
         }
-      TableRef(path, parseTableAlias(), version = version)
+      TableRef(path, parseTableAlias(), version = version, asOfTs = asOfTs)
     }
 
     private def parseTableAlias(): Option[String] = peek match {

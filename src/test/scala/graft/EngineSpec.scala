@@ -1172,6 +1172,52 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("FOR TIMESTAMP AS OF reads the snapshot that was head at that instant") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-tstravel")
+      .toString
+    try {
+      val ds = s"$out/ds"
+      Versioned.commit(Seq((1L, "a")).toDF("id", "v"), ds)
+      Thread.sleep(30) // separate the manifest mtimes
+      Versioned.commit(Seq((2L, "b")).toDF("id", "v"), ds)
+      val fs = new org.apache.hadoop.fs.Path(ds)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def mtime(v: Long) = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$ds/manifest", f"v-$v%09d.txt")).getModificationTime
+      assert(Versioned.versionAt(spark, ds, mtime(1)) == 1L)
+      assert(Versioned.versionAt(spark, ds, mtime(2) + 1000) == 2L)
+      assertThrows[IllegalArgumentException] {
+        Versioned.versionAt(spark, ds, mtime(1) - 1000)
+      }
+      // the dialect clause, with both accepted literal shapes
+      val eng = Engine(spark, out)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      val t1 = fmt.format(java.time.Instant.ofEpochMilli(mtime(1)))
+      assert(rows(eng.sql(
+        s"SELECT id FROM '$ds' FOR TIMESTAMP AS OF '$t1'").df) ==
+        Set(Seq(1L)))
+      val tIso = java.time.Instant.ofEpochMilli(mtime(2)).toString
+      assert(rows(eng.sql(
+        s"SELECT COUNT() AS n FROM '$ds' FOR TIMESTAMP AS OF '$tIso'").df) ==
+        Set(Seq(2L)))
+      // too-early instants and junk literals reject loudly
+      assertThrows[graft.sql.SemanticError] {
+        eng.sql(s"SELECT id FROM '$ds' FOR TIMESTAMP AS OF '1999-01-01'")
+          .df.collect()
+      }
+      assertThrows[graft.sql.SemanticError] {
+        eng.sql(s"SELECT id FROM '$ds' FOR TIMESTAMP AS OF 'yesterday'")
+          .df.collect()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("OPTIMIZE ZORDER BY: content identity, dual-path z-codes, " +
        "row-group pruning on the second column") {
     import graft.sources.Versioned
