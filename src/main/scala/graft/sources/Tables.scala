@@ -38,6 +38,14 @@ object Tables {
     else if (path.endsWith(".zip")) Archives.readZip(spark, path)
     else if (path.endsWith(".avro")) Avro.read(spark, path)
     else if (path.endsWith(".tfrecord")) TfRecord.read(spark, path)
+    // headered CSV with type inference — the ad-hoc ingestion shape
+    // (declared-schema ingestion stays readCsv/csvToParquet; inference
+    // costs one extra pass and is fine for the interactive FROM)
+    else if (path.endsWith(".csv") || path.endsWith(".csv.gz"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+    else if (path.endsWith(".jsonl") || path.endsWith(".ndjson"))
+      spark.read.json(path)
     // a Versioned dataset read WITHOUT a version clause means its
     // LATEST snapshot — a raw parquet read of the directory would
     // silently union every version's segments (one manifest-dir
@@ -59,7 +67,7 @@ object Tables {
     * resolve base-relative WITHOUT the `.parquet` suffix rule. */
   private val IngestExts =
     Seq(".bin", ".warc", ".warc.gz", ".tar", ".tar.gz", ".tgz", ".zip",
-      ".avro", ".tfrecord")
+      ".avro", ".tfrecord", ".csv", ".csv.gz", ".jsonl", ".ndjson")
 
   def resolve(ref: String, baseDir: Option[String]): String =
     if (IngestExts.exists(ref.endsWith)) {

@@ -169,6 +169,16 @@ class SourcesShellSpec extends SparkSpec {
           Seq("text" -> "hello"), Seq("doc_id" -> Seq(5L)), Seq.empty))))
     assert(eng.sql(
       "SELECT COUNT() AS n FROM 'r.tfrecord'").df.head().getLong(0) == 2L)
+    // headered CSV (inferred types) and JSONL route by extension too
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/r.csv"),
+      "k,v\n1,aa\n2,bb\n".getBytes("UTF-8"))
+    assert(eng.sql("SELECT v FROM 'r.csv' WHERE k = 2").df
+      .head().getString(0) == "bb")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/r.jsonl"),
+      "{\"k\": 1, \"v\": \"xx\"}\n{\"k\": 2, \"v\": \"yy\"}\n"
+        .getBytes("UTF-8"))
+    assert(eng.sql("SELECT v FROM 'r.jsonl' WHERE k = 1").df
+      .head().getString(0) == "xx")
   }
 
   test("TAR/ZIP ingestion: entry walks, gz, long names, truncation") {
