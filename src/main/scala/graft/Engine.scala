@@ -461,17 +461,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           // NULL columns are ABSENT features (tf.Example convention).
           // Count via accumulator: an all-null row exports an EMPTY
           // Example, which a per-feature reader cannot see.
-          import org.apache.spark.sql.types._
           val schema = df.schema
-          schema.foreach { f => f.dataType match {
-            case StringType | IntegerType | LongType | FloatType |
-                 DoubleType | BooleanType => ()
-            case ArrayType(IntegerType | LongType, _) => ()
-            case ArrayType(FloatType | DoubleType, _) => ()
-            case other => throw new SemanticError(
-              s"COPY FORMAT tfrecord cannot map column '${f.name}' of " +
-                s"type ${other.simpleString} onto tf.Example features")
-          }}
+          try graft.sources.TfRecord.validateSchema(schema)
+          catch { case e: IllegalArgumentException =>
+            throw new SemanticError(s"COPY FORMAT tfrecord: ${e.getMessage}") }
           val dir = new java.io.File(target)
           if (dir.exists())
             org.apache.commons.io.FileUtils.deleteDirectory(dir)
@@ -481,35 +474,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val exs = it.map { r =>
               acc.add(1L)
-              var texts = List.empty[(String, String)]
-              var ints = List.empty[(String, Seq[Long])]
-              var floats = List.empty[(String, Seq[Float])]
-              schema.fields.zipWithIndex.foreach { case (f, i) =>
-                if (!r.isNullAt(i)) f.dataType match {
-                  case StringType =>
-                    texts ::= (f.name, r.getString(i))
-                  case IntegerType =>
-                    ints ::= (f.name, Seq(r.getInt(i).toLong))
-                  case LongType => ints ::= (f.name, Seq(r.getLong(i)))
-                  case BooleanType =>
-                    ints ::= (f.name, Seq(if (r.getBoolean(i)) 1L else 0L))
-                  case FloatType =>
-                    floats ::= (f.name, Seq(r.getFloat(i)))
-                  case DoubleType =>
-                    floats ::= (f.name, Seq(r.getDouble(i).toFloat))
-                  case ArrayType(LongType, _) =>
-                    ints ::= (f.name, r.getSeq[Long](i))
-                  case ArrayType(IntegerType, _) =>
-                    ints ::= (f.name, r.getSeq[Int](i).map(_.toLong))
-                  case ArrayType(FloatType, _) =>
-                    floats ::= (f.name, r.getSeq[Float](i))
-                  case ArrayType(DoubleType, _) =>
-                    floats ::= (f.name, r.getSeq[Double](i).map(_.toFloat))
-                  case _ => () // unreachable: schema pre-validated
-                }
-              }
-              graft.sources.TfRecord.exampleBytes(
-                texts.reverse, ints.reverse, floats.reverse)
+              graft.sources.TfRecord.rowExampleBytes(schema, r)
             }.toSeq
             val f = new java.io.File(target, f"part-$pid%05d.tfrecord")
             val out = new java.io.FileOutputStream(f)

@@ -298,6 +298,56 @@ object TfRecord {
     pbLenDelim(1, entries.flatten.toArray) // Example{1: Features}
   }
 
+  /** Validate that every column of `schema` maps onto a tf.Example
+    * feature (strings → bytes, integrals/boolean → int64, floating →
+    * float (f32), arrays of those likewise) — LOUD at statement/plan
+    * time, before any executor runs. */
+  def validateSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    schema.foreach { f => f.dataType match {
+      case StringType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType => ()
+      case ArrayType(IntegerType | LongType, _) => ()
+      case ArrayType(FloatType | DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"cannot map column '${f.name}' of type ${other.simpleString} " +
+          "onto tf.Example features (strings, numbers, booleans and " +
+          "arrays of numbers only)")
+    }}
+  }
+
+  /** One Row → serialized tf.Example under a [[validateSchema]]-clean
+    * schema. NULL columns become ABSENT features (the tf.Example
+    * convention); doubles narrow to f32 — the format's only float
+    * width. Shared by `COPY ... FORMAT tfrecord` and the streaming
+    * sink. */
+  def rowExampleBytes(schema: org.apache.spark.sql.types.StructType,
+                      r: org.apache.spark.sql.Row): Array[Byte] = {
+    import org.apache.spark.sql.types._
+    var texts = List.empty[(String, String)]
+    var ints = List.empty[(String, Seq[Long])]
+    var floats = List.empty[(String, Seq[Float])]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!r.isNullAt(i)) f.dataType match {
+        case StringType  => texts ::= (f.name, r.getString(i))
+        case IntegerType => ints ::= (f.name, Seq(r.getInt(i).toLong))
+        case LongType    => ints ::= (f.name, Seq(r.getLong(i)))
+        case BooleanType =>
+          ints ::= (f.name, Seq(if (r.getBoolean(i)) 1L else 0L))
+        case FloatType   => floats ::= (f.name, Seq(r.getFloat(i)))
+        case DoubleType  => floats ::= (f.name, Seq(r.getDouble(i).toFloat))
+        case ArrayType(LongType, _) => ints ::= (f.name, r.getSeq[Long](i))
+        case ArrayType(IntegerType, _) =>
+          ints ::= (f.name, r.getSeq[Int](i).map(_.toLong))
+        case ArrayType(FloatType, _) => floats ::= (f.name, r.getSeq[Float](i))
+        case ArrayType(DoubleType, _) =>
+          floats ::= (f.name, r.getSeq[Double](i).map(_.toFloat))
+        case _ => () // unreachable: validateSchema rejected it
+      }
+    }
+    exampleBytes(texts.reverse, ints.reverse, floats.reverse)
+  }
+
   /** Frame serialized Examples into ONE .tfrecord file's bytes (the
     * u64le length + masked CRC32C framing TF readers verify). */
   def tfRecordBytes(examples: Seq[Array[Byte]]): Array[Byte] = {

@@ -676,4 +676,37 @@ object Streams {
           textCol, "_shard", s"$path/shard-$id", eps, confidence, seed)
       }
   }
+
+  /** Streaming TFRecord sink: each micro-batch's partitions write
+    * framed tf.Example shards `batch-<id>-part-<pid>.tfrecord` under
+    * `path` ([[graft.sources.TfRecord.rowExampleBytes]] — the same
+    * column→feature mapping `COPY ... FORMAT tfrecord` uses), closing
+    * the stream→trainer handoff: a curation stream lands directly in
+    * the files a TF input pipeline reads. Deterministic names make a
+    * RESTARTED batch overwrite its own shards (idempotent by batch id,
+    * the exactly-once pattern of the other foreachBatch sinks here).
+    * Schema validates at sink CONSTRUCTION — a stream that cannot map
+    * onto tf.Example features fails before it starts. */
+  def tfRecordSink(docs: DataFrame, path: String,
+                   checkpoint: String): DataStreamWriter[Row] = {
+    val schema = docs.schema
+    graft.sources.TfRecord.validateSchema(schema)
+    new java.io.File(path).mkdirs()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.foreachPartition { it: Iterator[Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val exs = it.map(graft.sources.TfRecord
+            .rowExampleBytes(schema, _)).toSeq
+          if (exs.nonEmpty) {
+            val f = new java.io.File(path,
+              f"batch-$id%06d-part-$pid%05d.tfrecord")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(graft.sources.TfRecord.tfRecordBytes(exs))
+            finally out.close()
+          }
+        }
+      }
+  }
 }

@@ -419,4 +419,41 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.filter("name = 'widget'").head().getFloat(2) == 9.5f)
   }
+
+  test("streaming TFRecord sink lands trainer-readable shards equal to batch") {
+    implicit val sq = spark.sqlContext
+    val d = Files.createTempDirectory("graft-stream-tfrec").toString
+    val stream = MemoryStream[(Long, String, Double)]
+    val docs = stream.toDF()
+      .select(F.col("_1").as("doc_id"), F.col("_2").as("text"),
+        F.col("_3").as("score"))
+    val q = Streams.tfRecordSink(docs, s"$d/out", s"$d/ckpt").start()
+    try {
+      stream.addData((1L, "alpha beta", 0.5), (2L, "gamma", 1.5))
+      q.processAllAvailable()
+      stream.addData((3L, "delta", 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.sources.TfRecord.read(spark, s"$d/out/*.tfrecord")
+    // reassemble per record: (doc_id, text, score)
+    val got = back.groupBy("tf_file", "rec_idx").agg(
+        F.max(F.when(F.col("feature") === "doc_id",
+          F.col("int_vals").getItem(0))).as("doc_id"),
+        F.max(F.when(F.col("feature") === "text",
+          F.col("text_val"))).as("text"),
+        F.max(F.when(F.col("feature") === "score",
+          F.col("float_vals").getItem(0))).as("score"))
+      .collect().map(r => (r.getLong(2), r.getString(3), r.getFloat(4)))
+      .toSet
+    assert(got == Set((1L, "alpha beta", 0.5f), (2L, "gamma", 1.5f),
+      (3L, "delta", 2.5f)))
+    // unmappable stream schema fails at sink construction, loudly
+    val badStream = MemoryStream[(Long, String)]
+    val bad = badStream.toDF()
+      .select(F.col("_1").as("id"),
+        F.split(F.col("_2"), " ").as("words")) // array<string>
+    assertThrows[IllegalArgumentException] {
+      Streams.tfRecordSink(bad, s"$d/out2", s"$d/ckpt2")
+    }
+  }
 }
