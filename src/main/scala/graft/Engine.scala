@@ -380,16 +380,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       if (vs.isEmpty) throw new SemanticError(
         s"DESCRIBE HISTORY requires a Versioned dataset at '$resolved'")
       import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
+      // commit_ts = the manifest's write time (rename-committed, written
+      // once) in epoch ms — the instant FOR TIMESTAMP AS OF resolves by
+      val hfs = new org.apache.hadoop.fs.Path(resolved)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val rows = vs.map(v => Row(v,
         graft.sources.Versioned.segmentCount(spark, resolved, Some(v)),
-        v == vs.last))
+        v == vs.last,
+        hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$resolved/manifest", f"v-$v%09d.txt")).getModificationTime))
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("n_segments", IntegerType, nullable = false),
-          StructField("is_head", BooleanType, nullable = false)))))
+          StructField("is_head", BooleanType, nullable = false),
+          StructField("commit_ts", LongType, nullable = false)))))
     case DescribeRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val df = table(ref).df

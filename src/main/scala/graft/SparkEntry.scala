@@ -853,7 +853,10 @@ object SparkEntry {
       Versioned.commit(docs.filter(F.col("doc_id") % 3 === 2), path,
         append = true)
       eng.sql(s"OPTIMIZE '$path'")
+      // commit_ts is wall-clock (nondeterministic): gate the stable
+      // audit columns, spec-pin the timestamp's monotonicity
       eng.sql(s"DESCRIBE HISTORY '$path'").df
+        .select("version", "n_segments", "is_head")
     }),
 
     // ---- SRT subtitle cues (the TEXT channel of video corpora):

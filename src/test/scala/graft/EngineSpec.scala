@@ -1213,6 +1213,12 @@ class EngineSpec extends SparkSpec {
         eng.sql(s"SELECT id FROM '$ds' FOR TIMESTAMP AS OF 'yesterday'")
           .df.collect()
       }
+      // DESCRIBE HISTORY's commit_ts IS the instant versionAt resolves
+      // by: per-version manifest mtimes, nondecreasing
+      val hist = eng.sql(s"DESCRIBE HISTORY '$ds'").df.collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(hist(1L) == mtime(1) && hist(2L) == mtime(2))
+      assert(hist(1L) <= hist(2L))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
