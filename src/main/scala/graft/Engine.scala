@@ -583,14 +583,26 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         (if (hfs.exists(basePath)) hfs.listStatus(basePath).toSeq
          else Seq.empty)
         .map(_.getPath.getName)
-        .filter(n => n.endsWith(".parquet") || n.endsWith(".bin"))
-        .sorted
-        .map { n =>
-          val (name, fmt) =
-            if (n.endsWith(".bin")) (n, "blockfile")
-            else (n.stripSuffix(".parquet"), "parquet")
-          Row(name, fmt)
-        } ++ views.keys.toSeq.sorted.map(n => Row(n, "view"))
+        .flatMap { n =>
+          // every FROM-by-extension format the resolver serves — the
+          // catalog must list exactly what a bare-name FROM can read
+          val fmt =
+            if (n.endsWith(".parquet")) Some(n.stripSuffix(".parquet") -> "parquet")
+            else if (n.endsWith(".bin")) Some(n -> "blockfile")
+            else if (n.endsWith(".warc") || n.endsWith(".warc.gz")) Some(n -> "warc")
+            else if (n.endsWith(".tar") || n.endsWith(".tar.gz") ||
+                     n.endsWith(".tgz")) Some(n -> "tar")
+            else if (n.endsWith(".zip")) Some(n -> "zip")
+            else if (n.endsWith(".avro")) Some(n -> "avro")
+            else if (n.endsWith(".tfrecord")) Some(n -> "tfrecord")
+            else if (n.endsWith(".csv") || n.endsWith(".csv.gz")) Some(n -> "csv")
+            else if (n.endsWith(".jsonl") || n.endsWith(".ndjson")) Some(n -> "jsonl")
+            else None
+          fmt
+        }
+        .sortBy(_._1)
+        .map { case (name, fmt) => Row(name, fmt) } ++
+        views.keys.toSeq.sorted.map(n => Row(n, "view"))
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(files).asJava),

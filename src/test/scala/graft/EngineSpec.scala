@@ -831,6 +831,29 @@ class EngineSpec extends SparkSpec {
     assertThrows[graft.sql.SemanticError] {
       new Engine(spark, None).sql("SHOW TABLES")
     }
+    // the catalog lists every FROM-by-extension format it can serve
+    val mixed = java.nio.file.Files.createTempDirectory("graft-catalog")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$mixed/t.parquet")
+      graft.sources.Avro.writeFile(
+        new java.io.File(s"$mixed/r.avro"),
+        StructType(Seq(StructField("id", LongType, false))),
+        Iterator(org.apache.spark.sql.Row(1L)), "null")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$mixed/c.csv"),
+        "k\n1\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$mixed/j.jsonl"),
+        "{\"k\": 1}\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$mixed/x.ignored-ext"), Array[Byte](1))
+      val cat = Engine(spark, mixed.toString).sql("SHOW TABLES").df
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(cat == Set(("t", "parquet"), ("r.avro", "avro"),
+        ("c.csv", "csv"), ("j.jsonl", "jsonl")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(mixed.toFile)
+    }
   }
 
   test("UPDATE rewrites matched rows copy-on-write; NULL predicate keeps rows") {
