@@ -923,6 +923,16 @@ object Bench {
       "q00_floor is the MEASURED per-rep driver floor (5-row scan + " +
       "agg through the identical probe path): subtract its median " +
       "from any sub-0.5s in-sweep median before cross-round compares. " +
+      "q06_zorder_2ndcol vs q06_linear_2ndcol (round 9): the SAME " +
+      "selective filter on the SECOND clustered column over the same " +
+      "6M rows and group sizing — the z-ordered layout's row-group " +
+      "accounting (in the first sentence) is the 100 TB number, the " +
+      "wall delta is that skip minus the driver floor. " +
+      "q279_bpe_encode200 times ENCODE ONLY (200-merge table trained " +
+      "untimed): the recurring cost of a tokenization job — training " +
+      "is one word-count pass + a vocabulary-bounded driver loop, " +
+      "amortized to zero at corpus scale; q279_bpe_encode in the " +
+      "headline set is the gate-identical train(8)+encode. " +
       "q06_x10_6Mrows / q06_x10_rawlayout / q06_x10_canary are " +
       "INTERLEAVED (staged, raw, canary back-to-back per rep, 11 " +
       "cycles): a load excursion lands in the same rep of all three " +
