@@ -1758,6 +1758,76 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- SEGMENT-PRUNED DML (round-9 verdict ask #2): the triad
+    //      rewrites ONLY segments containing matched rows; untouched
+    //      segments carry into the new manifest BY REFERENCE. Each gate
+    //      seeds THREE segments split by doc_id % 3, runs a statement
+    //      matching exactly one residue class, and emits n_carried =
+    //      |old manifest ∩ new manifest| alongside the content
+    //      aggregate — the oracle pins BOTH the post-DML content and
+    //      the two-of-three carry count, so a regression to full
+    //      rewrites (n_carried = 0) fails the gate, not just a spec ----
+    "q283_sql_merge_pruned" -> ((s, dir) => {
+      val path = stagingDir("graft_merge_prune") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      eng.sql(
+        s"""MERGE INTO '$path' t
+           |USING (SELECT doc_id, n_chars FROM documents
+           |       WHERE doc_id % 3 = 1 AND doc_id % 5 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET lang = 'upd',
+           |  n_chars = s.n_chars + 10""".stripMargin)
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+    }),
+
+    "q284_sql_update_pruned" -> ((s, dir) => {
+      val path = stagingDir("graft_update_prune") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      eng.sql(s"UPDATE '$path' SET lang = 'upd', n_chars = n_chars + 5 " +
+        "WHERE doc_id % 3 = 2 AND doc_id % 7 = 0")
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+    }),
+
+    "q285_sql_delete_pruned" -> ((s, dir) => {
+      val path = stagingDir("graft_delete_prune") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' " +
+        "WHERE doc_id % 3 = 0 AND doc_id % 11 = 0")
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT COUNT() AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path'""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -5416,6 +5486,40 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM m GROUP BY lang""".stripMargin,
+
+    // pruned-DML gates: content replays as CASE/filter arithmetic; the
+    // n_carried literal pins that exactly two of the three seeded
+    // segments survived the statement by reference (a full-rewrite
+    // regression would emit 0 and hash-mismatch)
+    "q283_sql_merge_pruned" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+        |         THEN 'upd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+        |         THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(2 AS BIGINT) AS n_carried
+        |FROM m GROUP BY lang""".stripMargin,
+
+    "q284_sql_update_pruned" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0
+        |         THEN 'upd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0
+        |         THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(2 AS BIGINT) AS n_carried
+        |FROM u GROUP BY lang""".stripMargin,
+
+    "q285_sql_delete_pruned" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(2 AS BIGINT) AS n_carried
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 0 AND doc_id % 11 = 0)""".stripMargin,
 
     "q242_sql_update" ->
       """WITH u AS (SELECT doc_id,

@@ -60,6 +60,88 @@ object Versioned {
     text.split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** Write `df` as a fresh immutable segment under `path/data` and
+    * return its name — the data half of a commit, invisible until a
+    * manifest references it. Shared by [[commit]] and the
+    * segment-pruned DML paths in [[graft.Engine]]. */
+  private[graft] def writeSegment(df: DataFrame, path: String,
+      writerOptions: Map[String, String] = Map.empty): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.options(writerOptions).parquet(s"$path/data/$seg")
+    seg
+  }
+
+  /** [[writeSegment]], but an all-rows-filtered-away result is skipped
+    * and reported as `None` — a pruned DML must not stack zero-row
+    * segments onto the manifest. The emptiness probe is `df.isEmpty`
+    * (a take(1) job that short-circuits at the first surviving row),
+    * run BEFORE the write: Spark's single-directory writer opens its
+    * part file eagerly per task, so an after-the-fact file listing
+    * cannot distinguish empty output from small output. */
+  private[graft] def writeSegmentIfNonEmpty(df: DataFrame, path: String,
+      writerOptions: Map[String, String] = Map.empty): Option[String] =
+    if (df.isEmpty) None else Some(writeSegment(df, path, writerOptions))
+
+  /** Commit the result of a pruned DML: `carried` untouched segments
+    * (by reference) plus the optional freshly written one. A DML that
+    * empties the dataset entirely still commits a READABLE version: a
+    * metadata-only empty segment carrying `schema` (an empty manifest
+    * would leave `read` with no footers to resolve a schema from). */
+  private[graft] def commitPruned(spark: SparkSession, path: String,
+      carried: Seq[String], fresh: Option[String],
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val segs = carried ++ fresh
+    if (segs.nonEmpty) commitSegments(spark, path, segs)
+    else commitSegments(spark, path, Seq(writeSegment(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      path)))
+  }
+
+  /** Commit an EXPLICIT segment list as the next version — the
+    * manifest half of a commit. This is what makes DML segment-pruned:
+    * a selective MERGE/UPDATE/DELETE rewrites only the segments that
+    * contain matched rows and carries every untouched segment into the
+    * new manifest BY REFERENCE (same name, same immutable files, zero
+    * bytes moved) — at 100 TB the difference between a one-row upsert
+    * costing one segment and costing the whole table. Every referenced
+    * segment must already exist (carried names come from a committed
+    * manifest; new names from [[writeSegment]], written first — the
+    * same segment-then-manifest crash-safety ordering as [[commit]]). */
+  private[graft] def commitSegments(spark: SparkSession, path: String,
+                                    segs: Seq[String]): Long = {
+    val fs = fsOf(spark, path)
+    segs.foreach { s =>
+      require(fs.exists(new Path(s"$path/data/$s")),
+        s"commitSegments: segment '$s' does not exist at $path")
+    }
+    val version = versions(spark, path).lastOption.getOrElse(0L) + 1
+    val dir = new Path(s"$path/manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(segs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, f"v-$version%09d.txt")
+    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"version $version already committed at $path — " +
+        "concurrent committers must be serialized")
+    }
+    version
+  }
+
+  /** The head's segment names, in manifest order — what a pruned DML
+    * partitions into touched (rewritten) and untouched (carried). */
+  private[graft] def headSegments(spark: SparkSession,
+                                  path: String): Seq[String] = {
+    val all = versions(spark, path)
+    require(all.nonEmpty, s"no committed versions at $path")
+    readManifest(spark, path, all.last)
+  }
+
   /** Commit `df` as the next version. `append = true` (default) stacks
     * the new segment on the previous version's segment list (the
     * incremental-run shape); `append = false` starts the new version
@@ -80,9 +162,7 @@ object Versioned {
   def commit(df: DataFrame, path: String, append: Boolean = true,
              writerOptions: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
-    val fs = fsOf(spark, path)
     val prev = versions(spark, path)
-    val version = prev.lastOption.getOrElse(0L) + 1
     val prevSegs =
       if (append && prev.nonEmpty) readManifest(spark, path, prev.last)
       else Seq.empty
@@ -99,32 +179,68 @@ object Versioned {
           "(appends may add trailing columns, never rename/retype/drop)")
     }
     // segment first (invisible until the manifest lands), commit last
-    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.options(writerOptions).parquet(s"$path/data/$seg")
-    val dir = new Path(s"$path/manifest")
-    fs.mkdirs(dir)
-    val tmp = new Path(dir,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write((prevSegs :+ seg).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(dir, f"v-$version%09d.txt")
-    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"version $version already committed at $path — " +
-        "concurrent committers must be serialized")
-    }
-    version
+    val seg = writeSegment(df, path, writerOptions)
+    commitSegments(spark, path, prevSegs :+ seg)
+  }
+
+  /** Append storage-level row provenance to a segment-backed frame:
+    * `__file` / `__pos` (the parquet `_metadata.file_path` /
+    * `row_index` hidden fields — a row identity that is deterministic
+    * across jobs with ZERO materialization, unlike
+    * `monotonically_increasing_id`, which renumbers between jobs unless
+    * the whole frame is checkpointed) and `__seg` (the owning segment
+    * name = the file's parent directory — what a pruned rewrite must
+    * touch). */
+  private[graft] def withProvenance(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    df.select(df.columns.map(F.col).toSeq ++ Seq(
+        F.col("_metadata.file_path").as("__file"),
+        F.col("_metadata.row_index").as("__pos")): _*)
+      .withColumn("__seg", F.element_at(F.split(F.col("__file"), "/"), -2))
+  }
+
+  /** Head read + [[withProvenance]] — the detection-pass frame every
+    * pruned DML starts from: filter/join it, collect the DISTINCT
+    * `__seg` values of matched rows (bounded by the manifest length,
+    * never by data volume), and rewrite only those segments. */
+  private[graft] def readWithProvenance(spark: SparkSession,
+                                        path: String): DataFrame =
+    withProvenance(read(spark, path))
+
+  /** Read ONLY the named segments, provenance-tagged and aligned to
+    * `schema` (the head's merged schema): segments written before a
+    * widening append serve explicit NULLs for the evolved columns, so
+    * a pruned rewrite's projections — compiled against the head schema
+    * — resolve regardless of which schema generation the touched
+    * segments carry. */
+  private[graft] def readSegmentsAligned(
+      spark: SparkSession, path: String, segs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    require(segs.nonEmpty, "readSegmentsAligned needs >= 1 segment")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$path/data/$s"): _*)
+    val have = raw.columns.toSet
+    withProvenance(raw).select(
+      schema.fields.map { f =>
+        if (have(f.name)) F.col(f.name)
+        else F.lit(null).cast(f.dataType).as(f.name)
+      }.toSeq ++ Seq(F.col("__file"), F.col("__pos"), F.col("__seg")): _*)
   }
 
   /** Copy-on-write DELETE: commit a new version holding the head's rows
     * that do NOT match `predicate` — the takedown/GDPR primitive on the
     * publishing layer. The delete is itself a version: prior snapshots
     * stay readable (audit trail) until [[vacuum]] retires them, exactly
-    * like a lakehouse table format. Cost: one filtered rewrite of the
-    * head (task-parallel parquet), one manifest rename. Returns the new
-    * version number. */
+    * like a lakehouse table format.
+    *
+    * SEGMENT-PRUNED: a detection pass (predicate pushed into the
+    * parquet scan, `__seg`-distinct collect bounded by the manifest
+    * length) finds the segments holding matched rows; only THOSE are
+    * rewritten — every untouched segment carries into the new manifest
+    * by reference, files byte-identical. A selective delete on a 100 TB
+    * corpus costs the matched segments, not the table. A no-match
+    * delete is a manifest-only commit. Returns the new version. */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     // standard DELETE semantics: remove rows where the predicate is TRUE.
@@ -132,8 +248,22 @@ object Versioned {
     // is NULL (e.g. `lang != 'en'` with NULL lang). A bare `!predicate`
     // would keep only FALSE rows and silently drop the NULL ones.
     import org.apache.spark.sql.functions.{coalesce, lit}
-    commit(read(spark, path).filter(!coalesce(predicate, lit(false))),
-      path, append = false)
+    val segsAll = headSegments(spark, path)
+    val matched = coalesce(predicate, lit(false))
+    val affected = readWithProvenance(spark, path).filter(matched)
+      .select("__seg").distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) commitSegments(spark, path, segsAll)
+    else {
+      val headSchema = read(spark, path).schema
+      val survivors = readSegmentsAligned(spark, path,
+          segsAll.filter(affected), headSchema)
+        .filter(!matched)
+        .select(headSchema.fieldNames.map(org.apache.spark.sql
+          .functions.col).toSeq: _*)
+      val fresh = writeSegmentIfNonEmpty(survivors, path)
+      commitPruned(spark, path, segsAll.filterNot(affected), fresh,
+        headSchema)
+    }
   }
 
   /** Number of segments composing a version (head when absent) — the
@@ -307,10 +437,13 @@ object Versioned {
     * cursor. `fromVersion = 0` reads everything. Segment-LEVEL delta by
     * construction (segments are immutable, so "added since" is exact
     * set difference on the manifests — no data comparison): appended
-    * versions yield exactly their new rows; a REPUBLISH (UPDATE /
-    * DELETE / append=false commit) starts a fresh segment list, so its
+    * versions yield exactly their new rows; a REPUBLISH (append=false
+    * commit, compact, z-order) starts a fresh segment list, so its
     * whole snapshot appears as changes — correct for a consumer that
-    * must reprocess after a rewrite; row-level diffing between
+    * must reprocess after a rewrite. A segment-pruned DML
+    * (MERGE/UPDATE/DELETE) surfaces exactly its REWRITTEN segments —
+    * carried segments are unchanged by construction, so consumers
+    * reprocess only touched data; row-level diffing between
     * arbitrary snapshots is [[graft.operators.Dedup.corpusDiff]]'s job.
     * Returns an empty frame (head schema) when nothing changed. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,

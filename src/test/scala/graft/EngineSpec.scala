@@ -900,6 +900,118 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("segment-pruned DML: untouched segments carry by reference, bytes identical") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dml-prune")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      import org.apache.spark.sql.{functions => F}
+      val ds = s"$out/ds"
+      // three appended commits = three segments with disjoint id ranges
+      Versioned.commit((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+      Versioned.commit((101L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+      Versioned.commit((201L to 300L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+      // (name, mtime, size, md5) of every part file in a segment — the
+      // byte-identity witness: a carried segment must not even be
+      // rewritten with identical content
+      def digest(seg: String): Set[(String, Long, Long, String)] =
+        new java.io.File(s"$ds/data/$seg").listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            (f.getName, f.lastModified(), f.length(),
+              md.map("%02x".format(_)).mkString)
+          }.toSet
+      def segOf(id: Long): String =
+        Versioned.readWithProvenance(spark, ds)
+          .filter(F.col("id") === id).select("__seg").head().getString(0)
+
+      // --- selective UPDATE: only the segment holding id=150 rewrites
+      val segs1 = Versioned.headSegments(spark, ds)
+      assert(segs1.length == 3)
+      val hot1 = segOf(150L)
+      val cold1 = segs1.filterNot(_ == hot1)
+      val snap1 = cold1.map(s => s -> digest(s)).toMap
+      engine.sql(s"UPDATE '$ds' SET v = 'upd' WHERE id = 150")
+      val segs2 = Versioned.headSegments(spark, ds)
+      assert(cold1.forall(segs2.contains), "untouched segments carried")
+      assert(!segs2.contains(hot1), "matched segment replaced")
+      assert(segs2.length == 3)
+      cold1.foreach(s => assert(digest(s) == snap1(s), s"bytes of $s"))
+      assert(rows(engine.sql(
+        s"SELECT v FROM '$ds' WHERE id = 150").df) == Set(Seq("upd")))
+      assert(engine.sql(s"SELECT COUNT() AS n FROM '$ds'").df
+        .head().getLong(0) == 300L)
+
+      // --- selective DELETE: same discipline, row count drops by one
+      val hot2 = segOf(250L)
+      val cold2 = segs2.filterNot(_ == hot2)
+      val snap2 = cold2.map(s => s -> digest(s)).toMap
+      engine.sql(s"DELETE FROM '$ds' WHERE id = 250")
+      val segs3 = Versioned.headSegments(spark, ds)
+      assert(cold2.forall(segs3.contains) && !segs3.contains(hot2))
+      cold2.foreach(s => assert(digest(s) == snap2(s), s"bytes of $s"))
+      assert(engine.sql(s"SELECT COUNT() AS n FROM '$ds'").df
+        .head().getLong(0) == 299L)
+
+      // --- selective MERGE: matched segment rewrites, inserts land in
+      //     the fresh segment, the other two carry by reference
+      Seq((10L, "m"), (1000L, "new")).toDF("id", "v")
+        .write.parquet(s"$out/src.parquet")
+      val hot3 = segOf(10L)
+      val cold3 = segs3.filterNot(_ == hot3)
+      val snap3 = cold3.map(s => s -> digest(s)).toMap
+      val eng = Engine(spark, out.toString)
+      val m = eng.sql(
+        s"""MERGE INTO '$ds' t USING src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+          .stripMargin).df.collect().head
+      assert(m.getLong(1) == 1L && m.getLong(3) == 1L) // 1 upd, 1 ins
+      val segs4 = Versioned.headSegments(spark, ds)
+      assert(cold3.forall(segs4.contains) && !segs4.contains(hot3))
+      cold3.foreach(s => assert(digest(s) == snap3(s), s"bytes of $s"))
+      assert(rows(eng.sql(
+        s"SELECT v FROM '$ds' WHERE id = 10 OR id = 1000").df) ==
+        Set(Seq("m"), Seq("new")))
+      assert(eng.sql(s"SELECT COUNT() AS n FROM '$ds'").df
+        .head().getLong(0) == 300L)
+
+      // --- insert-only MERGE rewrites NOTHING: every prior segment
+      //     carries; the insert is its own fresh segment
+      Seq((2000L, "ins")).toDF("id", "v")
+        .write.parquet(s"$out/src2.parquet")
+      val snap4 = segs4.map(s => s -> digest(s)).toMap
+      eng.sql(
+        s"""MERGE INTO '$ds' t USING src2 s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+          .stripMargin)
+      val segs5 = Versioned.headSegments(spark, ds)
+      assert(segs4.forall(segs5.contains) && segs5.length == segs4.length + 1)
+      segs4.foreach(s => assert(digest(s) == snap4(s), s"bytes of $s"))
+
+      // --- no-match UPDATE/DELETE = manifest-only commits (same list)
+      val vBefore = Versioned.versions(spark, ds).last
+      engine.sql(s"UPDATE '$ds' SET v = 'x' WHERE id = -5")
+      engine.sql(s"DELETE FROM '$ds' WHERE id = -6")
+      assert(Versioned.headSegments(spark, ds) == segs5)
+      assert(Versioned.versions(spark, ds).last == vBefore + 2)
+
+      // --- DELETE of every row still commits a READABLE empty head
+      val ds2 = s"$out/ds2"
+      Versioned.commit(Seq((1L, "a")).toDF("id", "v"), ds2)
+      engine.sql(s"DELETE FROM '$ds2' WHERE id >= 0")
+      val emptied = Versioned.read(spark, ds2)
+      assert(emptied.count() == 0L &&
+        emptied.columns.toSeq == Seq("id", "v"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
