@@ -1618,6 +1618,26 @@ object SparkEntry {
         .withColumn("n", F.col("n").cast("long"))
     }),
 
+    // ---- Avro TIMESTAMP round-trip (round-10 verdict ask #2): COPY a
+    //      timestamp-bearing projection to OCF through the dialect
+    //      (TimestampType -> long + timestamp-micros logical type), read
+    //      it back through the Avro source, and compare every instant at
+    //      MICROSECOND precision against the origin table — epoch_us on
+    //      both sides so the gate is exact, not stringification-fuzzy ----
+    "q286_avro_ts_roundtrip" -> ((s, dir) => {
+      val path = stagingDir("graft_copy_avro_ts") + "/events_ts.avro"
+      val eng = Engine(s, dir)
+      val copied = eng.sql(s"COPY (SELECT event_id, ts, value FROM events " +
+        s"WHERE event_id % 17 = 0) TO '$path'").df.collect().head
+      require(copied.getLong(0) > 0L, s"empty Avro timestamp COPY: $copied")
+      graft.sources.Avro.read(s, s"$path/*.avro").select(
+        F.col("event_id"),
+        // session TZ is UTC, so the NTZ->instant cast is the identity
+        // wall-clock mapping epoch_us applies on the oracle side
+        F.unix_micros(F.col("ts").cast("timestamp")).as("ts_us"),
+        F.round(F.col("value"), 4).as("value"))
+    }),
+
     "q250_sql_copy_jsonl" -> ((s, dir) => {
       val path = stagingDir("graft_copy") + "/export.jsonl"
       Engine(s, dir).sql(s"COPY (SELECT doc_id, lang, n_chars " +
@@ -5370,6 +5390,14 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id < 300 GROUP BY lang""".stripMargin,
+
+    // every exported instant re-derived at microsecond precision from
+    // the origin table — a lossy timestamp-micros mapping in either
+    // direction shifts ts_us and fails the hash
+    "q286_avro_ts_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  round(value, 4) AS value
+        |FROM events WHERE event_id % 17 = 0""".stripMargin,
 
     // counts per side, joint-vocab smoothing, the same pre-rounded ln,
     // the same (kl desc, token) tie-break and limit

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -28,7 +28,9 @@ import scala.jdk.CollectionConverters._
   * deployment ever ships single multi-GB files.)
   *
   * Type surface: the flat primitive subset corpora use — boolean, int,
-  * long, float, double, string, bytes, arrays of those, each
+  * long, float, double, string, bytes, timestamp (long +
+  * `timestamp-micros` logical type on write; micros OR millis logical
+  * types on read), arrays of those, each
   * optionally nullable as `union[null, T]`. Records-in-records, maps,
   * enums and fixed reject LOUDLY at schema-mapping time: silently
   * flattening nested payloads is how a pipeline ships garbage columns.
@@ -49,6 +51,18 @@ object Avro {
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
       case StringType  => Schema.create(Schema.Type.STRING)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
+      // the dialect's own temporal core type (reference constants.py:22):
+      // Avro's standard encoding is long + the timestamp-micros logical
+      // type — exactly TimestampType's microsecond precision, lossless
+      // both directions
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(
+          Schema.create(Schema.Type.LONG))
+      // NTZ (wall-clock) timestamps — what the testdata parquet carries —
+      // map to Avro's local-timestamp-micros, the zone-free twin
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(
+          Schema.create(Schema.Type.LONG))
       case other => throw new IllegalArgumentException(
         s"Avro writer supports flat primitives and arrays of them; got $other")
     }
@@ -77,6 +91,18 @@ object Avro {
         (field(nonNull.head)._1, true)
       case Schema.Type.BOOLEAN => (BooleanType, false)
       case Schema.Type.INT     => (IntegerType, false)
+      // millis-precision variants (Kafka Connect's default) read fine:
+      // the value converter widens millis -> micros losslessly
+      case Schema.Type.LONG
+          if s.getLogicalType != null &&
+             Set("timestamp-micros", "timestamp-millis")(
+               s.getLogicalType.getName) =>
+        (TimestampType, false)
+      case Schema.Type.LONG
+          if s.getLogicalType != null &&
+             Set("local-timestamp-micros", "local-timestamp-millis")(
+               s.getLogicalType.getName) =>
+        (TimestampNTZType, false)
       case Schema.Type.LONG    => (LongType, false)
       case Schema.Type.FLOAT   => (FloatType, false)
       case Schema.Type.DOUBLE  => (DoubleType, false)
@@ -100,20 +126,61 @@ object Avro {
   private def toAvroValue(v: Any): Any = v match {
     case null => null
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    // timestamp-micros: epoch micros as long (floorDiv keeps pre-1970
+    // instants exact — a truncating divide would round them toward zero)
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case t: java.time.Instant =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    // NTZ rows surface as LocalDateTime; local-timestamp-micros is
+    // epoch micros of the same wall-clock read at UTC
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
     case seq: scala.collection.Seq[_] => seq.map(toAvroValue).asJava
     case other => other
   }
 
-  private def toSparkValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (s: org.apache.avro.util.Utf8, StringType) => s.toString
-    case (s: CharSequence, StringType) => s.toString
-    case (b: java.nio.ByteBuffer, BinaryType) =>
-      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
-    case (l: java.util.Collection[_], ArrayType(et, _)) =>
-      l.asScala.toSeq.map(toSparkValue(_, et))
-    case (other, _) => other
+  /** Micros per encoded unit for a field's timestamp logical type
+    * (1000 for `timestamp-millis`, else 1) — drills through the
+    * nullable union and array element wrappers. */
+  private def tsUnitMicros(s: Schema): Long = {
+    val base = s.getType match {
+      case Schema.Type.UNION =>
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+      case _ => s
+    }
+    base.getType match {
+      case Schema.Type.ARRAY => tsUnitMicros(base.getElementType)
+      case _ =>
+        if (Option(base.getLogicalType)
+              .exists(_.getName.endsWith("timestamp-millis"))) 1000L
+        else 1L
+    }
   }
+
+  private def toSparkValue(v: Any, dt: DataType, tsUnit: Long = 1L): Any =
+    (v, dt) match {
+      case (null, _) => null
+      case (s: org.apache.avro.util.Utf8, StringType) => s.toString
+      case (s: CharSequence, StringType) => s.toString
+      case (b: java.nio.ByteBuffer, BinaryType) =>
+        val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+      case (l: java.lang.Long, TimestampType) =>
+        val micros = l * tsUnit
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case (l: java.lang.Long, TimestampNTZType) =>
+        val micros = l * tsUnit
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (l: java.util.Collection[_], ArrayType(et, _)) =>
+        l.asScala.toSeq.map(toSparkValue(_, et, tsUnit))
+      case (other, _) => other
+    }
 
   /** Write `rows` as one OCF shard to a LOCAL file — the executor-side
     * writer ([[graft.sources.TfRecord]]'s sharding model: call from
@@ -181,9 +248,12 @@ object Avro {
     * silent column drift mid-corpus); corrupted tail blocks raise
     * through the Avro decoder the same way. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val sparkSchema = sparkSchemaFor(writerSchema(spark, path))
+    val wSchema = writerSchema(spark, path)
+    val sparkSchema = sparkSchemaFor(wSchema)
     val expected = sparkSchema.map(f => (f.name, f.dataType)).toIndexedSeq
     val types = sparkSchema.map(_.dataType).toIndexedSeq
+    val units = wSchema.getFields.asScala
+      .map(f => tsUnitMicros(f.schema())).toIndexedSeq
     val rows = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         val in = pds.open()
@@ -202,7 +272,7 @@ object Avro {
           override def next(): Row = {
             val rec = stream.next()
             Row.fromSeq(types.indices.map(i =>
-              toSparkValue(rec.get(i), types(i))))
+              toSparkValue(rec.get(i), types(i), units(i))))
           }
         }
       }

@@ -767,4 +767,79 @@ class SourcesShellSpec extends SparkSpec {
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("Avro timestamps: micros round trip (TZ + NTZ, pre-1970), " +
+       "millis logical types widen losslessly on read") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-ts").toFile
+    try {
+      // instant (TZ) and wall-clock (NTZ) columns, odd micros + a
+      // pre-1970 instant (the floorDiv/floorMod edge)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("at", TimestampType, nullable = true),
+        StructField("wall", TimestampNTZType, nullable = true)))
+      def ts(micros: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(
+          Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      }
+      def ldt(micros: Long): java.time.LocalDateTime =
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      val micros = Seq(1234567890123456L, -1234567L, 0L)
+      val rows = micros.zipWithIndex.map { case (us, i) =>
+        Row(i.toLong, ts(us), ldt(us)) } :+ Row(99L, null, null)
+      graft.sources.Avro.writeFile(new java.io.File(dir, "t.avro"), schema,
+        rows.iterator, "deflate")
+      // writer schema carries the standard logical types
+      val w = graft.sources.Avro.writerSchema(spark, s"$dir/t.avro")
+      def logical(n: String) = {
+        import scala.jdk.CollectionConverters._
+        w.getField(n).schema().getTypes.asScala
+          .find(_.getType != org.apache.avro.Schema.Type.NULL)
+          .flatMap(s => Option(s.getLogicalType)).map(_.getName)
+      }
+      assert(logical("at").contains("timestamp-micros"))
+      assert(logical("wall").contains("local-timestamp-micros"))
+      val back = graft.sources.Avro.read(spark, s"$dir/t.avro")
+      assert(back.schema("at").dataType == TimestampType)
+      assert(back.schema("wall").dataType == TimestampNTZType)
+      val got = back.collect().sortBy(_.getLong(0))
+      micros.zipWithIndex.foreach { case (us, i) =>
+        assert(got(i).getTimestamp(1) == ts(us), s"at row $i")
+        assert(got(i).getAs[java.time.LocalDateTime](2) == ldt(us),
+          s"wall row $i")
+      }
+      assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+
+      // a millis-precision file (hand-built writer schema — the Kafka
+      // Connect shape) reads back widened to exact micros
+      val millisSchema = {
+        import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+        val f = SchemaBuilder.record("r").fields()
+        f.name("id").`type`(Schema.create(Schema.Type.LONG)).noDefault()
+        f.name("at").`type`(LogicalTypes.timestampMillis()
+          .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+        f.endRecord()
+      }
+      val w2 = new org.apache.avro.file.DataFileWriter[
+          org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](millisSchema))
+      val d2 = new java.io.File(dir, "ms")
+      d2.mkdirs()
+      w2.create(millisSchema, new java.io.File(d2, "m.avro"))
+      val rec = new org.apache.avro.generic.GenericData.Record(millisSchema)
+      rec.put(0, 1L); rec.put(1, 1234567890123L) // epoch millis
+      w2.append(rec); w2.close()
+      val backMs = graft.sources.Avro.read(spark, s"$d2/m.avro")
+      assert(backMs.schema("at").dataType == TimestampType)
+      assert(backMs.collect().head.getTimestamp(1) == ts(1234567890123000L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
