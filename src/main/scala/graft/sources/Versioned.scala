@@ -133,13 +133,55 @@ object Versioned {
     version
   }
 
-  /** The head's segment names, in manifest order — what a pruned DML
-    * partitions into touched (rewritten) and untouched (carried). */
-  private[graft] def headSegments(spark: SparkSession,
-                                  path: String): Seq[String] = {
+  /** The head version number — resolve ONCE per DML statement and pass
+    * it to every read the statement makes: a commit landing between two
+    * independent head resolutions would otherwise make the detection
+    * pass and the carried-segment list describe different snapshots
+    * (silently dropping a concurrently appended segment). */
+  private[graft] def headVersion(spark: SparkSession, path: String): Long = {
     val all = versions(spark, path)
     require(all.nonEmpty, s"no committed versions at $path")
-    readManifest(spark, path, all.last)
+    all.last
+  }
+
+  /** A version's segment names, in manifest order (head when absent) —
+    * what a pruned DML partitions into touched (rewritten) and
+    * untouched (carried). */
+  private[graft] def headSegments(spark: SparkSession, path: String,
+                                  version: Option[Long] = None): Seq[String] =
+    readManifest(spark, path, version.getOrElse(headVersion(spark, path)))
+
+  /** Provenance column names a DML-target dataset must not use: the
+    * rewrite machinery appends them to the scan, so a colliding user
+    * column would make the detection join ambiguous. Guarded loudly at
+    * statement entry (MERGE additionally reserves `__srid`). */
+  private[graft] val ReservedProvenanceCols = Seq("__file", "__pos", "__seg")
+
+  /** EXACT row count of a committed snapshot from parquet FOOTER
+    * metadata alone — no data pages decoded, no scan job. The files are
+    * walked task-parallel (one footer read each, the
+    * [[Tables.parquetFooterStats]] model) so a 100 TB manifest costs
+    * KB-sized metadata reads, not a table pass — this is what the DML
+    * status rows report instead of `read(head).count()`. */
+  def rowCount(spark: SparkSession, path: String,
+               version: Option[Long] = None): Long = {
+    val segs = headSegments(spark, path, version)
+    val fs = fsOf(spark, path)
+    val files = segs.flatMap { s =>
+      fs.listStatus(new Path(s"$path/data/$s")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    if (files.isEmpty) 0L
+    else spark.sparkContext
+      .parallelize(files, math.min(files.length, 64))
+      .map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.conf.Configuration()))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum().toLong
   }
 
   /** Commit `df` as the next version. `append = true` (default) stacks
@@ -199,13 +241,15 @@ object Versioned {
       .withColumn("__seg", F.element_at(F.split(F.col("__file"), "/"), -2))
   }
 
-  /** Head read + [[withProvenance]] — the detection-pass frame every
-    * pruned DML starts from: filter/join it, collect the DISTINCT
+  /** Snapshot read + [[withProvenance]] — the detection-pass frame
+    * every pruned DML starts from: filter/join it, collect the DISTINCT
     * `__seg` values of matched rows (bounded by the manifest length,
-    * never by data volume), and rewrite only those segments. */
-  private[graft] def readWithProvenance(spark: SparkSession,
-                                        path: String): DataFrame =
-    withProvenance(read(spark, path))
+    * never by data volume), and rewrite only those segments. Pass the
+    * statement's pinned head version so the detection read and the
+    * carried-segment list resolve the SAME manifest. */
+  private[graft] def readWithProvenance(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    withProvenance(read(spark, path, version))
 
   /** Read ONLY the named segments, provenance-tagged and aligned to
     * `schema` (the head's merged schema): segments written before a
@@ -248,13 +292,42 @@ object Versioned {
     // is NULL (e.g. `lang != 'en'` with NULL lang). A bare `!predicate`
     // would keep only FALSE rows and silently drop the NULL ones.
     import org.apache.spark.sql.functions.{coalesce, lit}
-    val segsAll = headSegments(spark, path)
+    // resolve the head ONCE: every read below pins this version, so a
+    // commit landing mid-statement cannot desynchronize the detection
+    // pass from the carried-segment list (it fails the final rename
+    // loudly instead — the single-writer contract)
+    val hv = headVersion(spark, path)
+    val segsAll = headSegments(spark, path, Some(hv))
+    val headSchema = read(spark, path, Some(hv)).schema
+    ReservedProvenanceCols.foreach { c =>
+      require(!headSchema.fieldNames.contains(c),
+        s"deleteWhere: dataset at $path has reserved column name '$c' — " +
+          "the copy-on-write rewrite appends it for row provenance")
+    }
     val matched = coalesce(predicate, lit(false))
-    val affected = readWithProvenance(spark, path).filter(matched)
+    // detection filters on the RAW predicate: a Filter already keeps
+    // only TRUE rows (NULLs drop), and the bare comparison shape is
+    // what parquet row-group pruning + pushdown can consume — the
+    // coalesce wrapper would block both and force a full-table
+    // detection scan (the survivor filter below still needs it: there
+    // NULL-predicate rows must be KEPT)
+    val detection = readWithProvenance(spark, path, Some(hv)).filter(predicate)
+    // the predicate is evaluated TWICE (detection, then the rewrite) —
+    // a non-deterministic one (rand()) could match rows in segments the
+    // detection pass did not flag, which would then never rewrite;
+    // reject loudly instead of silently under-deleting
+    detection.queryExecution.analyzed.foreach {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          "deleteWhere predicates must be deterministic (the predicate " +
+            "is evaluated once to find affected segments and again to " +
+            s"rewrite them): ${f.condition.sql}")
+      case _ => ()
+    }
+    val affected = detection
       .select("__seg").distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) commitSegments(spark, path, segsAll)
     else {
-      val headSchema = read(spark, path).schema
       val survivors = readSegmentsAligned(spark, path,
           segsAll.filter(affected), headSchema)
         .filter(!matched)
@@ -443,11 +516,30 @@ object Versioned {
     * must reprocess after a rewrite. A segment-pruned DML
     * (MERGE/UPDATE/DELETE) surfaces exactly its REWRITTEN segments —
     * carried segments are unchanged by construction, so consumers
-    * reprocess only touched data; row-level diffing between
-    * arbitrary snapshots is [[graft.operators.Dedup.corpusDiff]]'s job.
+    * reprocess only touched data. This is the ADD side only: a pruned
+    * DELETE that empties every affected segment has an EMPTY add-delta
+    * — consumers that must observe deletions poll [[removedSegments]] /
+    * [[removals]] alongside (retract removals, upsert changes);
+    * row-level diffing between arbitrary snapshots is
+    * [[graft.operators.Dedup.corpusDiff]]'s job.
     * Returns an empty frame (head schema) when nothing changed. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
               toVersion: Option[Long] = None): DataFrame = {
+    val added = manifestDelta(spark, path, fromVersion, toVersion)._1
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, path,
+          Some(toVersion.getOrElse(headVersion(spark, path)))).schema)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(added.map(s => s"$path/data/$s"): _*)
+  }
+
+  /** Validated manifest set-difference for a version range:
+    * (added segment names, removed segment names). */
+  private def manifestDelta(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Option[Long]): (Seq[String], Seq[String]) = {
     val all = versions(spark, path)
     require(all.nonEmpty, s"no committed versions at $path")
     val to = toVersion.getOrElse(all.last)
@@ -457,16 +549,48 @@ object Versioned {
     require(fromVersion <= to,
       s"changes range is backwards: from $fromVersion to $to")
     val before =
-      if (fromVersion == 0L) Set.empty[String]
-      else readManifest(spark, path, fromVersion).toSet
-    val added = readManifest(spark, path, to).filterNot(before)
-    if (added.isEmpty)
+      if (fromVersion == 0L) Seq.empty[String]
+      else readManifest(spark, path, fromVersion)
+    val after = readManifest(spark, path, to)
+    val afterSet = after.toSet
+    (after.filterNot(before.toSet), before.filterNot(afterSet))
+  }
+
+  /** Segment names REFERENCED at `fromVersion` but no longer at
+    * `toVersion` (head when absent) — [[changes]]' removal-side
+    * companion. The segment-level CDC contract needs BOTH directions:
+    * a pruned DELETE that empties every affected segment writes no
+    * fresh segment at all, so its [[changes]] delta is EMPTY —
+    * indistinguishable from a no-op commit — while the dropped
+    * segments appear here. An incremental consumer that must observe
+    * deletions polls this alongside [[changes]]: removed segments'
+    * rows left the dataset (re-added survivors, if any, arrive through
+    * the fresh segment in [[changes]]). The manifests still exist for
+    * any un-vacuumed range, so the answer is exact set difference —
+    * no data comparison. */
+  def removedSegments(spark: SparkSession, path: String, fromVersion: Long,
+                      toVersion: Option[Long] = None): Seq[String] =
+    manifestDelta(spark, path, fromVersion, toVersion)._2
+
+  /** The ROWS of segments removed in (`fromVersion`, `toVersion`] — the
+    * delete-side CDC read: every returned row was present at
+    * `fromVersion` and is gone from `toVersion`'s manifest (rows that
+    * survived a segment rewrite re-arrive via [[changes]], so a
+    * consumer applies this as "retract, then upsert the changes").
+    * Empty frame (from-version schema) when nothing was removed.
+    * Requires the range to be un-vacuumed, like any time travel. */
+  def removals(spark: SparkSession, path: String, fromVersion: Long,
+               toVersion: Option[Long] = None): DataFrame = {
+    val removed = manifestDelta(spark, path, fromVersion, toVersion)._2
+    if (removed.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        read(spark, path, Some(to)).schema)
+        read(spark, path,
+          Some(if (fromVersion == 0L) headVersion(spark, path)
+               else fromVersion)).schema)
     else
       spark.read.option("mergeSchema", "true")
-        .parquet(added.map(s => s"$path/data/$s"): _*)
+        .parquet(removed.map(s => s"$path/data/$s"): _*)
   }
 
   /** Read a committed snapshot: the given `version`, or the head when

@@ -1012,6 +1012,103 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("DML hygiene: footer-metadata status rows, pinned head version, " +
+       "reserved-column guards, deterministic predicates, CDC removals") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dml-hyg")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      import org.apache.spark.sql.{functions => F}
+      val ds = s"$out/ds"
+      // four appended commits = four segments with disjoint id ranges
+      (0 until 4).foreach { k =>
+        Versioned.commit(
+          (k * 1000L + 1 to k * 1000L + 1000).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1), ds)
+      }
+      assert(Versioned.rowCount(spark, ds) == 4000L)
+
+      // --- DELETE's status row must come from footer metadata, not a
+      //     full-table count: total records READ by the whole statement
+      //     stays bounded by the pruned work (detection + one-segment
+      //     rewrite + emptiness probe ~= 3 segment passes); a regression
+      //     to read(head).count() adds the full 4000-row table on top
+      //     and breaks the bound
+      val recs = new java.util.concurrent.atomic.LongAdder
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            recs.add(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val st = engine.sql(s"DELETE FROM '$ds' WHERE id = 1500")
+          .df.collect().head
+        // listener events drain asynchronously — wait for quiescence
+        var last = -1L
+        var spins = 0
+        while (recs.sum() != last && spins < 100) {
+          last = recs.sum(); Thread.sleep(30); spins += 1
+        }
+        assert(st.getLong(1) == 3999L, s"status n_rows: $st")
+        val read = recs.sum()
+        assert(read <= 3500L,
+          s"DELETE statement read $read records — a table-sized scan " +
+            "crept back into the status path (4000-row table, 1 of 4 " +
+            "segments affected)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(Versioned.rowCount(spark, ds) == 3999L)
+
+      // --- CDC removal surface: the add-side delta of a DELETE that
+      //     leaves survivors is the fresh segment; one that empties its
+      //     whole segment has an EMPTY add-delta and must surface the
+      //     dropped segment on the removal side
+      val vBefore = Versioned.versions(spark, ds).last
+      engine.sql(s"DELETE FROM '$ds' WHERE id > 3000") // empties seg 4
+      val vAfter = Versioned.versions(spark, ds).last
+      assert(Versioned.changes(spark, ds, vBefore, Some(vAfter)).count() == 0L,
+        "segment-emptying DELETE has an empty add-delta")
+      val removedSegs = Versioned.removedSegments(spark, ds, vBefore, Some(vAfter))
+      assert(removedSegs.length == 1, s"removed: $removedSegs")
+      val removedRows = Versioned.removals(spark, ds, vBefore, Some(vAfter))
+      assert(removedRows.count() == 1000L &&
+        removedRows.agg(F.min("id")).head().getLong(0) == 3001L)
+      // partial rewrite: removal side carries the OLD segment, add side
+      // the surviving rewrite — retract-then-upsert reconstructs head
+      val v2 = Versioned.versions(spark, ds).last
+      engine.sql(s"DELETE FROM '$ds' WHERE id = 2500")
+      val v3 = Versioned.versions(spark, ds).last
+      assert(Versioned.removals(spark, ds, v2, Some(v3)).count() == 1000L)
+      assert(Versioned.changes(spark, ds, v2, Some(v3)).count() == 999L)
+
+      // --- reserved provenance names guard loudly at statement entry
+      val dsR = s"$out/dsr"
+      Versioned.commit(Seq((1L, "a")).toDF("id", "__seg"), dsR)
+      val eu = intercept[graft.sql.SemanticError] {
+        engine.sql(s"UPDATE '$dsR' SET id = 2 WHERE id = 1")
+      }
+      assert(eu.getMessage.contains("reserved column"))
+      val ed = intercept[graft.sql.SemanticError] {
+        engine.sql(s"DELETE FROM '$dsR' WHERE id = 1")
+      }
+      assert(ed.getMessage.contains("reserved column"))
+
+      // --- non-deterministic DELETE predicates reject: the predicate
+      //     is evaluated twice (detection + rewrite), so rand() could
+      //     match rows in segments the detection pass never flagged
+      val en = intercept[IllegalArgumentException] {
+        Versioned.deleteWhere(spark, ds, F.rand() > F.lit(0.5))
+      }
+      assert(en.getMessage.contains("deterministic"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
