@@ -964,6 +964,17 @@ object SparkEntry {
       Multimodal.decodeWebmStats(
         Multimodal.synthesizeWebmVideos(t(s, dir, "documents"), "doc_id"))),
 
+    // ---- VP9 bitstream geometry (round-10 verdict ask #6, completing
+    //      the codec quartet): frame dimensions + profile parsed from
+    //      the keyframe's UNCOMPRESSED HEADER inside the first WebM
+    //      cluster — VP9 has no out-of-band parameter set, so the
+    //      bitstream IS the truth source; the fixtures' container
+    //      PixelWidth/PixelHeight lie by +16 px, so equality with the
+    //      arithmetic is only reachable through the bitstream parse ----
+    "q287_vp9_geometry" -> ((s, dir) =>
+      Multimodal.decodeVp9Stats(
+        Multimodal.synthesizeVp9Videos(t(s, dir, "documents"), "doc_id"))),
+
     // ---- REAL animated-GIF frame walk (JDK ImageIO sequence reader):
     //      frame count from a full-sequence scan + first-frame decode
     //      over real GIF89a fixtures — the multi-frame IMAGE format
@@ -6831,6 +6842,17 @@ object SparkEntry {
         | CAST(32 + (doc_id % 7) * 16 AS INTEGER) AS width,
         | CAST(24 + ((doc_id * 3) % 6) * 16 AS INTEGER) AS height,
         | CAST(1000 + (doc_id % 10) * 500 AS DOUBLE) / 1000 AS dur_sec
+        |FROM documents""".stripMargin,
+
+    // container PixelWidth/PixelHeight lie by +16 px, so equality with
+    // the arithmetic is only reachable through the keyframe's
+    // uncompressed-header parse; width/height deliberately not
+    // 16-multiples (VP9 frame size is exact pixels)
+    "q287_vp9_geometry" ->
+      """SELECT doc_id AS media_id,
+        | CAST(17 + (doc_id % 50) * 3 AS INTEGER) AS width,
+        | CAST(23 + ((doc_id * 7) % 40) * 2 AS INTEGER) AS height,
+        | CAST(doc_id % 4 AS INTEGER) AS profile
         |FROM documents""".stripMargin,
 
     // the q258 argument for HEVC: display size = luma size minus the

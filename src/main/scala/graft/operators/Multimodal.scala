@@ -451,6 +451,13 @@ object Multimodal {
       padded.grouped(8).map(_.foldLeft(0)((a, bit) =>
         (a << 1) | (if (bit) 1 else 0)).toByte).toArray
     }
+    /** Plain zero-padded bytes, NO stop bit — VP9's uncompressed
+      * header is raw bits, not an RBSP. */
+    def bytes(): Array[Byte] = {
+      val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(false)
+      padded.grouped(8).map(_.foldLeft(0)((a, bit) =>
+        (a << 1) | (if (bit) 1 else 0)).toByte).toArray
+    }
   }
 
   /** MSB-first bit reader with ue/se exp-Golomb — the parsing side.
@@ -1758,6 +1765,201 @@ object Multimodal {
       }(enc)
   }
 
+  // --------------------------------------------------------------------
+  // VP9 bitstream geometry — the codec quartet's last member: H.264/
+  // HEVC/AV1 already parse real parameter sets; VP9's geometry lives in
+  // the UNCOMPRESSED FRAME HEADER of each keyframe (the format has no
+  // out-of-band parameter set at all — CodecPrivate is optional and
+  // carries no dimensions), so the truth source is the first keyframe
+  // block inside the first Cluster. Container PixelWidth/PixelHeight
+  // remain a muxer CLAIM; the synthesizer writes them deliberately
+  // wrong so only the bitstream parse can land the true size.
+  // --------------------------------------------------------------------
+
+  /** A minimal VALID VP9 keyframe uncompressed header (spec §6.2
+    * uncompressed_header): frame marker, profile bits, key/show flags,
+    * sync code, color config (BT.601, 4:2:0 on profiles 1/3), then
+    * frame_size as (width-1, height-1) in 16 bits each — VP9 carries
+    * EXACT pixel dimensions, no pad/crop arithmetic. Profiles 0-3
+    * exercise every header branch (profile-3 reserved bit, the >=2
+    * bit-depth bit, the 1/3 subsampling bits). */
+  def vp9KeyframeHeader(width: Int, height: Int, profile: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 65536 && height <= 65536,
+      s"bad VP9 geometry ${width}x$height")
+    require(profile >= 0 && profile <= 3, s"bad VP9 profile $profile")
+    val w = new BitWriter
+    w.u(0x2, 2)                 // frame_marker = 0b10
+    w.u(profile & 1, 1)         // profile_low_bit
+    w.u((profile >> 1) & 1, 1)  // profile_high_bit
+    if (profile == 3) w.u(0, 1) // reserved_zero
+    w.u(0, 1)                   // show_existing_frame
+    w.u(0, 1)                   // frame_type = KEY_FRAME
+    w.u(1, 1)                   // show_frame
+    w.u(0, 1)                   // error_resilient_mode
+    w.u(0x49, 8); w.u(0x83, 8); w.u(0x42, 8) // frame_sync_code
+    if (profile >= 2) w.u(0, 1) // ten_or_twelve_bit -> 10-bit
+    w.u(1, 3)                   // color_space = CS_BT_601
+    w.u(0, 1)                   // color_range (not RGB)
+    if (profile == 1 || profile == 3) {
+      w.u(1, 1); w.u(1, 1)      // subsampling_x/y = 4:2:0
+      w.u(0, 1)                 // reserved_zero
+    }
+    w.u(width - 1, 16)
+    w.u(height - 1, 16)
+    w.u(0, 1)                   // render_and_frame_size_different
+    w.bytes()
+  }
+
+  /** Parse geometry from a VP9 keyframe's uncompressed header:
+    * (width, height, profile). None unless the bytes carry the
+    * keyframe sync code — inter frames have no frame_size to read. */
+  def parseVp9KeyframeHeader(p: Array[Byte], start: Int = 0,
+                             end: Int = -1): Option[(Int, Int, Int)] = {
+    val until = if (end < 0) p.length else end
+    try {
+      // bounded slice: the shared BitReader reads from offset 0 and
+      // throws past its array's end, which enforces `until` for free
+      val r = new BitReader(java.util.Arrays.copyOfRange(p, start, until))
+      if (r.u(2) != 0x2) return None // frame_marker
+      val profile = r.u(1) | (r.u(1) << 1) // low bit first
+      if (profile == 3 && r.u(1) != 0) return None
+      if (r.u(1) == 1) return None // show_existing_frame: no header
+      val isKey = r.u(1) == 0
+      r.u(1) // show_frame
+      r.u(1) // error_resilient_mode
+      if (!isKey) return None
+      if (r.u(8) != 0x49 || r.u(8) != 0x83 || r.u(8) != 0x42) return None
+      if (profile >= 2) r.u(1) // ten_or_twelve_bit
+      val colorSpace = r.u(3)
+      if (colorSpace != 7) { // != CS_RGB
+        r.u(1) // color_range
+        if (profile == 1 || profile == 3) { r.u(1); r.u(1); r.u(1) }
+      } else if (profile == 1 || profile == 3) r.u(1)
+      val wd = r.u(16) + 1
+      val ht = r.u(16) + 1
+      Some((wd, ht, profile))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** [[synthesizeWebm]] + one Cluster holding a real VP9 keyframe in a
+    * SimpleBlock (track-1 varint, 16-bit relative timestamp, keyframe
+    * flag, then the bitstream). Container PixelWidth/PixelHeight LIE
+    * (+16 px, the [[synthesizeAv1Mp4]] discipline) so only the
+    * uncompressed-header parse can land the true geometry. */
+  def synthesizeVp9Webm(width: Int, height: Int, durationMs: Double,
+                        profile: Int = 0): Array[Byte] = {
+    val container = synthesizeWebm(width + 16, height + 16, "V_VP9", durationMs)
+    val frame = vp9KeyframeHeader(width, height, profile)
+    val block = Array(0x81.toByte, 0x00.toByte, 0x00.toByte, // track 1, ts 0
+      0x80.toByte) ++ frame                                  // keyframe flag
+    val cluster = ebmlEl(0x1F43B675L,
+      ebmlEl(0xE7, ebmlUint(0L)), // Cluster Timestamp
+      ebmlEl(0xA3, block))        // SimpleBlock
+    // splice the cluster INSIDE the Segment element: rebuild the
+    // segment with the cluster appended to its body (the header bytes
+    // before the Segment stay as-is)
+    val e = new Ebml(container)
+    val afterHeader = e.element(0, container.length).get._4
+    val (segS, segE) = e.find(afterHeader, container.length, 0x18538067L).get
+    container.take(afterHeader) ++
+      ebmlEl(0x18538067L,
+        java.util.Arrays.copyOfRange(container, segS, segE), cluster)
+  }
+
+  /** Geometry of the first VP9 keyframe block in a WebM:
+    * (width, height, profile) — walks Segment → Cluster → SimpleBlock/
+    * BlockGroup(Block), skips the block prelude (track varint + 16-bit
+    * timestamp + flags) and parses the uncompressed header. None when
+    * no cluster parses as a VP9 keyframe. */
+  def decodeVp9Meta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!looksLikeWebm(payload)) return None
+    val e = new Ebml(payload)
+    try {
+      val afterHeader = e.element(0, payload.length) match {
+        case Some((_, _, _, n)) => n
+        case None => return None
+      }
+      val (segS, segE) =
+        e.find(afterHeader, payload.length, 0x18538067L).getOrElse(return None)
+      var off = segS
+      while (off < segE) {
+        e.element(off, segE) match {
+          case Some((0x1F43B675L, cS, cE, next)) =>
+            var bOff = cS
+            while (bOff < cE) {
+              e.element(bOff, cE) match {
+                case Some((id, bS, bE, bNext)) =>
+                  val blockSpan: Option[(Int, Int)] = id match {
+                    case 0xA3L => Some((bS, bE))              // SimpleBlock
+                    case 0xA0L => e.find(bS, bE, 0xA1L)       // BlockGroup
+                    case _ => None
+                  }
+                  blockSpan.foreach { case (s, en) =>
+                    // track number is an EBML varint; then 2-byte
+                    // relative timestamp + 1 flags byte
+                    val tLen = Integer.numberOfLeadingZeros(payload(s) & 0xFF) - 24 + 1
+                    if (tLen >= 1 && tLen <= 8 && s + tLen + 3 <= en) {
+                      parseVp9KeyframeHeader(payload, s + tLen + 3, en)
+                        .foreach(g => return Some(g))
+                    }
+                  }
+                  bOff = bNext
+                case None => bOff = cE
+              }
+            }
+            off = next
+          case Some((_, _, _, next)) => off = next
+          case None => return None
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Synthesize a VP9 WebM corpus keyed by id — bitstream geometry and
+    * profile replayable arithmetically (w = 17+(id%50)·3,
+    * h = 23+((id·7)%40)·2 — deliberately NOT multiples of 16: VP9
+    * frame size is exact pixels; profile = id%4 exercising every
+    * header branch; duration = (1000+(id%10)·500) ms), while the
+    * container claims w+16/h+16. */
+  def synthesizeVp9Videos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(F.col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (17 + (id % 50) * 3).toInt
+          val h = (23 + ((id * 7) % 40) * 2).toInt
+          val prof = (id % 4).toInt
+          val durMs = (1000 + (id % 10) * 500).toDouble
+          val p = synthesizeVp9Webm(w, h, durMs, prof)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array(id, "video", p, p.length.toLong), mediaSchema): Row
+        }
+      }(enc)
+  }
+
+  /** Batched VP9 bitstream geometry: (media_id, width, height, profile)
+    * from the uncompressed frame header — NEVER the container claim;
+    * payloads without a parsable VP9 keyframe are skipped (flatMap). */
+  def decodeVp9Stats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("profile", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(F.col("media_id").cast("long"), F.col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeVp9Meta(r.getAs[Array[Byte]](1)).map { case (w, h, prof) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(r.getLong(0), w, h, prof), outSchema): Row
+          }
+        }
+      }(enc)
+  }
+
   /** Synthesize a MIXED video corpus — the shape a real web crawl has:
     * by id%5, an H.264 MP4, an HEVC MP4, an AV1 MP4, a VP9/AV1 WebM,
     * or an MJPEG/BI_RGB AVI, each with its family's id-derived
@@ -1799,7 +2001,13 @@ object Multimodal {
                 .orElse(decodeMjpegFrame(p).map {
                   case (w, h, _, codec) => (codec, w, h) })
             else if (looksLikeWebm(p))
-              decodeWebmMeta(p).map { case (w, h, codec, _) => (codec, w, h) }
+              // VP9 geometry: prefer the keyframe's uncompressed header
+              // (the truth source) over the container's muxer claim;
+              // header-only files (no cluster yet) fall back to the
+              // container, like every other metadata-only walk
+              decodeVp9Meta(p).map { case (w, h, _) => ("V_VP9", w, h) }
+                .orElse(decodeWebmMeta(p).map {
+                  case (w, h, codec, _) => (codec, w, h) })
             else if (looksLikeAvi(p))
               decodeAviFrame(p).map {
                 case (w, h, _, codec, _, _) => (codec.trim, w, h) }

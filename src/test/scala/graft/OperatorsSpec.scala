@@ -534,6 +534,47 @@ class OperatorsSpec extends SparkSpec {
         (1000 + (id % 10) * 500) / 1000.0)), s"id=$id")
   }
 
+  test("VP9 uncompressed-header geometry: all four profiles round-trip, " +
+       "container lies are overruled, non-keyframes and garbage are safe") {
+    // header round-trip across every profile branch (3's reserved bit,
+    // >=2's bit-depth bit, 1/3's subsampling bits)
+    for (prof <- 0 to 3) {
+      val hdr = Multimodal.vp9KeyframeHeader(1921, 1083, prof)
+      assert(Multimodal.parseVp9KeyframeHeader(hdr)
+        .contains((1921, 1083, prof)), s"profile $prof")
+    }
+    // the WebM fixture's container claims +16 px; the cluster walk must
+    // land the bitstream's truth
+    val webm = Multimodal.synthesizeVp9Webm(631, 353, 1500.0, profile = 2)
+    assert(Multimodal.decodeVp9Meta(webm).contains((631, 353, 2)))
+    assert(Multimodal.decodeWebmMeta(webm)
+      .contains((631 + 16, 353 + 16, "V_VP9", 1.5)), "container still lies")
+    // header-only WebM (no cluster) has no bitstream to parse
+    val bare = Multimodal.synthesizeWebm(640, 360, "V_VP9", 1000.0)
+    assert(Multimodal.decodeVp9Meta(bare).isEmpty)
+    // an inter frame (frame_type=1) carries no frame_size -> None
+    val inter = {
+      val k = Multimodal.vp9KeyframeHeader(64, 64, 0)
+      // profile-0 byte 0 is marker(2) low(1) high(1) show_existing(1)
+      // frame_type(1) show(1) err(1) -> frame_type is mask 0x04
+      k(0) = (k(0) ^ 0x04).toByte
+      k
+    }
+    assert(Multimodal.parseVp9KeyframeHeader(inter).isEmpty)
+    assert(Multimodal.parseVp9KeyframeHeader(Array[Byte](0x12, 0x34)).isEmpty)
+    assert(Multimodal.decodeVp9Meta("junk".getBytes("UTF-8")).isEmpty)
+    // distributed plumbing matches the fixture arithmetic
+    val ids = Seq(0L, 7L, 42L).toDF("doc_id")
+    val out = Multimodal.decodeVp9Stats(
+        Multimodal.synthesizeVp9Videos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    for (id <- Seq(0L, 7L, 42L))
+      assert(out(id) == ((
+        (17 + (id % 50) * 3).toInt, (23 + ((id * 7) % 40) * 2).toInt,
+        (id % 4).toInt)), s"id=$id")
+  }
+
   test("AVI first-frame decode: MJPEG and raw BI_RGB fourcc paths") {
     // MJPEG-in-AVI: real JPEG chunks; decoded geometry must be the
     // encoder's (a header-only read could not distinguish a lying strf)
