@@ -388,6 +388,48 @@ object SparkEntry {
         .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
     }),
 
+    // ---- BPE at PRODUCTION merge counts (round-10 verdict ask #3):
+    //      the q278/q279 gates pin 8 training rounds value-by-value
+    //      (the DuckDB replay's cost ceiling); this gate proves the
+    //      greedy-by-rank native encoder still equals the SEQUENTIAL
+    //      training replay at 1024 merges — the classic BPE
+    //      order-equivalence, checked per word on the 50 most frequent
+    //      trained words. The replay side applies the learned merges
+    //      one-by-one in rank order (driver fold over bpeApplyMerge —
+    //      the trainer's own step function), so a greedy tie-break or
+    //      rank-map bug at depth diverges the strings and fails the
+    //      hash; the oracle re-derives the word list and pins ok=true ----
+    "q288_bpe_encode1k" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      // the fixture text draws on a 31-word pool (total merge capacity
+      // ~89) — too small for a 1k-merge table, so the training corpus
+      // is widened with one md5-hex word per doc (32 chars over a
+      // 16-char alphabet: capacity ~15k, and deep ranks actually fire);
+      // md5-of-string is engine-portable, so the oracle re-derives the
+      // exact same corpus
+      val corpus = docs.select(F.col("text")).unionAll(
+        docs.select(F.md5(F.col("doc_id").cast("string")).as("text")))
+      val merges = TextAnalysis.bpeTrain(corpus, "text", numMerges = 1024)
+      require(merges.length == 1024,
+        s"corpus exhausted at ${merges.length} merges — grow the fixture")
+      // top-100 = every real word (31) + the first hex words — the
+      // latter are where 1k-deep merges actually apply
+      val top = TextAnalysis.bpeWordFreqsTop(corpus, "text").take(100)
+      val replayed = top.toSeq.map { case (w, _) =>
+        val syms = merges.foldLeft(w.toCharArray.map(String.valueOf)) {
+          case (acc, (a, b)) => TextAnalysis.bpeApplyMerge(acc, a, b)
+        }
+        // compare the "|"-joined SEGMENTATION, not a bare concat:
+        // "ab|c" vs "a|bc" must differ though the characters agree
+        (w, syms.mkString("|"))
+      }
+      replayed.toDF("word", "replay")
+        .select(F.col("word"),
+          (F.array_join(TextAnalysis.bpeEncode(F.col("word"), merges),
+            "|") === F.col("replay")).as("ok"))
+    }),
+
     "q25_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         F.col("doc_id"), TextAnalysis.langId(F.col("text")).as("lang_guess"))),
@@ -4634,6 +4676,24 @@ object SparkEntry {
          |FROM (SELECT unnest(symbols) AS token, cnt FROM w8)
          |GROUP BY token
          |ORDER BY n DESC, token ASC LIMIT 30""".stripMargin,
+
+    // the 50 most frequent trained words re-derived (same splitter,
+    // same count-desc/word-asc tiebreak); ok = true is the pinned
+    // invariant — the Spark side computes it as greedy-encode ==
+    // 1024-round sequential replay, so any divergence flips a row
+    "q288_bpe_encode1k" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT md5(CAST(doc_id AS VARCHAR)) AS text FROM documents),
+        |wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |        '[^a-z0-9]+'), x -> len(x) > 0)) AS word FROM corpus)
+        |  GROUP BY word)
+        |SELECT word, true AS ok
+        |FROM (SELECT word FROM wf ORDER BY cnt DESC, word ASC LIMIT 100)"""
+        .stripMargin,
 
     "q25_langid" ->
       s"""WITH $langidCtes
