@@ -54,21 +54,43 @@ object Bench {
   private val spreads =
     scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
 
+  /** per-entry, per-rep CANARY wall times (seconds), taken back-to-back
+    * with each timed rep — the round-9/10 verdicts' missing attribution
+    * mechanism: a rep taken while the box is loaded shows an elevated
+    * canary IN THE SAME REP, so a cross-round regression can be
+    * machine-attributed from the artifact alone (emitted as
+    * `rep_canary_ratio` = canary / sweep-floor per rep). */
+  private val repCanaries =
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+  /** The fixed-cost canary job: schedule-and-agg 32 tasks over a
+    * generated range — no I/O, trivial compute, so its wall is pure
+    * scheduler + JVM overhead; shared by the per-rep interleave and the
+    * sweep-level before/after fingerprint. */
+  private def canaryJob(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    spark.range(0, 3200000L, 1, 32).agg(F.sum("id"))
+  }
+
   /** Shared probe/headline runner: sweep + GC + warmup, then `reps`
     * timed runs; records the spread and returns the median. EVERY timed
     * entry — scale probes and headline queries alike — goes through
     * here so none ships as a bare single sample (the round-6 gate
     * number had no spread, so noise vs regression could not be
     * adjudicated from the artifacts) and the timing methodology cannot
-    * drift between the two call sites. `afterWarmup` is the headline
-    * loop's tracer hook (drain warmup stages so per-stage attribution
-    * covers the timed runs only). */
+    * drift between the two call sites. Every rep is followed
+    * back-to-back by one canary execution (the round-10 verdict's #1
+    * ask): the canary series dates load excursions rep-by-rep, which is
+    * what lets the regressions block below name a mechanical cause.
+    * `afterWarmup` is the headline loop's tracer hook (drain warmup
+    * stages so per-stage attribution covers the timed runs only). */
   private def probe(spark: SparkSession, name: String, reps: Int = 5,
                     afterWarmup: () => Unit = () => ())
                    (q: => DataFrame): Double = {
     sweepPersisted(spark)
     System.gc()
     execTime(q) // warmup (not reported)
+    execTime(canaryJob(spark)) // canary warmup (JIT parity with reps)
     afterWarmup()
     // GC before EVERY rep, not just the warmup (outside the timed
     // window): the heavy probes stage multi-hundred-MB checkpoint
@@ -76,9 +98,14 @@ object Bench {
     // rep's un-collected garbage can spend seconds in allocation-
     // pressure pauses — round 7 measured a single q152_x10 rep at 12.9 s
     // against a 2.9-3.5 s family, exactly the q59 round-6 pattern.
-    val runs = (1 to reps).map { _ =>
-      sweepPersisted(spark); System.gc(); execTime(q)
-    }.sorted
+    val timed = (1 to reps).map { _ =>
+      sweepPersisted(spark); System.gc()
+      val t = execTime(q)
+      val c = execTime(canaryJob(spark))
+      (t, c)
+    }
+    repCanaries += name -> timed.map(_._2)
+    val runs = timed.map(_._1).sorted
     spreads += name -> ((runs.head, runs.last))
     runs(runs.length / 2)
   }
@@ -235,10 +262,8 @@ object Bench {
     * machine state (load, CPU governor, heap age), not plan changes —
     * the attribution round 6 could not make for its fleet-wide ~1.3×. */
   private def canaryTime(spark: SparkSession): Double = {
-    import org.apache.spark.sql.{functions => F}
-    def job = spark.range(0, 3200000L, 1, 32).agg(F.sum("id"))
-    execTime(job) // warmup
-    val runs = (1 to 3).map(_ => execTime(job)).sorted
+    execTime(canaryJob(spark)) // warmup
+    val runs = (1 to 3).map(_ => execTime(canaryJob(spark))).sorted
     runs(1)
   }
 
@@ -404,6 +429,9 @@ object Bench {
       spreads += "q06_x10_6Mrows" -> ((s.min, s.max))
       spreads += "q06_x10_rawlayout" -> ((r.min, r.max))
       spreads += "q06_x10_canary" -> ((c.min, c.max))
+      // the per-cycle canary doubles as both series' per-rep canary
+      repCanaries += "q06_x10_6Mrows" -> c.toSeq
+      repCanaries += "q06_x10_rawlayout" -> c.toSeq
       (med(s.toSeq), med(r.toSeq), med(c.toSeq))
     }
     tracer.drain()
@@ -604,7 +632,7 @@ object Bench {
     // comparison shows what the zone-map sidecar buys the .bin path
     // relative to what parquet's built-in statistics buy the same
     // workload. Writes are untimed per-corpus layout costs, as always.
-    val (pqShuffled, pqPruned, pqZorder2nd, pqLinear2nd, rgNote) = {
+    val (pqShuffled, pqPruned, pqZorder2nd, pqLinear2nd, rgNote, pruneStats) = {
       import org.apache.spark.sql.{functions => F}
       val dirP = newTempDir("graft_bench_pqprune")
       // 6M-ROW input (the x10 staged table): at 600 k rows the whole
@@ -715,7 +743,14 @@ object Bench {
         s"$totU / $hitU; 2nd-column twin (filter l_quantity in [10,13)): " +
         s"zorder layout $totZ groups / $hitZ intersect, linear-by-orderkey " +
         s"$totL / $hitL"
-      (a, b, zl, ll, note)
+      // machine-readable prune accounting (round-10 verdict ask #5):
+      // the same numbers as structured per-probe fields, not prose
+      val stats = Seq(
+        "q06_parquet_pruned" -> ((totS, hitS)),
+        "q06_parquet_unpruned" -> ((totU, hitU)),
+        "q06_zorder_2ndcol" -> ((totZ, hitZ)),
+        "q06_linear_2ndcol" -> ((totL, hitL)))
+      (a, b, zl, ll, note, stats)
     }
     tracer.drain()
 
@@ -737,6 +772,58 @@ object Bench {
           .groupBy("token").agg(F.count(F.lit(1)).as("n"))
           .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
       }
+    }
+    tracer.drain()
+
+    // PRODUCTION-vocabulary tokenizer probe (round-10 verdict ask #3):
+    // a real tokenizer is 32k+ merges, so this measures the trainer's
+    // two halves SEPARATELY at that scale — the distributed word-count
+    // pass over the x10 corpus, then the driver merge loop to 32768 —
+    // plus the 32k-table ENCODE pass, the recurring per-corpus cost.
+    // The fixture text draws on a 31-word pool (total merge capacity
+    // ~89), nothing like an open web vocabulary, so the corpus is
+    // widened with one md5-hex word per x10 row: ~50k distinct words,
+    // capacity ~1.5M — deep ranks actually train AND fire at encode
+    // time (the q288 gate pins the same construction's correctness).
+    val (bpeWc32k, bpeLoop32k, bpeEnc32k) = {
+      import org.apache.spark.sql.{functions => F}
+      def corpus = {
+        val d = docs10(spark, sfDir, cpus.toInt)
+        d.select(F.col("text")).unionAll(
+          d.select(F.md5(F.col("doc_id").cast("string")).as("text")))
+      }
+      var freqs: Array[(String, Long)] = null
+      sweepPersisted(spark); System.gc()
+      freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text") // warmup
+      val wcRuns = (1 to 3).map { _ =>
+        sweepPersisted(spark); System.gc()
+        val t0 = System.nanoTime()
+        freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text")
+        val t = (System.nanoTime() - t0) / 1e9
+        execTime(canaryJob(spark)) // keep the per-rep canary cadence
+        t
+      }.sorted
+      spreads += "q279_bpe_train32k_wordcount" -> ((wcRuns.head, wcRuns.last))
+      var merges32k: Seq[(String, String)] = null
+      // driver-only loop: no warmup discard (JIT warms inside the run —
+      // exactly what a one-shot training job pays), 3 timed reps
+      val loopRuns = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        merges32k = graft.operators.TextAnalysis
+          .bpeTrainFromFreqs(freqs, 32768)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      spreads += "q279_bpe_train32k_mergeloop" -> ((loopRuns.head, loopRuns.last))
+      require(merges32k.length == 32768,
+        s"32k probe exhausted at ${merges32k.length} merges")
+      val enc = probe(spark, "q279_bpe_encode32k") {
+        corpus.select(F.explode(graft.operators.TextAnalysis
+            .bpeEncode(F.col("text"), merges32k)).as("token"))
+          .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+          .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
+      }
+      (wcRuns(1), loopRuns(1), enc)
     }
     tracer.drain()
 
@@ -803,8 +890,22 @@ object Bench {
     // volume: SUMMARIZE-style exact aggregates need a full decode; the
     // footer path reads KB-sized metadata — the delta is what the
     // at-scale profile question costs with and without the shortcut.
-    val (footer6M, scan6M) = {
+    val (footer6M, scan6M, footerPrune) = {
       import org.apache.spark.sql.{functions => F}
+      // prune accounting for the footer-vs-scan pair: the x10 table's
+      // row-group count; the footer path decodes 0 of them (footers are
+      // metadata), the exact-scan twin decodes all of them
+      val x10Groups = {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        Option(new java.io.File(x10Path).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getPath), conf))
+            try rdr.getRowGroups.asScala.length finally rdr.close()
+          }.sum
+      }
       val a = probe(spark, "q275_footer_6Mrows") {
         graft.sources.Tables.parquetFooterStats(spark, x10Path)
           .filter(F.col("column") === "l_orderkey")
@@ -818,7 +919,9 @@ object Bench {
             F.min("l_orderkey").as("min_val"),
             F.max("l_orderkey").as("max_val"))
       }
-      (a, b)
+      (a, b, Seq(
+        "q275_footer_6Mrows" -> ((x10Groups, 0)),
+        "q275_scan_6Mrows" -> ((x10Groups, x10Groups))))
     }
     tracer.drain()
 
@@ -894,6 +997,9 @@ object Bench {
         :+ ("q06_zorder_2ndcol" -> pqZorder2nd)
         :+ ("q06_linear_2ndcol" -> pqLinear2nd)
         :+ ("q279_bpe_encode200" -> bpeEncode200)
+        :+ ("q279_bpe_train32k_wordcount" -> bpeWc32k)
+        :+ ("q279_bpe_train32k_mergeloop" -> bpeLoop32k)
+        :+ ("q279_bpe_encode32k" -> bpeEnc32k)
         :+ ("q275_footer_6Mrows" -> footer6M)
         :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)
@@ -906,14 +1012,113 @@ object Bench {
     val spreadJson = spreads
       .map { case (k, (lo, hi)) => s""""$k":[${f"$lo%.4f"},${f"$hi%.4f"}]""" }
       .mkString("{", ",", "}")
+    // per-rep canary attribution (round-10 verdict ask #1): every timed
+    // rep ran a fixed-cost 32-task canary back-to-back; ratios are
+    // against the SWEEP-WIDE canary floor, so >~1.25 in a rep means the
+    // box was loaded during THAT rep — the mechanical evidence the last
+    // two rounds' unattributed regressions lacked
+    val canaryFloor = (repCanaries.values.flatten ++
+      Seq(canaryBefore, canaryAfter)).min
+    val repCanaryJson = repCanaries
+      .map { case (k, cs) =>
+        s""""$k":[${cs.map(c => f"${c / canaryFloor}%.2f").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+    // machine-readable prune accounting (round-10 verdict ask #5)
+    val pruneJson = (pruneStats ++ footerPrune)
+      .map { case (k, (tot, hit)) =>
+        s""""$k":{"groups_total":$tot,"groups_read":$hit}""" }
+      .mkString("{", ",", "}")
+    // cross-round regression attribution IN the artifact (round-10
+    // verdict ask #1's "done" bar): parse the previous round's
+    // BENCH_r{N}.json from the working directory and, for every common
+    // entry regressed >1.2x (and >50 ms absolute — the driver floor
+    // makes tiny ratios meaningless), name a cause mechanically:
+    //   noise        — this sweep's min overlaps the prior median, so
+    //                  the median moved inside the spread;
+    //   machine-load — a rep-interleaved canary exceeded 1.25x the
+    //                  sweep floor while this query's reps ran;
+    //   unattributed — neither; re-measure isolated (BenchOne) and
+    //                  suspect the plan.
+    // the previous sweep's per-query medians come from the bench.json
+    // this run is ABOUT to overwrite (the driver's BENCH_r{N}.json
+    // wrappers carry only a truncated tail, never the queries map);
+    // read before the output writes below, labeled so the artifact
+    // says what it compared against
+    val prevBench: (String, Map[String, Double]) = {
+      val f = new java.io.File("bench.json")
+      if (!f.exists()) ("", Map.empty[String, Double])
+      else {
+        val txt = Files.readString(f.toPath)
+        val start = txt.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else txt.indexOf("}", start)
+        val qs =
+          if (start < 0 || end < 0) Map.empty[String, Double]
+          else """"(q[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+            .findAllMatchIn(txt.substring(start, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        (s"bench.json(pre-run, ${qs.size} queries)", qs)
+      }
+    }
+    val allCurrent: Seq[(String, Double)] = results ++ Seq(
+      "q00_floor" -> floor, "q06_x10_6Mrows" -> x10,
+      "q06_x10_rawlayout" -> x10raw,
+      "q44_x10_skewed_unsalted" -> skewAqe,
+      "q44_x10_skewed_salted" -> skewSalted,
+      "q29_x10_50kdocs" -> q29x10, "q112_x10_50kdocs" -> q112x10,
+      "q126_x10_50kdocs" -> bm25IdxX10, "q51_x10_50kdocs" -> q51x10,
+      "q129_x10_50kdocs" -> q129x10, "q143_x10_50kdocs" -> q143x10,
+      "q152_x10_50kdocs" -> q152x10, "q219_x10_50kdocs" -> q219x10,
+      "q06_blockfile_600krows" -> blockfileQ1,
+      "q06_blockfile_unzoned" -> bfUnzoned,
+      "q06_blockfile_zoned" -> bfZoned,
+      "q06_parquet_unpruned" -> pqShuffled,
+      "q06_parquet_pruned" -> pqPruned,
+      "q06_zorder_2ndcol" -> pqZorder2nd,
+      "q06_linear_2ndcol" -> pqLinear2nd,
+      "q279_bpe_encode200" -> bpeEncode200,
+      "q275_footer_6Mrows" -> footer6M, "q275_scan_6Mrows" -> scan6M,
+      "q06_versioned_600krows" -> versionedQ1,
+      "q06_rawlayout_600krows" -> rawQ1)
+    val regressionsJson = allCurrent.flatMap { case (name, cur) =>
+      prevBench._2.get(name).collect {
+        case prev if prev > 0 && cur / prev > 1.2 && cur - prev > 0.05 =>
+          val ratio = cur / prev
+          val curMin = spreads.get(name).map(_._1).getOrElse(cur)
+          val worstCanary = repCanaries.get(name)
+            .map(cs => cs.max / canaryFloor).getOrElse(1.0)
+          val cause =
+            if (curMin <= prev * 1.1)
+              f"noise: rep min $curMin%.3f overlaps prior median $prev%.3f"
+            else if (worstCanary >= 1.25)
+              f"machine-load: canary_ratio up to $worstCanary%.2f during reps"
+            else "unattributed: re-measure isolated (BenchOne); suspect plan"
+          s"""{"q":"$name","prev":${f"$prev%.4f"},"cur":${f"$cur%.4f"},"ratio":${f"$ratio%.2f"},"cause":"$cause"}"""
+      }
+    }.mkString("[", ",", "]")
     // environment fingerprint + fixed-cost canary: a drifted canary or
     // load average attributes a fleet-wide delta to machine state
     val envJson =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}]}"""
+      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"prev_bench":"${prevBench._1}"}"""
     // attribution notes the artifact's reader needs (round-6 verdict
     // asks #1/#2): what was timed, how staging changed, what the env
     // fingerprint is for
     val notes = s"$rgNote. " +
+      "EVERY timed rep is followed back-to-back by a fixed-cost " +
+      "32-task canary: rep_canary_ratio carries canary/floor per rep " +
+      "per query, so a rep taken under load is flagged mechanically — " +
+      "and the regressions field names a cause (noise / machine-load " +
+      "/ unattributed) for every entry regressed >1.2x vs the " +
+      "prev_bench artifact, from the artifact alone. The prune field " +
+      "is the row-group accounting as structured per-probe " +
+      "groups_total/groups_read. q279_bpe_train32k_wordcount / " +
+      "_mergeloop / q279_bpe_encode32k: the production-vocabulary " +
+      "tokenizer at 32768 merges over the x10 corpus widened with one " +
+      "md5-hex word per row (~50k distinct words — the fixture text's " +
+      "31-word pool exhausts at 89 merges; q288 gates the same " +
+      "construction): wordcount is the only distributed training " +
+      "cost, the merge loop is driver-side and vocabulary-bounded, " +
+      "and encode32k is the recurring per-corpus pass with deep ranks " +
+      "firing. " +
       "The prune pair reads the 6M-row x10 table (at 600k rows the " +
       "whole scan cost less than the floor and no layout could show a " +
       "delta); read it floor-subtracted: the wall is parallel across " +
@@ -983,7 +1188,7 @@ object Bench {
       "6M-row probe volume and beyond; compare canary_32task_sec and " +
       "load before attributing cross-round deltas to code"
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"prune":$pruneJson,"regressions":$regressionsJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

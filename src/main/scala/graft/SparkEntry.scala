@@ -1589,6 +1589,36 @@ object SparkEntry {
         .unionAll(stat(Versioned.changes(s, path, 0, Some(2L)), "v0_to_v2"))
     }),
 
+    // ---- CDC REMOVAL SIDE (round-10 ADVICE): a pruned DELETE that
+    //      empties its whole segment has an EMPTY changes() add-delta —
+    //      previously indistinguishable from a no-op; removals() must
+    //      surface exactly the dropped rows, and a PARTIAL rewrite must
+    //      show old-segment rows on the removal side with survivors
+    //      re-arriving through changes() (retract-then-upsert) ----
+    "q289_versioned_removals" -> ((s, dir) => {
+      val path = stagingDir("graft_vremovals") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      Versioned.commit(base.filter(F.col("doc_id") < 200), path)
+      Versioned.commit(
+        base.filter(F.col("doc_id") >= 200 && F.col("doc_id") < 400), path)
+      val eng = Engine(s, dir)
+      // v3: empties the second segment entirely (no fresh segment)
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id >= 200 AND doc_id < 400")
+      // v4: partial delete — the first segment rewrites
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id = 100")
+      def stat(df: DataFrame, tag: String) =
+        df.agg(F.count(F.lit(1)).as("n"),
+            F.sum("doc_id").cast("long").as("id_sum"))
+          .withColumn("delta", F.lit(tag))
+      stat(Versioned.removals(s, path, 2, Some(3L)), "empty_seg_removed")
+        .unionAll(stat(Versioned.changes(s, path, 2, Some(3L)),
+          "empty_seg_added"))
+        .unionAll(stat(Versioned.removals(s, path, 3, Some(4L)),
+          "partial_seg_removed"))
+        .unionAll(stat(Versioned.changes(s, path, 3, Some(4L)),
+          "partial_seg_added"))
+    }),
+
     // ---- SCHEMA EVOLUTION through the publishing layer: a widening
     //      INSERT adds a trailing column mid-dataset-life WITHOUT
     //      rewriting prior segments (at 100 TB that rewrite is the
@@ -5418,6 +5448,25 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, 'v0_to_v2' AS delta
         |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
+
+    // retract-then-upsert replay: the emptied segment's rows surface on
+    // the removal side with an EMPTY add-delta; the partial rewrite
+    // retracts its whole old segment and re-adds the survivors
+    "q289_versioned_removals" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  'empty_seg_removed' AS delta
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 400
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'empty_seg_added'
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+        |  'partial_seg_removed'
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+        |  'partial_seg_added'
+        |FROM documents WHERE doc_id < 200 AND doc_id != 100""".stripMargin,
 
     // pre-widening rows carry NULL n_chars (COUNT(col)/SUM skip them);
     // the replay reproduces that null pattern with CASE
