@@ -1589,6 +1589,41 @@ object SparkEntry {
         .unionAll(stat(Versioned.changes(s, path, 0, Some(2L)), "v0_to_v2"))
     }),
 
+    // ---- STREAMING READS of a Versioned dataset (the table-as-a-
+    //      stream direction; versionedSink is the write side): offsets
+    //      are MANIFEST VERSIONS, each micro-batch is changes() over a
+    //      committed version range resolved through manifests only —
+    //      two AvailableNow drains against one checkpoint must emit
+    //      v1+v2 once, then exactly the post-drain commit's delta; a
+    //      broken cursor double-emits and fails the count/sum hash ----
+    "q290_versioned_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging0 = stagingDir("graft_vstream_gate")
+      val ds = s"$staging0/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      Versioned.commit(base.filter(F.col("doc_id") < 150), ds)
+      Versioned.commit(
+        base.filter(F.col("doc_id") >= 150 && F.col("doc_id") < 300), ds)
+      def drain(): Unit = {
+        val q = s.readStream
+          .format(classOf[graft.streaming.VersionedStreamProvider].getName)
+          .option("path", ds).load()
+          .writeStream.format("parquet")
+          .option("path", s"$staging0/out")
+          .option("checkpointLocation", s"$staging0/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      drain() // v1+v2
+      Versioned.commit(
+        base.filter(F.col("doc_id") >= 300 && F.col("doc_id") < 450), ds)
+      drain() // exactly the v3 delta (cursor from the checkpoint)
+      s.read.parquet(s"$staging0/out")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("doc_id").cast("long").as("id_sum"))
+    }),
+
     // ---- CDC REMOVAL SIDE (round-10 ADVICE): a pruned DELETE that
     //      empties its whole segment has an EMPTY changes() add-delta —
     //      previously indistinguishable from a no-op; removals() must
@@ -5448,6 +5483,13 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, 'v0_to_v2' AS delta
         |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
+
+    // one emission per committed row across BOTH drains: a cursor bug
+    // (re-emitting v1+v2 in the second drain) doubles n/id_sum
+    "q290_versioned_stream" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id < 450 GROUP BY lang""".stripMargin,
 
     // retract-then-upsert replay: the emptied segment's rows surface on
     // the removal side with an EMPTY add-delta; the partial rewrite

@@ -456,4 +456,63 @@ class StreamingSpec extends SparkSpec {
       Streams.tfRecordSink(bad, s"$d/out2", s"$d/ckpt2")
     }
   }
+
+  test("versioned streaming source: offsets are manifest versions, " +
+       "checkpoint restart resumes the cursor, DML deltas stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream").toString
+    val ds = s"$dir/ds"
+    Versioned.commit((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    Versioned.commit((51L to 80L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.VersionedStreamProvider].getName)
+        .option("path", ds)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // first drain: everything committed so far, in one cursor pass
+    drain()
+    val out1 = spark.read.parquet(s"$dir/out")
+    assert(out1.count() == 80L)
+    assert(out1.columns.toSeq == Seq("id", "v"))
+    // nothing new: a re-drain emits no rows (cursor persisted)
+    drain()
+    assert(spark.read.parquet(s"$dir/out").count() == 80L)
+    // append + a pruned DELETE: the next drain carries the appended
+    // segment AND the DELETE's rewritten-survivor segment — and
+    // nothing from carried segments
+    Versioned.commit((81L to 90L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    Versioned.deleteWhere(spark, ds, F.col("id") === 60L)
+    drain()
+    val out3 = spark.read.parquet(s"$dir/out")
+    // 80 (first drains) + 10 (append) + 29 (segment-2 survivors 51..80
+    // minus id 60, re-emitted by the rewrite)
+    assert(out3.count() == 119L, s"got ${out3.count()}")
+    assert(out3.filter(F.col("id") === 60L).count() == 1L,
+      "the pre-delete emission of id=60 stays in the sink's history")
+    assert(out3.filter(F.col("id") > 80L).count() == 10L)
+    // the head replayed from the stream's add-log: latest emission per
+    // id — dedup by arrival does not apply here, but grouping suffices
+    // for the survivor check
+    val reEmitted = out3.filter(F.col("id") >= 51L && F.col("id") <= 80L)
+    assert(reEmitted.count() == 59L) // 30 original + 29 survivors
+    // starting a FRESH checkpoint from a later version skips history
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.VersionedStreamProvider].getName)
+      .option("path", ds).option("startingVersion", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out2")
+      .option("checkpointLocation", s"$dir/chk2")
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    // versions 3 (append) + 4 (delete rewrite): 10 + 29 rows
+    assert(spark.read.parquet(s"$dir/out2").count() == 39L)
+  }
 }
