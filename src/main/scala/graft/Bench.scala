@@ -827,6 +827,37 @@ object Bench {
     }
     tracer.drain()
 
+    // Avro SYNC-SPLIT probe: the same aggregation over ONE multi-MB OCF
+    // file read whole (one task — what file-granular parallelism gives a
+    // single Kafka-archive shard) vs sync-marker byte-range split (the
+    // default read path). The file write is an untimed per-corpus cost;
+    // at a real multi-GB shard the whole-file number scales with file
+    // size while the split number scales with file size / cores.
+    val (avroWhole, avroSplit) = {
+      import org.apache.spark.sql.{functions => F}
+      val avroDir = new java.io.File(newTempDir("graft_bench_avrosplit"))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.col("l_quantity").cast("double").as("l_quantity"))
+      val schema = li.schema
+      // one LOCAL file via the driver-streamed iterator (bounded memory)
+      graft.sources.Avro.writeFile(
+        new java.io.File(avroDir, "lineitem.avro"), schema,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          li.toLocalIterator()).asScala, "null")
+      def agg(df: DataFrame) = df.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").as("sum_qty"))
+      val whole = probe(spark, "q280_avro_1file_whole") {
+        agg(graft.sources.Avro.read(spark, s"$avroDir/lineitem.avro",
+          maxSplitBytes = Long.MaxValue))
+      }
+      val split = probe(spark, "q280_avro_1file_split") {
+        agg(graft.sources.Avro.read(spark, s"$avroDir/lineitem.avro"))
+      }
+      (whole, split)
+    }
+    tracer.drain()
+
     // Skewed-key x10 probe (round-8 verdict ask #6): a 10x events table
     // where ONE user owns ~50% of rows — the shape a 100 TB web corpus
     // presents (one giant domain). The same shuffled equi-join + agg
@@ -1000,6 +1031,8 @@ object Bench {
         :+ ("q279_bpe_train32k_wordcount" -> bpeWc32k)
         :+ ("q279_bpe_train32k_mergeloop" -> bpeLoop32k)
         :+ ("q279_bpe_encode32k" -> bpeEnc32k)
+        :+ ("q280_avro_1file_whole" -> avroWhole)
+        :+ ("q280_avro_1file_split" -> avroSplit)
         :+ ("q275_footer_6Mrows" -> footer6M)
         :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)
@@ -1076,6 +1109,8 @@ object Bench {
       "q06_zorder_2ndcol" -> pqZorder2nd,
       "q06_linear_2ndcol" -> pqLinear2nd,
       "q279_bpe_encode200" -> bpeEncode200,
+      "q280_avro_1file_whole" -> avroWhole,
+      "q280_avro_1file_split" -> avroSplit,
       "q275_footer_6Mrows" -> footer6M, "q275_scan_6Mrows" -> scan6M,
       "q06_versioned_600krows" -> versionedQ1,
       "q06_rawlayout_600krows" -> rawQ1)

@@ -20,12 +20,13 @@ import scala.jdk.CollectionConverters._
   * Processing model: the writer schema travels IN the file, so [[read]]
   * resolves it from the first file's HEADER on the driver (metadata
   * only — no record decode), maps it to a Spark schema, and executors
-  * stream-decode records one at a time ([[DataFileStream]] — one
-  * record in memory, the [[Warc]]/[[TfRecord]] model). Parallelism is
-  * file-granular: corpora shard into many files, and that is the unit
-  * trainers and Kafka dumps produce anyway. (OCF is in principle also
-  * block-splittable on its sync markers — the upgrade path if a
-  * deployment ever ships single multi-GB files.)
+  * stream-decode records one at a time (one record in memory, the
+  * [[Warc]]/[[TfRecord]] model). Parallelism is SYNC-ALIGNED
+  * BYTE-RANGE granular: files above `maxSplitBytes` split on the
+  * format's own 16-byte sync markers (`DataFileReader.sync` /
+  * `pastSync` — OCF was designed for exactly this), so a single
+  * multi-GB Kafka-archive shard reads on every core; small files stay
+  * one task each.
   *
   * Type surface: the flat primitive subset corpora use — boolean, int,
   * long, float, double, string, bytes, timestamp (long +
@@ -242,35 +243,76 @@ object Avro {
     } finally in.close()
   }
 
+  /** Sync-aligned byte-range splits over a glob of OCF files: every
+    * file larger than `maxSplitBytes` shatters into ranges, smaller
+    * files are one range each. Ownership follows the convention the
+    * format was DESIGNED for (it is how Hadoop's AvroInputFormat
+    * splits): a reader seeks to the first 16-byte SYNC MARKER after
+    * its range start (`DataFileReader.sync`) and decodes blocks until
+    * the first sync past its range end (`pastSync`) — every block is
+    * owned by exactly one range, no coordination. */
+  private[graft] def planSplits(spark: SparkSession, path: String,
+      maxSplitBytes: Long): Seq[(String, Long, Long)] = {
+    require(maxSplitBytes >= 1, s"maxSplitBytes must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }.sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"no Avro files match $path")
+    files.toSeq.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      val step = (len + n - 1) / n
+      (0L until n).map(i =>
+        (st.getPath.toString, i * step, math.min(len, (i + 1) * step)))
+    }
+  }
+
   /** Read a glob of `.avro` OCF files: schema from the first file's
-    * header, then one streaming task per file. A file whose writer
-    * schema differs from the resolved one fails ITS task loudly (no
-    * silent column drift mid-corpus); corrupted tail blocks raise
+    * header, then one streaming task per SYNC-ALIGNED BYTE RANGE —
+    * files above `maxSplitBytes` split on the format's own sync
+    * markers ([[planSplits]]), so a single multi-GB Kafka-archive
+    * shard reads on every core instead of serializing on one (the
+    * header's "upgrade path", now the default path). A file whose
+    * writer schema differs from the resolved one fails ITS task loudly
+    * (no silent column drift mid-corpus); corrupted blocks raise
     * through the Avro decoder the same way. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+           maxSplitBytes: Long = 32L * 1024 * 1024): DataFrame = {
     val wSchema = writerSchema(spark, path)
     val sparkSchema = sparkSchemaFor(wSchema)
     val expected = sparkSchema.map(f => (f.name, f.dataType)).toIndexedSeq
     val types = sparkSchema.map(_.dataType).toIndexedSeq
     val units = wSchema.getFields.asScala
       .map(f => tsUnitMicros(f.schema())).toIndexedSeq
-    val rows = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val in = pds.open()
-        val stream = new DataFileStream[GenericRecord](
+    val splits = planSplits(spark, path, maxSplitBytes)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.length)
+      .flatMap { case (file, start, end) =>
+        val in = new org.apache.avro.mapred.FsInput(
+          new org.apache.hadoop.fs.Path(file), confBc.value.value)
+        val reader = org.apache.avro.file.DataFileReader.openReader(
           in, new GenericDatumReader[GenericRecord]())
-        val got = sparkSchemaFor(stream.getSchema)
+        val got = sparkSchemaFor(reader.getSchema)
           .map(f => (f.name, f.dataType)).toIndexedSeq
         require(got == expected,
           s"Avro schema drift in $file: $got vs resolved $expected")
+        reader.sync(start) // first sync point at/after the range start
         new Iterator[Row] {
           override def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) { stream.close(); in.close() }
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close()
             h
           }
           override def next(): Row = {
-            val rec = stream.next()
+            val rec = reader.next()
             Row.fromSeq(types.indices.map(i =>
               toSparkValue(rec.get(i), types(i), units(i))))
           }

@@ -768,6 +768,45 @@ class SourcesShellSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("Avro sync-marker splits: every block owned by exactly one " +
+       "range, no row lost or duplicated, small files stay whole") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-split").toFile
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", StringType, nullable = false)))
+      // ~100-byte rows, null codec -> a multi-MB file with many 64 KB
+      // sync blocks for the ranges to land inside
+      val n = 50000
+      graft.sources.Avro.writeFile(new java.io.File(dir, "big.avro"), schema,
+        (0 until n).iterator.map(i => Row(i.toLong, "x" * 100)), "null")
+      val fileLen = new java.io.File(dir, "big.avro").length()
+      assert(fileLen > 4L * 1024 * 1024)
+      // split aggressively: ~256 KB ranges -> dozens of tasks over one file
+      val splits = graft.sources.Avro.planSplits(
+        spark, s"$dir/big.avro", 256L * 1024)
+      assert(splits.length > 10, s"expected many splits, got ${splits.length}")
+      assert(splits.map { case (_, s, e) => e - s }.sum == fileLen,
+        "ranges partition the byte length exactly")
+      val back = graft.sources.Avro.read(spark, s"$dir/big.avro",
+        maxSplitBytes = 256L * 1024)
+      assert(back.rdd.getNumPartitions == splits.length)
+      import org.apache.spark.sql.{functions => F}
+      val agg = back.agg(
+        F.count(F.lit(1)), F.countDistinct("id"), F.sum("id")).head()
+      assert(agg.getLong(0) == n.toLong, "row count")
+      assert(agg.getLong(1) == n.toLong, "no duplicated ids across ranges")
+      assert(agg.getLong(2) == n.toLong * (n - 1) / 2, "id sum exact")
+      // a small file beside it stays one range; glob reads both
+      graft.sources.Avro.writeFile(new java.io.File(dir, "small.avro"),
+        schema, Iterator(Row(1000000L, "tail")), "deflate")
+      assert(graft.sources.Avro.read(spark, s"$dir/*.avro").count() ==
+        n.toLong + 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("Avro timestamps: micros round trip (TZ + NTZ, pre-1970), " +
        "millis logical types widen losslessly on read") {
     import org.apache.spark.sql.Row
