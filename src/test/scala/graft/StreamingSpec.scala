@@ -504,7 +504,7 @@ class StreamingSpec extends SparkSpec {
     assert(reEmitted.count() == 59L) // 30 original + 29 survivors
     // starting a FRESH checkpoint from a later version skips history
     val q2 = spark.readStream
-      .format(classOf[graft.streaming.VersionedStreamProvider].getName)
+      .format("graft-versioned")
       .option("path", ds).option("startingVersion", "2")
       .load()
       .writeStream.format("parquet")
