@@ -1449,6 +1449,21 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       case Some(sub) => evalCompound(sub, scope)
       case None => t.values match {
         case Some((names, rows)) => valuesFrame(names, rows)
+        case None if t.cdc.isDefined =>
+          // FOR CHANGES/REMOVALS FROM v [TO v]: the segment-level CDC
+          // pair over a Versioned dataset — adds are rows of segments
+          // committed in the range, removals rows of segments dropped
+          // by it (a consumer retracts removals, upserts changes)
+          val (kind, from, to) = t.cdc.get
+          val resolved = Tables.resolve(t.path, baseDir)
+          val df =
+            try {
+              if (kind == "changes")
+                graft.sources.Versioned.changes(spark, resolved, from, to)
+              else graft.sources.Versioned.removals(spark, resolved, from, to)
+            } catch { case e: IllegalArgumentException =>
+              throw new SemanticError(e.getMessage) }
+          GraftFrame.fromDF(df)
         case None => t.version match {
           // FOR VERSION AS OF n: that committed snapshot, exactly
           case Some(v) => GraftFrame.fromDF(graft.sources.Versioned.read(

@@ -1624,6 +1624,30 @@ object SparkEntry {
           F.sum("doc_id").cast("long").as("id_sum"))
     }),
 
+    // ---- the CDC pair through the DIALECT (the FOR-clause extension
+    //      beside VERSION/TIMESTAMP AS OF): FOR CHANGES FROM v TO v /
+    //      FOR REMOVALS FROM v TO v compose with the full SELECT
+    //      grammar; a selective DELETE's delta = survivor segment on
+    //      the add side, the whole old segment on the removal side ----
+    "q291_sql_cdc" -> ((s, dir) => {
+      val path = stagingDir("graft_sqlcdc") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      Versioned.commit(base.filter(F.col("doc_id") < 200), path)
+      Versioned.commit(
+        base.filter(F.col("doc_id") >= 200 && F.col("doc_id") < 400), path)
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id >= 300") // v3: seg-2 rewrite
+      eng.sql(
+        s"""SELECT 'added' AS delta, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR CHANGES FROM 2 TO 3
+           |UNION ALL
+           |SELECT 'removed' AS delta, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM '$path' FOR REMOVALS FROM 2 TO 3""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // ---- CDC REMOVAL SIDE (round-10 ADVICE): a pruned DELETE that
     //      empties its whole segment has an EMPTY changes() add-delta —
     //      previously indistinguishable from a no-op; removals() must
@@ -5490,6 +5514,18 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents WHERE doc_id < 450 GROUP BY lang""".stripMargin,
+
+    // delta replay from the origin rows: the add side is the DELETE's
+    // survivor segment (200..299), the removal side its whole old
+    // segment (200..399)
+    "q291_sql_cdc" ->
+      """SELECT 'added' AS delta, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 300
+        |UNION ALL
+        |SELECT 'removed' AS delta, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 400""".stripMargin,
 
     // retract-then-upsert replay: the emptied segment's rows surface on
     // the removal side with an EMPTY add-delta; the partial rewrite

@@ -63,7 +63,12 @@ final case class TableRef(path: String, alias: Option[String],
                           version: Option[Long] = None,
                           // `FOR TIMESTAMP AS OF '<ts>'`: the snapshot
                           // that was HEAD at that wall-clock instant
-                          asOfTs: Option[String] = None)
+                          asOfTs: Option[String] = None,
+                          // segment-level CDC over a Versioned dataset
+                          // (extension): `FOR CHANGES FROM v [TO v]` /
+                          // `FOR REMOVALS FROM v [TO v]` —
+                          // ("changes"|"removals", fromVersion, to)
+                          cdc: Option[(String, Long, Option[Long])] = None)
 final case class JoinClause(table: TableRef, on: Col, how: String)
 
 /** A chain of query blocks combined with set operations (extension —
@@ -571,27 +576,47 @@ object SqlParser {
       // that instant (manifest commit times). Without the clause a
       // versioned path reads its LATEST version. TIMESTAMP is matched
       // as a bare ident, not reserved — a column may keep the name.
-      val (version, asOfTs): (Option[Long], Option[String]) =
-        if (!accept("FOR")) (None, None)
+      def intLit(what: String): Long = next() match {
+        case TNum(t) if !t.contains('.') => t.toLong
+        case t => throw new ParseError(
+          s"Expected an integer $what, got ${t.text}")
+      }
+      val (version, asOfTs, cdc): (Option[Long], Option[String],
+          Option[(String, Long, Option[Long])]) =
+        if (!accept("FOR")) (None, None, None)
         else if (accept("VERSION")) {
           expectKw("AS"); expectKw("OF")
-          next() match {
-            case TNum(t) if !t.contains('.') => (Some(t.toLong), None)
-            case t => throw new ParseError(
-              s"Expected an integer version after AS OF, got ${t.text}")
-          }
+          (Some(intLit("version after AS OF")), None, None)
         } else peek match {
           case TIdent(k) if k.equalsIgnoreCase("timestamp") =>
             next(); expectKw("AS"); expectKw("OF")
             next() match {
-              case TStr(ts) => (None, Some(ts))
+              case TStr(ts) => (None, Some(ts), None)
               case t => throw new ParseError(
                 s"Expected a quoted timestamp after AS OF, got ${t.text}")
             }
+          // segment-level CDC (extension, the table_changes/
+          // table-as-delta idea in the dialect's FOR style):
+          // FOR CHANGES FROM v [TO v] = rows of segments ADDED in
+          // (v, to]; FOR REMOVALS FROM v [TO v] = rows of segments no
+          // longer referenced — together the retract-then-upsert pair
+          case TIdent(k) if k.equalsIgnoreCase("changes") ||
+              k.equalsIgnoreCase("removals") =>
+            next(); expectKw("FROM")
+            val from = intLit("version after FROM")
+            val to = peek match {
+              case TIdent(t2) if t2.equalsIgnoreCase("to") =>
+                next(); Some(intLit("version after TO"))
+              case _ => None
+            }
+            (None, None, Some((k.toLowerCase(java.util.Locale.ROOT),
+              from, to)))
           case t => throw new ParseError(
-            s"Expected VERSION or TIMESTAMP after FOR, got ${t.text}")
+            s"Expected VERSION, TIMESTAMP, CHANGES or REMOVALS after " +
+              s"FOR, got ${t.text}")
         }
-      TableRef(path, parseTableAlias(), version = version, asOfTs = asOfTs)
+      TableRef(path, parseTableAlias(), version = version, asOfTs = asOfTs,
+        cdc = cdc)
     }
 
     private def parseTableAlias(): Option[String] = peek match {
