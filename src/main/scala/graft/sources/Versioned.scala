@@ -351,20 +351,72 @@ object Versioned {
     readManifest(spark, path, v).length
   }
 
-  /** Segment COMPACTION (the lakehouse OPTIMIZE): rewrite the head's
-    * segment list into ONE fresh segment and commit it as a new
-    * version. A long-running [[graft.streaming.Streams.versionedSink]]
-    * ingest stacks one segment per micro-batch, so the head's manifest
-    * (and every reader's file listing) grows without bound — compaction
-    * resets it to a single segment while prior versions stay readable
-    * (time travel is untouched; [[vacuum]] retires them later, sweeping
-    * the now-unreferenced small segments). Crash-safe for free: this IS
-    * a commit, so a crash leaves at worst an unreferenced segment
-    * directory and the previous head fully intact. Content-identical by
-    * construction — the new segment is one task-parallel rewrite of the
-    * head read. Returns the new version. */
-  def compact(spark: SparkSession, path: String): Long =
-    commit(read(spark, path), path, append = false)
+  /** Segment COMPACTION (the lakehouse OPTIMIZE), BIN-PACKED: segments
+    * at or above `targetBytes` carry into the new manifest BY
+    * REFERENCE (files untouched — rewriting an already-right-sized
+    * segment is pure waste, and at 100 TB "all of them" is the
+    * table); the small ones greedy-pack in manifest order into
+    * ~`targetBytes` bins, each bin rewriting into one fresh segment. A
+    * bin holding a SINGLE segment also carries (merging nothing buys
+    * nothing). A long-running
+    * [[graft.streaming.Streams.versionedSink]] ingest stacks one small
+    * segment per micro-batch, so the head's manifest (and every
+    * reader's file listing) grows without bound — compaction folds
+    * exactly that tail while prior versions stay readable (time travel
+    * untouched; [[vacuum]] retires them later, sweeping the
+    * now-unreferenced small segments). Crash-safe for free: this IS a
+    * commit, so a crash leaves at worst unreferenced segment
+    * directories and the previous head fully intact. At the default
+    * 1 GiB target every test-scale dataset folds to one segment — the
+    * classic full compaction — while a corpus with mature z-ordered
+    * segments pays only for its small-file tail. Returns the new
+    * version. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 1L << 30): Long = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1")
+    val hv = headVersion(spark, path)
+    val segs = headSegments(spark, path, Some(hv))
+    val fs = fsOf(spark, path)
+    val sized = segs.map { s =>
+      s -> fs.getContentSummary(new Path(s"$path/data/$s")).getLength
+    }
+    // greedy next-fit in manifest order: commit order is ingest order,
+    // so a streaming tail's small segments pack with their neighbors
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    sized.foreach { case (s, bytes) =>
+      if (bytes >= targetBytes) () // carried, never binned
+      else {
+        if (acc > 0L && acc + bytes > targetBytes) {
+          bins += scala.collection.mutable.ArrayBuffer.empty[String]
+          acc = 0L
+        }
+        bins.last += s
+        acc += bytes
+      }
+    }
+    val carriedBig = sized.collect { case (s, b) if b >= targetBytes => s }
+    val (mergeBins, singletonBins) = bins.filter(_.nonEmpty)
+      .partition(_.length >= 2)
+    val carried = carriedBig ++ singletonBins.flatten
+    if (mergeBins.isEmpty)
+      commitSegments(spark, path, segs) // nothing to fold: carry-all commit
+    else {
+      val headSchema = read(spark, path, Some(hv)).schema
+      val fresh = mergeBins.map { bin =>
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(bin.toSeq.map(s => s"$path/data/$s"): _*)
+        val have = raw.columns.toSet
+        import org.apache.spark.sql.{functions => F}
+        writeSegment(raw.select(headSchema.fields.map { f =>
+          if (have(f.name)) F.col(f.name)
+          else F.lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*), path)
+      }
+      commitSegments(spark, path, carried ++ fresh)
+    }
+  }
 
   /** Arrange `df` along a Morton (Z-order) curve over `cols`: quantile-
     * quantize each column to a small bucket code, bit-interleave the

@@ -1109,6 +1109,57 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("bin-packed compaction: big segments carry byte-identical, " +
+       "small tails fold, singleton bins stay put") {
+    val out = java.nio.file.Files.createTempDirectory("graft-binpack")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      // one BIG segment then a tail of four small ones (the streaming-
+      // ingest shape compaction exists for)
+      Versioned.commit(
+        (1L to 20000L).map(i => (i, s"v$i" * 8)).toDF("id", "v")
+          .coalesce(1), ds)
+      (1 to 4).foreach { k =>
+        Versioned.commit(
+          Seq((100000L + k, "tail")).toDF("id", "v").coalesce(1), ds)
+      }
+      val segs = Versioned.headSegments(spark, ds)
+      assert(segs.length == 5)
+      val bigSeg = segs.head
+      val bigFiles = new java.io.File(s"$ds/data/$bigSeg").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      val bigBytes = bigFiles.map(_._3).sum
+      // target between the tail size and the big segment: big carries,
+      // the four smalls fold into ONE fresh segment
+      val v = Versioned.compact(spark, ds, targetBytes = bigBytes)
+      val after = Versioned.headSegments(spark, ds)
+      assert(after.length == 2, s"after: $after")
+      assert(after.contains(bigSeg), "big segment carried by reference")
+      assert(new java.io.File(s"$ds/data/$bigSeg").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet ==
+        bigFiles, "carried bytes untouched")
+      assert(Versioned.read(spark, ds).count() == 20004L)
+      assert(Versioned.read(spark, ds)
+        .filter(org.apache.spark.sql.functions.col("id") > 100000L)
+        .count() == 4L)
+      // the lone folded-tail segment has nothing to merge with: an
+      // immediate re-compaction carries everything (no rewrite at all)
+      val before2 = Versioned.headSegments(spark, ds)
+      Versioned.compact(spark, ds, targetBytes = bigBytes)
+      assert(Versioned.headSegments(spark, ds).toSet == before2.toSet)
+      assert(Versioned.versions(spark, ds).last == v + 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("GROUPING() flags subtotal rows; CAST composes over aggregates") {
     val out = engine.sql(
       """SELECT fruit, CAST(grouping(fruit) AS INTEGER) AS g,
