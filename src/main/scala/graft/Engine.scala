@@ -1063,14 +1063,14 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             StructField("n_rows", LongType, nullable = false)))))
       } else {
         val v = graft.sources.Versioned.commit(df, resolved, append = true)
-        // count the NEW segment only (Versioned.changes scopes the read
-        // to what this statement just wrote — bounded by the append):
-        // a head count would re-scan the whole dataset after every
-        // incremental publish, the exact cost the statement exists to
-        // avoid. Cumulative totals are one `SELECT COUNT() FROM ds`
+        // count the NEW segment only, from FOOTER metadata (the DELETE
+        // status-row rule): a head count would re-scan the whole
+        // dataset after every incremental publish, and even a scoped
+        // changes().count() re-reads the rows this statement just
+        // wrote. Cumulative totals are one `SELECT COUNT() FROM ds`
         // away when wanted.
         val appended = graft.sources.Versioned
-          .changes(spark, resolved, v - 1, Some(v)).count()
+          .addedRowCount(spark, resolved, v - 1, Some(v))
         GraftFrame.fromDF(spark.createDataFrame(
           java.util.List.of(Row(v, appended)),
           StructType(Seq(

@@ -164,8 +164,19 @@ object Versioned {
     * KB-sized metadata reads, not a table pass — this is what the DML
     * status rows report instead of `read(head).count()`. */
   def rowCount(spark: SparkSession, path: String,
-               version: Option[Long] = None): Long = {
-    val segs = headSegments(spark, path, version)
+               version: Option[Long] = None): Long =
+    footerRowCount(spark, path, headSegments(spark, path, version))
+
+  /** Exact row count of the segments ADDED in (`fromVersion`, `to`] —
+    * footer metadata only, like [[rowCount]]: what an INSERT's status
+    * row reports without re-reading even the rows it just wrote. */
+  def addedRowCount(spark: SparkSession, path: String, fromVersion: Long,
+                    toVersion: Option[Long] = None): Long =
+    footerRowCount(spark, path,
+      manifestDelta(spark, path, fromVersion, toVersion)._1)
+
+  private def footerRowCount(spark: SparkSession, path: String,
+                             segs: Seq[String]): Long = {
     val fs = fsOf(spark, path)
     val files = segs.flatMap { s =>
       fs.listStatus(new Path(s"$path/data/$s")).toSeq
