@@ -388,6 +388,23 @@ object SparkEntry {
         .orderBy(F.col("n").desc, F.col("token").asc).limit(30)
     }),
 
+    // ---- the persisted TOKENIZER MODEL: train once, publish as a
+    //      Versioned dataset (rank, lhs, rhs), every encode job pins
+    //      the model version — the artifact read back through the
+    //      DIALECT and verified against the oracle's independent
+    //      8-round training replay (q278's derivation, now through the
+    //      publish/load lifecycle) ----
+    "q292_bpe_model" -> ((s, dir) => {
+      val path = stagingDir("graft_bpe_model") + "/model"
+      val merges = TextAnalysis.bpeTrain(
+        t(s, dir, "documents"), "text", numMerges = 8)
+      TextAnalysis.writeBpeModel(s, merges, path)
+      require(TextAnalysis.readBpeModel(s, path) == merges,
+        "model round-trip drifted")
+      Engine(s, dir).sql(
+        s"SELECT rank AS merge_rank, lhs, rhs FROM '$path'").df
+    }),
+
     // ---- BPE at PRODUCTION merge counts (round-10 verdict ask #3):
     //      the q278/q279 gates pin 8 training rounds value-by-value
     //      (the DuckDB replay's cost ceiling); this gate proves the
@@ -4752,6 +4769,14 @@ object SparkEntry {
 
     // every learned merge re-derived by the 8-round training replay
     "q278_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(8)}
+         |${(1 to 8).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM m$k")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // the persisted model must equal the independent training replay —
+    // same derivation as q278, through the publish/load lifecycle
+    "q292_bpe_model" ->
       s"""WITH ${bpeTrainCtes(8)}
          |${(1 to 8).map(k =>
              s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM m$k")

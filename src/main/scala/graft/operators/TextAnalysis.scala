@@ -331,6 +331,33 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Persist a trained merge table as a VERSIONED dataset — the
+    * production tokenizer lifecycle: train once per corpus release,
+    * publish atomically, every encode job pins the model version it
+    * tokenized with (the same train/serve split as the BM25 and
+    * minhash indexes). One row per merge: (rank, lhs, rhs), rank
+    * 1-based in training order — the merges.txt shape as a table.
+    * Returns the committed model version. */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], path: String): Long = {
+    import spark.implicits._
+    require(merges.nonEmpty, "writeBpeModel needs >= 1 merge")
+    graft.sources.Versioned.commit(
+      merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("rank", "lhs", "rhs").coalesce(1),
+      path, append = false)
+  }
+
+  /** Load a persisted merge table (head version, or a pinned one) in
+    * rank order — the driver collect is model-sized (32k rows for a
+    * production vocabulary), never corpus-sized. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Option[Long] = None): Seq[(String, String)] =
+    graft.sources.Versioned.read(spark, path, version)
+      .orderBy("rank")
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+
   /** Encode a text column with a trained merge table: ARRAY<STRING> of
     * subword tokens. Native [[graft.functions.BpeEncodeExpr]] (greedy
     * lowest-rank, codegen'd) when the session carries GraftExtensions;
