@@ -237,13 +237,83 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     """(?is)^'([^']+)'(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
   private val MergeUsingBare =
     """(?is)^([A-Za-z_][A-Za-z0-9_.]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
-  private val MergeWhenUpdate =
-    """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
-  private val MergeWhenDelete = """(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$""".r
-  private val MergeWhenInsertStar =
-    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
-  private val MergeWhenInsertCols =
-    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$""".r
+  private val MergeClauseHead =
+    """(?is)^WHEN\s+(NOT\s+)?MATCHED\s+(.+?)\s*$""".r
+  private val MergeActUpdate = """(?is)^UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val MergeActDelete = """(?is)^DELETE\s*$""".r
+  private val MergeActInsertStar = """(?is)^INSERT\s+\*\s*$""".r
+  private val MergeActInsertCols =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$""".r
+
+  /** MERGE clause forms — standard first-match-wins semantics: any
+    * number of `WHEN MATCHED [AND cond] THEN UPDATE SET ... / DELETE`
+    * clauses evaluated in specification order per matched row, plus at
+    * most one `WHEN NOT MATCHED [AND cond] THEN INSERT ...`. */
+  private sealed trait MergeMatched
+  private final case class MergeUpd(cond: Option[String],
+      assigns: Seq[(String, String)]) extends MergeMatched
+  private final case class MergeDel(cond: Option[String]) extends MergeMatched
+
+  /** SET assignments split textually (`col = expr`, top-level commas
+    * and `=` only) so right-hand sides embed verbatim into the internal
+    * join query — they may reference both MERGE aliases. */
+  private def parseMergeAssigns(setText: String): Seq[(String, String)] =
+    splitTopLevel(setText, ',').map { a =>
+      val i = {
+        var j = -1; var depth = 0; var inStr = false; var k = 0
+        while (j < 0 && k < a.length) {
+          val c = a.charAt(k)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case '=' if depth == 0 => j = k
+            case _ => ()
+          }
+          k += 1
+        }
+        if (j < 0) throw new SemanticError(
+          s"MERGE: SET assignment '$a' is not `col = expr`")
+        j
+      }
+      (a.take(i).trim, a.drop(i + 1).trim)
+    }
+
+  /** Index of the first TOP-LEVEL `THEN` keyword: outside parens and
+    * single-quoted strings AND outside `CASE ... END` (a WHEN-clause
+    * condition may itself contain a CASE expression whose own THENs
+    * must not terminate the condition). -1 when absent. */
+  private def findTopLevelThen(text: String): Int = {
+    var depth = 0; var inStr = false; var caseDepth = 0
+    var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      j + w.length <= text.length &&
+        text.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !Character.isLetterOrDigit(text.charAt(j - 1)) &&
+          text.charAt(j - 1) != '_') &&
+        (j + w.length == text.length ||
+          !Character.isLetterOrDigit(text.charAt(j + w.length)) &&
+            text.charAt(j + w.length) != '_')
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt(i, "END")) {
+            caseDepth -= 1; i += 3
+          }
+          else if (depth == 0 && caseDepth == 0 && wordAt(i, "THEN"))
+            return i
+          else i += 1
+      }
+    }
+    -1
+  }
 
   /** Split `text` at top-level occurrences of `sep` (outside parens and
     * single-quoted strings) — the SET-assignment splitter MERGE needs
@@ -724,33 +794,68 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         .map(_.start).toSeq
       val clauses = whenStarts.zipAll(whenStarts.drop(1), 0, whenText.length)
         .map { case (a, b) => whenText.substring(a, b).trim }
-      var updateSet: Option[String] = None
-      var deleteMatched = false
+      // clause list: any number of WHEN MATCHED [AND cond] clauses
+      // (first-match-wins per matched row, specification order — the
+      // standard semantics), at most one WHEN NOT MATCHED [AND cond]
+      val matchedClauses =
+        scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
       var insertStar = false
       var insertCols: Option[(Seq[String], Seq[String])] = None
-      clauses.foreach {
-        case MergeWhenUpdate(setText) =>
-          if (updateSet.nonEmpty || deleteMatched) throw new SemanticError(
-            "MERGE supports at most one WHEN MATCHED clause")
-          updateSet = Some(setText)
-        case MergeWhenDelete() =>
-          if (updateSet.nonEmpty || deleteMatched) throw new SemanticError(
-            "MERGE supports at most one WHEN MATCHED clause")
-          deleteMatched = true
-        case MergeWhenInsertStar() =>
-          if (insertStar || insertCols.nonEmpty) throw new SemanticError(
-            "MERGE supports at most one WHEN NOT MATCHED clause")
-          insertStar = true
-        case MergeWhenInsertCols(cols, vals) =>
-          if (insertStar || insertCols.nonEmpty) throw new SemanticError(
-            "MERGE supports at most one WHEN NOT MATCHED clause")
-          insertCols = Some((
-            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            splitTopLevel(vals, ',')))
-        case other => throw new SemanticError(
-          s"MERGE: unsupported WHEN clause '$other' — expected WHEN " +
-          "MATCHED THEN UPDATE SET ... / DELETE, or WHEN NOT MATCHED " +
-          "THEN INSERT * / INSERT (cols) VALUES (exprs)")
+      var insertCond: Option[String] = None
+      clauses.foreach { clause =>
+        val (isNot, rest) = clause match {
+          case MergeClauseHead(notKw, r) => (notKw != null, r)
+          case other => throw new SemanticError(
+            s"MERGE: cannot parse WHEN clause '$other'")
+        }
+        // optional `AND <cond>` before THEN — the condition may itself
+        // hold parens, strings and CASE...END, so the THEN that ends it
+        // is found by a top-level scan, not a regex
+        val (cond, action) =
+          if (rest.take(4).equalsIgnoreCase("THEN"))
+            (None, rest.drop(4).trim)
+          else if (rest.take(3).equalsIgnoreCase("AND")) {
+            val afterAnd = rest.drop(3)
+            val at = findTopLevelThen(afterAnd)
+            if (at < 0) throw new SemanticError(
+              s"MERGE: WHEN clause condition has no THEN: '$clause'")
+            (Some(afterAnd.take(at).trim), afterAnd.drop(at + 4).trim)
+          } else throw new SemanticError(
+            s"MERGE: expected AND <condition> or THEN after " +
+              s"${if (isNot) "NOT MATCHED" else "MATCHED"}: '$clause'")
+        (isNot, action) match {
+          case (false, MergeActUpdate(setText)) =>
+            matchedClauses += MergeUpd(cond, parseMergeAssigns(setText))
+          case (false, MergeActDelete()) =>
+            matchedClauses += MergeDel(cond)
+          case (true, MergeActInsertStar()) =>
+            if (insertStar || insertCols.nonEmpty) throw new SemanticError(
+              "MERGE supports at most one WHEN NOT MATCHED clause")
+            insertStar = true; insertCond = cond
+          case (true, MergeActInsertCols(cols, vals)) =>
+            if (insertStar || insertCols.nonEmpty) throw new SemanticError(
+              "MERGE supports at most one WHEN NOT MATCHED clause")
+            insertCols = Some((
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              splitTopLevel(vals, ',')))
+            insertCond = cond
+          case _ => throw new SemanticError(
+            s"MERGE: unsupported WHEN clause '$clause' — expected WHEN " +
+            "MATCHED [AND cond] THEN UPDATE SET ... / DELETE, or WHEN " +
+            "NOT MATCHED [AND cond] THEN INSERT * / INSERT (cols) " +
+            "VALUES (exprs)")
+        }
+      }
+      // reachability: only the LAST matched clause may be unconditioned
+      // (an earlier catch-all would shadow everything after it)
+      matchedClauses.dropRight(1).zipWithIndex.foreach { case (cl, i) =>
+        val c = cl match {
+          case MergeUpd(c0, _) => c0
+          case MergeDel(c0) => c0
+        }
+        if (c.isEmpty) throw new SemanticError(
+          s"MERGE: WHEN MATCHED clause ${i + 1} has no AND condition " +
+            "but is not last — later matched clauses are unreachable")
       }
       // source frame + aliases
       val (srcFrame, saliasRaw) = usingText match {
@@ -789,44 +894,36 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         .localCheckpoint(true)
       val scope = Map(tName -> GraftFrame.fromDF(tDf),
         sName -> GraftFrame.fromDF(sDf))
-      // SET assignments, split textually so the right-hand sides embed
-      // verbatim into the internal join query (they may reference both
-      // aliases); validated against the target schema
-      val assigns: Seq[(String, String)] =
-        updateSet.toSeq.flatMap(splitTopLevel(_, ',')).map { a =>
-          val i = {
-            var j = -1; var depth = 0; var inStr = false; var k = 0
-            while (j < 0 && k < a.length) {
-              val c = a.charAt(k)
-              if (inStr) { if (c == '\'') inStr = false }
-              else c match {
-                case '\'' => inStr = true
-                case '(' => depth += 1
-                case ')' => depth -= 1
-                case '=' if depth == 0 => j = k
-                case _ => ()
-              }
-              k += 1
-            }
-            if (j < 0) throw new SemanticError(
-              s"MERGE: SET assignment '$a' is not `col = expr`")
-            j
-          }
-          (a.take(i).trim, a.drop(i + 1).trim)
+      // validate every clause's SET column names against the target
+      matchedClauses.foreach {
+        case MergeUpd(_, as) => as.foreach { case (n, _) =>
+          if (!head.columns.contains(n)) throw new SemanticError(
+            s"MERGE SET references unknown target column '$n'")
         }
-      assigns.foreach { case (n, _) =>
-        if (!head.columns.contains(n)) throw new SemanticError(
-          s"MERGE SET references unknown target column '$n'")
+        case MergeDel(_) => ()
       }
       // one internal dialect query joins the aliased frames on the
-      // user's condition and projects row ids + SET values; its parsed
-      // expressions are then checked for subqueries (same rule as
-      // UPDATE/DELETE — no defined evaluation scope for them here)
+      // user's condition and projects row ids + per-clause condition
+      // flags + SET values; its parsed expressions are then checked
+      // for subqueries (same rule as UPDATE/DELETE — no defined
+      // evaluation scope for them here). A clause with no AND
+      // condition projects a literal TRUE flag (0 = 0).
+      val clauseCondSql = matchedClauses.zipWithIndex.map { case (cl, i) =>
+        val c = cl match {
+          case MergeUpd(c0, _) => c0
+          case MergeDel(c0) => c0
+        }
+        s", (${c.getOrElse("0 = 0")}) AS __m_$i"
+      }.mkString
+      val setSql = matchedClauses.zipWithIndex.collect {
+        case (MergeUpd(_, as), i) =>
+          as.zipWithIndex.map { case ((_, rhs), j) =>
+            s", ($rhs) AS __set_${i}_$j" }.mkString
+      }.mkString
       val matchedSql =
         s"SELECT $talias.__file AS __file, $talias.__pos AS __pos, " +
           s"$talias.__seg AS __seg, $salias.__srid AS __srid" +
-          assigns.zipWithIndex.map { case ((_, rhs), i) =>
-            s", ($rhs) AS __set_$i" }.mkString +
+          clauseCondSql + setSql +
           s" FROM $tName $talias JOIN $sName $salias ON $condText"
       val matchedCq = SqlParser.parseCompound(matchedSql)
       (matchedCq.head.joins.map(_.on) ++
@@ -835,61 +932,108 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           throw new SemanticError(
             "MERGE expressions cannot contain subqueries")
       }
-      // pairs = matched-row provenance + SET values ONLY — this
+      // pairs = matched-row provenance + flags + SET values ONLY — this
       // checkpoint pins a frame bounded by the match count, never the
-      // target's size (the round-9 verdict's MERGE-profile fix)
-      val pairs = evalCompound(matchedCq, scope).df.localCheckpoint(true)
+      // target's size (the round-9 verdict's MERGE-profile fix).
+      // __win = index of the FIRST clause whose condition holds for the
+      // row (first-match-wins; NULL = matched but no clause fired:
+      // the row stays as-is AND stays excluded from the insert side,
+      // the standard semantics)
+      val winCol = matchedClauses.indices.foldRight(
+        F.lit(null).cast("int")) { (i, acc) =>
+        F.when(F.col(s"__m_$i"), F.lit(i)).otherwise(acc)
+      }
+      val pairs = evalCompound(matchedCq, scope).df
+        .withColumn("__win", winCol)
+        .localCheckpoint(true)
       // standard cardinality rule: a target row matching two source
       // rows has no defined UPDATE/DELETE result — fail loudly, never
       // pick one. Insert-only merges are exempt (matched source rows
       // are merely excluded from the insert; multiplicity is harmless),
       // matching Delta/Postgres semantics.
-      if ((updateSet.nonEmpty || deleteMatched) &&
+      if (matchedClauses.nonEmpty &&
           pairs.groupBy("__file", "__pos").agg(F.count(F.lit(1)).as("c"))
             .filter(F.col("c") > 1).head(1).nonEmpty)
         throw new SemanticError("MERGE: a target row matches more than " +
           "one source row — the ON condition must match at most one")
-      val nMatched = pairs.select("__file", "__pos").distinct().count()
+      // per-clause-kind action counts (cardinality above makes plain
+      // counts row-exact); bounded by the match count
+      val updIdxs = matchedClauses.zipWithIndex.collect {
+        case (MergeUpd(_, _), i) => i }
+      val delIdxs = matchedClauses.zipWithIndex.collect {
+        case (MergeDel(_), i) => i }
+      val (nUpdated, nDeleted) =
+        if (matchedClauses.isEmpty) (0L, 0L)
+        else {
+          val byWin = pairs.filter(F.col("__win").isNotNull)
+            .groupBy("__win").agg(F.count(F.lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
+            delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
+        }
       val segsAll =
         graft.sources.Versioned.headSegments(spark, resolved, Some(hv))
-      // SEGMENT PRUNING: only the segments holding matched rows are
-      // rewritten — the distinct-__seg collect is bounded by the
-      // manifest length; untouched segments carry into the new manifest
-      // by reference, files byte-identical. An insert-only MERGE
-      // rewrites nothing at all: at 100 TB a one-row upsert costs one
-      // segment (plus the match join), not a full-table copy.
+      // SEGMENT PRUNING: only the segments holding rows a clause FIRED
+      // on are rewritten (a matched row whose conditions all failed
+      // rewrites nothing) — the distinct-__seg collect is bounded by
+      // the manifest length; untouched segments carry into the new
+      // manifest by reference, files byte-identical. An insert-only
+      // MERGE rewrites nothing at all: at 100 TB a one-row upsert costs
+      // one segment (plus the match join), not a full-table copy.
       val affected: Set[String] =
-        if (updateSet.nonEmpty || deleteMatched)
-          pairs.select("__seg").distinct().collect()
+        if (matchedClauses.nonEmpty)
+          pairs.filter(F.col("__win").isNotNull)
+            .select("__seg").distinct().collect()
             .map(_.getString(0)).toSet
         else Set.empty
       val survivors: Option[org.apache.spark.sql.DataFrame] =
         if (affected.isEmpty) None
         else {
-          val flagged = graft.sources.Versioned
+          var flagged = graft.sources.Versioned
             .readSegmentsAligned(spark, resolved,
               segsAll.filter(affected), head.schema)
-            .join(pairs.drop("__srid", "__seg")
-                .withColumn("__matched", F.lit(true)),
+            .join(pairs.drop("__srid", "__seg"),
               Seq("__file", "__pos"), "left")
-          Some(
-            if (deleteMatched)
-              flagged.filter(F.col("__matched").isNull)
-                .select(head.columns.map(F.col).toSeq: _*)
-            else
-              flagged.select(head.schema.fields.map { f =>
-                assigns.indexWhere(_._1 == f.name) match {
-                  case -1 => F.col(f.name)
-                  case i =>
-                    // cast to the committed type: schema stability
-                    // across versions is the dataset's contract (the
-                    // UPDATE rule)
-                    F.when(F.col("__matched").isNotNull,
-                        F.col(s"__set_$i").cast(f.dataType))
-                      .otherwise(F.col(f.name)).as(f.name)
-                }
-              }.toSeq: _*))
+          // rows won by a DELETE clause drop; everything else projects
+          // with per-clause CASE on the winning index
+          if (delIdxs.nonEmpty)
+            flagged = flagged.filter(F.col("__win").isNull ||
+              !F.col("__win").isInCollection(delIdxs))
+          Some(flagged.select(head.schema.fields.map { f =>
+            val updsOnField = matchedClauses.zipWithIndex.collect {
+              case (MergeUpd(_, as), i) if as.exists(_._1 == f.name) =>
+                (i, as.indexWhere(_._1 == f.name))
+            }
+            if (updsOnField.isEmpty) F.col(f.name)
+            else updsOnField.foldRight(
+              F.col(f.name): org.apache.spark.sql.Column) {
+              case ((ci, aj), acc) =>
+                // cast to the committed type: schema stability across
+                // versions is the dataset's contract (the UPDATE rule)
+                F.when(F.col("__win") === ci,
+                    F.col(s"__set_${ci}_$aj").cast(f.dataType))
+                  .otherwise(acc)
+            }.as(f.name)
+          }.toSeq: _*))
         }
+      // WHEN NOT MATCHED [AND cond]: the condition compiles against the
+      // SOURCE alias only (there is no target row to reference —
+      // standard restriction) and filters the anti-joined source rows
+      val insertKeep: Option[org.apache.spark.sql.DataFrame] =
+        insertCond.map { c =>
+          val keepCq = SqlParser.parseCompound(
+            s"SELECT $salias.__srid AS __srid FROM $sName $salias WHERE $c")
+          (keepCq.head.where.toSeq ++ keepCq.head.select.map(_.expr))
+            .foreach { e =>
+              if (collectScalarSubs(e).nonEmpty || containsInSubquery(e))
+                throw new SemanticError(
+                  "MERGE expressions cannot contain subqueries")
+            }
+          evalCompound(keepCq, scope).df
+        }
+      def withInsertCond(df: org.apache.spark.sql.DataFrame) =
+        insertKeep.fold(df)(keep =>
+          df.join(keep, Seq("__srid"), "left_semi"))
       val inserts: Option[org.apache.spark.sql.DataFrame] =
         if (insertStar) {
           head.columns.foreach { c =>
@@ -897,7 +1041,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               s"MERGE INSERT *: source lacks target column '$c' — use " +
               "INSERT (cols) VALUES (exprs) to map explicitly")
           }
-          Some(sDf.join(pairs.select("__srid"), Seq("__srid"), "left_anti")
+          Some(withInsertCond(
+            sDf.join(pairs.select("__srid"), Seq("__srid"), "left_anti"))
             .select(head.schema.fields.map(f =>
               F.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
         } else insertCols.map { case (cols, vals) =>
@@ -919,8 +1064,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               throw new SemanticError(
                 "MERGE expressions cannot contain subqueries")
           }
-          evalCompound(insCq, scope).df
-            .join(pairs.select("__srid"), Seq("__srid"), "left_anti")
+          withInsertCond(evalCompound(insCq, scope).df
+            .join(pairs.select("__srid"), Seq("__srid"), "left_anti"))
             .select(head.schema.fields.map { f =>
               if (cols.contains(f.name))
                 F.col(s"__ins_${f.name}").cast(f.dataType).as(f.name)
@@ -937,9 +1082,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         segsAll.filterNot(affected), fresh, head.schema)
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
-        java.util.List.of(Row(v,
-          if (updateSet.nonEmpty) nMatched else 0L,
-          if (deleteMatched) nMatched else 0L, nInserted)),
+        java.util.List.of(Row(v, nUpdated, nDeleted, nInserted)),
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("n_updated", LongType, nullable = false),

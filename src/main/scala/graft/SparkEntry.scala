@@ -1970,6 +1970,49 @@ object SparkEntry {
         .withColumn("n_carried", F.lit(carried.toLong))
     }),
 
+    // ---- MULTI-CLAUSE conditional MERGE (standard first-match-wins):
+    //      three WHEN MATCHED clauses — a conditioned DELETE, a
+    //      conditioned UPDATE, an unconditioned catch-all UPDATE — plus
+    //      a conditioned WHEN NOT MATCHED INSERT; the oracle replays
+    //      the clause cascade as a CASE ladder and pins the status
+    //      row's per-clause-kind counts AND the carried-segment count
+    //      (only the matched third rewrites) in the hash ----
+    "q293_sql_merge_multi" -> ((s, dir) => {
+      val path = stagingDir("graft_merge_multi") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      val st = eng.sql(
+        s"""MERGE INTO '$path' t
+           |USING (SELECT doc_id, n_chars FROM documents
+           |         WHERE doc_id % 3 = 1
+           |       UNION ALL
+           |       SELECT doc_id + 1000000 AS doc_id, n_chars
+           |         FROM documents WHERE doc_id % 100 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 2 = 0 THEN DELETE
+           |WHEN MATCHED AND s.doc_id % 5 = 0 THEN UPDATE SET lang = 'five'
+           |WHEN MATCHED THEN UPDATE SET lang = 'odd',
+           |  n_chars = s.n_chars + 7
+           |WHEN NOT MATCHED AND s.n_chars >= 200 THEN
+           |  INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, 'new', s.n_chars)""".stripMargin)
+        .df.collect().head
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_updated", F.lit(st.getLong(1)))
+        .withColumn("n_deleted", F.lit(st.getLong(2)))
+        .withColumn("n_inserted", F.lit(st.getLong(3)))
+        .withColumn("n_carried", F.lit(carried.toLong))
+    }),
+
     "q284_sql_update_pruned" -> ((s, dir) => {
       val path = stagingDir("graft_update_prune") + "/ds"
       val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
@@ -5753,6 +5796,50 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(2 AS BIGINT) AS n_carried
         |FROM m GROUP BY lang""".stripMargin,
+
+    // first-match-wins replay: the CASE ladder mirrors clause order
+    // (even n_chars deletes BEFORE the %5 update can fire); novel rows
+    // insert only past the n_chars gate; counts + carried pinned
+    "q293_sql_merge_multi" ->
+      """WITH tgt AS (SELECT doc_id, lang, n_chars FROM documents),
+        |src AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+        |novel AS (SELECT doc_id + 1000000 AS doc_id, n_chars
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |merged AS (
+        |  SELECT t.doc_id,
+        |    CASE
+        |      WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 <> 0
+        |           AND s.doc_id % 5 = 0 THEN 'five'
+        |      WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 <> 0
+        |        THEN 'odd'
+        |      ELSE t.lang END AS lang,
+        |    CASE
+        |      WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 <> 0
+        |           AND s.doc_id % 5 <> 0 THEN s.n_chars + 7
+        |      ELSE t.n_chars END AS n_chars,
+        |    CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 = 0
+        |      THEN 1 ELSE 0 END AS deleted
+        |  FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id),
+        |final AS (
+        |  SELECT doc_id, lang, n_chars FROM merged WHERE deleted = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'new' AS lang, n_chars FROM novel
+        |  WHERE n_chars >= 200),
+        |counts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM src s JOIN tgt t ON t.doc_id = s.doc_id
+        |      WHERE s.n_chars % 2 <> 0) AS n_upd,
+        |    (SELECT count(*) FROM src s JOIN tgt t ON t.doc_id = s.doc_id
+        |      WHERE s.n_chars % 2 = 0) AS n_del,
+        |    (SELECT count(*) FROM novel WHERE n_chars >= 200) AS n_ins)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(n_upd AS BIGINT) AS n_updated,
+        |  CAST(n_del AS BIGINT) AS n_deleted,
+        |  CAST(n_ins AS BIGINT) AS n_inserted,
+        |  CAST(2 AS BIGINT) AS n_carried
+        |FROM final, counts
+        |GROUP BY lang, n_upd, n_del, n_ins""".stripMargin,
 
     "q284_sql_update_pruned" ->
       """WITH u AS (

@@ -1109,6 +1109,56 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("multi-clause MERGE: first-match-wins, CASE inside conditions, " +
+       "unreachable clauses reject") {
+    val out = java.nio.file.Files.createTempDirectory("graft-merge-multi")
+    try {
+      import graft.sources.Versioned
+      import spark.implicits._
+      val ds = s"$out/ds"
+      Versioned.commit(
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+          .toDF("id", "v", "n"), ds)
+      Seq((1L, 100L), (2L, 200L), (3L, 300L), (9L, 900L))
+        .toDF("id", "n").write.parquet(s"$out/src.parquet")
+      val eng = Engine(spark, out.toString)
+      // clause 1 (id=1) wins over clause 2 even though both match id=1;
+      // the clause-2 condition carries a CASE...THEN to prove the
+      // top-level THEN scan; id=3 falls to the catch-all; id=9 inserts
+      // through its condition; a second source row (id=2) deletes
+      val st = eng.sql(
+        s"""MERGE INTO '$ds' t USING src s ON t.id = s.id
+           |WHEN MATCHED AND s.id = 2 THEN DELETE
+           |WHEN MATCHED AND (CASE WHEN s.n < 150 THEN 1 ELSE 0 END) = 1
+           |  THEN UPDATE SET v = 'low'
+           |WHEN MATCHED THEN UPDATE SET v = 'high', n = s.n
+           |WHEN NOT MATCHED AND s.n > 500 THEN
+           |  INSERT (id, v, n) VALUES (s.id, 'ins', s.n)"""
+          .stripMargin).df.collect().head
+      assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((2L, 1L, 1L)),
+        s"status: $st") // 2 updated (ids 1, 3), 1 deleted (2), 1 inserted (9)
+      assert(rows(eng.sql(s"SELECT id, v, n FROM '$ds'").df) == Set(
+        Seq(1L, "low", 10L),   // clause 2: v only, n untouched
+        Seq(3L, "high", 300L), // catch-all: v + n
+        Seq(4L, "d", 40L),     // unmatched target row
+        Seq(9L, "ins", 900L))) // conditioned insert
+      // an unconditioned matched clause before another one shadows it
+      val e = intercept[graft.sql.SemanticError] {
+        eng.sql(
+          s"""MERGE INTO '$ds' t USING src s ON t.id = s.id
+             |WHEN MATCHED THEN DELETE
+             |WHEN MATCHED AND s.n > 0 THEN UPDATE SET v = 'x'"""
+            .stripMargin)
+      }
+      assert(e.getMessage.contains("unreachable"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("bin-packed compaction: big segments carry byte-identical, " +
        "small tails fold, singleton bins stay put") {
     val out = java.nio.file.Files.createTempDirectory("graft-binpack")
