@@ -68,9 +68,24 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new VersionedStreamSource(sqlContext, pathOf(parameters),
-      parameters.getOrElse("startingVersion", "0").toLong)
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    // startingTimestamp (epoch ms or the FOR TIMESTAMP AS OF instant
+    // resolution): stream from the version that was HEAD at that
+    // wall-clock moment — mutually exclusive with startingVersion
+    val startV = (parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-versioned: startingVersion and startingTimestamp are " +
+          "mutually exclusive")
+      case (Some(v), None) => v.toLong
+      case (None, Some(ts)) =>
+        graft.sources.Versioned.versionAt(
+          sqlContext.sparkSession, path, ts.toLong)
+      case (None, None) => 0L
+    }
+    new VersionedStreamSource(sqlContext, path, startV)
+  }
 }
 
 class VersionedStreamSource(sqlContext: SQLContext, path: String,
