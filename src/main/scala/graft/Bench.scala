@@ -284,6 +284,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 timestamps carry no parquet statistics (kills both
+      // row-group pruning and Versioned data skipping) — write micros,
+      // mirroring GraftSession
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // see GraftSession: lets small-file splits track bytes-per-core so
       // a 10 MB sf0.1 scan fans out to all cores instead of 3
       .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
@@ -974,6 +978,49 @@ object Bench {
     }
     tracer.drain()
 
+    // MANIFEST-LEVEL DATA SKIPPING (round 11): the 6M-row x10 table
+    // published as 16 l_orderkey-range segments; a one-bucket range
+    // aggregate through Versioned.read (sidecar skipping: 15 of 16
+    // segments never open a footer, never schedule a task) vs the
+    // IDENTICAL files as a raw multi-path parquet read (row-group
+    // pruning only — every footer opened, every file a task). The
+    // planned-segment accounting lands under "prune" as
+    // segments_total/segments_read; at 100 TB the skipped segments
+    // are skipped LISTING + footer I/O + scheduling, which is what a
+    // 100k-segment manifest spends its latency on.
+    val (skipSeg, skipRaw, segPrune) = {
+      import org.apache.spark.sql.{functions => F}
+      val path = newTempDir("graft_bench_skip") + "/lineitem_ds"
+      val li = spark.read.parquet(x10Path)
+      val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
+        .collect().head
+      val (mnK, mxK) = (b.getLong(0), b.getLong(1))
+      val nSeg = 16
+      val width = (mxK - mnK) / nSeg + 1
+      (0 until nSeg).foreach { i => // untimed: per-corpus publish cost
+        graft.sources.Versioned.commit(
+          li.filter(F.col("l_orderkey") >= mnK + i * width &&
+            F.col("l_orderkey") < mnK + (i + 1) * width), path): Unit
+      }
+      val lo = mnK + 5 * width
+      val hi = lo + width - 1
+      def pred = F.col("l_orderkey").between(lo, hi)
+      val segPaths = graft.sources.Versioned.headSegments(spark, path)
+        .map(s => s"$path/data/$s")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.where(pred).agg(F.count("*").as("n"),
+          F.sum("l_quantity").as("qty"))
+      val pruned = probe(spark, "q06_skipping_16segs") {
+        agg(graft.sources.Versioned.read(spark, path))
+      }
+      val raw = probe(spark, "q06_skipping_noskip") {
+        agg(spark.read.parquet(segPaths: _*))
+      }
+      val (tot, kept) = graft.sources.Versioned.pruneCount(spark, path, pred)
+      (pruned, raw, Seq("q06_skipping_16segs" -> ((tot, kept))))
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -1036,6 +1083,8 @@ object Bench {
         :+ ("q275_footer_6Mrows" -> footer6M)
         :+ ("q275_scan_6Mrows" -> scan6M)
         :+ ("q06_versioned_600krows" -> versionedQ1)
+        :+ ("q06_skipping_16segs" -> skipSeg)
+        :+ ("q06_skipping_noskip" -> skipRaw)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
@@ -1057,9 +1106,13 @@ object Bench {
         s""""$k":[${cs.map(c => f"${c / canaryFloor}%.2f").mkString(",")}]"""
       }.mkString("{", ",", "}")
     // machine-readable prune accounting (round-10 verdict ask #5)
-    val pruneJson = (pruneStats ++ footerPrune)
+    val pruneJson = ((pruneStats ++ footerPrune)
       .map { case (k, (tot, hit)) =>
-        s""""$k":{"groups_total":$tot,"groups_read":$hit}""" }
+        s""""$k":{"groups_total":$tot,"groups_read":$hit}""" } ++
+      // manifest-level skipping: whole SEGMENTS planned away before
+      // any footer I/O (the layer above row groups)
+      segPrune.map { case (k, (tot, hit)) =>
+        s""""$k":{"segments_total":$tot,"segments_read":$hit}""" })
       .mkString("{", ",", "}")
     // cross-round regression attribution IN the artifact (round-10
     // verdict ask #1's "done" bar): parse the previous round's
@@ -1113,6 +1166,8 @@ object Bench {
       "q280_avro_1file_split" -> avroSplit,
       "q275_footer_6Mrows" -> footer6M, "q275_scan_6Mrows" -> scan6M,
       "q06_versioned_600krows" -> versionedQ1,
+      "q06_skipping_16segs" -> skipSeg,
+      "q06_skipping_noskip" -> skipRaw,
       "q06_rawlayout_600krows" -> rawQ1)
     val regressionsJson = allCurrent.flatMap { case (name, cur) =>
       prevBench._2.get(name).collect {
@@ -1145,7 +1200,14 @@ object Bench {
       "/ unattributed) for every entry regressed >1.2x vs the " +
       "prev_bench artifact, from the artifact alone. The prune field " +
       "is the row-group accounting as structured per-probe " +
-      "groups_total/groups_read. q279_bpe_train32k_wordcount / " +
+      "groups_total/groups_read, plus segments_total/segments_read " +
+      "for the manifest-level skipping pair: q06_skipping_16segs " +
+      "(Versioned.read, sidecar stats prune 15/16 segments at " +
+      "planning — no footer opens, no tasks) vs q06_skipping_noskip " +
+      "(same files raw: every footer opened, row-group pruning only); " +
+      "both medians carry the q00_floor constant, and at 100 TB the " +
+      "skipped segments are skipped listing/footer/scheduling cost " +
+      "proportional to manifest size. q279_bpe_train32k_wordcount / " +
       "_mergeloop / q279_bpe_encode32k: the production-vocabulary " +
       "tokenizer at 32768 merges over the x10 corpus widened with one " +
       "md5-hex word per row (~50k distinct words — the fixture text's " +

@@ -54,6 +54,12 @@ object GraftSession {
       // bytes-per-core is huge), so this ONLY widens small-scan fan-out.
       .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Write timestamps as INT64 micros, not legacy INT96: INT96 has
+      // no usable column statistics, which silently disables BOTH
+      // parquet row-group pruning and the Versioned manifest-level
+      // data skipping on every timestamp predicate. Micros is also
+      // what the test corpus (pyarrow) and DuckDB speak natively.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // test data's events table stores nanosecond timestamps
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -2050,6 +2050,109 @@ object SparkEntry {
         .withColumn("n_carried", F.lit(carried.toLong))
     }),
 
+    // ---- MANIFEST-LEVEL DATA SKIPPING (the Delta/Iceberg file-stats
+    //      model on Versioned snapshots): each commit's segment gets a
+    //      footer-derived stats sidecar, and a filtered read's custom
+    //      FileIndex drops segments whose [min,max] cannot satisfy the
+    //      pushed predicate BEFORE any footer I/O. Each gate commits
+    //      range/category-bucketed segments, pins the PLANNED segment
+    //      count (Versioned.pruneCount) inside the oracle hash — a
+    //      regression that stops writing or consulting sidecars
+    //      inflates n_read back to n_segments and fails the gate — and
+    //      runs the filtered aggregate through the skipping read path
+    //      so pruning can never cost a row ----
+    "q294_skipping_range" -> ((s, dir) => {
+      val path = stagingDir("graft_skip_range") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      val buckets = base.select(F.floor(F.col("doc_id") / 100).as("b"))
+        .distinct().orderBy("b").collect().map(_.getLong(0))
+      buckets.foreach(b => Versioned.commit(
+        base.filter(F.floor(F.col("doc_id") / 100) === b), path))
+      val pred = F.col("doc_id").between(120, 310)
+      val (total, kept) = Versioned.pruneCount(s, path, pred)
+      Versioned.read(s, path).where(pred)
+        .agg(F.count("*").as("n_rows"),
+          F.sum("n_chars").as("chars"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("n_read", F.lit(kept.toLong))
+    }),
+
+    // evolution semantics: a column ABSENT from a segment's own schema
+    // is a sharp all-NULL statistic — `lang = 'en'` skips the
+    // pre-evolution segment outright, `lang IS NULL` keeps ONLY it
+    // (the evolved segment is null-free and skips on its null count)
+    "q295_skipping_evolution" -> ((s, dir) => {
+      val path = stagingDir("graft_skip_evo") + "/ds"
+      val base = t(s, dir, "documents")
+      Versioned.commit(base.filter(F.col("doc_id") < 250)
+        .select("doc_id", "n_chars"), path)
+      Versioned.commit(base.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "n_chars", "lang"), path)
+      val (total, kEq) = Versioned.pruneCount(s, path,
+        F.col("lang") === "en")
+      val (_, kNull) = Versioned.pruneCount(s, path, F.col("lang").isNull)
+      val df = Versioned.read(s, path)
+      df.agg(
+          F.count(F.when(F.col("lang") === "en", 1)).as("n_en"),
+          F.count(F.when(F.col("lang").isNull, 1)).as("n_null"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("k_eq", F.lit(kEq.toLong))
+        .withColumn("k_null", F.lit(kNull.toLong))
+    }),
+
+    // string bounds: parquet binary min/max compare in UTF-8 byte
+    // order — equality hits exactly the owning segment, a prefix
+    // predicate keeps every segment whose truncated bounds admit it
+    "q296_skipping_source" -> ((s, dir) => {
+      val path = stagingDir("graft_skip_src") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val srcs = base.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      srcs.foreach(v => Versioned.commit(
+        base.filter(F.col("source") === v), path))
+      val (total, kEq) = Versioned.pruneCount(s, path,
+        F.col("source") === "src5")
+      val (_, kPre) = Versioned.pruneCount(s, path,
+        F.col("source").startsWith("src1"))
+      Versioned.read(s, path).where(F.col("source") === "src5")
+        .agg(F.count("*").as("n_rows"),
+          F.sum("n_chars").as("chars"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("k_eq", F.lit(kEq.toLong))
+        .withColumn("k_pre", F.lit(kPre.toLong))
+    }),
+
+    // timestamp bounds: pinned to the session's TIMESTAMP_MICROS
+    // writer default — legacy INT96 carries NO statistics, so a
+    // regression to it reads every year back (n_read = n_segments)
+    // and fails here, not just in a benchmark
+    "q297_skipping_time" -> ((s, dir) => {
+      val path = stagingDir("graft_skip_time") + "/ds"
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+      val years = base.select(F.year(F.col("o_orderdate")).as("y"))
+        .distinct().orderBy("y").collect().map(_.getInt(0))
+      // the segments MUST carry micros statistics (INT96 has none) —
+      // production sessions default to TIMESTAMP_MICROS
+      // (GraftSession); Verify's dump session pins INT96 for its
+      // comparator, so this gate asserts the production writer conf
+      // around its own build
+      val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      try years.foreach(y => Versioned.commit(
+        base.filter(F.year(F.col("o_orderdate")) === y), path))
+      finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+      val cut = F.to_timestamp(F.lit("1999-07-01 00:00:00"))
+      val pred = F.col("o_orderdate") >= cut
+      val (total, kept) = Versioned.pruneCount(s, path, pred)
+      Versioned.read(s, path).where(pred)
+        .agg(F.count("*").as("n_rows"),
+          F.sum("o_orderkey").as("key_sum"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("n_read", F.lit(kept.toLong))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -5858,6 +5961,69 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_carried
         |FROM documents
         |WHERE NOT (doc_id % 3 = 0 AND doc_id % 11 = 0)""".stripMargin,
+
+    // data-skipping oracles replay the sidecar evaluation from the
+    // data itself: per-bucket MIN/MAX stand in for the segment stats,
+    // and the planned-read count is the buckets whose range overlaps
+    // the predicate — exactly what the FileIndex computes
+    "q294_skipping_range" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS bk FROM documents),
+        |  r AS (SELECT bk, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |        FROM b GROUP BY bk)
+        |SELECT
+        |  (SELECT COUNT(*) FROM b WHERE doc_id BETWEEN 120 AND 310)
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM b
+        |   WHERE doc_id BETWEEN 120 AND 310) AS chars,
+        |  (SELECT COUNT(*) FROM r) AS n_segments,
+        |  (SELECT COUNT(*) FROM r WHERE mx >= 120 AND mn <= 310)
+        |    AS n_read""".stripMargin,
+
+    "q295_skipping_evolution" ->
+      """WITH p1 AS (SELECT doc_id, n_chars FROM documents
+        |            WHERE doc_id < 250),
+        |  p2 AS (SELECT doc_id, n_chars, lang FROM documents
+        |         WHERE doc_id >= 250)
+        |SELECT
+        |  (SELECT COUNT(*) FROM p2 WHERE lang = 'en') AS n_en,
+        |  (SELECT COUNT(*) FROM p1) AS n_null,
+        |  CAST(2 AS BIGINT) AS n_segments,
+        |  (SELECT CAST(CASE WHEN MIN(lang) <= 'en' AND MAX(lang) >= 'en'
+        |                    THEN 1 ELSE 0 END AS BIGINT) FROM p2) AS k_eq,
+        |  (SELECT CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
+        |               AS BIGINT) FROM p1) +
+        |  (SELECT CAST(CASE WHEN COUNT(*) - COUNT(lang) > 0 THEN 1
+        |               ELSE 0 END AS BIGINT) FROM p2) AS k_null""".stripMargin,
+
+    "q296_skipping_source" ->
+      """WITH r AS (SELECT source, MIN(source) AS mn, MAX(source) AS mx
+        |           FROM documents GROUP BY source)
+        |SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE source = 'src5')
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |   WHERE source = 'src5') AS chars,
+        |  (SELECT COUNT(*) FROM r) AS n_segments,
+        |  (SELECT COUNT(*) FROM r WHERE mn <= 'src5' AND mx >= 'src5')
+        |    AS k_eq,
+        |  (SELECT COUNT(*) FROM r
+        |   WHERE substr(mx, 1, 4) >= 'src1' AND substr(mn, 1, 4) <= 'src1')
+        |    AS k_pre""".stripMargin,
+
+    "q297_skipping_time" ->
+      """WITH b AS (SELECT o_orderkey, o_orderdate FROM orders),
+        |  r AS (SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |          MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+        |        FROM b GROUP BY y)
+        |SELECT
+        |  (SELECT COUNT(*) FROM b
+        |   WHERE o_orderdate >= TIMESTAMP '1999-07-01') AS n_rows,
+        |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM b
+        |   WHERE o_orderdate >= TIMESTAMP '1999-07-01') AS key_sum,
+        |  (SELECT COUNT(*) FROM r) AS n_segments,
+        |  (SELECT COUNT(*) FROM r WHERE mx >= TIMESTAMP '1999-07-01')
+        |    AS n_read""".stripMargin,
 
     "q242_sql_update" ->
       """WITH u AS (SELECT doc_id,

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the dump comparator reads these parquet files via pandas: INT96
+      // renders naive timestamps matching DuckDB's; TIMESTAMP_MICROS
+      // (isAdjustedToUTC) would render "+00:00"-suffixed values and
+      // hash-mismatch every timestamp column. Gates that NEED micros
+      // statistics (q297_skipping_time) toggle the conf around their
+      // own dataset builds.
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

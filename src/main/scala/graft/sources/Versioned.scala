@@ -68,6 +68,11 @@ object Versioned {
       writerOptions: Map[String, String] = Map.empty): String = {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.options(writerOptions).parquet(s"$path/data/$seg")
+    // data-skipping sidecar from the just-written footers (KB-sized
+    // metadata reads) — best-effort: a failure degrades that segment
+    // to always-read, it must never fail the commit
+    try SegmentStats.write(df.sparkSession, path, seg, df.schema)
+    catch { case scala.util.control.NonFatal(_) => () }
     seg
   }
 
@@ -542,7 +547,11 @@ object Versioned {
       fs.listStatus(dataDir).map(_.getPath)
         .filter(p => p.getName.startsWith("seg-") &&
           !referenced.contains(p.getName))
-        .foreach(p => fs.delete(p, true): Unit)
+        .foreach { p =>
+          fs.delete(p, true): Unit
+          // the retired segment's data-skipping sidecar goes with it
+          fs.delete(SegmentStats.sidecar(path, p.getName), false): Unit
+        }
   }
 
   /** The version that was HEAD at wall-clock instant `tsMillis`: the
@@ -666,14 +675,47 @@ object Versioned {
     * version pinned BEFORE the widening still reads with its own
     * narrower schema, because only its segments are resolved. */
   def read(spark: SparkSession, path: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None): DataFrame =
+    readWithIndex(spark, path, version)._1
+
+  /** [[read]], also returning the snapshot's [[VersionedFileIndex]] —
+    * the handle that records how many segments each filtered query
+    * actually planned to read (`lastSegmentsRead` /
+    * `lastSegmentsTotal`), for specs and bench prune accounting. */
+  private[graft] def readWithIndex(spark: SparkSession, path: String,
+      version: Option[Long] = None): (DataFrame, VersionedFileIndex) = {
     val v = version.getOrElse {
       val all = versions(spark, path)
       require(all.nonEmpty, s"no committed versions at $path")
       all.last
     }
     val segs = readManifest(spark, path, v)
-    spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => s"$path/data/$s"): _*)
+    val idx = VersionedFileIndex.open(spark, path, segs)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, new org.apache.spark.sql.types.StructType(), idx.dataSchema,
+      None, new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat, Map.empty)(spark)
+    (spark.baseRelationToDataFrame(rel), idx)
+  }
+
+  /** PLANNING-ONLY data-skipping accounting: of the snapshot's
+    * segments, how many could satisfy `predicate` per their
+    * [[SegmentStats]] sidecars — `(total, kept)` — without reading a
+    * row. This is the deterministic number the skipping gates pin into
+    * their oracle hash: a regression that stops writing sidecars (or
+    * stops consulting them) inflates `kept` back to `total` and fails
+    * the gate, not just a benchmark. */
+  def pruneCount(spark: SparkSession, path: String,
+                 predicate: org.apache.spark.sql.Column,
+                 version: Option[Long] = None): (Int, Int) = {
+    val (df, idx) = readWithIndex(spark, path, version)
+    // resolve + optimize the predicate against the snapshot schema so
+    // the evaluator sees exactly the shapes the execution-time
+    // listFiles sees (typed literals, folded casts, split conjuncts)
+    val conds = df.where(predicate).queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    (idx.lastSegmentsTotal, idx.pruneCount(conds))
   }
 }

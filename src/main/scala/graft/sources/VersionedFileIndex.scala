@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] over one committed [[Versioned]] snapshot that
+  * performs MANIFEST-LEVEL DATA SKIPPING: Catalyst hands `listFiles`
+  * the pushed-down data filters at planning time, and segments whose
+  * [[SegmentStats]] sidecars prove the filters unsatisfiable are
+  * dropped BEFORE Spark opens a single footer — the architecture
+  * Delta Lake's TahoeFileIndex / Iceberg's manifest evaluator use,
+  * expressed on the engine's own snapshot layout. Everything
+  * downstream is the stock parquet V1 read path: pushed filters still
+  * prune row groups inside surviving files, whole-stage codegen is
+  * unaffected, and `_metadata` provenance columns keep working (the
+  * DML detection passes depend on them — so a selective DELETE's
+  * detection scan now skips non-overlapping segments entirely).
+  *
+  * Every file of every segment is listed ONCE at construction (the
+  * same driver-side listing `spark.read.parquet(segDirs)` would do);
+  * `listFiles` itself is pure in-memory evaluation per query. A
+  * segment without a sidecar is always read — stats are an
+  * optimization, never a correctness gate.
+  */
+private[graft] final class VersionedFileIndex(
+    spark: SparkSession,
+    root: String,
+    segs: Seq[String],
+    filesBySeg: Map[String, Array[FileStatus]],
+    statsBySeg: Map[String, Option[SegmentStats.SegStats]],
+    val dataSchema: StructType)
+  extends FileIndex {
+
+  /** Accounting for the LAST `listFiles` call that carried data
+    * filters — observability for specs and the bench's prune probes
+    * (the manifest-skipping analog of the row-group `groups_read`
+    * fields). */
+  @volatile var lastSegmentsTotal: Int = segs.length
+  @volatile var lastSegmentsRead: Int = segs.length
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) segs
+      else segs.filter { s =>
+        statsBySeg.getOrElse(s, None) match {
+          case Some(st) => dataFilters.forall(SegmentStats.mayMatch(st, _))
+          case None => true
+        }
+      }
+    if (dataFilters.nonEmpty) {
+      lastSegmentsTotal = segs.length
+      lastSegmentsRead = kept.length
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.iterator.flatMap(filesBySeg(_)).toArray))
+  }
+
+  /** Planning-only evaluation: how many segments could satisfy ALL of
+    * `filters` per their sidecars — the number [[listFiles]] would
+    * keep, without listing a file. */
+  def pruneCount(filters: Seq[Expression]): Int =
+    if (filters.isEmpty) segs.length
+    else segs.count { s =>
+      statsBySeg.getOrElse(s, None) match {
+        case Some(st) => filters.forall(SegmentStats.mayMatch(st, _))
+        case None => true
+      }
+    }
+
+  override def inputFiles: Array[String] =
+    segs.iterator.flatMap(filesBySeg(_)).map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long =
+    segs.iterator.flatMap(filesBySeg(_)).map(_.getLen).sum
+
+  override def partitionSchema: StructType = new StructType()
+}
+
+private[graft] object VersionedFileIndex {
+
+  /** Build the index for a snapshot: list each segment's parquet part
+    * files, load sidecars, and resolve the snapshot schema — from
+    * sidecar-recorded schemas alone when every segment has one (zero
+    * footer I/O), falling back to a parquet `mergeSchema` inference
+    * over only the sidecar-less segments otherwise. Schemas fold in
+    * manifest order with first-wins columns, mirroring the append
+    * contract (shared prefix fixed, evolution appends trailing
+    * columns). */
+  def open(spark: SparkSession, path: String,
+           segs: Seq[String]): VersionedFileIndex = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = segs.map { s =>
+      s -> fs.listStatus(new Path(s"$path/data/$s"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }.toMap
+    val stats = segs.map(s => s -> SegmentStats.read(spark, path, s)).toMap
+    val bare = segs.filter(stats(_).isEmpty)
+    val fromSidecars = segs.flatMap(s => stats(s).map(_.schema))
+    val inferred: Seq[StructType] =
+      if (bare.isEmpty) Seq.empty
+      else if (bare.forall(files(_).isEmpty)) Seq.empty
+      else Seq(spark.read.option("mergeSchema", "true")
+        .parquet(bare.map(s => s"$path/data/$s"): _*).schema)
+    val schema = fold(fromSidecars ++ inferred)
+    require(schema.nonEmpty, s"no resolvable schema at $path " +
+      s"(segments: ${segs.mkString(", ")})")
+    new VersionedFileIndex(spark, path, segs, files, stats, schema)
+  }
+
+  /** First-wins-by-name column fold; all fields nullable (a segment
+    * written before a widening append serves NULL for the newer
+    * columns). A same-name type conflict is loud — the append contract
+    * forbids retypes, so a conflict means external tampering. */
+  private def fold(ss: Seq[StructType]): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    ss.foreach(_.fields.foreach { f =>
+      out.get(f.name) match {
+        case None => out(f.name) = f.copy(nullable = true)
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"conflicting types for column '${f.name}': " +
+              s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")
+      }
+    })
+    StructType(out.values.toSeq)
+  }
+}

@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (sql/core FileStreamSource: `internalCreateDataFrame(qe.toRdd,
   * schema, isStreaming = true)`). */
 object StreamingShim {
+
   def asStreaming(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[
       org.apache.spark.sql.classic.Dataset[Row]]

@@ -17,6 +17,10 @@ object SparkSpec {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 timestamps carry no parquet statistics (kills both
+      // row-group pruning and Versioned data skipping) — write micros,
+      // mirroring GraftSession
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

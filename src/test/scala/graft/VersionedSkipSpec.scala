@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.sources.{SegmentStats, Versioned}
+
+/** Manifest-level data skipping over Versioned datasets: sidecar
+  * stats, planning-time segment pruning via the custom FileIndex, and
+  * every conservative fallback that keeps skipping an optimization
+  * rather than a correctness gate. */
+class VersionedSkipSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String =
+    Files.createTempDirectory(s"graft-skip-$tag").toString + "/ds"
+
+  /** Ten segments, segment i holding ids [100i, 100i+100). */
+  private def rangeDs(tag: String): String = {
+    import spark.implicits._
+    val path = freshPath(tag)
+    (0 until 10).foreach { i =>
+      Versioned.commit(
+        (100 * i until 100 * (i + 1)).map(id =>
+          (id.toLong, s"src${i % 4}", id * 2.5)).toDF("id", "src", "score"),
+        path)
+    }
+    path
+  }
+
+  test("range predicate reads only overlapping segments, results exact") {
+    val path = rangeDs("range")
+    val (df, idx) = Versioned.readWithIndex(spark, path)
+    val got = df.where(F.col("id") >= 250 && F.col("id") < 450)
+      .agg(F.count("*"), F.sum("id")).collect().head
+    assert(got.getLong(0) == 200L)
+    assert(got.getLong(1) == (250L until 450L).sum)
+    assert(idx.lastSegmentsTotal == 10)
+    assert(idx.lastSegmentsRead == 3) // segments 2, 3, 4
+    val (total, kept) = Versioned.pruneCount(spark, path,
+      F.col("id") >= 250 && F.col("id") < 450)
+    assert((total, kept) == ((10, 3)))
+  }
+
+  test("equality, IN, and BETWEEN prune to the owning segments") {
+    val path = rangeDs("eq")
+    assert(Versioned.pruneCount(spark, path, F.col("id") === 550) == ((10, 1)))
+    assert(Versioned.pruneCount(spark, path,
+      F.col("id").isin(5, 505, 905)) == ((10, 3)))
+    assert(Versioned.pruneCount(spark, path,
+      F.col("id").between(99, 100)) == ((10, 2)))
+    // predicate outside every range: zero segments planned, zero rows
+    val (df, idx) = Versioned.readWithIndex(spark, path)
+    assert(df.where(F.col("id") === -5).count() == 0L)
+    assert(idx.lastSegmentsRead == 0)
+  }
+
+  test("a filter Spark cannot push down still answers correctly") {
+    val path = rangeDs("residual")
+    val df = Versioned.read(spark, path)
+    // length() is not a pushable filter shape; skipping must not engage
+    assert(df.where(F.length(F.col("src")) === 4).count() == 1000L)
+    // and a pushable conjunct still prunes alongside the opaque one
+    val (df2, idx) = Versioned.readWithIndex(spark, path)
+    assert(df2.where(F.col("id") < 100 &&
+      F.length(F.col("src")) === 4).count() == 100L)
+    assert(idx.lastSegmentsRead == 1)
+  }
+
+  test("string bounds: equality and prefix skipping") {
+    import spark.implicits._
+    val path = freshPath("str")
+    Seq("alpha", "apple", "avocado").toDF("w").transform(d =>
+      { Versioned.commit(d, path); d })
+    Seq("melon", "mango", "nectarine").toDF("w").transform(d =>
+      { Versioned.commit(d, path); d })
+    Seq("zebra-fruit", "zucchini").toDF("w").transform(d =>
+      { Versioned.commit(d, path); d })
+    assert(Versioned.pruneCount(spark, path, F.col("w") === "mango") ==
+      ((3, 1)))
+    assert(Versioned.pruneCount(spark, path,
+      F.col("w").startsWith("zu")) == ((3, 1)))
+    assert(Versioned.pruneCount(spark, path, F.col("w") > "y") == ((3, 1)))
+    val (df, idx) = Versioned.readWithIndex(spark, path)
+    assert(df.where(F.col("w").startsWith("a")).count() == 3L)
+    assert(idx.lastSegmentsRead == 1)
+  }
+
+  test("timestamp bounds skip when written as TIMESTAMP_MICROS") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      val path = freshPath("ts")
+      (0 until 4).foreach { day =>
+        Versioned.commit(
+          (0 until 24).map(h =>
+            (day * 24 + h, f"2024-03-0${day + 1}%s $h%02d:00:00"))
+            .toDF("i", "s")
+            .select(F.col("i"), F.to_timestamp(F.col("s")).as("ts")),
+          path)
+      }
+      val cut = F.to_timestamp(F.lit("2024-03-03 12:00:00"))
+      assert(Versioned.pruneCount(spark, path, F.col("ts") > cut) == ((4, 2)))
+      val (df, idx) = Versioned.readWithIndex(spark, path)
+      assert(df.where(F.col("ts") > cut).count() == 35L)
+      assert(idx.lastSegmentsRead == 2)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
+  test("schema evolution: absent column is a sharp all-NULL statistic") {
+    import spark.implicits._
+    val path = freshPath("evo")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    Versioned.commit(
+      Seq((10L, "x", 5.0), (11L, "y", 6.0)).toDF("id", "s", "extra"), path)
+    // equality on the evolved column cannot match the pre-evolution seg
+    assert(Versioned.pruneCount(spark, path, F.col("extra") === 5.0) ==
+      ((2, 1)))
+    // IS NULL keeps it (and skips the fully-populated new segment)
+    assert(Versioned.pruneCount(spark, path, F.col("extra").isNull) ==
+      ((2, 1)))
+    val df = Versioned.read(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "s", "extra"))
+    assert(df.where(F.col("extra").isNull).count() == 2L)
+    assert(df.where(F.col("extra") === 5.0).count() == 1L)
+    assert(rows(df.where(F.col("id") === 1L).select("extra")) ==
+      Set(Seq(null)))
+  }
+
+  test("null accounting: IS NULL skips null-free segments") {
+    import spark.implicits._
+    val path = freshPath("nulls")
+    Versioned.commit(Seq((1L, Some("a")), (2L, Some("b")))
+      .toDF("id", "s"), path)
+    Versioned.commit(Seq((3L, None: Option[String]), (4L, Some("d")))
+      .toDF("id", "s"), path)
+    assert(Versioned.pruneCount(spark, path, F.col("s").isNull) == ((2, 1)))
+    assert(Versioned.pruneCount(spark, path, F.col("s").isNotNull) ==
+      ((2, 2)))
+    assert(Versioned.read(spark, path).where(F.col("s").isNull)
+      .count() == 1L)
+  }
+
+  test("exact integral bounds: no false skip at double-precision edges") {
+    import spark.implicits._
+    val path = freshPath("bignum")
+    val big = (1L << 60) + 1L // not representable as Double
+    Versioned.commit(Seq(big - 2, big).toDF("h"), path)
+    Versioned.commit(Seq(1L, 2L).toDF("h"), path)
+    assert(Versioned.pruneCount(spark, path, F.col("h") === big) == ((2, 1)))
+    assert(Versioned.pruneCount(spark, path, F.col("h") > big) == ((2, 0)))
+    assert(Versioned.read(spark, path).where(F.col("h") === big)
+      .count() == 1L)
+  }
+
+  test("sidecar-less segments always read (legacy datasets)") {
+    val path = rangeDs("legacy")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    val (df, idx) = Versioned.readWithIndex(spark, path)
+    assert(df.where(F.col("id") === 5).count() == 1L)
+    assert(idx.lastSegmentsRead == 10) // no stats, no skipping
+    assert(Versioned.pruneCount(spark, path, F.col("id") === 5) == ((10, 10)))
+    assert(df.count() == 1000L)
+  }
+
+  test("DML stays correct over the skipping read path") {
+    val path = rangeDs("dml")
+    Versioned.deleteWhere(spark, path, F.col("id").between(150, 249))
+    val df = Versioned.read(spark, path)
+    assert(df.count() == 900L)
+    assert(df.where(F.col("id").between(100, 299)).count() == 100L)
+    // delete-everything leaves a readable, fully-skippable empty head
+    Versioned.deleteWhere(spark, path, F.lit(true))
+    val (df2, idx) = Versioned.readWithIndex(spark, path)
+    assert(df2.count() == 0L)
+    assert(df2.schema.fieldNames.toSeq == Seq("id", "src", "score"))
+    assert(df2.where(F.col("id") === 1).count() == 0L)
+    assert(idx.lastSegmentsRead == 0) // rows==0 segment skips outright
+  }
+
+  test("vacuum retires sidecars with their segments") {
+    import spark.implicits._
+    val path = freshPath("vac")
+    Versioned.commit(Seq(1L).toDF("x"), path, append = false)
+    Versioned.commit(Seq(2L).toDF("x"), path, append = false)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/stats"))
+      .count(_.getPath.getName.endsWith(".txt")) == 2)
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/stats"))
+      .count(_.getPath.getName.endsWith(".txt")) == 1)
+  }
+
+  test("provenance columns ride the skipping relation") {
+    val path = rangeDs("prov")
+    val tagged = Versioned.readWithProvenance(spark, path)
+      .where(F.col("id") === 555)
+    val r = tagged.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("__seg").startsWith("seg-"))
+    assert(r.head.getAs[Long]("__pos") == 55L ||
+      r.head.getAs[Long]("__pos") >= 0L)
+  }
+
+  test("corrupt sidecar degrades to read-everything") {
+    val path = rangeDs("corrupt")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // corrupt the LAST segment's sidecar (ids 900-999) — it must then
+    // always read, alongside the true owner of id=5 (the first)
+    val seg = Versioned.headSegments(spark, path).last
+    val out = fs.create(SegmentStats.sidecar(path, seg), true)
+    out.write("not a sidecar".getBytes("UTF-8")); out.close()
+    assert(Versioned.pruneCount(spark, path, F.col("id") === 5)._2 == 2)
+    assert(Versioned.read(spark, path).where(F.col("id") === 5)
+      .count() == 1L)
+  }
+}
