@@ -117,7 +117,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * just a sort's leading one. No one-segment short-circuit: the
     * rewrite is the point. */
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?(?:\s+SEGMENTS\s+(\d+))?\s*$""".r
 
   /** `DESCRIBE '<table>'` / `DESCRIBE <name>` (extension): one row per
     * column — (column_name, column_type, nullable) — through the same
@@ -168,6 +168,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * would be silently wrong). */
   private val SummarizeFootersRe =
     """(?is)^\s*SUMMARIZE\s+FOOTERS\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
+
+  /** `ANALYZE '<versioned-ds>'` (extension, the lakehouse ANALYZE
+    * TABLE): backfill data-skipping sidecars for segments missing one
+    * ([[graft.sources.Versioned.analyzeStats]] — task-parallel footer
+    * walks, metadata only). New writes build sidecars inline; this is
+    * the migration path for pre-stats datasets, after which filtered
+    * reads and the metadata-aggregate fast path engage. */
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
 
   /** `UPDATE '<versioned-ds>' SET col = expr [, ...] WHERE <pred>`
     * (extension): copy-on-write update completing the DML triad
@@ -391,12 +400,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("versions_kept", LongType, nullable = false),
           StructField("head_version", LongType, nullable = false)))))
-    case OptimizeRe(target, zorderCols) =>
+    case OptimizeRe(target, zorderCols, segmentsOpt) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
         throw new SemanticError(
           s"OPTIMIZE requires a Versioned dataset at '$resolved'")
+      if (segmentsOpt != null && zorderCols == null)
+        throw new SemanticError("SEGMENTS n only applies to OPTIMIZE " +
+          "... ZORDER BY (plain OPTIMIZE sizes segments by bytes)")
       val before = graft.sources.Versioned.segmentCount(spark, resolved)
       // already-compact short-circuit: a one-segment head would still
       // be rewritten IN FULL by compact() — a whole-dataset write for
@@ -405,8 +417,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val v =
         if (zorderCols != null) {
           val cols = zorderCols.split(",").map(_.trim).toSeq
-          try graft.sources.Versioned.optimizeZorder(spark, resolved, cols)
-          catch { case e: IllegalArgumentException =>
+          try {
+            if (segmentsOpt != null)
+              // z-range segments: the manifest-skipping AND
+              // DML-granularity shape of the clustered table
+              graft.sources.Versioned.optimizeZorderSegments(
+                spark, resolved, cols, segmentsOpt.toInt)
+            else graft.sources.Versioned.optimizeZorder(
+              spark, resolved, cols)
+          } catch { case e: IllegalArgumentException =>
             throw new SemanticError(e.getMessage) }
         }
         else if (before <= 1)
@@ -576,6 +595,21 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("n_rows", LongType, nullable = false),
           StructField("path", StringType, nullable = false)))))
+    case AnalyzeRe(quoted, bare) =>
+      val ref = if (quoted != null) quoted else bare
+      val resolved = Tables.resolve(ref, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError("ANALYZE builds data-skipping " +
+          s"statistics for a Versioned dataset; '$ref' is not one")
+      val (nSegs, nBuilt) =
+        graft.sources.Versioned.analyzeStats(spark, resolved)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(nSegs.toLong, nBuilt.toLong)),
+        StructType(Seq(
+          StructField("n_segments", LongType, nullable = false),
+          StructField("n_built", LongType, nullable = false)))))
+
     case SummarizeFootersRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val resolved = Tables.resolve(ref, baseDir)
@@ -1574,6 +1608,100 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
 
   def plan(q: SqlQuery): GraftFrame = { scalarCache.clear(); plan(q, Map.empty) }
 
+  /** METADATA-ONLY aggregates: a SELECT of pure `COUNT()` /
+    * `COUNT(col)` / `MIN(col)` / `MAX(col)` items over a bare
+    * Versioned FROM — no WHERE/JOIN/GROUP BY/set machinery — answers
+    * from the manifest's segment-stats sidecars alone
+    * ([[graft.sources.Versioned.metaStats]]): zero scan jobs, zero
+    * footer opens, the same shapes Delta serves from its log. At
+    * 100 TB this turns "how many rows, what key range" from a corpus
+    * pass into a KB-sized metadata read. STRICTLY an optimization:
+    * any gap (a stats-less segment, a non-exact bound type, an
+    * unsupported item) returns `None` and the normal scan plan runs —
+    * and the served values are exactly the scan's (counts are footer
+    * row counts; min/max only from statistic kinds that are actual
+    * values, never truncated bounds). */
+  private def metadataAggFastPath(q: SqlQuery,
+      scope: Map[String, GraftFrame]): Option[GraftFrame] = {
+    import org.apache.spark.sql.types._
+    val t = q.from
+    if (t.subquery.nonEmpty || t.values.nonEmpty || t.cdc.nonEmpty ||
+        q.joins.nonEmpty || q.where.nonEmpty || q.groupBy.nonEmpty ||
+        q.having.nonEmpty || q.qualify.nonEmpty || q.distinct ||
+        q.groupKind.nonEmpty || q.distinctOn.nonEmpty ||
+        q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty ||
+        q.select.exists(_.star) ||
+        scope.contains(t.path) || views.contains(t.path)) return None
+    // classify every select item FIRST — the common non-aggregate
+    // SELECT must bail before any filesystem probing
+    sealed trait Shape
+    case object CountAll extends Shape
+    final case class CountCol(c: String) extends Shape
+    final case class MinMax(fn: String, c: String) extends Shape
+    def colName(c: Col): Option[String] = c match {
+      case ColRef(r) =>
+        val bare = t.alias match {
+          case Some(a) if r.startsWith(a + ".") => r.drop(a.length + 1)
+          case _ => r
+        }
+        if (bare.contains(".")) None else Some(bare)
+      case _ => None
+    }
+    def shape(c: Col): Option[Shape] = c match {
+      case Alias(ch, _) => shape(ch)
+      case AggCol("count", Lit(1), _) => Some(CountAll)
+      case AggCol("count_col", ch, _) => colName(ch).map(CountCol)
+      case AggCol(fn @ ("min" | "max"), ch, _) =>
+        colName(ch).map(MinMax(fn, _))
+      case _ => None
+    }
+    val items: Seq[(String, Shape)] = q.select.map { i =>
+      shape(i.expr) match {
+        case Some(s) => i.expr.name -> s
+        case None => return None
+      }
+    }
+    val resolved =
+      try Tables.resolve(t.path, baseDir)
+      catch { case _: Exception => return None }
+    if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+      return None
+    val version: Option[Long] = (t.version, t.asOfTs) match {
+      case (Some(v), _) => Some(v)
+      case (None, Some(ts)) =>
+        try Some(graft.sources.Versioned.versionAt(spark, resolved,
+          parseAsOfTimestamp(ts)))
+        catch { case _: Exception => return None } // normal path re-errors
+      case _ => None
+    }
+    val meta =
+      try graft.sources.Versioned.metaStats(spark, resolved, version)
+        .getOrElse(return None)
+      catch { case _: IllegalArgumentException => return None }
+    def field(c: String): Option[StructField] =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c))
+    def stats(c: String) =
+      meta.cols.get(c.toLowerCase(java.util.Locale.ROOT))
+    val resolvedItems: Seq[(StructField, Any)] = items.map {
+      case (name, CountAll) =>
+        (StructField(name, LongType, nullable = false), meta.rows)
+      case (name, CountCol(c)) =>
+        val nn = field(c).flatMap(_ => stats(c)).flatMap(_.nonNull)
+          .getOrElse(return None)
+        (StructField(name, LongType, nullable = false), nn)
+      case (name, MinMax(fn, c)) =>
+        val f = field(c).getOrElse(return None) // unknown column: let
+        // the normal path raise its standard resolution error
+        val st = stats(c).getOrElse(return None)
+        val v = (if (fn == "min") st.min else st.max)
+          .getOrElse(return None)
+        (StructField(name, f.dataType, nullable = true), v)
+    }
+    val row = org.apache.spark.sql.Row(resolvedItems.map(_._2): _*)
+    Some(GraftFrame.fromDF(spark.createDataFrame(
+      java.util.List.of(row), StructType(resolvedItems.map(_._1)))))
+  }
+
   private def plan(q0: SqlQuery, scope: Map[String, GraftFrame]): GraftFrame = {
     // scalar subqueries evaluate ONCE at plan time (bounded single-value
     // collect) and substitute as literals before anything compiles
@@ -1585,6 +1713,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       qualify = q0.qualify.map(resolveScalars(_, scope)),
       orderBy = q0.orderBy.map { case (c, a) => (resolveScalars(c, scope), a) },
       joins = q0.joins.map(j => j.copy(on = resolveScalars(j.on, scope))))
+    // pure COUNT/MIN/MAX over a bare Versioned FROM: serve from
+    // manifest statistics, no scan (falls through on any gap)
+    metadataAggFastPath(q, scope) match {
+      case Some(fr) => return fr
+      case None => ()
+    }
     // a FROM/JOIN target is a derived table (planned under the enclosing
     // CTE scope), an inline VALUES table, or resolves against the scope
     // first, then disk

@@ -2153,6 +2153,71 @@ object SparkEntry {
         .withColumn("n_read", F.lit(kept.toLong))
     }),
 
+    // ---- multi-segment ZORDER: OPTIMIZE ... SEGMENTS k splits the
+    //      re-clustered table into k z-range segments, so manifest
+    //      skipping (and DML pruning) engages on the clustered
+    //      dimensions; the oracle pins content plus the structural
+    //      claims that hold for any quantile split — all k segments
+    //      committed, and a leading-dimension range predicate pruning
+    //      at least one of them ----
+    "q300_zorder_segments" -> ((s, dir) => {
+      val path = stagingDir("graft_zseg") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      Versioned.commit(base, path)
+      Engine(s, dir).sql(
+        s"OPTIMIZE '$path' ZORDER BY (doc_id, n_chars) SEGMENTS 4")
+      val pred = F.col("doc_id").between(0, 99)
+      val (total, kept) = Versioned.pruneCount(s, path, pred)
+      Versioned.read(s, path).where(pred)
+        .agg(F.count("*").as("n_rows"), F.sum("n_chars").as("chars"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("skipped_some", F.lit(if (kept < total) 1L else 0L))
+    }),
+
+    // ---- METADATA-ONLY aggregates: pure COUNT()/COUNT(col)/MIN/MAX
+    //      over a bare Versioned FROM serve from the manifest's stats
+    //      sidecars — zero scan jobs (the spec pins recordsRead == 0;
+    //      this gate pins the VALUES equal the scan semantics DuckDB
+    //      computes) ----
+    "q298_metadata_agg" -> ((s, dir) => {
+      val path = stagingDir("graft_meta_agg") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      Engine(s, dir).sql(
+        s"""SELECT COUNT() AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+           |  COUNT(lang) AS n_lang, MIN(n_chars) AS min_chars
+           |FROM '$path'""".stripMargin).df
+    }),
+
+    // ---- ANALYZE '<ds>': task-parallel sidecar backfill for a
+    //      legacy (stats-less) dataset — before it nothing prunes
+    //      (k_before = n_segments), after it the range predicate plans
+    //      only the overlapping segments; both counts and the built
+    //      count ride the oracle hash ----
+    "q299_analyze" -> ((s, dir) => {
+      val path = stagingDir("graft_analyze") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      val buckets = base.select(F.floor(F.col("doc_id") / 100).as("b"))
+        .distinct().orderBy("b").collect().map(_.getLong(0))
+      buckets.foreach(b => Versioned.commit(
+        base.filter(F.floor(F.col("doc_id") / 100) === b), path))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+      val pred = F.col("doc_id").between(120, 310)
+      val (total, kBefore) = Versioned.pruneCount(s, path, pred)
+      val built = Engine(s, dir).sql(s"ANALYZE '$path'")
+        .df.collect().head.getLong(1)
+      val (_, kAfter) = Versioned.pruneCount(s, path, pred)
+      Versioned.read(s, path).where(pred)
+        .agg(F.count("*").as("n_rows"), F.sum("n_chars").as("chars"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("k_before", F.lit(kBefore.toLong))
+        .withColumn("n_built", F.lit(built))
+        .withColumn("k_after", F.lit(kAfter.toLong))
+    }),
+
     // ---- time travel through the dialect: FOR VERSION AS OF reads an
     //      exact committed snapshot of a Versioned dataset; a bare FROM
     //      of the same path reads the LATEST version (a raw parquet
@@ -6024,6 +6089,34 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM r) AS n_segments,
         |  (SELECT COUNT(*) FROM r WHERE mx >= TIMESTAMP '1999-07-01')
         |    AS n_read""".stripMargin,
+
+    "q300_zorder_segments" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(4 AS BIGINT) AS n_segments,
+        |  CAST(1 AS BIGINT) AS skipped_some
+        |FROM documents WHERE doc_id BETWEEN 0 AND 99""".stripMargin,
+
+    "q298_metadata_agg" ->
+      """SELECT COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+        |  COUNT(lang) AS n_lang, MIN(n_chars) AS min_chars
+        |FROM documents""".stripMargin,
+
+    "q299_analyze" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS bk FROM documents),
+        |  r AS (SELECT bk, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |        FROM b GROUP BY bk)
+        |SELECT
+        |  (SELECT COUNT(*) FROM b WHERE doc_id BETWEEN 120 AND 310)
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM b
+        |   WHERE doc_id BETWEEN 120 AND 310) AS chars,
+        |  (SELECT COUNT(*) FROM r) AS n_segments,
+        |  (SELECT COUNT(*) FROM r) AS k_before,
+        |  (SELECT COUNT(*) FROM r) AS n_built,
+        |  (SELECT COUNT(*) FROM r WHERE mx >= 120 AND mn <= 310)
+        |    AS k_after""".stripMargin,
 
     "q242_sql_update" ->
       """WITH u AS (SELECT doc_id,

@@ -80,13 +80,22 @@ object SegmentStats {
     * caller treats the sidecar as best-effort), so extraction guards
     * per-column, not per-file. */
   private[sources] def write(spark: SparkSession, path: String, seg: String,
-                             schema: StructType): Unit = {
-    val fs = fsOf(spark, path)
+                             schema: StructType): Unit =
+    writeStandalone(spark.sparkContext.hadoopConfiguration, path, seg, schema)
+
+  /** [[write]] without a session — runnable INSIDE an executor task, so
+    * [[Versioned.analyzeStats]] can backfill a large legacy manifest's
+    * sidecars task-parallel (one footer walk per segment per task, the
+    * [[Versioned.rowCount]] distribution model). */
+  private[graft] def writeStandalone(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, seg: String, schema: StructType): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
     val segDir = new Path(s"$path/data/$seg")
     val files = fs.listStatus(segDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-    val (rows, cols) = extract(spark, files)
+    val (rows, cols) = extract(conf, files)
     val dir = new Path(s"$path/stats")
     fs.mkdirs(dir)
     val tmp = new Path(dir,
@@ -107,12 +116,12 @@ object SegmentStats {
     * merge chunk statistics per column. Only types whose parquet sort
     * order matches Spark comparison semantics are covered; everything
     * else yields an entry with counts but no bounds. */
-  private def extract(spark: SparkSession, files: Seq[Path])
+  private def extract(conf: org.apache.hadoop.conf.Configuration,
+                      files: Seq[Path])
       : (Long, Map[String, ColStats]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = spark.sparkContext.hadoopConfiguration
     var rows = 0L
     // name -> (nValues, nNulls?, numLo?, numHi?, strLo?, strHi?, boundsOk)
     final case class Acc(var nValues: Long = 0L,

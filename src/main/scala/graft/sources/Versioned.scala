@@ -454,6 +454,21 @@ object Versioned {
   def zorderLayout(df: DataFrame, cols: Seq[String],
                    numPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.{functions => F}
+    val (zdf, zname) = withZcode(df, cols)
+    val n = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    zdf.repartitionByRange(n, F.col(zname))
+      .sortWithinPartitions(zname)
+      .drop(zname)
+  }
+
+  /** The z-code column appended under a reserved name — shared by
+    * [[zorderLayout]]'s single-output path and
+    * [[optimizeZorderSegments]]'s bucketed one, so the code (and its
+    * validation) cannot drift between them. */
+  private[sources] def withZcode(df: DataFrame,
+                                 cols: Seq[String]): (DataFrame, String) = {
+    import org.apache.spark.sql.{functions => F}
     require(cols.size >= 2,
       s"ZORDER BY needs >= 2 columns (one column is a plain sort): $cols")
     require(cols.size <= 7, s"ZORDER BY supports at most 7 columns: $cols")
@@ -476,13 +491,8 @@ object Versioned {
     val doubles = fields.map(f => F.col(f.name).cast("double"))
     val zcol = zcodeColumn(bounds, doubles, bits,
       useNative = df.sparkSession.catalog.functionExists("zorder_code"))
-    val n = numPartitions.getOrElse(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
     val zname = "__graft_zorder"
-    df.withColumn(zname, zcol)
-      .repartitionByRange(n, F.col(zname))
-      .sortWithinPartitions(zname)
-      .drop(zname)
+    (df.withColumn(zname, zcol), zname)
   }
 
   /** The z-code column: native [[graft.functions.ZOrderCodeExpr]] when
@@ -521,6 +531,61 @@ object Versioned {
     commit(zorderLayout(read(spark, path), cols), path, append = false,
       writerOptions = writerOptions)
 
+  /** [[optimizeZorder]] splitting the re-clustered table into `k`
+    * Z-RANGE SEGMENTS instead of one. Segment granularity is BOTH the
+    * manifest-skipping unit and the DML rewrite unit — a one-segment
+    * OPTIMIZE output makes the next selective UPDATE/DELETE rewrite
+    * the whole table and gives a filtered read nothing to skip; k
+    * z-range segments keep each clustered dimension's selective
+    * predicates down to the overlapping slice of the table for reads
+    * and DML alike. One data pass: the z-coded frame is
+    * range-bucketed by zcode quantile cutpoints, written ONCE
+    * partitioned by bucket into a staging dir under `path`, and each
+    * bucket directory RENAMES into place as an immutable segment
+    * (same-filesystem move, zero byte copies) before the usual
+    * segments-then-manifest commit; a crash leaves the old head
+    * intact plus a staging orphan that the next [[vacuum]] sweeps. */
+  def optimizeZorderSegments(spark: SparkSession, path: String,
+      cols: Seq[String], k: Int,
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.{functions => F}
+    require(k >= 2, s"SEGMENTS must be >= 2, got $k (1 is optimizeZorder)")
+    val hv = headVersion(spark, path)
+    val src = read(spark, path, Some(hv))
+    val dataSchema = src.schema
+    val (zdf, zname) = withZcode(src, cols)
+    // bounded driver collect: k-1 doubles, data-volume-free
+    val cuts = zdf.stat.approxQuantile(zname,
+      (1 until k).map(_.toDouble / k).toArray, 0.001).distinct.sorted
+    val bk = cuts.foldLeft(F.lit(0)) { (acc, c) =>
+      acc + F.when(F.col(zname) > c, 1).otherwise(0)
+    }
+    val tmp =
+      s"$path/.optimize-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val fs = fsOf(spark, path)
+    try {
+      zdf.withColumn("__zbk", bk)
+        .repartitionByRange(k, F.col("__zbk"), F.col(zname))
+        .sortWithinPartitions("__zbk", zname)
+        .drop(zname)
+        .write.options(writerOptions).partitionBy("__zbk").parquet(tmp)
+      val parts = fs.listStatus(new Path(tmp)).toSeq
+        .filter(_.getPath.getName.startsWith("__zbk="))
+        .sortBy(_.getPath.getName.stripPrefix("__zbk=").toInt)
+      require(parts.nonEmpty, s"OPTIMIZE at $path produced no data")
+      fs.mkdirs(new Path(s"$path/data"))
+      val segs = parts.map { p =>
+        val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+        require(fs.rename(p.getPath, new Path(s"$path/data/$seg")),
+          s"could not move ${p.getPath} into place")
+        try SegmentStats.write(spark, path, seg, dataSchema)
+        catch { case scala.util.control.NonFatal(_) => () }
+        seg
+      }
+      commitSegments(spark, path, segs)
+    } finally { fs.delete(new Path(tmp), true); () }
+  }
+
   /** Garbage-collect history: retain the newest `keepVersions`
     * manifests and delete (a) every older manifest, then (b) every
     * `data/seg-*` directory no retained manifest references — which
@@ -542,6 +607,11 @@ object Versioned {
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit
     }
     val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+    // staging orphans from crashed multi-segment OPTIMIZE runs (the
+    // single-writer maintenance contract covers a concurrent OPTIMIZE)
+    fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.startsWith(".optimize-tmp-"))
+      .foreach(p => fs.delete(p, true): Unit)
     val dataDir = new Path(s"$path/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath)
@@ -705,6 +775,139 @@ object Versioned {
     * their oracle hash: a regression that stops writing sidecars (or
     * stops consulting them) inflates `kept` back to `total` and fails
     * the gate, not just a benchmark. */
+  /** Backfill DATA-SKIPPING sidecars for segments that lack one — the
+    * migration path for datasets committed before the stats layer (or
+    * whose sidecar write best-effort-failed). Footer walks run ONE
+    * TASK PER SEGMENT on the cluster (only each segment's schema read
+    * is driver-side), so a 100k-segment legacy manifest analyzes in
+    * parallel, metadata I/O only. Idempotent; returns
+    * (segments, built). */
+  def analyzeStats(spark: SparkSession, path: String,
+                   version: Option[Long] = None): (Int, Int) = {
+    val segs = headSegments(spark, path, Some(version.getOrElse(
+      headVersion(spark, path))))
+    val missing = segs.filter(s => SegmentStats.read(spark, path, s).isEmpty)
+    val buildable = missing.flatMap { s =>
+      // a file-less legacy empty segment has no footers to derive a
+      // schema from — leave it sidecar-less (always-read, harmless)
+      try Some(s -> spark.read.parquet(s"$path/data/$s").schema.json)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (buildable.nonEmpty)
+      spark.sparkContext
+        .parallelize(buildable, math.min(buildable.length, 64))
+        .foreach { case (seg, js) =>
+          SegmentStats.writeStandalone(
+            new org.apache.hadoop.conf.Configuration(), path, seg,
+            org.apache.spark.sql.types.DataType.fromJson(js)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+        }
+    (segs.length, buildable.length)
+  }
+
+  /** One column's manifest-wide aggregate statistics for the
+    * metadata-only fast path: exact non-null count, and min/max as
+    * SPARK EXTERNAL values — populated only for types whose parquet
+    * chunk statistics are guaranteed ACTUAL VALUES (integrals, date,
+    * timestamp, boolean; floats with a zero-bound guard — parquet
+    * binary stats may be truncated so strings serve bounds for
+    * SKIPPING but never as answers). `None` = not provable from
+    * metadata; the caller must scan. */
+  final case class MetaColumn(nonNull: Option[Long],
+                              min: Option[Any], max: Option[Any])
+
+  /** Manifest-wide statistics of a snapshot, or `None` unless EVERY
+    * segment carries a parseable sidecar (one stats-less segment makes
+    * every total unprovable). */
+  final case class MetaStats(rows: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Map[String, MetaColumn])
+
+  /** Fold the snapshot's sidecars into [[MetaStats]] — the engine's
+    * `SELECT COUNT()/COUNT(c)/MIN(c)/MAX(c) FROM '<ds>'` fast path
+    * reads THIS instead of scanning (Delta answers the same shapes
+    * from its transaction log). Pure metadata: no file listing, no
+    * footer opens, no jobs. */
+  def metaStats(spark: SparkSession, path: String,
+                version: Option[Long] = None): Option[MetaStats] = {
+    import org.apache.spark.sql.types._
+    val segs = headSegments(spark, path, Some(version.getOrElse(
+      headVersion(spark, path))))
+    val sts = segs.map(s => SegmentStats.read(spark, path, s))
+    if (sts.exists(_.isEmpty)) return None
+    val all = sts.flatten
+    val schema = {
+      val out = scala.collection.mutable.LinkedHashMap
+        .empty[String, StructField]
+      all.foreach(_.schema.fields.foreach { f =>
+        if (!out.contains(f.name)) out(f.name) = f.copy(nullable = true)
+      })
+      StructType(out.values.toSeq)
+    }
+    val rows = all.map(_.rows).sum
+    // a bound of exactly 0.0 on a float column is suspect: BigDecimal
+    // collapses -0.0 to 0, so serving it could differ from a scan's
+    // IEEE-signed minimum — fall back to the scan for that column
+    def exactKind(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | BooleanType => true
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    def toExternal(dt: DataType, v: BigDecimal): Option[Any] = dt match {
+      case ByteType => Some(v.toByte)
+      case ShortType => Some(v.toShort)
+      case IntegerType => Some(v.toInt)
+      case LongType => Some(v.toLong)
+      case BooleanType => Some(v != BigDecimal(0))
+      case DateType => Some(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.toLong)))
+      case TimestampType => Some(org.apache.spark.sql.catalyst.util
+        .DateTimeUtils.toJavaTimestamp(v.toLong))
+      case TimestampNTZType => Some(org.apache.spark.sql.catalyst.util
+        .DateTimeUtils.microsToLocalDateTime(v.toLong))
+      case FloatType if v != BigDecimal(0) => Some(v.toFloat)
+      case DoubleType if v != BigDecimal(0) => Some(v.toDouble)
+      case _ => None
+    }
+    val cols = schema.fields.map { f =>
+      val key = f.name.toLowerCase(java.util.Locale.ROOT)
+      // per-segment contribution: a segment without the column (schema
+      // evolution) is all-NULL there — zero non-nulls, no bounds, and
+      // it cannot poison completeness
+      val contrib = all.map { st =>
+        if (!st.fieldSet.contains(key)) (Some(0L), None, None, true)
+        else st.cols.get(key) match {
+          case None if st.rows == 0L => (Some(0L), None, None, true)
+          case None => (None, None, None, false)
+          case Some(c) =>
+            val nn = c.nNulls.map(c.nValues - _)
+            val empty = nn.contains(0L)
+            val (lo, hi) =
+              if (empty) (None, None)
+              else if (exactKind(f.dataType)) (c.minNum, c.maxNum)
+              else (None, None)
+            // non-empty segment whose bounds are unknown poisons
+            // min/max (but not the counts)
+            (nn, lo, hi, empty || (lo.nonEmpty && hi.nonEmpty))
+        }
+      }
+      val nonNull =
+        if (contrib.forall(_._1.nonEmpty)) Some(contrib.flatMap(_._1).sum)
+        else None
+      val boundsOk = contrib.forall(_._4) && nonNull.nonEmpty
+      val lows = contrib.flatMap(_._2)
+      val highs = contrib.flatMap(_._3)
+      val (mn, mx) =
+        if (!boundsOk) (None, None)
+        else if (lows.isEmpty) (Some(null), Some(null)) // all NULL: MIN is NULL
+        else (toExternal(f.dataType, lows.min).map(identity[Any]),
+          toExternal(f.dataType, highs.max).map(identity[Any]))
+      key -> MetaColumn(nonNull, mn, mx)
+    }.toMap
+    Some(MetaStats(rows, schema, cols))
+  }
+
   def pruneCount(spark: SparkSession, path: String,
                  predicate: org.apache.spark.sql.Column,
                  version: Option[Long] = None): (Int, Int) = {

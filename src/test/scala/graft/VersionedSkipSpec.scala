@@ -207,6 +207,168 @@ class VersionedSkipSpec extends SparkSpec {
       r.head.getAs[Long]("__pos") >= 0L)
   }
 
+  /** Total records read by Spark tasks while `f` runs — zero proves a
+    * statement was served from metadata alone. */
+  private def recordsReadDuring(f: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.add(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      // listener events drain asynchronously — wait for quiescence
+      var last = -1L
+      var spins = 0
+      while (recs.sum() != last && spins < 100) {
+        last = recs.sum(); Thread.sleep(30); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    recs.sum()
+  }
+
+  test("metadata-only COUNT/MIN/MAX: zero records scanned") {
+    val path = rangeDs("meta")
+    val eng = Engine(spark, java.nio.file.Files
+      .createTempDirectory("graft-skip-base").toString)
+    var out: Array[org.apache.spark.sql.Row] = Array.empty
+    val read = recordsReadDuring {
+      out = eng.sql(s"SELECT COUNT() AS n, MIN(id) AS mn, MAX(id) AS mx," +
+        s" COUNT(src) AS n_src FROM '$path'").df.collect()
+    }
+    assert(out.head.toSeq == Seq(1000L, 0L, 999L, 1000L))
+    assert(read == 0L, s"expected metadata-only answer, scanned $read rows")
+    // a WHERE clause must fall through to the scan path — same answers
+    val r2 = eng.sql(s"SELECT COUNT() AS n, MAX(id) AS mx FROM '$path' " +
+      "WHERE id < 500").df.collect()
+    assert(r2.head.toSeq == Seq(500L, 499L))
+    // string MIN/MAX is never served from bounds (truncation-unsafe):
+    // correct values via the scan
+    var r3: Array[org.apache.spark.sql.Row] = Array.empty
+    val read3 = recordsReadDuring {
+      r3 = eng.sql(s"SELECT MIN(src) AS mn FROM '$path'").df.collect()
+    }
+    assert(r3.head.getString(0) == "src0")
+    assert(read3 > 0L)
+    // default (un-aliased) output names match the scan path exactly —
+    // `WHERE 1 = 1` forces the scan plan for the comparison
+    val fast = eng.sql(s"SELECT COUNT(), MIN(id), MAX(id) FROM '$path'").df
+    val scan = eng.sql(s"SELECT COUNT(), MIN(id), MAX(id) FROM '$path' " +
+      "WHERE 1 = 1").df
+    assert(fast.columns.toSeq == scan.columns.toSeq)
+    assert(fast.collect().head.toSeq == scan.collect().head.toSeq)
+  }
+
+  test("metadata aggregates: evolution, version pin, sidecar gap") {
+    import spark.implicits._
+    val path = freshPath("metaevo")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    Versioned.commit(
+      Seq((10L, "x", 5.0), (11L, "y", 6.0)).toDF("id", "s", "extra"), path)
+    val eng = Engine(spark, java.nio.file.Files
+      .createTempDirectory("graft-skip-base").toString)
+    val r = recordsReadDuring {
+      val out = eng.sql(s"SELECT COUNT() AS n, COUNT(extra) AS ne, " +
+        s"MIN(extra) AS mn, MAX(id) AS mx FROM '$path'").df.collect()
+      assert(out.head.toSeq == Seq(4L, 2L, 5.0, 11L))
+    }
+    assert(r == 0L)
+    // pinned to the pre-evolution snapshot
+    val v1 = eng.sql(s"SELECT COUNT() AS n, MAX(id) AS mx FROM '$path' " +
+      "FOR VERSION AS OF 1").df.collect()
+    assert(v1.head.toSeq == Seq(2L, 2L))
+    // a missing sidecar makes totals unprovable: values still correct,
+    // served by the scan
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = Versioned.headSegments(spark, path).head
+    fs.delete(SegmentStats.sidecar(path, seg), false)
+    var out2: Array[org.apache.spark.sql.Row] = Array.empty
+    val read2 = recordsReadDuring {
+      out2 = eng.sql(s"SELECT COUNT() AS n, MAX(id) AS mx FROM '$path'")
+        .df.collect()
+    }
+    assert(out2.head.toSeq == Seq(4L, 11L))
+    assert(read2 > 0L)
+    // ANALYZE rebuilds the gap and the fast path re-engages
+    val st = eng.sql(s"ANALYZE '$path'").df.collect().head
+    assert(st.toSeq == Seq(2L, 1L))
+    val read4 = recordsReadDuring {
+      assert(eng.sql(s"SELECT COUNT() AS n FROM '$path'").df
+        .collect().head.getLong(0) == 4L)
+    }
+    assert(read4 == 0L)
+  }
+
+  test("ANALYZE backfills a legacy dataset's sidecars, enabling skipping") {
+    val path = rangeDs("analyze")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    assert(Versioned.pruneCount(spark, path, F.col("id") === 5) ==
+      ((10, 10)))
+    val eng = Engine(spark, java.nio.file.Files
+      .createTempDirectory("graft-skip-base").toString)
+    assert(eng.sql(s"ANALYZE '$path'").df.collect().head.toSeq ==
+      Seq(10L, 10L))
+    assert(Versioned.pruneCount(spark, path, F.col("id") === 5) ==
+      ((10, 1)))
+    // idempotent: nothing left to build
+    assert(eng.sql(s"ANALYZE '$path'").df.collect().head.toSeq ==
+      Seq(10L, 0L))
+    intercept[graft.sql.SemanticError] {
+      eng.sql("ANALYZE 'no-such-dataset'")
+    }
+  }
+
+  test("multi-segment ZORDER OPTIMIZE: z-range segments, both dims prune") {
+    import spark.implicits._
+    val path = freshPath("zseg")
+    // 64x64 grid committed in scrambled order: no natural clustering
+    val rows = (0 until 4096).map { i =>
+      val j = (i * 2654435761L % 4096).toInt
+      (j % 64, j / 64, i.toLong)
+    }
+    Versioned.commit(rows.toDF("x", "y", "id").repartition(8), path)
+    val eng = Engine(spark, java.nio.file.Files
+      .createTempDirectory("graft-skip-base").toString)
+    val st = eng.sql(s"OPTIMIZE '$path' ZORDER BY (x, y) SEGMENTS 8")
+      .df.collect().head
+    val nSegs = Versioned.segmentCount(spark, path)
+    assert(nSegs >= 4 && nSegs <= 8, s"expected ~8 z-range segments, $nSegs")
+    // content byte-for-byte preserved
+    val df = Versioned.read(spark, path)
+    assert(df.count() == 4096L)
+    assert(df.agg(F.sum("id")).collect().head.getLong(0) ==
+      (0 until 4096).map(_.toLong).sum)
+    // BOTH clustered dimensions now prune at the manifest level
+    val (t1, k1) = Versioned.pruneCount(spark, path, F.col("x") < 8)
+    val (_, k2) = Versioned.pruneCount(spark, path, F.col("y") < 8)
+    assert(t1 == nSegs)
+    assert(k1 < nSegs, s"x-range predicate kept all $k1 segments")
+    assert(k2 < nSegs, s"y-range predicate kept all $k2 segments")
+    assert(df.where(F.col("x") < 8).count() == 8 * 64L)
+    // segment granularity is DML granularity: a selective delete on
+    // the clustered dim carries most segments by reference
+    val before = Versioned.headSegments(spark, path).toSet
+    Versioned.deleteWhere(spark, path, F.col("x") === 3)
+    val carried =
+      before.intersect(Versioned.headSegments(spark, path).toSet).size
+    assert(carried > 0, "selective DELETE rewrote every z-range segment")
+    assert(Versioned.read(spark, path).count() == 4096L - 64L)
+    // a crashed staging dir is swept by vacuum
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/.optimize-tmp-dead"))
+    Versioned.vacuum(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/.optimize-tmp-dead")))
+    assert(st.getLong(1) == 1L) // segments_compacted: the 1 input seg
+  }
+
   test("corrupt sidecar degrades to read-everything") {
     val path = rangeDs("corrupt")
     val fs = new org.apache.hadoop.fs.Path(path)
