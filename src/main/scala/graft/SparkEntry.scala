@@ -2174,6 +2174,31 @@ object SparkEntry {
         .withColumn("skipped_some", F.lit(if (kept < total) 1L else 0L))
     }),
 
+    // ---- BLOOM-SIDECAR point skipping: four segments interleaved by
+    //      doc_id residue (every [min,max] spans the domain — range
+    //      stats prune NOTHING, pinned by k_range = 4), blooms enabled
+    //      via writer options; `doc_id = 137` plans only the owning
+    //      segment. The bloom is deterministic for fixed data, so the
+    //      kept count rides the oracle hash ----
+    "q301_bloom_skipping" -> ((s, dir) => {
+      val path = stagingDir("graft_bloom") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      val opts = Versioned.bloomOptions(Map("doc_id" -> 200L))
+      (0 to 3).foreach(r => Versioned.commit(
+        base.filter(F.col("doc_id") % 4 === r), path,
+        writerOptions = opts))
+      val (total, kEq) = Versioned.pruneCount(s, path,
+        F.col("doc_id") === 137)
+      val (_, kRange) = Versioned.pruneCount(s, path,
+        F.col("doc_id").between(100, 200))
+      Versioned.read(s, path).where(F.col("doc_id") === 137)
+        .agg(F.count("*").as("n_rows"),
+          F.sum("n_chars").as("chars"))
+        .withColumn("n_segments", F.lit(total.toLong))
+        .withColumn("k_eq", F.lit(kEq.toLong))
+        .withColumn("k_range", F.lit(kRange.toLong))
+    }),
+
     // ---- METADATA-ONLY aggregates: pure COUNT()/COUNT(col)/MIN/MAX
     //      over a bare Versioned FROM serve from the manifest's stats
     //      sidecars — zero scan jobs (the spec pins recordsRead == 0;
@@ -6089,6 +6114,19 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM r) AS n_segments,
         |  (SELECT COUNT(*) FROM r WHERE mx >= TIMESTAMP '1999-07-01')
         |    AS n_read""".stripMargin,
+
+    // k_eq replays bloom membership exactly (the residue classes that
+    // CONTAIN the value — no false positive fires on this dataset, and
+    // the bitset is deterministic for fixed data); k_range pins that
+    // range stats alone prune nothing on the interleaved layout
+    "q301_bloom_skipping" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(4 AS BIGINT) AS n_segments,
+        |  (SELECT CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT)
+        |   FROM documents WHERE doc_id = 137) AS k_eq,
+        |  CAST(4 AS BIGINT) AS k_range
+        |FROM documents WHERE doc_id = 137""".stripMargin,
 
     "q300_zorder_segments" ->
       """SELECT COUNT(*) AS n_rows,

@@ -50,7 +50,12 @@ object SegmentStats {
       nValues: Long,
       nNulls: Option[Long],
       minNum: Option[BigDecimal], maxNum: Option[BigDecimal],
-      minStr: Option[Array[Byte]], maxStr: Option[Array[Byte]])
+      minStr: Option[Array[Byte]], maxStr: Option[Array[Byte]],
+      // segment-wide split-block bloom filter bitset (the OR of the
+      // writer's per-row-group parquet blooms) — point-lookup skipping
+      // on columns whose min/max spans everything; present only when
+      // the writer enabled `parquet.bloom.filter.enabled#<col>`
+      bloom: Option[Array[Byte]] = None)
 
   /** One segment's sidecar: the Spark schema it was written with (the
     * authority for "column absent ⇒ reads as all-NULL" evolution
@@ -128,7 +133,12 @@ object SegmentStats {
         var nNulls: Option[Long] = Some(0L),
         var lo: Option[BigDecimal] = None, var hi: Option[BigDecimal] = None,
         var sLo: Option[Array[Byte]] = None, var sHi: Option[Array[Byte]] = None,
-        var boundsOk: Boolean = true)
+        var boundsOk: Boolean = true,
+        // union of the writer's per-chunk parquet blooms; valid only
+        // if EVERY non-empty chunk contributed one of a mergeable size
+        var bloom: Option[org.apache.parquet.column.values
+          .bloomfilter.BloomFilter] = None,
+        var bloomOk: Boolean = true)
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
     files.foreach { f =>
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -136,10 +146,26 @@ object SegmentStats {
       try {
         rows += rdr.getRecordCount
         rdr.getRowGroups.asScala.foreach { rg =>
+          lazy val bloomReader = rdr.getBloomFilterDataReader(rg)
           rg.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
               .toLowerCase(java.util.Locale.ROOT)
             val a = acc.getOrElseUpdate(name, Acc())
+            if (a.bloomOk && c.getValueCount > 0L) {
+              val bf =
+                try bloomReader.readBloomFilter(c)
+                catch { case scala.util.control.NonFatal(_) => null }
+              (bf, a.bloom) match {
+                case (null, _) =>
+                  // a non-empty chunk without a bloom: the union can no
+                  // longer witness every value — drop it
+                  a.bloom = None; a.bloomOk = false
+                case (b, None) => a.bloom = Some(b)
+                case (b, Some(prev)) if prev.canMergeFrom(b) =>
+                  prev.merge(b)
+                case _ => a.bloom = None; a.bloomOk = false
+              }
+            }
             a.nValues += c.getValueCount
             val st = c.getStatistics
             a.nNulls = (a.nNulls, Option(st).filter(_.isNumNullsSet)
@@ -201,7 +227,16 @@ object SegmentStats {
       } finally rdr.close()
     }
     (rows, acc.map { case (n, a) =>
-      n -> ColStats(a.nValues, a.nNulls, a.lo, a.hi, a.sLo, a.sHi)
+      // cap serialized blooms: a segment-level bitset beyond 512 KB
+      // bloats every manifest walk for marginal FP gains (the file
+      // -level blooms still serve row-group skipping inside the scan)
+      val bloomBytes = a.bloom.filter(_ => a.bloomOk).flatMap { bf =>
+        val out = new java.io.ByteArrayOutputStream()
+        try { bf.writeTo(out); Some(out.toByteArray).filter(_.length <= 512 * 1024) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      n -> ColStats(a.nValues, a.nNulls, a.lo, a.hi, a.sLo, a.sHi,
+        bloomBytes)
     }.toMap)
   }
 
@@ -256,7 +291,8 @@ object SegmentStats {
         .append(c.minNum.map(_.toString).getOrElse("?")).append('\t')
         .append(c.maxNum.map(_.toString).getOrElse("?")).append('\t')
         .append(c.minStr.map(b64).getOrElse("?")).append('\t')
-        .append(c.maxStr.map(b64).getOrElse("?")).append('\n')
+        .append(c.maxStr.map(b64).getOrElse("?")).append('\t')
+        .append(c.bloom.map(b64).getOrElse("?")).append('\n')
     }
     sb.toString
   }
@@ -290,7 +326,10 @@ object SegmentStats {
       new String(unb64(p(0)), StandardCharsets.UTF_8) -> ColStats(
         p(1).toLong, opt(p(2)).map(_.toLong),
         opt(p(3)).map(BigDecimal(_)), opt(p(4)).map(BigDecimal(_)),
-        opt(p(5)).map(unb64), opt(p(6)).map(unb64))
+        opt(p(5)).map(unb64), opt(p(6)).map(unb64),
+        // 8th field added with the bloom layer; sidecars written
+        // before it parse bloom-less
+        if (p.length > 7) opt(p(7)).map(unb64) else None)
     }.toMap
     Some(SegStats(schema, rows, cols))
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -411,7 +450,8 @@ object SegmentStats {
         litValue(l.dataType, l.value) match {
           case None => true // uncovered literal type: cannot reason
           case Some(scala.Left(v)) => op match {
-            case "=" => c.minNum.forall(_ <= v) && c.maxNum.forall(v <= _)
+            case "=" => c.minNum.forall(_ <= v) && c.maxNum.forall(v <= _) &&
+              bloomMayContain(c, l)
             case "<" => c.minNum.forall(_ < v)
             case "<=" => c.minNum.forall(_ <= v)
             case ">" => c.maxNum.forall(_ > v)
@@ -419,13 +459,44 @@ object SegmentStats {
           }
           case Some(scala.Right(b)) => op match {
             case "=" => c.minStr.forall(cmpBytes(_, b) <= 0) &&
-              c.maxStr.forall(cmpBytes(b, _) <= 0)
+              c.maxStr.forall(cmpBytes(b, _) <= 0) && bloomMayContain(c, l)
             case "<" => c.minStr.forall(cmpBytes(_, b) < 0)
             case "<=" => c.minStr.forall(cmpBytes(_, b) <= 0)
             case ">" => c.maxStr.forall(cmpBytes(_, b) > 0)
             case ">=" => c.maxStr.forall(cmpBytes(_, b) >= 0)
           }
         }
+    }
+
+  /** Equality probe against the segment's bloom union. The writer
+    * hashed parquet PHYSICAL values, and for every covered type the
+    * Catalyst internal literal IS that physical value (long micros,
+    * int days, UTF-8 bytes) — so a definite miss proves no row group
+    * in the segment ever inserted the value. No bloom, or an
+    * un-hashable type: may contain. */
+  private def bloomMayContain(c: ColStats, l: Literal): Boolean =
+    c.bloom match {
+      case None => true
+      case Some(bytes) =>
+        import org.apache.spark.sql.types._
+        try {
+          val bf = new org.apache.parquet.column.values.bloomfilter
+            .BlockSplitBloomFilter(bytes)
+          val h: Option[Long] = (l.dataType, l.value) match {
+            case (LongType | TimestampType | TimestampNTZType, v: Long) =>
+              Some(bf.hash(v))
+            case (IntegerType | DateType, v: Int) => Some(bf.hash(v))
+            case (ShortType, v: Short) => Some(bf.hash(v.toInt))
+            case (ByteType, v: Byte) => Some(bf.hash(v.toInt))
+            case (StringType, v: UTF8String) =>
+              Some(bf.hash(org.apache.parquet.io.api.Binary
+                .fromConstantByteArray(v.getBytes)))
+            case (DoubleType, v: Double) => Some(bf.hash(v))
+            case (FloatType, v: Float) => Some(bf.hash(v))
+            case _ => None
+          }
+          h.forall(bf.findHash)
+        } catch { case scala.util.control.NonFatal(_) => true }
     }
 
   /** `startswith(col, p)`: some value in [min, max] can carry prefix

@@ -775,6 +775,20 @@ object Versioned {
     * their oracle hash: a regression that stops writing sidecars (or
     * stops consulting them) inflates `kept` back to `total` and fails
     * the gate, not just a benchmark. */
+  /** Writer options enabling parquet SPLIT-BLOCK BLOOM FILTERS on
+    * `ndv`'s columns (name → expected distinct count). Two layers
+    * engage: parquet itself prunes ROW GROUPS on pushed point
+    * predicates inside every scanned file, and [[writeSegment]]'s
+    * sidecar build unions the chunk blooms so the MANIFEST prunes
+    * whole segments on `col = x` / `IN` even when every segment's
+    * [min, max] spans the domain — the unclustered high-cardinality
+    * case (ids, content hashes) where range stats prove nothing. */
+  def bloomOptions(ndv: Map[String, Long]): Map[String, String] =
+    ndv.flatMap { case (c, n) => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)
+    }
+
   /** Backfill DATA-SKIPPING sidecars for segments that lack one — the
     * migration path for datasets committed before the stats layer (or
     * whose sidecar write best-effort-failed). Footer walks run ONE

@@ -324,6 +324,21 @@ class VersionedSkipSpec extends SparkSpec {
     }
   }
 
+  test("dialect WHERE over a versioned FROM prunes segments end-to-end") {
+    val path = rangeDs("sqlskip")
+    val eng = Engine(spark, java.nio.file.Files
+      .createTempDirectory("graft-skip-base").toString)
+    val read = recordsReadDuring {
+      val out = eng.sql(s"SELECT COUNT() AS n FROM '$path' " +
+        "WHERE id BETWEEN 120 AND 130").df.collect()
+      assert(out.head.getLong(0) == 11L)
+    }
+    // 10 segments x 100 rows; without manifest skipping the scan reads
+    // all 1000 — with it, only the owning segment's rows
+    assert(read <= 200L,
+      s"SQL WHERE read $read records — manifest skipping did not engage")
+  }
+
   test("multi-segment ZORDER OPTIMIZE: z-range segments, both dims prune") {
     import spark.implicits._
     val path = freshPath("zseg")
@@ -367,6 +382,51 @@ class VersionedSkipSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$path/.optimize-tmp-dead")))
     assert(st.getLong(1) == 1L) // segments_compacted: the 1 input seg
+  }
+
+  test("bloom sidecars: point lookups prune value-interleaved segments") {
+    import spark.implicits._
+    val path = freshPath("bloom")
+    val opts = Versioned.bloomOptions(Map("id" -> 300L, "tag" -> 300L))
+    (0 until 4).foreach { r =>
+      Versioned.commit(
+        (0 until 1000).filter(_ % 4 == r)
+          .map(i => (i.toLong, s"tag-$i")).toDF("id", "tag"),
+        path, writerOptions = opts)
+    }
+    // every segment's [min, max] spans nearly the whole domain: range
+    // stats keep all 4; only the bloom can isolate the owner (<= 2
+    // tolerates a false positive)
+    val (tot, kId) = Versioned.pruneCount(spark, path, F.col("id") === 42L)
+    assert(tot == 4)
+    assert(kId >= 1 && kId <= 2, s"bloom kept $kId of 4")
+    assert(Versioned.read(spark, path).where(F.col("id") === 42L)
+      .count() == 1L)
+    val (_, kStr) = Versioned.pruneCount(spark, path,
+      F.col("tag") === "tag-43")
+    assert(kStr >= 1 && kStr <= 2, s"string bloom kept $kStr of 4")
+    assert(Versioned.read(spark, path).where(F.col("tag") === "tag-43")
+      .count() == 1L)
+    val (_, kIn) = Versioned.pruneCount(spark, path,
+      F.col("id").isin(42L, 43L))
+    assert(kIn >= 2 && kIn <= 3, s"IN bloom kept $kIn of 4")
+    // a value inside the string bounds but present NOWHERE: the bloom
+    // proves absence
+    val (_, kMiss) = Versioned.pruneCount(spark, path,
+      F.col("tag") === "tag-5000")
+    assert(kMiss <= 1, s"absent value kept $kMiss segments")
+    assert(Versioned.read(spark, path)
+      .where(F.col("tag") === "tag-5000").count() == 0L)
+    // inequality predicates never consult the bloom
+    assert(Versioned.pruneCount(spark, path, F.col("id") >= 0L)._2 == 4)
+    // without the writer option there is no bloom and no point pruning
+    val bare = freshPath("bloomless")
+    (0 until 2).foreach { r =>
+      Versioned.commit((0 until 100).filter(_ % 2 == r)
+        .map(_.toLong).toDF("id"), bare)
+    }
+    assert(Versioned.pruneCount(spark, bare, F.col("id") === 42L) ==
+      ((2, 2)))
   }
 
   test("corrupt sidecar degrades to read-everything") {
