@@ -86,14 +86,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
 
-  /** `DELETE FROM '<versioned-ds>' WHERE <pred>` (extension):
-    * copy-on-write delete via [[graft.sources.Versioned.deleteWhere]] —
-    * commits a NEW version holding the surviving rows; prior snapshots
-    * stay readable (time travel). Returns one row (version, n_rows) of
-    * the new head. Only Versioned datasets: an in-place parquet delete
-    * has no atomicity story, so a plain path is rejected. */
+  /** `DELETE [VECTORED] FROM '<versioned-ds>' WHERE <pred>`
+    * (extension): copy-on-write delete via
+    * [[graft.sources.Versioned.deleteWhere]] — commits a NEW version
+    * holding the surviving rows; prior snapshots stay readable (time
+    * travel). With VECTORED, merge-on-read instead
+    * ([[graft.sources.Versioned.deleteWhereVectored]]): every segment
+    * carries byte-identical and the matched positions land in
+    * deletion vectors, the right shape when matches are scattered and
+    * sparse. Returns one row (version, n_rows) of the new head. Only
+    * Versioned datasets: an in-place parquet delete has no atomicity
+    * story, so a plain path is rejected. */
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
+    """(?is)^\s*DELETE\s+(VECTORED\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
 
   /** `VACUUM '<versioned-ds>' [KEEP n]` (extension): garbage-collect
     * history down to the newest `n` versions (default 1) via
@@ -437,7 +442,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("segments_compacted", LongType, nullable = false)))))
-    case DeleteRe(target, cond) =>
+    case DeleteRe(vectored, target, cond) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
@@ -455,9 +460,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           "DELETE predicates cannot contain subqueries")
       val df = graft.sources.Versioned.read(spark, resolved, None)
       val v =
-        try graft.sources.Versioned.deleteWhere(
-          spark, resolved, where.compile(df.schema))
-        catch { case e: IllegalArgumentException =>
+        try {
+          if (vectored != null) graft.sources.Versioned
+            .deleteWhereVectored(spark, resolved, where.compile(df.schema))
+          else graft.sources.Versioned.deleteWhere(
+            spark, resolved, where.compile(df.schema))
+        } catch { case e: IllegalArgumentException =>
           throw new SemanticError(e.getMessage) }
       // status row from FOOTER metadata over the new manifest — the
       // round-10 verdict's last table-sized DML cost: a full
@@ -775,13 +783,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         .collect()
       val nUpdated = perSeg.map(_.getLong(1)).sum
       val affected = perSeg.map(_.getString(0)).toSet
+      val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
       val v =
         if (affected.isEmpty)
-          graft.sources.Versioned.commitSegments(spark, resolved, segsAll)
+          graft.sources.Versioned.commitSegments(spark, resolved, segsAll,
+            dvMap)
         else {
           val updated = graft.sources.Versioned
             .readSegmentsAligned(spark, resolved,
-              segsAll.filter(affected), head.schema)
+              segsAll.filter(affected), head.schema, dvMap)
             .select(head.schema.fields.map { f =>
               assigns.find(_._1 == f.name) match {
                 case Some((_, rhs)) =>
@@ -795,7 +805,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           val fresh = graft.sources.Versioned
             .writeSegmentIfNonEmpty(updated, resolved)
           graft.sources.Versioned.commitPruned(spark, resolved,
-            segsAll.filterNot(affected), fresh, head.schema)
+            segsAll.filterNot(affected), fresh, head.schema, dvMap)
         }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
@@ -1020,12 +1030,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             .select("__seg").distinct().collect()
             .map(_.getString(0)).toSet
         else Set.empty
+      val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
       val survivors: Option[org.apache.spark.sql.DataFrame] =
         if (affected.isEmpty) None
         else {
           var flagged = graft.sources.Versioned
             .readSegmentsAligned(spark, resolved,
-              segsAll.filter(affected), head.schema)
+              segsAll.filter(affected), head.schema, dvMap)
             .join(pairs.drop("__srid", "__seg"),
               Seq("__file", "__pos"), "left")
           // rows won by a DELETE clause drop; everything else projects
@@ -1113,7 +1124,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         .reduceOption(_ unionAll _)
         .flatMap(graft.sources.Versioned.writeSegmentIfNonEmpty(_, resolved))
       val v = graft.sources.Versioned.commitPruned(spark, resolved,
-        segsAll.filterNot(affected), fresh, head.schema)
+        segsAll.filterNot(affected), fresh, head.schema, dvMap)
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
         java.util.List.of(Row(v, nUpdated, nDeleted, nInserted)),

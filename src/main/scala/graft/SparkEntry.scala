@@ -2174,6 +2174,80 @@ object SparkEntry {
         .withColumn("skipped_some", F.lit(if (kept < total) 1L else 0L))
     }),
 
+    // ---- DELETION VECTORS (merge-on-read DELETE): matched positions
+    //      land in per-segment vectors, every segment carries
+    //      byte-identical — n_carried = 3 of 3 rides the oracle hash,
+    //      which is exactly what separates a vectored delete from the
+    //      copy-on-write one (q285 pins 2 of 3 for the same shape);
+    //      the status row's count and the post-delete content replay
+    //      as plain filters ----
+    "q302_dv_delete" -> ((s, dir) => {
+      val path = stagingDir("graft_dv") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      val st = eng.sql(s"DELETE VECTORED FROM '$path' " +
+        "WHERE doc_id % 3 = 1 AND doc_id % 7 = 0").df.collect().head
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+        .withColumn("n_rows_status", F.lit(st.getLong(1)))
+    }),
+
+    // vectors union across statements, time travel replays each
+    // vectored snapshot, and plain OPTIMIZE materializes them (the
+    // folded head carries NO vector — n_dv_head = 0 in the hash)
+    "q303_dv_union_travel" -> ((s, dir) => {
+      val path = stagingDir("graft_dv_u") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 2 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 3")
+      val v3 = Versioned.versions(s, path).last
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 4")
+      val v4 = Versioned.versions(s, path).last
+      val n3 = Versioned.read(s, path, Some(v3)).count()
+      val n4 = Versioned.read(s, path, Some(v4)).count()
+      eng.sql(s"OPTIMIZE '$path'")
+      val hv = Versioned.versions(s, path).last
+      val nDv = Versioned.readDvMap(s, path, hv).size
+      Versioned.read(s, path)
+        .agg(F.count("*").as("n_head"),
+          F.sum("n_chars").as("chars"))
+        .withColumn("n_v3", F.lit(n3))
+        .withColumn("n_v4", F.lit(n4))
+        .withColumn("n_dv_head", F.lit(nDv.toLong))
+    }),
+
+    // row-level CDC for vectored deletes: deletedRows(from) returns
+    // the retraction rows the segment-level CDC pair cannot see (a
+    // vectored delete adds/removes no segments); both the full range
+    // and the tail slice replay as residue filters
+    "q304_dv_cdc" -> ((s, dir) => {
+      val path = stagingDir("graft_dv_cdc") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 2 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 3")
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 4")
+      val tail = Versioned.deletedRows(s, path, 3)
+        .agg(F.count("*"), F.sum("doc_id")).collect().head
+      Versioned.deletedRows(s, path, 2)
+        .agg(F.count("*").as("n_full"),
+          F.sum("doc_id").as("id_full"))
+        .withColumn("n_tail", F.lit(tail.getLong(0)))
+        .withColumn("id_tail", F.lit(tail.getLong(1)))
+    }),
+
     // ---- BLOOM-SIDECAR point skipping: four segments interleaved by
     //      doc_id residue (every [min,max] spans the domain — range
     //      stats prune NOTHING, pinned by k_range = 4), blooms enabled
@@ -6114,6 +6188,40 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM r) AS n_segments,
         |  (SELECT COUNT(*) FROM r WHERE mx >= TIMESTAMP '1999-07-01')
         |    AS n_read""".stripMargin,
+
+    "q302_dv_delete" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(3 AS BIGINT) AS n_carried,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE NOT (doc_id % 3 = 1 AND doc_id % 7 = 0))
+        |    AS n_rows_status
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 1 AND doc_id % 7 = 0)
+        |GROUP BY lang""".stripMargin,
+
+    "q303_dv_union_travel" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 10 NOT IN (3, 4)) AS n_head,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 NOT IN (3, 4)) AS chars,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 != 3)
+        |    AS n_v3,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 10 NOT IN (3, 4)) AS n_v4,
+        |  CAST(0 AS BIGINT) AS n_dv_head""".stripMargin,
+
+    "q304_dv_cdc" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 IN (3, 4))
+        |    AS n_full,
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 IN (3, 4)) AS id_full,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 4)
+        |    AS n_tail,
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 = 4) AS id_tail""".stripMargin,
 
     // k_eq replays bloom membership exactly (the residue classes that
     // CONTAIN the value — no false positive fires on this dataset, and

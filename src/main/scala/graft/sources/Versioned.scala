@@ -43,7 +43,8 @@ object Versioned {
     val dir = new Path(s"$path/manifest")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .collect { case s if s.startsWith("v-") && s.endsWith(".txt") =>
+      .collect { case s if s.startsWith("v-") && s.endsWith(".txt") &&
+          !s.endsWith(".dv.txt") => // DV side manifests are not versions
         s.stripPrefix("v-").stripSuffix(".txt").toLong }
       .sorted
   }
@@ -94,9 +95,13 @@ object Versioned {
     * would leave `read` with no footers to resolve a schema from). */
   private[graft] def commitPruned(spark: SparkSession, path: String,
       carried: Seq[String], fresh: Option[String],
-      schema: org.apache.spark.sql.types.StructType): Long = {
+      schema: org.apache.spark.sql.types.StructType,
+      dvs: Map[String, String] = Map.empty): Long = {
     val segs = carried ++ fresh
-    if (segs.nonEmpty) commitSegments(spark, path, segs)
+    // only CARRIED segments may keep deletion vectors — a rewritten
+    // segment materialized its vector by construction
+    val keptDvs = dvs.filter { case (s, _) => carried.contains(s) }
+    if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs)
     else commitSegments(spark, path, Seq(writeSegment(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
@@ -114,15 +119,39 @@ object Versioned {
     * manifest; new names from [[writeSegment]], written first — the
     * same segment-then-manifest crash-safety ordering as [[commit]]). */
   private[graft] def commitSegments(spark: SparkSession, path: String,
-                                    segs: Seq[String]): Long = {
+                                    segs: Seq[String],
+                                    dvs: Map[String, String] = Map.empty)
+      : Long = {
     val fs = fsOf(spark, path)
     segs.foreach { s =>
       require(fs.exists(new Path(s"$path/data/$s")),
         s"commitSegments: segment '$s' does not exist at $path")
     }
+    dvs.keys.foreach { s =>
+      require(segs.contains(s),
+        s"commitSegments: deletion vector for unreferenced segment '$s'")
+    }
     val version = versions(spark, path).lastOption.getOrElse(0L) + 1
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
+    // the version's DELETION-VECTOR map rides a SIDE manifest written
+    // BEFORE the main rename: a crash in between leaves an orphan side
+    // file for a version that never existed (harmless, vacuumed), and
+    // the main manifest stays the single atomic commit point
+    val dvDest = new Path(dir, f"v-$version%09d.dv.txt")
+    if (dvs.nonEmpty) {
+      val dvTmp = new Path(dir,
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(dvTmp, false)
+      try out.write(dvs.toSeq.sortBy(_._1)
+        .map { case (s, d) => s"$s\t$d" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(dvTmp, dvDest)) {
+        fs.delete(dvTmp, false)
+        throw new IllegalStateException(
+          s"version $version dv manifest already present at $path")
+      }
+    }
     val tmp = new Path(dir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -131,11 +160,29 @@ object Versioned {
     val dest = new Path(dir, f"v-$version%09d.txt")
     if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
       fs.delete(tmp, false)
+      if (dvs.nonEmpty) fs.delete(dvDest, false)
       throw new IllegalStateException(
         s"version $version already committed at $path — " +
         "concurrent committers must be serialized")
     }
     version
+  }
+
+  /** A version's segment → deletion-vector-file map (empty when the
+    * version carries no DVs, including every pre-DV version). */
+  private[graft] def readDvMap(spark: SparkSession, path: String,
+                               version: Long): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val f = new Path(s"$path/manifest", f"v-$version%09d.dv.txt")
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(s, d) = l.split("\t", 2)
+      s -> d
+    }.toMap
   }
 
   /** The head version number — resolve ONCE per DML statement and pass
@@ -169,8 +216,15 @@ object Versioned {
     * KB-sized metadata reads, not a table pass — this is what the DML
     * status rows report instead of `read(head).count()`. */
   def rowCount(spark: SparkSession, path: String,
-               version: Option[Long] = None): Long =
-    footerRowCount(spark, path, headSegments(spark, path, version))
+               version: Option[Long] = None): Long = {
+    val v = version.getOrElse(headVersion(spark, path))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // deletion vectors subtract from the footer totals — their headers
+    // carry the count, so this stays a metadata-only read
+    val deleted = readDvMap(spark, path, v).valuesIterator
+      .map(DeletionVectors.count(conf, path, _)).sum
+    footerRowCount(spark, path, headSegments(spark, path, Some(v))) - deleted
+  }
 
   /** Exact row count of the segments ADDED in (`fromVersion`, `to`] —
     * footer metadata only, like [[rowCount]]: what an INSERT's status
@@ -236,9 +290,13 @@ object Versioned {
           s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString} " +
           "(appends may add trailing columns, never rename/retype/drop)")
     }
-    // segment first (invisible until the manifest lands), commit last
+    // segment first (invisible until the manifest lands), commit last;
+    // an append CARRIES the head's deletion vectors with its segments
     val seg = writeSegment(df, path, writerOptions)
-    commitSegments(spark, path, prevSegs :+ seg)
+    val prevDvs =
+      if (prevSegs.nonEmpty) readDvMap(spark, path, prev.last)
+      else Map.empty[String, String]
+    commitSegments(spark, path, prevSegs :+ seg, prevDvs)
   }
 
   /** Append storage-level row provenance to a segment-backed frame:
@@ -264,8 +322,14 @@ object Versioned {
     * statement's pinned head version so the detection read and the
     * carried-segment list resolve the SAME manifest. */
   private[graft] def readWithProvenance(spark: SparkSession, path: String,
-      version: Option[Long] = None): DataFrame =
-    withProvenance(read(spark, path, version))
+      version: Option[Long] = None): DataFrame = {
+    val (rel, _, v) = openRelation(spark, path, version)
+    // provenance FIRST, vectors second: the anti join needs the
+    // (file, pos) identity, and a DML's detection pass must never see
+    // (or re-delete) an already-vectored row
+    DeletionVectors.applyTo(withProvenance(rel), spark, path,
+      readDvMap(spark, path, v))
+  }
 
   /** Read ONLY the named segments, provenance-tagged and aligned to
     * `schema` (the head's merged schema): segments written before a
@@ -275,17 +339,22 @@ object Versioned {
     * segments carry. */
   private[graft] def readSegmentsAligned(
       spark: SparkSession, path: String, segs: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      dvMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     require(segs.nonEmpty, "readSegmentsAligned needs >= 1 segment")
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(segs.map(s => s"$path/data/$s"): _*)
     val have = raw.columns.toSet
-    withProvenance(raw).select(
+    val aligned = withProvenance(raw).select(
       schema.fields.map { f =>
         if (have(f.name)) F.col(f.name)
         else F.lit(null).cast(f.dataType).as(f.name)
       }.toSeq ++ Seq(F.col("__file"), F.col("__pos"), F.col("__seg")): _*)
+    // a rewrite of a vectored segment MATERIALIZES its vector: the
+    // deleted rows must not resurrect into the fresh segment
+    DeletionVectors.applyTo(aligned, spark, path,
+      dvMap.filter { case (s, _) => segs.contains(s) })
   }
 
   /** Copy-on-write DELETE: commit a new version holding the head's rows
@@ -340,19 +409,90 @@ object Versioned {
             s"rewrite them): ${f.condition.sql}")
       case _ => ()
     }
+    val dvMap = readDvMap(spark, path, hv)
     val affected = detection
       .select("__seg").distinct().collect().map(_.getString(0)).toSet
-    if (affected.isEmpty) commitSegments(spark, path, segsAll)
+    if (affected.isEmpty) commitSegments(spark, path, segsAll, dvMap)
     else {
       val survivors = readSegmentsAligned(spark, path,
-          segsAll.filter(affected), headSchema)
+          segsAll.filter(affected), headSchema, dvMap)
         .filter(!matched)
         .select(headSchema.fieldNames.map(org.apache.spark.sql
           .functions.col).toSeq: _*)
       val fresh = writeSegmentIfNonEmpty(survivors, path)
       commitPruned(spark, path, segsAll.filterNot(affected), fresh,
-        headSchema)
+        headSchema, dvMap)
     }
+  }
+
+  /** MERGE-ON-READ delete: like [[deleteWhere]], but matched rows are
+    * recorded in per-segment DELETION VECTORS instead of rewriting the
+    * segments — every segment carries into the new manifest
+    * byte-identical, and the statement's write cost is proportional to
+    * the MATCHED ROW COUNT (position lists), not to the affected
+    * segments' size. The right half of the delete spectrum: a
+    * takedown of scattered single rows at 100 TB. Vectors union with
+    * any prior vector on the same segment; the vector build runs in
+    * tasks grouped by segment (matched positions never stream through
+    * the driver); [[compact]]/OPTIMIZE and any COW rewrite of the
+    * segment later materialize them. Returns the new version. */
+  def deleteWhereVectored(spark: SparkSession, path: String,
+                          predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.{functions => F}
+    val hv = headVersion(spark, path)
+    val segsAll = headSegments(spark, path, Some(hv))
+    val headSchema = read(spark, path, Some(hv)).schema
+    ReservedProvenanceCols.foreach { c =>
+      require(!headSchema.fieldNames.contains(c),
+        s"deleteWhereVectored: dataset at $path has reserved column " +
+          s"name '$c' — the vector build keys on it for row provenance")
+    }
+    val dvOld = readDvMap(spark, path, hv)
+    // detection reads DV-applied provenance: an already-deleted row can
+    // neither re-match nor be recorded twice
+    val detection = readWithProvenance(spark, path, Some(hv))
+      .filter(predicate)
+    detection.queryExecution.analyzed.foreach {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          "deleteWhereVectored predicates must be deterministic: " +
+            f.condition.sql)
+      case _ => ()
+    }
+    // per-segment vector build in tasks: hash-cluster matches by
+    // segment, each task unions its segments' positions with any prior
+    // vector and publishes a fresh one; only (segment → file name)
+    // pairs return to the driver
+    val rows = detection
+      .select(F.col("__seg"),
+        F.element_at(F.split(F.col("__file"), "/"), -1).as("__fname"),
+        F.col("__pos"))
+      .repartition(F.col("__seg"))
+    val newEntries: Map[String, String] = rows.rdd.mapPartitions { it =>
+      val bySeg = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.ArrayBuffer[Long]]]
+      it.foreach { r =>
+        bySeg.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.HashMap.empty)
+          .getOrElseUpdate(r.getString(1),
+            scala.collection.mutable.ArrayBuffer.empty) += r.getLong(2)
+      }
+      val conf = new org.apache.hadoop.conf.Configuration()
+      bySeg.iterator.map { case (seg, files) =>
+        val prior: Map[String, Array[Long]] = dvOld.get(seg)
+          .map(DeletionVectors.read(conf, path, _))
+          .getOrElse(Map.empty)
+        val merged = (prior.keySet ++ files.keySet).map { f =>
+          f -> (prior.getOrElse(f, Array.empty[Long]) ++
+            files.get(f).map(_.toArray).getOrElse(Array.empty[Long]))
+            .distinct.sorted
+        }.toMap
+        seg -> DeletionVectors.write(conf, path, seg, merged)
+      }
+    }.collect().toMap
+    if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld)
+    else commitSegments(spark, path, segsAll, dvOld ++ newEntries)
   }
 
   /** Number of segments composing a version (head when absent) — the
@@ -416,21 +556,22 @@ object Versioned {
     val (mergeBins, singletonBins) = bins.filter(_.nonEmpty)
       .partition(_.length >= 2)
     val carried = carriedBig ++ singletonBins.flatten
+    val dvMap = readDvMap(spark, path, hv)
     if (mergeBins.isEmpty)
-      commitSegments(spark, path, segs) // nothing to fold: carry-all commit
+      // nothing to fold: carry-all commit (vectors ride along)
+      commitSegments(spark, path, segs, dvMap)
     else {
       val headSchema = read(spark, path, Some(hv)).schema
+      import org.apache.spark.sql.{functions => F}
       val fresh = mergeBins.map { bin =>
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(bin.toSeq.map(s => s"$path/data/$s"): _*)
-        val have = raw.columns.toSet
-        import org.apache.spark.sql.{functions => F}
-        writeSegment(raw.select(headSchema.fields.map { f =>
-          if (have(f.name)) F.col(f.name)
-          else F.lit(null).cast(f.dataType).as(f.name)
-        }.toSeq: _*), path)
+        // DV-aware aligned read: folding a vectored segment
+        // MATERIALIZES its vector into the merged output
+        writeSegment(readSegmentsAligned(spark, path, bin.toSeq,
+            headSchema, dvMap)
+          .select(headSchema.fieldNames.map(F.col).toSeq: _*), path)
       }
-      commitSegments(spark, path, carried ++ fresh)
+      commitSegments(spark, path, carried ++ fresh,
+        dvMap.filter { case (s, _) => carried.contains(s) })
     }
   }
 
@@ -605,7 +746,18 @@ object Versioned {
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
     drop.foreach { v =>
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit
+      fs.delete(new Path(s"$path/manifest", f"v-$v%09d.dv.txt"), false): Unit
     }
+    // deletion vectors referenced by NO retained version retire with
+    // their manifests (a vector superseded by a union, or belonging to
+    // a dropped version)
+    val referencedDvs = keep.flatMap(readDvMap(spark, path, _).values).toSet
+    val dvDir = new Path(s"$path/dv")
+    if (fs.exists(dvDir))
+      fs.listStatus(dvDir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".dv") &&
+          !referencedDvs.contains(p.getName))
+        .foreach(p => fs.delete(p, false): Unit)
     val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
     // staging orphans from crashed multi-segment OPTIMIZE runs (the
     // single-writer maintenance contract covers a concurrent OPTIMIZE)
@@ -748,12 +900,11 @@ object Versioned {
            version: Option[Long] = None): DataFrame =
     readWithIndex(spark, path, version)._1
 
-  /** [[read]], also returning the snapshot's [[VersionedFileIndex]] —
-    * the handle that records how many segments each filtered query
-    * actually planned to read (`lastSegmentsRead` /
-    * `lastSegmentsTotal`), for specs and bench prune accounting. */
-  private[graft] def readWithIndex(spark: SparkSession, path: String,
-      version: Option[Long] = None): (DataFrame, VersionedFileIndex) = {
+  /** The snapshot's RAW file relation (no deletion vectors applied)
+    * plus its index and resolved version — the single place the
+    * physical read is assembled. */
+  private def openRelation(spark: SparkSession, path: String,
+      version: Option[Long]): (DataFrame, VersionedFileIndex, Long) = {
     val v = version.getOrElse {
       val all = versions(spark, path)
       require(all.nonEmpty, s"no committed versions at $path")
@@ -765,7 +916,25 @@ object Versioned {
       idx, new org.apache.spark.sql.types.StructType(), idx.dataSchema,
       None, new org.apache.spark.sql.execution.datasources.parquet
         .ParquetFileFormat, Map.empty)(spark)
-    (spark.baseRelationToDataFrame(rel), idx)
+    (spark.baseRelationToDataFrame(rel), idx, v)
+  }
+
+  /** [[read]], also returning the snapshot's [[VersionedFileIndex]] —
+    * the handle that records how many segments each filtered query
+    * actually planned to read (`lastSegmentsRead` /
+    * `lastSegmentsTotal`), for specs and bench prune accounting.
+    * A DV-free snapshot (every snapshot until the first vectored
+    * delete) is the bare relation with ZERO overhead; vectors add the
+    * provenance projection + anti join. */
+  private[graft] def readWithIndex(spark: SparkSession, path: String,
+      version: Option[Long] = None): (DataFrame, VersionedFileIndex) = {
+    val (rel, idx, v) = openRelation(spark, path, version)
+    val dv = readDvMap(spark, path, v)
+    val df =
+      if (dv.isEmpty) rel
+      else DeletionVectors.applyTo(withProvenance(rel), spark, path, dv)
+        .drop(ReservedProvenanceCols: _*)
+    (df, idx)
   }
 
   /** PLANNING-ONLY data-skipping accounting: of the snapshot's
@@ -775,6 +944,46 @@ object Versioned {
     * their oracle hash: a regression that stops writing sidecars (or
     * stops consulting them) inflates `kept` back to `total` and fails
     * the gate, not just a benchmark. */
+  /** ROW-LEVEL CDC for vectored deletes: the rows whose positions were
+    * newly recorded in deletion vectors in `(fromVersion, toVersion]`
+    * — the retraction feed a downstream consumer applies (the
+    * segment-level [[changes]]/[[removals]] pair cannot see a vectored
+    * delete: it adds no segments and removes none). Row content comes
+    * from the still-physically-present segments of `toVersion`,
+    * position-semi-joined against the vector delta. Granularity
+    * caveat, like the segment CDC pair: a COW rewrite that
+    * MATERIALIZES a vector inside the range replaces the segment, and
+    * its deletions surface through [[removals]]/[[changes]] instead. */
+  def deletedRows(spark: SparkSession, path: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val to = toVersion.getOrElse(headVersion(spark, path))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"deletedRows range ($fromVersion, $to] is not a valid range")
+    val dvFrom =
+      if (fromVersion == 0) Map.empty[String, String]
+      else readDvMap(spark, path, fromVersion)
+    val dvTo = readDvMap(spark, path, to)
+    val segsTo = headSegments(spark, path, Some(to))
+    val schemaTo = read(spark, path, Some(to)).schema
+    val changed = dvTo.filter { case (s, d) =>
+      segsTo.contains(s) && !dvFrom.get(s).contains(d)
+    }
+    if (changed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaTo)
+    val newPos = DeletionVectors.positionsDf(spark, path, changed)
+    val oldPos = DeletionVectors.positionsDf(spark, path,
+      dvFrom.filter { case (s, _) => changed.contains(s) })
+    val delta = newPos.except(oldPos)
+    readSegmentsAligned(spark, path, changed.keys.toSeq, schemaTo)
+      .withColumn("__dvkey", F.concat(F.col("__seg"), F.lit("/"),
+        F.element_at(F.split(F.col("__file"), "/"), -1)))
+      .withColumn("__dvpos", F.col("__pos"))
+      .join(delta, Seq("__dvkey", "__dvpos"), "left_semi")
+      .select(schemaTo.fieldNames.map(F.col).toSeq: _*)
+  }
+
   /** Writer options enabling parquet SPLIT-BLOCK BLOOM FILTERS on
     * `ndv`'s columns (name → expected distinct count). Two layers
     * engage: parquet itself prunes ROW GROUPS on pushed point
@@ -845,10 +1054,29 @@ object Versioned {
   def metaStats(spark: SparkSession, path: String,
                 version: Option[Long] = None): Option[MetaStats] = {
     import org.apache.spark.sql.types._
-    val segs = headSegments(spark, path, Some(version.getOrElse(
-      headVersion(spark, path))))
+    val v = version.getOrElse(headVersion(spark, path))
+    val segs = headSegments(spark, path, Some(v))
     val sts = segs.map(s => SegmentStats.read(spark, path, s))
     if (sts.exists(_.isEmpty)) return None
+    // deletion vectors invalidate every per-COLUMN statistic (a
+    // deleted row may have been the minimum, or the only null) but
+    // not the exact total: serve COUNT(*) only
+    val dvMap = readDvMap(spark, path, v)
+    if (dvMap.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val deleted = dvMap.valuesIterator
+        .map(DeletionVectors.count(conf, path, _)).sum
+      val schema0 = {
+        val out = scala.collection.mutable.LinkedHashMap
+          .empty[String, StructField]
+        sts.flatten.foreach(_.schema.fields.foreach { f =>
+          if (!out.contains(f.name)) out(f.name) = f.copy(nullable = true)
+        })
+        StructType(out.values.toSeq)
+      }
+      return Some(MetaStats(sts.flatten.map(_.rows).sum - deleted,
+        schema0, Map.empty))
+    }
     val all = sts.flatten
     val schema = {
       val out = scala.collection.mutable.LinkedHashMap
@@ -928,11 +1156,17 @@ object Versioned {
     val (df, idx) = readWithIndex(spark, path, version)
     // resolve + optimize the predicate against the snapshot schema so
     // the evaluator sees exactly the shapes the execution-time
-    // listFiles sees (typed literals, folded casts, split conjuncts)
+    // listFiles sees (typed literals, folded casts, split conjuncts);
+    // keep only conditions over the relation's OWN columns — a
+    // deletion-vector anti join contributes filters on its internal
+    // key columns, which the evaluator must not mistake for data
+    val names = idx.dataSchema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val conds = df.where(predicate).queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
-    }
+    }.filter(_.references.forall(a =>
+      names.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
     (idx.lastSegmentsTotal, idx.pruneCount(conds))
   }
 }
