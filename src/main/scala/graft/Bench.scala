@@ -1021,6 +1021,51 @@ object Bench {
     }
     tracer.drain()
 
+    // DML DELETE SHAPE COMPARISON (round 11): a scattered takedown —
+    // 16 single rows, one per segment of a 16-segment 6M-row table —
+    // through copy-on-write (every affected segment REWRITES: the
+    // whole table here, since every segment is hit) vs deletion
+    // vectors (every segment carries byte-identical; the write is 16
+    // position lists). Each rep deletes a FRESH id set, so every rep
+    // does real work; version history accumulates (the lakehouse
+    // behavior being measured).
+    val (dmlCow, dmlDv) = {
+      import org.apache.spark.sql.{functions => F}
+      val li = spark.read.parquet(x10Path)
+      val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
+        .collect().head
+      val (mnK, mxK) = (b.getLong(0), b.getLong(1))
+      val nSeg = 16
+      val width = (mxK - mnK) / nSeg + 1
+      def stage(tag: String): String = {
+        val p = newTempDir(s"graft_bench_dml_$tag") + "/ds"
+        (0 until nSeg).foreach { i =>
+          graft.sources.Versioned.commit(
+            li.filter(F.col("l_orderkey") >= mnK + i * width &&
+              F.col("l_orderkey") < mnK + (i + 1) * width), p): Unit
+        }
+        p
+      }
+      val cowPath = stage("cow")
+      val dvPath = stage("dv")
+      var rep = 0
+      def ids(): Seq[Long] = {
+        rep += 1 // l_linenumber spreads ids across rows; the exact hit
+        (0 until nSeg).map(i => mnK + i * width + rep)
+      }
+      def pred = F.col("l_orderkey").isInCollection(ids())
+      val cow = probe(spark, "q06_delete_cow_16segs", reps = 3) {
+        graft.sources.Versioned.deleteWhere(spark, cowPath, pred)
+        spark.range(0).toDF() // probe returns a frame; the work is the delete
+      }
+      val dv = probe(spark, "q06_delete_dv_16segs", reps = 3) {
+        graft.sources.Versioned.deleteWhereVectored(spark, dvPath, pred)
+        spark.range(0).toDF()
+      }
+      (cow, dv)
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -1085,6 +1130,8 @@ object Bench {
         :+ ("q06_versioned_600krows" -> versionedQ1)
         :+ ("q06_skipping_16segs" -> skipSeg)
         :+ ("q06_skipping_noskip" -> skipRaw)
+        :+ ("q06_delete_cow_16segs" -> dmlCow)
+        :+ ("q06_delete_dv_16segs" -> dmlDv)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
@@ -1168,6 +1215,8 @@ object Bench {
       "q06_versioned_600krows" -> versionedQ1,
       "q06_skipping_16segs" -> skipSeg,
       "q06_skipping_noskip" -> skipRaw,
+      "q06_delete_cow_16segs" -> dmlCow,
+      "q06_delete_dv_16segs" -> dmlDv,
       "q06_rawlayout_600krows" -> rawQ1)
     val regressionsJson = allCurrent.flatMap { case (name, cur) =>
       prevBench._2.get(name).collect {
@@ -1207,7 +1256,13 @@ object Bench {
       "(same files raw: every footer opened, row-group pruning only); " +
       "both medians carry the q00_floor constant, and at 100 TB the " +
       "skipped segments are skipped listing/footer/scheduling cost " +
-      "proportional to manifest size. q279_bpe_train32k_wordcount / " +
+      "proportional to manifest size. q06_delete_cow_16segs vs " +
+      "q06_delete_dv_16segs: a 16-row scattered takedown (one row per " +
+      "segment of the same 6M-row 16-segment table, fresh ids per " +
+      "rep) -- copy-on-write rewrites every affected segment (here the " +
+      "whole table), deletion vectors write 16 position lists and " +
+      "carry every segment byte-identical; the ratio is the " +
+      "merge-on-read story and scales with segment size. q279_bpe_train32k_wordcount / " +
       "_mergeloop / q279_bpe_encode32k: the production-vocabulary " +
       "tokenizer at 32768 merges over the x10 corpus widened with one " +
       "md5-hex word per row (~50k distinct words — the fixture text's " +

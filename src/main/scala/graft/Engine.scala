@@ -183,15 +183,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s*$""".r
 
-  /** `UPDATE '<versioned-ds>' SET col = expr [, ...] WHERE <pred>`
-    * (extension): copy-on-write update completing the DML triad
-    * (INSERT / UPDATE / DELETE) — commits a NEW version where rows
-    * matching the predicate (TRUE only; NULL keeps the row unchanged,
-    * the DELETE rule's mirror) carry the assigned values and everything
-    * else is untouched. Assigned expressions are cast to the column's
-    * existing type so the dataset's schema NEVER drifts across versions
-    * (time-travel consumers rely on it). Prior snapshots stay readable.
-    * Returns one row (version, n_updated).
+  /** `UPDATE [VECTORED] '<versioned-ds>' SET col = expr [, ...] WHERE
+    * <pred>` (extension): copy-on-write update completing the DML
+    * triad (INSERT / UPDATE / DELETE) — commits a NEW version where
+    * rows matching the predicate (TRUE only; NULL keeps the row
+    * unchanged, the DELETE rule's mirror) carry the assigned values
+    * and everything else is untouched. With VECTORED, merge-on-read
+    * instead ([[graft.sources.Versioned.updateWhereVectored]]): the
+    * matched positions land in deletion vectors and ONE fresh segment
+    * appends their updated copies — write cost ∝ matched rows, the
+    * scattered-update shape. Assigned expressions are cast to the
+    * column's existing type so the dataset's schema NEVER drifts
+    * across versions (time-travel consumers rely on it). Prior
+    * snapshots stay readable. Returns one row (version, n_updated).
     *
     * Known statement-split limitation (shared with [[DeleteRe]]): the
     * SET/WHERE boundary is the FIRST ` WHERE ` occurrence, so a SET
@@ -199,7 +203,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * with a parse error (loud, never silent); a tokenizer-level
     * statement grammar is the eventual fix. */
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
+    """(?is)^\s*UPDATE\s+(VECTORED\s+)?'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
 
   /** `INSERT INTO '<target>' SELECT ...` / `... VALUES (...), (...)`
     * (extension) — the incremental-publish write path through the
@@ -728,7 +732,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("table_name", StringType, nullable = false),
           StructField("format", StringType, nullable = false)))))
-    case UpdateRe(target, setText, cond) =>
+    case UpdateRe(vectored, target, setText, cond) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
@@ -769,6 +773,25 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // it in coalesce(.., false) forced the detection pass into a
       // full-table scan
       val pred = where.compile(head.schema)
+      if (vectored != null) {
+        // MERGE-ON-READ update: vector the matched positions, append
+        // one fresh segment of updated copies — write cost ∝ matched
+        // rows, every existing segment carries byte-identical
+        val sets = assigns.map { case (n, rhs) =>
+          n -> rhs.compile(head.schema)
+        }
+        val (v, nUpd) =
+          try graft.sources.Versioned.updateWhereVectored(
+            spark, resolved, pred, sets)
+          catch { case e: IllegalArgumentException =>
+            throw new SemanticError(e.getMessage) }
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        return GraftFrame.fromDF(spark.createDataFrame(
+          java.util.List.of(Row(v, nUpd)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("n_updated", LongType, nullable = false)))))
+      }
       // SEGMENT-PRUNED copy-on-write: one detection pass (predicate
       // pushed into the scan) finds which segments hold matched rows
       // and how many — the per-segment collect is bounded by the

@@ -2227,6 +2227,31 @@ object SparkEntry {
         .withColumn("n_dv_head", F.lit(nDv.toLong))
     }),
 
+    // vectored UPDATE: q283's exact update through merge-on-read —
+    // same content oracle, but n_carried = 3 of 3 (every original
+    // segment byte-identical; the updated copies ride one appended
+    // segment) where the COW gate pins 2 of 3
+    "q305_dv_update" -> ((s, dir) => {
+      val path = stagingDir("graft_dv_upd") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      val st = eng.sql(s"UPDATE VECTORED '$path' SET lang = 'upd', " +
+        "n_chars = n_chars + 10 WHERE doc_id % 3 = 1 AND doc_id % 5 = 0")
+        .df.collect().head
+      val carried =
+        before.intersect(Versioned.headSegments(s, path).toSet).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+        .withColumn("n_updated", F.lit(st.getLong(1)))
+    }),
+
     // row-level CDC for vectored deletes: deletedRows(from) returns
     // the retraction rows the segment-level CDC pair cannot see (a
     // vectored delete adds/removes no segments); both the full range
@@ -6211,6 +6236,20 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM documents
         |   WHERE doc_id % 10 NOT IN (3, 4)) AS n_v4,
         |  CAST(0 AS BIGINT) AS n_dv_head""".stripMargin,
+
+    "q305_dv_update" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+        |         THEN 'upd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+        |         THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(3 AS BIGINT) AS n_carried,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 3 = 1 AND doc_id % 5 = 0) AS n_updated
+        |FROM m GROUP BY lang""".stripMargin,
 
     "q304_dv_cdc" ->
       """SELECT

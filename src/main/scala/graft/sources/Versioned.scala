@@ -96,16 +96,17 @@ object Versioned {
   private[graft] def commitPruned(spark: SparkSession, path: String,
       carried: Seq[String], fresh: Option[String],
       schema: org.apache.spark.sql.types.StructType,
-      dvs: Map[String, String] = Map.empty): Long = {
+      dvs: Map[String, String] = Map.empty,
+      cdc: CdcSpec = CdcNone): Long = {
     val segs = carried ++ fresh
     // only CARRIED segments may keep deletion vectors — a rewritten
     // segment materialized its vector by construction
     val keptDvs = dvs.filter { case (s, _) => carried.contains(s) }
-    if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs)
+    if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs, cdc)
     else commitSegments(spark, path, Seq(writeSegment(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      path)))
+      path)), cdc = cdc)
   }
 
   /** Commit an EXPLICIT segment list as the next version — the
@@ -208,6 +209,43 @@ object Versioned {
     * column would make the detection join ambiguous. Guarded loudly at
     * statement entry (MERGE additionally reserves `__srid`). */
   private[graft] val ReservedProvenanceCols = Seq("__file", "__pos", "__seg")
+
+  /** Column names the row-level CHANGE DATA FEED appends to change rows
+    * — a DML target must not use them, or the feed could not represent
+    * its own rows. Guarded loudly where change rows are built. */
+  private[graft] val CdcReservedCols = Seq("_change_type", "_commit_version")
+
+  /** What a commit contributes to the row-level change data feed.
+    *   - [[CdcNone]]: nothing recorded — pure appends synthesize their
+    *     `insert` rows LAZILY at read time from the added segments
+    *     (zero write cost on the ingest hot path), and carry-all
+    *     commits (a no-match DML) have nothing to record;
+    *   - [[CdcNeutral]]: an explicit "no logical change" marker for
+    *     data REORGANIZATIONS (compact, OPTIMIZE, vector purge) —
+    *     they add AND remove segments, which without the marker is
+    *     indistinguishable from a legacy DML whose change rows were
+    *     never recorded;
+    *   - [[CdcRows]]: the DML's change rows (table columns plus
+    *     `_change_type` ∈ insert / update_preimage / update_postimage
+    *     / delete), written to `_cdc/v-N` BEFORE the manifest rename —
+    *     cost proportional to the MATCHED rows, never the table. */
+  private[graft] sealed trait CdcSpec
+  private[graft] case object CdcNone extends CdcSpec
+  private[graft] case object CdcNeutral extends CdcSpec
+  private[graft] final case class CdcRows(df: DataFrame) extends CdcSpec
+
+  /** Tag `df`'s rows with a `_change_type`, guarding the reserved
+    * names. Provenance columns, if present, are dropped — change rows
+    * carry user-visible columns only. */
+  private[graft] def cdcTag(df: DataFrame, changeType: String): DataFrame = {
+    CdcReservedCols.foreach { c =>
+      require(!df.columns.contains(c),
+        s"change data feed: dataset uses reserved column name '$c'")
+    }
+    df.drop(ReservedProvenanceCols: _*)
+      .withColumn("_change_type", org.apache.spark.sql.functions
+        .lit(changeType))
+  }
 
   /** EXACT row count of a committed snapshot from parquet FOOTER
     * metadata alone — no data pages decoded, no scan job. The files are
@@ -459,16 +497,26 @@ object Versioned {
             f.condition.sql)
       case _ => ()
     }
-    // per-segment vector build in tasks: hash-cluster matches by
-    // segment, each task unions its segments' positions with any prior
-    // vector and publishes a fresh one; only (segment → file name)
-    // pairs return to the driver
-    val rows = detection
+    val newEntries = buildVectors(spark, path, detection, dvOld)
+    if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld)
+    else commitSegments(spark, path, segsAll, dvOld ++ newEntries)
+  }
+
+  /** Per-segment vector build in tasks from a provenance-tagged frame
+    * of matched rows: hash-cluster by segment, each task unions its
+    * segments' positions with any prior vector and publishes a fresh
+    * one; only (segment → vector name) pairs return to the driver.
+    * Shared by the vectored DELETE and UPDATE. */
+  private def buildVectors(spark: SparkSession, path: String,
+      matched: DataFrame,
+      dvOld: Map[String, String]): Map[String, String] = {
+    import org.apache.spark.sql.{functions => F}
+    val rows = matched
       .select(F.col("__seg"),
         F.element_at(F.split(F.col("__file"), "/"), -1).as("__fname"),
         F.col("__pos"))
       .repartition(F.col("__seg"))
-    val newEntries: Map[String, String] = rows.rdd.mapPartitions { it =>
+    rows.rdd.mapPartitions { it =>
       val bySeg = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.HashMap[
           String, scala.collection.mutable.ArrayBuffer[Long]]]
@@ -491,8 +539,62 @@ object Versioned {
         seg -> DeletionVectors.write(conf, path, seg, merged)
       }
     }.collect().toMap
-    if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld)
-    else commitSegments(spark, path, segsAll, dvOld ++ newEntries)
+  }
+
+  /** MERGE-ON-READ UPDATE: vector away the matched rows' positions and
+    * APPEND one fresh segment holding their updated copies — the
+    * positional-delete-plus-append shape. Write cost is proportional
+    * to the MATCHED ROWS (position lists + their rewritten copies),
+    * never to the segments that hold them: the scattered-update dual
+    * of [[deleteWhereVectored]]. `sets` maps column name → replacement
+    * expression (already cast to the committed type by the caller).
+    * Returns (new version, rows updated). */
+  def updateWhereVectored(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long) = {
+    import org.apache.spark.sql.{functions => F}
+    val hv = headVersion(spark, path)
+    val segsAll = headSegments(spark, path, Some(hv))
+    val headSchema = read(spark, path, Some(hv)).schema
+    ReservedProvenanceCols.foreach { c =>
+      require(!headSchema.fieldNames.contains(c),
+        s"updateWhereVectored: dataset at $path has reserved column " +
+          s"name '$c' — the vector build keys on it for row provenance")
+    }
+    sets.foreach { case (n, _) =>
+      require(headSchema.fieldNames.contains(n),
+        s"updateWhereVectored: unknown column '$n'")
+    }
+    val dvOld = readDvMap(spark, path, hv)
+    val matched = readWithProvenance(spark, path, Some(hv))
+      .filter(predicate)
+    matched.queryExecution.analyzed.foreach {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          "updateWhereVectored predicates must be deterministic (the " +
+            "matched set is evaluated for the vector build and again " +
+            s"for the replacement rows): ${f.condition.sql}")
+      case _ => ()
+    }
+    val newEntries = buildVectors(spark, path, matched, dvOld)
+    if (newEntries.isEmpty)
+      return (commitSegments(spark, path, segsAll, dvOld), 0L)
+    // the replacement rows: every matched row with assignments applied
+    val replacements = matched.select(headSchema.fields.map { f =>
+      sets.find(_._1 == f.name) match {
+        case Some((_, rhs)) => rhs.cast(f.dataType).as(f.name)
+        case None => F.col(f.name)
+      }
+    }.toSeq: _*)
+    val fresh = writeSegmentIfNonEmpty(replacements, path)
+    val v = commitSegments(spark, path, segsAll ++ fresh.toSeq,
+      dvOld ++ newEntries)
+    // updated count from vector headers: new total minus old total —
+    // metadata, not a scan
+    val conf = spark.sparkContext.hadoopConfiguration
+    def total(m: Map[String, String]) =
+      m.valuesIterator.map(DeletionVectors.count(conf, path, _)).sum
+    (v, total(dvOld ++ newEntries) - total(dvOld))
   }
 
   /** Number of segments composing a version (head when absent) — the

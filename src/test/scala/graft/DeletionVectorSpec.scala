@@ -148,6 +148,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(df.where(F.col("id") % 100 === 8).count() == 0L)
   }
 
+  test("vectored UPDATE: positions vectored, replacements appended") {
+    val path = ds("upd")
+    val before = dataFingerprint(path)
+    val eng = Engine(spark, Files.createTempDirectory("graft-dv-b").toString)
+    val st = eng.sql(s"UPDATE VECTORED '$path' SET payload = 'X' " +
+      "WHERE id % 100 = 7").df.collect().head
+    assert(st.getLong(1) == 3L) // n_updated
+    // every pre-existing byte identical; one appended segment
+    val after = dataFingerprint(path)
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(Versioned.headSegments(spark, path).size == 4)
+    val df = Versioned.read(spark, path)
+    assert(df.count() == 300L)
+    assert(df.where(F.col("payload") === "X").count() == 3L)
+    assert(df.where(F.col("id") === 7L).select("payload")
+      .collect().head.getString(0) == "X")
+    // a second vectored update reaches the REPLACEMENT rows (they are
+    // ordinary provenance-tagged rows in the appended segment)
+    eng.sql(s"UPDATE VECTORED '$path' SET payload = 'Y' " +
+      "WHERE payload = 'X'")
+    val df2 = Versioned.read(spark, path)
+    assert(df2.count() == 300L)
+    assert(df2.where(F.col("payload") === "Y").count() == 3L)
+    assert(df2.where(F.col("payload") === "X").count() == 0L)
+    // no-match: carry-all commit, nothing updated
+    val st2 = eng.sql(s"UPDATE VECTORED '$path' SET payload = 'Z' " +
+      "WHERE id = -1").df.collect().head
+    assert(st2.getLong(1) == 0L)
+    assert(Versioned.read(spark, path).count() == 300L)
+  }
+
   test("skipping stays conservative over vectored segments") {
     val path = ds("skip")
     // vector away segment 1 entirely: bounds become stale supersets —
