@@ -122,7 +122,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * just a sort's leading one. No one-segment short-circuit: the
     * rewrite is the point. */
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?(?:\s+SEGMENTS\s+(\d+))?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\))?(?:\s+SEGMENTS\s+(\d+))?(?:\s+(PURGE)(?:\s+THRESHOLD\s+([0-9]*\.?[0-9]+))?)?\s*$""".r
 
   /** `DESCRIBE '<table>'` / `DESCRIBE <name>` (extension): one row per
     * column — (column_name, column_type, nullable) — through the same
@@ -409,7 +409,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("versions_kept", LongType, nullable = false),
           StructField("head_version", LongType, nullable = false)))))
-    case OptimizeRe(target, zorderCols, segmentsOpt) =>
+    case OptimizeRe(target, zorderCols, segmentsOpt, purgeKw, purgeThr) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
@@ -418,6 +418,26 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       if (segmentsOpt != null && zorderCols == null)
         throw new SemanticError("SEGMENTS n only applies to OPTIMIZE " +
           "... ZORDER BY (plain OPTIMIZE sizes segments by bytes)")
+      if (purgeKw != null) {
+        // `OPTIMIZE '<ds>' PURGE [THRESHOLD f]`: materialize deletion
+        // vectors — segments ≥ f deleted (default: every vectored
+        // segment) rewrite in place, the rest carry byte-identical
+        if (zorderCols != null) throw new SemanticError(
+          "OPTIMIZE PURGE does not combine with ZORDER BY (a ZORDER " +
+            "republish already materializes every deletion vector)")
+        val thr = if (purgeThr == null) 0.0 else purgeThr.toDouble
+        val (v, n) =
+          try graft.sources.Versioned.purgeVectors(spark, resolved, thr)
+          catch { case e: IllegalArgumentException =>
+            throw new SemanticError(e.getMessage) }
+        import org.apache.spark.sql.types.{LongType, StructField,
+          StructType}
+        return GraftFrame.fromDF(spark.createDataFrame(
+          java.util.List.of(Row(v, n.toLong)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("segments_purged", LongType, nullable = false)))))
+      }
       val before = graft.sources.Versioned.segmentCount(spark, resolved)
       // already-compact short-circuit: a one-segment head would still
       // be rewritten IN FULL by compact() — a whole-dataset write for
@@ -492,11 +512,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // once) in epoch ms — the instant FOR TIMESTAMP AS OF resolves by
       val hfs = new org.apache.hadoop.fs.Path(resolved)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // operation = the commit's #op header line; versions committed
+      // before operations were recorded surface "" (never a guess)
       val rows = vs.map(v => Row(v,
         graft.sources.Versioned.segmentCount(spark, resolved, Some(v)),
         v == vs.last,
         hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-          s"$resolved/manifest", f"v-$v%09d.txt")).getModificationTime))
+          s"$resolved/manifest", f"v-$v%09d.txt")).getModificationTime,
+        graft.sources.Versioned.manifestMeta(spark, resolved, v)
+          .collectFirst { case l if l.startsWith("#op ") =>
+            l.stripPrefix("#op ") }.getOrElse("")))
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -504,7 +529,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("version", LongType, nullable = false),
           StructField("n_segments", IntegerType, nullable = false),
           StructField("is_head", BooleanType, nullable = false),
-          StructField("commit_ts", LongType, nullable = false)))))
+          StructField("commit_ts", LongType, nullable = false),
+          StructField("operation", org.apache.spark.sql.types.StringType,
+            nullable = false)))))
     case DescribeRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val df = table(ref).df
@@ -756,7 +783,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // same reserved-name guard as MERGE: the rewrite appends
       // provenance columns to the scan, so a colliding user column
       // would fail deep inside with an ambiguous-reference error
-      graft.sources.Versioned.ReservedProvenanceCols.foreach { c =>
+      (graft.sources.Versioned.ReservedProvenanceCols ++
+          graft.sources.Versioned.CdcReservedCols).foreach { c =>
         if (head.columns.contains(c))
           throw new SemanticError(s"UPDATE: reserved column name '$c'")
       }
@@ -800,36 +828,62 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // on a 100 TB corpus costs the matched segments, not the table.
       val segsAll =
         graft.sources.Versioned.headSegments(spark, resolved, Some(hv))
-      val perSeg = graft.sources.Versioned
-        .readWithProvenance(spark, resolved, Some(hv))
-        .filter(pred).groupBy("__seg").agg(F.count(F.lit(1)).as("c"))
-        .collect()
-      val nUpdated = perSeg.map(_.getLong(1)).sum
-      val affected = perSeg.map(_.getString(0)).toSet
-      val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
-      val v =
-        if (affected.isEmpty)
-          graft.sources.Versioned.commitSegments(spark, resolved, segsAll,
-            dvMap)
-        else {
-          val updated = graft.sources.Versioned
-            .readSegmentsAligned(spark, resolved,
-              segsAll.filter(affected), head.schema, dvMap)
-            .select(head.schema.fields.map { f =>
+      // ONE detection scan, staged: per-segment counts, the status
+      // row, and the change-feed pre/postimages all read the
+      // matched-row-sized staging file, never the table again
+      val (stagingDir, staged) = graft.sources.Versioned.stageMatched(
+        graft.sources.Versioned
+          .readWithProvenance(spark, resolved, Some(hv)).filter(pred),
+        resolved)
+      val (v, nUpdated) = try {
+        val perSeg = staged
+          .groupBy("__seg").agg(F.count(F.lit(1)).as("c"))
+          .collect()
+        val nUpd = perSeg.map(_.getLong(1)).sum
+        val affected = perSeg.map(_.getString(0)).toSet
+        val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
+        val v0 =
+          if (affected.isEmpty)
+            graft.sources.Versioned.commitSegments(spark, resolved, segsAll,
+              dvMap, expectedBase = Some(hv), op = "update")
+          else {
+            val updated = graft.sources.Versioned
+              .readSegmentsAligned(spark, resolved,
+                segsAll.filter(affected), head.schema, dvMap)
+              .select(head.schema.fields.map { f =>
+                assigns.find(_._1 == f.name) match {
+                  case Some((_, rhs)) =>
+                    // cast to the column's committed type: schema
+                    // stability across versions is the dataset's contract
+                    F.when(pred, rhs.compile(head.schema).cast(f.dataType))
+                      .otherwise(F.col(f.name)).as(f.name)
+                  case None => F.col(f.name)
+                }
+              }.toSeq: _*)
+            val fresh = graft.sources.Versioned
+              .writeSegmentIfNonEmpty(updated, resolved)
+            val post = staged.select(head.schema.fields.map { f =>
               assigns.find(_._1 == f.name) match {
                 case Some((_, rhs)) =>
-                  // cast to the column's committed type: schema
-                  // stability across versions is the dataset's contract
-                  F.when(pred, rhs.compile(head.schema).cast(f.dataType))
-                    .otherwise(F.col(f.name)).as(f.name)
+                  rhs.compile(head.schema).cast(f.dataType).as(f.name)
                 case None => F.col(f.name)
               }
             }.toSeq: _*)
-          val fresh = graft.sources.Versioned
-            .writeSegmentIfNonEmpty(updated, resolved)
-          graft.sources.Versioned.commitPruned(spark, resolved,
-            segsAll.filterNot(affected), fresh, head.schema, dvMap)
-        }
+            val cdc = graft.sources.Versioned
+              .cdcTag(staged, "update_preimage")
+              .unionByName(graft.sources.Versioned
+                .cdcTag(post, "update_postimage"))
+            graft.sources.Versioned.commitPruned(spark, resolved,
+              segsAll.filterNot(affected), fresh, head.schema, dvMap,
+              cdc = graft.sources.Versioned.CdcRows(cdc),
+              expectedBase = Some(hv), op = "update")
+          }
+        (v0, nUpd)
+      } finally {
+        new org.apache.hadoop.fs.Path(stagingDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(stagingDir), true): Unit
+      }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
         java.util.List.of(Row(v, nUpdated)),
@@ -943,7 +997,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // describe the same snapshot
       val hv = graft.sources.Versioned.headVersion(spark, resolved)
       val head = graft.sources.Versioned.read(spark, resolved, Some(hv))
-      (graft.sources.Versioned.ReservedProvenanceCols :+ "__srid").foreach { c =>
+      (graft.sources.Versioned.ReservedProvenanceCols ++
+          graft.sources.Versioned.CdcReservedCols :+ "__srid").foreach { c =>
         if (head.columns.contains(c) || srcFrame.df.columns.contains(c))
           throw new SemanticError(s"MERGE: reserved column name '$c'")
       }
@@ -1054,35 +1109,43 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             .map(_.getString(0)).toSet
         else Set.empty
       val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
-      val survivors: Option[org.apache.spark.sql.DataFrame] =
+      // affected segments re-read once, flagged with each row's winning
+      // clause — survivors AND the change-feed rows derive from it
+      val flaggedAll: Option[org.apache.spark.sql.DataFrame] =
         if (affected.isEmpty) None
-        else {
-          var flagged = graft.sources.Versioned
-            .readSegmentsAligned(spark, resolved,
-              segsAll.filter(affected), head.schema, dvMap)
-            .join(pairs.drop("__srid", "__seg"),
-              Seq("__file", "__pos"), "left")
+        else Some(graft.sources.Versioned
+          .readSegmentsAligned(spark, resolved,
+            segsAll.filter(affected), head.schema, dvMap)
+          .join(pairs.drop("__srid", "__seg"),
+            Seq("__file", "__pos"), "left"))
+      // per-clause CASE projection on the winning index — applied to
+      // survivors and to the feed's update postimages alike
+      def projectUpdated(df: org.apache.spark.sql.DataFrame) =
+        df.select(head.schema.fields.map { f =>
+          val updsOnField = matchedClauses.zipWithIndex.collect {
+            case (MergeUpd(_, as), i) if as.exists(_._1 == f.name) =>
+              (i, as.indexWhere(_._1 == f.name))
+          }
+          if (updsOnField.isEmpty) F.col(f.name)
+          else updsOnField.foldRight(
+            F.col(f.name): org.apache.spark.sql.Column) {
+            case ((ci, aj), acc) =>
+              // cast to the committed type: schema stability across
+              // versions is the dataset's contract (the UPDATE rule)
+              F.when(F.col("__win") === ci,
+                  F.col(s"__set_${ci}_$aj").cast(f.dataType))
+                .otherwise(acc)
+          }.as(f.name)
+        }.toSeq: _*)
+      val survivors: Option[org.apache.spark.sql.DataFrame] =
+        flaggedAll.map { f0 =>
           // rows won by a DELETE clause drop; everything else projects
           // with per-clause CASE on the winning index
-          if (delIdxs.nonEmpty)
-            flagged = flagged.filter(F.col("__win").isNull ||
+          val kept =
+            if (delIdxs.isEmpty) f0
+            else f0.filter(F.col("__win").isNull ||
               !F.col("__win").isInCollection(delIdxs))
-          Some(flagged.select(head.schema.fields.map { f =>
-            val updsOnField = matchedClauses.zipWithIndex.collect {
-              case (MergeUpd(_, as), i) if as.exists(_._1 == f.name) =>
-                (i, as.indexWhere(_._1 == f.name))
-            }
-            if (updsOnField.isEmpty) F.col(f.name)
-            else updsOnField.foldRight(
-              F.col(f.name): org.apache.spark.sql.Column) {
-              case ((ci, aj), acc) =>
-                // cast to the committed type: schema stability across
-                // versions is the dataset's contract (the UPDATE rule)
-                F.when(F.col("__win") === ci,
-                    F.col(s"__set_${ci}_$aj").cast(f.dataType))
-                  .otherwise(acc)
-            }.as(f.name)
-          }.toSeq: _*))
+          projectUpdated(kept)
         }
       // WHEN NOT MATCHED [AND cond]: the condition compiles against the
       // SOURCE alias only (there is no target row to reference —
@@ -1146,8 +1209,33 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val fresh = (survivors.toSeq ++ inserts.toSeq)
         .reduceOption(_ unionAll _)
         .flatMap(graft.sources.Versioned.writeSegmentIfNonEmpty(_, resolved))
+      // change-feed rows, per fired clause kind. An insert-only MERGE
+      // records nothing: its fresh segment holds ONLY inserts, which
+      // the feed synthesizes lazily from the segment delta (CdcNone).
+      val cdcSpec: graft.sources.Versioned.CdcSpec = flaggedAll match {
+        case None => graft.sources.Versioned.CdcNone
+        case Some(f0) =>
+          val plain = (df: org.apache.spark.sql.DataFrame) =>
+            df.select(head.schema.fieldNames.map(F.col).toSeq: _*)
+          val updRows =
+            if (updIdxs.isEmpty) None
+            else Some(f0.filter(F.col("__win").isInCollection(updIdxs)))
+          val parts =
+            updRows.map(r => graft.sources.Versioned
+              .cdcTag(plain(r), "update_preimage")).toSeq ++
+            updRows.map(r => graft.sources.Versioned
+              .cdcTag(projectUpdated(r), "update_postimage")) ++
+            (if (delIdxs.isEmpty) Seq.empty
+             else Seq(graft.sources.Versioned.cdcTag(
+               plain(f0.filter(F.col("__win").isInCollection(delIdxs))),
+               "delete"))) ++
+            inserts.map(i => graft.sources.Versioned.cdcTag(i, "insert"))
+          graft.sources.Versioned.CdcRows(
+            parts.reduce(_.unionByName(_)))
+      }
       val v = graft.sources.Versioned.commitPruned(spark, resolved,
-        segsAll.filterNot(affected), fresh, head.schema, dvMap)
+        segsAll.filterNot(affected), fresh, head.schema, dvMap,
+        cdc = cdcSpec, expectedBase = Some(hv), op = "merge")
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
         java.util.List.of(Row(v, nUpdated, nDeleted, nInserted)),
@@ -1768,10 +1856,13 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           val (kind, from, to) = t.cdc.get
           val resolved = Tables.resolve(t.path, baseDir)
           val df =
-            try {
-              if (kind == "changes")
+            try kind match {
+              case "changes" =>
                 graft.sources.Versioned.changes(spark, resolved, from, to)
-              else graft.sources.Versioned.removals(spark, resolved, from, to)
+              case "removals" =>
+                graft.sources.Versioned.removals(spark, resolved, from, to)
+              case _ =>
+                graft.sources.Versioned.changeFeed(spark, resolved, from, to)
             } catch { case e: IllegalArgumentException =>
               throw new SemanticError(e.getMessage) }
           GraftFrame.fromDF(df)

@@ -2252,6 +2252,134 @@ object SparkEntry {
         .withColumn("n_updated", F.lit(st.getLong(1)))
     }),
 
+    // row-level CHANGE DATA FEED, COW lifecycle: appends synthesize
+    // insert rows lazily from the segment delta (versions 1-2), a COW
+    // UPDATE records preimage/postimage pairs (version 3), a COW
+    // DELETE records delete rows (version 4) — the oracle replays the
+    // whole feed with literal change types and commit versions
+    "q306_change_feed" -> ((s, dir) => {
+      val path = stagingDir("graft_cdf") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"UPDATE '$path' SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 10 = 1")
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id % 10 = 2")
+      eng.sql(
+        s"""SELECT _change_type, _commit_version, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' FOR CHANGE_FEED FROM 0
+           |GROUP BY _change_type, _commit_version""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
+    // the feed through MERGE-ON-READ DML: identical logical change
+    // rows, but every base segment carries byte-identical (n_carried
+    // pinned in the hash — a regression to rewrites breaks the gate)
+    "q307_change_feed_dv" -> ((s, dir) => {
+      val path = stagingDir("graft_cdf_dv") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val before = Versioned.headSegments(s, path).toSet
+      val eng = Engine(s, dir)
+      eng.sql(s"UPDATE VECTORED '$path' SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 10 = 1")
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 2")
+      val after = Versioned.headSegments(s, path)
+      val carried = before.intersect(after.toSet).size
+      eng.sql(
+        s"""SELECT _change_type, COUNT() AS n,
+           |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' FOR CHANGE_FEED FROM 2
+           |GROUP BY _change_type""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_carried", F.lit(carried.toLong))
+        .withColumn("n_segs_head", F.lit(after.size.toLong))
+    }),
+
+    // operation audit trail: every commit records its operation name
+    // as a manifest header line; DESCRIBE HISTORY surfaces the full
+    // lifecycle — append → update → vectored delete → purge → zorder —
+    // with per-version segment counts, all from manifests alone
+    "q310_history_ops" -> ((s, dir) => {
+      val path = stagingDir("graft_hist_ops") + "/ds"
+      val eng = Engine(s, dir)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Versioned.commit(docs.filter(F.col("doc_id") % 3 === 0), path)
+      Versioned.commit(docs.filter(F.col("doc_id") % 3 === 1), path)
+      eng.sql(s"UPDATE '$path' SET n_chars = n_chars + 1 " +
+        "WHERE doc_id % 10 = 1")
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 2")
+      eng.sql(s"OPTIMIZE '$path' PURGE")
+      eng.sql(s"OPTIMIZE '$path' ZORDER BY (doc_id, n_chars)")
+      eng.sql(s"DESCRIBE HISTORY '$path'").df
+        .select("version", "n_segments", "is_head", "operation")
+    }),
+
+    // OPTIMIZE PURGE: metadata-driven vector materialization — only
+    // the segment whose deleted fraction clears the threshold
+    // rewrites (in place), the others carry byte-identical; the purged
+    // head serves the same rows with ZERO vectors left. Purge count,
+    // carry count and remaining-vector count all pinned in the hash.
+    "q309_dv_purge" -> ((s, dir) => {
+      val path = stagingDir("graft_purge") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE VECTORED FROM '$path' " +
+        "WHERE doc_id % 3 = 1 AND doc_id % 2 = 0")
+      val before = Versioned.headSegments(s, path).toSet
+      val st = eng.sql(s"OPTIMIZE '$path' PURGE THRESHOLD 0.3").df
+        .collect().head
+      val after = Versioned.headSegments(s, path)
+      val carried = before.intersect(after.toSet).size
+      val nDv = Versioned.readDvMap(s, path,
+        Versioned.headVersion(s, path)).size
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("segments_purged", F.lit(st.getLong(1)))
+        .withColumn("n_carried", F.lit(carried.toLong))
+        .withColumn("n_dv_after", F.lit(nDv.toLong))
+    }),
+
+    // idempotent commits / exactly-once sink: replayed (app, batchId)
+    // commits are no-ops, so the three-batch ingest with RETRIES of
+    // every batch lands each document exactly once — the oracle is the
+    // plain whole-table aggregate, with the version count and both
+    // apps' watermarks pinned in the hash (a regression that re-applies
+    // a replay inflates n and n_versions together)
+    "q308_txn_exactly_once" -> ((s, dir) => {
+      val path = stagingDir("graft_txn") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      def b(r: Int) = base.filter(F.col("doc_id") % 3 === r)
+      Versioned.commit(b(0), path, txn = Some(("ingest", 0L)))
+      Versioned.commit(b(0), path, txn = Some(("ingest", 0L))) // retry
+      Versioned.commit(b(1), path, txn = Some(("ingest", 1L)))
+      Versioned.commit(b(1), path, txn = Some(("ingest", 1L))) // retry
+      Versioned.commit(b(0), path, txn = Some(("ingest", 0L))) // late replay
+      Versioned.commit(b(2), path, txn = Some(("backfill", 0L)))
+      val eng = Engine(s, dir)
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_versions",
+          F.lit(Versioned.versions(s, path).size.toLong))
+        .withColumn("last_ingest",
+          F.lit(Versioned.lastTxn(s, path, "ingest").get))
+        .withColumn("last_backfill",
+          F.lit(Versioned.lastTxn(s, path, "backfill").get))
+    }),
+
     // row-level CDC for vectored deletes: deletedRows(from) returns
     // the retraction rows the segment-level CDC pair cannot see (a
     // vectored delete adds/removes no segments); both the full range
@@ -6250,6 +6378,71 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM documents
         |   WHERE doc_id % 3 = 1 AND doc_id % 5 = 0) AS n_updated
         |FROM m GROUP BY lang""".stripMargin,
+
+    "q306_change_feed" ->
+      """WITH t AS (SELECT doc_id, n_chars FROM documents
+        |    WHERE doc_id % 3 IN (0, 1)),
+        |  feed AS (
+        |    SELECT doc_id, n_chars, 'insert' AS ct, 1 AS v
+        |    FROM t WHERE doc_id % 3 = 0
+        |    UNION ALL SELECT doc_id, n_chars, 'insert', 2
+        |    FROM t WHERE doc_id % 3 = 1
+        |    UNION ALL SELECT doc_id, n_chars, 'update_preimage', 3
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars + 7, 'update_postimage', 3
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars, 'delete', 4
+        |    FROM t WHERE doc_id % 10 = 2)
+        |SELECT ct AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM feed GROUP BY 1, 2""".stripMargin,
+
+    "q307_change_feed_dv" ->
+      """WITH t AS (SELECT doc_id, n_chars FROM documents
+        |    WHERE doc_id % 3 IN (0, 1)),
+        |  feed AS (
+        |    SELECT doc_id, n_chars, 'update_preimage' AS ct
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars + 7, 'update_postimage'
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars, 'delete'
+        |    FROM t WHERE doc_id % 10 = 2)
+        |SELECT ct AS _change_type, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(2 AS BIGINT) AS n_carried,
+        |  CAST(3 AS BIGINT) AS n_segs_head
+        |FROM feed GROUP BY 1""".stripMargin,
+
+    "q310_history_ops" ->
+      """SELECT CAST(v AS BIGINT) AS version, s AS n_segments,
+        |  h AS is_head, o AS operation
+        |FROM (VALUES
+        |  (1, 1, false, 'append'),
+        |  (2, 2, false, 'append'),
+        |  (3, 1, false, 'update'),
+        |  (4, 1, false, 'delete-vectored'),
+        |  (5, 1, false, 'purge'),
+        |  (6, 1, true, 'zorder')) AS t(v, s, h, o)""".stripMargin,
+
+    "q309_dv_purge" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(1 AS BIGINT) AS segments_purged,
+        |  CAST(2 AS BIGINT) AS n_carried,
+        |  CAST(0 AS BIGINT) AS n_dv_after
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 1 AND doc_id % 2 = 0)
+        |GROUP BY lang""".stripMargin,
+
+    "q308_txn_exactly_once" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS last_ingest,
+        |  CAST(0 AS BIGINT) AS last_backfill
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q304_dv_cdc" ->
       """SELECT

@@ -44,7 +44,9 @@ object Versioned {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .collect { case s if s.startsWith("v-") && s.endsWith(".txt") &&
-          !s.endsWith(".dv.txt") => // DV side manifests are not versions
+          // side manifests (deletion vectors, writer txns) are not
+          // versions — only the MAIN v-N.txt is the commit point
+          !s.endsWith(".dv.txt") && !s.endsWith(".txn.txt") =>
         s.stripPrefix("v-").stripSuffix(".txt").toLong }
       .sorted
   }
@@ -58,7 +60,9 @@ object Versioned {
     val text = try {
       new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty)
+    // `#`-prefixed lines are commit metadata (dv map, txn identity,
+    // change-feed pointer), not segment names
+    text.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** Write `df` as a fresh immutable segment under `path/data` and
@@ -97,16 +101,19 @@ object Versioned {
       carried: Seq[String], fresh: Option[String],
       schema: org.apache.spark.sql.types.StructType,
       dvs: Map[String, String] = Map.empty,
-      cdc: CdcSpec = CdcNone): Long = {
+      cdc: CdcSpec = CdcNone,
+      expectedBase: Option[Long] = None,
+      op: String = ""): Long = {
     val segs = carried ++ fresh
     // only CARRIED segments may keep deletion vectors — a rewritten
     // segment materialized its vector by construction
     val keptDvs = dvs.filter { case (s, _) => carried.contains(s) }
-    if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs, cdc)
+    if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs, cdc,
+      expectedBase = expectedBase, op = op)
     else commitSegments(spark, path, Seq(writeSegment(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      path)), cdc = cdc)
+      path)), cdc = cdc, expectedBase = expectedBase, op = op)
   }
 
   /** Commit an EXPLICIT segment list as the next version — the
@@ -121,7 +128,11 @@ object Versioned {
     * same segment-then-manifest crash-safety ordering as [[commit]]). */
   private[graft] def commitSegments(spark: SparkSession, path: String,
                                     segs: Seq[String],
-                                    dvs: Map[String, String] = Map.empty)
+                                    dvs: Map[String, String] = Map.empty,
+                                    cdc: CdcSpec = CdcNone,
+                                    txn: Option[(String, Long)] = None,
+                                    expectedBase: Option[Long] = None,
+                                    op: String = "")
       : Long = {
     val fs = fsOf(spark, path)
     segs.foreach { s =>
@@ -132,59 +143,114 @@ object Versioned {
       require(segs.contains(s),
         s"commitSegments: deletion vector for unreferenced segment '$s'")
     }
-    val version = versions(spark, path).lastOption.getOrElse(0L) + 1
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
-    // the version's DELETION-VECTOR map rides a SIDE manifest written
-    // BEFORE the main rename: a crash in between leaves an orphan side
-    // file for a version that never existed (harmless, vacuumed), and
-    // the main manifest stays the single atomic commit point
-    val dvDest = new Path(dir, f"v-$version%09d.dv.txt")
-    if (dvs.nonEmpty) {
-      val dvTmp = new Path(dir,
-        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(dvTmp, false)
-      try out.write(dvs.toSeq.sortBy(_._1)
-        .map { case (s, d) => s"$s\t$d" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(dvTmp, dvDest)) {
-        fs.delete(dvTmp, false)
-        throw new IllegalStateException(
-          s"version $version dv manifest already present at $path")
+    // ALL commit metadata — deletion-vector map, writer txn identity,
+    // change-feed pointer — rides `#`-prefixed header lines INSIDE the
+    // manifest file itself, so the single rename commits data and
+    // metadata atomically. (Per-version SIDE files would race under
+    // optimistic concurrency: two attempts at the same version number
+    // could clobber each other's sidecars, and the loser's cleanup
+    // could strip the winner's — deleted rows resurrecting, exactly-
+    // once watermarks vanishing. One file, one rename, no such window.)
+    // The CHANGE-FEED rows land in a uniquely-named dir first (cost ∝
+    // change rows); a crash before the rename orphans it harmlessly
+    // for vacuum.
+    val cdcLine: Option[String] = cdc match {
+      case CdcNone => None
+      case CdcNeutral => Some("#cdc neutral")
+      case CdcRows(df) =>
+        val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+        df.write.mode("errorifexists").parquet(s"$path/_cdc/$name")
+        Some(s"#cdc $name")
+    }
+    val txnLine = txn.map { case (app, batchId) =>
+      require(!app.contains("\t") && !app.contains("\n"),
+        s"txn app id must not contain tabs/newlines: '$app'")
+      s"#txn $app\t$batchId"
+    }
+    val dvLines = dvs.toSeq.sortBy(_._1)
+      .map { case (s, d) => s"#dv $s\t$d" }
+    // the operation NAME (append / delete / merge / compact / ...) —
+    // what DESCRIBE HISTORY surfaces per version, the Delta
+    // operationMetrics idea at header-line cost
+    val opLine = Option(op).filter(_.nonEmpty).map(o => s"#op $o")
+    // version assignment → CAS → publish, under a JVM-wide per-dataset
+    // lock: POSIX rename OVERWRITES an existing destination, so two
+    // same-version publishers in one process (local mode IS one
+    // process) would otherwise both "succeed" with one manifest
+    // silently replacing the other. Across processes the dest-exists
+    // check plus HDFS-style no-overwrite rename arbitrate; multi-
+    // DRIVER writers to one dataset need a filesystem with atomic
+    // no-overwrite rename (the Delta LogStore contract).
+    val committed =
+      try commitLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        val version = versions(spark, path).lastOption.getOrElse(0L) + 1
+        // COMPARE-AND-SWAP: the caller states which head its read-set
+        // came from; if another commit landed since, this one is built
+        // on a stale base and would silently DROP the interloper's
+        // segments from the lineage — fail loudly instead (the rename
+        // race only arbitrates ties at the SAME version number, it
+        // cannot see a base that moved two commits ago)
+        expectedBase.foreach { b =>
+          if (version != b + 1) throw new IllegalStateException(
+            s"concurrent commit at $path: read-set base was version $b " +
+              s"but the head is now ${version - 1}")
+        }
+        val tmp = new Path(dir,
+          s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write((opLine ++ dvLines ++ txnLine ++ cdcLine ++ segs)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val dest = new Path(dir, f"v-$version%09d.txt")
+        if (fs.exists(dest) || !fs.rename(tmp, dest) || !fs.exists(dest)) {
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"version $version already committed at $path — " +
+            "concurrent committers must be serialized")
+        }
+        version
+      } catch { case e: Throwable =>
+        cdcLine.filter(_ != "#cdc neutral").foreach { l =>
+          fs.delete(new Path(s"$path/_cdc/${l.stripPrefix("#cdc ")}"),
+            true): Unit
+        }
+        throw e
       }
-    }
-    val tmp = new Path(dir,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(segs.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(dir, f"v-$version%09d.txt")
-    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
-      fs.delete(tmp, false)
-      if (dvs.nonEmpty) fs.delete(dvDest, false)
-      throw new IllegalStateException(
-        s"version $version already committed at $path — " +
-        "concurrent committers must be serialized")
-    }
-    version
+    committed
   }
 
-  /** A version's segment → deletion-vector-file map (empty when the
-    * version carries no DVs, including every pre-DV version). */
-  private[graft] def readDvMap(spark: SparkSession, path: String,
-                               version: Long): Map[String, String] = {
+  /** Per-dataset commit mutex (see [[commitSegments]]): serializes the
+    * version-assign/CAS/rename critical section within this JVM. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** A version's `#`-prefixed manifest header lines (commit metadata),
+    * stripped of the marker. */
+  private[graft] def manifestMeta(spark: SparkSession, path: String,
+                           version: Long): Seq[String] = {
     val fs = fsOf(spark, path)
-    val f = new Path(s"$path/manifest", f"v-$version%09d.dv.txt")
-    if (!fs.exists(f)) return Map.empty
+    val f = new Path(s"$path/manifest", f"v-$version%09d.txt")
+    require(fs.exists(f), s"version $version not committed at $path")
     val in = fs.open(f)
     val text = try {
       new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      val Array(s, d) = l.split("\t", 2)
-      s -> d
-    }.toMap
+    text.split("\n").toSeq.filter(_.startsWith("#"))
   }
+
+  /** A version's segment → deletion-vector-file map (empty when the
+    * version carries no DVs, including every pre-DV version) — parsed
+    * from the manifest's `#dv` header lines. */
+  private[graft] def readDvMap(spark: SparkSession, path: String,
+                               version: Long): Map[String, String] =
+    manifestMeta(spark, path, version)
+      .filter(_.startsWith("#dv "))
+      .map { l =>
+        val Array(s, d) = l.stripPrefix("#dv ").split("\t", 2)
+        s -> d
+      }.toMap
 
   /** The head version number — resolve ONCE per DML statement and pass
     * it to every read the statement makes: a commit landing between two
@@ -227,7 +293,8 @@ object Versioned {
     *     never recorded;
     *   - [[CdcRows]]: the DML's change rows (table columns plus
     *     `_change_type` ∈ insert / update_preimage / update_postimage
-    *     / delete), written to `_cdc/v-N` BEFORE the manifest rename —
+    *     / delete), written to a uniquely-named dir under `_cdc/`
+    *     referenced by the manifest's `#cdc` header line —
     *     cost proportional to the MATCHED rows, never the table. */
   private[graft] sealed trait CdcSpec
   private[graft] case object CdcNone extends CdcSpec
@@ -245,6 +312,23 @@ object Versioned {
     df.drop(ReservedProvenanceCols: _*)
       .withColumn("_change_type", org.apache.spark.sql.functions
         .lit(changeType))
+  }
+
+  /** Materialize a DML statement's MATCHED rows (provenance-tagged)
+    * once, to a parquet staging dir under `_cdc/` — the single
+    * detection scan then serves segment pruning, status counts,
+    * replacement/postimage construction AND the change-feed rows,
+    * instead of re-scanning the table for each consumer. Cost ∝
+    * matched rows, never the table. Returns (staging dir, re-reader);
+    * the caller deletes the dir after commit ([[vacuum]] sweeps
+    * crash orphans). */
+  private[graft] def stageMatched(df: DataFrame, path: String)
+      : (String, DataFrame) = {
+    val dir = s"$path/_cdc/.staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.parquet(dir)
+    // explicit schema: an empty match writes no part files to infer from
+    (dir, df.sparkSession.read.schema(df.schema).parquet(dir))
   }
 
   /** EXACT row count of a committed snapshot from parquet FOOTER
@@ -310,31 +394,122 @@ object Versioned {
     * renames/retypes/drops still reject loudly — silent drift is how a
     * downstream trainer gets garbage columns at read time. */
   def commit(df: DataFrame, path: String, append: Boolean = true,
-             writerOptions: Map[String, String] = Map.empty): Long = {
+             writerOptions: Map[String, String] = Map.empty,
+             txn: Option[(String, Long)] = None,
+             maxRetries: Int = 0): Long = {
     val spark = df.sparkSession
-    val prev = versions(spark, path)
-    val prevSegs =
-      if (append && prev.nonEmpty) readManifest(spark, path, prev.last)
-      else Seq.empty
-    if (prevSegs.nonEmpty) {
-      // compare against the NEWEST segment — the dataset's widest
-      // schema; checking the oldest would let a later append silently
-      // narrow an evolved dataset back down
-      val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.last}").schema
-      val prevSig = prevSchema.map(f => (f.name, f.dataType))
-      val inSig = df.schema.map(f => (f.name, f.dataType))
-      require(inSig.take(prevSig.length) == prevSig,
-        s"append schema mismatch at $path: committed " +
-          s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString} " +
-          "(appends may add trailing columns, never rename/retype/drop)")
+    var seg: Option[String] = None
+    var attempt = 0
+    while (true) {
+      // IDEMPOTENT commits: `txn = Some((app, batchId))` records the
+      // writer's (application, monotonic batch) identity with the
+      // version; a replayed batch (a Structured Streaming retry after a
+      // sink failure, a re-run ingest job) whose batchId is not GREATER
+      // than the app's last recorded one is a NO-OP returning the
+      // current head — the Delta txnAppId/txnVersion contract, what
+      // makes foreachBatch into this sink EXACTLY-ONCE end to end
+      // (offsets replay from the checkpoint WAL with the same batchId).
+      // Re-checked on every optimistic retry: the racer that beat us
+      // may have been our own twin.
+      txn match {
+        case Some((app, batchId)) if lastTxn(spark, path, app)
+            .exists(_ >= batchId) =>
+          // the already-written segment is unreferenced; sweep it now
+          // rather than leaving it for vacuum
+          seg.foreach(s =>
+            fsOf(spark, path).delete(new Path(s"$path/data/$s"), true))
+          return headVersion(spark, path)
+        case _ => ()
+      }
+      val prev = versions(spark, path)
+      val prevSegs =
+        if (append && prev.nonEmpty) readManifest(spark, path, prev.last)
+        else Seq.empty
+      if (prevSegs.nonEmpty) {
+        // compare against the NEWEST segment — the dataset's widest
+        // schema; checking the oldest would let a later append silently
+        // narrow an evolved dataset back down
+        val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.last}").schema
+        val prevSig = prevSchema.map(f => (f.name, f.dataType))
+        val inSig = df.schema.map(f => (f.name, f.dataType))
+        require(inSig.take(prevSig.length) == prevSig,
+          s"append schema mismatch at $path: committed " +
+            s"${prevSchema.simpleString} vs incoming ${df.schema.simpleString} " +
+            "(appends may add trailing columns, never rename/retype/drop)")
+      }
+      // segment first (invisible until the manifest lands), commit
+      // last; an append CARRIES the head's deletion vectors with its
+      // segments. The segment is written exactly ONCE — an optimistic
+      // retry re-reads the manifest, never the data.
+      if (seg.isEmpty) seg = Some(writeSegment(df, path, writerOptions))
+      val prevDvs =
+        if (prevSegs.nonEmpty) readDvMap(spark, path, prev.last)
+        else Map.empty[String, String]
+      try {
+        return commitSegments(spark, path, prevSegs :+ seg.get, prevDvs,
+          txn = txn, expectedBase = Some(prev.lastOption.getOrElse(0L)),
+          op = if (append) "append" else "republish")
+      } catch {
+        // OPTIMISTIC CONCURRENCY for appends (`maxRetries > 0`): losing
+        // the manifest rename race costs one manifest re-read and a
+        // retry — the data segment is already on disk and an append
+        // conflicts with NOTHING (schema and txn watermark re-validate
+        // against the new head above). DML statements stay
+        // single-writer: their read-set must not move mid-statement.
+        case _: IllegalStateException
+            if append && attempt < maxRetries =>
+          attempt += 1
+      }
     }
-    // segment first (invisible until the manifest lands), commit last;
-    // an append CARRIES the head's deletion vectors with its segments
-    val seg = writeSegment(df, path, writerOptions)
-    val prevDvs =
-      if (prevSegs.nonEmpty) readDvMap(spark, path, prev.last)
-      else Map.empty[String, String]
-    commitSegments(spark, path, prevSegs :+ seg, prevDvs)
+    -1L // unreachable: the loop returns or throws
+  }
+
+  /** The LAST batchId writer `app` recorded at `path` (via
+    * [[commit]]'s `txn`), or None if it never committed — what a
+    * restarted ingest job consults to resume, and what the idempotence
+    * check compares against. One manifest-directory listing plus one
+    * tiny side-file read per txn-bearing version: manifest-scale,
+    * never data-scale. */
+  def lastTxn(spark: SparkSession, path: String, app: String)
+      : Option[Long] = {
+    val all = versions(spark, path)
+    // per-app batchIds land in strictly increasing order (commit
+    // suppresses anything ≤ the watermark), so scanning manifests
+    // NEWEST-FIRST, the first `#txn` line for this app IS its
+    // watermark — an active ingest app resolves in O(1) manifest
+    // reads, not O(history)
+    val fromManifests = all.reverseIterator
+      .flatMap { v =>
+        manifestMeta(spark, path, v).collectFirst {
+          case l if l.startsWith("#txn ") &&
+              l.stripPrefix("#txn ").split("\t", 2)(0) == app =>
+            l.stripPrefix("#txn ").split("\t", 2)(1).toLong
+        }
+      }
+      .nextOption()
+    // vacuum rolls dropped versions' watermarks into a single file so
+    // idempotence SURVIVES retention — a replayed batch older than the
+    // vacuum window must still suppress
+    val fromRollup = readTxnRollup(spark, path).get(app)
+    (fromManifests.toSeq ++ fromRollup.toSeq).maxOption
+  }
+
+  private def txnRollupPath(path: String): Path =
+    new Path(s"$path/manifest", "txn-watermarks.txt")
+
+  private def readTxnRollup(spark: SparkSession, path: String)
+      : Map[String, Long] = {
+    val fs = fsOf(spark, path)
+    val f = txnRollupPath(path)
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(a, b) = l.split("\t", 2)
+      a -> b.toLong
+    }.toMap
   }
 
   /** Append storage-level row provenance to a segment-backed frame:
@@ -422,7 +597,7 @@ object Versioned {
     val hv = headVersion(spark, path)
     val segsAll = headSegments(spark, path, Some(hv))
     val headSchema = read(spark, path, Some(hv)).schema
-    ReservedProvenanceCols.foreach { c =>
+    (ReservedProvenanceCols ++ CdcReservedCols).foreach { c =>
       require(!headSchema.fieldNames.contains(c),
         s"deleteWhere: dataset at $path has reserved column name '$c' — " +
           "the copy-on-write rewrite appends it for row provenance")
@@ -448,19 +623,27 @@ object Versioned {
       case _ => ()
     }
     val dvMap = readDvMap(spark, path, hv)
-    val affected = detection
-      .select("__seg").distinct().collect().map(_.getString(0)).toSet
-    if (affected.isEmpty) commitSegments(spark, path, segsAll, dvMap)
-    else {
-      val survivors = readSegmentsAligned(spark, path,
-          segsAll.filter(affected), headSchema, dvMap)
-        .filter(!matched)
-        .select(headSchema.fieldNames.map(org.apache.spark.sql
-          .functions.col).toSeq: _*)
-      val fresh = writeSegmentIfNonEmpty(survivors, path)
-      commitPruned(spark, path, segsAll.filterNot(affected), fresh,
-        headSchema, dvMap)
-    }
+    // ONE detection scan, staged: segment pruning and the change-feed
+    // rows both read the (matched-row-sized) staging file, never the
+    // table again
+    val (stagingDir, staged) = stageMatched(detection, path)
+    try {
+      val affected = staged
+        .select("__seg").distinct().collect().map(_.getString(0)).toSet
+      if (affected.isEmpty) commitSegments(spark, path, segsAll, dvMap,
+        expectedBase = Some(hv), op = "delete")
+      else {
+        val survivors = readSegmentsAligned(spark, path,
+            segsAll.filter(affected), headSchema, dvMap)
+          .filter(!matched)
+          .select(headSchema.fieldNames.map(org.apache.spark.sql
+            .functions.col).toSeq: _*)
+        val fresh = writeSegmentIfNonEmpty(survivors, path)
+        commitPruned(spark, path, segsAll.filterNot(affected), fresh,
+          headSchema, dvMap, cdc = CdcRows(cdcTag(staged, "delete")),
+          expectedBase = Some(hv), op = "delete")
+      }
+    } finally fsOf(spark, path).delete(new Path(stagingDir), true)
   }
 
   /** MERGE-ON-READ delete: like [[deleteWhere]], but matched rows are
@@ -480,7 +663,7 @@ object Versioned {
     val hv = headVersion(spark, path)
     val segsAll = headSegments(spark, path, Some(hv))
     val headSchema = read(spark, path, Some(hv)).schema
-    ReservedProvenanceCols.foreach { c =>
+    (ReservedProvenanceCols ++ CdcReservedCols).foreach { c =>
       require(!headSchema.fieldNames.contains(c),
         s"deleteWhereVectored: dataset at $path has reserved column " +
           s"name '$c' — the vector build keys on it for row provenance")
@@ -497,9 +680,17 @@ object Versioned {
             f.condition.sql)
       case _ => ()
     }
-    val newEntries = buildVectors(spark, path, detection, dvOld)
-    if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld)
-    else commitSegments(spark, path, segsAll, dvOld ++ newEntries)
+    // ONE detection scan, staged: the vector build and the change-feed
+    // rows both read the matched-row-sized staging file
+    val (stagingDir, staged) = stageMatched(detection, path)
+    try {
+      val newEntries = buildVectors(spark, path, staged, dvOld)
+      if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld,
+        expectedBase = Some(hv), op = "delete-vectored")
+      else commitSegments(spark, path, segsAll, dvOld ++ newEntries,
+        cdc = CdcRows(cdcTag(staged, "delete")),
+        expectedBase = Some(hv), op = "delete-vectored")
+    } finally fsOf(spark, path).delete(new Path(stagingDir), true)
   }
 
   /** Per-segment vector build in tasks from a provenance-tagged frame
@@ -556,7 +747,7 @@ object Versioned {
     val hv = headVersion(spark, path)
     val segsAll = headSegments(spark, path, Some(hv))
     val headSchema = read(spark, path, Some(hv)).schema
-    ReservedProvenanceCols.foreach { c =>
+    (ReservedProvenanceCols ++ CdcReservedCols).foreach { c =>
       require(!headSchema.fieldNames.contains(c),
         s"updateWhereVectored: dataset at $path has reserved column " +
           s"name '$c' — the vector build keys on it for row provenance")
@@ -576,25 +767,35 @@ object Versioned {
             s"for the replacement rows): ${f.condition.sql}")
       case _ => ()
     }
-    val newEntries = buildVectors(spark, path, matched, dvOld)
-    if (newEntries.isEmpty)
-      return (commitSegments(spark, path, segsAll, dvOld), 0L)
-    // the replacement rows: every matched row with assignments applied
-    val replacements = matched.select(headSchema.fields.map { f =>
-      sets.find(_._1 == f.name) match {
-        case Some((_, rhs)) => rhs.cast(f.dataType).as(f.name)
-        case None => F.col(f.name)
-      }
-    }.toSeq: _*)
-    val fresh = writeSegmentIfNonEmpty(replacements, path)
-    val v = commitSegments(spark, path, segsAll ++ fresh.toSeq,
-      dvOld ++ newEntries)
-    // updated count from vector headers: new total minus old total —
-    // metadata, not a scan
-    val conf = spark.sparkContext.hadoopConfiguration
-    def total(m: Map[String, String]) =
-      m.valuesIterator.map(DeletionVectors.count(conf, path, _)).sum
-    (v, total(dvOld ++ newEntries) - total(dvOld))
+    // ONE detection scan, staged: the vector build, the replacement
+    // rows, and the change-feed pre/postimages all read the
+    // matched-row-sized staging file, never the table again
+    val (stagingDir, staged) = stageMatched(matched, path)
+    try {
+      val newEntries = buildVectors(spark, path, staged, dvOld)
+      if (newEntries.isEmpty)
+        return (commitSegments(spark, path, segsAll, dvOld,
+          expectedBase = Some(hv), op = "update-vectored"), 0L)
+      // the replacement rows: every matched row with assignments applied
+      val replacements = staged.select(headSchema.fields.map { f =>
+        sets.find(_._1 == f.name) match {
+          case Some((_, rhs)) => rhs.cast(f.dataType).as(f.name)
+          case None => F.col(f.name)
+        }
+      }.toSeq: _*)
+      val fresh = writeSegmentIfNonEmpty(replacements, path)
+      val v = commitSegments(spark, path, segsAll ++ fresh.toSeq,
+        dvOld ++ newEntries,
+        cdc = CdcRows(cdcTag(staged, "update_preimage")
+          .unionByName(cdcTag(replacements, "update_postimage"))),
+        expectedBase = Some(hv), op = "update-vectored")
+      // updated count from vector headers: new total minus old total —
+      // metadata, not a scan
+      val conf = spark.sparkContext.hadoopConfiguration
+      def total(m: Map[String, String]) =
+        m.valuesIterator.map(DeletionVectors.count(conf, path, _)).sum
+      (v, total(dvOld ++ newEntries) - total(dvOld))
+    } finally fsOf(spark, path).delete(new Path(stagingDir), true)
   }
 
   /** Number of segments composing a version (head when absent) — the
@@ -661,7 +862,8 @@ object Versioned {
     val dvMap = readDvMap(spark, path, hv)
     if (mergeBins.isEmpty)
       // nothing to fold: carry-all commit (vectors ride along)
-      commitSegments(spark, path, segs, dvMap)
+      commitSegments(spark, path, segs, dvMap, expectedBase = Some(hv),
+        op = "compact")
     else {
       val headSchema = read(spark, path, Some(hv)).schema
       import org.apache.spark.sql.{functions => F}
@@ -672,9 +874,62 @@ object Versioned {
             headSchema, dvMap)
           .select(headSchema.fieldNames.map(F.col).toSeq: _*), path)
       }
+      // data-neutral for the row-level change feed: vectored rows it
+      // materializes away were already retracted at their own commit
       commitSegments(spark, path, carried ++ fresh,
-        dvMap.filter { case (s, _) => carried.contains(s) })
+        dvMap.filter { case (s, _) => carried.contains(s) },
+        cdc = CdcNeutral, expectedBase = Some(hv), op = "compact")
     }
+  }
+
+  /** Materialize deletion vectors back into clean segments — the
+    * maintenance half of the merge-on-read bargain: vectored DML makes
+    * writes cheap but every read pays the anti-join, and a segment that has
+    * accumulated many deleted positions wastes scan I/O on rows it
+    * always throws away. Segments whose DELETED FRACTION (vector
+    * header count over parquet footer row count — METADATA only, no
+    * scan) is at least `minFraction` rewrite with their vectors
+    * applied; every other segment — vectored or not — carries
+    * byte-identical, in manifest order. A fully-deleted segment drops
+    * from the manifest without a rewrite output. Data-neutral for the
+    * change feed (the deletions were retracted at their own commits).
+    * Returns (new version — the head unchanged when nothing qualifies
+    * — and the number of segments purged). */
+  def purgeVectors(spark: SparkSession, path: String,
+                   minFraction: Double = 0.0): (Long, Int) = {
+    require(minFraction >= 0.0 && minFraction <= 1.0,
+      s"purge threshold must be in [0, 1], got $minFraction")
+    import org.apache.spark.sql.{functions => F}
+    val hv = headVersion(spark, path)
+    val segsAll = headSegments(spark, path, Some(hv))
+    val dvMap = readDvMap(spark, path, hv)
+    if (dvMap.isEmpty) return (hv, 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val purge = dvMap.filter { case (seg, dv) =>
+      val deleted = DeletionVectors.count(conf, path, dv)
+      val total = footerRowCount(spark, path, Seq(seg))
+      total > 0 && deleted.toDouble / total >= minFraction
+    }.keySet
+    if (purge.isEmpty) return (hv, 0)
+    val headSchema = read(spark, path, Some(hv)).schema
+    // one rewrite per purged segment, IN PLACE in the manifest:
+    // segment granularity (the skipping and DML unit) and any
+    // clustered adjacency survive the purge
+    val rewritten: Map[String, Option[String]] =
+      purge.toSeq.sorted.map { seg =>
+        seg -> writeSegmentIfNonEmpty(
+          readSegmentsAligned(spark, path, Seq(seg), headSchema, dvMap)
+            .select(headSchema.fieldNames.map(F.col).toSeq: _*), path)
+      }.toMap
+    val newSegs = segsAll.flatMap(s => rewritten.getOrElse(s, Some(s)))
+    val v =
+      if (newSegs.isEmpty)
+        commitPruned(spark, path, Seq.empty, None, headSchema,
+          Map.empty, CdcNeutral, expectedBase = Some(hv), op = "purge")
+      else commitSegments(spark, path, newSegs,
+        dvMap.filterNot { case (s, _) => purge.contains(s) },
+        cdc = CdcNeutral, expectedBase = Some(hv), op = "purge")
+    (v, purge.size)
   }
 
   /** Arrange `df` along a Morton (Z-order) curve over `cols`: quantile-
@@ -770,9 +1025,15 @@ object Versioned {
     * parquet writer (e.g. a bounded `parquet.block.size` so files carry
     * many prunable row groups). Returns the new version. */
   def optimizeZorder(spark: SparkSession, path: String, cols: Seq[String],
-                     writerOptions: Map[String, String] = Map.empty): Long =
-    commit(zorderLayout(read(spark, path), cols), path, append = false,
-      writerOptions = writerOptions)
+                     writerOptions: Map[String, String] = Map.empty): Long = {
+    // a republish of the SAME rows in z-order: segment-then-manifest
+    // like commit(append = false), marked data-neutral for the feed
+    val hv = headVersion(spark, path)
+    val seg = writeSegment(zorderLayout(read(spark, path, Some(hv)), cols),
+      path, writerOptions)
+    commitSegments(spark, path, Seq(seg), cdc = CdcNeutral,
+      expectedBase = Some(hv), op = "zorder")
+  }
 
   /** [[optimizeZorder]] splitting the re-clustered table into `k`
     * Z-RANGE SEGMENTS instead of one. Segment granularity is BOTH the
@@ -825,7 +1086,8 @@ object Versioned {
         catch { case scala.util.control.NonFatal(_) => () }
         seg
       }
-      commitSegments(spark, path, segs)
+      commitSegments(spark, path, segs, cdc = CdcNeutral,
+        expectedBase = Some(hv), op = "zorder")
     } finally { fs.delete(new Path(tmp), true); () }
   }
 
@@ -846,9 +1108,48 @@ object Versioned {
     val all = versions(spark, path)
     if (all.isEmpty) return
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
+    // dropped versions' exactly-once watermarks ROLL UP into one file
+    // BEFORE their manifests die — a replayed batch older than the
+    // retention window must still suppress
+    val droppedTxns = drop.flatMap { v =>
+      manifestMeta(spark, path, v).collect {
+        case l if l.startsWith("#txn ") =>
+          val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
+          a -> b.toLong
+      }
+    }
+    if (droppedTxns.nonEmpty) {
+      val merged = (readTxnRollup(spark, path).toSeq ++ droppedTxns)
+        .groupMapReduce(_._1)(_._2)(math.max)
+      val tmp = new Path(s"$path/manifest",
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(merged.toSeq.sortBy(_._1)
+        .map { case (a, b) => s"$a\t$b" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(txnRollupPath(path), false)
+      require(fs.rename(tmp, txnRollupPath(path)),
+        s"vacuum: could not update txn watermark rollup at $path")
+    }
     drop.foreach { v =>
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit
-      fs.delete(new Path(s"$path/manifest", f"v-$v%09d.dv.txt"), false): Unit
+    }
+    // change-feed dirs retire when no RETAINED manifest references
+    // them; the same sweep collects crash orphans (a cdc dir written
+    // before a manifest rename that never happened) and DML
+    // detection-scan staging (the single-writer maintenance contract,
+    // like .optimize-tmp-)
+    val cdcDir = new Path(s"$path/_cdc")
+    if (fs.exists(cdcDir)) {
+      val referencedCdc = keep.flatMap { v =>
+        manifestMeta(spark, path, v).collect {
+          case l if l.startsWith("#cdc ") && l != "#cdc neutral" =>
+            l.stripPrefix("#cdc ")
+        }
+      }.toSet
+      fs.listStatus(cdcDir).map(_.getPath).foreach { p =>
+        if (!referencedCdc.contains(p.getName)) fs.delete(p, true): Unit
+      }
     }
     // deletion vectors referenced by NO retained version retire with
     // their manifests (a vector superseded by a union, or belonging to
@@ -1084,6 +1385,89 @@ object Versioned {
       .withColumn("__dvpos", F.col("__pos"))
       .join(delta, Seq("__dvkey", "__dvpos"), "left_semi")
       .select(schemaTo.fieldNames.map(F.col).toSeq: _*)
+  }
+
+  /** ROW-LEVEL CHANGE DATA FEED over `(fromVersion, toVersion]`: every
+    * row-level change the range committed, as the target's columns plus
+    * `_change_type` (`insert` / `update_preimage` / `update_postimage`
+    * / `delete`) and `_commit_version` — what an incremental consumer
+    * (a downstream index, a feature store, a training-set refresher)
+    * applies instead of diffing snapshots. Delta Lake's CDF contract,
+    * on this engine's layout:
+    *   - DML statements RECORD their change rows at commit time under
+    *     a manifest-referenced `_cdc/` dir (cost ∝ matched rows —
+    *     see [[CdcSpec]]), written
+    *     before the manifest rename so the feed is never ahead of the
+    *     table;
+    *   - pure APPENDS record nothing: their `insert` rows synthesize
+    *     lazily here from the added segments (the ingest hot path
+    *     stays zero-overhead, and a 100 TB backfill append costs the
+    *     feed nothing until someone reads it);
+    *   - reorganizations (compact / OPTIMIZE / purge) carry an explicit
+    *     data-neutral marker and contribute nothing;
+    *   - a version that REMOVED segments with no recorded change rows
+    *     (a legacy DML, a republish) is rejected LOUDLY — its row-level
+    *     delta is unknowable after the fact; the segment-level
+    *     [[changes]]/[[removals]] pair covers those.
+    * Update rows come in preimage/postimage pairs under the same
+    * `_commit_version`; consumers key them by the table's natural key.
+    * Schema evolution: rows surface NULL for columns their version
+    * predated, aligned to `toVersion`'s schema. */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
+                 toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val all = versions(spark, path)
+    require(all.nonEmpty, s"no committed versions at $path")
+    val to = toVersion.getOrElse(all.last)
+    require(fromVersion == 0L || all.contains(fromVersion),
+      s"version $fromVersion not committed at $path")
+    require(all.contains(to), s"version $to not committed at $path")
+    require(fromVersion <= to,
+      s"change feed range is backwards: from $fromVersion to $to")
+    val headSchema = read(spark, path, Some(to)).schema
+    CdcReservedCols.foreach { c =>
+      require(!headSchema.fieldNames.contains(c),
+        s"change feed: dataset uses reserved column name '$c'")
+    }
+    val frames = all.filter(v => v > fromVersion && v <= to).flatMap { v =>
+      val cdcMeta = manifestMeta(spark, path, v)
+        .find(_.startsWith("#cdc "))
+      if (cdcMeta.contains("#cdc neutral")) None
+      else if (cdcMeta.isDefined)
+        Some(spark.read
+          .parquet(s"$path/_cdc/${cdcMeta.get.stripPrefix("#cdc ")}")
+          .withColumn("_commit_version", F.lit(v)))
+      else {
+        val prev = all.takeWhile(_ < v).lastOption.getOrElse(0L)
+        val (added, removed) = manifestDelta(spark, path, prev, Some(v))
+        require(removed.isEmpty,
+          s"change feed: version $v removed segments but recorded no " +
+            "change rows (committed before the feed existed, or a " +
+            "republish) — its row-level delta is unknowable; use FOR " +
+            "CHANGES / FOR REMOVALS for segment-level deltas instead")
+        if (added.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(added.map(s => s"$path/data/$s"): _*)
+          .withColumn("_change_type", F.lit("insert"))
+          .withColumn("_commit_version", F.lit(v)))
+      }
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val outSchema = StructType(headSchema.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+    frames
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { df =>
+        val cols = headSchema.fields.map { f =>
+          if (df.columns.contains(f.name)) F.col(f.name)
+          else F.lit(null).cast(f.dataType).as(f.name)
+        }.toSeq :+ F.col("_change_type") :+ F.col("_commit_version")
+        df.select(cols: _*)
+      }
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
   }
 
   /** Writer options enabling parquet SPLIT-BLOCK BLOOM FILTERS on

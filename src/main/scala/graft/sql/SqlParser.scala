@@ -600,8 +600,12 @@ object SqlParser {
           // FOR CHANGES FROM v [TO v] = rows of segments ADDED in
           // (v, to]; FOR REMOVALS FROM v [TO v] = rows of segments no
           // longer referenced — together the retract-then-upsert pair
+          // FOR CHANGE_FEED FROM v [TO v] = the ROW-level change data
+          // feed (insert / update_preimage / update_postimage / delete
+          // + _commit_version) the DML statements record at commit
           case TIdent(k) if k.equalsIgnoreCase("changes") ||
-              k.equalsIgnoreCase("removals") =>
+              k.equalsIgnoreCase("removals") ||
+              k.equalsIgnoreCase("change_feed") =>
             next(); expectKw("FROM")
             val from = intLit("version after FROM")
             val to = peek match {
@@ -612,7 +616,8 @@ object SqlParser {
             (None, None, Some((k.toLowerCase(java.util.Locale.ROOT),
               from, to)))
           case t => throw new ParseError(
-            s"Expected VERSION, TIMESTAMP, CHANGES or REMOVALS after " +
+            s"Expected VERSION, TIMESTAMP, CHANGES, REMOVALS or " +
+              s"CHANGE_FEED after " +
               s"FOR, got ${t.text}")
         }
       TableRef(path, parseTableAlias(), version = version, asOfTs = asOfTs,

@@ -709,4 +709,37 @@ object Streams {
         }
       }
   }
+
+  /** EXACTLY-ONCE streaming sink into a [[graft.sources.Versioned]]
+    * dataset: a `foreachBatch` writer that appends each micro-batch as
+    * one committed version tagged with `(app, batchId)` via
+    * [[graft.sources.Versioned.commit]]'s `txn`. Structured Streaming
+    * replays a failed batch with the SAME batchId (the offsets come
+    * from the checkpoint WAL), and the replay's commit is a no-op — at-
+    * least-once delivery + idempotent commit = exactly-once, the Delta
+    * `txnAppId`/`txnVersion` pattern on this engine's snapshot layout.
+    * Usage:
+    * {{{
+    *   stream.writeStream
+    *     .option("checkpointLocation", ckpt)
+    *     .foreachBatch(Streams.versionedSink(path, "my-ingest"))
+    *     .start()
+    * }}}
+    * Downstream consumers read committed snapshots only (a crash
+    * mid-batch leaves the previous version intact), poll
+    * [[graft.sources.Versioned.changes]] for increments, or tail the
+    * dataset with the `graft-versioned` streaming SOURCE — an
+    * exactly-once end-to-end pipeline over plain parquet. */
+  def versionedSink(path: String, app: String,
+                    writerOptions: Map[String, String] = Map.empty,
+                    maxRetries: Int = 10)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      // optimistic retries let SEVERAL streaming queries (distinct
+      // apps) share one target table: losing a manifest race re-reads
+      // the manifest and retries, never rewrites the batch's data
+      graft.sources.Versioned.commit(batch, path, append = true,
+        writerOptions = writerOptions, txn = Some((app, batchId)),
+        maxRetries = maxRetries): Unit
+    }
 }

@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.sources.Versioned
+
+/** Row-level CHANGE DATA FEED: DML statements record their change rows
+  * at commit (cost ∝ matched rows), pure appends synthesize `insert`
+  * rows lazily from the segment delta, reorganizations are explicit
+  * no-ops, and unknowable legacy deltas reject loudly. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String =
+    Files.createTempDirectory(s"graft-cdf-$tag").toString + "/ds"
+
+  /** Two segments of 100 rows each: segment i holds ids
+    * [100i, 100i+100); payload = "p<id>", score = id * 2. */
+  private def ds(tag: String): String = {
+    import spark.implicits._
+    val path = freshPath(tag)
+    (0 until 2).foreach { i =>
+      Versioned.commit(
+        (100 * i until 100 * (i + 1))
+          .map(id => (id.toLong, s"p$id", id.toLong * 2))
+          .toDF("id", "payload", "score"), path)
+    }
+    path
+  }
+
+  private def feed(path: String, from: Long,
+                   to: Option[Long] = None) =
+    Versioned.changeFeed(spark, path, from, to)
+
+  /** md5 of every data byte of every part file of every segment — the
+    * byte-identity witness for carried segments. */
+  private def dataFingerprint(path: String): Map[String, String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.headSegments(spark, path).flatMap { seg =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$seg"))
+        .filter(_.isFile).map { st =>
+          val in = fs.open(st.getPath)
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+          s"$seg/${st.getPath.getName}" ->
+            java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString
+        }
+    }.toMap
+  }
+
+  test("appends synthesize insert rows; ranges slice by version") {
+    val path = ds("append")
+    val all = feed(path, 0L)
+    assert(all.count() == 200L)
+    assert(all.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("insert"))
+    // version attribution: segment 2's rows carry _commit_version 2
+    assert(feed(path, 1L).count() == 100L)
+    assert(feed(path, 1L).agg(F.min("id"), F.max("_commit_version"))
+      .collect().head match { case r => r.getLong(0) == 100L && r.getLong(1) == 2L })
+    assert(feed(path, 2L).count() == 0L)
+  }
+
+  test("COW delete records delete rows") {
+    val path = ds("cowdel")
+    Versioned.deleteWhere(spark, path, F.col("id") % 50 === 7)
+    val f = feed(path, 2L)
+    val rows = f.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(rows.forall(_.getAs[Long]("_commit_version") == 3L))
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq ==
+      Seq(7L, 57L, 107L, 157L))
+    // no-match DML contributes nothing
+    Versioned.deleteWhere(spark, path, F.col("id") === -1L)
+    assert(feed(path, 3L).count() == 0L)
+  }
+
+  test("vectored delete records the same delete rows") {
+    val path = ds("dvdel")
+    Versioned.deleteWhereVectored(spark, path, F.col("id") % 50 === 7)
+    val f = feed(path, 2L).collect()
+    assert(f.length == 4)
+    assert(f.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(f.map(_.getAs[Long]("id")).sorted.toSeq ==
+      Seq(7L, 57L, 107L, 157L))
+  }
+
+  test("COW and vectored UPDATE record preimage/postimage pairs") {
+    val path = ds("upd")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-b").toString)
+    eng.sql(s"UPDATE '$path' SET score = score + 1000 WHERE id % 100 = 3")
+    val f = feed(path, 2L)
+    val byType = f.groupBy("_change_type").agg(F.count(F.lit(1)).as("n"),
+        F.sum("score").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byType("update_preimage") == ((2L, (3L + 103L) * 2)))
+    assert(byType("update_postimage") == ((2L, (3L + 103L) * 2 + 2000L)))
+    // vectored variant emits the identical logical pairs
+    eng.sql(s"UPDATE VECTORED '$path' SET score = score + 1000 " +
+      "WHERE id % 100 = 4")
+    val f2 = feed(path, 3L)
+    val byType2 = f2.groupBy("_change_type").agg(F.count(F.lit(1)).as("n"),
+        F.sum("score").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byType2("update_preimage") == ((2L, (4L + 104L) * 2)))
+    assert(byType2("update_postimage") == ((2L, (4L + 104L) * 2 + 2000L)))
+  }
+
+  test("MERGE records per-clause change rows; insert-only synthesizes") {
+    import spark.implicits._
+    val path = ds("merge")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-m").toString)
+    val srcDir = Files.createTempDirectory("graft-cdf-src").toString
+    Seq((3L, 111L), (107L, 222L), (990L, 333L))
+      .toDF("sid", "sval").write.parquet(s"$srcDir/src.parquet")
+    eng.sql(s"""MERGE INTO '$path' t USING '$srcDir/src.parquet' s
+      | ON t.id = s.sid
+      | WHEN MATCHED AND s.sval > 200 THEN DELETE
+      | WHEN MATCHED THEN UPDATE SET score = s.sval
+      | WHEN NOT MATCHED THEN INSERT (id, payload, score)
+      |   VALUES (s.sid, 'new', s.sval)""".stripMargin)
+    val f = feed(path, 2L)
+    val byType = f.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L))
+    assert(f.where(F.col("_change_type") === "delete")
+      .select("id").collect().head.getLong(0) == 107L)
+    assert(f.where(F.col("_change_type") === "update_postimage")
+      .select("score").collect().head.getLong(0) == 111L)
+    assert(f.where(F.col("_change_type") === "insert")
+      .select("id").collect().head.getLong(0) == 990L)
+    // insert-only MERGE: no segment rewrites, feed synthesizes inserts
+    Seq((991L, 444L)).toDF("sid", "sval")
+      .write.parquet(s"$srcDir/src2.parquet")
+    eng.sql(s"""MERGE INTO '$path' t USING '$srcDir/src2.parquet' s
+      | ON t.id = s.sid
+      | WHEN NOT MATCHED THEN INSERT (id, payload, score)
+      |   VALUES (s.sid, 'new2', s.sval)""".stripMargin)
+    val f2 = feed(path, 3L).collect()
+    assert(f2.length == 1)
+    assert(f2.head.getAs[String]("_change_type") == "insert")
+    assert(f2.head.getAs[Long]("id") == 991L)
+  }
+
+  test("reorganizations are explicit no-ops; legacy removals reject") {
+    val path = ds("reorg")
+    Versioned.compact(spark, path, targetBytes = 1L << 40)
+    assert(feed(path, 2L).count() == 0L)
+    Versioned.optimizeZorderSegments(spark, path, Seq("id", "score"), 2)
+    assert(feed(path, 2L).count() == 0L)
+    // feed across everything = the original inserts only
+    assert(feed(path, 0L).count() == 200L)
+    // a version that removed segments with NO recorded change rows
+    // (simulating a legacy DML) rejects loudly
+    val segs = Versioned.headSegments(spark, path)
+    assert(segs.length == 2)
+    graft.sources.Versioned.commitSegments(spark, path, Seq(segs.head))
+    val e = intercept[IllegalArgumentException](feed(path, 0L).count())
+    assert(e.getMessage.contains("removed segments"))
+    // but a range STOPPING before it still serves
+    assert(feed(path, 0L, Some(4L)).count() == 200L)
+  }
+
+  test("SQL surface: FOR CHANGE_FEED composes with SELECT") {
+    val path = ds("sql")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-s").toString)
+    eng.sql(s"DELETE FROM '$path' WHERE id % 100 = 9")
+    val out = eng.sql(
+      s"""SELECT _change_type, COUNT() AS n, SUM(id) AS ids
+         |FROM '$path' FOR CHANGE_FEED FROM 2
+         |GROUP BY _change_type""".stripMargin).df.collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "delete")
+    assert(out.head.getLong(1) == 2L)
+    assert(out.head.getLong(2) == 9L + 109L)
+  }
+
+  test("schema evolution: old change rows align to the head schema") {
+    import spark.implicits._
+    val path = ds("evo")
+    // widen with a trailing column, then delete across old+new rows
+    Versioned.commit(
+      Seq((200L, "p200", 400L, "en")).toDF("id", "payload", "score", "lang"),
+      path)
+    Versioned.deleteWhere(spark, path, F.col("id").isin(3L, 200L))
+    val f = feed(path, 0L)
+    assert(f.columns.toSeq ==
+      Seq("id", "payload", "score", "lang", "_change_type",
+        "_commit_version"))
+    // the synthesized inserts for pre-evolution versions serve NULL lang
+    assert(f.where(F.col("_change_type") === "insert" &&
+      F.col("id") === 3L).select("lang").collect().head.isNullAt(0))
+    val dels = f.where(F.col("_change_type") === "delete").collect()
+    assert(dels.map(_.getAs[Long]("id")).sorted.toSeq == Seq(3L, 200L))
+    assert(dels.filter(_.getAs[Long]("id") == 200L)
+      .head.getAs[String]("lang") == "en")
+  }
+
+  test("OPTIMIZE PURGE materializes vectors by deleted fraction") {
+    val path = ds("purge")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-p").toString)
+    // segment 1 (ids 0..99): 50% vectored away; segment 2: untouched
+    eng.sql(s"DELETE VECTORED FROM '$path' WHERE id < 100 AND id % 2 = 0")
+    val before = dataFingerprint(path)
+    val beforeSegs = Versioned.headSegments(spark, path)
+    // threshold above the fraction: nothing qualifies, head unchanged
+    var st = eng.sql(s"OPTIMIZE '$path' PURGE THRESHOLD 0.9").df
+      .collect().head
+    assert(st.getLong(1) == 0L)
+    assert(Versioned.headSegments(spark, path) == beforeSegs)
+    // threshold below: exactly the vectored segment rewrites, in place
+    st = eng.sql(s"OPTIMIZE '$path' PURGE THRESHOLD 0.3").df
+      .collect().head
+    assert(st.getLong(1) == 1L)
+    val after = Versioned.headSegments(spark, path)
+    assert(after.size == 2 && after.last == beforeSegs.last,
+      s"purge must replace in place: $beforeSegs -> $after")
+    assert(after.head != beforeSegs.head)
+    // the untouched segment carried byte-identical; no vectors remain
+    val fp = dataFingerprint(path)
+    assert(before.filter(_._1.startsWith(beforeSegs.last)).toSet
+      .subsetOf(fp.toSet))
+    assert(Versioned.read(spark, path).count() == 150L)
+    assert(Versioned.rowCount(spark, path) == 150L)
+    // data-neutral for the feed
+    assert(feed(path, 3L).count() == 0L)
+    // a FULLY-deleted segment drops from the manifest without output
+    eng.sql(s"DELETE VECTORED FROM '$path' WHERE id >= 100")
+    val (v, n) = Versioned.purgeVectors(spark, path)
+    assert(n == 1)
+    assert(Versioned.headSegments(spark, path).size == 1)
+    assert(Versioned.read(spark, path, Some(v)).count() == 50L)
+  }
+
+  test("vacuum retires change rows with their versions") {
+    import spark.implicits._
+    val path = ds("vac")
+    Versioned.deleteWhere(spark, path, F.col("id") === 7L) // v3, has _cdc
+    assert(feed(path, 2L).count() == 1L)
+    Versioned.commit(Seq((300L, "p300", 600L))
+      .toDF("id", "payload", "score"), path) // v4
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cdcDir = new org.apache.hadoop.fs.Path(s"$path/_cdc")
+    assert(fs.listStatus(cdcDir).length == 1) // v3's change rows
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    // v3's manifest dropped — its change-feed dir goes with it
+    assert(!fs.exists(cdcDir) || fs.listStatus(cdcDir).isEmpty)
+  }
+}
