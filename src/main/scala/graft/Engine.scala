@@ -100,6 +100,33 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private val DeleteRe =
     """(?is)^\s*DELETE\s+(VECTORED\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)$""".r
 
+  /** `RESTORE '<versioned-ds>' TO VERSION n | TO TIMESTAMP '<ts>'`
+    * (extension, the Delta RESTORE statement): roll the head back to a
+    * prior snapshot AS A NEW COMMIT via
+    * [[graft.sources.Versioned.restore]] — zero data movement (the new
+    * manifest references the old immutable segments), history intact,
+    * the restore itself audited. Returns one row
+    * (version, restored_version). */
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)')\s*$""".r
+
+  /** `ALTER '<versioned-ds>' ADD CONSTRAINT <name> CHECK (<expr>)` /
+    * `ALTER '<versioned-ds>' DROP CONSTRAINT <name>` (extension, the
+    * Delta CHECK-constraint DDL): register a data-quality fence every
+    * future write must satisfy — enforced at the storage layer's
+    * single write choke point, so appends, INSERT, all DML rewrites
+    * and the streaming sink are covered no matter which writer runs.
+    * ADD validates the current head first (existing rows must comply).
+    * `<expr>` is a Spark-SQL boolean expression; NULL passes (the
+    * SQL-standard CHECK rule). Returns (version, constraint_name). */
+  private val AlterConstraintRe =
+    """(?is)^\s*ALTER\s+'([^']+)'\s+(?:ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)|DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*))\s*$""".r
+
+  /** `SHOW CONSTRAINTS '<versioned-ds>'` — one row per registered
+    * CHECK constraint (name, expression). */
+  private val ShowConstraintsRe =
+    """(?is)^\s*SHOW\s+CONSTRAINTS\s+'([^']+)'\s*$""".r
+
   /** `VACUUM '<versioned-ds>' [KEEP n]` (extension): garbage-collect
     * history down to the newest `n` versions (default 1) via
     * [[graft.sources.Versioned.vacuum]] — a maintenance-window
@@ -394,6 +421,69 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("view_name", StringType, nullable = false),
           StructField("dropped", BooleanType, nullable = false)))))
+    case AlterConstraintRe(target, addName, checkExpr, dropName) =>
+      scalarCache.clear()
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"ALTER CONSTRAINT requires a Versioned dataset at '$resolved'")
+      val (v, name) =
+        try {
+          if (addName != null)
+            (graft.sources.Versioned.addConstraint(spark, resolved,
+              addName, checkExpr.trim), addName)
+          else
+            (graft.sources.Versioned.dropConstraint(spark, resolved,
+              dropName), dropName)
+        } catch {
+          case e: IllegalArgumentException =>
+            throw new SemanticError(e.getMessage)
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new SemanticError(
+              s"constraint expression does not analyze: ${e.getMessage}")
+        }
+      import org.apache.spark.sql.types.{LongType, StringType, StructField,
+        StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(v, name)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("constraint_name", StringType, nullable = false)))))
+    case ShowConstraintsRe(target) =>
+      val resolved = Tables.resolve(target, baseDir)
+      import org.apache.spark.sql.types.{StringType, StructField,
+        StructType}
+      val rows = graft.sources.Versioned.constraints(spark, resolved)
+        .toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
+      GraftFrame.fromDF(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("constraint_name", StringType, nullable = false),
+          StructField("check_expr", StringType, nullable = false)))))
+    case RestoreRe(target, verOpt, tsOpt) =>
+      scalarCache.clear()
+      val resolved = Tables.resolve(target, baseDir)
+      if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
+        throw new SemanticError(
+          s"RESTORE requires a Versioned dataset at '$resolved'")
+      val toV =
+        try {
+          if (verOpt != null) verOpt.toLong
+          else graft.sources.Versioned.versionAt(spark, resolved,
+            parseAsOfTimestamp(tsOpt))
+        } catch { case e: IllegalArgumentException =>
+          throw new SemanticError(e.getMessage) }
+      val v =
+        try graft.sources.Versioned.restore(spark, resolved, toV)
+        catch { case e: IllegalArgumentException =>
+          throw new SemanticError(e.getMessage) }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      GraftFrame.fromDF(spark.createDataFrame(
+        java.util.List.of(Row(v, toV)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("restored_version", LongType, nullable = false)))))
     case VacuumRe(target, keep) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)

@@ -2301,6 +2301,124 @@ object SparkEntry {
         .withColumn("n_segs_head", F.lit(after.size.toLong))
     }),
 
+    // streaming CHANGE-FEED source: the same q306 lifecycle tailed
+    // through a REAL micro-batched stream (readChangeFeed mode of the
+    // graft-versioned source, AvailableNow) — offsets are manifest
+    // versions, each batch carries that range's row-level changes;
+    // the parquet sink's content hash must equal the q306 replay
+    "q312_cdf_stream" -> ((s, dir) => {
+      val root = stagingDir("graft_cdf_stream")
+      val path = root + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"UPDATE '$path' SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 10 = 1")
+      eng.sql(s"DELETE VECTORED FROM '$path' WHERE doc_id % 10 = 2")
+      val q = s.readStream.format("graft-versioned")
+        .option("path", path).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", root + "/out")
+        .option("checkpointLocation", root + "/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(root + "/out")
+        .groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("doc_id").cast("long").as("ids"),
+          F.sum("n_chars").cast("long").as("chars"))
+    }),
+
+    // CHECK constraints: the storage-layer data-quality fence — ADD
+    // validates existing rows, then every write path (append, INSERT,
+    // DML rewrites) enforces it; violating statements reject loudly
+    // and leave the head untouched. The gate pins the registered
+    // constraint count, both rejection flags, and the (unchanged)
+    // table content in one hash.
+    "q314_check_constraints" -> ((s, dir) => {
+      val path = stagingDir("graft_check") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"ALTER '$path' ADD CONSTRAINT chars_nonneg " +
+        "CHECK (n_chars >= 0)")
+      val insRejected = scala.util.Try(eng.sql(
+        s"INSERT INTO '$path' VALUES (999999, 'xx', -1)")).isFailure
+      val updRejected = scala.util.Try(eng.sql(
+        s"UPDATE '$path' SET n_chars = 0 - n_chars " +
+          "WHERE doc_id % 7 = 0")).isFailure
+      val nCons = eng.sql(s"SHOW CONSTRAINTS '$path'").df.count()
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("ins_rejected", F.lit(insRejected))
+        .withColumn("upd_rejected", F.lit(updRejected))
+        .withColumn("n_constraints", F.lit(nCons))
+    }),
+
+    // CDC REPLICATION capstone: seed a replica from a snapshot, then
+    // keep it in sync by TAILING the source's row-level change feed
+    // through a real micro-batched stream and applying each batch with
+    // the net-effect MERGE — append, COW update and vectored delete on
+    // the source all land; the gate hashes the REPLICA's content
+    // against the source lifecycle replayed in DuckDB
+    "q313_cdc_replica" -> ((s, dir) => {
+      val root = stagingDir("graft_replica")
+      val src = root + "/src"
+      val rep = root + "/rep"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 0), src)
+      Versioned.commit(Versioned.read(s, src), rep) // snapshot seed
+      val eng = Engine(s, dir)
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 1), src)
+      eng.sql(s"UPDATE '$src' SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 10 = 1")
+      eng.sql(s"DELETE VECTORED FROM '$src' WHERE doc_id % 10 = 2")
+      val q = s.readStream.format("graft-versioned")
+        .option("path", src).option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .writeStream.option("checkpointLocation", root + "/chk")
+        .foreachBatch(
+          graft.streaming.Streams.applyChangesSink(rep, Seq("doc_id")))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$rep' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
+    // RESTORE: the bad-pipeline-run escape hatch — a corrupting DELETE
+    // is rolled back as a NEW commit referencing the old immutable
+    // segments (zero bytes move at any table size); the bad version
+    // stays readable for the post-mortem. Head content, both status
+    // versions, and the still-readable bad snapshot's count are all
+    // pinned in the hash.
+    "q311_restore" -> ((s, dir) => {
+      val path = stagingDir("graft_restore") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id % 2 = 0") // the bad run
+      val st = eng.sql(s"RESTORE '$path' TO VERSION 2").df.collect().head
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("head_version", F.lit(st.getLong(0)))
+        .withColumn("restored_version", F.lit(st.getLong(1)))
+        .withColumn("n_bad_snapshot",
+          F.lit(Versioned.read(s, path, Some(3L)).count()))
+    }),
+
     // operation audit trail: every commit records its operation name
     // as a manifest header line; DESCRIBE HISTORY surfaces the full
     // lifecycle — append → update → vectored delete → purge → zorder —
@@ -6414,6 +6532,53 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_carried,
         |  CAST(3 AS BIGINT) AS n_segs_head
         |FROM feed GROUP BY 1""".stripMargin,
+
+    "q314_check_constraints" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  true AS ins_rejected, true AS upd_rejected,
+        |  CAST(1 AS BIGINT) AS n_constraints
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |GROUP BY lang""".stripMargin,
+
+    "q313_cdc_replica" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars +
+        |    CASE WHEN doc_id % 10 = 1 THEN 7 ELSE 0 END) AS BIGINT)
+        |    AS chars
+        |FROM documents
+        |WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 != 2
+        |GROUP BY lang""".stripMargin,
+
+    "q312_cdf_stream" ->
+      """WITH t AS (SELECT doc_id, n_chars FROM documents
+        |    WHERE doc_id % 3 IN (0, 1)),
+        |  feed AS (
+        |    SELECT doc_id, n_chars, 'insert' AS ct, 1 AS v
+        |    FROM t WHERE doc_id % 3 = 0
+        |    UNION ALL SELECT doc_id, n_chars, 'insert', 2
+        |    FROM t WHERE doc_id % 3 = 1
+        |    UNION ALL SELECT doc_id, n_chars, 'update_preimage', 3
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars + 7, 'update_postimage', 3
+        |    FROM t WHERE doc_id % 10 = 1
+        |    UNION ALL SELECT doc_id, n_chars, 'delete', 4
+        |    FROM t WHERE doc_id % 10 = 2)
+        |SELECT ct AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM feed GROUP BY 1, 2""".stripMargin,
+
+    "q311_restore" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(4 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS restored_version,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 3 IN (0, 1) AND doc_id % 2 != 0)
+        |    AS n_bad_snapshot
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |GROUP BY lang""".stripMargin,
 
     "q310_history_ops" ->
       """SELECT CAST(v AS BIGINT) AS version, s AS n_segments,

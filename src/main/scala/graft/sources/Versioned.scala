@@ -65,12 +65,117 @@ object Versioned {
     text.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
+  /** CHECK constraints registered at `path` (name → Spark-SQL boolean
+    * expression text), from `manifest/constraints.txt`. Constraints
+    * are DATASET-level state (they outlive any one version), stored
+    * beside the manifests and updated only by the single-writer DDL
+    * ([[addConstraint]] / [[dropConstraint]]). */
+  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val f = new Path(s"$path/manifest", "constraints.txt")
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(n, e) = l.split("\t", 2)
+      n -> e
+    }.toMap
+  }
+
+  private def writeConstraints(spark: SparkSession, path: String,
+                               cs: Map[String, String]): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, "constraints.txt")
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest),
+      s"could not update constraints at $path")
+  }
+
+  /** Register a CHECK constraint: every FUTURE row written to the
+    * dataset must satisfy `exprSql` (a Spark-SQL boolean expression;
+    * NULL passes, the SQL-standard CHECK rule), enforced at the single
+    * data-write choke point ([[writeSegment]]) so appends, INSERT,
+    * every DML rewrite and the streaming sink are all covered — the
+    * Delta CHECK-constraint contract, the data-quality fence a corpus
+    * pipeline wants at the STORAGE layer rather than in every writer's
+    * code. The CURRENT head is validated first (one scan — existing
+    * data must already comply, or the add rejects with a sample
+    * violation), then a carry-all commit audits the DDL in the
+    * history. Returns the audit commit's version. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    require(!exprSql.contains("\t") && !exprSql.contains("\n"),
+      "constraint expression must not contain tabs/newlines")
+    val existing = constraints(spark, path)
+    require(!existing.contains(name),
+      s"constraint '$name' already exists at $path")
+    val hv = headVersion(spark, path)
+    val head = read(spark, path, Some(hv))
+    val expr = org.apache.spark.sql.functions.expr(exprSql) // parse loudly
+    val violating = head.filter(
+      org.apache.spark.sql.functions.coalesce(expr,
+        org.apache.spark.sql.functions.lit(true)) === false)
+    val sample = violating.limit(1).collect()
+    require(sample.isEmpty,
+      s"cannot add constraint '$name': existing rows violate " +
+        s"($exprSql), e.g. ${sample.headOption.fold("")(_.toString)}")
+    writeConstraints(spark, path, existing + (name -> exprSql))
+    commitSegments(spark, path, headSegments(spark, path, Some(hv)),
+      readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = s"add-constraint($name)")
+  }
+
+  /** Drop a CHECK constraint; audits as a carry-all commit. */
+  def dropConstraint(spark: SparkSession, path: String,
+                     name: String): Long = {
+    val existing = constraints(spark, path)
+    require(existing.contains(name),
+      s"constraint '$name' does not exist at $path")
+    val hv = headVersion(spark, path)
+    writeConstraints(spark, path, existing - name)
+    commitSegments(spark, path, headSegments(spark, path, Some(hv)),
+      readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = s"drop-constraint($name)")
+  }
+
   /** Write `df` as a fresh immutable segment under `path/data` and
     * return its name — the data half of a commit, invisible until a
     * manifest references it. Shared by [[commit]] and the
-    * segment-pruned DML paths in [[graft.Engine]]. */
+    * segment-pruned DML paths in [[graft.Engine]] — which makes it the
+    * CHECK-CONSTRAINT enforcement point: one validation pass over the
+    * incoming rows (cost ∝ rows written, never the table), failing
+    * LOUDLY with a sample row before any data lands. */
   private[graft] def writeSegment(df: DataFrame, path: String,
       writerOptions: Map[String, String] = Map.empty): String = {
+    val cs = constraints(df.sparkSession, path)
+    if (cs.nonEmpty) {
+      import org.apache.spark.sql.{functions => F}
+      def violated(exprSql: String) =
+        F.coalesce(F.expr(exprSql), F.lit(true)) === false
+      // ONE combined pass over the incoming rows; the per-constraint
+      // re-check to NAME the offender runs only on the failure path
+      if (df.filter(cs.values.map(violated).reduce(_ || _))
+          .limit(1).head(1).nonEmpty) {
+        cs.foreach { case (name, exprSql) =>
+          val sample = df.filter(violated(exprSql)).limit(1).collect()
+          if (sample.nonEmpty) throw new IllegalArgumentException(
+            s"CHECK constraint '$name' ($exprSql) violated at $path " +
+              s"by e.g. ${sample.head.toString}")
+        }
+      }
+    }
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.options(writerOptions).parquet(s"$path/data/$seg")
     // data-skipping sidecar from the just-written footers (KB-sized
@@ -880,6 +985,29 @@ object Versioned {
         dvMap.filter { case (s, _) => carried.contains(s) },
         cdc = CdcNeutral, expectedBase = Some(hv), op = "compact")
     }
+  }
+
+  /** ROLL BACK the head to a prior snapshot — as a NEW commit, never a
+    * history rewrite: the new head references exactly `toVersion`'s
+    * segments and deletion vectors (zero bytes move — segments are
+    * immutable, so pointing at them again is free), every version in
+    * between stays readable, and the audit trail records the restore
+    * itself. The bad-pipeline-run escape hatch: a corrupting publish
+    * is undone in manifest-write time at any table size. Fails loudly
+    * if `toVersion`'s segments were already vacuumed (the time-travel
+    * retention contract). Change-feed consumers: a restore that
+    * re-adds rows surfaces them as synthesized inserts; one that drops
+    * a rewrite's segments rejects feed ranges crossing it (its
+    * row-level delta is unknowable) — segment-level CDC covers those.
+    * Returns the NEW head version. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val hv = headVersion(spark, path)
+    require(versions(spark, path).contains(toVersion),
+      s"restore: version $toVersion not committed at $path")
+    val segs = readManifest(spark, path, toVersion)
+    val dvs = readDvMap(spark, path, toVersion)
+    commitSegments(spark, path, segs, dvs, expectedBase = Some(hv),
+      op = s"restore($toVersion)")
   }
 
   /** Materialize deletion vectors back into clean segments — the

@@ -730,6 +730,73 @@ object Streams {
     * [[graft.sources.Versioned.changes]] for increments, or tail the
     * dataset with the `graft-versioned` streaming SOURCE — an
     * exactly-once end-to-end pipeline over plain parquet. */
+  /** Apply a ROW-LEVEL CHANGE FEED (the [[graft.sources.Versioned
+    * .changeFeed]] shape: table columns + `_change_type` +
+    * `_commit_version`) to another versioned dataset keyed by `keys` —
+    * the CDC-REPLICATION consumer: a downstream replica, a serving
+    * copy, a feature store stay in sync by applying deltas instead of
+    * re-copying snapshots. The feed collapses to its NET effect first
+    * (newest of insert / update_postimage / delete per key — preimages
+    * are audit, not instructions), then ONE segment-pruned MERGE
+    * applies it: deletes drop, updates rewrite, new keys insert.
+    * Re-applying the same feed is content-idempotent (the same net
+    * values land again), so an at-least-once caller converges. Cost ∝
+    * feed size + affected target segments, never the target table. */
+  def applyChanges(spark: org.apache.spark.sql.SparkSession,
+                   targetPath: String, feed: DataFrame,
+                   keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val dataCols = feed.columns.toSeq
+      .filterNot(Set("_change_type", "_commit_version"))
+    require(keys.forall(dataCols.contains),
+      s"applyChanges: keys ${keys.mkString(",")} must be feed columns")
+    if (feed.isEmpty) return
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("_commit_version").desc, F.col("_change_type").asc)
+    val net = feed
+      .filter(F.col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .withColumnRenamed("_change_type", "__apply_op")
+      .drop("__rn", "_commit_version")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-apply").toString + "/net.parquet"
+    net.write.parquet(tmp)
+    try {
+      val eng = graft.Engine(spark)
+      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val sets = dataCols.filterNot(keys.contains)
+        .map(c => s"$c = s.$c").mkString(", ")
+      val updateClause =
+        if (sets.isEmpty) "" // key-only table: nothing to update
+        else s" WHEN MATCHED AND s.__apply_op != 'delete' " +
+          s"THEN UPDATE SET $sets"
+      eng.sql(
+        s"MERGE INTO '$targetPath' t USING '$tmp' s ON $on" +
+          " WHEN MATCHED AND s.__apply_op = 'delete' THEN DELETE" +
+          updateClause +
+          s" WHEN NOT MATCHED AND s.__apply_op != 'delete' THEN INSERT " +
+          s"(${dataCols.mkString(", ")}) VALUES " +
+          s"(${dataCols.map(c => s"s.$c").mkString(", ")})"): Unit
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp).getParentFile): Unit
+    }
+  }
+
+  /** `foreachBatch` CDC-replication sink: tail a source table's change
+    * feed (`readStream.format("graft-versioned").option(
+    * "readChangeFeed", "true")`) and apply each micro-batch to a
+    * replica via [[applyChanges]] — the end-to-end lakehouse
+    * replication loop (exactly-once ingest in, row-level CDC out,
+    * convergent apply down). A replayed batch re-applies the same net
+    * values — content-idempotent, the replica converges. */
+  def applyChangesSink(targetPath: String, keys: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      applyChanges(batch.sparkSession, targetPath, batch, keys)
+
   def versionedSink(path: String, app: String,
                     writerOptions: Map[String, String] = Map.empty,
                     maxRetries: Int = 10)

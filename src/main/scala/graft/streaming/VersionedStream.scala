@@ -56,14 +56,27 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-versioned source needs .option(\"path\", <dataset dir>)"))
 
+  private def readsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-versioned source infers its schema from the dataset head; " +
         "do not pass one")
-    (shortName(), Versioned.read(
-      sqlContext.sparkSession, pathOf(parameters)).schema)
+    val base = Versioned.read(
+      sqlContext.sparkSession, pathOf(parameters)).schema
+    // readChangeFeed mode streams the ROW-LEVEL change data feed:
+    // table columns + _change_type + _commit_version per micro-batch
+    val out =
+      if (!readsChangeFeed(parameters)) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -84,15 +97,25 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
           sqlContext.sparkSession, path, ts.toLong)
       case (None, None) => 0L
     }
-    new VersionedStreamSource(sqlContext, path, startV)
+    new VersionedStreamSource(sqlContext, path, startV,
+      changeFeed = readsChangeFeed(parameters))
   }
 }
 
 class VersionedStreamSource(sqlContext: SQLContext, path: String,
-                            startingVersion: Long) extends Source {
+                            startingVersion: Long,
+                            changeFeed: Boolean = false) extends Source {
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = Versioned.read(spark, path).schema
+  private val tableSchema: StructType = Versioned.read(spark, path).schema
+
+  override val schema: StructType =
+    if (!changeFeed) tableSchema
+    else StructType(tableSchema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 
   /** Offsets arrive live (LongOffset) or replayed from the checkpoint
     * log (SerializedOffset carrying LongOffset's json — the bare
@@ -112,7 +135,14 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     import org.apache.spark.sql.{functions => F}
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
-    val adds = Versioned.changes(spark, path, from, Some(to))
+    // changeFeed mode tails the ROW-LEVEL feed — inserts, update
+    // pre/postimage pairs, deletes, with commit attribution — the
+    // CDC-replication input (apply to a downstream table via MERGE).
+    // A range crossing a version whose row delta is unknowable (a
+    // legacy rewrite, a restore) fails LOUDLY, never skips silently.
+    val adds =
+      if (changeFeed) Versioned.changeFeed(spark, path, from, Some(to))
+      else Versioned.changes(spark, path, from, Some(to))
     val have = adds.columns.toSet
     // project onto the PINNED schema: evolved trailing columns from
     // commits after source creation drop; pre-widening segments serve

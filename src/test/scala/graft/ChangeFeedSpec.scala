@@ -240,6 +240,80 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Versioned.read(spark, path, Some(v)).count() == 50L)
   }
 
+  test("RESTORE rolls back as a new commit; history stays readable") {
+    val path = ds("restore")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-r").toString)
+    eng.sql(s"DELETE FROM '$path' WHERE id < 50") // v3: the bad run
+    assert(Versioned.read(spark, path).count() == 150L)
+    val st = eng.sql(s"RESTORE '$path' TO VERSION 2").df.collect().head
+    assert(st.getLong(0) == 4L && st.getLong(1) == 2L)
+    assert(Versioned.read(spark, path).count() == 200L)
+    // the bad snapshot is still readable for the post-mortem
+    assert(Versioned.read(spark, path, Some(3L)).count() == 150L)
+    // the restore removed v3's rewrite segment with no recorded change
+    // rows — feed ranges crossing it reject loudly
+    val e = intercept[IllegalArgumentException](feed(path, 3L).count())
+    assert(e.getMessage.contains("removed segments"))
+    // audit trail names the operation and its target
+    val hist = eng.sql(s"DESCRIBE HISTORY '$path'").df.collect()
+    assert(hist.find(_.getLong(0) == 4L).get
+      .getAs[String]("operation") == "restore(2)")
+    assert(hist.find(_.getLong(0) == 3L).get
+      .getAs[String]("operation") == "delete")
+    // nonexistent target rejects loudly
+    assertThrows[Exception](
+      eng.sql(s"RESTORE '$path' TO VERSION 99"))
+    // DML after a restore proceeds normally on the restored head
+    eng.sql(s"DELETE FROM '$path' WHERE id = 7")
+    assert(Versioned.read(spark, path).count() == 199L)
+  }
+
+  test("CHECK constraints fence every write path") {
+    import spark.implicits._
+    val path = ds("check")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-k").toString)
+    eng.sql(s"ALTER '$path' ADD CONSTRAINT score_nonneg " +
+      "CHECK (score >= 0)")
+    assert(eng.sql(s"SHOW CONSTRAINTS '$path'").df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("score_nonneg", "score >= 0")))
+    // the DDL audits in history
+    val hist = eng.sql(s"DESCRIBE HISTORY '$path'").df.collect()
+    assert(hist.last.getAs[String]("operation") ==
+      "add-constraint(score_nonneg)")
+    // a compliant append passes; a violating one rejects LOUDLY with
+    // the constraint's name, before any data lands
+    Versioned.commit(Seq((500L, "ok", 5L)).toDF("id", "payload", "score"),
+      path)
+    val e1 = intercept[IllegalArgumentException](Versioned.commit(
+      Seq((501L, "bad", -1L)).toDF("id", "payload", "score"), path))
+    assert(e1.getMessage.contains("score_nonneg"))
+    assert(Versioned.read(spark, path).count() == 201L)
+    // DML rewrites are fenced too: an UPDATE that would write a
+    // violating row fails, head unchanged
+    val e2 = intercept[Exception](
+      eng.sql(s"UPDATE '$path' SET score = -9 WHERE id = 3"))
+    assert(e2.getMessage.contains("score_nonneg"))
+    assert(Versioned.read(spark, path)
+      .where(F.col("score") < 0).count() == 0L)
+    // ... and the vectored UPDATE's replacement segment likewise
+    val e3 = intercept[Exception](
+      eng.sql(s"UPDATE VECTORED '$path' SET score = 0 - score " +
+        "WHERE id = 4"))
+    assert(e3.getMessage.contains("score_nonneg"))
+    // ADD over non-compliant existing data rejects with a sample
+    val e4 = intercept[Exception](
+      eng.sql(s"ALTER '$path' ADD CONSTRAINT small_ids CHECK (id < 10)"))
+    assert(e4.getMessage.contains("existing rows violate"))
+    // DROP lifts the fence
+    eng.sql(s"ALTER '$path' DROP CONSTRAINT score_nonneg")
+    Versioned.commit(Seq((502L, "now ok", -1L))
+      .toDF("id", "payload", "score"), path)
+    assert(Versioned.read(spark, path)
+      .where(F.col("score") < 0).count() == 1L)
+    assert(eng.sql(s"SHOW CONSTRAINTS '$path'").df.count() == 0L)
+  }
+
   test("vacuum retires change rows with their versions") {
     import spark.implicits._
     val path = ds("vac")

@@ -515,4 +515,92 @@ class StreamingSpec extends SparkSpec {
     // versions 3 (append) + 4 (delete rewrite): 10 + 29 rows
     assert(spark.read.parquet(s"$dir/out2").count() == 39L)
   }
+
+  test("versioned stream source tails the row-level change feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-cdf").toString
+    val ds = s"$dir/ds"
+    Versioned.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-versioned")
+        .option("path", ds).option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/cdc_out")
+        .option("checkpointLocation", s"$dir/cdc_chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val out1 = spark.read.parquet(s"$dir/cdc_out")
+    assert(out1.columns.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_version"))
+    assert(out1.count() == 40L)
+    assert(out1.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("insert"))
+    // an UPDATE's micro-batch carries the preimage/postimage pair; a
+    // vectored DELETE its retractions — with commit attribution
+    val eng = Engine(spark, dir)
+    eng.sql(s"UPDATE '$ds' SET v = 'X' WHERE id = 7")
+    eng.sql(s"DELETE VECTORED FROM '$ds' WHERE id IN (9, 11)")
+    drain()
+    val out2 = spark.read.parquet(s"$dir/cdc_out")
+    assert(out2.count() == 40L + 2L + 2L)
+    val byType = out2.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 40L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 2L))
+    assert(out2.where(F.col("_change_type") === "update_postimage")
+      .select("v").collect().head.getString(0) == "X")
+    assert(out2.where(F.col("_change_type") === "delete")
+      .select("_commit_version").distinct().collect()
+      .head.getLong(0) == 3L)
+    // nothing new: a re-drain emits no rows (cursor persisted)
+    drain()
+    assert(spark.read.parquet(s"$dir/cdc_out").count() == 44L)
+  }
+
+  test("CDC replication: change-feed stream applied to a replica") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-replica").toString
+    val src = s"$dir/src"
+    val rep = s"$dir/rep"
+    Versioned.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    // seed the replica from the snapshot, then apply deltas only
+    Versioned.commit(Versioned.read(spark, src), rep)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-versioned")
+        .option("path", src).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch(Streams.applyChangesSink(rep, Seq("id")))
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val eng = Engine(spark, dir)
+    eng.sql(s"UPDATE '$src' SET v = 'X' WHERE id = 7")
+    eng.sql(s"DELETE VECTORED FROM '$src' WHERE id IN (9, 11)")
+    Versioned.commit((41L to 45L).map(i => (i, s"v$i")).toDF("id", "v"),
+      src)
+    drain()
+    def state(p: String) = Versioned.read(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(rep) == state(src))
+    assert(state(rep).size == 43) // 40 - 2 deleted + 5 appended
+    assert(state(rep).contains((7L, "X")))
+    // more churn, including an update of a previously applied row —
+    // the replica converges again through the same checkpoint cursor
+    eng.sql(s"UPDATE '$src' SET v = 'Y' WHERE id = 41")
+    eng.sql(s"DELETE FROM '$src' WHERE id = 42") // COW delete this time
+    drain()
+    assert(state(rep) == state(src))
+    assert(state(rep).contains((41L, "Y")))
+    assert(!state(rep).exists(_._1 == 42L))
+  }
 }
