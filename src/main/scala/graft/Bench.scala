@@ -1066,6 +1066,72 @@ object Bench {
     }
     tracer.drain()
 
+    // CDC REPLICATION SHAPE: keep a 6M-row 16-segment replica in sync
+    // after a 16-row update confined to ONE source segment — apply the
+    // row-level change feed (cost ∝ delta + the ONE replica segment
+    // the MERGE rewrites; 15 of 16 carry by reference) vs re-copying
+    // the snapshot (cost ∝ the whole table). At 100 TB the feed apply
+    // is the only viable shape; the probe pair measures the gap at 6M
+    // and it widens linearly with table size and with segment count.
+    // Each rep updates a FRESH id set and applies exactly that
+    // version's feed.
+    val (replApply, replCopy) = {
+      import org.apache.spark.sql.{functions => F}
+      val li = spark.read.parquet(x10Path)
+      val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
+        .collect().head
+      val (mnK, mxK) = (b.getLong(0), b.getLong(1))
+      val nSeg = 16
+      val width = (mxK - mnK) / nSeg + 1
+      def stage16(tag: String): String = {
+        val p = newTempDir(s"graft_bench_repl_$tag") + "/ds"
+        (0 until nSeg).foreach { i =>
+          graft.sources.Versioned.commit(
+            li.filter(F.col("l_orderkey") >= mnK + i * width &&
+              F.col("l_orderkey") < mnK + (i + 1) * width), p): Unit
+        }
+        p
+      }
+      val srcPath = stage16("src")
+      val repPath = stage16("rep") // same 16-range layout as the source
+      // real keys from segment 0 (l_orderkey is sparse — synthesized
+      // ids could match nothing and fake a free apply), bounded collect
+      val seg0Keys = li.filter(F.col("l_orderkey") < mnK + width)
+        .select("l_orderkey").distinct().orderBy("l_orderkey")
+        .limit(200).collect().map(_.getLong(0))
+      val eng = graft.Engine(spark)
+      // pre-stage one 16-row single-segment source update per probe
+      // EXECUTION (warmup + reps), so the timed body is ONLY the
+      // replication consumer: feed read + net-effect MERGE apply
+      val nExec = 4 // probe runs 1 warmup + 3 reps
+      val ranges = (1 to nExec).map { r =>
+        val ids = seg0Keys.slice(r * 16, r * 16 + 16).toSeq
+        val hv0 = graft.sources.Versioned.versions(spark, srcPath).last
+        eng.sql(s"UPDATE '$srcPath' SET l_tax = l_tax + 0.001 WHERE " +
+          s"l_orderkey IN (${ids.mkString(", ")})"): Unit
+        (hv0, graft.sources.Versioned.versions(spark, srcPath).last)
+      }
+      var rep = 0
+      val apply = probe(spark, "q06_replica_apply_delta", reps = 3) {
+        // each execution applies a DISTINCT staged version range: the
+        // feed's MERGE touches ONE replica segment, 15 carry
+        val (from, to) = ranges(rep % nExec); rep += 1
+        val feed = graft.sources.Versioned.changeFeed(
+          spark, srcPath, from, Some(to))
+        graft.streaming.Streams.applyChanges(spark, repPath, feed,
+          Seq("l_orderkey", "l_linenumber"))
+        spark.range(0).toDF()
+      }
+      val copy = probe(spark, "q06_replica_recopy", reps = 3) {
+        graft.sources.Versioned.commit(
+          graft.sources.Versioned.read(spark, srcPath),
+          newTempDir("graft_bench_repl_copy") + "/ds"): Unit
+        spark.range(0).toDF()
+      }
+      (apply, copy)
+    }
+    tracer.drain()
+
     // the LSH family's dominant stages ranged 0.35-1.50s across one
     // process in round 5 (bench_stages.json 524/535/546) — a median of 3
     // manufactured a phantom 61% regression there; these get 5 reps
@@ -1132,6 +1198,8 @@ object Bench {
         :+ ("q06_skipping_noskip" -> skipRaw)
         :+ ("q06_delete_cow_16segs" -> dmlCow)
         :+ ("q06_delete_dv_16segs" -> dmlDv)
+        :+ ("q06_replica_apply_delta" -> replApply)
+        :+ ("q06_replica_recopy" -> replCopy)
         :+ ("q06_rawlayout_600krows" -> rawQ1))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
       .mkString("{", ",", "}")
@@ -1217,6 +1285,8 @@ object Bench {
       "q06_skipping_noskip" -> skipRaw,
       "q06_delete_cow_16segs" -> dmlCow,
       "q06_delete_dv_16segs" -> dmlDv,
+      "q06_replica_apply_delta" -> replApply,
+      "q06_replica_recopy" -> replCopy,
       "q06_rawlayout_600krows" -> rawQ1)
     val regressionsJson = allCurrent.flatMap { case (name, cur) =>
       prevBench._2.get(name).collect {
@@ -1262,7 +1332,15 @@ object Bench {
       "rep) -- copy-on-write rewrites every affected segment (here the " +
       "whole table), deletion vectors write 16 position lists and " +
       "carry every segment byte-identical; the ratio is the " +
-      "merge-on-read story and scales with segment size. q279_bpe_train32k_wordcount / " +
+      "merge-on-read story and scales with segment size. " +
+      "q06_replica_apply_delta vs q06_replica_recopy: syncing a 6M-row " +
+      "16-segment replica after a 16-row single-segment source update " +
+      "-- the timed body is the replication CONSUMER only (feed read + " +
+      "net-effect MERGE: ONE replica segment rewrites, 15 carry by " +
+      "reference; the match join scans the replica once with no " +
+      "write) vs re-copying the snapshot (full read + full write). " +
+      "Apply cost is O(delta + touched segment + one scan), recopy " +
+      "O(2x table); the gap widens with table size and segment count. q279_bpe_train32k_wordcount / " +
       "_mergeloop / q279_bpe_encode32k: the production-vocabulary " +
       "tokenizer at 32768 merges over the x10 corpus widened with one " +
       "md5-hex word per row (~50k distinct words — the fixture text's " +

@@ -133,7 +133,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * operation (readers pinned to dropped versions lose their
     * segments). Returns one row (versions_kept, head_version). */
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$""".r
+    """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(DRY)\s+RUN)?\s*$""".r
 
   /** `OPTIMIZE '<versioned-ds>'` (extension, the lakehouse statement):
     * compact the head's per-batch segments into one
@@ -484,14 +484,36 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("restored_version", LongType, nullable = false)))))
-    case VacuumRe(target, keep) =>
+    case VacuumRe(target, keep, dry) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
       if (graft.sources.Versioned.versions(spark, resolved).isEmpty)
         throw new SemanticError(
           s"VACUUM requires a Versioned dataset at '$resolved'")
       val n = Option(keep).map(_.toInt).getOrElse(1)
-      graft.sources.Versioned.vacuum(spark, resolved, n)
+      if (dry != null) {
+        // DRY RUN: the operator's pre-flight — what WOULD retention at
+        // KEEP n delete, and how many data bytes does it free — with
+        // nothing touched (metadata walk only)
+        val st = graft.sources.Versioned.vacuum(spark, resolved, n,
+          dryRun = true)
+        import org.apache.spark.sql.types.{LongType, StructField,
+          StructType}
+        return GraftFrame.fromDF(spark.createDataFrame(
+          java.util.List.of(Row(st.versionsDropped.toLong,
+            st.segmentsDeleted.toLong, st.dvFilesDeleted.toLong,
+            st.cdcEntriesDeleted.toLong, st.bytesFreed)),
+          StructType(Seq(
+            StructField("would_drop_versions", LongType, nullable = false),
+            StructField("would_delete_segments", LongType,
+              nullable = false),
+            StructField("would_delete_dv_files", LongType,
+              nullable = false),
+            StructField("would_delete_cdc_entries", LongType,
+              nullable = false),
+            StructField("would_free_bytes", LongType, nullable = false)))))
+      }
+      graft.sources.Versioned.vacuum(spark, resolved, n): Unit
       val left = graft.sources.Versioned.versions(spark, resolved)
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
@@ -603,15 +625,28 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val hfs = new org.apache.hadoop.fs.Path(resolved)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // operation = the commit's #op header line; versions committed
-      // before operations were recorded surface "" (never a guess)
-      val rows = vs.map(v => Row(v,
-        graft.sources.Versioned.segmentCount(spark, resolved, Some(v)),
-        v == vs.last,
-        hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-          s"$resolved/manifest", f"v-$v%09d.txt")).getModificationTime,
-        graft.sources.Versioned.manifestMeta(spark, resolved, v)
-          .collectFirst { case l if l.startsWith("#op ") =>
-            l.stripPrefix("#op ") }.getOrElse("")))
+      // before operations were recorded surface "" (never a guess).
+      // change_rows = the DML's recorded change-row count (the `#cdc
+      // <dir> <n>` header): NULL when the version recorded nothing (an
+      // append's inserts are lazy, a reorganization is neutral) — the
+      // per-version impact column of the audit.
+      val rows = vs.map { v =>
+        val meta = graft.sources.Versioned.manifestMeta(spark, resolved, v)
+        val changeRows: java.lang.Long = meta.collectFirst {
+          case l if l.startsWith("#cdc ") && l != "#cdc neutral" &&
+              l.stripPrefix("#cdc ").split(" ").length > 1 =>
+            java.lang.Long.valueOf(
+              l.stripPrefix("#cdc ").split(" ")(1))
+        }.orNull
+        Row(v,
+          graft.sources.Versioned.segmentCount(spark, resolved, Some(v)),
+          v == vs.last,
+          hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+            s"$resolved/manifest", f"v-$v%09d.txt")).getModificationTime,
+          meta.collectFirst { case l if l.startsWith("#op ") =>
+            l.stripPrefix("#op ") }.getOrElse(""),
+          changeRows)
+      }
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -621,7 +656,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("is_head", BooleanType, nullable = false),
           StructField("commit_ts", LongType, nullable = false),
           StructField("operation", org.apache.spark.sql.types.StringType,
-            nullable = false)))))
+            nullable = false),
+          StructField("change_rows", LongType, nullable = true)))))
     case DescribeRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val df = table(ref).df

@@ -86,6 +86,14 @@ object Shell {
       "ROLLUP", "CUBE", "GROUPING", "SETS", "ALL", "ANY", "VALUES",
       "ILIKE", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
       "CURRENT", "ROW", "CAST", "INTERVAL",
+      // lakehouse statements and clauses
+      "INSERT", "INTO", "UPDATE", "DELETE", "MERGE", "USING", "MATCHED",
+      "SET", "VECTORED", "OPTIMIZE", "ZORDER", "SEGMENTS", "PURGE",
+      "THRESHOLD", "VACUUM", "KEEP", "RESTORE", "VERSION", "TIMESTAMP",
+      "CHANGES", "REMOVALS", "CHANGE_FEED", "HISTORY", "DESCRIBE",
+      "ANALYZE", "SUMMARIZE", "FOOTERS", "ALTER", "ADD", "DROP",
+      "CONSTRAINT", "CHECK", "SHOW", "CONSTRAINTS", "COPY", "CREATE",
+      "TABLE", "VIEW", "EXPLAIN", "FORMATTED",
       "exit") ++ tables
     val terminal = TerminalBuilder.builder().system(true).build()
     val history = new DefaultHistory()

@@ -2330,6 +2330,33 @@ object SparkEntry {
           F.sum("n_chars").cast("long").as("chars"))
     }),
 
+    // VACUUM DRY RUN: retention pre-flight — forecast what KEEP 1
+    // would drop (versions, segments, bytes) with NOTHING touched;
+    // the gate pins the forecast counts AND proves no deletion
+    // happened (the v1 snapshot still reads, the forecast's positive
+    // byte count rides as a flag)
+    "q315_vacuum_dry" -> ((s, dir) => {
+      val path = stagingDir("graft_vacdry") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 to 1).foreach(r =>
+        Versioned.commit(base.filter(F.col("doc_id") % 3 === r), path))
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id % 3 = 0") // empties seg 1
+      val dry = eng.sql(s"VACUUM '$path' KEEP 1 DRY RUN").df
+        .collect().head
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' FOR VERSION AS OF 1 GROUP BY lang""".stripMargin)
+        .df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("would_drop_versions", F.lit(dry.getLong(0)))
+        .withColumn("would_delete_segments", F.lit(dry.getLong(1)))
+        .withColumn("bytes_positive", F.lit(dry.getLong(4) > 0L))
+        .withColumn("n_versions_after_dry",
+          F.lit(Versioned.versions(s, path).size.toLong))
+    }),
+
     // CHECK constraints: the storage-layer data-quality fence — ADD
     // validates existing rows, then every write path (append, INSERT,
     // DML rewrites) enforces it; violating statements reject loudly
@@ -2435,7 +2462,8 @@ object SparkEntry {
       eng.sql(s"OPTIMIZE '$path' PURGE")
       eng.sql(s"OPTIMIZE '$path' ZORDER BY (doc_id, n_chars)")
       eng.sql(s"DESCRIBE HISTORY '$path'").df
-        .select("version", "n_segments", "is_head", "operation")
+        .select("version", "n_segments", "is_head", "operation",
+          "change_rows")
     }),
 
     // OPTIMIZE PURGE: metadata-driven vector materialization — only
@@ -6533,6 +6561,16 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_segs_head
         |FROM feed GROUP BY 1""".stripMargin,
 
+    "q315_vacuum_dry" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(2 AS BIGINT) AS would_drop_versions,
+        |  CAST(1 AS BIGINT) AS would_delete_segments,
+        |  true AS bytes_positive,
+        |  CAST(3 AS BIGINT) AS n_versions_after_dry
+        |FROM documents WHERE doc_id % 3 = 0
+        |GROUP BY lang""".stripMargin,
+
     "q314_check_constraints" ->
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
@@ -6582,7 +6620,13 @@ object SparkEntry {
 
     "q310_history_ops" ->
       """SELECT CAST(v AS BIGINT) AS version, s AS n_segments,
-        |  h AS is_head, o AS operation
+        |  h AS is_head, o AS operation,
+        |  CAST(CASE
+        |    WHEN v = 3 THEN 2 * (SELECT COUNT(*) FROM documents
+        |      WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 = 1)
+        |    WHEN v = 4 THEN (SELECT COUNT(*) FROM documents
+        |      WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 = 2)
+        |  END AS BIGINT) AS change_rows
         |FROM (VALUES
         |  (1, 1, false, 'append'),
         |  (2, 2, false, 'append'),

@@ -267,7 +267,21 @@ object Versioned {
       case CdcRows(df) =>
         val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
         df.write.mode("errorifexists").parquet(s"$path/_cdc/$name")
-        Some(s"#cdc $name")
+        // the recorded change-row count rides the header (from the
+        // just-written footers — driver-side metadata, no job): what
+        // DESCRIBE HISTORY surfaces as each DML version's impact
+        val n = try {
+          fs.listStatus(new Path(s"$path/_cdc/$name"))
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  st.getPath, spark.sparkContext.hadoopConfiguration))
+              try rdr.getRecordCount finally rdr.close()
+            }.sum
+        } catch { case scala.util.control.NonFatal(_) => -1L }
+        Some(s"#cdc $name $n")
     }
     val txnLine = txn.map { case (app, batchId) =>
       require(!app.contains("\t") && !app.contains("\n"),
@@ -318,7 +332,8 @@ object Versioned {
         version
       } catch { case e: Throwable =>
         cdcLine.filter(_ != "#cdc neutral").foreach { l =>
-          fs.delete(new Path(s"$path/_cdc/${l.stripPrefix("#cdc ")}"),
+          fs.delete(new Path(
+            s"$path/_cdc/${l.stripPrefix("#cdc ").split(" ")(0)}"),
             true): Unit
         }
         throw e
@@ -1229,12 +1244,23 @@ object Versioned {
     * Maintenance-window contract (like any table format's vacuum):
     * readers still pinned to a dropped version lose their segments —
     * run it when no reader holds versions older than the cutoff. */
+  /** What a [[vacuum]] deleted — or, for a DRY RUN, WOULD delete:
+    * versions dropped, data segments removed, deletion-vector files
+    * retired, change-feed entries swept, and the data bytes freed
+    * (segment directories only; metadata files are noise). The
+    * operator's pre-flight answer to "how much history am I about to
+    * lose, and what does it buy me". */
+  final case class VacuumStats(versionsDropped: Int, segmentsDeleted: Int,
+                               dvFilesDeleted: Int, cdcEntriesDeleted: Int,
+                               bytesFreed: Long)
+
   def vacuum(spark: SparkSession, path: String,
-             keepVersions: Int = Int.MaxValue): Unit = {
+             keepVersions: Int = Int.MaxValue,
+             dryRun: Boolean = false): VacuumStats = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val fs = fsOf(spark, path)
     val all = versions(spark, path)
-    if (all.isEmpty) return
+    if (all.isEmpty) return VacuumStats(0, 0, 0, 0, 0L)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
     // dropped versions' exactly-once watermarks ROLL UP into one file
     // BEFORE their manifests die — a replayed batch older than the
@@ -1246,7 +1272,7 @@ object Versioned {
           a -> b.toLong
       }
     }
-    if (droppedTxns.nonEmpty) {
+    if (droppedTxns.nonEmpty && !dryRun) {
       val merged = (readTxnRollup(spark, path).toSeq ++ droppedTxns)
         .groupMapReduce(_._1)(_._2)(math.max)
       val tmp = new Path(s"$path/manifest",
@@ -1259,7 +1285,7 @@ object Versioned {
       require(fs.rename(tmp, txnRollupPath(path)),
         s"vacuum: could not update txn watermark rollup at $path")
     }
-    drop.foreach { v =>
+    if (!dryRun) drop.foreach { v =>
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit
     }
     // change-feed dirs retire when no RETAINED manifest references
@@ -1268,15 +1294,19 @@ object Versioned {
     // detection-scan staging (the single-writer maintenance contract,
     // like .optimize-tmp-)
     val cdcDir = new Path(s"$path/_cdc")
+    var cdcDeleted = 0
     if (fs.exists(cdcDir)) {
       val referencedCdc = keep.flatMap { v =>
         manifestMeta(spark, path, v).collect {
           case l if l.startsWith("#cdc ") && l != "#cdc neutral" =>
-            l.stripPrefix("#cdc ")
+            l.stripPrefix("#cdc ").split(" ")(0)
         }
       }.toSet
       fs.listStatus(cdcDir).map(_.getPath).foreach { p =>
-        if (!referencedCdc.contains(p.getName)) fs.delete(p, true): Unit
+        if (!referencedCdc.contains(p.getName)) {
+          cdcDeleted += 1
+          if (!dryRun) fs.delete(p, true): Unit
+        }
       }
     }
     // deletion vectors referenced by NO retained version retire with
@@ -1284,27 +1314,40 @@ object Versioned {
     // a dropped version)
     val referencedDvs = keep.flatMap(readDvMap(spark, path, _).values).toSet
     val dvDir = new Path(s"$path/dv")
+    var dvDeleted = 0
     if (fs.exists(dvDir))
       fs.listStatus(dvDir).map(_.getPath)
         .filter(p => p.getName.endsWith(".dv") &&
           !referencedDvs.contains(p.getName))
-        .foreach(p => fs.delete(p, false): Unit)
+        .foreach { p =>
+          dvDeleted += 1
+          if (!dryRun) fs.delete(p, false): Unit
+        }
     val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
     // staging orphans from crashed multi-segment OPTIMIZE runs (the
     // single-writer maintenance contract covers a concurrent OPTIMIZE)
-    fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(_.getName.startsWith(".optimize-tmp-"))
-      .foreach(p => fs.delete(p, true): Unit)
+    if (!dryRun)
+      fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.startsWith(".optimize-tmp-"))
+        .foreach(p => fs.delete(p, true): Unit)
     val dataDir = new Path(s"$path/data")
+    var segsDeleted = 0
+    var bytesFreed = 0L
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath)
         .filter(p => p.getName.startsWith("seg-") &&
           !referenced.contains(p.getName))
         .foreach { p =>
-          fs.delete(p, true): Unit
-          // the retired segment's data-skipping sidecar goes with it
-          fs.delete(SegmentStats.sidecar(path, p.getName), false): Unit
+          segsDeleted += 1
+          bytesFreed += fs.getContentSummary(p).getLength
+          if (!dryRun) {
+            fs.delete(p, true): Unit
+            // the retired segment's data-skipping sidecar goes with it
+            fs.delete(SegmentStats.sidecar(path, p.getName), false): Unit
+          }
         }
+    VacuumStats(drop.length, segsDeleted, dvDeleted, cdcDeleted,
+      bytesFreed)
   }
 
   /** The version that was HEAD at wall-clock instant `tsMillis`: the
@@ -1561,10 +1604,14 @@ object Versioned {
       val cdcMeta = manifestMeta(spark, path, v)
         .find(_.startsWith("#cdc "))
       if (cdcMeta.contains("#cdc neutral")) None
-      else if (cdcMeta.isDefined)
+      else if (cdcMeta.isDefined) {
+        // header shape: `#cdc <dir> [<rows>]` — the count is audit
+        // metadata, the dir name is the pointer
+        val dirName = cdcMeta.get.stripPrefix("#cdc ").split(" ")(0)
         Some(spark.read
-          .parquet(s"$path/_cdc/${cdcMeta.get.stripPrefix("#cdc ")}")
+          .parquet(s"$path/_cdc/$dirName")
           .withColumn("_commit_version", F.lit(v)))
+      }
       else {
         val prev = all.takeWhile(_ < v).lastOption.getOrElse(0L)
         val (added, removed) = manifestDelta(spark, path, prev, Some(v))

@@ -314,6 +314,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(eng.sql(s"SHOW CONSTRAINTS '$path'").df.count() == 0L)
   }
 
+  test("VACUUM DRY RUN forecasts without deleting") {
+    val path = ds("dry")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-d").toString)
+    eng.sql(s"DELETE FROM '$path' WHERE id < 50") // v3 rewrites segment 1
+    val dry = eng.sql(s"VACUUM '$path' KEEP 1 DRY RUN").df.collect().head
+    assert(dry.getLong(0) == 2L, s"would_drop_versions: $dry") // v1, v2
+    assert(dry.getLong(1) == 1L, s"would_delete_segments: $dry")
+    assert(dry.getLong(3) == 0L) // v3's change rows are RETAINED
+    assert(dry.getLong(4) > 0L)  // the original segment's bytes
+    // the forecast touched NOTHING
+    assert(Versioned.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(Versioned.read(spark, path, Some(1L)).count() == 100L)
+    assert(feed(path, 2L).count() == 50L) // change rows intact
+    // the real run matches its forecast
+    val st = Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(st.versionsDropped == 2 && st.segmentsDeleted == 1)
+    assert(st.bytesFreed == dry.getLong(4))
+    assert(Versioned.versions(spark, path) == Seq(3L))
+  }
+
   test("vacuum retires change rows with their versions") {
     import spark.implicits._
     val path = ds("vac")
