@@ -1210,30 +1210,31 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         case (MergeUpd(_, _), i) => i }
       val delIdxs = matchedClauses.zipWithIndex.collect {
         case (MergeDel(_), i) => i }
+      // per-clause action counts AND the affected-segment set from ONE
+      // aggregation job over the (match-count-bounded, checkpointed)
+      // pairs frame: groupBy the winning clause, count rows, and
+      // collect_set the owning segments (bounded by manifest length ×
+      // clause count — driver-safe by construction)
+      val byWinRows =
+        if (matchedClauses.isEmpty) Array.empty[Row]
+        else pairs.filter(F.col("__win").isNotNull)
+          .groupBy("__win").agg(F.count(F.lit(1)).as("c"),
+            F.collect_set(F.col("__seg")).as("segs"))
+          .collect()
+      val byWin = byWinRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
       val (nUpdated, nDeleted) =
-        if (matchedClauses.isEmpty) (0L, 0L)
-        else {
-          val byWin = pairs.filter(F.col("__win").isNotNull)
-            .groupBy("__win").agg(F.count(F.lit(1)).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
-            delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
-        }
+        (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
+          delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
       val segsAll =
         graft.sources.Versioned.headSegments(spark, resolved, Some(hv))
       // SEGMENT PRUNING: only the segments holding rows a clause FIRED
       // on are rewritten (a matched row whose conditions all failed
-      // rewrites nothing) — the distinct-__seg collect is bounded by
-      // the manifest length; untouched segments carry into the new
+      // rewrites nothing); untouched segments carry into the new
       // manifest by reference, files byte-identical. An insert-only
       // MERGE rewrites nothing at all: at 100 TB a one-row upsert costs
       // one segment (plus the match join), not a full-table copy.
       val affected: Set[String] =
-        if (matchedClauses.nonEmpty)
-          pairs.filter(F.col("__win").isNotNull)
-            .select("__seg").distinct().collect()
-            .map(_.getString(0)).toSet
-        else Set.empty
+        byWinRows.flatMap(_.getSeq[String](2)).toSet
       val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
       // affected segments re-read once, flagged with each row's winning
       // clause — survivors AND the change-feed rows derive from it

@@ -1014,6 +1014,10 @@ object Versioned {
     * re-adds rows surfaces them as synthesized inserts; one that drops
     * a rewrite's segments rejects feed ranges crossing it (its
     * row-level delta is unknowable) — segment-level CDC covers those.
+    * CHECK constraints are write-time fences: restoring to a snapshot
+    * that predates a constraint can resurface rows violating it (a
+    * restore moves no data through the validated write path — the
+    * Delta behavior; re-validate with a filtered count if it matters).
     * Returns the NEW head version. */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val hv = headVersion(spark, path)

@@ -760,10 +760,19 @@ object Streams {
       .filter(F.col("__rn") === 1)
       .withColumnRenamed("_change_type", "__apply_op")
       .drop("__rn", "_commit_version")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-apply").toString + "/net.parquet"
+    // the net frame stages on the TARGET's storage (cluster-visible —
+    // a driver-local temp dir would break the MERGE's executor reads
+    // on a real cluster), named like the DML detection staging so a
+    // crash orphan is swept by the target's vacuum
+    val tmp = s"$targetPath/_cdc/.staging-apply-" +
+      java.util.UUID.randomUUID().toString.take(8) + "/net.parquet"
     net.write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
+      // a feed with no ACTIONABLE rows (audit preimages only) applies
+      // nothing — skip the MERGE rather than committing a no-op version
+      if (spark.read.schema(net.schema).parquet(tmp).isEmpty) return
       val eng = graft.Engine(spark)
       val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
       val sets = dataCols.filterNot(keys.contains)
@@ -780,8 +789,7 @@ object Streams {
           s"(${dataCols.mkString(", ")}) VALUES " +
           s"(${dataCols.map(c => s"s.$c").mkString(", ")})"): Unit
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(tmp).getParentFile): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(tmp).getParent, true): Unit
     }
   }
 
