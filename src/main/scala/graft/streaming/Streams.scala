@@ -772,9 +772,55 @@ object Streams {
     try {
       // a feed with no ACTIONABLE rows (audit preimages only) applies
       // nothing — skip the MERGE rather than committing a no-op version
-      if (spark.read.schema(net.schema).parquet(tmp).isEmpty) return
+      val staged = spark.read.schema(net.schema).parquet(tmp)
+      if (staged.isEmpty) return
+      // SOURCE-KEY BOUNDS PRUNING (the Delta MERGE file-skipping move):
+      // a replication delta is usually LOCAL in key space, but the
+      // match join would still scan the whole target — so derive each
+      // key's [min, max] from the (delta-sized) staged frame and add
+      // them to the ON condition as target-side conjuncts. Catalyst
+      // pushes single-side join predicates into the scan, where the
+      // manifest's data-skipping stats drop every non-overlapping
+      // segment: the apply's read cost becomes O(key-local segments),
+      // not O(table). Numeric and string keys only; others just skip
+      // the bound (correctness never depends on it).
+      val boundable = {
+        import org.apache.spark.sql.types._
+        staged.schema.fields
+          .filter(f => keys.contains(f.name))
+          // integral + string keys only: their literals render into
+          // the dialect exactly (float E-notation would not)
+          .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
+            LongType, StringType)(f.dataType))
+      }
+      val boundConds =
+        if (boundable.isEmpty) Seq.empty[String]
+        else {
+          val aggs = boundable.flatMap(f =>
+            Seq(F.min(F.col(f.name)), F.max(F.col(f.name))))
+          val row = staged.agg(aggs.head, aggs.tail.toSeq: _*)
+            .collect().head
+          def lit(v: Any): String = v match {
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case other => other.toString
+          }
+          boundable.zipWithIndex.flatMap { case (f, i) =>
+            val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+            // a quoted string bound would need escaping the dialect's
+            // tokenizer doesn't define — skip the bound, never mangle
+            def safe(v: Any) = v match {
+              case s: String => !s.contains("'")
+              case _ => true
+            }
+            if (lo == null || hi == null || !safe(lo) || !safe(hi))
+              Seq.empty
+            else Seq(s"t.${f.name} >= ${lit(lo)}",
+              s"t.${f.name} <= ${lit(hi)}")
+          }.toSeq
+        }
       val eng = graft.Engine(spark)
-      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val on = (keys.map(k => s"t.$k = s.$k") ++ boundConds)
+        .mkString(" AND ")
       val sets = dataCols.filterNot(keys.contains)
         .map(c => s"$c = s.$c").mkString(", ")
       val updateClause =

@@ -562,6 +562,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cdc_out").count() == 44L)
   }
 
+  test("applyChanges prunes the match join to key-overlapping segments") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-applyprune").toString
+    val rep = s"$dir/rep"
+    // 8 segments of 100 rows each, disjoint id ranges
+    (0 until 8).foreach { i =>
+      Versioned.commit((i * 100L until i * 100L + 100)
+        .map(id => (id, s"v$id")).toDF("id", "v"), rep)
+    }
+    // a delta confined to segment 1's key range
+    val feed = Seq((105L, "X", "update_postimage", 9L),
+        (107L, "X", "update_postimage", 9L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.add(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Streams.applyChanges(spark, rep, feed, Seq("id"))
+      var last = -1L
+      var spins = 0
+      while (recs.sum() != last && spins < 100) {
+        last = recs.sum(); Thread.sleep(30); spins += 1
+      }
+      // source-key bounds push into the match join's scan: only
+      // segment 1 (100 rows) reads for the join and again for the
+      // rewrite, plus delta-sized staging — an unpruned apply reads
+      // all 800 rows for the join alone and breaks this budget
+      assert(recs.sum() <= 500L,
+        s"applyChanges read ${recs.sum()} records — the match join " +
+          "scanned segments the delta's key bounds exclude")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val df = Versioned.read(spark, rep)
+    assert(df.count() == 800L)
+    assert(df.where(F.col("v") === "X").count() == 2L)
+    // only segment 1 was rewritten
+    assert(Versioned.changes(spark, rep, 8L).count() == 100L)
+  }
+
   test("CDC replication: change-feed stream applied to a replica") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.Versioned
