@@ -2330,6 +2330,32 @@ object SparkEntry {
           F.sum("n_chars").cast("long").as("chars"))
     }),
 
+    // change feed under SCHEMA EVOLUTION: a widening append adds a
+    // column mid-history; synthesized inserts for pre-evolution
+    // versions serve NULL for it, recorded delete rows align to the
+    // head schema — the whole feed groups by the evolved column with
+    // NULLs coalesced, replayed exactly in DuckDB
+    "q316_cdf_evolution" -> ((s, dir) => {
+      val path = stagingDir("graft_cdf_evo") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "n_chars")
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 0), path)
+      Versioned.commit(
+        base.filter(F.col("doc_id") % 3 === 1)
+          .withColumn("lang", F.when(F.col("doc_id") % 2 === 0, "a")
+            .otherwise("b")), path)
+      val eng = Engine(s, dir)
+      eng.sql(s"DELETE FROM '$path' WHERE doc_id % 10 = 3")
+      eng.sql(
+        s"""SELECT _change_type, _commit_version, lang2 AS lang,
+           |  COUNT() AS n, CAST(SUM(doc_id) AS BIGINT) AS ids
+           |FROM (SELECT _change_type, _commit_version, doc_id,
+           |    CASE WHEN lang IS NULL THEN '-' ELSE lang END AS lang2
+           |  FROM '$path' FOR CHANGE_FEED FROM 0) f
+           |GROUP BY _change_type, _commit_version, lang2""".stripMargin)
+        .df
+        .withColumn("n", F.col("n").cast("long"))
+    }),
+
     // VACUUM DRY RUN: retention pre-flight — forecast what KEEP 1
     // would drop (versions, segments, bytes) with NOTHING touched;
     // the gate pins the forecast counts AND proves no deletion
@@ -6560,6 +6586,23 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_carried,
         |  CAST(3 AS BIGINT) AS n_segs_head
         |FROM feed GROUP BY 1""".stripMargin,
+
+    "q316_cdf_evolution" ->
+      """WITH t0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |  t1 AS (SELECT doc_id,
+        |      CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS lang
+        |    FROM documents WHERE doc_id % 3 = 1),
+        |  feed AS (
+        |    SELECT doc_id, NULL AS lang, 'insert' AS ct, 1 AS v FROM t0
+        |    UNION ALL SELECT doc_id, lang, 'insert', 2 FROM t1
+        |    UNION ALL SELECT doc_id, NULL, 'delete', 3
+        |    FROM t0 WHERE doc_id % 10 = 3
+        |    UNION ALL SELECT doc_id, lang, 'delete', 3
+        |    FROM t1 WHERE doc_id % 10 = 3)
+        |SELECT ct AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+        |  COALESCE(lang, '-') AS lang, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS ids
+        |FROM feed GROUP BY 1, 2, 3""".stripMargin,
 
     "q315_vacuum_dry" ->
       """SELECT lang, COUNT(*) AS n,
