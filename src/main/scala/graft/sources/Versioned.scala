@@ -14,18 +14,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `data/seg-<uuid>/`    — IMMUTABLE parquet segment directories,
   *     written once, never modified (task-parallel writes, no driver
   *     byte path);
-  *   - `manifest/v-N.txt`    — version N = the newline-joined list of
-  *     segment names composing that snapshot, committed via write-temp
-  *     + atomic RENAME.
+  *   - `manifest/v-N.txt`    — version N: optional `#`-prefixed
+  *     HEADER lines carrying ALL commit metadata — `#op <name>`
+  *     (operation audit), `#dv <seg>\t<file>` (deletion-vector map),
+  *     `#txn <app>\t<batch>` (exactly-once watermark), `#cdc
+  *     neutral|<dir> [<rows>]` (change-feed pointer) — followed by the
+  *     newline-joined segment names composing that snapshot; committed
+  *     via write-temp + atomic RENAME, so data and metadata land in
+  *     ONE atomic operation;
+  *   - `manifest/txn-watermarks.txt` — vacuum's rollup of dropped
+  *     versions' `#txn` watermarks (idempotence survives retention);
+  *   - `manifest/constraints.txt`    — registered CHECK constraints;
+  *   - `dv/*.dv`             — deletion-vector position files;
+  *   - `_cdc/c-<uuid>/`      — recorded change-feed rows (plus
+  *     `.staging-*` detection/apply scratch, vacuum-swept).
   *
   * Isolation guarantees, by construction:
   *   - a reader resolves ONE manifest and then touches only immutable
   *     segments — no half-committed state is ever observable;
   *   - a crash before the manifest rename leaves an unreferenced
-  *     segment directory and the previous version fully intact;
-  *   - version numbers are dense and monotonic; concurrent committers
-  *     of the same version fail loudly on the rename (single-writer
-  *     commits are the contract, as with the BM25/minhash indexes).
+  *     segment directory (and possibly a `_cdc` orphan) and the
+  *     previous version fully intact;
+  *   - version numbers are dense and monotonic; a commit built on a
+  *     stale base fails its compare-and-swap loudly, same-version ties
+  *     are serialized per dataset in-JVM and arbitrated by the rename
+  *     (appends retry optimistically via `commit(maxRetries = n)`;
+  *     multi-DRIVER writers need a filesystem with atomic no-overwrite
+  *     rename — the Delta LogStore contract).
   *
   * At 100 TB this is exactly the snapshot/append discipline a lakehouse
   * table format provides; expressed minimally here so the engine's own
