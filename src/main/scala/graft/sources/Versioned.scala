@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `manifest/txn-watermarks.txt` — vacuum's rollup of dropped
   *     versions' `#txn` watermarks (idempotence survives retention);
   *   - `manifest/constraints.txt`    — registered CHECK constraints;
-  *   - `dv/*.dv`             — deletion-vector position files;
+  *   - `dv/` (`.dv` files)   — deletion-vector position files;
   *   - `_cdc/c-<uuid>/`      — recorded change-feed rows (plus
   *     `.staging-*` detection/apply scratch, vacuum-swept).
   *
