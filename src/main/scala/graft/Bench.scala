@@ -63,6 +63,56 @@ object Bench {
   private val repCanaries =
     scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
+  /** per-entry, per-rep WALL times — kept raw (not just the median) so
+    * the end-of-sweep QUALIFICATION pass (round-11 verdict ask #1) can
+    * recompute each median over canary-qualified reps only. */
+  private val repTimes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+  /** re-runnable probe bodies for the requeue pass: name → one more
+    * (sweep + GC + timed run + canary) appended to repTimes/repCanaries.
+    * Probes whose body a LATER sweep step invalidates (e.g. the
+    * unzoned blockfile read after the zone map lands) deregister
+    * themselves; probes needing special session state (the skew pair)
+    * register a custom hook that restores it around each extra rep. */
+  private val requeueHooks =
+    scala.collection.mutable.LinkedHashMap.empty[String, () => Unit]
+
+  /** canary observations taken OUTSIDE probe reps (before/after
+    * fingerprints, idle-wait polls) — they refine the sweep floor. */
+  private val extraCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+  /** QUALIFICATION BAR (round-11 verdict ask #1): a rep counts toward
+    * the published median only when its back-to-back canary ran within
+    * this ratio of the sweep floor — i.e. the box was quiet DURING the
+    * rep. Below ~1.25 ordinary JIT/GC jitter disqualifies honest reps;
+    * above ~1.5 load poisoning slips through. */
+  private val QualRatio = 1.3
+
+  /** Sweep canary floor: min over every observation this run, plus the
+    * PREVIOUS artifact's floor when it is plausibly the same machine
+    * (within 5×) — the defense for a sweep that ran loaded END TO END,
+    * where today's own minimum never dips to idle and would otherwise
+    * inflate the qualification bar until everything "qualifies". */
+  private def canaryFloorNow(hint: Option[Double]): Double = {
+    val obs = (repCanaries.values.flatten ++ extraCanaries).min
+    hint.filter(h => h < obs && h >= obs / 5).getOrElse(obs)
+  }
+
+  /** Poll the canary until the box is quiet (ratio ≤ QualRatio) or the
+    * patience budget runs out — the "idle window" the requeue waits
+    * for. Every poll refines the floor. */
+  private def waitForCalm(spark: SparkSession, hint: Option[Double]): Unit = {
+    var tries = 0
+    while (tries < 10) {
+      val c = execTime(canaryJob(spark))
+      extraCanaries += c
+      if (c <= QualRatio * canaryFloorNow(hint)) return
+      Thread.sleep(2000)
+      tries += 1
+    }
+  }
+
   /** The fixed-cost canary job: schedule-and-agg 32 tasks over a
     * generated range — no I/O, trivial compute, so its wall is pure
     * scheduler + JVM overhead; shared by the per-rep interleave and the
@@ -98,14 +148,17 @@ object Bench {
     // rep's un-collected garbage can spend seconds in allocation-
     // pressure pauses — round 7 measured a single q152_x10 rep at 12.9 s
     // against a 2.9-3.5 s family, exactly the q59 round-6 pattern.
-    val timed = (1 to reps).map { _ =>
+    def oneRep(): Unit = {
       sweepPersisted(spark); System.gc()
       val t = execTime(q)
       val c = execTime(canaryJob(spark))
-      (t, c)
+      repTimes += name -> (repTimes.getOrElse(name, Seq.empty) :+ t)
+      repCanaries += name -> (repCanaries.getOrElse(name, Seq.empty) :+ c)
     }
-    repCanaries += name -> timed.map(_._2)
-    val runs = timed.map(_._1).sorted
+    (1 to reps).foreach(_ => oneRep())
+    // the body stays re-runnable for the end-of-sweep requeue pass
+    requeueHooks += name -> (() => oneRep())
+    val runs = repTimes(name).sorted
     spreads += name -> ((runs.head, runs.last))
     runs(runs.length / 2)
   }
@@ -264,6 +317,7 @@ object Bench {
   private def canaryTime(spark: SparkSession): Double = {
     execTime(canaryJob(spark)) // warmup
     val runs = (1 to 3).map(_ => execTime(canaryJob(spark))).sorted
+    extraCanaries ++= runs // before/after fingerprints refine the floor
     runs(1)
   }
 
@@ -423,19 +477,29 @@ object Bench {
       val s = scala.collection.mutable.ArrayBuffer.empty[Double]
       val r = scala.collection.mutable.ArrayBuffer.empty[Double]
       val c = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (_ <- 1 to 11) {
+      def oneCycle(): Unit = {
         sweepPersisted(spark); System.gc()
         s += execTime(stagedQ)
         r += execTime(rawQ)
         c += execTime(canaryQ)
+        repTimes += "q06_x10_6Mrows" -> s.toSeq
+        repTimes += "q06_x10_rawlayout" -> r.toSeq
+        repTimes += "q06_x10_canary" -> c.toSeq
+        // the per-cycle canary doubles as every series' per-rep canary
+        repCanaries += "q06_x10_6Mrows" -> c.toSeq
+        repCanaries += "q06_x10_rawlayout" -> c.toSeq
+        repCanaries += "q06_x10_canary" -> c.toSeq
       }
+      for (_ <- 1 to 11) oneCycle()
+      // requeueing ANY of the trio re-runs one interleaved cycle, so
+      // the three series stay load-comparable by construction
+      requeueHooks += "q06_x10_6Mrows" -> (() => oneCycle())
+      requeueHooks += "q06_x10_rawlayout" -> (() => oneCycle())
+      requeueHooks += "q06_x10_canary" -> (() => oneCycle())
       def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
       spreads += "q06_x10_6Mrows" -> ((s.min, s.max))
       spreads += "q06_x10_rawlayout" -> ((r.min, r.max))
       spreads += "q06_x10_canary" -> ((c.min, c.max))
-      // the per-cycle canary doubles as both series' per-rep canary
-      repCanaries += "q06_x10_6Mrows" -> c.toSeq
-      repCanaries += "q06_x10_rawlayout" -> c.toSeq
       (med(s.toSeq), med(r.toSeq), med(c.toSeq))
     }
     tracer.drain()
@@ -621,6 +685,9 @@ object Bench {
         .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
       val un = probe(spark, "q06_blockfile_unzoned") { q }
       graft.sources.ZoneMap.write(binPath)
+      // the zone map just landed: a requeued "unzoned" rep would now
+      // read zoned — the body is invalidated, so it leaves the pool
+      requeueHooks.remove("q06_blockfile_unzoned")
       val zn = probe(spark, "q06_blockfile_zoned") { q }
       (un, zn)
     }
@@ -916,6 +983,30 @@ object Bench {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
+      }
+      // requeued skew reps must run under the SAME conf (no broadcast,
+      // probe-sized skew thresholds) — wrap the auto-registered hooks
+      // so each extra rep re-pins and restores the session state
+      Seq("q44_x10_skewed_unsalted", "q44_x10_skewed_salted").foreach { n =>
+        val inner = requeueHooks(n)
+        requeueHooks += n -> (() => {
+          val saved2 = Seq(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold")
+            .map(k => k -> spark.conf.getOption(k))
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "2m")
+          spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try inner()
+          finally saved2.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        })
       }
       (un, sa)
     }

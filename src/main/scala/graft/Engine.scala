@@ -957,10 +957,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // ONE detection scan, staged: per-segment counts, the status
       // row, and the change-feed pre/postimages all read the
       // matched-row-sized staging file, never the table again
-      val (stagingDir, staged) = graft.sources.Versioned.stageMatched(
-        graft.sources.Versioned
-          .readWithProvenance(spark, resolved, Some(hv)).filter(pred),
-        resolved)
+      val detection = graft.sources.Versioned
+        .readWithProvenance(spark, resolved, Some(hv)).filter(pred)
+      // the predicate is evaluated TWICE on this path (detection scan,
+      // then F.when(pred, ...) in the rewrite) — the same double-eval
+      // hazard deleteWhere guards against: a nondeterministic predicate
+      // (rand()) would silently under-update rows the detection pass
+      // didn't flag. Reject loudly, same analyzed-Filter check.
+      detection.queryExecution.analyzed.foreach {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          if (!f.condition.deterministic) throw new SemanticError(
+            "UPDATE predicates must be deterministic (the predicate is " +
+              "evaluated once to find affected segments and again to " +
+              s"rewrite them): ${f.condition.sql}")
+        case _ => ()
+      }
+      val (stagingDir, staged) =
+        graft.sources.Versioned.stageMatched(detection, resolved)
       val (v, nUpdated) = try {
         val perSeg = staged
           .groupBy("__seg").agg(F.count(F.lit(1)).as("c"))

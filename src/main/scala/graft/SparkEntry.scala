@@ -2330,6 +2330,44 @@ object SparkEntry {
           F.sum("n_chars").cast("long").as("chars"))
     }),
 
+    // BOUNDED CATCH-UP (maxVersionsPerTrigger, Delta's
+    // maxFilesPerTrigger analog): a 6-version backlog drained
+    // AvailableNow with a 2-version cap must arrive as THREE
+    // micro-batches whose version spans are pinned — foreachBatch
+    // stamps each batch id onto its rows, so a source that collapses
+    // the backlog into one batch (or mis-resumes the cursor) shifts
+    // rows across batch ids and fails the hash. Real admission
+    // control (SupportsAdmissionControl + SupportsTriggerAvailableNow,
+    // the FileStreamSource hybrid): at 100 TB this is what keeps a
+    // restart 10,000 versions behind from reading the backlog as one
+    // executor-flattening batch
+    "q317_vstream_bounded_catchup" -> ((s, dir) => {
+      val root = stagingDir("graft_vstream_maxv")
+      val ds = s"$root/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      (0 until 6).foreach { i =>
+        Versioned.commit(base.filter(
+          F.col("doc_id") >= i * 80 && F.col("doc_id") < (i + 1) * 80), ds)
+      }
+      val q = s.readStream.format("graft-versioned")
+        .option("path", ds)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", F.lit(id))
+            .write.mode("append").parquet(s"$root/out")
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$root/out")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("doc_id").cast("long").as("id_sum"))
+        .withColumn("batch_id", F.col("batch_id").cast("long"))
+    }),
+
     // change feed under SCHEMA EVOLUTION: a widening append adds a
     // column mid-history; synthesized inserts for pre-evolution
     // versions serve NULL for it, recorded delete rows align to the
@@ -6630,6 +6668,15 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 != 2
         |GROUP BY lang""".stripMargin,
+
+    // three 2-version bites over the 6-commit backlog: batch b covers
+    // commits 2b+1 and 2b+2, i.e. doc_ids [160b, 160b+160)
+    "q317_vstream_bounded_catchup" ->
+      """SELECT CAST(b AS BIGINT) AS batch_id, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, doc_id // 160 AS b
+        |  FROM documents WHERE doc_id < 480) t
+        |GROUP BY b""".stripMargin,
 
     "q312_cdf_stream" ->
       """WITH t AS (SELECT doc_id, n_chars FROM documents

@@ -300,6 +300,12 @@ object Col {
               s"coalesce() arguments have incompatible types: $a vs $b")
           }
           (F.coalesce(cs: _*), dt)
+        // random() — DuckDB's nondeterministic uniform [0,1). Mostly
+        // useful for ad-hoc sampling; the DML paths REJECT predicates
+        // containing it (detection/rewrite double-evaluation would
+        // silently under-delete/update), which this function makes
+        // reachable from SQL and therefore testable.
+        case "random" => arity(0); (F.rand(), DoubleType)
         case "trim"  => arity(1); (F.trim(cs(0)), StringType)
         case "ltrim" => arity(1); (F.ltrim(cs(0)), StringType)
         case "rtrim" => arity(1); (F.rtrim(cs(0)), StringType)

@@ -287,8 +287,6 @@ object Avro {
     val sparkSchema = sparkSchemaFor(wSchema)
     val expected = sparkSchema.map(f => (f.name, f.dataType)).toIndexedSeq
     val types = sparkSchema.map(_.dataType).toIndexedSeq
-    val units = wSchema.getFields.asScala
-      .map(f => tsUnitMicros(f.schema())).toIndexedSeq
     val splits = planSplits(spark, path, maxSplitBytes)
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -300,10 +298,18 @@ object Avro {
           new org.apache.hadoop.fs.Path(file), confBc.value.value)
         val reader = org.apache.avro.file.DataFileReader.openReader(
           in, new GenericDatumReader[GenericRecord]())
-        val got = sparkSchemaFor(reader.getSchema)
+        val fileSchema = reader.getSchema
+        val got = sparkSchemaFor(fileSchema)
           .map(f => (f.name, f.dataType)).toIndexedSeq
         require(got == expected,
           s"Avro schema drift in $file: $got vs resolved $expected")
+        // timestamp unit per field comes from THIS file's writer schema:
+        // timestamp-millis and timestamp-micros both surface as Spark
+        // TimestampType, so the drift check above can't see a unit mix —
+        // a glob of Kafka-Connect (millis) + Spark (micros) shards must
+        // decode each file by its own units, not the first file's
+        val units = fileSchema.getFields.asScala
+          .map(f => tsUnitMicros(f.schema())).toIndexedSeq
         reader.sync(start) // first sync point at/after the range start
         new Iterator[Row] {
           override def hasNext: Boolean = {

@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ONE atomic operation;
   *   - `manifest/txn-watermarks.txt` — vacuum's rollup of dropped
   *     versions' `#txn` watermarks (idempotence survives retention);
-  *   - `manifest/constraints.txt`    — registered CHECK constraints;
+  *   - `manifest/constraints-N.txt`  — registered CHECK constraints,
+  *     resolved newest-first (highest N wins; the install writes a NEW
+  *     file and retires old ones only after the audit commit's CAS, so
+  *     no reader ever resolves an empty set mid-update; legacy
+  *     single-file `constraints.txt` reads as index −1);
   *   - `dv/` (`.dv` files)   — deletion-vector position files;
   *   - `_cdc/c-<uuid>/`      — recorded change-feed rows (plus
   *     `.staging-*` detection/apply scratch, vacuum-swept).
@@ -85,35 +89,84 @@ object Versioned {
     * are DATASET-level state (they outlive any one version), stored
     * beside the manifests and updated only by the single-writer DDL
     * ([[addConstraint]] / [[dropConstraint]]). */
-  def constraints(spark: SparkSession, path: String): Map[String, String] = {
-    val fs = fsOf(spark, path)
-    val f = new Path(s"$path/manifest", "constraints.txt")
-    if (!fs.exists(f)) return Map.empty
-    val in = fs.open(f)
-    val text = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      val Array(n, e) = l.split("\t", 2)
-      n -> e
-    }.toMap
+  private val ConstraintFileRe = "constraints-(\\d+)\\.txt".r
+
+  /** Versioned constraint files under `manifest/`, (index, path) pairs.
+    * Readers resolve NEWEST-FIRST: the highest index is the live set,
+    * older files are superseded state a concurrent reader may still be
+    * holding open. The legacy single `constraints.txt` (pre-round-12
+    * layout) is index −1: shadowed by any versioned file. */
+  private def constraintFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Long, Path)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ConstraintFileRe(n) => Some(n.toLong -> st.getPath)
+        case "constraints.txt"   => Some(-1L -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
   }
 
+  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    constraintFiles(fs, new Path(s"$path/manifest")).lastOption match {
+      case None => Map.empty
+      case Some((_, f)) =>
+        val in = fs.open(f)
+        val text = try {
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        } finally in.close()
+        text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+          val Array(n, e) = l.split("\t", 2)
+          n -> e
+        }.toMap
+    }
+  }
+
+  /** Install `cs` as a NEW versioned constraints file and return its
+    * path. The old file stays until [[retireOldConstraints]] — there is
+    * never a window where a concurrent [[writeSegment]] resolves an
+    * EMPTY set (the delete-then-rename hazard of the old single-file
+    * layout), and a failed CAS can roll the install back by deleting
+    * just the new file ([[removeConstraintsFile]]), restoring the prior
+    * state exactly. */
   private def writeConstraints(spark: SparkSession, path: String,
-                               cs: Map[String, String]): Unit = {
+                               cs: Map[String, String]): Path = {
     val fs = fsOf(spark, path)
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
+    val nextIdx =
+      constraintFiles(fs, dir).lastOption.fold(0L)(_._1 + 1L)
     val tmp = new Path(dir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(cs.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = new Path(dir, "constraints.txt")
-    fs.delete(dest, false)
+    val dest = new Path(dir, f"constraints-$nextIdx%09d.txt")
     require(fs.rename(tmp, dest),
       s"could not update constraints at $path")
+    dest
+  }
+
+  /** Roll back a constraints install whose audit commit lost its CAS:
+    * deleting the new file restores the previous set (still on disk). */
+  private def removeConstraintsFile(spark: SparkSession, path: String,
+                                    file: Path): Unit = {
+    fsOf(spark, path).delete(file, false): Unit
+  }
+
+  /** After a constraints install COMMITTED, sweep the superseded files
+    * (best-effort — a leftover is shadowed by newest-first resolution,
+    * never misread). */
+  private def retireOldConstraints(spark: SparkSession, path: String,
+                                   keep: Path): Unit = {
+    val fs = fsOf(spark, path)
+    constraintFiles(fs, new Path(s"$path/manifest"))
+      .collect { case (_, p) if p.getName != keep.getName => p }
+      .foreach(p => fs.delete(p, false): Unit)
   }
 
   /** Register a CHECK constraint: every FUTURE row written to the
@@ -146,10 +199,24 @@ object Versioned {
     require(sample.isEmpty,
       s"cannot add constraint '$name': existing rows violate " +
         s"($exprSql), e.g. ${sample.headOption.fold("")(_.toString)}")
-    writeConstraints(spark, path, existing + (name -> exprSql))
-    commitSegments(spark, path, headSegments(spark, path, Some(hv)),
-      readDvMap(spark, path, hv), expectedBase = Some(hv),
-      op = s"add-constraint($name)")
+    // install-then-commit with rollback: the constraint file lands
+    // first (so a concurrent writeSegment admitted after our commit
+    // already enforces it), and a LOST CAS deletes the new file before
+    // rethrowing — the constraint is never left active without its
+    // audit commit. The transient over-enforcement window (install →
+    // failed CAS → rollback) is fail-safe: a concurrent write might
+    // reject loudly, never silently pass a constraint it should not.
+    val installed = writeConstraints(spark, path, existing + (name -> exprSql))
+    val v = try {
+      commitSegments(spark, path, headSegments(spark, path, Some(hv)),
+        readDvMap(spark, path, hv), expectedBase = Some(hv),
+        op = s"add-constraint($name)")
+    } catch { case e: Throwable =>
+      removeConstraintsFile(spark, path, installed)
+      throw e
+    }
+    retireOldConstraints(spark, path, keep = installed)
+    v
   }
 
   /** Drop a CHECK constraint; audits as a carry-all commit. */
@@ -159,10 +226,18 @@ object Versioned {
     require(existing.contains(name),
       s"constraint '$name' does not exist at $path")
     val hv = headVersion(spark, path)
-    writeConstraints(spark, path, existing - name)
-    commitSegments(spark, path, headSegments(spark, path, Some(hv)),
-      readDvMap(spark, path, hv), expectedBase = Some(hv),
-      op = s"drop-constraint($name)")
+    // same install-then-commit-with-rollback discipline as addConstraint
+    val installed = writeConstraints(spark, path, existing - name)
+    val v = try {
+      commitSegments(spark, path, headSegments(spark, path, Some(hv)),
+        readDvMap(spark, path, hv), expectedBase = Some(hv),
+        op = s"drop-constraint($name)")
+    } catch { case e: Throwable =>
+      removeConstraintsFile(spark, path, installed)
+      throw e
+    }
+    retireOldConstraints(spark, path, keep = installed)
+    v
   }
 
   /** Write `df` as a fresh immutable segment under `path/data` and
@@ -493,21 +568,28 @@ object Versioned {
 
   private def footerRowCount(spark: SparkSession, path: String,
                              segs: Seq[String]): Long = {
-    val fs = fsOf(spark, path)
-    val files = segs.flatMap { s =>
-      fs.listStatus(new Path(s"$path/data/$s")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-    }
-    if (files.isEmpty) 0L
-    else spark.sparkContext
-      .parallelize(files, math.min(files.length, 64))
-      .map { f =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f),
-            new org.apache.hadoop.conf.Configuration()))
-        try rdr.getRecordCount finally rdr.close()
+    if (segs.isEmpty) return 0L
+    // ONE distributed job does BOTH the per-segment listing and the
+    // footer walks (one task per segment, the analyzeStats model):
+    // driver cost is O(1) round trips, not O(segments) listStatus
+    // calls — at a 100k-segment manifest the driver listing loop was
+    // the bottleneck, not the footer metadata itself
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext
+      .parallelize(segs, math.min(segs.length, 64))
+      .map { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/data/$s")
+        val fs = p.getFileSystem(confBc.value.value)
+        fs.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                st.getPath, confBc.value.value))
+            try rdr.getRecordCount finally rdr.close()
+          }.sum
       }.sum().toLong
   }
 
@@ -1425,7 +1507,7 @@ object Versioned {
 
   /** Validated manifest set-difference for a version range:
     * (added segment names, removed segment names). */
-  private def manifestDelta(spark: SparkSession, path: String,
+  private[graft] def manifestDelta(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Option[Long]): (Seq[String], Seq[String]) = {
     val all = versions(spark, path)
     require(all.nonEmpty, s"no committed versions at $path")
@@ -1619,33 +1701,74 @@ object Versioned {
       require(!headSchema.fieldNames.contains(c),
         s"change feed: dataset uses reserved column name '$c'")
     }
-    val frames = all.filter(v => v > fromVersion && v <= to).flatMap { v =>
-      val cdcMeta = manifestMeta(spark, path, v)
-        .find(_.startsWith("#cdc "))
-      if (cdcMeta.contains("#cdc neutral")) None
+    // ---- collect the range's pointers in ONE ordered driver pass
+    // (one manifest + one meta read per version — O(range) METADATA is
+    // inherent; what must NOT be O(range) is the PLAN) ----
+    val inRange = all.filter(v => v > fromVersion && v <= to)
+    var prevSegs: Set[String] =
+      if (fromVersion == 0L) Set.empty
+      else readManifest(spark, path,
+        all.takeWhile(_ <= fromVersion).last).toSet
+    // recorded CDC (dir → version) and synthesized appends
+    // (segment → version), attributed by PATH after one batched scan
+    val cdcDirs = Seq.newBuilder[(String, Long)]
+    val insertSegs = Seq.newBuilder[(String, Long)]
+    inRange.foreach { v =>
+      val segs = readManifest(spark, path, v)
+      val cdcMeta = manifestMeta(spark, path, v).find(_.startsWith("#cdc "))
+      if (cdcMeta.contains("#cdc neutral")) ()
       else if (cdcMeta.isDefined) {
         // header shape: `#cdc <dir> [<rows>]` — the count is audit
         // metadata, the dir name is the pointer
-        val dirName = cdcMeta.get.stripPrefix("#cdc ").split(" ")(0)
-        Some(spark.read
-          .parquet(s"$path/_cdc/$dirName")
-          .withColumn("_commit_version", F.lit(v)))
-      }
-      else {
-        val prev = all.takeWhile(_ < v).lastOption.getOrElse(0L)
-        val (added, removed) = manifestDelta(spark, path, prev, Some(v))
-        require(removed.isEmpty,
+        cdcDirs += cdcMeta.get.stripPrefix("#cdc ").split(" ")(0) -> v
+      } else {
+        val segSet = segs.toSet
+        require(prevSegs.forall(segSet),
           s"change feed: version $v removed segments but recorded no " +
             "change rows (committed before the feed existed, or a " +
             "republish) — its row-level delta is unknowable; use FOR " +
             "CHANGES / FOR REMOVALS for segment-level deltas instead")
-        if (added.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
-          .parquet(added.map(s => s"$path/data/$s"): _*)
-          .withColumn("_change_type", F.lit("insert"))
-          .withColumn("_commit_version", F.lit(v)))
+        segs.filterNot(prevSegs).foreach(insertSegs += _ -> v)
       }
+      prevSegs = segs.toSet
     }
+    // ---- TWO batched multi-path scans, not one leg per version: a
+    // 10k-commit history must not plan a 10k-leg union (nor open 10k
+    // dirs serially on the driver). `_commit_version` re-derives from
+    // each row's FILE PATH — the parent dir name IS the cdc-dir /
+    // segment name — via a broadcast map join, so attribution survives
+    // the batching exactly ----
+    def attributed(raw: DataFrame, nameToV: Seq[(String, Long)],
+                   changeType: Option[String]): DataFrame = {
+      import spark.implicits._
+      val dim = nameToV.toDF("__dir_name", "_commit_version")
+      val keyed = raw.withColumn("__dir_name",
+        F.element_at(F.split(F.input_file_name(), "/"), -2))
+      val joined = keyed.join(F.broadcast(dim), Seq("__dir_name"))
+        .drop("__dir_name")
+      changeType.fold(joined)(ct =>
+        joined.withColumn("_change_type", F.lit(ct)))
+    }
+    val frames = Seq(
+      { val ds = cdcDirs.result()
+        if (ds.isEmpty) None
+        else Some(attributed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(ds.map(d => s"$path/_cdc/${d._1}"): _*),
+          ds, changeType = None)) },
+      { val ss = insertSegs.result()
+        // one segment = one add, ever (names are unique per write and a
+        // removed name never re-enters a manifest) — the invariant that
+        // lets path-attribution replace the per-version union
+        require(ss.map(_._1).distinct.length == ss.length,
+          "change feed: a segment name recurs across versions; " +
+            "path-based commit attribution would be ambiguous")
+        if (ss.isEmpty) None
+        else Some(attributed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(ss.map(s => s"$path/data/${s._1}"): _*),
+          ss, changeType = Some("insert"))) }
+    ).flatten
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
     val outSchema = StructType(headSchema.fields.toSeq :+
@@ -1657,7 +1780,8 @@ object Versioned {
         val cols = headSchema.fields.map { f =>
           if (df.columns.contains(f.name)) F.col(f.name)
           else F.lit(null).cast(f.dataType).as(f.name)
-        }.toSeq :+ F.col("_change_type") :+ F.col("_commit_version")
+        }.toSeq :+ F.col("_change_type") :+
+          F.col("_commit_version").cast(LongType).as("_commit_version")
         df.select(cols: _*)
       }
       .getOrElse(spark.createDataFrame(

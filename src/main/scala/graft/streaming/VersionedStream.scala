@@ -34,7 +34,23 @@ import graft.sources.Versioned
   * segments' survivor rows. This is the ADD side of the CDC pair, like
   * every table-format streaming source: retractions are segment-level
   * and polled separately via [[Versioned.removedSegments]] /
-  * [[Versioned.removals]].
+  * [[Versioned.removals]]. Deletion vectors: the range-end vectors
+  * APPLY to the batch's added segments (a row appended and vectored
+  * away inside one window never streams), and a vectored delete
+  * against a CARRIED segment — a retraction neither this stream nor
+  * the removals poll can express — fails LOUDLY with the fix named
+  * (`readChangeFeed` mode streams it as a row-level `delete`).
+  *
+  * `.option("maxVersionsPerTrigger", n)` bounds how many committed
+  * versions one micro-batch covers (Delta's `maxFilesPerTrigger`
+  * analog): a consumer restarting 10,000 versions behind catches up in
+  * n-version batches instead of one table-sized read. Implemented as
+  * real ADMISSION CONTROL (`SupportsAdmissionControl` /
+  * `SupportsTriggerAvailableNow`, the FileStreamSource hybrid): the
+  * engine hands the checkpointed start to `latestOffset` every batch,
+  * so the bound holds across restarts with no side-channel state, and
+  * `Trigger.AvailableNow` drains the whole backlog in capped bites
+  * rather than snapshotting one unbounded offset.
   *
   * Exactly-once: offsets live in the stream's checkpoint; restart
   * resumes from the last committed version cursor. Time travel rules
@@ -97,14 +113,29 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
           sqlContext.sparkSession, path, ts.toLong)
       case (None, None) => 0L
     }
+    // maxVersionsPerTrigger (Delta's maxFilesPerTrigger analog): cap
+    // how many committed versions one micro-batch may cover, so a
+    // restart 10,000 versions behind catches up in BOUNDED batches
+    // instead of reading the entire backlog as one. Admission control
+    // only — exactly-once comes from the offsets either way.
+    val maxV = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new VersionedStreamSource(sqlContext, path, startV,
-      changeFeed = readsChangeFeed(parameters))
+      changeFeed = readsChangeFeed(parameters),
+      maxVersionsPerTrigger = maxV)
   }
 }
 
 class VersionedStreamSource(sqlContext: SQLContext, path: String,
                             startingVersion: Long,
-                            changeFeed: Boolean = false) extends Source {
+                            changeFeed: Boolean = false,
+                            maxVersionsPerTrigger: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val spark = sqlContext.sparkSession
 
   private val tableSchema: StructType = Versioned.read(spark, path).schema
@@ -126,15 +157,75 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val vs = Versioned.versions(spark, path)
-    vs.lastOption.map(LongOffset(_))
+  /** ADMISSION CONTROL (the [[org.apache.spark.sql.execution.streaming
+    * .FileStreamSource]] hybrid pattern: a V1 `Source` that ALSO
+    * implements the connector's `SupportsAdmissionControl` /
+    * `SupportsTriggerAvailableNow`, so the engine asks IT how far each
+    * micro-batch may advance instead of snapshotting one unbounded
+    * `getOffset`). The checkpointed start offset arrives as
+    * `latestOffset`'s first argument every call — across restarts too —
+    * so the cap needs no side-channel cursor of its own, and a restart
+    * 10,000 versions behind catches up in bounded bites. Under
+    * `Trigger.AvailableNow` the pre-captured head additionally CAPS the
+    * run (commits racing the drain wait for the next one); the
+    * `maxVersionsPerTrigger` bound applies under EVERY trigger,
+    * including `Trigger.Once` (one bounded bite per run — rerun to
+    * advance; this engine treats the option as a hard bound rather than
+    * silently ignoring it the way Delta's `maxFilesPerTrigger` is under
+    * Once). */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Versioned.versions(spark, path).lastOption
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxVersionsPerTrigger.fold(
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())(
+      n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n))
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    Versioned.versions(spark, path).lastOption.map(LongOffset(_)).orNull
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val vsAll = Versioned.versions(spark, path)
+    val vs = availableNowCap.fold(vsAll)(cap => vsAll.filter(_ <= cap))
+    if (vs.isEmpty) return null
+    val base = Option(startOffset)
+      .map(o => versionOf(o.asInstanceOf[Offset]))
+      .getOrElse(startingVersion)
+    val end = maxVersionsPerTrigger match {
+      case None => vs.last
+      case Some(max) =>
+        // the version COUNT bounds the advance (version numbers are
+        // contiguous today, but counting stays correct if a future
+        // layout ever skips numbers); the `limit` parameter restates
+        // getDefaultReadLimit — the option is the authority
+        val pending = vs.filter(_ > base)
+        if (pending.isEmpty) vs.last
+        else pending.take(math.min(max, Int.MaxValue.toLong).toInt).last
+    }
+    LongOffset(end)
   }
+
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "graft-versioned implements SupportsAdmissionControl; the engine " +
+      "calls latestOffset(start, limit) instead of getOffset")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    // a recovery interleaving can hand back an offset the checkpoint
+    // already passed; the range is then empty, never backwards-read
+    if (from >= to)
+      return org.apache.spark.sql.graft.StreamingShim.asStreaming(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     // changeFeed mode tails the ROW-LEVEL feed — inserts, update
     // pre/postimage pairs, deletes, with commit attribution — the
     // CDC-replication input (apply to a downstream table via MERGE).
@@ -142,7 +233,7 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     // legacy rewrite, a restore) fails LOUDLY, never skips silently.
     val adds =
       if (changeFeed) Versioned.changeFeed(spark, path, from, Some(to))
-      else Versioned.changes(spark, path, from, Some(to))
+      else changesWithVectors(from, to)
     val have = adds.columns.toSet
     // project onto the PINNED schema: evolved trailing columns from
     // commits after source creation drop; pre-widening segments serve
@@ -152,6 +243,42 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
       else F.lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     org.apache.spark.sql.graft.StreamingShim.asStreaming(aligned)
+  }
+
+  /** Non-changeFeed batch read over `(from, to]`: the rows of segments
+    * ADDED in the range, with the range-END deletion vectors APPLIED to
+    * them — a row appended and then vector-deleted inside one batch
+    * window must not stream as a live insert. Vectored deletes against
+    * CARRIED segments (present at both range ends) are retractions an
+    * append-only stream cannot express; the segment-level poll
+    * ([[Versioned.removedSegments]]/[[Versioned.removals]]) cannot see
+    * them either (no segment changed), so they fail LOUDLY here with
+    * the fix spelled out — `readChangeFeed` mode streams them as
+    * row-level `delete` rows. */
+  private def changesWithVectors(from: Long, to: Long): DataFrame = {
+    val (added, _) = Versioned.manifestDelta(spark, path, from, Some(to))
+    val dvTo = Versioned.readDvMap(spark, path, to)
+    val dvFrom =
+      if (from == 0L) Map.empty[String, String]
+      else Versioned.readDvMap(spark, path, from)
+    val addedSet = added.toSet
+    val carriedRetractions = dvTo.filter { case (seg, dv) =>
+      !addedSet(seg) && !dvFrom.get(seg).contains(dv)
+    }
+    require(carriedRetractions.isEmpty,
+      s"graft-versioned stream: versions ($from, $to] vector-deleted " +
+        s"rows inside carried segment(s) " +
+        s"${carriedRetractions.keys.toSeq.sorted.mkString(", ")} — an " +
+        "append-only stream cannot express those retractions and the " +
+        "removedSegments/removals poll cannot see them; stream with " +
+        ".option(\"readChangeFeed\", \"true\") to receive them as " +
+        "row-level delete rows")
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    else
+      Versioned.readSegmentsAligned(spark, path, added, tableSchema, dvTo)
+        .drop(Versioned.ReservedProvenanceCols: _*)
   }
 
   override def stop(): Unit = ()

@@ -349,4 +349,99 @@ class ChangeFeedSpec extends SparkSpec {
     // v3's manifest dropped — its change-feed dir goes with it
     assert(!fs.exists(cdcDir) || fs.listStatus(cdcDir).isEmpty)
   }
+
+  test("a long history reads as TWO batched scans, not one plan leg " +
+       "per version") {
+    import spark.implicits._
+    val path = freshPath("long")
+    // 220 single-row append commits + 2 recorded-CDC DML commits: a
+    // year of hourly commits in miniature. Batched single-partition
+    // writes keep the setup fast; the READER must stay O(1) legs.
+    val one = (id: Long) =>
+      Seq((id, s"p$id", id * 2)).toDF("id", "payload", "score").coalesce(1)
+    (1L to 220L).foreach(i => Versioned.commit(one(i), path))
+    Versioned.deleteWhere(spark, path, F.col("id") === 13L)  // v221, CDC
+    Versioned.deleteWhere(spark, path, F.col("id") === 77L)  // v222, CDC
+    val df = feed(path, 0L)
+    // attribution survives the batching: every version, every row
+    assert(df.count() == 220L + 2L)
+    val byV = df.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV.size == 222)
+    assert((1L to 220L).forall(v => byV(v) == 1L))
+    assert(byV(221L) == 1L && byV(222L) == 1L)
+    assert(df.where(F.col("_change_type") === "delete").count() == 2L)
+    // THE SCALE ASSERTION: the plan carries at most two file scans
+    // (synthesized inserts + recorded change rows) however long the
+    // history — a per-version union would put 222 legs here and
+    // degrade linearly with history length
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length <= 2,
+      s"changeFeed planned ${scans.length} file scans over a " +
+        "222-version history — the per-version union is back")
+    // version slicing composes with the batched read
+    val sliced = Versioned.changeFeed(spark, path, 100L, Some(110L))
+    assert(sliced.count() == 10L)
+    assert(sliced.agg(F.min("_commit_version"), F.max("_commit_version"))
+      .collect().head match { case r => r.getLong(0) == 101L && r.getLong(1) == 110L })
+  }
+
+  test("constraint DDL: versioned files, no empty-set window, CAS " +
+       "rollback restores the prior set") {
+    import spark.implicits._
+    val path = ds("consfile")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    def consFiles() = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith("constraints")).sorted.toSeq
+    // legacy single-file layout reads as index -1 (pre-round-12 data)
+    val legacy = new org.apache.hadoop.fs.Path(mdir, "constraints.txt")
+    val out = fs.create(legacy, false)
+    out.write("legacy_pos\tscore >= 0".getBytes("UTF-8")); out.close()
+    assert(Versioned.constraints(spark, path) ==
+      Map("legacy_pos" -> "score >= 0"))
+    // ADD installs a NEW versioned file and retires the legacy one
+    // only after the audit commit — never a window with no file
+    Versioned.addConstraint(spark, path, "id_pos", "id >= 0")
+    assert(consFiles() == Seq("constraints-000000000.txt"))
+    assert(Versioned.constraints(spark, path).keySet ==
+      Set("legacy_pos", "id_pos"))
+    // DROP likewise: a fresh higher-index file, old one retired
+    Versioned.dropConstraint(spark, path, "legacy_pos")
+    assert(consFiles() == Seq("constraints-000000001.txt"))
+    assert(Versioned.constraints(spark, path).keySet == Set("id_pos"))
+    // a LOST CAS rolls the install back. Forcing the collision
+    // DETERMINISTICALLY: the ADD's existing-data validation scan
+    // evaluates the constraint expression BETWEEN the head read and
+    // the audit commit — a UDF inside it plays the interloper,
+    // committing (raw manifest copy, no nested Spark job) exactly in
+    // that window, so the audit's CAS must fail every run
+    val hv = Versioned.versions(spark, path).last
+    // the guard is the FILESYSTEM, not a flag: task closures
+    // deserialize per task, so an in-closure AtomicBoolean would not
+    // be shared — racing copiers collapse on FileAlreadyExists
+    spark.udf.register("graft_sneak_commit", () => {
+      val m = java.nio.file.Paths.get(path, "manifest")
+      try java.nio.file.Files.copy(
+        m.resolve(f"v-$hv%09d.txt"),
+        m.resolve(f"v-${hv + 1}%09d.txt"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      true
+    })
+    val before = Versioned.constraints(spark, path)
+    val ex = intercept[IllegalStateException](
+      Versioned.addConstraint(spark, path, "never_lands",
+        "graft_sneak_commit() AND score < 1000000"))
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      path, "manifest", f"v-${hv + 1}%09d.txt")),
+      "the interloper never fired — the validation scan did not " +
+        "evaluate the expression")
+    assert(Versioned.constraints(spark, path) == before,
+      "a failed audit commit left its constraint installed")
+    assert(consFiles() == Seq("constraints-000000001.txt"))
+  }
 }

@@ -1101,6 +1101,13 @@ class EngineSpec extends SparkSpec {
         Versioned.deleteWhere(spark, ds, F.rand() > F.lit(0.5))
       }
       assert(en.getMessage.contains("deterministic"))
+      // --- the copy-on-write UPDATE path enforces the SAME guard (its
+      //     predicate is evaluated in the detection scan and again in
+      //     the F.when rewrite — a rand() would silently under-update)
+      val eu2 = intercept[graft.sql.SemanticError] {
+        engine.sql(s"UPDATE '$ds' SET v = 'x' WHERE random() > 0.5")
+      }
+      assert(eu2.getMessage.contains("deterministic"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

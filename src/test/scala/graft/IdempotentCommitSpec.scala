@@ -161,4 +161,78 @@ class IdempotentCommitSpec extends SparkSpec {
     assert(Versioned.lastTxn(spark, path, "ingest").contains(5L))
     assert(Versioned.read(spark, path).count() == 3L)
   }
+
+  test("append vs DML contention: both land in order, no lost " +
+       "segments or vectors, under forced version collisions") {
+    val path = freshPath("apdml")
+    // 4 segments, disjoint id ranges; ids 0..399
+    (0 until 4).foreach { s =>
+      Versioned.commit((s * 100 until s * 100 + 100)
+        .map(i => (i.toLong, s"seg$s")).toDF("id", "p"), path)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the DML CONTRACT: detection+rewrite pin ONE head (expectedBase
+    // CAS) and a moved head fails LOUDLY — the CALLER retries on the
+    // fresh head, exactly how Delta/Iceberg DML behaves under
+    // optimistic concurrency. The appender retries internally
+    // (commit's maxRetries); the DML side retries the whole statement.
+    def retryDml[T](what: String)(body: => T): T = {
+      var last: Throwable = null
+      (1 to 64).foreach { _ =>
+        try return body
+        catch { case e: IllegalStateException => last = e }
+      }
+      throw new AssertionError(s"$what never won a CAS in 64 tries", last)
+    }
+    val appender = Future {
+      (1 to 6).map { w =>
+        Versioned.commit((1000L + w * 10 until 1000L + w * 10 + 10)
+          .map(i => (i.toLong, s"app$w")).toDF("id", "p"),
+          path, maxRetries = 64)
+      }
+    }
+    val deleter = Future {
+      // COW delete (segment rewrite) + vectored delete (DV attach):
+      // both read-set-pinned paths race the appends
+      val a = retryDml("deleteWhere")(
+        Versioned.deleteWhere(spark, path, F.col("id") === 150L))
+      val b = retryDml("deleteWhereVectored")(
+        Versioned.deleteWhereVectored(spark, path, F.col("id") === 250L))
+      (a, b)
+    }
+    val updater = Future {
+      retryDml("updateWhereVectored")(
+        Versioned.updateWhereVectored(spark, path,
+          F.col("id") === 350L,
+          Seq("p" -> F.lit("updated"))))
+    }
+    val appended = Await.result(appender, 180.seconds)
+    val (vDel, vVec) = Await.result(deleter, 180.seconds)
+    val vUpd = Await.result(updater, 180.seconds)._1
+    // every writer landed; versions are DENSE (no number skipped, no
+    // commit overwritten) and each op's audit line is in the history
+    val vs = Versioned.versions(spark, path)
+    assert(vs == (1L to vs.last), s"version history has holes: $vs")
+    assert((appended ++ Seq(vDel, vVec, vUpd)).toSet.subsetOf(vs.toSet))
+    assert(appended.toSet.intersect(Set(vDel, vVec, vUpd)).isEmpty,
+      "two writers claim the same version")
+    // the final state composes ALL of them: 400 base - 2 deletes,
+    // 60 appended, the update applied, every appender's rows present
+    val df = Versioned.read(spark, path)
+    assert(df.count() == 400L - 2L + 60L)
+    assert(df.where(F.col("id").isin(150L, 250L)).count() == 0L,
+      "a delete was lost in the race")
+    assert(df.where(F.col("id") === 350L).select("p")
+      .collect().head.getString(0) == "updated",
+      "the vectored update was lost in the race")
+    (1 to 6).foreach { w =>
+      assert(df.where(F.col("p") === s"app$w").count() == 10L,
+        s"appender $w's segment fell out of the lineage")
+    }
+    // deletion vectors survived every interleaving: the DV'd rows
+    // stay gone at the HEAD even after later commits carried the map
+    assert(df.where(F.col("id") === 250L).count() == 0L)
+  }
 }

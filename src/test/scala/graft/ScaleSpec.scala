@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{functions => F}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -1022,4 +1024,56 @@ class ScaleSpec extends SparkSpec {
       assert(viaCount == viaSum)
     }
   }
+
+  test("metadata rowCount over a many-segment manifest: listing runs " +
+       "inside the distributed job, never as a per-segment driver loop") {
+    import graft.sources.Versioned
+    // the dataset lives behind a COUNTING filesystem (countfs:// = raw
+    // local + a listStatus ledger recording the calling THREAD), so
+    // the spec can see WHERE each data-dir listing executed
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    // fresh FS cache entry per scheme — drop any stale instance
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-countfs").toString
+    val path = s"countfs://$local/ds"
+    (0 until 48).foreach { i =>
+      Versioned.commit(
+        Seq((i.toLong, s"p$i")).toDF("id", "p").coalesce(1), path)
+    }
+    CountingLocalFs.listings.clear()
+    assert(Versioned.rowCount(spark, path) == 48L)
+    val dataListings = CountingLocalFs.listings.asScala.toSeq
+      .filter(_._2.contains("/data/"))
+    assert(dataListings.nonEmpty,
+      "the ledger saw no data-dir listings — the countfs scheme is " +
+        "not wired through; the assertion below would be vacuous")
+    val driverSide = dataListings.filterNot(
+      _._1.contains("Executor task launch worker"))
+    assert(driverSide.isEmpty,
+      s"rowCount listed ${driverSide.length} segment dir(s) on the " +
+        s"driver (threads: ${driverSide.map(_._1).distinct.mkString(", ")})" +
+        " — the per-segment driver loop is back")
+  }
+}
+
+/** Test-only [[org.apache.hadoop.fs.RawLocalFileSystem]] registered as
+  * `countfs://`: every `listStatus` lands in a JVM-wide ledger with the
+  * calling thread's name, so specs can assert WHERE metadata listings
+  * execute (driver loop vs distributed task). Local mode runs driver
+  * and executors in one JVM — the static ledger sees both. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingLocalFs.listings.add(
+      Thread.currentThread().getName -> p.toString)
+    super.listStatus(p)
+  }
+}
+
+object CountingLocalFs {
+  val listings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 }

@@ -879,6 +879,45 @@ class SourcesShellSpec extends SparkSpec {
       val backMs = graft.sources.Avro.read(spark, s"$d2/m.avro")
       assert(backMs.schema("at").dataType == TimestampType)
       assert(backMs.collect().head.getTimestamp(1) == ts(1234567890123000L))
+
+      // a MIXED glob (micros shard + millis shard — a Spark archive
+      // beside a Kafka-Connect one) decodes each file by ITS OWN
+      // writer schema's unit: both logical types surface as
+      // TimestampType, so the Spark-level drift check cannot tell
+      // them apart — deriving units from the FIRST file would decode
+      // the millis shard 1000x off
+      val mixDir = new java.io.File(dir, "mix"); mixDir.mkdirs()
+      val microsSchema = {
+        import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+        val f = SchemaBuilder.record("r").fields()
+        f.name("id").`type`(Schema.create(Schema.Type.LONG)).noDefault()
+        f.name("at").`type`(LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+        f.endRecord()
+      }
+      def writeOcf(file: java.io.File, sch: org.apache.avro.Schema,
+                   id: Long, v: Long): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter[
+            org.apache.avro.generic.GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.create(sch, file)
+        val r = new org.apache.avro.generic.GenericData.Record(sch)
+        r.put(0, id); r.put(1, v)
+        w.append(r); w.close()
+      }
+      // names sort micros-first: the resolved (first-file) schema is
+      // micros, so the millis shard is the one that would corrupt
+      writeOcf(new java.io.File(mixDir, "a_micros.avro"), microsSchema,
+        1L, 1234567890123456L)               // epoch micros
+      writeOcf(new java.io.File(mixDir, "z_millis.avro"), millisSchema,
+        2L, 1234567890123L)                  // epoch millis, same instant-ish
+      val mixed = graft.sources.Avro.read(spark, s"$mixDir/*.avro")
+        .collect().sortBy(_.getLong(0))
+      assert(mixed(0).getTimestamp(1) == ts(1234567890123456L))
+      assert(mixed(1).getTimestamp(1) == ts(1234567890123000L),
+        s"millis shard decoded as ${mixed(1).getTimestamp(1)} — " +
+          "per-file timestamp units were not honored")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{functions => F}
@@ -645,5 +647,107 @@ class StreamingSpec extends SparkSpec {
     assert(state(rep) == state(src))
     assert(state(rep).contains((41L, "Y")))
     assert(!state(rep).exists(_._1 == 42L))
+  }
+
+  test("maxVersionsPerTrigger bounds catch-up batches; the cursor " +
+       "survives restarts mid-backlog") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-maxv").toString
+    val ds = s"$dir/ds"
+    // 6 committed versions, 10 rows each, disjoint id ranges
+    (0 until 6).foreach { i =>
+      Versioned.commit((i * 10L until i * 10L + 10)
+        .map(id => (id, s"v$id")).toDF("id", "v"), ds)
+    }
+    // foreachBatch records (batchId, ids) so each micro-batch's
+    // VERSION SPAN is pinned, not just the total
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    def drain(trigger: Trigger): Unit = {
+      val q = spark.readStream
+        .format("graft-versioned")
+        .option("path", ds)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0)).toSet
+          seen.merge(id, ids, (a: Set[Long], b: Set[Long]) => a ++ b)
+          (): Unit
+        }
+        .trigger(trigger).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // one AvailableNow drain: the 6-version backlog must arrive in
+    // three 2-version micro-batches, each spanning exactly its
+    // versions' rows — an unbounded source reads all 60 rows in one
+    drain(Trigger.AvailableNow())
+    val batches = seen.asScala.toSeq.sortBy(_._1)
+    assert(batches.map(_._2).forall(_.size == 20),
+      s"per-batch sizes ${batches.map(_._2.size)} — expected 20 each")
+    assert(batches.length == 3, s"expected 3 micro-batches, got $batches")
+    assert(batches(0)._2 == (0L until 20L).toSet)
+    assert(batches(1)._2 == (20L until 40L).toSet)
+    assert(batches(2)._2 == (40L until 60L).toSet)
+    // restart mid-backlog: 4 more commits, drain with Trigger.Once =
+    // ONE batch per run — each run is a cold restart whose first
+    // getOffset must resume from the persisted cursor (an in-memory
+    // cursor would recompute from startingVersion and stall)
+    (6 until 10).foreach { i =>
+      Versioned.commit((i * 10L until i * 10L + 10)
+        .map(id => (id, s"v$id")).toDF("id", "v"), ds)
+    }
+    seen.clear()
+    drain(Trigger.Once())
+    drain(Trigger.Once())
+    val after = seen.asScala.values.toSeq
+    assert(after.map(_.size).sorted == Seq(20, 20),
+      s"two Once restarts must each take a 2-version batch, got $after")
+    assert(after.reduce(_ ++ _) == (60L until 100L).toSet)
+  }
+
+  test("vectored deletes inside a batch window: applied to added " +
+       "segments, loud retraction on carried ones") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-dv").toString
+    val ds = s"$dir/ds"
+    Versioned.commit((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-versioned")
+        .option("path", ds).load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain() // v1: 30 rows, cursor at 1
+    val eng = Engine(spark, dir)
+    // v2 appends a segment, v3 vector-deletes INSIDE it: one batch
+    // window covers both, so id 105 must never stream as a live row
+    Versioned.commit((101L to 120L).map(i => (i, s"v$i")).toDF("id", "v"),
+      ds)
+    eng.sql(s"DELETE VECTORED FROM '$ds' WHERE id = 105")
+    drain()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 30L + 19L, s"got ${out.count()}")
+    assert(out.where(F.col("id") === 105L).count() == 0L,
+      "a row appended and vector-deleted within one batch window " +
+        "streamed as a live insert")
+    // v4 vector-deletes from the CARRIED first segment — a retraction
+    // an append-only stream cannot express and the removals poll
+    // cannot see; it must fail LOUDLY naming the fix
+    eng.sql(s"DELETE VECTORED FROM '$ds' WHERE id = 3")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("readChangeFeed")),
+      s"expected the carried-segment retraction to name the fix, got $ex")
   }
 }
