@@ -84,6 +84,62 @@ object Versioned {
     text.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
+  /** Split one manifest's text into (segment names, `#` metadata lines)
+    * — the shared parse behind [[readManifest]]/[[manifestMeta]] and
+    * the bulk range read. */
+  private def splitManifest(text: String): (Seq[String], Seq[String]) = {
+    val lines = text.split("\n").toSeq
+    (lines.filter(l => l.nonEmpty && !l.startsWith("#")),
+      lines.filter(_.startsWith("#")))
+  }
+
+  /** Ranges at or under this many versions read their manifests
+    * serially on the driver (a handful of round trips beats a Spark
+    * job); longer ranges go through ONE distributed job. */
+  private val BulkManifestCutoff = 16
+
+  /** Read MANY versions' manifests in one pass: version → (segment
+    * names, metadata lines). Each manifest file is opened ONCE (the
+    * separate [[readManifest]] + [[manifestMeta]] calls open it twice),
+    * and past [[BulkManifestCutoff]] versions the opens run as one
+    * distributed job — driver filesystem cost O(1) in range length, so
+    * a 10k-commit [[changeFeed]] range costs one task wave of KB-sized
+    * reads, not ~20k serial driver round trips. Callers must have
+    * validated the versions exist (an executor-side missing file fails
+    * the job loudly). */
+  private[graft] def readManifestsBulk(spark: SparkSession, path: String,
+      vs: Seq[Long]): Map[Long, (Seq[String], Seq[String])] = {
+    if (vs.isEmpty) Map.empty
+    else if (vs.length <= BulkManifestCutoff) {
+      val fs = fsOf(spark, path)
+      vs.map { v =>
+        val f = new Path(s"$path/manifest", f"v-$v%09d.txt")
+        require(fs.exists(f), s"version $v not committed at $path")
+        val in = fs.open(f)
+        val text = try {
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        } finally in.close()
+        v -> splitManifest(text)
+      }.toMap
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      val files = vs.map(v => v -> (s"$path/manifest/" + f"v-$v%09d.txt"))
+      spark.sparkContext.parallelize(files, math.min(vs.length, 64))
+        .map { case (v, f) =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val pfs = p.getFileSystem(confBc.value.value)
+          val in = pfs.open(p)
+          val text = try {
+            new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          } finally in.close()
+          v -> text
+        }.collect().iterator
+        .map { case (v, t) => v -> splitManifest(t) }.toMap
+    }
+  }
+
   /** CHECK constraints registered at `path` (name → Spark-SQL boolean
     * expression text), from `manifest/constraints.txt`. Constraints
     * are DATASET-level state (they outlive any one version), stored
@@ -219,23 +275,29 @@ object Versioned {
     v
   }
 
-  /** Drop a CHECK constraint; audits as a carry-all commit. */
+  /** Drop a CHECK constraint; audits as a carry-all commit.
+    *
+    * Ordering is the INVERSE of [[addConstraint]]'s install-then-commit,
+    * because the fail-safe direction inverts: for ADD, a crash between
+    * the two steps must leave the constraint ENFORCED (install first —
+    * transient over-enforcement); for DROP, installing the
+    * constraint-removed file first would be fail-OPEN on a crash (the
+    * constraint silently unenforced with no audit record — the rollback
+    * catch handles exceptions, not process death). So the audit commit
+    * lands FIRST; a crash before the install leaves the constraint
+    * still enforced (over-enforcement again), and re-running the drop
+    * converges (the file still carries the name). A lost CAS throws
+    * before any constraint file is touched — nothing to roll back. */
   def dropConstraint(spark: SparkSession, path: String,
                      name: String): Long = {
     val existing = constraints(spark, path)
     require(existing.contains(name),
       s"constraint '$name' does not exist at $path")
     val hv = headVersion(spark, path)
-    // same install-then-commit-with-rollback discipline as addConstraint
+    val v = commitSegments(spark, path, headSegments(spark, path, Some(hv)),
+      readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = s"drop-constraint($name)")
     val installed = writeConstraints(spark, path, existing - name)
-    val v = try {
-      commitSegments(spark, path, headSegments(spark, path, Some(hv)),
-        readDvMap(spark, path, hv), expectedBase = Some(hv),
-        op = s"drop-constraint($name)")
-    } catch { case e: Throwable =>
-      removeConstraintsFile(spark, path, installed)
-      throw e
-    }
     retireOldConstraints(spark, path, keep = installed)
     v
   }
@@ -1701,21 +1763,33 @@ object Versioned {
       require(!headSchema.fieldNames.contains(c),
         s"change feed: dataset uses reserved column name '$c'")
     }
-    // ---- collect the range's pointers in ONE ordered driver pass
-    // (one manifest + one meta read per version — O(range) METADATA is
-    // inherent; what must NOT be O(range) is the PLAN) ----
+    // ---- collect the range's pointers in ONE ordered driver pass over
+    // ONE bulk manifest read (O(range) metadata is inherent; the ROUND
+    // TRIPS are not — readManifestsBulk reads a long range as a single
+    // distributed job, and the PLAN below stays O(1) legs either way) ----
     val inRange = all.filter(v => v > fromVersion && v <= to)
+    val fromBase: Option[Long] =
+      if (fromVersion == 0L) None
+      else Some(all.takeWhile(_ <= fromVersion).last)
+    val bulk = readManifestsBulk(spark, path,
+      (fromBase.toSeq ++ inRange).distinct)
+    def dvOf(meta: Seq[String]): Map[String, String] =
+      meta.filter(_.startsWith("#dv ")).map { l =>
+        val Array(s, d) = l.stripPrefix("#dv ").split("\t", 2)
+        s -> d
+      }.toMap
     var prevSegs: Set[String] =
-      if (fromVersion == 0L) Set.empty
-      else readManifest(spark, path,
-        all.takeWhile(_ <= fromVersion).last).toSet
+      fromBase.fold(Set.empty[String])(b => bulk(b)._1.toSet)
+    var prevDvs: Map[String, String] =
+      fromBase.fold(Map.empty[String, String])(b => dvOf(bulk(b)._2))
     // recorded CDC (dir → version) and synthesized appends
     // (segment → version), attributed by PATH after one batched scan
     val cdcDirs = Seq.newBuilder[(String, Long)]
     val insertSegs = Seq.newBuilder[(String, Long)]
     inRange.foreach { v =>
-      val segs = readManifest(spark, path, v)
-      val cdcMeta = manifestMeta(spark, path, v).find(_.startsWith("#cdc "))
+      val (segs, meta) = bulk(v)
+      val dvs = dvOf(meta)
+      val cdcMeta = meta.find(_.startsWith("#cdc "))
       if (cdcMeta.contains("#cdc neutral")) ()
       else if (cdcMeta.isDefined) {
         // header shape: `#cdc <dir> [<rows>]` — the count is audit
@@ -1730,7 +1804,26 @@ object Versioned {
             "CHANGES / FOR REMOVALS for segment-level deltas instead")
         segs.filterNot(prevSegs).foreach(insertSegs += _ -> v)
       }
+      // DELETION-VECTOR guard for versions that recorded NO row-level
+      // change rows (pure appends, neutral reorgs, restores): a dv
+      // entry that appears, changes, or disappears on a SURVIVING
+      // segment is a row-level retraction/resurrection this feed has
+      // no recorded rows for (the restore-reverting-a-vectored-delete
+      // case) — synthesizing it wrong would silently corrupt every
+      // downstream replica, so reject as loudly as the segment case.
+      // Versions WITH recorded rows account for their dv changes in
+      // those rows (DELETE VECTORED writes its delete rows at commit).
+      if (!cdcMeta.exists(_ != "#cdc neutral")) {
+        val dvChanged = segs.filter(s => dvs.get(s) != prevDvs.get(s))
+        require(dvChanged.isEmpty,
+          s"change feed: version $v changed deletion vectors on " +
+            s"segment(s) ${dvChanged.sorted.mkString(", ")} without " +
+            "recording change rows (a restore crossing a vectored " +
+            "delete) — the row-level delta is not recorded; re-seed " +
+            "consumers from a snapshot at that version")
+      }
       prevSegs = segs.toSet
+      prevDvs = dvs
     }
     // ---- TWO batched multi-path scans, not one leg per version: a
     // 10k-commit history must not plan a 10k-leg union (nor open 10k

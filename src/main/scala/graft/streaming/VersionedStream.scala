@@ -256,7 +256,7 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     * the fix spelled out — `readChangeFeed` mode streams them as
     * row-level `delete` rows. */
   private def changesWithVectors(from: Long, to: Long): DataFrame = {
-    val (added, _) = Versioned.manifestDelta(spark, path, from, Some(to))
+    val (added, removed) = Versioned.manifestDelta(spark, path, from, Some(to))
     val dvTo = Versioned.readDvMap(spark, path, to)
     val dvFrom =
       if (from == 0L) Map.empty[String, String]
@@ -273,6 +273,27 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
         "removedSegments/removals poll cannot see them; stream with " +
         ".option(\"readChangeFeed\", \"true\") to receive them as " +
         "row-level delete rows")
+    // the SYMMETRIC hazard: a deletion vector REMOVED from a carried
+    // segment (a restore() reverting a vectored delete) RESURRECTS rows
+    // the stream never retracted — those rows re-enter the table but no
+    // segment changed, so neither this stream nor the removals poll can
+    // see them; the row-level feed rejects the range too (the restore
+    // recorded no change rows). Fail as loudly as the retraction case,
+    // with the only honest fix: re-seed from a snapshot. (A CHANGED dv
+    // on a carried segment is already caught above; a segment dropped
+    // from the manifest is a removal, not a carry — the poll's job.)
+    val removedSet = removed.toSet
+    val carriedResurrections = dvFrom.keys.filter(seg =>
+      !addedSet(seg) && !removedSet(seg) && !dvTo.contains(seg)).toSeq
+    require(carriedResurrections.isEmpty,
+      s"graft-versioned stream: versions ($from, $to] removed the " +
+        s"deletion vector of carried segment(s) " +
+        s"${carriedResurrections.sorted.mkString(", ")} (a restore " +
+        "reverting a vectored delete) — the resurrected rows never " +
+        "stream as inserts through an append-only source and the " +
+        "restore recorded no row-level change rows; re-seed the " +
+        "consumer from a snapshot read at the restore version and " +
+        "restart the stream from there")
     if (added.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)

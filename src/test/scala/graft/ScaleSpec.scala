@@ -1056,6 +1056,97 @@ class ScaleSpec extends SparkSpec {
         s"driver (threads: ${driverSide.map(_._1).distinct.mkString(", ")})" +
         " — the per-segment driver loop is back")
   }
+
+  test("changeFeed over a long version range: manifest reads are ONE " +
+       "distributed job, driver filesystem calls O(1) in range length") {
+    import graft.sources.Versioned
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-countfs-cf").toString
+    val path = s"countfs://$local/ds"
+    val nVersions = 60 // well past the bulk cutoff
+    (0 until nVersions).foreach { i =>
+      Versioned.commit(
+        Seq((i.toLong, s"p$i")).toDF("id", "p").coalesce(1), path)
+    }
+    CountingLocalFs.listings.clear()
+    CountingLocalFs.opens.clear()
+    val feed = Versioned.changeFeed(spark, path, 2L)
+    // the plan stays O(1) legs (ChangeFeedSpec pins that); here the
+    // ledger pins the DRIVER metadata cost: the range's ~58 manifests
+    // must be read by executor tasks, with only a bounded constant of
+    // driver-side opens (head-schema resolution + the from-base read)
+    val manifestOpens = CountingLocalFs.opens.asScala.toSeq
+      .filter(_._2.contains("/manifest/v-"))
+    val driverOpens = manifestOpens.filterNot(
+      _._1.contains("Executor task launch worker"))
+    val execOpens = manifestOpens.filter(
+      _._1.contains("Executor task launch worker"))
+    assert(execOpens.size >= nVersions - 5,
+      s"expected the range's manifests to be read in the distributed " +
+        s"job, but executors opened only ${execOpens.size}")
+    assert(driverOpens.size <= 8,
+      s"changeFeed opened ${driverOpens.size} manifest files on the " +
+        s"driver over a $nVersions-version range — the per-version " +
+        s"driver loop is back (${driverOpens.map(_._2).take(12)})")
+    // and the feed itself is still correct: one insert row per commit
+    assert(feed.count() == nVersions - 2L)
+  }
+
+  test("versions / streaming latestOffset / commit: each costs one " +
+       "manifest-dir listing, never per-version manifest reads") {
+    import graft.sources.Versioned
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-countfs-vers").toString
+    val path = s"countfs://$local/ds"
+    val nVersions = 40
+    (0 until nVersions).foreach { i =>
+      Versioned.commit(
+        Seq((i.toLong, s"p$i")).toDF("id", "p").coalesce(1), path)
+    }
+    def manifestCalls[A](q: java.util.concurrent.ConcurrentLinkedQueue[(String, String)]) =
+      q.asScala.toSeq.filter(t => t._2.contains("/manifest"))
+    // versions(): exactly one manifest-dir listing, zero manifest opens
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    assert(Versioned.versions(spark, path).length == nVersions)
+    assert(manifestCalls(CountingLocalFs.listings).size == 1,
+      s"versions() made ${manifestCalls(CountingLocalFs.listings).size} " +
+        "manifest listings — expected exactly 1")
+    assert(manifestCalls(CountingLocalFs.opens).isEmpty,
+      "versions() opened manifest files — the listing alone carries " +
+        "the version numbers")
+    // latestOffset (called once per micro-batch): bounded metadata cost
+    // — listings only, no per-version manifest opens
+    val src = new graft.streaming.VersionedStreamSource(
+      spark.sqlContext, path, 0L)
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    val off = src.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(off != null)
+    assert(manifestCalls(CountingLocalFs.listings).size <= 2,
+      s"latestOffset made ${manifestCalls(CountingLocalFs.listings).size} " +
+        "manifest listings per micro-batch")
+    assert(manifestCalls(CountingLocalFs.opens).isEmpty,
+      "latestOffset opened manifest files — a per-batch O(versions) " +
+        "read cost")
+    // one more commit (the CAS path): its manifest metadata cost must
+    // be a bounded constant, not a read of the 40-version history
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    Versioned.commit(Seq((999L, "x")).toDF("id", "p").coalesce(1), path)
+    val commitListings = manifestCalls(CountingLocalFs.listings).size
+    val commitOpens = manifestCalls(CountingLocalFs.opens).size
+    assert(commitListings <= 6,
+      s"commit made $commitListings manifest-dir listings")
+    assert(commitOpens <= 6,
+      s"commit opened $commitOpens manifest files on a $nVersions-" +
+        "version history — expected a bounded constant (the previous " +
+        "head's manifest + dv map), not O(versions)")
+  }
 }
 
 /** Test-only [[org.apache.hadoop.fs.RawLocalFileSystem]] registered as
@@ -1071,9 +1162,17 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       Thread.currentThread().getName -> p.toString)
     super.listStatus(p)
   }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingLocalFs.opens.add(
+      Thread.currentThread().getName -> p.toString)
+    super.open(p, bufferSize)
+  }
 }
 
 object CountingLocalFs {
   val listings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  val opens =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 }

@@ -750,4 +750,41 @@ class StreamingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("readChangeFeed")),
       s"expected the carried-segment retraction to name the fix, got $ex")
   }
+
+  test("a restore that removes a carried segment's deletion vector " +
+       "(row resurrection) fails as loudly as the retraction case") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-dvres").toString
+    val ds = s"$dir/ds"
+    Versioned.commit((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"), ds)
+    val eng = Engine(spark, dir)
+    eng.sql(s"DELETE VECTORED FROM '$ds' WHERE id = 3") // v2: dv lands
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-versioned")
+        .option("path", ds).load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain() // (0, v2]: the segment streams WITH its vector applied
+    assert(spark.read.parquet(s"$dir/out").count() == 29L)
+    // v3 restores to v1: the carried segment's vector DISAPPEARS, so
+    // id 3 re-enters the table with no segment change — neither this
+    // stream nor the removals poll can see it; must fail loudly (the
+    // symmetric twin of the vector-ADDED-on-carried case above)
+    Versioned.restore(spark, ds, 1L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+        m.contains("re-seed") && m.contains("restore")),
+      s"expected the resurrection to fail naming the fix, got $ex")
+  }
 }
