@@ -95,22 +95,42 @@ object Bench {
     * where today's own minimum never dips to idle and would otherwise
     * inflate the qualification bar until everything "qualifies". */
   private def canaryFloorNow(hint: Option[Double]): Double = {
-    val obs = (repCanaries.values.flatten ++ extraCanaries).min
+    val all = (repCanaries.values.flatten ++ extraCanaries).toSeq
+    if (all.isEmpty) return hint.getOrElse(Double.MaxValue)
+    val obs = all.min
     hint.filter(h => h < obs && h >= obs / 5).getOrElse(obs)
   }
 
   /** Poll the canary until the box is quiet (ratio ≤ QualRatio) or the
     * patience budget runs out — the "idle window" the requeue waits
-    * for. Every poll refines the floor. */
-  private def waitForCalm(spark: SparkSession, hint: Option[Double]): Unit = {
+    * for. Every poll refines the floor. Returns whether calm was
+    * reached (false ⇒ the box never went quiet; the caller should stop
+    * requeueing rather than burn the budget polling). */
+  private def waitForCalm(spark: SparkSession, hint: Option[Double]): Boolean = {
     var tries = 0
     while (tries < 10) {
       val c = execTime(canaryJob(spark))
       extraCanaries += c
-      if (c <= QualRatio * canaryFloorNow(hint)) return
+      if (c <= QualRatio * canaryFloorNow(hint)) return true
       Thread.sleep(2000)
       tries += 1
     }
+    false
+  }
+
+  /** Reps of `name` whose back-to-back canary ran within [[QualRatio]]
+    * of the floor — the reps taken while the box was quiet. Entries
+    * without a parallel canary series qualify nothing (published as
+    * all-reps with `qualified_reps` 0, never silently). */
+  private def qualifiedOf(name: String, floor: Double): Seq[Double] = {
+    val ts = repTimes.getOrElse(name, Seq.empty)
+    val cs = repCanaries.getOrElse(name, Seq.empty)
+    if (ts.isEmpty || cs.length != ts.length) Seq.empty
+    else ts.zip(cs).collect { case (t, c) if c <= QualRatio * floor => t }
+  }
+
+  private def medOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
   }
 
   /** The fixed-cost canary job: schedule-and-agg 32 tasks over a
@@ -288,6 +308,29 @@ object Bench {
       .write.option("maxRecordsPerFile", (rows / 3 + 1).toString)
       .mode("overwrite").parquet(out)
     out
+  }
+
+  /** Range-bucket `df` by `l_orderkey` ONCE (one table pass, a
+    * partitioned write), then publish one Versioned dataset per
+    * requested tag whose i-th segment is the i-th bucket: 1 +
+    * tags.length table passes instead of tags.length × nSeg filtered
+    * full scans — what keeps the multi-segment probe stagings
+    * affordable in-sweep, and the shape a real range-partitioned
+    * ingest produces anyway. Untimed, like every staging. */
+  private def stageRangeSegments(spark: SparkSession, df: DataFrame,
+      mnK: Long, width: Long, nSeg: Int, tags: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.{functions => F}
+    val bucketed = newTempDir("graft_bench_buckets")
+    df.withColumn("__b", ((F.col("l_orderkey") - mnK) / width).cast("int"))
+      .write.partitionBy("__b").mode("overwrite").parquet(bucketed)
+    tags.map { tag =>
+      val p = newTempDir(s"graft_bench_$tag") + "/ds"
+      (0 until nSeg).foreach { i =>
+        graft.sources.Versioned.commit(
+          spark.read.parquet(s"$bucketed/__b=$i"), p): Unit
+      }
+      p
+    }
   }
 
   /** The 10×-replicated documents corpus shared by the scale probes:
@@ -491,11 +534,15 @@ object Bench {
         repCanaries += "q06_x10_canary" -> c.toSeq
       }
       for (_ <- 1 to 11) oneCycle()
-      // requeueing ANY of the trio re-runs one interleaved cycle, so
-      // the three series stay load-comparable by construction
-      requeueHooks += "q06_x10_6Mrows" -> (() => oneCycle())
-      requeueHooks += "q06_x10_rawlayout" -> (() => oneCycle())
-      requeueHooks += "q06_x10_canary" -> (() => oneCycle())
+      // ONE shared hook instance for the trio: requeueing ANY of them
+      // re-runs one interleaved cycle that appends a rep to all three
+      // series (they share the per-cycle canary, so their qualified
+      // counts move together and no subset can trigger duplicate
+      // cycles — the round-12 advice's over-weighting hazard)
+      val cycleHook: () => Unit = () => oneCycle()
+      requeueHooks += "q06_x10_6Mrows" -> cycleHook
+      requeueHooks += "q06_x10_rawlayout" -> cycleHook
+      requeueHooks += "q06_x10_canary" -> cycleHook
       def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
       spreads += "q06_x10_6Mrows" -> ((s.min, s.max))
       spreads += "q06_x10_rawlayout" -> ((r.min, r.max))
@@ -866,25 +913,44 @@ object Bench {
       var freqs: Array[(String, Long)] = null
       sweepPersisted(spark); System.gc()
       freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text") // warmup
-      val wcRuns = (1 to 3).map { _ =>
+      // reps recorded into repTimes/repCanaries (not just the spread)
+      // so the end-of-sweep qualification pass covers these two custom
+      // entries like every probe — the driver-side merge loop is the
+      // sweep's single most load-sensitive number (round-12: 1.65x on
+      // a loaded box), exactly what requeueing exists for
+      def oneWcRep(): Unit = {
         sweepPersisted(spark); System.gc()
         val t0 = System.nanoTime()
         freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text")
         val t = (System.nanoTime() - t0) / 1e9
-        execTime(canaryJob(spark)) // keep the per-rep canary cadence
-        t
-      }.sorted
+        val c = execTime(canaryJob(spark))
+        repTimes += "q279_bpe_train32k_wordcount" ->
+          (repTimes.getOrElse("q279_bpe_train32k_wordcount", Seq.empty) :+ t)
+        repCanaries += "q279_bpe_train32k_wordcount" ->
+          (repCanaries.getOrElse("q279_bpe_train32k_wordcount", Seq.empty) :+ c)
+      }
+      (1 to 3).foreach(_ => oneWcRep())
+      requeueHooks += "q279_bpe_train32k_wordcount" -> (() => oneWcRep())
+      val wcRuns = repTimes("q279_bpe_train32k_wordcount").sorted
       spreads += "q279_bpe_train32k_wordcount" -> ((wcRuns.head, wcRuns.last))
       var merges32k: Seq[(String, String)] = null
       // driver-only loop: no warmup discard (JIT warms inside the run —
       // exactly what a one-shot training job pays), 3 timed reps
-      val loopRuns = (1 to 3).map { _ =>
+      def oneLoopRep(): Unit = {
         System.gc()
         val t0 = System.nanoTime()
         merges32k = graft.operators.TextAnalysis
           .bpeTrainFromFreqs(freqs, 32768)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val t = (System.nanoTime() - t0) / 1e9
+        val c = execTime(canaryJob(spark))
+        repTimes += "q279_bpe_train32k_mergeloop" ->
+          (repTimes.getOrElse("q279_bpe_train32k_mergeloop", Seq.empty) :+ t)
+        repCanaries += "q279_bpe_train32k_mergeloop" ->
+          (repCanaries.getOrElse("q279_bpe_train32k_mergeloop", Seq.empty) :+ c)
+      }
+      (1 to 3).foreach(_ => oneLoopRep())
+      requeueHooks += "q279_bpe_train32k_mergeloop" -> (() => oneLoopRep())
+      val loopRuns = repTimes("q279_bpe_train32k_mergeloop").sorted
       spreads += "q279_bpe_train32k_mergeloop" -> ((loopRuns.head, loopRuns.last))
       require(merges32k.length == 32768,
         s"32k probe exhausted at ${merges32k.length} merges")
@@ -1081,18 +1147,14 @@ object Bench {
     // 100k-segment manifest spends its latency on.
     val (skipSeg, skipRaw, segPrune) = {
       import org.apache.spark.sql.{functions => F}
-      val path = newTempDir("graft_bench_skip") + "/lineitem_ds"
       val li = spark.read.parquet(x10Path)
       val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
         .collect().head
       val (mnK, mxK) = (b.getLong(0), b.getLong(1))
       val nSeg = 16
       val width = (mxK - mnK) / nSeg + 1
-      (0 until nSeg).foreach { i => // untimed: per-corpus publish cost
-        graft.sources.Versioned.commit(
-          li.filter(F.col("l_orderkey") >= mnK + i * width &&
-            F.col("l_orderkey") < mnK + (i + 1) * width), path): Unit
-      }
+      val path = stageRangeSegments(spark, li, mnK, width, nSeg,
+        Seq("skip")).head // untimed: per-corpus publish cost
       val lo = mnK + 5 * width
       val hi = lo + width - 1
       def pred = F.col("l_orderkey").between(lo, hi)
@@ -1128,17 +1190,8 @@ object Bench {
       val (mnK, mxK) = (b.getLong(0), b.getLong(1))
       val nSeg = 16
       val width = (mxK - mnK) / nSeg + 1
-      def stage(tag: String): String = {
-        val p = newTempDir(s"graft_bench_dml_$tag") + "/ds"
-        (0 until nSeg).foreach { i =>
-          graft.sources.Versioned.commit(
-            li.filter(F.col("l_orderkey") >= mnK + i * width &&
-              F.col("l_orderkey") < mnK + (i + 1) * width), p): Unit
-        }
-        p
-      }
-      val cowPath = stage("cow")
-      val dvPath = stage("dv")
+      val Seq(cowPath, dvPath) = stageRangeSegments(spark, li, mnK,
+        width, nSeg, Seq("dml_cow", "dml_dv"))
       var rep = 0
       def ids(): Seq[Long] = {
         rep += 1 // l_linenumber spreads ids across rows; the exact hit
@@ -1157,46 +1210,54 @@ object Bench {
     }
     tracer.drain()
 
-    // CDC REPLICATION SHAPE: keep a 6M-row 16-segment replica in sync
-    // after a 16-row update confined to ONE source segment — apply the
-    // row-level change feed (cost ∝ delta + the ONE replica segment
-    // the MERGE rewrites; 15 of 16 carry by reference) vs re-copying
-    // the snapshot (cost ∝ the whole table). At 100 TB the feed apply
-    // is the only viable shape; the probe pair measures the gap at 6M
-    // and it widens linearly with table size and with segment count.
-    // Each rep updates a FRESH id set and applies exactly that
-    // version's feed.
-    val (replApply, replCopy) = {
+    // CDC REPLICATION CROSSOVER (round-12 verdict ask #2): keep a
+    // 72M-row 128-segment replica in sync after a 16-key update
+    // confined to ONE source segment — apply the row-level change feed
+    // (cost = a FIXED driver-planning constant of ~4 s + the delta +
+    // the ONE ~560k-row replica segment the MERGE rewrites; 127 of 128
+    // carry by reference) vs re-copying the snapshot (cost ∝ 2× the
+    // whole table). Round 12 measured the pair at 6M rows where
+    // apply's fixed constant swamped the asymptotics and apply LOST
+    // 4.6×; round-13 instrumentation (GRAFT_MERGE_TRACE) confirmed the
+    // constant is multi-statement planning + the job-count floor —
+    // FLAT in table size at fixed segment size — while recopy scales
+    // linearly (measured 2.4 s at 18M, 4.3 s at 36M), so the volume
+    // here sits decisively past the crossover. The budget field
+    // carries the records math that extrapolates it (at 100 TB recopy
+    // moves ~130 000× more rows than apply). Each rep applies a FRESH
+    // pre-staged version range, so every rep does real work.
+    val (replApply, replCopy, replBudget) = {
       import org.apache.spark.sql.{functions => F}
-      val li = spark.read.parquet(x10Path)
-      val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
-        .collect().head
+      val li = (0 until 12).map(_ => spark.read.parquet(x10Path))
+        .reduce(_.union(_)) // 72,014,580 rows = 12× the staged x10 table
+      val b = spark.read.parquet(x10Path)
+        .agg(F.min("l_orderkey"), F.max("l_orderkey")).collect().head
       val (mnK, mxK) = (b.getLong(0), b.getLong(1))
-      val nSeg = 16
+      val nSeg = 128
       val width = (mxK - mnK) / nSeg + 1
-      def stage16(tag: String): String = {
-        val p = newTempDir(s"graft_bench_repl_$tag") + "/ds"
-        (0 until nSeg).foreach { i =>
-          graft.sources.Versioned.commit(
-            li.filter(F.col("l_orderkey") >= mnK + i * width &&
-              F.col("l_orderkey") < mnK + (i + 1) * width), p): Unit
-        }
-        p
-      }
-      val srcPath = stage16("src")
-      val repPath = stage16("rep") // same 16-range layout as the source
+      // two-pass staging via the shared bucketed helper — 3 table
+      // passes total instead of 256 filtered full scans
+      val Seq(srcPath, repPath) = stageRangeSegments(spark, li, mnK,
+        width, nSeg, Seq("repl_src", "repl_rep"))
       // real keys from segment 0 (l_orderkey is sparse — synthesized
       // ids could match nothing and fake a free apply), bounded collect
-      val seg0Keys = li.filter(F.col("l_orderkey") < mnK + width)
+      val seg0Keys = spark.read.parquet(x10Path)
+        .filter(F.col("l_orderkey") < mnK + width)
         .select("l_orderkey").distinct().orderBy("l_orderkey")
-        .limit(200).collect().map(_.getLong(0))
+        .limit(400).collect().map(_.getLong(0))
+      require(seg0Keys.nonEmpty, "replication probe: segment 0 is empty")
       val eng = graft.Engine(spark)
-      // pre-stage one 16-row single-segment source update per probe
-      // EXECUTION (warmup + reps), so the timed body is ONLY the
-      // replication consumer: feed read + net-effect MERGE apply
-      val nExec = 4 // probe runs 1 warmup + 3 reps
+      // pre-stage one 16-key single-segment source update per probe
+      // EXECUTION (warmup + reps + requeue headroom), so the timed body
+      // is ONLY the replication consumer: feed read + net-effect MERGE.
+      // Key picks wrap modulo the available set: a small-SF smoke run
+      // has fewer distinct keys in segment 0 than 9 disjoint 16-key
+      // sets need, and re-updating a key in a LATER version is still
+      // real work for every apply (the feed always carries fresh rows)
+      val nExec = 8 // 1 warmup + 3 reps + requeue headroom
       val ranges = (1 to nExec).map { r =>
-        val ids = seg0Keys.slice(r * 16, r * 16 + 16).toSeq
+        val ids = (0 until 16)
+          .map(j => seg0Keys((r * 16 + j) % seg0Keys.length)).distinct
         val hv0 = graft.sources.Versioned.versions(spark, srcPath).last
         eng.sql(s"UPDATE '$srcPath' SET l_tax = l_tax + 0.001 WHERE " +
           s"l_orderkey IN (${ids.mkString(", ")})"): Unit
@@ -1205,7 +1266,7 @@ object Bench {
       var rep = 0
       val apply = probe(spark, "q06_replica_apply_delta", reps = 3) {
         // each execution applies a DISTINCT staged version range: the
-        // feed's MERGE touches ONE replica segment, 15 carry
+        // feed's MERGE touches ONE replica segment, 127 carry
         val (from, to) = ranges(rep % nExec); rep += 1
         val feed = graft.sources.Versioned.changeFeed(
           spark, srcPath, from, Some(to))
@@ -1219,7 +1280,22 @@ object Bench {
           newTempDir("graft_bench_repl_copy") + "/ds"): Unit
         spark.range(0).toDF()
       }
-      (apply, copy)
+      // records budget, from metadata (footer row counts — no scan):
+      // apply reads the feed (≤ 16 keys × copies, ×2 for pre/post) +
+      // the ONE touched replica segment (match-join scan bounds-pruned
+      // to it — q313 pins that plan) and REWRITES that segment; recopy
+      // reads and writes the whole table. The ratio is the crossover's
+      // scale story: it grows linearly with table size at fixed delta.
+      val tableRows = graft.sources.Versioned.rowCount(spark, srcPath)
+      val segRows = tableRows / nSeg // range-uniform staging
+      val feedRows = graft.sources.Versioned.changeFeed(
+        spark, srcPath, ranges.last._1, Some(ranges.last._2)).count()
+      val budget = Seq(
+        "q06_replica_apply_delta" ->
+          s"""{"records_read":${segRows + feedRows},"records_written":$segRows,"feed_rows":$feedRows,"segments_total":$nSeg,"segments_rewritten":1,"table_rows":$tableRows}""",
+        "q06_replica_recopy" ->
+          s"""{"records_read":$tableRows,"records_written":$tableRows,"segments_total":$nSeg,"segments_rewritten":$nSeg,"table_rows":$tableRows}""")
+      (apply, copy, budget)
     }
     tracer.drain()
 
@@ -1251,48 +1327,111 @@ object Bench {
     stageJson.append("}")
 
     val canaryAfter = canaryTime(spark)
+
+    // ---- the pre-run artifact, read BEFORE this run overwrites it:
+    // per-query medians for the regressions block, and the previous
+    // sweep's canary floor as the qualification hint (the defense for
+    // a box loaded end-to-end, where today's own canary minimum never
+    // dips to idle and would inflate the bar until everything
+    // "qualifies") ----
+    val (prevBench: (String, Map[String, Double]), floorHint: Option[Double]) = {
+      val f = new java.io.File("bench.json")
+      if (!f.exists()) (("", Map.empty[String, Double]), None)
+      else {
+        val txt = Files.readString(f.toPath)
+        val start = txt.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else txt.indexOf("}", start)
+        val qs =
+          if (start < 0 || end < 0) Map.empty[String, Double]
+          else """"(q[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+            .findAllMatchIn(txt.substring(start, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val hint = """"canary_floor_sec":([0-9]+(?:\.[0-9]+)?)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        ((s"bench.json(pre-run, ${qs.size} queries)", qs), hint)
+      }
+    }
+
+    // ---- END-OF-SWEEP QUALIFICATION PASS (round-11 verdict ask #1,
+    // wired in round 13): a rep counts toward the published median only
+    // when its back-to-back canary ran within QualRatio of the sweep
+    // floor. Every query short of 3 qualified reps gets requeued — wait
+    // for a calm window, run one more rep through its registered hook —
+    // under a global wall budget; if the box never goes calm the pass
+    // aborts (further polling is waste) and the artifact says so. The
+    // published medians below are over QUALIFIED reps when any exist,
+    // all reps otherwise — with qualified_reps carrying the count per
+    // query, so the artifact never lies about what the median is. ----
+    val requeuePassT0 = System.nanoTime()
+    var requeuedTotal = 0
+    var calmReached = true
+    locally {
+      val budgetNs = 300L * 1000000000L // global requeue wall budget
+      // slowest-first: calm windows are scarce on a loaded box, so
+      // they go to the entries where an unqualified median distorts
+      // the artifact most (the big probes), not to sub-floor queries
+      val names = repTimes.keys.toSeq
+        .sortBy(n => -medOf(repTimes(n)))
+      var stop = false
+      var failedCalms = 0
+      for (name <- names if !stop) {
+        var extra = 0
+        var skipName = false
+        while (!stop && !skipName &&
+               requeueHooks.contains(name) && extra < 4 &&
+               qualifiedOf(name, canaryFloorNow(floorHint)).length < 3 &&
+               System.nanoTime() - requeuePassT0 < budgetNs) {
+          if (!waitForCalm(spark, floorHint)) {
+            // the box would not go quiet for this entry — record it,
+            // move on (an intermittently-busy box may calm later);
+            // three strikes ends the pass, further polling is waste
+            calmReached = false
+            failedCalms += 1
+            skipName = true
+            if (failedCalms >= 3) stop = true
+          } else {
+            requeueHooks(name)()
+            extra += 1
+            requeuedTotal += 1
+          }
+        }
+        if (System.nanoTime() - requeuePassT0 >= budgetNs) stop = true
+      }
+    }
+    tracer.drain(): Unit // requeued reps' stages are not re-attributed
+    val requeueWallSec = (System.nanoTime() - requeuePassT0) / 1e9
+    val floorUsed = canaryFloorNow(floorHint)
+
+    // recompute every entry's published numbers over the final rep sets
+    // (requeued reps included): median over qualified reps when any
+    // exist, over all reps otherwise; spreads stay all-reps (the
+    // noise-adjudication raw material)
+    val entryOrder = repTimes.keys.toSeq
+    def finalMedian(name: String): Double = {
+      val q = qualifiedOf(name, floorUsed)
+      if (q.nonEmpty) medOf(q) else medOf(repTimes(name))
+    }
+    entryOrder.foreach { n =>
+      val ts = repTimes(n)
+      spreads += n -> ((ts.min, ts.max))
+    }
+
     val loadAfter = loadAvg()
     val tmpFsType =
       try Files.getFileStore(Paths.get("/tmp")).`type`()
       catch { case _: Throwable => "" }
 
-    val flagship = results.head._2
-    val qjson = (results :+ ("q00_floor" -> floor)
-        :+ ("q06_x10_6Mrows" -> x10)
-        :+ ("q06_x10_rawlayout" -> x10raw)
-        :+ ("q06_x10_canary" -> x10canary)
-        :+ ("q44_x10_skewed_unsalted" -> skewAqe)
-        :+ ("q44_x10_skewed_salted" -> skewSalted)
-        :+ ("q29_x10_50kdocs" -> q29x10)
-        :+ ("q112_x10_50kdocs" -> q112x10)
-        :+ ("q126_x10_50kdocs" -> bm25IdxX10) :+ ("q51_x10_50kdocs" -> q51x10)
-        :+ ("q129_x10_50kdocs" -> q129x10) :+ ("q143_x10_50kdocs" -> q143x10)
-        :+ ("q152_x10_50kdocs" -> q152x10)
-        :+ ("q219_x10_50kdocs" -> q219x10)
-        :+ ("q06_blockfile_600krows" -> blockfileQ1)
-        :+ ("q06_blockfile_unzoned" -> bfUnzoned)
-        :+ ("q06_blockfile_zoned" -> bfZoned)
-        :+ ("q06_parquet_unpruned" -> pqShuffled)
-        :+ ("q06_parquet_pruned" -> pqPruned)
-        :+ ("q06_zorder_2ndcol" -> pqZorder2nd)
-        :+ ("q06_linear_2ndcol" -> pqLinear2nd)
-        :+ ("q279_bpe_encode200" -> bpeEncode200)
-        :+ ("q279_bpe_train32k_wordcount" -> bpeWc32k)
-        :+ ("q279_bpe_train32k_mergeloop" -> bpeLoop32k)
-        :+ ("q279_bpe_encode32k" -> bpeEnc32k)
-        :+ ("q280_avro_1file_whole" -> avroWhole)
-        :+ ("q280_avro_1file_split" -> avroSplit)
-        :+ ("q275_footer_6Mrows" -> footer6M)
-        :+ ("q275_scan_6Mrows" -> scan6M)
-        :+ ("q06_versioned_600krows" -> versionedQ1)
-        :+ ("q06_skipping_16segs" -> skipSeg)
-        :+ ("q06_skipping_noskip" -> skipRaw)
-        :+ ("q06_delete_cow_16segs" -> dmlCow)
-        :+ ("q06_delete_dv_16segs" -> dmlDv)
-        :+ ("q06_replica_apply_delta" -> replApply)
-        :+ ("q06_replica_recopy" -> replCopy)
-        :+ ("q06_rawlayout_600krows" -> rawQ1))
-      .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
+    val flagship = finalMedian("q06_q1_flagship")
+    // every timed entry, in execution order, at its FINAL median
+    // (qualified reps when any exist — see the qualification pass)
+    val qjson = entryOrder
+      .map(n => s""""$n":${f"${finalMedian(n)}%.4f"}""")
+      .mkString("{", ",", "}")
+    // how many reps qualified per entry: 0 = the published median is
+    // over ALL reps (none ran on a quiet box) — the artifact's own
+    // "do not trust this number for cross-round compares" flag
+    val qualifiedJson = entryOrder
+      .map(n => s""""$n":${qualifiedOf(n, floorUsed).length}""")
       .mkString("{", ",", "}")
     // per-query [min, max] across the timed reps: lets a judge tell a
     // real regression (tight spread, moved median) from machine noise
@@ -1305,8 +1444,10 @@ object Bench {
     // against the SWEEP-WIDE canary floor, so >~1.25 in a rep means the
     // box was loaded during THAT rep — the mechanical evidence the last
     // two rounds' unattributed regressions lacked
-    val canaryFloor = (repCanaries.values.flatten ++
-      Seq(canaryBefore, canaryAfter)).min
+    // ratios against the QUALIFICATION floor (today's observations
+    // refined by the prior artifact's floor when plausibly the same
+    // machine) — the same bar the qualified_reps counts used
+    val canaryFloor = floorUsed
     val repCanaryJson = repCanaries
       .map { case (k, cs) =>
         s""""$k":[${cs.map(c => f"${c / canaryFloor}%.2f").mkString(",")}]"""
@@ -1320,6 +1461,10 @@ object Bench {
       segPrune.map { case (k, (tot, hit)) =>
         s""""$k":{"segments_total":$tot,"segments_read":$hit}""" })
       .mkString("{", ",", "}")
+    // records budget for the replication crossover pair (round-12
+    // verdict ask #2's "records_read budget in the artifact")
+    val budgetJson = replBudget
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     // cross-round regression attribution IN the artifact (round-10
     // verdict ask #1's "done" bar): parse the previous round's
     // BENCH_r{N}.json from the working directory and, for every common
@@ -1332,53 +1477,12 @@ object Bench {
     //   unattributed — neither; re-measure isolated (BenchOne) and
     //                  suspect the plan.
     // the previous sweep's per-query medians come from the bench.json
-    // this run is ABOUT to overwrite (the driver's BENCH_r{N}.json
-    // wrappers carry only a truncated tail, never the queries map);
-    // read before the output writes below, labeled so the artifact
-    // says what it compared against
-    val prevBench: (String, Map[String, Double]) = {
-      val f = new java.io.File("bench.json")
-      if (!f.exists()) ("", Map.empty[String, Double])
-      else {
-        val txt = Files.readString(f.toPath)
-        val start = txt.indexOf("\"queries\":{")
-        val end = if (start < 0) -1 else txt.indexOf("}", start)
-        val qs =
-          if (start < 0 || end < 0) Map.empty[String, Double]
-          else """"(q[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
-            .findAllMatchIn(txt.substring(start, end))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        (s"bench.json(pre-run, ${qs.size} queries)", qs)
-      }
-    }
-    val allCurrent: Seq[(String, Double)] = results ++ Seq(
-      "q00_floor" -> floor, "q06_x10_6Mrows" -> x10,
-      "q06_x10_rawlayout" -> x10raw,
-      "q44_x10_skewed_unsalted" -> skewAqe,
-      "q44_x10_skewed_salted" -> skewSalted,
-      "q29_x10_50kdocs" -> q29x10, "q112_x10_50kdocs" -> q112x10,
-      "q126_x10_50kdocs" -> bm25IdxX10, "q51_x10_50kdocs" -> q51x10,
-      "q129_x10_50kdocs" -> q129x10, "q143_x10_50kdocs" -> q143x10,
-      "q152_x10_50kdocs" -> q152x10, "q219_x10_50kdocs" -> q219x10,
-      "q06_blockfile_600krows" -> blockfileQ1,
-      "q06_blockfile_unzoned" -> bfUnzoned,
-      "q06_blockfile_zoned" -> bfZoned,
-      "q06_parquet_unpruned" -> pqShuffled,
-      "q06_parquet_pruned" -> pqPruned,
-      "q06_zorder_2ndcol" -> pqZorder2nd,
-      "q06_linear_2ndcol" -> pqLinear2nd,
-      "q279_bpe_encode200" -> bpeEncode200,
-      "q280_avro_1file_whole" -> avroWhole,
-      "q280_avro_1file_split" -> avroSplit,
-      "q275_footer_6Mrows" -> footer6M, "q275_scan_6Mrows" -> scan6M,
-      "q06_versioned_600krows" -> versionedQ1,
-      "q06_skipping_16segs" -> skipSeg,
-      "q06_skipping_noskip" -> skipRaw,
-      "q06_delete_cow_16segs" -> dmlCow,
-      "q06_delete_dv_16segs" -> dmlDv,
-      "q06_replica_apply_delta" -> replApply,
-      "q06_replica_recopy" -> replCopy,
-      "q06_rawlayout_600krows" -> rawQ1)
+    // this run is ABOUT to overwrite (read once, up top, before the
+    // qualification pass — prevBench also carried the floor hint);
+    // the canary series is excluded (machine state, not a query)
+    val allCurrent: Seq[(String, Double)] = entryOrder
+      .filterNot(_ == "q06_x10_canary")
+      .map(n => n -> finalMedian(n))
     val regressionsJson = allCurrent.flatMap { case (name, cur) =>
       prevBench._2.get(name).collect {
         case prev if prev > 0 && cur / prev > 1.2 && cur - prev > 0.05 =>
@@ -1396,120 +1500,125 @@ object Bench {
       }
     }.mkString("[", ",", "]")
     // environment fingerprint + fixed-cost canary: a drifted canary or
-    // load average attributes a fleet-wide delta to machine state
+    // load average attributes a fleet-wide delta to machine state.
+    // `qualification` records how the published medians were taken:
+    // ratio = the canary bar, floor/hint the bar's base, calm_reached
+    // false = the box never went quiet during the requeue pass (its
+    // budget then went unspent and unqualified medians are flagged by
+    // qualified_reps 0 per query).
+    val qualJson =
+      s"""{"ratio":$QualRatio,"floor_sec":${f"$floorUsed%.4f"},"floor_hint_sec":${floorHint.fold("null")(h => f"$h%.4f")},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal,"requeue_wall_sec":${f"$requeueWallSec%.1f"}}"""
     val envJson =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"prev_bench":"${prevBench._1}"}"""
-    // attribution notes the artifact's reader needs (round-6 verdict
-    // asks #1/#2): what was timed, how staging changed, what the env
-    // fingerprint is for
+      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench._1}"}"""
+    // per-probe explanations as a STRUCTURED map (round-12 verdict ask
+    // #7): the old single `notes` blob grew past the driver wrapper's
+    // 2000-char stdout tail and its most important sentences got
+    // truncated away; a keyed map survives whole in bench.json and the
+    // short `notes` below carries only the reading instructions.
+    // Values must stay double-quote-free (they are interpolated raw).
+    val probeNotes: Seq[(String, String)] = Seq(
+      "qualification" -> ("a rep counts toward the published median " +
+        "only when its back-to-back canary ran within ratio x floor " +
+        "(env.qualification); queries short of 3 qualified reps were " +
+        "requeued in calm windows under a global budget; " +
+        "qualified_reps carries the per-query count, 0 = median is " +
+        "over all reps and should not anchor cross-round compares"),
+      "q00_floor" -> ("the MEASURED per-rep driver floor (5-row scan " +
+        "+ agg through the identical probe path: Catalyst planning + " +
+        "codegen + footer job, ~0.1-0.15s) — subtract its median from " +
+        "any sub-0.5s in-sweep median before cross-round compares; at " +
+        "real scale the floor amortizes to zero. It is also why " +
+        "in-sweep medians of q44/q52 sit that constant above their " +
+        "isolated BenchOne medians with identical plans"),
+      "q06_x10" -> ("q06_x10_6Mrows reads a pre-staged real 6M-row " +
+        "table (BASELINE.md sf1 row count), q06_x10_rawlayout its " +
+        "no-ingest twin (10 paths of the driver single-row-group " +
+        "file, single-task by construction); the trio including " +
+        "q06_x10_canary is INTERLEAVED per rep over 11 cycles so a " +
+        "load excursion lands in the same rep of all three series"),
+      "q06_skipping" -> ("q06_skipping_16segs (Versioned.read, " +
+        "sidecar stats prune 15/16 segments at planning — no footer " +
+        "opens, no tasks) vs q06_skipping_noskip (same files raw: " +
+        "every footer opened, row-group pruning only); prune carries " +
+        "segments_total/segments_read; at 100 TB skipped segments " +
+        "are skipped listing/footer/scheduling cost"),
+      "q06_parquet_prune" -> ("the prune pair reads the 6M-row x10 " +
+        "table (at 600k rows the whole scan costs less than the " +
+        "floor); read it floor-subtracted — the ~15x group skip " +
+        "appears in (median - q00_floor), not the raw wall ratio. " +
+        "q06_zorder_2ndcol vs q06_linear_2ndcol: the same selective " +
+        "filter on the SECOND clustered column; the z-layout's " +
+        "row-group accounting in prune is the 100 TB number"),
+      "q06_delete" -> ("cow vs dv: a 16-row scattered takedown (one " +
+        "row per segment, fresh ids per rep) — copy-on-write " +
+        "rewrites every affected segment (the whole table here), " +
+        "deletion vectors write 16 position lists and carry every " +
+        "segment byte-identical; the ratio is the merge-on-read " +
+        "story and scales with segment size"),
+      "q06_replica" -> ("apply_delta vs recopy: syncing a 72M-row " +
+        "128-segment replica after a 16-key single-segment source " +
+        "update — the timed body is the replication CONSUMER only " +
+        "(feed read + net-effect MERGE) vs re-copying the snapshot " +
+        "(full read + full write); apply cost = a fixed ~4s driver-" +
+        "planning constant (flat in table size at fixed segment " +
+        "size — GRAFT_MERGE_TRACE breaks it down) + O(delta + " +
+        "touched segment + one pruned scan), recopy O(2x table: " +
+        "measured 2.4s at 18M, 4.3s at 36M, linear). Round 12 ran " +
+        "the pair at 6M rows where the fixed constant swamped the " +
+        "asymptotics and apply lost 4.6x; 72M sits decisively past " +
+        "the crossover. The budget field carries the records math: " +
+        "apply reads feed + ONE segment and rewrites it, recopy " +
+        "moves the whole table — the gap grows linearly with table " +
+        "size at fixed delta"),
+      "q279_bpe" -> ("train32k_wordcount / _mergeloop / encode32k: " +
+        "the production-vocabulary tokenizer at 32768 merges over " +
+        "the x10 corpus widened with one md5-hex word per row (~50k " +
+        "distinct words; q288 gates the construction) — wordcount is " +
+        "the only distributed training cost, the merge loop is " +
+        "driver-side and vocabulary-bounded (and maximally " +
+        "load-sensitive — check its qualified_reps), encode32k the " +
+        "recurring per-corpus pass. q279_bpe_encode200 times ENCODE " +
+        "ONLY with a 200-merge table trained untimed; q279_bpe_encode " +
+        "in the headline set is the gate-identical train(8)+encode"),
+      "q44_x10_skew" -> ("1M-row events with one user owning ~50% of " +
+        "rows, identical shuffled join+agg, AQE skew-split " +
+        "(thresholds sized to probe volume) vs Scale.saltedJoin; " +
+        "broadcast disabled so the skew is real"),
+      "q280_avro" -> ("one multi-MB OCF file read whole (one task) " +
+        "vs sync-marker byte-range split; at a multi-GB shard the " +
+        "whole-file number scales with file size, the split number " +
+        "with size/cores"),
+      "staging" -> ("order-preserving maxRecordsPerFile splits, " +
+        "untimed (BASELINE.md likewise times queries after its " +
+        "excluded CSV-to-BlockFile conversion): string-heavy tables " +
+        "fan out by rows (documents = 10 splits; measured q87 " +
+        "0.420s@1, 0.167s@10, 0.109s@32 — 32 taxed every aggregating " +
+        "query and regressed the ANN family), narrow numeric tables " +
+        "keep 512KB/50k-row floors (flagship flat 0.21-0.22s from 8 " +
+        "through 32 lineitem splits); embeddings stays un-fanned"),
+      "methodology" -> ("every timed rep is followed back-to-back by " +
+        "a fixed-cost 32-task canary (rep_canary_ratio = canary/" +
+        "floor per rep); regressions names a mechanical cause for " +
+        "every entry regressed >1.2x and >50ms vs prev_bench; every " +
+        "entry carries a [min,max] spread over ALL reps (requeued " +
+        "included); raw-layout probes get 11 reps"))
+    val probeNotesJson = probeNotes
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     val notes = s"$rgNote. " +
-      "EVERY timed rep is followed back-to-back by a fixed-cost " +
-      "32-task canary: rep_canary_ratio carries canary/floor per rep " +
-      "per query, so a rep taken under load is flagged mechanically — " +
-      "and the regressions field names a cause (noise / machine-load " +
-      "/ unattributed) for every entry regressed >1.2x vs the " +
-      "prev_bench artifact, from the artifact alone. The prune field " +
-      "is the row-group accounting as structured per-probe " +
-      "groups_total/groups_read, plus segments_total/segments_read " +
-      "for the manifest-level skipping pair: q06_skipping_16segs " +
-      "(Versioned.read, sidecar stats prune 15/16 segments at " +
-      "planning — no footer opens, no tasks) vs q06_skipping_noskip " +
-      "(same files raw: every footer opened, row-group pruning only); " +
-      "both medians carry the q00_floor constant, and at 100 TB the " +
-      "skipped segments are skipped listing/footer/scheduling cost " +
-      "proportional to manifest size. q06_delete_cow_16segs vs " +
-      "q06_delete_dv_16segs: a 16-row scattered takedown (one row per " +
-      "segment of the same 6M-row 16-segment table, fresh ids per " +
-      "rep) -- copy-on-write rewrites every affected segment (here the " +
-      "whole table), deletion vectors write 16 position lists and " +
-      "carry every segment byte-identical; the ratio is the " +
-      "merge-on-read story and scales with segment size. " +
-      "q06_replica_apply_delta vs q06_replica_recopy: syncing a 6M-row " +
-      "16-segment replica after a 16-row single-segment source update " +
-      "-- the timed body is the replication CONSUMER only (feed read + " +
-      "net-effect MERGE: ONE replica segment rewrites, 15 carry by " +
-      "reference; the match join scans the replica once with no " +
-      "write) vs re-copying the snapshot (full read + full write). " +
-      "Apply cost is O(delta + touched segment + one scan), recopy " +
-      "O(2x table); the gap widens with table size and segment count. q279_bpe_train32k_wordcount / " +
-      "_mergeloop / q279_bpe_encode32k: the production-vocabulary " +
-      "tokenizer at 32768 merges over the x10 corpus widened with one " +
-      "md5-hex word per row (~50k distinct words — the fixture text's " +
-      "31-word pool exhausts at 89 merges; q288 gates the same " +
-      "construction): wordcount is the only distributed training " +
-      "cost, the merge loop is driver-side and vocabulary-bounded, " +
-      "and encode32k is the recurring per-corpus pass with deep ranks " +
-      "firing. " +
-      "The prune pair reads the 6M-row x10 table (at 600k rows the " +
-      "whole scan cost less than the floor and no layout could show a " +
-      "delta); read it floor-subtracted: the wall is parallel across " +
-      "32 cores and both medians carry the q00_floor constant, so the " +
-      "~15x group skip appears in (median - q00_floor), not as a raw " +
-      "wall ratio — at 100 TB the skipped groups are skipped I/O. " +
-      "q00_floor is the MEASURED per-rep driver floor (5-row scan + " +
-      "agg through the identical probe path): subtract its median " +
-      "from any sub-0.5s in-sweep median before cross-round compares. " +
-      "q06_zorder_2ndcol vs q06_linear_2ndcol (round 9): the SAME " +
-      "selective filter on the SECOND clustered column over the same " +
-      "6M rows and group sizing — the z-ordered layout's row-group " +
-      "accounting (in the first sentence) is the 100 TB number, the " +
-      "wall delta is that skip minus the driver floor. " +
-      "q279_bpe_encode200 times ENCODE ONLY (200-merge table trained " +
-      "untimed): the recurring cost of a tokenization job — training " +
-      "is one word-count pass + a vocabulary-bounded driver loop, " +
-      "amortized to zero at corpus scale; q279_bpe_encode in the " +
-      "headline set is the gate-identical train(8)+encode. " +
-      "q06_x10_6Mrows / q06_x10_rawlayout / q06_x10_canary are " +
-      "INTERLEAVED (staged, raw, canary back-to-back per rep, 11 " +
-      "cycles): a load excursion lands in the same rep of all three " +
-      "series, so their medians stay comparable and the canary series " +
-      "dates any excursion. q44_x10_skewed_*: 1M-row events with one " +
-      "user owning ~50% of rows, identical shuffled join+agg, AQE " +
-      "skew-split (thresholds sized to probe volume) vs " +
-      "Scale.saltedJoin; broadcast disabled so the skew is real. " +
-      "Round-8 drift cluster (q103/q27/q176/q36, 1.2-1.4x over r7): " +
-      "machine state, not code — isolated 5-rep BenchOne medians before " +
-      "this sweep (q103 0.515 raw-layout, q27 0.193, q176 0.428, q36 " +
-      "0.326) and this sweep's in-sweep medians are both back at or " +
-      "under the r7 values with no intervening change to those " +
-      "operators; r8's env fingerprint had load_before 4.59 vs this " +
-      "round's idle canary. " +
-      "staging is order-preserving maxRecordsPerFile splits: " +
-      "STRING-heavy tables (compressed row width >=64B with a string " +
-      "column, i.e. documents) fan out by rows (min(cores, rows/500) = " +
-      "10 splits — round 7 staged documents as ONE split and " +
-      "serialized the doc-scan family: measured q87 0.420s@1 split, " +
-      "0.167s@10, 0.109s@32; 10 not 32 because a full sweep at 32 " +
-      "splits (documents AND embeddings) taxed every aggregating query " +
-      "over those tables ~0.1s of task scheduling and regressed the " +
-      "ANN family 1.5-2x, so embeddings stays un-fanned — numeric " +
-      "vector rows never justified it), narrow numeric tables keep " +
-      "round 7's exact volume floors (512KB AND 50k rows per split: " +
-      "flagship measured 0.402s@4 lineitem splits, flat 0.21-0.22s " +
-      "from 8 through 32, so the round-7 12-split staging stands). " +
-      "Round 7's flagship 0.528s was machine state, not the staging: " +
-      "the split experiment re-ran 12 splits at 0.222s median on an " +
-      "idle box (r7 load_before was 4.59); q44 likewise re-measured " +
-      "0.22s at 12 AND 20 splits. " +
-      "q06_x10_6Mrows reads a pre-staged real 6M-row table, " +
-      "q06_x10_rawlayout is its no-ingest twin (10 paths of the " +
-      "single-row-group file); raw-layout probes get 11 reps (they are " +
-      "single-task by construction, so they measure single-thread " +
-      "decode + machine state); every entry has a [min,max] spread. " +
-      "In-sweep medians of sub-0.5s queries carry a ~0.1-0.15s " +
-      "driver-side floor (per-rep Catalyst planning + codegen + the " +
-      "footer-read job, honestly charged by the by-name timing — " +
-      "bench_stages.json carries the per-stage wall to subtract): " +
-      "q44 and q52's in-sweep medians sit that constant above their " +
-      "isolated split-experiment medians (0.22s / 0.14s) with the " +
-      "identical plans; at real scale the floor amortizes to zero. " +
-      "The same floor is why the staged and raw flagship layouts " +
-      "nearly agree at sf0.1: 600k rows decode in ~0.25s even " +
-      "single-threaded, so the layout delta only emerges at the " +
-      "6M-row probe volume and beyond; compare canary_32task_sec and " +
-      "load before attributing cross-round deltas to code"
+      "Read probe_notes (structured, per probe family) for what each " +
+      "pair measures; env.qualification + qualified_reps for how the " +
+      "medians were taken. The headline object at the END of this " +
+      "line restates the gate-relevant numbers so the driver's " +
+      "2000-char stdout tail always carries them."
+    // the gate-relevant numbers RESTATED LAST: the driver wrapper
+    // keeps only the final 2000 chars of stdout when it cannot parse
+    // the full line, and these must never be the part that truncation
+    // eats (round-12 verdict ask #7)
+    val headlineJson =
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","qualified_reps_flagship":${qualifiedOf("q06_q1_flagship", floorUsed).length},"q06_x10_6Mrows":${f"${finalMedian("q06_x10_6Mrows")}%.4f"},"qualified_reps_x10":${qualifiedOf("q06_x10_6Mrows", floorUsed).length},"canary_floor_sec":${f"$floorUsed%.4f"},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal}"""
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"prune":$pruneJson,"regressions":$regressionsJson,"env":$envJson,"notes":"$notes","sf":"$rawSfDir"}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"qualified_reps":$qualifiedJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

@@ -24,6 +24,19 @@ import graft.sources.Tables
   */
 final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) {
 
+  /** Wall-clock trace of the MERGE path's sequential steps, gated by
+    * `GRAFT_MERGE_TRACE=1` — the instrument that localized the
+    * statement's fixed driver-planning cost (round 13). */
+  private val mergeTrace = sys.env.get("GRAFT_MERGE_TRACE").contains("1")
+  private var mtLast = 0L
+  private def mtrace(tag: String): Unit = if (mergeTrace) {
+    val now = System.nanoTime()
+    if (tag != "begin" && mtLast != 0L)
+      System.err.println(
+        f"[merge-trace] $tag%-22s ${(now - mtLast) / 1e9}%7.3f s")
+    mtLast = now
+  }
+
   /** Session-scoped views: name → body TEXT, re-planned at every use
     * (standard non-materialized view semantics — a view over a
     * Versioned dataset tracks its head, and underlying-table changes
@@ -1030,6 +1043,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("version", LongType, nullable = false),
           StructField("n_updated", LongType, nullable = false)))))
     case MergeRe(target, taliasOpt, rest) =>
+      mtrace("begin")
       scalarCache.clear()
       import org.apache.spark.sql.{functions => F}
       val resolved = Tables.resolve(target, baseDir)
@@ -1136,6 +1150,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // describe the same snapshot
       val hv = graft.sources.Versioned.headVersion(spark, resolved)
       val head = graft.sources.Versioned.read(spark, resolved, Some(hv))
+      mtrace("head read")
       (graft.sources.Versioned.ReservedProvenanceCols ++
           graft.sources.Versioned.CdcReservedCols :+ "__srid").foreach { c =>
         if (head.columns.contains(c) || srcFrame.df.columns.contains(c))
@@ -1153,6 +1168,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val sDf = srcFrame.df
         .withColumn("__srid", F.monotonically_increasing_id())
         .localCheckpoint(true)
+      mtrace("provenance + src ckpt")
       val scope = Map(tName -> GraftFrame.fromDF(tDf),
         sName -> GraftFrame.fromDF(sDf))
       // validate every clause's SET column names against the target
@@ -1207,34 +1223,41 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val pairs = evalCompound(matchedCq, scope).df
         .withColumn("__win", winCol)
         .localCheckpoint(true)
-      // standard cardinality rule: a target row matching two source
-      // rows has no defined UPDATE/DELETE result — fail loudly, never
-      // pick one. Insert-only merges are exempt (matched source rows
-      // are merely excluded from the insert; multiplicity is harmless),
-      // matching Delta/Postgres semantics.
-      if (matchedClauses.nonEmpty &&
-          pairs.groupBy("__file", "__pos").agg(F.count(F.lit(1)).as("c"))
-            .filter(F.col("c") > 1).head(1).nonEmpty)
-        throw new SemanticError("MERGE: a target row matches more than " +
-          "one source row — the ON condition must match at most one")
-      // per-clause-kind action counts (cardinality above makes plain
-      // counts row-exact); bounded by the match count
+      mtrace("match join + ckpt")
+      // per-clause-kind action counts; bounded by the match count
       val updIdxs = matchedClauses.zipWithIndex.collect {
         case (MergeUpd(_, _), i) => i }
       val delIdxs = matchedClauses.zipWithIndex.collect {
         case (MergeDel(_), i) => i }
-      // per-clause action counts AND the affected-segment set from ONE
-      // aggregation job over the (match-count-bounded, checkpointed)
-      // pairs frame: groupBy the winning clause, count rows, and
-      // collect_set the owning segments (bounded by manifest length ×
-      // clause count — driver-safe by construction)
+      // ONE aggregation job over the (match-count-bounded,
+      // checkpointed) pairs frame yields BOTH the standard cardinality
+      // check (a target row matching two source rows has no defined
+      // UPDATE/DELETE result — fail loudly, never pick one; insert-only
+      // merges are exempt, matching Delta/Postgres) AND the per-clause
+      // action counts + affected-segment set: first a per-target-row
+      // rollup (max multiplicity is the cardinality witness), then the
+      // per-winning-clause rollup over it. Fused because each separate
+      // action pays the full driver planning floor — at a 16-row
+      // replication apply that floor, not the data, was the cost.
       val byWinRows =
         if (matchedClauses.isEmpty) Array.empty[Row]
-        else pairs.filter(F.col("__win").isNotNull)
+        else pairs
+          .groupBy("__file", "__pos")
+          .agg(F.count(F.lit(1)).as("__c"),
+            F.first(F.col("__win")).as("__win"),
+            F.first(F.col("__seg")).as("__seg"))
           .groupBy("__win").agg(F.count(F.lit(1)).as("c"),
+            F.max(F.col("__c")).as("maxc"),
             F.collect_set(F.col("__seg")).as("segs"))
           .collect()
-      val byWin = byWinRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      mtrace("byWin collect")
+      if (byWinRows.exists(_.getAs[Long]("maxc") > 1L))
+        throw new SemanticError("MERGE: a target row matches more than " +
+          "one source row — the ON condition must match at most one")
+      // NULL __win = matched rows where no clause fired (they stay
+      // as-is): counted for cardinality above, excluded from actions
+      val firedRows = byWinRows.filterNot(_.isNullAt(0))
+      val byWin = firedRows.map(r => r.getInt(0) -> r.getAs[Long]("c")).toMap
       val (nUpdated, nDeleted) =
         (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
           delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
@@ -1247,17 +1270,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // MERGE rewrites nothing at all: at 100 TB a one-row upsert costs
       // one segment (plus the match join), not a full-table copy.
       val affected: Set[String] =
-        byWinRows.flatMap(_.getSeq[String](2)).toSet
+        firedRows.flatMap(_.getSeq[String](3)).toSet
       val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
       // affected segments re-read once, flagged with each row's winning
-      // clause — survivors AND the change-feed rows derive from it
+      // clause — survivors AND the change-feed rows derive from it.
+      // PERSISTED (memory-and-disk, bounded by the affected segments —
+      // data the statement rewrites anyway): three downstream actions
+      // consume it (survivor emptiness probe, survivor write, change-
+      // feed write) and would each recompute the scan + join otherwise;
+      // unpersisted after the commit.
       val flaggedAll: Option[org.apache.spark.sql.DataFrame] =
         if (affected.isEmpty) None
         else Some(graft.sources.Versioned
           .readSegmentsAligned(spark, resolved,
             segsAll.filter(affected), head.schema, dvMap)
           .join(pairs.drop("__srid", "__seg"),
-            Seq("__file", "__pos"), "left"))
+            Seq("__file", "__pos"), "left")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // per-clause CASE projection on the winning index — applied to
       // survivors and to the feed's update postimages alike
       def projectUpdated(df: org.apache.spark.sql.DataFrame) =
@@ -1343,12 +1372,19 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               else F.lit(null).cast(f.dataType).as(f.name)
             }.toSeq: _*)
         }
+      mtrace("clauses compiled")
       val nInserted = inserts.map(_.count()).getOrElse(0L)
+      mtrace("inserts count")
       // new version = untouched segments carried by reference + one
       // fresh segment holding rewritten survivors and inserted rows
-      val fresh = (survivors.toSeq ++ inserts.toSeq)
+      val fresh = try {
+        (survivors.toSeq ++ inserts.toSeq)
         .reduceOption(_ unionAll _)
         .flatMap(graft.sources.Versioned.writeSegmentIfNonEmpty(_, resolved))
+      } catch { case e: Throwable =>
+        flaggedAll.foreach(_.unpersist(false)); throw e
+      }
+      mtrace("fresh segment write")
       // change-feed rows, per fired clause kind. An insert-only MERGE
       // records nothing: its fresh segment holds ONLY inserts, which
       // the feed synthesizes lazily from the segment delta (CdcNone).
@@ -1373,9 +1409,12 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           graft.sources.Versioned.CdcRows(
             parts.reduce(_.unionByName(_)))
       }
-      val v = graft.sources.Versioned.commitPruned(spark, resolved,
-        segsAll.filterNot(affected), fresh, head.schema, dvMap,
-        cdc = cdcSpec, expectedBase = Some(hv), op = "merge")
+      val v = try {
+        graft.sources.Versioned.commitPruned(spark, resolved,
+          segsAll.filterNot(affected), fresh, head.schema, dvMap,
+          cdc = cdcSpec, expectedBase = Some(hv), op = "merge")
+      } finally flaggedAll.foreach(_.unpersist(false))
+      mtrace("cdc + commit")
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
         java.util.List.of(Row(v, nUpdated, nDeleted, nInserted)),

@@ -2341,6 +2341,33 @@ object SparkEntry {
     // the FileStreamSource hybrid): at 100 TB this is what keeps a
     // restart 10,000 versions behind from reading the backlog as one
     // executor-flattening batch
+    // WIDE-MANIFEST read path (round 13): 48 range segments sit past
+    // VersionedFileIndex's distributed-open cutoff, so this read
+    // resolves its schema from sidecars and lists every segment dir +
+    // reads every stats sidecar in ONE distributed job (zero
+    // per-segment driver round trips — the countfs spec pins that);
+    // the gate pins CONTENT through that path and the data-skipping
+    // accounting (the [100, 140) filter must plan exactly 4 of the 48
+    // segments) — the 100k-segment manifest shape at probe scale.
+    "q318_wide_manifest_read" -> ((s, dir) => {
+      val path = stagingDir("graft_widemanifest") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < 480)
+      (0 until 48).foreach { i =>
+        Versioned.commit(base.filter(
+          F.col("doc_id") >= i * 10 && F.col("doc_id") < (i + 1) * 10), path)
+      }
+      val pred = F.col("doc_id") >= 100 && F.col("doc_id") < 140
+      val (tot, kept) = Versioned.pruneCount(s, path, pred)
+      Versioned.read(s, path).filter(pred)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("n_chars").cast("long").as("chars"),
+          F.sum("doc_id").cast("long").as("ids"))
+        .withColumn("segments_total", F.lit(tot.toLong))
+        .withColumn("segments_read", F.lit(kept.toLong))
+    }),
+
     "q317_vstream_bounded_catchup" -> ((s, dir) => {
       val root = stagingDir("graft_vstream_maxv")
       val ds = s"$root/ds"
@@ -6667,6 +6694,17 @@ object SparkEntry {
         |    AS chars
         |FROM documents
         |WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 != 2
+        |GROUP BY lang""".stripMargin,
+
+    // the 48-segment publish partitions doc_id < 480 into width-10
+    // ranges; the [100, 140) filter intersects exactly segments 10-13
+    "q318_wide_manifest_read" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS ids,
+        |  CAST(48 AS BIGINT) AS segments_total,
+        |  CAST(4 AS BIGINT) AS segments_read
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 140
         |GROUP BY lang""".stripMargin,
 
     // three 2-version bites over the 6-commit backlog: batch b covers

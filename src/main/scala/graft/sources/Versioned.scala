@@ -707,8 +707,14 @@ object Versioned {
       if (prevSegs.nonEmpty) {
         // compare against the NEWEST segment — the dataset's widest
         // schema; checking the oldest would let a later append silently
-        // narrow an evolved dataset back down
-        val prevSchema = spark.read.parquet(s"$path/data/${prevSegs.last}").schema
+        // narrow an evolved dataset back down. The stats sidecar
+        // carries the segment's schema (one KB-sized text read); only
+        // a sidecar-less legacy segment pays the parquet footer
+        // inference.
+        val prevSchema = SegmentStats.read(spark, path, prevSegs.last)
+          .map(_.schema)
+          .getOrElse(
+            spark.read.parquet(s"$path/data/${prevSegs.last}").schema)
         val prevSig = prevSchema.map(f => (f.name, f.dataType))
         val inSig = df.schema.map(f => (f.name, f.dataType))
         require(inSig.take(prevSig.length) == prevSig,

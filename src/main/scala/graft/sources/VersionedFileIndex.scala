@@ -87,6 +87,17 @@ private[graft] final class VersionedFileIndex(
 
 private[graft] object VersionedFileIndex {
 
+  /** Manifests at or under this many segments open with serial driver
+    * listings (a handful of round trips beats a Spark job); larger
+    * manifests run ONE distributed job that both lists every segment
+    * dir and reads every stats sidecar — driver filesystem cost O(1)
+    * in manifest length. Without it every `Versioned.read` of a
+    * 100k-segment dataset paid ~200k SERIAL driver round trips
+    * (listStatus + sidecar read per segment) before planning began —
+    * the same hazard class `footerRowCount`/`readManifestsBulk`
+    * already fixed on their paths. */
+  private val DistributedOpenCutoff = 32
+
   /** Build the index for a snapshot: list each segment's parquet part
     * files, load sidecars, and resolve the snapshot schema — from
     * sidecar-recorded schemas alone when every segment has one (zero
@@ -97,13 +108,16 @@ private[graft] object VersionedFileIndex {
     * columns). */
   def open(spark: SparkSession, path: String,
            segs: Seq[String]): VersionedFileIndex = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = segs.map { s =>
-      s -> fs.listStatus(new Path(s"$path/data/$s"))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    }.toMap
-    val stats = segs.map(s => s -> SegmentStats.read(spark, path, s)).toMap
+    val (files, stats) =
+      if (segs.length <= DistributedOpenCutoff) {
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (segs.map { s =>
+          s -> fs.listStatus(new Path(s"$path/data/$s"))
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        }.toMap,
+          segs.map(s => s -> SegmentStats.read(spark, path, s)).toMap)
+      } else distributedOpen(spark, path, segs)
     val bare = segs.filter(stats(_).isEmpty)
     val fromSidecars = segs.flatMap(s => stats(s).map(_.schema))
     val inferred: Seq[StructType] =
@@ -115,6 +129,53 @@ private[graft] object VersionedFileIndex {
     require(schema.nonEmpty, s"no resolvable schema at $path " +
       s"(segments: ${segs.mkString(", ")})")
     new VersionedFileIndex(spark, path, segs, files, stats, schema)
+  }
+
+  /** The >cutoff half of [[open]]: one task per segment lists the dir
+    * and reads the sidecar TEXT (both KB-scale metadata); the driver
+    * rebuilds plain [[FileStatus]]es from (path, length, mtime) —
+    * sidestepping Hadoop-version serializability questions — and
+    * parses sidecars in memory. Block locality hints are dropped for
+    * these manifests (object stores have none, and a 100k-segment
+    * local-disk deployment does not exist). */
+  private def distributedOpen(spark: SparkSession, path: String,
+      segs: Seq[String])
+      : (Map[String, Array[FileStatus]],
+         Map[String, Option[SegmentStats.SegStats]]) = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val rows = spark.sparkContext
+      .parallelize(segs, math.min(segs.length, 64))
+      .map { s =>
+        val conf = confBc.value.value
+        val fs = new Path(path).getFileSystem(conf)
+        val fls = fs.listStatus(new Path(s"$path/data/$s"))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => (st.getPath.toString, st.getLen,
+            st.getModificationTime))
+        val sc = SegmentStats.sidecar(path, s)
+        val txt: Option[String] =
+          try {
+            if (!fs.exists(sc)) None
+            else {
+              val in = fs.open(sc)
+              try Some(new String(
+                org.apache.commons.io.IOUtils.toByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally in.close()
+            }
+          } catch { case _: java.io.IOException => None }
+        (s, fls, txt)
+      }.collect()
+    (rows.iterator.map { case (s, fls, _) =>
+      s -> fls.map { case (p, len, mt) =>
+        new FileStatus(len, false, 1, 134217728L, mt, new Path(p))
+      }
+    }.toMap,
+      rows.iterator.map { case (s, _, txt) =>
+        s -> txt.flatMap(SegmentStats.parse)
+      }.toMap)
   }
 
   /** First-wins-by-name column fold; all fields nullable (a segment

@@ -751,7 +751,10 @@ object Streams {
       .filterNot(Set("_change_type", "_commit_version"))
     require(keys.forall(dataCols.contains),
       s"applyChanges: keys ${keys.mkString(",")} must be feed columns")
-    if (feed.isEmpty) return
+    // NO up-front feed.isEmpty: that would execute the feed once just
+    // to look at it — the net write below executes it anyway, and the
+    // staged count (fused into the bounds aggregation) catches both
+    // the empty feed and the audit-only feed in one job
     val w = Window.partitionBy(keys.map(F.col): _*)
       .orderBy(F.col("_commit_version").desc, F.col("_change_type").asc)
     val net = feed
@@ -770,10 +773,7 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      // a feed with no ACTIONABLE rows (audit preimages only) applies
-      // nothing — skip the MERGE rather than committing a no-op version
       val staged = spark.read.schema(net.schema).parquet(tmp)
-      if (staged.isEmpty) return
       // SOURCE-KEY BOUNDS PRUNING (the Delta MERGE file-skipping move):
       // a replication delta is usually LOCAL in key space, but the
       // match join would still scan the whole target — so derive each
@@ -783,7 +783,10 @@ object Streams {
       // manifest's data-skipping stats drop every non-overlapping
       // segment: the apply's read cost becomes O(key-local segments),
       // not O(table). Numeric and string keys only; others just skip
-      // the bound (correctness never depends on it).
+      // the bound (correctness never depends on it). The staged COUNT
+      // rides the same aggregation job: a feed with no ACTIONABLE rows
+      // (empty, or audit preimages only) applies nothing — skip the
+      // MERGE rather than committing a no-op version.
       val boundable = {
         import org.apache.spark.sql.types._
         staged.schema.fields
@@ -793,19 +796,17 @@ object Streams {
           .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
             LongType, StringType)(f.dataType))
       }
-      val boundConds =
-        if (boundable.isEmpty) Seq.empty[String]
-        else {
-          val aggs = boundable.flatMap(f =>
-            Seq(F.min(F.col(f.name)), F.max(F.col(f.name))))
-          val row = staged.agg(aggs.head, aggs.tail.toSeq: _*)
-            .collect().head
+      val aggs = F.count(F.lit(1)) +: boundable.flatMap(f =>
+        Seq(F.min(F.col(f.name)), F.max(F.col(f.name)))).toSeq
+      val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
+      if (row.getLong(0) == 0L) return
+      val boundConds = {
           def lit(v: Any): String = v match {
             case s: String => "'" + s.replace("'", "''") + "'"
             case other => other.toString
           }
           boundable.zipWithIndex.flatMap { case (f, i) =>
-            val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+            val (lo, hi) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
             // a quoted string bound would need escaping the dialect's
             // tokenizer doesn't define — skip the bound, never mangle
             def safe(v: Any) = v match {

@@ -1095,6 +1095,44 @@ class ScaleSpec extends SparkSpec {
     assert(feed.count() == nVersions - 2L)
   }
 
+  test("Versioned.read over a wide manifest: segment listings and " +
+       "sidecar reads run distributed, zero per-segment driver loops") {
+    import graft.sources.Versioned
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-countfs-read").toString
+    val path = s"countfs://$local/ds"
+    val nSegs = 48 // past the distributed-open cutoff
+    (0 until nSegs).foreach { i =>
+      Versioned.commit(
+        Seq((i.toLong, s"p$i")).toDF("id", "p").coalesce(1), path)
+    }
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    assert(Versioned.read(spark, path)
+      .agg(F.count(F.lit(1))).collect().head.getLong(0) == nSegs.toLong)
+    def driverSide(q: java.util.concurrent.ConcurrentLinkedQueue[(String, String)],
+                   frag: String) =
+      q.asScala.toSeq.filter(_._2.contains(frag))
+        .filterNot(_._1.contains("Executor task launch worker"))
+    val dataListings = driverSide(CountingLocalFs.listings, "/data/")
+    assert(dataListings.isEmpty,
+      s"read() listed ${dataListings.length} segment dir(s) on the " +
+        s"driver over a $nSegs-segment manifest — the per-segment " +
+        "driver loop is back")
+    val statOpens = driverSide(CountingLocalFs.opens, "/stats/")
+    assert(statOpens.isEmpty,
+      s"read() opened ${statOpens.length} stats sidecar(s) on the " +
+        "driver — the per-segment driver loop is back")
+    // and the data-skipping layer still engages through the
+    // distributed-open path: a point filter prunes to one segment
+    val (tot, kept) = Versioned.pruneCount(spark, path,
+      F.col("id") === 7L)
+    assert(tot == nSegs && kept == 1,
+      s"expected 1/$nSegs segments kept, got $kept/$tot")
+  }
+
   test("versions / streaming latestOffset / commit: each costs one " +
        "manifest-dir listing, never per-version manifest reads") {
     import graft.sources.Versioned

@@ -707,6 +707,66 @@ class StreamingSpec extends SparkSpec {
     assert(after.reduce(_ ++ _) == (60L until 100L).toSet)
   }
 
+  test("readChangeFeed + maxVersionsPerTrigger: bounded catch-up " +
+       "never splits an update's pre/postimage pair across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-cdfadm").toString
+    val ds = s"$dir/ds"
+    // a 5-version backlog with DML mixed in: appends, two UPDATEs
+    // (pre/postimage pairs in the feed), a copy-on-write DELETE
+    Versioned.commit((1L to 20L).map(i => (i, i * 10L)).toDF("id", "v"), ds)
+    val eng = Engine(spark, dir)
+    eng.sql(s"UPDATE '$ds' SET v = v + 1 WHERE id <= 3")
+    Versioned.commit((21L to 30L).map(i => (i, i * 10L)).toDF("id", "v"), ds)
+    eng.sql(s"UPDATE '$ds' SET v = v + 5 WHERE id = 10 OR id = 25")
+    eng.sql(s"DELETE FROM '$ds' WHERE id = 7")
+    // drain the whole backlog at ONE VERSION PER MICRO-BATCH — the
+    // tightest admission bound, where any pair-splitting would show
+    val batches = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(String, Long, Long, Long)]]()
+    val q = spark.readStream
+      .format("graft-versioned")
+      .option("path", ds)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("_change_type", "_commit_version", "id", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        batches.merge(id, rows, (a: Seq[(String, Long, Long, Long)],
+          b: Seq[(String, Long, Long, Long)]) => a ++ b)
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val bs = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    // one micro-batch per version — admission holds in CDF mode
+    assert(bs.length == 5, s"expected 5 single-version batches, got ${bs.length}")
+    bs.foreach { rows =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"a micro-batch spans more than one _commit_version: $rows")
+      // PAIR ATOMICITY: version boundaries are batch boundaries, so an
+      // update's preimage and postimage (same key, same version) must
+      // land together — per key, image counts match inside the batch
+      val pre = rows.filter(_._1 == "update_preimage").map(_._3).sorted
+      val post = rows.filter(_._1 == "update_postimage").map(_._3).sorted
+      assert(pre == post,
+        s"pre/postimage keys diverge within a micro-batch: $pre vs $post")
+    }
+    // the feed content end-to-end: 30 inserts, 5 update pairs, 1 delete
+    val all = bs.flatten
+    assert(all.count(_._1 == "insert") == 30)
+    assert(all.count(_._1 == "update_preimage") == 5)
+    assert(all.count(_._1 == "update_postimage") == 5)
+    assert(all.count(_._1 == "delete") == 1)
+    assert(all.filter(_._1 == "delete").map(_._3) == Seq(7L))
+  }
+
   test("vectored deletes inside a batch window: applied to added " +
        "segments, loud retraction on carried ones") {
     import org.apache.spark.sql.streaming.Trigger
