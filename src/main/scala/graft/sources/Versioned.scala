@@ -57,17 +57,31 @@ object Versioned {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Committed versions at `path`, ascending (empty if none). */
-  def versions(spark: SparkSession, path: String): Seq[Long] = {
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    versionsWithMtime(spark, path).map(_._1)
+
+  /** Committed versions paired with their manifest files' modification
+    * times (= commit instants: manifests are written once and
+    * rename-committed), ascending, from ONE directory listing — the
+    * shared base of [[versions]], [[versionAt]] and DESCRIBE HISTORY,
+    * none of which may pay a per-version getFileStatus round trip. */
+  private[graft] def versionsWithMtime(spark: SparkSession,
+      path: String): Seq[(Long, Long)] = {
     val fs = fsOf(spark, path)
     val dir = new Path(s"$path/manifest")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .collect { case s if s.startsWith("v-") && s.endsWith(".txt") &&
-          // side manifests (deletion vectors, writer txns) are not
-          // versions — only the MAIN v-N.txt is the commit point
-          !s.endsWith(".dv.txt") && !s.endsWith(".txn.txt") =>
-        s.stripPrefix("v-").stripSuffix(".txt").toLong }
-      .sorted
+    else fs.listStatus(dir).toSeq
+      .flatMap { st =>
+        val s = st.getPath.getName
+        // side manifests (deletion vectors, writer txns) are not
+        // versions — only the MAIN v-N.txt is the commit point
+        if (s.startsWith("v-") && s.endsWith(".txt") &&
+            !s.endsWith(".dv.txt") && !s.endsWith(".txn.txt"))
+          Some(s.stripPrefix("v-").stripSuffix(".txt").toLong ->
+            st.getModificationTime)
+        else None
+      }
+      .sortBy(_._1)
   }
 
   private def readManifest(spark: SparkSession, path: String,
@@ -392,9 +406,26 @@ object Versioned {
                                     op: String = "")
       : Long = {
     val fs = fsOf(spark, path)
-    segs.foreach { s =>
-      require(fs.exists(new Path(s"$path/data/$s")),
-        s"commitSegments: segment '$s' does not exist at $path")
+    // referenced-segment existence check: per-segment exists() up to a
+    // handful, ONE data-dir listing past that — a carry-all commit on
+    // a 100k-segment manifest must not pay 100k serial driver round
+    // trips just to validate references (every append/DML commits
+    // through here)
+    if (segs.length <= 32)
+      segs.foreach { s =>
+        require(fs.exists(new Path(s"$path/data/$s")),
+          s"commitSegments: segment '$s' does not exist at $path")
+      }
+    else {
+      val dataDir = new Path(s"$path/data")
+      val existing =
+        if (fs.exists(dataDir))
+          fs.listStatus(dataDir).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      val missing = segs.filterNot(existing)
+      require(missing.isEmpty,
+        s"commitSegments: segment(s) ${missing.take(5).mkString(", ")} " +
+          s"do not exist at $path")
     }
     dvs.keys.foreach { s =>
       require(segs.contains(s),
@@ -512,17 +543,22 @@ object Versioned {
     text.split("\n").toSeq.filter(_.startsWith("#"))
   }
 
+  /** Parse `#dv` header lines into the segment → vector-file map —
+    * shared by [[readDvMap]] and the bulk-read consumers
+    * ([[changeFeed]], [[vacuum]]). */
+  private[graft] def dvLinesToMap(meta: Seq[String]): Map[String, String] =
+    meta.filter(_.startsWith("#dv "))
+      .map { l =>
+        val Array(s, d) = l.stripPrefix("#dv ").split("\t", 2)
+        s -> d
+      }.toMap
+
   /** A version's segment → deletion-vector-file map (empty when the
     * version carries no DVs, including every pre-DV version) — parsed
     * from the manifest's `#dv` header lines. */
   private[graft] def readDvMap(spark: SparkSession, path: String,
                                version: Long): Map[String, String] =
-    manifestMeta(spark, path, version)
-      .filter(_.startsWith("#dv "))
-      .map { l =>
-        val Array(s, d) = l.stripPrefix("#dv ").split("\t", 2)
-        s -> d
-      }.toMap
+    dvLinesToMap(manifestMeta(spark, path, version))
 
   /** The head version number — resolve ONCE per DML statement and pass
     * it to every read the statement makes: a commit landing between two
@@ -761,17 +797,26 @@ object Versioned {
     // per-app batchIds land in strictly increasing order (commit
     // suppresses anything ≤ the watermark), so scanning manifests
     // NEWEST-FIRST, the first `#txn` line for this app IS its
-    // watermark — an active ingest app resolves in O(1) manifest
-    // reads, not O(history)
-    val fromManifests = all.reverseIterator
-      .flatMap { v =>
-        manifestMeta(spark, path, v).collectFirst {
-          case l if l.startsWith("#txn ") &&
-              l.stripPrefix("#txn ").split("\t", 2)(0) == app =>
-            l.stripPrefix("#txn ").split("\t", 2)(1).toLong
-        }
-      }
+    // watermark — an active ingest app resolves in O(1) SERIAL manifest
+    // reads (the hot path: its own txn line is in the newest few).
+    // An app with no recent commit (a fresh sink over an old table, a
+    // seldom-run backfill) falls through to the DEEP scan, which reads
+    // the rest of the history in bulk CHUNKS (one distributed job per
+    // 256 versions) instead of one serial driver read per version.
+    def txnOf(meta: Seq[String]): Option[Long] = meta.collectFirst {
+      case l if l.startsWith("#txn ") &&
+          l.stripPrefix("#txn ").split("\t", 2)(0) == app =>
+        l.stripPrefix("#txn ").split("\t", 2)(1).toLong
+    }
+    val newestFirst = all.reverse
+    val (recent, deep) = newestFirst.splitAt(8)
+    val fromManifests = recent.iterator
+      .flatMap(v => txnOf(manifestMeta(spark, path, v)))
       .nextOption()
+      .orElse(deep.grouped(256).flatMap { chunk =>
+        val bulk = readManifestsBulk(spark, path, chunk)
+        chunk.iterator.flatMap(v => txnOf(bulk(v)._2))
+      }.nextOption())
     // vacuum rolls dropped versions' watermarks into a single file so
     // idempotence SURVIVES retention — a replayed batch older than the
     // vacuum window must still suppress
@@ -1121,9 +1166,28 @@ object Versioned {
     val hv = headVersion(spark, path)
     val segs = headSegments(spark, path, Some(hv))
     val fs = fsOf(spark, path)
-    val sized = segs.map { s =>
-      s -> fs.getContentSummary(new Path(s"$path/data/$s")).getLength
-    }
+    // per-segment sizing: serial up to a handful of segments, ONE
+    // distributed job past that — compact exists precisely for tables
+    // with MANY small segments (a streaming tail), where a serial
+    // driver getContentSummary loop would be O(segments) round trips
+    val sized: Seq[(String, Long)] =
+      if (segs.length <= 32)
+        segs.map { s =>
+          s -> fs.getContentSummary(new Path(s"$path/data/$s")).getLength
+        }
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val bySeg = spark.sparkContext
+          .parallelize(segs, math.min(segs.length, 64))
+          .map { s =>
+            val p = new Path(s"$path/data/$s")
+            s -> p.getFileSystem(confBc.value.value)
+              .getContentSummary(p).getLength
+          }.collect().toMap
+        segs.map(s => s -> bySeg(s)) // keep manifest order for next-fit
+      }
     // greedy next-fit in manifest order: commit order is ingest order,
     // so a streaming tail's small segments pack with their neighbors
     val bins = scala.collection.mutable.ArrayBuffer(
@@ -1431,11 +1495,16 @@ object Versioned {
     val all = versions(spark, path)
     if (all.isEmpty) return VacuumStats(0, 0, 0, 0, 0L)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
+    // the WHOLE history's manifests in one bulk read (distributed past
+    // the cutoff): every reference sweep below consumes it — a vacuum
+    // over a 10k-version history previously paid ~4 serial driver
+    // reads per version (txn scan, cdc refs, dv refs, segment refs)
+    val bulk = readManifestsBulk(spark, path, all)
     // dropped versions' exactly-once watermarks ROLL UP into one file
     // BEFORE their manifests die — a replayed batch older than the
     // retention window must still suppress
     val droppedTxns = drop.flatMap { v =>
-      manifestMeta(spark, path, v).collect {
+      bulk(v)._2.collect {
         case l if l.startsWith("#txn ") =>
           val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
           a -> b.toLong
@@ -1466,7 +1535,7 @@ object Versioned {
     var cdcDeleted = 0
     if (fs.exists(cdcDir)) {
       val referencedCdc = keep.flatMap { v =>
-        manifestMeta(spark, path, v).collect {
+        bulk(v)._2.collect {
           case l if l.startsWith("#cdc ") && l != "#cdc neutral" =>
             l.stripPrefix("#cdc ").split(" ")(0)
         }
@@ -1481,7 +1550,7 @@ object Versioned {
     // deletion vectors referenced by NO retained version retire with
     // their manifests (a vector superseded by a union, or belonging to
     // a dropped version)
-    val referencedDvs = keep.flatMap(readDvMap(spark, path, _).values).toSet
+    val referencedDvs = keep.flatMap(v => dvLinesToMap(bulk(v)._2).values).toSet
     val dvDir = new Path(s"$path/dv")
     var dvDeleted = 0
     if (fs.exists(dvDir))
@@ -1492,7 +1561,7 @@ object Versioned {
           dvDeleted += 1
           if (!dryRun) fs.delete(p, false): Unit
         }
-    val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+    val referenced = keep.flatMap(v => bulk(v)._1).toSet
     // staging orphans from crashed multi-segment OPTIMIZE runs (the
     // single-writer maintenance contract covers a concurrent OPTIMIZE)
     if (!dryRun)
@@ -1527,16 +1596,14 @@ object Versioned {
     * answer only consults manifests that still exist, exactly the
     * contract every lakehouse timestamp-travel has. */
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
-    val fs = fsOf(spark, path)
-    val all = versions(spark, path)
+    // ONE directory listing carries every manifest's mtime — never a
+    // per-version getFileStatus loop (O(versions) driver round trips)
+    val all = versionsWithMtime(spark, path)
     require(all.nonEmpty, s"no committed versions at $path")
-    val committedBefore = all.filter { v =>
-      fs.getFileStatus(new Path(s"$path/manifest", f"v-$v%09d.txt"))
-        .getModificationTime <= tsMillis
-    }
+    val committedBefore = all.collect { case (v, mt) if mt <= tsMillis => v }
     require(committedBefore.nonEmpty,
       s"no version of $path existed at epoch-ms $tsMillis " +
-        s"(first commit is version ${all.head})")
+        s"(first commit is version ${all.head._1})")
     committedBefore.max
   }
 
@@ -1779,11 +1846,7 @@ object Versioned {
       else Some(all.takeWhile(_ <= fromVersion).last)
     val bulk = readManifestsBulk(spark, path,
       (fromBase.toSeq ++ inRange).distinct)
-    def dvOf(meta: Seq[String]): Map[String, String] =
-      meta.filter(_.startsWith("#dv ")).map { l =>
-        val Array(s, d) = l.stripPrefix("#dv ").split("\t", 2)
-        s -> d
-      }.toMap
+    def dvOf(meta: Seq[String]): Map[String, String] = dvLinesToMap(meta)
     var prevSegs: Set[String] =
       fromBase.fold(Set.empty[String])(b => bulk(b)._1.toSet)
     var prevDvs: Map[String, String] =

@@ -1184,6 +1184,32 @@ class ScaleSpec extends SparkSpec {
       s"commit opened $commitOpens manifest files on a $nVersions-" +
         "version history — expected a bounded constant (the previous " +
         "head's manifest + dv map), not O(versions)")
+    def driverManifestOpens() = manifestCalls(CountingLocalFs.opens)
+      .filterNot(_._1.contains("Executor task launch worker"))
+    // DESCRIBE HISTORY over the full history: one listing for the
+    // mtimes + one BULK manifest read (distributed past the cutoff) —
+    // never 3 serial driver round trips per version
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    val hist = Engine(spark).sql(s"DESCRIBE HISTORY '$path'").df.collect()
+    assert(hist.length == nVersions + 1)
+    assert(driverManifestOpens().size <= 4,
+      s"DESCRIBE HISTORY opened ${driverManifestOpens().size} manifest " +
+        "files on the driver — the per-version loop is back")
+    // timestamp travel resolution: one listing, zero manifest opens
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    assert(Versioned.versionAt(spark, path,
+      System.currentTimeMillis() + 60000L) == nVersions + 1L)
+    assert(manifestCalls(CountingLocalFs.opens).isEmpty,
+      "versionAt opened manifest files — the mtimes ride the listing")
+    // vacuum DRY RUN over the full history: its four reference sweeps
+    // (txn, cdc, dv, segments) share one bulk manifest read
+    CountingLocalFs.listings.clear(); CountingLocalFs.opens.clear()
+    val stats = Versioned.vacuum(spark, path, keepVersions = 5,
+      dryRun = true)
+    assert(stats.versionsDropped == nVersions - 4)
+    assert(driverManifestOpens().size <= 4,
+      s"vacuum dry-run opened ${driverManifestOpens().size} manifest " +
+        "files on the driver over a ${nVersions + 1}-version history")
   }
 }
 
