@@ -2341,6 +2341,40 @@ object SparkEntry {
     // the FileStreamSource hybrid): at 100 TB this is what keeps a
     // restart 10,000 versions behind from reading the backlog as one
     // executor-flattening batch
+    // BYTES-bounded streaming admission (round 13): maxBytesPerTrigger
+    // is a SOFT cap admitting at least one version per micro-batch, so
+    // a 1-byte cap degenerates to exactly one version per batch —
+    // deterministic and DuckDB-replayable (batch b = commit b+1 =
+    // doc_ids [80b, 80b+80)), unlike a mid-range cap whose spans
+    // depend on parquet's physical byte sizes (StreamingSpec pins that
+    // case against the real on-disk sizes instead)
+    "q319_vstream_bytes_bounded" -> ((s, dir) => {
+      val root = stagingDir("graft_vstream_maxb")
+      val ds = s"$root/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang")
+      (0 until 6).foreach { i =>
+        Versioned.commit(base.filter(
+          F.col("doc_id") >= i * 80 && F.col("doc_id") < (i + 1) * 80), ds)
+      }
+      val q = s.readStream.format("graft-versioned")
+        .option("path", ds)
+        .option("maxBytesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", F.lit(id))
+            .write.mode("append").parquet(s"$root/out")
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$root/out")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("doc_id").cast("long").as("id_sum"))
+        .withColumn("batch_id", F.col("batch_id").cast("long"))
+    }),
+
     // WIDE-MANIFEST read path (round 13): 48 range segments sit past
     // VersionedFileIndex's distributed-open cutoff, so this read
     // resolves its schema from sidecars and lists every segment dir +
@@ -6695,6 +6729,15 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 IN (0, 1) AND doc_id % 10 != 2
         |GROUP BY lang""".stripMargin,
+
+    // a 1-byte soft cap admits exactly one version per micro-batch:
+    // batch b covers commit b+1 = doc_ids [80b, 80b+80)
+    "q319_vstream_bytes_bounded" ->
+      """SELECT CAST(b AS BIGINT) AS batch_id, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, doc_id // 80 AS b
+        |  FROM documents WHERE doc_id < 480) t
+        |GROUP BY b""".stripMargin,
 
     // the 48-segment publish partitions doc_id < 480 into width-10
     // ranges; the [100, 140) filter intersects exactly segments 10-13

@@ -1128,6 +1128,33 @@ object Versioned {
     } finally fsOf(spark, path).delete(new Path(stagingDir), true)
   }
 
+  /** On-disk byte size per segment: serial `getContentSummary` up to a
+    * handful of segments, ONE distributed job past that — shared by
+    * [[compact]]'s bin packing and the streaming source's
+    * `maxBytesPerTrigger` admission, neither of which may pay
+    * O(segments) serial driver round trips. */
+  private[graft] def segmentBytes(spark: SparkSession, path: String,
+      segs: Seq[String]): Map[String, Long] = {
+    if (segs.isEmpty) Map.empty
+    else if (segs.length <= 32) {
+      val fs = fsOf(spark, path)
+      segs.map { s =>
+        s -> fs.getContentSummary(new Path(s"$path/data/$s")).getLength
+      }.toMap
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      spark.sparkContext
+        .parallelize(segs, math.min(segs.length, 64))
+        .map { s =>
+          val p = new Path(s"$path/data/$s")
+          s -> p.getFileSystem(confBc.value.value)
+            .getContentSummary(p).getLength
+        }.collect().toMap
+    }
+  }
+
   /** Number of segments composing a version (head when absent) — the
     * observability number [[compact]] exists to keep small. */
   def segmentCount(spark: SparkSession, path: String,
@@ -1165,29 +1192,12 @@ object Versioned {
     require(targetBytes >= 1, s"targetBytes must be >= 1")
     val hv = headVersion(spark, path)
     val segs = headSegments(spark, path, Some(hv))
-    val fs = fsOf(spark, path)
-    // per-segment sizing: serial up to a handful of segments, ONE
-    // distributed job past that — compact exists precisely for tables
-    // with MANY small segments (a streaming tail), where a serial
-    // driver getContentSummary loop would be O(segments) round trips
+    // per-segment sizing: compact exists precisely for tables with
+    // MANY small segments (a streaming tail), where a serial driver
+    // getContentSummary loop would be O(segments) round trips
+    val bySeg = segmentBytes(spark, path, segs)
     val sized: Seq[(String, Long)] =
-      if (segs.length <= 32)
-        segs.map { s =>
-          s -> fs.getContentSummary(new Path(s"$path/data/$s")).getLength
-        }
-      else {
-        val confBc = spark.sparkContext.broadcast(
-          new org.apache.spark.util.SerializableConfiguration(
-            spark.sparkContext.hadoopConfiguration))
-        val bySeg = spark.sparkContext
-          .parallelize(segs, math.min(segs.length, 64))
-          .map { s =>
-            val p = new Path(s"$path/data/$s")
-            s -> p.getFileSystem(confBc.value.value)
-              .getContentSummary(p).getLength
-          }.collect().toMap
-        segs.map(s => s -> bySeg(s)) // keep manifest order for next-fit
-      }
+      segs.map(s => s -> bySeg(s)) // keep manifest order for next-fit
     // greedy next-fit in manifest order: commit order is ingest order,
     // so a streaming tail's small segments pack with their neighbors
     val bins = scala.collection.mutable.ArrayBuffer(

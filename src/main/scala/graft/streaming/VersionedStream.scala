@@ -44,13 +44,21 @@ import graft.sources.Versioned
   * `.option("maxVersionsPerTrigger", n)` bounds how many committed
   * versions one micro-batch covers (Delta's `maxFilesPerTrigger`
   * analog): a consumer restarting 10,000 versions behind catches up in
-  * n-version batches instead of one table-sized read. Implemented as
+  * n-version batches instead of one table-sized read.
+  * `.option("maxBytesPerTrigger", b)` bounds a micro-batch by the
+  * BYTES its versions ADDED (Delta's knob of the same name — the
+  * production bound when version sizes vary wildly: a backfill commit
+  * can be 1000× an incremental one). Soft cap: at least one version
+  * per batch, then stop before the version that would exceed it; the
+  * two options compose, tighter bound wins. Both are implemented as
   * real ADMISSION CONTROL (`SupportsAdmissionControl` /
   * `SupportsTriggerAvailableNow`, the FileStreamSource hybrid): the
   * engine hands the checkpointed start to `latestOffset` every batch,
   * so the bound holds across restarts with no side-channel state, and
   * `Trigger.AvailableNow` drains the whole backlog in capped bites
-  * rather than snapshotting one unbounded offset.
+  * rather than snapshotting one unbounded offset. Segment sizes are
+  * cached for the source's lifetime (segments are immutable), so the
+  * steady-state bytes admission sizes only newly committed segments.
   *
   * Exactly-once: offsets live in the stream's checkpoint; restart
   * resumes from the last committed version cursor. Time travel rules
@@ -123,16 +131,31 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
+    // maxBytesPerTrigger (Delta's knob of the same name): cap a
+    // micro-batch by the BYTES of the segments the covered versions
+    // ADDED — the production bound when version sizes vary wildly (a
+    // backfill commit can be 1000× an incremental one, so a version
+    // count alone cannot size batches). Soft cap: a batch always
+    // covers at least one version, then stops before the version that
+    // would push it past the cap. Composes with maxVersionsPerTrigger
+    // (the tighter bound wins).
+    val maxB = parameters.get("maxBytesPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
+      n
+    }
     new VersionedStreamSource(sqlContext, path, startV,
       changeFeed = readsChangeFeed(parameters),
-      maxVersionsPerTrigger = maxV)
+      maxVersionsPerTrigger = maxV,
+      maxBytesPerTrigger = maxB)
   }
 }
 
 class VersionedStreamSource(sqlContext: SQLContext, path: String,
                             startingVersion: Long,
                             changeFeed: Boolean = false,
-                            maxVersionsPerTrigger: Option[Long] = None)
+                            maxVersionsPerTrigger: Option[Long] = None,
+                            maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -188,6 +211,13 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
       : org.apache.spark.sql.connector.read.streaming.Offset =
     Versioned.versions(spark, path).lastOption.map(LongOffset(_)).orNull
 
+  /** On-disk bytes per segment, cached for the source's lifetime —
+    * segments are immutable, so each is sized exactly once; the
+    * steady-state `maxBytesPerTrigger` admission costs one bulk
+    * manifest read plus sizing only the NEWLY committed segments. */
+  private val segBytesCache =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
@@ -198,16 +228,55 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     val base = Option(startOffset)
       .map(o => versionOf(o.asInstanceOf[Offset]))
       .getOrElse(startingVersion)
-    val end = maxVersionsPerTrigger match {
-      case None => vs.last
-      case Some(max) =>
-        // the version COUNT bounds the advance (version numbers are
-        // contiguous today, but counting stays correct if a future
-        // layout ever skips numbers); the `limit` parameter restates
-        // getDefaultReadLimit — the option is the authority
-        val pending = vs.filter(_ > base)
-        if (pending.isEmpty) vs.last
-        else pending.take(math.min(max, Int.MaxValue.toLong).toInt).last
+    // the version COUNT bounds the advance first (version numbers are
+    // contiguous today, but counting stays correct if a future layout
+    // ever skips numbers); the `limit` parameter restates
+    // getDefaultReadLimit — the options are the authority
+    val pending = vs.filter(_ > base)
+    if (pending.isEmpty) return LongOffset(vs.last)
+    val vCapped = maxVersionsPerTrigger.fold(pending)(max =>
+      pending.take(math.min(max, Int.MaxValue.toLong).toInt))
+    val end = maxBytesPerTrigger match {
+      case None => vCapped.last
+      case Some(cap) =>
+        // BYTES admission (soft cap, Delta semantics): cover at least
+        // one version, then stop before the version whose ADDED
+        // segments would push the cumulative batch volume past the
+        // cap. Added-segment attribution walks the range's manifests
+        // from ONE bulk read; only never-seen segments get sized.
+        val baseV: Option[Long] =
+          if (base == 0L) None
+          else {
+            val pre = vs.takeWhile(_ <= base)
+            require(pre.nonEmpty,
+              s"graft-versioned stream: checkpointed version $base " +
+                s"predates the retained history at $path (vacuumed " +
+                "mid-stream?)")
+            Some(pre.last)
+          }
+        val bulk = Versioned.readManifestsBulk(spark, path,
+          (baseV.toSeq ++ vCapped).distinct)
+        var prevSegs: Set[String] =
+          baseV.fold(Set.empty[String])(b => bulk(b)._1.toSet)
+        val addedByV: Seq[(Long, Seq[String])] = vCapped.map { v =>
+          val segs = bulk(v)._1
+          val added = segs.filterNot(prevSegs)
+          prevSegs = segs.toSet
+          v -> added
+        }
+        val need = addedByV.flatMap(_._2).distinct
+          .filterNot(segBytesCache.contains)
+        if (need.nonEmpty)
+          segBytesCache ++= Versioned.segmentBytes(spark, path, need)
+        var endV = addedByV.head._1 // at least one version per batch
+        var cum = addedByV.head._2.iterator.map(segBytesCache).sum
+        var stop = false
+        addedByV.tail.foreach { case (v, added) =>
+          val sz = added.iterator.map(segBytesCache).sum
+          if (!stop && cum + sz <= cap) { endV = v; cum += sz }
+          else stop = true
+        }
+        endV
     }
     LongOffset(end)
   }

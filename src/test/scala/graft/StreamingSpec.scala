@@ -707,6 +707,73 @@ class StreamingSpec extends SparkSpec {
     assert(after.reduce(_ ++ _) == (60L until 100L).toSet)
   }
 
+  test("maxBytesPerTrigger: batches sized by added-segment volume — " +
+       "soft cap, composes with the version cap, restart-stable") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-vstream-maxb").toString
+    val ds = s"$dir/ds"
+    // 6 versions with row counts 10, 10, 10, 2000, 10, 10 — version 4
+    // is the oversized backfill commit a version-count cap cannot see.
+    // Rows carry a high-entropy ~110-char string so data bytes dominate
+    // parquet's fixed footer overhead (at 10 near-empty rows the footer
+    // IS the file and size ratios collapse).
+    def wide(id: Long): String =
+      java.util.UUID.nameUUIDFromBytes(id.toString.getBytes).toString * 3
+    val sizesRows = Seq(10, 10, 10, 2000, 10, 10)
+    var nextId = 0L
+    sizesRows.foreach { n =>
+      Versioned.commit((nextId until nextId + n)
+        .map(id => (id, wide(id))).toDF("id", "v"), ds)
+      nextId += n
+    }
+    // the rule's expected spans, computed against the REAL on-disk
+    // sizes (parquet byte sizes are not stable constants): cap = ~2.2
+    // small segments — batch 1 covers v1+v2, batch 2 covers v3 (v4
+    // would blow the cap), batch 3 covers v4 ALONE (soft cap admits at
+    // least one version), batch 4 covers v5+v6
+    val segsInOrder = (1 to 6).map(v =>
+      Versioned.headSegments(spark, ds, Some(v.toLong)).last)
+    val bytes = Versioned.segmentBytes(spark, ds, segsInOrder)
+    val small = bytes(segsInOrder.head)
+    val cap = (small * 22) / 10
+    assert(bytes(segsInOrder(3)) > cap,
+      "fixture broken: the backfill segment must exceed the cap alone")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    def drain(opts: Map[String, String]): Unit = {
+      val q = opts.foldLeft(spark.readStream.format("graft-versioned")
+          .option("path", ds)) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0)).toSet
+          seen.merge(id, ids, (a: Set[Long], b: Set[Long]) => a ++ b)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain(Map("maxBytesPerTrigger" -> cap.toString))
+    val batches = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(batches.length == 4,
+      s"expected 4 size-shaped batches, got ${batches.map(_.size)}")
+    assert(batches(0) == (0L until 20L).toSet)      // v1+v2 fit the cap
+    assert(batches(1) == (20L until 30L).toSet)     // v3 alone (v4 too big)
+    assert(batches(2) == (30L until 2030L).toSet)   // v4: soft cap, alone
+    assert(batches(3) == (2030L until 2050L).toSet) // v5+v6
+    // composed with the version cap: one version per batch wins even
+    // where bytes would admit two
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/chk"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => p.toFile.delete(): Unit)
+    seen.clear()
+    drain(Map("maxBytesPerTrigger" -> cap.toString,
+      "maxVersionsPerTrigger" -> "1"))
+    assert(seen.asScala.size == 6,
+      s"version cap 1 must win over the bytes cap: ${seen.asScala.size}")
+  }
+
   test("readChangeFeed + maxVersionsPerTrigger: bounded catch-up " +
        "never splits an update's pre/postimage pair across batches") {
     import org.apache.spark.sql.streaming.Trigger
