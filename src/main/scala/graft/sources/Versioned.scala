@@ -648,11 +648,11 @@ object Versioned {
   def rowCount(spark: SparkSession, path: String,
                version: Option[Long] = None): Long = {
     val v = version.getOrElse(headVersion(spark, path))
-    val conf = spark.sparkContext.hadoopConfiguration
     // deletion vectors subtract from the footer totals — their headers
-    // carry the count, so this stays a metadata-only read
-    val deleted = readDvMap(spark, path, v).valuesIterator
-      .map(DeletionVectors.count(conf, path, _)).sum
+    // carry the count, so this stays a metadata-only read (batched
+    // like the footer walk: never one serial driver read per vector)
+    val deleted = dvCounts(spark, path,
+      readDvMap(spark, path, v).values.toSeq.distinct).valuesIterator.sum
     footerRowCount(spark, path, headSegments(spark, path, Some(v))) - deleted
   }
 
@@ -665,13 +665,18 @@ object Versioned {
       manifestDelta(spark, path, fromVersion, toVersion)._1)
 
   private def footerRowCount(spark: SparkSession, path: String,
-                             segs: Seq[String]): Long = {
-    if (segs.isEmpty) return 0L
-    // ONE distributed job does BOTH the per-segment listing and the
-    // footer walks (one task per segment, the analyzeStats model):
-    // driver cost is O(1) round trips, not O(segments) listStatus
-    // calls — at a 100k-segment manifest the driver listing loop was
-    // the bottleneck, not the footer metadata itself
+                             segs: Seq[String]): Long =
+    footerRowCountBySeg(spark, path, segs).valuesIterator.sum
+
+  /** Exact PER-SEGMENT row counts from parquet footers: ONE distributed
+    * job does both the per-segment listing and the footer walks (one
+    * task per segment, the analyzeStats model) — driver cost is O(1)
+    * round trips, not O(segments) listStatus calls, and callers that
+    * need many segments' counts ([[purgeVectors]]) must not launch one
+    * job per segment either. */
+  private def footerRowCountBySeg(spark: SparkSession, path: String,
+      segs: Seq[String]): Map[String, Long] = {
+    if (segs.isEmpty) return Map.empty
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -680,7 +685,7 @@ object Versioned {
       .map { s =>
         val p = new org.apache.hadoop.fs.Path(s"$path/data/$s")
         val fs = p.getFileSystem(confBc.value.value)
-        fs.listStatus(p).toSeq
+        s -> fs.listStatus(p).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map { st =>
             val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -688,7 +693,28 @@ object Versioned {
                 st.getPath, confBc.value.value))
             try rdr.getRecordCount finally rdr.close()
           }.sum
-      }.sum().toLong
+      }.collect().toMap
+  }
+
+  /** Deleted-position counts for MANY deletion-vector files (metadata
+    * header reads): serial up to a handful, one distributed job past —
+    * [[rowCount]] and [[purgeVectors]] on a widely-vectored table must
+    * not pay one serial driver read per vector. */
+  private def dvCounts(spark: SparkSession, path: String,
+      dvs: Seq[String]): Map[String, Long] = {
+    if (dvs.isEmpty) Map.empty
+    else if (dvs.length <= 32) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      dvs.map(d => d -> DeletionVectors.count(conf, path, d)).toMap
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      spark.sparkContext
+        .parallelize(dvs, math.min(dvs.length, 64))
+        .map(d => d -> DeletionVectors.count(confBc.value.value, path, d))
+        .collect().toMap
+    }
   }
 
   /** Commit `df` as the next version. `append = true` (default) stacks
@@ -1290,11 +1316,14 @@ object Versioned {
     val segsAll = headSegments(spark, path, Some(hv))
     val dvMap = readDvMap(spark, path, hv)
     if (dvMap.isEmpty) return (hv, 0)
-    val conf = spark.sparkContext.hadoopConfiguration
+    // both sides of the fraction in TWO batch jobs total (per-vector
+    // header counts, per-segment footer totals) — previously one Spark
+    // job PER vectored segment plus one serial driver read per vector
+    val deletedByDv = dvCounts(spark, path, dvMap.values.toSeq.distinct)
+    val totalBySeg = footerRowCountBySeg(spark, path, dvMap.keys.toSeq)
     val purge = dvMap.filter { case (seg, dv) =>
-      val deleted = DeletionVectors.count(conf, path, dv)
-      val total = footerRowCount(spark, path, Seq(seg))
-      total > 0 && deleted.toDouble / total >= minFraction
+      val total = totalBySeg(seg)
+      total > 0 && deletedByDv(dv).toDouble / total >= minFraction
     }.keySet
     if (purge.isEmpty) return (hv, 0)
     val headSchema = read(spark, path, Some(hv)).schema

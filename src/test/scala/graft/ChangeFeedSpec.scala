@@ -150,6 +150,36 @@ class ChangeFeedSpec extends SparkSpec {
     assert(f2.head.getAs[Long]("id") == 991L)
   }
 
+  test("a restore that changes deletion vectors on surviving segments " +
+       "without recorded rows rejects loudly (resurrection guard)") {
+    val path = ds("dvguard")
+    val eng = Engine(spark)
+    eng.sql(s"DELETE VECTORED FROM '$path' WHERE id = 7") // v3: cdc + dv
+    // a range crossing the vectored delete itself is FINE — its rows
+    // are recorded
+    assert(feed(path, 2L, Some(3L))
+      .select("_change_type").collect().map(_.getString(0)).toSeq ==
+      Seq("delete"))
+    Versioned.restore(spark, path, 2L) // v4: dv REMOVED, no cdc rows
+    // id 7 re-entered the table with no segment change and no recorded
+    // rows — the feed cannot synthesize that; it must reject, not skip
+    val ex = intercept[IllegalArgumentException] {
+      feed(path, 3L, Some(4L)).collect()
+    }
+    assert(ex.getMessage.contains("re-seed") &&
+      ex.getMessage.contains("deletion vectors"),
+      s"expected the dv-change rejection, got: ${ex.getMessage}")
+    // and the symmetric direction: restoring BACK to the vectored
+    // snapshot ADDS a dv to a carried segment without rows — same guard
+    Versioned.restore(spark, path, 3L) // v5: dv re-added, no cdc rows
+    val ex2 = intercept[IllegalArgumentException] {
+      feed(path, 4L, Some(5L)).collect()
+    }
+    assert(ex2.getMessage.contains("deletion vectors"))
+    // ranges that do not cross the restores still read fine
+    assert(feed(path, 0L, Some(2L)).count() == 200L)
+  }
+
   test("reorganizations are explicit no-ops; legacy removals reject") {
     val path = ds("reorg")
     Versioned.compact(spark, path, targetBytes = 1L << 40)
