@@ -1018,8 +1018,14 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
                   case None => F.col(f.name)
                 }
               }.toSeq: _*)
-            val fresh = graft.sources.Versioned
-              .writeSegmentIfNonEmpty(updated, resolved)
+            // writeSegment directly, not writeSegmentIfNonEmpty: an
+            // UPDATE never removes rows, and every affected segment
+            // holds at least one LIVE matched row (detection read
+            // dv-applied provenance), so `updated` cannot be empty —
+            // the emptiness probe would be a wasted second scan of the
+            // affected segments
+            val fresh = Some(graft.sources.Versioned
+              .writeSegment(updated, resolved))
             val post = staged.select(head.schema.fields.map { f =>
               assigns.find(_._1 == f.name) match {
                 case Some((_, rhs)) =>
@@ -1379,8 +1385,6 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             }.toSeq: _*)
         }
       mtrace("clauses compiled")
-      val nInserted = inserts.map(_.count()).getOrElse(0L)
-      mtrace("inserts count")
       // new version = untouched segments carried by reference + one
       // fresh segment holding rewritten survivors and inserted rows
       val fresh = try {
@@ -1391,6 +1395,32 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         flaggedAll.foreach(_.unpersist(false)); throw e
       }
       mtrace("fresh segment write")
+      // nInserted DERIVED from metadata, not a second execution of the
+      // source anti-join (`inserts.count()` re-ran a source-sized plan
+      // just for the status row — at a 100 TB-source backfill upsert
+      // that is a full second pass): fresh-segment rows (sidecar/footer)
+      // minus the survivor rows of the affected segments, where
+      // survivors = live rows (footer totals − dv header counts) −
+      // rows won by DELETE clauses. All exact, all KB-sized reads.
+      val nInserted: Long =
+        if (inserts.isEmpty) 0L
+        else {
+          val freshRows = fresh.fold(0L)(s =>
+            graft.sources.Versioned.segmentRowCount(spark, resolved, s))
+          val liveAffected =
+            if (affected.isEmpty) 0L
+            else {
+              val totals = graft.sources.Versioned
+                .footerRowCountBySeg(spark, resolved, affected.toSeq)
+                .valuesIterator.sum
+              val dvDel = graft.sources.Versioned.dvCounts(spark, resolved,
+                dvMap.collect { case (s, d) if affected(s) => d }.toSeq)
+                .valuesIterator.sum
+              totals - dvDel
+            }
+          freshRows - (liveAffected - nDeleted)
+        }
+      mtrace("inserts count (metadata)")
       // change-feed rows, per fired clause kind. An insert-only MERGE
       // records nothing: its fresh segment holds ONLY inserts, which
       // the feed synthesizes lazily from the segment delta (CdcNone).

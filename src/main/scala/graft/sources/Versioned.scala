@@ -668,13 +668,22 @@ object Versioned {
                              segs: Seq[String]): Long =
     footerRowCountBySeg(spark, path, segs).valuesIterator.sum
 
+  /** Exact row count of ONE segment — the stats sidecar when present
+    * (a KB text read), the footer walk otherwise: what a DML status
+    * row consults instead of re-executing a data-sized plan. */
+  private[graft] def segmentRowCount(spark: SparkSession, path: String,
+      seg: String): Long =
+    SegmentStats.read(spark, path, seg).map(_.rows)
+      .getOrElse(footerRowCountBySeg(spark, path, Seq(seg))
+        .valuesIterator.sum)
+
   /** Exact PER-SEGMENT row counts from parquet footers: ONE distributed
     * job does both the per-segment listing and the footer walks (one
     * task per segment, the analyzeStats model) — driver cost is O(1)
     * round trips, not O(segments) listStatus calls, and callers that
     * need many segments' counts ([[purgeVectors]]) must not launch one
     * job per segment either. */
-  private def footerRowCountBySeg(spark: SparkSession, path: String,
+  private[graft] def footerRowCountBySeg(spark: SparkSession, path: String,
       segs: Seq[String]): Map[String, Long] = {
     if (segs.isEmpty) return Map.empty
     val confBc = spark.sparkContext.broadcast(
@@ -700,7 +709,7 @@ object Versioned {
     * header reads): serial up to a handful, one distributed job past —
     * [[rowCount]] and [[purgeVectors]] on a widely-vectored table must
     * not pay one serial driver read per vector. */
-  private def dvCounts(spark: SparkSession, path: String,
+  private[graft] def dvCounts(spark: SparkSession, path: String,
       dvs: Seq[String]): Map[String, Long] = {
     if (dvs.isEmpty) Map.empty
     else if (dvs.length <= 32) {
