@@ -1269,7 +1269,7 @@ object Bench {
         (hv0, graft.sources.Versioned.versions(spark, srcPath).last)
       }
       var rep = 0
-      val apply = probe(spark, "q06_replica_apply_delta", reps = 3) {
+      val apply = probe(spark, "q06_replica72M_apply_delta", reps = 3) {
         // each execution applies a DISTINCT staged version range: the
         // feed's MERGE touches ONE replica segment, 127 carry
         val (from, to) = ranges(rep % nExec); rep += 1
@@ -1279,7 +1279,7 @@ object Bench {
           Seq("l_orderkey", "l_linenumber"))
         spark.range(0).toDF()
       }
-      val copy = probe(spark, "q06_replica_recopy", reps = 3) {
+      val copy = probe(spark, "q06_replica72M_recopy", reps = 3) {
         graft.sources.Versioned.commit(
           graft.sources.Versioned.read(spark, srcPath),
           newTempDir("graft_bench_repl_copy") + "/ds"): Unit
@@ -1296,9 +1296,9 @@ object Bench {
       val feedRows = graft.sources.Versioned.changeFeed(
         spark, srcPath, ranges.last._1, Some(ranges.last._2)).count()
       val budget = Seq(
-        "q06_replica_apply_delta" ->
+        "q06_replica72M_apply_delta" ->
           s"""{"records_read":${segRows + feedRows},"records_written":$segRows,"feed_rows":$feedRows,"segments_total":$nSeg,"segments_rewritten":1,"table_rows":$tableRows}""",
-        "q06_replica_recopy" ->
+        "q06_replica72M_recopy" ->
           s"""{"records_read":$tableRows,"records_written":$tableRows,"segments_total":$nSeg,"segments_rewritten":$nSeg,"table_rows":$tableRows}""")
       (apply, copy, budget)
     }
@@ -1570,7 +1570,10 @@ object Bench {
         "deletion vectors write 16 position lists and carry every " +
         "segment byte-identical; the ratio is the merge-on-read " +
         "story and scales with segment size"),
-      "q06_replica" -> ("apply_delta vs recopy: syncing a 72M-row " +
+      "q06_replica" -> ("q06_replica72M_* REDEFINE round 12's " +
+        "q06_replica_* pair at 12x the volume (hence the rename — a " +
+        "prev-round compare would be probe-definition change, not a " +
+        "regression): syncing a 72M-row " +
         "128-segment replica after a 16-key single-segment source " +
         "update — the timed body is the replication CONSUMER only " +
         "(feed read + net-effect MERGE) vs re-copying the snapshot " +
