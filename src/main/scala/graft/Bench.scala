@@ -103,7 +103,15 @@ object Bench {
     // qualification bar until nothing qualifies — a floor needs a few
     // witnesses before it disqualifies the fleet
     val obs = all(math.min(all.length - 1, 4))
-    hint.filter(h => h < obs && h >= obs / 5).getOrElse(obs)
+    // hint plausibility window: /20, not /5 — on a box loaded END TO
+    // END today's obs is inflated by the load itself, and a tight
+    // window would reject exactly the idle prior-round floor the hint
+    // exists to supply (loaded reps would then silently "qualify"
+    // against the inflated bar — dishonest medians). The asymmetry
+    // justifies the width: accepting a too-small hint merely makes the
+    // bar strict (nothing qualifies, calm_reached says so — honest),
+    // rejecting a valid hint fakes quiet-box numbers.
+    hint.filter(h => h < obs && h >= obs / 20).getOrElse(obs)
   }
 
   /** Poll the canary until the box is quiet (ratio ≤ QualRatio) or the
@@ -328,6 +336,16 @@ object Bench {
     val bucketed = newTempDir("graft_bench_buckets")
     df.withColumn("__b", ((F.col("l_orderkey") - mnK) / width).cast("int"))
       .write.partitionBy("__b").mode("overwrite").parquet(bucketed)
+    // an EMPTY bucket writes no partition dir at all, and the per-bucket
+    // read below would abort the sweep with PATH_NOT_FOUND — fail with
+    // the cause named instead (a sparse key distribution at small SF
+    // needs a lower nSeg)
+    val missing = (0 until nSeg)
+      .filterNot(i => new java.io.File(s"$bucketed/__b=$i").exists())
+    require(missing.isEmpty,
+      s"stageRangeSegments: key range bucket(s) ${missing.take(5)
+        .mkString(", ")} of $nSeg are empty — lower the segment count " +
+        "for this volume")
     tags.map { tag =>
       val p = newTempDir(s"graft_bench_$tag") + "/ds"
       (0 until nSeg).foreach { i =>
@@ -493,7 +511,7 @@ object Bench {
     // footer job) that was previously only inferred from stage data —
     // every sub-0.5 s in-sweep median can now be floor-subtracted
     // mechanically from the artifact alone.
-    val floor = probe(spark, "q00_floor", reps = 11) {
+    probe(spark, "q00_floor", reps = 11) {
       import org.apache.spark.sql.{functions => F}
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").agg(F.count(F.lit(1)).as("n"))
@@ -514,7 +532,7 @@ object Bench {
     // medians stay comparable; the per-cycle canary series is emitted
     // as q06_x10_canary so the excursions themselves are visible in
     // the artifact.
-    val (x10, x10raw, x10canary) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       def stagedQ = SparkEntry.q1Agg(spark.read.parquet(x10Path))
       def rawQ = SparkEntry.q1Agg(
@@ -558,7 +576,7 @@ object Bench {
 
     // the flagship over the driver's RAW single-row-group file — reported
     // alongside the staged number so the ingest-layout delta is explicit
-    val rawQ1 = probe(spark, "q06_rawlayout_600krows", reps = 11) {
+    probe(spark, "q06_rawlayout_600krows", reps = 11) {
       SparkEntry.q1Agg(spark.read.parquet(s"$rawSfDir/lineitem.parquet"))
     }
     tracer.drain()
@@ -571,7 +589,7 @@ object Bench {
     // linearly in rows while mega-buckets of boilerplate hit the
     // [2, maxBucket] cap instead of exploding quadratically — so the
     // probe should scale SUB-linearly vs q29_minhash_pairs × 10.
-    val q29x10 = probe(spark, "q29_x10_50kdocs") {
+    probe(spark, "q29_x10_50kdocs") {
       graft.operators.Dedup.minhashLsh(docs10(spark, sfDir, cpus.toInt),
         "text", "doc_id",
         numBands = 4, rowsPerBand = 8, shingleN = 1, threshold = 0.8,
@@ -585,7 +603,7 @@ object Bench {
     // explode + codegen'd probe, so the probe should scale ~linearly in
     // corpus rows with no blowup from the 10× duplicate mass — the
     // measured form of "the bloom path is a scan, not a join".
-    val q112x10 = probe(spark, "q112_x10_50kdocs") {
+    probe(spark, "q112_x10_50kdocs") {
       import org.apache.spark.sql.{functions => F}
       val all = docs10(spark, sfDir, cpus.toInt)
       graft.operators.Dedup.decontaminateBloom(
@@ -607,7 +625,7 @@ object Bench {
     //     — the remaining heavy family without a scale probe: pairs grow
     //     with the duplicate mass but the label-propagation loop is
     //     bounded by cluster diameter, not corpus size.
-    val (bm25IdxX10, q51x10) = {
+    locally {
       val idxPath = newTempDir("graft_bm25_x10") + "/idx"
       graft.operators.TextAnalysis.writeBm25Index(
         docs10(spark, sfDir, cpus.toInt), "text", "doc_id",
@@ -633,7 +651,7 @@ object Bench {
     // grows linearly in rows, and candidate pairs are bounded by the
     // eval set — so 10× corpus should cost far less than 10× the q129
     // time (sub-linear, like q29_x10/q112_x10).
-    val q129x10 = probe(spark, "q129_x10_50kdocs") {
+    probe(spark, "q129_x10_50kdocs") {
       import org.apache.spark.sql.{functions => F}
       graft.operators.Dedup.minhashLshCross(
         docs10(spark, sfDir, cpus.toInt)
@@ -651,7 +669,7 @@ object Bench {
     // and nearly every position gets marked — the worst case for the
     // mark join-back. Gram votes aggregate 8-byte hashes (never text),
     // so the probe should scale ~linearly in rows.
-    val q152x10 = probe(spark, "q152_x10_50kdocs") {
+    probe(spark, "q152_x10_50kdocs") {
       graft.operators.Dedup.removeDuplicatedNgrams(
         docs10(spark, sfDir, cpus.toInt), "text", "doc_id", n = 8, minDocs = 2)
     }
@@ -661,7 +679,7 @@ object Bench {
     // fold, so 10× docs should cost ~10× the fold (linear), with shard
     // width held constant by scaling the shard count with the corpus —
     // exactly how the 100 TB deployment keeps collect_list bounded.
-    val q219x10 = probe(spark, "q219_x10_50kdocs") {
+    probe(spark, "q219_x10_50kdocs") {
       graft.operators.Pack.ffdPack(
         docs10(spark, sfDir, cpus.toInt), "doc_id",
         graft.operators.TextAnalysis.tokenCount(
@@ -678,7 +696,7 @@ object Bench {
     // block ballooning past the cap — is handled before any text moves
     // (narrow-count semi-join in blockedShinglePairs), so its cost is a
     // count, not a pair explosion; this probe measures the real work.
-    val q143x10 = probe(spark, "q143_x10_50kdocs") {
+    probe(spark, "q143_x10_50kdocs") {
       import org.apache.spark.sql.{functions => F}
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text", "lang", "source")
@@ -700,7 +718,7 @@ object Bench {
     // partitions + size-prefix column pruning are what make the compat
     // path a real input rather than a demo; this measures it against
     // the parquet flagship at the same row count.
-    val blockfileQ1 = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val binPath = newTempDir("graft_bench_bin") + "/lineitem.bin"
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
@@ -722,7 +740,7 @@ object Bench {
     // block scheduled + decoded) and once with (only range-intersecting
     // blocks scheduled). The write + sidecar build are untimed
     // per-corpus costs, like every other layout probe.
-    val (bfUnzoned, bfZoned) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val binPath = newTempDir("graft_bench_zones") + "/lineitem_sorted.bin"
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
@@ -755,7 +773,7 @@ object Bench {
     // comparison shows what the zone-map sidecar buys the .bin path
     // relative to what parquet's built-in statistics buy the same
     // workload. Writes are untimed per-corpus layout costs, as always.
-    val (pqShuffled, pqPruned, pqZorder2nd, pqLinear2nd, rgNote, pruneStats) = {
+    val (_, _, _, _, rgNote, pruneStats) = {
       import org.apache.spark.sql.{functions => F}
       val dirP = newTempDir("graft_bench_pqprune")
       // 6M-ROW input (the x10 staged table): at 600 k rows the whole
@@ -884,7 +902,7 @@ object Bench {
     // (untimed), then time encode+histogram over the staged documents —
     // the per-row native-expression path a 100 TB tokenization job is
     // made of.
-    val bpeEncode200 = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val merges =
@@ -908,7 +926,7 @@ object Bench {
     // widened with one md5-hex word per x10 row: ~50k distinct words,
     // capacity ~1.5M — deep ranks actually train AND fire at encode
     // time (the q288 gate pins the same construction's correctness).
-    val (bpeWc32k, bpeLoop32k, bpeEnc32k) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       def corpus = {
         val d = docs10(spark, sfDir, cpus.toInt)
@@ -975,7 +993,7 @@ object Bench {
     // default read path). The file write is an untimed per-corpus cost;
     // at a real multi-GB shard the whole-file number scales with file
     // size while the split number scales with file size / cores.
-    val (avroWhole, avroSplit) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val avroDir = new java.io.File(newTempDir("graft_bench_avrosplit"))
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
@@ -1009,7 +1027,7 @@ object Bench {
     // through Scale.saltedJoin. The dim side is 1501 rows but broadcast
     // is disabled for both probes — a broadcast join would dissolve the
     // skew and measure nothing; the salted-vs-AQE delta is the point.
-    val (skewAqe, skewSalted) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val ev = spark.read.parquet(s"$rawSfDir/events.parquet")
         .select("event_id", "user_id", "value")
@@ -1087,7 +1105,7 @@ object Bench {
     // volume: SUMMARIZE-style exact aggregates need a full decode; the
     // footer path reads KB-sized metadata — the delta is what the
     // at-scale profile question costs with and without the shortcut.
-    val (footer6M, scan6M, footerPrune) = {
+    val (_, _, footerPrune) = {
       import org.apache.spark.sql.{functions => F}
       // prune accounting for the footer-vs-scan pair: the x10 table's
       // row-group count; the footer path decodes 0 of them (footers are
@@ -1129,7 +1147,7 @@ object Bench {
     // uses. The delta is the cost of the abstraction every pipeline
     // deliverable pays at read time — it should be one manifest read +
     // per-segment footer merges, i.e. ~0 against the scan.
-    val versionedQ1 = {
+    locally {
       val vPath = newTempDir("graft_bench_versioned") + "/lineitem_ds"
       graft.sources.Versioned.commit(
         spark.read.parquet(s"$sfDir/lineitem.parquet"), vPath,
@@ -1150,7 +1168,7 @@ object Bench {
     // segments_total/segments_read; at 100 TB the skipped segments
     // are skipped LISTING + footer I/O + scheduling, which is what a
     // 100k-segment manifest spends its latency on.
-    val (skipSeg, skipRaw, segPrune) = {
+    val (_, _, segPrune) = {
       import org.apache.spark.sql.{functions => F}
       val li = spark.read.parquet(x10Path)
       val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
@@ -1187,7 +1205,7 @@ object Bench {
     // position lists). Each rep deletes a FRESH id set, so every rep
     // does real work; version history accumulates (the lakehouse
     // behavior being measured).
-    val (dmlCow, dmlDv) = {
+    locally {
       import org.apache.spark.sql.{functions => F}
       val li = spark.read.parquet(x10Path)
       val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"))
@@ -1231,7 +1249,7 @@ object Bench {
     // carries the records math that extrapolates it (at 100 TB recopy
     // moves ~130 000× more rows than apply). Each rep applies a FRESH
     // pre-staged version range, so every rep does real work.
-    val (replApply, replCopy, replBudget) = {
+    val (_, _, replBudget) = {
       import org.apache.spark.sql.{functions => F}
       val li = (0 until 12).map(_ => spark.read.parquet(x10Path))
         .reduce(_.union(_)) // 72,014,580 rows = 12× the staged x10 table
@@ -1310,7 +1328,7 @@ object Bench {
     val highVariance = Set("q29_minhash_pairs", "q30_simhash_pairs",
       "q51_dedup_clusters", "q59_pipeline_keep")
     val stageJson = new StringBuilder("{")
-    val results = headline.zipWithIndex.map { case (name, i) =>
+    headline.zipWithIndex.foreach { case (name, i) =>
       val fn = qs(name)
       // medians, not single runs: JVM/scheduler noise at sub-second scale
       // is ±0.15s and single samples of fixed queries vary up to 5x
@@ -1321,13 +1339,12 @@ object Bench {
       val reps =
         if (name == "q59_pipeline_keep") 7
         else if (name == "q06_q1_flagship" || highVariance(name)) 5 else 3
-      val secs = probe(spark, name, reps, afterWarmup = () => {
+      probe(spark, name, reps, afterWarmup = () => {
         tracer.drain(): Unit // attribute stages to the timed runs only
-      })(fn(spark, sfDir))
+      })(fn(spark, sfDir)): Unit
       val stages = tracer.drain()
       if (i > 0) stageJson.append(",")
       stageJson.append(s""""$name":[${stages.map(_.toJson).mkString(",")}]""")
-      name -> secs
     }
     stageJson.append("}")
 

@@ -1395,32 +1395,40 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         flaggedAll.foreach(_.unpersist(false)); throw e
       }
       mtrace("fresh segment write")
-      // nInserted DERIVED from metadata, not a second execution of the
-      // source anti-join (`inserts.count()` re-ran a source-sized plan
-      // just for the status row — at a 100 TB-source backfill upsert
-      // that is a full second pass): fresh-segment rows (sidecar/footer)
-      // minus the survivor rows of the affected segments, where
-      // survivors = live rows (footer totals − dv header counts) −
-      // rows won by DELETE clauses. All exact, all KB-sized reads.
-      val nInserted: Long =
-        if (inserts.isEmpty) 0L
-        else {
-          val freshRows = fresh.fold(0L)(s =>
-            graft.sources.Versioned.segmentRowCount(spark, resolved, s))
-          val liveAffected =
-            if (affected.isEmpty) 0L
-            else {
-              val totals = graft.sources.Versioned
-                .footerRowCountBySeg(spark, resolved, affected.toSeq)
-                .valuesIterator.sum
-              val dvDel = graft.sources.Versioned.dvCounts(spark, resolved,
-                dvMap.collect { case (s, d) if affected(s) => d }.toSeq)
-                .valuesIterator.sum
-              totals - dvDel
-            }
-          freshRows - (liveAffected - nDeleted)
-        }
-      mtrace("inserts count (metadata)")
+      // everything from here through the commit runs under ONE
+      // unpersist guard: the metadata jobs below can throw (a transient
+      // FS error in a footer walk), and a leak window between the
+      // fresh-write catch and the commit finally would pin the
+      // persisted affected-segment join in the block manager for the
+      // session's lifetime
+      val (nInserted: Long, v: Long) = try {
+        // nInserted DERIVED from metadata, not a second execution of
+        // the source anti-join (`inserts.count()` re-ran a source-sized
+        // plan just for the status row — at a 100 TB-source backfill
+        // upsert that is a full second pass): fresh-segment rows
+        // (sidecar/footer) minus the survivor rows of the affected
+        // segments, where survivors = live rows (footer totals − dv
+        // header counts) − rows won by DELETE clauses. All exact, all
+        // KB-sized reads.
+        val nIns: Long =
+          if (inserts.isEmpty) 0L
+          else {
+            val freshRows = fresh.fold(0L)(s =>
+              graft.sources.Versioned.segmentRowCount(spark, resolved, s))
+            val liveAffected =
+              if (affected.isEmpty) 0L
+              else {
+                val totals = graft.sources.Versioned
+                  .footerRowCountBySeg(spark, resolved, affected.toSeq)
+                  .valuesIterator.sum
+                val dvDel = graft.sources.Versioned.dvCounts(spark, resolved,
+                  dvMap.collect { case (s, d) if affected(s) => d }.toSeq)
+                  .valuesIterator.sum
+                totals - dvDel
+              }
+            freshRows - (liveAffected - nDeleted)
+          }
+        mtrace("inserts count (metadata)")
       // change-feed rows, per fired clause kind. An insert-only MERGE
       // records nothing: its fresh segment holds ONLY inserts, which
       // the feed synthesizes lazily from the segment delta (CdcNone).
@@ -1445,10 +1453,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           graft.sources.Versioned.CdcRows(
             parts.reduce(_.unionByName(_)))
       }
-      val v = try {
-        graft.sources.Versioned.commitPruned(spark, resolved,
+        (nIns, graft.sources.Versioned.commitPruned(spark, resolved,
           segsAll.filterNot(affected), fresh, head.schema, dvMap,
-          cdc = cdcSpec, expectedBase = Some(hv), op = "merge")
+          cdc = cdcSpec, expectedBase = Some(hv), op = "merge"))
       } finally flaggedAll.foreach(_.unpersist(false))
       mtrace("cdc + commit")
       import org.apache.spark.sql.types.{LongType, StructField, StructType}

@@ -84,19 +84,25 @@ object Versioned {
       .sortBy(_._1)
   }
 
-  private def readManifest(spark: SparkSession, path: String,
-                           version: Long): Seq[String] = {
+  /** One manifest file's raw text (shared open behind
+    * [[readManifest]] / [[manifestMeta]]; ranges go through
+    * [[readManifestsBulk]]). */
+  private def manifestText(spark: SparkSession, path: String,
+                           version: Long): String = {
     val fs = fsOf(spark, path)
     val f = new Path(s"$path/manifest", f"v-$version%09d.txt")
     require(fs.exists(f), s"version $version not committed at $path")
     val in = fs.open(f)
-    val text = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    } finally in.close()
-    // `#`-prefixed lines are commit metadata (dv map, txn identity,
-    // change-feed pointer), not segment names
-    text.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
   }
+
+  private def readManifest(spark: SparkSession, path: String,
+                           version: Long): Seq[String] =
+    // `#`-prefixed lines are commit metadata (dv map, txn identity,
+    // change-feed pointer), not segment names — splitManifest is the
+    // single classification rule
+    splitManifest(manifestText(spark, path, version))._1
 
   /** Split one manifest's text into (segment names, `#` metadata lines)
     * — the shared parse behind [[readManifest]]/[[manifestMeta]] and
@@ -125,16 +131,7 @@ object Versioned {
       vs: Seq[Long]): Map[Long, (Seq[String], Seq[String])] = {
     if (vs.isEmpty) Map.empty
     else if (vs.length <= BulkManifestCutoff) {
-      val fs = fsOf(spark, path)
-      vs.map { v =>
-        val f = new Path(s"$path/manifest", f"v-$v%09d.txt")
-        require(fs.exists(f), s"version $v not committed at $path")
-        val in = fs.open(f)
-        val text = try {
-          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        } finally in.close()
-        v -> splitManifest(text)
-      }.toMap
+      vs.map(v => v -> splitManifest(manifestText(spark, path, v))).toMap
     } else {
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
@@ -532,16 +529,8 @@ object Versioned {
   /** A version's `#`-prefixed manifest header lines (commit metadata),
     * stripped of the marker. */
   private[graft] def manifestMeta(spark: SparkSession, path: String,
-                           version: Long): Seq[String] = {
-    val fs = fsOf(spark, path)
-    val f = new Path(s"$path/manifest", f"v-$version%09d.txt")
-    require(fs.exists(f), s"version $version not committed at $path")
-    val in = fs.open(f)
-    val text = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    } finally in.close()
-    text.split("\n").toSeq.filter(_.startsWith("#"))
-  }
+                           version: Long): Seq[String] =
+    splitManifest(manifestText(spark, path, version))._2
 
   /** Parse `#dv` header lines into the segment → vector-file map —
     * shared by [[readDvMap]] and the bulk-read consumers

@@ -1209,7 +1209,7 @@ class ScaleSpec extends SparkSpec {
     assert(stats.versionsDropped == nVersions - 4)
     assert(driverManifestOpens().size <= 4,
       s"vacuum dry-run opened ${driverManifestOpens().size} manifest " +
-        "files on the driver over a ${nVersions + 1}-version history")
+        s"files on the driver over a ${nVersions + 1}-version history")
   }
 }
 
