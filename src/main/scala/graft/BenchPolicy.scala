@@ -1,0 +1,117 @@
+package graft
+
+/** Publication policy for the bench sweep — every rule that decides
+  * WHICH number an entry publishes, extracted from [[Bench]] so the
+  * rules are unit-testable (round-13 verdict ask #5: `medOf`,
+  * qualification, and the final-median switch turned out to be
+  * load-bearing for the BASELINE gate, and none had a spec).
+  *
+  * The model: every timed rep is followed back-to-back by two fixed
+  * canaries — a 32-task compute job (scheduler + JVM state) and a
+  * fixed ~100 MB parquet read (page-cache / disk state; the round-13
+  * x10 bimodality was invisible to the compute canary because cache
+  * eviction is exactly what a table-scan probe is sensitive to and a
+  * `spark.range` canary never touches disk). A rep QUALIFIES when both
+  * canaries ran within their ratio of their floor, i.e. the box was
+  * quiet — for CPU and for I/O — during that rep. Published medians
+  * switch to qualified-reps-only at [[MinQualifiedReps]], never below
+  * (round-13 verdict #1: `q.nonEmpty` let 1–2 lucky-canary reps
+  * override 11 honest ones, and the upper-middle median of 2 published
+  * the WORSE rep — three phantom regressions and a fake 2.17× gate
+  * breach came from exactly that).
+  */
+object BenchPolicy {
+
+  /** Compute-canary qualification bar: a rep counts only when its
+    * back-to-back canary ran within this ratio of the floor. Below
+    * ~1.25 ordinary JIT/GC jitter disqualifies honest reps; above ~1.5
+    * load poisoning slips through. */
+  val QualRatio = 1.3
+
+  /** I/O-canary bar — wider than the compute bar: a warm ~100 MB read
+    * has proportionally more jitter (readahead, dirty-page writeback)
+    * and the signal being screened for (cache eviction / disk
+    * contention) shows up as a MULTIPLE, not a percentage. */
+  val IoQualRatio = 2.0
+
+  /** Minimum qualified reps before the published median abandons the
+    * all-reps median. With fewer, the all-reps median is the more
+    * honest estimate (the round-13 lesson). */
+  val MinQualifiedReps = 3
+
+  /** The reference's published Q1 wall at sf1 = 6,001,215 rows
+    * (BASELINE.md: 0.707 s) — the matched-volume gate denominator,
+    * computed here ONCE so the artifact carries the ratio itself
+    * instead of every judge re-deriving it. */
+  val BaselineSf1Q1Sec = 0.707
+
+  /** Median with the two middles AVERAGED on even length. Round 13
+    * published `sorted(len/2)` — the UPPER middle — so a 2-rep
+    * "median" was the worse rep. */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of an empty series")
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Canary floor from a series of observations: the 5th-SMALLEST
+    * observation (a single lucky outlier as the floor would collapse
+    * the qualification bar until nothing qualifies — a floor needs a
+    * few witnesses before it disqualifies the fleet), refined by the
+    * prior artifact's floor when it is plausibly the same machine.
+    * The hint plausibility window is [obs/20, obs): on a box loaded
+    * end-to-end today's own minimum never dips to idle, and a tight
+    * window would reject exactly the idle prior-round floor the hint
+    * exists to supply. The asymmetry justifies the width: accepting a
+    * too-small hint merely makes the bar strict (honest), rejecting a
+    * valid hint fakes quiet-box numbers. */
+  def floor(observations: Seq[Double], hint: Option[Double]): Double = {
+    val all = observations.sorted
+    if (all.isEmpty) return hint.getOrElse(Double.MaxValue)
+    val obs = all(math.min(all.length - 1, 4))
+    hint.filter(h => h < obs && h >= obs / 20).getOrElse(obs)
+  }
+
+  /** One rep's qualification verdict: the compute canary within
+    * [[QualRatio]] of its floor AND — when an I/O canary series exists
+    * for the rep — the I/O canary within [[IoQualRatio]] of its own
+    * floor. Entries without an I/O series qualify on compute alone
+    * (the pre-round-14 behavior). */
+  def repQualifies(canary: Double, computeFloor: Double,
+                   ioCanary: Option[Double],
+                   ioFloor: Option[Double]): Boolean =
+    canary <= QualRatio * computeFloor &&
+      ((ioCanary, ioFloor) match {
+        case (Some(c), Some(f)) => c <= IoQualRatio * f
+        case _ => true
+      })
+
+  /** The published median: over qualified reps ONLY at or above
+    * [[MinQualifiedReps]], over ALL reps otherwise. Returns the value
+    * and whether the qualified series was used. */
+  def publishedMedian(all: Seq[Double],
+                      qualified: Seq[Double]): (Double, Boolean) =
+    if (qualified.length >= MinQualifiedReps) (median(qualified), true)
+    else (median(all), false)
+
+  /** Mechanical cause for a cross-round regression entry. With fewer
+    * than [[MinQualifiedReps]] qualified reps the adjudication is FROM
+    * ALL-REPS DATA and says so — round 13 labeled an entry "noise"
+    * from its all-reps spread while simultaneously publishing a
+    * qualified median that asserted the opposite; both claims cannot
+    * ride one artifact. */
+  def adjudicate(prev: Double, curMin: Double,
+                 worstCanaryRatio: Double, qualifiedReps: Int): String = {
+    val base =
+      if (curMin <= prev * 1.1)
+        f"noise: rep min $curMin%.3f overlaps prior median $prev%.3f"
+      else if (worstCanaryRatio >= 1.25)
+        f"machine-load: canary_ratio up to $worstCanaryRatio%.2f during reps"
+      else "unattributed: re-measure isolated (BenchOne); suspect plan"
+    if (qualifiedReps < MinQualifiedReps)
+      s"insufficient-qualified-reps ($qualifiedReps): " +
+        s"adjudicated from all reps — $base"
+    else base
+  }
+}

@@ -37,6 +37,43 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     mtLast = now
   }
 
+  /** Driver-side (rows, bytes) of a PLAIN `.parquet` file/dir — the
+    * MERGE small-source gate's metadata probe: a recursive listing plus
+    * footer record counts, KB-sized reads, no Spark job. `None` when
+    * the path is not plain parquet, holds any non-parquet data file
+    * (the reader would still scan it — price as unknown), or exceeds
+    * [[Engine.MergeSmallSourceBytes]] / 64 files (footer walks stay
+    * cheap or don't happen). */
+  private def plainParquetFootprint(path: String): Option[(Long, Long)] =
+    try {
+      if (!path.endsWith(".parquet")) return None
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val files =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (!n.endsWith(".parquet")) return None
+          files += st.getPath
+          bytes += st.getLen
+          if (bytes > Engine.MergeSmallSourceBytes || files.length > 64)
+            return None
+        }
+      }
+      val rows = files.iterator.map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+      Some((rows, bytes))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Session-scoped views: name → body TEXT, re-planned at every use
     * (standard non-materialized view semantics — a view over a
     * Versioned dataset tracks its head, and underlying-table changes
@@ -466,14 +503,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val resolved = Tables.resolve(target, baseDir)
       import org.apache.spark.sql.types.{StringType, StructField,
         StructType}
+      // `status`: `pending-drop` marks a constraint whose drop was
+      // durably audited but whose file removal never landed (the
+      // dropConstraint commit-first crash window — fail-safe
+      // over-enforcement until the drop is re-run), so history and
+      // enforcement can never disagree silently
+      val pending =
+        graft.sources.Versioned.pendingConstraintDrops(spark, resolved)
       val rows = graft.sources.Versioned.constraints(spark, resolved)
-        .toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
+        .toSeq.sortBy(_._1).map { case (n, e) =>
+          Row(n, e, if (pending(n)) "pending-drop" else "enforced") }
       GraftFrame.fromDF(spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         StructType(Seq(
           StructField("constraint_name", StringType, nullable = false),
-          StructField("check_expr", StringType, nullable = false)))))
+          StructField("check_expr", StringType, nullable = false),
+          StructField("status", StringType, nullable = false)))))
     case RestoreRe(target, verOpt, tsOpt) =>
       scalarCache.clear()
       val resolved = Tables.resolve(target, baseDir)
@@ -629,19 +675,23 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     case DescribeHistoryRe(quoted, bare) =>
       val ref = if (quoted != null) quoted else bare
       val resolved = Tables.resolve(ref, baseDir)
-      val vs = graft.sources.Versioned.versions(spark, resolved)
-      if (vs.isEmpty) throw new SemanticError(
-        s"DESCRIBE HISTORY requires a Versioned dataset at '$resolved'")
       import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
       // commit_ts = the manifest's write time (rename-committed, written
-      // once) in epoch ms — from the SAME single directory listing that
-      // enumerated the versions; the manifests themselves come from ONE
-      // bulk read (distributed past the cutoff). The statement
-      // previously paid 3 serial driver round trips per version
-      // (manifestMeta + segmentCount's re-read + getFileStatus) — at a
-      // 10k-commit audit that was 30k round trips.
-      val mtimes = graft.sources.Versioned
-        .versionsWithMtime(spark, resolved).toMap
+      // once) in epoch ms. Versions AND mtimes come from ONE directory
+      // listing — versionsWithMtime — with `vs` derived from it, never
+      // a separate versions() listing: a vacuum racing between two
+      // listings would surface as a bare NoSuchElementException on the
+      // mtime lookup. The manifests themselves come from ONE bulk read
+      // (distributed past the cutoff). The statement previously paid 3
+      // serial driver round trips per version (manifestMeta +
+      // segmentCount's re-read + getFileStatus) — at a 10k-commit audit
+      // that was 30k round trips.
+      val withMtime = graft.sources.Versioned
+        .versionsWithMtime(spark, resolved).sortBy(_._1)
+      if (withMtime.isEmpty) throw new SemanticError(
+        s"DESCRIBE HISTORY requires a Versioned dataset at '$resolved'")
+      val vs = withMtime.map(_._1)
+      val mtimes = withMtime.toMap
       val bulk = graft.sources.Versioned
         .readManifestsBulk(spark, resolved, vs)
       // operation = the commit's #op header line; versions committed
@@ -1143,12 +1193,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           s"MERGE: WHEN MATCHED clause ${i + 1} has no AND condition " +
             "but is not last — later matched clauses are unreachable")
       }
-      // source frame + aliases
-      val (srcFrame, saliasRaw) = usingText match {
+      // source frame + aliases (+ the raw table ref when the source is
+      // a table path — the small-source fast path prices it from
+      // footers below; views and subqueries price as unknown)
+      val (srcFrame, saliasRaw, srcRefOpt) = usingText match {
         case MergeUsingSub(sub, a) =>
-          (evalCompound(SqlParser.parseCompound(sub), Map.empty), Option(a))
-        case MergeUsingQuoted(p, a) => (table(p), Option(a))
-        case MergeUsingBare(n, a) => (table(n), Option(a).orElse(Some(n)))
+          (evalCompound(SqlParser.parseCompound(sub), Map.empty),
+            Option(a), None)
+        case MergeUsingQuoted(p, a) => (table(p), Option(a), Some(p))
+        case MergeUsingBare(n, a) =>
+          (table(n), Option(a).orElse(Some(n)), Some(n))
         case other => throw new SemanticError(
           s"MERGE: cannot parse USING source '$other'")
       }
@@ -1173,13 +1227,35 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // ZERO materialization (no full-table checkpoint) — plus the
       // owning segment name, which is what makes the rewrite
       // SEGMENT-PRUNED below. The SOURCE can be an arbitrary subquery,
-      // so it still pins synthetic ids with a checkpoint — bounded by
-      // the source's size, never the target's.
+      // so it pins synthetic ids with a checkpoint — bounded by the
+      // source's size, never the target's. SMALL-SOURCE FAST PATH (the
+      // CDC replication apply's shape): when a plain-parquet USING
+      // source is provably tiny from its footers alone (KB metadata
+      // reads, no job), collect it ONCE into a LocalRelation with
+      // driver-assigned ids instead — determinism for free, and (the
+      // real win) accurate size stats, so the match join and the
+      // insert anti-join BROADCAST the source instead of shuffling
+      // both sides; a checkpointed RDD reports unknown stats and
+      // forces shuffle joins however small it is.
       val tDf =
         graft.sources.Versioned.readWithProvenance(spark, resolved, Some(hv))
-      val sDf = srcFrame.df
-        .withColumn("__srid", F.monotonically_increasing_id())
-        .localCheckpoint(true)
+      val srcSmall = srcRefOpt
+        .filterNot(views.contains)
+        .map(r => graft.sources.Tables.resolve(r, baseDir))
+        .flatMap(plainParquetFootprint)
+        .exists(_._1 <= Engine.MergeSmallSourceRows)
+      val sDf =
+        if (srcSmall) {
+          val rows = srcFrame.df.collect()
+          val schema = srcFrame.df.schema.add("__srid",
+            org.apache.spark.sql.types.LongType, nullable = false)
+          val data = rows.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ i.toLong) }
+          spark.createDataFrame(
+            java.util.Arrays.asList(data: _*), schema)
+        } else srcFrame.df
+          .withColumn("__srid", F.monotonically_increasing_id())
+          .localCheckpoint(true)
       mtrace("provenance + src ckpt")
       val scope = Map(tName -> GraftFrame.fromDF(tDf),
         sName -> GraftFrame.fromDF(sDf))
@@ -1232,9 +1308,32 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         F.lit(null).cast("int")) { (i, acc) =>
         F.when(F.col(s"__m_$i"), F.lit(i)).otherwise(acc)
       }
-      val pairs = evalCompound(matchedCq, scope).df
+      // the checkpoint's row count rides the SAME job via observe() —
+      // zero extra actions — and a small match set (the common DML /
+      // replication-apply case) is then collected into a LocalRelation:
+      // the byWin rollup below becomes driver-side Scala instead of a
+      // two-shuffle aggregation query, and every downstream join
+      // against `pairs` (affected-segment flagging, insert anti-join)
+      // broadcasts it instead of shuffling
+      val pairsObs = new org.apache.spark.sql.Observation()
+      val pairsCkpt = evalCompound(matchedCq, scope).df
         .withColumn("__win", winCol)
+        .observe(pairsObs, F.count(F.lit(1)).as("n"))
         .localCheckpoint(true)
+      val nPairs: Option[Long] =
+        try Some(scala.concurrent.Await
+          .result(pairsObs.future,
+            scala.concurrent.duration.Duration("30s")).getLong(0))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      val pairsLocal: Option[Array[Row]] =
+        if (nPairs.exists(_ <= Engine.MergeSmallMatchRows))
+          Some(pairsCkpt.collect())
+        else None
+      val pairs: org.apache.spark.sql.DataFrame = pairsLocal match {
+        case Some(rows) => spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), pairsCkpt.schema)
+        case None => pairsCkpt
+      }
       mtrace("match join + ckpt")
       // per-clause-kind action counts; bounded by the match count
       val updIdxs = matchedClauses.zipWithIndex.collect {
@@ -1251,25 +1350,50 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // per-winning-clause rollup over it. Fused because each separate
       // action pays the full driver planning floor — at a 16-row
       // replication apply that floor, not the data, was the cost.
-      val byWinRows =
-        if (matchedClauses.isEmpty) Array.empty[Row]
-        else pairs
-          .groupBy("__file", "__pos")
-          .agg(F.count(F.lit(1)).as("__c"),
-            F.first(F.col("__win")).as("__win"),
-            F.first(F.col("__seg")).as("__seg"))
-          .groupBy("__win").agg(F.count(F.lit(1)).as("c"),
-            F.max(F.col("__c")).as("maxc"),
-            F.collect_set(F.col("__seg")).as("segs"))
-          .collect()
+      // rollup shape either way: (winning clause index or None,
+      // target-row count, max per-target-row multiplicity, segments)
+      val winStats: Seq[(Option[Int], Long, Long, Set[String])] =
+        if (matchedClauses.isEmpty) Seq.empty
+        else pairsLocal match {
+          case Some(rows) =>
+            // driver-side mirror of the distributed rollup below —
+            // bounded by the observed match count, no extra jobs
+            val sch = pairsCkpt.schema
+            val (fi, pi, gi, wi) = (sch.fieldIndex("__file"),
+              sch.fieldIndex("__pos"), sch.fieldIndex("__seg"),
+              sch.fieldIndex("__win"))
+            rows.toSeq
+              .groupBy(r => (r.getString(fi), r.getLong(pi))).values
+              .map { g =>
+                val h = g.head
+                (if (h.isNullAt(wi)) None else Some(h.getInt(wi)),
+                  g.length.toLong, h.getString(gi))
+              }.toSeq
+              .groupBy(_._1).map { case (w, gs) =>
+                (w, gs.length.toLong, gs.map(_._2).max,
+                  gs.map(_._3).toSet)
+              }.toSeq
+          case None => pairsCkpt
+            .groupBy("__file", "__pos")
+            .agg(F.count(F.lit(1)).as("__c"),
+              F.first(F.col("__win")).as("__win"),
+              F.first(F.col("__seg")).as("__seg"))
+            .groupBy("__win").agg(F.count(F.lit(1)).as("c"),
+              F.max(F.col("__c")).as("maxc"),
+              F.collect_set(F.col("__seg")).as("segs"))
+            .collect().toSeq.map(r =>
+              (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+                r.getAs[Long]("c"), r.getAs[Long]("maxc"),
+                r.getSeq[String](3).toSet))
+        }
       mtrace("byWin collect")
-      if (byWinRows.exists(_.getAs[Long]("maxc") > 1L))
+      if (winStats.exists(_._3 > 1L))
         throw new SemanticError("MERGE: a target row matches more than " +
           "one source row — the ON condition must match at most one")
       // NULL __win = matched rows where no clause fired (they stay
       // as-is): counted for cardinality above, excluded from actions
-      val firedRows = byWinRows.filterNot(_.isNullAt(0))
-      val byWin = firedRows.map(r => r.getInt(0) -> r.getAs[Long]("c")).toMap
+      val firedStats = winStats.filter(_._1.isDefined)
+      val byWin = firedStats.map(s => s._1.get -> s._2).toMap
       val (nUpdated, nDeleted) =
         (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
           delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
@@ -1281,8 +1405,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // manifest by reference, files byte-identical. An insert-only
       // MERGE rewrites nothing at all: at 100 TB a one-row upsert costs
       // one segment (plus the match join), not a full-table copy.
-      val affected: Set[String] =
-        firedRows.flatMap(_.getSeq[String](3)).toSet
+      val affected: Set[String] = firedStats.flatMap(_._4).toSet
       val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
       // affected segments re-read once, flagged with each row's winning
       // clause — survivors AND the change-feed rows derive from it.
@@ -2958,4 +3081,19 @@ object Engine {
   def apply(spark: SparkSession, baseDir: String): Engine =
     new Engine(spark, Some(baseDir))
   def apply(spark: SparkSession): Engine = new Engine(spark, None)
+
+  /** MERGE small-source gate: a plain-parquet USING source at or under
+    * these footprints (known from footers alone) is collected into a
+    * LocalRelation so the match join and insert anti-join broadcast
+    * it. 64k rows / 64 MB bounds the driver copy well under broadcast-
+    * join norms; past either bound the source checkpoints distributed
+    * as before. */
+  private[graft] val MergeSmallSourceRows = 65536L
+  private[graft] val MergeSmallSourceBytes = 64L * 1024 * 1024
+
+  /** MERGE small-match gate: a match set at or under this many rows
+    * (the observed checkpoint count — exact, no extra job) is
+    * collected so the cardinality/action rollup runs driver-side and
+    * downstream joins against it broadcast. */
+  private[graft] val MergeSmallMatchRows = 65536L
 }

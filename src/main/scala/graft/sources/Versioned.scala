@@ -192,6 +192,39 @@ object Versioned {
     }
   }
 
+  /** Constraint names whose DROP was durably audited (the NEWEST
+    * add/drop commit for the name is a `drop-constraint`) but whose
+    * removal from the constraint file never landed — the crash window
+    * [[dropConstraint]]'s commit-first ordering deliberately leaves
+    * FAIL-SAFE (the constraint over-enforces until the drop is
+    * re-run). This is the reconciliation surface that keeps DESCRIBE
+    * HISTORY and enforcement from disagreeing SILENTLY: SHOW
+    * CONSTRAINTS marks these `pending-drop`, and re-running
+    * `dropConstraint(name)` converges. History is consumed in bounded
+    * 256-version bulk chunks (the vacuum/lastTxn pattern). */
+  def pendingConstraintDrops(spark: SparkSession,
+                             path: String): Set[String] = {
+    val enforced = constraints(spark, path).keySet
+    if (enforced.isEmpty) return Set.empty
+    val AddRe = """add-constraint\((.+)\)""".r
+    val DropRe = """drop-constraint\((.+)\)""".r
+    val lastDropped = scala.collection.mutable.Map.empty[String, Boolean]
+    versions(spark, path).grouped(256).foreach { chunk =>
+      val bulk = readManifestsBulk(spark, path, chunk)
+      chunk.foreach { v =>
+        bulk(v)._2
+          .collectFirst { case l if l.startsWith("#op ") =>
+            l.stripPrefix("#op ") }
+          .foreach {
+            case AddRe(n) => lastDropped(n) = false
+            case DropRe(n) => lastDropped(n) = true
+            case _ => ()
+          }
+      }
+    }
+    enforced.filter(n => lastDropped.get(n).contains(true))
+  }
+
   /** Install `cs` as a NEW versioned constraints file and return its
     * path. The old file stays until [[retireOldConstraints]] — there is
     * never a window where a concurrent [[writeSegment]] resolves an
@@ -1531,22 +1564,43 @@ object Versioned {
     val fs = fsOf(spark, path)
     val all = versions(spark, path)
     if (all.isEmpty) return VacuumStats(0, 0, 0, 0, 0L)
-    val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
-    // the WHOLE history's manifests in one bulk read (distributed past
-    // the cutoff): every reference sweep below consumes it — a vacuum
-    // over a 10k-version history previously paid ~4 serial driver
-    // reads per version (txn scan, cdc refs, dv refs, segment refs)
-    val bulk = readManifestsBulk(spark, path, all)
-    // dropped versions' exactly-once watermarks ROLL UP into one file
-    // BEFORE their manifests die — a replayed batch older than the
-    // retention window must still suppress
-    val droppedTxns = drop.flatMap { v =>
-      bulk(v)._2.collect {
-        case l if l.startsWith("#txn ") =>
-          val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
-          a -> b.toLong
+    val (drop, _) = all.splitAt(math.max(0, all.length - keepVersions))
+    // the history's manifests consumed in BOUNDED bulk chunks (the
+    // lastTxn 256-version grouping), reduced on arrival to exactly the
+    // four reference sets the sweeps below need — retained driver heap
+    // is O(references), never the sum of all manifest texts (a
+    // 10k-version × 100k-segment history's raw per-version Seqs would
+    // otherwise sit pinned for the whole operation), and the serial
+    // cost stays O(1) driver round trips per 256 versions
+    val dropSet = drop.toSet
+    val droppedTxnsB = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val referencedCdcB = Set.newBuilder[String]
+    val referencedDvsB = Set.newBuilder[String]
+    val referencedB = Set.newBuilder[String]
+    all.grouped(256).foreach { chunk =>
+      val bulk = readManifestsBulk(spark, path, chunk)
+      chunk.foreach { v =>
+        val (segs, meta) = bulk(v)
+        if (dropSet(v)) {
+          // dropped versions' exactly-once watermarks ROLL UP into one
+          // file BEFORE their manifests die — a replayed batch older
+          // than the retention window must still suppress
+          droppedTxnsB ++= meta.collect {
+            case l if l.startsWith("#txn ") =>
+              val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
+              a -> b.toLong
+          }
+        } else {
+          referencedCdcB ++= meta.collect {
+            case l if l.startsWith("#cdc ") && l != "#cdc neutral" =>
+              l.stripPrefix("#cdc ").split(" ")(0)
+          }
+          referencedDvsB ++= dvLinesToMap(meta).values
+          referencedB ++= segs
+        }
       }
     }
+    val droppedTxns = droppedTxnsB.toSeq
     if (droppedTxns.nonEmpty && !dryRun) {
       val merged = (readTxnRollup(spark, path).toSeq ++ droppedTxns)
         .groupMapReduce(_._1)(_._2)(math.max)
@@ -1571,12 +1625,7 @@ object Versioned {
     val cdcDir = new Path(s"$path/_cdc")
     var cdcDeleted = 0
     if (fs.exists(cdcDir)) {
-      val referencedCdc = keep.flatMap { v =>
-        bulk(v)._2.collect {
-          case l if l.startsWith("#cdc ") && l != "#cdc neutral" =>
-            l.stripPrefix("#cdc ").split(" ")(0)
-        }
-      }.toSet
+      val referencedCdc = referencedCdcB.result()
       fs.listStatus(cdcDir).map(_.getPath).foreach { p =>
         if (!referencedCdc.contains(p.getName)) {
           cdcDeleted += 1
@@ -1587,7 +1636,7 @@ object Versioned {
     // deletion vectors referenced by NO retained version retire with
     // their manifests (a vector superseded by a union, or belonging to
     // a dropped version)
-    val referencedDvs = keep.flatMap(v => dvLinesToMap(bulk(v)._2).values).toSet
+    val referencedDvs = referencedDvsB.result()
     val dvDir = new Path(s"$path/dv")
     var dvDeleted = 0
     if (fs.exists(dvDir))
@@ -1598,7 +1647,7 @@ object Versioned {
           dvDeleted += 1
           if (!dryRun) fs.delete(p, false): Unit
         }
-    val referenced = keep.flatMap(v => bulk(v)._1).toSet
+    val referenced = referencedB.result()
     // staging orphans from crashed multi-segment OPTIMIZE runs (the
     // single-writer maintenance contract covers a concurrent OPTIMIZE)
     if (!dryRun)

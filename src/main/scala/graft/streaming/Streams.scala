@@ -769,36 +769,47 @@ object Streams {
     // crash orphan is swept by the target's vacuum
     val tmp = s"$targetPath/_cdc/.staging-apply-" +
       java.util.UUID.randomUUID().toString.take(8) + "/net.parquet"
-    net.write.parquet(tmp)
+    // SOURCE-KEY BOUNDS PRUNING (the Delta MERGE file-skipping move):
+    // a replication delta is usually LOCAL in key space, but the
+    // match join would still scan the whole target — so derive each
+    // key's [min, max] from the (delta-sized) net frame and add
+    // them to the ON condition as target-side conjuncts. Catalyst
+    // pushes single-side join predicates into the scan, where the
+    // manifest's data-skipping stats drop every non-overlapping
+    // segment: the apply's read cost becomes O(key-local segments),
+    // not O(table). Numeric and string keys only; others just skip
+    // the bound (correctness never depends on it). Bounds + COUNT are
+    // observe()d DURING the staging write — one job, not a write plus
+    // a second aggregation pass — and a feed with no ACTIONABLE rows
+    // (empty, or audit preimages only) applies nothing: skip the
+    // MERGE rather than committing a no-op version.
+    val boundable = {
+      import org.apache.spark.sql.types._
+      net.schema.fields
+        .filter(f => keys.contains(f.name))
+        // integral + string keys only: their literals render into
+        // the dialect exactly (float E-notation would not)
+        .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
+          LongType, StringType)(f.dataType))
+    }
+    val aggs = F.count(F.lit(1)).as("__n") +:
+      boundable.zipWithIndex.flatMap { case (f, i) =>
+        Seq(F.min(F.col(f.name)).as(s"__lo_$i"),
+          F.max(F.col(f.name)).as(s"__hi_$i")) }.toSeq
+    val obs = new org.apache.spark.sql.Observation()
+    net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val staged = spark.read.schema(net.schema).parquet(tmp)
-      // SOURCE-KEY BOUNDS PRUNING (the Delta MERGE file-skipping move):
-      // a replication delta is usually LOCAL in key space, but the
-      // match join would still scan the whole target — so derive each
-      // key's [min, max] from the (delta-sized) staged frame and add
-      // them to the ON condition as target-side conjuncts. Catalyst
-      // pushes single-side join predicates into the scan, where the
-      // manifest's data-skipping stats drop every non-overlapping
-      // segment: the apply's read cost becomes O(key-local segments),
-      // not O(table). Numeric and string keys only; others just skip
-      // the bound (correctness never depends on it). The staged COUNT
-      // rides the same aggregation job: a feed with no ACTIONABLE rows
-      // (empty, or audit preimages only) applies nothing — skip the
-      // MERGE rather than committing a no-op version.
-      val boundable = {
-        import org.apache.spark.sql.types._
-        staged.schema.fields
-          .filter(f => keys.contains(f.name))
-          // integral + string keys only: their literals render into
-          // the dialect exactly (float E-notation would not)
-          .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
-            LongType, StringType)(f.dataType))
-      }
-      val aggs = F.count(F.lit(1)) +: boundable.flatMap(f =>
-        Seq(F.min(F.col(f.name)), F.max(F.col(f.name)))).toSeq
-      val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
+      val row =
+        try scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration("30s"))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          // listener never fired (defensive): one aggregation pass
+          // over the (delta-sized) staged file recovers the values
+          spark.read.schema(net.schema).parquet(tmp)
+            .agg(aggs.head, aggs.tail: _*).collect().head
+        }
       if (row.getLong(0) == 0L) return
       val boundConds = {
           def lit(v: Any): String = v match {

@@ -49,8 +49,12 @@ import graft.sources.Versioned
   * BYTES its versions ADDED (Delta's knob of the same name — the
   * production bound when version sizes vary wildly: a backfill commit
   * can be 1000× an incremental one). Soft cap: at least one version
-  * per batch, then stop before the version that would exceed it; the
-  * two options compose, tighter bound wins. Both are implemented as
+  * per batch, then stop BEFORE the version that would exceed it —
+  * deliberately STRICTER than Delta, which admits the entry that
+  * crosses the cap (its batches may overshoot): here a batch never
+  * exceeds the cap except in the single case of one oversized
+  * version, which must still flow or the stream would stall. The two
+  * options compose, tighter bound wins. Both are implemented as
   * real ADMISSION CONTROL (`SupportsAdmissionControl` /
   * `SupportsTriggerAvailableNow`, the FileStreamSource hybrid): the
   * engine hands the checkpointed start to `latestOffset` every batch,
@@ -131,13 +135,17 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
-    // maxBytesPerTrigger (Delta's knob of the same name): cap a
-    // micro-batch by the BYTES of the segments the covered versions
-    // ADDED — the production bound when version sizes vary wildly (a
-    // backfill commit can be 1000× an incremental one, so a version
-    // count alone cannot size batches). Soft cap: a batch always
-    // covers at least one version, then stops before the version that
-    // would push it past the cap. Composes with maxVersionsPerTrigger
+    // maxBytesPerTrigger (Delta's knob of the same name, with ONE
+    // documented divergence): cap a micro-batch by the BYTES of the
+    // segments the covered versions ADDED — the production bound when
+    // version sizes vary wildly (a backfill commit can be 1000× an
+    // incremental one, so a version count alone cannot size batches).
+    // Soft cap: a batch always covers at least one version, then
+    // stops BEFORE the version that would push it past the cap —
+    // stricter than Delta, whose identically-named option admits the
+    // crossing entry and may overshoot; here batches never exceed the
+    // cap except the single-oversized-version case (which must still
+    // flow or the stream stalls). Composes with maxVersionsPerTrigger
     // (the tighter bound wins).
     val maxB = parameters.get("maxBytesPerTrigger").map { s =>
       val n = s.toLong

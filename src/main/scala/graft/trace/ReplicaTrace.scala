@@ -1,0 +1,100 @@
+package graft.trace
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Replication-apply profiler: stages a small N-segment replica pair,
+  * runs one 16-key source UPDATE, then times `changeFeed` +
+  * `Streams.applyChanges` end-to-end with a JOB COUNTER — the
+  * iteration loop for shaving the MERGE statement's fixed driver
+  * constant (round-13 verdict ask #3). The constant is flat in table
+  * size, so profiling at sf0.01 sees the same job floor the 72M-row
+  * bench probe pays. Combine with `GRAFT_MERGE_TRACE=1` for the
+  * per-step wall breakdown.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_REPS (3).
+  */
+object ReplicaTrace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "7")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    @volatile var jobs = 0
+    val jobNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val stages = j.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '\n').take(60)}(t=${si.numTasks})")
+        jobNames += stages.mkString(" | ").take(160)
+      }
+    })
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect().head
+    val (mnK, mxK) = (b.getLong(0), b.getLong(1))
+    val nSeg = 16
+    val width = (mxK - mnK) / nSeg + 1
+    val base = java.nio.file.Files.createTempDirectory("graft_replica_trace")
+    val bucketed = s"$base/buckets"
+    li.withColumn("__b", ((F.col("l_orderkey") - mnK) / width).cast("int"))
+      .write.partitionBy("__b").mode("overwrite").parquet(bucketed)
+    val Seq(srcPath, repPath) = Seq("src", "rep").map { tag =>
+      val p = s"$base/$tag/ds"
+      (0 until nSeg).foreach { i =>
+        graft.sources.Versioned.commit(
+          spark.read.parquet(s"$bucketed/__b=$i"), p): Unit
+      }
+      p
+    }
+    val seg0Keys = li.filter(F.col("l_orderkey") < mnK + width)
+      .select("l_orderkey").distinct().orderBy("l_orderkey")
+      .limit(400).collect().map(_.getLong(0))
+    val eng = graft.Engine(spark)
+    val ranges = (1 to reps + 1).map { r =>
+      val ids = (0 until 16)
+        .map(j => seg0Keys((r * 16 + j) % seg0Keys.length)).distinct
+      val hv0 = graft.sources.Versioned.versions(spark, srcPath).last
+      eng.sql(s"UPDATE '$srcPath' SET l_tax = l_tax + 0.001 WHERE " +
+        s"l_orderkey IN (${ids.mkString(", ")})"): Unit
+      (hv0, graft.sources.Versioned.versions(spark, srcPath).last)
+    }
+
+    def once(i: Int): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      jobs = 0; jobNames.clear()
+      val (from, to) = ranges(i)
+      val t0 = System.nanoTime()
+      val feed = graft.sources.Versioned.changeFeed(
+        spark, srcPath, from, Some(to))
+      graft.streaming.Streams.applyChanges(spark, repPath, feed,
+        Seq("l_orderkey", "l_linenumber"))
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let async job-start events drain
+      println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d")
+      jobNames.zipWithIndex.foreach { case (n, k) =>
+        println(f"  job$k%02d  $n%s")
+      }
+    }
+    once(0) // warmup (JIT)
+    (1 to reps).foreach(once)
+
+    val tCopy0 = System.nanoTime()
+    graft.sources.Versioned.commit(
+      graft.sources.Versioned.read(spark, srcPath), s"$base/copy/ds"): Unit
+    println(f"REPLICA_TRACE recopy=${(System.nanoTime() - tCopy0) / 1e9}%.3f s")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    spark.stop()
+  }
+}

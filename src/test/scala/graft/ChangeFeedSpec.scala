@@ -344,6 +344,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(eng.sql(s"SHOW CONSTRAINTS '$path'").df.count() == 0L)
   }
 
+  test("a crashed constraint drop surfaces as pending-drop, never " +
+    "silently (audit commit landed, file removal did not)") {
+    import spark.implicits._
+    val path = ds("pend")
+    val eng = Engine(spark, Files.createTempDirectory("graft-cdf-p").toString)
+    eng.sql(s"ALTER '$path' ADD CONSTRAINT score_nonneg " +
+      "CHECK (score >= 0)")
+    assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
+    // simulate dropConstraint's crash window: the audit commit lands
+    // (commit-first, fail-safe direction), the constraint-file update
+    // never does — replicate the first half of dropConstraint verbatim
+    val hv = Versioned.versions(spark, path).last
+    Versioned.commitSegments(spark, path,
+      Versioned.headSegments(spark, path, Some(hv)),
+      Versioned.readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = "drop-constraint(score_nonneg)"): Unit
+    // the constraint still ENFORCES (over-enforcement is the
+    // documented fail-safe) ...
+    val e = intercept[Exception](Versioned.commit(
+      Seq((900L, "neg", -5L)).toDF("id", "payload", "score"), path))
+    assert(e.getMessage.contains("score_nonneg"))
+    // ... but the disagreement with history is LOUD, not silent
+    assert(Versioned.pendingConstraintDrops(spark, path) ==
+      Set("score_nonneg"))
+    val shown = eng.sql(s"SHOW CONSTRAINTS '$path'").df.collect()
+    assert(shown.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("score_nonneg", "pending-drop")))
+    // re-running the drop converges: enforcement lifts, marker clears
+    eng.sql(s"ALTER '$path' DROP CONSTRAINT score_nonneg")
+    assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
+    assert(eng.sql(s"SHOW CONSTRAINTS '$path'").df.count() == 0L)
+    // a re-ADDED constraint is enforced, not pending (newest op wins)
+    eng.sql(s"ALTER '$path' ADD CONSTRAINT score_nonneg " +
+      "CHECK (score >= 0)")
+    assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
+  }
+
   test("VACUUM DRY RUN forecasts without deleting") {
     val path = ds("dry")
     val eng = Engine(spark, Files.createTempDirectory("graft-cdf-d").toString)
