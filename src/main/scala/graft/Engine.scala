@@ -1508,12 +1508,36 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             }.toSeq: _*)
         }
       mtrace("clauses compiled")
+      // survivor count is KNOWN from metadata alone: live rows of the
+      // affected segments (footer totals − dv header counts, KB-sized
+      // reads) minus the rows a DELETE clause won — when positive the
+      // fresh union below is provably non-empty and the write skips
+      // writeSegmentIfNonEmpty's take(1) probe, which would otherwise
+      // pay the FIRST full materialization of the persisted
+      // affected-segment join just to learn what the footers already
+      // say. Also reused for the nInserted status row below.
+      val liveAffected: Long =
+        if (affected.isEmpty) 0L
+        else {
+          val totals = graft.sources.Versioned
+            .footerRowCountBySeg(spark, resolved, affected.toSeq)
+            .valuesIterator.sum
+          val dvDel = graft.sources.Versioned.dvCounts(spark, resolved,
+            dvMap.collect { case (s, d) if affected(s) => d }.toSeq)
+            .valuesIterator.sum
+          totals - dvDel
+        }
+      val survivorsNonEmpty = liveAffected - nDeleted > 0
       // new version = untouched segments carried by reference + one
       // fresh segment holding rewritten survivors and inserted rows
       val fresh = try {
         (survivors.toSeq ++ inserts.toSeq)
         .reduceOption(_ unionAll _)
-        .flatMap(graft.sources.Versioned.writeSegmentIfNonEmpty(_, resolved))
+        .flatMap { df =>
+          if (survivorsNonEmpty)
+            Some(graft.sources.Versioned.writeSegment(df, resolved))
+          else graft.sources.Versioned.writeSegmentIfNonEmpty(df, resolved)
+        }
       } catch { case e: Throwable =>
         flaggedAll.foreach(_.unpersist(false)); throw e
       }
@@ -1538,17 +1562,6 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           else {
             val freshRows = fresh.fold(0L)(s =>
               graft.sources.Versioned.segmentRowCount(spark, resolved, s))
-            val liveAffected =
-              if (affected.isEmpty) 0L
-              else {
-                val totals = graft.sources.Versioned
-                  .footerRowCountBySeg(spark, resolved, affected.toSeq)
-                  .valuesIterator.sum
-                val dvDel = graft.sources.Versioned.dvCounts(spark, resolved,
-                  dvMap.collect { case (s, d) if affected(s) => d }.toSeq)
-                  .valuesIterator.sum
-                totals - dvDel
-              }
             freshRows - (liveAffected - nDeleted)
           }
         mtrace("inserts count (metadata)")
