@@ -131,12 +131,15 @@ object Bench {
     else math.min(floorSweepIo,
       BenchPolicy.floor(requeueIoObs.toSeq, floorHintIo))
 
-  /** Poll BOTH canaries until the box is quiet (compute within
-    * QualRatio, I/O within IoQualRatio of their floors) or the patience
-    * budget runs out — the "idle window" the requeue waits for. Every
-    * poll refines the current phase's floors. Returns whether calm was
-    * reached (false ⇒ the box never went quiet; the caller should stop
-    * requeueing rather than burn the budget polling). */
+  /** Poll BOTH canaries until the box is quiet enough that a rep taken
+    * now COULD still qualify — compute within EntryFloorCapRatio ×
+    * QualRatio of the global floor (a rep's own bar is entry-local;
+    * this poll only screens out windows where even the cap would
+    * disqualify it), I/O within IoQualRatio of the I/O floor — or the
+    * patience budget runs out. Every poll refines the current phase's
+    * floors. Returns whether calm was reached (false ⇒ the box never
+    * went quiet; the caller should stop requeueing rather than burn
+    * the budget polling). */
   private def waitForCalm(spark: SparkSession): Boolean = {
     var tries = 0
     while (tries < 10) {
@@ -146,7 +149,7 @@ object Bench {
       val (fc, fio) =
         if (requeuePhase) (floorRequeueC, floorRequeueIo)
         else (floorSweepC, floorSweepIo)
-      if (c <= BenchPolicy.QualRatio * fc &&
+      if (c <= BenchPolicy.EntryFloorCapRatio * BenchPolicy.QualRatio * fc &&
           io <= BenchPolicy.IoQualRatio * fio) return true
       Thread.sleep(2000)
       tries += 1
@@ -167,9 +170,14 @@ object Bench {
     if (ts.isEmpty || cs.length != ts.length) Seq.empty
     else {
       val pre = preRequeueReps.getOrElse(name, ts.length)
+      // the entry's own canary floor — the JIT-drift-local baseline a
+      // rep's canary is compared against (see BenchPolicy
+      // .EntryFloorCapRatio); the global phase floor caps it
+      val entryFloor = cs.min
       ts.indices.collect {
         case i if BenchPolicy.repQualifies(
-          cs(i), if (i < pre) floorSweepC else floorRequeueC,
+          cs(i), entryFloor,
+          if (i < pre) floorSweepC else floorRequeueC,
           ios.lift(i),
           Some(if (i < pre) floorSweepIo else floorRequeueIo)) => ts(i)
       }
@@ -1599,22 +1607,31 @@ object Bench {
       .mkString("{", ",", "}")
     // per-rep canary attribution (round-10 verdict ask #1): every timed
     // rep ran a fixed-cost 32-task compute canary AND a fixed ~100 MB
-    // I/O canary back-to-back; ratios are against each canary's
-    // qualification floor for the PHASE the rep ran in, i.e. exactly
-    // the bars the qualified_reps counts used — >QualRatio (compute)
-    // or >IoQualRatio (I/O) in a rep means that rep was disqualified
-    // and why
+    // I/O canary back-to-back; each ratio is the EXACT quantity its
+    // qualification bar compares — compute against the entry's own
+    // canary floor (>QualRatio = that rep disqualified; the entry-vs-
+    // global cap is a separate, per-entry condition), I/O against the
+    // global phase floor (>IoQualRatio = disqualified)
     val canaryFloor = floorUsed
-    def perRepRatios(series: scala.collection.Map[String, Seq[Double]],
-                     fSweep: Double, fReq: Double) = series
+    val repCanaryJson = repCanaries
+      .map { case (k, cs) =>
+        val ef = cs.min
+        s""""$k":[${cs.map(c => f"${c / ef}%.2f").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+    val repIoCanaryJson = repIoCanaries
       .map { case (k, cs) =>
         val pre = preRequeueReps.getOrElse(k, cs.length)
         val rs = cs.zipWithIndex.map { case (c, i) =>
-          f"${c / (if (i < pre) fSweep else fReq)}%.2f" }
+          f"${c / (if (i < pre) fSweepIo else fReqIo)}%.2f" }
         s""""$k":[${rs.mkString(",")}]"""
       }.mkString("{", ",", "}")
-    val repCanaryJson = perRepRatios(repCanaries, fSweepC, fReqC)
-    val repIoCanaryJson = perRepRatios(repIoCanaries, fSweepIo, fReqIo)
+    // the entry-vs-global cap condition, per entry: entry canary floor
+    // / global phase floor — >EntryFloorCapRatio means the whole entry
+    // ran in a loaded patch and published 0 qualified reps
+    val entryFloorRatioJson = repCanaries
+      .map { case (k, cs) =>
+        s""""$k":${f"${cs.min / floorUsed}%.2f"}"""
+      }.mkString("{", ",", "}")
     // machine-readable prune accounting (round-10 verdict ask #5)
     val pruneJson = ((pruneStats ++ footerPrune)
       .map { case (k, (tot, hit)) =>
@@ -1669,7 +1686,7 @@ object Bench {
     // budget then went unspent and unqualified medians are flagged by
     // qualified_reps 0 per query).
     val qualJson =
-      s"""{"ratio":${BenchPolicy.QualRatio},"io_ratio":${BenchPolicy.IoQualRatio},"min_qualified_reps":${BenchPolicy.MinQualifiedReps},"floor_sec":${f"$floorUsed%.4f"},"floor_sweep_sec":${f"$fSweepC%.4f"},"floor_requeue_sec":${f"$fReqC%.4f"},"io_floor_sec":${f"$ioFloorUsed%.4f"},"io_floor_sweep_sec":${f"$fSweepIo%.4f"},"io_floor_requeue_sec":${f"$fReqIo%.4f"},"floor_hint_sec":${floorHintC.fold("null")(h => f"$h%.4f")},"io_floor_hint_sec":${floorHintIo.fold("null")(h => f"$h%.4f")},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal,"requeue_wall_sec":${f"$requeueWallSec%.1f"}}"""
+      s"""{"ratio":${BenchPolicy.QualRatio},"io_ratio":${BenchPolicy.IoQualRatio},"entry_floor_cap":${BenchPolicy.EntryFloorCapRatio},"min_qualified_reps":${BenchPolicy.MinQualifiedReps},"floor_sec":${f"$floorUsed%.4f"},"floor_sweep_sec":${f"$fSweepC%.4f"},"floor_requeue_sec":${f"$fReqC%.4f"},"io_floor_sec":${f"$ioFloorUsed%.4f"},"io_floor_sweep_sec":${f"$fSweepIo%.4f"},"io_floor_requeue_sec":${f"$fReqIo%.4f"},"floor_hint_sec":${floorHintC.fold("null")(h => f"$h%.4f")},"io_floor_hint_sec":${floorHintIo.fold("null")(h => f"$h%.4f")},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal,"requeue_wall_sec":${f"$requeueWallSec%.1f"}}"""
     val envJson =
       s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench._1}"}"""
     // per-probe explanations as a STRUCTURED map (round-12 verdict ask
@@ -1681,14 +1698,27 @@ object Bench {
     val probeNotes: Seq[(String, String)] = Seq(
       "qualification" -> ("a rep counts toward the published median " +
         "only when BOTH its back-to-back canaries ran within their " +
-        "bars: the 32-task compute canary within ratio x floor AND " +
-        "the ~100MB I/O canary within io_ratio x io_floor (the " +
-        "compute canary is blind to page-cache eviction and disk " +
-        "contention - round 13 qualified cold-cache reps through it); " +
-        "floors are the 5th-smallest observation of the PHASE the rep " +
-        "ran in (sweep vs requeue window) merged with the prior " +
-        "artifact's floor, requeue floors min'd against sweep floors " +
-        "so a dirty window can only tighten the bar. The published " +
+        "bars: the 32-task compute canary within ratio x its ENTRY's " +
+        "own canary floor - the canary wall is task-scheduling cost " +
+        "that JIT-warms across the sweep (CanarySettle measured 0.13s " +
+        "run 1, 0.05s by run 60, 0.03s fully warm), so a global-" +
+        "minimum floor is an end-of-sweep state early reps cannot " +
+        "reach and judging against it zeroed 75/102 entries on an " +
+        "idle box - with the entry floor itself capped at " +
+        "entry_floor_cap x the global phase floor (entry_floor_ratio " +
+        "per entry; past the cap the whole entry ran in a loaded " +
+        "patch and publishes 0 qualified reps) AND " +
+        "the ~100MB I/O canary within io_ratio x the GLOBAL io_floor " +
+        "(the compute canary is blind to page-cache eviction and disk " +
+        "contention - round 13 qualified cold-cache reps through it; " +
+        "the I/O bar stays global because an entry-local I/O floor " +
+        "would mask entry-long eviction, the exact condition it " +
+        "exists to catch); " +
+        "global floors are the 5th-smallest observation of the PHASE " +
+        "the rep ran in (sweep vs requeue window) merged with the " +
+        "prior artifact's floor, requeue floors min'd against sweep " +
+        "floors so a dirty window can only tighten the bar. The " +
+        "published " +
         "median switches to qualified-reps-only at >= " +
         "min_qualified_reps (never on 1-2 lucky reps - the round-13 " +
         "phantom-regression bug), with even-length medians averaging " +
@@ -1828,7 +1858,7 @@ object Bench {
     val headlineJson =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","qualified_reps_flagship":${qualifiedOf("q06_q1_flagship").length},"q06_x10_6Mrows":${f"$x10Median%.4f"},"qualified_reps_x10":${qualifiedOf("q06_x10_6Mrows").length},"x10_vs_baseline_sf1":${f"${x10Median / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"x10_best_vs_baseline_sf1":${f"${x10Best / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"canary_floor_sec":${f"$floorUsed%.4f"},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal}"""
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"qualified_reps":$qualifiedJson,"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"qualified_reps":$qualifiedJson,"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

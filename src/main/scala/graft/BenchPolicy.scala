@@ -34,6 +34,23 @@ object BenchPolicy {
     * contention) shows up as a MULTIPLE, not a percentage. */
   val IoQualRatio = 2.0
 
+  /** How far an entry's own canary floor may sit above the global
+    * floor before the whole entry counts as a LOADED PATCH and nothing
+    * in it qualifies. The compute canary's wall is dominated by task
+    * scheduling, which JIT-warms across the sweep (measured by
+    * `graft.trace.CanarySettle`: ~0.13 s on run 1, ~0.05 s by run 60,
+    * ~0.03 s fully warm after hundreds) — so a global-minimum floor is
+    * an END-OF-SWEEP state that early reps cannot reach, and judging
+    * them against it disqualified honest idle-box reps wholesale
+    * (round 14's first sweep: 75 of 102 entries at 0 qualified reps on
+    * an otherwise idle machine). Each rep is therefore judged against
+    * its ENTRY's own canary minimum — JIT state is entry-local; a load
+    * excursion mid-entry still spikes that rep's canary above its
+    * neighbors' — while this cap keeps an entry that ran entirely
+    * inside a loaded window (round 13's 4.7–5.9× apply patches) from
+    * self-normalizing its bar. */
+  val EntryFloorCapRatio = 2.0
+
   /** Minimum qualified reps before the published median abandons the
     * all-reps median. With fewer, the all-reps median is the more
     * honest estimate (the round-13 lesson). */
@@ -73,15 +90,26 @@ object BenchPolicy {
     hint.filter(h => h < obs && h >= obs / 20).getOrElse(obs)
   }
 
-  /** One rep's qualification verdict: the compute canary within
-    * [[QualRatio]] of its floor AND — when an I/O canary series exists
-    * for the rep — the I/O canary within [[IoQualRatio]] of its own
-    * floor. Entries without an I/O series qualify on compute alone
-    * (the pre-round-14 behavior). */
-  def repQualifies(canary: Double, computeFloor: Double,
+  /** One rep's qualification verdict:
+    *  - the compute canary within [[QualRatio]] of the ENTRY's own
+    *    canary floor (JIT warmth is entry-local — see
+    *    [[EntryFloorCapRatio]]) …
+    *  - … with that entry floor itself within [[EntryFloorCapRatio]]
+    *    of the global phase floor (else the whole entry ran in a
+    *    loaded patch and nothing in it qualifies) …
+    *  - … AND, when an I/O canary series exists for the rep, the I/O
+    *    canary within [[IoQualRatio]] of the GLOBAL I/O floor. The I/O
+    *    bar stays global on purpose: the warm ~100 MB read has no JIT
+    *    drift to normalize away, and an entry-local I/O floor would
+    *    mask exactly the entry-long cache-eviction condition the
+    *    canary exists to catch.
+    * Entries without an I/O series qualify on compute alone. */
+  def repQualifies(canary: Double, entryFloor: Double,
+                   globalFloor: Double,
                    ioCanary: Option[Double],
                    ioFloor: Option[Double]): Boolean =
-    canary <= QualRatio * computeFloor &&
+    canary <= QualRatio * entryFloor &&
+      entryFloor <= EntryFloorCapRatio * globalFloor &&
       ((ioCanary, ioFloor) match {
         case (Some(c), Some(f)) => c <= IoQualRatio * f
         case _ => true

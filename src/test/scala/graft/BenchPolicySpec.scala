@@ -46,19 +46,33 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.floor(Seq.empty, None) === Double.MaxValue)
   }
 
-  test("repQualifies: compute canary within QualRatio of the floor") {
-    assert(BenchPolicy.repQualifies(0.12, 0.10, None, None))
-    assert(!BenchPolicy.repQualifies(0.14, 0.10, None, None))
+  test("repQualifies: compute canary within QualRatio of the ENTRY's " +
+    "own floor (JIT warmth is entry-local)") {
+    assert(BenchPolicy.repQualifies(0.12, 0.10, 0.10, None, None))
+    assert(!BenchPolicy.repQualifies(0.14, 0.10, 0.10, None, None))
+    // early-sweep entry: canaries ~1.6x the global (end-of-sweep)
+    // floor from JIT drift alone — reps calm RELATIVE TO THEIR ENTRY
+    // qualify (the round-14 fix for 75/102 entries zeroed on an idle
+    // box by a global-minimum bar)
+    assert(BenchPolicy.repQualifies(0.055, 0.05, 0.031, None, None))
+  }
+
+  test("repQualifies: an entry whose own floor exceeds the cap over " +
+    "the global floor is a LOADED PATCH — nothing in it qualifies, " +
+    "however self-consistent its canaries look") {
+    // entry floor 3.2x global (round 13's 4.7-5.9x apply patches):
+    // a rep at 1.0x its entry floor must NOT self-normalize in
+    assert(!BenchPolicy.repQualifies(0.10, 0.10, 0.031, None, None))
   }
 
   test("repQualifies: the I/O canary disqualifies a rep the compute " +
     "canary reads as calm (the round-13 cold-cache hole)") {
     // compute calm, disk busy: 3x the I/O floor
-    assert(!BenchPolicy.repQualifies(0.10, 0.10, Some(0.30), Some(0.10)))
+    assert(!BenchPolicy.repQualifies(0.10, 0.10, 0.10, Some(0.30), Some(0.10)))
     // both calm
-    assert(BenchPolicy.repQualifies(0.10, 0.10, Some(0.15), Some(0.10)))
+    assert(BenchPolicy.repQualifies(0.10, 0.10, 0.10, Some(0.15), Some(0.10)))
     // no I/O series for the rep: compute alone decides
-    assert(BenchPolicy.repQualifies(0.10, 0.10, None, Some(0.10)))
+    assert(BenchPolicy.repQualifies(0.10, 0.10, 0.10, None, Some(0.10)))
   }
 
   test("publishedMedian: fewer than MinQualifiedReps qualified reps " +
