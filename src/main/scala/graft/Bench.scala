@@ -1783,12 +1783,15 @@ object Bench {
         "(feed read + net-effect MERGE) vs re-copying the snapshot " +
         "(full read + full write); apply cost = a fixed driver-" +
         "planning constant (flat in table size at fixed segment " +
-        "size — GRAFT_MERGE_TRACE breaks it down; round 14 cut it " +
-        "from ~4s/34 jobs to ~1.5s/22 jobs: the match-pair rollup " +
-        "now rides the checkpoint via observe(), small sources and " +
-        "small match sets collect to LocalRelations so every " +
-        "downstream join broadcasts, and the staging bounds ride " +
-        "the staging write) + O(delta + " +
+        "size — GRAFT_MERGE_TRACE breaks it down; round 14 cut the " +
+        "16-row apply from ~4.5s/34 jobs to ~2.0-2.3s at the full " +
+        "72M/128-segment probe volume on an idle box, ReplicaTrace " +
+        "MULT=12 NSEG=128: the match-pair rollup rides the " +
+        "checkpoint via observe(), small sources and small match " +
+        "sets collect to LocalRelations so every downstream join " +
+        "broadcasts, survivor non-emptiness comes from footers " +
+        "instead of a take(1) materialization, and the staging " +
+        "bounds ride the staging write) + O(delta + " +
         "touched segment + one pruned scan), recopy O(2x table: " +
         "measured 2.4s at 18M, 4.3s at 36M, linear). Round 12 ran " +
         "the pair at 6M rows where the fixed constant swamped the " +

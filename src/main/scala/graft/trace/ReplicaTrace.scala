@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * bench probe pays. Combine with `GRAFT_MERGE_TRACE=1` for the
   * per-step wall breakdown.
   *
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_REPS (3).
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_REPS (3),
+  * SPARK_GRAFT_REPL_MULT (union-replicate lineitem N times, default 1),
+  * SPARK_GRAFT_REPL_NSEG (segment count, default 16) — MULT=12 NSEG=128
+  * over the staged x10 table reproduces the bench probe's exact volume.
   */
 object ReplicaTrace {
   def main(args: Array[String]): Unit = {
@@ -40,10 +43,13 @@ object ReplicaTrace {
       }
     })
 
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val b = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect().head
+    val mult = sys.env.getOrElse("SPARK_GRAFT_REPL_MULT", "1").toInt
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = if (mult == 1) li0
+             else (0 until mult).map(_ => li0).reduce(_.union(_))
+    val b = li0.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect().head
     val (mnK, mxK) = (b.getLong(0), b.getLong(1))
-    val nSeg = 16
+    val nSeg = sys.env.getOrElse("SPARK_GRAFT_REPL_NSEG", "16").toInt
     val width = (mxK - mnK) / nSeg + 1
     val base = java.nio.file.Files.createTempDirectory("graft_replica_trace")
     val bucketed = s"$base/buckets"
@@ -57,7 +63,7 @@ object ReplicaTrace {
       }
       p
     }
-    val seg0Keys = li.filter(F.col("l_orderkey") < mnK + width)
+    val seg0Keys = li0.filter(F.col("l_orderkey") < mnK + width)
       .select("l_orderkey").distinct().orderBy("l_orderkey")
       .limit(400).collect().map(_.getLong(0))
     val eng = graft.Engine(spark)
