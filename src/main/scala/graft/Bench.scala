@@ -170,13 +170,21 @@ object Bench {
     if (ts.isEmpty || cs.length != ts.length) Seq.empty
     else {
       val pre = preRequeueReps.getOrElse(name, ts.length)
-      // the entry's own canary floor — the JIT-drift-local baseline a
-      // rep's canary is compared against (see BenchPolicy
-      // .EntryFloorCapRatio); the global phase floor caps it
-      val entryFloor = cs.min
+      // the entry's own canary floor PER PHASE — the JIT-drift-local
+      // baseline a rep's canary is compared against (see BenchPolicy
+      // .EntryFloorCapRatio). Per phase, not over the whole series: a
+      // requeued rep's canary runs end-of-sweep JIT-warm, and letting
+      // it set the floor for the entry's EARLY reps would retroactively
+      // disqualify them — the exact end-of-sweep-floor-vs-early-reps
+      // failure the entry floor exists to fix, reintroduced per entry.
+      // A singleton phase series degenerates to ratio 1.0, where the
+      // cap and the I/O bar remain the effective gates.
+      val (preCs, postCs) = cs.splitAt(pre)
+      def entryFloor(i: Int): Double =
+        if (i < pre) preCs.min else postCs.min
       ts.indices.collect {
         case i if BenchPolicy.repQualifies(
-          cs(i), entryFloor,
+          cs(i), entryFloor(i),
           if (i < pre) floorSweepC else floorRequeueC,
           ios.lift(i),
           Some(if (i < pre) floorSweepIo else floorRequeueIo)) => ts(i)
@@ -227,7 +235,8 @@ object Bench {
     * `afterWarmup` is the headline loop's tracer hook (drain warmup
     * stages so per-stage attribution covers the timed runs only). */
   private def probe(spark: SparkSession, name: String, reps: Int = 5,
-                    afterWarmup: () => Unit = () => ())
+                    afterWarmup: () => Unit = () => (),
+                    rewarmOnRequeue: Boolean = true)
                    (q: => DataFrame): Double = {
     sweepPersisted(spark)
     System.gc()
@@ -260,10 +269,15 @@ object Bench {
     // round 13's ~1.53 s "calm" x10 reps vs its 0.36-0.75 s in-sweep
     // reps were exactly this cold-vs-warm split, not a regression. The
     // untimed re-run restores cache parity so requeued reps measure
-    // the same condition the in-sweep reps did.
+    // the same condition the in-sweep reps did. STATEFUL probes
+    // (bodies that commit versions, consume pre-staged ranges, or copy
+    // whole tables) pass rewarmOnRequeue = false: an untimed re-run
+    // would double their version history, burn pre-staged fixtures,
+    // and — for the write-heavy ones — kick off exactly the dirty-page
+    // writeback that disqualifies the timed rep that follows.
     requeueHooks += name -> (() => {
       sweepPersisted(spark); System.gc()
-      execTime(q): Unit // re-warm, untimed
+      if (rewarmOnRequeue) execTime(q): Unit // re-warm, untimed
       oneRep()
     })
     val runs = repTimes(name).sorted
@@ -1319,11 +1333,13 @@ object Bench {
         (0 until nSeg).map(i => mnK + i * width + rep)
       }
       def pred = F.col("l_orderkey").isInCollection(ids())
-      val cow = probe(spark, "q06_delete_cow_16segs", reps = 3) {
+      val cow = probe(spark, "q06_delete_cow_16segs", reps = 3,
+          rewarmOnRequeue = false) {
         graft.sources.Versioned.deleteWhere(spark, cowPath, pred)
         spark.range(0).toDF() // probe returns a frame; the work is the delete
       }
-      val dv = probe(spark, "q06_delete_dv_16segs", reps = 3) {
+      val dv = probe(spark, "q06_delete_dv_16segs", reps = 3,
+          rewarmOnRequeue = false) {
         graft.sources.Versioned.deleteWhereVectored(spark, dvPath, pred)
         spark.range(0).toDF()
       }
@@ -1396,7 +1412,8 @@ object Bench {
       catch { case _: Throwable => () }
       waitForCalm(spark): Unit
       var rep = 0
-      val apply = probe(spark, "q06_replica72M_apply_delta", reps = 3) {
+      val apply = probe(spark, "q06_replica72M_apply_delta", reps = 3,
+          rewarmOnRequeue = false) {
         // each execution applies a DISTINCT staged version range: the
         // feed's MERGE touches ONE replica segment, 127 carry
         val (from, to) = ranges(rep % nExec); rep += 1
@@ -1406,7 +1423,8 @@ object Bench {
           Seq("l_orderkey", "l_linenumber"))
         spark.range(0).toDF()
       }
-      val copy = probe(spark, "q06_replica72M_recopy", reps = 3) {
+      val copy = probe(spark, "q06_replica72M_recopy", reps = 3,
+          rewarmOnRequeue = false) {
         graft.sources.Versioned.commit(
           graft.sources.Versioned.read(spark, srcPath),
           newTempDir("graft_bench_repl_copy") + "/ds"): Unit
@@ -1613,10 +1631,15 @@ object Bench {
     // global cap is a separate, per-entry condition), I/O against the
     // global phase floor (>IoQualRatio = disqualified)
     val canaryFloor = floorUsed
+    // per-phase entry floors, mirroring qualifiedOf exactly
+    def entryFloors(k: String, cs: Seq[Double]): (Seq[Double], Seq[Double]) =
+      cs.splitAt(preRequeueReps.getOrElse(k, cs.length))
     val repCanaryJson = repCanaries
       .map { case (k, cs) =>
-        val ef = cs.min
-        s""""$k":[${cs.map(c => f"${c / ef}%.2f").mkString(",")}]"""
+        val (preCs, postCs) = entryFloors(k, cs)
+        val rs = cs.zipWithIndex.map { case (c, i) =>
+          f"${c / (if (i < preCs.length) preCs.min else postCs.min)}%.2f" }
+        s""""$k":[${rs.mkString(",")}]"""
       }.mkString("{", ",", "}")
     val repIoCanaryJson = repIoCanaries
       .map { case (k, cs) =>
@@ -1625,12 +1648,20 @@ object Bench {
           f"${c / (if (i < pre) fSweepIo else fReqIo)}%.2f" }
         s""""$k":[${rs.mkString(",")}]"""
       }.mkString("{", ",", "}")
-    // the entry-vs-global cap condition, per entry: entry canary floor
-    // / global phase floor — >EntryFloorCapRatio means the whole entry
-    // ran in a loaded patch and published 0 qualified reps
+    // the entry-vs-global cap condition, per entry: the WORST over the
+    // phases present of (phase entry floor / that phase's global
+    // floor) — the exact quantity repQualifies caps, so this field and
+    // qualified_reps can never contradict each other.
+    // >EntryFloorCapRatio means that phase of the entry ran in a
+    // loaded patch and published 0 qualified reps from it
     val entryFloorRatioJson = repCanaries
       .map { case (k, cs) =>
-        s""""$k":${f"${cs.min / floorUsed}%.2f"}"""
+        val (preCs, postCs) = entryFloors(k, cs)
+        val r = Seq(
+          if (preCs.nonEmpty) Some(preCs.min / fSweepC) else None,
+          if (postCs.nonEmpty) Some(postCs.min / fReqC) else None
+        ).flatten.max
+        s""""$k":${f"$r%.2f"}"""
       }.mkString("{", ",", "}")
     // machine-readable prune accounting (round-10 verdict ask #5)
     val pruneJson = ((pruneStats ++ footerPrune)
@@ -1668,13 +1699,25 @@ object Bench {
         case prev if prev > 0 && cur / prev > 1.2 && cur - prev > 0.05 =>
           val ratio = cur / prev
           val curMin = spreads.get(name).map(_._1).getOrElse(cur)
-          val worstCanary = repCanaries.get(name)
-            .map(cs => cs.max / canaryFloor).getOrElse(1.0)
+          // machine-load evidence mirrors the qualification bar:
+          // entry-local canary excursion (max/min) + the entry-floor
+          // loaded-patch cap — a global-floor ratio would read 2-4x
+          // from JIT drift alone on early entries
+          val (excursion, loadedPatch) = repCanaries.get(name)
+            .filter(_.nonEmpty).map { cs =>
+              val (preCs, postCs) =
+                cs.splitAt(preRequeueReps.getOrElse(name, cs.length))
+              val capped = Seq(
+                if (preCs.nonEmpty) Some(preCs.min / fSweepC) else None,
+                if (postCs.nonEmpty) Some(postCs.min / fReqC) else None
+              ).flatten.max > BenchPolicy.EntryFloorCapRatio
+              (cs.max / cs.min, capped)
+            }.getOrElse((1.0, false))
           // adjudication consumes the qualification (round-13 verdict
           // #2: an entry must not be called "noise" from all-reps data
           // while a qualified median simultaneously asserts otherwise)
-          val cause = BenchPolicy.adjudicate(prev, curMin, worstCanary,
-            qualifiedOf(name).length)
+          val cause = BenchPolicy.adjudicate(prev, curMin, excursion,
+            qualifiedOf(name).length, loadedPatch)
           s"""{"q":"$name","prev":${f"$prev%.4f"},"cur":${f"$cur%.4f"},"ratio":${f"$ratio%.2f"},"cause":"$cause"}"""
       }
     }.mkString("[", ",", "]")

@@ -128,14 +128,27 @@ object BenchPolicy {
     * ALL-REPS DATA and says so — round 13 labeled an entry "noise"
     * from its all-reps spread while simultaneously publishing a
     * qualified median that asserted the opposite; both claims cannot
-    * ride one artifact. */
+    * ride one artifact.
+    *
+    * Machine-load evidence is ENTRY-LOCAL, matching the qualification
+    * bar: `worstCanaryRatio` is the entry's max/min canary excursion
+    * (a global-floor ratio would read 2-4× on an idle box from JIT
+    * drift alone and auto-label every early-sweep plan regression
+    * "machine-load"), and `loadedPatch` is the entry-floor-over-cap
+    * condition (uniformly elevated canaries — no excursion, but the
+    * whole entry ran loaded). */
   def adjudicate(prev: Double, curMin: Double,
-                 worstCanaryRatio: Double, qualifiedReps: Int): String = {
+                 worstCanaryRatio: Double, qualifiedReps: Int,
+                 loadedPatch: Boolean = false): String = {
     val base =
       if (curMin <= prev * 1.1)
         f"noise: rep min $curMin%.3f overlaps prior median $prev%.3f"
+      else if (loadedPatch)
+        "machine-load: entry canary floor over the loaded-patch cap " +
+          "for its whole phase"
       else if (worstCanaryRatio >= 1.25)
-        f"machine-load: canary_ratio up to $worstCanaryRatio%.2f during reps"
+        f"machine-load: canary excursion up to $worstCanaryRatio%.2fx " +
+          "the entry floor during reps"
       else "unattributed: re-measure isolated (BenchOne); suspect plan"
     if (qualifiedReps < MinQualifiedReps)
       s"insufficient-qualified-reps ($qualifiedReps): " +

@@ -206,23 +206,36 @@ object Versioned {
                              path: String): Set[String] = {
     val enforced = constraints(spark, path).keySet
     if (enforced.isEmpty) return Set.empty
-    val AddRe = """add-constraint\((.+)\)""".r
-    val DropRe = """drop-constraint\((.+)\)""".r
-    val lastDropped = scala.collection.mutable.Map.empty[String, Boolean]
-    versions(spark, path).grouped(256).foreach { chunk =>
-      val bulk = readManifestsBulk(spark, path, chunk)
-      chunk.foreach { v =>
-        bulk(v)._2
-          .collectFirst { case l if l.startsWith("#op ") =>
-            l.stripPrefix("#op ") }
-          .foreach {
-            case AddRe(n) => lastDropped(n) = false
-            case DropRe(n) => lastDropped(n) = true
-            case _ => ()
-          }
-      }
+    val fs = fsOf(spark, path)
+    // every completed DDL rewrites the constraint file AFTER its audit
+    // commit, so an op whose manifest predates the file's last write is
+    // subsumed by the file's own content — only NEWER ops (the crash
+    // window: commit landed, file update did not) can create or clear a
+    // pending drop. Bounding the scan to those keeps SHOW CONSTRAINTS
+    // O(recent DDL), never O(full history); 1 s of slack covers mtime
+    // granularity, and the enforced-names filter makes a completed
+    // drop admitted by the slack harmless (its name left the file).
+    val fileMtime = constraintFiles(fs, new Path(s"$path/manifest"))
+      .lastOption.map(f => fs.getFileStatus(f._2).getModificationTime)
+      .getOrElse(return Set.empty)
+    val recent = versionsWithMtime(spark, path)
+      .filter(_._2 >= fileMtime - 1000).map(_._1).sorted
+    val bulk = readManifestsBulk(spark, path, recent)
+    val fromLive: Seq[(String, (Long, String))] = recent.flatMap { v =>
+      bulk(v)._2
+        .collectFirst { case l if l.startsWith("#op ") =>
+          l.stripPrefix("#op ") }
+        .collect { case ConstraintOpRe(op, n) => n -> ((v, op)) }
     }
-    enforced.filter(n => lastDropped.get(n).contains(true))
+    // plus ops whose manifests VACUUM retired (rolled up with their
+    // original manifest mtimes — same recency rule)
+    val fromRollup: Seq[(String, (Long, String))] =
+      readConstraintOpsRollup(spark, path).toSeq.collect {
+        case (n, (v, mt, op)) if mt >= fileMtime - 1000 => n -> ((v, op))
+      }
+    val newestOp = (fromLive ++ fromRollup)
+      .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 >= b._1) a else b)
+    enforced.filter(n => newestOp.get(n).exists(_._2 == "drop"))
   }
 
   /** Install `cs` as a NEW versioned constraints file and return its
@@ -883,6 +896,33 @@ object Versioned {
 
   private def txnRollupPath(path: String): Path =
     new Path(s"$path/manifest", "txn-watermarks.txt")
+
+  /** Retained rollup of `add-constraint(...)` / `drop-constraint(...)`
+    * audit ops whose manifests VACUUM retired — one line per name:
+    * `name\tversion\tmanifest-mtime-ms\tadd|drop`, newest version per
+    * name. Without it a vacuum racing a crashed [[dropConstraint]]
+    * would silently erase the pending-drop marker (the audit commit's
+    * manifest dies while the constraint file still enforces), and
+    * [[pendingConstraintDrops]]' loud-disagreement guarantee with it. */
+  private def constraintOpsRollupPath(path: String): Path =
+    new Path(s"$path/manifest", "constraint-ops.txt")
+
+  private[graft] def readConstraintOpsRollup(spark: SparkSession,
+      path: String): Map[String, (Long, Long, String)] = {
+    val fs = fsOf(spark, path)
+    val f = constraintOpsRollupPath(path)
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(n, v, mt, op) = l.split("\t", 4)
+      n -> ((v.toLong, mt.toLong, op))
+    }.toMap
+  }
+
+  private val ConstraintOpRe = """(add|drop)-constraint\((.+)\)""".r
 
   private def readTxnRollup(spark: SparkSession, path: String)
       : Map[String, Long] = {
@@ -1573,7 +1613,13 @@ object Versioned {
     // otherwise sit pinned for the whole operation), and the serial
     // cost stays O(1) driver round trips per 256 versions
     val dropSet = drop.toSet
+    val mtimes = versionsWithMtime(spark, path).toMap
     val droppedTxnsB = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // dropped versions' constraint DDL audit ops roll up the same way
+    // the txn watermarks do: a crashed dropConstraint's pending-drop
+    // marker must survive its audit manifest's retirement
+    val droppedConsOpsB =
+      scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long, String))]
     val referencedCdcB = Set.newBuilder[String]
     val referencedDvsB = Set.newBuilder[String]
     val referencedB = Set.newBuilder[String]
@@ -1589,6 +1635,12 @@ object Versioned {
             case l if l.startsWith("#txn ") =>
               val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
               a -> b.toLong
+          }
+          meta.collectFirst { case l if l.startsWith("#op ") =>
+            l.stripPrefix("#op ") }.foreach {
+            case ConstraintOpRe(op, n) =>
+              droppedConsOpsB += n -> ((v, mtimes.getOrElse(v, 0L), op))
+            case _ => ()
           }
         } else {
           referencedCdcB ++= meta.collect {
@@ -1613,6 +1665,23 @@ object Versioned {
       fs.delete(txnRollupPath(path), false)
       require(fs.rename(tmp, txnRollupPath(path)),
         s"vacuum: could not update txn watermark rollup at $path")
+    }
+    if (droppedConsOpsB.nonEmpty && !dryRun) {
+      // newest op per name wins (max version) across the existing
+      // rollup and this vacuum's retired manifests
+      val merged = (readConstraintOpsRollup(spark, path).toSeq ++
+        droppedConsOpsB.toSeq)
+        .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 >= b._1) a else b)
+      val tmp = new Path(s"$path/manifest",
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(merged.toSeq.sortBy(_._1)
+        .map { case (n, (v, mt, op)) => s"$n\t$v\t$mt\t$op" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(constraintOpsRollupPath(path), false)
+      require(fs.rename(tmp, constraintOpsRollupPath(path)),
+        s"vacuum: could not update constraint-ops rollup at $path")
     }
     if (!dryRun) drop.foreach { v =>
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit

@@ -371,6 +371,13 @@ class ChangeFeedSpec extends SparkSpec {
     val shown = eng.sql(s"SHOW CONSTRAINTS '$path'").df.collect()
     assert(shown.map(r => (r.getString(0), r.getString(2))).toSeq ==
       Seq(("score_nonneg", "pending-drop")))
+    // the marker survives VACUUM retiring the audit commit's manifest:
+    // the drop op rolls up into constraint-ops.txt before it dies
+    Versioned.commit(Seq((903L, "more", 3L))
+      .toDF("id", "payload", "score"), path)
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(Versioned.pendingConstraintDrops(spark, path) ==
+      Set("score_nonneg"))
     // re-running the drop converges: enforcement lifts, marker clears
     eng.sql(s"ALTER '$path' DROP CONSTRAINT score_nonneg")
     assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
