@@ -113,6 +113,14 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(c.startsWith("unattributed:"))
   }
 
+  test("adjudicate: a loaded patch (uniformly elevated canaries, no " +
+    "excursion) is machine-load evidence even at excursion 1.0") {
+    val c = BenchPolicy.adjudicate(prev = 1.0, curMin = 1.5,
+      worstCanaryRatio = 1.0, qualifiedReps = 5, loadedPatch = true)
+    assert(c.startsWith("machine-load:"))
+    assert(c.contains("loaded-patch cap"))
+  }
+
   test("adjudicate: under MinQualifiedReps the cause says the " +
     "adjudication came from all-reps data (round-13 bug: 'noise' " +
     "was asserted against a qualified median simultaneously " +
