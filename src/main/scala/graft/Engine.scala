@@ -1325,9 +1325,16 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           .result(pairsObs.future,
             scala.concurrent.duration.Duration("30s")).getLong(0))
         catch { case _: java.util.concurrent.TimeoutException => None }
+      // row cap scaled down for wide rows (many SET columns of wide
+      // types): the driver copy stays bounded in BYTES, not just rows
+      val pairRowCap = {
+        val rowW = math.max(8,
+          pairsCkpt.schema.fields.map(_.dataType.defaultSize).sum)
+        math.min(Engine.MergeSmallMatchRows,
+          Engine.MergeSmallMatchBytes / rowW)
+      }
       val pairsLocal: Option[Array[Row]] =
-        if (nPairs.exists(_ <= Engine.MergeSmallMatchRows))
-          Some(pairsCkpt.collect())
+        if (nPairs.exists(_ <= pairRowCap)) Some(pairsCkpt.collect())
         else None
       val pairs: org.apache.spark.sql.DataFrame = pairsLocal match {
         case Some(rows) => spark.createDataFrame(
@@ -3098,15 +3105,19 @@ object Engine {
   /** MERGE small-source gate: a plain-parquet USING source at or under
     * these footprints (known from footers alone) is collected into a
     * LocalRelation so the match join and insert anti-join broadcast
-    * it. 64k rows / 64 MB bounds the driver copy well under broadcast-
-    * join norms; past either bound the source checkpoints distributed
-    * as before. */
+    * it. 64k rows / 16 MB ON-DISK (compressed — in-memory Rows expand
+    * several-fold, so this bounds the driver copy near ~100 MB worst
+    * case) keeps it well under broadcast-join norms; past either bound
+    * the source checkpoints distributed as before. */
   private[graft] val MergeSmallSourceRows = 65536L
-  private[graft] val MergeSmallSourceBytes = 64L * 1024 * 1024
+  private[graft] val MergeSmallSourceBytes = 16L * 1024 * 1024
 
   /** MERGE small-match gate: a match set at or under this many rows
     * (the observed checkpoint count — exact, no extra job) is
     * collected so the cardinality/action rollup runs driver-side and
-    * downstream joins against it broadcast. */
+    * downstream joins against it broadcast. The row cap is scaled
+    * down for wide pair rows so the driver copy is also bounded by
+    * [[MergeSmallMatchBytes]] of schema-estimated width. */
   private[graft] val MergeSmallMatchRows = 65536L
+  private[graft] val MergeSmallMatchBytes = 32L * 1024 * 1024
 }
