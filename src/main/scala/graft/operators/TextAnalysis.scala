@@ -175,17 +175,21 @@ object TextAnalysis {
     * INCREMENTAL pair bookkeeping (the standard trainer optimization):
     * a global pair -> weighted count map plus pair -> word-index
     * postings. Each merge touches only the words CONTAINING the chosen
-    * pair — subtracting their old adjacencies, applying the merge,
-    * adding the new ones — instead of recounting every word, so cost is
-    * O(merges · touched), vocabulary-bounded, never corpus-bounded.
-    * Symbols are INTERNED to int ids and pairs keyed as packed longs in
-    * a LongMap: the first cut keyed everything by (String, String)
-    * tuples, and a measured 32k-merge run over a 50k-word vocabulary
-    * spent >3 minutes hashing strings and collecting tuple garbage —
-    * the same run with interned keys is ~20x faster. Determinism is
-    * untouched: counts after each round are identical to a full recount
-    * (the differential spec and the q278/q288 oracle replays pin it),
-    * and tie-breaks still compare symbol STRINGS (count DESC, pair ASC). */
+    * pair, and within a touched word only the adjacencies AROUND each
+    * merge site change — five count updates per site (left-old,
+    * left-new, the pair itself, right-old, right-new) applied straight
+    * to the global map, instead of a whole-word −old/+new delta pass
+    * (~2·len map ops per touch; sampling a 32k-merge run showed half
+    * its time in that pass). Cost is O(merges · sites), vocabulary-
+    * bounded, never corpus-bounded. Symbols are INTERNED to int ids and
+    * pairs keyed as packed longs in a LongMap: the first cut keyed
+    * everything by (String, String) tuples, and a measured 32k-merge
+    * run over a 50k-word vocabulary spent >3 minutes hashing strings
+    * and collecting tuple garbage — interned keys are ~20x faster.
+    * Determinism is untouched: counts after each round are identical
+    * to a full recount (the differential spec and the q278/q288 oracle
+    * replays pin it), and tie-breaks still compare symbol STRINGS
+    * (count DESC, pair ASC). */
   def bpeTrainFromFreqs(freqs: Array[(String, Long)],
                         numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
@@ -194,9 +198,36 @@ object TextAnalysis {
     // or (a,bc)) intern to the SAME id — matching string-keyed
     // semantics, where equal strings are one symbol.
     val symStr = scala.collection.mutable.ArrayBuffer.empty[String]
+    // packed 8-char prefix per symbol, byte-per-char big-endian, so the
+    // heap tie-break is ONE long compare except on true prefix ties:
+    // for chars <= 0xFE the packed order IS String.compareTo order
+    // (shorter prefixes pad with 0, which sorts first, matching
+    // "ab" < "abc"); any symbol with a wider char gets -1 = "always
+    // full-compare". The other half of the sampled 32k-merge run lived
+    // in PriorityQueue.fixDown comparing tie strings char-by-char.
+    val symKey = scala.collection.mutable.ArrayBuffer.empty[Long]
     val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    def packKey(s: String): Long = {
+      var k = 0L; var i = 0
+      while (i < 8) {
+        val c: Long = if (i < s.length) s.charAt(i).toLong else 0L
+        if (c > 0xFEL) return -1L
+        k = (k << 8) | c
+        i += 1
+      }
+      k
+    }
     def intern(s: String): Int =
-      symId.getOrElseUpdate(s, { symStr += s; symStr.length - 1 })
+      symId.getOrElseUpdate(s,
+        { symStr += s; symKey += packKey(s); symStr.length - 1 })
+    // string order of two interned symbols; packed keys short-circuit
+    @inline def cmpSym(a: Int, b: Int): Int =
+      if (a == b) 0
+      else {
+        val ka = symKey(a); val kb = symKey(b)
+        if (ka >= 0L && kb >= 0L && ka != kb) { if (ka < kb) -1 else 1 }
+        else symStr(a).compareTo(symStr(b))
+      }
     val words: Array[Array[Int]] =
       freqs.map { case (w, _) => w.toCharArray.map(c => intern(c.toString)) }
     val wcnt: Array[Long] = freqs.map(_._2)
@@ -204,9 +235,9 @@ object TextAnalysis {
       (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
     val counts = scala.collection.mutable.LongMap.empty[Long]
     // pair -> word-index postings; appends may duplicate (multiple
-    // occurrences, revisits) — the consumer dedupes+sorts, and stale
-    // entries for pairs a later merge removed are tolerated because the
-    // apply step re-checks adjacency
+    // occurrences, revisits) — the consumer dedupes, and stale entries
+    // for pairs a later merge removed are tolerated because the apply
+    // step re-checks adjacency
     val where = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[Int]]
     // lazy-invalidated max-heap over (count, pair) SNAPSHOTS — the
@@ -223,12 +254,20 @@ object TextAnalysis {
       Ordering.fromLessThan { (x, y) =>
         if (x._1 != y._1) x._1 < y._1
         else {
-          val ac = symStr(x._2).compareTo(symStr(y._2))
+          val ac = cmpSym(x._2, y._2)
           if (ac != 0) ac > 0
-          else symStr(x._3).compareTo(symStr(y._3)) > 0
+          else cmpSym(x._3, y._3) > 0
         }
       }
     val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int, Int)]
+    // per-merge NET delta accumulator (reused): applying per-site bumps
+    // straight to the global map pushed a heap snapshot per word-
+    // occurrence — a popular merge raising (x,ab) across thousands of
+    // words enqueued thousands of snapshots, all but the last stale,
+    // and the sampled run lived in PriorityQueue.fixDown. Netting per
+    // merge pushes ONE snapshot per raised pair at its final value;
+    // counts (what determinism rests on) are identical either way.
+    val delta = scala.collection.mutable.LongMap.empty[Long]
     // initial build: seed counts + postings, then ONE heap entry per
     // distinct pair (per-occurrence pushes would enqueue total-symbols
     // entries); all later maintenance is the local-delta step below
@@ -264,8 +303,13 @@ object TextAnalysis {
         merges += ((symStr(bestA), symStr(bestB)))
         val ab = intern(symStr(bestA) + symStr(bestB))
         val k = pk(bestA, bestB)
-        val touched = where.remove(k)
-          .map(_.distinct.sorted.toArray).getOrElse(Array.empty[Int])
+        // distinct: a word appears once per posted occurrence; one
+        // rewrite handles all of them. Processing ORDER is immaterial —
+        // every update below commutes (counts are exact per-occurrence
+        // deltas; heap/postings tolerate stale snapshots) — so no sort.
+        val touched = where.remove(k).map(_.distinct)
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        delta.clear()
         touched.foreach { wi =>
           // membership may be stale (the pair vanished from this word
           // under an earlier merge) — verify before rewriting
@@ -275,53 +319,57 @@ object TextAnalysis {
             has = syms(i) == bestA && syms(i + 1) == bestB; i += 1
           }
           if (has) {
-            // LOCAL-DELTA accounting: a full -old/+new pass over the
-            // word (the first cut) decrements and re-increments every
-            // UNCHANGED adjacency too — and each re-increment pushed a
-            // heap snapshot, ~30 per touch, ~46M across a 32k-merge
-            // run (jstack sampling showed the loop living inside
-            // PriorityQueue.fixDown). Only pairs around merge sites
-            // actually change, so: old pairs into a small local map at
-            // -1, new pairs at +1, then apply the ~2-5 NONZERO deltas
-            // globally — pushes and postings only where counts rose.
-            val delta = new scala.collection.mutable.LongMap[Long](16)
-            var j = 0
-            while (j < syms.length - 1) {
-              val k = pk(syms(j), syms(j + 1))
-              delta(k) = delta.getOrElse(k, 0L) - 1L
-              j += 1
+            // SITE-LOCAL accounting: only adjacencies around merge
+            // sites change, five per site — dec(left,a) inc(left,ab)
+            // dec(a,b) dec(b,right) inc(ab,right) — accumulated into
+            // the per-merge net-delta map (the previous cut's whole-
+            // word delta pass did ~2·len map ops per touch and was
+            // half the measured runtime). `left` is the OUTPUT
+            // neighbor: when a previous site just wrote ab there, the
+            // dec cancels that site's own right-inc, so consecutive
+            // sites ([x,a,b,a,b] → [x,ab,ab]) net to exactly the
+            // recount deltas. Transient inc-then-cancel pairs may
+            // leave a stale posting — lazily re-checked above.
+            val c = wcnt(wi)
+            @inline def bump(dk: Long, d: Long): Unit = {
+              delta(dk) = delta.getOrElse(dk, 0L) + d * c
+              if (d > 0L)
+                where.getOrElseUpdate(dk,
+                  scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
             }
             // the [[bpeApplyMerge]] step on interned ids: one
             // left-to-right, non-overlapping application
             val out = new Array[Int](syms.length)
-            var n = 0; j = 0
+            var n = 0; var j = 0
             while (j < syms.length) {
               if (j < syms.length - 1 && syms(j) == bestA &&
-                  syms(j + 1) == bestB) { out(n) = ab; n += 1; j += 2 }
+                  syms(j + 1) == bestB) {
+                if (n > 0) {
+                  bump(pk(out(n - 1), bestA), -1L)
+                  bump(pk(out(n - 1), ab), 1L)
+                }
+                bump(k, -1L)
+                if (j + 2 < syms.length) {
+                  bump(pk(bestB, syms(j + 2)), -1L)
+                  bump(pk(ab, syms(j + 2)), 1L)
+                }
+                out(n) = ab; n += 1; j += 2
+              }
               else { out(n) = syms(j); n += 1; j += 1 }
             }
-            val next = java.util.Arrays.copyOf(out, n)
-            words(wi) = next
-            j = 0
-            while (j < next.length - 1) {
-              val k = pk(next(j), next(j + 1))
-              delta(k) = delta.getOrElse(k, 0L) + 1L
-              j += 1
-            }
-            val c = wcnt(wi)
-            delta.foreach { case (dk, d) =>
-              if (d != 0L) {
-                val nv = counts.getOrElse(dk, 0L) + d * c
-                if (nv == 0L) counts.subtractOne(dk)
-                else {
-                  counts(dk) = nv
-                  if (d > 0L) {
-                    heap.enqueue((nv, (dk >>> 32).toInt, dk.toInt))
-                    where.getOrElseUpdate(dk,
-                      scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
-                  }
-                }
-              }
+            words(wi) = java.util.Arrays.copyOf(out, n)
+          }
+        }
+        // apply the merge's NET deltas once: one heap snapshot per
+        // raised pair at its final live value (dec'd pairs push
+        // nothing — their stale higher snapshot re-inserts on pop)
+        delta.foreach { case (dk, d) =>
+          if (d != 0L) {
+            val nv = counts.getOrElse(dk, 0L) + d
+            if (nv == 0L) counts.subtractOne(dk)
+            else {
+              counts(dk) = nv
+              if (d > 0L) heap.enqueue((nv, (dk >>> 32).toInt, dk.toInt))
             }
           }
         }
