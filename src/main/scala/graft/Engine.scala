@@ -2006,11 +2006,44 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * like any small side. */
   private def valuesFrame(names: Seq[String], rows: Seq[Seq[Col]]): GraftFrame = {
     import org.apache.spark.sql.types._
-    val lits: Seq[Seq[Any]] = rows.map(_.map {
+    // negative numbers parse as BinOp(-, 0, n) (unary minus desugars
+    // through the shared expression grammar) — fold the literal-only
+    // arithmetic cases so `VALUES (-1, -2.5)` works; anything needing
+    // a schema to compile against still rejects
+    def fold(c: Col): Col = c match {
+      case BinOp(op @ ("-" | "+" | "*"), l, r) => (fold(l), fold(r)) match {
+        case (Lit(a: Int), Lit(b: Int)) => op match {
+          case "-" => Lit(a - b); case "+" => Lit(a + b); case _ => Lit(a * b)
+        }
+        // int/long widen to long, anything-with-double to double — the
+        // same ladder `widen` applies across rows below
+        case (Lit(a), Lit(b)) if Seq(a, b).forall(v =>
+            v.isInstanceOf[Int] || v.isInstanceOf[Long] ||
+              v.isInstanceOf[Double]) =>
+          def dbl(v: Any) = v match {
+            case i: Int => i.toDouble; case x: Long => x.toDouble
+            case d: Double => d
+          }
+          def lng(v: Any) = v match {
+            case i: Int => i.toLong; case x: Long => x; case _ => 0L
+          }
+          if (a.isInstanceOf[Double] || b.isInstanceOf[Double]) op match {
+            case "-" => Lit(dbl(a) - dbl(b)); case "+" => Lit(dbl(a) + dbl(b))
+            case _ => Lit(dbl(a) * dbl(b))
+          }
+          else op match {
+            case "-" => Lit(lng(a) - lng(b)); case "+" => Lit(lng(a) + lng(b))
+            case _ => Lit(lng(a) * lng(b))
+          }
+        case _ => c
+      }
+      case other => other
+    }
+    val lits: Seq[Seq[Any]] = rows.map(_.map(e => fold(e) match {
       case Lit(v) => v
       case other => throw new SemanticError(
         s"VALUES entries must be literals, got $other")
-    })
+    }))
     def widen(a: DataType, b: DataType): DataType = (a, b) match {
       case (x, y) if x == y => x
       case (IntegerType, LongType) | (LongType, IntegerType) => LongType

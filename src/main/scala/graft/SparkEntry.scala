@@ -2512,6 +2512,50 @@ object SparkEntry {
         .withColumn("n_constraints", F.lit(nCons))
     }),
 
+    // CRASHED constraint drop: the audit commit lands, the constraint-
+    // file rewrite does not (process death in dropConstraint's
+    // documented crash window). The contract this gate makes oracle-
+    // visible: (1) SHOW CONSTRAINTS marks the name `pending-drop` —
+    // history and enforcement never disagree SILENTLY; (2) the window
+    // is fail-SAFE — the constraint still fences writes; (3) a later
+    // DDL COMPLETES the pending drop instead of copying the stale name
+    // into a fresh file that would hide the marker.
+    "q320_pending_constraint_drop" -> ((s, dir) => {
+      val path = stagingDir("graft_pend") + "/ds"
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Versioned.commit(base.filter(F.col("doc_id") % 3 === 0), path)
+      val eng = Engine(s, dir)
+      eng.sql(s"ALTER '$path' ADD CONSTRAINT chars_nonneg " +
+        "CHECK (n_chars >= 0)")
+      // the crash: replicate dropConstraint's first half verbatim
+      val hv = Versioned.versions(s, path).last
+      Versioned.commitSegments(s, path,
+        Versioned.headSegments(s, path, Some(hv)),
+        Versioned.readDvMap(s, path, hv), expectedBase = Some(hv),
+        op = "drop-constraint(chars_nonneg)"): Unit
+      val shown = eng.sql(s"SHOW CONSTRAINTS '$path'").df.collect()
+      val pendingShown = shown.length == 1 &&
+        shown(0).getString(0) == "chars_nonneg" &&
+        shown(0).getString(2) == "pending-drop"
+      val stillFences = scala.util.Try(eng.sql(
+        s"INSERT INTO '$path' VALUES (999999, 'xx', -1)")).isFailure
+      eng.sql(s"ALTER '$path' ADD CONSTRAINT id_pos CHECK (doc_id >= 0)")
+      val after = eng.sql(s"SHOW CONSTRAINTS '$path'").df.collect()
+      val ddlCompletes = after.length == 1 &&
+        after(0).getString(0) == "id_pos" &&
+        after(0).getString(2) == "enforced"
+      // the completed drop really lifted the fence
+      eng.sql(s"INSERT INTO '$path' VALUES (999999, 'xx', -1)")
+      eng.sql(
+        s"""SELECT lang, COUNT() AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM '$path' GROUP BY lang""".stripMargin).df
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("pending_shown", F.lit(pendingShown))
+        .withColumn("still_fences", F.lit(stillFences))
+        .withColumn("ddl_completes", F.lit(ddlCompletes))
+    }),
+
     // CDC REPLICATION capstone: seed a replica from a snapshot, then
     // keep it in sync by TAILING the source's row-level change feed
     // through a real micro-batched stream and applying each batch with
@@ -6719,6 +6763,15 @@ object SparkEntry {
         |  true AS ins_rejected, true AS upd_rejected,
         |  CAST(1 AS BIGINT) AS n_constraints
         |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |GROUP BY lang""".stripMargin,
+
+    "q320_pending_constraint_drop" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  true AS pending_shown, true AS still_fences,
+        |  true AS ddl_completes
+        |FROM (SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        |      UNION ALL SELECT 'xx' AS lang, CAST(-1 AS BIGINT) AS n_chars)
         |GROUP BY lang""".stripMargin,
 
     "q313_cdc_replica" ->

@@ -176,19 +176,35 @@ object Versioned {
     }.sortBy(_._1)
   }
 
-  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+  def constraints(spark: SparkSession, path: String): Map[String, String] =
+    constraintsWithAsof(spark, path)._1
+
+  /** The live constraint set plus the file's `#asof <version>` header —
+    * the head version when the DDL wrote it. Every add/drop op with
+    * version <= asof is SUBSUMED by the file's own content (the DDL
+    * that wrote it reconciled completed AND pending state), so
+    * [[pendingConstraintDrops]] only scans history ABOVE it. Legacy
+    * files without the header return None (reconciliation falls back
+    * to a full chunked scan until the first DDL rewrite stamps one). */
+  private def constraintsWithAsof(spark: SparkSession,
+      path: String): (Map[String, String], Option[Long]) = {
     val fs = fsOf(spark, path)
     constraintFiles(fs, new Path(s"$path/manifest")).lastOption match {
-      case None => Map.empty
+      case None => (Map.empty, None)
       case Some((_, f)) =>
         val in = fs.open(f)
         val text = try {
           new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         } finally in.close()
-        text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+        val asof = lines.collectFirst {
+          case l if l.startsWith("#asof ") => l.stripPrefix("#asof ").toLong
+        }
+        val cs = lines.filterNot(_.startsWith("#")).map { l =>
           val Array(n, e) = l.split("\t", 2)
           n -> e
         }.toMap
+        (cs, asof)
     }
   }
 
@@ -204,34 +220,40 @@ object Versioned {
     * 256-version bulk chunks (the vacuum/lastTxn pattern). */
   def pendingConstraintDrops(spark: SparkSession,
                              path: String): Set[String] = {
-    val enforced = constraints(spark, path).keySet
+    val (enforcedMap, asofOpt) = constraintsWithAsof(spark, path)
+    val enforced = enforcedMap.keySet
     if (enforced.isEmpty) return Set.empty
-    val fs = fsOf(spark, path)
-    // every completed DDL rewrites the constraint file AFTER its audit
-    // commit, so an op whose manifest predates the file's last write is
-    // subsumed by the file's own content — only NEWER ops (the crash
-    // window: commit landed, file update did not) can create or clear a
-    // pending drop. Bounding the scan to those keeps SHOW CONSTRAINTS
-    // O(recent DDL), never O(full history); 1 s of slack covers mtime
-    // granularity, and the enforced-names filter makes a completed
-    // drop admitted by the slack harmless (its name left the file).
-    val fileMtime = constraintFiles(fs, new Path(s"$path/manifest"))
-      .lastOption.map(f => fs.getFileStatus(f._2).getModificationTime)
-      .getOrElse(return Set.empty)
-    val recent = versionsWithMtime(spark, path)
-      .filter(_._2 >= fileMtime - 1000).map(_._1).sorted
-    val bulk = readManifestsBulk(spark, path, recent)
-    val fromLive: Seq[(String, (Long, String))] = recent.flatMap { v =>
-      bulk(v)._2
-        .collectFirst { case l if l.startsWith("#op ") =>
-          l.stripPrefix("#op ") }
-        .collect { case ConstraintOpRe(op, n) => n -> ((v, op)) }
-    }
-    // plus ops whose manifests VACUUM retired (rolled up with their
-    // original manifest mtimes — same recency rule)
+    // reconciliation is VERSION-based (not file-mtime: a later DDL
+    // rewriting the file advanced its mtime past a crashed drop's
+    // manifest and silently hid the marker). Ops <= the file's #asof
+    // are subsumed by the file's content (every DDL reconciles pending
+    // drops before copying names forward); ops <= the rollup's
+    // #reconciled watermark live in the rollup (vacuum folds EVERY
+    // scanned version's constraint op into it, not just retired ones).
+    // So the manifest scan covers only (max(asof, reconciled), head] —
+    // O(commits since the last DDL or vacuum) — in bounded 256-version
+    // chunks; a legacy header-less file scans the full history
+    // (correctness first; the first DDL rewrite stamps a header).
+    val asof = asofOpt.getOrElse(-1L)
+    val (rollup, reconciled) = readConstraintOpsRollup(spark, path)
+    val floor = math.max(asof, reconciled.getOrElse(-1L))
+    val recent = versions(spark, path).filter(_ > floor)
+    val fromLive: Seq[(String, (Long, String))] =
+      recent.grouped(256).toSeq.flatMap { chunk =>
+        val bulk = readManifestsBulk(spark, path, chunk)
+        chunk.flatMap { v =>
+          bulk(v)._2
+            .collectFirst { case l if l.startsWith("#op ") =>
+              l.stripPrefix("#op ") }
+            .collect { case ConstraintOpRe(op, n) => n -> ((v, op)) }
+        }
+      }
+    // rollup ops above the file's asof (at or below it the file's own
+    // content is the newer truth — e.g. a retired drop for a since-
+    // re-added name must not shadow the re-add the file reflects)
     val fromRollup: Seq[(String, (Long, String))] =
-      readConstraintOpsRollup(spark, path).toSeq.collect {
-        case (n, (v, mt, op)) if mt >= fileMtime - 1000 => n -> ((v, op))
+      rollup.toSeq.collect {
+        case (n, (v, _, op)) if v > asof => n -> ((v, op))
       }
     val newestOp = (fromLive ++ fromRollup)
       .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 >= b._1) a else b)
@@ -246,7 +268,7 @@ object Versioned {
     * just the new file ([[removeConstraintsFile]]), restoring the prior
     * state exactly. */
   private def writeConstraints(spark: SparkSession, path: String,
-                               cs: Map[String, String]): Path = {
+                               cs: Map[String, String], asof: Long): Path = {
     val fs = fsOf(spark, path)
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
@@ -255,8 +277,8 @@ object Versioned {
     val tmp = new Path(dir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write(cs.toSeq.sortBy(_._1)
-      .map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
+    try out.write((s"#asof $asof" +: cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(dir, f"constraints-$nextIdx%09d.txt")
     require(fs.rename(tmp, dest),
@@ -299,7 +321,16 @@ object Versioned {
       s"constraint name must be an identifier, got '$name'")
     require(!exprSql.contains("\t") && !exprSql.contains("\n"),
       "constraint expression must not contain tabs/newlines")
-    val existing = constraints(spark, path)
+    // reconcile CRASHED drops before copying names forward: without
+    // this, any later DDL would re-copy a pending-drop name into a
+    // fresh file whose #asof postdates the crashed drop's commit —
+    // hiding the marker while history's newest op for the name stays
+    // drop-constraint, the silent disagreement this surface exists to
+    // prevent. Subtracting them COMPLETES those drops (their audit
+    // commit already landed); a re-ADD of a pending name is therefore
+    // legal and lands as the newest op.
+    val existing = constraints(spark, path) --
+      pendingConstraintDrops(spark, path)
     require(!existing.contains(name),
       s"constraint '$name' already exists at $path")
     val hv = headVersion(spark, path)
@@ -319,7 +350,10 @@ object Versioned {
     // audit commit. The transient over-enforcement window (install →
     // failed CAS → rollback) is fail-safe: a concurrent write might
     // reject loudly, never silently pass a constraint it should not.
-    val installed = writeConstraints(spark, path, existing + (name -> exprSql))
+    // #asof = hv: our own audit commit lands ABOVE it, so a scan over
+    // (asof, head] always sees it (newest op = add → never pending)
+    val installed =
+      writeConstraints(spark, path, existing + (name -> exprSql), asof = hv)
     val v = try {
       commitSegments(spark, path, headSegments(spark, path, Some(hv)),
         readDvMap(spark, path, hv), expectedBase = Some(hv),
@@ -347,14 +381,19 @@ object Versioned {
     * before any constraint file is touched — nothing to roll back. */
   def dropConstraint(spark: SparkSession, path: String,
                      name: String): Long = {
-    val existing = constraints(spark, path)
-    require(existing.contains(name),
+    // the existence check reads the raw FILE (a pending-drop name is
+    // still there — re-running the drop is how it converges); the
+    // copy-forward subtracts OTHER pending drops so this DDL's fresh
+    // #asof cannot hide their markers (see addConstraint)
+    val raw = constraints(spark, path)
+    require(raw.contains(name),
       s"constraint '$name' does not exist at $path")
+    val existing = raw -- (pendingConstraintDrops(spark, path) - name)
     val hv = headVersion(spark, path)
     val v = commitSegments(spark, path, headSegments(spark, path, Some(hv)),
       readDvMap(spark, path, hv), expectedBase = Some(hv),
       op = s"drop-constraint($name)")
-    val installed = writeConstraints(spark, path, existing - name)
+    val installed = writeConstraints(spark, path, existing - name, asof = v)
     retireOldConstraints(spark, path, keep = installed)
     v
   }
@@ -894,32 +933,92 @@ object Versioned {
     (fromManifests.toSeq ++ fromRollup.toSeq).maxOption
   }
 
-  private def txnRollupPath(path: String): Path =
-    new Path(s"$path/manifest", "txn-watermarks.txt")
+  // ---- vacuum-survival rollups. Both live as VERSIONED files
+  //      (`<base>-<n>.txt`, highest index live, the constraints-file
+  //      pattern): the old delete-then-rename update had a crash window
+  //      between the delete and the rename that lost every previously
+  //      rolled-up entry — for constraint ops, silently defeating the
+  //      vacuum-survival durability the rollup exists to provide. The
+  //      legacy unversioned filename reads as index −1 (shadowed by any
+  //      versioned install). ----
+
+  /** Newest-first resolution for a versioned rollup file: (index, path)
+    * of the live file, if any. */
+  private def newestRollupFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, base: String): Option[(Long, Path)] = {
+    val re = (java.util.regex.Pattern.quote(base) + "-(\\d+)\\.txt").r
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case re(n) => Some(n.toLong -> st.getPath)
+        case nm if nm == s"$base.txt" => Some(-1L -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+  }
+
+  /** Install `content` as the next version of rollup `base`, then
+    * best-effort retire superseded files (a leftover is shadowed by
+    * newest-first resolution, never misread — and the new file is in
+    * place before anything is deleted, so no crash loses the rollup). */
+  private def installRollupFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, base: String, content: String): Unit = {
+    fs.mkdirs(dir)
+    val old = {
+      val re = (java.util.regex.Pattern.quote(base) + "-(\\d+)\\.txt").r
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case re(n) => Some(n.toLong -> st.getPath)
+          case nm if nm == s"$base.txt" => Some(-1L -> st.getPath)
+          case _ => None
+        }
+      }.sortBy(_._1)
+    }
+    val nextIdx = old.lastOption.fold(0L)(_._1 + 1L)
+    val tmp = new Path(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(dir, f"$base-$nextIdx%09d.txt")
+    require(fs.rename(tmp, dest), s"could not install rollup $dest")
+    old.foreach { case (_, p) => fs.delete(p, false): Unit }
+  }
+
+  private def readRollupText(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, base: String): Option[String] =
+    newestRollupFile(fs, dir, base).map { case (_, f) =>
+      val in = fs.open(f)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
 
   /** Retained rollup of `add-constraint(...)` / `drop-constraint(...)`
-    * audit ops whose manifests VACUUM retired — one line per name:
+    * audit ops — one line per name:
     * `name\tversion\tmanifest-mtime-ms\tadd|drop`, newest version per
-    * name. Without it a vacuum racing a crashed [[dropConstraint]]
-    * would silently erase the pending-drop marker (the audit commit's
-    * manifest dies while the constraint file still enforces), and
-    * [[pendingConstraintDrops]]' loud-disagreement guarantee with it. */
-  private def constraintOpsRollupPath(path: String): Path =
-    new Path(s"$path/manifest", "constraint-ops.txt")
-
+    * name, plus a `#reconciled <version>` watermark: every version at
+    * or below it has had its constraint op folded in (vacuum scans the
+    * whole history anyway and records head). Without the rollup a
+    * vacuum racing a crashed [[dropConstraint]] would silently erase
+    * the pending-drop marker (the audit commit's manifest dies while
+    * the constraint file still enforces); the watermark additionally
+    * lets [[pendingConstraintDrops]] scan only (watermark, head]. */
   private[graft] def readConstraintOpsRollup(spark: SparkSession,
-      path: String): Map[String, (Long, Long, String)] = {
+      path: String): (Map[String, (Long, Long, String)], Option[Long]) = {
     val fs = fsOf(spark, path)
-    val f = constraintOpsRollupPath(path)
-    if (!fs.exists(f)) return Map.empty
-    val in = fs.open(f)
-    val text = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      val Array(n, v, mt, op) = l.split("\t", 4)
-      n -> ((v.toLong, mt.toLong, op))
-    }.toMap
+    readRollupText(fs, new Path(s"$path/manifest"), "constraint-ops") match {
+      case None => (Map.empty, None)
+      case Some(text) =>
+        val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+        val reconciled = lines.collectFirst {
+          case l if l.startsWith("#reconciled ") =>
+            l.stripPrefix("#reconciled ").toLong
+        }
+        val ops = lines.filterNot(_.startsWith("#")).map { l =>
+          val Array(n, v, mt, op) = l.split("\t", 4)
+          n -> ((v.toLong, mt.toLong, op))
+        }.toMap
+        (ops, reconciled)
+    }
   }
 
   private val ConstraintOpRe = """(add|drop)-constraint\((.+)\)""".r
@@ -927,16 +1026,13 @@ object Versioned {
   private def readTxnRollup(spark: SparkSession, path: String)
       : Map[String, Long] = {
     val fs = fsOf(spark, path)
-    val f = txnRollupPath(path)
-    if (!fs.exists(f)) return Map.empty
-    val in = fs.open(f)
-    val text = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      val Array(a, b) = l.split("\t", 2)
-      a -> b.toLong
-    }.toMap
+    readRollupText(fs, new Path(s"$path/manifest"), "txn-watermarks")
+      .fold(Map.empty[String, Long]) { text =>
+        text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+          val Array(a, b) = l.split("\t", 2)
+          a -> b.toLong
+        }.toMap
+      }
   }
 
   /** Append storage-level row provenance to a segment-backed frame:
@@ -1615,10 +1711,13 @@ object Versioned {
     val dropSet = drop.toSet
     val mtimes = versionsWithMtime(spark, path).toMap
     val droppedTxnsB = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    // dropped versions' constraint DDL audit ops roll up the same way
-    // the txn watermarks do: a crashed dropConstraint's pending-drop
-    // marker must survive its audit manifest's retirement
-    val droppedConsOpsB =
+    // EVERY scanned version's constraint DDL audit op rolls up (not
+    // just retired ones — vacuum reads the whole history anyway): a
+    // crashed dropConstraint's pending-drop marker must survive its
+    // audit manifest's retirement, and folding the live ops too lets
+    // the rollup's #reconciled watermark bound pendingConstraintDrops'
+    // scan to (watermark, head]
+    val consOpsB =
       scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long, String))]
     val referencedCdcB = Set.newBuilder[String]
     val referencedDvsB = Set.newBuilder[String]
@@ -1627,6 +1726,12 @@ object Versioned {
       val bulk = readManifestsBulk(spark, path, chunk)
       chunk.foreach { v =>
         val (segs, meta) = bulk(v)
+        meta.collectFirst { case l if l.startsWith("#op ") =>
+          l.stripPrefix("#op ") }.foreach {
+          case ConstraintOpRe(op, n) =>
+            consOpsB += n -> ((v, mtimes.getOrElse(v, 0L), op))
+          case _ => ()
+        }
         if (dropSet(v)) {
           // dropped versions' exactly-once watermarks ROLL UP into one
           // file BEFORE their manifests die — a replayed batch older
@@ -1635,12 +1740,6 @@ object Versioned {
             case l if l.startsWith("#txn ") =>
               val Array(a, b) = l.stripPrefix("#txn ").split("\t", 2)
               a -> b.toLong
-          }
-          meta.collectFirst { case l if l.startsWith("#op ") =>
-            l.stripPrefix("#op ") }.foreach {
-            case ConstraintOpRe(op, n) =>
-              droppedConsOpsB += n -> ((v, mtimes.getOrElse(v, 0L), op))
-            case _ => ()
           }
         } else {
           referencedCdcB ++= meta.collect {
@@ -1656,32 +1755,25 @@ object Versioned {
     if (droppedTxns.nonEmpty && !dryRun) {
       val merged = (readTxnRollup(spark, path).toSeq ++ droppedTxns)
         .groupMapReduce(_._1)(_._2)(math.max)
-      val tmp = new Path(s"$path/manifest",
-        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, false)
-      try out.write(merged.toSeq.sortBy(_._1)
-        .map { case (a, b) => s"$a\t$b" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(txnRollupPath(path), false)
-      require(fs.rename(tmp, txnRollupPath(path)),
-        s"vacuum: could not update txn watermark rollup at $path")
+      installRollupFile(fs, new Path(s"$path/manifest"), "txn-watermarks",
+        merged.toSeq.sortBy(_._1)
+          .map { case (a, b) => s"$a\t$b" }.mkString("\n"))
     }
-    if (droppedConsOpsB.nonEmpty && !dryRun) {
+    if (!dryRun) {
       // newest op per name wins (max version) across the existing
-      // rollup and this vacuum's retired manifests
-      val merged = (readConstraintOpsRollup(spark, path).toSeq ++
-        droppedConsOpsB.toSeq)
+      // rollup and this scan; #reconciled advances to the scanned head
+      // so pendingConstraintDrops never re-reads these versions. The
+      // watermark-only install (no ops anywhere) is still worth the
+      // tiny file: it converts that scan from O(history) to O(since
+      // last vacuum) on tables that never had constraint DDL.
+      val (prior, priorRec) = readConstraintOpsRollup(spark, path)
+      val merged = (prior.toSeq ++ consOpsB.toSeq)
         .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 >= b._1) a else b)
-      val tmp = new Path(s"$path/manifest",
-        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, false)
-      try out.write(merged.toSeq.sortBy(_._1)
-        .map { case (n, (v, mt, op)) => s"$n\t$v\t$mt\t$op" }
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(constraintOpsRollupPath(path), false)
-      require(fs.rename(tmp, constraintOpsRollupPath(path)),
-        s"vacuum: could not update constraint-ops rollup at $path")
+      val reconciled = math.max(all.last, priorRec.getOrElse(-1L))
+      installRollupFile(fs, new Path(s"$path/manifest"), "constraint-ops",
+        (s"#reconciled $reconciled" +: merged.toSeq.sortBy(_._1)
+          .map { case (n, (v, mt, op)) => s"$n\t$v\t$mt\t$op" })
+          .mkString("\n"))
     }
     if (!dryRun) drop.foreach { v =>
       fs.delete(new Path(s"$path/manifest", f"v-$v%09d.txt"), false): Unit

@@ -518,4 +518,120 @@ class ChangeFeedSpec extends SparkSpec {
       "a failed audit commit left its constraint installed")
     assert(consFiles() == Seq("constraints-000000001.txt"))
   }
+
+  test("a LATER constraint DDL cannot hide a crashed drop: the " +
+    "copy-forward completes it instead of re-copying the stale name") {
+    import spark.implicits._
+    val path = ds("pendddl")
+    Versioned.addConstraint(spark, path, "score_nonneg", "score >= 0")
+    Versioned.addConstraint(spark, path, "id_pos", "id >= 0")
+    // crash dropConstraint(score_nonneg) after its audit commit
+    val hv = Versioned.versions(spark, path).last
+    Versioned.commitSegments(spark, path,
+      Versioned.headSegments(spark, path, Some(hv)),
+      Versioned.readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = "drop-constraint(score_nonneg)"): Unit
+    assert(Versioned.pendingConstraintDrops(spark, path) ==
+      Set("score_nonneg"))
+    // the regression this pins: a LATER add used to copy the stale
+    // name forward into a fresh file whose recency basis postdated the
+    // crashed drop's commit — SHOW CONSTRAINTS said "enforced" while
+    // history's newest op for the name was drop-constraint. Now the
+    // copy-forward consults pendingConstraintDrops and COMPLETES the
+    // drop (its audit commit already landed).
+    Versioned.addConstraint(spark, path, "payload_len",
+      "length(payload) > 0")
+    assert(Versioned.constraints(spark, path).keySet ==
+      Set("id_pos", "payload_len"),
+      "the crashed drop's name was copied forward")
+    assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
+    // the completed drop really lifted enforcement
+    Versioned.commit(Seq((700L, "neg ok", -1L))
+      .toDF("id", "payload", "score"), path): Unit
+    // and a DROP of another name converges a pending one the same way
+    val hv2 = Versioned.versions(spark, path).last
+    Versioned.commitSegments(spark, path,
+      Versioned.headSegments(spark, path, Some(hv2)),
+      Versioned.readDvMap(spark, path, hv2), expectedBase = Some(hv2),
+      op = "drop-constraint(id_pos)"): Unit
+    assert(Versioned.pendingConstraintDrops(spark, path) == Set("id_pos"))
+    Versioned.dropConstraint(spark, path, "payload_len")
+    assert(Versioned.constraints(spark, path).isEmpty
+      || Versioned.constraints(spark, path).keySet == Set.empty[String])
+    assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
+  }
+
+  test("pending-drop reconciliation is version-bounded: vacuum " +
+    "advances the rollup watermark past data commits") {
+    import spark.implicits._
+    val path = ds("recwm")
+    Versioned.addConstraint(spark, path, "score_nonneg", "score >= 0")
+    // a pile of data commits after the DDL — the A2 shape (constraints
+    // set once, then only data)
+    (0 until 5).foreach { i =>
+      Versioned.commit(Seq((800L + i, s"d$i", i.toLong))
+        .toDF("id", "payload", "score"), path): Unit
+    }
+    // vacuum (retaining everything) folds ops + watermark into the
+    // rollup even with nothing retired
+    Versioned.vacuum(spark, path, keepVersions = 100)
+    val head = Versioned.versions(spark, path).last
+    val (ops, reconciled) = Versioned.readConstraintOpsRollup(spark, path)
+    assert(reconciled.contains(head),
+      s"watermark $reconciled != head $head")
+    assert(ops.get("score_nonneg").exists(_._3 == "add"))
+    // a crashed drop ABOVE the watermark is still found...
+    val hv = Versioned.versions(spark, path).last
+    Versioned.commitSegments(spark, path,
+      Versioned.headSegments(spark, path, Some(hv)),
+      Versioned.readDvMap(spark, path, hv), expectedBase = Some(hv),
+      op = "drop-constraint(score_nonneg)"): Unit
+    assert(Versioned.pendingConstraintDrops(spark, path) ==
+      Set("score_nonneg"))
+    // ...and survives ANOTHER vacuum retiring its manifest, through
+    // the install-then-retire rollup update (versioned filenames — a
+    // crash between steps can no longer lose prior entries)
+    Versioned.commit(Seq((900L, "tail", 1L))
+      .toDF("id", "payload", "score"), path): Unit
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(Versioned.pendingConstraintDrops(spark, path) ==
+      Set("score_nonneg"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/manifest"))
+      .map(_.getPath.getName).filter(_.startsWith("constraint-ops")).toSeq
+    assert(names.length == 1 && names.head.matches(
+      "constraint-ops-\\d{9}\\.txt"), s"rollup files: $names")
+  }
+
+  test("legacy unversioned rollup files read as index -1 and upgrade " +
+    "on the next install") {
+    import spark.implicits._
+    val path = ds("legacyroll")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    // seed OLD-layout rollups (pre-round-15 single filenames)
+    def seed(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(mdir, name), false)
+      out.write(text.getBytes("UTF-8")); out.close()
+    }
+    seed("txn-watermarks.txt", "appA\t42")
+    seed("constraint-ops.txt", "old_check\t1\t0\tdrop")
+    assert(Versioned.lastTxn(spark, path, "appA").contains(42L))
+    val (ops0, rec0) = Versioned.readConstraintOpsRollup(spark, path)
+    assert(ops0 == Map("old_check" -> ((1L, 0L, "drop"))) && rec0.isEmpty)
+    // next vacuum installs a versioned constraint-ops file, merging
+    // the legacy content and retiring the old name (the txn rollup
+    // only rewrites when retired manifests carried #txn lines — its
+    // legacy file stays readable as index -1 until then)
+    Versioned.vacuum(spark, path, keepVersions = 1)
+    val names = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith("constraint-ops")).sorted.toSeq
+    assert(names == Seq("constraint-ops-000000000.txt"), s"rollups: $names")
+    assert(Versioned.lastTxn(spark, path, "appA").contains(42L))
+    val (ops1, rec1) = Versioned.readConstraintOpsRollup(spark, path)
+    assert(ops1.get("old_check").exists(_._3 == "drop") && rec1.nonEmpty)
+  }
 }
