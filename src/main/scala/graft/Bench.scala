@@ -285,6 +285,56 @@ object Bench {
     runs(runs.length / 2)
   }
 
+  /** Interleaved runner for TWIN layout probes (round-14 verdict ask
+    * #1 — the x10 trio's pattern generalized): each cycle times every
+    * body back-to-back and shares ONE canary pair, so a load excursion
+    * lands in the SAME rep of every series and the published pair
+    * ORDERING is load-invariant — two sequential probe() calls let
+    * drift between the blocks invert a comparison whose row-group
+    * accounting says 14x fewer reads (round 14's pruned 0.529 s vs
+    * unpruned 0.473 s). One shared requeue hook appends a full
+    * re-warmed cycle to all series, so qualified counts move together
+    * and no subset triggers duplicate cycles. Returns each entry's
+    * in-sweep median, in input order. */
+  private def probeInterleaved(spark: SparkSession,
+      entries: Seq[(String, () => DataFrame)],
+      reps: Int = 5): Seq[Double] = {
+    sweepPersisted(spark); System.gc()
+    entries.foreach { case (_, q) => execTime(q()): Unit } // warmups
+    execTime(canaryJob(spark)); execTime(ioCanaryJob(spark))
+    val series = entries.map(_ =>
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    val cSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def oneCycle(): Unit = {
+      sweepPersisted(spark); System.gc()
+      entries.zip(series).foreach { case ((_, q), buf) =>
+        buf += execTime(q())
+      }
+      val c = execTime(canaryJob(spark))
+      val io = execTime(ioCanaryJob(spark))
+      cSeries += c; ioSeries += io
+      recordCanary(c, io)
+      entries.zip(series).foreach { case ((n, _), buf) =>
+        repTimes += n -> buf.toSeq
+        repCanaries += n -> cSeries.toSeq
+        repIoCanaries += n -> ioSeries.toSeq
+      }
+    }
+    (1 to reps).foreach(_ => oneCycle())
+    val cycleHook: () => Unit = () => {
+      sweepPersisted(spark); System.gc()
+      entries.foreach { case (_, q) => execTime(q()): Unit } // re-warm
+      oneCycle()
+    }
+    entries.foreach { case (n, _) => requeueHooks += n -> cycleHook }
+    entries.zip(series).map { case ((n, _), buf) =>
+      val runs = buf.toSeq.sorted
+      spreads += n -> ((runs.head, runs.last))
+      runs(runs.length / 2)
+    }
+  }
+
   /** temp dirs created by staging/probes — removed before exit so a
     * bench run leaves /tmp as it found it (round-6 missing #4); the
     * shutdown hook covers crash paths */
@@ -947,8 +997,9 @@ object Bench {
         .filter(F.col("l_orderkey") >= 10000 && F.col("l_orderkey") < 20000)
         .groupBy("l_returnflag")
         .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
-      val a = probe(spark, "q06_parquet_unpruned") { q(s"$dirP/shuffled") }
-      val b = probe(spark, "q06_parquet_pruned") { q(s"$dirP/sorted") }
+      val Seq(a, b) = probeInterleaved(spark, Seq(
+        "q06_parquet_unpruned" -> (() => q(s"$dirP/shuffled")),
+        "q06_parquet_pruned" -> (() => q(s"$dirP/sorted"))))
       // Z-ORDER twin (the q277 statement's layout): cluster on
       // (l_orderkey, l_quantity) and filter on the SECOND column —
       // the case the linear sort above cannot prune (its groups carry
@@ -989,8 +1040,9 @@ object Bench {
         .filter(F.col("l_quantity") >= 10 && F.col("l_quantity") < 13)
         .groupBy("l_returnflag")
         .agg(F.sum(F.col("l_quantity").cast("double")).as("sum_qty"))
-      val zl = probe(spark, "q06_zorder_2ndcol") { qQty(s"$dirP/zorder") }
-      val ll = probe(spark, "q06_linear_2ndcol") { qQty(s"$dirP/sorted") }
+      val Seq(zl, ll) = probeInterleaved(spark, Seq(
+        "q06_zorder_2ndcol" -> (() => qQty(s"$dirP/zorder")),
+        "q06_linear_2ndcol" -> (() => qQty(s"$dirP/sorted"))))
       val note = s"parquet row-group accounting: sorted layout $totS " +
         s"groups / $hitS intersect the filter range, shuffled twin " +
         s"$totU / $hitU; 2nd-column twin (filter l_quantity in [10,13)): " +
@@ -1527,11 +1579,17 @@ object Bench {
       val budgetNs = 300L * 1000000000L // global requeue wall budget
       // the BASELINE-gate pair first (the judge reads value and the
       // matched-volume x10 number against BASELINE.md — they must not
-      // lose the requeue budget to a slow probe), then slowest-first:
-      // calm windows are scarce on a loaded box, so they go to the
-      // entries where an unqualified median distorts the artifact
-      // most, not to sub-floor queries
-      val priority = Seq("q06_q1_flagship", "q06_x10_6Mrows")
+      // lose the requeue budget to a slow probe), then the LSH scaling
+      // family (round-14 ask #4: the dedup-at-volume story is the
+      // north-star workload and its four entries published 0-2
+      // qualified reps when they only competed slowest-first for the
+      // tail of the budget), then slowest-first: calm windows are
+      // scarce on a loaded box, so they go to the entries where an
+      // unqualified median distorts the artifact most, not to
+      // sub-floor queries
+      val priority = Seq("q06_q1_flagship", "q06_x10_6Mrows",
+        "q29_x10_50kdocs", "q51_x10_50kdocs", "q112_x10_50kdocs",
+        "q129_x10_50kdocs")
       val names = priority.filter(repTimes.contains) ++
         repTimes.keys.toSeq.filterNot(priority.contains)
           .sortBy(n => -medOf(repTimes(n)))
@@ -1711,7 +1769,15 @@ object Bench {
                 if (preCs.nonEmpty) Some(preCs.min / fSweepC) else None,
                 if (postCs.nonEmpty) Some(postCs.min / fReqC) else None
               ).flatten.max > BenchPolicy.EntryFloorCapRatio
-              (cs.max / cs.min, capped)
+              // excursion PER PHASE (max over phases of max/min),
+              // mirroring the entry-floor split above: an early-sweep
+              // entry with a requeued rep otherwise mixes a JIT-cold
+              // ~0.13s canary with an end-of-sweep ~0.03s one and
+              // cross-phase drift alone trips the 1.25x bar —
+              // auto-labeling a genuine plan regression machine-load
+              val exc = Seq(preCs, postCs).filter(_.nonEmpty)
+                .map(p => p.max / p.min).max
+              (exc, capped)
             }.getOrElse((1.0, false))
           // adjudication consumes the qualification (round-13 verdict
           // #2: an entry must not be called "noise" from all-reps data
@@ -1810,7 +1876,12 @@ object Bench {
         "appears in (median - q00_floor), not the raw wall ratio. " +
         "q06_zorder_2ndcol vs q06_linear_2ndcol: the same selective " +
         "filter on the SECOND clustered column; the z-layout's " +
-        "row-group accounting in prune is the 100 TB number"),
+        "row-group accounting in prune is the 100 TB number. BOTH " +
+        "pairs run INTERLEAVED per-rep (round-14 ask #1, the x10 trio " +
+        "pattern) with one shared canary pair and a shared requeue " +
+        "cycle, so the published pair ordering is load-invariant — " +
+        "round 14's inverted prune pair was drift between its two " +
+        "sequential rep blocks"),
       "q06_delete" -> ("cow vs dv: a 16-row scattered takedown (one " +
         "row per segment, fresh ids per rep) — copy-on-write " +
         "rewrites every affected segment (the whole table here), " +
