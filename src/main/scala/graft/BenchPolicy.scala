@@ -136,10 +136,23 @@ object BenchPolicy {
     * drift alone and auto-label every early-sweep plan regression
     * "machine-load"), and `loadedPatch` is the entry-floor-over-cap
     * condition (uniformly elevated canaries — no excursion, but the
-    * whole entry ran loaded). */
+    * whole entry ran loaded).
+    *
+    * `isolated` (sec, tool, date) is a recorded quiet-box isolated
+    * re-measurement from the `bench_isolated.json` ledger (round-14
+    * verdict ask #2) and refines ONLY the otherwise-unattributed
+    * branch — noise/machine-load verdicts already carry in-artifact
+    * evidence. The isolated number either fails to reproduce the
+    * regression off-sweep (it overlaps the prior median → sweep
+    * context, not plan) or confirms the shift is real off-sweep — in
+    * which case attribution between "the plan changed" and "the PRIOR
+    * median was the unrepresentative one" needs git evidence the
+    * policy cannot see, and the label says so. */
   def adjudicate(prev: Double, curMin: Double,
                  worstCanaryRatio: Double, qualifiedReps: Int,
-                 loadedPatch: Boolean = false): String = {
+                 loadedPatch: Boolean = false,
+                 isolated: Option[(Double, String, String)] = None)
+      : String = {
     val base =
       if (curMin <= prev * 1.1)
         f"noise: rep min $curMin%.3f overlaps prior median $prev%.3f"
@@ -149,7 +162,19 @@ object BenchPolicy {
       else if (worstCanaryRatio >= 1.25)
         f"machine-load: canary excursion up to $worstCanaryRatio%.2fx " +
           "the entry floor during reps"
-      else "unattributed: re-measure isolated (BenchOne); suspect plan"
+      else isolated match {
+        case Some((iso, tool, date)) if iso <= prev * 1.15 =>
+          f"environment: $tool isolated re-measure $iso%.3fs ($date) " +
+            f"overlaps prior median $prev%.3f - the regression does " +
+            "not reproduce off-sweep"
+        case Some((iso, tool, date)) =>
+          f"reproduced-isolated: $tool re-measure $iso%.3fs ($date) " +
+            "confirms the shift off-sweep - either the plan changed " +
+            "or the prior median was the unrepresentative number; " +
+            "see probe_notes"
+        case None =>
+          "unattributed: re-measure isolated (BenchOne); suspect plan"
+      }
     if (qualifiedReps < MinQualifiedReps)
       s"insufficient-qualified-reps ($qualifiedReps): " +
         s"adjudicated from all reps — $base"

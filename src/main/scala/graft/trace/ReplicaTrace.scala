@@ -15,7 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_REPS (3),
   * SPARK_GRAFT_REPL_MULT (union-replicate lineitem N times, default 1),
   * SPARK_GRAFT_REPL_NSEG (segment count, default 16) — MULT=12 NSEG=128
-  * over the staged x10 table reproduces the bench probe's exact volume.
+  * over the staged x10 table reproduces the bench probe's exact volume —
+  * and SPARK_GRAFT_REPL_SHUF (shuffle partitions, default 7; set 32 to
+  * match the Bench session when chasing in-sweep-vs-idle gaps).
   */
 object ReplicaTrace {
   def main(args: Array[String]): Unit = {
@@ -24,7 +26,8 @@ object ReplicaTrace {
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "7")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_REPL_SHUF", "7"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -130,4 +130,202 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(c.startsWith("insufficient-qualified-reps (2)"))
     assert(c.contains("noise:"))
   }
+
+  test("adjudicate: an isolated ledger measurement overlapping the " +
+    "prior median clears the entry as environment") {
+    val c = BenchPolicy.adjudicate(prev = 1.0, curMin = 1.5,
+      worstCanaryRatio = 1.0, qualifiedReps = 5,
+      isolated = Some((1.05, "BenchOne", "2026-08-16")))
+    assert(c.startsWith("environment:"))
+    assert(c.contains("BenchOne") && c.contains("2026-08-16"))
+  }
+
+  test("adjudicate: an isolated measurement that reproduces the shift " +
+    "off-sweep says so — and never clears it as environment") {
+    val c = BenchPolicy.adjudicate(prev = 1.0, curMin = 1.5,
+      worstCanaryRatio = 1.0, qualifiedReps = 5,
+      isolated = Some((1.45, "BenchOne", "2026-08-16")))
+    assert(c.startsWith("reproduced-isolated:"))
+  }
+
+  test("adjudicate: the ledger refines ONLY the unattributed branch — " +
+    "noise and machine-load verdicts keep their in-artifact evidence") {
+    val noise = BenchPolicy.adjudicate(prev = 1.0, curMin = 1.05,
+      worstCanaryRatio = 1.0, qualifiedReps = 5,
+      isolated = Some((1.45, "BenchOne", "2026-08-16")))
+    assert(noise.startsWith("noise:"))
+    val mload = BenchPolicy.adjudicate(prev = 1.0, curMin = 1.5,
+      worstCanaryRatio = 2.0, qualifiedReps = 5,
+      isolated = Some((1.05, "BenchOne", "2026-08-16")))
+    assert(mload.startsWith("machine-load:"))
+  }
+
+  // ---- FIXTURE REPLAY through the full publication wiring (round-14
+  // verdict ask #6): the policy functions above are each pinned, but
+  // every round's failure mode appeared in the wiring BETWEEN them —
+  // which floor a rep is judged against, which series a median is
+  // taken over, which min feeds adjudication. This fixture is a
+  // recorded-sweep shape (times + both canaries per rep, a requeue
+  // phase, a prior artifact, an isolated ledger) pushed through
+  // SweepPublication — the same object Bench.main publishes from. ----
+
+  private def fixture: SweepPublication = {
+    def n(x: Double, k: Int) = Seq.fill(k)(x)
+    val entries = Seq("qA_coldcache", "qB_diverge", "qC_noise",
+      "qD_mload", "qE_ledger_env", "qF_ledger_repro", "qG_unattr",
+      "qH_crossphase", "q06_x10_canary")
+    SweepPublication(
+      entries = entries,
+      repTimes = Map(
+        // round-13 x10 shape: 10 honest reps under a slightly-busy
+        // compute canary, 2 cache-cold reps that are the only ones
+        // whose canaries look calm — the OLD policy published their
+        // 1.53s "median"; the fixed policy must stay all-reps
+        "qA_coldcache" -> (Seq(0.36, 0.40, 0.45, 0.50, 0.55, 0.60,
+          0.65, 0.70, 0.75, 0.38) ++ Seq(1.53, 1.531)),
+        // 9 fast reps under a busy compute canary + 4 calm slow reps:
+        // qualified median 0.55 vs all-reps 0.30 — must publish the
+        // qualified number AND a divergence entry carrying both
+        "qB_diverge" -> (n(0.30, 9) ++ n(0.55, 4)),
+        "qC_noise" -> Seq(1.02, 1.30, 1.30, 1.35, 1.32),
+        "qD_mload" -> Seq(1.50, 1.52, 1.48, 1.51, 1.50),
+        "qE_ledger_env" -> n(1.5, 5),
+        "qF_ledger_repro" -> n(1.5, 5),
+        "qG_unattr" -> n(1.5, 5),
+        // 3 sweep reps under a JIT-cold 0.13s canary + 1 requeued rep
+        // under an end-of-sweep 0.05s canary: whole-series excursion
+        // 2.6x would mislabel the regression machine-load; per-phase
+        // excursion is 1.0 and the verdict must stay unattributed
+        "qH_crossphase" -> Seq(1.5, 1.5, 1.5, 1.5),
+        "q06_x10_canary" -> n(0.10, 5)),
+      repCanaries = Map(
+        "qA_coldcache" -> (n(0.14, 10) ++ n(0.10, 2)),
+        "qB_diverge" -> (n(0.14, 9) ++ n(0.10, 4)),
+        "qC_noise" -> n(0.10, 5),
+        "qD_mload" -> Seq(0.10, 0.10, 0.10, 0.13, 0.10),
+        "qE_ledger_env" -> n(0.10, 5),
+        "qF_ledger_repro" -> n(0.10, 5),
+        "qG_unattr" -> n(0.10, 5),
+        "qH_crossphase" -> (n(0.13, 3) :+ 0.05),
+        "q06_x10_canary" -> n(0.10, 5)),
+      repIoCanaries = Map(
+        "qA_coldcache" -> n(0.55, 12),
+        "qB_diverge" -> n(0.55, 13),
+        "qC_noise" -> n(0.55, 5),
+        "qD_mload" -> n(0.55, 5),
+        "qE_ledger_env" -> n(0.55, 5),
+        "qF_ledger_repro" -> n(0.55, 5),
+        "qG_unattr" -> n(0.55, 5),
+        "qH_crossphase" -> n(0.55, 4),
+        "q06_x10_canary" -> n(0.55, 5)),
+      preRequeueReps = Map(
+        "qA_coldcache" -> 12, "qB_diverge" -> 13, "qC_noise" -> 5,
+        "qD_mload" -> 5, "qE_ledger_env" -> 5, "qF_ledger_repro" -> 5,
+        "qG_unattr" -> 5, "qH_crossphase" -> 3, "q06_x10_canary" -> 5),
+      fSweepC = 0.10, fReqC = 0.05, fSweepIo = 0.5, fReqIo = 0.5,
+      prevMedians = Map("qC_noise" -> 1.0, "qD_mload" -> 1.0,
+        "qE_ledger_env" -> 1.0, "qF_ledger_repro" -> 1.0,
+        "qG_unattr" -> 1.0, "qH_crossphase" -> 1.0,
+        "q06_x10_canary" -> 0.01),
+      isolatedLedger = Map(
+        "qE_ledger_env" -> IsolatedMeasure(1.05, "BenchOne", "2026-08-16"),
+        "qF_ledger_repro" -> IsolatedMeasure(1.45, "BenchOne", "2026-08-16")))
+  }
+
+  private def parseJson(s: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+
+  test("fixture replay: every published median lies inside its own " +
+    "rep spread — the invariant round 13 broke") {
+    val pub = fixture
+    pub.entries.foreach { n =>
+      val m = pub.finalMedian(n)
+      val (lo, hi) = pub.spreadOf(n)
+      assert(m >= lo && m <= hi, s"$n: median $m outside [$lo, $hi]")
+    }
+  }
+
+  test("fixture replay: the qualified switch happens only at >= " +
+    "MinQualifiedReps — 2 lucky cache-cold reps publish the all-reps " +
+    "median, 4 qualified reps publish theirs") {
+    val pub = fixture
+    assert(pub.qualifiedOf("qA_coldcache").length === 2)
+    assert(pub.finalMedian("qA_coldcache") ===
+      BenchPolicy.median(pub.repTimes("qA_coldcache")))
+    assert(pub.qualifiedOf("qB_diverge").length === 4)
+    assert(pub.finalMedian("qB_diverge") === 0.55)
+  }
+
+  test("fixture replay: a >1.2x qualified-vs-all-reps disagreement " +
+    "publishes BOTH numbers in median_divergence; agreeing entries " +
+    "and sub-3-qualified entries do not appear") {
+    val pub = fixture
+    val div = parseJson(pub.divergenceJson)
+    assert(div.has("qB_diverge"))
+    assert(div.get("qB_diverge").get("qualified").asDouble() === 0.55)
+    assert(div.get("qB_diverge").get("all_reps").asDouble() === 0.30)
+    assert(!div.has("qA_coldcache")) // 2 qualified: all-reps published
+    assert(!div.has("qC_noise"))
+    assert(div.size() === 1)
+  }
+
+  test("fixture replay: regression adjudication — noise from rep-min " +
+    "overlap, machine-load from PER-PHASE excursion only, ledger " +
+    "refinement, and the canary series excluded") {
+    val pub = fixture
+    val causes = pub.regressions.map(r => r._1 -> r._5).toMap
+    assert(causes("qC_noise").startsWith("noise:"))
+    assert(causes("qD_mload").startsWith("machine-load:"))
+    assert(causes("qE_ledger_env").startsWith("environment:"))
+    assert(causes("qF_ledger_repro").startsWith("reproduced-isolated:"))
+    assert(causes("qG_unattr").startsWith("unattributed:"))
+    // the cross-phase entry: whole-series canary excursion is 2.6x but
+    // per-phase is 1.0 — machine-load must NOT be claimed
+    assert(causes("qH_crossphase").startsWith("unattributed:"))
+    // the interleaved canary series is machine state, not a query
+    assert(!causes.contains("q06_x10_canary"))
+  }
+
+  test("fixture replay: every emitted artifact fragment is valid JSON " +
+    "and the fields are mutually consistent") {
+    val pub = fixture
+    val qs = parseJson(pub.qjson)
+    val qual = parseJson(pub.qualifiedJson)
+    val canary = parseJson(pub.repCanaryJson)
+    val io = parseJson(pub.repIoCanaryJson)
+    val efr = parseJson(pub.entryFloorRatioJson)
+    val regs = parseJson(pub.regressionsJson)
+    pub.entries.foreach { n =>
+      assert(qs.has(n) && qual.has(n) && canary.has(n) && io.has(n) &&
+        efr.has(n), s"$n missing from an artifact field")
+      assert(math.abs(qs.get(n).asDouble() - pub.finalMedian(n)) < 1e-4)
+      assert(qual.get(n).asInt() === pub.qualifiedOf(n).length)
+      assert(canary.get(n).size() === pub.repTimes(n).length)
+    }
+    assert(regs.isArray && regs.size() === pub.regressions.length)
+    // a regression row's cur is the same published median qjson carries
+    val it = regs.elements()
+    while (it.hasNext) {
+      val r = it.next()
+      assert(math.abs(r.get("cur").asDouble() -
+        qs.get(r.get("q").asText()).asDouble()) < 1e-4)
+    }
+  }
+
+  test("isolated ledger parsing: the bench_isolated.json shape round-" +
+    "trips, a missing file reads empty") {
+    val tmp = java.nio.file.Files.createTempFile("ledger", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"q27_dedup_exact": {"sec": 0.293, "tool": "BenchOne", """ +
+      """"date": "2026-08-16", "note": "30 reps"},""" + "\n" +
+      """ "q06_zorder_2ndcol": {"sec": 0.2055, "tool": "LayoutTrace", """ +
+      """"date": "2026-08-16", "note": "x"}}""")
+    val m = SweepPublication.loadIsolatedLedger(tmp.toString)
+    assert(m("q27_dedup_exact") ===
+      IsolatedMeasure(0.293, "BenchOne", "2026-08-16"))
+    assert(m("q06_zorder_2ndcol").tool === "LayoutTrace")
+    assert(SweepPublication.loadIsolatedLedger("/nonexistent/x.json")
+      === Map.empty)
+    java.nio.file.Files.delete(tmp)
+  }
 }
