@@ -29,6 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench sweep runs ~100 distinct whole-stage-codegen'd queries in
+  // one JVM; the default 240 MB code cache fills late in the sweep and
+  // C2 compilation of late-arriving paths (the MERGE apply is probe
+  // ~90) degrades to flush-and-throttle — measured as a uniform ~2x
+  // inflation of every merge-trace step vs the same code in a fresh
+  // JVM. Bench records code-cache occupancy in the env fingerprint.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 
 // Forked-JVM stdout passes through UNDECORATED: the bench/verify contract

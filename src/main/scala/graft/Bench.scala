@@ -1711,8 +1711,24 @@ object Bench {
     // qualified_reps 0 per query).
     val qualJson =
       s"""{"ratio":${BenchPolicy.QualRatio},"io_ratio":${BenchPolicy.IoQualRatio},"entry_floor_cap":${BenchPolicy.EntryFloorCapRatio},"min_qualified_reps":${BenchPolicy.MinQualifiedReps},"floor_sec":${f"$floorUsed%.4f"},"floor_sweep_sec":${f"$fSweepC%.4f"},"floor_requeue_sec":${f"$fReqC%.4f"},"io_floor_sec":${f"$ioFloorUsed%.4f"},"io_floor_sweep_sec":${f"$fSweepIo%.4f"},"io_floor_requeue_sec":${f"$fReqIo%.4f"},"floor_hint_sec":${floorHintC.fold("null")(h => f"$h%.4f")},"io_floor_hint_sec":${floorHintIo.fold("null")(h => f"$h%.4f")},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal,"requeue_wall_sec":${f"$requeueWallSec%.1f"}}"""
+    // JIT/codegen JVM-state fingerprint (round-14 ask #3's residual):
+    // ~100 codegen'd queries fill the code cache late in the sweep and
+    // late-arriving paths (the MERGE apply is probe ~90) then run
+    // flush-throttled — a uniform inflation a per-rep canary CANNOT
+    // see (the canary's own hot path compiled long ago). Occupancy in
+    // the artifact makes the condition attributable after the fact.
+    val jitJson = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+      def mb(name: String): Long = pools.filter(_.getName.contains(name))
+        .map(p => p.getUsage.getUsed / (1024 * 1024)).sum
+      val max = pools.filter(_.getName.startsWith("CodeHeap"))
+        .map(p => p.getUsage.getMax / (1024 * 1024)).sum
+      s""""code_cache_used_mb":${mb("CodeHeap")},"code_cache_max_mb":$max,"metaspace_used_mb":${mb("Metaspace")}"""
+    }
     val envJson =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType","canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench._1}"}"""
+      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType",$jitJson,"canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench._1}"}"""
     // per-probe explanations as a STRUCTURED map (round-12 verdict ask
     // #7): the old single `notes` blob grew past the driver wrapper's
     // 2000-char stdout tail and its most important sentences got

@@ -2556,6 +2556,27 @@ object SparkEntry {
         .withColumn("ddl_completes", F.lit(ddlCompletes))
     }),
 
+    // DISTRIBUTED CLASSIFIER TRAINING: the learning half of q156's
+    // linear scorer — a nearest-centroid (Rocchio) model over hashed
+    // token counts is TRAINED on the corpus (one map-side-combined
+    // aggregation: per-class count + per-dimension sums; driver state
+    // = two 32-vectors) and then scores every document with the
+    // learned integer micro-unit weights. The label distills the
+    // length-quality heuristic (tokens >= 60) — a target the feature
+    // space provably encodes, so the gate checks real learning, and
+    // the DuckDB oracle replays TRAINING (class sums -> rounded
+    // micro-means -> w and midpoint threshold), not just scoring:
+    // every published number is int64, bit-exact across engines.
+    "q321_classifier_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("y",
+        F.when(graft.operators.TextAnalysis
+          .tokenCount(F.col("text")) >= 60, 1L).otherwise(-1L))
+      val (w, thr) = graft.operators.TextAnalysis.classifierTrain(
+        docs, "text", "y", dim = 32)
+      graft.operators.TextAnalysis.classifierScore(
+        docs, "text", "doc_id", "y", w.toSeq, thr)
+    }),
+
     // CDC REPLICATION capstone: seed a replica from a snapshot, then
     // keep it in sync by TAILING the source's row-level change feed
     // through a real micro-batched stream and applying each batch with
@@ -8918,6 +8939,12 @@ object SparkEntry {
     "q197_stream_classifier" ->
       s"""SELECT * FROM (${classifierOracleSql(negate = true)}) WHERE keep""",
 
+    // the FULL training replay: nearest-centroid training (per-class
+    // sums -> rounded micro-means -> w + midpoint threshold) over
+    // integer hashed-count features, then scoring with the learned
+    // vector — all int64, exactly the Spark trainer's arithmetic
+    "q321_classifier_train" -> classifierTrainOracleSql,
+
     // DuckDB evaluates the correlated subqueries natively; the engine's
     // decorrelation (group-by-key aggregate + inner join) must agree.
     // Boundary exactness argument: every compared aggregate is built
@@ -9804,6 +9831,51 @@ object SparkEntry {
        |  list_sum(list_transform(generate_series(1, 32),
        |    i -> e[i] * wv[i])) > 0 AS keep
        |FROM em, w""".stripMargin
+  }
+
+  /** The q321 training replay: nearest-centroid training as CTEs —
+    * per-class per-dimension count sums (parallel unnests zip position
+    * with count), class means rounded ONCE to integer micro-units
+    * (round(s·10⁶/n): one IEEE division + one half-away round, the
+    * q107/q156 micro-unit pattern), w = μ₊ − μ₋ and the midpoint
+    * threshold Σ wᵢ(μ₊ᵢ + μ₋ᵢ), then every document scored
+    * 2·10⁶·(w·e) − t. Replays
+    * [[graft.operators.TextAnalysis.classifierTrain]] exactly — every
+    * published number is int64. */
+  private def classifierTrainOracleSql: String = {
+    val dim = 32
+    def dot =
+      s"""list_sum(list_transform(generate_series(1, $dim),
+         |      i -> f.e[i] * wv[i]))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |    x -> len(x) > 0) AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 60 THEN 1::BIGINT
+       |         ELSE (-1)::BIGINT END AS y,
+       |    list_transform(generate_series(0, ${dim - 1}),
+       |      i -> CAST(len(list_filter(list_transform(toks,
+       |        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $dim),
+       |        h -> h = i)) AS BIGINT)) AS e
+       |  FROM t),
+       |sums AS (SELECT y, pos, CAST(sum(cnt) AS BIGINT) AS s FROM (
+       |    SELECT y, unnest(e) AS cnt,
+       |           unnest(generate_series(1, $dim)) AS pos FROM f)
+       |  GROUP BY y, pos),
+       |ns AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY y),
+       |mu AS (SELECT y, list(CAST(round(s * 1000000.0 / n) AS BIGINT)
+       |    ORDER BY pos) AS m FROM sums JOIN ns USING (y) GROUP BY y),
+       |wt AS (SELECT
+       |    list_transform(generate_series(1, $dim),
+       |      i -> p.m[i] - q.m[i]) AS wv,
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> (p.m[i] - q.m[i]) * (p.m[i] + q.m[i]))) AS thr
+       |  FROM (SELECT m FROM mu WHERE y = 1) p,
+       |       (SELECT m FROM mu WHERE y = -1) q)
+       |SELECT f.doc_id, f.y AS label,
+       |  CAST(2000000 * $dot - thr AS BIGINT) AS score,
+       |  (2000000 * $dot - thr) > 0 AS pred
+       |FROM f, wt""".stripMargin
   }
 
   /** The q171 mixture replay (q157's weights + exact ppm rates + the

@@ -1291,6 +1291,98 @@ object TextAnalysis {
         F.col("_s.keep").as("keep"))
   }
 
+  /** Feature-hashed bag-of-words token COUNTS (the integer sibling of
+    * [[hashEmbedding]], which L2-normalizes): per-dimension token
+    * counts under the engine-portable md5 hash, as int64. The training
+    * feature for [[classifierTrain]] — all-integer features keep the
+    * whole training loop in exact arithmetic, so an oracle replays it
+    * bit-for-bit (no float-summation order to diverge on). Pure narrow
+    * map, O(dim·tokens) per row. */
+  def hashCounts(text: Column, dim: Int = 32): Column = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    import graft.functions.ExprUtils.let
+    let(tokens(F.lower(text))) { toks =>
+      let(F.transform(toks, (t: Column) => Dedup.md5Hash60(t) % dim)) {
+        buckets =>
+          F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+            (b: Column) => F.size(F.filter(buckets,
+              (x: Column) => x === b.cast("long"))).cast("long"))
+      }
+    }
+  }
+
+  /** Distributed linear-classifier TRAINING — the learning half of
+    * [[classifierQuality]] (which ships offline-trained weights): a
+    * NEAREST-CENTROID (Rocchio) model over [[hashCounts]] features.
+    * w = μ₊ − μ₋ in integer MICRO-UNITS (each class mean rounded once:
+    * round(Σe·10⁶/n) — one IEEE division + one half-away round per
+    * component, the same proven-replayable move as the q107/q156
+    * embedding micro-units) and the decision threshold at the midpoint
+    * projection: pred ⇔ 2·10⁶·(w·e) > w·μ₊ + w·μ₋. Every published
+    * number is int64, so an oracle replays TRAINING, not just scoring.
+    *
+    * Why closed-form and not gradient epochs: batch-gradient
+    * perceptron/SGD iterations either oscillate at lr=1 (the full-batch
+    * update overshoots and cycles — measured, not hypothesized) or
+    * need float state that no hash gate can replay across engines;
+    * the centroid model is the one classical linear text classifier
+    * whose training IS a single aggregation — and at 100 TB that is
+    * the whole point: ONE pass over the corpus (map-side-combined
+    * per-class count + per-dimension sums, a 2×(dim+1)-cell result),
+    * driver state = two dim-vectors, no epochs, no persisted feature
+    * frame, no collect wider than dim.
+    *
+    * Returns (w, threshold): micro-unit weights (length dim) and the
+    * midpoint threshold for [[classifierScore]]'s integer decision. */
+  def classifierTrain(df: DataFrame, textCol: String, labelCol: String,
+                      dim: Int = 32): (Array[Long], Long) = {
+    val feats = df.select(hashCounts(F.col(textCol), dim).as("e"),
+        F.col(labelCol).cast("long").as("y"))
+      .where(F.col("y").isInCollection(Seq(-1L, 1L)))
+    val sums = (0 until dim).map(i =>
+      F.sum(F.col("e").getItem(i)).as(s"s$i"))
+    val rows = feats.groupBy("y")
+      .agg(F.count(F.lit(1)).as("n"), sums: _*)
+      .collect() // exactly 2 rows of (y, n, dim sums)
+    require(rows.length == 2,
+      s"classifierTrain needs BOTH labels present, got ${rows.length} " +
+        "class(es) — a one-class corpus has no decision boundary")
+    def mu(y: Long): Array[Long] = {
+      val r = rows.find(_.getLong(0) == y)
+        .getOrElse(throw new IllegalArgumentException(
+          s"classifierTrain labels must be exactly {-1, 1}; $y missing"))
+      val n = r.getLong(1).toDouble
+      (0 until dim).map { i =>
+        // counts are nonnegative, so HALF UP == SQL round()'s half away
+        // from zero; the division is one IEEE op — bit-identical in any
+        // engine, the q107/q156 micro-unit pattern
+        math.floor(r.getLong(2 + i).toDouble * 1e6 / n + 0.5).toLong
+      }.toArray
+    }
+    val (muP, muN) = (mu(1L), mu(-1L))
+    val w = muP.zip(muN).map { case (a, b) => a - b }
+    val t = w.zip(muP).map { case (a, b) => a * b }.sum +
+      w.zip(muN).map { case (a, b) => a * b }.sum
+    (w, t)
+  }
+
+  /** Score a corpus with a [[classifierTrain]] model: score =
+    * 2·10⁶·(w·e) − t (all int64; positive ⇔ nearer the positive
+    * centroid). Returns (idCol, label, score, pred) — a narrow
+    * codegen'd map, zero state, splits-parallel at any corpus size. */
+  def classifierScore(df: DataFrame, textCol: String, idCol: String,
+                      labelCol: String, w: Seq[Long], t: Long): DataFrame = {
+    require(w.nonEmpty, "weight vector must carry at least 1 feature")
+    val wLit = F.array(w.map(F.lit): _*)
+    df.select(F.col(idCol), F.col(labelCol).cast("long").as("label"),
+        (F.lit(2000000L) * F.aggregate(
+          F.zip_with(hashCounts(F.col(textCol), w.length), wLit,
+            (a: Column, b: Column) => a * b),
+          F.lit(0L), (acc: Column, x: Column) => acc + x) - F.lit(t))
+          .as("score"))
+      .withColumn("pred", F.col("score") > 0)
+  }
+
   /** Inverted index build: token → (document frequency, sorted posting
     * list capped at `maxPostings`). The serving-side artifact of a corpus
     * (search, decontamination lookups, vocabulary audits).

@@ -654,6 +654,54 @@ class OperatorsSpec extends SparkSpec {
     for (id <- Seq(1L, 2L, 3L)) assert(outNeg(id) == -out(id)._1)
   }
 
+  test("classifier training: centroid model separates a separable " +
+    "corpus and the score arithmetic matches a hand-derived model") {
+    // two disjoint vocabularies — the centroids differ in exactly the
+    // buckets each vocabulary hashes to, so the learned model must
+    // classify its own training set perfectly
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta alpha gamma", 1L)
+      else (i, "delta epsilon zeta", -1L)
+    }.toDF("doc_id", "text", "y")
+    val (w, t) = TextAnalysis.classifierTrain(docs, "text", "y", dim = 16)
+    assert(w.length == 16)
+    val out = TextAnalysis.classifierScore(docs, "text", "doc_id", "y",
+      w.toSeq, t).collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.getBoolean(3) == (r.getLong(1) == 1L)),
+      "a separable two-vocabulary corpus must classify perfectly")
+    // hand-derive: every even doc is identical, every odd doc is
+    // identical, so each class mean IS its document vector and the
+    // midpoint score is symmetric: score(pos doc) = -score(neg doc)
+    val s = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(0L) == -s(1L))
+    assert(s(0L) > 0 && s(1L) < 0)
+    // one-class corpora have no boundary: loud error, not garbage
+    val oneClass = Seq((1L, "alpha", 1L)).toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierTrain(oneClass, "text", "y", dim = 16))
+  }
+
+  test("classifier training: learns the length-quality label on the " +
+    "documents fixture (the q321 construction)") {
+    assume(new java.io.File(
+      "/root/testdata/sf0.01/documents.parquet").exists())
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .withColumn("y", F.when(
+        TextAnalysis.tokenCount(F.col("text")) >= 60, 1L).otherwise(-1L))
+    val (w, t) = TextAnalysis.classifierTrain(docs, "text", "y", dim = 32)
+    val out = TextAnalysis.classifierScore(docs, "text", "doc_id", "y",
+      w.toSeq, t)
+    val (hits, n) = out.select(
+        F.sum(F.when(F.col("pred") === (F.col("label") === 1L), 1L)
+          .otherwise(0L)), F.count(F.lit(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(n > 0)
+    assert(hits.toDouble / n > 0.9,
+      s"centroid model should distill the length heuristic: $hits/$n")
+  }
+
   test("duplicated n-gram removal: hand-computed coverage, rebuild, pass-through") {
     // docs 1 and 2 share the 3-gram "a b c" (and its overlapping
     // shifts); doc 3 is untouched; doc 4 is shorter than n
