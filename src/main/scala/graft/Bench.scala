@@ -1785,7 +1785,11 @@ object Bench {
         "(taken under the pre-BenchPolicy publication rules) - the " +
         "operator path is unchanged since round 12 and its plan " +
         "re-audit found digest-groupBy with no anti-pattern; no plan " +
-        "regression in any of the three"),
+        "regression in any of the three. The replica pair's idle " +
+        "numbers (apply 2.35s warm / recopy 2.8s cold at the exact " +
+        "probe volume under the bench config) are also in the ledger " +
+        "- see probe_notes.q06_replica for the aged-driver " +
+        "attribution of their in-sweep medians"),
       "q00_floor" -> ("the MEASURED per-rep driver floor (5-row scan " +
         "+ agg through the identical probe path: Catalyst planning + " +
         "codegen + footer job, ~0.1-0.15s) — subtract its median from " +
@@ -1862,7 +1866,28 @@ object Bench {
         "records math: " +
         "apply reads feed + ONE segment and rewrites it, recopy " +
         "moves the whole table — the gap grows linearly with table " +
-        "size at fixed delta"),
+        "size at fixed delta. ROUND-15 in-sweep-vs-idle attribution " +
+        "(round-14 ask #3): the residual between the idle apply " +
+        "(2.2-2.4s warm reps, ReplicaTrace at the exact probe volume " +
+        "WITH the bench session config - shuffle 32 + openCost 256K " +
+        "measured equal to the trace defaults) and the in-sweep " +
+        "3.5-3.7s is AGED-DRIVER state, by elimination: not config " +
+        "(A/B equal), not code-cache exhaustion (512MB reserved, 148MB " +
+        "used at end of sweep - see env.code_cache_used_mb), not " +
+        "transient load (the published reps' canaries read 1.0-1.3x), " +
+        "not cache eviction (drop_caches=3 before isolated reps " +
+        "penalizes ONLY the first rep ~+1.8s, later reps self-rewarm " +
+        "to 2.3-2.6s, while in-sweep reps sit FLAT at 3.6s), and " +
+        "GRAFT_MERGE_TRACE shows every step inflated UNIFORMLY ~1.5x " +
+        "(planning+scheduling, not one hot I/O). The same aging " +
+        "inflates recopy ~2.4x (2.6-3.0s cold-cache idle vs 6.7s " +
+        "in-sweep), so the pair ordering and the crossover story are " +
+        "preserved under identical conditions. NOT resequenced " +
+        "earlier on purpose: an early slot would read the just-staged " +
+        "snapshot page-cache-warm and publish a recopy number only a " +
+        "128GB-RAM single box can produce - cold data is the honest " +
+        "100TB condition for a table-copy probe. bench_isolated.json " +
+        "carries both idle numbers for the adjudicator"),
       "q279_bpe" -> ("train32k_wordcount / _mergeloop / encode32k: " +
         "the production-vocabulary tokenizer at 32768 merges over " +
         "the x10 corpus widened with one md5-hex word per row (~50k " +

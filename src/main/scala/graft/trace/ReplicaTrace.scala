@@ -28,6 +28,9 @@ object ReplicaTrace {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_REPL_SHUF", "7"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_REPL_OPENCOST",
+          (4L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -77,6 +80,22 @@ object ReplicaTrace {
       eng.sql(s"UPDATE '$srcPath' SET l_tax = l_tax + 0.001 WHERE " +
         s"l_orderkey IN (${ids.mkString(", ")})"): Unit
       (hv0, graft.sources.Versioned.versions(spark, srcPath).last)
+    }
+
+    // SPARK_GRAFT_REPL_DROPCACHE: 2 = evict slab (dentries/inodes), 3 =
+    // slab + page cache — reproduces the mid-sweep cache state the
+    // bench probe runs under (the sweep created ~100k files and
+    // streamed tens of GB before the replica pair), isolating which
+    // cache the apply's in-sweep inflation lives in. Root-only knob,
+    // best-effort.
+    sys.env.get("SPARK_GRAFT_REPL_DROPCACHE").foreach { v =>
+      try {
+        new ProcessBuilder("sync").start().waitFor()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), v)
+        println(s"REPLICA_TRACE dropped caches: $v")
+      } catch { case e: Throwable =>
+        println(s"REPLICA_TRACE drop_caches failed: $e") }
     }
 
     def once(i: Int): Unit = {
