@@ -202,6 +202,38 @@ object Bench {
       .agg(F.count(F.lit(1)).as("n"), F.min("h").as("m"))
   }
 
+  /** One recorded (compute, io) canary pair, measured with the
+    * just-finished rep's OWN WAKE drained first: unpersist + GC clear
+    * its garbage and trailing block state, and an untimed warm read
+    * restores the io-canary file its streaming may have evicted. The
+    * canaries exist to measure the BOX during the rep's window —
+    * external load and disk contention persist through the ~0.3 s
+    * drain and still register; the rep's self-perturbation must not.
+    * Round-15 finding that forced this: on an IDLE box, every
+    * GB-streaming probe (the four LSH x10 entries, the 6M-row layout
+    * pairs, recopy) published 0-2 qualified reps because its own
+    * footprint evicted the canary file (io ratios 1.8-4.7x the floor)
+    * and its un-collected wake held the compute-canary entry floor
+    * above the loaded-patch cap (entry_floor_ratio 2.4-6.1) — heavy
+    * entries could NEVER qualify, however quiet the machine. */
+  private def settledCanaryPair(spark: SparkSession): (Double, Double) = {
+    sweepPersisted(spark); System.gc()
+    // the GC enqueues the rep's dead shuffles/broadcasts on the
+    // ContextCleaner, whose deletions run on background threads EXACTLY
+    // while the canary would — a storm sized by the rep's own shuffle
+    // count (the LSH probes' entry floors sat 2-6x the global floor
+    // with calm in-rep conditions). A short settle plus one THROWAWAY
+    // canary absorbs the storm untimed; the io warm restores the
+    // canary file the rep's streaming may have evicted.
+    Thread.sleep(150)
+    execTime(canaryJob(spark)): Unit
+    execTime(ioCanaryJob(spark)): Unit
+    val c = execTime(canaryJob(spark))
+    val io = execTime(ioCanaryJob(spark))
+    recordCanary(c, io)
+    (c, io)
+  }
+
   /** Shared probe/headline runner: sweep + GC + warmup, then `reps`
     * timed runs; records the spread and returns the median. EVERY timed
     * entry — scale probes and headline queries alike — goes through
@@ -233,13 +265,11 @@ object Bench {
     def oneRep(): Unit = {
       sweepPersisted(spark); System.gc()
       val t = execTime(q)
-      val c = execTime(canaryJob(spark))
-      val io = execTime(ioCanaryJob(spark))
+      val (c, io) = settledCanaryPair(spark)
       repTimes += name -> (repTimes.getOrElse(name, Seq.empty) :+ t)
       repCanaries += name -> (repCanaries.getOrElse(name, Seq.empty) :+ c)
       repIoCanaries += name ->
         (repIoCanaries.getOrElse(name, Seq.empty) :+ io)
-      recordCanary(c, io)
     }
     (1 to reps).foreach(_ => oneRep())
     // the body stays re-runnable for the end-of-sweep requeue pass,
@@ -291,10 +321,8 @@ object Bench {
       entries.zip(series).foreach { case ((_, q), buf) =>
         buf += execTime(q())
       }
-      val c = execTime(canaryJob(spark))
-      val io = execTime(ioCanaryJob(spark))
+      val (c, io) = settledCanaryPair(spark)
       cSeries += c; ioSeries += io
-      recordCanary(c, io)
       entries.zip(series).foreach { case ((n, _), buf) =>
         repTimes += n -> buf.toSeq
         repCanaries += n -> cSeries.toSeq
@@ -503,12 +531,7 @@ object Bench {
     * into the current phase's floor buffers; returns the medians. */
   private def canaryTime(spark: SparkSession): (Double, Double) = {
     execTime(canaryJob(spark)); execTime(ioCanaryJob(spark)) // warmups
-    val pairs = (1 to 3).map { _ =>
-      val c = execTime(canaryJob(spark))
-      val io = execTime(ioCanaryJob(spark))
-      recordCanary(c, io)
-      (c, io)
-    }
+    val pairs = (1 to 3).map(_ => settledCanaryPair(spark))
     (BenchPolicy.median(pairs.map(_._1)), BenchPolicy.median(pairs.map(_._2)))
   }
 
@@ -542,6 +565,30 @@ object Bench {
 
     val loadBefore = loadAvg()
     stageIoCanary(spark) // untimed; both canaries exist before any rep
+    // PRE-WARM the compute canary to its steady state (round 15): its
+    // wall is task-scheduling cost that C2-compiles over ~100+
+    // executions (CanarySettle: ~0.13s run 1 → ~0.05 by run 60 →
+    // ~0.03 after hundreds), so without this the global floor — the
+    // 5th-smallest observation, i.e. END-of-sweep state — sits 2-6x
+    // under what any MID-sweep canary can reach, and every heavy
+    // mid-sweep entry (the LSH x10 family at probes ~40-75) fails the
+    // loaded-patch cap on JIT position alone: entry floors 0.07-0.18s
+    // absolute, exactly a fresh JVM's canary wall (HeavyWake), not
+    // probe wake. ~10s of untimed warmup flattens the curve for the
+    // whole sweep; the loop stops early once the rolling median stops
+    // improving.
+    locally {
+      var best = Double.MaxValue
+      var sinceImproved = 0
+      var i = 0
+      while (i < 250 && sinceImproved < 40) {
+        val c = execTime(canaryJob(spark))
+        if (c < best * 0.95) { best = c; sinceImproved = 0 }
+        else sinceImproved += 1
+        i += 1
+      }
+      (1 to 10).foreach(_ => execTime(ioCanaryJob(spark)): Unit)
+    }
     val (canaryBefore, ioCanaryBefore) = canaryTime(spark)
 
     // untimed ingest (see stageSplittable's scaladoc); queries read the
@@ -1090,6 +1137,9 @@ object Bench {
         val t0 = System.nanoTime()
         freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text")
         val t = (System.nanoTime() - t0) / 1e9
+        // drain own wake (see settledCanaryPair): GC, settle, throwaway
+        sweepPersisted(spark); System.gc(); Thread.sleep(150)
+        execTime(canaryJob(spark)): Unit
         val c = execTime(canaryJob(spark))
         repTimes += "q279_bpe_train32k_wordcount" ->
           (repTimes.getOrElse("q279_bpe_train32k_wordcount", Seq.empty) :+ t)
@@ -1109,6 +1159,10 @@ object Bench {
         merges32k = graft.operators.TextAnalysis
           .bpeTrainFromFreqs(freqs, 32768)
         val t = (System.nanoTime() - t0) / 1e9
+        // drain the loop's driver garbage before the canary (plus the
+        // settle + throwaway of settledCanaryPair)
+        System.gc(); Thread.sleep(150)
+        execTime(canaryJob(spark)): Unit
         val c = execTime(canaryJob(spark))
         repTimes += "q279_bpe_train32k_mergeloop" ->
           (repTimes.getOrElse("q279_bpe_train32k_mergeloop", Seq.empty) :+ t)
@@ -1738,7 +1792,17 @@ object Bench {
     val probeNotes: Seq[(String, String)] = Seq(
       "qualification" -> ("a rep counts toward the published median " +
         "only when BOTH its back-to-back canaries ran within their " +
-        "bars: the 32-task compute canary within ratio x its ENTRY's " +
+        "bars. ROUND 15: each pair is now measured SETTLED - the " +
+        "rep's own wake drained first (unpersist + GC + an untimed " +
+        "warm read of the io-canary file) - because on an idle box " +
+        "every GB-streaming probe self-disqualified: its footprint " +
+        "evicted the canary file (io 1.8-4.7x) and its un-collected " +
+        "garbage held the entry canary floor over the loaded-patch " +
+        "cap (entry_floor_ratio 2.4-6.1), so the LSH x10 family could " +
+        "never reach 3 qualified reps however quiet the machine; " +
+        "external load and disk contention persist through the ~0.3s " +
+        "drain and still disqualify. Bars: " +
+        "the 32-task compute canary within ratio x its ENTRY's " +
         "own canary floor - the canary wall is task-scheduling cost " +
         "that JIT-warms across the sweep (CanarySettle measured 0.13s " +
         "run 1, 0.05s by run 60, 0.03s fully warm), so a global-" +

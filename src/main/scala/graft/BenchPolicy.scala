@@ -48,8 +48,17 @@ object BenchPolicy {
     * excursion mid-entry still spikes that rep's canary above its
     * neighbors' — while this cap keeps an entry that ran entirely
     * inside a loaded window (round 13's 4.7–5.9× apply patches) from
-    * self-normalizing its bar. */
-  val EntryFloorCapRatio = 2.0
+    * self-normalizing its bar.
+    *
+    * 3.0, not 2.0 (round 15): three idle-box validation sweeps — with
+    * the canary PRE-WARMED to steady state and every pair measured
+    * settled — still show STRUCTURAL mid-sweep entry floors of
+    * 1.4–2.5× the (prior-hint-tightened) global floor on a machine
+    * known quiet, so a 2.0 cap zeroes heavy mid-sweep entries (the
+    * LSH x10 family) on JIT/sweep position alone, while the condition
+    * the cap exists to catch measured 4.7–5.9×. 3.0 sits in the wide
+    * gap between structural noise and that signal. */
+  val EntryFloorCapRatio = 3.0
 
   /** Minimum qualified reps before the published median abandons the
     * all-reps median. With fewer, the all-reps median is the more
