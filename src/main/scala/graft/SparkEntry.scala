@@ -9835,20 +9835,22 @@ object SparkEntry {
 
   /** The q321 training replay: nearest-centroid training as CTEs —
     * per-class per-dimension count sums (parallel unnests zip position
-    * with count), class means rounded ONCE to integer micro-units
-    * (round(s·10⁶/n): one IEEE division + one half-away round, the
-    * q107/q156 micro-unit pattern), w = μ₊ − μ₋ and the midpoint
-    * threshold Σ wᵢ(μ₊ᵢ + μ₋ᵢ), then every document scored
-    * 2·10⁶·(w·e) − t. Replays
+    * with count), class means rounded ONCE to integer milli-units
+    * (round(s·10³/n): one IEEE division + one half-away round, the
+    * q107/q156 micro-unit pattern at overflow-safe milli scale), w =
+    * μ₊ − μ₋ and the midpoint threshold Σ wᵢ(μ₊ᵢ + μ₋ᵢ), then every
+    * document scored 2·10³·(w·e) − t. Replays
     * [[graft.operators.TextAnalysis.classifierTrain]] exactly — every
-    * published number is int64. */
+    * published number is int64 (NULL text = zero vector, coalesced on
+    * both sides). */
   private def classifierTrainOracleSql: String = {
     val dim = 32
     def dot =
       s"""list_sum(list_transform(generate_series(1, $dim),
          |      i -> f.e[i] * wv[i]))""".stripMargin
     s"""WITH t AS (SELECT doc_id, list_filter(
-       |    regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |    regexp_split_to_array(lower(coalesce(text, '')),
+       |      '[ \\t\\n\\x0b\\f\\r]+'),
        |    x -> len(x) > 0) AS toks FROM documents),
        |f AS (SELECT doc_id,
        |    CASE WHEN len(toks) >= 60 THEN 1::BIGINT
@@ -9863,7 +9865,7 @@ object SparkEntry {
        |           unnest(generate_series(1, $dim)) AS pos FROM f)
        |  GROUP BY y, pos),
        |ns AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY y),
-       |mu AS (SELECT y, list(CAST(round(s * 1000000.0 / n) AS BIGINT)
+       |mu AS (SELECT y, list(CAST(round(s * 1000.0 / n) AS BIGINT)
        |    ORDER BY pos) AS m FROM sums JOIN ns USING (y) GROUP BY y),
        |wt AS (SELECT
        |    list_transform(generate_series(1, $dim),
@@ -9873,8 +9875,8 @@ object SparkEntry {
        |  FROM (SELECT m FROM mu WHERE y = 1) p,
        |       (SELECT m FROM mu WHERE y = -1) q)
        |SELECT f.doc_id, f.y AS label,
-       |  CAST(2000000 * $dot - thr AS BIGINT) AS score,
-       |  (2000000 * $dot - thr) > 0 AS pred
+       |  CAST(2000 * $dot - thr AS BIGINT) AS score,
+       |  (2000 * $dot - thr) > 0 AS pred
        |FROM f, wt""".stripMargin
   }
 

@@ -204,19 +204,33 @@ private[graft] object SweepPublication {
   /** Parse the hand-maintained `bench_isolated.json` ledger (entry →
     * quiet-box re-measurement). Missing file or malformed entries read
     * as an empty ledger — the ledger only ever REFINES an adjudication,
-    * it never gates the sweep. */
+    * it never gates the sweep. Parsing is per-entry-block with each
+    * field extracted independently, so hand-edited key order or a `}`
+    * inside a note cannot silently drop the entry (the failure mode
+    * that would quietly revert a regression to "unattributed" — the
+    * verdict the ledger exists to eliminate). */
   def loadIsolatedLedger(path: String): Map[String, IsolatedMeasure] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Map.empty
     val txt =
       try java.nio.file.Files.readString(f.toPath)
       catch { case _: Throwable => return Map.empty }
-    ("\"(q[A-Za-z0-9_]+)\"\\s*:\\s*\\{[^}]*\"sec\"\\s*:\\s*" +
-      "([0-9]+(?:\\.[0-9]+)?)[^}]*\"tool\"\\s*:\\s*\"([^\"]+)\"" +
-      "[^}]*\"date\"\\s*:\\s*\"([^\"]+)\"").r
-      .findAllMatchIn(txt)
-      .map(m => m.group(1) ->
-        IsolatedMeasure(m.group(2).toDouble, m.group(3), m.group(4)))
-      .toMap
+    val entryRe = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
+    val starts = entryRe.findAllMatchIn(txt).toSeq
+    starts.zipWithIndex.flatMap { case (m, i) =>
+      val end =
+        if (i + 1 < starts.length) starts(i + 1).start else txt.length
+      val body = txt.substring(m.end, end)
+      def str(field: String): Option[String] =
+        ("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").r
+          .findFirstMatchIn(body).map(_.group(1))
+      val sec = ("\"sec\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)").r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+      (sec, str("tool"), str("date")) match {
+        case (Some(s), Some(tool), Some(date)) =>
+          Some(m.group(1) -> IsolatedMeasure(s, tool, date))
+        case _ => None
+      }
+    }.toMap
   }
 }

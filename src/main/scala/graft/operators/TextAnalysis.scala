@@ -1244,19 +1244,34 @@ object TextAnalysis {
     * integer squares in array order, and each component rounds to 6 —
     * an oracle replays the vector exactly. */
   def hashEmbedding(text: Column, dim: Int = 32): Column = {
+    import graft.functions.ExprUtils.let
+    let(F.transform(bucketCounts(text, dim),
+        (c: Column) => c.cast("double"))) { counts =>
+      let(F.sqrt(F.aggregate(counts, F.lit(0.0),
+          (a: Column, c: Column) => a + c * c))) { norm =>
+        F.transform(counts, (c: Column) =>
+          F.when(norm > 0, F.round(c / norm, 6)).otherwise(F.lit(0.0)))
+      }
+    }
+  }
+
+  /** The shared tokenize → md5-bucket → per-dimension-count pipeline
+    * under [[hashEmbedding]] (which normalizes it to doubles) and
+    * [[hashCounts]] (which keeps raw int64 counts): ONE source of
+    * truth for the expression tree both engines must replay
+    * bit-exactly. NULL text propagates as a NULL vector (the engine's
+    * general null contract) — callers that want null = zero vector
+    * coalesce the text column first, as [[classifierTrain]] /
+    * [[classifierScore]] do. */
+  private def bucketCounts(text: Column, dim: Int): Column = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     import graft.functions.ExprUtils.let
     let(tokens(F.lower(text))) { toks =>
-      let(F.transform(toks, (t: Column) => Dedup.md5Hash60(t) % dim)) { buckets =>
-        let(F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+      let(F.transform(toks, (t: Column) => Dedup.md5Hash60(t) % dim)) {
+        buckets =>
+          F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
             (b: Column) => F.size(F.filter(buckets,
-              (x: Column) => x === b.cast("long"))).cast("double"))) { counts =>
-          let(F.sqrt(F.aggregate(counts, F.lit(0.0),
-              (a: Column, c: Column) => a + c * c))) { norm =>
-            F.transform(counts, (c: Column) =>
-              F.when(norm > 0, F.round(c / norm, 6)).otherwise(F.lit(0.0)))
-          }
-        }
+              (x: Column) => x === b.cast("long"))).cast("long"))
       }
     }
   }
@@ -1298,28 +1313,26 @@ object TextAnalysis {
     * whole training loop in exact arithmetic, so an oracle replays it
     * bit-for-bit (no float-summation order to diverge on). Pure narrow
     * map, O(dim·tokens) per row. */
-  def hashCounts(text: Column, dim: Int = 32): Column = {
-    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
-    import graft.functions.ExprUtils.let
-    let(tokens(F.lower(text))) { toks =>
-      let(F.transform(toks, (t: Column) => Dedup.md5Hash60(t) % dim)) {
-        buckets =>
-          F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-            (b: Column) => F.size(F.filter(buckets,
-              (x: Column) => x === b.cast("long"))).cast("long"))
-      }
-    }
-  }
+  def hashCounts(text: Column, dim: Int = 32): Column =
+    bucketCounts(text, dim)
 
   /** Distributed linear-classifier TRAINING — the learning half of
     * [[classifierQuality]] (which ships offline-trained weights): a
     * NEAREST-CENTROID (Rocchio) model over [[hashCounts]] features.
-    * w = μ₊ − μ₋ in integer MICRO-UNITS (each class mean rounded once:
-    * round(Σe·10⁶/n) — one IEEE division + one half-away round per
+    * w = μ₊ − μ₋ in integer MILLI-UNITS (each class mean rounded once:
+    * round(Σe·10³/n) — one IEEE division + one half-away round per
     * component, the same proven-replayable move as the q107/q156
     * embedding micro-units) and the decision threshold at the midpoint
-    * projection: pred ⇔ 2·10⁶·(w·e) > w·μ₊ + w·μ₋. Every published
+    * projection: pred ⇔ 2·10³·(w·e) > w·μ₊ + w·μ₋. Every published
     * number is int64, so an oracle replays TRAINING, not just scoring.
+    * Milli, not micro: the score 2·10³·(w·e) must stay inside int64
+    * for ANY document (Spark under ansi=false would wrap silently
+    * while DuckDB promotes to HUGEINT and the gate would diverge) —
+    * at 10³ scale even a 10⁶-token document against extreme weights
+    * sits 4 orders of magnitude under Long.MaxValue, and quantizing
+    * class means to 3 decimals moves no real decision boundary.
+    * NULL text trains and scores as the zero vector (coalesced before
+    * hashing).
     *
     * Why closed-form and not gradient epochs: batch-gradient
     * perceptron/SGD iterations either oscillate at lr=1 (the full-batch
@@ -1336,7 +1349,8 @@ object TextAnalysis {
     * midpoint threshold for [[classifierScore]]'s integer decision. */
   def classifierTrain(df: DataFrame, textCol: String, labelCol: String,
                       dim: Int = 32): (Array[Long], Long) = {
-    val feats = df.select(hashCounts(F.col(textCol), dim).as("e"),
+    val feats = df.select(
+        hashCounts(F.coalesce(F.col(textCol), F.lit("")), dim).as("e"),
         F.col(labelCol).cast("long").as("y"))
       .where(F.col("y").isInCollection(Seq(-1L, 1L)))
     val sums = (0 until dim).map(i =>
@@ -1355,8 +1369,8 @@ object TextAnalysis {
       (0 until dim).map { i =>
         // counts are nonnegative, so HALF UP == SQL round()'s half away
         // from zero; the division is one IEEE op — bit-identical in any
-        // engine, the q107/q156 micro-unit pattern
-        math.floor(r.getLong(2 + i).toDouble * 1e6 / n + 0.5).toLong
+        // engine, the q107/q156 micro-unit pattern (at milli scale)
+        math.floor(r.getLong(2 + i).toDouble * 1e3 / n + 0.5).toLong
       }.toArray
     }
     val (muP, muN) = (mu(1L), mu(-1L))
@@ -1367,7 +1381,7 @@ object TextAnalysis {
   }
 
   /** Score a corpus with a [[classifierTrain]] model: score =
-    * 2·10⁶·(w·e) − t (all int64; positive ⇔ nearer the positive
+    * 2·10³·(w·e) − t (all int64; positive ⇔ nearer the positive
     * centroid). Returns (idCol, label, score, pred) — a narrow
     * codegen'd map, zero state, splits-parallel at any corpus size. */
   def classifierScore(df: DataFrame, textCol: String, idCol: String,
@@ -1375,9 +1389,10 @@ object TextAnalysis {
     require(w.nonEmpty, "weight vector must carry at least 1 feature")
     val wLit = F.array(w.map(F.lit): _*)
     df.select(F.col(idCol), F.col(labelCol).cast("long").as("label"),
-        (F.lit(2000000L) * F.aggregate(
-          F.zip_with(hashCounts(F.col(textCol), w.length), wLit,
-            (a: Column, b: Column) => a * b),
+        (F.lit(2000L) * F.aggregate(
+          F.zip_with(
+            hashCounts(F.coalesce(F.col(textCol), F.lit("")), w.length),
+            wLit, (a: Column, b: Column) => a * b),
           F.lit(0L), (acc: Column, x: Column) => acc + x) - F.lit(t))
           .as("score"))
       .withColumn("pred", F.col("score") > 0)

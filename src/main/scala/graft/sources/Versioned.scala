@@ -219,8 +219,15 @@ object Versioned {
     * `dropConstraint(name)` converges. History is consumed in bounded
     * 256-version bulk chunks (the vacuum/lastTxn pattern). */
   def pendingConstraintDrops(spark: SparkSession,
-                             path: String): Set[String] = {
-    val (enforcedMap, asofOpt) = constraintsWithAsof(spark, path)
+                             path: String): Set[String] =
+    pendingConstraintDropsFrom(spark, path, constraintsWithAsof(spark, path))
+
+  /** [[pendingConstraintDrops]] over a PRE-READ (constraints, #asof)
+    * pair — the DDL paths already hold one, and re-reading the live
+    * file per call doubles every ALTER's remote round trips. */
+  private def pendingConstraintDropsFrom(spark: SparkSession, path: String,
+      constraintsAndAsof: (Map[String, String], Option[Long])): Set[String] = {
+    val (enforcedMap, asofOpt) = constraintsAndAsof
     val enforced = enforcedMap.keySet
     if (enforced.isEmpty) return Set.empty
     // reconciliation is VERSION-based (not file-mtime: a later DDL
@@ -329,8 +336,8 @@ object Versioned {
     // prevent. Subtracting them COMPLETES those drops (their audit
     // commit already landed); a re-ADD of a pending name is therefore
     // legal and lands as the newest op.
-    val existing = constraints(spark, path) --
-      pendingConstraintDrops(spark, path)
+    val cw = constraintsWithAsof(spark, path)
+    val existing = cw._1 -- pendingConstraintDropsFrom(spark, path, cw)
     require(!existing.contains(name),
       s"constraint '$name' already exists at $path")
     val hv = headVersion(spark, path)
@@ -385,10 +392,12 @@ object Versioned {
     // still there — re-running the drop is how it converges); the
     // copy-forward subtracts OTHER pending drops so this DDL's fresh
     // #asof cannot hide their markers (see addConstraint)
-    val raw = constraints(spark, path)
+    val cw = constraintsWithAsof(spark, path)
+    val raw = cw._1
     require(raw.contains(name),
       s"constraint '$name' does not exist at $path")
-    val existing = raw -- (pendingConstraintDrops(spark, path) - name)
+    val existing =
+      raw -- (pendingConstraintDropsFrom(spark, path, cw) - name)
     val hv = headVersion(spark, path)
     val v = commitSegments(spark, path, headSegments(spark, path, Some(hv)),
       readDvMap(spark, path, hv), expectedBase = Some(hv),
@@ -942,20 +951,29 @@ object Versioned {
   //      legacy unversioned filename reads as index −1 (shadowed by any
   //      versioned install). ----
 
-  /** Newest-first resolution for a versioned rollup file: (index, path)
-    * of the live file, if any. */
-  private def newestRollupFile(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, base: String): Option[(Long, Path)] = {
+  /** All versions of rollup `base` in the dir, ascending by index —
+    * the ONE place the `base-<n>.txt` naming scheme (and the legacy
+    * unversioned `base.txt` reading as index −1) is resolved; both the
+    * reader and the installer consume this so they can never disagree
+    * on which file is live. */
+  private def listRollupFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, base: String): Seq[(Long, Path)] = {
     val re = (java.util.regex.Pattern.quote(base) + "-(\\d+)\\.txt").r
-    if (!fs.exists(dir)) return None
+    if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case re(n) => Some(n.toLong -> st.getPath)
         case nm if nm == s"$base.txt" => Some(-1L -> st.getPath)
         case _ => None
       }
-    }.sortBy(_._1).lastOption
+    }.sortBy(_._1)
   }
+
+  /** Newest-first resolution for a versioned rollup file: (index, path)
+    * of the live file, if any. */
+  private def newestRollupFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, base: String): Option[(Long, Path)] =
+    listRollupFiles(fs, dir, base).lastOption
 
   /** Install `content` as the next version of rollup `base`, then
     * best-effort retire superseded files (a leftover is shadowed by
@@ -964,16 +982,7 @@ object Versioned {
   private def installRollupFile(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path, base: String, content: String): Unit = {
     fs.mkdirs(dir)
-    val old = {
-      val re = (java.util.regex.Pattern.quote(base) + "-(\\d+)\\.txt").r
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case re(n) => Some(n.toLong -> st.getPath)
-          case nm if nm == s"$base.txt" => Some(-1L -> st.getPath)
-          case _ => None
-        }
-      }.sortBy(_._1)
-    }
+    val old = listRollupFiles(fs, dir, base)
     val nextIdx = old.lastOption.fold(0L)(_._1 + 1L)
     val tmp = new Path(dir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")

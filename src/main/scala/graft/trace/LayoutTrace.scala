@@ -94,6 +94,9 @@ object LayoutTrace {
       println(f"LAYOUTTRACE MEDIAN $name $med%.4f s  min=${s.head}%.4f " +
         f"max=${s.last}%.4f reps=${s.size}%d")
     }
+    // ~4 staged copies of the 6M-row table per run — the repeated
+    // adjudication runs this tool exists for must not fill /tmp
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     spark.stop()
   }
 }

@@ -328,4 +328,19 @@ class BenchPolicySpec extends AnyFunSuite {
       === Map.empty)
     java.nio.file.Files.delete(tmp)
   }
+
+  test("isolated ledger parsing survives hand-edits: reordered keys " +
+    "and a brace inside the note must not silently drop the entry") {
+    val tmp = java.nio.file.Files.createTempFile("ledger", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"q251_webcrawl_prep": {"note": "spread {0.39, 0.50} warm", """ +
+      """"tool": "BenchOne", "date": "2026-08-16", "sec": 0.466},""" +
+      "\n" +
+      """ "q99_malformed": {"tool": "BenchOne"}}""")
+    val m = SweepPublication.loadIsolatedLedger(tmp.toString)
+    assert(m("q251_webcrawl_prep") ===
+      IsolatedMeasure(0.466, "BenchOne", "2026-08-16"))
+    assert(!m.contains("q99_malformed")) // incomplete: skipped, not garbage
+    java.nio.file.Files.delete(tmp)
+  }
 }
