@@ -74,12 +74,15 @@ object Versioned {
       .flatMap { st =>
         val s = st.getPath.getName
         // side manifests (deletion vectors, writer txns) are not
-        // versions — only the MAIN v-N.txt is the commit point
-        if (s.startsWith("v-") && s.endsWith(".txt") &&
-            !s.endsWith(".dv.txt") && !s.endsWith(".txn.txt"))
-          Some(s.stripPrefix("v-").stripSuffix(".txt").toLong ->
-            st.getModificationTime)
-        else None
+        // versions — only the MAIN v-N.txt is the commit point. The
+        // digits-only regex (like constraintFiles / listRollupFiles)
+        // also TOLERATES stray near-miss files: a bare toLong on e.g.
+        // an operator's `v-backup.txt` threw from inside every read,
+        // commit and DESCRIBE — one junk filename bricked the dataset.
+        s match {
+          case VersionFileRe(n) => Some(n.toLong -> st.getModificationTime)
+          case _ => None
+        }
       }
       .sortBy(_._1)
   }
@@ -117,6 +120,11 @@ object Versioned {
     * serially on the driver (a handful of round trips beats a Spark
     * job); longer ranges go through ONE distributed job. */
   private val BulkManifestCutoff = 16
+
+  /** The main commit manifest's filename shape — digits only, so
+    * `.dv.txt` / `.txn.txt` side manifests and stray near-miss files
+    * never parse as versions. */
+  private val VersionFileRe = "v-(\\d+)\\.txt".r
 
   /** Read MANY versions' manifests in one pass: version → (segment
     * names, metadata lines). Each manifest file is opened ONCE (the
@@ -468,8 +476,11 @@ object Versioned {
       op: String = ""): Long = {
     val segs = carried ++ fresh
     // only CARRIED segments may keep deletion vectors — a rewritten
-    // segment materialized its vector by construction
-    val keptDvs = dvs.filter { case (s, _) => carried.contains(s) }
+    // segment materialized its vector by construction. Set lookup: a
+    // Seq.contains inside the filter is O(dvs × segments) driver CPU
+    // on a widely-vectored manifest.
+    val carriedSet = carried.toSet
+    val keptDvs = dvs.filter { case (s, _) => carriedSet.contains(s) }
     if (segs.nonEmpty) commitSegments(spark, path, segs, keptDvs, cdc,
       expectedBase = expectedBase, op = op)
     else commitSegments(spark, path, Seq(writeSegment(
@@ -518,9 +529,12 @@ object Versioned {
         s"commitSegments: segment(s) ${missing.take(5).mkString(", ")} " +
           s"do not exist at $path")
     }
-    dvs.keys.foreach { s =>
-      require(segs.contains(s),
-        s"commitSegments: deletion vector for unreferenced segment '$s'")
+    locally { // Set lookup, not Seq.contains per dv (O(dvs × segments))
+      val segSet = segs.toSet
+      dvs.keys.foreach { s =>
+        require(segSet.contains(s),
+          s"commitSegments: deletion vector for unreferenced segment '$s'")
+      }
     }
     val dir = new Path(s"$path/manifest")
     fs.mkdirs(dir)
@@ -1097,9 +1111,11 @@ object Versioned {
         else F.lit(null).cast(f.dataType).as(f.name)
       }.toSeq ++ Seq(F.col("__file"), F.col("__pos"), F.col("__seg")): _*)
     // a rewrite of a vectored segment MATERIALIZES its vector: the
-    // deleted rows must not resurrect into the fresh segment
+    // deleted rows must not resurrect into the fresh segment.
+    // (Set lookup — Seq.contains per dv is O(dvs × segments).)
+    val segSet = segs.toSet
     DeletionVectors.applyTo(aligned, spark, path,
-      dvMap.filter { case (s, _) => segs.contains(s) })
+      dvMap.filter { case (s, _) => segSet.contains(s) })
   }
 
   /** Copy-on-write DELETE: commit a new version holding the head's rows
@@ -1239,6 +1255,13 @@ object Versioned {
         F.element_at(F.split(F.col("__file"), "/"), -1).as("__fname"),
         F.col("__pos"))
       .repartition(F.col("__seg"))
+    // ship the SESSION's Hadoop conf to the tasks (like every other
+    // distributed helper here): a bare `new Configuration()` on the
+    // executor loses spark.hadoop.* settings — s3a credentials etc. —
+    // and the vectored DML fails on any non-default filesystem
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     rows.rdd.mapPartitions { it =>
       val bySeg = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.HashMap[
@@ -1249,7 +1272,7 @@ object Versioned {
           .getOrElseUpdate(r.getString(1),
             scala.collection.mutable.ArrayBuffer.empty) += r.getLong(2)
       }
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.value
       bySeg.iterator.map { case (seg, files) =>
         val prior: Map[String, Array[Long]] = dvOld.get(seg)
           .map(DeletionVectors.read(conf, path, _))
@@ -1322,10 +1345,17 @@ object Versioned {
           .unionByName(cdcTag(replacements, "update_postimage"))),
         expectedBase = Some(hv), op = "update-vectored")
       // updated count from vector headers: new total minus old total —
-      // metadata, not a scan
-      val conf = spark.sparkContext.hadoopConfiguration
-      def total(m: Map[String, String]) =
-        m.valuesIterator.map(DeletionVectors.count(conf, path, _)).sum
+      // metadata, not a scan. Untouched segments cancel out of the
+      // difference, so only TOUCHED segments' vectors are read (and
+      // through batched dvCounts: the old double full pass opened
+      // every vector in the table twice, serially, on the driver —
+      // O(table vectors) round trips for a one-row update)
+      val touched = newEntries.keySet
+      val names = (newEntries.values ++ dvOld.collect {
+        case (s, d) if touched.contains(s) => d }).toSeq.distinct
+      val counts = dvCounts(spark, path, names)
+      def total(m: Map[String, String]) = m.collect {
+        case (s, d) if touched.contains(s) => counts(d) }.sum
       (v, total(dvOld ++ newEntries) - total(dvOld))
     } finally fsOf(spark, path).delete(new Path(stagingDir), true)
   }
@@ -1879,9 +1909,16 @@ object Versioned {
     * reprocess only touched data. This is the ADD side only: a pruned
     * DELETE that empties every affected segment has an EMPTY add-delta
     * — consumers that must observe deletions poll [[removedSegments]] /
-    * [[removals]] alongside (retract removals, upsert changes);
-    * row-level diffing between arbitrary snapshots is
-    * [[graft.operators.Dedup.corpusDiff]]'s job.
+    * [[removals]] alongside (retract removals, upsert changes) AND
+    * [[deletedRows]]: a VECTORED delete (merge-on-read) adds no
+    * segments and removes none — every segment carries byte-identical
+    * with only its deletion vector grown — so it is invisible to both
+    * changes and removals, and a consumer that skips the deletedRows
+    * poll silently keeps vector-deleted rows forever (the streaming
+    * source handles this case for you; this segment-level batch API
+    * does not). Row-level diffing between arbitrary snapshots is
+    * [[graft.operators.Dedup.corpusDiff]]'s job, and the row-level
+    * CDF ([[changeFeed]]) carries all three sides pre-joined.
     * Returns an empty frame (head schema) when nothing changed. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
               toVersion: Option[Long] = None): DataFrame = {
@@ -2169,23 +2206,36 @@ object Versioned {
     }
     val frames = Seq(
       { val ds = cdcDirs.result()
-        if (ds.isEmpty) None
-        else Some(attributed(
+        if (ds.isEmpty) Seq.empty[DataFrame]
+        else Seq(attributed(
           spark.read.option("mergeSchema", "true")
             .parquet(ds.map(d => s"$path/_cdc/${d._1}"): _*),
           ds, changeType = None)) },
       { val ss = insertSegs.result()
-        // one segment = one add, ever (names are unique per write and a
-        // removed name never re-enters a manifest) — the invariant that
-        // lets path-attribution replace the per-version union
-        require(ss.map(_._1).distinct.length == ss.length,
-          "change feed: a segment name recurs across versions; " +
-            "path-based commit attribution would be ambiguous")
-        if (ss.isEmpty) None
-        else Some(attributed(
-          spark.read.option("mergeSchema", "true")
-            .parquet(ss.map(s => s"$path/data/${s._1}"): _*),
-          ss, changeType = Some("insert"))) }
+        // names are unique per WRITE, so path-attribution replaces the
+        // per-version union for the common case — but a RESTORE
+        // re-references a segment an earlier version removed (its
+        // rows re-enter as synthesized inserts, the documented restore
+        // contract), making that name ambiguous for ONE batched read.
+        // Recurring names (rare: only removal-then-restore produces
+        // them) get one explicit leg PER OCCURRENCE with the commit
+        // version as a literal; unique names keep the batched scan.
+        val dupNames = ss.groupBy(_._1).collect {
+          case (n, occ) if occ.length > 1 => n }.toSet
+        val unique = ss.filterNot(s => dupNames.contains(s._1))
+        val batched =
+          if (unique.isEmpty) None
+          else Some(attributed(
+            spark.read.option("mergeSchema", "true")
+              .parquet(unique.map(s => s"$path/data/${s._1}"): _*),
+            unique, changeType = Some("insert")))
+        val perOccurrence = ss.filter(s => dupNames.contains(s._1))
+          .map { case (seg, v) =>
+            spark.read.parquet(s"$path/data/$seg")
+              .withColumn("_change_type", F.lit("insert"))
+              .withColumn("_commit_version", F.lit(v))
+          }
+        batched.toSeq ++ perOccurrence }
     ).flatten
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
@@ -2238,15 +2288,20 @@ object Versioned {
       try Some(s -> spark.read.parquet(s"$path/data/$s").schema.json)
       catch { case scala.util.control.NonFatal(_) => None }
     }
-    if (buildable.nonEmpty)
+    if (buildable.nonEmpty) {
+      // session Hadoop conf shipped to tasks (see buildVectors)
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
       spark.sparkContext
         .parallelize(buildable, math.min(buildable.length, 64))
         .foreach { case (seg, js) =>
           SegmentStats.writeStandalone(
-            new org.apache.hadoop.conf.Configuration(), path, seg,
+            confBc.value.value, path, seg,
             org.apache.spark.sql.types.DataType.fromJson(js)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
         }
+    }
     (segs.length, buildable.length)
   }
 
@@ -2285,9 +2340,11 @@ object Versioned {
     // not the exact total: serve COUNT(*) only
     val dvMap = readDvMap(spark, path, v)
     if (dvMap.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val deleted = dvMap.valuesIterator
-        .map(DeletionVectors.count(conf, path, _)).sum
+      // batched (and deduped, matching rowCount) — the serial
+      // one-read-per-vector loop made the "zero scan jobs" metadata
+      // path the slowest statement on a widely-vectored table
+      val deleted = dvCounts(spark, path,
+        dvMap.values.toSeq.distinct).values.sum
       val schema0 = {
         val out = scala.collection.mutable.LinkedHashMap
           .empty[String, StructField]

@@ -41,6 +41,17 @@ import graft.sources.Versioned
   * the removals poll can express — fails LOUDLY with the fix named
   * (`readChangeFeed` mode streams it as a row-level `delete`).
   *
+  * `.option("startingVersion", v)` is an EXCLUSIVE lower bound —
+  * versions strictly above v stream; v itself does not. This
+  * DIVERGES from Delta, whose identically-named option is inclusive:
+  * here the idiom is "v was my snapshot seed, stream me what came
+  * after", so seeding a replica from version v and tailing with
+  * `startingVersion = v` never double-applies the seed (the shape
+  * every replication capstone uses). A consumer migrating from Delta
+  * streams one fewer version than it would there — subtract 1 to get
+  * Delta's behavior. `startingTimestamp` follows the same rule:
+  * versions committed strictly AFTER the head-at-that-instant.
+  *
   * `.option("maxVersionsPerTrigger", n)` bounds how many committed
   * versions one micro-batch covers (Delta's `maxFilesPerTrigger`
   * analog): a consumer restarting 10,000 versions behind catches up in
@@ -112,8 +123,10 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     // startingTimestamp (epoch ms or the FOR TIMESTAMP AS OF instant
-    // resolution): stream from the version that was HEAD at that
-    // wall-clock moment — mutually exclusive with startingVersion
+    // resolution): stream versions committed strictly AFTER the head
+    // at that wall-clock moment — mutually exclusive with
+    // startingVersion; both are EXCLUSIVE bounds (see the class doc's
+    // Delta-divergence note)
     val startV = (parameters.get("startingVersion"),
         parameters.get("startingTimestamp")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -241,7 +254,12 @@ class VersionedStreamSource(sqlContext: SQLContext, path: String,
     // ever skips numbers); the `limit` parameter restates
     // getDefaultReadLimit — the options are the authority
     val pending = vs.filter(_ > base)
-    if (pending.isEmpty) return LongOffset(vs.last)
+    // never move the cursor BACKWARD: with startingVersion ahead of
+    // the current head (pre-provisioned cursor on a young table),
+    // returning vs.last would checkpoint a cursor BELOW the requested
+    // start and later batches would deliver the versions the user
+    // explicitly excluded
+    if (pending.isEmpty) return LongOffset(math.max(base, vs.last))
     val vCapped = maxVersionsPerTrigger.fold(pending)(max =>
       pending.take(math.min(max, Int.MaxValue.toLong).toInt))
     val end = maxBytesPerTrigger match {

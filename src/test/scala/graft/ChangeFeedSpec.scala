@@ -388,6 +388,49 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Versioned.pendingConstraintDrops(spark, path).isEmpty)
   }
 
+  test("changeFeed spans a removal-then-restore re-add: the restored " +
+    "segment's rows surface as synthesized inserts at BOTH versions") {
+    import spark.implicits._
+    val path = freshPath("restore-readd")
+    // v1: segA; v2: append segB; v3: republish WITHOUT segA's rows
+    // (neutral reorg would reject — use a delete that empties segA);
+    // v4: restore(2) re-references segA — its name recurs
+    Versioned.commit((1L to 5L).map(i => (i, s"a$i")).toDF("id", "v"), path)
+    Versioned.commit((11L to 15L).map(i => (i, s"b$i")).toDF("id", "v"),
+      path, append = true)
+    val eng = Engine(spark)
+    eng.sql(s"DELETE FROM '$path' WHERE id <= 5")
+    Versioned.restore(spark, path, 2L)
+    val f = feed(path, 0).select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // segA's five rows insert at v1 AND again at the restore version
+    val segAInserts = f.filter(x => x._1 <= 5 && x._2 == "insert")
+      .groupBy(_._3).view.mapValues(_.length).toMap
+    assert(segAInserts(1L) == 5, s"v1 inserts: $segAInserts")
+    assert(segAInserts.keySet.exists(_ > 3L),
+      s"restore re-add must surface as inserts: $segAInserts")
+    // the delete's retraction rows are present between the two epochs
+    assert(f.count(x => x._1 <= 5 && x._2 == "delete") == 5)
+    // head equals v2's content — and the feed's NET effect agrees
+    assert(Versioned.read(spark, path).count() == 10)
+  }
+
+  test("a stray near-miss file in the manifest dir is tolerated, not " +
+    "a dataset-bricking NumberFormatException") {
+    import spark.implicits._
+    val path = freshPath("junkfile")
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(s"$path/manifest/v-backup.txt")
+    val out = fs.create(junk, false)
+    try out.write("not a manifest".getBytes("UTF-8")) finally out.close()
+    assert(Versioned.versions(spark, path) == Seq(1L))
+    assert(Versioned.read(spark, path).count() == 1)
+    Versioned.commit(Seq((2L, "b")).toDF("id", "v"), path, append = true)
+    assert(Versioned.read(spark, path).count() == 2)
+  }
+
   test("VACUUM DRY RUN forecasts without deleting") {
     val path = ds("dry")
     val eng = Engine(spark, Files.createTempDirectory("graft-cdf-d").toString)

@@ -516,6 +516,35 @@ class StreamingSpec extends SparkSpec {
     try q2.awaitTermination() finally q2.stop()
     // versions 3 (append) + 4 (delete rewrite): 10 + 29 rows
     assert(spark.read.parquet(s"$dir/out2").count() == 39L)
+    // a startingVersion AHEAD of the current head must not regress the
+    // checkpointed cursor to the head: versions committed later (but
+    // still <= the requested start) stay excluded across restarts
+    val ahead = spark.readStream
+      .format("graft-versioned")
+      .option("path", ds).option("startingVersion", "100")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/outAhead")
+      .option("checkpointLocation", s"$dir/chkAhead")
+      .trigger(Trigger.AvailableNow()).start()
+    try ahead.awaitTermination() finally ahead.stop()
+    import spark.implicits._
+    graft.sources.Versioned.commit(
+      Seq((999L, "z")).toDF("id", "v"), ds, append = true)
+    val ahead2 = spark.readStream
+      .format("graft-versioned")
+      .option("path", ds).option("startingVersion", "100")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/outAhead")
+      .option("checkpointLocation", s"$dir/chkAhead")
+      .trigger(Trigger.AvailableNow()).start()
+    try ahead2.awaitTermination() finally ahead2.stop()
+    val aheadOut = scala.util.Try(
+      spark.read.parquet(s"$dir/outAhead").count()).getOrElse(0L)
+    assert(aheadOut == 0L,
+      s"cursor regressed below the requested start: $aheadOut rows " +
+        "streamed from versions the user excluded")
   }
 
   test("versioned stream source tails the row-level change feed") {
