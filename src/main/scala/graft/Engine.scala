@@ -440,7 +440,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       if (views.contains(name) && orReplace == null)
         throw new SemanticError(s"view '$name' already exists — " +
           "use CREATE OR REPLACE VIEW to redefine it")
-      val parsed = SqlParser.parseCompound(body)
+      // parse loudly BEFORE registering (a syntax error must not even
+      // transiently install the view); the semantic validation below
+      // re-plans through table(name) and rolls back on failure
+      SqlParser.parseCompound(body): Unit
       // registered BEFORE validation so a self-referential body trips
       // the cycle guard here, at definition, with the chain named
       val prior = views.get(name)
@@ -728,6 +731,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             nullable = false),
           StructField("change_rows", LongType, nullable = true)))))
     case DescribeRe(quoted, bare) =>
+      // table() may plan a VIEW body holding a scalar subquery — the
+      // per-statement memo contract (see the default case) applies to
+      // metadata statements too, or a value collected by an earlier
+      // statement describes a stale snapshot
+      scalarCache.clear()
       val ref = if (quoted != null) quoted else bare
       val df = table(ref).df
       import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
@@ -867,6 +875,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             allOrNull("min_val", F.min("min_val")),
             allOrNull("max_val", F.max("max_val"))))
     case SummarizeRe(quoted, bare) =>
+      scalarCache.clear() // view bodies re-plan here too (see DESCRIBE)
       val df = table(if (quoted != null) quoted else bare).df
       import org.apache.spark.sql.{functions => F}
       import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, StructField, StructType}

@@ -35,6 +35,33 @@ case class PackedDoc(doc_id: Long, shard: Int, bin: Int, ntok: Long)
   */
 object Streams {
 
+  /** Unpersist session-lifetime caches when the named query terminates,
+    * then deregister — the shared cache-release discipline of the
+    * decontamination sinks (their eval-set frames persist across every
+    * micro-batch; re-staging per batch would make latency track the
+    * never-changing eval-harness size, while never releasing would
+    * leak the cache past the stream's life). */
+  private def releaseOnTermination(
+      streams: org.apache.spark.sql.streaming.StreamingQueryManager,
+      qName: String, caches: Seq[Dataset[_]]): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    streams.addListener(new StreamingQueryListener {
+      private val watched =
+        new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == qName) watched.set(e.id)
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == watched.get()) {
+          caches.foreach(_.unpersist(false): Unit)
+          streams.removeListener(this)
+        }
+    })
+  }
+
   /** Windowed event aggregation (tumbling, or SLIDING when `slide` is
     * set) — the transform, usable on either a batch or a streaming
     * DataFrame (identical semantics; Spark plans stateful windows when
@@ -160,7 +187,10 @@ object Streams {
     * when the event-time watermark passes `lastEvent + gap` — via
     * `GroupStateTimeout.EventTimeTimeout`, the mechanism a production
     * pipeline needs so abandoned sessions drain instead of pinning state
-    * forever. State stays O(active users); timed-out state is removed. */
+    * forever. Timed-out session AGGREGATES are dropped; a tiny counter
+    * tombstone (one row per user ever seen) survives so a returning
+    * user's sessions keep globally increasing ids — removing it reused
+    * (user, session_id) keys and diverged from the batch twin. */
   def sessionizeStreamEventTime(events: Dataset[TimedEvent],
                                 gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
     // ONE duration drives both the watermark delay and the split/timeout
@@ -180,9 +210,18 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evts: Iterator[TimedEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastTs+gap with no new events: close + drop
+            // watermark passed lastTs+gap with no new events: close the
+            // session but keep a COUNTER TOMBSTONE — state.remove()
+            // restarted the per-user counter, so a returning user's
+            // next close re-emitted an already-used (user, session_id)
+            // key and diverged from the batch twin (which numbers all
+            // of a user's sessions 0..n). The tombstone is one tiny
+            // row per user ever seen, with NO timeout set so it never
+            // fires again; the next event resumes at nEvents == 0 with
+            // the pre-incremented id.
             val st = state.get
-            state.remove()
+            state.update(SessionState(st.sessionId + 1, Long.MinValue,
+              Long.MinValue, 0L, 0.0))
             Iterator.single(UserSession(userId, st.sessionId, st.nEvents,
               st.sumValue, st.startUs, st.lastTsUs))
           } else {
@@ -389,22 +428,7 @@ object Streams {
     val qName =
       s"graft_decontaminate_${java.util.UUID.randomUUID().toString.take(8)}"
     val streams = docs.sparkSession.streams
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    streams.addListener(new StreamingQueryListener {
-      private val watched =
-        new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (e.name == qName) watched.set(e.id)
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == watched.get()) {
-          evalGrams.unpersist(false)
-          streams.removeListener(this)
-        }
-    })
+    releaseOnTermination(streams, qName, Seq(evalGrams))
     docs.writeStream
       .queryName(qName)
       .option("checkpointLocation", checkpoint)
@@ -473,23 +497,7 @@ object Streams {
     val qName =
       s"graft_fuzzy_decontaminate_${java.util.UUID.randomUUID().toString.take(8)}"
     val streams = spark.streams
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    streams.addListener(new StreamingQueryListener {
-      private val watched =
-        new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (e.name == qName) watched.set(e.id)
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == watched.get()) {
-          evalBands.unpersist(false)
-          evalPrep.unpersist(false)
-          streams.removeListener(this)
-        }
-    })
+    releaseOnTermination(streams, qName, Seq(evalBands, evalPrep))
     docs.writeStream
       .queryName(qName)
       .option("checkpointLocation", checkpoint)
@@ -537,8 +545,6 @@ object Streams {
     capped.parquet(path)
   }
 
-  /** Write an aggregated stream to parquet with checkpointing (exactly-
-    * once per micro-batch via the commit log). */
   /** MIXTURE application at INGEST — the streaming twin of
     * [[graft.operators.Scale.sampleToMixture]]: rates are PLANNED once,
     * offline, from a corpus snapshot (`Scale.mixtureRates`) and shipped
@@ -550,6 +556,8 @@ object Streams {
                           rates: DataFrame): DataFrame =
     graft.operators.Scale.applyMixtureRates(docs, srcCol, idCol, rates)
 
+  /** Write an aggregated stream to parquet with checkpointing (exactly-
+    * once per micro-batch via the commit log). */
   def toParquetSink(df: DataFrame, outPath: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
@@ -581,9 +589,22 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val exists =
-          try { TextAnalysis.readBm25Manifest(batch.sparkSession, indexPath); true }
-          catch { case _: Exception => false }
+        // existence probe via the FILESYSTEM (a committed gen-*.txt
+        // manifest), never try/catch around the manifest read: a
+        // TRANSIENT read error (FS hiccup, listing race) routed the
+        // batch to writeBm25Index, whose fresh manifest references
+        // ONLY that batch's segment — silently truncating the whole
+        // index. Here a transient listing error THROWS and fails the
+        // batch (the checkpoint replays it) instead of destroying the
+        // index; a manifest dir without any committed generation (a
+        // crashed first build) correctly reads as absent.
+        val mdir = new org.apache.hadoop.fs.Path(s"$indexPath/manifest")
+        val fs = mdir.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(mdir) && fs.listStatus(mdir).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("gen-") && n.endsWith(".txt")
+        }
         if (exists) TextAnalysis.appendBm25Index(batch, textCol, idCol, indexPath)
         else TextAnalysis.writeBm25Index(batch, textCol, idCol, indexPath, numBuckets)
       }
@@ -695,6 +716,16 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // REPLAY SAFETY: remove the batch's shards from any previous
+        // (crashed) attempt first. Overwrite-by-filename alone is not
+        // idempotent — a replay planned into FEWER partitions (AQE /
+        // cluster-size change) overwrites only the low part numbers
+        // and the dead attempt's higher shards survive as duplicate
+        // training rows; empty partitions also skip writing entirely.
+        Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.startsWith(f"batch-$id%06d-"))
+          .foreach(f => f.delete(): Unit)
         batch.foreachPartition { it: Iterator[Row] =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val exs = it.map(graft.sources.TfRecord
@@ -710,26 +741,6 @@ object Streams {
       }
   }
 
-  /** EXACTLY-ONCE streaming sink into a [[graft.sources.Versioned]]
-    * dataset: a `foreachBatch` writer that appends each micro-batch as
-    * one committed version tagged with `(app, batchId)` via
-    * [[graft.sources.Versioned.commit]]'s `txn`. Structured Streaming
-    * replays a failed batch with the SAME batchId (the offsets come
-    * from the checkpoint WAL), and the replay's commit is a no-op — at-
-    * least-once delivery + idempotent commit = exactly-once, the Delta
-    * `txnAppId`/`txnVersion` pattern on this engine's snapshot layout.
-    * Usage:
-    * {{{
-    *   stream.writeStream
-    *     .option("checkpointLocation", ckpt)
-    *     .foreachBatch(Streams.versionedSink(path, "my-ingest"))
-    *     .start()
-    * }}}
-    * Downstream consumers read committed snapshots only (a crash
-    * mid-batch leaves the previous version intact), poll
-    * [[graft.sources.Versioned.changes]] for increments, or tail the
-    * dataset with the `graft-versioned` streaming SOURCE — an
-    * exactly-once end-to-end pipeline over plain parquet. */
   /** Apply a ROW-LEVEL CHANGE FEED (the [[graft.sources.Versioned
     * .changeFeed]] shape: table columns + `_change_type` +
     * `_commit_version`) to another versioned dataset keyed by `keys` —
@@ -812,8 +823,11 @@ object Streams {
         }
       if (row.getLong(0) == 0L) return
       val boundConds = {
+          // quote-bearing strings never reach here — safe() below
+          // skips their bound entirely (the dialect defines no string
+          // escaping), so lit() only ever quotes verbatim
           def lit(v: Any): String = v match {
-            case s: String => "'" + s.replace("'", "''") + "'"
+            case s: String => "'" + s + "'"
             case other => other.toString
           }
           boundable.zipWithIndex.flatMap { case (f, i) =>
@@ -863,6 +877,26 @@ object Streams {
     (batch: DataFrame, _: Long) =>
       applyChanges(batch.sparkSession, targetPath, batch, keys)
 
+  /** EXACTLY-ONCE streaming sink into a [[graft.sources.Versioned]]
+    * dataset: a `foreachBatch` writer that appends each micro-batch as
+    * one committed version tagged with `(app, batchId)` via
+    * [[graft.sources.Versioned.commit]]'s `txn`. Structured Streaming
+    * replays a failed batch with the SAME batchId (the offsets come
+    * from the checkpoint WAL), and the replay's commit is a no-op — at-
+    * least-once delivery + idempotent commit = exactly-once, the Delta
+    * `txnAppId`/`txnVersion` pattern on this engine's snapshot layout.
+    * Usage:
+    * {{{
+    *   stream.writeStream
+    *     .option("checkpointLocation", ckpt)
+    *     .foreachBatch(Streams.versionedSink(path, "my-ingest"))
+    *     .start()
+    * }}}
+    * Downstream consumers read committed snapshots only (a crash
+    * mid-batch leaves the previous version intact), poll
+    * [[graft.sources.Versioned.changes]] for increments, or tail the
+    * dataset with the `graft-versioned` streaming SOURCE — an
+    * exactly-once end-to-end pipeline over plain parquet. */
   def versionedSink(path: String, app: String,
                     writerOptions: Map[String, String] = Map.empty,
                     maxRetries: Int = 10)

@@ -299,6 +299,24 @@ class StreamingSpec extends SparkSpec {
       val closed = spark.table("et_sessions").as[UserSession].collect()
       assert(closed.exists(s =>
         s.user_id == 7L && s.n_events == 2L && s.sum_value == 3.0))
+      // the RETURNING-USER case: user 7 comes back long after the
+      // timeout closed session 0. The counter tombstone must hand the
+      // new session id 1 — state.remove() restarted the counter and a
+      // second close re-emitted (7, session_id = 0), diverging from
+      // the batch twin's 0..n numbering
+      assert(closed.filter(_.user_id == 7L).map(_.session_id).toSeq
+        == Seq(0L))
+      stream.addData(TimedEvent(7L, t("2024-01-01 00:20:00"), 9.0))
+      q.processAllAvailable()
+      stream.addData(TimedEvent(8L, t("2024-01-01 00:30:00"), 1.0))
+      q.processAllAvailable()
+      stream.addData(TimedEvent(8L, t("2024-01-01 00:30:01"), 1.0))
+      q.processAllAvailable()
+      val after = spark.table("et_sessions").as[UserSession].collect()
+      val u7 = after.filter(_.user_id == 7L).sortBy(_.session_id)
+      assert(u7.map(_.session_id).toSeq == Seq(0L, 1L),
+        s"returning user must get a FRESH session id: ${u7.toSeq}")
+      assert(u7.last.sum_value == 9.0)
     } finally q.stop()
   }
 
