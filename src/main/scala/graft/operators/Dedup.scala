@@ -279,6 +279,17 @@ object Dedup {
       .select(F.col(idCol).as("id"), bandKeys.as("bands"),
         sortedHashedShingles(F.col(textCol), shingleN).as("sh"))
       .write.mode("overwrite").parquet(path)
+    // persist the build parameters beside the data (the writeDeconIndex
+    // discipline): band keys are parameter-specific, so a later
+    // incremental call with drifted defaults would bucket against a
+    // DIFFERENT signature slicing — collisions become essentially
+    // random and near-duplicates of indexed docs are silently missed
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_minhash_params.txt"), true)
+    try out.write(s"$numBands $rowsPerBand $shingleN".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** INCREMENTAL near-duplicate detection: pairs involving at least one
@@ -299,6 +310,28 @@ object Dedup {
                             maxBucket: Int = 64,
                             reliable: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
+    // reject parameter drift LOUDLY when the index recorded its build
+    // parameters (indexes predating the sidecar still load): a
+    // mismatch produces numerically-valid band keys from a different
+    // signature slicing — silent recall collapse, not an error
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/_minhash_params.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        val stored = txt.trim.split("\\s+").map(_.toInt)
+        require(stored.sameElements(Array(numBands, rowsPerBand, shingleN)),
+          s"minhashLshIncremental: index at $indexPath was built with " +
+            s"(numBands, rowsPerBand, shingleN) = " +
+            s"(${stored.mkString(", ")}), called with " +
+            s"($numBands, $rowsPerBand, $shingleN) — band keys from " +
+            "different parameters collide randomly and duplicates " +
+            "would be silently missed")
+      }
+    }
     val index = spark.read.parquet(indexPath)
     val bandKeys = bandKeysDispatch(spark, F.col(textCol),
       numBands, rowsPerBand, shingleN)
@@ -544,9 +577,14 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // staged ONCE: the token arrays feed the gram branch AND the final
     // rebuild join — without staging the corpus scans three times
-    // (Catalyst does not dedupe common subplans; q59's precedent)
+    // (Catalyst does not dedupe common subplans; q59's precedent).
+    // NULL text coalesces to '' (= zero tokens): without it a null row
+    // propagated null toks into the final projection, emitting
+    // clean_text = "" with n_removed = -1 (size(null)) — corrupting
+    // any removal-rate aggregate downstream.
     val base = stage(spreadForCompute(df).select(F.col(idCol).as("id"),
-      graft.operators.TextAnalysis.tokens(F.col(textCol)).as("toks")),
+      graft.operators.TextAnalysis.tokens(
+        F.coalesce(F.col(textCol), F.lit(""))).as("toks")),
       eager = true, reliable = false)
     // one gram hash per start position (0-based), docs with >= n tokens.
     // The hash dispatches to the native md5_hash60 expression when the
@@ -810,9 +848,16 @@ object Dedup {
 
   private def clustersDistributed(pairs: DataFrame, idA: String, idB: String,
                                   maxIter: Int, reliable: Boolean = false): DataFrame = {
+    // ids cast to LONG up front: the local union-find path always emits
+    // (id long, cluster long), and without the cast THIS path preserved
+    // the input's narrower type — so which schema a caller got depended
+    // on whether the edge count crossed localThreshold, and appending
+    // both outputs to one table failed on schema mismatch
     val edges = stage(
-      pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst"))),
+      pairs.select(F.col(idA).cast("long").as("src"),
+          F.col(idB).cast("long").as("dst"))
+        .union(pairs.select(F.col(idB).cast("long").as("src"),
+          F.col(idA).cast("long").as("dst"))),
       eager = true, reliable)
     var labels = stage(
       edges.groupBy("src")
@@ -834,7 +879,10 @@ object Dedup {
         labels.select("id", "label").union(viaEdges).union(viaLabels)
           .groupBy("id").agg(F.min("label").as("label")),
         eager = true, reliable)
-      val sum = next.agg(F.sum("label")).head().getLong(0)
+      // sum is null on an EMPTY pair set (the distributed path must
+      // return the empty assignment the local path returns, not NPE)
+      val sumRow = next.agg(F.sum("label")).head()
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       unstage(labels) // next is materialized; the old round is dead
       labels = next
       converged = sum == prevSum
@@ -1134,7 +1182,13 @@ object Dedup {
         corpusGrams.filter(F.call_function("bloom_might_contain",
           F.lit(sketch), F.col("g")))
       else corpusGrams
-    pruned.join(F.broadcast(grams), "g")
+    // NO forced broadcast on the confirm join: the stored index exists
+    // precisely for gram sets past driver scale (its bloom sketch
+    // already pruned the corpus side), and F.broadcast(grams) capped
+    // the indexed path at the 8 GB broadcast limit its in-flight twin
+    // decontaminateBloom deliberately avoids — AQE still broadcasts
+    // small gram sets on its own
+    pruned.join(grams, "g")
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_shared"))
       .filter(F.col("n_shared") >= minShared)
@@ -1277,6 +1331,13 @@ object Dedup {
     * oracle); float embeddings widen exactly. */
   private def planeBucket(df: DataFrame, vecCol: String,
                           planes: Seq[Seq[Double]]): Column = {
+    // 1L << i uses only the low 6 shift bits: plane 64+ would ALIAS
+    // onto plane (i-64)'s bit weight, silently MERGING sign buckets —
+    // recall degrades while the caller believes precision increased
+    require(planes.length <= 63,
+      s"at most 63 hyperplanes fit one sign-bit bucket word, got " +
+        s"${planes.length} — shard planes across multiple bucketing " +
+        "passes instead")
     val native = df.sparkSession.catalog.functionExists("vec_dot_f64")
     def dotD(a: Column, b: Column): Column =
       if (native) F.call_function("vec_dot_f64", a, b) else Similarity.dot(a, b)

@@ -321,7 +321,11 @@ object Similarity {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       F.struct(dot(vec, F.array(c.map(F.lit): _*)).as("s"), F.lit(i).as("i"))
     }
-    // argmax by (score, -index): greatest on structs compares fields in order
+    // argmax via greatest on (score, index) structs — field-order
+    // comparison means score ties break to the HIGHER index (the
+    // direction the DuckDB oracles and the tie spec assert; note
+    // probeBuckets' top-nprobe ordering ties to the LOWER index — the
+    // probe/assignment asymmetry is deliberate and pinned)
     F.greatest(scored: _*).getField("i")
   }
 
@@ -342,8 +346,16 @@ object Similarity {
   def semanticDupGroups(df: DataFrame, vecCol: String, idCol: String,
                         centroids: Seq[Seq[Double]], threshold: Double,
                         maxCell: Int = 4096): DataFrame = {
+    // STAGED once: `base` (the scan + the k·dim dot-product bucket
+    // assignment — the operator's dominant narrow compute) feeds the
+    // pair spine AND both verify sides; Catalyst does not dedupe
+    // common subplans (the minhashLsh precedent), so the unstaged form
+    // scanned and re-assigned the corpus three times. Lazy like the
+    // minhashLsh pairs staging: the bucket aggregation materializes
+    // the blocks as a side effect of the final action.
     val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
-      ivfBucket(F.col(vecCol), centroids).as("bucket"))
+        ivfBucket(F.col(vecCol), centroids).as("bucket"))
+      .localCheckpoint(false)
     val pairs = graft.operators.Dedup.cappedBucketPairs(
       base.select("bucket", "id"), Seq("bucket"), maxCell)
     val va = base.select(F.col("id").as("id_a"), F.col("v").as("_va"))
@@ -436,8 +448,10 @@ object Similarity {
   /** PRODUCT-QUANTIZATION codes of a vector (Jégou et al., FAISS-style):
     * split the vector into `m` contiguous subspaces and store, per
     * subspace, the index of the nearest codebook entry by squared L2
-    * (ties → lowest index, via the struct-least trick [[ivfBucket]]
-    * uses for argmax). A 64-dim float vector (256 bytes) compresses to
+    * (ties → lowest index — note the DIFFERENT tie direction from
+    * [[ivfBucket]]'s argmax, which breaks score ties to the HIGHER
+    * index; both directions are pinned by their oracles). A 64-dim
+    * float vector (256 bytes) compresses to
     * `m` small ints — the memory trick that lets an ANN index hold
     * billions of vectors. Codebooks are literals (train offline or via
     * [[trainCentroids]] per subspace), so encoding is a pure narrow map

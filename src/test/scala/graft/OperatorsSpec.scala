@@ -71,6 +71,26 @@ class OperatorsSpec extends SparkSpec {
         labels(reliable = false, localThreshold = 0))
       assert(labels(reliable = true, localThreshold = 2000000)
         .values.forall(_ == 0L))
+      // the LOCAL and DISTRIBUTED paths must agree on the OUTPUT
+      // SCHEMA regardless of the input id type: which path ran was
+      // data-size-dependent, so a type that varies with edge count
+      // breaks appends/unions downstream
+      val intChain = {
+        import spark.implicits._
+        (0 until 5).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      }
+      def schemaOf(localThreshold: Int) =
+        Dedup.clusters(intChain, localThreshold = localThreshold)
+          .schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+      assert(schemaOf(2000000) == schemaOf(0),
+        "local and distributed clusters() must emit one schema")
+      // an EMPTY pair set through the distributed path returns the
+      // empty assignment (it NPE'd on the null sum of an empty round)
+      val empty = {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      }
+      assert(Dedup.clusters(empty, localThreshold = 0).count() == 0L)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
