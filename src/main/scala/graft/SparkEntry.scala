@@ -2561,11 +2561,13 @@ object SparkEntry {
     // token counts is TRAINED on the corpus (one map-side-combined
     // aggregation: per-class count + per-dimension sums; driver state
     // = two 32-vectors) and then scores every document with the
-    // learned integer micro-unit weights. The label distills the
+    // learned integer MILLI-unit weights (1e3 scale — micro would
+    // overflow int64 scores under ansi=false, see classifierTrain's
+    // scaladoc). The label distills the
     // length-quality heuristic (tokens >= 60) — a target the feature
     // space provably encodes, so the gate checks real learning, and
     // the DuckDB oracle replays TRAINING (class sums -> rounded
-    // micro-means -> w and midpoint threshold), not just scoring:
+    // milli-means -> w and midpoint threshold), not just scoring:
     // every published number is int64, bit-exact across engines.
     "q321_classifier_train" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("y",

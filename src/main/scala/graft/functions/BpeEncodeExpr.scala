@@ -21,9 +21,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The merge table is a constructor field (same placement rationale as
   * [[BloomProbeExpr]]: reference-compared during plan processing, shipped
-  * once per stage), and the rank map builds lazily once per JVM. Cost per
-  * word is O(len · pairs-in-table-hits) with a small-array scan — no
-  * per-row allocation beyond the symbol buffer.
+  * once per stage); the lookup tables build lazily once per deserialized
+  * instance (= once per task).
+  *
+  * HOT-LOOP SHAPE (round-16: the trainer's interning treatment applied
+  * to the recurring encode pass — at corpus scale training amortizes to
+  * zero and encode IS the tokenizer's cost):
+  *   - symbols are INTERNED INTS (the universe is closed: 36 singles ∪
+  *     merge outputs), so the greedy scan probes an open-addressed
+  *     packed-long table `(idA << 32 | idB) → (rank, mergedId)` —
+  *     zero allocation per probe where the string-keyed map built a
+  *     fresh key string per adjacent pair per merge round;
+  *   - emitted tokens are PRECOMPUTED UTF8Strings indexed by symbol id
+  *     (no per-token fromString);
+  *   - a per-task WORD CACHE (word → token ids) exploits the Zipfian
+  *     word distribution: the merge loop runs once per DISTINCT word
+  *     per task, not once per occurrence. Bounded at 64k entries,
+  *     clear-on-full (a corpus partition rarely exceeds it; clearing
+  *     is cheaper and simpler than LRU bookkeeping).
   */
 case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
     extends UnaryExpression {
@@ -36,48 +51,65 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_encode takes a STRING document; got ${child.dataType}")
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      // first occurrence wins, like a real merges.txt (duplicates never
-      // arise from training, but a hand-built table must not reorder)
-      m.putIfAbsent(a + "\u0000" + b, i)
-    }
-    m
-  }
+  /** Interned symbol tables: singles 0..35 ([a-z0-9] in char order),
+    * merge outputs appended in first-production order. `pairTable` is
+    * open-addressed linear-probe over packed-long keys; values pack
+    * (rank << 32 | mergedId). First occurrence wins for duplicate
+    * (a, b) entries, like a real merges.txt; entries whose sides are
+    * unreachable symbols (hand-built tables) are dropped — an
+    * unreachable symbol can never appear in a word's buffer, so the
+    * string-keyed map could never match them either. */
+  @transient private lazy val tables: BpeEncodeExpr.Tables =
+    BpeEncodeExpr.buildTables(merges)
 
-  /** Greedy lowest-rank merge of one word's symbols (in place on a
-    * growable buffer). */
-  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
-    if (word.isEmpty) return
-    var syms = new Array[String](word.length)
-    var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+  /** Per-task word cache: word → interned token ids. */
+  @transient private lazy val wordCache =
+    new java.util.HashMap[String, Array[Int]](1 << 12)
+
+  /** Greedy lowest-rank merge of one word, on interned ids. Returns the
+    * token-id array (cached per distinct word). */
+  private def encodeWordIds(word: String): Array[Int] = {
+    val cached = wordCache.get(word)
+    if (cached != null) return cached
+    val t = tables
     var n = word.length
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) { ids(i) = t.charId(word.charAt(i)); i += 1 }
     var continue = true
     while (continue && n > 1) {
-      var bestRank = Int.MaxValue
+      var best = -1L // packed (rank, mergedId); -1 = none
       var bestAt = -1
       var j = 0
       while (j < n - 1) {
-        val r = rank.get(syms(j) + "\u0000" + syms(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+        val v = t.lookup((ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL))
+        // unsigned compare on the packed value orders by rank first;
+        // strict < keeps the LEFTMOST site on rank ties
+        if (v >= 0 && (best < 0 || v < best)) { best = v; bestAt = j }
         j += 1
       }
       if (bestAt < 0) continue = false
       else {
-        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        ids(bestAt) = (best & 0xffffffffL).toInt
         var k = bestAt + 1
-        while (k < n - 1) { syms(k) = syms(k + 1); k += 1 }
+        while (k < n - 1) { ids(k) = ids(k + 1); k += 1 }
         n -= 1
       }
     }
-    i = 0
-    while (i < n) { out.add(UTF8String.fromString(syms(i))); i += 1 }
+    val out = java.util.Arrays.copyOf(ids, n)
+    if (wordCache.size() >= (1 << 16)) wordCache.clear()
+    wordCache.put(word, out)
+    out
   }
 
   def encode(text: UTF8String): ArrayData = {
+    val t = tables
     val out = new java.util.ArrayList[UTF8String]()
+    // Locale-aware lowercase BEFORE splitting, exactly like the q23
+    // splitter contract (and the DuckDB oracle's lower()): a byte-level
+    // ASCII fold would mis-split the exotic mappings that LAND in
+    // [a-z0-9] — U+212A KELVIN SIGN lowercases to 'k', U+0130 to
+    // 'i'+combining dot — and silently diverge the gate on such input.
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var start = -1
     var i = 0
@@ -88,7 +120,9 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
       }
       if (isWord && start < 0) start = i
       else if (!isWord && start >= 0) {
-        encodeWord(s.substring(start, i), out)
+        val toks = encodeWordIds(s.substring(start, i))
+        var k = 0
+        while (k < toks.length) { out.add(t.tokenStr(toks(k))); k += 1 }
         start = -1
       }
       i += 1
@@ -105,4 +139,65 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+  /** Interned lookup state shared by [[BpeEncodeExpr.encode]]. */
+  final class Tables(val charId: Array[Int], val tokenStr: Array[UTF8String],
+                     keys: Array[Long], vals: Array[Long], mask: Int) {
+    /** Packed (rank << 32 | mergedId) for the pair key, or -1. */
+    def lookup(key: Long): Long = {
+      var h = (scala.util.hashing.byteswap64(key) & mask).toInt
+      while (true) {
+        val k = keys(h)
+        if (k == key) return vals(h)
+        if (k == -1L) return -1L
+        h = (h + 1) & mask
+      }
+      -1L // unreachable
+    }
+  }
+
+  private[functions] def buildTables(merges: Array[(String, String)]): Tables = {
+    val symId = new java.util.HashMap[String, Integer](merges.length * 2)
+    val strs = new java.util.ArrayList[String]()
+    def intern(s: String): Int = {
+      val got = symId.get(s)
+      if (got != null) got.intValue()
+      else { val id = strs.size(); symId.put(s, id); strs.add(s); id }
+    }
+    val charId = new Array[Int](128)
+    var c = 'a'
+    while (c <= 'z') { charId(c) = intern(String.valueOf(c)); c = (c + 1).toChar }
+    c = '0'
+    while (c <= '9') { charId(c) = intern(String.valueOf(c)); c = (c + 1).toChar }
+    // open-addressed pair table, load factor <= 0.5
+    var cap = 64
+    while (cap < merges.length * 2 + 2) cap <<= 1
+    val keys = Array.fill(cap)(-1L)
+    val vals = new Array[Long](cap)
+    val mask = cap - 1
+    def put(key: Long, value: Long): Unit = {
+      var h = (scala.util.hashing.byteswap64(key) & mask).toInt
+      while (keys(h) != -1L && keys(h) != key) h = (h + 1) & mask
+      if (keys(h) == -1L) { keys(h) = key; vals(h) = value } // first wins
+    }
+    var i = 0
+    while (i < merges.length) {
+      val (a, b) = merges(i)
+      val ia = symId.get(a); val ib = symId.get(b)
+      if (ia != null && ib != null) {
+        val merged = intern(a + b)
+        put((ia.longValue() << 32) | (ib.longValue() & 0xffffffffL),
+          (i.toLong << 32) | merged.toLong)
+      }
+      i += 1
+    }
+    val tokenStr = new Array[UTF8String](strs.size())
+    i = 0
+    while (i < tokenStr.length) {
+      tokenStr(i) = UTF8String.fromString(strs.get(i)); i += 1
+    }
+    new Tables(charId, tokenStr, keys, vals, mask)
+  }
 }

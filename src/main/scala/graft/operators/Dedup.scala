@@ -322,7 +322,20 @@ object Dedup {
         val txt = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
           finally in.close()
-        val stored = txt.trim.split("\\s+").map(_.toInt)
+        // a truncated or hand-edited sidecar is the same corruption the
+        // guard exists for — fail with the file named, not a bare
+        // NumberFormatException from deep inside the parse
+        val stored = scala.util.Try(txt.trim.split("\\s+").map(_.toInt))
+          .getOrElse(throw new IllegalArgumentException(
+            s"minhashLshIncremental: parameter sidecar $p is corrupt " +
+              s"(contents: '${txt.trim.take(80)}') — expected three " +
+              "integers (numBands rowsPerBand shingleN); rebuild the " +
+              "index or restore the sidecar"))
+        require(stored.length == 3,
+          s"minhashLshIncremental: parameter sidecar $p is corrupt " +
+            s"(${stored.length} integers, expected 3: numBands " +
+            "rowsPerBand shingleN) — rebuild the index or restore " +
+            "the sidecar")
         require(stored.sameElements(Array(numBands, rowsPerBand, shingleN)),
           s"minhashLshIncremental: index at $indexPath was built with " +
             s"(numBands, rowsPerBand, shingleN) = " +
@@ -1182,13 +1195,23 @@ object Dedup {
         corpusGrams.filter(F.call_function("bloom_might_contain",
           F.lit(sketch), F.col("g")))
       else corpusGrams
-    // NO forced broadcast on the confirm join: the stored index exists
-    // precisely for gram sets past driver scale (its bloom sketch
-    // already pruned the corpus side), and F.broadcast(grams) capped
-    // the indexed path at the 8 GB broadcast limit its in-flight twin
-    // decontaminateBloom deliberately avoids — AQE still broadcasts
-    // small gram sets on its own
-    pruned.join(grams, "g")
+    // CONDITIONAL broadcast on the confirm join: an unconditional
+    // F.broadcast(grams) capped the indexed path at the 8 GB broadcast
+    // limit its in-flight twin decontaminateBloom deliberately avoids,
+    // but dropping the hint entirely regressed mid-size gram sets
+    // (above spark.sql.autoBroadcastJoinThreshold's 10 MB default, far
+    // below the cap) to shuffle joins. Decide from the index's on-disk
+    // footprint — already known to the FS, no scan: ≤128 MB of parquet
+    // longs is ≲30 M grams ≈ ≤1 GB as a hash relation, comfortably
+    // safe; bigger indexes take the shuffle join they need.
+    val gramsBytes = {
+      val gp = new org.apache.hadoop.fs.Path(s"$path/grams")
+      val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(gp).filter(_.isFile).map(_.getLen).sum
+    }
+    val confirmSide =
+      if (gramsBytes <= 128L * 1024 * 1024) F.broadcast(grams) else grams
+    pruned.join(confirmSide, "g")
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_shared"))
       .filter(F.col("n_shared") >= minShared)

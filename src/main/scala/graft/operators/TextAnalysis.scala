@@ -1322,7 +1322,7 @@ object TextAnalysis {
     * w = μ₊ − μ₋ in integer MILLI-UNITS (each class mean rounded once:
     * round(Σe·10³/n) — one IEEE division + one half-away round per
     * component, the same proven-replayable move as the q107/q156
-    * embedding micro-units) and the decision threshold at the midpoint
+    * embedding quantization) and the decision threshold at the midpoint
     * projection: pred ⇔ 2·10³·(w·e) > w·μ₊ + w·μ₋. Every published
     * number is int64, so an oracle replays TRAINING, not just scoring.
     * Milli, not micro: the score 2·10³·(w·e) must stay inside int64
@@ -1345,7 +1345,7 @@ object TextAnalysis {
     * driver state = two dim-vectors, no epochs, no persisted feature
     * frame, no collect wider than dim.
     *
-    * Returns (w, threshold): micro-unit weights (length dim) and the
+    * Returns (w, threshold): MILLI-unit weights (length dim) and the
     * midpoint threshold for [[classifierScore]]'s integer decision. */
   def classifierTrain(df: DataFrame, textCol: String, labelCol: String,
                       dim: Int = 32): (Array[Long], Long) = {

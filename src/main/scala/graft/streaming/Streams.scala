@@ -190,9 +190,32 @@ object Streams {
     * forever. Timed-out session AGGREGATES are dropped; a tiny counter
     * tombstone (one row per user ever seen) survives so a returning
     * user's sessions keep globally increasing ids — removing it reused
-    * (user, session_id) keys and diverged from the batch twin. */
+    * (user, session_id) keys and diverged from the batch twin.
+    *
+    * STATE BOUND — two documented modes:
+    *   - `timeIds = false` (default, batch-twin parity): session ids are
+    *     the batch twin's 0..n per-user counters, which REQUIRES the
+    *     counter tombstone — state is one ~40-byte row per user EVER
+    *     SEEN, a deliberate unbounded-in-user-cardinality tradeoff. At
+    *     10⁹ lifetime users that is ~40 GB of state store; fine for
+    *     bounded user populations, wrong for an open-world 100 TB feed.
+    *   - `timeIds = true` (bounded state): the counter moves INTO the
+    *     session-id encoding — a session's id is its start event-time in
+    *     MICROSECONDS. Closed sessions `state.remove()` entirely, so
+    *     state is one row per user with an OPEN session inside the
+    *     watermark horizon, O(active users), regardless of lifetime
+    *     cardinality. Continuity across eviction is structural, not
+    *     remembered: the watermark admits no event below it, a session
+    *     only closes once the watermark passes lastTs + gap, so a
+    *     returning user's next session starts at an event-time strictly
+    *     above every previous session's start — (user, session_id) keys
+    *     can never repeat and ids stay globally increasing (spec-pinned
+    *     across an eviction). Aggregates are identical to the default
+    *     mode; only the id encoding differs (join the batch twin on
+    *     session_start instead of session_id). */
   def sessionizeStreamEventTime(events: Dataset[TimedEvent],
-                                gapUs: Long = 30L * 60 * 1000000): Dataset[UserSession] = {
+                                gapUs: Long = 30L * 60 * 1000000,
+                                timeIds: Boolean = false): Dataset[UserSession] = {
     // ONE duration drives both the watermark delay and the split/timeout
     // arithmetic — two independently-overridable forms would let a caller
     // silently desynchronize session-closing semantics. Microsecond units
@@ -211,16 +234,20 @@ object Streams {
         (userId: Long, evts: Iterator[TimedEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // watermark passed lastTs+gap with no new events: close the
-            // session but keep a COUNTER TOMBSTONE — state.remove()
-            // restarted the per-user counter, so a returning user's
-            // next close re-emitted an already-used (user, session_id)
-            // key and diverged from the batch twin (which numbers all
-            // of a user's sessions 0..n). The tombstone is one tiny
-            // row per user ever seen, with NO timeout set so it never
-            // fires again; the next event resumes at nEvents == 0 with
-            // the pre-incremented id.
+            // session. Counter mode keeps a COUNTER TOMBSTONE —
+            // state.remove() restarted the per-user counter, so a
+            // returning user's next close re-emitted an already-used
+            // (user, session_id) key and diverged from the batch twin
+            // (which numbers all of a user's sessions 0..n). The
+            // tombstone is one tiny row per user ever seen, with NO
+            // timeout set so it never fires again; the next event
+            // resumes at nEvents == 0 with the pre-incremented id.
+            // timeIds mode needs no memory of closed users (the id IS
+            // the start time) — remove outright, state stays O(open
+            // sessions).
             val st = state.get
-            state.update(SessionState(st.sessionId + 1, Long.MinValue,
+            if (timeIds) state.remove()
+            else state.update(SessionState(st.sessionId + 1, Long.MinValue,
               Long.MinValue, 0L, 0.0))
             Iterator.single(UserSession(userId, st.sessionId, st.nEvents,
               st.sumValue, st.startUs, st.lastTsUs))
@@ -238,9 +265,11 @@ object Streams {
               if (st.nEvents > 0 && tsUs - st.lastTsUs > gapUs) {
                 closed += UserSession(userId, st.sessionId, st.nEvents,
                   st.sumValue, st.startUs, st.lastTsUs)
-                st = SessionState(st.sessionId + 1, tsUs, tsUs, 1L, value)
+                st = SessionState(if (timeIds) tsUs else st.sessionId + 1,
+                  tsUs, tsUs, 1L, value)
               } else if (st.nEvents == 0) {
-                st = SessionState(st.sessionId, tsUs, tsUs, 1L, value)
+                st = SessionState(if (timeIds) tsUs else st.sessionId,
+                  tsUs, tsUs, 1L, value)
               } else {
                 st = st.copy(lastTsUs = tsUs,
                   nEvents = st.nEvents + 1, sumValue = st.sumValue + value)
@@ -712,7 +741,6 @@ object Streams {
                    checkpoint: String): DataStreamWriter[Row] = {
     val schema = docs.schema
     graft.sources.TfRecord.validateSchema(schema)
-    new java.io.File(path).mkdirs()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -722,18 +750,30 @@ object Streams {
         // cluster-size change) overwrites only the low part numbers
         // and the dead attempt's higher shards survive as duplicate
         // training rows; empty partitions also skip writing entirely.
-        Option(new java.io.File(path).listFiles())
-          .getOrElse(Array.empty)
-          .filter(_.getName.startsWith(f"batch-$id%06d-"))
-          .foreach(f => f.delete(): Unit)
+        // The listing/delete (and the shard writes below) go through
+        // the Hadoop FileSystem API for the configured path: a
+        // driver-local java.io.File cleanup only sees executor-written
+        // shards when driver and executors share one filesystem
+        // (local mode) — on a real cluster stale shards from a dead
+        // attempt would survive it.
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(hconf)
+        fs.mkdirs(dir): Unit
+        val prefix = f"batch-$id%06d-"
+        fs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false): Unit)
+        val serConf =
+          new org.apache.spark.util.SerializableConfiguration(hconf)
         batch.foreachPartition { it: Iterator[Row] =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val exs = it.map(graft.sources.TfRecord
             .rowExampleBytes(schema, _)).toSeq
           if (exs.nonEmpty) {
-            val f = new java.io.File(path,
+            val p = new org.apache.hadoop.fs.Path(path,
               f"batch-$id%06d-part-$pid%05d.tfrecord")
-            val out = new java.io.FileOutputStream(f)
+            val out = p.getFileSystem(serConf.value).create(p, true)
             try out.write(graft.sources.TfRecord.tfRecordBytes(exs))
             finally out.close()
           }

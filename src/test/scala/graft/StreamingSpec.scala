@@ -320,6 +320,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeIds mode evicts closed-session state; ids stay unique and increasing across the eviction") {
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // identical input through BOTH modes: the counter mode's tombstone
+    // is the state-bound baseline the timeIds mode must beat
+    def run(timeIds: Boolean, name: String): (Seq[UserSession], Long) = {
+      val stream = MemoryStream[TimedEvent]
+      val q = Streams.sessionizeStreamEventTime(
+          stream.toDS(), gapUs = 1000000L, timeIds = timeIds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        stream.addData(TimedEvent(7L, t("2024-01-01 00:00:00"), 1.0),
+                       TimedEvent(7L, t("2024-01-01 00:00:00.5"), 2.0))
+        q.processAllAvailable()
+        // user 8 advances the watermark past 7's gap; the batch after
+        // the watermark update fires 7's event-time timeout (EVICTION
+        // in timeIds mode, tombstone in counter mode)
+        stream.addData(TimedEvent(8L, t("2024-01-01 00:10:00"), 1.0))
+        q.processAllAvailable()
+        stream.addData(TimedEvent(8L, t("2024-01-01 00:10:01"), 1.0))
+        q.processAllAvailable()
+        // user 7 RETURNS after the eviction — the continuity moment
+        stream.addData(TimedEvent(7L, t("2024-01-01 00:20:00"), 9.0))
+        q.processAllAvailable()
+        stream.addData(TimedEvent(8L, t("2024-01-01 00:30:00"), 1.0))
+        q.processAllAvailable()
+        stream.addData(TimedEvent(8L, t("2024-01-01 00:30:01"), 1.0))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[UserSession].collect().toSeq
+        val stateRows = q.recentProgress.reverse
+          .flatMap(_.stateOperators.headOption)
+          .headOption.map(_.numRowsTotal).getOrElse(-1L)
+        (rows, stateRows)
+      } finally q.stop()
+    }
+    val (bounded, boundedState) = run(timeIds = true, "ts_sess_bounded")
+    val (counter, counterState) = run(timeIds = false, "ts_sess_counter")
+    // CONTINUITY ACROSS EVICTION: user 7's sessions straddle a
+    // state.remove(), yet ids are distinct and strictly increasing
+    // (ids are start-time micros, admitted-event monotone)
+    val u7 = bounded.filter(_.user_id == 7L).sortBy(_.start_us)
+    assert(u7.length == 2 && u7.last.sum_value == 9.0, s"u7: ${u7.toSeq}")
+    assert(u7.map(_.session_id).distinct.length == u7.length)
+    assert(u7(0).session_id < u7(1).session_id,
+      s"ids must increase across the eviction: ${u7.map(_.session_id).toSeq}")
+    assert(u7.forall(s => s.session_id == s.start_us),
+      "timeIds encodes the session id as the start event-time in micros")
+    // aggregates are mode-invariant; only the id encoding differs
+    def key(s: UserSession) =
+      (s.user_id, s.start_us, s.end_us, s.n_events, s.sum_value)
+    assert(bounded.map(key).toSet == counter.map(key).toSet)
+    // THE STATE BOUND: counter mode ends with user 7's eternal
+    // tombstone + user 8's open session; timeIds mode removed 7
+    // entirely and holds only the open session
+    assert(counterState == 2, s"counter-mode state rows: $counterState")
+    assert(boundedState == 1, s"timeIds-mode state rows: $boundedState")
+  }
+
   test("file-source stream through windowed agg into a parquet sink (end to end)") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft-fstream").toString
