@@ -164,6 +164,20 @@ private[graft] final case class SweepPublication(
       }
     }
 
+  /** Heavy entries with a quiet-box ledger row publish BOTH numbers
+    * machine-readably IN the primary artifact (round-15 verdict ask
+    * #7): `in_sweep` is the published median, `isolated` the ledger's
+    * converged-warm quiet-box number, `inflation` their ratio — so a
+    * reader of `queries` alone cannot mistake sweep-context inflation
+    * for the operator's cost, without digging through probe_notes. */
+  def isolatedJson: String = entries.flatMap { n =>
+    isolatedLedger.get(n).map { m =>
+      val cur = finalMedian(n)
+      val infl = if (m.sec > 0) cur / m.sec else 0.0
+      s""""$n":{"in_sweep":${f"$cur%.4f"},"isolated":${f"${m.sec}%.4f"},"inflation":${f"$infl%.2f"},"tool":"${m.tool}","date":"${m.date}"}"""
+    }
+  }.mkString("{", ",", "}")
+
   def regressionsJson: String = regressions.map {
     case (name, prev, cur, ratio, cause) =>
       s"""{"q":"$name","prev":${f"$prev%.4f"},"cur":${f"$cur%.4f"},"ratio":${f"$ratio%.2f"},"cause":"$cause"}"""
