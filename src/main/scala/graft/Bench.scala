@@ -246,7 +246,9 @@ object Bench {
       repIoCanaries.getOrElse(name, Seq.empty),
       preRequeueReps.getOrElse(name,
         repTimes.getOrElse(name, Seq.empty).length),
-      floorSweepC, floorRequeueC, floorSweepIo, floorRequeueIo)
+      floorSweepC, floorRequeueC, floorSweepIo, floorRequeueIo,
+      repStealMs.getOrElse(name, Seq.empty),
+      Runtime.getRuntime.availableProcessors())
 
   private def medOf(xs: Seq[Double]): Double = BenchPolicy.median(xs)
 
@@ -1888,7 +1890,8 @@ object Bench {
       entryOrder, repTimes.toMap, repCanaries.toMap, repIoCanaries.toMap,
       preRequeueReps.toMap, fSweepC, fReqC, fSweepIo, fReqIo,
       prevBench._2,
-      SweepPublication.loadIsolatedLedger("bench_isolated.json"))
+      SweepPublication.loadIsolatedLedger("bench_isolated.json"),
+      repStealMs.toMap, Runtime.getRuntime.availableProcessors())
     def finalMedian(name: String): Double = pub.finalMedian(name)
     entryOrder.foreach { n => spreads += n -> pub.spreadOf(n) }
 
@@ -2029,7 +2032,11 @@ object Bench {
         "contention - round 13 qualified cold-cache reps through it; " +
         "the I/O bar stays global because an entry-local I/O floor " +
         "would mask entry-long eviction, the exact condition it " +
-        "exists to catch); " +
+        "exists to catch); AND (round 16) the rep's own /proc/stat " +
+        "STEAL share under 5% of wall x cores - the direct bar for " +
+        "the hypervisor throttling both canaries can under-read " +
+        "(see aged_ab; stolen replica reps measured 10-17% with " +
+        "near-calm compute canaries, calm reps <=0.5%); " +
         "global floors are the 5th-smallest observation of the PHASE " +
         "the rep ran in (sweep vs requeue window) merged with the " +
         "prior artifact's floor, requeue floors min'd against sweep " +

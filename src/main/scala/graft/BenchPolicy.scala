@@ -65,6 +65,16 @@ object BenchPolicy {
     * honest estimate (the round-13 lesson). */
   val MinQualifiedReps = 3
 
+  /** Max hypervisor-steal share of a rep's CPU budget
+    * (steal_ms / (wall_ms × cores)) before the rep is disqualified —
+    * the DIRECT bar for the round-16-named mechanism the canary pair
+    * could only proxy: a guest throttled by its shared host is not
+    * measuring the engine. Measured separation is wide: the stolen
+    * replica/q51 reps read 10–17%, calm reps ≤0.5% — 5% sits in the
+    * gap with margin for bursty hosts. Reps without a steal reading
+    * (non-Linux) skip the bar. */
+  val StealFracCap = 0.05
+
   /** The reference's published Q1 wall at sf1 = 6,001,215 rows
     * (BASELINE.md: 0.707 s) — the matched-volume gate denominator,
     * computed here ONCE so the artifact carries the ratio itself
@@ -116,13 +126,15 @@ object BenchPolicy {
   def repQualifies(canary: Double, entryFloor: Double,
                    globalFloor: Double,
                    ioCanary: Option[Double],
-                   ioFloor: Option[Double]): Boolean =
+                   ioFloor: Option[Double],
+                   stealFrac: Option[Double] = None): Boolean =
     canary <= QualRatio * entryFloor &&
       entryFloor <= EntryFloorCapRatio * globalFloor &&
       ((ioCanary, ioFloor) match {
         case (Some(c), Some(f)) => c <= IoQualRatio * f
         case _ => true
-      })
+      }) &&
+      stealFrac.forall(_ <= StealFracCap)
 
   /** The published median: over qualified reps ONLY at or above
     * [[MinQualifiedReps]], over ALL reps otherwise. Returns the value

@@ -42,7 +42,9 @@ private[graft] final case class SweepPublication(
     fSweepC: Double, fReqC: Double,
     fSweepIo: Double, fReqIo: Double,
     prevMedians: Map[String, Double] = Map.empty,
-    isolatedLedger: Map[String, IsolatedMeasure] = Map.empty) {
+    isolatedLedger: Map[String, IsolatedMeasure] = Map.empty,
+    repStealMs: Map[String, Seq[Long]] = Map.empty,
+    cores: Int = 32) {
 
   def qualifiedOf(name: String): Seq[Double] =
     SweepPublication.qualifiedReps(
@@ -51,7 +53,8 @@ private[graft] final case class SweepPublication(
       repIoCanaries.getOrElse(name, Seq.empty),
       preRequeueReps.getOrElse(name,
         repTimes.getOrElse(name, Seq.empty).length),
-      fSweepC, fReqC, fSweepIo, fReqIo)
+      fSweepC, fReqC, fSweepIo, fReqIo,
+      repStealMs.getOrElse(name, Seq.empty), cores)
 
   /** The published median: qualified-reps-only at >=
     * [[BenchPolicy.MinQualifiedReps]], all-reps otherwise. */
@@ -196,21 +199,32 @@ private[graft] object SweepPublication {
     * phase I/O floor. Entries without a parallel canary series qualify
     * nothing (published as all-reps with `qualified_reps` 0, never
     * silently). A singleton phase series degenerates to ratio 1.0,
-    * where the cap and the I/O bar remain the effective gates. */
+    * where the cap and the I/O bar remain the effective gates. A
+    * parallel steal series (round 16) adds the DIRECT bar for
+    * hypervisor throttling: a rep whose /proc/stat steal exceeds
+    * [[BenchPolicy.StealFracCap]] of its wall×cores CPU budget was
+    * not measuring the engine; entries/reps without a steal reading
+    * skip that bar. */
   def qualifiedReps(ts: Seq[Double], cs: Seq[Double], ios: Seq[Double],
       preRequeue: Int, fSweepC: Double, fReqC: Double,
-      fSweepIo: Double, fReqIo: Double): Seq[Double] = {
+      fSweepIo: Double, fReqIo: Double,
+      stealMs: Seq[Long] = Seq.empty, cores: Int = 32): Seq[Double] = {
     if (ts.isEmpty || cs.length != ts.length) Seq.empty
     else {
       val (preCs, postCs) = cs.splitAt(preRequeue)
       def entryFloor(i: Int): Double =
         if (i < preRequeue) preCs.min else postCs.min
+      def stealFrac(i: Int): Option[Double] =
+        stealMs.lift(i).collect {
+          case s if ts(i) > 0 => s / (ts(i) * 1000.0 * cores)
+        }
       ts.indices.collect {
         case i if BenchPolicy.repQualifies(
           cs(i), entryFloor(i),
           if (i < preRequeue) fSweepC else fReqC,
           ios.lift(i),
-          Some(if (i < preRequeue) fSweepIo else fReqIo)) => ts(i)
+          Some(if (i < preRequeue) fSweepIo else fReqIo),
+          stealFrac(i)) => ts(i)
       }
     }
   }

@@ -75,6 +75,38 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.repQualifies(0.10, 0.10, 0.10, None, Some(0.10)))
   }
 
+  test("repQualifies: hypervisor steal past StealFracCap disqualifies " +
+    "a rep BOTH canaries read as calm (the round-16-named mechanism)") {
+    // the measured shape: a stolen replica rep at ~15% steal share
+    // with calm canaries (steal hits the canary less than the body)
+    assert(!BenchPolicy.repQualifies(0.10, 0.10, 0.10, Some(0.12),
+      Some(0.10), stealFrac = Some(0.15)))
+    // a calm rep's share (<=0.5% measured) passes
+    assert(BenchPolicy.repQualifies(0.10, 0.10, 0.10, Some(0.12),
+      Some(0.10), stealFrac = Some(0.004)))
+    // no steal reading (non-Linux): the bar is skipped
+    assert(BenchPolicy.repQualifies(0.10, 0.10, 0.10, Some(0.12),
+      Some(0.10), stealFrac = None))
+  }
+
+  test("qualifiedReps: a parallel steal series drops exactly the " +
+    "stolen reps; entries without the series are unaffected") {
+    val ts = Seq(4.5, 4.6, 4.4, 2.4)
+    val cs = Seq(0.033, 0.032, 0.034, 0.031)
+    val ios = Seq(0.14, 0.15, 0.14, 0.13)
+    // reps 1-3 carry 17-35 steal-seconds (the measured replica shape:
+    // frac 0.12-0.24 at 32 cores); rep 4 is calm
+    val steal = Seq(25000L, 35000L, 17500L, 150L)
+    val q = SweepPublication.qualifiedReps(ts, cs, ios, preRequeue = 4,
+      fSweepC = 0.031, fReqC = 0.031, fSweepIo = 0.13, fReqIo = 0.13,
+      stealMs = steal, cores = 32)
+    assert(q == Seq(2.4), s"got $q")
+    val noSeries = SweepPublication.qualifiedReps(ts, cs, ios,
+      preRequeue = 4, fSweepC = 0.031, fReqC = 0.031,
+      fSweepIo = 0.13, fReqIo = 0.13)
+    assert(noSeries == ts, s"got $noSeries")
+  }
+
   test("publishedMedian: fewer than MinQualifiedReps qualified reps " +
     "fall back to the all-reps median (1-2 lucky reps must not " +
     "override 11 honest ones)") {
