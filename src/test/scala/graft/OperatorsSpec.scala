@@ -2224,6 +2224,15 @@ class OperatorsSpec extends SparkSpec {
       s"$d/empty", k = 3)
     assert(Dedup.decontaminateIndexed(spark, s"$d/empty", corpus, "text",
       "doc_id").count() == 0)
+    // CONDITIONAL BROADCAST (round-16 advice fix): a small on-disk
+    // grams index (far under the 128 MB bound) must take the broadcast
+    // confirm join even above spark.sql.autoBroadcastJoinThreshold —
+    // the plan carries the hint, visible as a broadcast join node
+    val plan = Dedup.decontaminateIndexed(spark, s"$d/idx", corpus,
+      "text", "doc_id").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"small gram index must broadcast its confirm join:\n$plan")
   }
 
   test("bloom decontamination equals the exact broadcast pipeline") {
