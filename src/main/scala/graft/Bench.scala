@@ -89,47 +89,34 @@ object Bench {
   private val repJitMs =
     scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
 
-  private def gcTotalMs: Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
-  }
-  private def gcTotalCount: Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionCount).filter(_ > 0).sum
-  }
-  private def jitTotalMs: Long = {
-    val c = java.lang.management.ManagementFactory.getCompilationMXBean
-    if (c != null && c.isCompilationTimeMonitoringSupported)
-      c.getTotalCompilationTime else 0L
-  }
-
-  /** Box-level (iowait, steal) jiffies from /proc/stat — the two
-    * counters a GUEST can read that name machine-wide inflation no
-    * process-local meter can see: writeback/disk stalls (iowait) and
-    * HOST-level CPU steal on a shared hypervisor (steal — this box is
-    * a VM; a 25-minute 32-core sweep can deplete host CPU credit and
-    * run throttled, hitting an aged driver and a fresh fork equally,
-    * which is exactly the round-16 A/B's finding). (0,0) off-Linux. */
-  private def procStatJiffies(): (Long, Long) = {
-    try {
-      val l = Files.readAllLines(Paths.get("/proc/stat")).get(0)
-        .trim.split("\\s+")
-      (l(5).toLong, l(8).toLong)
-    } catch { case _: Throwable => (0L, 0L) }
-  }
+  // one shared implementation with the fork side — see
+  // graft.trace.ProcMeters (the A/B compares these readings, so the
+  // two sides must not be able to drift apart)
+  private def gcTotalMs: Long = graft.trace.ProcMeters.gcMs
+  private def gcTotalCount: Long = graft.trace.ProcMeters.gcCount
+  private def jitTotalMs: Long = graft.trace.ProcMeters.jitMs
+  private def procStatJiffies(): (Long, Long) =
+    graft.trace.ProcMeters.statJiffies
   private val repIowaitMs =
     scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
   private val repStealMs =
     scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
 
-  /** Time `df` like [[execTime]] while recording the GC/JIT wall that
-    * accrued inside the window, appended to the entry's series. */
-  private def execTimeMetered(name: String, df: => DataFrame): Double = {
+  /** Time `body` (seconds) while recording the GC/JIT wall and the
+    * box-level iowait/steal that accrued inside the window, appended
+    * to the entry's meter series. EVERY timed rep — probe(),
+    * probeInterleaved(), and the custom runners (the x10 trio, the
+    * BPE wordcount/mergeloop) — records through here, so the steal
+    * qualification bar and the artifact's per-rep meters cover every
+    * published entry (the round-16 review finding: the custom runners
+    * originally skipped the meters while the notes claimed full
+    * coverage). */
+  private def meteredSec(name: String)(body: => Unit): Double = {
     val (g0, j0) = (gcTotalMs, jitTotalMs)
     val (io0, st0) = procStatJiffies()
-    val t = execTime(df)
+    val t0 = System.nanoTime()
+    body
+    val t = (System.nanoTime() - t0) / 1e9
     val (io1, st1) = procStatJiffies()
     repGcMs += name -> (repGcMs.getOrElse(name, Seq.empty) :+ (gcTotalMs - g0))
     repJitMs += name -> (repJitMs.getOrElse(name, Seq.empty) :+ (jitTotalMs - j0))
@@ -140,6 +127,12 @@ object Bench {
       (repStealMs.getOrElse(name, Seq.empty) :+ (st1 - st0) * 10)
     t
   }
+
+  /** [[execTime]] + [[meteredSec]] for DataFrame-shaped rep bodies. */
+  private def execTimeMetered(name: String, df: => DataFrame): Double =
+    meteredSec(name) {
+      df.write.format("noop").mode("overwrite").save()
+    }
 
   /** Driver-age fingerprint: the JVM-state quantities that GROW over a
     * ~100-probe sweep, snapshotted at sweep start and publication time
@@ -847,9 +840,9 @@ object Bench {
       val ioSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
       def oneCycle(): Unit = {
         sweepPersisted(spark); System.gc()
-        s += execTime(stagedQ)
-        r += execTime(rawQ)
-        c += execTime(canaryQ)
+        s += execTimeMetered("q06_x10_6Mrows", stagedQ)
+        r += execTimeMetered("q06_x10_rawlayout", rawQ)
+        c += execTimeMetered("q06_x10_canary", canaryQ)
         val io = execTime(ioCanaryJob(spark))
         ioSeries += io
         recordCanary(c.last, io)
@@ -1291,9 +1284,9 @@ object Bench {
       // a loaded box), exactly what requeueing exists for
       def oneWcRep(): Unit = {
         sweepPersisted(spark); System.gc()
-        val t0 = System.nanoTime()
-        freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text")
-        val t = (System.nanoTime() - t0) / 1e9
+        val t = meteredSec("q279_bpe_train32k_wordcount") {
+          freqs = graft.operators.TextAnalysis.bpeWordFreqsTop(corpus, "text")
+        }
         // drain own wake (see settledCanaryPair): GC, settle, throwaway
         sweepPersisted(spark); System.gc(); Thread.sleep(150)
         execTime(canaryJob(spark)): Unit
@@ -1312,10 +1305,10 @@ object Bench {
       // exactly what a one-shot training job pays), 3 timed reps
       def oneLoopRep(): Unit = {
         System.gc()
-        val t0 = System.nanoTime()
-        merges32k = graft.operators.TextAnalysis
-          .bpeTrainFromFreqs(freqs, 32768)
-        val t = (System.nanoTime() - t0) / 1e9
+        val t = meteredSec("q279_bpe_train32k_mergeloop") {
+          merges32k = graft.operators.TextAnalysis
+            .bpeTrainFromFreqs(freqs, 32768)
+        }
         // drain the loop's driver garbage before the canary (plus the
         // settle + throwaway of settledCanaryPair)
         System.gc(); Thread.sleep(150)

@@ -52,13 +52,15 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
       s"bpe_encode takes a STRING document; got ${child.dataType}")
 
   /** Interned symbol tables: singles 0..35 ([a-z0-9] in char order),
-    * merge outputs appended in first-production order. `pairTable` is
+    * merge outputs appended in entry order. `pairTable` is
     * open-addressed linear-probe over packed-long keys; values pack
     * (rank << 32 | mergedId). First occurrence wins for duplicate
-    * (a, b) entries, like a real merges.txt; entries whose sides are
-    * unreachable symbols (hand-built tables) are dropped — an
-    * unreachable symbol can never appear in a word's buffer, so the
-    * string-keyed map could never match them either. */
+    * (a, b) entries, like a real merges.txt; forward references in
+    * hand-built tables (an entry whose side is a LATER entry's
+    * output) resolve via the two-phase build; only entries whose
+    * sides are no entry's output and no single are dropped — such a
+    * symbol can never appear in a word's buffer, so the string-keyed
+    * map could never match them either (spec-pinned). */
   @transient private lazy val tables: BpeEncodeExpr.Tables =
     BpeEncodeExpr.buildTables(merges)
 
@@ -182,15 +184,28 @@ object BpeEncodeExpr {
       while (keys(h) != -1L && keys(h) != key) h = (h + 1) & mask
       if (keys(h) == -1L) { keys(h) = key; vals(h) = value } // first wins
     }
+    // TWO-PHASE build, order-faithful to the string-keyed predecessor:
+    // intern EVERY merge output first, THEN insert pair keys in array
+    // order. A hand-built table may reference a LATER entry's output
+    // (('ab','c') listed before ('a','b')) — the string map matched
+    // such a pair once the later merge fired, so the side must count
+    // as a symbol regardless of entry order (a single-pass build
+    // silently dropped it — the round-16 review finding). Sides that
+    // are neither singles nor ANY entry's output can never appear in
+    // a word buffer, so skipping them matches the string map exactly
+    // (its entry could never match either).
     var i = 0
+    while (i < merges.length) {
+      intern(merges(i)._1 + merges(i)._2): Unit
+      i += 1
+    }
+    i = 0
     while (i < merges.length) {
       val (a, b) = merges(i)
       val ia = symId.get(a); val ib = symId.get(b)
-      if (ia != null && ib != null) {
-        val merged = intern(a + b)
+      if (ia != null && ib != null)
         put((ia.longValue() << 32) | (ib.longValue() & 0xffffffffL),
-          (i.toLong << 32) | merged.toLong)
-      }
+          (i.toLong << 32) | symId.get(a + b).longValue())
       i += 1
     }
     val tokenStr = new Array[UTF8String](strs.size())

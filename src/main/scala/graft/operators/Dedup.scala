@@ -1201,16 +1201,23 @@ object Dedup {
     // but dropping the hint entirely regressed mid-size gram sets
     // (above spark.sql.autoBroadcastJoinThreshold's 10 MB default, far
     // below the cap) to shuffle joins. Decide from the index's on-disk
-    // footprint — already known to the FS, no scan: ≤128 MB of parquet
-    // longs is ≲30 M grams ≈ ≤1 GB as a hash relation, comfortably
-    // safe; bigger indexes take the shuffle join they need.
+    // footprint — already known to the FS, no scan. The bound is a
+    // session conf (`graft.decon.broadcastMaxBytes`) because the safe
+    // value is a function of DRIVER memory, not of the operator: the
+    // 64 MB default (≲15 M parquet longs ≈ a few-hundred-MB hash
+    // relation) assumes a production-sized driver (≥2 GB); a
+    // memory-tight session sets it lower (or 0 to always let AQE
+    // decide), a fat driver raises it.
     val gramsBytes = {
       val gp = new org.apache.hadoop.fs.Path(s"$path/grams")
       val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(gp).filter(_.isFile).map(_.getLen).sum
     }
+    val broadcastMax = spark.conf
+      .getOption("graft.decon.broadcastMaxBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
     val confirmSide =
-      if (gramsBytes <= 128L * 1024 * 1024) F.broadcast(grams) else grams
+      if (gramsBytes <= broadcastMax) F.broadcast(grams) else grams
     pruned.join(confirmSide, "g")
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_shared"))

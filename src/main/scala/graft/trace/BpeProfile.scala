@@ -29,7 +29,14 @@ object BpeProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def corpus: DataFrame = {
+    // STAGED corpus, matching the round-16 probe redefinition: the
+    // sweep stages the widened corpus to parquet untimed and times
+    // only read + wordcount — this runner must measure the SAME
+    // condition or the isolated ledger compares two different probes
+    // (the round-16 review finding).
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_bpeprofile").toString + "/corpus.parquet"
+    locally {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       val x10 = (0 until 10).map(i => d.select(
@@ -37,7 +44,9 @@ object BpeProfile {
         F.col("text"))).reduce(_.union(_)).coalesce(32)
       x10.select(F.col("text")).unionAll(
         x10.select(F.md5(F.col("doc_id").cast("string")).as("text")))
+        .write.mode("overwrite").parquet(corpusPath)
     }
+    def corpus: DataFrame = spark.read.parquet(corpusPath)
     // timed WORDCOUNT reps first (the q279_bpe_train32k_wordcount
     // probe's distributed half, for the isolated ledger): first run is
     // the JIT/cache warmup, later runs are the honest numbers

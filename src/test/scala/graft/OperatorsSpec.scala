@@ -2335,6 +2335,16 @@ class OperatorsSpec extends SparkSpec {
         s"greedy != sequential for '${r.getString(0)}'")
     }
 
+    // FORWARD-REFERENCING hand-built table (round-16 review finding):
+    // ('ab','c') listed BEFORE ('a','b') must still fire once (a,b)
+    // merges — greedy-by-rank takes ('ab','c') (rank 0) as soon as
+    // 'ab' exists, so "abc" encodes to ONE token, and the rank-0 win
+    // over a later duplicate path is preserved
+    val fwd = Seq("abc").toDF("text")
+      .select(TextAnalysis.bpeEncode(F.col("text"),
+        Seq(("ab", "c"), ("a", "b"))).as("toks")).head().getSeq[String](0)
+    assert(fwd == Seq("abc"), s"forward-referenced merge must fire: $fwd")
+
     // NULL text -> NULL tokens; no merges -> pure characters
     val nulled = Seq[(java.lang.Long, String)]((1L, null), (2L, "ab"))
       .toDF("id", "text")
