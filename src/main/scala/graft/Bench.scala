@@ -638,7 +638,25 @@ object Bench {
       val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         p.destroyForcibly(): Unit
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS): Unit
         outF.delete(); errF.delete()
+        // a fork killed mid-applyChanges leaves `_cdc/.staging-*`
+        // scratch under repPath (the manifest commit itself is atomic,
+        // so the table is intact) — sweep the orphans so the requeued
+        // apply reps and the recopy probe keep timing the SAME replica
+        // condition the pre-fork reps measured
+        try {
+          val cdc = new java.io.File(repPath, "_cdc")
+          Option(cdc.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(".staging-"))
+            .foreach { d =>
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+                f.delete(): Unit
+              }
+              rm(d)
+            }
+        } catch { case _: Throwable => () }
         (None, "fork_timeout")
       } else {
         val out = Files.readString(outF.toPath)
@@ -1761,6 +1779,38 @@ object Bench {
     }
     stageJson.append("}")
 
+    // q113's gated entry deliberately times the bucketed LAYOUT WRITE
+    // inside the measured region (the honest one-shot cost) — which is
+    // also why its isolated band ran 0.697–1.152 (round-16 verdict ask
+    // #7: two table writes dominate and jitter the body). This twin
+    // follows the staging discipline every other probe uses: both
+    // bucketed tables staged UNTIMED once, the timed body is the
+    // exchange-free agg+join alone — the RECURRING cost the layout
+    // exists to buy, and the one that scales with query count at 100 TB.
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val staging = newTempDir("graft_bucketed_joinonly")
+      graft.operators.Scale.writeBucketed(
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_orders_bjo", s"$staging/orders_b", "o_custkey", 8)
+      graft.operators.Scale.writeBucketed(
+        spark.read.parquet(s"$sfDir/customer.parquet")
+          .select("c_custkey", "c_mktsegment"),
+        "graft_customer_bjo", s"$staging/customer_b", "c_custkey", 8)
+      probe(spark, "q113_bucketed_join_only") {
+        spark.table("graft_orders_bjo")
+          .groupBy("o_custkey")
+          .agg(F.round(F.sum("o_totalprice"), 4).as("spend"),
+               F.count(F.lit(1)).as("n_orders"))
+          .filter(F.col("spend") > 200000)
+          .join(spark.table("graft_customer_bjo"),
+            F.col("o_custkey") === F.col("c_custkey"))
+          .select("o_custkey", "c_mktsegment", "spend", "n_orders")
+      }: Unit
+      tracer.drain(): Unit
+    }
+
     val (canaryAfter, ioCanaryAfter) = canaryTime(spark)
 
     // ---- the pre-run artifact, read BEFORE this run overwrites it:
@@ -1769,23 +1819,52 @@ object Bench {
     // for a box loaded end-to-end, where today's own canary minimum
     // never dips to idle and would inflate the bar until everything
     // "qualifies") ----
-    val prevBench: (String, Map[String, Double]) = {
+    // label, medians, per-entry qualified counts, per-entry stale-since
+    // (entries the PRIOR artifact itself published as stale fallbacks,
+    // with the label of the sweep that actually measured them), and
+    // the prior artifact's generated stamp — the last three feed the
+    // round-17 stale-fallback publication (see SweepPublication
+    // .staleFallback)
+    val prevBench: (String, Map[String, Double], Map[String, Int],
+        Map[String, String], String) = {
       val f = new java.io.File("bench.json")
-      if (!f.exists()) ("", Map.empty[String, Double])
+      if (!f.exists()) ("", Map.empty, Map.empty, Map.empty, "")
       else {
         val txt = Files.readString(f.toPath)
-        val start = txt.indexOf("\"queries\":{")
-        val end = if (start < 0) -1 else txt.indexOf("}", start)
-        val qs =
-          if (start < 0 || end < 0) Map.empty[String, Double]
-          else """"(q[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
-            .findAllMatchIn(txt.substring(start, end))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        def braceBlock(field: String): String = {
+          val start = txt.indexOf(s""""$field":{""")
+          if (start < 0) return ""
+          // balanced-brace walk, not indexOf("}"): the stale block
+          // nests objects
+          var i = txt.indexOf('{', start)
+          var depth = 0
+          val from = i
+          while (i < txt.length && (depth > 0 || i == from)) {
+            if (txt.charAt(i) == '{') depth += 1
+            else if (txt.charAt(i) == '}') depth -= 1
+            i += 1
+          }
+          txt.substring(from, i)
+        }
+        val qs = """"(q[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+          .findAllMatchIn(braceBlock("queries"))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val qual = """"(q[A-Za-z0-9_]+)":([0-9]+)""".r
+          .findAllMatchIn(braceBlock("qualified_reps"))
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+        val staleSince =
+          """"(q[A-Za-z0-9_]+)":\{[^}]*"since":"([^"]*)"""".r
+            .findAllMatchIn(braceBlock("stale"))
+            .map(m => m.group(1) -> m.group(2)).toMap
+        val generated = """"generated":"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .getOrElse("bench.json(pre-run)")
         floorHintC = """"canary_floor_sec":([0-9]+(?:\.[0-9]+)?)""".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
         floorHintIo = """"io_canary_floor_sec":([0-9]+(?:\.[0-9]+)?)""".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
-        (s"bench.json(pre-run, ${qs.size} queries)", qs)
+        (s"bench.json(pre-run, ${qs.size} queries)", qs, qual,
+          staleSince, generated)
       }
     }
 
@@ -1830,8 +1909,18 @@ object Bench {
       val priority = Seq("q06_q1_flagship", "q06_x10_6Mrows",
         "q29_x10_50kdocs", "q51_x10_50kdocs", "q112_x10_50kdocs",
         "q129_x10_50kdocs", "q98_inverted_index")
-      val names = priority.filter(repTimes.contains) ++
-        repTimes.keys.toSeq.filterNot(priority.contains)
+      // round-17 (verdict ask #4): entries the PRIOR artifact published
+      // thin (<3 qualified reps there) drained no calm-window budget in
+      // round 16 and stayed thin two rounds running — they requeue
+      // right after the standing priorities, before the slowest-first
+      // tail, so a backlog cannot roll over a third time
+      val prevThin = repTimes.keys.toSeq
+        .filter(n => !priority.contains(n) &&
+          prevBench._3.get(n).exists(_ < BenchPolicy.MinQualifiedReps))
+        .sortBy(n => prevBench._3(n))
+      val names = priority.filter(repTimes.contains) ++ prevThin ++
+        repTimes.keys.toSeq
+          .filterNot(n => priority.contains(n) || prevThin.contains(n))
           .sortBy(n => -medOf(repTimes(n)))
       var stop = false
       var failedCalms = 0
@@ -1884,8 +1973,10 @@ object Bench {
       preRequeueReps.toMap, fSweepC, fReqC, fSweepIo, fReqIo,
       prevBench._2,
       SweepPublication.loadIsolatedLedger("bench_isolated.json"),
-      repStealMs.toMap, Runtime.getRuntime.availableProcessors())
-    def finalMedian(name: String): Double = pub.finalMedian(name)
+      repStealMs.toMap, Runtime.getRuntime.availableProcessors(),
+      prevQualified = prevBench._3, prevStaleSince = prevBench._4,
+      prevGenerated = prevBench._5)
+    def finalMedian(name: String): Double = pub.publishedValue(name)
     entryOrder.foreach { n => spreads += n -> pub.spreadOf(n) }
 
     val loadAfter = loadAvg()
@@ -2047,6 +2138,26 @@ object Bench {
         "over all reps and should not anchor cross-round compares - " +
         "on a never-quiet box (calm_reached false) read spread[0] as " +
         "the best-of-reps fallback beside each median"),
+      "stale_fallback" -> ("ROUND-17 (the round-16 ask: make " +
+        "publication steal-aware end-to-end): an entry that never " +
+        "reached min_qualified_reps steal-clean reps NO LONGER anchors " +
+        "its published number on this sweep's all-reps median - that " +
+        "number is a weather report (round 16 published 31 such " +
+        "entries through 1,171 steal-seconds, qualified-vs-all " +
+        "medians disagreeing >1.2x where both existed). Instead it " +
+        "republishes the PRIOR artifact's qualified median, listed in " +
+        "the stale field with: fallback (the value queries carries), " +
+        "since (when that value was actually measured - inherited " +
+        "through consecutive dirty sweeps, so it always names the " +
+        "sweep that earned it), measured_all_reps (this sweep's dirty " +
+        "median, kept for transparency), qualified_reps. The fallback " +
+        "fires only when the prior value is itself trustworthy (>= " +
+        "min_qualified_reps there, or already a marked fallback); " +
+        "with no trustworthy prior the all-reps median publishes as " +
+        "before, flagged by qualified_reps 0-2. Stale entries cannot " +
+        "appear in regressions (no new evidence). Entries the prior " +
+        "artifact published thin also requeue FIRST after the " +
+        "headline pair, so a thin backlog drains instead of rolling"),
       "isolated_ledger" -> ("STANDING RULE (round-15 ask #3): an " +
         "unattributed regression label survives at most one round - " +
         "each is re-measured on a quiet box and recorded in " +
@@ -2314,8 +2425,13 @@ object Bench {
       .mkString("{", ",", "}")
     val repIowaitJson = statJson(repIowaitMs)
     val repStealJson = statJson(repStealMs)
+    // when this sweep actually ran — the label a FUTURE sweep's stale
+    // fallback carries as "since", so a frozen value always names the
+    // sweep that measured it
+    val generatedStamp = java.time.Instant.now()
+      .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","queries":$qjson,"qualified_reps":$qualifiedJson,"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

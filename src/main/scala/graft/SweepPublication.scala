@@ -44,7 +44,10 @@ private[graft] final case class SweepPublication(
     prevMedians: Map[String, Double] = Map.empty,
     isolatedLedger: Map[String, IsolatedMeasure] = Map.empty,
     repStealMs: Map[String, Seq[Long]] = Map.empty,
-    cores: Int = 32) {
+    cores: Int = 32,
+    prevQualified: Map[String, Int] = Map.empty,
+    prevStaleSince: Map[String, String] = Map.empty,
+    prevGenerated: String = "") {
 
   def qualifiedOf(name: String): Seq[Double] =
     SweepPublication.qualifiedReps(
@@ -56,19 +59,65 @@ private[graft] final case class SweepPublication(
       fSweepC, fReqC, fSweepIo, fReqIo,
       repStealMs.getOrElse(name, Seq.empty), cores)
 
-  /** The published median: qualified-reps-only at >=
+  /** This sweep's own median: qualified-reps-only at >=
     * [[BenchPolicy.MinQualifiedReps]], all-reps otherwise. */
   def finalMedian(name: String): Double =
     BenchPolicy.publishedMedian(repTimes(name), qualifiedOf(name))._1
+
+  /** STALE FALLBACK (round-16 verdict ask #1 — steal-aware publication
+    * end-to-end): when an entry's sweep never reached
+    * [[BenchPolicy.MinQualifiedReps]] quiet-box reps, its all-reps
+    * median is a WEATHER REPORT (round 16 published 31 such entries
+    * through 1,171 steal-seconds, with qualified-vs-all medians
+    * disagreeing >1.2× where both existed) — the prior artifact's
+    * QUALIFIED median is the more honest estimate of the engine, so
+    * the entry falls back to it, explicitly marked. Returns
+    * (value, since-label) when the prior value is trustworthy:
+    * either the prior sweep qualified it (>= MinQualifiedReps there),
+    * or the prior artifact itself published it as a stale fallback —
+    * in which case the ORIGINAL since-label is inherited, so a value
+    * frozen across several dirty sweeps still names the sweep that
+    * actually measured it. */
+  def staleFallback(name: String): Option[(Double, String)] =
+    prevMedians.get(name).flatMap { prev =>
+      if (prevQualified.get(name).exists(_ >= BenchPolicy.MinQualifiedReps))
+        Some((prev, prevGenerated))
+      else prevStaleSince.get(name).map(since => (prev, since))
+    }
+
+  /** Whether the entry publishes the stale fallback: too few qualified
+    * reps this sweep AND a trustworthy prior value exists. */
+  def isStale(name: String): Boolean =
+    qualifiedOf(name).length < BenchPolicy.MinQualifiedReps &&
+      staleFallback(name).isDefined
+
+  /** THE published value — what `queries` carries: the qualified
+    * median when the sweep earned one, the prior artifact's qualified
+    * median (marked in `stale`) when it did not but the prior sweep
+    * did, the all-reps median only when NEITHER sweep has a
+    * trustworthy number (and `qualified_reps: 0..2` flags it). */
+  def publishedValue(name: String): Double =
+    if (isStale(name)) staleFallback(name).get._1 else finalMedian(name)
 
   def spreadOf(name: String): (Double, Double) = {
     val ts = repTimes(name); (ts.min, ts.max)
   }
 
-  /** every timed entry, in publication order, at its final median */
+  /** every timed entry, in publication order, at its published value */
   def qjson: String = entries
-    .map(n => s""""$n":${f"${finalMedian(n)}%.4f"}""")
+    .map(n => s""""$n":${f"${publishedValue(n)}%.4f"}""")
     .mkString("{", ",", "}")
+
+  /** the explicit staleness marker: every fallback-published entry
+    * with the prior value it froze, WHEN that value was actually
+    * measured, this sweep's own (dirty) all-reps median it replaced,
+    * and the qualified count that triggered the fallback */
+  def staleJson: String = entries.flatMap { n =>
+    if (!isStale(n)) None
+    else staleFallback(n).map { case (v, since) =>
+      s""""$n":{"fallback":${f"$v%.4f"},"since":"$since","measured_all_reps":${f"${finalMedian(n)}%.4f"},"qualified_reps":${qualifiedOf(n).length}}"""
+    }
+  }.mkString("{", ",", "}")
 
   /** per-entry qualified-rep count: 0 = the published median is over
     * ALL reps — the artifact's own "do not trust this number for
@@ -145,7 +194,10 @@ private[graft] final case class SweepPublication(
     * end-of-sweep requeue one). */
   def regressions: Seq[(String, Double, Double, Double, String)] =
     entries.filterNot(_ == "q06_x10_canary").flatMap { name =>
-      val cur = finalMedian(name)
+      // the PUBLISHED value: a stale-fallback entry republishes the
+      // prior number, so it cannot regress against itself — exactly
+      // right, since the sweep produced no trustworthy new evidence
+      val cur = publishedValue(name)
       prevMedians.get(name).collect {
         case prev if prev > 0 && cur / prev > 1.2 && cur - prev > 0.05 =>
           val curMin = repTimes(name).min
@@ -175,7 +227,7 @@ private[graft] final case class SweepPublication(
     * for the operator's cost, without digging through probe_notes. */
   def isolatedJson: String = entries.flatMap { n =>
     isolatedLedger.get(n).map { m =>
-      val cur = finalMedian(n)
+      val cur = publishedValue(n)
       val infl = if (m.sec > 0) cur / m.sec else 0.0
       s""""$n":{"in_sweep":${f"$cur%.4f"},"isolated":${f"${m.sec}%.4f"},"inflation":${f"$infl%.2f"},"tool":"${m.tool}","date":"${m.date}"}"""
     }

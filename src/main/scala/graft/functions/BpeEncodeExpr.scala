@@ -34,11 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     fresh key string per adjacent pair per merge round;
   *   - emitted tokens are PRECOMPUTED UTF8Strings indexed by symbol id
   *     (no per-token fromString);
-  *   - a per-task WORD CACHE (word → token ids) exploits the Zipfian
+  *   - a per-THREAD word cache (word → token ids) exploits the Zipfian
   *     word distribution: the merge loop runs once per DISTINCT word
-  *     per task, not once per occurrence. Bounded at 64k entries,
+  *     per thread, not once per occurrence. Bounded at 64k entries,
   *     clear-on-full (a corpus partition rarely exceeds it; clearing
-  *     is cheaper and simpler than LRU bookkeeping).
+  *     is cheaper and simpler than LRU bookkeeping). ThreadLocal, not
+  *     a plain map: tasks usually get their own deserialized instance,
+  *     but a shared instance (driver-side eval) must degrade to a
+  *     split cache, not HashMap corruption.
   */
 case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
     extends UnaryExpression {
@@ -64,13 +67,19 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
   @transient private lazy val tables: BpeEncodeExpr.Tables =
     BpeEncodeExpr.buildTables(merges)
 
-  /** Per-task word cache: word → interned token ids. */
-  @transient private lazy val wordCache =
-    new java.util.HashMap[String, Array[Int]](1 << 12)
+  /** Per-THREAD word cache: word → interned token ids. Deserialization
+    * normally gives each task its own expression instance, but nothing
+    * in Spark guarantees it (driver-side eval, a reused local plan) —
+    * and a plain HashMap mutated from two threads corrupts, up to an
+    * infinite loop inside `HashMap.get`. ThreadLocal makes a shared
+    * instance merely split the cache (lower hit rate), never corrupt. */
+  @transient private lazy val wordCache: ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]](1 << 12))
 
   /** Greedy lowest-rank merge of one word, on interned ids. Returns the
     * token-id array (cached per distinct word). */
-  private def encodeWordIds(word: String): Array[Int] = {
+  private def encodeWordIds(word: String,
+      wordCache: java.util.HashMap[String, Array[Int]]): Array[Int] = {
     val cached = wordCache.get(word)
     if (cached != null) return cached
     val t = tables
@@ -106,6 +115,7 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
 
   def encode(text: UTF8String): ArrayData = {
     val t = tables
+    val cache = wordCache.get() // one ThreadLocal read per document
     val out = new java.util.ArrayList[UTF8String]()
     // Locale-aware lowercase BEFORE splitting, exactly like the q23
     // splitter contract (and the DuckDB oracle's lower()): a byte-level
@@ -122,7 +132,7 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
       }
       if (isWord && start < 0) start = i
       else if (!isWord && start >= 0) {
-        val toks = encodeWordIds(s.substring(start, i))
+        val toks = encodeWordIds(s.substring(start, i), cache)
         var k = 0
         while (k < toks.length) { out.add(t.tokenStr(toks(k))); k += 1 }
         start = -1

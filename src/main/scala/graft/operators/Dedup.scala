@@ -1214,7 +1214,14 @@ object Dedup {
       fs.listStatus(gp).filter(_.isFile).map(_.getLen).sum
     }
     val broadcastMax = spark.conf
-      .getOption("graft.decon.broadcastMaxBytes").map(_.toLong)
+      .getOption("graft.decon.broadcastMaxBytes").map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.decon.broadcastMaxBytes must be a byte count in " +
+              s"decimal (e.g. 67108864), got '$v'")
+        }
+      }
       .getOrElse(64L * 1024 * 1024)
     val confirmSide =
       if (gramsBytes <= broadcastMax) F.broadcast(grams) else grams

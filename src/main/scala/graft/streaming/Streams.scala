@@ -187,35 +187,40 @@ object Streams {
     * when the event-time watermark passes `lastEvent + gap` — via
     * `GroupStateTimeout.EventTimeTimeout`, the mechanism a production
     * pipeline needs so abandoned sessions drain instead of pinning state
-    * forever. Timed-out session AGGREGATES are dropped; a tiny counter
-    * tombstone (one row per user ever seen) survives so a returning
-    * user's sessions keep globally increasing ids — removing it reused
-    * (user, session_id) keys and diverged from the batch twin.
+    * forever.
     *
-    * STATE BOUND — two documented modes:
-    *   - `timeIds = false` (default, batch-twin parity): session ids are
-    *     the batch twin's 0..n per-user counters, which REQUIRES the
-    *     counter tombstone — state is one ~40-byte row per user EVER
-    *     SEEN, a deliberate unbounded-in-user-cardinality tradeoff. At
-    *     10⁹ lifetime users that is ~40 GB of state store; fine for
-    *     bounded user populations, wrong for an open-world 100 TB feed.
-    *   - `timeIds = true` (bounded state): the counter moves INTO the
-    *     session-id encoding — a session's id is its start event-time in
-    *     MICROSECONDS. Closed sessions `state.remove()` entirely, so
-    *     state is one row per user with an OPEN session inside the
-    *     watermark horizon, O(active users), regardless of lifetime
-    *     cardinality. Continuity across eviction is structural, not
-    *     remembered: the watermark admits no event below it, a session
-    *     only closes once the watermark passes lastTs + gap, so a
-    *     returning user's next session starts at an event-time strictly
-    *     above every previous session's start — (user, session_id) keys
-    *     can never repeat and ids stay globally increasing (spec-pinned
-    *     across an eviction). Aggregates are identical to the default
-    *     mode; only the id encoding differs (join the batch twin on
-    *     session_start instead of session_id). */
+    * STATE BOUND — two documented modes; `timeIds = true` is the
+    * DEFAULT (round-17: an open-world feed is the normal case at
+    * 100 TB, so the bounded mode should be what a caller gets without
+    * reading this paragraph):
+    *   - `timeIds = true` (default, bounded state): a session's id is
+    *     its start event-time in MICROSECONDS. Closed sessions
+    *     `state.remove()` entirely, so state is one row per user with
+    *     an OPEN session inside the watermark horizon — O(active
+    *     users), regardless of lifetime cardinality. Continuity across
+    *     eviction is structural, not remembered: the watermark admits
+    *     no event below it, a session only closes once the watermark
+    *     passes lastTs + gap, so a returning user's next session starts
+    *     at an event-time strictly above every previous session's
+    *     start — (user, session_id) keys can never repeat and ids stay
+    *     globally increasing (spec-pinned across an eviction).
+    *     Q36-TWIN CONTRACT: per-session aggregates (n_events,
+    *     sum_value, start_us, end_us) are IDENTICAL to the batch
+    *     [[sessionizeBatch]] twin; only the id encoding differs — join
+    *     the twin on (user_id, start_us) instead of session_id.
+    *   - `timeIds = false` (opt-in, exact batch-twin id parity):
+    *     session ids are the batch twin's 0..n per-user counters, which
+    *     REQUIRES a counter tombstone — timed-out session aggregates
+    *     are dropped but one tiny row per user EVER SEEN survives so a
+    *     returning user's ids keep increasing (removing it reused
+    *     (user, session_id) keys and diverged from the batch twin). A
+    *     deliberate unbounded-in-user-cardinality tradeoff: at 10⁹
+    *     lifetime users that is ~40 GB of state store. For consumers
+    *     that join the batch twin on session_id and have a bounded
+    *     user population; wrong for an open-world feed. */
   def sessionizeStreamEventTime(events: Dataset[TimedEvent],
                                 gapUs: Long = 30L * 60 * 1000000,
-                                timeIds: Boolean = false): Dataset[UserSession] = {
+                                timeIds: Boolean = true): Dataset[UserSession] = {
     // ONE duration drives both the watermark delay and the split/timeout
     // arithmetic — two independently-overridable forms would let a caller
     // silently desynchronize session-closing semantics. Microsecond units

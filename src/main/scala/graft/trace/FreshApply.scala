@@ -45,24 +45,9 @@ object FreshApply {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
-    }
-    def jitMs: Long = {
-      val c = java.lang.management.ManagementFactory.getCompilationMXBean
-      if (c != null && c.isCompilationTimeMonitoringSupported)
-        c.getTotalCompilationTime else 0L
-    }
-    // box-level (iowait, steal) jiffies — same meters as the aged side
-    def statJ: (Long, Long) = {
-      try {
-        val l = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        (l(5).toLong, l(8).toLong)
-      } catch { case _: Throwable => (0L, 0L) }
-    }
+    // the aged side (Bench) reads the same ProcMeters — the A/B's two
+    // sides share one meter implementation and cannot drift
+    import ProcMeters.{gcMs, jitMs, statJiffies => statJ}
     def applyOnce(from: Long, to: Long): Double = {
       val t0 = System.nanoTime()
       val feed = graft.sources.Versioned.changeFeed(

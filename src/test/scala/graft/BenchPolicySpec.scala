@@ -344,6 +344,80 @@ class BenchPolicySpec extends AnyFunSuite {
     }
   }
 
+  // ---- STALE FALLBACK (round-17, the round-16 verdict's #1 ask:
+  // steal-aware publication end-to-end — a sweep that never earned 3
+  // quiet reps for an entry must not anchor the published number on
+  // its dirty all-reps median when the prior artifact holds a
+  // qualified one) ----
+
+  test("stale fallback: a thin entry republishes the prior QUALIFIED " +
+    "median, marked in stale with the prior sweep's generated stamp") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 5),
+      prevGenerated = "2026-08-15T10:00:00Z")
+    // 2 qualified reps → the sweep's own number would be the dirty
+    // all-reps median; the published value must be the prior 0.47
+    assert(pub.qualifiedOf("qA_coldcache").length === 2)
+    assert(pub.isStale("qA_coldcache"))
+    assert(pub.publishedValue("qA_coldcache") === 0.47)
+    val qs = parseJson(pub.qjson)
+    assert(qs.get("qA_coldcache").asDouble() === 0.47)
+    val stale = parseJson(pub.staleJson)
+    assert(stale.has("qA_coldcache") && stale.size() === 1)
+    val e = stale.get("qA_coldcache")
+    assert(e.get("fallback").asDouble() === 0.47)
+    assert(e.get("since").asText() === "2026-08-15T10:00:00Z")
+    assert(e.get("qualified_reps").asInt() === 2)
+    // the dirty number stays visible for transparency
+    assert(math.abs(e.get("measured_all_reps").asDouble() -
+      BenchPolicy.median(pub.repTimes("qA_coldcache"))) < 1e-4)
+  }
+
+  test("stale fallback: a prior value that was ITSELF a marked " +
+    "fallback inherits the original since label — a value frozen " +
+    "across consecutive dirty sweeps still names the sweep that " +
+    "measured it") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 1), // prior sweep was thin too
+      prevStaleSince = Map("qA_coldcache" -> "2026-08-10T09:00:00Z"),
+      prevGenerated = "2026-08-15T10:00:00Z")
+    assert(pub.isStale("qA_coldcache"))
+    assert(pub.publishedValue("qA_coldcache") === 0.47)
+    assert(parseJson(pub.staleJson).get("qA_coldcache")
+      .get("since").asText() === "2026-08-10T09:00:00Z")
+  }
+
+  test("stale fallback: NO fallback when the prior value is " +
+    "untrustworthy (thin there, not marked stale) — the all-reps " +
+    "median publishes, flagged only by qualified_reps") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 2))
+    assert(!pub.isStale("qA_coldcache"))
+    assert(pub.publishedValue("qA_coldcache") ===
+      BenchPolicy.median(pub.repTimes("qA_coldcache")))
+    assert(parseJson(pub.staleJson).size() === 0)
+  }
+
+  test("stale fallback: an entry that EARNED its qualified median " +
+    "never falls back, and a stale entry never appears in regressions") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians ++
+        Map("qB_diverge" -> 0.10, "qA_coldcache" -> 0.47),
+      prevQualified = Map("qB_diverge" -> 5, "qA_coldcache" -> 5),
+      prevGenerated = "2026-08-15T10:00:00Z")
+    // qB has 4 qualified reps: its own number wins even though the
+    // prior median exists (and would otherwise flag a 5.5x regression)
+    assert(!pub.isStale("qB_diverge"))
+    assert(pub.publishedValue("qB_diverge") === 0.55)
+    // qA republishes prev (cur == prev) → cannot regress against itself
+    assert(!pub.regressions.exists(_._1 == "qA_coldcache"))
+    // qB regressed for real (0.10 → 0.55) and still appears
+    assert(pub.regressions.exists(_._1 == "qB_diverge"))
+  }
+
   test("isolated ledger parsing: the bench_isolated.json shape round-" +
     "trips, a missing file reads empty") {
     val tmp = java.nio.file.Files.createTempFile("ledger", ".json")

@@ -2225,7 +2225,8 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.decontaminateIndexed(spark, s"$d/empty", corpus, "text",
       "doc_id").count() == 0)
     // CONDITIONAL BROADCAST (round-16 advice fix): a small on-disk
-    // grams index (far under the 128 MB bound) must take the broadcast
+    // grams index (far under graft.decon.broadcastMaxBytes' 64 MB
+    // default) must take the broadcast
     // confirm join even above spark.sql.autoBroadcastJoinThreshold —
     // the plan carries the hint, visible as a broadcast join node
     val plan = Dedup.decontaminateIndexed(spark, s"$d/idx", corpus,

@@ -281,7 +281,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[TimedEvent]
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    val q = Streams.sessionizeStreamEventTime(stream.toDS(), gapUs = 1000000L)
+    // counter mode OPT-IN (round 17 flipped the default to the bounded
+    // timeIds encoding): this test pins the tombstone/0..n-id contract
+    val q = Streams.sessionizeStreamEventTime(stream.toDS(), gapUs = 1000000L,
+        timeIds = false)
       .writeStream.format("memory").queryName("et_sessions")
       .outputMode("append").start()
     try {
