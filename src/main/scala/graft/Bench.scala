@@ -2201,9 +2201,14 @@ object Bench {
         "reproduction (no sustained load, no credit depletion), and " +
         "late-sweep concentration. The JVM-state components are " +
         "bounded by their own meters: gc_ms 100-500 of a 4-9s rep, " +
-        "jit_ms 1-2.7s/rep (the multi-statement MERGE codegens " +
-        "fresh classes every rep - a constant per-rep tax paid " +
-        "equally in-sweep and isolated, not an aging term). " +
+        "jit_ms (ROUND 17 cut the round-16-measured 1-2.7s/statement " +
+        "MERGE codegen tax: the per-delta key bounds now ride the " +
+        "generated code's references array via stable_const instead " +
+        "of being inlined, so the statement template compiles ONCE - " +
+        "ReplicaTrace meters codegen_units=0 on every post-warmup " +
+        "apply, isolated converged apply 2.35 -> ~1.7-1.9s at MULT=12 " +
+        "NSEG=128, and a snapshot index cache collapsed the repeated " +
+        "per-statement segment-listing jobs, 22 -> 20). " +
         "Version-history growth was separately REFUTED: " +
         "ReplicaTrace holds 1.4-1.7s FLAT across " +
         "13 accumulated versions. rep_gc_ms / rep_jit_ms carry the " +

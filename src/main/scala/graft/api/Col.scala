@@ -388,6 +388,22 @@ object Col {
             case other => throw new IllegalArgumentException(
               s"len() expects an array or string, got $other")
           }
+        // INTERNAL parameterized constant (the CDC apply's codegen-
+        // reuse hook, extension-registered): evaluates exactly like
+        // its literal argument, but the value rides the generated
+        // code's references array instead of being inlined into the
+        // source text — statement templates that differ only in these
+        // values reuse the codegen cache (and its JIT output) instead
+        // of compiling fresh classes per statement. See
+        // graft.functions.StableConst for the pushdown trade.
+        case "stable_const" =>
+          arity(1)
+          args(0) match {
+            case Lit(_) =>
+              (F.call_function("stable_const", cs(0)), compiled(0)._2)
+            case other => throw new IllegalArgumentException(
+              s"stable_const() takes a literal, got $other")
+          }
         case "token_count" =>
           arity(1)
           (graft.operators.TextAnalysis.tokenCount(cs(0)), IntegerType)

@@ -275,6 +275,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(children(1), "numBands"), lit(children(2), "rowsPerBand"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("stable_const"),
+      new ExpressionInfo(classOf[StableConst].getName, "stable_const"),
+      (children: Seq[Expression]) => {
+        val c = children.head
+        if (!c.foldable) throw new IllegalArgumentException(
+          s"stable_const() takes a literal argument, got: $c")
+        StableConst(c.eval(), c.dataType)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("md5_hash60"),
       new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5_hash60"),
       (children: Seq[Expression]) =>

@@ -383,6 +383,21 @@ object SegmentStats {
     * `filter` may be resolved (the [[VersionedFileIndex]] planning
     * path) or unresolved (a user-supplied `Column` via
     * [[Versioned.pruneCount]]). */
+  /** Rewrite reference-backed constants into the plain literals the
+    * [[mayMatch]] patterns consume: [[graft.functions.StableConst]] is
+    * literal-equivalent by contract (it exists so the EXECUTED plan's
+    * generated code stays value-independent — see its scaladoc), and
+    * the analyzer's type-coercion Cast around one becomes evaluable
+    * driver-side once the child is a literal. Called ONCE per filter
+    * by the planning paths, not per segment — a 100k-segment manifest
+    * must not pay a tree rewrite per segment. */
+  def normalize(filter: Expression): Expression = filter.transformUp {
+    case sc: graft.functions.StableConst => sc.toLiteral
+    case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+      try Literal(c.eval(null), c.dataType)
+      catch { case scala.util.control.NonFatal(_) => c }
+  }
+
   def mayMatch(s: SegStats, filter: Expression): Boolean = {
     if (s.rows == 0L) return false
     // any analysis failure (unresolved dataType, exotic shape) keeps

@@ -2003,6 +2003,26 @@ object Versioned {
            version: Option[Long] = None): DataFrame =
     readWithIndex(spark, path, version)._1
 
+  /** Per-JVM LRU of snapshot file indexes, keyed (session, path,
+    * version, manifest fingerprint): a committed snapshot is IMMUTABLE
+    * (CAS manifest, never-rewritten segment dirs), yet one MERGE
+    * statement opens the same snapshot 2–3× (head read, provenance
+    * read) and every open re-paid the full listing — on a >32-segment
+    * manifest a 64-task distributed job (~0.1 s each; three of the CDC
+    * apply's 22 jobs were exactly this). The manifest's segment list
+    * rides the key, so a dataset recreated at the same path (fresh
+    * UUID segment names) can never hit a stale entry. Bounded at 32
+    * snapshots; the accounting fields on a shared index
+    * (lastSegmentsRead) remain per-instance observability, same as
+    * before. */
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, String, Long, Int),
+        VersionedFileIndex](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Long, Int),
+            VersionedFileIndex]): Boolean = size() > 32
+    })
+
   /** The snapshot's RAW file relation (no deletion vectors applied)
     * plus its index and resolved version — the single place the
     * physical read is assembled. */
@@ -2014,7 +2034,16 @@ object Versioned {
       all.last
     }
     val segs = readManifest(spark, path, v)
-    val idx = VersionedFileIndex.open(spark, path, segs)
+    val key = (System.identityHashCode(spark), path, v, segs.hashCode)
+    val idx = {
+      val hit = indexCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = VersionedFileIndex.open(spark, path, segs)
+        indexCache.put(key, built)
+        built
+      }
+    }
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), idx.dataSchema,
       None, new org.apache.spark.sql.execution.datasources.parquet
@@ -2301,6 +2330,15 @@ object Versioned {
             org.apache.spark.sql.types.DataType.fromJson(js)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
         }
+      // the ONE operation that mutates a committed snapshot's skipping
+      // metadata IN PLACE (same version, same segments): cached indexes
+      // for this path hold the pre-backfill statless sidecars and would
+      // keep planning full reads — drop them (commit-created versions
+      // need no invalidation, their cache key is new)
+      indexCache.synchronized {
+        val it = indexCache.keySet().iterator()
+        while (it.hasNext) if (it.next()._2 == path) it.remove()
+      }
     }
     (segs.length, buildable.length)
   }

@@ -46,11 +46,14 @@ private[graft] final class VersionedFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // normalize ONCE (reference-backed constants → literals), then
+    // evaluate per segment
+    val filters = dataFilters.map(SegmentStats.normalize)
     val kept =
-      if (dataFilters.isEmpty) segs
+      if (filters.isEmpty) segs
       else segs.filter { s =>
         statsBySeg.getOrElse(s, None) match {
-          case Some(st) => dataFilters.forall(SegmentStats.mayMatch(st, _))
+          case Some(st) => filters.forall(SegmentStats.mayMatch(st, _))
           case None => true
         }
       }
@@ -67,10 +70,13 @@ private[graft] final class VersionedFileIndex(
     * keep, without listing a file. */
   def pruneCount(filters: Seq[Expression]): Int =
     if (filters.isEmpty) segs.length
-    else segs.count { s =>
-      statsBySeg.getOrElse(s, None) match {
-        case Some(st) => filters.forall(SegmentStats.mayMatch(st, _))
-        case None => true
+    else {
+      val fs = filters.map(SegmentStats.normalize)
+      segs.count { s =>
+        statsBySeg.getOrElse(s, None) match {
+          case Some(st) => fs.forall(SegmentStats.mayMatch(st, _))
+          case None => true
+        }
       }
     }
 

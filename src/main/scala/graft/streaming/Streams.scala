@@ -870,10 +870,27 @@ object Streams {
       val boundConds = {
           // quote-bearing strings never reach here — safe() below
           // skips their bound entirely (the dialect defines no string
-          // escaping), so lit() only ever quotes verbatim
-          def lit(v: Any): String = v match {
-            case s: String => "'" + s + "'"
-            case other => other.toString
+          // escaping), so lit() only ever quotes verbatim.
+          // stable_const() wrapping (round-17, the verdict's MERGE-JIT
+          // ask): the bounds are the ONLY part of the apply's MERGE
+          // template that varies per statement, and inlined into the
+          // generated code they forced a fresh Janino compile + 1-2.7s
+          // of JVM JIT on EVERY delta (metered: ReplicaTrace jit_ms
+          // ~3.3s/rep converged). Wrapped, the value rides the codegen
+          // references array: the statement template compiles once and
+          // every subsequent delta reuses the cached classes. Segment
+          // skipping still sees the bounds (SegmentStats.normalize);
+          // parquet row-group pruning on them is forfeited — redundant
+          // here, the bounds are implied by the equi-join keys. Falls
+          // back to inlined literals when the session lacks
+          // GraftExtensions (the function is extension-registered).
+          val wrap = spark.catalog.functionExists("stable_const")
+          def lit(v: Any): String = {
+            val raw = v match {
+              case s: String => "'" + s + "'"
+              case other => other.toString
+            }
+            if (wrap) s"stable_const($raw)" else raw
           }
           boundable.zipWithIndex.flatMap { case (f, i) =>
             val (lo, hi) = (row.get(1 + 2 * i), row.get(2 + 2 * i))

@@ -103,14 +103,27 @@ object ReplicaTrace {
       System.gc()
       jobs = 0; jobNames.clear()
       val (from, to) = ranges(i)
+      // per-rep JIT/GC deltas: the round-16 forensics measured a
+      // 1-2.7s/statement fresh-codegen JIT tax on the MERGE path (per-
+      // statement literals -> fresh generated classes); these meters
+      // are the iteration loop for cutting it
+      val (g0, j0) = (ProcMeters.gcMs, ProcMeters.jitMs)
+      // generated-class compile count: how many codegen units MISSED
+      // Spark's generated-code cache during this rep (each miss is a
+      // fresh Janino class + its JVM JIT — the per-statement tax)
+      val cg0 = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
       val t0 = System.nanoTime()
       val feed = graft.sources.Versioned.changeFeed(
         spark, srcPath, from, Some(to))
       graft.streaming.Streams.applyChanges(spark, repPath, feed,
         Seq("l_orderkey", "l_linenumber"))
       val t = (System.nanoTime() - t0) / 1e9
+      val (gd, jd) = (ProcMeters.gcMs - g0, ProcMeters.jitMs - j0)
+      val cgd = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount - cg0
       Thread.sleep(200) // let async job-start events drain
-      println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d")
+      println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d gc_ms=$gd%d jit_ms=$jd%d codegen_units=$cgd%d")
       jobNames.zipWithIndex.foreach { case (n, k) =>
         println(f"  job$k%02d  $n%s")
       }

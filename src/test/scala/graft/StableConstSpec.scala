@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.StableConst
+
+/** The reference-backed constant behind the CDC apply's per-statement
+  * codegen reuse (round-17, the round-16 verdict's MERGE-JIT ask):
+  * value-independent generated code, literal-exact evaluation, and the
+  * dialect surface `stable_const(lit)`. Segment-skipping transparency
+  * is pinned in [[VersionedSkipSpec]]. */
+class StableConstSpec extends SparkSpec {
+
+  test("generated code text is value-independent — the codegen-cache " +
+    "key — where an inlined literal's is not") {
+    def gen(e: org.apache.spark.sql.catalyst.expressions.Expression) = {
+      val ctx = new org.apache.spark.sql.catalyst.expressions.codegen
+        .CodegenContext
+      e.genCode(ctx).code.toString
+    }
+    val col = BoundReference(0, LongType, nullable = false)
+    val a = gen(GreaterThanOrEqual(col, StableConst(105L, LongType)))
+    val b = gen(GreaterThanOrEqual(col, StableConst(905L, LongType)))
+    assert(a == b,
+      "two StableConst values must generate IDENTICAL source — that " +
+        "equality is what makes Spark's generated-class cache hit " +
+        s"across statements:\n$a\nvs\n$b")
+    // the literal twin inlines the value — the per-statement recompile
+    // this expression exists to avoid
+    val la = gen(GreaterThanOrEqual(col, Literal(105L)))
+    val lb = gen(GreaterThanOrEqual(col, Literal(905L)))
+    assert(la != lb)
+  }
+
+  test("evaluates exactly like its literal, interpreted and codegen'd") {
+    val df = spark.range(10).toDF("x")
+    def sc(v: Any) = F.call_function("stable_const", F.lit(v))
+    val got = df.where(F.col("x") >= sc(7L)).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(7L, 8L, 9L))
+    // int const against a long column: analyzer coercion wraps the
+    // const in a Cast; results must still be literal-exact
+    assert(df.where(F.col("x") >= sc(7)).count() == 3L)
+    // string type rides the references array whole (no unboxing path)
+    import spark.implicits._
+    val s = Seq("apple", "pear", "fig").toDF("w")
+    assert(s.where(F.col("w") === sc("pear")).count() == 1L)
+  }
+
+  test("dialect surface: stable_const(lit) in a WHERE equals the " +
+    "plain literal, and a non-literal argument is rejected") {
+    val dir = Files.createTempDirectory("graft-stableconst").toString
+    spark.range(20).toDF("x").write.parquet(s"$dir/t.parquet")
+    val eng = Engine(spark)
+    val a = eng.collect(
+      s"SELECT x FROM '$dir/t.parquet' WHERE x >= stable_const(15)")
+      .map(_.getLong(0)).toSet
+    val b = eng.collect(
+      s"SELECT x FROM '$dir/t.parquet' WHERE x >= 15")
+      .map(_.getLong(0)).toSet
+    assert(a == b && a == Set(15L, 16L, 17L, 18L, 19L))
+    val e = intercept[IllegalArgumentException] {
+      eng.collect(
+        s"SELECT x FROM '$dir/t.parquet' WHERE x >= stable_const(x)")
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}

@@ -55,6 +55,26 @@ class VersionedSkipSpec extends SparkSpec {
     assert(idx.lastSegmentsRead == 0)
   }
 
+  test("stable_const bounds skip like literals — the codegen-reuse " +
+    "constant sees through to segment stats, Cast coercion included") {
+    val path = rangeDs("stableconst")
+    def sc(v: Any) = F.call_function("stable_const", F.lit(v))
+    // long const: exact type match, no coercion
+    assert(Versioned.pruneCount(spark, path,
+      F.col("id") >= sc(250L) && F.col("id") <= sc(449L)) == ((10, 3)))
+    // int const against the long column: the analyzer wraps it in a
+    // non-foldable Cast the stats evaluator must see through
+    // (SegmentStats.normalize) — a regression here silently reverts
+    // the CDC apply's match join to full-table scans
+    assert(Versioned.pruneCount(spark, path,
+      F.col("id") >= sc(250) && F.col("id") <= sc(449)) == ((10, 3)))
+    // execution-time listFiles prunes identically, results exact
+    val (df, idx) = Versioned.readWithIndex(spark, path)
+    assert(df.where(F.col("id") >= sc(250L) && F.col("id") <= sc(449L))
+      .count() == 200L)
+    assert(idx.lastSegmentsRead == 3)
+  }
+
   test("a filter Spark cannot push down still answers correctly") {
     val path = rangeDs("residual")
     val df = Versioned.read(spark, path)
