@@ -1927,10 +1927,19 @@ object Bench {
       for (name <- names if !stop) {
         var extra = 0
         val extraCap = if (priority.contains(name)) 7 else 4
+        // the BASELINE-gate pair anchors the judge's cross-round
+        // compare — it requeues to one rep PAST the qualification bar,
+        // so a single borderline canary cannot leave the headline
+        // number resting on the minimum evidence (round-16 ask #1's
+        // ">=4 steal-clean reps" done-bar)
+        val target =
+          if (name == "q06_q1_flagship" || name == "q06_x10_6Mrows")
+            BenchPolicy.MinQualifiedReps + 1
+          else BenchPolicy.MinQualifiedReps
         var skipName = false
         while (!stop && !skipName &&
                requeueHooks.contains(name) && extra < extraCap &&
-               qualifiedOf(name).length < BenchPolicy.MinQualifiedReps &&
+               qualifiedOf(name).length < target &&
                System.nanoTime() - requeuePassT0 < budgetNs) {
           if (!waitForCalm(spark)) {
             // the box would not go quiet for this entry — record it,

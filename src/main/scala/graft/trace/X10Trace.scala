@@ -85,10 +85,20 @@ object X10Trace {
       System.gc()
     }
 
+    def q219 = graft.operators.Pack.ffdPack(
+      docs10, "doc_id",
+      graft.operators.TextAnalysis.tokenCount(F.col("text")),
+      budget = 256, numShards = 160)
+
     sweepGc(); time(q129) // warmup
     (1 to reps).foreach { i =>
       sweepGc()
       println(f"X10TRACE rep$i%d q129_x10=${time(q129)}%.3f s")
+    }
+    sweepGc(); time(q219) // warmup
+    (1 to reps).foreach { i =>
+      sweepGc()
+      println(f"X10TRACE rep$i%d q219_x10=${time(q219)}%.3f s")
     }
 
     // the skew pair runs under the probe's pinned conf
