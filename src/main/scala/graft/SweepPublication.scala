@@ -227,7 +227,12 @@ private[graft] final case class SweepPublication(
     * for the operator's cost, without digging through probe_notes. */
   def isolatedJson: String = entries.flatMap { n =>
     isolatedLedger.get(n).map { m =>
-      val cur = publishedValue(n)
+      // THIS sweep's own median, not publishedValue: a stale-fallback
+      // entry republishes a prior round's number in `queries`, but
+      // `in_sweep`/`inflation` quantify what THIS sweep measured
+      // against the quiet box — freezing them to the fallback would
+      // misattribute a prior round's inflation to this one
+      val cur = finalMedian(n)
       val infl = if (m.sec > 0) cur / m.sec else 0.0
       s""""$n":{"in_sweep":${f"$cur%.4f"},"isolated":${f"${m.sec}%.4f"},"inflation":${f"$infl%.2f"},"tool":"${m.tool}","date":"${m.date}"}"""
     }

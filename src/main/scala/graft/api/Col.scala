@@ -401,6 +401,14 @@ object Col {
           args(0) match {
             case Lit(_) =>
               (F.call_function("stable_const", cs(0)), compiled(0)._2)
+            // the tokenizer carries no sign: a negative literal parses
+            // as `0 - n` (SqlParser parsePrimary) — still a constant,
+            // and the one shape a numeric key's bound actually takes
+            // when its min/max is negative; fold it here rather than
+            // abort the caller's MERGE
+            case BinOp("-", Lit(z), Lit(_))
+                if z == 0 || z == 0L =>
+              (F.call_function("stable_const", cs(0)), compiled(0)._2)
             case other => throw new IllegalArgumentException(
               s"stable_const() takes a literal, got $other")
           }

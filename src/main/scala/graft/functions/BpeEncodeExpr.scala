@@ -67,14 +67,30 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
   @transient private lazy val tables: BpeEncodeExpr.Tables =
     BpeEncodeExpr.buildTables(merges)
 
-  /** Per-THREAD word cache: word → interned token ids. Deserialization
-    * normally gives each task its own expression instance, but nothing
-    * in Spark guarantees it (driver-side eval, a reused local plan) —
-    * and a plain HashMap mutated from two threads corrupts, up to an
-    * infinite loop inside `HashMap.get`. ThreadLocal makes a shared
-    * instance merely split the cache (lower hit rate), never corrupt. */
-  @transient private lazy val wordCache: ThreadLocal[java.util.HashMap[String, Array[Int]]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]](1 << 12))
+  /** Per-THREAD word cache: word → interned token ids, fetched from
+    * the STATIC per-thread registry keyed weakly by this instance's
+    * [[tables]]. Deserialization normally gives each task its own
+    * expression instance, but nothing in Spark guarantees it
+    * (driver-side eval, a reused local plan) — and a plain HashMap
+    * mutated from two threads corrupts, up to an infinite loop inside
+    * `HashMap.get`. Thread confinement makes a shared instance merely
+    * split the cache (lower hit rate), never corrupt. Static + weakly
+    * keyed rather than a per-instance ThreadLocal: an instance-owned
+    * ThreadLocal pins its up-to-64k-entry map in every pooled executor
+    * thread's ThreadLocalMap long after the task's expression dies
+    * (expunged only lazily), which across 32 threads retains hundreds
+    * of MB between stages; here the map dies with the Tables it
+    * serves. */
+  private def wordCacheFor(
+      t: BpeEncodeExpr.Tables): java.util.HashMap[String, Array[Int]] = {
+    val reg = BpeEncodeExpr.threadCaches.get()
+    var m = reg.get(t)
+    if (m == null) {
+      m = new java.util.HashMap[String, Array[Int]](1 << 12)
+      reg.put(t, m)
+    }
+    m
+  }
 
   /** Greedy lowest-rank merge of one word, on interned ids. Returns the
     * token-id array (cached per distinct word). */
@@ -115,7 +131,7 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
 
   def encode(text: UTF8String): ArrayData = {
     val t = tables
-    val cache = wordCache.get() // one ThreadLocal read per document
+    val cache = wordCacheFor(t) // one registry lookup per document
     val out = new java.util.ArrayList[UTF8String]()
     // Locale-aware lowercase BEFORE splitting, exactly like the q23
     // splitter contract (and the DuckDB oracle's lower()): a byte-level
@@ -154,6 +170,17 @@ case class BpeEncodeExpr(merges: Array[(String, String)], child: Expression)
 }
 
 object BpeEncodeExpr {
+  /** STATIC per-thread word-cache registry: one WeakHashMap per thread
+    * mapping a live [[Tables]] (≈ a live expression instance's merge
+    * table) to that thread's word cache. Thread-confined (no
+    * synchronization needed on the inner maps), and weakly keyed so a
+    * finished task's cache becomes collectible with its Tables instead
+    * of pinning the executor thread's ThreadLocalMap. */
+  private val threadCaches: ThreadLocal[
+      java.util.WeakHashMap[Tables, java.util.HashMap[String, Array[Int]]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.WeakHashMap[Tables, java.util.HashMap[String, Array[Int]]]())
+
   /** Interned lookup state shared by [[BpeEncodeExpr.encode]]. */
   final class Tables(val charId: Array[Int], val tokenStr: Array[UTF8String],
                      keys: Array[Long], vals: Array[Long], mask: Int) {

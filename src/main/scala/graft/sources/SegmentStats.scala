@@ -378,11 +378,6 @@ object SegmentStats {
     }
   }
 
-  /** Could ANY row of the segment satisfy `filter`? `false` means
-    * PROVABLY not (safe to skip); every analytical gap answers `true`.
-    * `filter` may be resolved (the [[VersionedFileIndex]] planning
-    * path) or unresolved (a user-supplied `Column` via
-    * [[Versioned.pruneCount]]). */
   /** Rewrite reference-backed constants into the plain literals the
     * [[mayMatch]] patterns consume: [[graft.functions.StableConst]] is
     * literal-equivalent by contract (it exists so the EXECUTED plan's
@@ -398,6 +393,11 @@ object SegmentStats {
       catch { case scala.util.control.NonFatal(_) => c }
   }
 
+  /** Could ANY row of the segment satisfy `filter`? `false` means
+    * PROVABLY not (safe to skip); every analytical gap answers `true`.
+    * `filter` may be resolved (the [[VersionedFileIndex]] planning
+    * path) or unresolved (a user-supplied `Column` via
+    * [[Versioned.pruneCount]]). */
   def mayMatch(s: SegStats, filter: Expression): Boolean = {
     if (s.rows == 0L) return false
     // any analysis failure (unresolved dataType, exotic shape) keeps

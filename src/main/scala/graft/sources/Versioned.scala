@@ -2040,7 +2040,17 @@ object Versioned {
       if (hit != null) hit
       else {
         val built = VersionedFileIndex.open(spark, path, segs)
-        indexCache.put(key, built)
+        indexCache.synchronized {
+          // inserts are cache misses (rare): sweep entries owned by
+          // STOPPED sessions first — they can never hit again, and a
+          // cached index strongly holds its session + full listings,
+          // so LRU-only eviction would pin dead sessions for up to 32
+          // churned snapshots (session-churn suites, notebooks)
+          val it = indexCache.values().iterator()
+          while (it.hasNext)
+            if (it.next().sessionStopped) it.remove()
+          indexCache.put(key, built)
+        }
         built
       }
     }

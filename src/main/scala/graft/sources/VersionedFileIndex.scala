@@ -38,9 +38,20 @@ private[graft] final class VersionedFileIndex(
   /** Accounting for the LAST `listFiles` call that carried data
     * filters — observability for specs and the bench's prune probes
     * (the manifest-skipping analog of the row-group `groups_read`
-    * fields). */
+    * fields). NOTE since the snapshot index cache (round 17): opens of
+    * the same (session, path, version) share one instance, so two
+    * queries planned interleaved over one snapshot read each other's
+    * accounting — read it immediately after the query it describes
+    * (every existing consumer does), or use `pruneCount`, which
+    * computes its own count. */
   @volatile var lastSegmentsTotal: Int = segs.length
   @volatile var lastSegmentsRead: Int = segs.length
+
+  /** Whether the owning session has stopped — the cache's eviction
+    * probe (a cached index strongly holds its session). */
+  private[graft] def sessionStopped: Boolean =
+    try spark.sparkContext.isStopped
+    catch { case _: Throwable => true }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 

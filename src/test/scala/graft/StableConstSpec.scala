@@ -68,5 +68,33 @@ class StableConstSpec extends SparkSpec {
         s"SELECT x FROM '$dir/t.parquet' WHERE x >= stable_const(x)")
     }
     assert(e.getMessage.contains("literal"))
+    // NEGATIVE literal: the tokenizer carries no sign, so `-5` parses
+    // as `0 - 5` — stable_const must fold it rather than abort (a
+    // signed key column's min/max bound is exactly this shape in the
+    // CDC apply's MERGE; rejecting it crashed the whole statement)
+    val neg = eng.collect(
+      s"SELECT x FROM '$dir/t.parquet' WHERE x - 8 >= stable_const(-5)")
+      .map(_.getLong(0)).toSet
+    assert(neg == (3L to 19L).toSet)
+  }
+
+  test("applyChanges with a NEGATIVE key range: the stable_const-" +
+    "wrapped bounds must not abort the MERGE") {
+    import graft.sources.Versioned
+    import graft.streaming.Streams
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-scneg").toString
+    val rep = s"$dir/rep"
+    Versioned.commit((-50L to 49L).map(id => (id, s"v$id"))
+      .toDF("id", "v"), rep)
+    val feed = Seq((-42L, "X", "update_postimage", 9L),
+        (-7L, "Y", "update_postimage", 9L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    Streams.applyChanges(spark, rep, feed, Seq("id"))
+    val out = Versioned.read(spark, rep)
+    assert(out.count() == 100L)
+    assert(out.where(F.col("v") === "X").collect()
+      .map(_.getLong(0)).toSeq == Seq(-42L))
+    assert(out.where(F.col("v") === "Y").count() == 1L)
   }
 }

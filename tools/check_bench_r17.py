@@ -29,7 +29,8 @@ check("headline/layout families all >=3 reps or stale-marked", not thin,
       f"thin unmarked: {thin}" if thin else f"{len(fam)} entries covered")
 
 zo, li = q.get("q06_zorder_2ndcol"), q.get("q06_linear_2ndcol")
-check("zorder pair tie-or-better", zo is not None and zo <= li * 1.15,
+check("zorder pair tie-or-better",
+      zo is not None and li is not None and zo <= li * 1.15,
       f"zorder {zo} vs linear {li}")
 
 zero = [n for n in q if qual.get(n, 0) == 0 and n not in stale]
