@@ -2003,23 +2003,35 @@ object Versioned {
            version: Option[Long] = None): DataFrame =
     readWithIndex(spark, path, version)._1
 
-  /** Per-JVM LRU of snapshot file indexes, keyed (session, path,
-    * version, manifest fingerprint): a committed snapshot is IMMUTABLE
+  /** Per-JVM LRU of snapshot file indexes, keyed (session identity,
+    * path, version, segment list): a committed snapshot is IMMUTABLE
     * (CAS manifest, never-rewritten segment dirs), yet one MERGE
     * statement opens the same snapshot 2–3× (head read, provenance
     * read) and every open re-paid the full listing — on a >32-segment
     * manifest a 64-task distributed job (~0.1 s each; three of the CDC
-    * apply's 22 jobs were exactly this). The manifest's segment list
-    * rides the key, so a dataset recreated at the same path (fresh
-    * UUID segment names) can never hit a stale entry. Bounded at 32
-    * snapshots; the accounting fields on a shared index
-    * (lastSegmentsRead) remain per-instance observability, same as
-    * before. */
+    * apply's 22 jobs were exactly this). Bounded at 32 snapshots;
+    * every open receives its own [[VersionedFileIndex.fork]] over the
+    * cached listing, so the accounting fields (lastSegmentsRead) are
+    * per-open, not shared. */
+  /** Session identity as a cache-key component: equality is reference
+    * identity on the ACTUAL session (never a 32-bit hash — two live
+    * sessions can share an identityHashCode, and a collision would
+    * serve one session's file listing to the other). The strong
+    * session reference adds nothing the cached index doesn't already
+    * hold; stopped-session sweeps reclaim both together. */
+  private final class SessionKey(val s: SparkSession) {
+    override def hashCode: Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case k: SessionKey => k.s eq s
+      case _ => false
+    }
+  }
+
   private val indexCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, String, Long, Int),
+    new java.util.LinkedHashMap[(SessionKey, String, Long, Seq[String]),
         VersionedFileIndex](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Long, Int),
+          e: java.util.Map.Entry[(SessionKey, String, Long, Seq[String]),
             VersionedFileIndex]): Boolean = size() > 32
     })
 
@@ -2034,26 +2046,36 @@ object Versioned {
       all.last
     }
     val segs = readManifest(spark, path, v)
-    val key = (System.identityHashCode(spark), path, v, segs.hashCode)
-    val idx = {
-      val hit = indexCache.get(key)
-      if (hit != null) hit
-      else {
-        val built = VersionedFileIndex.open(spark, path, segs)
-        indexCache.synchronized {
-          // inserts are cache misses (rare): sweep entries owned by
-          // STOPPED sessions first — they can never hit again, and a
-          // cached index strongly holds its session + full listings,
-          // so LRU-only eviction would pin dead sessions for up to 32
-          // churned snapshots (session-churn suites, notebooks)
-          val it = indexCache.values().iterator()
-          while (it.hasNext)
-            if (it.next().sessionStopped) it.remove()
-          indexCache.put(key, built)
-        }
-        built
-      }
+    // keyed on the ACTUAL values — session by reference identity, the
+    // manifest's segment list structurally — never their 32-bit hashes
+    // (a collision would silently serve a stale listing, i.e. wrong
+    // results). The manifest's segment list rides the key, so a
+    // dataset recreated at the same path (fresh UUID segment names)
+    // can never hit a stale entry.
+    val key = (new SessionKey(spark), path, v, segs)
+    val cached = indexCache.synchronized {
+      // sweep entries owned by STOPPED sessions on EVERY access (cheap
+      // at the 32-entry cap) — they can never hit again, and a cached
+      // index strongly holds its session + full listings, so sweeping
+      // only on misses pinned dead sessions indefinitely on a hit-only
+      // workload
+      val it = indexCache.values().iterator()
+      while (it.hasNext)
+        if (it.next().sessionStopped) it.remove()
+      Option(indexCache.get(key))
     }
+    val shared = cached.getOrElse {
+      // build OUTSIDE the lock (a >32-segment manifest opens via a
+      // distributed job); a concurrent duplicate build is benign —
+      // last put wins, both are correct
+      val built = VersionedFileIndex.open(spark, path, segs)
+      indexCache.synchronized { indexCache.put(key, built) }: Unit
+      built
+    }
+    // per-open fork: the expensive listing/stats/schema are shared,
+    // the accounting fields (lastSegmentsRead) are this open's own —
+    // concurrent queries over one snapshot no longer race on them
+    val idx = shared.fork()
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), idx.dataSchema,
       None, new org.apache.spark.sql.execution.datasources.parquet

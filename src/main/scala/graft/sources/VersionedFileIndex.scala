@@ -38,14 +38,24 @@ private[graft] final class VersionedFileIndex(
   /** Accounting for the LAST `listFiles` call that carried data
     * filters — observability for specs and the bench's prune probes
     * (the manifest-skipping analog of the row-group `groups_read`
-    * fields). NOTE since the snapshot index cache (round 17): opens of
-    * the same (session, path, version) share one instance, so two
-    * queries planned interleaved over one snapshot read each other's
-    * accounting — read it immediately after the query it describes
-    * (every existing consumer does), or use `pruneCount`, which
-    * computes its own count. */
+    * fields). PER-OPEN since round 18: the snapshot index cache hands
+    * every open its own [[fork]] over the shared immutable listing
+    * data, so two queries planned concurrently over one snapshot can
+    * no longer overwrite each other's counts (round-17's shared
+    * instance made read-after-query racy under parallel planners).
+    * `@volatile` still matters within one open: Spark may evaluate
+    * `listFiles` on an AQE stage-materialization thread while the
+    * consumer reads from the caller thread. */
   @volatile var lastSegmentsTotal: Int = segs.length
   @volatile var lastSegmentsRead: Int = segs.length
+
+  /** A new index over the SAME immutable listing/stats/schema data
+    * with fresh accounting fields — what the snapshot cache returns on
+    * a hit, so the expensive driver/distributed listing is shared but
+    * observability is per-open. */
+  private[graft] def fork(): VersionedFileIndex =
+    new VersionedFileIndex(spark, root, segs, filesBySeg, statsBySeg,
+      dataSchema)
 
   /** Whether the owning session has stopped — the cache's eviction
     * probe (a cached index strongly holds its session). */

@@ -189,11 +189,18 @@ object Streams {
     * pipeline needs so abandoned sessions drain instead of pinning state
     * forever.
     *
-    * STATE BOUND — two documented modes; `timeIds = true` is the
-    * DEFAULT (round-17: an open-world feed is the normal case at
-    * 100 TB, so the bounded mode should be what a caller gets without
-    * reading this paragraph):
-    *   - `timeIds = true` (default, bounded state): a session's id is
+    * STATE BOUND — two documented modes, and `timeIds` has NO DEFAULT
+    * on purpose (round 18): the two modes write INCOMPATIBLE id
+    * encodings and state-maintenance regimes into a streaming
+    * checkpoint, so a default that library upgrades can flip (round 17
+    * flipped false→true) would silently change session_id semantics
+    * mid-stream for any caller that omitted the flag — a resumed query
+    * would switch encodings and drop the counter-tombstone maintenance
+    * under downstream joins keyed on session_id. Choosing is one
+    * argument; choose per the paragraphs below and NEVER change the
+    * choice for a query resuming an existing checkpoint:
+    *   - `timeIds = true` (bounded state, the 100 TB open-world
+    *     choice): a session's id is
     *     its start event-time in MICROSECONDS. Closed sessions
     *     `state.remove()` entirely, so state is one row per user with
     *     an OPEN session inside the watermark horizon — O(active
@@ -220,7 +227,7 @@ object Streams {
     *     user population; wrong for an open-world feed. */
   def sessionizeStreamEventTime(events: Dataset[TimedEvent],
                                 gapUs: Long = 30L * 60 * 1000000,
-                                timeIds: Boolean = true): Dataset[UserSession] = {
+                                timeIds: Boolean): Dataset[UserSession] = {
     // ONE duration drives both the watermark delay and the split/timeout
     // arithmetic — two independently-overridable forms would let a caller
     // silently desynchronize session-closing semantics. Microsecond units
