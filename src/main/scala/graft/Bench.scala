@@ -640,24 +640,35 @@ object Bench {
         p.destroyForcibly(): Unit
         p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS): Unit
         outF.delete(); errF.delete()
-        // a fork killed mid-applyChanges leaves `_cdc/.staging-*`
-        // scratch under repPath (the manifest commit itself is atomic,
-        // so the table is intact) — sweep the orphans so the requeued
-        // apply reps and the recopy probe keep timing the SAME replica
-        // condition the pre-fork reps measured
-        try {
-          val cdc = new java.io.File(repPath, "_cdc")
-          Option(cdc.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.startsWith(".staging-"))
-            .foreach { d =>
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-                f.delete(): Unit
+        if (p.isAlive()) {
+          // destroyForcibly did not land (uninterruptible I/O): the
+          // fork may STILL be writing under repPath — deleting its
+          // `.staging-*` dirs now (or letting it recreate them after
+          // our sweep) would break the same-replica-condition guarantee
+          // the cleanup exists for. Skip the sweep, say so in the
+          // status; downstream apply/recopy reps this sweep are
+          // suspect and the status is the record of why.
+          (None, "fork_timeout_unkilled_staging_not_swept")
+        } else {
+          // a fork killed mid-applyChanges leaves `_cdc/.staging-*`
+          // scratch under repPath (the manifest commit itself is
+          // atomic, so the table is intact) — sweep the orphans so the
+          // requeued apply reps and the recopy probe keep timing the
+          // SAME replica condition the pre-fork reps measured
+          try {
+            val cdc = new java.io.File(repPath, "_cdc")
+            Option(cdc.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith(".staging-"))
+              .foreach { d =>
+                def rm(f: java.io.File): Unit = {
+                  Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+                  f.delete(): Unit
+                }
+                rm(d)
               }
-              rm(d)
-            }
-        } catch { case _: Throwable => () }
-        (None, "fork_timeout")
+          } catch { case _: Throwable => () }
+          (None, "fork_timeout")
+        }
       } else {
         val out = Files.readString(outF.toPath)
         val code = p.exitValue()
@@ -1725,7 +1736,33 @@ object Bench {
           val r = ranges(rep % nExec); rep += 1; r
         }
         val (fj, status) = forkFreshApply(srcPath, repPath, forkRanges)
-        s"""{"aged_sec":${f"$agedSec%.4f"},"aged_gc_ms":$agedGc,"aged_jit_ms":$agedJit,"aged_iowait_ms":$agedIo,"aged_steal_ms":$agedSteal,"window_canary_sec":${f"$c%.4f"},"window_io_canary_sec":${f"$io%.4f"},"status":"$status","fresh":${fj.getOrElse("null")}}"""
+        // STEAL GATE (round-17 verdict ask #8): the A/B's verdict is a
+        // comparison of two measurements on the same box — if EITHER
+        // side ran stolen past the same per-rep bar every sweep rep is
+        // held to, the aged-vs-fresh conclusion is unreadable and the
+        // status must say so instead of "ok" (round 17's A/B carried
+        // 18.6 s/10.7 s of fresh-side steal and published ok).
+        val cores = Runtime.getRuntime.availableProcessors()
+        val agedStealFrac =
+          if (agedSec > 0) agedSteal / (agedSec * 1000.0 * cores) else 0.0
+        val freshStealFracMax = fj.map { j =>
+          def arr(field: String): Seq[Double] =
+            ("\"" + field + "\":\\[([^\\]]*)\\]").r
+              .findFirstMatchIn(j).map(_.group(1).split(",")
+                .filter(_.nonEmpty).map(_.trim.toDouble).toSeq)
+              .getOrElse(Seq.empty)
+          val reps = arr("reps"); val steals = arr("steal_ms")
+          reps.zip(steals).collect {
+            case (r, st) if r > 0 => st / (r * 1000.0 * cores)
+          }.foldLeft(0.0)(math.max)
+        }.getOrElse(0.0)
+        val gatedStatus =
+          if (status == "ok" &&
+              (agedStealFrac > BenchPolicy.StealFracCap ||
+               freshStealFracMax > BenchPolicy.StealFracCap))
+            "steal-disqualified"
+          else status
+        s"""{"aged_sec":${f"$agedSec%.4f"},"aged_gc_ms":$agedGc,"aged_jit_ms":$agedJit,"aged_iowait_ms":$agedIo,"aged_steal_ms":$agedSteal,"aged_steal_frac":${f"$agedStealFrac%.4f"},"fresh_steal_frac_max":${f"$freshStealFracMax%.4f"},"window_canary_sec":${f"$c%.4f"},"window_io_canary_sec":${f"$io%.4f"},"status":"$gatedStatus","fresh":${fj.getOrElse("null")}}"""
       }
       val copy = probe(spark, "q06_replica72M_recopy", reps = 3,
           rewarmOnRequeue = false) {
@@ -1825,10 +1862,19 @@ object Bench {
     // the prior artifact's generated stamp — the last three feed the
     // round-17 stale-fallback publication (see SweepPublication
     // .staleFallback)
-    val prevBench: (String, Map[String, Double], Map[String, Int],
-        Map[String, String], String) = {
+    // round-18 additions ride alongside: the prior sweep's whole-sweep
+    // steal (the calmer-prior policy's trust signal), per-entry stale
+    // rounds counts, and the prior calmer_prior block (for chain
+    // inheritance) — see SweepPublication.calmerPrior
+    case class PrevArtifact(
+        label: String, medians: Map[String, Double],
+        qualified: Map[String, Int], staleSince: Map[String, String],
+        generated: String, sweepStealSec: Option[Double] = None,
+        staleRounds: Map[String, Int] = Map.empty,
+        calmerPrior: Map[String, (String, Int)] = Map.empty)
+    val prevBench: PrevArtifact = {
       val f = new java.io.File("bench.json")
-      if (!f.exists()) ("", Map.empty, Map.empty, Map.empty, "")
+      if (!f.exists()) PrevArtifact("", Map.empty, Map.empty, Map.empty, "")
       else {
         val txt = Files.readString(f.toPath)
         def braceBlock(field: String): String = {
@@ -1863,8 +1909,21 @@ object Bench {
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
         floorHintIo = """"io_canary_floor_sec":([0-9]+(?:\.[0-9]+)?)""".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
-        (s"bench.json(pre-run, ${qs.size} queries)", qs, qual,
-          staleSince, generated)
+        val prevSteal = """"steal_sec":(-?[0-9]+(?:\.[0-9]+)?)""".r
+          .findFirstMatchIn(braceBlock("box_sweep_delta"))
+          .map(_.group(1).toDouble)
+        val staleRounds =
+          """"(q[A-Za-z0-9_]+)":\{[^}]*"rounds":([0-9]+)""".r
+            .findAllMatchIn(braceBlock("stale"))
+            .map(m => m.group(1) -> m.group(2).toInt).toMap
+        val calmerPrior =
+          """"(q[A-Za-z0-9_]+)":\{[^}]*"since":"([^"]*)"[^}]*"rounds":([0-9]+)""".r
+            .findAllMatchIn(braceBlock("calmer_prior"))
+            .map(m => m.group(1) -> ((m.group(2), m.group(3).toInt)))
+            .toMap
+        PrevArtifact(s"bench.json(pre-run, ${qs.size} queries)", qs,
+          qual, staleSince, generated, prevSteal, staleRounds,
+          calmerPrior)
       }
     }
 
@@ -1916,8 +1975,8 @@ object Bench {
       // tail, so a backlog cannot roll over a third time
       val prevThin = repTimes.keys.toSeq
         .filter(n => !priority.contains(n) &&
-          prevBench._3.get(n).exists(_ < BenchPolicy.MinQualifiedReps))
-        .sortBy(n => prevBench._3(n))
+          prevBench.qualified.get(n).exists(_ < BenchPolicy.MinQualifiedReps))
+        .sortBy(n => prevBench.qualified(n))
       val names = priority.filter(repTimes.contains) ++ prevThin ++
         repTimes.keys.toSeq
           .filterNot(n => priority.contains(n) || prevThin.contains(n))
@@ -1977,14 +2036,25 @@ object Bench {
     // honest ones), over all reps otherwise; spreads stay all-reps (the
     // noise-adjudication raw material)
     val entryOrder = repTimes.keys.toSeq
+    // whole-sweep /proc/stat delta, measured ONCE here so the
+    // publication policy and the env fingerprint carry the same number
+    val (sweepIowaitSec, sweepStealSec) = {
+      val (io1, st1) = procStatJiffies()
+      ((io1 - iowait0) / 100, (st1 - steal0) / 100.0)
+    }
     val pub = SweepPublication(
       entryOrder, repTimes.toMap, repCanaries.toMap, repIoCanaries.toMap,
       preRequeueReps.toMap, fSweepC, fReqC, fSweepIo, fReqIo,
-      prevBench._2,
+      prevBench.medians,
       SweepPublication.loadIsolatedLedger("bench_isolated.json"),
       repStealMs.toMap, Runtime.getRuntime.availableProcessors(),
-      prevQualified = prevBench._3, prevStaleSince = prevBench._4,
-      prevGenerated = prevBench._5)
+      prevQualified = prevBench.qualified,
+      prevStaleSince = prevBench.staleSince,
+      prevGenerated = prevBench.generated,
+      curSweepStealSec = sweepStealSec,
+      prevSweepStealSec = prevBench.sweepStealSec,
+      prevStaleRounds = prevBench.staleRounds,
+      prevCalmerPrior = prevBench.calmerPrior)
     def finalMedian(name: String): Double = pub.publishedValue(name)
     entryOrder.foreach { n => spreads += n -> pub.spreadOf(n) }
 
@@ -2090,7 +2160,7 @@ object Bench {
       s""""code_cache_used_mb":${mb("CodeHeap")},"code_cache_max_mb":$max,"metaspace_used_mb":${mb("Metaspace")}"""
     }
     val envJson =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType",$jitJson,"jvm_start":$jvmStartJson,"jvm_end":${jvmAgeJson()},"box_sweep_delta":${ { val (io1, st1) = procStatJiffies(); s"""{"iowait_sec":${(io1 - iowait0) / 100},"steal_sec":${(st1 - steal0) / 100}}""" } },"canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench._1}"}"""
+      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType",$jitJson,"jvm_start":$jvmStartJson,"jvm_end":${jvmAgeJson()},"box_sweep_delta":{"iowait_sec":$sweepIowaitSec,"steal_sec":${sweepStealSec.toLong}},"canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench.label}"}"""
     // per-probe explanations as a STRUCTURED map (round-12 verdict ask
     // #7): the old single `notes` blob grew past the driver wrapper's
     // 2000-char stdout tail and its most important sentences got
@@ -2421,7 +2491,7 @@ object Bench {
     val x10Median = finalMedian("q06_x10_6Mrows")
     val x10Best = spreads.get("q06_x10_6Mrows").map(_._1).getOrElse(x10Median)
     val headlineJson =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","qualified_reps_flagship":${qualifiedOf("q06_q1_flagship").length},"q06_x10_6Mrows":${f"$x10Median%.4f"},"qualified_reps_x10":${qualifiedOf("q06_x10_6Mrows").length},"x10_vs_baseline_sf1":${f"${x10Median / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"x10_best_vs_baseline_sf1":${f"${x10Best / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"canary_floor_sec":${f"$floorUsed%.4f"},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","flagship_source":"${pub.publishedSource("q06_q1_flagship")}","qualified_reps_flagship":${qualifiedOf("q06_q1_flagship").length},"q06_x10_6Mrows":${f"$x10Median%.4f"},"x10_source":"${pub.publishedSource("q06_x10_6Mrows")}","qualified_reps_x10":${qualifiedOf("q06_x10_6Mrows").length},"x10_vs_baseline_sf1":${f"${x10Median / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"x10_best_vs_baseline_sf1":${f"${x10Best / BenchPolicy.BaselineSf1Q1Sec}%.2f"},"canary_floor_sec":${f"$floorUsed%.4f"},"calm_reached":$calmReached,"requeued_reps":$requeuedTotal}"""
     // per-rep GC/JIT wall inside the timed windows — the measurable
     // components of driver aging, per entry (round-15 ask #1)
     val repGcJson = repGcMs
@@ -2445,7 +2515,7 @@ object Bench {
     val generatedStamp = java.time.Instant.now()
       .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"stale_expired":${pub.staleExpiredJson},"calmer_prior":${pub.calmerPriorJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

@@ -75,6 +75,33 @@ object BenchPolicy {
     * (non-Linux) skip the bar. */
   val StealFracCap = 0.05
 
+  /** Sweep-level steal (whole-sweep /proc/stat delta, seconds) at or
+    * under which a sweep counts as CALM for the calmer-prior
+    * publication policy. Round-17 separation: calm same-day sweeps ran
+    * single-digit-to-tens of steal-seconds, the dirty final sweep 922.
+    * 60 s over a ~30-60 min sweep is <0.2% of the box's CPU budget. */
+  val CalmSweepStealSec = 60.0
+
+  /** Sweep-level steal above which the sweep counts as DIRTY: entries
+    * with a calm-sweep qualified prior median republish it (marked in
+    * `calmer_prior`) instead of overwriting it with this sweep's
+    * number. The per-rep canary/steal bars catch excursions; this
+    * catches SUSTAINED steal inside timed bodies that per-rep bars
+    * can't see (round 17: flagship published 0.394 s from 4
+    * canary-clean reps on a 922-steal-second sweep while same-day calm
+    * sweeps measured 0.16-0.22 s). The wide gap between the bars means
+    * a middling sweep (60-300 s) neither freezes nor inherits. */
+  val DirtySweepStealSec = 300.0
+
+  /** Maximum CONSECUTIVE sweeps a published value may be inherited
+    * (stale fallback or calmer-prior) before it expires and the sweep's
+    * own measured median force-publishes: a frozen number on a
+    * chronically noisy box must not outlive its credibility — an
+    * inherited value is exempt from regression detection by
+    * construction (cur == prev), so an unbounded chain could hide a
+    * real regression indefinitely. */
+  val MaxFallbackRounds = 3
+
   /** The reference's published Q1 wall at sf1 = 6,001,215 rows
     * (BASELINE.md: 0.707 s) — the matched-volume gate denominator,
     * computed here ONCE so the artifact carries the ratio itself

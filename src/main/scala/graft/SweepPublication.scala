@@ -47,7 +47,11 @@ private[graft] final case class SweepPublication(
     cores: Int = 32,
     prevQualified: Map[String, Int] = Map.empty,
     prevStaleSince: Map[String, String] = Map.empty,
-    prevGenerated: String = "") {
+    prevGenerated: String = "",
+    curSweepStealSec: Double = 0.0,
+    prevSweepStealSec: Option[Double] = None,
+    prevStaleRounds: Map[String, Int] = Map.empty,
+    prevCalmerPrior: Map[String, (String, Int)] = Map.empty) {
 
   def qualifiedOf(name: String): Seq[Double] =
     SweepPublication.qualifiedReps(
@@ -78,11 +82,22 @@ private[graft] final case class SweepPublication(
     * in which case the ORIGINAL since-label is inherited, so a value
     * frozen across several dirty sweeps still names the sweep that
     * actually measured it. */
-  def staleFallback(name: String): Option[(Double, String)] =
+  def staleFallback(name: String): Option[(Double, String, Int)] =
     prevMedians.get(name).flatMap { prev =>
       if (prevQualified.get(name).exists(_ >= BenchPolicy.MinQualifiedReps))
-        Some((prev, prevGenerated))
-      else prevStaleSince.get(name).map(since => (prev, since))
+        Some((prev, prevGenerated, 1))
+      else prevStaleSince.get(name).flatMap { since =>
+        // BOUNDED CHAIN (round 18): an inherited value carries a
+        // consecutive-rounds count; past MaxFallbackRounds it expires
+        // and the sweep's own measured median force-publishes (the
+        // entry lands in `stale_expired`) — a frozen number is exempt
+        // from regression detection by construction, so an unbounded
+        // chain could hide a real regression forever. Prior artifacts
+        // without a rounds field (pre-round-18) read as 1.
+        val rounds = prevStaleRounds.getOrElse(name, 1) + 1
+        if (rounds > BenchPolicy.MaxFallbackRounds) None
+        else Some((prev, since, rounds))
+      }
     }
 
   /** Whether the entry publishes the stale fallback: too few qualified
@@ -91,13 +106,74 @@ private[graft] final case class SweepPublication(
     qualifiedOf(name).length < BenchPolicy.MinQualifiedReps &&
       staleFallback(name).isDefined
 
+  /** Entries whose stale chain EXPIRED this sweep: still thin, prior
+    * value was an inherited fallback already at the rounds bound — the
+    * measured all-reps median force-publishes and the entry is named
+    * here so the expiry is visible, not silent. */
+  def staleExpired: Seq[String] = entries.filter { n =>
+    qualifiedOf(n).length < BenchPolicy.MinQualifiedReps &&
+      staleFallback(n).isEmpty && prevStaleSince.contains(n) &&
+      prevMedians.contains(n)
+  }
+
+  /** Whether THIS sweep ran dirty / the PRIOR artifact's sweep ran
+    * calm, by whole-sweep /proc/stat steal — the sustained-steal
+    * signal the per-rep canary/steal bars cannot see (they compare
+    * reps to the same dirty window's floors). */
+  def sweepDirty: Boolean =
+    curSweepStealSec > BenchPolicy.DirtySweepStealSec
+  def prevSweepCalm: Boolean =
+    prevSweepStealSec.exists(_ <= BenchPolicy.CalmSweepStealSec)
+
+  /** CALMER-PRIOR FALLBACK (round 18, the round-17 verdict's #1 ask:
+    * publish the round's best-qualified evidence, not its last
+    * sweep): when THIS sweep ran dirty but an entry still earned >= 3
+    * qualified reps, its median is qualified-but-possibly-inflated —
+    * sustained steal inside the timed bodies passes the per-rep bars
+    * (round 17 published a 0.394 s flagship and a 4.15 s apply from a
+    * 922-steal-second sweep beside same-day calm measurements of
+    * 0.16 s and 1.84 s). If the PRIOR artifact measured the entry on a
+    * CALM sweep with >= 3 qualified reps, that number is the better
+    * estimate of the engine — republish it, marked in `calmer_prior`.
+    * The decision is VALUE-BLIND (box conditions only, never which
+    * number is smaller), so it cannot ratchet medians downward; and it
+    * is bounded by the same MaxFallbackRounds chain as stale, so a
+    * chronically dirty box eventually publishes what it measured.
+    * Returns (value, since-label, consecutive-rounds). */
+  def calmerPrior(name: String): Option[(Double, String, Int)] =
+    if (!sweepDirty || isStale(name) ||
+        qualifiedOf(name).length < BenchPolicy.MinQualifiedReps) None
+    else prevMedians.get(name).flatMap { prev =>
+      if (prevSweepCalm &&
+          prevQualified.get(name).exists(_ >= BenchPolicy.MinQualifiedReps))
+        Some((prev, prevGenerated, 1))
+      else prevCalmerPrior.get(name).collect {
+        // the prior artifact inherited this value from a calm sweep
+        // itself: keep inheriting (original since-label) until the
+        // consecutive-rounds bound
+        case (since, r) if r < BenchPolicy.MaxFallbackRounds =>
+          (prev, since, r + 1)
+      }
+    }
+
+  def isCalmerPrior(name: String): Boolean = calmerPrior(name).isDefined
+
+  /** Which source [[publishedValue]] used — carried per headline entry
+    * so the artifact's gate numbers are self-describing. */
+  def publishedSource(name: String): String =
+    if (isStale(name)) "stale"
+    else if (isCalmerPrior(name)) "calmer_prior"
+    else "measured"
+
   /** THE published value — what `queries` carries: the qualified
-    * median when the sweep earned one, the prior artifact's qualified
-    * median (marked in `stale`) when it did not but the prior sweep
-    * did, the all-reps median only when NEITHER sweep has a
-    * trustworthy number (and `qualified_reps: 0..2` flags it). */
+    * median when the sweep earned one ON A SWEEP WORTH TRUSTING, the
+    * prior artifact's qualified median when this sweep was too thin
+    * (`stale`) or too stolen (`calmer_prior`), the all-reps median
+    * only when no trustworthy number exists anywhere (and
+    * `qualified_reps: 0..2` flags it). */
   def publishedValue(name: String): Double =
-    if (isStale(name)) staleFallback(name).get._1 else finalMedian(name)
+    if (isStale(name)) staleFallback(name).get._1
+    else calmerPrior(name).map(_._1).getOrElse(finalMedian(name))
 
   def spreadOf(name: String): (Double, Double) = {
     val ts = repTimes(name); (ts.min, ts.max)
@@ -114,10 +190,27 @@ private[graft] final case class SweepPublication(
     * and the qualified count that triggered the fallback */
   def staleJson: String = entries.flatMap { n =>
     if (!isStale(n)) None
-    else staleFallback(n).map { case (v, since) =>
-      s""""$n":{"fallback":${f"$v%.4f"},"since":"$since","measured_all_reps":${f"${finalMedian(n)}%.4f"},"qualified_reps":${qualifiedOf(n).length}}"""
+    else staleFallback(n).map { case (v, since, rounds) =>
+      s""""$n":{"fallback":${f"$v%.4f"},"since":"$since","rounds":$rounds,"measured_all_reps":${f"${finalMedian(n)}%.4f"},"qualified_reps":${qualifiedOf(n).length}}"""
     }
   }.mkString("{", ",", "}")
+
+  /** The calmer-prior marker block: sweep-level steal context once,
+    * then every fallback-published entry with the frozen value, its
+    * origin label, the consecutive-rounds count, and what THIS sweep
+    * measured (qualified median — it had >= 3 reps by construction) so
+    * the substitution is fully auditable from the artifact alone. */
+  def calmerPriorJson: String = {
+    val es = entries.flatMap { n =>
+      calmerPrior(n).map { case (v, since, rounds) =>
+        s""""$n":{"fallback":${f"$v%.4f"},"since":"$since","rounds":$rounds,"measured_qualified":${f"${finalMedian(n)}%.4f"},"qualified_reps":${qualifiedOf(n).length}}"""
+      }
+    }.mkString(",")
+    s"""{"sweep_steal_sec":${f"$curSweepStealSec%.1f"},"prev_sweep_steal_sec":${prevSweepStealSec.fold("null")(v => f"$v%.1f")},"dirty_bar_sec":${BenchPolicy.DirtySweepStealSec},"calm_bar_sec":${BenchPolicy.CalmSweepStealSec},"max_rounds":${BenchPolicy.MaxFallbackRounds},"entries":{$es}}"""
+  }
+
+  def staleExpiredJson: String =
+    staleExpired.map(n => s""""$n"""").mkString("[", ",", "]")
 
   /** per-entry qualified-rep count: 0 = the published median is over
     * ALL reps — the artifact's own "do not trust this number for

@@ -418,6 +418,118 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(pub.regressions.exists(_._1 == "qB_diverge"))
   }
 
+  // ---- CALMER-PRIOR FALLBACK + BOUNDED CHAINS (round 18: the
+  // round-17 verdict's #1 ask — a dirty sweep must not overwrite a
+  // calm sweep's qualified numbers — and the ADVICE finding that an
+  // unbounded fallback chain can freeze a number forever) ----
+
+  test("calmer-prior: a qualified entry on a DIRTY sweep republishes " +
+    "the calm prior artifact's qualified median, marked with this " +
+    "sweep's measured number") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qB_diverge" -> 0.40),
+      prevQualified = Map("qB_diverge" -> 5),
+      prevGenerated = "2026-08-15T10:00:00Z",
+      curSweepStealSec = 900.0, prevSweepStealSec = Some(12.0))
+    assert(pub.qualifiedOf("qB_diverge").length >=
+      BenchPolicy.MinQualifiedReps) // earned its median...
+    assert(pub.isCalmerPrior("qB_diverge")) // ...but the sweep is dirty
+    assert(pub.publishedValue("qB_diverge") === 0.40)
+    assert(pub.publishedSource("qB_diverge") === "calmer_prior")
+    val cp = parseJson(pub.calmerPriorJson)
+    assert(cp.get("sweep_steal_sec").asDouble() === 900.0)
+    val e = cp.get("entries").get("qB_diverge")
+    assert(e.get("fallback").asDouble() === 0.40)
+    assert(e.get("since").asText() === "2026-08-15T10:00:00Z")
+    assert(e.get("rounds").asInt() === 1)
+    // this sweep's qualified median stays visible beside the fallback
+    assert(e.get("measured_qualified").asDouble() === 0.55)
+    // a fallback-published entry cannot regress against itself
+    assert(!pub.regressions.exists(_._1 == "qB_diverge"))
+  }
+
+  test("calmer-prior is VALUE-BLIND: it fires even when the prior " +
+    "number is WORSE than this sweep's — box conditions decide, " +
+    "never which number is smaller") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qB_diverge" -> 0.90),
+      prevQualified = Map("qB_diverge" -> 5),
+      prevGenerated = "2026-08-15T10:00:00Z",
+      curSweepStealSec = 900.0, prevSweepStealSec = Some(12.0))
+    assert(pub.publishedValue("qB_diverge") === 0.90) // worse, still wins
+  }
+
+  test("calmer-prior does NOT fire on a calm sweep, on a dirty-prior " +
+    "artifact, on a thin entry (stale owns that), or without a prior " +
+    "steal reading (pre-round-18 artifact)") {
+    val calm = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qB_diverge" -> 0.40),
+      prevQualified = Map("qB_diverge" -> 5),
+      curSweepStealSec = 8.0, prevSweepStealSec = Some(12.0))
+    assert(!calm.isCalmerPrior("qB_diverge"))
+    assert(calm.publishedValue("qB_diverge") === 0.55)
+    val dirtyPrev = calm.copy(curSweepStealSec = 900.0,
+      prevSweepStealSec = Some(800.0))
+    assert(!dirtyPrev.isCalmerPrior("qB_diverge"))
+    val noPrevSteal = calm.copy(curSweepStealSec = 900.0,
+      prevSweepStealSec = None)
+    assert(!noPrevSteal.isCalmerPrior("qB_diverge"))
+    // qA has 2 qualified reps: the stale path owns it, calmer-prior
+    // must never double-claim
+    val thin = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 5),
+      curSweepStealSec = 900.0, prevSweepStealSec = Some(12.0))
+    assert(thin.isStale("qA_coldcache"))
+    assert(!thin.isCalmerPrior("qA_coldcache"))
+  }
+
+  test("calmer-prior chain: inherits the ORIGINAL since label across " +
+    "consecutive dirty sweeps and expires at MaxFallbackRounds — the " +
+    "sweep's own measured median then publishes") {
+    val base = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qB_diverge" -> 0.40),
+      prevQualified = Map.empty, // prev sweep did not qualify it itself
+      prevGenerated = "2026-08-15T10:00:00Z",
+      curSweepStealSec = 900.0, prevSweepStealSec = Some(700.0))
+    // prev artifact carried it as calmer_prior at rounds=2
+    val inherited = base.copy(prevCalmerPrior =
+      Map("qB_diverge" -> (("2026-08-10T09:00:00Z", 2))))
+    assert(inherited.calmerPrior("qB_diverge") ===
+      Some((0.40, "2026-08-10T09:00:00Z", 3)))
+    // at the bound: expires, this sweep's qualified median publishes
+    val expired = base.copy(prevCalmerPrior =
+      Map("qB_diverge" -> (("2026-08-10T09:00:00Z",
+        BenchPolicy.MaxFallbackRounds))))
+    assert(!expired.isCalmerPrior("qB_diverge"))
+    assert(expired.publishedValue("qB_diverge") === 0.55)
+  }
+
+  test("stale chain: bounded at MaxFallbackRounds — an entry frozen " +
+    "that long force-publishes its measured median and is named in " +
+    "stale_expired") {
+    val atBound = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 1),
+      prevStaleSince = Map("qA_coldcache" -> "2026-08-10T09:00:00Z"),
+      prevStaleRounds = Map("qA_coldcache" ->
+        BenchPolicy.MaxFallbackRounds),
+      prevGenerated = "2026-08-15T10:00:00Z")
+    assert(!atBound.isStale("qA_coldcache"))
+    assert(atBound.publishedValue("qA_coldcache") ===
+      BenchPolicy.median(atBound.repTimes("qA_coldcache")))
+    assert(atBound.staleExpired === Seq("qA_coldcache"))
+    assert(parseJson(s"""{"x":${atBound.staleExpiredJson}}""")
+      .get("x").get(0).asText() === "qA_coldcache")
+    // one round BELOW the bound still inherits, rounds incremented
+    val below = atBound.copy(prevStaleRounds = Map("qA_coldcache" ->
+      (BenchPolicy.MaxFallbackRounds - 1)))
+    assert(below.isStale("qA_coldcache"))
+    assert(parseJson(below.staleJson).get("qA_coldcache")
+      .get("rounds").asInt() === BenchPolicy.MaxFallbackRounds)
+    assert(below.staleExpired.isEmpty)
+  }
+
   test("isolated ledger parsing: the bench_isolated.json shape round-" +
     "trips, a missing file reads empty") {
     val tmp = java.nio.file.Files.createTempFile("ledger", ".json")
