@@ -78,6 +78,82 @@ class StableConstSpec extends SparkSpec {
     assert(neg == (3L to 19L).toSet)
   }
 
+  test("THE TRADE, pinned at the plan: a stable_const comparison is " +
+    "NOT a pushed parquet filter (row-group pruning forfeited) while " +
+    "its literal twin is — so no caller can mistake the wrap as free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft-scpush").toString
+    spark.range(100).toDF("x").coalesce(1).write.parquet(s"$dir/t")
+    def pushed(df: org.apache.spark.sql.DataFrame): String = {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f }
+      assert(scans.length == 1)
+      scans.head.metadata.getOrElse("PushedFilters", "")
+    }
+    val base = spark.read.parquet(s"$dir/t")
+    val lit = pushed(base.where(F.col("x") >= F.lit(50L)))
+    assert(lit.contains("GreaterThanOrEqual"),
+      s"literal bound must reach the source as a pushed filter: $lit")
+    val sc = pushed(base.where(
+      F.col("x") >= F.call_function("stable_const", F.lit(50L))))
+    assert(!sc.contains("GreaterThanOrEqual"),
+      s"a stable_const bound must NOT push (translateFilter needs a " +
+        s"Literal) — if this starts pushing, the codegen-reuse " +
+        s"mechanism has changed and the call-site contract below is " +
+        s"stale: $sc")
+    // results stay literal-exact either way — the forfeit is purely
+    // a row-group-statistics prune, never correctness
+    assert(base.where(F.col("x") >=
+      F.call_function("stable_const", F.lit(50L))).count() == 50L)
+  }
+
+  test("CALL-SITE CONTRACT: stable_const may be produced only at the " +
+    "allowlisted sites, where the wrapped bounds are redundant " +
+    "(implied by equi-join keys / segment-level skipping)") {
+    // The expression forfeits parquet row-group pruning on whatever
+    // conjunct it wraps (test above). That is safe ONLY when the
+    // bound's pruning value lives elsewhere: the CDC apply's MERGE key
+    // bounds are implied by the equi-join keys and still prune at the
+    // MANIFEST level (SegmentStats sees through StableConst). A new
+    // call site that wraps a SELECTIVE, non-join-implied predicate
+    // would silently revert its scans to full-file reads. This test
+    // fails on any new producing site so the author must re-derive
+    // that redundancy argument — then extend this allowlist.
+    val allowed = Set(
+      "functions/StableConstExpr.scala",   // the expression itself
+      "functions/VectorExpressions.scala", // extension registration
+      "api/Col.scala",                     // dialect literal-arg check
+      "streaming/Streams.scala")           // applyChanges MERGE bounds
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      val name = p.toString
+      if (name.endsWith(".scala")) {
+        val txt = java.nio.file.Files.readString(p)
+        val refs = txt.linesIterator.zipWithIndex.exists { case (l, _) =>
+          (l.contains("stable_const(") || l.contains("StableConst(")) &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*")
+        }
+        if (refs && !allowed.exists(name.replace('\\', '/').endsWith(_)))
+          hits += name
+      }
+    }
+    assert(hits.isEmpty,
+      s"new stable_const call site(s): ${hits.mkString(", ")} — " +
+        "stable_const forfeits parquet row-group pruning on wrapped " +
+        "conjuncts; prove the new site's bounds are redundant " +
+        "(join-implied or manifest-pruned) and add it to the allowlist")
+    // and within Streams.scala the producing shape stays the bounds
+    // template, exactly once
+    val streams = java.nio.file.Files.readString(
+      root.resolve("streaming/Streams.scala"))
+    val producing = streams.linesIterator.count(l =>
+      l.contains("stable_const($") && !l.trim.startsWith("//"))
+    assert(producing == 1,
+      s"Streams.scala stable_const-producing lines: $producing (expected " +
+        "exactly the applyChanges bounds template)")
+  }
+
   test("applyChanges with a NEGATIVE key range: the stable_const-" +
     "wrapped bounds must not abort the MERGE") {
     import graft.sources.Versioned
