@@ -1965,7 +1965,13 @@ object Bench {
       // the slowest-first tail AND get a higher per-entry attempt cap
       // (the cap, not the priority order, was what starved q112 last
       // round: it was already prioritized and still fell short)
+      // q113_bucketed_join_only rides the priority list since round 18
+      // (verdict ask #5): it is the flagship's diagnostic twin — a
+      // wide band there (45% on round 17's dirty sweep vs the <=15%
+      // ask) makes the join-cost attribution unreadable, so its reps
+      // deserve calm windows as much as the headline pair's
       val priority = Seq("q06_q1_flagship", "q06_x10_6Mrows",
+        "q113_bucketed_join_only",
         "q29_x10_50kdocs", "q51_x10_50kdocs", "q112_x10_50kdocs",
         "q129_x10_50kdocs", "q98_inverted_index")
       // round-17 (verdict ask #4): entries the PRIOR artifact published
@@ -2449,6 +2455,15 @@ object Bench {
         "rows, identical shuffled join+agg, AQE skew-split " +
         "(thresholds sized to probe volume) vs Scale.saltedJoin; " +
         "broadcast disabled so the skew is real"),
+      "q44_rebaseline" -> ("ROUND-18 RE-BASELINE of q44_salted_agg: " +
+        "the round-17 reproduced-isolated shift (0.231 -> 0.330) is " +
+        "attributed, not a plan change — PlanCheck shows the designed " +
+        "two-stage salted shape unchanged (4 stages, map-side combine " +
+        "throughout, code untouched since it landed), and the delta " +
+        "equals 4 stages x the ~25ms/stage host scheduling shift the " +
+        "round-17 ledger measured fleet-wide on multi-stage entries. " +
+        "The 0.231 era median is unrepresentative of the current " +
+        "host; 0.33 reproduces across two rounds of BenchOne"),
       "q280_avro" -> ("one multi-MB OCF file read whole (one task) " +
         "vs sync-marker byte-range split; at a multi-GB shard the " +
         "whole-file number scales with file size, the split number " +

@@ -44,7 +44,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * (the reader would still scan it — price as unknown), or exceeds
     * [[Engine.MergeSmallSourceBytes]] / 64 files (footer walks stay
     * cheap or don't happen). */
-  private def plainParquetFootprint(path: String): Option[(Long, Long)] =
+  private def plainParquetFootprint(path: String)
+      : Option[(Long, Long, Option[org.apache.spark.sql.types.StructType])] =
     try {
       if (!path.endsWith(".parquet")) return None
       val conf = spark.sparkContext.hadoopConfiguration
@@ -66,12 +67,28 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             return None
         }
       }
+      // while the footers are open for counts, recover the writer's
+      // OWN Spark schema from the first file's key-value metadata
+      // (Spark stamps it on every write) — a small source then reads
+      // with an explicit schema, skipping the per-statement
+      // schema-inference job `spark.read.parquet` would run. First
+      // file only, matching default (mergeSchema=false) semantics.
+      var schema: Option[org.apache.spark.sql.types.StructType] = None
       val rows = files.iterator.map { f =>
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try rdr.getRecordCount finally rdr.close()
+        try {
+          if (schema.isEmpty)
+            schema = Option(rdr.getFooter.getFileMetaData
+              .getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+              .flatMap(j => scala.util.Try(
+                org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType])
+                .toOption)
+          rdr.getRecordCount
+        } finally rdr.close()
       }.sum
-      Some((rows, bytes))
+      Some((rows, bytes, schema))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Session-scoped views: name → body TEXT, re-planned at every use
@@ -1205,13 +1222,35 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // source frame + aliases (+ the raw table ref when the source is
       // a table path — the small-source fast path prices it from
       // footers below; views and subqueries price as unknown)
+      // footprint probed BEFORE the source frame is built (round 18,
+      // apply-floor work): a provably-small plain-parquet source reads
+      // with the footer's own recorded Spark schema — KB metadata
+      // already in hand — so the fast path's collect below is the
+      // FIRST job that touches it (spark.read.parquet without a schema
+      // pays a per-statement schema-inference job first)
+      val srcProbe: Option[(Long, Long,
+          Option[org.apache.spark.sql.types.StructType])] =
+        usingText match {
+          case MergeUsingQuoted(p, _) =>
+            plainParquetFootprint(graft.sources.Tables.resolve(p, baseDir))
+          case MergeUsingBare(n, _) if !views.contains(n) =>
+            plainParquetFootprint(graft.sources.Tables.resolve(n, baseDir))
+          case _ => None
+        }
+      val srcSmall = srcProbe.exists(_._1 <= Engine.MergeSmallSourceRows)
+      def srcTable(ref: String): GraftFrame = srcProbe match {
+        case Some((_, _, Some(sch))) if srcSmall =>
+          GraftFrame.fromDF(spark.read.schema(sch)
+            .parquet(graft.sources.Tables.resolve(ref, baseDir)))
+        case _ => table(ref)
+      }
       val (srcFrame, saliasRaw, srcRefOpt) = usingText match {
         case MergeUsingSub(sub, a) =>
           (evalCompound(SqlParser.parseCompound(sub), Map.empty),
             Option(a), None)
-        case MergeUsingQuoted(p, a) => (table(p), Option(a), Some(p))
+        case MergeUsingQuoted(p, a) => (srcTable(p), Option(a), Some(p))
         case MergeUsingBare(n, a) =>
-          (table(n), Option(a).orElse(Some(n)), Some(n))
+          (srcTable(n), Option(a).orElse(Some(n)), Some(n))
         case other => throw new SemanticError(
           s"MERGE: cannot parse USING source '$other'")
       }
@@ -1248,11 +1287,6 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // forces shuffle joins however small it is.
       val tDf =
         graft.sources.Versioned.readWithProvenance(spark, resolved, Some(hv))
-      val srcSmall = srcRefOpt
-        .filterNot(views.contains)
-        .map(r => graft.sources.Tables.resolve(r, baseDir))
-        .flatMap(plainParquetFootprint)
-        .exists(_._1 <= Engine.MergeSmallSourceRows)
       val sDf =
         if (srcSmall) {
           val rows = srcFrame.df.collect()

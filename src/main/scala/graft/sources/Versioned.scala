@@ -783,6 +783,26 @@ object Versioned {
   private[graft] def footerRowCountBySeg(spark: SparkSession, path: String,
       segs: Seq[String]): Map[String, Long] = {
     if (segs.isEmpty) return Map.empty
+    // a HANDFUL of segments walks driver-side (a few KB-sized round
+    // trips beat a Spark job's scheduling floor — the MERGE/DML
+    // rewrite asks for exactly its affected segments, usually one);
+    // the distributed job remains the many-segment path per the
+    // scaladoc's O(1)-driver-round-trips contract
+    if (segs.length <= 4) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      return segs.map { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/data/$s")
+        val fs = p.getFileSystem(conf)
+        s -> fs.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                st.getPath, conf))
+            try rdr.getRecordCount finally rdr.close()
+          }.sum
+      }.toMap
+    }
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -1102,14 +1122,18 @@ object Versioned {
       dvMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     require(segs.nonEmpty, "readSegmentsAligned needs >= 1 segment")
-    val raw = spark.read.option("mergeSchema", "true")
+    // EXPLICIT target schema, not mergeSchema inference (round 18,
+    // apply-floor work): the caller hands the snapshot's committed
+    // schema, every segment's columns are a subset of it (append-only
+    // evolution), and parquet serves NULL for absent columns under an
+    // explicit schema — the same alignment the old
+    // inference-then-null-fill produced, minus the per-statement
+    // footer-inference job every DML rewrite was paying
+    val raw = spark.read.schema(schema)
       .parquet(segs.map(s => s"$path/data/$s"): _*)
-    val have = raw.columns.toSet
     val aligned = withProvenance(raw).select(
-      schema.fields.map { f =>
-        if (have(f.name)) F.col(f.name)
-        else F.lit(null).cast(f.dataType).as(f.name)
-      }.toSeq ++ Seq(F.col("__file"), F.col("__pos"), F.col("__seg")): _*)
+      schema.fields.map(f => F.col(f.name)).toSeq ++
+        Seq(F.col("__file"), F.col("__pos"), F.col("__seg")): _*)
     // a rewrite of a vectored segment MATERIALIZES its vector: the
     // deleted rows must not resurrect into the fresh segment.
     // (Set lookup — Seq.contains per dv is O(dvs × segments).)
@@ -2265,11 +2289,21 @@ object Versioned {
       changeType.fold(joined)(ct =>
         joined.withColumn("_change_type", F.lit(ct)))
     }
+    // EXPLICIT schemas on both batched reads (round 18, apply-floor
+    // work): the feed's schema is KNOWN — a cdc dir / segment written
+    // at v <= to carries a SUBSET of to's folded schema (append-only
+    // evolution), and parquet reads absent columns as NULL under an
+    // explicit schema, which is exactly the mergeSchema alignment —
+    // so the per-statement schema-inference job (one distributed
+    // footer read per changeFeed call, a fixed floor of the CDC
+    // replication apply) is pure waste
+    val cdcReadSchema = headSchema.add("_change_type",
+      org.apache.spark.sql.types.StringType)
     val frames = Seq(
       { val ds = cdcDirs.result()
         if (ds.isEmpty) Seq.empty[DataFrame]
         else Seq(attributed(
-          spark.read.option("mergeSchema", "true")
+          spark.read.schema(cdcReadSchema)
             .parquet(ds.map(d => s"$path/_cdc/${d._1}"): _*),
           ds, changeType = None)) },
       { val ss = insertSegs.result()
@@ -2287,12 +2321,12 @@ object Versioned {
         val batched =
           if (unique.isEmpty) None
           else Some(attributed(
-            spark.read.option("mergeSchema", "true")
+            spark.read.schema(headSchema)
               .parquet(unique.map(s => s"$path/data/${s._1}"): _*),
             unique, changeType = Some("insert")))
         val perOccurrence = ss.filter(s => dupNames.contains(s._1))
           .map { case (seg, v) =>
-            spark.read.parquet(s"$path/data/$seg")
+            spark.read.schema(headSchema).parquet(s"$path/data/$seg")
               .withColumn("_change_type", F.lit("insert"))
               .withColumn("_commit_version", F.lit(v))
           }

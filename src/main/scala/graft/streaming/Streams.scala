@@ -860,7 +860,18 @@ object Streams {
         Seq(F.min(F.col(f.name)).as(s"__lo_$i"),
           F.max(F.col(f.name)).as(s"__hi_$i")) }.toSeq
     val obs = new org.apache.spark.sql.Observation()
-    net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
+    // AQE off for THIS write only: a delta-sized staging write gains
+    // nothing from runtime re-planning, and AQE materializes its
+    // scan/shuffle as separate stage-jobs — 3 scheduler floors where
+    // the classic DAG pays 1 (round 18, apply-floor work). Session-conf
+    // scoped: applyChanges is driver-synchronous (foreachBatch / DML),
+    // restored in finally.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
+    finally prevAqe.fold(spark.conf.unset(aqeKey))(
+      spark.conf.set(aqeKey, _))
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {

@@ -64,6 +64,52 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q113 probe shape: bucketed agg+filter+join is shuffle-free " +
+    "and REP-STABLE — AQE converges to the same physical shape every " +
+    "execution (the bench probe's band must be noise, never re-plans)") {
+    // exact mirror of Bench's q113_bucketed_join_only body over small
+    // synthetic tables: if this shape ever re-plans across executions
+    // (strategy flip, shuffle appearing), the probe's wall-clock band
+    // stops measuring the engine and this pins the cause
+    val staging = java.nio.file.Files.createTempDirectory("graft_q113_spec")
+    Scale.writeBucketed(
+      (1 to 5000).map(i => (i.toLong % 400, i * 7.0)).toDF(
+        "o_custkey", "o_totalprice"),
+      "q113s_orders", s"$staging/orders_b", "o_custkey", 8)
+    Scale.writeBucketed(
+      (0L until 400L).map(i => (i, s"seg${i % 5}")).toDF(
+        "c_custkey", "c_mktsegment"),
+      "q113s_customer", s"$staging/customer_b", "c_custkey", 8)
+    def run(): (Long, Int, String) = {
+      val df = spark.table("q113s_orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).as("spend"),
+             F.count(F.lit(1)).as("n_orders"))
+        .filter(F.col("spend") > 20000)
+        .join(spark.table("q113s_customer"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select("o_custkey", "c_mktsegment", "spend", "n_orders")
+      val n = df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r
+        .findAllMatchIn(plan).length
+      val join = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "ShuffledHashJoin").find(plan.contains).getOrElse("?")
+      (n, shuffles, join)
+    }
+    val reps = (1 to 3).map(_ => run())
+    // the bucket layout satisfies BOTH the agg and the join: zero
+    // shuffle exchanges, every execution
+    reps.foreach { case (n, shuffles, join) =>
+      assert(n > 0)
+      assert(shuffles == 0,
+        s"q113 shape must not shuffle (bucketed both sides): $reps")
+    }
+    assert(reps.map(_._3).distinct.length == 1,
+      s"join strategy flipped across executions: $reps")
+    assert(reps.map(_._1).distinct.length == 1)
+  }
+
   test("hash-based stratified sample is deterministic and partition-invariant") {
     val docs = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("id", "lang")
