@@ -40,6 +40,10 @@ object ReplicaTrace {
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var jobs = 0
     val jobNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // records-read per rep: the one number that says whether the match
+    // join / rewrite actually pruned (tasks-per-stage lies — a pruned
+    // scan can still split wide on openCostInBytes)
+    val recs = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
@@ -47,6 +51,10 @@ object ReplicaTrace {
           s"${si.name.takeWhile(_ != '\n').take(60)}(t=${si.numTasks})")
         jobNames += stages.mkString(" | ").take(160)
       }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.add(te.taskMetrics.inputMetrics.recordsRead)
     })
 
     val mult = sys.env.getOrElse("SPARK_GRAFT_REPL_MULT", "1").toInt
@@ -101,7 +109,7 @@ object ReplicaTrace {
     def once(i: Int): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      jobs = 0; jobNames.clear()
+      jobs = 0; jobNames.clear(); recs.reset()
       val (from, to) = ranges(i)
       // per-rep JIT/GC deltas: the round-16 forensics measured a
       // 1-2.7s/statement fresh-codegen JIT tax on the MERGE path (per-
@@ -123,7 +131,7 @@ object ReplicaTrace {
       val cgd = org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount - cg0
       Thread.sleep(200) // let async job-start events drain
-      println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d gc_ms=$gd%d jit_ms=$jd%d codegen_units=$cgd%d")
+      println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d records_read=${recs.sum()}%d gc_ms=$gd%d jit_ms=$jd%d codegen_units=$cgd%d")
       jobNames.zipWithIndex.foreach { case (n, k) =>
         println(f"  job$k%02d  $n%s")
       }
