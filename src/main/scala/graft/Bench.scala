@@ -458,7 +458,7 @@ object Bench {
     * flagship over the RAW single-group layout is still reported
     * (`q06_rawlayout_600krows`, `q06_x10_rawlayout`) so the layout
     * delta stays visible rather than hidden. */
-  private def stageSplittable(spark: SparkSession, rawDir: String,
+  private[graft] def stageSplittable(spark: SparkSession, rawDir: String,
                               ways: Int): String = {
     val staged = newTempDir("graft-bench-tables-")
     val dir = new java.io.File(rawDir)

@@ -35,6 +35,15 @@ object BenchOne {
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_STAGE=1: run over the SAME splittable staged layout
+    // the Bench sweep stages (untimed there) — without it, BenchOne's
+    // raw-dir numbers carry a layout delta vs in-sweep medians
+    // (flagship: ~0.2 s staged vs ~0.5 s raw) and an isolated
+    // re-measure can misread sweep context as a reproduced shift
+    val sfDirStaged =
+      if (sys.env.get("SPARK_GRAFT_STAGE").contains("1"))
+        graft.Bench.stageSplittable(spark, sfDir, cpus.toInt)
+      else sfDir
     val tracer = new StageTraceListener
     spark.sparkContext.addSparkListener(tracer)
 
@@ -43,7 +52,7 @@ object BenchOne {
       val fn = qs(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, sfDirStaged).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         if (clean)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
