@@ -2261,6 +2261,35 @@ object Bench {
         "r14's 0.7982 was the lucky number; the body is unchanged " +
         "since round 12). Earlier rows (q27, q251, zorder, the " +
         "replica pair) carry round-15's adjudications"),
+      "r18_ledger_clear" -> ("ROUND-18 clear of the eight r17 " +
+        "unattributed labels (q36/q55/q80/q98/q129/q132/q152/q168): " +
+        "all eight re-measured on a near-calm box over the SWEEP'S " +
+        "staged layout (BenchOne SPARK_GRAFT_STAGE=1, like-for-like) " +
+        "and all eight REPRODUCE their r17 in-sweep values, not their " +
+        "r16 baselines - the same host-era per-stage scheduling shift " +
+        "the r17 ledger measured fleet-wide (~20-30ms/stage), " +
+        "stage-count-proportional, with PlanCheck verifying the " +
+        "q129/q168 broadcast shapes and q44's salted two-stage shape " +
+        "byte-identical to design. The r16-era medians are " +
+        "re-baselined, not regressed-from; see bench_isolated.json " +
+        "notes per entry. q44_salted_agg's reproduced-isolated row " +
+        "closes the same way (see q44_rebaseline)"),
+      "r18_apply_floor" -> ("ROUND-18 apply-floor work: the CDC " +
+        "apply statement now runs 13 jobs / ~25 tasks (was 20 / " +
+        "~250): explicit-schema reads kill three per-statement " +
+        "parquet schema-inference jobs (changeFeed cdc+insert reads, " +
+        "MERGE small-source via footer-recorded schema, " +
+        "readSegmentsAligned), a per-SEGMENT listing cache makes " +
+        "snapshot opens incremental (a new version re-listed all 128 " +
+        "segments it shares with its predecessor - two 64-task jobs " +
+        "per statement), small-source MERGE pins AQE off (broadcast " +
+        "plans gain nothing; each exchange cost a stage-job floor), " +
+        "and the driver-built delta relations coalesce(1) " +
+        "(LocalTableScan parallelized 112 rows over 32 cores in every " +
+        "broadcast build). Isolated wall is parity (~1.85 vs r17 " +
+        "1.84 at MULT=12 NSEG=128): the floor is now Catalyst " +
+        "per-statement planning + write-commit I/O, not scheduling - " +
+        "the reduced task surface is the in-sweep resilience win"),
       "aged_ab" -> ("ROUND-16 aged-vs-fresh A/B (the round-15 ask): " +
         "right after the in-sweep replica apply reps, the SAME apply " +
         "body runs once more in this aged driver (aged_sec, with " +

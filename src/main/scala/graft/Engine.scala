@@ -91,6 +91,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       Some((rows, bytes, schema))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Run `body` with AQE pinned off when `cond` holds — the
+    * small-source MERGE case, where every join already broadcasts and
+    * the scan is manifest-pruned, so runtime re-planning buys nothing
+    * and each AQE-materialized exchange costs a stage-job scheduling
+    * floor. Session-conf scoped: the dialect executes statements
+    * driver-synchronously; restored in finally. */
+  private def withAqeOff[T](cond: Boolean)(body: => T): T =
+    if (!cond) body
+    else {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, "false")
+      try body
+      finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+
   /** Session-scoped views: name → body TEXT, re-planned at every use
     * (standard non-materialized view semantics — a view over a
     * Versioned dataset tracks its head, and underlying-table changes
@@ -1259,6 +1275,15 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val salias = saliasRaw.getOrElse(sName)
       if (talias == salias) throw new SemanticError(
         s"MERGE: target and source aliases collide ('$talias')")
+      // SMALL-SOURCE statements run with AQE pinned off (round 18,
+      // apply-floor work): the match join and insert anti-join already
+      // broadcast the LocalRelation source, the target scan is already
+      // bounds-pruned at the manifest, and the rewrite is one segment
+      // — there is nothing for runtime re-planning to improve, while
+      // AQE materializes every exchange as its own stage-job (~5 extra
+      // scheduler floors per statement at the CDC apply's volume). A
+      // big MERGE keeps AQE (skew joins, coalescing matter there).
+      withAqeOff(srcSmall) {
       // resolve the head version ONCE for the whole statement (the
       // UPDATE/DELETE rule): match join, segment list and rewrite all
       // describe the same snapshot
@@ -1294,8 +1319,14 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
             org.apache.spark.sql.types.LongType, nullable = false)
           val data = rows.zipWithIndex.map { case (r, i) =>
             Row.fromSeq(r.toSeq :+ i.toLong) }
+          // coalesce(1): LocalTableScan parallelizes its rows over one
+          // partition PER ROW up to the core count, so every broadcast
+          // build / union leg that executes this delta-sized relation
+          // submitted a 32-mostly-empty-task job (round-18 job census:
+          // three per MERGE). One task carries a few hundred rows fine;
+          // size stats pass through, broadcasts stay chosen.
           spark.createDataFrame(
-            java.util.Arrays.asList(data: _*), schema)
+            java.util.Arrays.asList(data: _*), schema).coalesce(1)
         } else srcFrame.df
           .withColumn("__srid", F.monotonically_increasing_id())
           .localCheckpoint(true)
@@ -1382,6 +1413,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val pairs: org.apache.spark.sql.DataFrame = pairsLocal match {
         case Some(rows) => spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), pairsCkpt.schema)
+          .coalesce(1) // see sDf: one task, not cores-many empty ones
         case None => pairsCkpt
       }
       mtrace("match join + ckpt")
@@ -1652,6 +1684,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           StructField("n_updated", LongType, nullable = false),
           StructField("n_deleted", LongType, nullable = false),
           StructField("n_inserted", LongType, nullable = false)))))
+      } // withAqeOff(srcSmall)
 
     case InsertRe(quoted, bare, colList, body) =>
       scalarCache.clear()

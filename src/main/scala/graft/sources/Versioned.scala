@@ -1894,6 +1894,11 @@ object Versioned {
             fs.delete(SegmentStats.sidecar(path, p.getName), false): Unit
           }
         }
+    // retired segments can never be listed again through a manifest
+    // (UUID names), but drop their cached listings anyway — stale
+    // FileStatus entries serve nobody and the slots are bounded
+    if (!dryRun && segsDeleted > 0)
+      VersionedFileIndex.invalidateSegments(path)
     VacuumStats(drop.length, segsDeleted, dvDeleted, cdcDeleted,
       bytesFreed)
   }
@@ -2405,6 +2410,7 @@ object Versioned {
         val it = indexCache.keySet().iterator()
         while (it.hasNext) if (it.next()._2 == path) it.remove()
       }
+      VersionedFileIndex.invalidateSegments(path)
     }
     (segs.length, buildable.length)
   }

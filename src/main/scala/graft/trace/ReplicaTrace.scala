@@ -44,17 +44,28 @@ object ReplicaTrace {
     // join / rewrite actually pruned (tasks-per-stage lies — a pruned
     // scan can still split wide on openCostInBytes)
     val recs = new java.util.concurrent.atomic.LongAdder
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val recsByJob = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val idx = jobs
         jobs += 1
+        j.stageInfos.foreach(si => stageToJob.put(si.stageId, idx))
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .map("exec" + _).getOrElse("")
         val stages = j.stageInfos.map(si =>
           s"${si.name.takeWhile(_ != '\n').take(60)}(t=${si.numTasks})")
-        jobNames += stages.mkString(" | ").take(160)
+        jobNames += (s"[$cs] " + stages.mkString(" | ")).take(200)
       }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
+        if (te.taskMetrics != null) {
           recs.add(te.taskMetrics.inputMetrics.recordsRead)
+          val j = stageToJob.getOrDefault(te.stageId, -1)
+          recsByJob.merge(j, te.taskMetrics.inputMetrics.recordsRead,
+            (a, b) => a + b): Unit
+        }
     })
 
     val mult = sys.env.getOrElse("SPARK_GRAFT_REPL_MULT", "1").toInt
@@ -110,6 +121,7 @@ object ReplicaTrace {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       jobs = 0; jobNames.clear(); recs.reset()
+      stageToJob.clear(); recsByJob.clear()
       val (from, to) = ranges(i)
       // per-rep JIT/GC deltas: the round-16 forensics measured a
       // 1-2.7s/statement fresh-codegen JIT tax on the MERGE path (per-
@@ -133,7 +145,7 @@ object ReplicaTrace {
       Thread.sleep(200) // let async job-start events drain
       println(f"REPLICA_TRACE rep$i%d apply=$t%.3f s jobs=$jobs%d records_read=${recs.sum()}%d gc_ms=$gd%d jit_ms=$jd%d codegen_units=$cgd%d")
       jobNames.zipWithIndex.foreach { case (n, k) =>
-        println(f"  job$k%02d  $n%s")
+        println(f"  job$k%02d  recs=${recsByJob.getOrDefault(k, 0L)}%-8d $n%s")
       }
     }
     once(0) // warmup (JIT)
