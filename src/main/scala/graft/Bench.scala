@@ -2559,7 +2559,7 @@ object Bench {
     val generatedStamp = java.time.Instant.now()
       .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
     val json =
-      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"stale_expired":${pub.staleExpiredJson},"calmer_prior":${pub.calmerPriorJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"stale_expired":${pub.staleExpiredJson},"calmer_prior_expired":${pub.calmerPriorExpiredJson},"calmer_prior":${pub.calmerPriorJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>

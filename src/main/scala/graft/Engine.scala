@@ -91,21 +91,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       Some((rows, bytes, schema))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Run `body` with AQE pinned off when `cond` holds — the
-    * small-source MERGE case, where every join already broadcasts and
-    * the scan is manifest-pruned, so runtime re-planning buys nothing
-    * and each AQE-materialized exchange costs a stage-job scheduling
-    * floor. Session-conf scoped: the dialect executes statements
-    * driver-synchronously; restored in finally. */
+  /** [[Engine.withAqeOff]] over this instance's session. */
   private def withAqeOff[T](cond: Boolean)(body: => T): T =
-    if (!cond) body
-    else {
-      val k = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.getOption(k)
-      spark.conf.set(k, "false")
-      try body
-      finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
+    Engine.withAqeOff(spark, cond)(body)
 
   /** Session-scoped views: name → body TEXT, re-planned at every use
     * (standard non-materialized view semantics — a view over a
@@ -3210,6 +3198,24 @@ object Engine {
   def apply(spark: SparkSession, baseDir: String): Engine =
     new Engine(spark, Some(baseDir))
   def apply(spark: SparkSession): Engine = new Engine(spark, None)
+
+  /** Run `body` with AQE pinned off when `cond` holds — for
+    * delta-sized driver-synchronous work (the small-source MERGE, the
+    * CDC apply's staging write) where every join already broadcasts /
+    * nothing re-plans, and each AQE-materialized exchange costs a
+    * stage-job scheduling floor. Session-conf scoped, restored in
+    * finally. THE one copy of the save/set/restore dance — callers
+    * must not inline their own. */
+  private[graft] def withAqeOff[T](
+      spark: SparkSession, cond: Boolean)(body: => T): T =
+    if (!cond) body
+    else {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, "false")
+      try body
+      finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
 
   /** MERGE small-source gate: a plain-parquet USING source at or under
     * these footprints (known from footers alone) is collected into a

@@ -84,19 +84,35 @@ private[graft] final case class SweepPublication(
     * actually measured it. */
   def staleFallback(name: String): Option[(Double, String, Int)] =
     prevMedians.get(name).flatMap { prev =>
-      if (prevQualified.get(name).exists(_ >= BenchPolicy.MinQualifiedReps))
-        Some((prev, prevGenerated, 1))
-      else prevStaleSince.get(name).flatMap { since =>
-        // BOUNDED CHAIN (round 18): an inherited value carries a
-        // consecutive-rounds count; past MaxFallbackRounds it expires
-        // and the sweep's own measured median force-publishes (the
-        // entry lands in `stale_expired`) — a frozen number is exempt
-        // from regression detection by construction, so an unbounded
-        // chain could hide a real regression forever. Prior artifacts
-        // without a rounds field (pre-round-18) read as 1.
-        val rounds = prevStaleRounds.getOrElse(name, 1) + 1
-        if (rounds > BenchPolicy.MaxFallbackRounds) None
-        else Some((prev, since, rounds))
+      // BOUNDED CHAIN (round 18): an inherited value carries a
+      // consecutive-rounds count; past MaxFallbackRounds it expires
+      // and the sweep's own measured median force-publishes (the
+      // entry lands in `stale_expired`) — a frozen number is exempt
+      // from regression detection by construction, so an unbounded
+      // chain could hide a real regression forever. Prior artifacts
+      // without a rounds field (pre-round-18) read as 1.
+      //
+      // A prior artifact that published this entry via CALMER-PRIOR
+      // holds an INHERITED value even though its own sweep qualified
+      // the entry (prevQualified records that sweep's rep count, not
+      // the value's provenance) — continue THAT chain, original since
+      // label and incremented rounds; treating it as freshly measured
+      // would reset the bound and let a value freeze for 2x the
+      // documented maximum with a since label naming a sweep that
+      // never measured it.
+      prevCalmerPrior.get(name) match {
+        case Some((since, r)) =>
+          if (r + 1 > BenchPolicy.MaxFallbackRounds) None
+          else Some((prev, since, r + 1))
+        case None =>
+          if (prevQualified.get(name)
+              .exists(_ >= BenchPolicy.MinQualifiedReps))
+            Some((prev, prevGenerated, 1))
+          else prevStaleSince.get(name).flatMap { since =>
+            val rounds = prevStaleRounds.getOrElse(name, 1) + 1
+            if (rounds > BenchPolicy.MaxFallbackRounds) None
+            else Some((prev, since, rounds))
+          }
       }
     }
 
@@ -107,12 +123,28 @@ private[graft] final case class SweepPublication(
       staleFallback(name).isDefined
 
   /** Entries whose stale chain EXPIRED this sweep: still thin, prior
-    * value was an inherited fallback already at the rounds bound — the
-    * measured all-reps median force-publishes and the entry is named
-    * here so the expiry is visible, not silent. */
+    * value was an inherited fallback (stale OR calmer-prior) already
+    * at the rounds bound — the measured all-reps median
+    * force-publishes and the entry is named here so the expiry is
+    * visible, not silent. */
   def staleExpired: Seq[String] = entries.filter { n =>
     qualifiedOf(n).length < BenchPolicy.MinQualifiedReps &&
-      staleFallback(n).isEmpty && prevStaleSince.contains(n) &&
+      staleFallback(n).isEmpty &&
+      (prevStaleSince.contains(n) || prevCalmerPrior.contains(n)) &&
+      prevMedians.contains(n)
+  }
+
+  /** Entries whose CALMER-PRIOR chain expired this sweep: the sweep
+    * is dirty and the entry qualified, but the prior inherited value
+    * is at the rounds bound — the dirty-sweep measured median
+    * force-publishes. Named so a reader diffing rounds sees the
+    * marker, not an unexplained value jump. */
+  def calmerPriorExpired: Seq[String] = entries.filter { n =>
+    sweepDirty && !isStale(n) &&
+      qualifiedOf(n).length >= BenchPolicy.MinQualifiedReps &&
+      calmerPrior(n).isEmpty &&
+      prevCalmerPrior.get(n)
+        .exists(_._2 >= BenchPolicy.MaxFallbackRounds) &&
       prevMedians.contains(n)
   }
 
@@ -211,6 +243,9 @@ private[graft] final case class SweepPublication(
 
   def staleExpiredJson: String =
     staleExpired.map(n => s""""$n"""").mkString("[", ",", "]")
+
+  def calmerPriorExpiredJson: String =
+    calmerPriorExpired.map(n => s""""$n"""").mkString("[", ",", "]")
 
   /** per-entry qualified-rep count: 0 = the published median is over
     * ALL reps — the artifact's own "do not trust this number for

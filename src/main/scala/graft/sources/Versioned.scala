@@ -780,6 +780,26 @@ object Versioned {
     * round trips, not O(segments) listStatus calls, and callers that
     * need many segments' counts ([[purgeVectors]]) must not launch one
     * job per segment either. */
+  /** One segment's exact footer row count: list its dir, sum
+    * `getRecordCount` over the part files. THE shared body of both
+    * [[footerRowCountBySeg]] paths — the filtering rule and footer
+    * handling must never diverge between the driver-side and
+    * distributed walks. Runnable inside an executor task. */
+  private def footerCountOneSeg(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, seg: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/data/$seg")
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+  }
+
   private[graft] def footerRowCountBySeg(spark: SparkSession, path: String,
       segs: Seq[String]): Map[String, Long] = {
     if (segs.isEmpty) return Map.empty
@@ -790,36 +810,15 @@ object Versioned {
     // scaladoc's O(1)-driver-round-trips contract
     if (segs.length <= 4) {
       val conf = spark.sparkContext.hadoopConfiguration
-      return segs.map { s =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/data/$s")
-        val fs = p.getFileSystem(conf)
-        s -> fs.listStatus(p).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                st.getPath, conf))
-            try rdr.getRecordCount finally rdr.close()
-          }.sum
-      }.toMap
+      return segs.map(s => s -> footerCountOneSeg(conf, path, s)).toMap
     }
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
       .parallelize(segs, math.min(segs.length, 64))
-      .map { s =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/data/$s")
-        val fs = p.getFileSystem(confBc.value.value)
-        s -> fs.listStatus(p).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                st.getPath, confBc.value.value))
-            try rdr.getRecordCount finally rdr.close()
-          }.sum
-      }.collect().toMap
+      .map(s => s -> footerCountOneSeg(confBc.value.value, path, s))
+      .collect().toMap
   }
 
   /** Deleted-position counts for MANY deletion-vector files (metadata

@@ -863,15 +863,11 @@ object Streams {
     // AQE off for THIS write only: a delta-sized staging write gains
     // nothing from runtime re-planning, and AQE materializes its
     // scan/shuffle as separate stage-jobs — 3 scheduler floors where
-    // the classic DAG pays 1 (round 18, apply-floor work). Session-conf
-    // scoped: applyChanges is driver-synchronous (foreachBatch / DML),
-    // restored in finally.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
-    finally prevAqe.fold(spark.conf.unset(aqeKey))(
-      spark.conf.set(aqeKey, _))
+    // the classic DAG pays 1 (round 18, apply-floor work).
+    // applyChanges is driver-synchronous (foreachBatch / DML).
+    graft.Engine.withAqeOff(spark, cond = true) {
+      net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
+    }
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {

@@ -530,6 +530,43 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(below.staleExpired.isEmpty)
   }
 
+  test("CROSS-CHAIN: a prior value published via calmer_prior does " +
+    "not reset the stale chain — the inherited since/rounds carry " +
+    "(prevQualified records the dirty sweep's reps, not provenance)") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qA_coldcache" -> 0.47),
+      prevQualified = Map("qA_coldcache" -> 5), // that sweep's own reps
+      prevCalmerPrior = Map("qA_coldcache" ->
+        (("2026-08-10T09:00:00Z", 2))),
+      prevGenerated = "2026-08-16T10:00:00Z")
+    // qA is thin THIS sweep: the stale fallback must continue the
+    // calmer-prior chain (original since, rounds 2 -> 3), never
+    // restart at rounds=1 with a label naming a sweep that measured
+    // nothing
+    assert(pub.isStale("qA_coldcache"))
+    assert(pub.staleFallback("qA_coldcache") ===
+      Some((0.47, "2026-08-10T09:00:00Z", 3)))
+    // at the bound the cross-chain expires too — and is NAMED
+    val atBound = pub.copy(prevCalmerPrior = Map("qA_coldcache" ->
+      (("2026-08-10T09:00:00Z", BenchPolicy.MaxFallbackRounds))))
+    assert(!atBound.isStale("qA_coldcache"))
+    assert(atBound.staleExpired === Seq("qA_coldcache"))
+  }
+
+  test("calmer-prior expiry is VISIBLE: calmer_prior_expired names a " +
+    "qualified dirty-sweep entry whose inherited chain hit the bound") {
+    val pub = fixture.copy(
+      prevMedians = fixture.prevMedians + ("qB_diverge" -> 0.40),
+      prevCalmerPrior = Map("qB_diverge" ->
+        (("2026-08-10T09:00:00Z", BenchPolicy.MaxFallbackRounds))),
+      curSweepStealSec = 900.0, prevSweepStealSec = Some(700.0))
+    assert(!pub.isCalmerPrior("qB_diverge"))
+    assert(pub.calmerPriorExpired === Seq("qB_diverge"))
+    assert(pub.publishedValue("qB_diverge") === 0.55) // measured wins
+    assert(parseJson(s"""{"x":${pub.calmerPriorExpiredJson}}""")
+      .get("x").get(0).asText() === "qB_diverge")
+  }
+
   test("isolated ledger parsing: the bench_isolated.json shape round-" +
     "trips, a missing file reads empty") {
     val tmp = java.nio.file.Files.createTempFile("ledger", ".json")

@@ -17,8 +17,13 @@ def check(name, ok, detail):
     if not ok:
         fails.append(name)
 
-def fb(name):  # entry published via any fallback?
-    return name in stale or name in cpe
+exp = set(b.get("stale_expired", []) + b.get("calmer_prior_expired", []))
+
+def fb(name):  # entry published via a fallback, or a MARKED chain expiry
+    # an expired chain force-publishes the measured median with
+    # qualified_reps possibly <3 - that is the policy-compliant outcome
+    # the bound exists for, named in stale_expired/calmer_prior_expired
+    return name in stale or name in cpe or name in exp
 
 h = b["headline"]
 check("flagship evidence (>=4 steal-clean reps or calm-prior fallback)",
@@ -79,8 +84,8 @@ max_rounds = cp.get("max_rounds", 3)
 over = [n for n, e in list(stale.items()) + list(cpe.items())
         if e.get("rounds", 1) > max_rounds]
 check("no fallback chain past max_rounds", not over, f"{over}")
-exp = b.get("stale_expired", [])
-print(f"     stale_expired this sweep: {exp}")
+print(f"     stale_expired this sweep: {b.get('stale_expired', [])}")
+print(f"     calmer_prior_expired this sweep: {b.get('calmer_prior_expired', [])}")
 
 ab = b.get("aged_ab", {})
 if isinstance(ab, dict) and "aged_steal_frac" in ab:
