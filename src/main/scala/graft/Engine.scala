@@ -95,6 +95,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
   private def withAqeOff[T](cond: Boolean)(body: => T): T =
     Engine.withAqeOff(spark, cond)(body)
 
+  /** [[Engine.withSmallStmtConfs]] over this instance's session. */
+  private def withSmallStmtConfs[T](cond: Boolean)(body: => T): T =
+    Engine.withSmallStmtConfs(spark, cond)(body)
+
   /** Session-scoped views: name → body TEXT, re-planned at every use
     * (standard non-materialized view semantics — a view over a
     * Versioned dataset tracks its head, and underlying-table changes
@@ -103,6 +107,24 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
     * layering: the nearest definition wins). */
   private val views =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Statement-scoped INJECTED MERGE sources: name → pre-collected
+    * rows + schema. The CDC apply hands its (delta-sized, already
+    * driver-resident) net frame to MERGE this way, as a LocalRelation
+    * under a fixed name — no parquet staging round-trip, no footer
+    * probe, and the small-source fast path reuses the rows without
+    * even a collect. Scoped strictly to the wrapped body; the name
+    * must not shadow a view. */
+  private val injectedSrcs = scala.collection.mutable.Map
+    .empty[String, (Array[Row], org.apache.spark.sql.types.StructType)]
+
+  private[graft] def withLocalMergeSource[T](name: String, rows: Array[Row],
+      schema: org.apache.spark.sql.types.StructType)(body: => T): T = {
+    require(!views.contains(name) && !injectedSrcs.contains(name),
+      s"withLocalMergeSource: name '$name' already bound")
+    injectedSrcs(name) = (rows, schema)
+    try body finally injectedSrcs.remove(name)
+  }
   /** names currently being expanded — a view whose body references
     * itself (directly or through another view) must fail loudly, not
     * recurse forever */
@@ -1232,21 +1254,37 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // already in hand — so the fast path's collect below is the
       // FIRST job that touches it (spark.read.parquet without a schema
       // pays a per-statement schema-inference job first)
-      val srcProbe: Option[(Long, Long,
-          Option[org.apache.spark.sql.types.StructType])] =
+      // injected sources (the CDC apply's pre-collected net frame)
+      // resolve FIRST: rows + schema are already driver-resident, so
+      // the probe is free and the fast path's "collect" is a no-op
+      val srcInjected: Option[(Array[Row],
+          org.apache.spark.sql.types.StructType)] =
         usingText match {
-          case MergeUsingQuoted(p, _) =>
-            plainParquetFootprint(graft.sources.Tables.resolve(p, baseDir))
-          case MergeUsingBare(n, _) if !views.contains(n) =>
-            plainParquetFootprint(graft.sources.Tables.resolve(n, baseDir))
+          case MergeUsingBare(n, _) => injectedSrcs.get(n)
           case _ => None
         }
+      val srcProbe: Option[(Long, Long,
+          Option[org.apache.spark.sql.types.StructType])] =
+        srcInjected match {
+          case Some((rows, sch)) => Some((rows.length.toLong, 0L, Some(sch)))
+          case None => usingText match {
+            case MergeUsingQuoted(p, _) =>
+              plainParquetFootprint(graft.sources.Tables.resolve(p, baseDir))
+            case MergeUsingBare(n, _) if !views.contains(n) =>
+              plainParquetFootprint(graft.sources.Tables.resolve(n, baseDir))
+            case _ => None
+          }
+        }
       val srcSmall = srcProbe.exists(_._1 <= Engine.MergeSmallSourceRows)
-      def srcTable(ref: String): GraftFrame = srcProbe match {
-        case Some((_, _, Some(sch))) if srcSmall =>
-          GraftFrame.fromDF(spark.read.schema(sch)
-            .parquet(graft.sources.Tables.resolve(ref, baseDir)))
-        case _ => table(ref)
+      def srcTable(ref: String): GraftFrame = srcInjected match {
+        case Some((rows, sch)) => GraftFrame.fromDF(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), sch))
+        case None => srcProbe match {
+          case Some((_, _, Some(sch))) if srcSmall =>
+            GraftFrame.fromDF(spark.read.schema(sch)
+              .parquet(graft.sources.Tables.resolve(ref, baseDir)))
+          case _ => table(ref)
+        }
       }
       val (srcFrame, saliasRaw, srcRefOpt) = usingText match {
         case MergeUsingSub(sub, a) =>
@@ -1271,7 +1309,10 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // AQE materializes every exchange as its own stage-job (~5 extra
       // scheduler floors per statement at the CDC apply's volume). A
       // big MERGE keeps AQE (skew joins, coalescing matter there).
-      withAqeOff(srcSmall) {
+      // leafNodeDefaultParallelism=1 rides along so the statement's
+      // driver-built LocalRelations broadcast without a scheduler job
+      // (see [[Engine.withSmallStmtConfs]]).
+      withSmallStmtConfs(srcSmall) {
       // resolve the head version ONCE for the whole statement (the
       // UPDATE/DELETE rule): match join, segment list and rewrite all
       // describe the same snapshot
@@ -1302,19 +1343,22 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         graft.sources.Versioned.readWithProvenance(spark, resolved, Some(hv))
       val sDf =
         if (srcSmall) {
-          val rows = srcFrame.df.collect()
+          // injected sources skip even the collect — their rows are
+          // already on the driver (LocalTableScan collect would be
+          // driver-side anyway, but this keeps it allocation-free)
+          val rows = srcInjected.map(_._1).getOrElse(srcFrame.df.collect())
           val schema = srcFrame.df.schema.add("__srid",
             org.apache.spark.sql.types.LongType, nullable = false)
           val data = rows.zipWithIndex.map { case (r, i) =>
             Row.fromSeq(r.toSeq :+ i.toLong) }
-          // coalesce(1): LocalTableScan parallelizes its rows over one
-          // partition PER ROW up to the core count, so every broadcast
-          // build / union leg that executes this delta-sized relation
-          // submitted a 32-mostly-empty-task job (round-18 job census:
-          // three per MERGE). One task carries a few hundred rows fine;
-          // size stats pass through, broadcasts stay chosen.
+          // a BARE LocalRelation, not coalesce(1)-wrapped: under
+          // withSmallStmtConfs the leaf executes single-task anyway,
+          // and an unwrapped LocalTableScan under a BroadcastExchange
+          // is collected driver-side with ZERO scheduler jobs, where
+          // the Coalesce wrapper forced a 1-task job per broadcast
+          // build (5 per statement in the round-18 apply census).
           spark.createDataFrame(
-            java.util.Arrays.asList(data: _*), schema).coalesce(1)
+            java.util.Arrays.asList(data: _*), schema)
         } else srcFrame.df
           .withColumn("__srid", F.monotonically_increasing_id())
           .localCheckpoint(true)
@@ -1370,6 +1414,63 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         F.lit(null).cast("int")) { (i, acc) =>
         F.when(F.col(s"__m_$i"), F.lit(i)).otherwise(acc)
       }
+      // manifest metadata needed by both the classic and the fused
+      // construction below — driver-side, KB-sized
+      val segsAll =
+        graft.sources.Versioned.headSegments(spark, resolved, Some(hv))
+      val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
+      val innerDf = evalCompound(matchedCq, scope).df
+      // ONE-SCAN FUSION (round 18, apply-floor work — the r17 ledger's
+      // named next move): the classic plan scans the bounds-pruned
+      // target TWICE — once for the match join (pairs), once to
+      // re-read the affected segments for the survivor/change-feed
+      // frame. When the source is small (broadcast-shaped) and the
+      // pruned scan is provably small (selectedPartitions bytes from
+      // the ALREADY-PLANNED inner join — driver-only, the file index
+      // is warm), scan the candidate segments ONCE via a LEFT OUTER
+      // join against the broadcast source and persist that: pairs,
+      // survivors and the change feed all derive from the cached
+      // blocks. The bounds cannot ride the LEFT join's ON clause into
+      // the scan (outer-join semantics keep unmatched left rows), so
+      // candidate segments are taken from the inner plan's pruned file
+      // set instead — the exact same segment-skipping decision. Falls
+      // back to the classic two-scan plan whenever the pruned scan is
+      // large (`graft.merge.fusedScanBytes`, default 256 MB on-disk):
+      // persisting a wide-bounds scan would trade a streamed broadcast
+      // join for block-manager pressure.
+      val fusedCandidates: Option[Seq[String]] =
+        if (!srcSmall || matchedClauses.isEmpty) None
+        else try {
+          val scans = innerDf.queryExecution.executedPlan
+            .collectLeaves().collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }
+          // the TARGET's data scan: every file sits at data/<seg>/<f>.
+          // (A deletion-vector sidecar scan, if any, is not it.)
+          def paths(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+            s.selectedPartitions.toPartitionArray
+              .map(_.filePath.toPath).distinct
+          val dataScans = scans.filter { s =>
+            val fs = paths(s)
+            fs.nonEmpty && fs.forall { p =>
+              val gp = p.getParent.getParent
+              gp != null && gp.getName == "data"
+            }
+          }
+          if (dataScans.length != 1) None
+          else {
+            val bytes = dataScans.head.selectedPartitions.totalFileSize
+            val cap = spark.conf.getOption("graft.merge.fusedScanBytes")
+              .map(_.toLong).getOrElse(Engine.MergeFusedScanBytes)
+            if (bytes > cap) None
+            else {
+              val cand = paths(dataScans.head)
+                .map(_.getParent.getName).toSet
+              val ordered = segsAll.filter(cand)
+              if (ordered.isEmpty) None else Some(ordered)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       // the checkpoint's row count rides the SAME job via observe() —
       // zero extra actions — and a small match set (the common DML /
       // replication-apply case) is then collected into a LocalRelation:
@@ -1378,10 +1479,49 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // against `pairs` (affected-segment flagging, insert anti-join)
       // broadcasts it instead of shuffling
       val pairsObs = new org.apache.spark.sql.Observation()
-      val pairsCkpt = evalCompound(matchedCq, scope).df
-        .withColumn("__win", winCol)
-        .observe(pairsObs, F.count(F.lit(1)).as("n"))
-        .localCheckpoint(true)
+      val (pairsCkpt, fusedFlagged) = fusedCandidates match {
+        case Some(candSegs) =>
+          val scanDf = graft.sources.Versioned.readSegmentsAligned(
+            spark, resolved, candSegs, head.schema, dvMap)
+          val fusedScope = Map(tName -> GraftFrame.fromDF(scanDf),
+            sName -> scope(sName))
+          // same condition/flag/SET texts as the inner query (already
+          // subquery-validated above) — only the join type and the
+          // projection width differ
+          val fusedSql = "SELECT " +
+            head.schema.fieldNames.map(c => s"$talias.$c AS $c")
+              .mkString(", ") +
+            s", $talias.__file AS __file, $talias.__pos AS __pos, " +
+            s"$talias.__seg AS __seg, $salias.__srid AS __srid" +
+            clauseCondSql + setSql +
+            s" FROM $tName $talias LEFT JOIN $sName $salias ON $condText"
+          // __win masked to matched rows: with a LEFT join a clause
+          // condition over source columns alone (e.g. `s.x IS NULL`)
+          // could otherwise "fire" on an unmatched row
+          val flagged0 = evalCompound(
+            SqlParser.parseCompound(fusedSql), fusedScope).df
+            .withColumn("__win",
+              F.when(F.col("__srid").isNotNull, winCol)
+                .otherwise(F.lit(null).cast("int")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val mFlagCols = matchedClauses.indices.map(i => s"__m_$i")
+          val setCols = matchedClauses.zipWithIndex.collect {
+            case (MergeUpd(_, as), i) =>
+              as.indices.map(j => s"__set_${i}_$j")
+          }.flatten
+          val p = flagged0.filter(F.col("__srid").isNotNull)
+            .select((Seq("__file", "__pos", "__seg", "__srid") ++
+              mFlagCols ++ setCols ++ Seq("__win")).map(F.col): _*)
+            .observe(pairsObs, F.count(F.lit(1)).as("n"))
+            .localCheckpoint(true)
+          (p, Some(flagged0))
+        case None =>
+          val p = innerDf
+            .withColumn("__win", winCol)
+            .observe(pairsObs, F.count(F.lit(1)).as("n"))
+            .localCheckpoint(true)
+          (p, None)
+      }
       val nPairs: Option[Long] =
         try Some(scala.concurrent.Await
           .result(pairsObs.future,
@@ -1401,7 +1541,8 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val pairs: org.apache.spark.sql.DataFrame = pairsLocal match {
         case Some(rows) => spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), pairsCkpt.schema)
-          .coalesce(1) // see sDf: one task, not cores-many empty ones
+          // bare LocalRelation — see sDf: single-task under the
+          // pinned leaf parallelism, zero-job broadcast builds
         case None => pairsCkpt
       }
       mtrace("match join + ckpt")
@@ -1457,9 +1598,11 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
                 r.getSeq[String](3).toSet))
         }
       mtrace("byWin collect")
-      if (winStats.exists(_._3 > 1L))
+      if (winStats.exists(_._3 > 1L)) {
+        fusedFlagged.foreach(_.unpersist(false))
         throw new SemanticError("MERGE: a target row matches more than " +
           "one source row — the ON condition must match at most one")
+      }
       // NULL __win = matched rows where no clause fired (they stay
       // as-is): counted for cardinality above, excluded from actions
       val firedStats = winStats.filter(_._1.isDefined)
@@ -1467,8 +1610,6 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val (nUpdated, nDeleted) =
         (updIdxs.map(i => byWin.getOrElse(i, 0L)).sum,
           delIdxs.map(i => byWin.getOrElse(i, 0L)).sum)
-      val segsAll =
-        graft.sources.Versioned.headSegments(spark, resolved, Some(hv))
       // SEGMENT PRUNING: only the segments holding rows a clause FIRED
       // on are rewritten (a matched row whose conditions all failed
       // rewrites nothing); untouched segments carry into the new
@@ -1476,26 +1617,39 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       // MERGE rewrites nothing at all: at 100 TB a one-row upsert costs
       // one segment (plus the match join), not a full-table copy.
       val affected: Set[String] = firedStats.flatMap(_._4).toSet
-      val dvMap = graft.sources.Versioned.readDvMap(spark, resolved, hv)
-      // affected segments re-read once, flagged with each row's winning
+      // affected segments' rows, flagged with each row's winning
       // clause — survivors AND the change-feed rows derive from it.
-      // PERSISTED (memory-and-disk, bounded by the affected segments —
-      // data the statement rewrites anyway): three downstream actions
-      // consume it (survivor emptiness probe, survivor write, change-
-      // feed write) and would each recompute the scan + join otherwise;
-      // unpersisted after the commit.
+      // FUSED plan: a cached filter of the one-scan frame (affected ⊆
+      // candidates by construction — pairs came from that scan).
+      // CLASSIC plan: re-read the affected segments and join the pairs
+      // back on provenance. PERSISTED either way (memory-and-disk,
+      // bounded by the candidate/affected segments — data the
+      // statement rewrites anyway): three downstream actions consume
+      // it; unpersisted after the commit.
       val flaggedAll: Option[org.apache.spark.sql.DataFrame] =
-        if (affected.isEmpty) None
-        else Some(graft.sources.Versioned
-          .readSegmentsAligned(spark, resolved,
-            segsAll.filter(affected), head.schema, dvMap)
-          .join(pairs.drop("__srid", "__seg"),
-            Seq("__file", "__pos"), "left")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (affected.isEmpty) { fusedFlagged.foreach(_.unpersist(false)); None }
+        else fusedFlagged match {
+          case Some(f0) =>
+            Some(f0.filter(F.col("__seg").isInCollection(affected)))
+          case None => Some(graft.sources.Versioned
+            .readSegmentsAligned(spark, resolved,
+              segsAll.filter(affected), head.schema, dvMap)
+            .join(pairs.drop("__srid", "__seg"),
+              Seq("__file", "__pos"), "left")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
+      // the handle whose unpersist actually frees the cached blocks
+      // (Dataset.unpersist on a filter CHILD of the persisted fused
+      // frame would be a silent no-op)
+      val flaggedPinned: Option[org.apache.spark.sql.DataFrame] =
+        fusedFlagged.orElse(flaggedAll)
       // per-clause CASE projection on the winning index — applied to
-      // survivors and to the feed's update postimages alike
-      def projectUpdated(df: org.apache.spark.sql.DataFrame) =
-        df.select(head.schema.fields.map { f =>
+      // survivors and to the feed's update postimages alike. Exposed
+      // as bare columns too, so the change feed can evaluate pre- and
+      // postimage in ONE pass over the cached flagged frame (struct
+      // fields) instead of one plan leg per image kind.
+      val updatedCols: Seq[org.apache.spark.sql.Column] =
+        head.schema.fields.toSeq.map { f =>
           val updsOnField = matchedClauses.zipWithIndex.collect {
             case (MergeUpd(_, as), i) if as.exists(_._1 == f.name) =>
               (i, as.indexWhere(_._1 == f.name))
@@ -1510,7 +1664,9 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
                   F.col(s"__set_${ci}_$aj").cast(f.dataType))
                 .otherwise(acc)
           }.as(f.name)
-        }.toSeq: _*)
+        }
+      def projectUpdated(df: org.apache.spark.sql.DataFrame) =
+        df.select(updatedCols: _*)
       val survivors: Option[org.apache.spark.sql.DataFrame] =
         flaggedAll.map { f0 =>
           // rows won by a DELETE clause drop; everything else projects
@@ -1609,7 +1765,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
           else graft.sources.Versioned.writeSegmentIfNonEmpty(df, resolved)
         }
       } catch { case e: Throwable =>
-        flaggedAll.foreach(_.unpersist(false)); throw e
+        flaggedPinned.foreach(_.unpersist(false)); throw e
       }
       mtrace("fresh segment write")
       // everything from here through the commit runs under ONE
@@ -1641,20 +1797,36 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
       val cdcSpec: graft.sources.Versioned.CdcSpec = flaggedAll match {
         case None => graft.sources.Versioned.CdcNone
         case Some(f0) =>
-          val plain = (df: org.apache.spark.sql.DataFrame) =>
-            df.select(head.schema.fieldNames.map(F.col).toSeq: _*)
-          val updRows =
-            if (updIdxs.isEmpty) None
-            else Some(f0.filter(F.col("__win").isInCollection(updIdxs)))
-          val parts =
-            updRows.map(r => graft.sources.Versioned
-              .cdcTag(plain(r), "update_preimage")).toSeq ++
-            updRows.map(r => graft.sources.Versioned
-              .cdcTag(projectUpdated(r), "update_postimage")) ++
-            (if (delIdxs.isEmpty) Seq.empty
-             else Seq(graft.sources.Versioned.cdcTag(
-               plain(f0.filter(F.col("__win").isInCollection(delIdxs))),
-               "delete"))) ++
+          // ONE pass over the cached flagged frame for every
+          // row-derived image kind (round 18): each fired row emits
+          // its change rows as an exploded array of structs —
+          // [preimage, postimage] for update wins, [delete] for
+          // delete wins — where the previous shape ran one plan leg
+          // (and one cached-scan stage) per image kind, 3 legs × N
+          // cache partitions of tasks per statement. Values are
+          // identical (same projections, same rows); only the file
+          // row order changes, which no feed consumer observes (the
+          // net-effect apply orders by _commit_version/_change_type,
+          // the oracle compares row sets).
+          def tagged(cols: Seq[org.apache.spark.sql.Column], tag: String) =
+            F.struct((cols :+
+              F.lit(tag).as("_change_type")): _*)
+          val origCols = head.schema.fieldNames.toSeq
+            .map(n => F.col(n).as(n))
+          val pre = tagged(origCols, "update_preimage")
+          val post = tagged(updatedCols, "update_postimage")
+          val del = tagged(origCols, "delete")
+          val arr =
+            if (delIdxs.isEmpty) F.array(pre, post)
+            else if (updIdxs.isEmpty) F.array(del)
+            else F.when(F.col("__win").isInCollection(updIdxs),
+                F.array(pre, post))
+              .otherwise(F.array(del))
+          val rowImages = f0
+            .filter(F.col("__win").isInCollection(updIdxs ++ delIdxs))
+            .select(F.explode(arr).as("__c"))
+            .select("__c.*")
+          val parts = Seq(rowImages) ++
             inserts.map(i => graft.sources.Versioned.cdcTag(i, "insert"))
           graft.sources.Versioned.CdcRows(
             parts.reduce(_.unionByName(_)))
@@ -1662,7 +1834,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
         (nIns, graft.sources.Versioned.commitPruned(spark, resolved,
           segsAll.filterNot(affected), fresh, head.schema, dvMap,
           cdc = cdcSpec, expectedBase = Some(hv), op = "merge"))
-      } finally flaggedAll.foreach(_.unpersist(false))
+      } finally flaggedPinned.foreach(_.unpersist(false))
       mtrace("cdc + commit")
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       GraftFrame.fromDF(spark.createDataFrame(
@@ -3199,23 +3371,52 @@ object Engine {
     new Engine(spark, Some(baseDir))
   def apply(spark: SparkSession): Engine = new Engine(spark, None)
 
+  /** Run `body` with the given session confs pinned when `cond` holds,
+    * each restored (or unset, if it was unset) in finally. THE one copy
+    * of the save/set/restore dance — callers must not inline their
+    * own. */
+  private[graft] def withConfs[T](spark: SparkSession, cond: Boolean,
+      kvs: (String, String)*)(body: => T): T =
+    if (!cond) body
+    else {
+      val prevs = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prevs.foreach { case (k, p) =>
+        p.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
   /** Run `body` with AQE pinned off when `cond` holds — for
     * delta-sized driver-synchronous work (the small-source MERGE, the
     * CDC apply's staging write) where every join already broadcasts /
     * nothing re-plans, and each AQE-materialized exchange costs a
-    * stage-job scheduling floor. Session-conf scoped, restored in
-    * finally. THE one copy of the save/set/restore dance — callers
-    * must not inline their own. */
+    * stage-job scheduling floor. */
   private[graft] def withAqeOff[T](
       spark: SparkSession, cond: Boolean)(body: => T): T =
-    if (!cond) body
-    else {
-      val k = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.getOption(k)
-      spark.conf.set(k, "false")
-      try body
-      finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
+    withConfs(spark, cond, "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Small-source MERGE statement confs: AQE off (see [[withAqeOff]])
+    * AND single-partition leaf execution for the statement's
+    * driver-built LocalRelations. The latter replaces the former
+    * `coalesce(1)` wrapping: a bare `LocalTableScan` under a
+    * `BroadcastExchange` is collected DRIVER-SIDE (zero scheduler
+    * jobs), while the Coalesce wrapper forced a real 1-task job per
+    * broadcast build — 5 of the CDC apply's 13 per-statement jobs in
+    * the round-18 census were exactly these. Direct (non-broadcast)
+    * executions of those relations run 1 task instead of cores-many
+    * mostly-empty ones, which is what the coalesce was for. */
+  private[graft] def withSmallStmtConfs[T](
+      spark: SparkSession, cond: Boolean)(body: => T): T =
+    withConfs(spark, cond,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.leafNodeDefaultParallelism" -> "1",
+      // leafNodeDefaultParallelism is also files.minPartitionNum's
+      // default, which would glue a whole delta-sized segment scan
+      // into ONE task (measured: the fused match join tripled).
+      // A modest explicit floor keeps small scans parallel while the
+      // statement's LocalRelations stay single-task; big scans split
+      // by maxPartitionBytes regardless.
+      "spark.sql.files.minPartitionNum" -> "8")(body)
 
   /** MERGE small-source gate: a plain-parquet USING source at or under
     * these footprints (known from footers alone) is collected into a
@@ -3235,4 +3436,14 @@ object Engine {
     * [[MergeSmallMatchBytes]] of schema-estimated width. */
   private[graft] val MergeSmallMatchRows = 65536L
   private[graft] val MergeSmallMatchBytes = 32L * 1024 * 1024
+
+  /** MERGE one-scan fusion gate (round 18): a small-source statement
+    * whose bounds-pruned target scan is at or under this many ON-DISK
+    * bytes (read off the planned inner join's selectedPartitions —
+    * driver-only) scans the candidate segments ONCE via a LEFT join
+    * and persists the result for pairs + survivors + change feed.
+    * Past the gate, the classic two-scan plan streams instead of
+    * persisting. Conf-overridable (`graft.merge.fusedScanBytes`) for
+    * cluster memory profiles. */
+  private[graft] val MergeFusedScanBytes = 256L * 1024 * 1024
 }

@@ -826,12 +826,6 @@ object Streams {
       .filter(F.col("__rn") === 1)
       .withColumnRenamed("_change_type", "__apply_op")
       .drop("__rn", "_commit_version")
-    // the net frame stages on the TARGET's storage (cluster-visible —
-    // a driver-local temp dir would break the MERGE's executor reads
-    // on a real cluster), named like the DML detection staging so a
-    // crash orphan is swept by the target's vacuum
-    val tmp = s"$targetPath/_cdc/.staging-apply-" +
-      java.util.UUID.randomUUID().toString.take(8) + "/net.parquet"
     // SOURCE-KEY BOUNDS PRUNING (the Delta MERGE file-skipping move):
     // a replication delta is usually LOCAL in key space, but the
     // match join would still scan the whole target — so derive each
@@ -841,11 +835,9 @@ object Streams {
     // manifest's data-skipping stats drop every non-overlapping
     // segment: the apply's read cost becomes O(key-local segments),
     // not O(table). Numeric and string keys only; others just skip
-    // the bound (correctness never depends on it). Bounds + COUNT are
-    // observe()d DURING the staging write — one job, not a write plus
-    // a second aggregation pass — and a feed with no ACTIONABLE rows
-    // (empty, or audit preimages only) applies nothing: skip the
-    // MERGE rather than committing a no-op version.
+    // the bound (correctness never depends on it). A feed with no
+    // ACTIONABLE rows (empty, or audit preimages only) applies
+    // nothing: skip the MERGE rather than committing a no-op version.
     val boundable = {
       import org.apache.spark.sql.types._
       net.schema.fields
@@ -855,16 +847,153 @@ object Streams {
         .filter(f => Set[DataType](ByteType, ShortType, IntegerType,
           LongType, StringType)(f.dataType))
     }
+    // quote-bearing strings never reach a bound — safe() below skips
+    // their bound entirely (the dialect defines no string escaping),
+    // so lit() only ever quotes verbatim.
+    // stable_const() wrapping (round-17, the verdict's MERGE-JIT
+    // ask): the bounds are the ONLY part of the apply's MERGE
+    // template that varies per statement, and inlined into the
+    // generated code they forced a fresh Janino compile + 1-2.7s
+    // of JVM JIT on EVERY delta (metered: ReplicaTrace jit_ms
+    // ~3.3s/rep converged). Wrapped, the value rides the codegen
+    // references array: the statement template compiles once and
+    // every subsequent delta reuses the cached classes. Segment
+    // skipping still sees the bounds (SegmentStats.normalize);
+    // parquet row-group pruning on them is forfeited — redundant
+    // here, the bounds are implied by the equi-join keys. Falls
+    // back to inlined literals when the session lacks
+    // GraftExtensions (the function is extension-registered).
+    def boundCondsOf(loHi: Int => (Any, Any)): Seq[String] = {
+      val wrap = spark.catalog.functionExists("stable_const")
+      def lit(v: Any): String = {
+        val raw = v match {
+          case s: String => "'" + s + "'"
+          case other => other.toString
+        }
+        if (wrap) s"stable_const($raw)" else raw
+      }
+      boundable.indices.flatMap { i =>
+        val (lo, hi) = loHi(i)
+        // a quoted string bound would need escaping the dialect's
+        // tokenizer doesn't define — skip the bound, never mangle
+        def safe(v: Any) = v match {
+          case s: String => !s.contains("'")
+          case _ => true
+        }
+        if (lo == null || hi == null || !safe(lo) || !safe(hi))
+          Seq.empty
+        else Seq(s"t.${boundable(i).name} >= ${lit(lo)}",
+          s"t.${boundable(i).name} <= ${lit(hi)}")
+      }
+    }
+    def runMerge(usingRef: String, eng: graft.Engine,
+                 boundConds: Seq[String]): Unit = {
+      val on = (keys.map(k => s"t.$k = s.$k") ++ boundConds)
+        .mkString(" AND ")
+      val sets = dataCols.filterNot(keys.contains)
+        .map(c => s"$c = s.$c").mkString(", ")
+      val updateClause =
+        if (sets.isEmpty) "" // key-only table: nothing to update
+        else s" WHEN MATCHED AND s.__apply_op != 'delete' " +
+          s"THEN UPDATE SET $sets"
+      eng.sql(
+        s"MERGE INTO '$targetPath' t USING $usingRef s ON $on" +
+          " WHEN MATCHED AND s.__apply_op = 'delete' THEN DELETE" +
+          updateClause +
+          s" WHEN NOT MATCHED AND s.__apply_op != 'delete' THEN INSERT " +
+          s"(${dataCols.mkString(", ")}) VALUES " +
+          s"(${dataCols.map(c => s"s.$c").mkString(", ")})"): Unit
+    }
+    // DELTA-SIZED FAST PATH (round 18, apply-floor work): when the net
+    // frame's plan-estimated size is small, collect it to the driver
+    // (ONE job — the same single pass the staging write paid) and hand
+    // the rows to MERGE as an injected LocalRelation source. This
+    // removes the parquet staging round-trip entirely: no staging
+    // write/commit, no footer probe, no re-read-and-collect inside the
+    // MERGE small-source fast path, no cleanup — and the statement
+    // template gains a FIXED source name where the staging path's
+    // per-statement tmp dir varied. Bounds + count come from the
+    // collected rows (same values the staged observe() produced;
+    // string min/max compared in UTF8String's unsigned-byte order so a
+    // bound can never exclude a genuine match). The estimate gate is
+    // conf'd (`graft.apply.collectMaxBytes`, default 64 MB of
+    // plan-estimated bytes): a backfill-scale feed keeps today's
+    // distributed staging path untouched.
+    val collectCap = spark.conf.getOption("graft.apply.collectMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val estBytes = net.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= collectCap) {
+      // AQE off: a delta-sized collect gains nothing from runtime
+      // re-planning, and AQE materializes its shuffle as a separate
+      // stage-job. applyChanges is driver-synchronous.
+      val rows = graft.Engine.withAqeOff(spark, cond = true) {
+        net.collect()
+      }
+      if (rows.isEmpty) return
+      val boundConds = boundCondsOf { i =>
+        val idx = net.schema.fieldIndex(boundable(i).name)
+        val isStr = boundable(i).dataType ==
+          org.apache.spark.sql.types.StringType
+        // F.min/F.max semantics: nulls ignored; all-null → null bound
+        def cmp(a: Any, b: Any): Int =
+          if (isStr) java.util.Arrays.compareUnsigned(
+            a.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else java.lang.Long.compare(
+            a.asInstanceOf[Number].longValue(),
+            b.asInstanceOf[Number].longValue())
+        var lo: Any = null; var hi: Any = null
+        rows.foreach { r =>
+          if (!r.isNullAt(idx)) {
+            val v = r.get(idx)
+            if (lo == null || cmp(v, lo) < 0) lo = v
+            if (hi == null || cmp(v, hi) > 0) hi = v
+          }
+        }
+        (lo, hi)
+      }
+      val eng = graft.Engine(spark)
+      if (rows.length <= graft.Engine.MergeSmallSourceRows) {
+        val srcName = "__graft_apply_net"
+        eng.withLocalMergeSource(srcName, rows, net.schema) {
+          runMerge(srcName, eng, boundConds)
+        }
+      } else {
+        // estimate said small but the row count is past the MERGE
+        // small-source gate: stage the ALREADY-COLLECTED rows (no
+        // feed re-execution) and take the staged path
+        val tmp = s"$targetPath/_cdc/.staging-apply-" +
+          java.util.UUID.randomUUID().toString.take(8) + "/net.parquet"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), net.schema)
+            .write.parquet(tmp)
+          runMerge(s"'$tmp'", eng, boundConds)
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(tmp).getParent, true): Unit
+        }
+      }
+      return
+    }
+    // DISTRIBUTED STAGING PATH (feed past the estimate gate): the net
+    // frame stages on the TARGET's storage (cluster-visible — a
+    // driver-local temp dir would break the MERGE's executor reads on
+    // a real cluster), named like the DML detection staging so a crash
+    // orphan is swept by the target's vacuum. Bounds + COUNT are
+    // observe()d DURING the staging write — one job, not a write plus
+    // a second aggregation pass.
+    val tmp = s"$targetPath/_cdc/.staging-apply-" +
+      java.util.UUID.randomUUID().toString.take(8) + "/net.parquet"
     val aggs = F.count(F.lit(1)).as("__n") +:
       boundable.zipWithIndex.flatMap { case (f, i) =>
         Seq(F.min(F.col(f.name)).as(s"__lo_$i"),
           F.max(F.col(f.name)).as(s"__hi_$i")) }.toSeq
     val obs = new org.apache.spark.sql.Observation()
-    // AQE off for THIS write only: a delta-sized staging write gains
-    // nothing from runtime re-planning, and AQE materializes its
-    // scan/shuffle as separate stage-jobs — 3 scheduler floors where
-    // the classic DAG pays 1 (round 18, apply-floor work).
-    // applyChanges is driver-synchronous (foreachBatch / DML).
+    // AQE off for THIS write only (see the fast path's rationale)
     graft.Engine.withAqeOff(spark, cond = true) {
       net.observe(obs, aggs.head, aggs.tail: _*).write.parquet(tmp)
     }
@@ -881,61 +1010,9 @@ object Streams {
             .agg(aggs.head, aggs.tail: _*).collect().head
         }
       if (row.getLong(0) == 0L) return
-      val boundConds = {
-          // quote-bearing strings never reach here — safe() below
-          // skips their bound entirely (the dialect defines no string
-          // escaping), so lit() only ever quotes verbatim.
-          // stable_const() wrapping (round-17, the verdict's MERGE-JIT
-          // ask): the bounds are the ONLY part of the apply's MERGE
-          // template that varies per statement, and inlined into the
-          // generated code they forced a fresh Janino compile + 1-2.7s
-          // of JVM JIT on EVERY delta (metered: ReplicaTrace jit_ms
-          // ~3.3s/rep converged). Wrapped, the value rides the codegen
-          // references array: the statement template compiles once and
-          // every subsequent delta reuses the cached classes. Segment
-          // skipping still sees the bounds (SegmentStats.normalize);
-          // parquet row-group pruning on them is forfeited — redundant
-          // here, the bounds are implied by the equi-join keys. Falls
-          // back to inlined literals when the session lacks
-          // GraftExtensions (the function is extension-registered).
-          val wrap = spark.catalog.functionExists("stable_const")
-          def lit(v: Any): String = {
-            val raw = v match {
-              case s: String => "'" + s + "'"
-              case other => other.toString
-            }
-            if (wrap) s"stable_const($raw)" else raw
-          }
-          boundable.zipWithIndex.flatMap { case (f, i) =>
-            val (lo, hi) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
-            // a quoted string bound would need escaping the dialect's
-            // tokenizer doesn't define — skip the bound, never mangle
-            def safe(v: Any) = v match {
-              case s: String => !s.contains("'")
-              case _ => true
-            }
-            if (lo == null || hi == null || !safe(lo) || !safe(hi))
-              Seq.empty
-            else Seq(s"t.${f.name} >= ${lit(lo)}",
-              s"t.${f.name} <= ${lit(hi)}")
-          }.toSeq
-        }
-      val eng = graft.Engine(spark)
-      val on = (keys.map(k => s"t.$k = s.$k") ++ boundConds)
-        .mkString(" AND ")
-      val sets = dataCols.filterNot(keys.contains)
-        .map(c => s"$c = s.$c").mkString(", ")
-      val updateClause =
-        if (sets.isEmpty) "" // key-only table: nothing to update
-        else s" WHEN MATCHED AND s.__apply_op != 'delete' " +
-          s"THEN UPDATE SET $sets"
-      eng.sql(
-        s"MERGE INTO '$targetPath' t USING '$tmp' s ON $on" +
-          " WHEN MATCHED AND s.__apply_op = 'delete' THEN DELETE" +
-          updateClause +
-          s" WHEN NOT MATCHED AND s.__apply_op != 'delete' THEN INSERT " +
-          s"(${dataCols.mkString(", ")}) VALUES " +
-          s"(${dataCols.map(c => s"s.$c").mkString(", ")})"): Unit
+      val boundConds =
+        boundCondsOf(i => (row.get(1 + 2 * i), row.get(2 + 2 * i)))
+      runMerge(s"'$tmp'", graft.Engine(spark), boundConds)
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(tmp).getParent, true): Unit
     }
