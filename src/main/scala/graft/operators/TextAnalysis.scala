@@ -233,13 +233,20 @@ object TextAnalysis {
     val wcnt: Array[Long] = freqs.map(_._2)
     @inline def pk(a: Int, b: Int): Long =
       (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
-    val counts = scala.collection.mutable.LongMap.empty[Long]
+    // PRESIZED maps (round-18 profile: LongMap.repack during growth was
+    // ~10% of the 32k-merge loop) — sized to the initial adjacency
+    // count, the right order of magnitude for the steady state
+    val sizeHint = {
+      val adj = words.foldLeft(0L)((a, w) => a + math.max(0, w.length - 1))
+      math.max(1 << 10, math.min(1 << 21, adj)).toInt
+    }
+    val counts = new scala.collection.mutable.LongMap[Long](sizeHint)
     // pair -> word-index postings; appends may duplicate (multiple
     // occurrences, revisits) — the consumer dedupes, and stale entries
     // for pairs a later merge removed are tolerated because the apply
     // step re-checks adjacency
-    val where = scala.collection.mutable.LongMap
-      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    val where = new scala.collection.mutable.LongMap[
+      scala.collection.mutable.ArrayBuffer[Int]](sizeHint)
     // lazy-invalidated max-heap over (count, pair) SNAPSHOTS — the
     // textbook replacement for an O(pairs) argmax scan per merge, with
     // the push discipline that keeps it small: INCREMENTS push their
@@ -250,16 +257,62 @@ object TextAnalysis {
     // Ordering: highest count first, then lexicographically SMALLEST
     // pair by symbol STRING (the trainer/oracle tiebreak — ids are
     // allocation order, not lexicographic).
-    implicit val heapOrd: Ordering[(Long, Int, Int)] =
-      Ordering.fromLessThan { (x, y) =>
-        if (x._1 != y._1) x._1 < y._1
-        else {
-          val ac = cmpSym(x._2, y._2)
-          if (ac != 0) ac > 0
-          else cmpSym(x._3, y._3) > 0
-        }
+    // HAND-ROLLED over two primitive arrays (round-18 profile: the
+    // boxed PriorityQueue's Tuple3 entries + varargs enqueue were ~10%
+    // of the loop). Equal-priority entries are exact DUPLICATES here
+    // (the tiebreak totally orders distinct pairs, and interning makes
+    // string-equal pairs id-equal), so pop order — the one thing a
+    // binary heap leaves unspecified — cannot affect the result.
+    var hCnt = new Array[Long](1 << 16)
+    var hPair = new Array[Long](1 << 16)
+    var hN = 0
+    // true = entry i outranks entry j (higher count, then smaller pair)
+    @inline def hBefore(ci: Long, pi: Long, cj: Long, pj: Long): Boolean =
+      if (ci != cj) ci > cj
+      else {
+        val c = cmpSym((pi >>> 32).toInt, (pj >>> 32).toInt)
+        if (c != 0) c < 0
+        else cmpSym(pi.toInt, pj.toInt) < 0
       }
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int, Int)]
+    def hPush(c: Long, p: Long): Unit = {
+      if (hN == hCnt.length) {
+        hCnt = java.util.Arrays.copyOf(hCnt, hN << 1)
+        hPair = java.util.Arrays.copyOf(hPair, hN << 1)
+      }
+      var i = hN; hN += 1
+      while (i > 0 && {
+        val par = (i - 1) >> 1
+        hBefore(c, p, hCnt(par), hPair(par))
+      }) {
+        val par = (i - 1) >> 1
+        hCnt(i) = hCnt(par); hPair(i) = hPair(par); i = par
+      }
+      hCnt(i) = c; hPair(i) = p
+    }
+    // pops the root into (hTopC, hTopP)
+    var hTopC = 0L; var hTopP = 0L
+    def hPop(): Unit = {
+      hTopC = hCnt(0); hTopP = hPair(0)
+      hN -= 1
+      if (hN > 0) {
+        val c = hCnt(hN); val p = hPair(hN)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var best = i; var bc = c; var bp = p
+          if (l < hN && hBefore(hCnt(l), hPair(l), bc, bp)) {
+            best = l; bc = hCnt(l); bp = hPair(l)
+          }
+          if (r < hN && hBefore(hCnt(r), hPair(r), bc, bp)) best = r
+          if (best == i) done = true
+          else {
+            hCnt(i) = hCnt(best); hPair(i) = hPair(best); i = best
+          }
+        }
+        hCnt(i) = c; hPair(i) = p
+      }
+    }
     // per-merge NET delta accumulator (reused): applying per-site bumps
     // straight to the global map pushed a heap snapshot per word-
     // occurrence — a popular merge raising (x,ab) across thousands of
@@ -267,7 +320,45 @@ object TextAnalysis {
     // and the sampled run lived in PriorityQueue.fixDown. Netting per
     // merge pushes ONE snapshot per raised pair at its final value;
     // counts (what determinism rests on) are identical either way.
-    val delta = scala.collection.mutable.LongMap.empty[Long]
+    // GENERATION-STAMPED open-addressing scratch map (round-18
+    // profile: LongMap rebuild + its generic O(n)-iterator clear()
+    // were ~25% of the loop) — clear() is a generation bump, slots
+    // record insertion order for iteration. Net-delta addition is
+    // commutative, so insertion-order iteration preserves the exact
+    // counts (and heap ties are exact duplicates, see above).
+    var dCap = 1 << 12
+    var dKs = new Array[Long](dCap); var dVs = new Array[Long](dCap)
+    var dGen = new Array[Int](dCap); var dSlots = new Array[Int](dCap)
+    var dN = 0; var dCurGen = 0
+    @inline def dClear(): Unit = { dCurGen += 1; dN = 0 }
+    def dGrow(): Unit = {
+      val oKs = dKs; val oVs = dVs; val oGen = dGen; val oSlots = dSlots
+      val oN = dN; val oGenCur = dCurGen
+      dCap <<= 1
+      dKs = new Array[Long](dCap); dVs = new Array[Long](dCap)
+      dGen = new Array[Int](dCap); dSlots = new Array[Int](dCap)
+      dN = 0; dCurGen = 1
+      var i = 0
+      while (i < oN) {
+        val s = oSlots(i)
+        if (oGen(s) == oGenCur) dAdd(oKs(s), oVs(s))
+        i += 1
+      }
+    }
+    def dAdd(k: Long, d: Long): Unit = {
+      val mask = dCap - 1
+      var s = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & mask
+      while (dGen(s) == dCurGen && dKs(s) != k) s = (s + 1) & mask
+      if (dGen(s) != dCurGen) {
+        if (dN * 2 >= dCap) { dGrow(); dAdd(k, d); return }
+        dGen(s) = dCurGen; dKs(s) = k; dVs(s) = d
+        dSlots(dN) = s; dN += 1
+      } else dVs(s) += d
+    }
+    // per-merge word-touch stamps — replaces `touched.distinct`
+    // (ArrayBuffer + HashSet allocation per merge in the profile)
+    val wordGen = new Array[Int](words.length)
+    var curMerge = 0
     // initial build: seed counts + postings, then ONE heap entry per
     // distinct pair (per-occurrence pushes would enqueue total-symbols
     // entries); all later maintenance is the local-delta step below
@@ -283,34 +374,37 @@ object TextAnalysis {
       }
     }
     words.indices.foreach(seedWord)
-    counts.foreach { case (k, c) =>
-      heap.enqueue((c, (k >>> 32).toInt, k.toInt))
-    }
+    counts.foreach { case (k, c) => hPush(c, k) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
       var bestA = -1; var bestB = -1
-      while (bestA < 0 && heap.nonEmpty) {
-        val (c, a, b) = heap.dequeue()
-        val live = counts.getOrElse(pk(a, b), 0L)
-        if (live == c) { bestA = a; bestB = b }
+      while (bestA < 0 && hN > 0) {
+        hPop()
+        val c = hTopC; val p = hTopP
+        val live = counts.getOrElse(p, 0L)
+        if (live == c) { bestA = (p >>> 32).toInt; bestB = p.toInt }
         // stale snapshot: re-insert at the live count (decrements never
         // push, so this is the moment the heap learns the lower value)
-        else if (live > 0L && live < c) heap.enqueue((live, a, b))
+        else if (live > 0L && live < c) hPush(live, p)
       }
       if (bestA < 0) exhausted = true
       else {
         merges += ((symStr(bestA), symStr(bestB)))
         val ab = intern(symStr(bestA) + symStr(bestB))
         val k = pk(bestA, bestB)
-        // distinct: a word appears once per posted occurrence; one
-        // rewrite handles all of them. Processing ORDER is immaterial —
+        // stamp-dedup: a word appears once per posted occurrence; one
+        // rewrite handles all of them (first-occurrence order, exactly
+        // what `.distinct` kept). Processing ORDER is immaterial —
         // every update below commutes (counts are exact per-occurrence
         // deltas; heap/postings tolerate stale snapshots) — so no sort.
-        val touched = where.remove(k).map(_.distinct)
+        curMerge += 1
+        val touched = where.remove(k)
           .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
-        delta.clear()
+        dClear()
         touched.foreach { wi =>
+          if (wordGen(wi) != curMerge) {
+          wordGen(wi) = curMerge
           // membership may be stale (the pair vanished from this word
           // under an earlier merge) — verify before rewriting
           val syms = words(wi)
@@ -332,7 +426,7 @@ object TextAnalysis {
             // leave a stale posting — lazily re-checked above.
             val c = wcnt(wi)
             @inline def bump(dk: Long, d: Long): Unit = {
-              delta(dk) = delta.getOrElse(dk, 0L) + d * c
+              dAdd(dk, d * c)
               if (d > 0L)
                 where.getOrElseUpdate(dk,
                   scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
@@ -359,19 +453,25 @@ object TextAnalysis {
             }
             words(wi) = java.util.Arrays.copyOf(out, n)
           }
+          }
         }
         // apply the merge's NET deltas once: one heap snapshot per
         // raised pair at its final live value (dec'd pairs push
-        // nothing — their stale higher snapshot re-inserts on pop)
-        delta.foreach { case (dk, d) =>
+        // nothing — their stale higher snapshot re-inserts on pop).
+        // Insertion-order iteration; every step commutes (see above).
+        var di = 0
+        while (di < dN) {
+          val s = dSlots(di)
+          val dk = dKs(s); val d = dVs(s)
           if (d != 0L) {
             val nv = counts.getOrElse(dk, 0L) + d
             if (nv == 0L) counts.subtractOne(dk)
             else {
               counts(dk) = nv
-              if (d > 0L) heap.enqueue((nv, (dk >>> 32).toInt, dk.toInt))
+              if (d > 0L) hPush(nv, dk)
             }
           }
+          di += 1
         }
         counts.subtractOne(k)
       }
