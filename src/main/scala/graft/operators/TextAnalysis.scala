@@ -1004,18 +1004,49 @@ object TextAnalysis {
                                path: String, numBuckets: Int)
       : (String, Long, Long) = {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
-    val nDocs = df.count()
-    val tf = stagedTf(df, textCol, idCol)
+    // n_docs and total_len ride the write job as observations (round
+    // 18): the corpus-pass count() and the post-write lens
+    // re-aggregation were each their own job — n_docs counts the rows
+    // flowing INTO tokenization (token-less documents included, like
+    // count() was), total_len sums the per-doc lengths flowing into
+    // the join. One corpus pass total.
+    val nObs = new org.apache.spark.sql.Observation()
+    val lenObs = new org.apache.spark.sql.Observation()
+    val tf = df
+      .observe(nObs, F.count(F.lit(1)).as("n"))
+      .select(F.col(idCol),
+        F.explode(tokens(F.lower(F.col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint(false)
     val lens = tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+      .observe(lenObs, F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
     tf.join(lens, Seq(idCol))
       .select(F.col("token"),
         (Dedup.md5Hash60(F.col("token")) % numBuckets).cast("int").as("tbucket"),
         F.col(idCol), F.col("tf"), F.col("len"))
+      // HASH-DISTRIBUTE by the write's partition column (round 18 —
+      // the Delta/Iceberg `write.distribution-mode=hash` move): an
+      // un-clustered partitionBy writes up to tasks × buckets files
+      // per segment (a file-count explosion at corpus scale) and at
+      // toy scale degenerates to ONE task holding every bucket (AQE
+      // coalesces the delta-sized join; measured 0.6 s single-thread
+      // in a 2 s build). Explicit numBuckets-way repartition gives one
+      // file per bucket and bucket-parallel writes at every scale —
+      // numBuckets is the operator's existing scale knob.
+      .repartition(numBuckets, F.col("tbucket"))
       .write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$path/segments/$seg/postings")
-    val totalLen = lens.agg(F.coalesce(F.sum("len"), F.lit(0L)).as("t"))
-      .head().getAs[Long]("t")
-    (seg, nDocs, totalLen)
+    def obsLong(o: org.apache.spark.sql.Observation, fallback: => Long): Long =
+      try scala.concurrent.Await.result(o.future,
+        scala.concurrent.duration.Duration("30s")).getLong(0)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        // listener never fired (defensive) — recompute the old way
+        fallback
+      }
+    (seg,
+      obsLong(nObs, df.count()),
+      obsLong(lenObs, tf.groupBy(idCol).agg(F.sum("tf").as("len"))
+        .agg(F.coalesce(F.sum("len"), F.lit(0L))).head().getLong(0)))
   }
 
   /** Persist a BM25 SERVING index — the lexical twin of
