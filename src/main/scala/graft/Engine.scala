@@ -1093,7 +1093,7 @@ final class Engine(val spark: SparkSession, val baseDir: Option[String] = None) 
               s"rewrite them): ${f.condition.sql}")
         case _ => ()
       }
-      val (stagingDir, staged) =
+      val (stagingDir, staged, _) =
         graft.sources.Versioned.stageMatched(detection, resolved)
       val (v, nUpdated) = try {
         val perSeg = staged

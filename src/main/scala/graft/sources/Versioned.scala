@@ -728,12 +728,29 @@ object Versioned {
     * the caller deletes the dir after commit ([[vacuum]] sweeps
     * crash orphans). */
   private[graft] def stageMatched(df: DataFrame, path: String)
-      : (String, DataFrame) = {
+      : (String, DataFrame, Long) = {
+    val spark = df.sparkSession
     val dir = s"$path/_cdc/.staging-" +
       java.util.UUID.randomUUID().toString.take(8)
     df.write.parquet(dir)
+    // matched-row COUNT from the just-written footers (KB metadata
+    // reads, no job) — lets callers decide survivor emptiness from
+    // arithmetic instead of a take(1) probe job (round 18; the same
+    // shortcut the MERGE path's liveAffected uses)
+    val n = try {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, spark.sparkContext.hadoopConfiguration))
+          try rdr.getRecordCount finally rdr.close()
+        }.sum
+    } catch { case scala.util.control.NonFatal(_) => -1L }
     // explicit schema: an empty match writes no part files to infer from
-    (dir, df.sparkSession.read.schema(df.schema).parquet(dir))
+    (dir, spark.read.schema(df.schema).parquet(dir), n)
   }
 
   /** EXACT row count of a committed snapshot from parquet FOOTER
@@ -1197,7 +1214,7 @@ object Versioned {
     // ONE detection scan, staged: segment pruning and the change-feed
     // rows both read the (matched-row-sized) staging file, never the
     // table again
-    val (stagingDir, staged) = stageMatched(detection, path)
+    val (stagingDir, staged, nMatched) = stageMatched(detection, path)
     try {
       val affected = staged
         .select("__seg").distinct().collect().map(_.getString(0)).toSet
@@ -1209,7 +1226,23 @@ object Versioned {
           .filter(!matched)
           .select(headSchema.fieldNames.map(org.apache.spark.sql
             .functions.col).toSeq: _*)
-        val fresh = writeSegmentIfNonEmpty(survivors, path)
+        // survivor emptiness from metadata (round 18): live rows of
+        // the affected segments (stats sidecar / footer totals − dv
+        // header counts) minus the staged matched count — when
+        // positive the rewrite is provably non-empty and
+        // writeSegmentIfNonEmpty's take(1) probe job is skipped (the
+        // MERGE path's liveAffected rule). segmentRowCount is
+        // sidecar-first, so even a many-segment delete stays at
+        // KB-sized driver reads with no scheduler job.
+        val liveAffected =
+          segsAll.filter(affected)
+            .map(s => segmentRowCount(spark, path, s)).sum -
+            dvCounts(spark, path, dvMap.collect {
+              case (s, d) if affected(s) => d }.toSeq).valuesIterator.sum
+        val fresh =
+          if (nMatched >= 0 && liveAffected - nMatched > 0)
+            Some(writeSegment(survivors, path))
+          else writeSegmentIfNonEmpty(survivors, path)
         commitPruned(spark, path, segsAll.filterNot(affected), fresh,
           headSchema, dvMap, cdc = CdcRows(cdcTag(staged, "delete")),
           expectedBase = Some(hv), op = "delete")
@@ -1253,7 +1286,7 @@ object Versioned {
     }
     // ONE detection scan, staged: the vector build and the change-feed
     // rows both read the matched-row-sized staging file
-    val (stagingDir, staged) = stageMatched(detection, path)
+    val (stagingDir, staged, _) = stageMatched(detection, path)
     try {
       val newEntries = buildVectors(spark, path, staged, dvOld)
       if (newEntries.isEmpty) commitSegments(spark, path, segsAll, dvOld,
@@ -1348,7 +1381,7 @@ object Versioned {
     // ONE detection scan, staged: the vector build, the replacement
     // rows, and the change-feed pre/postimages all read the
     // matched-row-sized staging file, never the table again
-    val (stagingDir, staged) = stageMatched(matched, path)
+    val (stagingDir, staged, _) = stageMatched(matched, path)
     try {
       val newEntries = buildVectors(spark, path, staged, dvOld)
       if (newEntries.isEmpty)
@@ -1361,7 +1394,10 @@ object Versioned {
           case None => F.col(f.name)
         }
       }.toSeq: _*)
-      val fresh = writeSegmentIfNonEmpty(replacements, path)
+      // non-empty vectors imply >= 1 matched row implies non-empty
+      // replacements — the take(1) emptiness probe was provably
+      // redundant here (round 18)
+      val fresh = Some(writeSegment(replacements, path))
       val v = commitSegments(spark, path, segsAll ++ fresh.toSeq,
         dvOld ++ newEntries,
         cdc = CdcRows(cdcTag(staged, "update_preimage")
