@@ -169,6 +169,75 @@ object TextAnalysis {
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+  /** Minimal open-addressing long→long map for the trainer's pair
+    * counts (round 18, second profile pass): linear probing, power-of-2
+    * capacity, ≤50% load, BACKWARD-SHIFT deletion (no tombstones — the
+    * table stays dense across the loop's constant insert/remove churn),
+    * a state array so key 0 needs no sentinel. Only what the merge
+    * loop needs: get-or-zero, put, remove, foreachEntry. LongMap's
+    * Option-path boxing and repack churn were ~25% of the remaining
+    * loop time in the sampled profile. */
+  private final class LongCountMap(expected: Int) {
+    private var cap = {
+      var c = 16
+      while (c < expected * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var st = new Array[Byte](cap)
+    private var n = 0
+    @inline private def slot(k: Long): Int =
+      java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L) & mask
+    def get(k: Long): Long = {
+      var i = slot(k)
+      while (st(i) == 1) {
+        if (ks(i) == k) return vs(i)
+        i = (i + 1) & mask
+      }
+      0L
+    }
+    def put(k: Long, v: Long): Unit = {
+      if ((n + 1) * 2 > cap) grow()
+      var i = slot(k)
+      while (st(i) == 1 && ks(i) != k) i = (i + 1) & mask
+      if (st(i) == 0) { st(i) = 1; ks(i) = k; n += 1 }
+      vs(i) = v
+    }
+    def remove(k: Long): Unit = {
+      var i = slot(k)
+      while (st(i) == 1 && ks(i) != k) i = (i + 1) & mask
+      if (st(i) == 0) return
+      // classic linear-probe backward shift: pull forward any entry
+      // whose probe chain passes through the vacated slot
+      var j = i
+      var done = false
+      while (!done) {
+        j = (j + 1) & mask
+        if (st(j) == 0) { st(i) = 0; n -= 1; done = true }
+        else {
+          val h = slot(ks(j))
+          if (((j - h) & mask) >= ((j - i) & mask)) {
+            ks(i) = ks(j); vs(i) = vs(j); i = j
+          }
+        }
+      }
+    }
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (st(i) == 1) f(ks(i), vs(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val oks = ks; val ovs = vs; val ost = st; val ocap = cap
+      cap <<= 1; mask = cap - 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      st = new Array[Byte](cap); n = 0
+      var i = 0
+      while (i < ocap) { if (ost(i) == 1) put(oks(i), ovs(i)); i += 1 }
+    }
+  }
+
   /** The driver merge loop over a collected word-frequency table — the
     * corpus-size-INDEPENDENT half of [[bpeTrain]].
     *
@@ -240,7 +309,7 @@ object TextAnalysis {
       val adj = words.foldLeft(0L)((a, w) => a + math.max(0, w.length - 1))
       math.max(1 << 10, math.min(1 << 21, adj)).toInt
     }
-    val counts = new scala.collection.mutable.LongMap[Long](sizeHint)
+    val counts = new LongCountMap(sizeHint)
     // pair -> word-index postings; appends may duplicate (multiple
     // occurrences, revisits) — the consumer dedupes, and stale entries
     // for pairs a later merge removed are tolerated because the apply
@@ -367,14 +436,14 @@ object TextAnalysis {
       var i = 0
       while (i < syms.length - 1) {
         val k = pk(syms(i), syms(i + 1))
-        counts(k) = counts.getOrElse(k, 0L) + c
+        counts.put(k, counts.get(k) + c)
         where.getOrElseUpdate(k,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
         i += 1
       }
     }
     words.indices.foreach(seedWord)
-    counts.foreach { case (k, c) => hPush(c, k) }
+    counts.foreachEntry((k, c) => hPush(c, k))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -382,7 +451,7 @@ object TextAnalysis {
       while (bestA < 0 && hN > 0) {
         hPop()
         val c = hTopC; val p = hTopP
-        val live = counts.getOrElse(p, 0L)
+        val live = counts.get(p)
         if (live == c) { bestA = (p >>> 32).toInt; bestB = p.toInt }
         // stale snapshot: re-insert at the live count (decrements never
         // push, so this is the moment the heap learns the lower value)
@@ -464,16 +533,16 @@ object TextAnalysis {
           val s = dSlots(di)
           val dk = dKs(s); val d = dVs(s)
           if (d != 0L) {
-            val nv = counts.getOrElse(dk, 0L) + d
-            if (nv == 0L) counts.subtractOne(dk)
+            val nv = counts.get(dk) + d
+            if (nv == 0L) counts.remove(dk)
             else {
-              counts(dk) = nv
+              counts.put(dk, nv)
               if (d > 0L) hPush(nv, dk)
             }
           }
           di += 1
         }
-        counts.subtractOne(k)
+        counts.remove(k)
       }
     }
     merges.toSeq
