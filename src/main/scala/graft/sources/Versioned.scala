@@ -1232,16 +1232,22 @@ object Versioned {
         // positive the rewrite is provably non-empty and
         // writeSegmentIfNonEmpty's take(1) probe job is skipped (the
         // MERGE path's liveAffected rule). segmentRowCount is
-        // sidecar-first, so even a many-segment delete stays at
-        // KB-sized driver reads with no scheduler job.
-        val liveAffected =
-          segsAll.filter(affected)
-            .map(s => segmentRowCount(spark, path, s)).sum -
-            dvCounts(spark, path, dvMap.collect {
-              case (s, d) if affected(s) => d }.toSeq).valuesIterator.sum
+        // sidecar-first (KB driver reads, no scheduler job), which is
+        // only a win while the affected set is small — a massively
+        // pruned-but-wide delete keeps the single probe job rather
+        // than paying O(affected) serial driver reads.
+        val survivorsKnownNonEmpty =
+          affected.size <= 128 && nMatched >= 0 && {
+            val liveAffected =
+              segsAll.filter(affected)
+                .map(s => segmentRowCount(spark, path, s)).sum -
+                dvCounts(spark, path, dvMap.collect {
+                  case (s, d) if affected(s) => d }.toSeq)
+                  .valuesIterator.sum
+            liveAffected - nMatched > 0
+          }
         val fresh =
-          if (nMatched >= 0 && liveAffected - nMatched > 0)
-            Some(writeSegment(survivors, path))
+          if (survivorsKnownNonEmpty) Some(writeSegment(survivors, path))
           else writeSegmentIfNonEmpty(survivors, path)
         commitPruned(spark, path, segsAll.filterNot(affected), fresh,
           headSchema, dvMap, cdc = CdcRows(cdcTag(staged, "delete")),
