@@ -1872,11 +1872,35 @@ object Bench {
         generated: String, sweepStealSec: Option[Double] = None,
         staleRounds: Map[String, Int] = Map.empty,
         calmerPrior: Map[String, (String, Int)] = Map.empty)
+    // CORE-COUNT KEYING (round-19, the round-18 verdict's #1b ask): a
+    // sweep's floors, stale/calmer-prior chains and regression baseline
+    // may only come from a prior sweep AT THE SAME BENCH CORE COUNT —
+    // round 18's 8-core scaling sweep inherited the 32-core artifact's
+    // canary floor (a 32-task canary legitimately runs ~4x slower on
+    // local[8], so qualification failed everywhere) and then
+    // republished 32-core values as the 8-core run's published numbers
+    // (83/103 stale). The prior lookup now prefers bench_c<cpus>.json
+    // (written per core count below), falls back to bench.json, and in
+    // EITHER case trusts the artifact only when its recorded bench_cpus
+    // matches this run's — env.cores is availableProcessors() and
+    // cannot distinguish local[8] from local[32] on a 32-CPU box.
     val prevBench: PrevArtifact = {
-      val f = new java.io.File("bench.json")
+      val keyed = new java.io.File(s"bench_c$cpus.json")
+      val f = if (keyed.exists()) keyed else new java.io.File("bench.json")
       if (!f.exists()) PrevArtifact("", Map.empty, Map.empty, Map.empty, "")
       else {
         val txt = Files.readString(f.toPath)
+        val prevCpus = """"bench_cpus":([0-9]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!prevCpus.contains(cpus)) {
+          // missing field (pre-round-19 artifact) or a different core
+          // count: the artifact is not this configuration's prior —
+          // no floor hints, no fallback chains, no regression baseline;
+          // this sweep publishes what it measures
+          PrevArtifact(
+            s"${f.getName}(pre-run, bench_cpus=${prevCpus.getOrElse("absent")} != $cpus — prior ignored)",
+            Map.empty, Map.empty, Map.empty, "")
+        } else {
         def braceBlock(field: String): String = {
           val start = txt.indexOf(s""""$field":{""")
           if (start < 0) return ""
@@ -1921,9 +1945,10 @@ object Bench {
             .findAllMatchIn(braceBlock("calmer_prior"))
             .map(m => m.group(1) -> ((m.group(2), m.group(3).toInt)))
             .toMap
-        PrevArtifact(s"bench.json(pre-run, ${qs.size} queries)", qs,
-          qual, staleSince, generated, prevSteal, staleRounds,
+        PrevArtifact(s"${f.getName}(pre-run, ${qs.size} queries, bench_cpus=$cpus)",
+          qs, qual, staleSince, generated, prevSteal, staleRounds,
           calmerPrior)
+        }
       }
     }
 
@@ -2166,7 +2191,7 @@ object Bench {
       s""""code_cache_used_mb":${mb("CodeHeap")},"code_cache_max_mb":$max,"metaspace_used_mb":${mb("Metaspace")}"""
     }
     val envJson =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType",$jitJson,"jvm_start":$jvmStartJson,"jvm_end":${jvmAgeJson()},"box_sweep_delta":{"iowait_sec":$sweepIowaitSec,"steal_sec":${sweepStealSec.toLong}},"canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench.label}"}"""
+      s"""{"cores":${Runtime.getRuntime.availableProcessors()},"bench_cpus":$cpus,"load_before":"$loadBefore","load_after":"$loadAfter","tmp_fs":"$tmpFsType",$jitJson,"jvm_start":$jvmStartJson,"jvm_end":${jvmAgeJson()},"box_sweep_delta":{"iowait_sec":$sweepIowaitSec,"steal_sec":${sweepStealSec.toLong}},"canary_32task_sec":[${f"$canaryBefore%.4f"},${f"$canaryAfter%.4f"}],"io_canary_100mb_sec":[${f"$ioCanaryBefore%.4f"},${f"$ioCanaryAfter%.4f"}],"canary_floor_sec":${f"$canaryFloor%.4f"},"io_canary_floor_sec":${f"$ioFloorUsed%.4f"},"qualification":$qualJson,"prev_bench":"${prevBench.label}"}"""
     // per-probe explanations as a STRUCTURED map (round-12 verdict ask
     // #7): the old single `notes` blob grew past the driver wrapper's
     // 2000-char stdout tail and its most important sentences got
@@ -2561,17 +2586,37 @@ object Bench {
     val json =
       s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"stale_expired":${pub.staleExpiredJson},"calmer_prior_expired":${pub.calmerPriorExpiredJson},"calmer_prior":${pub.calmerPriorJson},"median_divergence":$divergenceJson,"spread":$spreadJson,"rep_canary_ratio":$repCanaryJson,"rep_io_canary_ratio":$repIoCanaryJson,"entry_floor_ratio":$entryFloorRatioJson,"rep_gc_ms":$repGcJson,"rep_jit_ms":$repJitJson,"rep_iowait_ms":$repIowaitJson,"rep_steal_ms":$repStealJson,"isolated":${pub.isolatedJson},"aged_ab":$agedAbJson,"prune":$pruneJson,"budget":$budgetJson,"probe_notes":$probeNotesJson,"regressions":$regressionsJson,"notes":"$notes","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
 
+    // STDOUT ARTIFACT CONTRACT (round-19, the round-18 verdict's #1a
+    // ask — the full line is tens of KB and the driver failed to parse
+    // it twice, losing the whole round-over-round comparison and the
+    // scaling block):
+    //  - bench.json (and bench_c<cpus>.json, the per-core-count prior
+    //    chain) keep the FULL artifact — every per-rep diagnostic
+    //    series stays machine-readable on disk;
+    //  - stdout's primary line drops the bulky per-rep arrays
+    //    (spread/rep_*_ratio/rep_*_ms/aged_ab/probe_notes — ~85% of
+    //    the bytes; read bench.json for them) so the line a driver
+    //    must parse is ~10 KB, not ~70 KB;
+    //  - the LAST stdout line is a compact restatement — metric +
+    //    queries + headline, ~3 KB, headline object last so even a
+    //    2000-char stdout tail always ends with the gate numbers.
+    val jsonSlim =
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","layout":"staged","generated":"$generatedStamp","queries":$qjson,"qualified_reps":$qualifiedJson,"stale":${pub.staleJson},"stale_expired":${pub.staleExpiredJson},"calmer_prior_expired":${pub.calmerPriorExpiredJson},"calmer_prior":${pub.calmerPriorJson},"median_divergence":$divergenceJson,"isolated":${pub.isolatedJson},"prune":$pruneJson,"budget":$budgetJson,"regressions":$regressionsJson,"notes":"per-rep diagnostics (spread, rep_canary_ratio, rep_io_canary_ratio, entry_floor_ratio, rep_gc_ms, rep_jit_ms, rep_iowait_ms, rep_steal_ms, aged_ab, probe_notes) live in bench.json beside this repo root - stdout carries the parse-critical fields only","sf":"$rawSfDir","env":$envJson,"headline":$headlineJson}"""
+    val jsonCompact =
+      s"""{"metric":"q1_flagship_avg","value":${f"$flagship%.4f"},"unit":"sec","sf":"$rawSfDir","bench_cpus":$cpus,"generated":"$generatedStamp","queries":$qjson,"headline":$headlineJson}"""
     val outDirs = Seq(".") ++ sys.env.get("SPARK_GRAFT_OUT").toSeq
     outDirs.foreach { d =>
       try {
         Files.createDirectories(Paths.get(d))
         Files.writeString(Paths.get(d, "bench.json"), json + "\n")
+        Files.writeString(Paths.get(d, s"bench_c$cpus.json"), json + "\n")
         Files.writeString(Paths.get(d, "bench_stages.json"), stageJson.toString + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $d: ${e.getMessage}")
       }
     }
-    println(json)
+    println(jsonSlim)
+    println(jsonCompact)
     System.err.println(s"GRAFT_BENCH_JSON $json")
     cleanupTempDirs()
     spark.stop()

@@ -47,6 +47,26 @@ object PortableHash {
 
   private val space = Array[Byte](' ')
 
+  /** md5Hash60 of the space-joined byte ranges `offs[from until
+    * from+count]` of `bytes` (each element packs (start << 32) | end —
+    * [[GramHashesExpr.tokenOffsets]]'s layout): byte-identical to
+    * joining the token substrings with single spaces and hashing the
+    * result, with zero string allocation per gram. */
+  def md5Hash60Ranges(bytes: Array[Byte], offs: Array[Long],
+                      from: Int, count: Int): Long = {
+    val digest = md.get()
+    digest.reset()
+    var i = 0
+    while (i < count) {
+      if (i > 0) digest.update(space, 0, 1)
+      val o = offs(from + i)
+      val s = (o >>> 32).toInt
+      digest.update(bytes, s, (o & 0xFFFFFFFFL).toInt - s)
+      i += 1
+    }
+    fold60(digest.digest())
+  }
+
   /** md5Hash60 of `toks[from until from+count]` joined by single spaces —
     * byte-identical to hashing `array_join(slice(...), " ")`, but via
     * incremental digest updates: no joined-string allocation per call.

@@ -289,6 +289,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         Md5Hash60Expr(Cast(children.head, StringType))))
     ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashesExpr].getName, "gram_hashes"),
+      (children: Seq[Expression]) =>
+        GramHashesExpr(Cast(children(0), StringType),
+          Cast(children(1), IntegerType))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_pos_hashes"),
+      new ExpressionInfo(classOf[GramPosHashesExpr].getName, "gram_pos_hashes"),
+      (children: Seq[Expression]) =>
+        GramPosHashesExpr(children(0), Cast(children(1), IntegerType))))
+    ext.injectFunction((
       new FunctionIdentifier("text_normalize"),
       new ExpressionInfo(classOf[NormalizeTextExpr].getName, "text_normalize"),
       (children: Seq[Expression]) =>

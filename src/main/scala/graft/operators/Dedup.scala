@@ -526,8 +526,18 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("_n"))
       .filter(F.col("_n").between(2, maxBlock))
       .select("block")
+    // EXPLICIT width, not repartition(col): the downstream stage (member
+    // collect + pair explode + intersection verify) is COMPUTE-dense per
+    // byte, and AQE's byte-targeted coalescing glued it to a quarter of
+    // the cores at the x10 probe volume (8 tasks carrying ~7 s of
+    // executor time — a 0.7 s straggler stage on a 2.5 s query). Pinning
+    // the user repartition to the session's shuffle width keeps it
+    // scale-adaptive (conf-driven) while opting this one exchange out of
+    // byte-blind coalescing (guide §2: partitioning follows compute
+    // density, not bytes, when the work is per-pair).
     val prepared = nonEmpty.join(eligible, Seq("block"), "left_semi")
-      .repartition(F.col("block"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        F.col("block"))
       .select(F.col("id"), F.col("block"),
         sortedHashedShingles(F.col("_text"), shingleN).as("sh"))
     prepared.groupBy("block")
@@ -606,14 +616,23 @@ object Dedup {
     // join-back, and the md5-over-slices transform is the operator's
     // dominant compute — without staging it runs twice (the x10 probe
     // measured the doubling at 90% duplicate mass).
-    val hash: Column => Column =
-      if (df.sparkSession.catalog.functionExists("md5_hash60"))
-        (c: Column) => F.call_function("md5_hash60", c)
-      else md5Hash60
-    val gramArr = F.transform(
-      F.sequence(F.lit(0), F.size(F.col("toks")) - n),
-      (i: Column) => hash(F.concat_ws(" ",
-        F.slice(F.col("toks"), i + 1, F.lit(n)))))
+    val gramArr =
+      if (df.sparkSession.catalog.functionExists("gram_pos_hashes"))
+        // fused native positional hashing: incremental digest per gram,
+        // no per-position concat_ws allocation, no lambda interpretation
+        // (identical values — parity-spec'd; the x10 trace measured the
+        // composable route's gram stage at 38 s executor time)
+        F.call_function("gram_pos_hashes", F.col("toks"), F.lit(n))
+      else {
+        val hash: Column => Column =
+          if (df.sparkSession.catalog.functionExists("md5_hash60"))
+            (c: Column) => F.call_function("md5_hash60", c)
+          else md5Hash60
+        F.transform(
+          F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+          (i: Column) => hash(F.concat_ws(" ",
+            F.slice(F.col("toks"), i + 1, F.lit(n)))))
+      }
     // LAZY, not eager: the duplicate-vote aggregation materializes the
     // blocks as a side effect of the final action, so the join-back
     // reads them without an extra job barrier (the minhashLsh pairs
@@ -621,10 +640,24 @@ object Dedup {
     val grams = stage(base.filter(F.size(F.col("toks")) >= n)
       .select(F.col("id"), F.posexplode(gramArr).as(Seq("pos", "gram"))),
       eager = false, reliable = false)
-    val dup = grams.select("gram", "id").distinct()
-      .groupBy("gram").agg(F.count(F.lit(1)).as("_nd"))
-      .filter(F.col("_nd") >= minDocs)
-      .select("gram")
+    // the duplicate vote needs "appears in >= minDocs DISTINCT docs".
+    // minDocs == 2 (the default, and every declared caller) needs no
+    // distinct pass at all: >= 2 distinct ids  ⇔  min(id) != max(id) —
+    // ONE map-side-combinable exchange instead of the (gram, id)
+    // distinct exchange FOLLOWED BY the count exchange (guide §2.3/§2.4:
+    // aggregate before you shuffle, remove shuffles outright; the x10
+    // trace shows the two-exchange vote moving 29.5 MB then 19.4 MB).
+    // The general minDocs falls back to the distinct+count plan.
+    val dup =
+      if (minDocs == 2)
+        grams.groupBy("gram")
+          .agg(F.min("id").as("_mn"), F.max("id").as("_mx"))
+          .filter(F.col("_mn") =!= F.col("_mx"))
+          .select("gram")
+      else grams.select("gram", "id").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).as("_nd"))
+        .filter(F.col("_nd") >= minDocs)
+        .select("gram")
     val starts = grams.join(dup, "gram")
       .groupBy("id").agg(F.collect_list("pos").as("starts"))
     base.join(starts, Seq("id"), "left")
@@ -1000,6 +1033,13 @@ object Dedup {
   private def gramHashes(spark: org.apache.spark.sql.SparkSession,
                          text: Column, k: Int): Column = {
     import graft.functions.ExprUtils.let
+    // the fused native form when the session carries GraftExtensions:
+    // one pass, incremental digest, no per-gram string materialization
+    // (identical values and order — parity-spec'd); the q112 x10 trace
+    // measured the composable lambda route at ~90% interpretation
+    // overhead on the decontamination family's dominant stage
+    if (spark.catalog.functionExists("gram_hashes"))
+      return F.call_function("gram_hashes", text, F.lit(k))
     val gramHash: Column => Column =
       if (spark.catalog.functionExists("md5_hash60"))
         (c: Column) => F.call_function("md5_hash60", c)
@@ -1093,7 +1133,15 @@ object Dedup {
         !spark.catalog.functionExists("bloom_might_contain"))
       return decontaminate(corpus, textCol, idCol, evalSet, evalTextCol,
         k, minShared)
-    val evalGrams = evalGramsOf(evalSet, evalTextCol, k)
+    // STAGED once, not derived twice: the original "two cheap narrow
+    // passes" trade assumed deriving the gram set is ~free, but the
+    // derivation pays whatever the eval-side SCAN costs (a filtered view
+    // of the corpus reads the full text column twice — the x10 trace
+    // measured ~7 s of executor time per pass) — while the staged gram
+    // set itself is hashes only (8 bytes/gram, KBs–MBs at eval-harness
+    // scale), cheap to hold and read back for the confirm join.
+    val evalGrams = stage(evalGramsOf(evalSet, evalTextCol, k),
+      eager = true, reliable = false)
     val sketch = buildBloomSketch(spark, evalGrams, expectedGrams, numBits)
     val out = (corpusGrams: DataFrame) => corpusGrams
       .join(evalGrams, "g") // exact confirm: kills bloom false positives

@@ -1734,6 +1734,62 @@ class OperatorsSpec extends SparkSpec {
     h.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native gram_hashes matches the composable distinct-gram hashes exactly") {
+    import graft.functions.ExprUtils.let
+    val tricky = Seq(
+      (0L, "the quick brown fox jumps over the quick brown fox"),
+      (1L, "a b a b a b a b"),                  // heavy gram repetition
+      (2L, "  spaced \t OUT \n tokens  "),      // mixed whitespace + case
+      (3L, "single"),                           // shorter than k
+      (4L, "ünïcode Tökens écht ünïcode Tökens"), // multi-byte lowercase
+      (5L, "x"),
+      (6L, "a b c d e f g h i j k l m n o p")
+    ).toDF("id", "text")
+    def composable(k: Int) =
+      let(TextAnalysis.tokens(F.lower(F.col("text")))) { toks =>
+        F.array_distinct(F.transform(
+          F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+          (i: org.apache.spark.sql.Column) => Dedup.md5Hash60(
+            F.array_join(F.slice(toks, i + 1, F.lit(k)), " "))))
+      }
+    Seq(1, 2, 3, 8).foreach { k =>
+      val cmp = tricky.select(F.col("id"),
+        F.call_function("gram_hashes", F.col("text"), F.lit(k)).as("n"),
+        composable(k).as("c")).collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"gram_hashes diverged for id ${r.getLong(0)} at k=$k")
+      }
+    }
+  }
+
+  test("native gram_pos_hashes matches the composable positional hashes exactly") {
+    val docs = Seq(
+      (0L, Seq("a", "b", "a", "b", "c")),
+      (1L, Seq("the", "the", "the")),
+      (2L, Seq("x", "y")),
+      (3L, Seq("ünï", "cöde", "ünï", "cöde"))
+    ).toDF("id", "toks")
+    Seq(1, 2, 3).foreach { n =>
+      val cmp = docs.filter(F.size(F.col("toks")) >= n).select(F.col("id"),
+        F.call_function("gram_pos_hashes", F.col("toks"), F.lit(n)).as("na"),
+        F.transform(
+          F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+          (i: org.apache.spark.sql.Column) => Dedup.md5Hash60(F.concat_ws(" ",
+            F.slice(F.col("toks"), i + 1, F.lit(n))))).as("co")).collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"gram_pos_hashes diverged for id ${r.getLong(0)} at n=$n")
+      }
+      // and below-n token arrays return an empty array (the operator
+      // filters them out; the expression must still be total)
+      val short = docs.filter(F.size(F.col("toks")) < n).select(
+        F.call_function("gram_pos_hashes", F.col("toks"), F.lit(n)).as("na"))
+        .collect()
+      short.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+    }
+  }
+
   test("topKPerProbe bounded heap matches a full sort and never windows the corpus") {
     val emb = (0L until 60L)
       .map(i => (i, Seq((i % 7).toFloat + 0.1f, (i % 3).toFloat, 1.0f)))
